@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided Parquet star schema (TESTDATA.md).
+  *
+  * Every query in [[SparkEntry.queries]] receives `(spark, sfDir)` and reads
+  * through here, so scan options stay in one place. Reads are plain columnar
+  * Parquet scans: Catalyst pushes predicates + prunes columns into the scan
+  * (check `.explain` for `PushedFilters` / `ReadSchema`), which is the Spark
+  * analog of the reference's sparse-primary-index data skipping
+  * (/root/reference/types.json:7 `ORDER BY` keys).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
+
+  /** `events.ts` is physical Parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and floor-divide
+    * to microseconds — the same truncation DuckDB applies when it narrows
+    * NANOS to its micro TIMESTAMP, so oracle comparisons stay exact.
+    * Integer `div` (not `/1000`) because ns-epoch ≈ 1.7e18 exceeds double's
+    * 2^53 integer range.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}
