@@ -10,7 +10,7 @@ import graft.operators._
   */
 object SparkEntry {
 
-  private val modules: Seq[QueryModule] = Seq(RefOps)
+  private val modules: Seq[QueryModule] = Seq(RefOps, Analytics)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

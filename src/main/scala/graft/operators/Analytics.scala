@@ -1,0 +1,434 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Full analytic-capability suite beyond the reference's literal SQL surface.
+  *
+  * The reference delegates these to ClickHouse built-ins without invoking
+  * them (SURVEY.md §2.3 "absent in reference" rows); a user switching engines
+  * still expects them. Everything is declarative DataFrame code so Catalyst
+  * plans it: broadcast joins for dims (explicit `broadcast()` hint on
+  * sub-10MB tables), shuffle hash/sort-merge for fact-fact joins, AQE at
+  * runtime. Every query is oracle-checked against DuckDB.
+  */
+object Analytics extends QueryModule {
+
+  override def queries: Map[String, Q] = Map(
+    // ---- joins ----
+    "join_broadcast" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("p_brand"))),
+
+    "join_shuffle" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"), count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))),
+
+    "join_left_outer" -> ((s, d) =>
+      // preserve-left outer join: only the streamed (right) side can be
+      // broadcast, so hint supplier, not nation
+      Tables.nation(s, d)
+        .join(broadcast(Tables.supplier(s, d)), col("s_nationkey") === col("n_nationkey"), "left_outer")
+        .groupBy(col("n_name"))
+        .agg(count(col("s_suppkey")).as("n_supp"))
+        .orderBy(col("n_name"))),
+
+    "join_full_outer" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("n_click"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("n_buy"))
+      clicks.join(buys, Seq("d"), "full_outer")
+        .select(col("d"), col("n_click"), col("n_buy"))
+        .orderBy(col("d"))
+    }),
+
+    "join_cross" -> ((s, d) =>
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name"))),
+
+    // TPC-H Q3 shape: fact-fact-dim 3-way join + grouped revenue top-k
+    "q3_shipping" -> ((s, d) => {
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1998-06-01 00:00:00").cast("timestamp"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit("1998-06-01 00:00:00").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q5 shape: 6-way snowflake join, dims broadcast
+    "q5_region_revenue" -> ((s, d) => {
+      val nr = broadcast(Tables.nation(s, d)
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey")))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(nr, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // ---- distinct / grouping sets ----
+    "agg_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy(col("l_returnflag"))),
+
+    "distinct_rows" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "agg_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "agg_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
+    "agg_approx_distinct" -> ((s, d) =>
+      // HLL sketch — rows-only check (approx result is engine-specific)
+      Tables.lineitem(s, d)
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))),
+
+    // ---- window functions ----
+    "win_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rnk", rank().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("o_orderstatus"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderstatus"), col("rnk"), col("o_orderkey"))
+    }),
+
+    "win_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("prev_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "win_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("running_spend", round(sum(col("o_totalprice")).over(w), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "win_ntile_dense" -> ((s, d) => {
+      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .filter(col("drnk") <= 40)
+        .select(col("c_custkey"), col("quartile"), col("drnk"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- set operations ----
+    "set_union" -> ((s, d) =>
+      Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+        .union(Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("k")))
+        .distinct()
+        .orderBy(col("k"))),
+
+    "set_except" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_custkey").as("k"))
+        .except(Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey").as("k")))
+        .orderBy(col("k"))),
+
+    "set_intersect" -> ((s, d) =>
+      Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+        .intersect(Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("k")))
+        .orderBy(col("k"))),
+
+    // ---- scalar function families ----
+    "fn_string" -> ((s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_name").like("%widget%"))
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          substring(col("p_type"), 1, 3).as("t3"),
+          concat(col("p_brand"), lit("-"), col("p_type")).as("bt"),
+          length(col("p_name")).as("ln"))
+        .orderBy(col("p_partkey"))),
+
+    "fn_date" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_trunc("month", col("o_orderdate")).as("month_start"))
+        .filter(col("y") === 2000)
+        .orderBy(col("o_orderkey"))),
+
+    "fn_math" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(sqrt(col("l_extendedprice")), 6).as("sq"),
+          round(log(col("l_extendedprice")), 6).as("lg"),
+          round(pow(col("l_discount"), 2), 6).as("p2"),
+          floor(col("l_extendedprice")).as("fl"),
+          ceil(col("l_extendedprice")).as("ce"),
+          abs(col("l_discount") - 0.05).as("ab"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "fn_json" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .filter(col("k") > 90)
+        .orderBy(col("event_id"))),
+
+    "fn_array_explode" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("word"))),
+
+    // ---- time windows over the events stream table ----
+    "ts_tumbling" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val_sum"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("val_sum"))
+        .orderBy(col("w_start"), col("event_type"))),
+
+    "ts_sliding" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("w_start"), col("n"))
+        .orderBy(col("w_start"))),
+
+    "ts_session" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("w.start").as("session_start"), col("n"))
+        .orderBy(col("user_id"), col("session_start"))),
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "join_broadcast" ->
+      """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "join_shuffle" ->
+      """SELECT o_orderstatus, round(sum(l_extendedprice), 2) AS sum_price,
+        | count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "join_left_outer" ->
+      """SELECT n_name, count(s_suppkey) AS n_supp
+        |FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "join_full_outer" ->
+      """WITH clicks AS (
+        |  SELECT CAST(ts AS DATE) AS d, count(*) AS n_click FROM events
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |buys AS (
+        |  SELECT CAST(ts AS DATE) AS d, count(*) AS n_buy FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT COALESCE(clicks.d, buys.d) AS d, n_click, n_buy
+        |FROM clicks FULL OUTER JOIN buys ON clicks.d = buys.d
+        |ORDER BY d""".stripMargin,
+
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q3_shipping" ->
+      """SELECT l_orderkey,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        | AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        | AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 20""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        | AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        | AND r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "distinct_rows" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "win_rank" ->
+      """SELECT o_orderstatus, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT *, rank() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders)
+        |WHERE rnk <= 5 ORDER BY o_orderstatus, rnk, o_orderkey""".stripMargin,
+
+    "win_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "win_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "win_ntile_dense" ->
+      """SELECT c_custkey, quartile, drnk FROM (
+        |  SELECT c_custkey,
+        |    ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+        |    dense_rank() OVER (ORDER BY c_acctbal DESC, c_custkey) AS drnk
+        |  FROM customer)
+        |WHERE drnk <= 40 ORDER BY c_custkey""".stripMargin,
+
+    "set_union" ->
+      """SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |UNION
+        |SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY k""".stripMargin,
+
+    "set_except" ->
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY k""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY k""".stripMargin,
+
+    "fn_string" ->
+      """SELECT p_partkey, upper(p_name) AS uname, substr(p_type, 1, 3) AS t3,
+        | concat(p_brand, '-', p_type) AS bt, length(p_name) AS ln
+        |FROM part WHERE p_name LIKE '%widget%' ORDER BY p_partkey""".stripMargin,
+
+    "fn_date" ->
+      """SELECT o_orderkey, CAST(date_part('year', o_orderdate) AS INTEGER) AS y,
+        | CAST(date_part('month', o_orderdate) AS INTEGER) AS m,
+        | CAST(date_part('day', o_orderdate) AS INTEGER) AS dom,
+        | date_trunc('month', o_orderdate) AS month_start
+        |FROM orders WHERE date_part('year', o_orderdate) = 2000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(sqrt(l_extendedprice), 6) AS sq,
+        | round(ln(l_extendedprice), 6) AS lg,
+        | round(pow(l_discount, 2), 6) AS p2,
+        | CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+        | CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+        | abs(l_discount - 0.05) AS ab
+        |FROM lineitem WHERE l_orderkey < 500
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "fn_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 90
+        |ORDER BY event_id""".stripMargin,
+
+    "fn_array_explode" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+        |GROUP BY word ORDER BY word""".stripMargin,
+
+    "ts_tumbling" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, event_type,
+        | count(*) AS n, round(sum(value), 2) AS val_sum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ts_sliding" ->
+      """SELECT w_start, count(*) AS n FROM (
+        |  SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+        |                 time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+        |                ]) AS w_start
+        |  FROM events)
+        |GROUP BY w_start ORDER BY w_start""".stripMargin,
+
+    "ts_session" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |         >= INTERVAL '5 minutes'
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+  )
+}
