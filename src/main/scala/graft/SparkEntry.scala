@@ -10,7 +10,8 @@ import graft.operators._
   */
 object SparkEntry {
 
-  private val modules: Seq[QueryModule] = Seq(RefOps, Analytics)
+  private val modules: Seq[QueryModule] =
+    Seq(RefOps, Analytics, Dedup, TextAnalysis, Similarity, Multimodal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text primitives for the dedup / text-analysis operators.
+  *
+  * Every helper is a pure `Column` expression (codegen'd builtins + higher-
+  * order functions, zero UDFs) and has a 1:1 DuckDB-SQL mirror used in the
+  * oracle queries, so results hash-match cell-exact:
+  *
+  *   - tokens:      `split(lower(text), "\\s+")`   ↔ `string_split_regex(lower(text), '\s+')`
+  *   - shingles3:   3-token sliding window          ↔ list comprehension over `t[i:i+2]`
+  *   - polyHash:    fold `(acc*31 + codepoint) % 1e9+7` ↔ `list_reduce(list_prepend(0, …))`
+  */
+object TextFns {
+
+  /** Whitespace tokenization of lowercased text. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Distinct word 3-grams ("shingles") of a token array column named `toks`.
+    * Guarded for <3 tokens because Spark's `sequence(1, 0)` counts *down*
+    * (yields `[1, 0]`), unlike DuckDB's empty `generate_series(1, 0)`.
+    */
+  val shingles3FromToks: Column = expr(
+    """CASE WHEN size(toks) < 3 THEN array()
+      |     ELSE transform(sequence(1, size(toks) - 2),
+      |                    i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))
+      |END""".stripMargin)
+
+  /** Portable polynomial rolling hash of a string column (codepoint fold,
+    * base 31, mod 1e9+7) — deterministic and replicable in DuckDB SQL, unlike
+    * xxhash64/crc32 whose exact bits differ across engines.
+    */
+  def polyHash(text: Column): Column = {
+    val codes = transform(filter(split(text, ""), c => c =!= ""), c => ascii(c))
+    aggregate(codes, lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
+  }
+
+  /** Language-ID stopword lists: tiny, deterministic, mirrored verbatim in
+    * the oracle SQL. The heuristic is an n-gram/stopword overlap score — the
+    * standard cheap language-ID signal for web-scale corpus filtering.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "de"),
+    "es" -> Seq("el", "los", "las", "y", "es", "que"))
+
+  /** Fraction of tokens that appear in `words` (0 when the doc is empty). */
+  def stopwordRatio(toks: Column, words: Seq[String]): Column = {
+    val arr = array(words.map(lit): _*)
+    val hits = size(filter(toks, t => array_contains(arr, t)))
+    when(size(toks) === 0, 0.0).otherwise(hits.cast("double") / size(toks))
+  }
+}

@@ -47,7 +47,10 @@ object Analytics extends QueryModule {
       val buys = ev.filter(col("event_type") === "purchase")
         .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("n_buy"))
       clicks.join(buys, Seq("d"), "full_outer")
-        .select(col("d"), col("n_click"), col("n_buy"))
+        // DATE → formatted string: Spark writes parquet DATE where DuckDB's
+        // CAST(ts AS DATE) surfaces as midnight timestamps through the
+        // driver's pandas compare; a string is type-stable on both sides
+        .select(date_format(col("d"), "yyyy-MM-dd").as("d"), col("n_click"), col("n_buy"))
         .orderBy(col("d"))
     }),
 
@@ -124,7 +127,7 @@ object Analytics extends QueryModule {
       val w = Window.partitionBy(col("o_orderstatus"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables.orders(s, d)
-        .withColumn("rnk", rank().over(w))
+        .withColumn("rnk", rank().over(w).cast("long"))
         .filter(col("rnk") <= 5)
         .select(col("o_orderstatus"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_orderstatus"), col("rnk"), col("o_orderkey"))
@@ -150,8 +153,8 @@ object Analytics extends QueryModule {
     "win_ntile_dense" -> ((s, d) => {
       val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
       Tables.customer(s, d)
-        .withColumn("quartile", ntile(4).over(w))
-        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
         .filter(col("drnk") <= 40)
         .select(col("c_custkey"), col("quartile"), col("drnk"))
         .orderBy(col("c_custkey"))
@@ -273,7 +276,7 @@ object Analytics extends QueryModule {
         |buys AS (
         |  SELECT CAST(ts AS DATE) AS d, count(*) AS n_buy FROM events
         |  WHERE event_type = 'purchase' GROUP BY 1)
-        |SELECT COALESCE(clicks.d, buys.d) AS d, n_click, n_buy
+        |SELECT strftime(COALESCE(clicks.d, buys.d), '%Y-%m-%d') AS d, n_click, n_buy
         |FROM clicks FULL OUTER JOIN buys ON clicks.d = buys.d
         |ORDER BY d""".stripMargin,
 

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{CosineSimilarity, TextFns}
+
+/** Document deduplication for large-scale corpus curation, over the
+  * `documents` / `embeddings` test tables.
+  *
+  * Five dedup families, each designed around its 100 TB shuffle profile:
+  *
+  *   - exact:         groupBy(md5) — only (hash, id) shuffles, never the text
+  *   - n-gram Jaccard: inverted shingle index self-join (no cross join);
+  *                    all-pairs contact only through shared shingles
+  *   - MinHash+LSH:   64 permutations → 16 bands × 4 rows → bucket equi-join;
+  *                    candidate pairs then verified with exact Jaccard.
+  *                    Sub-quadratic: cost ∝ bucket collisions, not n²
+  *   - SimHash:       64-bit signature, 4×16-bit band join, Hamming ≤ 8
+  *   - embedding cosine: cluster-blocked (label) pair generation + codegen'd
+  *                    [[graft.functions.CosineSimilarity]] kernel
+  *
+  * MinHash/Jaccard share one oracle: the synthetic corpus separates cleanly
+  * (planted near-dups at J≈0.99, background <0.5), and 16×4 LSH recall at
+  * J≥0.8 is 1-(1-0.8⁴)¹⁶ ≈ 0.9998, so LSH candidates → exact-verify produces
+  * exactly the exact-Jaccard pair set. SimHash has no oracle (xxhash64 bits
+  * are engine-specific) — covered by DedupSpec instead.
+  */
+object Dedup extends QueryModule {
+
+  /** Distinct (doc_id, shingle) pairs — the shared inverted index. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(TextFns.shingles3FromToks).as("sh"))
+      .distinct()
+
+  /** Exact Jaccard over an inverted index: pairs meet only via shared
+    * shingles, then J = |∩| / (|A|+|B|-|∩|) from the three counts.
+    */
+  private def jaccardPairs(s: SparkSession, d: String, minJ: Double,
+                           candidates: Option[DataFrame]): DataFrame = {
+    val sh = shingles(s, d)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val contact = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+    val scoped = candidates.fold(contact)(c => contact.join(c, Seq("i", "j"), "left_semi"))
+    scoped
+      .groupBy("i", "j").agg(count(lit(1)).as("shared"))
+      .join(cnt.as("ca"), col("i") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("j") === col("cb.doc_id"))
+      .withColumn("jac", col("shared") / (col("ca.n") + col("cb.n") - col("shared")))
+      .filter(col("jac") >= minJ)
+      .select(col("i"), col("j"), round(col("jac"), 6).as("jaccard"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Shared oracle for the two Jaccard-thresholded pair queries. */
+  private val jaccardOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM tok,
+      |  UNNEST([array_to_string(t[i:i+2], ' ')
+      |          for i in generate_series(1, len(t)-2)]) AS u(sh)),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT i, j, round(jac, 6) AS jaccard FROM (
+      |  SELECT i, j, shared * 1.0 / (ca.n + cb.n - shared) AS jac
+      |  FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j)
+      |WHERE jac >= 0.8 ORDER BY i, j""".stripMargin
+
+  // MinHash "permutations": the i-th hash function is xxhash64 re-seeded by
+  // mixing in the permutation index as a second column — avoids the wrapped
+  // multiply-add family (ANSI mode rejects the intentional long overflow)
+  // while staying a single codegen'd builtin per signature slot.
+
+  override def queries: Map[String, Q] = Map(
+    // Exact dedup: hash-groupBy on a digest so the shuffle carries 16-byte
+    // keys + ids, not document bodies — the only shape that works at 100 TB.
+    "dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(md5(lower(trim(col("text")))).as("h"), col("doc_id"))
+        .groupBy("h")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .select(col("keep_id"), col("n_dups"))
+        .orderBy(col("keep_id"))),
+
+    // Exact all-pairs n-gram Jaccard ≥ 0.8 via inverted shingle index.
+    "dedup_ngram_jaccard" -> ((s, d) => jaccardPairs(s, d, 0.8, None)),
+
+    // MinHash + banded LSH → candidates → exact-Jaccard verification.
+    "dedup_minhash_lsh" -> ((s, d) => {
+      val hs = shingles(s, d).select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      val sigAggs = (0 until 64).map(i =>
+        min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+      val sig = hs.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+      val bands = array((0 until 16).map(b => struct(
+        lit(b).as("band"),
+        xxhash64(col(s"m${4*b}"), col(s"m${4*b+1}"),
+                 col(s"m${4*b+2}"), col(s"m${4*b+3}")).as("bh"))): _*)
+      val buckets = sig.select(col("doc_id"), explode(bands).as("bd"))
+        .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+      val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bh"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+        .distinct()
+      jaccardPairs(s, d, 0.8, Some(cand))
+    }),
+
+    // SimHash: 64-bit signature from token hashes; near-dups = Hamming ≤ 8,
+    // found via 4×16-bit chunk equi-join (a ≤8-bit-distance pair must agree
+    // exactly on ≥... with 4 chunks any pair with ≤8 flipped bits still has
+    // ≥1 identical chunk only when flips concentrate; 4 chunks guarantee
+    // detection for Hamming ≤ 3; wider distances are best-effort, as in
+    // production SimHash pipelines).
+    "dedup_simhash" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
+        .distinct()
+        .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      val bitSums = (0 until 64).map(k =>
+        sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$k"))
+      val sig = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(k => when(col(s"b$k") >= 0, shiftleft(lit(1L), k)).otherwise(0L))
+            .reduce(_.bitwiseOR(_)).as("sig"))
+      val chunks = sig.select(col("doc_id"), col("sig"),
+          explode(array((0 until 4).map(c => struct(lit(c).as("c"),
+            shiftright(col("sig"), 16 * c).bitwiseAND(0xFFFFL).as("ch"))): _*)).as("x"))
+        .select(col("doc_id"), col("sig"), col("x.c").as("c"), col("x.ch").as("ch"))
+      chunks.as("a").join(chunks.as("b"), Seq("c", "ch"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 8)
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // Embedding near-dup: cluster-blocked (label = coarse IVF cell) pairs,
+    // scored by the codegen'd cosine kernel. Blocking keeps pair generation
+    // at Σ|cell|² instead of n² — the pattern that survives scale-up.
+    "dedup_embed_cosine" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("label"), col("vec_id"), col("embedding"))
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+          round(CosineSimilarity(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+        .filter(col("cos") >= 0.4)
+        .orderBy(col("i"), col("j"))
+    }),
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY md5(lower(trim(text))) ORDER BY keep_id""".stripMargin,
+
+    "dedup_ngram_jaccard" -> jaccardOracle,
+    "dedup_minhash_lsh" -> jaccardOracle,
+
+    // dedup_simhash: intentionally no oracle (xxhash64 signatures are not
+    // reproducible in DuckDB) — driver records rows-only; DedupSpec asserts
+    // the planted near-dup pairs are recovered.
+
+    "dedup_embed_cosine" ->
+      """SELECT a.vec_id AS i, b.vec_id AS j,
+        | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+        |ORDER BY i, j""".stripMargin,
+  )
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns
+
+/** Text-analysis operators for corpus curation over `documents`: token
+  * counting, quality scoring, language ID, and content fingerprinting.
+  *
+  * All pure narrow transformations — no shuffle at all except the final
+  * presentation sort (which the driver's compare needs for determinism):
+  * each document is scored independently, so these scale embarrassingly to
+  * any corpus size. Every expression is a codegen'd builtin / higher-order
+  * function with an exact DuckDB mirror.
+  */
+object TextAnalysis extends QueryModule {
+
+  private val punctClass = "[^a-z0-9\\s]"
+
+  override def queries: Map[String, Q] = Map(
+    // Token statistics: whitespace tokenization + distinct count + summed
+    // token length (a cheap proxy for BPE token count: chars/4 heuristic).
+    "text_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"), col("text"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_uniq"),
+          aggregate(transform(col("toks"), t => length(t)), lit(0L), (a, x) => a + x)
+            .as("sum_tok_len"),
+          (length(col("text")).cast("long") / lit(4)).cast("long").as("approx_bpe"))
+        .orderBy(col("doc_id"))),
+
+    // Quality scoring: uniqueness ratio, stopword ratio, punctuation density,
+    // mean word length → one composite score. The classic cheap filters for
+    // pretraining-corpus curation.
+    "text_quality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          round(size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 6)
+            .as("uniq_ratio"),
+          round(TextFns.stopwordRatio(col("toks"), TextFns.stopwords("en")), 6)
+            .as("stop_ratio"),
+          round(length(regexp_replace(lower(col("text")), punctClass, ""))
+            .cast("double") / length(col("text")), 6).as("alnum_ratio"),
+          round(length(col("text")).cast("double") / size(col("toks")), 6)
+            .as("mean_word_len"))
+        // binary half-up (floor(x*1e6+0.5)) rather than round(): the weighted
+        // sum lands on exact decimal midpoints (ratios have power-of-2
+        // denominators), where Spark's decimal-string rounding and DuckDB's
+        // binary rounding disagree; floor on the shared double is engine-exact
+        .withColumn("quality",
+          floor((col("uniq_ratio") * 0.5 + col("stop_ratio") * 0.2 + col("alnum_ratio") * 0.3) * 1e6 + 0.5) / 1e6)
+        .orderBy(col("doc_id"))),
+
+    // Language ID: stopword-overlap score per candidate language, argmax with
+    // deterministic tie-break (score desc, then fixed language order).
+    "text_langid" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("toks"))
+      val scored = TextFns.stopwords.toSeq.sortBy(_._1).foldLeft(base) {
+        case (df, (l, words)) =>
+          df.withColumn(s"score_$l", round(TextFns.stopwordRatio(col("toks"), words), 6))
+      }
+      val langs = TextFns.stopwords.keys.toSeq.sorted
+      val best = langs.map(l => struct(col(s"score_$l").as("sc"), lit(l).as("l")))
+        .reduce((a, b) => when(b.getField("sc") > a.getField("sc"), b).otherwise(a))
+      scored
+        .withColumn("pred", when(best.getField("sc") > 0, best.getField("l")).otherwise(lit("unknown")))
+        .select(Seq(col("doc_id"), col("lang"), col("pred")) ++
+          langs.map(l => col(s"score_$l")): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Fingerprinting: md5 digest + portable polynomial rolling hash
+    // (codepoint fold) — the building block of shingle/winnowing schemes.
+    "text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(col("text")).as("digest"),
+          TextFns.polyHash(col("text")).as("rolling"))
+        .orderBy(col("doc_id"))),
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_uniq,
+        | list_reduce(list_prepend(0, [length(x) for x in t]),
+        |             (a, x) -> a + x) AS sum_tok_len,
+        | length(text) // 4 AS approx_bpe
+        |FROM (SELECT doc_id, text,
+        |        string_split_regex(lower(text), '\s+') AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id, n_tokens, uniq_ratio, stop_ratio, alnum_ratio,
+        | mean_word_len,
+        | floor((uniq_ratio * 0.5 + stop_ratio * 0.2 + alnum_ratio * 0.3) * 1e6 + 0.5) / 1e6 AS quality
+        |FROM (
+        |  SELECT doc_id, len(t) AS n_tokens,
+        |    round(len(list_distinct(t)) * 1.0 / len(t), 6) AS uniq_ratio,
+        |    round(len(list_filter(t, x -> list_contains(
+        |      ['the','a','of','and','to','in','is'], x))) * 1.0 / len(t), 6)
+        |      AS stop_ratio,
+        |    round(length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'))
+        |      * 1.0 / length(text), 6) AS alnum_ratio,
+        |    round(length(text) * 1.0 / len(t), 6) AS mean_word_len
+        |  FROM (SELECT doc_id, text,
+        |          string_split_regex(lower(text), '\s+') AS t FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    round(len(list_filter(t, x -> list_contains(
+        |      ['der','die','das','und','ist','von'], x))) * 1.0 / len(t), 6) AS score_de,
+        |    round(len(list_filter(t, x -> list_contains(
+        |      ['the','a','of','and','to','in','is'], x))) * 1.0 / len(t), 6) AS score_en,
+        |    round(len(list_filter(t, x -> list_contains(
+        |      ['el','los','las','y','es','que'], x))) * 1.0 / len(t), 6) AS score_es,
+        |    round(len(list_filter(t, x -> list_contains(
+        |      ['le','la','les','et','est','de'], x))) * 1.0 / len(t), 6) AS score_fr
+        |  FROM (SELECT doc_id, lang,
+        |          string_split_regex(lower(text), '\s+') AS t FROM documents))
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0
+        |       THEN 'unknown'
+        |       WHEN score_fr > greatest(score_de, score_en, score_es) THEN 'fr'
+        |       WHEN score_es > greatest(score_de, score_en) THEN 'es'
+        |       WHEN score_en > score_de THEN 'en'
+        |       ELSE 'de' END AS pred,
+        |  score_de, score_en, score_es, score_fr
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(text) AS digest,
+        | list_reduce(
+        |   list_prepend(0::BIGINT, [unicode(c) for c in string_split(text, '')]),
+        |   (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
