@@ -17,7 +17,7 @@ import graft.functions.{CosineSimilarity, TextFns}
   *   - MinHash+LSH:   64 permutations → 16 bands × 4 rows → bucket equi-join;
   *                    candidate pairs then verified with exact Jaccard.
   *                    Sub-quadratic: cost ∝ bucket collisions, not n²
-  *   - SimHash:       64-bit signature, 4×16-bit band join, Hamming ≤ 8
+  *   - SimHash:       64-bit signature, 8×8-bit band join, Hamming ≤ 8
   *   - embedding cosine: cluster-blocked (label) pair generation + codegen'd
   *                    [[graft.functions.CosineSimilarity]] kernel
   *
@@ -114,11 +114,9 @@ object Dedup extends QueryModule {
     }),
 
     // SimHash: 64-bit signature from token hashes; near-dups = Hamming ≤ 8,
-    // found via 4×16-bit chunk equi-join (a ≤8-bit-distance pair must agree
-    // exactly on ≥... with 4 chunks any pair with ≤8 flipped bits still has
-    // ≥1 identical chunk only when flips concentrate; 4 chunks guarantee
-    // detection for Hamming ≤ 3; wider distances are best-effort, as in
-    // production SimHash pipelines).
+    // found via 8×8-bit chunk equi-join. Pigeonhole: ≤7 flipped bits leave
+    // ≥1 of 8 chunks identical (guaranteed detection); at exactly 8 flips
+    // only the 1-flip-per-chunk placement escapes (P ≈ 8!/8^8 ≈ 0.2%).
     "dedup_simhash" -> ((s, d) => {
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
@@ -131,8 +129,8 @@ object Dedup extends QueryModule {
           (0 until 64).map(k => when(col(s"b$k") >= 0, shiftleft(lit(1L), k)).otherwise(0L))
             .reduce(_.bitwiseOR(_)).as("sig"))
       val chunks = sig.select(col("doc_id"), col("sig"),
-          explode(array((0 until 4).map(c => struct(lit(c).as("c"),
-            shiftright(col("sig"), 16 * c).bitwiseAND(0xFFFFL).as("ch"))): _*)).as("x"))
+          explode(array((0 until 8).map(c => struct(lit(c).as("c"),
+            shiftright(col("sig"), 8 * c).bitwiseAND(0xFFL).as("ch"))): _*)).as("x"))
         .select(col("doc_id"), col("sig"), col("x.c").as("c"), col("x.ch").as("ch"))
       chunks.as("a").join(chunks.as("b"), Seq("c", "ch"))
         .filter(col("a.doc_id") < col("b.doc_id"))

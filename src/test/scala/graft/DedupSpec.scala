@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.operators.Dedup
+
+/** Dedup family invariants at sf0.001 (SURVEY.md §7.2.7 extensions). */
+class DedupSpec extends SparkSpecBase {
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    Dedup.queries(name)(spark, sf0001)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("LSH candidates + exact verify recovers exactly the exact-Jaccard pair set") {
+    val exact = pairs("dedup_ngram_jaccard")
+    val lsh = pairs("dedup_minhash_lsh")
+    exact should not be empty // the corpus plants near-dups
+    lsh shouldBe exact        // 16x4 bands: recall ≈ 0.9998 at J ≥ 0.8
+  }
+
+  test("exact dedup groups agree with distinct text count") {
+    val out = Dedup.queries("dedup_exact")(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001)
+    out.map(_.getAs[Long]("n_dups")).sum shouldBe docs.count()
+    // keep_id is the min doc_id of its group, so keep_ids are unique
+    out.map(_.getAs[Long]("keep_id")).distinct.length shouldBe out.length
+  }
+
+  test("simhash near-dup pairs include the high-Jaccard planted pairs") {
+    val planted = pairs("dedup_ngram_jaccard")
+    val simhash = Dedup.queries("dedup_simhash")(spark, sf0001)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // SimHash at Hamming ≤ 8 is best-effort (4x16 chunking guarantees ≤ 3);
+    // require it to recover a solid majority of true near-dups
+    val recalled = planted.intersect(simhash).size.toDouble
+    if (planted.nonEmpty) (recalled / planted.size) should be >= 0.8
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val rows = Dedup.queries("dedup_embed_cosine")(spark, sf0001).collect()
+    all(rows.map(_.getAs[Double]("cos"))) should be >= 0.4
+    all(rows.map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")))
+      .map { case (i, j) => j - i }) should be > 0L
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+/** Contract smoke for the driver surface: every registered query runs at
+  * sf0.001, the flagship returns rows, and oracle keys reference real
+  * queries (SURVEY.md §7.1).
+  */
+class QueriesSpec extends SparkSpecBase {
+
+  test("entry() returns rows (driver smoke contract)") {
+    SparkEntry.entry(spark).count() should be > 0L
+  }
+
+  test("every oracleSql key has a matching queries key") {
+    val unknown = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
+    unknown shouldBe empty
+  }
+
+  test("every query executes at sf0.001 and most return rows") {
+    val counts = SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sf0001).count()
+    }
+    // point-lookups and high-threshold dedups may legitimately be empty at
+    // this tiny scale; everything else must produce rows
+    val allowedEmpty = Set("p9_point_lookup", "j3_existence")
+    val empty = counts.collect { case (n, 0L) if !allowedEmpty(n) => n }
+    empty shouldBe empty
+  }
+
+  test("query result schemas have no duplicate or unaliased columns") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val fields = fn(spark, sf0001).schema.fieldNames
+      withClue(s"$name: ") {
+        fields.distinct.length shouldBe fields.length
+        fields.foreach(f => f should not include "(")
+      }
+    }
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.Executors
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.queue.WorkQueue
+
+/** The KeeperMap queue protocol (SURVEY.md §3.2-3.3): enqueue guards,
+  * priority-ordered claiming, and the CAS one-winner invariant
+  * (/root/reference/repo/importer.py:136-158).
+  */
+class QueueSpec extends AnyFunSuite with Matchers {
+
+  private def newQueue(max: Int = 10000) =
+    new WorkQueue(Files.createTempDirectory("queue"), max)
+
+  test("schedule: duplicate repo is ALREADY_PROCESSING (Node-exists race)") {
+    val q = newQueue()
+    q.schedule("acme/repo").isRight shouldBe true
+    q.schedule("acme/repo") shouldBe Left("ALREADY_PROCESSING")
+  }
+
+  test("schedule: queue-length guard (schedule.py:44)") {
+    val q = newQueue(max = 2)
+    q.schedule("a/1").isRight shouldBe true
+    q.schedule("a/2").isRight shouldBe true
+    q.schedule("a/3") shouldBe Left("QUEUE IS FULL")
+  }
+
+  test("claim: priority DESC then scheduled ASC ordering (importer.py:138-139)") {
+    val q = newQueue()
+    q.schedule("low/old", priority = 0, now = 100)
+    q.schedule("high/new", priority = 9, now = 300)
+    q.schedule("high/old", priority = 9, now = 200)
+    q.claim("w1").map(_.repoName) shouldBe Some("high/old")
+    q.claim("w2").map(_.repoName) shouldBe Some("high/new")
+    q.claim("w3").map(_.repoName) shouldBe Some("low/old")
+    q.claim("w4") shouldBe None
+  }
+
+  test("claim is CAS: N concurrent claimants on one job → exactly one winner") {
+    val q = newQueue()
+    q.schedule("acme/contested")
+    val pool = Executors.newFixedThreadPool(16)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val attempts = Future.sequence((1 to 16).map(i => Future(q.claim(s"w$i"))))
+    val results = Await.result(attempts, 30.seconds)
+    pool.shutdown()
+    results.flatten.size shouldBe 1
+    results.flatten.head.repoName shouldBe "acme/contested"
+    results.flatten.head.workerId should startWith("w")
+  }
+
+  test("claimed job row carries worker_id + started_time (M1 update shape)") {
+    val q = newQueue()
+    q.schedule("acme/repo", priority = 3, now = 111)
+    val job = q.claim("worker-7", now = 222).get
+    job.workerId shouldBe "worker-7"
+    job.startedTime shouldBe 222
+    job.priority shouldBe 3
+    q.snapshot().head.workerId shouldBe "worker-7" // M2 verify read
+  }
+
+  test("complete removes the job in any state (M3, unconditional release)") {
+    val q = newQueue()
+    q.schedule("a/pending"); q.schedule("a/claimed")
+    q.claim("w1") // claims one of them
+    q.complete("a/pending"); q.complete("a/claimed")
+    q.length shouldBe 0
+    q.claim("w2") shouldBe None
+  }
+}
