@@ -1,0 +1,109 @@
+package graft.app
+
+import java.nio.file.Paths
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.queue.WorkQueue
+import graft.sources.GitImporter
+
+/** The reference's CLI surface (/root/reference/clickhub.py:29-49) over our
+  * engine: `schedule`, `import`, `start_worker`, `update_all_repos`,
+  * `bulk_schedule`. One object so a user of the reference can map each
+  * entrypoint 1:1; the git-clone / git-import subprocess steps stay
+  * out-of-engine exactly as they do in the reference (importer.py:18-90) —
+  * callers hand us the TSV directory those tools produced.
+  */
+object ClickhubCli {
+
+  final case class Env(spark: SparkSession, importer: GitImporter, queue: WorkQueue)
+
+  def env(warehouse: String, queueDir: String, maxQueueLength: Int = 10000): Env = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    Env(spark, new GitImporter(spark, warehouse), new WorkQueue(Paths.get(queueDir), maxQueueLength))
+  }
+
+  /** `clickhub.py schedule` (clickhub.py:80-86; schedule.py:37-67). */
+  def schedule(e: Env, repoName: String, priority: Int = 0): Either[String, Unit] =
+    e.queue.schedule(repoName, priority).map(_ => ())
+
+  /** `clickhub.py import` (clickhub.py:87-99; §3.1). */
+  def importRepo(e: Env, repoName: String, tsvDir: String, keepFiles: Boolean = true): Map[String, Long] =
+    e.importer.importRepo(repoName, tsvDir, keepFiles)
+
+  /** `clickhub.py start_worker` (clickhub.py:122-132; importer.py:161-179):
+    * poll → claim → import → release. `maxPolls` bounds the loop for tests;
+    * pass Int.MaxValue for the production daemon. `sleepMs` mirrors
+    * config.yml:17's 10 s poll period.
+    */
+  def worker(e: Env, workerId: String, tsvDirFor: String => String,
+             maxPolls: Int, sleepMs: Long = 10000): Seq[String] = {
+    val done = Seq.newBuilder[String]
+    var polls = 0
+    while (polls < maxPolls) {
+      e.importer.workOnce(e.queue, workerId, tsvDirFor) match {
+        case Some(repo) => done += repo
+        case None => if (polls < maxPolls - 1) Thread.sleep(sleepMs)
+      }
+      polls += 1
+    }
+    done.result()
+  }
+
+  /** `clickhub.py update_all_repos` (clickhub.py:102-114;
+    * schedule.py:71-107): staleness scan (A4+O2 — `min(updated_at)` per
+    * repo, stalest first, LIMIT) anti-joined (J1) against the current queue,
+    * then per-repo enqueue. The scan is a real Spark query over the commits
+    * table; the queue membership probe is a broadcast anti-join against the
+    * (tiny) queue snapshot, the degenerate-but-correct version of the
+    * reference's 1000-per-IN batching (schedule.py:84-95).
+    */
+  def updateAllRepos(e: Env, limit: Int = 50000): Seq[String] = {
+    import e.spark.implicits._
+    if (!e.importer.catalog.exists("commits")) return Seq.empty
+    val stalest = e.importer.catalog.readRaw("commits")
+      .groupBy(col("repo_name"))
+      .agg(min(col("updated_at")).as("last_updated"))
+      .orderBy(col("last_updated").asc, col("repo_name"))
+      .limit(limit)
+      .select(col("repo_name"))
+    val queued = e.queue.snapshot().map(_.repoName).toDF("repo_name")
+    val toSchedule = stalest
+      .join(broadcast(queued), Seq("repo_name"), "left_anti") // J1
+      .as[String].collect().toSeq
+    toSchedule.filter(r => e.queue.schedule(r).isRight)
+  }
+
+  /** `clickhub.py bulk_schedule` over a repos.txt-style list (clickhub.py:33-38). */
+  def bulkSchedule(e: Env, repos: Seq[String]): Seq[String] =
+    repos.filter(r => e.queue.schedule(r).isRight)
+
+  def main(args: Array[String]): Unit = {
+    val cmd = args.headOption.getOrElse("")
+    def arg(name: String, default: String = null): String =
+      args.sliding(2).collectFirst { case Array(`name`, v) => v }
+        .getOrElse(Option(default).getOrElse(sys.error(s"missing $name")))
+    val e = env(arg("--warehouse", "/tmp/graft-warehouse"), arg("--queue_dir", "/tmp/graft-queue"))
+    cmd match {
+      case "schedule" =>
+        println(schedule(e, arg("--repo_name"), arg("--priority", "0").toInt))
+      case "import" =>
+        println(importRepo(e, arg("--repo_name"), arg("--tsv_dir")))
+      case "start_worker" =>
+        worker(e, arg("--worker_id", java.util.UUID.randomUUID().toString),
+          repo => s"${arg("--tsv_root", "/tmp/graft-tsv")}/$repo", Int.MaxValue)
+      case "update_all_repos" =>
+        println(updateAllRepos(e, arg("--limit", "50000").toInt).mkString("\n"))
+      case "bulk_schedule" =>
+        val repos = scala.io.Source.fromFile(arg("--file")).getLines().map(_.trim).filter(_.nonEmpty).toSeq
+        println(bulkSchedule(e, repos).size + " scheduled")
+      case other => sys.error(s"unknown command '$other' (schedule|import|start_worker|update_all_repos|bulk_schedule)")
+    }
+    e.spark.stop()
+  }
+}

@@ -1,0 +1,28 @@
+// Scratch: runMain graft.tools.ExplainCheck — plan hygiene assertions.
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
+
+object ExplainCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.01"
+    val interesting = Seq("q1_agg", "q3_shipping", "q5_region_revenue",
+      "p5_watermark", "join_broadcast", "j2_semi_join", "o1_topk")
+    interesting.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+      val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(plan).mkString("; ")
+      val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+      val smj = plan.linesIterator.count(_.contains("SortMergeJoin"))
+      val topk = plan.contains("TakeOrderedAndProject")
+      val codegen = "\\*\\(\\d+\\)".r.findAllIn(plan).size
+      println(s"== $name: codegenOps=$codegen bhj=$broadcasts smj=$smj topk=$topk")
+      if (pushed.nonEmpty) println(s"   $pushed")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Paths}
+import graft.app.{ClickhubCli, HttpApp}
+import graft.queue.WorkQueue
+import graft.sources.GitImporter
+
+/** The application surface: CLI entrypoints (clickhub.py analog) and the
+  * HTTP enqueue API (app.py analog, including the reference's own
+  * end-to-end test shapes from test.py:22-43).
+  */
+class AppSpec extends SparkSpecBase {
+
+  private def commitRow(hash: String, time: String): String =
+    (Seq(hash, "alice", time, s"msg $hash") ++ Seq.fill(9)("1")).mkString("\t")
+
+  private def newEnv(maxQueue: Int = 10000): ClickhubCli.Env =
+    ClickhubCli.Env(spark, new GitImporter(spark, tmpDir("wh")),
+      new WorkQueue(Files.createTempDirectory("q"), maxQueue))
+
+  private def writeRepoTsv(root: String, repo: String, rows: Seq[String]): String = {
+    val dir = Paths.get(root, repo)
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("commits.tsv"), rows.mkString("", "\n", "\n"))
+    dir.toString
+  }
+
+  test("worker drains the queue: claim → import → release") {
+    val e = newEnv()
+    val root = tmpDir("tsv")
+    writeRepoTsv(root, "acme/one", Seq(commitRow("a", "2024-01-01 10:00:00")))
+    writeRepoTsv(root, "acme/two", Seq(commitRow("b", "2024-02-01 10:00:00")))
+    ClickhubCli.schedule(e, "acme/one").isRight shouldBe true
+    ClickhubCli.schedule(e, "acme/two", priority = 5).isRight shouldBe true
+    val done = ClickhubCli.worker(e, "w1", r => s"$root/$r", maxPolls = 3, sleepMs = 1)
+    done shouldBe Seq("acme/two", "acme/one") // priority order
+    e.queue.length shouldBe 0
+    e.importer.catalog.read("commits").count() shouldBe 2
+  }
+
+  test("update_all_repos enqueues stalest ingested repos not already queued") {
+    val e = newEnv()
+    val root = tmpDir("tsv")
+    writeRepoTsv(root, "acme/old", Seq(commitRow("a", "2024-01-01 10:00:00")))
+    ClickhubCli.importRepo(e, "acme/old", s"$root/acme/old")
+    Thread.sleep(1100) // second-granular updated_at: ensure distinct staleness
+    writeRepoTsv(root, "acme/new", Seq(commitRow("b", "2024-02-01 10:00:00")))
+    ClickhubCli.importRepo(e, "acme/new", s"$root/acme/new")
+    e.queue.schedule("acme/new") // already queued → must be excluded (J1)
+    val scheduled = ClickhubCli.updateAllRepos(e, limit = 10)
+    scheduled shouldBe Seq("acme/old")
+  }
+
+  test("bulk_schedule skips duplicates") {
+    val e = newEnv()
+    val ok = ClickhubCli.bulkSchedule(e, Seq("a/1", "a/2", "a/1"))
+    ok shouldBe Seq("a/1", "a/2")
+  }
+
+  // --- the reference's own HTTP test shapes (test.py) ---
+
+  private def withApp(e: ClickhubCli.Env)(f: (HttpClient, Int) => Unit): Unit = {
+    val app = new HttpApp(e, 0)
+    app.start()
+    try f(HttpClient.newHttpClient(), app.boundPort)
+    finally app.stop()
+  }
+
+  private def get(c: HttpClient, port: Int, repo: String): HttpResponse[String] =
+    c.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port/add_new_repo?repo=$repo")).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("http: invalid repo → 400 (test.py:22-24)") {
+    withApp(newEnv()) { (c, p) =>
+      get(c, p, "testing_repo").statusCode() shouldBe 400
+    }
+  }
+
+  test("http: already-ingested repo → 200 ALREADY_PROCESSED (test.py:26-31, intended semantics)") {
+    val e = newEnv()
+    val root = tmpDir("tsv")
+    writeRepoTsv(root, "acme/repo", Seq(commitRow("a", "2024-01-01 10:00:00")))
+    ClickhubCli.importRepo(e, "acme/repo", s"$root/acme/repo")
+    withApp(e) { (c, p) =>
+      val r = get(c, p, "acme/repo")
+      r.statusCode() shouldBe 200
+      r.body() shouldBe "ALREADY_PROCESSED"
+    }
+  }
+
+  test("http: queued repo → 200 ALREADY_PROCESSING; new repo → SCHEDULED (test.py:33-43)") {
+    val e = newEnv()
+    withApp(e) { (c, p) =>
+      get(c, p, "acme/fresh").body() shouldBe "SCHEDULED"
+      get(c, p, "acme/fresh").body() shouldBe "ALREADY_PROCESSING"
+      e.queue.complete("acme/fresh")
+      get(c, p, "acme/fresh").body() shouldBe "SCHEDULED"
+    }
+  }
+
+  test("http: full queue → 403 QUEUE IS FULL (app.py:56-59)") {
+    val e = newEnv(maxQueue = 1)
+    withApp(e) { (c, p) =>
+      get(c, p, "a/1").statusCode() shouldBe 200
+      val r = get(c, p, "a/2")
+      r.statusCode() shouldBe 403
+      r.body() shouldBe "QUEUE IS FULL"
+    }
+  }
+}
