@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** ClickHouse's signature aggregate-function families, re-expressed as
+  * Spark built-ins — the combinators a ClickHouse user reaches for daily
+  * even though the clickhub reference only invokes count/min/max/countIf
+  * (SURVEY.md §2.4). All codegen'd builtins, all DuckDB-oracle checked:
+  *
+  *   - argMax/argMin      → max_by/min_by
+  *   - quantile (exact)   → percentile (DuckDB quantile_cont)
+  *   - groupArray         → collect_list (sorted for determinism — the
+  *                          unsorted variants are order-dependent on both
+  *                          engines)
+  *   - uniqExact/uniq     → count_distinct / approx_count_distinct
+  *                          (agg_distinct / agg_approx_distinct in Analytics)
+  *   - sumIf/avgIf        → sum(when)/avg(when) conditional aggregates
+  *   - stats: stddevPop, varPop, corr, covarPop → same-named builtins
+  */
+object ChAggs extends QueryModule {
+
+  override def queries: Map[String, Q] = Map(
+    // argMax(o_orderkey, o_totalprice) per status — the value of one column
+    // at the extremum of another, ClickHouse's most-loved aggregate.
+    // Expressed as max/min over a (price, key) struct: lexicographic struct
+    // ordering gives a deterministic tie-break on both engines (prices tie
+    // in the data; bare max_by/arg_max would be nondeterministic — and
+    // DuckDB's arg_max has no struct-ordering overload anyway).
+    "agg_argmax" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          max(struct(col("o_totalprice"), col("o_orderkey"))).getField("o_orderkey").as("key_of_max"),
+          min(struct(col("o_totalprice"), col("o_orderkey"))).getField("o_orderkey").as("key_of_min"),
+          round(max(col("o_totalprice")), 2).as("max_price"))
+        .orderBy(col("o_orderstatus"))),
+
+    // exact quantiles of extendedprice per returnflag (ClickHouse
+    // quantileExact); continuous interpolation matches DuckDB quantile_cont.
+    "agg_quantile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"),
+          round(percentile(col("l_extendedprice"), lit(0.99)), 4).as("p99"))
+        .orderBy(col("l_returnflag"))),
+
+    // groupArray: per-nation sorted supplier-key list. Rendered as a joined
+    // string because array-typed result cells are not portably hashable
+    // through the pandas-based oracle compare.
+    "agg_grouparray" -> ((s, d) =>
+      Tables.supplier(s, d)
+        .groupBy(col("s_nationkey"))
+        .agg(array_join(array_sort(collect_list(col("s_suppkey"))), ",").as("supp_keys"),
+          count(lit(1)).as("n"))
+        .orderBy(col("s_nationkey"))),
+
+    // sumIf/avgIf: conditional aggregates without a pre-filter, so one scan
+    // feeds many differently-filtered aggregates (the MV backfill pattern).
+    "agg_sumif" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .agg(
+          round(sum(when(col("l_returnflag") === "R", col("l_quantity"))), 2).as("qty_returned"),
+          round(avg(when(col("l_discount") > 0.05, col("l_extendedprice"))), 4).as("avg_discounted_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_linestatus"))),
+
+    // moment statistics: stddevPop / varPop / corr / covarPop.
+    "agg_stats" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_pop(col("l_quantity")), 6).as("sd_qty"),
+          round(var_pop(col("l_discount")), 8).as("var_disc"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(covar_pop(col("l_quantity"), col("l_tax")), 8).as("cov_qty_tax"))
+        .orderBy(col("l_returnflag"))),
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "agg_argmax" ->
+      """SELECT o_orderstatus,
+        | max(struct_pack(p := o_totalprice, k := o_orderkey)).k AS key_of_max,
+        | min(struct_pack(p := o_totalprice, k := o_orderkey)).k AS key_of_min,
+        | round(max(o_totalprice), 2) AS max_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_quantile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_grouparray" ->
+      """SELECT s_nationkey,
+        | array_to_string(list_sort(list(s_suppkey)), ',') AS supp_keys,
+        | count(*) AS n
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "agg_sumif" ->
+      """SELECT l_linestatus,
+        | round(sum(l_quantity) FILTER (WHERE l_returnflag = 'R'), 2) AS qty_returned,
+        | round(avg(l_extendedprice) FILTER (WHERE l_discount > 0.05), 4) AS avg_discounted_price,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        | round(stddev_pop(l_quantity), 6) AS sd_qty,
+        | round(var_pop(l_discount), 8) AS var_disc,
+        | round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        | round(covar_pop(l_quantity, l_tax), 8) AS cov_qty_tax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
+}
