@@ -74,6 +74,47 @@ class IngestSpec extends SparkSpecBase {
     n("commits") shouldBe 1
   }
 
+  test("property: incremental re-import of a growing history converges to one-shot import") {
+    // the reference's real pattern: git-import re-emits the FULL history
+    // TSV on every run; the watermark must make any prefix-then-full replay
+    // sequence equivalent to importing the final history once. Random
+    // histories via scalacheck Gen, fixed seeds.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val histGen = Gen.listOfN(30, for {
+      h <- Gen.listOfN(8, Gen.alphaNumChar).map(_.mkString)
+      day <- Gen.chooseNum(1, 28)
+      hour <- Gen.chooseNum(0, 23)
+    } yield commitRow(h, f"2024-03-$day%02d $hour%02d:00:00"))
+    (1 to 3).foreach { seed =>
+      val rows = histGen.apply(Gen.Parameters.default, Seed(seed.toLong)).get.distinct
+      val sortedByTime = rows.sortBy(_.split("\t")(2))
+      // cut strictly between timestamps: rows sharing the boundary second
+      // would otherwise be dropped by the strict '>' watermark — the same
+      // same-second re-read semantics the reference has (importer.py:107)
+      val cutoff = sortedByTime(rows.size / 2).split("\t")(2)
+      val prefix = sortedByTime.filter(_.split("\t")(2) < cutoff)
+
+      val dirA = tmpDir("prop-a"); val impA = new GitImporter(spark, tmpDir("wh-a"))
+      writeTsv(dirA, "commits.tsv", prefix)
+      impA.importRepo("p/r", dirA)
+      writeTsv(dirA, "commits.tsv", sortedByTime) // full history re-emitted
+      impA.importRepo("p/r", dirA)
+      impA.importRepo("p/r", dirA)                // pure replay: no-op
+
+      val dirB = tmpDir("prop-b"); val impB = new GitImporter(spark, tmpDir("wh-b"))
+      writeTsv(dirB, "commits.tsv", sortedByTime)
+      impB.importRepo("p/r", dirB)
+
+      def snap(imp: GitImporter) = imp.catalog.read("commits")
+        .select("hash", "time").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString)).toSet
+      withClue(s"seed $seed: ") {
+        snap(impA) shouldBe snap(impB)
+      }
+    }
+  }
+
   test("Enum8 validation rejects undeclared values (F1 check constraint)") {
     val dir = tmpDir("ingest")
     val goodTail = (Seq("a.txt", "", "txt") ++ Seq.fill(5)("1") ++
