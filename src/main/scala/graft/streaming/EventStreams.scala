@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming over the `events` shape (FIXTURES.md §B): the
+  * windowed-aggregation and custom-state patterns a production pipeline
+  * runs continuously, kept separate from the MV analog in [[StarsMv]].
+  *
+  * At scale these are the standard shapes: watermark bounds state so the
+  * window store cannot grow without limit, and the groupBy(window, key)
+  * shuffle is the only data movement — state lives partitioned by key in
+  * the checkpoint store.
+  */
+object EventStreams {
+
+  /** T3-style windowed rollup with a watermark: tumbling event-time window
+    * per event_type. Late rows beyond the watermark are dropped —
+    * exactly-once counts for on-time data (append mode emits only
+    * finalized windows).
+    */
+  def windowedCounts(events: DataFrame,
+                     window_ : String = "10 minutes",
+                     watermark: String = "20 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class Ev(user_id: Long, ts: Timestamp, event_type: String)
+  final case class SessionAgg(user_id: Long, n_events: Int,
+                              first_ts: Timestamp, last_ts: Timestamp,
+                              closed: Boolean)
+  // public: the GroupState encoder's generated code constructs it reflectively
+  final case class SessionState(n: Int, first: Long, last: Long)
+
+  /** Custom sessionization with [[GroupState]]: a user's session closes
+    * after `gapMs` of processing-time silence, emitting one summary row —
+    * the flatMapGroupsWithState shape for state machines that windowed
+    * aggregation cannot express (counts + first/last + explicit close).
+    */
+  def sessionize(spark: SparkSession, events: Dataset[Ev],
+                 gapMs: Long = 30 * 60 * 1000): Dataset[SessionAgg] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAgg](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionAgg(userId, s.n, new Timestamp(s.first), new Timestamp(s.last), closed = true))
+          } else {
+            val batch = rows.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0, Long.MaxValue, Long.MinValue))
+            val next = SessionState(
+              prev.n + batch.size,
+              math.min(prev.first, batch.map(_.ts.getTime).min),
+              math.max(prev.last, batch.map(_.ts.getTime).max))
+            state.update(next)
+            state.setTimeoutDuration(gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Batch oracle for [[windowedCounts]]: same plan without the stream —
+    * a finished stream over a static source must equal this.
+    */
+  def windowedCountsBatch(events: DataFrame, window_ : String = "10 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+}
