@@ -114,7 +114,14 @@ object Dedup extends QueryModule {
     // 1-(1-0.8⁴)⁸ ≈ 0.985, and ≈ 1-5e-12 at the planted J ≈ 0.99 — half the
     // signature-aggregation cost of 64 perms for the same verified output.
     "dedup_minhash_lsh" -> ((s, d) => {
-      val hs = shingles(s, d).select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      // signature input skips the inverted index's distinct(): min() is
+      // duplicate-insensitive, so the non-distinct shingle stream feeds the
+      // groupBy directly and its map-side combine replaces a full
+      // pre-shuffle dedup of the corpus×shingles stream
+      val hs = Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(TextFns.shingles3FromToks).as("sh"))
+        .select(col("doc_id"), xxhash64(col("sh")).as("h"))
       val sigAggs = (0 until 32).map(i =>
         min(xxhash64(col("h"), lit(i))).as(s"m$i"))
       val sig = hs.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
@@ -139,14 +146,17 @@ object Dedup extends QueryModule {
     // pairs stay near-linear in corpus size where 8-bit chunks would go
     // quadratic past ~100k docs.
     "dedup_simhash" -> ((s, d) => {
+      // frequency-weighted SimHash (the textbook Charikar construction:
+      // each occurrence votes, so repeated terms weigh more) — also drops
+      // the corpus×tokens distinct(), a full shuffle the groupBy's
+      // map-side combine makes redundant
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
-        .distinct()
         .select(col("doc_id"),
           xxhash64(col("t")).as("h0"), xxhash64(col("t"), lit(1)).as("h1"))
       // bit-vote tally with SIMD-in-a-register lane packing: 128 per-bit
       // one-counts ride in 32 longs × 4 sixteen-bit lanes (a doc has ≪ 65536
-      // distinct tokens, so lanes never carry), so the groupBy aggregates 33
+      // token occurrences, so lanes never carry), so the groupBy aggregates 33
       // columns instead of 128 — the shuffle is the cost center at scale
       def laneSums(h: String, tag: String) = (0 until 16).map { i =>
         sum((0 until 4).map { j =>
