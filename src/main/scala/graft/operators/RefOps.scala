@@ -117,6 +117,22 @@ object RefOps extends QueryModule {
         .agg(count_if(col("event_type") === "click").as("stars"))
         .orderBy(col("user_id"))),
 
+    // A7: SummingMergeTree merge-time re-aggregation — partial aggregates
+    // computed over disjoint slices of the fact stream re-sum to the total
+    // (the summable-partial-state contract, README.md:247-253). The slices
+    // stand in for insert blocks; union ∘ re-groupBy is the "merge".
+    "a7_summing_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def partial(pred: org.apache.spark.sql.Column) =
+        ev.filter(pred).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("stars"))
+      partial(col("event_id") % 2 === 0)
+        .union(partial(col("event_id") % 2 === 1))
+        .groupBy(col("user_id"))
+        .agg(sum(col("stars")).as("stars"))
+        .orderBy(col("user_id"))
+    }),
+
     "a8_dedup_latest" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
@@ -226,6 +242,10 @@ object RefOps extends QueryModule {
     "a6_countif_backfill" ->
       """SELECT user_id, count(*) FILTER (WHERE event_type = 'click') AS stars
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "a7_summing_merge" ->
+      """SELECT user_id, count(*) AS stars FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "a8_dedup_latest" ->
       """SELECT o_custkey, o_orderkey AS latest_orderkey,
