@@ -68,6 +68,13 @@ object ChAggs extends QueryModule {
           count(lit(1)).as("n"))
         .orderBy(col("l_linestatus"))),
 
+    // ClickHouse topK: SpaceSaving heavy-hitters sketch (custom Aggregator —
+    // graft.functions.TopKSketch). Exact here because capacity exceeds the
+    // column's cardinality, so the exact GROUP BY oracle pins it.
+    "agg_topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .agg(graft.functions.TopKSketch.top_k(col("o_orderpriority"), 3).as("top3"))),
+
     // moment statistics: stddevPop / varPop / corr / covarPop.
     "agg_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -107,6 +114,11 @@ object ChAggs extends QueryModule {
         | round(avg(l_extendedprice) FILTER (WHERE l_discount > 0.05), 4) AS avg_discounted_price,
         | count(*) AS n
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "agg_topk" ->
+      """SELECT string_agg(v || ':' || c, ',' ORDER BY c DESC, v) AS top3
+        |FROM (SELECT o_orderpriority AS v, count(*) AS c FROM orders
+        |      GROUP BY 1 ORDER BY c DESC, v LIMIT 3)""".stripMargin,
 
     "agg_stats" ->
       """SELECT l_returnflag,
