@@ -11,7 +11,7 @@ import graft.operators._
 object SparkEntry {
 
   private val modules: Seq[QueryModule] =
-    Seq(RefOps, Analytics, ChAggs, TemporalJoins, Dedup, TextAnalysis, Similarity, Multimodal)
+    Seq(RefOps, Analytics, ChAggs, TemporalJoins, Dedup, TextAnalysis, Similarity, Multimodal, GhEventsOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

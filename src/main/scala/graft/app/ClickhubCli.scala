@@ -55,6 +55,27 @@ object ClickhubCli {
     done.result()
   }
 
+  /** `start_workers.sh` analog (/root/reference/start_workers.sh:4-8): spawn
+    * N workers draining ONE shared queue concurrently. The reference forks N
+    * OS processes; here each worker is a thread running the same poll loop —
+    * the claim CAS ([[graft.queue.WorkQueue.claim]]) is what makes them
+    * safe, exactly as Keeper strict mode does for the reference's processes.
+    * Returns each worker's processed repos; the one-winner claim invariant
+    * guarantees the result sets are disjoint.
+    */
+  def startWorkers(e: Env, nWorkers: Int, tsvDirFor: String => String,
+                   maxPolls: Int, sleepMs: Long = 10000): Map[String, Seq[String]] = {
+    val threads = (0 until nWorkers).map { i =>
+      val id = s"worker-$i"
+      val result = new java.util.concurrent.atomic.AtomicReference[Seq[String]](Seq.empty)
+      val t = new Thread(() => result.set(worker(e, id, tsvDirFor, maxPolls, sleepMs)), id)
+      (id, t, result)
+    }
+    threads.foreach(_._2.start())
+    threads.foreach(_._2.join())
+    threads.map { case (id, _, r) => id -> r.get() }.toMap
+  }
+
   /** `clickhub.py update_all_repos` (clickhub.py:102-114;
     * schedule.py:71-107): staleness scan (A4+O2 — `min(updated_at)` per
     * repo, stalest first, LIMIT) anti-joined (J1) against the current queue,
@@ -97,12 +118,15 @@ object ClickhubCli {
       case "start_worker" =>
         worker(e, arg("--worker_id", java.util.UUID.randomUUID().toString),
           repo => s"${arg("--tsv_root", "/tmp/graft-tsv")}/$repo", Int.MaxValue)
+      case "start_workers" => // start_workers.sh:4-8
+        startWorkers(e, arg("--workers", "4").toInt,
+          repo => s"${arg("--tsv_root", "/tmp/graft-tsv")}/$repo", Int.MaxValue)
       case "update_all_repos" =>
         println(updateAllRepos(e, arg("--limit", "50000").toInt).mkString("\n"))
       case "bulk_schedule" =>
         val repos = scala.io.Source.fromFile(arg("--file")).getLines().map(_.trim).filter(_.nonEmpty).toSeq
         println(bulkSchedule(e, repos).size + " scheduled")
-      case other => sys.error(s"unknown command '$other' (schedule|import|start_worker|update_all_repos|bulk_schedule)")
+      case other => sys.error(s"unknown command '$other' (schedule|import|start_worker|start_workers|update_all_repos|bulk_schedule)")
     }
     e.spark.stop()
   }

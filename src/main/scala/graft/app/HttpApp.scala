@@ -9,9 +9,13 @@ import org.apache.spark.sql.functions.col
   * built-in HTTP server — `GET /add_new_repo?repo=owner/name`.
   *
   * Response contract mirrors app.py:
-  *   - 400 INVALID REPOSITORY    — malformed name (we validate the
-  *     `owner/name` shape; the reference shells out to `git ls-remote`,
-  *     an out-of-engine probe)
+  *   - 400 INVALID REPOSITORY    — malformed name, or the injected remote
+  *     probe rejects it. The reference shells out to `git ls-remote`
+  *     (/root/reference/repo/importer.py:77-83, app.py:45) — an
+  *     out-of-engine subprocess — so the probe here is a pluggable
+  *     `String => Boolean`: the default accepts anything well-formed (no
+  *     network in this environment); a production deployment passes a probe
+  *     that runs `git ls-remote` exactly like the reference.
   *   - 200 ALREADY_PROCESSED     — repo already ingested in commits
   *     (NOTE: app.py:51's `>= 0` makes this branch always taken in the
   *     reference — a recorded bug (SURVEY.md §0) we do NOT replicate;
@@ -20,12 +24,13 @@ import org.apache.spark.sql.functions.col
   *   - 403 QUEUE IS FULL         — length guard
   *   - 200 SCHEDULED             — enqueued
   */
-final class HttpApp(env: ClickhubCli.Env, port: Int) {
+final class HttpApp(env: ClickhubCli.Env, port: Int,
+                    remoteValid: String => Boolean = _ => true) {
 
   private val repoShape = "^[A-Za-z0-9_.-]+/[A-Za-z0-9_.-]+$".r
 
   private[app] def addNewRepo(repo: String): (Int, String) =
-    if (repo == null || repoShape.findFirstIn(repo).isEmpty)
+    if (repo == null || repoShape.findFirstIn(repo).isEmpty || !remoteValid(repo))
       (400, "INVALID REPOSITORY")
     else if (env.importer.catalog.exists("commits") &&
       env.importer.catalog.readRaw("commits")

@@ -45,6 +45,17 @@ final class Catalog(spark: SparkSession) {
 
   private val tables = scala.collection.concurrent.TrieMap.empty[String, TableDef]
 
+  // Per-table write lock: Spark's file commit protocol stages every job of
+  // one output path under the same `_temporary/0` dir, so two concurrent
+  // appends to one table would clobber each other's staging (the first
+  // commit deletes the second's files). ClickHouse serializes per-table
+  // INSERT commits the same way; concurrent workers (start_workers) contend
+  // here only when they land on the same table, and only for the write —
+  // claim/scan/read stay fully concurrent.
+  private val writeLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def writeLock(name: String): Object =
+    writeLocks.getOrElseUpdate(name, new Object)
+
   /** D1/D2: register ≈ CREATE TABLE (create_db.py:32-33). Idempotent. */
   def createTable(t: TableDef): TableDef = { tables.putIfAbsent(t.name, t); tables(t.name) }
 
@@ -60,8 +71,13 @@ final class Catalog(spark: SparkSession) {
     * replicate the sparse-primary-index skipping of `ORDER BY` tables
     * (types.json:7). ReplacingDedup batches are pre-collapsed so a single
     * batch can never introduce duplicates on its own.
+    *
+    * Returns the number of rows appended. The batch is cached around the
+    * count+write pair so the source is scanned once — callers (ingest row
+    * accounting, importer.py:111's "Inserted N rows") get the batch size in
+    * O(batch), never via a full-table scan.
     */
-  def append(name: String, batch: DataFrame): Unit = {
+  def append(name: String, batch: DataFrame): Long = {
     val t = get(name)
     val deduped = t.semantics match {
       case ReplacingDedup(keys, version) => latestWins(batch, keys, version)
@@ -73,7 +89,14 @@ final class Catalog(spark: SparkSession) {
           .repartitionByRange(t.sortKeys.map(col): _*)
           .sortWithinPartitions(t.sortKeys.map(col): _*)
       else deduped
-    sorted.write.mode("append").parquet(t.path)
+    writeLock(name).synchronized {
+      sorted.cache()
+      try {
+        val n = sorted.count()
+        sorted.write.mode("append").parquet(t.path)
+        n
+      } finally sorted.unpersist()
+    }
   }
 
   /** Read with full engine semantics applied (merged view). */
@@ -100,19 +123,41 @@ final class Catalog(spark: SparkSession) {
 
   /** The deferred "background merge": rewrite storage to its merged form.
     * ClickHouse does this continuously and asynchronously; on Parquet it is
-    * an explicit overwrite via a temp path + atomic-ish swap.
+    * a write to a sibling temp directory followed by a directory swap — the
+    * source is never read and clobbered in the same job, so executor loss or
+    * a crash mid-write leaves the original table intact (the failure mode of
+    * the old cache-and-overwrite pattern: any evicted block forced a
+    * recomputation that read the path being overwritten). A crash between
+    * the two renames leaves `<path>.compact.old` as the recovery copy;
+    * leftovers from a crashed prior run are cleared up front.
     */
-  def compact(name: String): Unit = {
+  def compact(name: String): Unit = writeLock(name).synchronized {
     val t = get(name)
-    val merged = read(name).cache()
-    merged.count() // materialize before the overwrite clobbers the source
+    val tmp = t.path + ".compact.tmp"
+    val old = t.path + ".compact.old"
+    deleteRecursively(tmp)
+    deleteRecursively(old)
+    val merged = read(name)
     val sorted =
       if (t.sortKeys.nonEmpty)
         merged.repartitionByRange(t.sortKeys.map(col): _*)
           .sortWithinPartitions(t.sortKeys.map(col): _*)
       else merged
-    sorted.write.mode("overwrite").parquet(t.path)
-    merged.unpersist()
+    sorted.write.mode("overwrite").parquet(tmp)
+    // swap: on HDFS/POSIX these renames are metadata-only and atomic each
+    val src = java.nio.file.Paths.get(t.path)
+    java.nio.file.Files.move(src, java.nio.file.Paths.get(old))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), src)
+    deleteRecursively(old)
+  }
+
+  private def deleteRecursively(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
   }
 
   /** A8/T2: ReplacingMergeTree latest-wins collapse (types.json:7). */

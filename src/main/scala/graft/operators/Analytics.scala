@@ -116,11 +116,19 @@ object Analytics extends QueryModule {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
 
+    // HLL sketch vs exact, oracle-checkable: the raw sketch estimate is
+    // engine-specific (HLL bit layout), but its documented accuracy contract
+    // is not — approx_count_distinct's default rsd is 5%, so the query emits
+    // the exact count plus a boolean "within 5% of exact", and the oracle
+    // asserts the same exact count and literal TRUE. Turns the whole row
+    // green while still pinning the sketch's accuracy.
     "agg_approx_distinct" -> ((s, d) =>
-      // HLL sketch — rows-only check (approx result is engine-specific)
       Tables.lineitem(s, d)
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))),
+        .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).as("approx_within_5pct"))),
 
     // ---- window functions ----
     "win_rank" -> ((s, d) => {
@@ -150,12 +158,40 @@ object Analytics extends QueryModule {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // Global ntile/dense_rank WITHOUT a partitionless window (which would
+    // serialize the whole table through one task — "Moving all data to a
+    // single partition"). The ordering (c_acctbal DESC, c_custkey) is total
+    // (custkey is unique), so dense_rank ≡ row position, and only positions
+    // ≤ 40 survive the filter. Distributed restatement:
+    //   1. top-40 via orderBy+limit → TakeOrderedAndProject (per-partition
+    //      top-k + merge; no global sort, no single-partition window);
+    //   2. positions within those 40 rows via a 40×40 predecessor-count
+    //      self-join (broadcast NLJ on a constant-size frame);
+    //   3. ntile(4) arithmetically from position p and total row count N:
+    //      the first N%4 tiles get ⌈N/4⌉ rows, the rest ⌊N/4⌋.
     "win_ntile_dense" -> ((s, d) => {
-      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-      Tables.customer(s, d)
-        .withColumn("quartile", ntile(4).over(w).cast("long"))
-        .withColumn("drnk", dense_rank().over(w).cast("long"))
-        .filter(col("drnk") <= 40)
+      val cust = Tables.customer(s, d)
+      val top = cust
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .limit(40)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val total = cust.agg(count(lit(1)).as("tot"))
+      val pos = top.as("a")
+        .join(broadcast(top.as("b")),
+          col("b.c_acctbal") > col("a.c_acctbal") ||
+            (col("b.c_acctbal") === col("a.c_acctbal") &&
+              col("b.c_custkey") <= col("a.c_custkey")))
+        .groupBy(col("a.c_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("drnk"))
+      pos.crossJoin(broadcast(total))
+        .withColumn("base", floor(col("tot") / 4))
+        .withColumn("rem", col("tot") % 4)
+        .withColumn("quartile",
+          when(col("drnk") <= col("rem") * (col("base") + 1),
+            ceil(col("drnk") / (col("base") + 1)))
+            .otherwise(col("rem") +
+              ceil((col("drnk") - col("rem") * (col("base") + 1)) / col("base")))
+            .cast("long"))
         .select(col("c_custkey"), col("quartile"), col("drnk"))
         .orderBy(col("c_custkey"))
     }),
@@ -314,6 +350,11 @@ object Analytics extends QueryModule {
     "distinct_rows" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        | TRUE AS approx_within_5pct
+        |FROM lineitem""".stripMargin,
 
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

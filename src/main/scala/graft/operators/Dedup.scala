@@ -29,12 +29,14 @@ import graft.functions.{CosineSimilarity, TextFns}
   */
 object Dedup extends QueryModule {
 
-  /** Distinct (doc_id, shingle) pairs — the shared inverted index. */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  /** Raw (doc_id, shingle) contact stream — duplicates included; consumers
+    * dedup inside their own aggregation (collect_set / min), which keeps the
+    * pipeline at ONE shuffle instead of a standalone distinct() pass.
+    */
+  private def shingleStream(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(TextFns.shingles3FromToks).as("sh"))
-      .distinct()
 
   /** Exact Jaccard from shared-shingle counts: J = |∩| / (|A|+|B|-|∩|).
     *
@@ -47,15 +49,43 @@ object Dedup extends QueryModule {
     *     the whole point of LSH: the expensive exact step never touches
     *     non-candidate pairs.
     */
+  /** Hot-shingle cap: drop shingles present in more than this fraction of
+    * the corpus before any pair generation. Without it one high-document-
+    * frequency shingle (license boilerplate, headers) makes its posting
+    * list — and the contact join over it — quadratic in corpus size. A
+    * shingle in >50% of documents carries ~no similarity signal (it can at
+    * most halve a pair's Jaccard denominator) but dominates join cost, so
+    * the filtered universe is both cheaper AND a better near-dup signal.
+    * Mirrored verbatim in [[jaccardOracle]] so both engines measure Jaccard
+    * over the same filtered shingle universe.
+    */
+  private val MaxShingleDocFrac = 0.5
+
   private def jaccardPairs(s: SparkSession, d: String, minJ: Double,
                            candidates: Option[DataFrame]): DataFrame = {
-    val sh = shingles(s, d)
+    // Inverted index as per-shingle posting lists, built with ONE shuffle:
+    // collect_set dedups repeated (doc, shingle) contacts inside the
+    // aggregation (replacing a standalone distinct() pass), the df cap is a
+    // free size() filter on the assembled list, and corpus size comes from
+    // the narrow documents scan (not a countDistinct over the exploded
+    // stream). Pair generation is then a nested explode of each capped
+    // posting list — no self-join, no second shuffle of the shingle stream;
+    // the cap is precisely what bounds the per-list explode at scale.
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("ndocs"))
+    val posts = shingleStream(s, d)
+      .groupBy("sh").agg(collect_set(col("doc_id")).as("docs"))
+      .crossJoin(broadcast(nDocs))
+      .filter(size(col("docs")) <= col("ndocs") * MaxShingleDocFrac)
+      .select(col("sh"), col("docs"))
+    // filtered (doc, shingle) index rebuilt from the kept posting lists, so
+    // per-doc sizes |A| count exactly the same shingle universe as |A∩B|
+    val sh = posts.select(col("sh"), explode(col("docs")).as("doc_id"))
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shared = candidates match {
       case None =>
-        sh.as("a").join(sh.as("b"),
-            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        posts.select(explode(col("docs")).as("i"), col("docs"))
+          .select(col("i"), explode(col("docs")).as("j"))
+          .filter(col("i") < col("j"))
           .groupBy("i", "j").agg(count(lit(1)).as("shared"))
       case Some(cand) =>
         cand
@@ -76,10 +106,16 @@ object Dedup extends QueryModule {
   private val jaccardOracle: String =
     """WITH tok AS (
       |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
-      |sh AS (
+      |sh_all AS (
       |  SELECT DISTINCT doc_id, sh FROM tok,
       |  UNNEST([array_to_string(t[i:i+2], ' ')
       |          for i in generate_series(1, len(t)-2)]) AS u(sh)),
+      |df AS (SELECT sh, count(*) AS df FROM sh_all GROUP BY sh),
+      |tot AS (SELECT count(*) AS ndocs FROM documents),
+      |sh AS (
+      |  SELECT sh_all.doc_id, sh_all.sh FROM sh_all
+      |  JOIN df USING (sh) CROSS JOIN tot
+      |  WHERE df.df <= tot.ndocs * 0.5),
       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |pairs AS (
       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
@@ -118,9 +154,7 @@ object Dedup extends QueryModule {
       // duplicate-insensitive, so the non-distinct shingle stream feeds the
       // groupBy directly and its map-side combine replaces a full
       // pre-shuffle dedup of the corpus×shingles stream
-      val hs = Tables.documents(s, d)
-        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), explode(TextFns.shingles3FromToks).as("sh"))
+      val hs = shingleStream(s, d)
         .select(col("doc_id"), xxhash64(col("sh")).as("h"))
       val sigAggs = (0 until 32).map(i =>
         min(xxhash64(col("h"), lit(i))).as(s"m$i"))
@@ -163,6 +197,12 @@ object Dedup extends QueryModule {
           shiftleft(shiftright(col(h), 4 * i + j).bitwiseAND(1), 16 * j)
         }.reduce(_ + _)).as(s"$tag$i")
       }
+      // Codegen-size note: each packSig emits a 64-term when-fold — ~two of
+      // these per row stay comfortably inside the JIT's 8KB bytecode-per-
+      // method inlining budget after Spark splits expressions, but widening
+      // the signature past 128 bits should split sig emission across
+      // multiple select()s (one per 64-bit word) to keep every generated
+      // method small enough for whole-stage codegen.
       def packSig(tag: String): Column =
         (0 until 64).map { k =>
           val ones = shiftright(col(s"$tag${k / 4}"), 16 * (k % 4)).bitwiseAND(0xFFFFL)
@@ -170,8 +210,20 @@ object Dedup extends QueryModule {
           when(ones * 2 >= col("n"), shiftleft(lit(1L), k)).otherwise(0L)
         }.reduce(_.bitwiseOR(_))
       val allSums = laneSums("h0", "s") ++ laneSums("h1", "u")
+      // Lane-overflow guard: the packing above is only valid while every
+      // per-bit one-count fits its 16-bit lane, i.e. the doc has < 65536
+      // token occurrences. Beyond that a lane would silently carry into the
+      // neighboring bit's count and produce wrong Hamming distances — so a
+      // doc at or past the cap fails the job loudly instead (same fail-fast
+      // posture as the Enum8 ingest check). Web-scale corpora should chunk
+      // such documents upstream or widen to the 128-column unpacked tally.
+      val laneGuard = when(col("n") < (1L << 16), lit(true))
+        .otherwise(raise_error(concat(
+          lit("SimHash lane overflow: >=65536 token occurrences in doc "),
+          col("doc_id"))).cast("boolean"))
       val sig = tok.groupBy("doc_id")
         .agg(allSums.head, (allSums.tail :+ count(lit(1)).as("n")): _*)
+        .filter(laneGuard)
         .select(col("doc_id"), packSig("s").as("sig0"), packSig("u").as("sig1"))
       val chunks = sig.select(col("doc_id"), col("sig0"), col("sig1"),
           explode(array((0 until 8).map { c =>

@@ -57,10 +57,16 @@ object TemporalJoins extends QueryModule {
             (unix_timestamp(col("ts")) / RangeSec).cast("long"),
             (unix_timestamp(col("ts")) / RangeSec).cast("long") - 1)).as("bk"))
       buys.join(clicks, Seq("user_id", "bk"), "left_outer")
+        // exact predicate on full-precision timestamps (the oracle compares
+        // c.ts <= b.ts + INTERVAL; a second-truncated unix_timestamp diff
+        // would admit sub-second gaps up to RangeSec+0.99s). The bucket ids
+        // above may be second-truncated — floor is monotone, so every true
+        // match still lands in bucket bk or bk+1 — but the final filter must
+        // not be.
         .withColumn("hit",
           col("c_ts").isNotNull &&
           col("c_ts") > col("b_ts") &&
-          unix_timestamp(col("c_ts")) - unix_timestamp(col("b_ts")) <= RangeSec)
+          col("c_ts") <= col("b_ts") + expr(s"INTERVAL $RangeSec SECONDS"))
         .groupBy(col("event_id"), col("user_id"), col("b_ts"))
         .agg(sum(when(col("hit"), 1).otherwise(0)).as("n_clicks_10m"))
         .select(col("event_id"), col("user_id"), col("n_clicks_10m"))
@@ -83,7 +89,7 @@ object TemporalJoins extends QueryModule {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') b
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON b.user_id = c.user_id
-        | AND c.ts > b.ts AND epoch(c.ts) - epoch(b.ts) <= 600
+        | AND c.ts > b.ts AND c.ts <= b.ts + INTERVAL 600 SECONDS
         |GROUP BY b.event_id, b.user_id ORDER BY b.event_id""".stripMargin,
   )
 }

@@ -101,7 +101,14 @@ final class WorkQueue(dir: Path, maxQueueLength: Int = 10000) {
       }.isSuccess
       if (won) {
         val updated = j.copy(workerId = workerId, startedTime = now)
-        Files.writeString(dst, encode(updated))
+        // write-then-atomic-rename: a plain writeString would truncate the
+        // claimed file in place, and a concurrent list() reading it mid-write
+        // would fail decode and drop the job from view — letting schedule()
+        // re-enqueue a repo that is in flight. The .tmp suffix is already
+        // filtered by list().
+        val tmp = dir.resolve(dst.getFileName.toString + ".tmp")
+        Files.writeString(tmp, encode(updated))
+        Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
         // M2 claim-verify read-back (importer.py:150-155)
         if (decode(Files.readString(dst)).workerId == workerId) Some(updated) else None
       } else None

@@ -27,6 +27,12 @@ final class GitImporter(spark: SparkSession, warehouseRoot: String) {
   val lineChanges: TableDef = catalog.createTable(
     TsvIngest.gitTable("line_changes", warehouseRoot, GitSchemas.lineChanges, GitSchemas.lineChangesSortKey))
 
+  /** github_events is declared alongside the git tables (create_db.py:67-128)
+    * even though its rows arrive from GH Archive JSON, not git-import — see
+    * [[GhEventsIngest]].
+    */
+  val githubEvents: TableDef = catalog.createTable(GhEventsIngest.table(warehouseRoot))
+
   /** §3.1 step 6: per-data-type incremental load. `tsvDir` holds
     * commits.tsv / file_changes.tsv / line_changes.tsv as emitted by
     * git-import (importer.py:129-133). Returns rows ingested per table.

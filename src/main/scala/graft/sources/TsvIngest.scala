@@ -54,15 +54,48 @@ object TsvIngest {
         date_trunc("second",
           when(in.rlike("^[0-9]+$"), timestamp_seconds(in.cast("long")))
             .otherwise(in.cast("timestamp")))
-      case e: ChEnum8 =>
-        val names = e.values.map(_._1)
-        when(in.isin(names: _*), in)
-          .otherwise(raise_error(concat(
-            lit(s"invalid Enum8 value for ${c.name}: "), coalesce(in, lit("NULL")))))
+      case e: ChEnum8 => enumGuard(in, e, c.name)
       case ChLowCardinality(inner) => cast(inner, in)
       case other => in.cast(other.sparkType)
     }
     cast(c.ch, src).as(c.name)
+  }
+
+  /** The Enum8 INSERT check (F1): ClickHouse rejects an unknown enum literal
+    * at insert; we fail the job with `raise_error` (SURVEY.md §7.4's
+    * plain-expression check — no planner hook needed).
+    */
+  def enumGuard(in: Column, e: ChEnum8, colName: String): Column =
+    when(in.isin(e.values.map(_._1): _*), in)
+      .otherwise(raise_error(concat(
+        lit(s"invalid Enum8 value for $colName: "), coalesce(in, lit("NULL")))))
+
+  /** The declared type's zero value — what ClickHouse stores for an omitted
+    * field of a non-Nullable column ('' / 0 / epoch / [] / first enum name).
+    */
+  def chDefault(c: Col): Column = c.ch match {
+    case e: ChEnum8 => lit(e.values.head._1)
+    case ChDateTime => timestamp_seconds(lit(0))
+    case ChLowCardinality(inner) => chDefault(Col(c.name, inner))
+    case _: ChType.ChArray => typedLit(Seq.empty[String])
+    case ChType.ChString => lit("")
+    case other => lit(0).cast(other.sparkType)
+  }
+
+  /** Validation/normalization for an already-NAMED (and possibly already
+    * typed) column — the JSON ingest path ([[GhEventsIngest]]) and schema
+    * adapter views, where columns arrive by name rather than TSV position:
+    * second-truncate DateTimes, enum-check Enum8s, cast the rest (including
+    * Array columns) to the declared Spark type.
+    */
+  def normalizeNamed(in: Column, c: Col): Column = {
+    def norm(ch: ChType, in: Column): Column = ch match {
+      case ChDateTime => date_trunc("second", in.cast("timestamp"))
+      case e: ChEnum8 => enumGuard(in.cast("string"), e, c.name)
+      case ChLowCardinality(inner) => norm(inner, in)
+      case other => in.cast(other.sparkType)
+    }
+    norm(c.ch, in).as(c.name)
   }
 
   /** A3+P5: per-(table, repo) ingest high-water mark — `SELECT max(time)
@@ -97,9 +130,11 @@ object TsvIngest {
     // T1: strict '>' — same-second re-reads drop here; equal-key residue
     // within the batch collapses in Catalog.append (ReplacingDedup), T2.
     val incremental = hwm.fold(projected)(m => projected.filter(col("time") > lit(m)))
-    val before = if (cat.exists(table.name)) cat.readRaw(table.name).count() else 0L
-    cat.append(table.name, incremental)
-    val ingested = cat.readRaw(table.name).count() - before
+    // row accounting comes from the appended batch itself (Catalog.append
+    // counts the cached post-dedup batch) — O(batch), not the O(table)
+    // before/after full scans this used to do, which at 40k-repo scale made
+    // every import scan the entire fact table twice
+    val ingested = cat.append(table.name, incremental)
     if (deleteTsvAfter) { // S7
       val f = new java.io.File(tsvPath)
       if (f.isFile) f.delete() else ()

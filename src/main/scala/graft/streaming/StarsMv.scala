@@ -59,4 +59,16 @@ object StarsMv {
       .groupBy(col(keyCol))
       .agg(count_if(col(eventTypeCol) === matchValue).as("stars")) // A6 countIf
       .filter(col("stars") > 0)
+
+  /** The literal `github_stars_mv` (README.md:256-262): WatchEvents per
+    * repo_name over the real `github_events` schema
+    * ([[graft.schema.GhEventsSchema]]) — works over the batch table or a
+    * `readStream` of it.
+    */
+  def githubStars(ghEvents: DataFrame): DataFrame =
+    stream(ghEvents, "event_type", "WatchEvent", "repo_name")
+
+  /** The literal backfill INSERT (README.md:263-266). */
+  def githubStarsBackfill(ghEvents: DataFrame): DataFrame =
+    backfill(ghEvents, "event_type", "WatchEvent", "repo_name")
 }

@@ -40,6 +40,25 @@ class AppSpec extends SparkSpecBase {
     e.importer.catalog.read("commits").count() shouldBe 2
   }
 
+  test("start_workers: N workers drain one queue concurrently, disjointly (start_workers.sh)") {
+    val e = newEnv()
+    val root = tmpDir("tsv")
+    val repos = (1 to 6).map(i => s"acme/r$i")
+    repos.zipWithIndex.foreach { case (r, i) =>
+      writeRepoTsv(root, r, Seq(commitRow(s"h$i", f"2024-01-01 10:00:${i}%02d")))
+      ClickhubCli.schedule(e, r).isRight shouldBe true
+    }
+    val done = ClickhubCli.startWorkers(e, nWorkers = 3, r => s"$root/$r",
+      maxPolls = 4, sleepMs = 1)
+    // every repo processed exactly once across the pool — the claim CAS's
+    // one-winner invariant extended from 2 claimants (QueueSpec) to a pool
+    val all = done.values.flatten.toSeq
+    all.sorted shouldBe repos.sorted
+    all.distinct.size shouldBe all.size
+    e.queue.length shouldBe 0
+    e.importer.catalog.read("commits").count() shouldBe 6
+  }
+
   test("update_all_repos enqueues stalest ingested repos not already queued") {
     val e = newEnv()
     val root = tmpDir("tsv")
@@ -76,6 +95,20 @@ class AppSpec extends SparkSpecBase {
     withApp(newEnv()) { (c, p) =>
       get(c, p, "testing_repo").statusCode() shouldBe 400
     }
+  }
+
+  test("http: well-formed but nonexistent repo → 400 via the remote-validity probe (app.py:45)") {
+    // the reference probes `git ls-remote` (importer.py:77-83); here the
+    // probe is injected — this one knows only one real repo
+    val app = new HttpApp(newEnv(), 0, remoteValid = _ == "acme/real")
+    app.start()
+    try {
+      val c = HttpClient.newHttpClient()
+      val bad = get(c, app.boundPort, "acme/does-not-exist")
+      bad.statusCode() shouldBe 400
+      bad.body() shouldBe "INVALID REPOSITORY"
+      get(c, app.boundPort, "acme/real").body() shouldBe "SCHEDULED"
+    } finally app.stop()
   }
 
   test("http: already-ingested repo → 200 ALREADY_PROCESSED (test.py:26-31, intended semantics)") {

@@ -59,4 +59,24 @@ class CatalogSpec extends SparkSpecBase {
     cat.readRaw("c").count() shouldBe 2 // one row per key after merge
     cat.read("c").orderBy("repo").collect() shouldBe before
   }
+
+  test("compact() never overwrites its own source: temp-dir swap, stale leftovers cleared") {
+    val cat = new Catalog(spark)
+    val path = tmpDir("cat") + "/cs"
+    cat.createTable(TableDef("cs", path, replacingSchema,
+      Seq("k"), ReplacingDedup(Seq("k"), "updated_at")))
+    cat.append("cs", Seq(("a", 1L, 10L), ("b", 2L, 10L)).toDF("k", "v", "updated_at"))
+    cat.append("cs", Seq(("a", 9L, 20L)).toDF("k", "v", "updated_at"))
+    // simulate a crashed previous compact leaving stale swap dirs behind
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path + ".compact.tmp"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path + ".compact.tmp", "junk"), "junk")
+    val before = cat.read("cs").orderBy("k").collect()
+    cat.compact("cs")
+    cat.read("cs").orderBy("k").collect() shouldBe before
+    cat.readRaw("cs").count() shouldBe 2 // merged: one row per key
+    // swap completed: no temp/old directories remain next to the table
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".compact.tmp")) shouldBe false
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".compact.old")) shouldBe false
+  }
 }

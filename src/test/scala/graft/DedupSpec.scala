@@ -14,7 +14,7 @@ class DedupSpec extends SparkSpecBase {
     val exact = pairs("dedup_ngram_jaccard")
     val lsh = pairs("dedup_minhash_lsh")
     exact should not be empty // the corpus plants near-dups
-    lsh shouldBe exact        // 16x4 bands: recall ≈ 0.9998 at J ≥ 0.8
+    lsh shouldBe exact        // 8x4 bands: recall ≈ 0.985 at J ≥ 0.8, ≈ 1 at planted J ≈ 0.99
   }
 
   test("exact dedup groups agree with distinct text count") {
@@ -29,8 +29,9 @@ class DedupSpec extends SparkSpecBase {
     val planted = pairs("dedup_ngram_jaccard")
     val simhash = Dedup.queries("dedup_simhash")(spark, sf0001)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // SimHash at Hamming ≤ 8 is best-effort (4x16 chunking guarantees ≤ 3);
-    // require it to recover a solid majority of true near-dups
+    // SimHash at Hamming ≤ 16 is best-effort (8×16-bit chunks guarantee a
+    // collision only while ≤ 7 chunks differ); require it to recover a
+    // solid majority of true near-dups
     val recalled = planted.intersect(simhash).size.toDouble
     if (planted.nonEmpty) (recalled / planted.size) should be >= 0.8
   }

@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.schema.{ChType, GhEventsSchema}
+import graft.sources.{GhEventsIngest, GitImporter}
+import graft.streaming.StarsMv
+
+/** End-to-end github_events (create_db.py:67-128): JSONL fixture → declared
+  * 54-column schema → Enum8 validation → clustered append → the literal
+  * github_stars MV (README.md:256-266) → Array-column queries → compact.
+  */
+class GhEventsSpec extends SparkSpecBase {
+
+  /** One GH event as a JSON line; unspecified columns omitted (JSON reader
+    * nulls them — the real GH Archive payloads are sparse the same way).
+    */
+  private def eventJson(eventType: String, repo: String, createdAt: String,
+                        labels: Seq[String] = Seq.empty,
+                        action: String = "none"): String = {
+    val labelsJson = labels.map(l => s""""$l"""").mkString("[", ",", "]")
+    s"""{"file_time":"$createdAt","event_type":"$eventType","actor_login":"alice",""" +
+      s""""repo_name":"$repo","created_at":"$createdAt","updated_at":"$createdAt",""" +
+      s""""action":"$action","labels":$labelsJson,"number":7,"locked":0}"""
+  }
+
+  private def writeFixture(lines: Seq[String]): String = {
+    val p = Paths.get(tmpDir("ghev"), "events.jsonl")
+    Files.writeString(p, lines.mkString("", "\n", "\n"))
+    p.toString
+  }
+
+  test("JSONL ingest lands the full declared schema, arrays and enums intact") {
+    val imp = new GitImporter(spark, tmpDir("wh"))
+    val fixture = writeFixture(Seq(
+      eventJson("WatchEvent", "acme/a", "2024-03-01 10:00:00", action = "started"),
+      eventJson("WatchEvent", "acme/a", "2024-03-01 11:00:00", action = "started"),
+      eventJson("WatchEvent", "acme/b", "2024-03-01 12:00:00", action = "started"),
+      eventJson("PullRequestEvent", "acme/a", "2024-03-01 13:00:00",
+        labels = Seq("bug", "urgent"), action = "opened"),
+      eventJson("PushEvent", "acme/b", "2024-03-01 14:00:00")))
+    GhEventsIngest.ingest(spark, imp.catalog, fixture) shouldBe 5
+    val t = imp.catalog.read("github_events")
+    // the landed schema is exactly the declared 54-column DDL
+    t.schema.fields.map(f => (f.name, f.dataType)) shouldBe
+      ChType.structType(GhEventsSchema.columns).fields.map(f => (f.name, f.dataType))
+    t.count() shouldBe 5
+    // Array(LowCardinality(String)) round-trips
+    val pr = t.filter(col("event_type") === "PullRequestEvent").head()
+    pr.getAs[Seq[String]]("labels") shouldBe Seq("bug", "urgent")
+    // second-truncated DateTime
+    t.agg(max(col("created_at"))).head().getTimestamp(0).toString shouldBe
+      "2024-03-01 14:00:00.0"
+  }
+
+  test("unknown Enum8 literal rejects the batch at insert, like ClickHouse") {
+    val imp = new GitImporter(spark, tmpDir("wh"))
+    val fixture = writeFixture(Seq(
+      eventJson("NotARealEvent", "acme/a", "2024-03-01 10:00:00")))
+    val ex = intercept[Exception] {
+      GhEventsIngest.ingest(spark, imp.catalog, fixture)
+    }
+    ex.getMessage should include regex "invalid Enum8 value for event_type"
+  }
+
+  test("github_stars MV: streaming over github_events converges to the backfill INSERT") {
+    val imp = new GitImporter(spark, tmpDir("wh"))
+    val fixture = writeFixture(Seq(
+      eventJson("WatchEvent", "acme/a", "2024-03-01 10:00:00", action = "started"),
+      eventJson("WatchEvent", "acme/a", "2024-03-01 11:00:00", action = "started"),
+      eventJson("WatchEvent", "acme/b", "2024-03-01 12:00:00", action = "started"),
+      eventJson("IssuesEvent", "acme/a", "2024-03-01 13:00:00")))
+    GhEventsIngest.ingest(spark, imp.catalog, fixture)
+    val gh = imp.catalog.read("github_events")
+    // batch MV definition (README.md:256-262 literally: WatchEvent/repo_name)
+    val stars = StarsMv.githubStars(gh).orderBy("repo_name").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    stars shouldBe Array(("acme/a", 2L), ("acme/b", 1L))
+    // backfill (README.md:263-266) produces the identical table
+    val backfill = StarsMv.githubStarsBackfill(gh).orderBy("repo_name").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    backfill shouldBe stars
+    // and the streaming MV over the same storage converges to it
+    val mvOut = StarsMv.githubStars(
+      spark.readStream.schema(gh.schema)
+        .parquet(imp.catalog.get("github_events").path))
+    val q = StarsMv.writer(mvOut, tmpDir("ck"))
+      .format("memory").queryName("gh_stars_mv").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("gh_stars_mv")
+      .groupBy("repo_name").agg(max("stars").as("stars")) // update-mode: latest row wins
+      .orderBy("repo_name").collect().map(r => (r.getString(0), r.getLong(1)))
+    streamed shouldBe stars
+  }
+
+  test("compact() preserves github_events under Append semantics") {
+    val imp = new GitImporter(spark, tmpDir("wh"))
+    val f1 = writeFixture(Seq(
+      eventJson("WatchEvent", "acme/a", "2024-03-01 10:00:00", action = "started")))
+    val f2 = writeFixture(Seq(
+      eventJson("ForkEvent", "acme/b", "2024-03-01 11:00:00")))
+    GhEventsIngest.ingest(spark, imp.catalog, f1)
+    GhEventsIngest.ingest(spark, imp.catalog, f2)
+    val before = imp.catalog.read("github_events")
+      .orderBy("event_type", "repo_name", "created_at").collect()
+    imp.catalog.compact("github_events")
+    imp.catalog.read("github_events")
+      .orderBy("event_type", "repo_name", "created_at").collect() shouldBe before
+  }
+}
