@@ -17,6 +17,10 @@ object ClickhubCli {
 
   final case class Env(spark: SparkSession, importer: GitImporter, queue: WorkQueue)
 
+  /** Env from a parsed config file (config.yml analog, [[GraftConfig]]). */
+  def env(cfg: GraftConfig): Env =
+    env(cfg.warehouse, s"${cfg.queueDir}/${cfg.taskTable}", cfg.maxQueueLength)
+
   def env(warehouse: String, queueDir: String, maxQueueLength: Int = 10000): Env = {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
@@ -109,7 +113,12 @@ object ClickhubCli {
     def arg(name: String, default: String = null): String =
       args.sliding(2).collectFirst { case Array(`name`, v) => v }
         .getOrElse(Option(default).getOrElse(sys.error(s"missing $name")))
-    val e = env(arg("--warehouse", "/tmp/graft-warehouse"), arg("--queue_dir", "/tmp/graft-queue"))
+    // `-c/--config config.yml` analog (clickhub.py:51); flags override file
+    val cfg = args.sliding(2)
+      .collectFirst { case Array("--config", p) => GraftConfig.load(p) }
+      .getOrElse(GraftConfig())
+    val e = env(arg("--warehouse", cfg.warehouse),
+      arg("--queue_dir", s"${cfg.queueDir}/${cfg.taskTable}"), cfg.maxQueueLength)
     cmd match {
       case "schedule" =>
         println(schedule(e, arg("--repo_name"), arg("--priority", "0").toInt))
@@ -117,10 +126,12 @@ object ClickhubCli {
         println(importRepo(e, arg("--repo_name"), arg("--tsv_dir")))
       case "start_worker" =>
         worker(e, arg("--worker_id", java.util.UUID.randomUUID().toString),
-          repo => s"${arg("--tsv_root", "/tmp/graft-tsv")}/$repo", Int.MaxValue)
+          repo => s"${arg("--tsv_root", cfg.dataCache)}/$repo", Int.MaxValue,
+          cfg.sleepTimeMs)
       case "start_workers" => // start_workers.sh:4-8
         startWorkers(e, arg("--workers", "4").toInt,
-          repo => s"${arg("--tsv_root", "/tmp/graft-tsv")}/$repo", Int.MaxValue)
+          repo => s"${arg("--tsv_root", cfg.dataCache)}/$repo", Int.MaxValue,
+          cfg.sleepTimeMs)
       case "update_all_repos" =>
         println(updateAllRepos(e, arg("--limit", "50000").toInt).mkString("\n"))
       case "bulk_schedule" =>

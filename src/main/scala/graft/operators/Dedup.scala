@@ -102,9 +102,11 @@ object Dedup extends QueryModule {
       .orderBy(col("i"), col("j"))
   }
 
-  /** Shared oracle for the two Jaccard-thresholded pair queries. */
-  private val jaccardOracle: String =
-    """WITH tok AS (
+  /** The Jaccard-pair CTE chain, shared by the pair queries and the cluster
+    * query (which appends a recursive closure on top).
+    */
+  private val jaccardCtes: String =
+    """tok AS (
       |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
       |sh_all AS (
       |  SELECT DISTINCT doc_id, sh FROM tok,
@@ -120,11 +122,35 @@ object Dedup extends QueryModule {
       |pairs AS (
       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT i, j, round(jac, 6) AS jaccard FROM (
-      |  SELECT i, j, shared * 1.0 / (ca.n + cb.n - shared) AS jac
-      |  FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j)
-      |WHERE jac >= 0.8 ORDER BY i, j""".stripMargin
+      |  GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT i, j, jac FROM (
+      |    SELECT i, j, shared * 1.0 / (ca.n + cb.n - shared) AS jac
+      |    FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j)
+      |  WHERE jac >= 0.8)""".stripMargin
+
+  /** Shared oracle for the two Jaccard-thresholded pair queries. */
+  private val jaccardOracle: String =
+    s"""WITH $jaccardCtes
+       |SELECT i, j, round(jac, 6) AS jaccard FROM jp ORDER BY i, j""".stripMargin
+
+  /** Oracle for dedup_clusters: transitive closure over the pair graph via a
+    * recursive CTE, canonical = component minimum — the declarative mirror
+    * of the Spark side's min-label propagation fixpoint.
+    */
+  private val clustersOracle: String =
+    s"""WITH RECURSIVE $jaccardCtes,
+       |edges AS (SELECT i AS a, j AS b FROM jp UNION ALL SELECT j, i FROM jp),
+       |walk AS (
+       |  SELECT a AS node, b AS reach FROM edges
+       |  UNION
+       |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+       |comp AS (
+       |  SELECT node, least(node, min(reach)) AS canonical_id
+       |  FROM walk GROUP BY node)
+       |SELECT node AS doc_id, canonical_id,
+       |  CAST(node = canonical_id AS BOOLEAN) AS keep
+       |FROM comp ORDER BY doc_id""".stripMargin
 
   // MinHash "permutations": the i-th hash function is xxhash64 re-seeded by
   // mixing in the permutation index as a second column — avoids the wrapped
@@ -243,6 +269,48 @@ object Dedup extends QueryModule {
         .orderBy(col("i"), col("j"))
     }),
 
+    // Near-dup CLUSTER canonicalization: connected components over the
+    // Jaccard pair graph, canonical = component-minimum doc_id, keep = "is
+    // the canonical copy". This is the operator that turns pairwise dedup
+    // output into an actual keep/drop decision for corpus curation.
+    //
+    // Distributed shape: min-label propagation to fixpoint — per round ONE
+    // join (edge → neighbor label) + ONE min-aggregate, label sum strictly
+    // decreases until convergence, so rounds ≈ cluster diameter (near-dup
+    // clusters are almost cliques, so 1-2 rounds in practice; the classic
+    // large-star/small-star variant halves rounds if diameters ever grow).
+    // localCheckpoint() truncates lineage each round so the plan doesn't
+    // nest one join per iteration. The driver-side loop is control flow
+    // only — per-round data movement stays on executors.
+    "dedup_clusters" -> ((s, d) => {
+      val pairs = jaccardPairs(s, d, 0.8, None).select(col("i"), col("j"))
+      val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+        .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
+        .localCheckpoint()
+      // round 1 fused with init: label(x) = min(x, min neighbor)
+      var labels = edges.groupBy(col("a"))
+        .agg(min(col("b")).as("nb"))
+        .select(col("a").as("node"), least(col("a"), col("nb")).as("lbl"))
+        .localCheckpoint()
+      def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(sum(col("lbl"))).head().getLong(0)
+      var prev = Long.MinValue
+      var cur = labelSum(labels)
+      var rounds = 0
+      while (cur != prev && rounds < 50) {
+        val prop = edges.join(labels, col("b") === col("node"))
+          .select(col("a").as("node"), col("lbl"))
+        labels = labels.unionByName(prop)
+          .groupBy("node").agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint()
+        prev = cur; cur = labelSum(labels); rounds += 1
+      }
+      labels
+        .select(col("node").as("doc_id"), col("lbl").as("canonical_id"),
+          (col("node") === col("lbl")).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding near-dup: cluster-blocked (label = coarse IVF cell) pairs,
     // scored by the codegen'd cosine kernel. Blocking keeps pair generation
     // at Σ|cell|² instead of n² — the pattern that survives scale-up.
@@ -265,6 +333,7 @@ object Dedup extends QueryModule {
 
     "dedup_ngram_jaccard" -> jaccardOracle,
     "dedup_minhash_lsh" -> jaccardOracle,
+    "dedup_clusters" -> clustersOracle,
 
     // dedup_simhash: intentionally no oracle (xxhash64 signatures are not
     // reproducible in DuckDB) — driver records rows-only; DedupSpec asserts

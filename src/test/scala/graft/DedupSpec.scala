@@ -36,6 +36,16 @@ class DedupSpec extends SparkSpecBase {
     if (planted.nonEmpty) (recalled / planted.size) should be >= 0.8
   }
 
+  test("cluster canonicalization: pair endpoints share a canonical; one keeper per cluster") {
+    val pairsSet = pairs("dedup_ngram_jaccard")
+    val rows = Dedup.queries("dedup_clusters")(spark, sf0001).collect()
+    val canon = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairsSet.foreach { case (i, j) => canon(i) shouldBe canon(j) }
+    // the canonical doc maps to itself and is the unique keeper of its cluster
+    canon.values.foreach(c => canon(c) shouldBe c)
+    rows.filter(_.getBoolean(2)).map(_.getLong(0)).toSet shouldBe canon.values.toSet
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val rows = Dedup.queries("dedup_embed_cosine")(spark, sf0001).collect()
     all(rows.map(_.getAs[Double]("cos"))) should be >= 0.4

@@ -1,0 +1,48 @@
+package graft
+
+import graft.app.{ClickhubCli, GraftConfig}
+
+/** config.yml analog (/root/reference/config.yml): the flat-YAML parser and
+  * its wiring into the CLI env.
+  */
+class GraftConfigSpec extends SparkSpecBase {
+
+  test("parses the reference's own config.yml shape: comments, quotes, table names") {
+    val cfg = GraftConfig.parse(
+      """# clickhouse details
+        |host: ''
+        |port: 8443
+        |# location to clone repos
+        |data_cache: '/opt/git_cache'
+        |# queue details
+        |max_queue_length: 10000
+        |task_table: 'git.work_queue'
+        |clone_table: 'git.new_queue'
+        |sleep_time: 10
+        |repo_lookup_table: 'git.commits'
+        |""".stripMargin)
+    cfg.dataCache shouldBe "/opt/git_cache"
+    cfg.maxQueueLength shouldBe 10000
+    cfg.sleepTimeMs shouldBe 10000L  // seconds in the file, ms in the engine
+    cfg.taskTable shouldBe "work_queue"     // db-qualified name → table name
+    cfg.cloneTable shouldBe "new_queue"
+    cfg.repoLookupTable shouldBe "commits"
+  }
+
+  test("missing keys keep defaults; unknown keys are ignored") {
+    val cfg = GraftConfig.parse("sleep_time: 3\nsome_future_key: x\n")
+    cfg.sleepTimeMs shouldBe 3000L
+    cfg.maxQueueLength shouldBe GraftConfig().maxQueueLength
+    cfg.warehouse shouldBe GraftConfig().warehouse
+  }
+
+  test("env(cfg) wires queue length through to the scheduler guard") {
+    val cfg = GraftConfig(
+      warehouse = tmpDir("cfg-wh"),
+      queueDir = tmpDir("cfg-q"),
+      maxQueueLength = 1)
+    val e = ClickhubCli.env(cfg)
+    ClickhubCli.schedule(e, "a/1").isRight shouldBe true
+    ClickhubCli.schedule(e, "a/2") shouldBe Left("QUEUE IS FULL")
+  }
+}
