@@ -82,6 +82,28 @@ object Similarity extends QueryModule {
           round(CosineSimilarity(col("q_emb"), col("embedding")), 6).as("cos"))
       topK(scored)
     }),
+
+    // Symmetric int8 quantization (max-abs scaling): the standard
+    // compression step before an ANN index build at scale — 4× smaller
+    // vectors, integer dot products. Pure narrow map (no shuffle); all
+    // math in double (float32 values are exact in double; the oracle casts
+    // ::DOUBLE[] to match); deterministic floor(x*scale+0.5) half-up on
+    // both engines because round()'s midpoint rule differs between them.
+    // Lambdas here are cheap scalar ops — the interpreted-HOF penalty only
+    // bites on heavy per-element work.
+    "embed_quantize" -> ((s, d) => {
+      val xd = transform(col("embedding"), x => x.cast("double"))
+      val maxabs = array_max(transform(xd, x => abs(x)))
+      val scale = when(maxabs === 0, lit(0.0)).otherwise(lit(127.0) / maxabs)
+      val q8 = transform(xd, x => floor(x * scale + 0.5).cast("int"))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          (floor(scale * 1e6 + 0.5) / 1e6).as("scale"),
+          // string-joined: array-typed result cells break the driver's
+          // pandas hash-compare
+          array_join(transform(q8, v => v.cast("string")), ",").as("q8"))
+        .orderBy(col("vec_id"))
+    }),
   )
 
   private def centroidLit(c: Array[Float]): Column =
@@ -143,5 +165,17 @@ object Similarity extends QueryModule {
     // ann_ivf_topk: intentionally no oracle — the probe-pruned result is
     // approximate by design; SimilaritySpec asserts recall@5 vs the
     // brute-force baseline instead (driver records rows-only).
+
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        |s AS (SELECT vec_id, x,
+        |        list_max(list_transform(x, v -> abs(v))) AS maxabs FROM e),
+        |sc AS (SELECT vec_id, x,
+        |        CASE WHEN maxabs = 0 THEN 0.0::DOUBLE
+        |             ELSE 127.0::DOUBLE / maxabs END AS scale FROM s)
+        |SELECT vec_id, floor(scale * 1e6 + 0.5) / 1e6 AS scale,
+        |  array_to_string(list_transform(x,
+        |    v -> CAST(CAST(floor(v * scale + 0.5) AS INTEGER) AS VARCHAR)), ',') AS q8
+        |FROM sc ORDER BY vec_id""".stripMargin,
   )
 }

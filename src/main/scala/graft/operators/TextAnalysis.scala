@@ -83,6 +83,61 @@ object TextAnalysis extends QueryModule {
           md5(col("text")).as("digest"),
           TextFns.polyHash(col("text")).as("rolling"))
         .orderBy(col("doc_id"))),
+
+    // BM25 relevance search (k1=1.2, b=0.75, Lucene +1 idf): score every
+    // document against a fixed term set, return the top 20. Shuffle profile
+    // at scale: the term filter runs BEFORE the tf groupBy, so only
+    // query-term hits ever shuffle (∝ postings of 3 terms, not the corpus);
+    // doc length is a narrow size() over the token array (no explode); df
+    // and corpus stats are broadcast scalars; the final top-k plans as
+    // TakeOrderedAndProject. Constants 1.2/2.2 are written ::DOUBLE in the
+    // oracle — DuckDB would otherwise keep them DECIMAL and diverge from
+    // Spark's double arithmetic beyond the 6-decimal rounding.
+    "text_bm25" -> ((s, d) => {
+      val terms = Seq("spark", "query", "vector")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+      val tf = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfq), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+        // constants written as the same double literals the oracle uses
+        // (2.2 = k1+1, 0.25 = 1-b) — computing k1+1 at runtime could differ
+        // from the literal in the last ulp
+        .withColumn("s", col("idf") * col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy(col("doc_id")).agg(sum(col("s")).as("raw"))
+        .select(col("doc_id"), (floor(col("raw") * 1e6 + 0.5) / 1e6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // Sequence packing: assign each document a training context-window id
+    // by cumulative token count (concatenation-style packing, 2048-token
+    // windows, docs may straddle a boundary — the standard pretraining
+    // batch-prep step). Partitioned by language shard, so the running-sum
+    // window never degenerates to a single partition; at 100 TB the shard
+    // key is whatever the corpus is already bucketed by.
+    "text_pack" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id",
+          floor((col("cum") - col("n_tokens")) / 2048).cast("long"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -141,5 +196,38 @@ object TextAnalysis extends QueryModule {
         |   list_prepend(0::BIGINT, [unicode(c) for c in string_split(text, '')]),
         |   (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+        |dl AS (SELECT doc_id, len(t)::BIGINT AS dl FROM tok),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, u.term AS term, count(*) AS tf
+        |  FROM tok, UNNEST(t) AS u(term)
+        |  WHERE u.term IN ('spark', 'query', 'vector')
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scores AS (
+        |  SELECT tf.doc_id,
+        |    sum( ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+        |       * tf.tf * 2.2::DOUBLE
+        |       / (tf.tf + 1.2::DOUBLE * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS raw
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY 1)
+        |SELECT doc_id, floor(raw * 1e6 + 0.5) / 1e6 AS bm25
+        |FROM scores ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    "text_pack" ->
+      """SELECT doc_id, lang, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_id
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    len(string_split_regex(lower(text), '\s+'))::BIGINT AS n_tokens,
+        |    sum(len(string_split_regex(lower(text), '\s+'))::BIGINT) OVER (
+        |      PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
   )
 }
