@@ -12,7 +12,8 @@ object ExplainCheck {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
     val interesting = Seq("q1_agg", "q3_shipping", "q5_region_revenue",
-      "p5_watermark", "join_broadcast", "j2_semi_join", "o1_topk")
+      "p5_watermark", "join_broadcast", "j2_semi_join", "o1_topk",
+      "gh_stars_rollup", "text_bm25", "win_ntile_dense", "dedup_ngram_jaccard")
     interesting.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(plan).mkString("; ")
