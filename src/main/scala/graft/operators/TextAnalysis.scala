@@ -138,6 +138,17 @@ object TextAnalysis extends QueryModule {
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"))
         .orderBy(col("doc_id"))
     }),
+
+    // Reproducible content-hash sampling (~20%): selection by a portable
+    // deterministic hash of the text itself, not an RNG — the same document
+    // lands in the same split on any engine, any run, any partitioning,
+    // which is what ablation/holdout curation needs. Narrow map + filter.
+    "text_sample" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), TextFns.polyHash(col("text")).as("h"))
+        .filter(pmod(col("h"), lit(5)) === 0)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -229,5 +240,14 @@ object TextAnalysis extends QueryModule {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "text_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    list_reduce(
+        |      list_prepend(0::BIGINT, [unicode(c) for c in string_split(text, '')]),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+        |  FROM documents)
+        |WHERE h % 5 = 0 ORDER BY doc_id""".stripMargin,
   )
 }
