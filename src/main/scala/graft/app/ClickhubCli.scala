@@ -113,12 +113,16 @@ object ClickhubCli {
     def arg(name: String, default: String = null): String =
       args.sliding(2).collectFirst { case Array(`name`, v) => v }
         .getOrElse(Option(default).getOrElse(sys.error(s"missing $name")))
-    // `-c/--config config.yml` analog (clickhub.py:51); flags override file
+    // `-c/--config config.yml` analog (clickhub.py:51); flags override file.
+    // `--task_table` selects the queue instance exactly as the reference
+    // does (clickhub.py:23-24, default git.work_queue; git.new_queue is the
+    // clone queue test.py:35 inserts into) — each maps to its own queue dir.
     val cfg = args.sliding(2)
       .collectFirst { case Array("--config", p) => GraftConfig.load(p) }
       .getOrElse(GraftConfig())
+    val taskTable = arg("--task_table", cfg.taskTable).split('.').last
     val e = env(arg("--warehouse", cfg.warehouse),
-      arg("--queue_dir", s"${cfg.queueDir}/${cfg.taskTable}"), cfg.maxQueueLength)
+      arg("--queue_dir", s"${cfg.queueDir}/$taskTable"), cfg.maxQueueLength)
     cmd match {
       case "schedule" =>
         println(schedule(e, arg("--repo_name"), arg("--priority", "0").toInt))

@@ -36,6 +36,20 @@ class GraftConfigSpec extends SparkSpecBase {
     cfg.warehouse shouldBe GraftConfig().warehouse
   }
 
+  test("task_table and clone_table map to distinct queue instances (create_db.py:36-65)") {
+    // the reference's two KeeperMap queues (work_queue / new_queue) are
+    // selected per-invocation via --task_table; here each is its own dir
+    val base = tmpDir("cfg-q2")
+    val cfg = GraftConfig(warehouse = tmpDir("cfg-wh2"), queueDir = base)
+    val work = ClickhubCli.env(cfg)
+    val clone = ClickhubCli.env(cfg.copy(taskTable = cfg.cloneTable))
+    ClickhubCli.schedule(work, "acme/x").isRight shouldBe true
+    // same repo schedules independently on the clone queue — separate keyspaces
+    ClickhubCli.schedule(clone, "acme/x").isRight shouldBe true
+    work.queue.length shouldBe 1
+    clone.queue.length shouldBe 1
+  }
+
   test("env(cfg) wires queue length through to the scheduler guard") {
     val cfg = GraftConfig(
       warehouse = tmpDir("cfg-wh"),
