@@ -17,13 +17,18 @@ object ClickhubCli {
 
   final case class Env(spark: SparkSession, importer: GitImporter, queue: WorkQueue)
 
-  /** Env from a parsed config file (config.yml analog, [[GraftConfig]]). */
+  /** Env from a parsed config file (config.yml analog, [[GraftConfig]]).
+    * SPARK_MASTER in the environment still overrides the file (test/driver
+    * sessions pin their own master).
+    */
   def env(cfg: GraftConfig): Env =
-    env(cfg.warehouse, s"${cfg.queueDir}/${cfg.taskTable}", cfg.maxQueueLength)
+    env(cfg.warehouse, s"${cfg.queueDir}/${cfg.taskTable}", cfg.maxQueueLength,
+      sys.env.getOrElse("SPARK_MASTER", cfg.sparkMaster))
 
-  def env(warehouse: String, queueDir: String, maxQueueLength: Int = 10000): Env = {
+  def env(warehouse: String, queueDir: String, maxQueueLength: Int = 10000,
+          master: String = sys.env.getOrElse("SPARK_MASTER", "local[4]")): Env = {
     val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .master(master)
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
@@ -69,14 +74,25 @@ object ClickhubCli {
     */
   def startWorkers(e: Env, nWorkers: Int, tsvDirFor: String => String,
                    maxPolls: Int, sleepMs: Long = 10000): Map[String, Seq[String]] = {
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[(String, Throwable)]
     val threads = (0 until nWorkers).map { i =>
       val id = s"worker-$i"
       val result = new java.util.concurrent.atomic.AtomicReference[Seq[String]](Seq.empty)
-      val t = new Thread(() => result.set(worker(e, id, tsvDirFor, maxPolls, sleepMs)), id)
+      val t = new Thread(() =>
+        try result.set(worker(e, id, tsvDirFor, maxPolls, sleepMs))
+        catch { case th: Throwable => errors.add(id -> th) }, id)
       (id, t, result)
     }
     threads.foreach(_._2.start())
     threads.foreach(_._2.join())
+    // a dead worker must fail the pool loudly — the reference's N processes
+    // die visibly; silently returning partial results would report success
+    // while jobs were dropped
+    if (!errors.isEmpty) {
+      val (id, th) = errors.peek()
+      throw new RuntimeException(
+        s"${errors.size} of $nWorkers workers failed; first failure in $id", th)
+    }
     threads.map { case (id, _, r) => id -> r.get() }.toMap
   }
 
@@ -116,13 +132,15 @@ object ClickhubCli {
     // `-c/--config config.yml` analog (clickhub.py:51); flags override file.
     // `--task_table` selects the queue instance exactly as the reference
     // does (clickhub.py:23-24, default git.work_queue; git.new_queue is the
-    // clone queue test.py:35 inserts into) — each maps to its own queue dir.
+    // clone queue test.py:35 inserts into) — each maps to its own directory
+    // under the queue base dir, so --queue_dir and --task_table compose.
     val cfg = args.sliding(2)
-      .collectFirst { case Array("--config", p) => GraftConfig.load(p) }
+      .collectFirst { case Array("--config" | "-c", p) => GraftConfig.load(p) }
       .getOrElse(GraftConfig())
     val taskTable = arg("--task_table", cfg.taskTable).split('.').last
     val e = env(arg("--warehouse", cfg.warehouse),
-      arg("--queue_dir", s"${cfg.queueDir}/$taskTable"), cfg.maxQueueLength)
+      s"${arg("--queue_dir", cfg.queueDir)}/$taskTable", cfg.maxQueueLength,
+      sys.env.getOrElse("SPARK_MASTER", cfg.sparkMaster))
     cmd match {
       case "schedule" =>
         println(schedule(e, arg("--repo_name"), arg("--priority", "0").toInt))
@@ -136,12 +154,17 @@ object ClickhubCli {
         startWorkers(e, arg("--workers", "4").toInt,
           repo => s"${arg("--tsv_root", cfg.dataCache)}/$repo", Int.MaxValue,
           cfg.sleepTimeMs)
+      case "serve" => // app.py analog (Dockerfile runs app.py)
+        val app = new HttpApp(e, arg("--port", "8080").toInt,
+          lookupTable = cfg.repoLookupTable)
+        app.start()
+        Thread.currentThread().join() // serve until killed, like flask run
       case "update_all_repos" =>
         println(updateAllRepos(e, arg("--limit", "50000").toInt).mkString("\n"))
       case "bulk_schedule" =>
         val repos = scala.io.Source.fromFile(arg("--file")).getLines().map(_.trim).filter(_.nonEmpty).toSeq
         println(bulkSchedule(e, repos).size + " scheduled")
-      case other => sys.error(s"unknown command '$other' (schedule|import|start_worker|start_workers|update_all_repos|bulk_schedule)")
+      case other => sys.error(s"unknown command '$other' (schedule|import|start_worker|start_workers|serve|update_all_repos|bulk_schedule)")
     }
     e.spark.stop()
   }

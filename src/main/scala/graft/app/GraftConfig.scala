@@ -46,8 +46,16 @@ object GraftConfig {
       .flatMap { l =>
         l.split(":", 2) match {
           case Array(k, v) =>
-            val cleaned = v.trim.stripPrefix("'").stripSuffix("'")
-              .stripPrefix("\"").stripSuffix("\"")
+            // quoted values keep everything inside the quotes; bare values
+            // stop at a trailing `# comment` (legal YAML that would
+            // otherwise reach .toInt and crash)
+            val raw = v.trim
+            val cleaned = raw.headOption match {
+              case Some(q @ ('\'' | '"')) =>
+                val end = raw.indexOf(q, 1)
+                if (end > 0) raw.substring(1, end) else raw.drop(1)
+              case _ => raw.split("#", 2)(0).trim
+            }
             Some(k.trim -> cleaned)
           case _ => None
         }

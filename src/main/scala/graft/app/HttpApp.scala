@@ -25,15 +25,17 @@ import org.apache.spark.sql.functions.col
   *   - 200 SCHEDULED             — enqueued
   */
 final class HttpApp(env: ClickhubCli.Env, port: Int,
-                    remoteValid: String => Boolean = _ => true) {
+                    remoteValid: String => Boolean = _ => true,
+                    lookupTable: String = "commits") {
 
   private val repoShape = "^[A-Za-z0-9_.-]+/[A-Za-z0-9_.-]+$".r
 
+  // `repo_lookup_table` (config.yml:19): which table the dup-probe queries
   private[app] def addNewRepo(repo: String): (Int, String) =
     if (repo == null || repoShape.findFirstIn(repo).isEmpty || !remoteValid(repo))
       (400, "INVALID REPOSITORY")
-    else if (env.importer.catalog.exists("commits") &&
-      env.importer.catalog.readRaw("commits")
+    else if (env.importer.catalog.exists(lookupTable) &&
+      env.importer.catalog.readRaw(lookupTable)
         .filter(col("repo_name") === repo).limit(1).count() > 0)
       (200, "ALREADY_PROCESSED")
     else env.queue.schedule(repo) match {

@@ -127,37 +127,42 @@ final class Catalog(spark: SparkSession) {
     * source is never read and clobbered in the same job, so executor loss or
     * a crash mid-write leaves the original table intact (the failure mode of
     * the old cache-and-overwrite pattern: any evicted block forced a
-    * recomputation that read the path being overwritten). A crash between
-    * the two renames leaves `<path>.compact.old` as the recovery copy;
-    * leftovers from a crashed prior run are cleared up front.
+    * recomputation that read the path being overwritten).
+    *
+    * Crash recovery, checked BEFORE any cleanup: a crash between the two
+    * swap renames leaves the table path absent with `<path>.compact.old` =
+    * original and `<path>.compact.tmp` = fully-written merged output — the
+    * next compact (or any caller) must finish the interrupted swap, never
+    * delete the only surviving copies. All directory ops go through the
+    * Hadoop FileSystem of the table's path, so the swap works wherever the
+    * warehouse lives (local, HDFS — where rename is an atomic metadata op;
+    * object stores without atomic rename need a manifest-based commit
+    * instead, out of scope here).
     */
   def compact(name: String): Unit = writeLock(name).synchronized {
+    import org.apache.hadoop.fs.Path
     val t = get(name)
-    val tmp = t.path + ".compact.tmp"
-    val old = t.path + ".compact.old"
-    deleteRecursively(tmp)
-    deleteRecursively(old)
+    val path = new Path(t.path)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(t.path + ".compact.tmp")
+    val old = new Path(t.path + ".compact.old")
+    if (!fs.exists(path)) {
+      if (fs.exists(tmp) && fs.exists(old)) fs.rename(tmp, path) // finish the interrupted swap
+      else if (fs.exists(old)) fs.rename(old, path)              // restore the original
+    }
+    // only stale leftovers remain now that the table path exists
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(old)) fs.delete(old, true)
     val merged = read(name)
     val sorted =
       if (t.sortKeys.nonEmpty)
         merged.repartitionByRange(t.sortKeys.map(col): _*)
           .sortWithinPartitions(t.sortKeys.map(col): _*)
       else merged
-    sorted.write.mode("overwrite").parquet(tmp)
-    // swap: on HDFS/POSIX these renames are metadata-only and atomic each
-    val src = java.nio.file.Paths.get(t.path)
-    java.nio.file.Files.move(src, java.nio.file.Paths.get(old))
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), src)
-    deleteRecursively(old)
-  }
-
-  private def deleteRecursively(path: String): Unit = {
-    val p = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-    }
+    sorted.write.mode("overwrite").parquet(tmp.toString)
+    fs.rename(path, old)
+    fs.rename(tmp, path)
+    fs.delete(old, true)
   }
 
   /** A8/T2: ReplacingMergeTree latest-wins collapse (types.json:7). */

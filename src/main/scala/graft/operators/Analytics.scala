@@ -118,17 +118,18 @@ object Analytics extends QueryModule {
 
     // HLL sketch vs exact, oracle-checkable: the raw sketch estimate is
     // engine-specific (HLL bit layout), but its documented accuracy contract
-    // is not — approx_count_distinct's default rsd is 5%, so the query emits
-    // the exact count plus a boolean "within 5% of exact", and the oracle
-    // asserts the same exact count and literal TRUE. Turns the whole row
-    // green while still pinning the sketch's accuracy.
+    // is not — approx_count_distinct's default rsd 0.05 is a standard
+    // DEVIATION, not a bound, so the checked bound is 3σ = 15% (the estimate
+    // is deterministic per dataset, but a 1σ bound would bake a plausible
+    // tail outcome into the contract as a hard failure). The oracle asserts
+    // the same exact count and literal TRUE.
     "agg_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d)
         .agg(approx_count_distinct(col("l_partkey")).as("approx"),
           countDistinct(col("l_partkey")).as("exact_parts"))
         .select(col("exact_parts"),
           (abs(col("approx") - col("exact_parts")) <=
-            col("exact_parts") * 0.05).as("approx_within_5pct"))),
+            col("exact_parts") * 0.15).as("approx_within_3sd"))),
 
     // ---- window functions ----
     "win_rank" -> ((s, d) => {
@@ -353,7 +354,7 @@ object Analytics extends QueryModule {
 
     "agg_approx_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS exact_parts,
-        | TRUE AS approx_within_5pct
+        | TRUE AS approx_within_3sd
         |FROM lineitem""".stripMargin,
 
     "agg_rollup" ->

@@ -61,25 +61,38 @@ object Dedup extends QueryModule {
     */
   private val MaxShingleDocFrac = 0.5
 
-  private def jaccardPairs(s: SparkSession, d: String, minJ: Double,
-                           candidates: Option[DataFrame]): DataFrame = {
-    // Inverted index as per-shingle posting lists, built with ONE shuffle:
-    // collect_set dedups repeated (doc, shingle) contacts inside the
-    // aggregation (replacing a standalone distinct() pass), the df cap is a
-    // free size() filter on the assembled list, and corpus size comes from
-    // the narrow documents scan (not a countDistinct over the exploded
-    // stream). Pair generation is then a nested explode of each capped
-    // posting list — no self-join, no second shuffle of the shingle stream;
-    // the cap is precisely what bounds the per-list explode at scale.
+  /** Inverted index as per-shingle posting lists, built with ONE shuffle:
+    * collect_set dedups repeated (doc, shingle) contacts inside the
+    * aggregation (replacing a standalone distinct() pass), the df cap is a
+    * free size() filter on the assembled list, and corpus size comes from
+    * the narrow documents scan (not a countDistinct over the exploded
+    * stream). This is THE shingle universe for the whole Jaccard family —
+    * pair generation, per-doc sizes, AND MinHash signatures all derive from
+    * it, so the cap can never open a gap between candidate generation and
+    * verification (identical subtrees also let ReuseExchange share the
+    * shuffle within one plan).
+    */
+  private def cappedPosts(s: SparkSession, d: String): DataFrame = {
     val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("ndocs"))
-    val posts = shingleStream(s, d)
+    shingleStream(s, d)
       .groupBy("sh").agg(collect_set(col("doc_id")).as("docs"))
       .crossJoin(broadcast(nDocs))
       .filter(size(col("docs")) <= col("ndocs") * MaxShingleDocFrac)
       .select(col("sh"), col("docs"))
-    // filtered (doc, shingle) index rebuilt from the kept posting lists, so
+  }
+
+  /** The capped (shingle, doc) contact stream, rebuilt from posting lists. */
+  private def cappedIndex(s: SparkSession, d: String): DataFrame =
+    cappedPosts(s, d).select(col("sh"), explode(col("docs")).as("doc_id"))
+
+  private def jaccardPairs(s: SparkSession, d: String, minJ: Double,
+                           candidates: Option[DataFrame]): DataFrame = {
+    // Pair generation is a nested explode of each capped posting list — no
+    // self-join, no second shuffle of the shingle stream; the df cap is
+    // precisely what bounds the per-list explode at scale.
+    val posts = cappedPosts(s, d)
     // per-doc sizes |A| count exactly the same shingle universe as |A∩B|
-    val sh = posts.select(col("sh"), explode(col("docs")).as("doc_id"))
+    val sh = cappedIndex(s, d)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shared = candidates match {
       case None =>
@@ -176,11 +189,11 @@ object Dedup extends QueryModule {
     // 1-(1-0.8⁴)⁸ ≈ 0.985, and ≈ 1-5e-12 at the planted J ≈ 0.99 — half the
     // signature-aggregation cost of 64 perms for the same verified output.
     "dedup_minhash_lsh" -> ((s, d) => {
-      // signature input skips the inverted index's distinct(): min() is
-      // duplicate-insensitive, so the non-distinct shingle stream feeds the
-      // groupBy directly and its map-side combine replaces a full
-      // pre-shuffle dedup of the corpus×shingles stream
-      val hs = shingleStream(s, d)
+      // signatures hash the SAME capped shingle universe the exact verify
+      // and the oracle measure — hashing uncapped shingles would let a hot
+      // shingle present in one pair member perturb its min-hashes and
+      // systematically miss candidates the capped oracle contains
+      val hs = cappedIndex(s, d)
         .select(col("doc_id"), xxhash64(col("sh")).as("h"))
       val sigAggs = (0 until 32).map(i =>
         min(xxhash64(col("h"), lit(i))).as(s"m$i"))
@@ -305,6 +318,12 @@ object Dedup extends QueryModule {
           .localCheckpoint()
         prev = cur; cur = labelSum(labels); rounds += 1
       }
+      // unconverged labels are not component minima — fail loudly rather
+      // than silently diverge from the transitive-closure oracle (a >50-
+      // diameter chain means the corpus needs the large-star/small-star
+      // variant, not a bigger cap)
+      if (cur != prev) throw new IllegalStateException(
+        s"dedup_clusters: label propagation not converged after $rounds rounds")
       labels
         .select(col("node").as("doc_id"), col("lbl").as("canonical_id"),
           (col("node") === col("lbl")).as("keep"))

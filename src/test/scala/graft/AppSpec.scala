@@ -59,6 +59,20 @@ class AppSpec extends SparkSpecBase {
     e.importer.catalog.read("commits").count() shouldBe 6
   }
 
+  test("start_workers fails loudly when a worker dies mid-import") {
+    val e = newEnv()
+    val root = tmpDir("tsv")
+    writeRepoTsv(root, "acme/bad", Seq(commitRow("h", "not-a-timestamp")))
+    ClickhubCli.schedule(e, "acme/bad").isRight shouldBe true
+    // the bad timestamp rejects the ingest cast; the pool must surface the
+    // dead worker, not report success with dropped jobs
+    val ex = intercept[RuntimeException] {
+      ClickhubCli.startWorkers(e, nWorkers = 2, r => s"$root/$r",
+        maxPolls = 2, sleepMs = 1)
+    }
+    ex.getMessage should include("workers failed")
+  }
+
   test("update_all_repos enqueues stalest ingested repos not already queued") {
     val e = newEnv()
     val root = tmpDir("tsv")

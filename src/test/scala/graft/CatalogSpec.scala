@@ -79,4 +79,20 @@ class CatalogSpec extends SparkSpecBase {
     java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".compact.tmp")) shouldBe false
     java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".compact.old")) shouldBe false
   }
+
+  test("compact() recovers a table left path-less by a crash between the swap renames") {
+    val cat = new Catalog(spark)
+    val path = tmpDir("cat") + "/cr"
+    cat.createTable(TableDef("cr", path, replacingSchema,
+      Seq("k"), ReplacingDedup(Seq("k"), "updated_at")))
+    cat.append("cr", Seq(("a", 1L, 10L), ("b", 2L, 10L)).toDF("k", "v", "updated_at"))
+    val before = cat.read("cr").orderBy("k").collect()
+    // simulate the crash window: table path renamed away, merged tmp absent
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(path), java.nio.file.Paths.get(path + ".compact.old"))
+    cat.exists("cr") shouldBe false
+    cat.compact("cr") // must restore the original, then compact it — not delete it
+    cat.read("cr").orderBy("k").collect() shouldBe before
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".compact.old")) shouldBe false
+  }
 }

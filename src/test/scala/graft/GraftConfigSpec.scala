@@ -36,6 +36,17 @@ class GraftConfigSpec extends SparkSpecBase {
     cfg.warehouse shouldBe GraftConfig().warehouse
   }
 
+  test("trailing comments and quoted values with hashes parse correctly") {
+    val cfg = GraftConfig.parse(
+      """max_queue_length: 500  # cap
+        |data_cache: '/opt/cache#1'  # path with a hash inside quotes
+        |sleep_time: 2 # seconds
+        |""".stripMargin)
+    cfg.maxQueueLength shouldBe 500
+    cfg.dataCache shouldBe "/opt/cache#1"
+    cfg.sleepTimeMs shouldBe 2000L
+  }
+
   test("task_table and clone_table map to distinct queue instances (create_db.py:36-65)") {
     // the reference's two KeeperMap queues (work_queue / new_queue) are
     // selected per-invocation via --task_table; here each is its own dir
