@@ -160,8 +160,10 @@ final class Catalog(spark: SparkSession) {
           .sortWithinPartitions(t.sortKeys.map(col): _*)
       else merged
     sorted.write.mode("overwrite").parquet(tmp.toString)
-    fs.rename(path, old)
-    fs.rename(tmp, path)
+    // Hadoop rename reports failure by returning false, not throwing —
+    // check each step so a failed swap is loud, never a silent no-op
+    require(fs.rename(path, old), s"compact($name): rename $path -> $old failed")
+    require(fs.rename(tmp, path), s"compact($name): rename $tmp -> $path failed")
     fs.delete(old, true)
   }
 

@@ -197,6 +197,25 @@ object Analytics extends QueryModule {
         .orderBy(col("c_custkey"))
     }),
 
+    // distribution + frame-navigation window functions: percent_rank,
+    // cume_dist, first_value and nth_value over an explicit running frame.
+    // The two ratios hit exact decimal midpoints (denominators n-1 / n are
+    // often powers of 2) — binary half-up on both engines, like
+    // text_quality's composite score.
+    "win_dist" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 50)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          (floor(percent_rank().over(w) * 1e6 + 0.5) / 1e6).as("pr"),
+          (floor(cume_dist().over(w) * 1e6 + 0.5) / 1e6).as("cd"),
+          first(col("o_orderkey")).over(wf).as("first_key"),
+          nth_value(col("o_orderkey"), 2).over(wf).as("second_key"))
+        .orderBy(col("o_orderstatus"), col("o_orderkey"))
+    }),
+
     // ---- set operations ----
     "set_union" -> ((s, d) =>
       Tables.orders(s, d).filter(col("o_orderstatus") === "F")
@@ -394,6 +413,18 @@ object Analytics extends QueryModule {
         |    dense_rank() OVER (ORDER BY c_acctbal DESC, c_custkey) AS drnk
         |  FROM customer)
         |WHERE drnk <= 40 ORDER BY c_custkey""".stripMargin,
+
+    "win_dist" ->
+      """SELECT o_orderstatus, o_orderkey,
+        | floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pr,
+        | floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cd,
+        | first_value(o_orderkey) OVER wf AS first_key,
+        | nth_value(o_orderkey, 2) OVER wf AS second_key
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey),
+        |  wf AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
 
     "set_union" ->
       """SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
