@@ -330,6 +330,22 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Benchmark decontamination: flag corpus documents that share any
+    // shingle with a held-out evaluation set (docs 0..9 stand in for the
+    // benchmark; production passes the real eval corpus). The benchmark
+    // shingle set is tiny by construction, so the overlap test is a
+    // broadcast join against the corpus index — the corpus itself never
+    // shuffles. Reported with the overlap size so curation can threshold.
+    "text_decontam" -> ((s, d) => {
+      val idx = cappedIndex(s, d)
+      val benchSh = idx.filter(col("doc_id") < 10).select(col("sh")).distinct()
+      idx.filter(col("doc_id") >= 10)
+        .join(broadcast(benchSh), Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding near-dup: cluster-blocked (label = coarse IVF cell) pairs,
     // scored by the codegen'd cosine kernel. Blocking keeps pair generation
     // at Σ|cell|² instead of n² — the pattern that survives scale-up.
@@ -353,6 +369,14 @@ object Dedup extends QueryModule {
     "dedup_ngram_jaccard" -> jaccardOracle,
     "dedup_minhash_lsh" -> jaccardOracle,
     "dedup_clusters" -> clustersOracle,
+
+    "text_decontam" ->
+      s"""WITH $jaccardCtes,
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10)
+         |SELECT doc_id, count(*) AS n_shared
+         |FROM sh JOIN bench USING (sh)
+         |WHERE doc_id >= 10
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // dedup_simhash: intentionally no oracle (xxhash64 signatures are not
     // reproducible in DuckDB) — driver records rows-only; DedupSpec asserts
