@@ -91,6 +91,29 @@ object Analytics extends QueryModule {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // Null-safe equi-join (<=>): NULL keys match each other — ClickHouse's
+    // join on Nullable keys, SQL's IS NOT DISTINCT FROM. Spark plans the
+    // coalesced key as a normal hash join, so the semantic costs nothing.
+    "join_null_safe" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+        .select(col("n_name"), expr("nullif(n_regionkey, 0)").as("rk"))
+      val r = Tables.region(s, d)
+        .select(expr("nullif(r_regionkey, 0)").as("rk"), col("r_name"))
+      n.join(broadcast(r), n("rk") <=> r("rk"))
+        .select(col("n_name"), col("r_name"))
+        .orderBy(col("n_name"), col("r_name"))
+    }),
+
+    // PIVOT: wide conditional aggregation with an explicit value list (the
+    // list keeps the output schema static — a discovery pivot would need a
+    // pre-pass collect of distinct keys).
+    "agg_pivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .orderBy(col("l_returnflag"))),
+
     // ---- distinct / grouping sets ----
     "agg_distinct" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -361,6 +384,18 @@ object Analytics extends QueryModule {
         | AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
         | AND r_name = 'ASIA'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "join_null_safe" ->
+      """WITH n AS (SELECT n_name, nullif(n_regionkey, 0) AS rk FROM nation),
+        |r AS (SELECT nullif(r_regionkey, 0) AS rk, r_name FROM region)
+        |SELECT n_name, r_name FROM n JOIN r ON n.rk IS NOT DISTINCT FROM r.rk
+        |ORDER BY n_name, r_name""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT l_returnflag,
+        | round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS "F",
+        | round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,

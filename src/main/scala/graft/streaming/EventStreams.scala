@@ -31,6 +31,19 @@ object EventStreams {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exactly-once dedup: watermarked `dropDuplicates` on the
+    * event key — the streaming counterpart of the ReplacingMergeTree
+    * ingest-dedup contract (T2). The watermark bounds the key-state store:
+    * a duplicate arriving within the watermark is dropped; state for keys
+    * older than the watermark is evicted, so memory is ∝ keys-per-watermark
+    * window, never ∝ stream history.
+    */
+  def dedupStream(events: DataFrame,
+                  watermark: String = "20 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Ev(user_id: Long, ts: Timestamp, event_type: String)
   final case class SessionAgg(user_id: Long, n_events: Int,
                               first_ts: Timestamp, last_ts: Timestamp,
