@@ -75,6 +75,21 @@ object ChAggs extends QueryModule {
       Tables.orders(s, d)
         .agg(graft.functions.TopKSketch.top_k(col("o_orderpriority"), 3).as("top3"))),
 
+    // quantileTDigest analog: approx_percentile's value is sketch-specific,
+    // but with accuracy=10000 its rank error is ≤0.01% of rows, so checking
+    // it lands within 1% of the value range alongside the exact median is
+    // an engine-portable contract (same pattern as agg_approx_distinct).
+    "agg_approx_quantile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .agg(
+          percentile(col("l_extendedprice"), lit(0.5)).as("exact"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+        .select(round(col("exact"), 4).as("exact_p50"),
+          (abs(col("approx") - col("exact")) <=
+            (col("hi") - col("lo")) * 0.01).as("approx_within_1pct_range"))),
+
     // moment statistics: stddevPop / varPop / corr / covarPop.
     "agg_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -119,6 +134,11 @@ object ChAggs extends QueryModule {
       """SELECT string_agg(v || ':' || c, ',' ORDER BY c DESC, v) AS top3
         |FROM (SELECT o_orderpriority AS v, count(*) AS c FROM orders
         |      GROUP BY 1 ORDER BY c DESC, v LIMIT 3)""".stripMargin,
+
+    "agg_approx_quantile" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+        | TRUE AS approx_within_1pct_range
+        |FROM lineitem""".stripMargin,
 
     "agg_stats" ->
       """SELECT l_returnflag,
