@@ -47,28 +47,32 @@ object GraftConfig {
         l.split(":", 2) match {
           case Array(k, v) =>
             // quoted values keep everything inside the quotes; bare values
-            // stop at a trailing `# comment` (legal YAML that would
-            // otherwise reach .toInt and crash)
+            // stop at a ` #` comment — YAML comments need whitespace (or
+            // value start) before the '#', so `/opt/cache#1` survives while
+            // `500  # cap` parses as 500 and `key: # unset` as absent
             val raw = v.trim
             val cleaned = raw.headOption match {
               case Some(q @ ('\'' | '"')) =>
                 val end = raw.indexOf(q, 1)
                 if (end > 0) raw.substring(1, end) else raw.drop(1)
-              case _ => raw.split("#", 2)(0).trim
+              case Some('#') => ""
+              case _ => raw.split("\\s#", 2)(0).trim
             }
-            Some(k.trim -> cleaned)
+            if (cleaned.isEmpty) None else Some(k.trim -> cleaned)
           case _ => None
         }
       }
       .toMap
+    def num(key: String): Option[Long] =
+      kv.get(key).flatMap(v => scala.util.Try(v.toLong).toOption)
     val d = GraftConfig()
     GraftConfig(
       warehouse = kv.getOrElse("warehouse", d.warehouse),
       sparkMaster = kv.getOrElse("spark_master", d.sparkMaster),
       queueDir = kv.getOrElse("queue_dir", d.queueDir),
       dataCache = kv.getOrElse("data_cache", d.dataCache),
-      maxQueueLength = kv.get("max_queue_length").map(_.toInt).getOrElse(d.maxQueueLength),
-      sleepTimeMs = kv.get("sleep_time").map(_.toLong * 1000L).getOrElse(d.sleepTimeMs),
+      maxQueueLength = num("max_queue_length").map(_.toInt).getOrElse(d.maxQueueLength),
+      sleepTimeMs = num("sleep_time").map(_ * 1000L).getOrElse(d.sleepTimeMs),
       taskTable = kv.getOrElse("task_table", d.taskTable).split('.').last,
       cloneTable = kv.getOrElse("clone_table", d.cloneTable).split('.').last,
       repoLookupTable = kv.getOrElse("repo_lookup_table", d.repoLookupTable).split('.').last)

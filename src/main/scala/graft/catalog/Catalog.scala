@@ -62,8 +62,12 @@ final class Catalog(spark: SparkSession) {
   def get(name: String): TableDef =
     tables.getOrElse(name, throw new NoSuchElementException(s"table $name"))
 
-  def exists(name: String): Boolean =
-    tables.contains(name) && new java.io.File(get(name).path).exists()
+  // through the path's own Hadoop FileSystem, like compact(): a
+  // java.io.File probe would answer false for every non-local warehouse
+  def exists(name: String): Boolean = tables.contains(name) && {
+    val p = new org.apache.hadoop.fs.Path(get(name).path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
 
   /** S4: columnar append, clustered by the declared sort key on the way in
     * (O3) — `repartitionByRange` gives cross-file range layout, then
@@ -147,8 +151,13 @@ final class Catalog(spark: SparkSession) {
     val tmp = new Path(t.path + ".compact.tmp")
     val old = new Path(t.path + ".compact.old")
     if (!fs.exists(path)) {
-      if (fs.exists(tmp) && fs.exists(old)) fs.rename(tmp, path) // finish the interrupted swap
-      else if (fs.exists(old)) fs.rename(old, path)              // restore the original
+      // recovery renames must be checked too: falling through to the
+      // cleanup deletes below after a failed rename would erase the only
+      // surviving copies
+      if (fs.exists(tmp) && fs.exists(old)) // finish the interrupted swap
+        require(fs.rename(tmp, path), s"compact($name): recovery rename $tmp -> $path failed")
+      else if (fs.exists(old))              // restore the original
+        require(fs.rename(old, path), s"compact($name): recovery rename $old -> $path failed")
     }
     // only stale leftovers remain now that the table path exists
     if (fs.exists(tmp)) fs.delete(tmp, true)

@@ -306,7 +306,9 @@ object Dedup extends QueryModule {
         .select(col("a").as("node"), least(col("a"), col("nb")).as("lbl"))
         .localCheckpoint()
       def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-        df.agg(sum(col("lbl"))).head().getLong(0)
+        // coalesce: sum over an empty frame is NULL (a pair-free corpus is
+        // a legal input with an empty cluster result, not a crash)
+        df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
       var prev = Long.MinValue
       var cur = labelSum(labels)
       var rounds = 0

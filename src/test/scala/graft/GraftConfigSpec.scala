@@ -47,6 +47,19 @@ class GraftConfigSpec extends SparkSpecBase {
     cfg.sleepTimeMs shouldBe 2000L
   }
 
+  test("bare values keep mid-token hashes; empty or malformed values fall back") {
+    val cfg = GraftConfig.parse(
+      """data_cache: /opt/cache#1
+        |max_queue_length: # unset
+        |sleep_time: fast
+        |""".stripMargin)
+    // YAML comments need whitespace before '#': an unquoted path keeps it
+    cfg.dataCache shouldBe "/opt/cache#1"
+    // a commented-out or non-numeric value keeps the default, never throws
+    cfg.maxQueueLength shouldBe GraftConfig().maxQueueLength
+    cfg.sleepTimeMs shouldBe GraftConfig().sleepTimeMs
+  }
+
   test("task_table and clone_table map to distinct queue instances (create_db.py:36-65)") {
     // the reference's two KeeperMap queues (work_queue / new_queue) are
     // selected per-invocation via --task_table; here each is its own dir
