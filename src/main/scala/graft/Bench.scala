@@ -28,7 +28,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "value" deliberately AFTER "queries": the driver head-truncates long
+    // lines from the front, so the headline total must sit at the tail to
+    // survive capture (round-2 artifact lost it)
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total}""")
     spark.stop()
   }
 }

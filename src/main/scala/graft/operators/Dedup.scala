@@ -49,17 +49,33 @@ object Dedup extends QueryModule {
     *     the whole point of LSH: the expensive exact step never touches
     *     non-candidate pairs.
     */
-  /** Hot-shingle cap: drop shingles present in more than this fraction of
-    * the corpus before any pair generation. Without it one high-document-
-    * frequency shingle (license boilerplate, headers) makes its posting
-    * list — and the contact join over it — quadratic in corpus size. A
-    * shingle in >50% of documents carries ~no similarity signal (it can at
-    * most halve a pair's Jaccard denominator) but dominates join cost, so
-    * the filtered universe is both cheaper AND a better near-dup signal.
-    * Mirrored verbatim in [[jaccardOracle]] so both engines measure Jaccard
-    * over the same filtered shingle universe.
+  /** Hot-shingle cap: drop shingles present in more than
+    * `min(MaxShingleDocFrac · ndocs, MaxShingleDocCap)` documents before any
+    * pair generation. Without it one high-document-frequency shingle
+    * (license boilerplate, headers) makes its posting list — and the contact
+    * join over it — quadratic in corpus size. A shingle in >50% of documents
+    * carries ~no similarity signal (it can at most halve a pair's Jaccard
+    * denominator) but dominates join cost, so the filtered universe is both
+    * cheaper AND a better near-dup signal.
+    *
+    * The fractional term alone does NOT bound cost at scale: the all-pairs
+    * path explodes each posting list quadratically, so a 0.1%-df shingle in
+    * a 10⁹-doc corpus still yields a 10⁶-doc list and 10¹² pairs. The
+    * ABSOLUTE cap is what survives a 100× scale-up — it bounds every
+    * posting-list explode at MaxShingleDocCap² pairs regardless of corpus
+    * size, the standard df-cut in MinHash dedup pipelines. A shingle shared
+    * by >1000 documents is boilerplate, not signal; near-dup pairs still
+    * meet through their rarer shingles, and |A|/|B| count the same capped
+    * universe on both sides so Jaccard stays consistent.
+    *
+    * Both constants are interpolated into [[jaccardCtes]] (single source of
+    * truth) so Spark and the DuckDB oracle always measure Jaccard over the
+    * same filtered shingle universe. 0.5 is exact-binary, safe as a bare
+    * DuckDB literal (non-exact fractions would parse as DECIMAL and
+    * diverge — see the fn_math note).
     */
   private val MaxShingleDocFrac = 0.5
+  private val MaxShingleDocCap = 1000L
 
   /** Inverted index as per-shingle posting lists, built with ONE shuffle:
     * collect_set dedups repeated (doc, shingle) contacts inside the
@@ -77,7 +93,8 @@ object Dedup extends QueryModule {
     shingleStream(s, d)
       .groupBy("sh").agg(collect_set(col("doc_id")).as("docs"))
       .crossJoin(broadcast(nDocs))
-      .filter(size(col("docs")) <= col("ndocs") * MaxShingleDocFrac)
+      .filter(size(col("docs")) <=
+        least(col("ndocs") * MaxShingleDocFrac, lit(MaxShingleDocCap)))
       .select(col("sh"), col("docs"))
   }
 
@@ -116,10 +133,12 @@ object Dedup extends QueryModule {
   }
 
   /** The Jaccard-pair CTE chain, shared by the pair queries and the cluster
-    * query (which appends a recursive closure on top).
+    * query (which appends a recursive closure on top). The df-cap constants
+    * are interpolated from the Spark-side vals (raw interpolator: `\s+`
+    * must survive unescaped) — one source of truth for both engines.
     */
   private val jaccardCtes: String =
-    """tok AS (
+    raw"""tok AS (
       |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
       |sh_all AS (
       |  SELECT DISTINCT doc_id, sh FROM tok,
@@ -130,7 +149,7 @@ object Dedup extends QueryModule {
       |sh AS (
       |  SELECT sh_all.doc_id, sh_all.sh FROM sh_all
       |  JOIN df USING (sh) CROSS JOIN tot
-      |  WHERE df.df <= tot.ndocs * 0.5),
+      |  WHERE df.df <= least(tot.ndocs * $MaxShingleDocFrac, $MaxShingleDocCap)),
       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |pairs AS (
       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
@@ -170,6 +189,32 @@ object Dedup extends QueryModule {
   // multiply-add family (ANSI mode rejects the intentional long overflow)
   // while staying a single codegen'd builtin per signature slot.
 
+  /** Banded-LSH candidate pairs (the sub-quadratic front end shared by
+    * `dedup_minhash_lsh` AND `dedup_clusters`): 32 minhash permutations as
+    * 8 bands × 4 rows → bucket equi-join. Signatures hash the SAME capped
+    * shingle universe the exact verify and the oracle measure — hashing
+    * uncapped shingles would let a hot shingle present in one pair member
+    * perturb its min-hashes and systematically miss candidates the capped
+    * oracle contains.
+    */
+  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
+    val hs = cappedIndex(s, d)
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val sigAggs = (0 until 32).map(i =>
+      min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    val sig = hs.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val bands = array((0 until 8).map(b => struct(
+      lit(b).as("band"),
+      xxhash64(col(s"m${4*b}"), col(s"m${4*b+1}"),
+               col(s"m${4*b+2}"), col(s"m${4*b+3}")).as("bh"))): _*)
+    val buckets = sig.select(col("doc_id"), explode(bands).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+    buckets.as("x").join(buckets.as("y"), Seq("band", "bh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+  }
+
   override def queries: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy on a digest so the shuffle carries 16-byte
     // keys + ids, not document bodies — the only shape that works at 100 TB.
@@ -188,28 +233,18 @@ object Dedup extends QueryModule {
     // 32 permutations as 8 bands × 4 rows: recall at J ≥ 0.8 is
     // 1-(1-0.8⁴)⁸ ≈ 0.985, and ≈ 1-5e-12 at the planted J ≈ 0.99 — half the
     // signature-aggregation cost of 64 perms for the same verified output.
-    "dedup_minhash_lsh" -> ((s, d) => {
-      // signatures hash the SAME capped shingle universe the exact verify
-      // and the oracle measure — hashing uncapped shingles would let a hot
-      // shingle present in one pair member perturb its min-hashes and
-      // systematically miss candidates the capped oracle contains
-      val hs = cappedIndex(s, d)
-        .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-      val sigAggs = (0 until 32).map(i =>
-        min(xxhash64(col("h"), lit(i))).as(s"m$i"))
-      val sig = hs.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-      val bands = array((0 until 8).map(b => struct(
-        lit(b).as("band"),
-        xxhash64(col(s"m${4*b}"), col(s"m${4*b+1}"),
-                 col(s"m${4*b+2}"), col(s"m${4*b+3}")).as("bh"))): _*)
-      val buckets = sig.select(col("doc_id"), explode(bands).as("bd"))
-        .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
-      val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bh"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
-        .distinct()
-      jaccardPairs(s, d, 0.8, Some(cand))
-    }),
+    //
+    // Oracle-mapping assumption (exact-Jaccard pair set as cell-exact
+    // oracle): a true pair in the marginal band J ∈ [0.8, 0.9) has only
+    // ~98.5% per-pair LSH recall, so an organic pair landing there could be
+    // missed by candidate generation and fail parity. The fixed testdata
+    // does contain marginal pairs (one at sf0.001), but recall is a
+    // deterministic function of the frozen corpus and DedupSpec ("LSH
+    // recovers every exact pair at the correctness-gate scale factor")
+    // asserts full recovery at sf0.01 — on a corpus where that spec fails,
+    // widen the band count (recall 1-(1-J^r)^b), don't weaken the oracle.
+    "dedup_minhash_lsh" -> ((s, d) =>
+      jaccardPairs(s, d, 0.8, Some(lshCandidates(s, d)))),
 
     // SimHash: 128-bit signature (two 64-bit halves from independently
     // seeded token hashes); near-dups = Hamming ≤ 16, found via 8×16-bit
@@ -296,7 +331,13 @@ object Dedup extends QueryModule {
     // nest one join per iteration. The driver-side loop is control flow
     // only — per-round data movement stays on executors.
     "dedup_clusters" -> ((s, d) => {
-      val pairs = jaccardPairs(s, d, 0.8, None).select(col("i"), col("j"))
+      // Edge list comes from the LSH candidate front end — the same
+      // verified pair set as the all-pairs variant on a cleanly-separated
+      // corpus (see dedup_minhash_lsh note) at sub-quadratic cost: the
+      // all-pairs posting-list explode was the one remaining quadratic
+      // input in the dedup family; clustering itself was already scale-safe.
+      val pairs = jaccardPairs(s, d, 0.8, Some(lshCandidates(s, d)))
+        .select(col("i"), col("j"))
       val edges = pairs.select(col("i").as("a"), col("j").as("b"))
         .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
         .localCheckpoint()

@@ -42,8 +42,11 @@ final class WorkQueue(dir: Path, maxQueueLength: Int = 10000) {
     java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(repoName.getBytes(UTF_8))
 
   private def pending(repo: String): Path = dir.resolve(s"${keyOf(repo)}.pending")
-  private def claimed(repo: String, worker: String): Path =
-    dir.resolve(s"${keyOf(repo)}.claimed.$worker")
+  // One deterministic claimed name per repo (worker id lives in the row, not
+  // the filename): the claim CAS is the SOURCE file vanishing under a losing
+  // rename, not destination uniqueness — and a deterministic name is what
+  // lets contains() be two stat calls instead of a directory glob.
+  private def claimed(repo: String): Path = dir.resolve(s"${keyOf(repo)}.claimed")
 
   private def encode(j: Job): String =
     Seq(j.repoName, j.scheduled, j.priority, j.workerId, j.startedTime).mkString("\t")
@@ -52,28 +55,72 @@ final class WorkQueue(dir: Path, maxQueueLength: Int = 10000) {
     Job(a(0), a(1).toLong, a(2).toInt, a(3), a(4).toLong)
   }
 
-  def length: Int = list().size // A1 queue-length guard (schedule.py:30-32)
+  /** A1 queue-length guard (schedule.py:30-32) — a name count only, no file
+    * contents read: `schedule` runs this per call, and the reference's bulk
+    * path (`bulk_schedule` over a 128k-repo seed list, repo/schedule.py:84-95)
+    * would otherwise do O(queue) reads per enqueue = O(n·queue) total.
+    * Refreshes the in-process cache used by the enqueue guard.
+    */
+  def length: Int = {
+    val st = Files.list(dir)
+    val n = try st.iterator.asScala.count(p => !p.getFileName.toString.endsWith(".tmp"))
+    finally st.close()
+    cachedLen.set(n)
+    n
+  }
 
-  def contains(repoName: String): Boolean = // P9 dup point-lookup (schedule.py:21-27)
-    list().exists(_.repoName == repoName)
+  /** In-process length cache so bulk enqueue is O(1) amortized per call: a
+    * full name listing runs only when the cache is cold or claims we are at
+    * the cap (then the authoritative recount decides). Enqueues by OTHER
+    * processes can make the cache under-count and let a burst overshoot the
+    * cap slightly — the same non-transactional count-then-insert race the
+    * reference has (repo/schedule.py:30-44 counts in one statement and
+    * inserts in another; its own off-by-one is documented in SURVEY.md §0).
+    * The cap is a back-pressure valve, not an invariant.
+    */
+  private val cachedLen = new java.util.concurrent.atomic.AtomicInteger(-1)
+  private def atCapacity(): Boolean = {
+    val c = cachedLen.get()
+    (c < 0 || c >= maxQueueLength) && length >= maxQueueLength
+  }
 
-  private def list(): Seq[Job] =
-    Files.list(dir).iterator.asScala.toSeq
+  /** P9 dup point-lookup (schedule.py:21-27) as two O(1) existence probes —
+    * the KeeperMap point-get, not a scan; no directory listing, no reads.
+    */
+  def contains(repoName: String): Boolean =
+    Files.exists(pending(repoName)) || Files.exists(claimed(repoName))
+
+  private def list(): Seq[Job] = {
+    val st = Files.list(dir)
+    try st.iterator.asScala.toSeq
       .filter(p => !p.getFileName.toString.endsWith(".tmp"))
       .flatMap(p => Try(decode(Files.readString(p))).toOption)
+    finally st.close()
+  }
+
+  /** Unclaimed jobs only — the claim candidate scan reads pending files and
+    * never opens claimed ones (filename suffix is the state marker).
+    */
+  private def listPending(): Seq[Job] = {
+    val st = Files.newDirectoryStream(dir, "*.pending")
+    try st.iterator.asScala.toSeq
+      .flatMap(p => Try(decode(Files.readString(p))).toOption)
+    finally st.close()
+  }
 
   /** Enqueue (schedule.py:37-67): length guard → dup check → exclusive
     * create. Returns Left(reason) on the reference's failure modes.
     */
   def schedule(repoName: String, priority: Int = 0,
                now: Long = System.currentTimeMillis() / 1000): Either[String, Job] = {
-    if (length >= maxQueueLength) Left("QUEUE IS FULL")
+    if (atCapacity()) Left("QUEUE IS FULL")
     else if (contains(repoName)) Left("ALREADY_PROCESSING")
     else {
       val job = Job(repoName, now, priority, "", 0L)
       try {
         Files.write(pending(repoName), encode(job).getBytes(UTF_8),
           java.nio.file.StandardOpenOption.CREATE_NEW)
+        cachedLen.incrementAndGet()
         Right(job)
       } catch {
         // the Keeper "Node exists" race surfaced as KEEPER_EXCEPTION
@@ -89,13 +136,13 @@ final class WorkQueue(dir: Path, maxQueueLength: Int = 10000) {
     */
   def claim(workerId: String, retries: Int = 2,
             now: Long = System.currentTimeMillis() / 1000): Option[Job] = {
-    val candidates = list()
+    val candidates = listPending()
       .filter(_.workerId.isEmpty)                       // P4 worker_id = ''
       .sortBy(j => (-j.priority, j.scheduled))          // O1 top-k
       .take(retries)
     candidates.iterator.flatMap { j =>
       val src = pending(j.repoName)
-      val dst = claimed(j.repoName, workerId)
+      val dst = claimed(j.repoName)
       val won = Try {
         Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
       }.isSuccess
@@ -119,10 +166,12 @@ final class WorkQueue(dir: Path, maxQueueLength: Int = 10000) {
     * Removes the row whatever state it is in, like the reference's
     * unconditional release.
     */
-  def complete(repoName: String): Unit =
-    Files.list(dir).iterator.asScala.toSeq
-      .filter(_.getFileName.toString.startsWith(keyOf(repoName) + "."))
-      .foreach(p => Try(Files.delete(p)))
+  def complete(repoName: String): Unit = {
+    val deleted = Seq(pending(repoName), claimed(repoName))
+      .count(p => Try(Files.deleteIfExists(p)).getOrElse(false))
+    cachedLen.updateAndGet(v => if (v >= deleted) v - deleted else v)
+    ()
+  }
 
   def snapshot(): Seq[Job] = list().sortBy(_.repoName)
 }

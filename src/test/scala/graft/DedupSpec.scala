@@ -17,6 +17,32 @@ class DedupSpec extends SparkSpecBase {
     lsh shouldBe exact        // 8x4 bands: recall ≈ 0.985 at J ≥ 0.8, ≈ 1 at planted J ≈ 0.99
   }
 
+  test("LSH recovers every exact pair at the correctness-gate scale factor, marginal band included") {
+    // The exact-Jaccard oracle for dedup_minhash_lsh / dedup_clusters is
+    // cell-exact, but 8×4-band LSH recall at J just above 0.8 is only
+    // ~98.5% per pair — a true pair in the marginal band J ∈ [0.8, 0.9)
+    // could in principle be missed by candidate generation and fail parity.
+    // The testdata corpus is NOT perfectly clean: sf0.001 contains one
+    // organic marginal-band pair (so "no marginal pairs" is not assertable);
+    // what the oracle mapping actually rests on is that banding recovers
+    // the ENTIRE exact pair set on the gate dataset — recall is a
+    // deterministic function of the fixed corpus, so this spec failing on
+    // new testdata is the loud signal to widen the band count, not a flake.
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.01" // the driver's correctness-gate SF
+    def pairsAt(name: String): Set[(Long, Long)] =
+      Dedup.queries(name)(spark, d)
+        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairsAt("dedup_ngram_jaccard")
+    exact should not be empty
+    pairsAt("dedup_minhash_lsh") shouldBe exact
+    // count the marginal band for the record: pairs here are the ones whose
+    // recovery depends on banding luck frozen into the fixed corpus
+    val marginal = Dedup.queries("dedup_ngram_jaccard")(spark, d)
+      .filter(col("jaccard") >= 0.8 && col("jaccard") < 0.9).count()
+    info(s"marginal-band (J ∈ [0.8,0.9)) pairs at sf0.01: $marginal")
+  }
+
   test("exact dedup groups agree with distinct text count") {
     val out = Dedup.queries("dedup_exact")(spark, sf0001).collect()
     val docs = Tables.documents(spark, sf0001)

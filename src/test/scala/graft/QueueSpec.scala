@@ -64,6 +64,29 @@ class QueueSpec extends AnyFunSuite with Matchers {
     q.snapshot().head.workerId shouldBe "worker-7" // M2 verify read
   }
 
+  test("bulk enqueue is O(1) per call: 10k repos schedule in seconds") {
+    // the reference's bulk path (bulk_schedule over a 128k seed list,
+    // repo/schedule.py:84-95) — dup/length guards must not read every job
+    // file per enqueue, or 10k enqueues against a deepening queue do ~10⁸
+    // content reads. Existence probes + name counts keep this linear.
+    val q = newQueue(max = 20000)
+    val t0 = System.nanoTime()
+    (1 to 10000).foreach(i => q.schedule(s"org/repo-$i").isRight shouldBe true)
+    val secs = (System.nanoTime() - t0) / 1e9
+    q.length shouldBe 10000
+    q.contains("org/repo-1") shouldBe true
+    q.contains("org/none") shouldBe false
+    secs should be < 20.0 // generous CI bound; O(queue)-per-call took ~minutes
+  }
+
+  test("contains sees claimed jobs too (dup guard covers in-flight repos)") {
+    val q = newQueue()
+    q.schedule("acme/inflight")
+    q.claim("w1").map(_.repoName) shouldBe Some("acme/inflight")
+    q.contains("acme/inflight") shouldBe true // claimed, not pending
+    q.schedule("acme/inflight") shouldBe Left("ALREADY_PROCESSING")
+  }
+
   test("complete removes the job in any state (M3, unconditional release)") {
     val q = newQueue()
     q.schedule("a/pending"); q.schedule("a/claimed")
