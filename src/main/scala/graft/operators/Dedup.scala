@@ -24,8 +24,10 @@ import graft.functions.{CosineSimilarity, TextFns}
   * MinHash/Jaccard share one oracle: the synthetic corpus separates cleanly
   * (planted near-dups at J≈0.99, background <0.5), and 8×4 LSH recall at
   * J≥0.8 is 1-(1-0.8⁴)⁸ ≈ 0.985, so LSH candidates → exact-verify produces
-  * exactly the exact-Jaccard pair set. SimHash has no oracle (xxhash64 bits
-  * are engine-specific) — covered by DedupSpec instead.
+  * exactly the exact-Jaccard pair set. SimHash's raw bits are
+  * engine-specific (xxhash64), so its query is an in-plan accuracy
+  * contract — recovery ≥ 0.8 of the true pair set — with the raw pairs
+  * pinned by DedupSpec.
   */
 object Dedup extends QueryModule {
 
@@ -215,7 +217,9 @@ object Dedup extends QueryModule {
       .distinct()
   }
 
-  override def queries: Map[String, Q] = Map(
+  // explicit type param: the `++ clusterQueries` tail would otherwise stop
+  // the expected type from reaching the lambda literals
+  override def queries: Map[String, Q] = Map[String, Q](
     // Exact dedup: hash-groupBy on a digest so the shuffle carries 16-byte
     // keys + ids, not document bodies — the only shape that works at 100 TB.
     "dedup_exact" -> ((s, d) =>
@@ -253,11 +257,35 @@ object Dedup extends QueryModule {
     // chunks keep buckets sparse — 65536 values per chunk — so candidate
     // pairs stay near-linear in corpus size where 8-bit chunks would go
     // quadratic past ~100k docs.
+    // SimHash wrapped in its accuracy contract (the agg_approx_distinct
+    // pattern): xxhash64 signature bits are engine-specific, so the raw
+    // pair rows have no DuckDB oracle — but "recovers ≥ 0.8 of the true
+    // J ≥ 0.8 near-dup pairs" is oracle-checkable: the true-pair set comes
+    // from the LSH-verified exact-Jaccard path in the same plan, and the
+    // oracle recomputes its size via the shared CTE chain + a literal TRUE.
+    // DedupSpec still pins the raw pair rows on the unwrapped operator.
     "dedup_simhash" -> ((s, d) => {
-      // frequency-weighted SimHash (the textbook Charikar construction:
-      // each occurrence votes, so repeated terms weigh more) — also drops
-      // the corpus×tokens distinct(), a full shuffle the groupBy's
-      // map-side combine makes redundant
+      val sim = simhashPairs(s, d).select(col("i"), col("j"))
+      val truePairs = jaccardPairs(s, d, 0.8, Some(lshCandidates(s, d)))
+        .select(col("i"), col("j"))
+      val hits = truePairs.join(sim, Seq("i", "j"), "left_semi")
+        .agg(count(lit(1)).as("nrec"))
+      truePairs.agg(count(lit(1)).as("n_true_pairs")).crossJoin(hits)
+        .select(col("n_true_pairs"),
+          (col("nrec") >= col("n_true_pairs") * 0.8).as("recovery_ok"))
+    }),
+  ) ++ clusterQueries
+
+  /** The raw SimHash near-dup pairs (i, j, hamming) — the operator itself;
+    * the `dedup_simhash` query wraps this in its recovery contract, and
+    * DedupSpec exercises it directly.
+    *
+    * Frequency-weighted SimHash (the textbook Charikar construction: each
+    * occurrence votes, so repeated terms weigh more) — also drops the
+    * corpus×tokens distinct(), a full shuffle the groupBy's map-side
+    * combine makes redundant.
+    */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
         .select(col("doc_id"),
@@ -315,8 +343,10 @@ object Dedup extends QueryModule {
         .filter(col("hamming") <= 16) // before distinct: shrink the dedup shuffle
         .distinct()
         .orderBy(col("i"), col("j"))
-    }),
+  }
 
+  /** Second half of the query inventory (split around [[simhashPairs]]). */
+  private def clusterQueries: Map[String, Q] = Map(
     // Near-dup CLUSTER canonicalization: connected components over the
     // Jaccard pair graph, canonical = component-minimum doc_id, keep = "is
     // the canonical copy". This is the operator that turns pairwise dedup
@@ -421,9 +451,13 @@ object Dedup extends QueryModule {
          |WHERE doc_id >= 10
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // dedup_simhash: intentionally no oracle (xxhash64 signatures are not
-    // reproducible in DuckDB) — driver records rows-only; DedupSpec asserts
-    // the planted near-dup pairs are recovered.
+    // dedup_simhash: raw xxhash64 signatures are not reproducible in
+    // DuckDB, but the recovery contract is — the oracle recomputes the
+    // true-pair count from the shared Jaccard CTE chain and asserts the
+    // documented ≥ 0.8 recovery floor as a literal.
+    "dedup_simhash" ->
+      s"""WITH $jaccardCtes
+         |SELECT count(*) AS n_true_pairs, TRUE AS recovery_ok FROM jp""".stripMargin,
 
     "dedup_embed_cosine" ->
       """SELECT a.vec_id AS i, b.vec_id AS j,

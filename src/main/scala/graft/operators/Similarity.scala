@@ -57,30 +57,24 @@ object Similarity extends QueryModule {
       topK(scored)
     }),
 
+    // IVF top-k wrapped in its accuracy contract (the agg_approx_distinct
+    // pattern): the probe-pruned result is approximate by design, so the
+    // raw rows have no DuckDB-expressible oracle — but the documented
+    // contract "recall@5 ≥ 0.6 vs brute force" (measured ≈ 0.8 at ~30%
+    // scanned) is oracle-checkable as a literal. The plan computes IVF and
+    // brute-force top-k side by side, overlaps them with one semi-join, and
+    // returns (n_exact, recall_ok); the brute-force side is the same
+    // broadcast-query/never-shuffle-corpus shape as ann_cosine_topk, so the
+    // contract costs one extra corpus scan, not a shuffle. SimilaritySpec
+    // still pins the raw-rows recall floor on the unwrapped operator.
     "ann_ivf_topk" -> ((s, d) => {
-      val corpus = Tables.embeddings(s, d)
-      val centroids = trainCentroids(s, d)
-
-      val binned = corpus.withColumn("cell", assignCell(centroids, col("embedding")))
-
-      // each query probes its NPROBE max-cosine cells
-      val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
-      val probes = queriesSet(s, d)
-        .select(col("q_id"), col("q_emb"),
-          explode(array(centroids.zipWithIndex.map { case (c, i) =>
-            struct(lit(i).as("cell"), CosineSimilarity(col("q_emb"), centroidLit(c)).as("ccos"))
-          }: _*)).as("p"))
-        .select(col("q_id"), col("q_emb"), col("p.cell").as("cell"), col("p.ccos").as("ccos"))
-        .withColumn("cr", row_number().over(wq))
-        .filter(col("cr") <= NPROBE)
-        .select(col("q_id"), col("q_emb"), col("cell"))
-
-      // score only vectors in probed cells — corpus side never shuffles
-      val scored = binned.join(broadcast(probes), Seq("cell"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("n_id"),
-          round(CosineSimilarity(col("q_emb"), col("embedding")), 6).as("cos"))
-      topK(scored)
+      val ivf = ivfTopK(s, d).select(col("q_id"), col("n_id"))
+      val bf = queries("ann_cosine_topk")(s, d).select(col("q_id"), col("n_id"))
+      val hits = bf.join(ivf, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("nhits"))
+      bf.agg(count(lit(1)).as("n_exact")).crossJoin(hits)
+        .select(col("n_exact"),
+          (col("nhits") >= col("n_exact") * 0.6).as("recall_at5_ok"))
     }),
 
     // Symmetric int8 quantization (max-abs scaling): the standard
@@ -105,6 +99,36 @@ object Similarity extends QueryModule {
         .orderBy(col("vec_id"))
     }),
   )
+
+  /** The raw IVF top-k rows (q_id, n_id, cos, rnk) — the operator itself;
+    * the `ann_ivf_topk` query wraps this in its recall contract, and
+    * SimilaritySpec exercises it directly.
+    */
+  def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    val corpus = Tables.embeddings(s, d)
+    val centroids = trainCentroids(s, d)
+
+    val binned = corpus.withColumn("cell", assignCell(centroids, col("embedding")))
+
+    // each query probes its NPROBE max-cosine cells
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
+    val probes = queriesSet(s, d)
+      .select(col("q_id"), col("q_emb"),
+        explode(array(centroids.zipWithIndex.map { case (c, i) =>
+          struct(lit(i).as("cell"), CosineSimilarity(col("q_emb"), centroidLit(c)).as("ccos"))
+        }: _*)).as("p"))
+      .select(col("q_id"), col("q_emb"), col("p.cell").as("cell"), col("p.ccos").as("ccos"))
+      .withColumn("cr", row_number().over(wq))
+      .filter(col("cr") <= NPROBE)
+      .select(col("q_id"), col("q_emb"), col("cell"))
+
+    // score only vectors in probed cells — corpus side never shuffles
+    val scored = binned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(CosineSimilarity(col("q_emb"), col("embedding")), 6).as("cos"))
+    topK(scored)
+  }
 
   private def centroidLit(c: Array[Float]): Column =
     array(c.map(v => lit(v)): _*)
@@ -162,9 +186,23 @@ object Similarity extends QueryModule {
         |    PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM scored)
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
 
-    // ann_ivf_topk: intentionally no oracle — the probe-pruned result is
-    // approximate by design; SimilaritySpec asserts recall@5 vs the
-    // brute-force baseline instead (driver records rows-only).
+    // ann_ivf_topk: the raw probe-pruned rows are engine-specific, but the
+    // recall contract is not — the oracle recomputes the brute-force top-5
+    // count and asserts the documented floor as a literal (the same
+    // accuracy-contract pattern as agg_approx_distinct).
+    "ann_ivf_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id AS n_id,
+        |    round(list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+        |bf AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM scored)
+        |  WHERE rnk <= 5)
+        |SELECT count(*) AS n_exact, TRUE AS recall_at5_ok FROM bf""".stripMargin,
 
     "embed_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),

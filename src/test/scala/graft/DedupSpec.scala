@@ -53,13 +53,19 @@ class DedupSpec extends SparkSpecBase {
 
   test("simhash near-dup pairs include the high-Jaccard planted pairs") {
     val planted = pairs("dedup_ngram_jaccard")
-    val simhash = Dedup.queries("dedup_simhash")(spark, sf0001)
+    val simhash = Dedup.simhashPairs(spark, sf0001)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // SimHash at Hamming ≤ 16 is best-effort (8×16-bit chunks guarantee a
     // collision only while ≤ 7 chunks differ); require it to recover a
     // solid majority of true near-dups
     val recalled = planted.intersect(simhash).size.toDouble
     if (planted.nonEmpty) (recalled / planted.size) should be >= 0.8
+  }
+
+  test("dedup_simhash contract row reports the true-pair universe and a met floor") {
+    val row = Dedup.queries("dedup_simhash")(spark, sf0001).collect().head
+    row.getAs[Long]("n_true_pairs") should be > 0L
+    row.getAs[Boolean]("recovery_ok") shouldBe true
   }
 
   test("cluster canonicalization: pair endpoints share a canonical; one keeper per cluster") {

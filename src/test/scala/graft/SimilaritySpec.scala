@@ -7,9 +7,8 @@ import graft.operators.Similarity
   */
 class SimilaritySpec extends SparkSpecBase {
 
-  private def topk(name: String): Map[Long, Seq[Long]] =
-    Similarity.queries(name)(spark, sf0001).collect()
-      .groupBy(_.getAs[Long]("q_id"))
+  private def rowsToTopk(rows: Array[org.apache.spark.sql.Row]): Map[Long, Seq[Long]] =
+    rows.groupBy(_.getAs[Long]("q_id"))
       .view.mapValues(_.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("n_id")).toSeq)
       .toMap
 
@@ -25,13 +24,21 @@ class SimilaritySpec extends SparkSpecBase {
   }
 
   test("IVF-probed top-k keeps recall@5 ≥ 0.6 vs brute force") {
-    val exact = topk("ann_cosine_topk")
-    val ivf = topk("ann_ivf_topk")
+    // raw-rows floor on the unwrapped operator (the ann_ivf_topk query now
+    // returns the in-plan recall contract over these same rows)
+    val exact = rowsToTopk(Similarity.queries("ann_cosine_topk")(spark, sf0001).collect())
+    val ivf = rowsToTopk(Similarity.ivfTopK(spark, sf0001).collect())
     val recalls = exact.keys.toSeq.map { q =>
       val e = exact(q).toSet
       val hits = ivf.getOrElse(q, Seq.empty).toSet.intersect(e).size
       hits.toDouble / e.size
     }
     (recalls.sum / recalls.size) should be >= 0.6
+  }
+
+  test("ann_ivf_topk contract row reports the brute-force universe and a met floor") {
+    val row = Similarity.queries("ann_ivf_topk")(spark, sf0001).collect().head
+    row.getAs[Long]("n_exact") shouldBe 100L // 20 queries × 5
+    row.getAs[Boolean]("recall_at5_ok") shouldBe true
   }
 }
