@@ -9,9 +9,10 @@ import graft.sources.GitImporter
 /** The reference's CLI surface (/root/reference/clickhub.py:29-49) over our
   * engine: `schedule`, `import`, `start_worker`, `update_all_repos`,
   * `bulk_schedule`. One object so a user of the reference can map each
-  * entrypoint 1:1; the git-clone / git-import subprocess steps stay
-  * out-of-engine exactly as they do in the reference (importer.py:18-90) —
-  * callers hand us the TSV directory those tools produced.
+  * entrypoint 1:1. The git-clone / git-import subprocess steps are a
+  * pluggable [[graft.sources.RepoFetcher]]: `--git_fetch true` runs them
+  * in-worker like the reference's importer.py:18-90; the default consumes
+  * the TSV directory external tooling produced.
   */
 object ClickhubCli {
 
@@ -124,6 +125,19 @@ object ClickhubCli {
   def bulkSchedule(e: Env, repos: Seq[String]): Seq[String] =
     repos.filter(r => e.queue.schedule(r).isRight)
 
+  /** Worker TSV source: `--git_fetch true` makes workers clone/pull + run
+    * the git-import analog themselves (the reference's full importer.py
+    * path, [[graft.sources.GitCliFetcher]]); default consumes externally
+    * produced TSVs under the data cache, as before.
+    */
+  private def fetcherFor(args: Array[String], cfg: GraftConfig): String => String = {
+    def arg(name: String, default: String): String =
+      args.sliding(2).collectFirst { case Array(`name`, v) => v }.getOrElse(default)
+    val root = arg("--tsv_root", cfg.dataCache)
+    if (arg("--git_fetch", "false").toBoolean) new graft.sources.GitCliFetcher(root).fetch
+    else graft.sources.RepoFetcher.fromTsvRoot(root).fetch
+  }
+
   def main(args: Array[String]): Unit = {
     val cmd = args.headOption.getOrElse("")
     def arg(name: String, default: String = null): String =
@@ -148,12 +162,10 @@ object ClickhubCli {
         println(importRepo(e, arg("--repo_name"), arg("--tsv_dir")))
       case "start_worker" =>
         worker(e, arg("--worker_id", java.util.UUID.randomUUID().toString),
-          repo => s"${arg("--tsv_root", cfg.dataCache)}/$repo", Int.MaxValue,
-          cfg.sleepTimeMs)
+          fetcherFor(args, cfg), Int.MaxValue, cfg.sleepTimeMs)
       case "start_workers" => // start_workers.sh:4-8
         startWorkers(e, arg("--workers", "4").toInt,
-          repo => s"${arg("--tsv_root", cfg.dataCache)}/$repo", Int.MaxValue,
-          cfg.sleepTimeMs)
+          fetcherFor(args, cfg), Int.MaxValue, cfg.sleepTimeMs)
       case "serve" => // app.py analog (Dockerfile runs app.py)
         val app = new HttpApp(e, arg("--port", "8080").toInt,
           lookupTable = cfg.repoLookupTable)

@@ -94,6 +94,10 @@ final class Catalog(spark: SparkSession) {
           .sortWithinPartitions(t.sortKeys.map(col): _*)
       else deduped
     writeLock(name).synchronized {
+      // an append into a mid-swap table would recreate it with just this
+      // batch, and the next compact's "stale leftovers" delete would then
+      // discard the original data for good — finish the swap first
+      recoverInterruptedSwap(t)
       sorted.cache()
       try {
         val n = sorted.count()
@@ -103,9 +107,31 @@ final class Catalog(spark: SparkSession) {
     }
   }
 
+  /** Finish a compact swap a crash interrupted (doc on [[compact]]): table
+    * path absent with `.compact.tmp`/`.compact.old` present means the only
+    * surviving copies are the swap artifacts — every entry point that
+    * touches storage (append / read / readRaw / compact) runs this first,
+    * so no caller can ever observe, recreate, or delete a mid-swap table.
+    * One `exists` probe when the table is healthy.
+    */
+  private def recoverInterruptedSwap(t: TableDef): Unit = {
+    import org.apache.hadoop.fs.Path
+    val path = new Path(t.path)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) {
+      val tmp = new Path(t.path + ".compact.tmp")
+      val old = new Path(t.path + ".compact.old")
+      if (fs.exists(tmp) && fs.exists(old)) // finish the interrupted swap
+        require(fs.rename(tmp, path), s"${t.name}: recovery rename $tmp -> $path failed")
+      else if (fs.exists(old))              // restore the original
+        require(fs.rename(old, path), s"${t.name}: recovery rename $old -> $path failed")
+    }
+  }
+
   /** Read with full engine semantics applied (merged view). */
   def read(name: String): DataFrame = {
     val t = get(name)
+    recoverInterruptedSwap(t)
     val raw = spark.read.schema(t.schema).parquet(t.path)
     t.semantics match {
       case Append => raw
@@ -122,6 +148,7 @@ final class Catalog(spark: SparkSession) {
     */
   def readRaw(name: String): DataFrame = {
     val t = get(name)
+    recoverInterruptedSwap(t)
     spark.read.schema(t.schema).parquet(t.path)
   }
 
@@ -150,15 +177,7 @@ final class Catalog(spark: SparkSession) {
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new Path(t.path + ".compact.tmp")
     val old = new Path(t.path + ".compact.old")
-    if (!fs.exists(path)) {
-      // recovery renames must be checked too: falling through to the
-      // cleanup deletes below after a failed rename would erase the only
-      // surviving copies
-      if (fs.exists(tmp) && fs.exists(old)) // finish the interrupted swap
-        require(fs.rename(tmp, path), s"compact($name): recovery rename $tmp -> $path failed")
-      else if (fs.exists(old))              // restore the original
-        require(fs.rename(old, path), s"compact($name): recovery rename $old -> $path failed")
-    }
+    recoverInterruptedSwap(t)
     // only stale leftovers remain now that the table path exists
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (fs.exists(old)) fs.delete(old, true)

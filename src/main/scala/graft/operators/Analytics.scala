@@ -31,6 +31,25 @@ object Analytics extends QueryModule {
         .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"), count(lit(1)).as("n"))
         .orderBy(col("o_orderstatus"))),
 
+    // Salted skew join exercised as a first-class query: 80% of events land
+    // on one derived key (the hot-key shape that pins a reducer at scale);
+    // SkewJoin spreads it across 8 salt buckets with an 8× replication of
+    // the 25-row dim. Result-identical to the plain join, so the oracle IS
+    // the plain join; the integer id checksum keeps the compare float-free
+    // (double sums would be fold-order-sensitive across salt partitions).
+    "join_skew_salted" -> ((s, d) => {
+      val facts = Tables.events(s, d)
+        .select(when(col("event_id") % 10 < 8, lit(0L))
+          .otherwise(col("user_id") % 25).cast("int").as("nkey"),
+          col("event_id"))
+      val dim = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("int").as("nkey"), col("n_name"))
+      SkewJoin.saltedJoin(facts, dim, "nkey", salts = 8)
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+        .orderBy(col("n_name"))
+    }),
+
     "join_left_outer" -> ((s, d) =>
       // preserve-left outer join: only the streamed (right) side can be
       // broadcast, so hint supplier, not nation
@@ -342,6 +361,13 @@ object Analytics extends QueryModule {
         | count(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "join_skew_salted" ->
+      """SELECT n_name, count(*) AS n, sum(event_id) AS id_sum
+        |FROM (SELECT CASE WHEN event_id % 10 < 8 THEN 0
+        |             ELSE user_id % 25 END AS nkey, event_id FROM events) e
+        |JOIN nation ON n_nationkey = e.nkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "join_left_outer" ->
       """SELECT n_name, count(s_suppkey) AS n_supp

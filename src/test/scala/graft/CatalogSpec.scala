@@ -80,6 +80,33 @@ class CatalogSpec extends SparkSpecBase {
     java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".compact.old")) shouldBe false
   }
 
+  test("append() into a mid-swap table finishes the swap first — never recreates the table") {
+    // the ADVICE hazard: crash between the swap renames leaves .compact.old
+    // as the only copy; a subsequent append must NOT create a fresh table
+    // with just its batch (the next compact would then delete .compact.old
+    // as 'stale leftovers', losing the original rows for good)
+    val cat = new Catalog(spark)
+    val path = tmpDir("cat") + "/ar"
+    cat.createTable(TableDef("ar", path, replacingSchema,
+      Seq("k"), ReplacingDedup(Seq("k"), "updated_at")))
+    cat.append("ar", Seq(("a", 1L, 10L), ("b", 2L, 10L)).toDF("k", "v", "updated_at"))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(path), java.nio.file.Paths.get(path + ".compact.old"))
+    cat.append("ar", Seq(("c", 3L, 10L)).toDF("k", "v", "updated_at"))
+    cat.read("ar").count() shouldBe 3 // original a,b recovered + new c
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".compact.old")) shouldBe false
+    // readRaw on the other crash shape (tmp fully written, both renames
+    // pending the second) adopts the merged output
+    val p2 = tmpDir("cat") + "/rr"
+    cat.createTable(TableDef("rr", p2, replacingSchema,
+      Seq("k"), ReplacingDedup(Seq("k"), "updated_at")))
+    cat.append("rr", Seq(("a", 1L, 10L)).toDF("k", "v", "updated_at"))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(p2), java.nio.file.Paths.get(p2 + ".compact.tmp"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p2 + ".compact.old"))
+    cat.readRaw("rr").count() shouldBe 1
+  }
+
   test("compact() recovers a table left path-less by a crash between the swap renames") {
     val cat = new Catalog(spark)
     val path = tmpDir("cat") + "/cr"

@@ -93,6 +93,31 @@ class GhEventsSpec extends SparkSpecBase {
     streamed shouldBe stars
   }
 
+  test("adapter view ≡ ingested table: the same rows through JSONL ingest are identical") {
+    // The three gh_* CORRECTNESS queries run over the deterministic adapter
+    // view (GhEventsOps.fromEvents) because the DuckDB oracle can only see
+    // the testdata Parquet; this closes the remaining gap by pushing the
+    // view's own rows through the real JSONL ingest path and asserting both
+    // representations agree — row-for-row and on the gh_stars_rollup shape.
+    val imp = new GitImporter(spark, tmpDir("wh"))
+    val view = graft.operators.GhEventsOps.fromEvents(spark, sf0001)
+    val jsonDir = tmpDir("ghjson") + "/events"
+    view.coalesce(1).write
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .json(jsonDir)
+    GhEventsIngest.ingest(spark, imp.catalog, jsonDir) shouldBe view.count()
+    val ingested = imp.catalog.read("github_events")
+    // full 54-column row-set equality, both directions
+    view.exceptAll(ingested).count() shouldBe 0
+    ingested.exceptAll(view).count() shouldBe 0
+    // and the MV rollup the driver oracles is identical over either source
+    val viaView = StarsMv.githubStars(view).orderBy("repo_name").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val viaTable = StarsMv.githubStars(ingested).orderBy("repo_name").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    viaTable shouldBe viaView
+  }
+
   test("compact() preserves github_events under Append semantics") {
     val imp = new GitImporter(spark, tmpDir("wh"))
     val f1 = writeFixture(Seq(

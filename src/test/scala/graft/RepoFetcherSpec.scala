@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path}
+import graft.queue.WorkQueue
+import graft.sources.{GitCliFetcher, GitImporter}
+
+/** End-to-end worker path from a bare repo name: clone → git-import analog →
+  * TSVs → fact tables (the reference's importer.py:18-90 + §3.2 loop),
+  * spec'd against a locally created fixture repository — git clones from
+  * plain directories, so no network is involved.
+  */
+class RepoFetcherSpec extends SparkSpecBase {
+
+  private def sh(cwd: Path, env: Map[String, String], cmd: String*): Unit = {
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.directory(cwd.toFile)
+    env.foreach { case (k, v) => pb.environment().put(k, v) }
+    val p = pb.start()
+    val err = new String(p.getErrorStream.readAllBytes(), UTF_8)
+    require(p.waitFor() == 0, s"${cmd.mkString(" ")} failed: $err")
+  }
+
+  // deterministic commits: fixed identity + timestamps (UTC seconds)
+  private def gitEnv(epoch: Long) = Map(
+    "GIT_AUTHOR_NAME" -> "Fixture Author", "GIT_AUTHOR_EMAIL" -> "fix@example.com",
+    "GIT_COMMITTER_NAME" -> "Fixture Author", "GIT_COMMITTER_EMAIL" -> "fix@example.com",
+    "GIT_AUTHOR_DATE" -> s"$epoch +0000", "GIT_COMMITTER_DATE" -> s"$epoch +0000")
+
+  private def commit(repo: Path, epoch: Long, msg: String, files: (String, String)*): Unit = {
+    files.foreach { case (name, content) =>
+      val p = repo.resolve(name)
+      Files.createDirectories(p.getParent match { case null => repo; case d => d })
+      Files.write(p, content.getBytes(UTF_8))
+    }
+    sh(repo, gitEnv(epoch), "git", "add", "-A")
+    sh(repo, gitEnv(epoch), "git", "commit", "--quiet", "-m", msg)
+  }
+
+  private def fixtureRepo(): Path = {
+    val repo = Files.createTempDirectory("fixture-repo")
+    sh(repo, Map.empty, "git", "init", "--quiet", "-b", "main")
+    commit(repo, 1700000000L, "initial",
+      "src/Main.scala" -> "object Main {\n  // entry\n  def main(a: Array[String]): Unit = ()\n}\n",
+      "README.md" -> "# fixture\n")
+    commit(repo, 1700000100L, "add util",
+      "src/Util.scala" -> "object Util {\n  val x = 1\n}\n")
+    commit(repo, 1700000200L, "tweak main",
+      "src/Main.scala" -> "object Main {\n  // entry point\n  def main(a: Array[String]): Unit = println(1)\n}\n")
+    repo
+  }
+
+  test("worker from bare repo name: clone → TSVs → all three fact tables; pull is incremental") {
+    val upstream = fixtureRepo()
+    val cache = Files.createTempDirectory("git-cache").toString
+    val warehouse = Files.createTempDirectory("wh").toString
+    val fetcher = new GitCliFetcher(cache, urlFor = _ => upstream.toString)
+    val importer = new GitImporter(spark, warehouse)
+    val queue = new WorkQueue(Files.createTempDirectory("q"))
+
+    // §3.2 claim → fetch → import → release, from nothing but the repo name
+    queue.schedule("acme/fixture")
+    importer.workOnce(queue, "w1", fetcher.fetch) shouldBe Some("acme/fixture")
+    queue.length shouldBe 0
+
+    importer.catalog.read("commits").count() shouldBe 3
+    val fc = importer.catalog.read("file_changes")
+    // commit1: 2 adds, commit2: 1 add, commit3: 1 modify
+    fc.count() shouldBe 4
+    fc.filter(org.apache.spark.sql.functions.col("change_type") === "Add").count() shouldBe 3
+    val lc = importer.catalog.read("line_changes")
+    lc.count() should be > 0L
+    // the Modify commit rewrote 2 lines with zero-context hunks: both signs present
+    lc.filter(org.apache.spark.sql.functions.col("sign") === -1).count() should be > 0L
+
+    // replay: re-fetch (pull, no-op) + re-import is idempotent (watermark + dedup)
+    importer.importRepo("acme/fixture", fetcher.fetch("acme/fixture"))
+    importer.catalog.read("commits").count() shouldBe 3
+
+    // upstream advances → pull picks it up → only the new commit lands
+    commit(upstream, 1700000300L, "fourth", "NOTES.md" -> "notes\n")
+    importer.importRepo("acme/fixture", fetcher.fetch("acme/fixture"))
+    importer.catalog.read("commits").count() shouldBe 4
+    importer.catalog.read("file_changes").count() shouldBe 5
+  }
+
+  test("git-import analog emits faithful commit counters") {
+    val upstream = fixtureRepo()
+    val cache = Files.createTempDirectory("git-cache2").toString
+    val fetcher = new GitCliFetcher(cache, urlFor = _ => upstream.toString)
+    val dir = fetcher.fetch("acme/counters")
+    val rows = new String(Files.readAllBytes(java.nio.file.Paths.get(dir, "commits.tsv")), UTF_8)
+      .split("\n").map(_.split("\t", -1))
+    rows.length shouldBe 3
+    val initial = rows(0)
+    initial(0).length shouldBe 40                  // full hash
+    initial(1) shouldBe "Fixture Author"
+    initial(2) shouldBe "2023-11-14 22:13:20"      // epoch 1700000000 UTC
+    initial(4).toLong shouldBe 2                   // files_added
+    initial(8).toLong should be > 0L               // lines_added
+    val modify = rows(2)
+    modify(7).toLong shouldBe 1                    // files_modified
+    modify(9).toLong should be > 0L                // lines_deleted (rewrote lines)
+  }
+}
