@@ -31,7 +31,13 @@ final case class GraftConfig(
     sleepTimeMs: Long = 10000L,
     taskTable: String = "work_queue",
     cloneTable: String = "new_queue",
-    repoLookupTable: String = "commits")
+    repoLookupTable: String = "commits",
+    // ANN index knobs (extension surface, not in the reference's config.yml):
+    // cells in the IVF coarse quantizer and cells probed per query — the
+    // recall/scan-fraction trade (`ivf_ncells` / `ivf_nprobe` in the file).
+    // Defaults match graft.operators.Similarity's documented contract.
+    ivfNCells: Int = 16,
+    ivfNProbe: Int = 4)
 
 object GraftConfig {
 
@@ -75,7 +81,9 @@ object GraftConfig {
       sleepTimeMs = num("sleep_time").map(_ * 1000L).getOrElse(d.sleepTimeMs),
       taskTable = kv.getOrElse("task_table", d.taskTable).split('.').last,
       cloneTable = kv.getOrElse("clone_table", d.cloneTable).split('.').last,
-      repoLookupTable = kv.getOrElse("repo_lookup_table", d.repoLookupTable).split('.').last)
+      repoLookupTable = kv.getOrElse("repo_lookup_table", d.repoLookupTable).split('.').last,
+      ivfNCells = num("ivf_ncells").map(_.toInt).getOrElse(d.ivfNCells),
+      ivfNProbe = num("ivf_nprobe").map(_.toInt).getOrElse(d.ivfNProbe))
   }
 
   def load(path: String): GraftConfig =

@@ -102,11 +102,15 @@ object Similarity extends QueryModule {
 
   /** The raw IVF top-k rows (q_id, n_id, cos, rnk) — the operator itself;
     * the `ann_ivf_topk` query wraps this in its recall contract, and
-    * SimilaritySpec exercises it directly.
+    * SimilaritySpec exercises it directly. `nProbe`/`nCells` are the
+    * recall-vs-scan-fraction knobs a deployment tunes
+    * ([[graft.app.GraftConfig.ivfNProbe]] / ivfNCells feed them); the query
+    * entry pins the documented defaults so the contract stays deterministic.
     */
-  def ivfTopK(s: SparkSession, d: String): DataFrame = {
+  def ivfTopK(s: SparkSession, d: String,
+              nProbe: Int = NPROBE, nCells: Int = NCELLS): DataFrame = {
     val corpus = Tables.embeddings(s, d)
-    val centroids = trainCentroids(s, d)
+    val centroids = trainCentroids(s, d, nCells)
 
     val binned = corpus.withColumn("cell", assignCell(centroids, col("embedding")))
 
@@ -119,7 +123,7 @@ object Similarity extends QueryModule {
         }: _*)).as("p"))
       .select(col("q_id"), col("q_emb"), col("p.cell").as("cell"), col("p.ccos").as("ccos"))
       .withColumn("cr", row_number().over(wq))
-      .filter(col("cr") <= NPROBE)
+      .filter(col("cr") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("cell"))
 
     // score only vectors in probed cells — corpus side never shuffles
@@ -151,11 +155,12 @@ object Similarity extends QueryModule {
     * sample is the only thing the Lloyd passes ever scan, while assignment/
     * probing still covers everything.
     */
-  private def trainCentroids(s: SparkSession, d: String): Seq[Array[Float]] = {
+  private def trainCentroids(s: SparkSession, d: String,
+                             nCells: Int = NCELLS): Seq[Array[Float]] = {
     val corpus = Tables.embeddings(s, d)
-      .filter(pmod(col("vec_id"), lit(5)) === 0 || col("vec_id") < NCELLS)
+      .filter(pmod(col("vec_id"), lit(5)) === 0 || col("vec_id") < nCells)
     var cents: Seq[Array[Float]] = corpus
-      .filter(col("vec_id") < NCELLS).orderBy(col("vec_id"))
+      .filter(col("vec_id") < nCells).orderBy(col("vec_id"))
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray).toSeq
     (1 to LLOYD_ITERS).foreach { _ =>

@@ -36,6 +36,23 @@ class GraftConfigSpec extends SparkSpecBase {
     cfg.warehouse shouldBe GraftConfig().warehouse
   }
 
+  test("the shipped deploy/config.yml parses cleanly") {
+    val cfg = GraftConfig.load("deploy/config.yml")
+    cfg.warehouse shouldBe "/data/graft-warehouse"
+    cfg.maxQueueLength shouldBe 10000
+    cfg.sleepTimeMs shouldBe 10000L
+    cfg.taskTable shouldBe "work_queue"
+    cfg.ivfNCells shouldBe 16
+  }
+
+  test("IVF knobs parse and default to the documented contract values") {
+    GraftConfig().ivfNCells shouldBe 16
+    GraftConfig().ivfNProbe shouldBe 4
+    val cfg = GraftConfig.parse("ivf_ncells: 64\nivf_nprobe: 8\n")
+    cfg.ivfNCells shouldBe 64
+    cfg.ivfNProbe shouldBe 8
+  }
+
   test("trailing comments and quoted values with hashes parse correctly") {
     val cfg = GraftConfig.parse(
       """max_queue_length: 500  # cap

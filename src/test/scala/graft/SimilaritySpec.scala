@@ -36,6 +36,14 @@ class SimilaritySpec extends SparkSpecBase {
     (recalls.sum / recalls.size) should be >= 0.6
   }
 
+  test("nProbe = nCells degenerates IVF to the exact brute-force answer") {
+    // probing every cell means no candidate is pruned — the IVF result must
+    // equal brute force bit for bit; this pins the knob plumbing end to end
+    val exact = rowsToTopk(Similarity.queries("ann_cosine_topk")(spark, sf0001).collect())
+    val full = rowsToTopk(Similarity.ivfTopK(spark, sf0001, nProbe = 16, nCells = 16).collect())
+    full shouldBe exact
+  }
+
   test("ann_ivf_topk contract row reports the brute-force universe and a met floor") {
     val row = Similarity.queries("ann_ivf_topk")(spark, sf0001).collect().head
     row.getAs[Long]("n_exact") shouldBe 100L // 20 queries × 5
