@@ -34,12 +34,35 @@ case object Append extends EngineSemantics
 final case class ReplacingDedup(keys: Seq[String], versionCol: String) extends EngineSemantics
 final case class Summing(keys: Seq[String], sumCols: Seq[String]) extends EngineSemantics
 
+/** Physical layout of a table directory — how compact() commits its swap.
+  *
+  *   - [[FlatDir]]: one flat Parquet dir; compact rewrites to a sibling and
+  *     swaps via two atomic DIRECTORY renames. Right for HDFS/POSIX where
+  *     directory rename is an atomic metadata op; has a two-rename crash
+  *     window that [[Catalog]] recovers on every entry point.
+  *   - [[Versioned]]: versioned subdirs (`v0`, `v1`, …) under the table path
+  *     plus a `_CURRENT` manifest file naming the live one. Compact writes
+  *     the merged output to the NEXT version and commits by flipping the
+  *     one-line manifest — a single small-object write, the only commit
+  *     primitive object stores (no atomic dir rename) offer. There is no
+  *     window where the table is unreadable: a crash before the flip leaves
+  *     readers on the old version and the orphan next-version dir is
+  *     garbage-collected by the next compact; a crash during the flip
+  *     (manifest momentarily absent) falls back to the highest complete
+  *     version — which is correct because the manifest is only ever removed
+  *     after its successor's data is fully written.
+  */
+sealed trait TableLayout
+case object FlatDir extends TableLayout
+case object Versioned extends TableLayout
+
 final case class TableDef(
     name: String,
     path: String,
     schema: StructType,
     sortKeys: Seq[String],
-    semantics: EngineSemantics)
+    semantics: EngineSemantics,
+    layout: TableLayout = FlatDir)
 
 final class Catalog(spark: SparkSession) {
 
@@ -65,8 +88,50 @@ final class Catalog(spark: SparkSession) {
   // through the path's own Hadoop FileSystem, like compact(): a
   // java.io.File probe would answer false for every non-local warehouse
   def exists(name: String): Boolean = tables.contains(name) && {
-    val p = new org.apache.hadoop.fs.Path(get(name).path)
+    val t = get(name)
+    val p = new org.apache.hadoop.fs.Path(dataPath(t))
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  private def fs(t: TableDef): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(t.path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def manifestPath(t: TableDef) =
+    new org.apache.hadoop.fs.Path(t.path, "_CURRENT")
+
+  /** Live version dir name for a [[Versioned]] table. Resolution order:
+    * the `_CURRENT` manifest; else the highest-numbered complete version
+    * (the manifest is only ever absent mid-flip, i.e. AFTER its successor's
+    * data is fully written); else `v0` for a not-yet-written table.
+    */
+  private def currentVersion(t: TableDef): String = {
+    val f = fs(t)
+    val m = manifestPath(t)
+    if (f.exists(m)) {
+      val in = f.open(m)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    } else listVersions(t).sortBy(versionNum).lastOption.getOrElse("v0")
+  }
+
+  private def versionNum(v: String): Long = v.drop(1).toLong
+
+  private def listVersions(t: TableDef): Seq[String] = {
+    val f = fs(t)
+    val base = new org.apache.hadoop.fs.Path(t.path)
+    if (!f.exists(base)) Seq.empty
+    else f.listStatus(base).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.matches("v\\d+"))
+  }
+
+  /** Physical Parquet directory all reads/appends target. */
+  private def dataPath(t: TableDef): String = t.layout match {
+    case FlatDir => t.path
+    case Versioned =>
+      new org.apache.hadoop.fs.Path(t.path, currentVersion(t)).toString
   }
 
   /** S4: columnar append, clustered by the declared sort key on the way in
@@ -101,7 +166,7 @@ final class Catalog(spark: SparkSession) {
       sorted.cache()
       try {
         val n = sorted.count()
-        sorted.write.mode("append").parquet(t.path)
+        sorted.write.mode("append").parquet(dataPath(t))
         n
       } finally sorted.unpersist()
     }
@@ -116,6 +181,7 @@ final class Catalog(spark: SparkSession) {
     */
   private def recoverInterruptedSwap(t: TableDef): Unit = {
     import org.apache.hadoop.fs.Path
+    if (t.layout != FlatDir) return // Versioned has no unreadable window
     val path = new Path(t.path)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) {
@@ -132,7 +198,7 @@ final class Catalog(spark: SparkSession) {
   def read(name: String): DataFrame = {
     val t = get(name)
     recoverInterruptedSwap(t)
-    val raw = spark.read.schema(t.schema).parquet(t.path)
+    val raw = spark.read.schema(t.schema).parquet(dataPath(t))
     t.semantics match {
       case Append => raw
       case ReplacingDedup(keys, version) => latestWins(raw, keys, version)
@@ -149,7 +215,7 @@ final class Catalog(spark: SparkSession) {
   def readRaw(name: String): DataFrame = {
     val t = get(name)
     recoverInterruptedSwap(t)
-    spark.read.schema(t.schema).parquet(t.path)
+    spark.read.schema(t.schema).parquet(dataPath(t))
   }
 
   /** The deferred "background merge": rewrite storage to its merged form.
@@ -173,6 +239,7 @@ final class Catalog(spark: SparkSession) {
   def compact(name: String): Unit = writeLock(name).synchronized {
     import org.apache.hadoop.fs.Path
     val t = get(name)
+    if (t.layout == Versioned) { compactVersioned(t); return }
     val path = new Path(t.path)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new Path(t.path + ".compact.tmp")
@@ -193,6 +260,44 @@ final class Catalog(spark: SparkSession) {
     require(fs.rename(path, old), s"compact($name): rename $path -> $old failed")
     require(fs.rename(tmp, path), s"compact($name): rename $tmp -> $path failed")
     fs.delete(old, true)
+  }
+
+  /** Manifest-commit compact for [[Versioned]] tables (the object-store
+    * path): GC orphan versions from any crashed predecessor, write the
+    * merged output to the NEXT version dir, then commit by flipping the
+    * one-line `_CURRENT` manifest. The flip is tmp-file + delete + rename —
+    * single small FILE operations (on a store without rename, a
+    * conditional/overwrite PUT of `_CURRENT` is the drop-in analog); the
+    * brief manifest-absent window is covered by [[currentVersion]]'s
+    * highest-complete-version fallback. Readers never see a missing or
+    * half-written table at any point.
+    */
+  private def compactVersioned(t: TableDef): Unit = {
+    import org.apache.hadoop.fs.Path
+    val f = fs(t)
+    val cur = currentVersion(t)
+    // orphans = every version dir except the live one: either a fully
+    // written successor whose flip crashed (made live by the fallback, so
+    // not matched here) or a half-written compact output — safe to delete
+    listVersions(t).filter(_ != cur)
+      .foreach(v => f.delete(new Path(t.path, v), true))
+    if (!f.exists(new Path(t.path, cur))) return // nothing written yet
+    val merged = read(t.name)
+    val sorted =
+      if (t.sortKeys.nonEmpty)
+        merged.repartitionByRange(t.sortKeys.map(col): _*)
+          .sortWithinPartitions(t.sortKeys.map(col): _*)
+      else merged
+    val next = s"v${versionNum(cur) + 1}"
+    sorted.write.mode("overwrite").parquet(new Path(t.path, next).toString)
+    val m = manifestPath(t)
+    val tmp = new Path(t.path, "_CURRENT.tmp")
+    val out = f.create(tmp, true)
+    try out.write(next.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    f.delete(m, false)
+    require(f.rename(tmp, m), s"compact(${t.name}): manifest flip $tmp -> $m failed")
+    f.delete(new Path(t.path, cur), true)
   }
 
   /** A8/T2: ReplacingMergeTree latest-wins collapse (types.json:7). */

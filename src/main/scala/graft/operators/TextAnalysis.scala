@@ -139,6 +139,64 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Vocabulary building: corpus-wide token frequencies with corpus share —
+    // the first step of any tokenizer/vocab pipeline. One explode + one
+    // groupBy (map-side combine carries most of the weight at scale: the
+    // shuffle moves one row per distinct term per partition, not per token);
+    // the corpus-total is a broadcast scalar and top-k plans as
+    // TakeOrderedAndProject with a full deterministic tie-break.
+    "text_vocab" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(explode(TextFns.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val total = tok.agg(count(lit(1)).as("total"))
+      counts.crossJoin(broadcast(total))
+        .select(col("term"), col("cnt"),
+          (floor(col("cnt") * lit(1e6) / col("total") + 0.5) / 1e6).as("share"))
+        .orderBy(col("cnt").desc, col("term"))
+        .limit(100)
+    }),
+
+    // Repetition signal: fraction of duplicated word 3-grams per document —
+    // the standard cheap repetition filter for pretraining curation (highly
+    // repetitive docs are boilerplate/spam). Pure narrow map; the fraction
+    // is computed integer-first ((n-uniq)·1e6/n) so both engines round the
+    // same double.
+    "text_repetition" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TextFns.shingles3FromToks.as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"),
+          size(col("sh")).cast("long").as("n_shingles"),
+          size(array_distinct(col("sh"))).cast("long").as("n_uniq"),
+          (floor((size(col("sh")) - size(array_distinct(col("sh"))))
+            * lit(1e6) / size(col("sh")) + 0.5) / 1e6).as("dup_frac"))
+        .orderBy(col("doc_id"))),
+
+    // Bigram language-model counts: top transitions with conditional
+    // probability P(w2 | w1) = count(w1 w2) / count(w1 as first element).
+    // Two aggregations over one exploded bigram stream; the w1 marginal
+    // joins back on the (small) distinct-bigram side, never the raw stream.
+    "text_bigram" -> ((s, d) => {
+      val bi = Tables.documents(s, d)
+        .select(TextFns.tokens(col("text")).as("toks"))
+        .select(explode(expr(
+          """CASE WHEN size(toks) < 2 THEN array()
+            |     ELSE transform(sequence(1, size(toks) - 1),
+            |                    i -> struct(toks[i-1] AS w1, toks[i] AS w2))
+            |END""".stripMargin)).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val cnt = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      val marginal = bi.groupBy(col("w1")).agg(count(lit(1)).as("n_w1"))
+      cnt.join(marginal, Seq("w1"))
+        .select(col("w1"), col("w2"), col("cnt"),
+          (floor(col("cnt") * lit(1e6) / col("n_w1") + 0.5) / 1e6).as("p_w2_given_w1"))
+        .orderBy(col("cnt").desc, col("w1"), col("w2"))
+        .limit(50)
+    }),
+
     // Reproducible content-hash sampling (~20%): selection by a portable
     // deterministic hash of the text itself, not an RNG — the same document
     // lands in the same split on any engine, any run, any partitioning,
@@ -240,6 +298,43 @@ object TextAnalysis extends QueryModule {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "text_vocab" ->
+      """WITH tok AS (
+        |  SELECT u.term AS term
+        |  FROM (SELECT string_split_regex(lower(text), '\s+') AS t FROM documents),
+        |       UNNEST(t) AS u(term)
+        |  WHERE u.term <> ''),
+        |counts AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+        |total AS (SELECT count(*) AS total FROM tok)
+        |SELECT term, cnt, floor(cnt * 1e6 / total + 0.5) / 1e6 AS share
+        |FROM counts CROSS JOIN total
+        |ORDER BY cnt DESC, term LIMIT 100""".stripMargin,
+
+    "text_repetition" ->
+      """SELECT doc_id, len(sh)::BIGINT AS n_shingles,
+        | len(list_distinct(sh))::BIGINT AS n_uniq,
+        | floor((len(sh) - len(list_distinct(sh))) * 1e6 / len(sh) + 0.5) / 1e6
+        |   AS dup_frac
+        |FROM (
+        |  SELECT doc_id, [array_to_string(t[i:i+2], ' ')
+        |                  for i in generate_series(1, len(t)-2)] AS sh
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(text), '\s+') AS t FROM documents))
+        |WHERE len(sh) > 0 ORDER BY doc_id""".stripMargin,
+
+    "text_bigram" ->
+      """WITH tok AS (
+        |  SELECT string_split_regex(lower(text), '\s+') AS t FROM documents),
+        |bi AS (
+        |  SELECT t[g.i] AS w1, t[g.i + 1] AS w2
+        |  FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS g(i)),
+        |bc AS (SELECT w1, w2, count(*) AS cnt FROM bi GROUP BY 1, 2),
+        |fw AS (SELECT w1, count(*) AS n_w1 FROM bi GROUP BY 1)
+        |SELECT bc.w1, bc.w2, cnt, floor(cnt * 1e6 / n_w1 + 0.5) / 1e6
+        |  AS p_w2_given_w1
+        |FROM bc JOIN fw USING (w1)
+        |ORDER BY cnt DESC, w1, w2 LIMIT 50""".stripMargin,
 
     "text_sample" ->
       """SELECT doc_id, lang FROM (

@@ -107,6 +107,54 @@ class CatalogSpec extends SparkSpecBase {
     cat.readRaw("rr").count() shouldBe 1
   }
 
+  test("Versioned layout: appends, semantics, and manifest-commit compact") {
+    val cat = new Catalog(spark)
+    val path = tmpDir("cat") + "/vm"
+    cat.createTable(TableDef("vm", path, replacingSchema,
+      Seq("k"), ReplacingDedup(Seq("k"), "updated_at"), layout = Versioned))
+    cat.append("vm", Seq(("a", 1L, 10L), ("b", 2L, 10L)).toDF("k", "v", "updated_at"))
+    cat.append("vm", Seq(("a", 9L, 20L)).toDF("k", "v", "updated_at"))
+    cat.readRaw("vm").count() shouldBe 3 // both versions of a, in v0
+    val before = cat.read("vm").orderBy("k").collect()
+    before.map(r => (r.getString(0), r.getLong(1))) shouldBe Array(("a", 9L), ("b", 2L))
+    cat.compact("vm")
+    // committed: manifest points at v1, v0 gone, merged rows only
+    java.nio.file.Files.readString(java.nio.file.Paths.get(path, "_CURRENT")) shouldBe "v1"
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path, "v0")) shouldBe false
+    cat.readRaw("vm").count() shouldBe 2
+    cat.read("vm").orderBy("k").collect() shouldBe before
+    // appends keep landing in the live version
+    cat.append("vm", Seq(("c", 3L, 10L)).toDF("k", "v", "updated_at"))
+    cat.read("vm").count() shouldBe 3
+  }
+
+  test("Versioned layout: crashed flip falls back to the complete successor; next compact GCs") {
+    val cat = new Catalog(spark)
+    val path = tmpDir("cat") + "/vc"
+    cat.createTable(TableDef("vc", path, replacingSchema,
+      Seq("k"), ReplacingDedup(Seq("k"), "updated_at"), layout = Versioned))
+    cat.append("vc", Seq(("a", 1L, 10L), ("a", 2L, 20L)).toDF("k", "v", "updated_at"))
+    cat.compact("vc") // live = v1, merged single row
+    // simulate the mid-flip crash: successor v2 fully written, manifest deleted
+    import java.nio.file.{Files => JF, Paths => JP}
+    import scala.jdk.CollectionConverters._
+    val live = JP.get(path, "v1")
+    val v2 = JP.get(path, "v2")
+    JF.walk(live).iterator.asScala.toSeq.foreach { p =>
+      val dst = v2.resolve(live.relativize(p))
+      if (JF.isDirectory(p)) JF.createDirectories(dst) else JF.copy(p, dst)
+    }
+    JF.delete(JP.get(path, "_CURRENT"))
+    // readers fall back to the highest complete version (v2) — table stays up
+    cat.read("vc").count() shouldBe 1
+    // and the next compact re-establishes a manifest and GCs stale versions
+    cat.compact("vc")
+    java.nio.file.Files.readString(java.nio.file.Paths.get(path, "_CURRENT")) shouldBe "v3"
+    cat.read("vc").count() shouldBe 1
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path, "v1")) shouldBe false
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path, "v2")) shouldBe false
+  }
+
   test("compact() recovers a table left path-less by a crash between the swap renames") {
     val cat = new Catalog(spark)
     val path = tmpDir("cat") + "/cr"
