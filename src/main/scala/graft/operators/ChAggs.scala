@@ -100,9 +100,98 @@ object ChAggs extends QueryModule {
           round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
           round(covar_pop(col("l_quantity"), col("l_tax")), 8).as("cov_qty_tax"))
         .orderBy(col("l_returnflag"))),
+
+    // windowFunnel analog: how far does each user get through the
+    // click → view → purchase sequence within 24 h of the chain start?
+    // Earliest-chain greedy semantics (documented contract, mirrored
+    // exactly in the oracle): t1 = first click; t2 = first view after t1;
+    // t3 = first purchase after t2; both within t1 + 24 h. Three
+    // conditional min-aggregates with equi-join-backs on user_id — every
+    // stage hash-partitions on the same key, so the per-step shuffles
+    // co-locate and the frames shrink monotonically (only users still in
+    // the funnel survive each join); no per-user event arrays are ever
+    // collected, which is what keeps this working when users are billions.
+    "agg_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val t1 = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val lim = col("t1") + expr("INTERVAL 24 HOURS")
+      val t2 = ev.filter(col("event_type") === "view")
+        .join(t1, Seq("user_id"))
+        .filter(col("ts") > col("t1") && col("ts") <= lim)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, Seq("user_id"))
+        .filter(col("ts") > col("t2") && col("ts") <= lim)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      ev.select(col("user_id")).distinct()
+        .join(t1.select(col("user_id"), lit(1).as("l1")), Seq("user_id"), "left")
+        .join(t2.select(col("user_id"), lit(1).as("l2")), Seq("user_id"), "left")
+        .join(t3.select(col("user_id"), lit(1).as("l3")), Seq("user_id"), "left")
+        .select(when(col("l3").isNotNull, 3).when(col("l2").isNotNull, 2)
+          .when(col("l1").isNotNull, 1).otherwise(0).as("level"))
+        .groupBy(col("level")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("level"))
+    }),
+
+    // retention analog: of the users active on the cohort day (2024-01-01),
+    // how many were also active 1 / 7 / 14 days later? Per-user flags via
+    // conditional max (one scan, map-side combined), then one global sum —
+    // no self-joins, the shape that holds when "users" is billions.
+    "agg_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def onDay(day: String) =
+        max(when(to_date(col("ts")) === lit(day).cast("date"), 1).otherwise(0))
+      ev.groupBy(col("user_id"))
+        .agg(onDay("2024-01-01").as("d0"), onDay("2024-01-02").as("d1"),
+          onDay("2024-01-08").as("d7"), onDay("2024-01-15").as("d14"))
+        .agg(sum(col("d0")).as("day0"),
+          sum(col("d0") * col("d1")).as("day1"),
+          sum(col("d0") * col("d7")).as("day7"),
+          sum(col("d0") * col("d14")).as("day14"))
+    }),
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "agg_funnel" ->
+      """WITH ev AS (SELECT user_id, ts, event_type FROM events),
+        |t1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+        |       WHERE event_type = 'click' GROUP BY user_id),
+        |t2 AS (SELECT ev.user_id, min(ev.ts) AS t2, min(t1.t1) AS t1
+        |       FROM ev JOIN t1 ON ev.user_id = t1.user_id
+        |       WHERE ev.event_type = 'view'
+        |         AND ev.ts > t1.t1 AND ev.ts <= t1.t1 + INTERVAL 24 HOURS
+        |       GROUP BY ev.user_id),
+        |t3 AS (SELECT ev.user_id, min(ev.ts) AS t3
+        |       FROM ev JOIN t2 ON ev.user_id = t2.user_id
+        |       WHERE ev.event_type = 'purchase'
+        |         AND ev.ts > t2.t2 AND ev.ts <= t2.t1 + INTERVAL 24 HOURS
+        |       GROUP BY ev.user_id),
+        |lv AS (
+        |  SELECT u.user_id,
+        |    CASE WHEN t3.user_id IS NOT NULL THEN 3
+        |         WHEN t2.user_id IS NOT NULL THEN 2
+        |         WHEN t1.user_id IS NOT NULL THEN 1 ELSE 0 END AS level
+        |  FROM (SELECT DISTINCT user_id FROM ev) u
+        |  LEFT JOIN t1 ON u.user_id = t1.user_id
+        |  LEFT JOIN t2 ON u.user_id = t2.user_id
+        |  LEFT JOIN t3 ON u.user_id = t3.user_id)
+        |SELECT level, count(*) AS n_users FROM lv
+        |GROUP BY level ORDER BY level""".stripMargin,
+
+    "agg_retention" ->
+      """WITH flags AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-01' THEN 1 ELSE 0 END) AS d0,
+        |    max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-02' THEN 1 ELSE 0 END) AS d1,
+        |    max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-08' THEN 1 ELSE 0 END) AS d7,
+        |    max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-15' THEN 1 ELSE 0 END) AS d14
+        |  FROM events GROUP BY user_id)
+        |SELECT sum(d0)::BIGINT AS day0, sum(d0 * d1)::BIGINT AS day1,
+        |  sum(d0 * d7)::BIGINT AS day7, sum(d0 * d14)::BIGINT AS day14
+        |FROM flags""".stripMargin,
+
     "agg_argmax" ->
       """SELECT o_orderstatus,
         | max(struct_pack(p := o_totalprice, k := o_orderkey)).k AS key_of_max,
