@@ -13,7 +13,11 @@ object ExplainCheck {
     val d = "/root/testdata/sf0.01"
     val interesting = Seq("q1_agg", "q3_shipping", "q5_region_revenue",
       "p5_watermark", "join_broadcast", "j2_semi_join", "o1_topk",
-      "gh_stars_rollup", "text_bm25", "win_ntile_dense", "dedup_ngram_jaccard")
+      "gh_stars_rollup", "text_bm25", "win_ntile_dense", "dedup_ngram_jaccard",
+      // round 3: skew-salted join, funnel join-backs, vocab/bigram top-k,
+      // the two accuracy-contract plans
+      "join_skew_salted", "agg_funnel", "agg_retention",
+      "text_vocab", "text_bigram", "ann_ivf_topk", "dedup_simhash")
     interesting.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(plan).mkString("; ")
