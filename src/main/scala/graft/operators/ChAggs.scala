@@ -135,6 +135,22 @@ object ChAggs extends QueryModule {
         .orderBy(col("level"))
     }),
 
+    // histogram (ClickHouse histogram() / DuckDB width_bucket shape):
+    // fixed-width bins over l_extendedprice — one codegen'd bin expression
+    // + one groupBy, the distributed histogram that never collects values.
+    // Bin id arithmetic is integer-exact on both engines (floor of a
+    // double ratio of exact-decimal inputs over a power-of-2-free range is
+    // still deterministic because both engines evaluate the identical
+    // double expression).
+    "agg_histogram" -> ((s, d) => {
+      val lo = lit(900.0); val width = lit(7000.0)
+      Tables.lineitem(s, d)
+        .select(greatest(lit(0), least(lit(9),
+          floor((col("l_extendedprice") - lo) / width).cast("int"))).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bin"))
+    }),
+
     // retention analog: of the users active on the cohort day (2024-01-01),
     // how many were also active 1 / 7 / 14 days later? Per-user flags via
     // conditional max (one scan, map-side combined), then one global sum —
@@ -179,6 +195,12 @@ object ChAggs extends QueryModule {
         |  LEFT JOIN t3 ON u.user_id = t3.user_id)
         |SELECT level, count(*) AS n_users FROM lv
         |GROUP BY level ORDER BY level""".stripMargin,
+
+    "agg_histogram" ->
+      """SELECT greatest(0, least(9,
+        |  CAST(floor((l_extendedprice - 900.0::DOUBLE) / 7000.0::DOUBLE) AS INTEGER)))
+        |  AS bin, count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "agg_retention" ->
       """WITH flags AS (

@@ -202,6 +202,23 @@ object TextAnalysis extends QueryModule {
         .limit(50)
     }),
 
+    // Stratified quota sampling: a fixed per-language quota (20 docs)
+    // selected in content-hash order — the deterministic "N examples per
+    // stratum" split builder (eval sets, ablations) that no RNG-based
+    // sampleBy can reproduce across engines/partitionings. The window is
+    // partitioned by the stratum key, so it scales with the corpus sharding
+    // (never a single-partition sort).
+    "text_stratified" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), TextFns.polyHash(col("text")).as("h"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 20)
+        .select(col("doc_id"), col("lang"), col("rk"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
     // Reproducible content-hash sampling (~20%): selection by a portable
     // deterministic hash of the text itself, not an RNG — the same document
     // lands in the same split on any engine, any run, any partitioning,
@@ -340,6 +357,18 @@ object TextAnalysis extends QueryModule {
         |  AS p_w2_given_w1
         |FROM bc JOIN fw USING (w1)
         |ORDER BY cnt DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    "text_stratified" ->
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang ORDER BY h, doc_id) AS rk
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      list_reduce(
+        |        list_prepend(0::BIGINT, [unicode(c) for c in string_split(text, '')]),
+        |        (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+        |    FROM documents))
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
 
     "text_sample" ->
       """SELECT doc_id, lang FROM (
