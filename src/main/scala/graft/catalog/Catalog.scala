@@ -163,6 +163,11 @@ final class Catalog(spark: SparkSession) {
       // batch, and the next compact's "stale leftovers" delete would then
       // discard the original data for good — finish the swap first
       recoverInterruptedSwap(t)
+      // Versioned: pin the manifest at first write so "manifest absent"
+      // always implies "a fully-written successor exists" (the fallback's
+      // soundness condition — see compactVersioned)
+      if (t.layout == Versioned && !fs(t).exists(manifestPath(t)))
+        writeManifest(t, currentVersion(t))
       sorted.cache()
       try {
         val n = sorted.count()
@@ -276,6 +281,12 @@ final class Catalog(spark: SparkSession) {
     import org.apache.hadoop.fs.Path
     val f = fs(t)
     val cur = currentVersion(t)
+    // Pin the manifest BEFORE any new version dir exists: the
+    // highest-complete-version fallback is only sound while "manifest
+    // absent" implies "successor fully written" — without this, a crash
+    // midway through the very first compact's v1 write (no manifest ever
+    // created) would make readers fall back onto the half-written v1.
+    if (!f.exists(manifestPath(t))) writeManifest(t, cur)
     // orphans = every version dir except the live one: either a fully
     // written successor whose flip crashed (made live by the fallback, so
     // not matched here) or a half-written compact output — safe to delete
@@ -290,14 +301,26 @@ final class Catalog(spark: SparkSession) {
       else merged
     val next = s"v${versionNum(cur) + 1}"
     sorted.write.mode("overwrite").parquet(new Path(t.path, next).toString)
+    writeManifest(t, next)
+    f.delete(new Path(t.path, cur), true)
+  }
+
+  /** Atomically (re)point `_CURRENT` at a version: tmp file + delete +
+    * rename — single small FILE operations (on a store without rename, a
+    * conditional/overwrite PUT of `_CURRENT` is the drop-in analog). The
+    * brief manifest-absent window between delete and rename is covered by
+    * [[currentVersion]]'s highest-complete-version fallback.
+    */
+  private def writeManifest(t: TableDef, version: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val f = fs(t)
     val m = manifestPath(t)
     val tmp = new Path(t.path, "_CURRENT.tmp")
     val out = f.create(tmp, true)
-    try out.write(next.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     f.delete(m, false)
-    require(f.rename(tmp, m), s"compact(${t.name}): manifest flip $tmp -> $m failed")
-    f.delete(new Path(t.path, cur), true)
+    require(f.rename(tmp, m), s"${t.name}: manifest flip $tmp -> $m failed")
   }
 
   /** A8/T2: ReplacingMergeTree latest-wins collapse (types.json:7). */

@@ -128,6 +128,26 @@ class CatalogSpec extends SparkSpecBase {
     cat.read("vm").count() shouldBe 3
   }
 
+  test("Versioned layout: half-written compact output never becomes visible") {
+    // the first-compact crash window: the manifest must exist BEFORE any
+    // successor version dir does, or a crash midway through writing v1
+    // would make the highest-version fallback adopt the partial output
+    val cat = new Catalog(spark)
+    val path = tmpDir("cat") + "/vh"
+    cat.createTable(TableDef("vh", path, replacingSchema,
+      Seq("k"), ReplacingDedup(Seq("k"), "updated_at"), layout = Versioned))
+    cat.append("vh", Seq(("a", 1L, 10L), ("b", 2L, 10L)).toDF("k", "v", "updated_at"))
+    // append pins the manifest at first write
+    java.nio.file.Files.readString(java.nio.file.Paths.get(path, "_CURRENT")) shouldBe "v0"
+    // simulate a compact that crashed mid-write: v1 exists but is garbage
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path, "v1"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path, "v1", "part-junk"), "junk")
+    cat.read("vh").count() shouldBe 2 // manifest still rules: v0 served
+    cat.compact("vh") // GCs the orphan, commits a fresh merge
+    cat.read("vh").count() shouldBe 2
+    java.nio.file.Files.readString(java.nio.file.Paths.get(path, "_CURRENT")) shouldBe "v1"
+  }
+
   test("Versioned layout: crashed flip falls back to the complete successor; next compact GCs") {
     val cat = new Catalog(spark)
     val path = tmpDir("cat") + "/vc"
