@@ -130,19 +130,20 @@ object ClickhubCli {
     * path, [[graft.sources.GitCliFetcher]]); default consumes externally
     * produced TSVs under the data cache, as before.
     */
+  /** `--flag value` lookup, shared by main() and fetcherFor. */
+  private def argOf(args: Array[String], name: String, default: String = null): String =
+    args.sliding(2).collectFirst { case Array(`name`, v) => v }
+      .getOrElse(Option(default).getOrElse(sys.error(s"missing $name")))
+
   private def fetcherFor(args: Array[String], cfg: GraftConfig): String => String = {
-    def arg(name: String, default: String): String =
-      args.sliding(2).collectFirst { case Array(`name`, v) => v }.getOrElse(default)
-    val root = arg("--tsv_root", cfg.dataCache)
-    if (arg("--git_fetch", "false").toBoolean) new graft.sources.GitCliFetcher(root).fetch
+    val root = argOf(args, "--tsv_root", cfg.dataCache)
+    if (argOf(args, "--git_fetch", "false").toBoolean) new graft.sources.GitCliFetcher(root).fetch
     else graft.sources.RepoFetcher.fromTsvRoot(root).fetch
   }
 
   def main(args: Array[String]): Unit = {
     val cmd = args.headOption.getOrElse("")
-    def arg(name: String, default: String = null): String =
-      args.sliding(2).collectFirst { case Array(`name`, v) => v }
-        .getOrElse(Option(default).getOrElse(sys.error(s"missing $name")))
+    def arg(name: String, default: String = null): String = argOf(args, name, default)
     // `-c/--config config.yml` analog (clickhub.py:51); flags override file.
     // `--task_table` selects the queue instance exactly as the reference
     // does (clickhub.py:23-24, default git.work_queue; git.new_queue is the

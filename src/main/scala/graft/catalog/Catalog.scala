@@ -189,13 +189,20 @@ final class Catalog(spark: SparkSession) {
     if (t.layout != FlatDir) return // Versioned has no unreadable window
     val path = new Path(t.path)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(path)) {
-      val tmp = new Path(t.path + ".compact.tmp")
-      val old = new Path(t.path + ".compact.old")
-      if (fs.exists(tmp) && fs.exists(old)) // finish the interrupted swap
-        require(fs.rename(tmp, path), s"${t.name}: recovery rename $tmp -> $path failed")
-      else if (fs.exists(old))              // restore the original
-        require(fs.rename(old, path), s"${t.name}: recovery rename $old -> $path failed")
+    // Cheap lock-free probe first (every read runs this); the recovery
+    // itself must serialize against a LIVE compact's two-rename window and
+    // against other recovering readers — a lock-free rename here would make
+    // the in-flight compact's own checked rename fail — so it re-checks
+    // under the table's write lock before touching anything.
+    if (!fs.exists(path)) writeLock(t.name).synchronized {
+      if (!fs.exists(path)) {
+        val tmp = new Path(t.path + ".compact.tmp")
+        val old = new Path(t.path + ".compact.old")
+        if (fs.exists(tmp) && fs.exists(old)) // finish the interrupted swap
+          require(fs.rename(tmp, path), s"${t.name}: recovery rename $tmp -> $path failed")
+        else if (fs.exists(old))              // restore the original
+          require(fs.rename(old, path), s"${t.name}: recovery rename $old -> $path failed")
+      }
     }
   }
 

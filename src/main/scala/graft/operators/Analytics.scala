@@ -363,7 +363,7 @@ object Analytics extends QueryModule {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "join_skew_salted" ->
-      """SELECT n_name, count(*) AS n, sum(event_id) AS id_sum
+      """SELECT n_name, count(*) AS n, sum(event_id)::BIGINT AS id_sum
         |FROM (SELECT CASE WHEN event_id % 10 < 8 THEN 0
         |             ELSE user_id % 25 END AS nkey, event_id FROM events) e
         |JOIN nation ON n_nationkey = e.nkey

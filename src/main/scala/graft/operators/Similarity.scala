@@ -107,6 +107,12 @@ object Similarity extends QueryModule {
     * ([[graft.app.GraftConfig.ivfNProbe]] / ivfNCells feed them); the query
     * entry pins the documented defaults so the contract stays deterministic.
     */
+  /** Config-driven entry: deployment callers tune the knobs through
+    * `ivf_nprobe` / `ivf_ncells` in config.yml ([[graft.app.GraftConfig]]).
+    */
+  def ivfTopK(s: SparkSession, d: String, cfg: graft.app.GraftConfig): DataFrame =
+    ivfTopK(s, d, cfg.ivfNProbe, cfg.ivfNCells)
+
   def ivfTopK(s: SparkSession, d: String,
               nProbe: Int = NPROBE, nCells: Int = NCELLS): DataFrame = {
     val corpus = Tables.embeddings(s, d)

@@ -63,8 +63,13 @@ final class WorkQueue(dir: Path, maxQueueLength: Int = 10000) {
     */
   def length: Int = {
     val st = Files.list(dir)
-    val n = try st.iterator.asScala.count(p => !p.getFileName.toString.endsWith(".tmp"))
-    finally st.close()
+    // count only the two state-marker suffixes — foreign files in a shared
+    // queue dir (editor backups, other tooling) must not consume capacity,
+    // matching the old read-and-decode semantics at name-count cost
+    val n = try st.iterator.asScala.count { p =>
+      val name = p.getFileName.toString
+      name.endsWith(".pending") || name.endsWith(".claimed")
+    } finally st.close()
     cachedLen.set(n)
     n
   }

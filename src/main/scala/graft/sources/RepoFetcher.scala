@@ -70,17 +70,37 @@ final class GitCliFetcher(
     dir.toString
   }
 
-  private def run(cwd: Path, cmd: String*): String = {
+  /** Run a subprocess, streaming stdout lines through `consume` while a
+    * background thread drains stderr — reading the two pipes sequentially
+    * deadlocks once the child fills the unread one (~64 KB), and buffering
+    * `git log -p` over a big history as one String would hit the JVM's 2 GB
+    * array cap long before 100 TB-scale repos do.
+    */
+  private def runStreaming[T](cwd: Path, cmd: String*)(consume: Iterator[String] => T): T = {
     val pb = new ProcessBuilder(cmd: _*)
     pb.directory(cwd.toFile)
     pb.redirectErrorStream(false)
     val p = pb.start()
-    val out = new String(p.getInputStream.readAllBytes(), UTF_8)
-    val err = new String(p.getErrorStream.readAllBytes(), UTF_8)
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val drainer = new Thread(() => p.getErrorStream.transferTo(errBuf), "stderr-drain")
+    drainer.setDaemon(true)
+    drainer.start()
+    // InputStreamReader REPLACEs malformed bytes (repos carry non-UTF-8
+    // file content in patches); a throwing decoder would abort the import
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(p.getInputStream, UTF_8))
+    val result =
+      try consume(Iterator.continually(reader.readLine()).takeWhile(_ != null))
+      finally reader.close()
     val code = p.waitFor()
-    require(code == 0, s"${cmd.mkString(" ")} failed ($code): ${err.take(500)}")
-    out
+    drainer.join(10000)
+    require(code == 0,
+      s"${cmd.mkString(" ")} failed ($code): ${errBuf.toString(UTF_8).take(500)}")
+    result
   }
+
+  private def run(cwd: Path, cmd: String*): Unit =
+    runStreaming(cwd, cmd: _*)(_.foreach(_ => ()))
 
   private def sanitize(s: String): String = s.replaceAll("[\\t\\n\\r]", " ")
 
@@ -106,8 +126,8 @@ final class GitCliFetcher(
   private final case class Hunk(oldStart: Long, newStart: Long,
                                 added: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty,
                                 deleted: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty)
-  private final case class FileDiff(path: String, changeType: String,
-                                    hunks: mutable.ArrayBuffer[Hunk] = mutable.ArrayBuffer.empty) {
+  private final class FileDiff(var path: String, var changeType: String) {
+    val hunks: mutable.ArrayBuffer[Hunk] = mutable.ArrayBuffer.empty
     def linesAdded: Long = hunks.map(_.added.size.toLong).sum
     def linesDeleted: Long = hunks.map(_.deleted.size.toLong).sum
     def hunksAdded: Long = hunks.count(h => h.added.nonEmpty && h.deleted.isEmpty)
@@ -119,34 +139,65 @@ final class GitCliFetcher(
 
   private val HunkHeader = """@@ -(\d+)(?:,\d+)? \+(\d+)(?:,\d+)? @@.*""".r
 
-  /** Parse `git log --reverse -p --unified=0 --no-renames` into commits. */
-  private def parseLog(out: String): Seq[Commit] = {
+  /** Path from a `--- a/x` / `+++ b/x` header line: strips the marker, an
+    * optional quoting layer (git quotes non-ASCII paths), and the a/ or b/
+    * prefix; `/dev/null` → None. Header lines are the authoritative path
+    * source — the `diff --git a/x b/x` line is ambiguous for paths that
+    * themselves contain ` b/` or are quoted.
+    */
+  private def headerPath(l: String, prefix: String): Option[String] = {
+    val body = l.drop(4).trim
+    if (body == "/dev/null") None
+    else {
+      val unq =
+        if (body.length >= 2 && body.head == '"' && body.last == '"')
+          body.substring(1, body.length - 1)
+        else body
+      Some(if (unq.startsWith(prefix)) unq.drop(prefix.length) else unq)
+    }
+  }
+
+  /** Parse the streamed `git log --reverse -p --unified=0 --no-renames`
+    * output. File headers (`---`/`+++`/mode lines) are only recognized
+    * BEFORE a file's first hunk; past it, every `+`/`-` line is content —
+    * which is also what makes added lines starting with `++` (rendered
+    * `+++…`) count correctly instead of being mistaken for headers.
+    */
+  private def parseLog(lines: Iterator[String]): Seq[Commit] = {
     val commits = mutable.ArrayBuffer.empty[Commit]
     var file: FileDiff = null
     var hunk: Hunk = null
-    out.linesIterator.foreach {
+    lines.foreach {
       case l if l.startsWith("@C\t") =>
         val a = l.split("\t", 5)
         commits += Commit(a(1), a(2), a(3).toLong, if (a.length > 4) a(4) else "")
         file = null; hunk = null
       case l if l.startsWith("diff --git ") =>
-        // `b/<path>` is the authoritative new path (old == new without renames)
-        val path = l.substring(l.indexOf(" b/") + 3)
-        file = FileDiff(path, "Modify")
+        // seed the path from the (ambiguous) diff line — binary files emit
+        // no ---/+++ headers; text files overwrite it from the headers
+        val seed = l.indexOf(" b/") match {
+          case -1 => ""
+          case i => l.substring(i + 3)
+        }
+        file = new FileDiff(seed, "Modify")
         hunk = null
         commits.last.files += file
-      case l if l.startsWith("new file mode") && file != null =>
-        commits.last.files(commits.last.files.size - 1) = file.copy(changeType = "Add")
-        file = commits.last.files.last
-      case l if l.startsWith("deleted file mode") && file != null =>
-        commits.last.files(commits.last.files.size - 1) = file.copy(changeType = "Delete")
-        file = commits.last.files.last
+      case l if file != null && hunk == null && l.startsWith("new file mode") =>
+        file.changeType = "Add"
+      case l if file != null && hunk == null && l.startsWith("deleted file mode") =>
+        file.changeType = "Delete"
+      // headers override the seed unconditionally (old == new path without
+      // renames; `+++` wins last for Add, `---` supplies Delete's path)
+      case l if file != null && hunk == null && l.startsWith("--- ") =>
+        headerPath(l, "a/").foreach(p => file.path = p)
+      case l if file != null && hunk == null && l.startsWith("+++ ") =>
+        headerPath(l, "b/").foreach(p => file.path = p)
       case HunkHeader(o, n) if file != null =>
         hunk = Hunk(o.toLong, n.toLong)
         file.hunks += hunk
-      case l if hunk != null && l.startsWith("+") && !l.startsWith("+++") =>
+      case l if hunk != null && l.startsWith("+") =>
         hunk.added += l.substring(1)
-      case l if hunk != null && l.startsWith("-") && !l.startsWith("---") =>
+      case l if hunk != null && l.startsWith("-") =>
         hunk.deleted += l.substring(1)
       case _ => ()
     }
@@ -158,9 +209,8 @@ final class GitCliFetcher(
     * (repo/importer.py:86-90), headerless and positional.
     */
   private def gitImport(dir: Path): Unit = {
-    val log = run(dir, "git", "log", "--reverse", "--no-renames", "-p",
-      "--unified=0", "--pretty=format:@C%x09%H%x09%an%x09%at%x09%s")
-    val commits = parseLog(log)
+    val commits = runStreaming(dir, "git", "log", "--reverse", "--no-renames",
+      "-p", "--unified=0", "--pretty=format:@C%x09%H%x09%an%x09%at%x09%s")(parseLog)
 
     val commitRows = commits.map { c =>
       val fa = c.files.count(_.changeType == "Add").toLong

@@ -36,11 +36,13 @@ class SimilaritySpec extends SparkSpecBase {
     (recalls.sum / recalls.size) should be >= 0.6
   }
 
-  test("nProbe = nCells degenerates IVF to the exact brute-force answer") {
+  test("nProbe = nCells degenerates IVF to the exact brute-force answer (via config)") {
     // probing every cell means no candidate is pruned — the IVF result must
-    // equal brute force bit for bit; this pins the knob plumbing end to end
+    // equal brute force bit for bit; going through GraftConfig pins the
+    // ivf_nprobe/ivf_ncells plumbing end to end, file → knobs → plan
     val exact = rowsToTopk(Similarity.queries("ann_cosine_topk")(spark, sf0001).collect())
-    val full = rowsToTopk(Similarity.ivfTopK(spark, sf0001, nProbe = 16, nCells = 16).collect())
+    val cfg = graft.app.GraftConfig.parse("ivf_nprobe: 16\nivf_ncells: 16\n")
+    val full = rowsToTopk(Similarity.ivfTopK(spark, sf0001, cfg).collect())
     full shouldBe exact
   }
 
