@@ -201,6 +201,25 @@ object Analytics extends QueryModule {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // Time-based RANGE frame: trailing 1-hour moving sum/count per user —
+    // the value-range window (RANGE BETWEEN N PRECEDING) that ROWS frames
+    // cannot express when events are irregularly spaced. Ordered by epoch
+    // seconds (a numeric key both engines frame identically; RANGE over raw
+    // timestamps would pit Spark's interval arithmetic against DuckDB's).
+    // Partitioned by user_id — scales with the corpus sharding.
+    "win_moving_range" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("epoch"))
+        .rangeBetween(-3600L, 0L)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("epoch"), col("value"))
+        .withColumn("mov_n", count(lit(1)).over(w))
+        .withColumn("mov_sum", round(sum(col("value")).over(w), 4))
+        .select(col("event_id"), col("user_id"), col("epoch"),
+          col("mov_n"), col("mov_sum"))
+        .orderBy(col("event_id"))
+    }),
+
     // Global ntile/dense_rank WITHOUT a partitionless window (which would
     // serialize the whole table through one task — "Moving all data to a
     // single partition"). The ordering (c_acctbal DESC, c_custkey) is total
@@ -466,6 +485,16 @@ object Analytics extends QueryModule {
         |   ORDER BY o_orderdate, o_orderkey
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "win_moving_range" ->
+      """SELECT event_id, user_id, epoch,
+        | count(*) OVER w AS mov_n,
+        | round(sum(value) OVER w, 4) AS mov_sum
+        |FROM (SELECT event_id, user_id,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS epoch, value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "win_ntile_dense" ->
       """SELECT c_custkey, quartile, drnk FROM (
