@@ -87,6 +87,27 @@ class QueueSpec extends AnyFunSuite with Matchers {
     q.schedule("acme/inflight") shouldBe Left("ALREADY_PROCESSING")
   }
 
+  test("random op interleavings keep length/contains/snapshot consistent") {
+    // exercises the O(1) guards' bookkeeping (cached counter, suffix-only
+    // name counting, two-probe contains) against the ground truth the old
+    // read-everything implementation embodied: after ANY sequence of
+    // schedule/claim/complete, length == snapshot().size and contains(r)
+    // matches snapshot membership
+    val q = newQueue()
+    val rnd = new scala.util.Random(11)
+    val repos = (1 to 30).map(i => s"org/r$i")
+    (1 to 300).foreach { _ =>
+      rnd.nextInt(3) match {
+        case 0 => q.schedule(repos(rnd.nextInt(repos.size)))
+        case 1 => q.claim(s"w${rnd.nextInt(4)}")
+        case 2 => q.complete(repos(rnd.nextInt(repos.size)))
+      }
+      q.length shouldBe q.snapshot().size
+    }
+    repos.foreach(r =>
+      q.contains(r) shouldBe q.snapshot().exists(_.repoName == r))
+  }
+
   test("complete removes the job in any state (M3, unconditional release)") {
     val q = newQueue()
     q.schedule("a/pending"); q.schedule("a/claimed")
