@@ -205,16 +205,30 @@ object TextAnalysis extends QueryModule {
     // Stratified quota sampling: a fixed per-language quota (20 docs)
     // selected in content-hash order — the deterministic "N examples per
     // stratum" split builder (eval sets, ablations) that no RNG-based
-    // sampleBy can reproduce across engines/partitionings. The window is
-    // partitioned by the stratum key, so it scales with the corpus sharding
-    // (never a single-partition sort).
+    // sampleBy can reproduce across engines/partitionings.
+    //
+    // Scale shape: a single window over (lang) would funnel each language's
+    // ENTIRE doc set through one task (only a handful of stratum values).
+    // Two-phase instead: a salted local top-K bounds every window partition
+    // at corpus/(strata·64), then the global per-stratum rank runs over at
+    // most 64·K surviving rows per language — identical output (the global
+    // top-K is a subset of the union of per-salt top-Ks), bounded memory
+    // at any corpus size.
     "text_stratified" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
-      Tables.documents(s, d)
+      val K = 20
+      val hashed = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), TextFns.polyHash(col("text")).as("h"))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 20)
+        .withColumn("salt", pmod(hash(col("doc_id")), lit(64)))
+      val wLocal = Window.partitionBy(col("lang"), col("salt"))
+        .orderBy(col("h"), col("doc_id"))
+      val survivors = hashed
+        .withColumn("lrk", row_number().over(wLocal))
+        .filter(col("lrk") <= K)
+      val wGlobal = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      survivors
+        .withColumn("rk", row_number().over(wGlobal).cast("long"))
+        .filter(col("rk") <= K)
         .select(col("doc_id"), col("lang"), col("rk"))
         .orderBy(col("lang"), col("rk"))
     }),
