@@ -10,7 +10,9 @@ import graft.operators._
   */
 object SparkEntry {
 
-  private val modules: Seq[QueryModule] =
+  // package-visible so QueriesSpec can assert no key collides across
+  // modules (flatMap(_.queries).toMap would drop a colliding query SILENTLY)
+  private[graft] val modules: Seq[QueryModule] =
     Seq(RefOps, Analytics, ChAggs, TemporalJoins, Dedup, TextAnalysis, Similarity, Multimodal, GhEventsOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -15,6 +15,15 @@ class QueriesSpec extends SparkSpecBase {
     unknown shouldBe empty
   }
 
+  test("no query or oracle key collides across modules") {
+    // SparkEntry merges module maps with toMap — a duplicated key would
+    // silently drop one module's query from the driver's correctness gate
+    val qKeys = SparkEntry.modules.flatMap(_.queries.keys)
+    qKeys.diff(qKeys.distinct) shouldBe empty
+    val oKeys = SparkEntry.modules.flatMap(_.oracleSql.keys)
+    oKeys.diff(oKeys.distinct) shouldBe empty
+  }
+
   test("every query executes at sf0.001 and most return rows") {
     val counts = SparkEntry.queries.map { case (name, fn) =>
       name -> fn(spark, sf0001).count()
