@@ -30,12 +30,11 @@ object TextFns {
 
   /** Portable polynomial rolling hash of a string column (codepoint fold,
     * base 31, mod 1e9+7) — deterministic and replicable in DuckDB SQL, unlike
-    * xxhash64/crc32 whose exact bits differ across engines.
+    * xxhash64/crc32 whose exact bits differ across engines. Codegen'd
+    * Catalyst expression ([[PolyHash]]) — the per-character HOF fold it
+    * replaces ran interpreted, the repo's measured 15× anti-pattern.
     */
-  def polyHash(text: Column): Column = {
-    val codes = transform(filter(split(text, ""), c => c =!= ""), c => ascii(c))
-    aggregate(codes, lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
-  }
+  def polyHash(text: Column): Column = PolyHash(text)
 
   /** Language-ID stopword lists: tiny, deterministic, mirrored verbatim in
     * the oracle SQL. The heuristic is an n-gram/stopword overlap score — the

@@ -39,17 +39,27 @@ object RepoFetcher {
   * local fixture path (git clones from plain directories), which is also
   * what keeps this spec-able in a network-less container.
   *
-  * History extraction is ONE `git log` pass over the full history with
-  * zero-context patches, parsed into the three TSV shapes of
-  * FIXTURES.md §A. Documented deltas vs `clickhouse git-import`:
-  *   - rename/copy detection is disabled (`--no-renames`): a rename lands
-  *     as Delete+Add, `files_renamed` is 0, and `Rename`/`Copy` change
-  *     types never occur (counter semantics only; ingest is unaffected);
-  *   - line provenance (`prev_commit_hash`/`prev_author`/`prev_time`) needs
-  *     a blame pass the analog skips — emitted as ''/epoch 0;
-  *   - merge commits contribute a commit row but no file/line rows (git
-  *     shows no combined diff by default, matching the ingest watermark's
-  *     view of them).
+  * History extraction is ONE `git log --reverse -M -p --unified=0` pass,
+  * parsed commit-by-commit into the three TSV shapes of FIXTURES.md §A.
+  * Rows stream to disk as each commit completes — only the current
+  * commit's diff plus the line-provenance snapshot (below) are held in
+  * memory, so history size is bounded by the output files, not the JVM.
+  *
+  * Rename tracking and line provenance match `clickhouse git-import`
+  * (/root/reference/types.json:18, README.md:170-212):
+  *   - `-M` rename detection: a rename emits a `Rename` file_changes row
+  *     with (path, old_path) and counts into `files_renamed`; `Copy` and
+  *     `Type` (mode-only change) are parsed from the same headers;
+  *   - `prev_commit_hash`/`prev_author`/`prev_time` on deleted lines come
+  *     from an incrementally maintained blame snapshot (per file, per
+  *     line: which commit last wrote it) — the same replay posture
+  *     git-import uses, costing O(current checkout) memory rather than a
+  *     `git blame` subprocess per file per commit. Added lines carry
+  *     empty provenance (they have no predecessor).
+  *
+  * Remaining documented delta: merge commits contribute a commit row but
+  * no file/line rows (git shows no combined diff by default, matching the
+  * ingest watermark's view of them).
   */
 final class GitCliFetcher(
     cacheDir: String,
@@ -57,6 +67,7 @@ final class GitCliFetcher(
 
   private val tsFmt =
     DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss").withZone(ZoneOffset.UTC)
+  private val epoch0 = "1970-01-01 00:00:00"
 
   override def fetch(repoName: String): String = {
     val dir = Paths.get(cacheDir, repoName)
@@ -127,17 +138,26 @@ final class GitCliFetcher(
                                 added: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty,
                                 deleted: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty)
   private final class FileDiff(var path: String, var changeType: String) {
+    var oldPath: String = path
+    var modeChange: Boolean = false
     val hunks: mutable.ArrayBuffer[Hunk] = mutable.ArrayBuffer.empty
+    // a mode-only diff (old mode/new mode, no hunks) is git's T status
+    def effectiveType: String =
+      if (changeType == "Modify" && modeChange && hunks.isEmpty) "Type" else changeType
     def linesAdded: Long = hunks.map(_.added.size.toLong).sum
     def linesDeleted: Long = hunks.map(_.deleted.size.toLong).sum
     def hunksAdded: Long = hunks.count(h => h.added.nonEmpty && h.deleted.isEmpty)
     def hunksRemoved: Long = hunks.count(h => h.added.isEmpty && h.deleted.nonEmpty)
     def hunksChanged: Long = hunks.count(h => h.added.nonEmpty && h.deleted.nonEmpty)
   }
-  private final case class Commit(hash: String, author: String, epoch: Long, subject: String,
+  private final case class CommitMeta(hash: String, author: String, epoch: Long)
+  private final case class Commit(meta: CommitMeta, subject: String,
                                   files: mutable.ArrayBuffer[FileDiff] = mutable.ArrayBuffer.empty)
 
   private val HunkHeader = """@@ -(\d+)(?:,\d+)? \+(\d+)(?:,\d+)? @@.*""".r
+
+  private def unquote(s: String): String =
+    if (s.length >= 2 && s.head == '"' && s.last == '"') s.substring(1, s.length - 1) else s
 
   /** Path from a `--- a/x` / `+++ b/x` header line: strips the marker, an
     * optional quoting layer (git quotes non-ASCII paths), and the a/ or b/
@@ -149,30 +169,39 @@ final class GitCliFetcher(
     val body = l.drop(4).trim
     if (body == "/dev/null") None
     else {
-      val unq =
-        if (body.length >= 2 && body.head == '"' && body.last == '"')
-          body.substring(1, body.length - 1)
-        else body
+      val unq = unquote(body)
       Some(if (unq.startsWith(prefix)) unq.drop(prefix.length) else unq)
     }
   }
 
-  /** Parse the streamed `git log --reverse -p --unified=0 --no-renames`
-    * output. File headers (`---`/`+++`/mode lines) are only recognized
-    * BEFORE a file's first hunk; past it, every `+`/`-` line is content —
-    * which is also what makes added lines starting with `++` (rendered
-    * `+++…`) count correctly instead of being mistaken for headers.
+  /** Parse the streamed `git log --reverse -M -p --unified=0` output,
+    * invoking `onCommit` as each commit's diff completes — so peak memory
+    * is one commit, not the history. File headers (`---`/`+++`/mode/
+    * rename/copy lines) are only recognized BEFORE a file's first hunk;
+    * past it, every `+`/`-` line is content — which is also what makes
+    * added lines starting with `++` (rendered `+++…`) count correctly
+    * instead of being mistaken for headers.
+    *
+    * The commit header uses a %x00 delimiter: git forbids NUL inside
+    * commit-object headers, so an author name containing tabs (git allows
+    * them) cannot shift fields. A malformed header degrades to
+    * placeholder fields rather than aborting the whole import.
     */
-  private def parseLog(lines: Iterator[String]): Seq[Commit] = {
-    val commits = mutable.ArrayBuffer.empty[Commit]
+  private def parseLog(lines: Iterator[String])(onCommit: Commit => Unit): Unit = {
+    var commit: Commit = null
     var file: FileDiff = null
     var hunk: Hunk = null
+    def flush(): Unit = if (commit != null) { onCommit(commit); commit = null }
     lines.foreach {
-      case l if l.startsWith("@C\t") =>
-        val a = l.split("\t", 5)
-        commits += Commit(a(1), a(2), a(3).toLong, if (a.length > 4) a(4) else "")
+      case l if l.startsWith("@C\u0000") =>
+        flush()
+        val a = l.split("\u0000", 5)
+        val hash = if (a.length > 1) a(1) else "(malformed)"
+        val author = if (a.length > 2) sanitize(a(2)) else "(unknown)"
+        val epoch = if (a.length > 3) a(3).toLongOption.getOrElse(0L) else 0L
+        commit = Commit(CommitMeta(hash, author, epoch), if (a.length > 4) a(4) else "")
         file = null; hunk = null
-      case l if l.startsWith("diff --git ") =>
+      case l if commit != null && l.startsWith("diff --git ") =>
         // seed the path from the (ambiguous) diff line — binary files emit
         // no ---/+++ headers; text files overwrite it from the headers
         val seed = l.indexOf(" b/") match {
@@ -180,16 +209,30 @@ final class GitCliFetcher(
           case i => l.substring(i + 3)
         }
         file = new FileDiff(seed, "Modify")
+        file.oldPath = seed
         hunk = null
-        commits.last.files += file
+        commit.files += file
       case l if file != null && hunk == null && l.startsWith("new file mode") =>
         file.changeType = "Add"
       case l if file != null && hunk == null && l.startsWith("deleted file mode") =>
         file.changeType = "Delete"
-      // headers override the seed unconditionally (old == new path without
-      // renames; `+++` wins last for Add, `---` supplies Delete's path)
+      case l if file != null && hunk == null && l.startsWith("old mode ") =>
+        file.modeChange = true
+      case l if file != null && hunk == null && l.startsWith("rename from ") =>
+        file.changeType = "Rename"; file.oldPath = unquote(l.drop("rename from ".length))
+      case l if file != null && hunk == null && l.startsWith("rename to ") =>
+        file.path = unquote(l.drop("rename to ".length))
+      case l if file != null && hunk == null && l.startsWith("copy from ") =>
+        file.changeType = "Copy"; file.oldPath = unquote(l.drop("copy from ".length))
+      case l if file != null && hunk == null && l.startsWith("copy to ") =>
+        file.path = unquote(l.drop("copy to ".length))
+      // headers override the seed (`---` supplies the old path — also the
+      // only path for Delete; `+++` wins last for Add/Modify/Rename)
       case l if file != null && hunk == null && l.startsWith("--- ") =>
-        headerPath(l, "a/").foreach(p => file.path = p)
+        headerPath(l, "a/").foreach { p =>
+          file.oldPath = p
+          if (file.changeType != "Rename" && file.changeType != "Copy") file.path = p
+        }
       case l if file != null && hunk == null && l.startsWith("+++ ") =>
         headerPath(l, "b/").foreach(p => file.path = p)
       case HunkHeader(o, n) if file != null =>
@@ -201,79 +244,116 @@ final class GitCliFetcher(
         hunk.deleted += l.substring(1)
       case _ => ()
     }
-    commits.toSeq
+    flush()
+  }
+
+  /** Replay one file's hunks over its per-line provenance snapshot:
+    * surviving lines keep their origin commit, added lines are owned by
+    * `meta`. With --unified=0, a pure-insert hunk's oldStart is the line
+    * the insertion follows (so it is copied first); a delete/change
+    * hunk's oldStart is the first line it removes.
+    */
+  private def replayHunks(old: mutable.ArrayBuffer[CommitMeta], hunks: Seq[Hunk],
+                          meta: CommitMeta): mutable.ArrayBuffer[CommitMeta] = {
+    val out = new mutable.ArrayBuffer[CommitMeta](old.size)
+    var idx = 0
+    hunks.foreach { h =>
+      val copyUpTo = if (h.deleted.nonEmpty) h.oldStart - 1 else h.oldStart
+      while (idx < copyUpTo && idx < old.size) { out += old(idx); idx += 1 }
+      idx += h.deleted.size
+      var k = 0
+      while (k < h.added.size) { out += meta; k += 1 }
+    }
+    while (idx < old.size) { out += old(idx); idx += 1 }
+    out
   }
 
   /** Emit commits.tsv / file_changes.tsv / line_changes.tsv (FIXTURES.md §A)
-    * from the parsed history — the `clickhouse git-import` output contract
-    * (repo/importer.py:86-90), headerless and positional.
+    * from the streamed history — the `clickhouse git-import` output contract
+    * (repo/importer.py:86-90), headerless and positional. Rows are written
+    * as each commit parses; `blame` carries the per-file line-provenance
+    * snapshot forward between commits.
     */
   private def gitImport(dir: Path): Unit = {
-    val commits = runStreaming(dir, "git", "log", "--reverse", "--no-renames",
-      "-p", "--unified=0", "--pretty=format:@C%x09%H%x09%an%x09%at%x09%s")(parseLog)
-
-    val commitRows = commits.map { c =>
-      val fa = c.files.count(_.changeType == "Add").toLong
-      val fd = c.files.count(_.changeType == "Delete").toLong
-      val fm = c.files.count(_.changeType == "Modify").toLong
-      Seq(c.hash, sanitize(c.author), tsFmt.format(Instant.ofEpochSecond(c.epoch)),
-        sanitize(c.subject), fa, fd, 0L, fm,
-        c.files.map(_.linesAdded).sum, c.files.map(_.linesDeleted).sum,
-        c.files.map(_.hunksAdded).sum, c.files.map(_.hunksRemoved).sum,
-        c.files.map(_.hunksChanged).sum).mkString("\t")
-    }
-
-    val fileRows = commits.flatMap { c =>
-      val commitTail = Seq(
-        c.files.count(_.changeType == "Add").toLong,
-        c.files.count(_.changeType == "Delete").toLong, 0L,
-        c.files.count(_.changeType == "Modify").toLong,
-        c.files.map(_.linesAdded).sum, c.files.map(_.linesDeleted).sum,
-        c.files.map(_.hunksAdded).sum, c.files.map(_.hunksRemoved).sum,
-        c.files.map(_.hunksChanged).sum)
-      c.files.map { f =>
-        (Seq(f.changeType, f.path, f.path, ext(f.path),
-          f.linesAdded, f.linesDeleted, f.hunksAdded, f.hunksRemoved, f.hunksChanged,
-          c.hash, sanitize(c.author), tsFmt.format(Instant.ofEpochSecond(c.epoch)),
-          sanitize(c.subject)) ++ commitTail).mkString("\t")
+    val blame = mutable.HashMap.empty[String, mutable.ArrayBuffer[CommitMeta]]
+    val wCommits = Files.newBufferedWriter(dir.resolve("commits.tsv"), UTF_8)
+    val wFiles = Files.newBufferedWriter(dir.resolve("file_changes.tsv"), UTF_8)
+    val wLines = Files.newBufferedWriter(dir.resolve("line_changes.tsv"), UTF_8)
+    try {
+      runStreaming(dir, "git", "log", "--reverse", "-M",
+        "-p", "--unified=0", "--pretty=format:@C%x00%H%x00%an%x00%at%x00%s") { lines =>
+        parseLog(lines)(c => emitCommit(c, blame, wCommits, wFiles, wLines))
       }
+    } finally {
+      wCommits.close(); wFiles.close(); wLines.close()
     }
+  }
 
-    val lineRows = commits.flatMap { c =>
-      val commitTail = Seq(
-        c.files.count(_.changeType == "Add").toLong,
-        c.files.count(_.changeType == "Delete").toLong, 0L,
-        c.files.count(_.changeType == "Modify").toLong,
-        c.files.map(_.linesAdded).sum, c.files.map(_.linesDeleted).sum,
-        c.files.map(_.hunksAdded).sum, c.files.map(_.hunksRemoved).sum,
-        c.files.map(_.hunksChanged).sum)
-      c.files.flatMap { f =>
-        val fileTail = Seq(f.changeType, f.path, f.path, ext(f.path),
-          f.linesAdded, f.linesDeleted, f.hunksAdded, f.hunksRemoved, f.hunksChanged,
-          c.hash, sanitize(c.author), tsFmt.format(Instant.ofEpochSecond(c.epoch)),
-          sanitize(c.subject)) ++ commitTail
-        f.hunks.zipWithIndex.flatMap { case (h, hi) =>
-          val del = h.deleted.zipWithIndex.map { case (line, k) =>
-            (line, -1L, h.oldStart + k, 0L, hi)
-          }
-          val add = h.added.zipWithIndex.map { case (line, k) =>
-            (line, 1L, 0L, h.newStart + k, hi)
-          }
-          (del ++ add).map { case (line, sign, oldNo, newNo, hunkNum) =>
-            (Seq(sign, oldNo, newNo, hunkNum.toLong + 1L, h.oldStart, h.newStart,
-              h.added.size.toLong, h.deleted.size.toLong, "",
-              sanitize(line).take(255),
-              math.min(line.takeWhile(ch => ch == ' ' || ch == '\t').length, 255).toLong,
-              lineType(line),
-              // provenance (prev_*) needs a blame pass — documented gap
-              "", "", "1970-01-01 00:00:00") ++ fileTail).mkString("\t")
-          }
+  private def emitCommit(c: Commit,
+                         blame: mutable.HashMap[String, mutable.ArrayBuffer[CommitMeta]],
+                         wCommits: java.io.Writer, wFiles: java.io.Writer,
+                         wLines: java.io.Writer): Unit = {
+    val ts = tsFmt.format(Instant.ofEpochSecond(c.meta.epoch))
+    val types = c.files.map(_.effectiveType)
+    val fa = types.count(_ == "Add").toLong
+    val fd = types.count(_ == "Delete").toLong
+    val fr = types.count(t => t == "Rename" || t == "Copy").toLong
+    val fm = types.count(_ == "Modify").toLong
+    val commitTail = Seq(fa, fd, fr, fm,
+      c.files.map(_.linesAdded).sum, c.files.map(_.linesDeleted).sum,
+      c.files.map(_.hunksAdded).sum, c.files.map(_.hunksRemoved).sum,
+      c.files.map(_.hunksChanged).sum)
+
+    wCommits.write((Seq(c.meta.hash, c.meta.author, ts, sanitize(c.subject)) ++ commitTail)
+      .mkString("", "\t", "\n"))
+
+    c.files.foreach { f =>
+      val fileTail = Seq(f.effectiveType, sanitize(f.path), sanitize(f.oldPath), ext(f.path),
+        f.linesAdded, f.linesDeleted, f.hunksAdded, f.hunksRemoved, f.hunksChanged,
+        c.meta.hash, c.meta.author, ts, sanitize(c.subject)) ++ commitTail
+      wFiles.write(fileTail.mkString("", "\t", "\n"))
+
+      // deleted lines are addressed in the OLD path's coordinate space
+      val src = blame.getOrElse(f.oldPath, mutable.ArrayBuffer.empty[CommitMeta])
+      f.hunks.zipWithIndex.foreach { case (h, hi) =>
+        def writeLine(line: String, sign: Long, oldNo: Long, newNo: Long): Unit = {
+          val (ph, pa, pt) =
+            if (sign < 0 && oldNo >= 1 && oldNo <= src.size) {
+              val m = src((oldNo - 1).toInt)
+              (m.hash, m.author, tsFmt.format(Instant.ofEpochSecond(m.epoch)))
+            } else ("", "", epoch0) // added lines have no predecessor
+          wLines.write((Seq(sign, oldNo, newNo, hi.toLong + 1L, h.oldStart, h.newStart,
+            h.added.size.toLong, h.deleted.size.toLong, "",
+            sanitize(line).take(255),
+            math.min(line.takeWhile(ch => ch == ' ' || ch == '\t').length, 255).toLong,
+            lineType(line), ph, pa, pt) ++ fileTail).mkString("", "\t", "\n"))
+        }
+        h.deleted.zipWithIndex.foreach { case (line, k) =>
+          writeLine(line, -1L, h.oldStart + k, 0L)
+        }
+        h.added.zipWithIndex.foreach { case (line, k) =>
+          writeLine(line, 1L, 0L, h.newStart + k)
         }
       }
     }
 
-    Files.write(dir.resolve("commits.tsv"), commitRows.mkString("\n").getBytes(UTF_8))
-    Files.write(dir.resolve("file_changes.tsv"), fileRows.mkString("\n").getBytes(UTF_8))
-    Files.write(dir.resolve("line_changes.tsv"), lineRows.mkString("\n").getBytes(UTF_8))
+    // advance the provenance snapshot past this commit
+    c.files.foreach { f =>
+      f.effectiveType match {
+        case "Add" =>
+          blame(f.path) = replayHunks(mutable.ArrayBuffer.empty, f.hunks.toSeq, c.meta)
+        case "Delete" =>
+          blame.remove(f.oldPath)
+        case "Rename" =>
+          val st = blame.remove(f.oldPath).getOrElse(mutable.ArrayBuffer.empty[CommitMeta])
+          blame(f.path) = replayHunks(st, f.hunks.toSeq, c.meta)
+        case "Copy" =>
+          val st = blame.get(f.oldPath).map(_.clone()).getOrElse(mutable.ArrayBuffer.empty[CommitMeta])
+          blame(f.path) = replayHunks(st, f.hunks.toSeq, c.meta)
+        case _ =>
+          blame(f.path) = replayHunks(
+            blame.getOrElse(f.path, mutable.ArrayBuffer.empty[CommitMeta]), f.hunks.toSeq, c.meta)
+      }
+    }
   }
 }

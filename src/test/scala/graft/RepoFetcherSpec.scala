@@ -84,6 +84,42 @@ class RepoFetcherSpec extends SparkSpecBase {
     importer.catalog.read("file_changes").count() shouldBe 5
   }
 
+  test("rename tracking and blame provenance (reference types.json:18 prev_* columns)") {
+    val upstream = fixtureRepo()
+    sh(upstream, gitEnv(1700000300L), "git", "mv", "src/Util.scala", "src/Util2.scala")
+    sh(upstream, gitEnv(1700000300L), "git", "commit", "--quiet", "-m", "rename util")
+    val cache = Files.createTempDirectory("git-cache3").toString
+    val fetcher = new GitCliFetcher(cache, urlFor = _ => upstream.toString)
+    val dir = fetcher.fetch("acme/rename")
+    def rows(f: String) =
+      new String(Files.readAllBytes(java.nio.file.Paths.get(dir, f)), UTF_8)
+        .split("\n").filter(_.nonEmpty).map(_.split("\t", -1))
+
+    val commits = rows("commits.tsv")
+    commits.length shouldBe 4
+    commits(3)(6).toLong shouldBe 1 // files_renamed
+    commits(3)(7).toLong shouldBe 0 // not counted as modified
+
+    val ren = rows("file_changes.tsv").filter(_(0) == "Rename")
+    ren.length shouldBe 1
+    ren(0)(1) shouldBe "src/Util2.scala" // path
+    ren(0)(2) shouldBe "src/Util.scala"  // old_path
+
+    // the "tweak main" commit rewrote lines first written by "initial":
+    // deleted rows carry that origin commit as prev_* provenance
+    val initialHash = commits(0)(0)
+    val tweakHash = commits(2)(0)
+    val deleted = rows("line_changes.tsv")
+      .filter(r => r(0) == "-1" && r(24) == tweakHash)
+    deleted.length should be > 0
+    all(deleted.map(_(12))) shouldBe initialHash        // prev_commit_hash
+    all(deleted.map(_(13))) shouldBe "Fixture Author"   // prev_author
+    all(deleted.map(_(14))) shouldBe "2023-11-14 22:13:20" // prev_time
+    // added rows have no predecessor
+    val added = rows("line_changes.tsv").filter(r => r(0) == "1" && r(24) == tweakHash)
+    all(added.map(_(12))) shouldBe ""
+  }
+
   test("git-import analog emits faithful commit counters") {
     val upstream = fixtureRepo()
     val cache = Files.createTempDirectory("git-cache2").toString
