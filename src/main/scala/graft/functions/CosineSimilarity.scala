@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnShim
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Cosine similarity over two `Array[Float]` columns as a native Catalyst
   * expression with whole-stage codegen (`doGenCode`): a tight primitive
@@ -23,6 +23,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // accepts array<float> or array<double> on either side: corpus columns
+  // are float32, trained centroid literals are double (rounded decimals
+  // that float32 can't represent exactly)
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  @transient private lazy val leftDouble = isDouble(left)
+  @transient private lazy val rightDouble = isDouble(right)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -30,8 +40,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xv = x.getFloat(i).toDouble
-      val yv = y.getFloat(i).toDouble
+      val xv = if (leftDouble) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (rightDouble) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xv * yv; nx += xv * xv; ny += yv * yv
       i += 1
     }
@@ -47,12 +57,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val getX = if (leftDouble) "getDouble" else "getFloat"
+      val getY = if (rightDouble) "getDouble" else "getFloat"
       s"""
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  final double $xv = $a.getFloat($i);
-         |  final double $yv = $b.getFloat($i);
+         |  final double $xv = $a.$getX($i);
+         |  final double $yv = $b.$getY($i);
          |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |}
          |${ev.value} = ($nx == 0.0 || $ny == 0.0)

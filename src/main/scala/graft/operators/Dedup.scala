@@ -419,19 +419,18 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
-    // Embedding near-dup: cluster-blocked (label = coarse IVF cell) pairs,
-    // scored by the codegen'd cosine kernel. Blocking keeps pair generation
-    // at Σ|cell|² instead of n² — the pattern that survives scale-up.
-    "dedup_embed_cosine" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("label"), col("vec_id"), col("embedding"))
-      e.as("a").join(e.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-          round(CosineSimilarity(col("a.embedding"), col("b.embedding")), 6).as("cos"))
-        .filter(col("cos") >= 0.4)
-        .orderBy(col("i"), col("j"))
-    }),
+    // Embedding near-dup: pairs blocked by the trained IVF cell (NOT the
+    // stored label column — label blocks are data-dependent and one hot
+    // label degenerates to n² at scale, while Σ|cell|² is governed by the
+    // ivf_ncells knob), scored by the codegen'd cosine kernel. The rounded
+    // quantizer in Similarity.embedNearDupPairs makes the cell assignment
+    // itself engine-deterministic, so the oracle replays the same k-means
+    // relationally and the full (i, j, cos) rows hash-match.
+    "dedup_embed_cosine" -> ((s, d) =>
+      Similarity.embedNearDupPairs(
+          Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+          nCells = 16, threshold = 0.4)
+        .orderBy(col("i"), col("j"))),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -459,12 +458,40 @@ object Dedup extends QueryModule {
       s"""WITH $jaccardCtes
          |SELECT count(*) AS n_true_pairs, TRUE AS recovery_ok FROM jp""".stripMargin,
 
+    // Replays the rounded spherical-k-means cell assignment relationally
+    // (seeds = first 16 vectors, one Lloyd round over the vec_id%5 sample,
+    // every cosine rounded to 6 decimals before the struct-max arg-max and
+    // every centroid mean floor-rounded to 6 decimals) — the same numbers
+    // Similarity.roundedCentroids produces, so the blocking itself is
+    // oracle-checked, not just the pair scores.
     "dedup_embed_cosine" ->
-      """SELECT a.vec_id AS i, b.vec_id AS j,
-        | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
-        |FROM embeddings a JOIN embeddings b
-        |  ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        |samp AS (SELECT * FROM e WHERE vec_id % 5 = 0 OR vec_id < 16),
+        |seeds AS (SELECT vec_id AS cell, x AS c FROM e WHERE vec_id < 16),
+        |a0 AS (
+        |  SELECT s.vec_id,
+        |    (max(struct_pack(sc := round(list_cosine_similarity(s.x, se.c), 6),
+        |                     cell := se.cell))).cell AS cell
+        |  FROM samp s CROSS JOIN seeds se GROUP BY s.vec_id),
+        |m AS (
+        |  SELECT a0.cell, g.i, floor(avg(s.x[g.i]) * 1e6 + 0.5) / 1e6 AS mv
+        |  FROM a0 JOIN samp s USING (vec_id) CROSS JOIN generate_series(1, 64) AS g(i)
+        |  GROUP BY a0.cell, g.i),
+        |cents AS (
+        |  SELECT se.cell,
+        |    CASE WHEN count(m.mv) = 0 THEN se.c ELSE list(m.mv ORDER BY m.i) END AS c
+        |  FROM seeds se LEFT JOIN m ON m.cell = se.cell GROUP BY se.cell, se.c),
+        |ax AS (
+        |  SELECT e.vec_id,
+        |    (max(struct_pack(sc := round(list_cosine_similarity(e.x, ce.c), 6),
+        |                     cell := ce.cell))).cell AS cell
+        |  FROM e CROSS JOIN cents ce GROUP BY e.vec_id)
+        |SELECT a.vec_id AS i, b.vec_id AS j,
+        |  round(list_cosine_similarity(ea.x, eb.x), 6) AS cos
+        |FROM ax a JOIN ax b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |JOIN e ea ON ea.vec_id = a.vec_id
+        |JOIN e eb ON eb.vec_id = b.vec_id
+        |WHERE round(list_cosine_similarity(ea.x, eb.x), 6) >= 0.4
         |ORDER BY i, j""".stripMargin,
   )
 }

@@ -143,6 +143,80 @@ object Similarity extends QueryModule {
   private def centroidLit(c: Array[Float]): Column =
     array(c.map(v => lit(v)): _*)
 
+  // ---------------------------------------------------------------------
+  // Cell-blocked embedding near-dup (the IVF front end reused for dedup)
+  // ---------------------------------------------------------------------
+
+  /** Near-duplicate pairs over an embedding corpus, blocked by a coarse
+    * IVF cell assignment instead of any stored label column: pair
+    * generation cost is Σ|cell|², governed by `nCells` — a tuning knob —
+    * rather than by data-dependent label skew (one hot label would
+    * otherwise degenerate to n²). The spec exercises exactly that skew.
+    *
+    * Unlike [[ivfTopK]]'s quantizer, every arithmetic step here is
+    * DECIMAL-ROUNDED (cosines to 6 places before the arg-max, centroid
+    * means to 6 places) so the DuckDB oracle replays the identical k-means
+    * relationally (corpus × centroids cross join + max(struct) arg-max)
+    * and the cell assignment — not just the pair scores — hash-matches
+    * across engines. `corpus` needs (vec_id, embedding) columns.
+    */
+  def embedNearDupPairs(corpus: DataFrame, nCells: Int, threshold: Double): DataFrame = {
+    val binned = binnedCells(corpus, nCells)
+    binned.as("a").join(binned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        round(CosineSimilarity(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** (vec_id, embedding, cell) — corpus with its rounded-quantizer cell. */
+  def binnedCells(corpus: DataFrame, nCells: Int): DataFrame = {
+    val cents = roundedCentroids(corpus, nCells)
+    corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("cell", assignCellRounded(cents, col("embedding")))
+  }
+
+  private def centroidLitD(c: Array[Double]): Column =
+    array(c.map(v => lit(v)): _*)
+
+  /** Arg-max-cosine cell with the cosine rounded to 6 decimals first —
+    * cross-engine double arithmetic agrees far past 1e-6, so the rounded
+    * compare (ties broken by higher cell index, the struct-max rule on
+    * both engines) makes the assignment deterministic across engines.
+    */
+  private def assignCellRounded(cents: Seq[Array[Double]], vec: Column): Column =
+    array_max(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(round(CosineSimilarity(vec, centroidLitD(c)), 6).as("sc"), lit(i).as("cell"))
+    }: _*)).getField("cell")
+
+  /** One rounded Lloyd iteration of spherical k-means over the ~20%
+    * deterministic sample (same sampling rule as [[trainCentroids]]):
+    * seeds = first `nCells` vectors (float32 values — exact in double on
+    * both engines), assign by rounded arg-max, then per-cell dimension
+    * means rounded to 6 decimals so Spark's partial-sum fold order and
+    * DuckDB's sequential avg cannot diverge. Only nCells×dim doubles
+    * reach the driver.
+    */
+  def roundedCentroids(corpus: DataFrame, nCells: Int): Seq[Array[Double]] = {
+    val sample = corpus
+      .filter(pmod(col("vec_id"), lit(5)) === 0 || col("vec_id") < nCells)
+    val seeds: Seq[Array[Double]] = sample
+      .filter(col("vec_id") < nCells).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+    val means = sample
+      .select(assignCellRounded(seeds, col("embedding")).as("cell"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((floor(avg(col("v")) * 1e6 + 0.5) / 1e6).as("m"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+      }
+    seeds.indices.map(i => means.getOrElse(i, seeds(i)))
+  }
+
   /** Argmax-cosine cell id via `array_max` over (score, cell) structs —
     * lexicographic struct ordering picks the best cell and each cosine is
     * evaluated exactly once (a `when`-fold would re-evaluate the accumulator

@@ -51,4 +51,45 @@ class SimilaritySpec extends SparkSpecBase {
     row.getAs[Long]("n_exact") shouldBe 100L // 20 queries × 5
     row.getAs[Boolean]("recall_at5_ok") shouldBe true
   }
+
+  test("cell-blocked near-dup bounds blocks under label skew and finds all tight pairs") {
+    // A corpus whose STORED label is one giant block (the skew that would
+    // degenerate label-blocked pair generation to n²), while the vectors
+    // themselves form 4 tight, well-separated clusters. Cell blocking must
+    // (a) keep every block far below the corpus size — Σ|cell|² is the pair
+    // cost — and (b) still recover every genuinely-near pair, which in a
+    // separated corpus all live inside one cell.
+    import org.apache.spark.sql.functions._
+    import scala.math.{cos => mcos, sin => msin}
+    val n = 100
+    val dim = 8
+    // orthogonal-ish cluster bases; vec i belongs to cluster i % 4 so the
+    // first 4 seed vectors cover the 4 clusters exactly once each
+    def vec(i: Int): Array[Float] = {
+      val c = i % 4
+      val base = Array.tabulate(dim)(d => if (d == c * 2) 1.0 else 0.0)
+      val jitter = 0.05 * msin(i * 2.399) // deterministic, tiny
+      base(c * 2 + 1) = jitter * mcos(i.toDouble)
+      base.map(_.toFloat)
+    }
+    val corpus = spark.createDataFrame(
+      (0 until n).map(i => (i.toLong, vec(i), 0))
+    ).toDF("vec_id", "embedding", "label")
+
+    val binned = Similarity.binnedCells(corpus, nCells = 4).cache()
+    val sizes = binned.groupBy("cell").count().collect().map(_.getLong(1))
+    sizes.max.toInt should be < n / 2 // no degenerate block despite label skew
+
+    val got = Similarity.embedNearDupPairs(corpus, nCells = 4, threshold = 0.9)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth by brute force (no blocking)
+    val truth = (for {
+      i <- 0 until n; j <- i + 1 until n
+      a = vec(i).map(_.toDouble); b = vec(j).map(_.toDouble)
+      dot = a.zip(b).map { case (x, y) => x * y }.sum
+      na = math.sqrt(a.map(x => x * x).sum); nb = math.sqrt(b.map(x => x * x).sum)
+      if dot / (na * nb) >= 0.9
+    } yield (i.toLong, j.toLong)).toSet
+    got shouldBe truth
+  }
 }
