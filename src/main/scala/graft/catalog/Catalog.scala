@@ -79,6 +79,48 @@ final class Catalog(spark: SparkSession) {
   private def writeLock(name: String): Object =
     writeLocks.getOrElseUpdate(name, new Object)
 
+  // Identifies this process in cross-process artifacts (manifest tmp names,
+  // compaction lock contents) so two JVMs sharing a warehouse can never
+  // stage into the same file — the cross-process analog of writeLock.
+  private val processTag: String =
+    s"${ProcessHandle.current().pid}-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  // A compaction lock this much older than now is a crashed holder's
+  // leftover: stealable. Compacts are minutes, not half-hours.
+  private val staleLockMs: Long = 30L * 60 * 1000
+
+  /** Cross-process compaction mutex: an O_EXCL-created lock file beside the
+    * table (create-fails-if-exists is atomic on POSIX/NFS/HDFS — the same
+    * primitive as WorkQueue's claim CAS). Within a process the per-table
+    * writeLock already serializes; this extends the exclusion to a fleet of
+    * containers sharing one warehouse (deploy/README.md). A lock whose
+    * mtime is older than [[staleLockMs]] is a crashed holder's leftover and
+    * is stolen; a live conflict fails loudly rather than interleaving two
+    * compacts' GC/flip sequences.
+    */
+  private def withCompactLock[T](t: TableDef)(body: => T): T = {
+    import org.apache.hadoop.fs.Path
+    val f = fs(t)
+    val lock = new Path(t.path + ".compact.lock")
+    def tryAcquire(): Boolean =
+      try {
+        val out = f.create(lock, false) // no-overwrite create = atomic test-and-set
+        try out.write(processTag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    val acquired = tryAcquire() || {
+      val stale =
+        try System.currentTimeMillis() - f.getFileStatus(lock).getModificationTime > staleLockMs
+        catch { case _: java.io.FileNotFoundException => true } // holder just released
+      if (stale) f.delete(lock, false)
+      tryAcquire()
+    }
+    if (!acquired) throw new IllegalStateException(
+      s"${t.name}: compaction lock $lock held by another live process")
+    try body finally f.delete(lock, false)
+  }
+
   /** D1/D2: register ≈ CREATE TABLE (create_db.py:32-33). Idempotent. */
   def createTable(t: TableDef): TableDef = { tables.putIfAbsent(t.name, t); tables(t.name) }
 
@@ -251,7 +293,13 @@ final class Catalog(spark: SparkSession) {
   def compact(name: String): Unit = writeLock(name).synchronized {
     import org.apache.hadoop.fs.Path
     val t = get(name)
-    if (t.layout == Versioned) { compactVersioned(t); return }
+    if (t.layout == Versioned) { withCompactLock(t)(compactVersioned(t)); return }
+    withCompactLock(t)(compactFlat(t))
+  }
+
+  private def compactFlat(t: TableDef): Unit = {
+    import org.apache.hadoop.fs.Path
+    val name = t.name
     val path = new Path(t.path)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new Path(t.path + ".compact.tmp")
@@ -294,11 +342,20 @@ final class Catalog(spark: SparkSession) {
     // midway through the very first compact's v1 write (no manifest ever
     // created) would make readers fall back onto the half-written v1.
     if (!f.exists(manifestPath(t))) writeManifest(t, cur)
-    // orphans = every version dir except the live one: either a fully
-    // written successor whose flip crashed (made live by the fallback, so
-    // not matched here) or a half-written compact output — safe to delete
+    // orphans = every version dir except the live one: a fully written
+    // successor whose flip crashed (made live by the fallback, so not
+    // matched here), a half-written compact output, or the version the
+    // PREVIOUS compact displaced — retained until now as a read grace
+    // window (Spark reads are lazy: a scan that resolved its path just
+    // before that flip may still be running; deleting eagerly would fail
+    // it mid-job with FileNotFoundException)
     listVersions(t).filter(_ != cur)
       .foreach(v => f.delete(new Path(t.path, v), true))
+    // crashed writers' abandoned manifest staging files (names are
+    // process-unique, so these can only be leftovers, never in-flight)
+    f.listStatus(new Path(t.path)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_CURRENT.tmp"))
+      .foreach(s => f.delete(s.getPath, false))
     if (!f.exists(new Path(t.path, cur))) return // nothing written yet
     val merged = read(t.name)
     val sorted =
@@ -309,7 +366,9 @@ final class Catalog(spark: SparkSession) {
     val next = s"v${versionNum(cur) + 1}"
     sorted.write.mode("overwrite").parquet(new Path(t.path, next).toString)
     writeManifest(t, next)
-    f.delete(new Path(t.path, cur), true)
+    // the displaced version is NOT deleted here: it stays readable until
+    // the next compact's orphan-GC pass (snapshot retention of one), so
+    // in-flight readers that resolved their path pre-flip finish cleanly
   }
 
   /** Atomically (re)point `_CURRENT` at a version: tmp file + delete +
@@ -317,17 +376,28 @@ final class Catalog(spark: SparkSession) {
     * conditional/overwrite PUT of `_CURRENT` is the drop-in analog). The
     * brief manifest-absent window between delete and rename is covered by
     * [[currentVersion]]'s highest-complete-version fallback.
+    *
+    * Cross-process safety: the staging name is process-unique, so two
+    * JVMs pinning the same fresh table can't clobber each other's tmp. If
+    * the final rename loses a race (HDFS rename onto an existing
+    * destination returns false), the flip re-reads the manifest: the same
+    * version there means the peer committed the identical pin — success;
+    * a different version is a genuine conflicting commit and fails loudly.
     */
   private def writeManifest(t: TableDef, version: String): Unit = {
     import org.apache.hadoop.fs.Path
     val f = fs(t)
     val m = manifestPath(t)
-    val tmp = new Path(t.path, "_CURRENT.tmp")
+    val tmp = new Path(t.path, s"_CURRENT.tmp.$processTag")
     val out = f.create(tmp, true)
     try out.write(version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     f.delete(m, false)
-    require(f.rename(tmp, m), s"${t.name}: manifest flip $tmp -> $m failed")
+    if (!f.rename(tmp, m)) {
+      f.delete(tmp, false)
+      require(f.exists(m) && currentVersion(t) == version,
+        s"${t.name}: manifest flip to $version lost a race to a conflicting commit")
+    }
   }
 
   /** A8/T2: ReplacingMergeTree latest-wins collapse (types.json:7). */

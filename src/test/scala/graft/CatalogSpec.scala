@@ -118,14 +118,19 @@ class CatalogSpec extends SparkSpecBase {
     val before = cat.read("vm").orderBy("k").collect()
     before.map(r => (r.getString(0), r.getLong(1))) shouldBe Array(("a", 9L), ("b", 2L))
     cat.compact("vm")
-    // committed: manifest points at v1, v0 gone, merged rows only
+    // committed: manifest points at v1, merged rows only; the displaced v0
+    // is RETAINED one compact cycle so in-flight readers that resolved
+    // their path pre-flip don't scan a deleted directory
     java.nio.file.Files.readString(java.nio.file.Paths.get(path, "_CURRENT")) shouldBe "v1"
-    java.nio.file.Files.exists(java.nio.file.Paths.get(path, "v0")) shouldBe false
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path, "v0")) shouldBe true
     cat.readRaw("vm").count() shouldBe 2
     cat.read("vm").orderBy("k").collect() shouldBe before
     // appends keep landing in the live version
     cat.append("vm", Seq(("c", 3L, 10L)).toDF("k", "v", "updated_at"))
     cat.read("vm").count() shouldBe 3
+    // the next compact's orphan-GC collects the grace-window version
+    cat.compact("vm")
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path, "v0")) shouldBe false
   }
 
   test("Versioned layout: half-written compact output never becomes visible") {
@@ -168,11 +173,33 @@ class CatalogSpec extends SparkSpecBase {
     // readers fall back to the highest complete version (v2) — table stays up
     cat.read("vc").count() shouldBe 1
     // and the next compact re-establishes a manifest and GCs stale versions
+    // (v1); the version it displaces itself (v2) is retained one cycle
     cat.compact("vc")
     java.nio.file.Files.readString(java.nio.file.Paths.get(path, "_CURRENT")) shouldBe "v3"
     cat.read("vc").count() shouldBe 1
     java.nio.file.Files.exists(java.nio.file.Paths.get(path, "v1")) shouldBe false
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path, "v2")) shouldBe true
+    cat.compact("vc")
     java.nio.file.Files.exists(java.nio.file.Paths.get(path, "v2")) shouldBe false
+  }
+
+  test("cross-process compaction lock: live lock fails loudly, stale lock is stolen") {
+    val cat = new Catalog(spark)
+    val path = tmpDir("cat") + "/lk"
+    cat.createTable(TableDef("lk", path, replacingSchema,
+      Seq("k"), ReplacingDedup(Seq("k"), "updated_at"), layout = Versioned))
+    cat.append("lk", Seq(("a", 1L, 10L), ("a", 2L, 20L)).toDF("k", "v", "updated_at"))
+    // another process holds the lock (fresh mtime) → this one must not
+    // interleave its GC/flip with the holder's
+    val lock = java.nio.file.Paths.get(path + ".compact.lock")
+    java.nio.file.Files.writeString(lock, "peer-process")
+    an[IllegalStateException] should be thrownBy cat.compact("lk")
+    // a crashed holder's leftover (stale mtime) is stolen and compaction runs
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 31L * 60 * 1000))
+    cat.compact("lk")
+    cat.read("lk").count() shouldBe 1
+    java.nio.file.Files.exists(lock) shouldBe false // released
   }
 
   test("compact() recovers a table left path-less by a crash between the swap renames") {
