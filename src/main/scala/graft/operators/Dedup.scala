@@ -345,6 +345,70 @@ object Dedup extends QueryModule {
         .orderBy(col("i"), col("j"))
   }
 
+  /** Connected components of an undirected edge list — (a, b) columns —
+    * by alternating large-star / small-star contractions (the MapReduce CC
+    * algorithm of Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"): large-star hangs every larger neighbor of a node onto the
+    * minimum of its neighborhood, small-star does the same for smaller
+    * neighbors. Each alternation roughly halves remaining star depth, so
+    * convergence is O(log n) rounds even on a pure chain — where plain
+    * min-label propagation needs O(diameter) rounds (the failure mode this
+    * replaces; DedupSpec's 100-node-chain property pins the bound).
+    *
+    * Per round: two groupBy-min aggregations and two equi-joins, driver
+    * control flow only; localCheckpoint() truncates lineage. Convergence =
+    * the edge set is a union of stars (no parent is also a child — one
+    * semi-join probe) AND a fixpoint in measure; non-convergence within
+    * [[CcMaxRounds]] fails loudly.
+    *
+    * Returns ((node, lbl = component minimum) — one row per distinct node
+    * of `edges` — and the number of rounds taken.
+    */
+  private val CcMaxRounds = 50
+  def connectedComponents(edges0: DataFrame): (DataFrame, Int) = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      val m = sym.groupBy("a").agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      sym.join(m, "a").filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b"))
+      val m = or.groupBy("a").agg(min(col("b")).as("m"))
+      or.join(m, "a").select(col("b").as("a"), col("m").as("b"))
+        .unionByName(m.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    def sig(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(sum(col("a")), lit(0L)),
+        coalesce(sum(col("b")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // star test: at a fixpoint no parent (b) also occurs as a child (a)
+    def isStarSet(e: DataFrame): Boolean =
+      e.select(col("b").as("p")).distinct()
+        .join(e.select(col("a").as("p")), Seq("p"), "left_semi").isEmpty
+
+    var e = edges0.select(col("a"), col("b"))
+      .filter(col("a") =!= col("b")).localCheckpoint()
+    var prev = (-1L, -1L, -1L)
+    var cur = sig(e)
+    var rounds = 0
+    while ((cur != prev || !isStarSet(e)) && rounds < CcMaxRounds) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      prev = cur; cur = sig(e); rounds += 1
+    }
+    if (cur != prev) throw new IllegalStateException(
+      s"connectedComponents: star contraction not converged after $rounds rounds")
+    val nonRoots = e.select(col("a").as("node"), col("b").as("lbl"))
+    val roots = e.select(col("b").as("node")).distinct()
+      .join(nonRoots.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("lbl"))
+    (nonRoots.distinct().unionByName(roots), rounds)
+  }
+
   /** Second half of the query inventory (split around [[simhashPairs]]). */
   private def clusterQueries: Map[String, Q] = Map(
     // Near-dup CLUSTER canonicalization: connected components over the
@@ -352,51 +416,16 @@ object Dedup extends QueryModule {
     // the canonical copy". This is the operator that turns pairwise dedup
     // output into an actual keep/drop decision for corpus curation.
     //
-    // Distributed shape: min-label propagation to fixpoint — per round ONE
-    // join (edge → neighbor label) + ONE min-aggregate, label sum strictly
-    // decreases until convergence, so rounds ≈ cluster diameter (near-dup
-    // clusters are almost cliques, so 1-2 rounds in practice; the classic
-    // large-star/small-star variant halves rounds if diameters ever grow).
-    // localCheckpoint() truncates lineage each round so the plan doesn't
-    // nest one join per iteration. The driver-side loop is control flow
-    // only — per-round data movement stays on executors.
+    // Distributed shape: [[connectedComponents]] — alternating large-star/
+    // small-star contractions, O(log n) rounds on ANY topology (a chain
+    // corpus previously cost the min-label-propagation loop O(diameter)
+    // rounds). Edge list comes from the LSH candidate front end — the same
+    // verified pair set as the all-pairs variant on a cleanly-separated
+    // corpus (see dedup_minhash_lsh note) at sub-quadratic cost.
     "dedup_clusters" -> ((s, d) => {
-      // Edge list comes from the LSH candidate front end — the same
-      // verified pair set as the all-pairs variant on a cleanly-separated
-      // corpus (see dedup_minhash_lsh note) at sub-quadratic cost: the
-      // all-pairs posting-list explode was the one remaining quadratic
-      // input in the dedup family; clustering itself was already scale-safe.
       val pairs = jaccardPairs(s, d, 0.8, Some(lshCandidates(s, d)))
-        .select(col("i"), col("j"))
-      val edges = pairs.select(col("i").as("a"), col("j").as("b"))
-        .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
-        .localCheckpoint()
-      // round 1 fused with init: label(x) = min(x, min neighbor)
-      var labels = edges.groupBy(col("a"))
-        .agg(min(col("b")).as("nb"))
-        .select(col("a").as("node"), least(col("a"), col("nb")).as("lbl"))
-        .localCheckpoint()
-      def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-        // coalesce: sum over an empty frame is NULL (a pair-free corpus is
-        // a legal input with an empty cluster result, not a crash)
-        df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
-      var prev = Long.MinValue
-      var cur = labelSum(labels)
-      var rounds = 0
-      while (cur != prev && rounds < 50) {
-        val prop = edges.join(labels, col("b") === col("node"))
-          .select(col("a").as("node"), col("lbl"))
-        labels = labels.unionByName(prop)
-          .groupBy("node").agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint()
-        prev = cur; cur = labelSum(labels); rounds += 1
-      }
-      // unconverged labels are not component minima — fail loudly rather
-      // than silently diverge from the transitive-closure oracle (a >50-
-      // diameter chain means the corpus needs the large-star/small-star
-      // variant, not a bigger cap)
-      if (cur != prev) throw new IllegalStateException(
-        s"dedup_clusters: label propagation not converged after $rounds rounds")
+        .select(col("i").as("a"), col("j").as("b"))
+      val (labels, _) = connectedComponents(pairs)
       labels
         .select(col("node").as("doc_id"), col("lbl").as("canonical_id"),
           (col("node") === col("lbl")).as("keep"))

@@ -84,4 +84,38 @@ class DedupSpec extends SparkSpecBase {
     all(rows.map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")))
       .map { case (i, j) => j - i }) should be > 0L
   }
+
+  test("star-contraction CC: a 100-node chain converges in O(log n) rounds, labels = min") {
+    // the topology min-label propagation handled worst (O(diameter) = 99
+    // rounds there); the large-star/small-star alternation must stay
+    // logarithmic — generous bound: 2·ceil(log2 n) + 2 = 16
+    import spark.implicits._
+    val n = 100
+    val chain = (0L until n - 1L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = Dedup.connectedComponents(chain)
+    rounds should be <= 16
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    got.keySet shouldBe (0L until n.toLong).toSet
+    all(got.values) shouldBe 0L
+  }
+
+  test("star-contraction CC matches driver-side union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val n = 200
+    val edges = Seq.fill(220)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // reference labels: plain union-find, canonical = component min
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> find(v.toInt).toLong).toMap
+    val (labels, rounds) = Dedup.connectedComponents(edges.toDF("a", "b"))
+    rounds should be <= 16
+    labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap shouldBe expected
+  }
 }
