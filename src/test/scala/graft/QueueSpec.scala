@@ -116,4 +116,43 @@ class QueueSpec extends AnyFunSuite with Matchers {
     q.length shouldBe 0
     q.claim("w2") shouldBe None
   }
+
+  test("object-store substrate: conditional-PUT claim has exactly one winner") {
+    // same protocol invariant as the rename CAS, over the call set an
+    // S3-class store actually offers (PUT If-None-Match / GET / DELETE /
+    // LIST — no rename anywhere in ObjectStoreQueue)
+    val q = new graft.queue.ObjectStoreQueue(
+      new graft.queue.LocalCondPutStore(Files.createTempDirectory("osq")))
+    q.schedule("acme/contested").isRight shouldBe true
+    val pool = Executors.newFixedThreadPool(16)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val attempts = Future.sequence((1 to 16).map(i => Future(q.claim(s"w$i"))))
+    val results = Await.result(attempts, 30.seconds)
+    pool.shutdown()
+    results.flatten.size shouldBe 1
+    results.flatten.head.workerId should startWith("w")
+    // duplicate enqueue of an in-flight repo still guarded
+    q.schedule("acme/contested") shouldBe Left("ALREADY_PROCESSING")
+    q.complete("acme/contested")
+    q.length shouldBe 0
+  }
+
+  test("object-store substrate: crashed claim (pending+claimed pair) is repaired, never double-claimed") {
+    val store = new graft.queue.LocalCondPutStore(Files.createTempDirectory("osq2"))
+    val q = new graft.queue.ObjectStoreQueue(store)
+    q.schedule("acme/crash", now = 100)
+    // simulate a winner that created the claimed object then died before
+    // deleting the pending marker
+    val key = java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString("acme/crash".getBytes("UTF-8"))
+    store.putIfAbsent(s"$key.claimed",
+      Seq("acme/crash", 100, 0, "dead-worker", 111).mkString("\t")) shouldBe true
+    // the claim scan must not hand the repo out again, and repairs the
+    // stale pending marker
+    q.claim("w-next") shouldBe None
+    store.get(s"$key.pending") shouldBe None
+    q.contains("acme/crash") shouldBe true // still in flight until released
+    q.complete("acme/crash")
+    q.contains("acme/crash") shouldBe false
+  }
 }
