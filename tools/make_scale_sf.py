@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Derive a larger scale factor from the driver's testdata for scale probes.
+
+Local measurement tooling only (like local_verify.py) — the engine itself
+never runs Python. Replication follows the driver's own per-table scaling
+pattern (TESTDATA.md counts across sf0.001/0.01/0.1):
+
+  - region/nation: fixed dims, copied once
+  - customer/supplier/part/orders/lineitem/events: x FACTOR, every key
+    column shifted by replica*STRIDE so FK joins stay consistent and key
+    cardinality actually grows
+  - documents: x FACTOR, replica > 0 gets a per-replica suffix appended to
+    EVERY token, so cross-replica shingle Jaccard is ~0 -- a naive text
+    clone would turn the dedup family quadratic in replicas (every doc
+    near-dup with its 9 clones), which a genuinely larger corpus is not
+  - embeddings: x EMB_FACTOR (the driver steps embeddings x4 per decade,
+    not x10), replica > 0 perturbed with deterministic per-dim noise so
+    there are no bit-identical clones
+
+Usage: make_scale_sf.py SRC_DIR OUT_DIR [FACTOR=10] [EMB_FACTOR=4]
+"""
+import sys, os
+import duckdb
+
+src = sys.argv[1]
+out = sys.argv[2]
+factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+emb_factor = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+STRIDE = 10_000_000
+
+os.makedirs(out, exist_ok=True)
+con = duckdb.connect()
+
+def copy(sql, name):
+    con.execute(f"COPY ({sql}) TO '{out}/{name}.parquet' (FORMAT PARQUET)")
+    n = con.execute(f"SELECT count(*) FROM '{out}/{name}.parquet'").fetchone()[0]
+    print(f"{name}: {n} rows")
+
+def t(name):
+    return f"'{src}/{name}.parquet'"
+
+R = f"CROSS JOIN range(0, {factor}) rep(r)"
+
+copy(f"SELECT * FROM {t('region')}", "region")
+copy(f"SELECT * FROM {t('nation')}", "nation")
+copy(f"""SELECT c_custkey + r*{STRIDE} AS c_custkey, c_name, c_nationkey,
+          c_acctbal, c_mktsegment FROM {t('customer')} {R}""", "customer")
+copy(f"""SELECT s_suppkey + r*{STRIDE} AS s_suppkey, s_name, s_nationkey,
+          s_acctbal FROM {t('supplier')} {R}""", "supplier")
+copy(f"""SELECT p_partkey + r*{STRIDE} AS p_partkey, p_name, p_brand, p_type,
+          p_size, p_retailprice FROM {t('part')} {R}""", "part")
+copy(f"""SELECT o_orderkey + r*{STRIDE} AS o_orderkey,
+          o_custkey + r*{STRIDE} AS o_custkey, o_orderstatus, o_totalprice,
+          o_orderdate, o_orderpriority FROM {t('orders')} {R}""", "orders")
+copy(f"""SELECT l_orderkey + r*{STRIDE} AS l_orderkey,
+          l_partkey + r*{STRIDE} AS l_partkey,
+          l_suppkey + r*{STRIDE} AS l_suppkey,
+          l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+          l_returnflag, l_linestatus, l_shipdate FROM {t('lineitem')} {R}""", "lineitem")
+copy(f"""SELECT event_id + r*{STRIDE} AS event_id, ts,
+          user_id + r*{STRIDE} AS user_id, event_type, value, props
+          FROM {t('events')} {R}""", "events")
+copy(f"""SELECT doc_id + r*{STRIDE} AS doc_id,
+          CASE WHEN r = 0 THEN text
+               ELSE array_to_string(
+                      list_transform(string_split(text, ' '), w -> w || '~q' || r),
+                      ' ') END AS text,
+          lang, source, n_chars FROM {t('documents')} {R}""", "documents")
+copy(f"""SELECT vec_id + r*{STRIDE} AS vec_id,
+          CASE WHEN r = 0 THEN embedding
+               ELSE list_transform(generate_series(1, len(embedding)),
+                      i -> (embedding[i] + 0.05*sin((vec_id % 101 + 1) * i * 0.7))::FLOAT)
+          END AS embedding, label
+          FROM {t('embeddings')} CROSS JOIN range(0, {emb_factor}) rep(r)""", "embeddings")
+print("done:", out)
