@@ -17,9 +17,18 @@ object Analytics extends QueryModule {
 
   override def queries: Map[String, Q] = Map(
     // ---- joins ----
+    // No forced broadcast() hint: part GROWS with scale factor (x100 from
+    // sf0.001 to sf0.1 and beyond), and a pinned hint made the sf10 scale
+    // probe build a 2M-row broadcast table (x26 per decade vs x4 unhinted).
+    // Catalyst/AQE broadcasts automatically below the 10 MB threshold —
+    // the BroadcastHashJoin this query demonstrates still plans at bench
+    // scale (ExplainCheck shows bhj=1) — and degrades to a shuffle join
+    // when the dimension outgrows it, which is the posture that survives
+    // 100 TB. Hints stay correct for dims KNOWN to be bounded (nation,
+    // region, a query literal set); part is not one.
     "join_broadcast" -> ((s, d) =>
       Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(col("p_brand"))),
