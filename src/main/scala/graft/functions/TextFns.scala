@@ -46,7 +46,18 @@ object TextFns {
     "fr" -> Seq("le", "la", "les", "et", "est", "de"),
     "es" -> Seq("el", "los", "las", "y", "es", "que"))
 
-  /** Fraction of tokens that appear in `words` (0 when the doc is empty). */
+  /** Fraction of tokens that appear in `words` (0 when the doc is empty).
+    *
+    * Interpreted-HOF audit (the polyHash precedent): this filter() lambda
+    * stays a higher-order function on purpose — the body is one
+    * array_contains against ≤7 literals, the cheap-lambda case where
+    * interpretation overhead is noise (text_langid references each score
+    * column several times post-CollapseProject and still runs ~4× per
+    * data decade at the sf10 probe). If the word lists ever grow to real
+    * lexicons, move the membership test to a broadcast join or a codegen'd
+    * expression BEFORE widening this — re-evaluation cost scales with
+    * lambda weight, not with corpus size.
+    */
   def stopwordRatio(toks: Column, words: Seq[String]): Column = {
     val arr = array(words.map(lit): _*)
     val hits = size(filter(toks, t => array_contains(arr, t)))

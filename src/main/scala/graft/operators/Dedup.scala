@@ -391,15 +391,28 @@ object Dedup extends QueryModule {
       e.select(col("b").as("p")).distinct()
         .join(e.select(col("a").as("p")), Seq("p"), "left_semi").isEmpty
 
+    // free a superseded round's checkpoint blocks eagerly: ContextCleaner
+    // only reclaims them at some future driver GC, and in a long-lived
+    // session the accumulated blocks squeeze execution memory for every
+    // LATER query (observed: an unrelated query 3-18x slower in the same
+    // JVM after the dedup family ran at sf10)
+    def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
     var e = edges0.select(col("a"), col("b"))
       .filter(col("a") =!= col("b")).localCheckpoint()
     var prev = (-1L, -1L, -1L)
     var cur = sig(e)
     var rounds = 0
     while ((cur != prev || !isStarSet(e)) && rounds < CcMaxRounds) {
-      e = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).localCheckpoint() // eager: materialized here
+      release(e)
+      e = next
       prev = cur; cur = sig(e); rounds += 1
     }
+    // the final round's checkpoint stays live: the returned labels frame
+    // reads it lazily
     if (cur != prev) throw new IllegalStateException(
       s"connectedComponents: star contraction not converged after $rounds rounds")
     val nonRoots = e.select(col("a").as("node"), col("b").as("lbl"))
