@@ -36,6 +36,20 @@ object TextFns {
     */
   def polyHash(text: Column): Column = PolyHash(text)
 
+  /** PII patterns for the scrub pass. RE2-safe by construction (no
+    * backreferences, no lookaround): the same pattern string runs
+    * identically under Java's regex (Spark) and RE2 (DuckDB oracle) —
+    * a fancier pattern that only Java accepts could never be oracled.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?\\d[\\d -]{7,}\\d"
+
+  /** Redact emails then phone numbers with placeholder tokens. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
   /** Language-ID stopword lists: tiny, deterministic, mirrored verbatim in
     * the oracle SQL. The heuristic is an n-gram/stopword overlap score — the
     * standard cheap language-ID signal for web-scale corpus filtering.

@@ -243,9 +243,66 @@ object TextAnalysis extends QueryModule {
         .filter(pmod(col("h"), lit(5)) === 0)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
+
+    // PII redaction: email/phone patterns → placeholder tokens, with a
+    // per-doc redaction count — the standard scrub pass before a corpus
+    // ships. Narrow map; patterns are RE2-safe (no backrefs/lookaround) so
+    // Java regex and DuckDB agree byte-for-byte. The synthetic corpus is
+    // PII-free (n_redact = 0 rows prove pass-through fidelity by digest);
+    // TextAnalysisSpec plants real-looking PII and pins the redactions.
+    "text_pii_scrub" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(TextFns.scrubPii(col("text"))).as("digest"),
+          (size(regexp_extract_all(col("text"), lit(TextFns.EmailRe), lit(0))) +
+           size(regexp_extract_all(col("text"), lit(TextFns.PhoneRe), lit(0))))
+            .cast("long").as("n_redact"))
+        .orderBy(col("doc_id"))),
+
+    // Mixture weighting: per-source sampling rates (the "3x wikipedia,
+    // 0.5x crawl" knob of pretraining data recipes), gated by a
+    // deterministic content hash so membership is reproducible across
+    // engines, runs, and partitionings. Rates here derive from the source
+    // id hash (4 tiers); production passes an explicit weight table. One
+    // narrow pass + a 20-group aggregate: nothing heavier moves.
+    "text_mix" -> ((s, d) => {
+      val rate = (pmod(TextFns.polyHash(col("source")), lit(4)) + 1).cast("double") / 4.0
+      Tables.documents(s, d)
+        .select(col("source"), rate.as("rate"),
+          (pmod(TextFns.polyHash(concat(col("source"), lit(":"), col("text"))), lit(1000))
+            < rate * 1000).as("keep"))
+        .groupBy(col("source"))
+        .agg(max(col("rate")).as("rate"), count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // patterns interpolated from the single source of truth (TextFns);
+    // SQL single-quoted strings pass backslashes through untouched, so the
+    // identical pattern bytes reach RE2 and Java's regex
+    "text_pii_scrub" ->
+      s"""SELECT doc_id,
+         |  md5(regexp_replace(regexp_replace(text,
+         |        '${TextFns.EmailRe}', '<EMAIL>', 'g'),
+         |        '${TextFns.PhoneRe}', '<PHONE>', 'g')) AS digest,
+         |  (len(regexp_extract_all(text, '${TextFns.EmailRe}'))
+         |   + len(regexp_extract_all(text, '${TextFns.PhoneRe}')))::BIGINT
+         |    AS n_redact
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_mix" ->
+      """WITH h AS (SELECT source,
+        |  list_reduce(list_prepend(0::BIGINT, [unicode(c) for c in string_split(source, '')]),
+        |              (a, x) -> (a * 31 + x) % 1000000007) AS hs,
+        |  list_reduce(list_prepend(0::BIGINT, [unicode(c) for c in string_split(source || ':' || text, '')]),
+        |              (a, x) -> (a * 31 + x) % 1000000007) AS hg
+        |  FROM documents)
+        |SELECT source, max((hs % 4 + 1) / 4.0) AS rate, count(*) AS n_docs,
+        |  sum(CASE WHEN hg % 1000 < (hs % 4 + 1) / 4.0 * 1000 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
+
     "text_tokens" ->
       """SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_uniq,
         | list_reduce(list_prepend(0, [length(x) for x in t]),

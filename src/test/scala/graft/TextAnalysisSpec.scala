@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+import graft.operators.TextAnalysis
+
+/** Text-curation operator invariants that the synthetic corpus cannot
+  * exercise (it is PII-free by construction) plus mixing determinism.
+  */
+class TextAnalysisSpec extends SparkSpecBase {
+
+  test("scrubPii redacts planted emails and phones, leaves clean text untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact me at jane.doe+spam@example.co.uk for details"),
+      (2L, "call +1 212 555 0187 or 089-4711-2358 today"),
+      (3L, "mixed: bob@corp.io and 01234567890 in one line"),
+      (4L, "clean text with no personal data at all")
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"), TextFns.scrubPii(col("text")).as("clean"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe "contact me at <EMAIL> for details"
+    out(2L) shouldBe "call <PHONE> or <PHONE> today"
+    out(3L) shouldBe "mixed: <EMAIL> and <PHONE> in one line"
+    out(4L) shouldBe "clean text with no personal data at all"
+  }
+
+  test("text_pii_scrub on the corpus: zero redactions, digests = pass-through md5") {
+    val rows = TextAnalysis.queries("text_pii_scrub")(spark, sf0001).collect()
+    rows.length.toLong shouldBe Tables.documents(spark, sf0001).count()
+    all(rows.map(_.getAs[Long]("n_redact"))) shouldBe 0L
+    // pass-through fidelity: scrubbing PII-free text must not alter a byte
+    val direct = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach(r => r.getAs[String]("digest") shouldBe direct(r.getAs[Long]("doc_id")))
+  }
+
+  test("text_mix: kept counts are deterministic, bounded by rate, reproducible") {
+    val a = TextAnalysis.queries("text_mix")(spark, sf0001).collect()
+    val b = TextAnalysis.queries("text_mix")(spark, sf0001).collect()
+    a.map(_.toString) shouldBe b.map(_.toString) // hash gate, not an RNG
+    a.foreach { r =>
+      val rate = r.getAs[Double]("rate")
+      val nDocs = r.getAs[Long]("n_docs")
+      val nKept = r.getAs[Long]("n_kept")
+      rate should (be >= 0.25 and be <= 1.0)
+      nKept should be <= nDocs
+      // a 1.0-rate source keeps everything
+      if (rate == 1.0) nKept shouldBe nDocs
+    }
+    // the tiers actually differentiate: not all sources share one rate
+    a.map(_.getAs[Double]("rate")).distinct.length should be > 1
+  }
+}
