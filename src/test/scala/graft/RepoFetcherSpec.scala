@@ -118,6 +118,38 @@ class RepoFetcherSpec extends SparkSpecBase {
     // added rows have no predecessor
     val added = rows("line_changes.tsv").filter(r => r(0) == "1" && r(24) == tweakHash)
     all(added.map(_(12))) shouldBe ""
+
+    // rename WITH an edit in the same commit (-M partial similarity):
+    // change type stays Rename, hunks address the OLD path's line space,
+    // and the blame snapshot followed the file across the first rename.
+    // Grow the file first — git's similarity detector needs the unchanged
+    // majority to dominate (a 1-of-3-line edit falls under the 50% bar)
+    val grown = "object Util {\n  val x = 1\n" +
+      (0 until 7).map(i => s"  val a$i = $i\n").mkString + "}\n"
+    commit(upstream, 1700000400L, "grow util", "src/Util2.scala" -> grown)
+    Files.write(upstream.resolve("src/Util2.scala"),
+      grown.replace("object Util {", "object Util2 {").getBytes(UTF_8))
+    sh(upstream, gitEnv(1700000500L), "git", "mv", "src/Util2.scala", "src/Util3.scala")
+    sh(upstream, gitEnv(1700000500L), "git", "add", "-A")
+    sh(upstream, gitEnv(1700000500L), "git", "commit", "--quiet", "-m", "rename+edit")
+    fetcher.fetch("acme/rename") // pull + re-import
+    val commits2 = rows("commits.tsv")
+    commits2.length shouldBe 6
+    val renEditHash = commits2(5)(0)
+    val ren2 = rows("file_changes.tsv")
+      .filter(r => r(0) == "Rename" && r(9) == renEditHash)
+    ren2.length shouldBe 1
+    ren2(0)(1) shouldBe "src/Util3.scala"
+    ren2(0)(2) shouldBe "src/Util2.scala"
+    ren2(0)(4).toLong should be > 0L // lines_added: the edit rode the rename
+    // the edited line ("object Util {") predates the grow commit's
+    // insert-only hunk AND both renames — provenance must reach all the
+    // way back to the original "add util" commit
+    val addUtilHash = commits2(1)(0)
+    val renDeleted = rows("line_changes.tsv")
+      .filter(r => r(0) == "-1" && r(24) == renEditHash)
+    renDeleted.length should be > 0
+    all(renDeleted.map(_(12))) shouldBe addUtilHash
   }
 
   test("git-import analog emits faithful commit counters") {
