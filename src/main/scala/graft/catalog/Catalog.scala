@@ -113,8 +113,17 @@ final class Catalog(spark: SparkSession) {
       val stale =
         try System.currentTimeMillis() - f.getFileStatus(lock).getModificationTime > staleLockMs
         catch { case _: java.io.FileNotFoundException => true } // holder just released
-      if (stale) f.delete(lock, false)
-      tryAcquire()
+      // ATOMIC steal: rename the stale lock onto a process-unique tombstone
+      // — exactly one competitor's rename succeeds, so two stealers can
+      // never both "delete and re-create" and end up compacting
+      // concurrently. (A compact genuinely running past staleLockMs would
+      // be stolen from — compacts are minutes; raise staleLockMs before
+      // deploying hour-long ones.)
+      val tombstone = new Path(t.path + s".compact.lock.stale.$processTag")
+      val stole = stale &&
+        (try f.rename(lock, tombstone) catch { case _: java.io.IOException => false })
+      if (stole) f.delete(tombstone, false)
+      stole && tryAcquire()
     }
     if (!acquired) throw new IllegalStateException(
       s"${t.name}: compaction lock $lock held by another live process")
@@ -351,10 +360,14 @@ final class Catalog(spark: SparkSession) {
     // it mid-job with FileNotFoundException)
     listVersions(t).filter(_ != cur)
       .foreach(v => f.delete(new Path(t.path, v), true))
-    // crashed writers' abandoned manifest staging files (names are
-    // process-unique, so these can only be leftovers, never in-flight)
+    // crashed writers' abandoned manifest staging files. Age-gated: a
+    // peer process's append() may be pinning the manifest RIGHT NOW
+    // (writeManifest stages for milliseconds, guarded only by its own
+    // JVM's writeLock, not this compact lock) — only tmp files old enough
+    // to be certainly dead are collected
     f.listStatus(new Path(t.path)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("_CURRENT.tmp"))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_CURRENT.tmp") &&
+        System.currentTimeMillis() - s.getModificationTime > staleLockMs)
       .foreach(s => f.delete(s.getPath, false))
     if (!f.exists(new Path(t.path, cur))) return // nothing written yet
     val merged = read(t.name)

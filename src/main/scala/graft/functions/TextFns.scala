@@ -50,6 +50,17 @@ object TextFns {
       regexp_replace(text, EmailRe, "<EMAIL>"),
       PhoneRe, "<PHONE>")
 
+  /** Number of replacements [[scrubPii]] actually performs: phones are
+    * counted on the email-scrubbed text, mirroring the sequential
+    * application — an all-digit email local part must not double-count as
+    * a phone it never left behind.
+    */
+  def piiRedactionCount(text: Column): Column = {
+    val emailless = regexp_replace(text, EmailRe, "<EMAIL>")
+    (size(regexp_extract_all(text, lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(emailless, lit(PhoneRe), lit(0)))).cast("long")
+  }
+
   /** Language-ID stopword lists: tiny, deterministic, mirrored verbatim in
     * the oracle SQL. The heuristic is an n-gram/stopword overlap score — the
     * standard cheap language-ID signal for web-scale corpus filtering.

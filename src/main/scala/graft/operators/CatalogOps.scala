@@ -28,13 +28,23 @@ object CatalogOps extends QueryModule {
 
   /** Catalog-written copy of `orders`, clustered by o_orderkey, plus its
     * storage path (the spec inspects the footers there). Fresh temp dir
-    * per call: append-once, so replays can't double the table.
+    * per call: append-once, so replays can't double the table; the dir is
+    * removed at JVM exit so repeated Bench/Verify cycles don't accumulate
+    * full table copies under /tmp. The measured query time deliberately
+    * INCLUDES the clustered write — the O3 write path is the operator
+    * under test, not just the skipping scan.
     */
   def clusteredOrdersWithPath(s: SparkSession, d: String): (DataFrame, String) = {
     val cat = new Catalog(s)
     val src = Tables.orders(s, d)
-    val path = java.nio.file.Files.createTempDirectory("graft-cat-scan")
-      .resolve("orders_by_key").toString
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cat-scan")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator.asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }))
+    val path = tmp.resolve("orders_by_key").toString
     cat.createTable(TableDef("orders_by_key", path, src.schema,
       sortKeys = Seq("o_orderkey"), semantics = Append))
     cat.append("orders_by_key", src)

@@ -413,7 +413,10 @@ object Dedup extends QueryModule {
     }
     // the final round's checkpoint stays live: the returned labels frame
     // reads it lazily
-    if (cur != prev) throw new IllegalStateException(
+    // BOTH convergence conditions must hold at exit — checking only the
+    // signature would let a round-cap exit with a collided signature but a
+    // non-star edge set return non-minima labels silently
+    if (cur != prev || !isStarSet(e)) throw new IllegalStateException(
       s"connectedComponents: star contraction not converged after $rounds rounds")
     val nonRoots = e.select(col("a").as("node"), col("b").as("lbl"))
     val roots = e.select(col("b").as("node")).distinct()

@@ -254,9 +254,7 @@ object TextAnalysis extends QueryModule {
       Tables.documents(s, d)
         .select(col("doc_id"),
           md5(TextFns.scrubPii(col("text"))).as("digest"),
-          (size(regexp_extract_all(col("text"), lit(TextFns.EmailRe), lit(0))) +
-           size(regexp_extract_all(col("text"), lit(TextFns.PhoneRe), lit(0))))
-            .cast("long").as("n_redact"))
+          TextFns.piiRedactionCount(col("text")).as("n_redact"))
         .orderBy(col("doc_id"))),
 
     // Mixture weighting: per-source sampling rates (the "3x wikipedia,
@@ -284,13 +282,13 @@ object TextAnalysis extends QueryModule {
     // identical pattern bytes reach RE2 and Java's regex
     "text_pii_scrub" ->
       s"""SELECT doc_id,
-         |  md5(regexp_replace(regexp_replace(text,
-         |        '${TextFns.EmailRe}', '<EMAIL>', 'g'),
-         |        '${TextFns.PhoneRe}', '<PHONE>', 'g')) AS digest,
+         |  md5(regexp_replace(emailless, '${TextFns.PhoneRe}', '<PHONE>', 'g')) AS digest,
          |  (len(regexp_extract_all(text, '${TextFns.EmailRe}'))
-         |   + len(regexp_extract_all(text, '${TextFns.PhoneRe}')))::BIGINT
+         |   + len(regexp_extract_all(emailless, '${TextFns.PhoneRe}')))::BIGINT
          |    AS n_redact
-         |FROM documents ORDER BY doc_id""".stripMargin,
+         |FROM (SELECT doc_id, text,
+         |        regexp_replace(text, '${TextFns.EmailRe}', '<EMAIL>', 'g') AS emailless
+         |      FROM documents) ORDER BY doc_id""".stripMargin,
 
     "text_mix" ->
       """WITH h AS (SELECT source,

@@ -76,8 +76,14 @@ final class ObjectStoreQueue(store: CondPutStore, maxQueueLength: Int = 10000) {
     Job(a(0), a(1).toLong, a(2).toInt, a(3), a(4).toLong)
   }
 
+  // a repo counts ONCE even in the transient pending+claimed pair state
+  // (mid-claim, or a crashed winner awaiting repair) — the rename CAS
+  // substrate never has two markers, and the capacity guard and snapshot
+  // must agree with it
   def length: Int = store.listKeys()
-    .count(k => k.endsWith(".pending") || k.endsWith(".claimed"))
+    .filter(k => k.endsWith(".pending") || k.endsWith(".claimed"))
+    .map(k => k.stripSuffix(".pending").stripSuffix(".claimed"))
+    .distinct.size
 
   def contains(repoName: String): Boolean =
     store.get(pendingKey(repoName)).isDefined || store.get(claimedKey(repoName)).isDefined
@@ -101,8 +107,13 @@ final class ObjectStoreQueue(store: CondPutStore, maxQueueLength: Int = 10000) {
         val base = k.stripSuffix(".pending")
         if (keys.contains(s"$base.claimed")) {
           // crashed winner's leftover: the claimed object is authoritative,
-          // the pending marker is stale — repair, never re-claim
-          store.delete(k)
+          // the pending marker is stale — repair, never re-claim. Re-probe
+          // the claimed key at delete time: the listing is a snapshot, and
+          // a complete()+re-schedule() landing in between must not lose
+          // the fresh enqueue. (A store offering etag-conditional DELETE
+          // can close the residual probe-to-delete window; the repair is
+          // idempotent either way — the next scan retries it.)
+          if (store.get(s"$base.claimed").isDefined) store.delete(k)
           None
         } else store.get(k).flatMap(s => Try(decode(s)).toOption)
       }
@@ -129,8 +140,14 @@ final class ObjectStoreQueue(store: CondPutStore, maxQueueLength: Int = 10000) {
     ()
   }
 
-  def snapshot(): Seq[Job] = store.listKeys()
-    .filter(k => k.endsWith(".pending") || k.endsWith(".claimed"))
-    .flatMap(k => store.get(k).flatMap(s => Try(decode(s)).toOption))
-    .sortBy(_.repoName)
+  def snapshot(): Seq[Job] = {
+    val keys = store.listKeys().toSet
+    keys.toSeq
+      .filter(k => k.endsWith(".pending") || k.endsWith(".claimed"))
+      // pair state: the claimed row is the authoritative one
+      .filterNot(k => k.endsWith(".pending") &&
+        keys.contains(k.stripSuffix(".pending") + ".claimed"))
+      .flatMap(k => store.get(k).flatMap(s => Try(decode(s)).toOption))
+      .sortBy(_.repoName)
+  }
 }

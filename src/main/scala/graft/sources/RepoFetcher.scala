@@ -39,7 +39,8 @@ object RepoFetcher {
   * local fixture path (git clones from plain directories), which is also
   * what keeps this spec-able in a network-less container.
   *
-  * History extraction is ONE `git log --reverse -M -p --unified=0` pass,
+  * History extraction is ONE `git log --reverse --topo-order -M -C -p
+  * --unified=0` pass,
   * parsed commit-by-commit into the three TSV shapes of FIXTURES.md §A.
   * Rows stream to disk as each commit completes — only the current
   * commit's diff plus the line-provenance snapshot (below) are held in
@@ -59,7 +60,14 @@ object RepoFetcher {
   *
   * Remaining documented delta: merge commits contribute a commit row but
   * no file/line rows (git shows no combined diff by default, matching the
-  * ingest watermark's view of them).
+  * ingest watermark's view of them). Corollary for the blame snapshot:
+  * `git log --reverse --topo-order` LINEARIZES a branched DAG, so on a
+  * history where two merged branches edited the same file, replaying one
+  * branch's hunks over the other branch's already-applied edits can
+  * misattribute line origins near the overlap (lookups that fall out of
+  * bounds emit empty provenance rather than a wrong one). Exact on
+  * linear histories — the common case for the reference's per-repo
+  * import — and self-correcting at the next full-file rewrite.
   */
 final class GitCliFetcher(
     cacheDir: String,
@@ -280,7 +288,9 @@ final class GitCliFetcher(
     val wFiles = Files.newBufferedWriter(dir.resolve("file_changes.tsv"), UTF_8)
     val wLines = Files.newBufferedWriter(dir.resolve("line_changes.tsv"), UTF_8)
     try {
-      runStreaming(dir, "git", "log", "--reverse", "-M",
+      // --topo-order: children never precede parents (commit-date skew
+      // can otherwise reorder them); -M/-C enable rename + copy detection
+      runStreaming(dir, "git", "log", "--reverse", "--topo-order", "-M", "-C",
         "-p", "--unified=0", "--pretty=format:@C%x00%H%x00%an%x00%at%x00%s") { lines =>
         parseLog(lines)(c => emitCommit(c, blame, wCommits, wFiles, wLines))
       }

@@ -17,7 +17,10 @@ object ExplainCheck {
       // round 3: skew-salted join, funnel join-backs, vocab/bigram top-k,
       // the two accuracy-contract plans
       "join_skew_salted", "agg_funnel", "agg_retention",
-      "text_vocab", "text_bigram", "ann_ivf_topk", "dedup_simhash")
+      "text_vocab", "text_bigram", "ann_ivf_topk", "dedup_simhash",
+      // round 4: clustered-copy scan (PushedFilters on the sort key),
+      // cell-blocked embed dedup, mixture sampling, PII scrub
+      "cat_clustered_scan", "dedup_embed_cosine", "text_mix", "text_pii_scrub")
     interesting.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(plan).mkString("; ")

@@ -15,14 +15,19 @@ class TextAnalysisSpec extends SparkSpecBase {
       (1L, "contact me at jane.doe+spam@example.co.uk for details"),
       (2L, "call +1 212 555 0187 or 089-4711-2358 today"),
       (3L, "mixed: bob@corp.io and 01234567890 in one line"),
-      (4L, "clean text with no personal data at all")
+      (4L, "clean text with no personal data at all"),
+      (5L, "digits-only local part: 0123456789@relay.example.com here")
     ).toDF("doc_id", "text")
-    val out = docs.select(col("doc_id"), TextFns.scrubPii(col("text")).as("clean"))
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    out(1L) shouldBe "contact me at <EMAIL> for details"
-    out(2L) shouldBe "call <PHONE> or <PHONE> today"
-    out(3L) shouldBe "mixed: <EMAIL> and <PHONE> in one line"
-    out(4L) shouldBe "clean text with no personal data at all"
+    val out = docs.select(col("doc_id"), TextFns.scrubPii(col("text")).as("clean"),
+        TextFns.piiRedactionCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    out(1L) shouldBe ("contact me at <EMAIL> for details", 1L)
+    out(2L) shouldBe ("call <PHONE> or <PHONE> today", 2L)
+    out(3L) shouldBe ("mixed: <EMAIL> and <PHONE> in one line", 2L)
+    out(4L) shouldBe ("clean text with no personal data at all", 0L)
+    // the digit-run inside the email is ONE redaction, not email + phone:
+    // the count mirrors the scrub's sequential application
+    out(5L) shouldBe ("digits-only local part: <EMAIL> here", 1L)
   }
 
   test("text_pii_scrub on the corpus: zero redactions, digests = pass-through md5") {

@@ -85,7 +85,8 @@ copy(f"""SELECT doc_id + r*{STRIDE} AS doc_id,
 copy(f"""SELECT vec_id + r*{STRIDE} AS vec_id,
           CASE WHEN r = 0 THEN embedding
                ELSE list_transform(generate_series(1, len(embedding)),
-                      i -> (embedding[i] + 0.05*sin((vec_id % 101 + 1) * i * 0.7))::FLOAT)
+                      i -> (embedding[i]
+                            + 0.05*sin(((vec_id + r*{STRIDE}) % 101 + 1) * i * 0.7))::FLOAT)
           END AS embedding, label
           FROM {t('embeddings')} CROSS JOIN range(0, {emb_factor}) rep(r)""", "embeddings")
 print("done:", out)
