@@ -9,13 +9,13 @@ import org.apache.spark.sql.functions.col
   * built-in HTTP server — `GET /add_new_repo?repo=owner/name`.
   *
   * Response contract mirrors app.py:
-  *   - 400 INVALID REPOSITORY    — malformed name, or the injected remote
-  *     probe rejects it. The reference shells out to `git ls-remote`
-  *     (/root/reference/repo/importer.py:77-83, app.py:45) — an
-  *     out-of-engine subprocess — so the probe here is a pluggable
-  *     `String => Boolean`: the default accepts anything well-formed (no
-  *     network in this environment); a production deployment passes a probe
-  *     that runs `git ls-remote` exactly like the reference.
+  *   - 400 INVALID REPOSITORY    — malformed name, or the remote probe
+  *     rejects it. The reference shells out to `git ls-remote`
+  *     (/root/reference/repo/importer.py:77-83, app.py:45); the shipped
+  *     default [[graft.sources.GitRemoteProbe.default]] does exactly that
+  *     against `https://github.com/{name}`. Tests inject a probe over
+  *     local fixture paths (`git ls-remote` takes plain directories) or a
+  *     pure predicate.
   *   - 200 ALREADY_PROCESSED     — repo already ingested in commits
   *     (NOTE: app.py:51's `>= 0` makes this branch always taken in the
   *     reference — a recorded bug (SURVEY.md §0) we do NOT replicate;
@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions.col
   *   - 200 SCHEDULED             — enqueued
   */
 final class HttpApp(env: ClickhubCli.Env, port: Int,
-                    remoteValid: String => Boolean = _ => true,
+                    remoteValid: String => Boolean = graft.sources.GitRemoteProbe.default,
                     lookupTable: String = "commits") {
 
   private val repoShape = "^[A-Za-z0-9_.-]+/[A-Za-z0-9_.-]+$".r

@@ -32,6 +32,37 @@ object RepoFetcher {
   def fromTsvRoot(root: String): RepoFetcher = (repoName: String) => s"$root/$repoName"
 }
 
+/** Remote-validity probe — the reference shells `git ls-remote` to check a
+  * repo exists before enqueueing it (repo/importer.py:77-83, called from
+  * app.py:45). Exit code 0 = valid; any failure, IOException, or timeout =
+  * invalid. `git ls-remote` accepts plain directory paths as remotes, which
+  * keeps the probe spec-able in a network-less container (the same local
+  * fixture posture RepoFetcherSpec uses for clone/pull).
+  */
+object GitRemoteProbe {
+  def lsRemote(urlFor: String => String = r => s"https://github.com/$r",
+               timeoutMs: Long = 20000): String => Boolean = repo => {
+    val pb = new ProcessBuilder("git", "ls-remote", urlFor(repo))
+    // never block on a credential prompt for a private/missing repo — the
+    // reference's subprocess would hang the Flask handler the same way
+    pb.environment().put("GIT_TERMINAL_PROMPT", "0")
+    pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+    pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+    try {
+      val p = pb.start()
+      if (!p.waitFor(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        p.destroyForcibly()
+        false
+      } else p.exitValue() == 0
+    } catch { case _: java.io.IOException => false }
+  }
+
+  /** The shipped default: probe the reference's hardcoded GitHub remote
+    * (importer.py:124-125 `https://github.com/{name}`).
+    */
+  val default: String => Boolean = lsRemote()
+}
+
 /** Clone-or-pull + git-import analog over the `git` CLI.
   *
   * `urlFor` maps a repo name to its clone URL — the reference hardcodes

@@ -95,7 +95,10 @@ class AppSpec extends SparkSpecBase {
   // --- the reference's own HTTP test shapes (test.py) ---
 
   private def withApp(e: ClickhubCli.Env)(f: (HttpClient, Int) => Unit): Unit = {
-    val app = new HttpApp(e, 0)
+    // the shipped default probe shells `git ls-remote` against github.com
+    // (GitRemoteProbe.default) — inject a pure predicate here so queue/dup
+    // tests don't depend on the network; the real probe has its own test
+    val app = new HttpApp(e, 0, remoteValid = _ => true)
     app.start()
     try f(HttpClient.newHttpClient(), app.boundPort)
     finally app.stop()
@@ -122,6 +125,27 @@ class AppSpec extends SparkSpecBase {
       bad.statusCode() shouldBe 400
       bad.body() shouldBe "INVALID REPOSITORY"
       get(c, app.boundPort, "acme/real").body() shouldBe "SCHEDULED"
+    } finally app.stop()
+  }
+
+  test("http: real `git ls-remote` probe — live fixture scheduled, missing remote → 400 (importer.py:77-83)") {
+    // end-to-end through the REAL subprocess probe: `git ls-remote` accepts
+    // a plain directory as the remote, so a local `git init` fixture stands
+    // in for a live GitHub repo and a nonexistent path for a dead one
+    val root = tmpDir("remotes")
+    val fixture = Paths.get(root, "acme", "live")
+    Files.createDirectories(fixture)
+    new ProcessBuilder("git", "init", "--quiet", fixture.toString)
+      .start().waitFor() shouldBe 0
+    val app = new HttpApp(newEnv(), 0,
+      remoteValid = graft.sources.GitRemoteProbe.lsRemote(r => s"$root/$r"))
+    app.start()
+    try {
+      val c = HttpClient.newHttpClient()
+      get(c, app.boundPort, "acme/live").body() shouldBe "SCHEDULED"
+      val dead = get(c, app.boundPort, "acme/ghost")
+      dead.statusCode() shouldBe 400
+      dead.body() shouldBe "INVALID REPOSITORY"
     } finally app.stop()
   }
 

@@ -1,0 +1,92 @@
+package graft
+
+/** Plan-shape regression gate (round-4 verdict item 1): the properties
+  * `graft.tools.ExplainCheck` used to merely PRINT, promoted to failing
+  * assertions so a future edit cannot silently lose a pushdown, demote a
+  * broadcast join, or widen a top-k into a global sort.
+  *
+  * Assertions run on the plan STRING of `executedPlan`: with AQE on, the
+  * root is `AdaptiveSparkPlanExec(isFinalPlan=false)` whose toString still
+  * renders the fully planned initial physical tree — scan pushdowns,
+  * join strategy choices, and TakeOrderedAndProject are all visible there
+  * without executing anything. (Node-level `collect()` would see only the
+  * AQE root — the same trap the partitionless-window guard documents.)
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  // no closing-bracket anchor: FileSourceScanExec truncates long metadata
+  // entries to 100 chars, so a healthy pushdown list can render as
+  // `PushedFilters: [IsNotNull(x), GreaterThan(y,...` with the `]` cut off
+  private val PushedFilter = "PushedFilters: \\[[^\\]]".r
+
+  test("headline predicates reach the Parquet scan (PushedFilters non-empty)") {
+    // p3/p5/p6 are the reference's predicate family; q1_agg is the flagship.
+    // A lost pushdown here means a full-table scan at 100 TB.
+    Seq("p3_filter_eq", "p5_watermark", "p6_conj_pred", "q1_agg").foreach { q =>
+      withClue(s"$q: ") {
+        PushedFilter.findFirstIn(planOf(q)) should not be empty
+      }
+    }
+  }
+
+  test("dimension joins plan as broadcast hash joins") {
+    // The dims (region/nation/part at this SF, and join_broadcast's build
+    // side) sit far below autoBroadcastJoinThreshold — the planner must
+    // pick BroadcastHashJoin, not SortMergeJoin, without any pinned hint
+    // (round 4 removed the forced broadcast(part): pinned hints on
+    // SF-growing dims are the #1 scale trap; size-based planning + AQE is
+    // the contract).
+    Seq("join_broadcast" -> 1, "q3_shipping" -> 1, "q5_region_revenue" -> 2)
+      .foreach { case (q, minBhj) =>
+        val plan = planOf(q)
+        withClue(s"$q (expected >= $minBhj BroadcastHashJoin): ") {
+          plan.linesIterator.count(_.contains("BroadcastHashJoin")) should be >= minBhj
+        }
+      }
+  }
+
+  test("order-by-limit queries plan TakeOrderedAndProject, not a global sort") {
+    Seq("o1_topk", "o2_stalest_first", "text_vocab", "text_bm25").foreach { q =>
+      withClue(s"$q: ") { planOf(q) should include("TakeOrderedAndProject") }
+    }
+  }
+
+  test("no query plans a CartesianProduct except the explicit cross join") {
+    SparkEntry.queries.keys.filterNot(_ == "join_cross").foreach { q =>
+      withClue(s"$q: ") { planOf(q) should not include "CartesianProduct" }
+    }
+  }
+
+  test("no query plans a partitionless window (single-partition scale hazard)") {
+    // A Window with an empty partitionSpec serializes the whole input
+    // through one task ("Moving all data to a single partition") — fine at
+    // test scale, a cliff at 100x. Guard EVERY registered query so a future
+    // operator can't reintroduce it (win_ntile_dense did in round 1).
+    // Checked on the optimized LOGICAL plan: AQE wraps the physical tree in
+    // AdaptiveSparkPlanExec, which hides children from collect().
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf0001).queryExecution.optimizedPlan
+      val global = plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      withClue(s"$name plans a global window: ") { global shouldBe empty }
+    }
+  }
+
+  test("flagship aggregation stays inside whole-stage codegen") {
+    // q1_agg's scan -> filter -> partial agg must be one codegen'd span;
+    // zero codegen stages would mean an interpreted expression crept into
+    // the hot path (the measured 3-7x HOF regression class). Codegen
+    // wrapping happens per query stage under AQE, so the plan must be
+    // EXECUTED before `*(n)` markers appear in its string.
+    val df = SparkEntry.queries("q1_agg")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("isFinalPlan=true")
+    "\\*\\(\\d+\\)".r.findAllIn(plan).size should be >= 1
+  }
+}

@@ -45,20 +45,5 @@ class QueriesSpec extends SparkSpecBase {
     }
   }
 
-  test("no query plans a partitionless window (single-partition scale hazard)") {
-    // A Window with an empty partitionSpec serializes the whole input
-    // through one task ("Moving all data to a single partition") — fine at
-    // test scale, a cliff at 100x. Guard EVERY registered query so a future
-    // operator can't reintroduce it (win_ntile_dense did in round 1).
-    // checked on the optimized logical plan: AQE wraps the physical tree in
-    // AdaptiveSparkPlanExec, which hides children from collect()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val plan = fn(spark, sf0001).queryExecution.optimizedPlan
-      val global = plan.collect {
-        case w: org.apache.spark.sql.catalyst.plans.logical.Window
-            if w.partitionSpec.isEmpty => w
-      }
-      withClue(s"$name plans a global window: ") { global shouldBe empty }
-    }
-  }
+  // plan-shape guards (incl. the partitionless-window check) live in PlanSpec
 }
