@@ -89,16 +89,20 @@ object GitRemoteProbe {
   *     `git blame` subprocess per file per commit. Added lines carry
   *     empty provenance (they have no predecessor).
   *
-  * Remaining documented delta: merge commits contribute a commit row but
-  * no file/line rows (git shows no combined diff by default, matching the
-  * ingest watermark's view of them). Corollary for the blame snapshot:
-  * `git log --reverse --topo-order` LINEARIZES a branched DAG, so on a
-  * history where two merged branches edited the same file, replaying one
-  * branch's hunks over the other branch's already-applied edits can
-  * misattribute line origins near the overlap (lookups that fall out of
-  * bounds emit empty provenance rather than a wrong one). Exact on
-  * linear histories — the common case for the reference's per-repo
-  * import — and self-correcting at the next full-file rewrite.
+  * Branched histories are exact (round 5): every commit's diff is taken
+  * against its own FIRST PARENT (`--diff-merges=first-parent` makes merge
+  * commits emit that diff too, so merges contribute file/line rows), and
+  * the blame replay applies each diff to a per-commit snapshot of that
+  * first parent's state — never to a global snapshot of a linearized
+  * walk, which misattributed line origins where merged branches edited
+  * the same file. The resulting attribution contract is exactly
+  * `git blame --first-parent`: a line carried onto the mainline by a
+  * merge belongs to the merge commit; a line authored on the lineage
+  * belongs to its authoring commit (RepoFetcherSpec pins both against
+  * real `git blame --first-parent` output). Snapshots are retained only
+  * until the last first-parent child of their commit has been replayed,
+  * so live memory is one checkout per concurrently-open branch — the
+  * same O(current checkout) bound as before on linear histories.
   */
 final class GitCliFetcher(
     cacheDir: String,
@@ -190,8 +194,15 @@ final class GitCliFetcher(
     def hunksChanged: Long = hunks.count(h => h.added.nonEmpty && h.deleted.nonEmpty)
   }
   private final case class CommitMeta(hash: String, author: String, epoch: Long)
-  private final case class Commit(meta: CommitMeta, subject: String,
+  private final case class Commit(meta: CommitMeta, subject: String, parents: Seq[String],
                                   files: mutable.ArrayBuffer[FileDiff] = mutable.ArrayBuffer.empty)
+
+  /** Per-file line-provenance snapshot of one commit's tree state. The
+    * buffers are NEVER mutated after construction (replayHunks always
+    * builds a fresh one), so snapshots share them structurally — an
+    * immutable Map update costs O(log n), not a tree copy.
+    */
+  private type BlameState = Map[String, mutable.ArrayBuffer[CommitMeta]]
 
   private val HunkHeader = """@@ -(\d+)(?:,\d+)? \+(\d+)(?:,\d+)? @@.*""".r
 
@@ -234,11 +245,14 @@ final class GitCliFetcher(
     lines.foreach {
       case l if l.startsWith("@C\u0000") =>
         flush()
-        val a = l.split("\u0000", 5)
+        val a = l.split("\u0000", 6)
         val hash = if (a.length > 1) a(1) else "(malformed)"
         val author = if (a.length > 2) sanitize(a(2)) else "(unknown)"
         val epoch = if (a.length > 3) a(3).toLongOption.getOrElse(0L) else 0L
-        commit = Commit(CommitMeta(hash, author, epoch), if (a.length > 4) a(4) else "")
+        val parents =
+          if (a.length > 4) a(4).split(' ').toSeq.filter(_.nonEmpty) else Seq.empty
+        commit = Commit(CommitMeta(hash, author, epoch),
+          if (a.length > 5) a(5) else "", parents)
         file = null; hunk = null
       case l if commit != null && l.startsWith("diff --git ") =>
         // seed the path from the (ambiguous) diff line — binary files emit
@@ -310,11 +324,32 @@ final class GitCliFetcher(
   /** Emit commits.tsv / file_changes.tsv / line_changes.tsv (FIXTURES.md §A)
     * from the streamed history — the `clickhouse git-import` output contract
     * (repo/importer.py:86-90), headerless and positional. Rows are written
-    * as each commit parses; `blame` carries the per-file line-provenance
-    * snapshot forward between commits.
+    * as each commit parses.
+    *
+    * Blame bookkeeping: each commit's diff (always vs its FIRST parent,
+    * `--diff-merges=first-parent`) is replayed onto a snapshot of that
+    * parent's tree state, so provenance is exact on any DAG shape — the
+    * `git blame --first-parent` contract. A cheap metadata-only pre-pass
+    * counts how many commits will diff against each snapshot; a snapshot
+    * is released the moment its last first-parent child has been replayed,
+    * bounding live memory to one checkout per concurrently-open branch.
     */
   private def gitImport(dir: Path): Unit = {
-    val blame = mutable.HashMap.empty[String, mutable.ArrayBuffer[CommitMeta]]
+    // pre-pass: #children that have each commit as their FIRST parent
+    // (a commit reachable only as a second parent never needs a snapshot)
+    val pending = mutable.HashMap.empty[String, Int]
+    runStreaming(dir, "git", "log", "--topo-order", "--pretty=format:%H %P") { lines =>
+      lines.foreach { l =>
+        val sp = l.indexOf(' ')
+        if (sp > 0) {
+          val sp2 = l.indexOf(' ', sp + 1)
+          val firstParent = if (sp2 > 0) l.substring(sp + 1, sp2) else l.substring(sp + 1)
+          if (firstParent.nonEmpty)
+            pending.updateWith(firstParent)(n => Some(n.getOrElse(0) + 1))
+        }
+      }
+    }
+    val states = mutable.HashMap.empty[String, BlameState]
     val wCommits = Files.newBufferedWriter(dir.resolve("commits.tsv"), UTF_8)
     val wFiles = Files.newBufferedWriter(dir.resolve("file_changes.tsv"), UTF_8)
     val wLines = Files.newBufferedWriter(dir.resolve("line_changes.tsv"), UTF_8)
@@ -322,18 +357,32 @@ final class GitCliFetcher(
       // --topo-order: children never precede parents (commit-date skew
       // can otherwise reorder them); -M/-C enable rename + copy detection
       runStreaming(dir, "git", "log", "--reverse", "--topo-order", "-M", "-C",
-        "-p", "--unified=0", "--pretty=format:@C%x00%H%x00%an%x00%at%x00%s") { lines =>
-        parseLog(lines)(c => emitCommit(c, blame, wCommits, wFiles, wLines))
+        "-p", "--unified=0", "--diff-merges=first-parent",
+        "--pretty=format:@C%x00%H%x00%an%x00%at%x00%P%x00%s") { lines =>
+        parseLog(lines) { c =>
+          val firstParent = c.parents.headOption
+          val base = firstParent.flatMap(states.get).getOrElse(Map.empty)
+          val next = emitCommit(c, base, wCommits, wFiles, wLines)
+          firstParent.foreach { p =>
+            val left = pending.getOrElse(p, 1) - 1
+            if (left <= 0) { states.remove(p); pending.remove(p) }
+            else pending(p) = left
+          }
+          if (pending.getOrElse(c.meta.hash, 0) > 0) states(c.meta.hash) = next
+        }
       }
     } finally {
       wCommits.close(); wFiles.close(); wLines.close()
     }
   }
 
-  private def emitCommit(c: Commit,
-                         blame: mutable.HashMap[String, mutable.ArrayBuffer[CommitMeta]],
+  /** Write one commit's rows, reading provenance from `base` (its first
+    * parent's state) and returning the commit's own state. `base` is never
+    * mutated — shared buffers stay valid for sibling branches.
+    */
+  private def emitCommit(c: Commit, base: BlameState,
                          wCommits: java.io.Writer, wFiles: java.io.Writer,
-                         wLines: java.io.Writer): Unit = {
+                         wLines: java.io.Writer): BlameState = {
     val ts = tsFmt.format(Instant.ofEpochSecond(c.meta.epoch))
     val types = c.files.map(_.effectiveType)
     val fa = types.count(_ == "Add").toLong
@@ -354,8 +403,9 @@ final class GitCliFetcher(
         c.meta.hash, c.meta.author, ts, sanitize(c.subject)) ++ commitTail
       wFiles.write(fileTail.mkString("", "\t", "\n"))
 
-      // deleted lines are addressed in the OLD path's coordinate space
-      val src = blame.getOrElse(f.oldPath, mutable.ArrayBuffer.empty[CommitMeta])
+      // deleted lines are addressed in the OLD path's coordinate space,
+      // looked up in the PRE-commit state (base)
+      val src = base.getOrElse(f.oldPath, mutable.ArrayBuffer.empty[CommitMeta])
       f.hunks.zipWithIndex.foreach { case (h, hi) =>
         def writeLine(line: String, sign: Long, oldNo: Long, newNo: Long): Unit = {
           val (ph, pa, pt) =
@@ -378,23 +428,28 @@ final class GitCliFetcher(
       }
     }
 
-    // advance the provenance snapshot past this commit
+    // derive this commit's state from base (sequential within the commit:
+    // a rename A->B plus a fresh add of A in the same diff must chain)
+    var next = base
     c.files.foreach { f =>
       f.effectiveType match {
         case "Add" =>
-          blame(f.path) = replayHunks(mutable.ArrayBuffer.empty, f.hunks.toSeq, c.meta)
+          next = next.updated(f.path, replayHunks(mutable.ArrayBuffer.empty, f.hunks.toSeq, c.meta))
         case "Delete" =>
-          blame.remove(f.oldPath)
+          next = next - f.oldPath
         case "Rename" =>
-          val st = blame.remove(f.oldPath).getOrElse(mutable.ArrayBuffer.empty[CommitMeta])
-          blame(f.path) = replayHunks(st, f.hunks.toSeq, c.meta)
+          val st = next.getOrElse(f.oldPath, mutable.ArrayBuffer.empty[CommitMeta])
+          next = (next - f.oldPath).updated(f.path, replayHunks(st, f.hunks.toSeq, c.meta))
         case "Copy" =>
-          val st = blame.get(f.oldPath).map(_.clone()).getOrElse(mutable.ArrayBuffer.empty[CommitMeta])
-          blame(f.path) = replayHunks(st, f.hunks.toSeq, c.meta)
+          // no defensive clone: replayHunks never mutates its input, so the
+          // source buffer can be shared under both paths (and across states)
+          val st = next.getOrElse(f.oldPath, mutable.ArrayBuffer.empty[CommitMeta])
+          next = next.updated(f.path, replayHunks(st, f.hunks.toSeq, c.meta))
         case _ =>
-          blame(f.path) = replayHunks(
-            blame.getOrElse(f.path, mutable.ArrayBuffer.empty[CommitMeta]), f.hunks.toSeq, c.meta)
+          next = next.updated(f.path, replayHunks(
+            next.getOrElse(f.path, mutable.ArrayBuffer.empty[CommitMeta]), f.hunks.toSeq, c.meta))
       }
     }
+    next
   }
 }

@@ -152,6 +152,87 @@ class RepoFetcherSpec extends SparkSpecBase {
     all(renDeleted.map(_(12))) shouldBe addUtilHash
   }
 
+  private def shOut(cwd: Path, cmd: String*): String = {
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.directory(cwd.toFile)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), UTF_8)
+    val err = new String(p.getErrorStream.readAllBytes(), UTF_8)
+    require(p.waitFor() == 0, s"${cmd.mkString(" ")} failed: $err")
+    out
+  }
+
+  /** Owner hash of the first line containing `needle`, per git's own
+    * first-parent blame at `rev` — the external truth the import's
+    * provenance columns are compared against.
+    */
+  private def blameOwner(repo: Path, rev: String, file: String, needle: String): String =
+    shOut(repo, "git", "blame", "--first-parent", "-l", rev, "--", file)
+      .split("\n").find(_.contains(needle))
+      .map(_.split(" ")(0)).getOrElse(fail(s"no blame line matching '$needle'"))
+
+  test("merge commits emit first-parent diff rows; provenance matches git blame --first-parent") {
+    val repo = fixtureRepo() // 3 commits on main; Util.scala has "val x = 1"
+    // side branch edits Util; main advances independently; then a no-ff merge
+    sh(repo, gitEnv(1700000300L), "git", "checkout", "--quiet", "-b", "feat")
+    commit(repo, 1700000300L, "branch edit",
+      "src/Util.scala" -> "object Util {\n  val x = 42\n}\n")
+    sh(repo, gitEnv(1700000400L), "git", "checkout", "--quiet", "main")
+    commit(repo, 1700000400L, "main readme", "README.md" -> "# fixture\nmore\n")
+    sh(repo, gitEnv(1700000500L), "git", "merge", "--quiet", "--no-ff", "--no-edit", "feat")
+    // post-merge mainline commit rewrites the line the MERGE carried in
+    commit(repo, 1700000600L, "post merge edit",
+      "src/Util.scala" -> "object Util {\n  val x = 43\n}\n")
+
+    val cache = Files.createTempDirectory("git-cache4").toString
+    val fetcher = new GitCliFetcher(cache, urlFor = _ => repo.toString)
+    val dir = fetcher.fetch("acme/merged")
+    def rows(f: String) =
+      new String(Files.readAllBytes(java.nio.file.Paths.get(dir, f)), UTF_8)
+        .split("\n").filter(_.nonEmpty).map(_.split("\t", -1))
+
+    val commits = rows("commits.tsv")
+    commits.length shouldBe 7 // 3 + branch edit + main readme + merge + post
+    val byMsg = commits.map(r => r(3) -> r(0)).toMap
+    val addUtilHash = byMsg("add util")
+    val branchHash = byMsg("branch edit")
+    val mergeHash = commits.map(_(0)).find(h =>
+      shOut(repo, "git", "rev-list", "--merges", "-n", "1", h).nonEmpty &&
+        shOut(repo, "git", "rev-parse", h).trim == shOut(repo, "git", "rev-list", "--merges", "-n", "1", "main").trim)
+      .getOrElse(fail("merge commit not in commits.tsv"))
+    val postHash = byMsg("post merge edit")
+
+    // 1. the merge emits file/line rows from its first-parent diff: on the
+    //    mainline it replaces "val x = 1" with the branch's "val x = 42"
+    val mergeFiles = rows("file_changes.tsv").filter(_(9) == mergeHash)
+    mergeFiles.map(_(1)) should contain("src/Util.scala")
+    val mergeLines = rows("line_changes.tsv").filter(_(24) == mergeHash)
+    mergeLines.filter(_(0) == "1").map(_(9)) should contain("  val x = 42")
+    // 2. the line the merge deleted was authored on the mainline by
+    //    "add util" — and git blame --first-parent at merge^ agrees
+    val mergeDeleted = mergeLines.filter(r => r(0) == "-1" && r(9).contains("val x = 1"))
+    mergeDeleted.length shouldBe 1
+    mergeDeleted(0)(12) shouldBe addUtilHash
+    mergeDeleted(0)(12) shouldBe blameOwner(repo, s"$mergeHash^", "src/Util.scala", "val x = 1")
+    // 3. the post-merge edit deletes a line the MERGE carried onto the
+    //    mainline: first-parent attribution owns it to the merge commit,
+    //    NOT the branch commit — exactly what git blame --first-parent says
+    //    (the old linearized replay misattributed this to the branch commit)
+    val postDeleted = rows("line_changes.tsv")
+      .filter(r => r(24) == postHash && r(0) == "-1" && r(9).contains("val x = 42"))
+    postDeleted.length shouldBe 1
+    postDeleted(0)(12) shouldBe mergeHash
+    postDeleted(0)(12) should not be branchHash
+    postDeleted(0)(12) shouldBe blameOwner(repo, s"$postHash^", "src/Util.scala", "val x = 42")
+    // 4. the side-branch commit's own rows are exact too: its diff is taken
+    //    against ITS parent (the branch point), so the deleted "val x = 1"
+    //    line carries mainline provenance
+    val branchDeleted = rows("line_changes.tsv")
+      .filter(r => r(24) == branchHash && r(0) == "-1" && r(9).contains("val x = 1"))
+    branchDeleted.length shouldBe 1
+    branchDeleted(0)(12) shouldBe addUtilHash
+  }
+
   test("git-import analog emits faithful commit counters") {
     val upstream = fixtureRepo()
     val cache = Files.createTempDirectory("git-cache2").toString
