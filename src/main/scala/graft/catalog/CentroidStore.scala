@@ -1,0 +1,74 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** Persistent registry of trained IVF coarse quantizers
+  * ([[graft.operators.Similarity]]'s `ann_ivf_topk` / `dedup_embed_cosine`
+  * front end).
+  *
+  * At 100 TB the Lloyd training pass — even over its sample — is the
+  * expensive step, and it is identical for every query against the same
+  * corpus version, so it is trained once and committed through the Catalog
+  * like any other engine table rather than recomputed per query or per
+  * session. Rows are keyed by (corpus_version, variant, cell) with
+  * latest-wins on `trained_at` (ReplacingDedup), so retraining a corpus
+  * version is an append — concurrent readers keep the previous quantizer
+  * until the new rows are fully committed, the same commit discipline as
+  * every other table.
+  *
+  * `corpus_version` is whatever identifies the training corpus snapshot
+  * (a directory, a Catalog table version); `variant` distinguishes
+  * quantizer recipes (e.g. the float32 spherical k-means vs the
+  * decimal-rounded oracle-replayable one).
+  */
+final class CentroidStore(spark: SparkSession, catalog: Catalog,
+                          warehouseRoot: String,
+                          tableName: String = "ivf_centroids") {
+
+  def this(spark: SparkSession, warehouseRoot: String) =
+    this(spark, new Catalog(spark), warehouseRoot)
+
+  private val schema = StructType(Seq(
+    StructField("corpus_version", StringType, nullable = false),
+    StructField("variant", StringType, nullable = false),
+    StructField("cell", IntegerType, nullable = false),
+    StructField("centroid", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("trained_at", LongType, nullable = false)))
+
+  val table: TableDef = catalog.createTable(TableDef(
+    tableName, s"$warehouseRoot/$tableName", schema,
+    sortKeys = Seq("corpus_version", "variant", "cell"),
+    semantics = ReplacingDedup(Seq("corpus_version", "variant", "cell"), "trained_at")))
+
+  /** Commit a trained quantizer. K×dim doubles — one tiny file. */
+  def save(version: String, variant: String, cents: Seq[Array[Double]]): Unit = {
+    val now = System.currentTimeMillis()
+    val rows = cents.zipWithIndex.map { case (c, i) =>
+      Row(version, variant, i, c.toSeq, now)
+    }
+    catalog.append(tableName, spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema))
+  }
+
+  /** Latest committed quantizer for (version, variant), cells in order. */
+  def load(version: String, variant: String): Option[Seq[Array[Double]]] = {
+    if (!catalog.exists(tableName)) return None
+    val rows = catalog.read(tableName)
+      .filter(col("corpus_version") === version && col("variant") === variant)
+      .select(col("cell"), col("centroid"))
+      .collect()
+    if (rows.isEmpty) None
+    else Some(rows.sortBy(_.getInt(0)).toSeq.map(_.getSeq[Double](1).toArray))
+  }
+
+  /** Load-or-train-and-commit: the amortization entry point. */
+  def getOrTrain(version: String, variant: String)
+                (train: => Seq[Array[Double]]): Seq[Array[Double]] =
+    load(version, variant).getOrElse {
+      val cents = train
+      save(version, variant, cents)
+      cents
+    }
+}

@@ -474,7 +474,8 @@ object Dedup extends QueryModule {
     "dedup_embed_cosine" -> ((s, d) =>
       Similarity.embedNearDupPairs(
           Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
-          nCells = 16, threshold = 0.4)
+          nCells = 16, threshold = 0.4,
+          version = Some(d)) // memoize training per corpus snapshot
         .orderBy(col("i"), col("j"))),
   )
 

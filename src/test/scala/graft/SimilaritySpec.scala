@@ -52,6 +52,38 @@ class SimilaritySpec extends SparkSpecBase {
     row.getAs[Boolean]("recall_at5_ok") shouldBe true
   }
 
+  test("centroids persist through the Catalog and reproduce the exact IVF result") {
+    // the cross-session amortization contract: train once → commit through
+    // CentroidStore → a FRESH store instance (new session analog) reloads
+    // the quantizer and the IVF result is bit-identical to the in-process
+    // training path, so at 100 TB Lloyd runs once per corpus version
+    val wh = tmpDir("centwh")
+    val store = new graft.catalog.CentroidStore(spark, wh)
+    var trainRuns = 0
+    def train(): Seq[Array[Double]] = {
+      trainRuns += 1
+      Similarity.trainCentroids(spark, sf0001).map(_.map(_.toDouble)).toSeq
+    }
+    val first = store.getOrTrain(sf0001, "spherical_f32")(train())
+    val second = store.getOrTrain(sf0001, "spherical_f32")(train())
+    trainRuns shouldBe 1 // second call served from the committed table
+    second.map(_.toSeq) shouldBe first.map(_.toSeq)
+
+    val reloaded = new graft.catalog.CentroidStore(spark, wh)
+      .load(sf0001, "spherical_f32")
+      .getOrElse(fail("fresh store instance found no committed centroids"))
+    val fromStore = Similarity
+      .ivfTopKWith(spark, sf0001, reloaded.map(_.map(_.toFloat))).collect()
+    val direct = Similarity.ivfTopK(spark, sf0001).collect()
+    fromStore.map(_.toSeq) shouldBe direct.map(_.toSeq)
+
+    // retrain = append with a newer trained_at; latest wins on load
+    val bumped = first.map(_.map(_ + 1.0))
+    Thread.sleep(2) // distinct trained_at
+    store.save(sf0001, "spherical_f32", bumped)
+    store.load(sf0001, "spherical_f32").get.map(_.toSeq) shouldBe bumped.map(_.toSeq)
+  }
+
   test("cell-blocked near-dup bounds blocks under label skew and finds all tight pairs") {
     // A corpus whose STORED label is one giant block (the skew that would
     // degenerate label-blocked pair generation to n²), while the vectors
