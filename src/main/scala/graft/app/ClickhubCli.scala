@@ -3,7 +3,7 @@ package graft.app
 import java.nio.file.Paths
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.queue.WorkQueue
+import graft.queue.{JobQueue, WorkQueue}
 import graft.sources.GitImporter
 
 /** The reference's CLI surface (/root/reference/clickhub.py:29-49) over our
@@ -16,7 +16,7 @@ import graft.sources.GitImporter
   */
 object ClickhubCli {
 
-  final case class Env(spark: SparkSession, importer: GitImporter, queue: WorkQueue)
+  final case class Env(spark: SparkSession, importer: GitImporter, queue: JobQueue)
 
   /** Env from a parsed config file (config.yml analog, [[GraftConfig]]).
     * SPARK_MASTER in the environment still overrides the file (test/driver

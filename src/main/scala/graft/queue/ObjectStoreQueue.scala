@@ -59,10 +59,8 @@ final class LocalCondPutStore(dir: Path) extends CondPutStore {
   *     deleting the stale pending.
   *   - complete = DELETE of both keys (unconditional release).
   */
-final class ObjectStoreQueue(store: CondPutStore, maxQueueLength: Int = 10000) {
+final class ObjectStoreQueue(store: CondPutStore, maxQueueLength: Int = 10000) extends JobQueue {
 
-  final case class Job(repoName: String, scheduled: Long, priority: Int,
-                       workerId: String, startedTime: Long)
 
   private def keyOf(repoName: String): String =
     java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(repoName.getBytes(UTF_8))
@@ -80,16 +78,16 @@ final class ObjectStoreQueue(store: CondPutStore, maxQueueLength: Int = 10000) {
   // (mid-claim, or a crashed winner awaiting repair) — the rename CAS
   // substrate never has two markers, and the capacity guard and snapshot
   // must agree with it
-  def length: Int = store.listKeys()
+  override def length: Int = store.listKeys()
     .filter(k => k.endsWith(".pending") || k.endsWith(".claimed"))
     .map(k => k.stripSuffix(".pending").stripSuffix(".claimed"))
     .distinct.size
 
-  def contains(repoName: String): Boolean =
+  override def contains(repoName: String): Boolean =
     store.get(pendingKey(repoName)).isDefined || store.get(claimedKey(repoName)).isDefined
 
-  def schedule(repoName: String, priority: Int = 0,
-               now: Long = System.currentTimeMillis() / 1000): Either[String, Job] = {
+  override def schedule(repoName: String, priority: Int,
+               now: Long): Either[String, Job] = {
     if (length >= maxQueueLength) Left("QUEUE IS FULL")
     else if (contains(repoName)) Left("ALREADY_PROCESSING")
     else {
@@ -99,8 +97,8 @@ final class ObjectStoreQueue(store: CondPutStore, maxQueueLength: Int = 10000) {
     }
   }
 
-  def claim(workerId: String, retries: Int = 2,
-            now: Long = System.currentTimeMillis() / 1000): Option[Job] = {
+  override def claim(workerId: String, retries: Int,
+            now: Long): Option[Job] = {
     val keys = store.listKeys().toSet
     val candidates = keys.toSeq.filter(_.endsWith(".pending"))
       .flatMap { k =>
@@ -134,13 +132,13 @@ final class ObjectStoreQueue(store: CondPutStore, maxQueueLength: Int = 10000) {
     }.take(1).toSeq.headOption
   }
 
-  def complete(repoName: String): Unit = {
+  override def complete(repoName: String): Unit = {
     store.delete(pendingKey(repoName))
     store.delete(claimedKey(repoName))
     ()
   }
 
-  def snapshot(): Seq[Job] = {
+  override def snapshot(): Seq[Job] = {
     val keys = store.listKeys().toSet
     keys.toSeq
       .filter(k => k.endsWith(".pending") || k.endsWith(".claimed"))

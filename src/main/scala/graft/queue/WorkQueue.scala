@@ -26,17 +26,10 @@ import scala.util.Try
   * rename is atomic (NFS/POSIX); the protocol itself is the thing the
   * reference encodes, and [[QueueSpec]] asserts its one-winner invariant.
   */
-final class WorkQueue(dir: Path, maxQueueLength: Int = 10000) {
+final class WorkQueue(dir: Path, maxQueueLength: Int = 10000) extends JobQueue {
 
   Files.createDirectories(dir)
 
-  /** Queue row: the 5 columns of git.work_queue (create_db.py:36-49). */
-  final case class Job(
-      repoName: String,
-      scheduled: Long,
-      priority: Int,
-      workerId: String,
-      startedTime: Long)
 
   private def keyOf(repoName: String): String =
     java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(repoName.getBytes(UTF_8))
@@ -61,7 +54,7 @@ final class WorkQueue(dir: Path, maxQueueLength: Int = 10000) {
     * would otherwise do O(queue) reads per enqueue = O(n·queue) total.
     * Refreshes the in-process cache used by the enqueue guard.
     */
-  def length: Int = {
+  override def length: Int = {
     val st = Files.list(dir)
     // count only the two state-marker suffixes — foreign files in a shared
     // queue dir (editor backups, other tooling) must not consume capacity,
@@ -92,7 +85,7 @@ final class WorkQueue(dir: Path, maxQueueLength: Int = 10000) {
   /** P9 dup point-lookup (schedule.py:21-27) as two O(1) existence probes —
     * the KeeperMap point-get, not a scan; no directory listing, no reads.
     */
-  def contains(repoName: String): Boolean =
+  override def contains(repoName: String): Boolean =
     Files.exists(pending(repoName)) || Files.exists(claimed(repoName))
 
   private def list(): Seq[Job] = {
@@ -116,8 +109,8 @@ final class WorkQueue(dir: Path, maxQueueLength: Int = 10000) {
   /** Enqueue (schedule.py:37-67): length guard → dup check → exclusive
     * create. Returns Left(reason) on the reference's failure modes.
     */
-  def schedule(repoName: String, priority: Int = 0,
-               now: Long = System.currentTimeMillis() / 1000): Either[String, Job] = {
+  override def schedule(repoName: String, priority: Int,
+               now: Long): Either[String, Job] = {
     if (atCapacity()) Left("QUEUE IS FULL")
     else if (contains(repoName)) Left("ALREADY_PROCESSING")
     else {
@@ -139,8 +132,8 @@ final class WorkQueue(dir: Path, maxQueueLength: Int = 10000) {
     * atomic rename on each; first rename that sticks is the claim. Returns
     * the claimed job, its row updated like the reference's UPDATE.
     */
-  def claim(workerId: String, retries: Int = 2,
-            now: Long = System.currentTimeMillis() / 1000): Option[Job] = {
+  override def claim(workerId: String, retries: Int,
+            now: Long): Option[Job] = {
     val candidates = listPending()
       .filter(_.workerId.isEmpty)                       // P4 worker_id = ''
       .sortBy(j => (-j.priority, j.scheduled))          // O1 top-k
@@ -171,12 +164,12 @@ final class WorkQueue(dir: Path, maxQueueLength: Int = 10000) {
     * Removes the row whatever state it is in, like the reference's
     * unconditional release.
     */
-  def complete(repoName: String): Unit = {
+  override def complete(repoName: String): Unit = {
     val deleted = Seq(pending(repoName), claimed(repoName))
       .count(p => Try(Files.deleteIfExists(p)).getOrElse(false))
     cachedLen.updateAndGet(v => if (v >= deleted) v - deleted else v)
     ()
   }
 
-  def snapshot(): Seq[Job] = list().sortBy(_.repoName)
+  override def snapshot(): Seq[Job] = list().sortBy(_.repoName)
 }

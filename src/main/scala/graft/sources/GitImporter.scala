@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.SparkSession
 import graft.catalog.{Catalog, TableDef}
-import graft.queue.WorkQueue
+import graft.queue.JobQueue
 import graft.schema.GitSchemas
 
 /** The reference's import orchestration (SURVEY.md §3.1-3.2) over our
@@ -54,7 +54,7 @@ final class GitImporter(spark: SparkSession, warehouseRoot: String) {
   /** §3.2: one worker poll — claim → import → release (always, even on
     * failure: importer.py:172-177). Returns the repo processed, if any.
     */
-  def workOnce(queue: WorkQueue, workerId: String,
+  def workOnce(queue: JobQueue, workerId: String,
                tsvDirFor: String => String): Option[String] = {
     queue.claim(workerId).map { job =>
       try importRepo(job.repoName, tsvDirFor(job.repoName))

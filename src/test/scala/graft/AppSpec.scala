@@ -59,6 +59,50 @@ class AppSpec extends SparkSpecBase {
     e.importer.catalog.read("commits").count() shouldBe 6
   }
 
+  test("start_workers over the object-store queue: disjoint drain + crashed-winner repair") {
+    // the conditional-PUT substrate under REAL worker-pool interleaving,
+    // not just QueueSpec's protocol-level races: N threads drive
+    // GitImporter.workOnce against one LocalCondPutStore, with a
+    // pre-seeded pending+claimed pair — a winner that crashed between its
+    // claim CAS and the pending delete (ObjectStoreQueue's repair path)
+    val storeDir = Files.createTempDirectory("osq-pool")
+    val store = new graft.queue.LocalCondPutStore(storeDir)
+    val q = new graft.queue.ObjectStoreQueue(store)
+    val e = ClickhubCli.Env(spark, new GitImporter(spark, tmpDir("wh")), q)
+    val root = tmpDir("tsv")
+    val repos = (1 to 6).map(i => s"acme/r$i")
+    repos.zipWithIndex.foreach { case (r, i) =>
+      writeRepoTsv(root, r, Seq(commitRow(s"h$i", f"2024-01-01 10:00:${i}%02d")))
+      q.schedule(r).isRight shouldBe true
+    }
+    // crashed winner: pending marker still present, claimed object already
+    // committed by a worker that died before its delete (same key layout
+    // as ObjectStoreQueue: base64url(repo) + state suffix, TSV row)
+    def key(repo: String, state: String) =
+      java.util.Base64.getUrlEncoder.withoutPadding
+        .encodeToString(repo.getBytes(java.nio.charset.StandardCharsets.UTF_8)) + state
+    q.schedule("acme/crashed").isRight shouldBe true
+    store.putIfAbsent(key("acme/crashed", ".claimed"),
+      "acme/crashed\t1\t0\tdead-worker\t42") shouldBe true
+
+    val done = ClickhubCli.startWorkers(e, nWorkers = 3, r => s"$root/$r",
+      maxPolls = 5, sleepMs = 1)
+    val all = done.values.flatten.toSeq
+    // every live repo processed exactly once; the crashed repo's claimed
+    // object is authoritative, so NO worker re-claims (re-imports) it
+    all.sorted shouldBe repos.sorted
+    all.distinct.size shouldBe all.size
+    e.importer.catalog.read("commits").count() shouldBe 6
+    // the stale pending marker was lazily repaired by claim scans...
+    store.get(key("acme/crashed", ".pending")) shouldBe None
+    // ...while the dead worker's claim survives for its supervisor to
+    // complete() or re-schedule — the queue still counts it
+    store.get(key("acme/crashed", ".claimed")) should not be None
+    q.length shouldBe 1
+    q.complete("acme/crashed")
+    q.length shouldBe 0
+  }
+
   test("start_workers fails loudly when a worker dies mid-import") {
     val e = newEnv()
     val root = tmpDir("tsv")
