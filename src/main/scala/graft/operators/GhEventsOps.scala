@@ -87,6 +87,32 @@ object GhEventsOps extends QueryModule {
         .groupBy(col("repo_name"))
         .agg(count(lit(1)).as("n_prs"))
         .orderBy(col("repo_name"))),
+
+    // The heavy wide-table shape: daily top-5 repos by stars, joined back
+    // against the same table's PR stream for label co-occurrence. Two
+    // aggregations over the full 54-column view + a per-day window (bounded
+    // partitions — never global) + a join whose build side is days×5 rows,
+    // so AQE broadcasts it and the big PR side never shuffles for the join.
+    "gh_daily_top_labels" -> ((s, d) => {
+      val gh = fromEvents(s, d)
+      val stars = gh.filter(col("event_type") === "WatchEvent")
+        .groupBy(date_format(col("created_at"), "yyyy-MM-dd").as("day"),
+          col("repo_name"))
+        .agg(count(lit(1)).as("stars"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("day")).orderBy(col("stars").desc, col("repo_name"))
+      val top = stars.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+      val prs = gh.filter(col("event_type") === "PullRequestEvent")
+        .select(date_format(col("created_at"), "yyyy-MM-dd").as("day"),
+          col("repo_name"),
+          concat(col("labels")(0), lit(":"), col("labels")(1)).as("pair"))
+      top.join(prs, Seq("day", "repo_name"), "left")
+        .groupBy(col("day"), col("repo_name"), col("stars"), col("rnk"))
+        .agg(count(col("pair")).as("n_prs"),
+          count_distinct(col("pair")).as("n_label_pairs"))
+        .orderBy(col("day"), col("rnk"))
+    }),
   )
 
   private val repoExpr =
@@ -110,5 +136,29 @@ object GhEventsOps extends QueryModule {
          |FROM events
          |WHERE event_type = 'purchase' AND list_contains($labelsExpr, 'l1')
          |GROUP BY 1 ORDER BY repo_name""".stripMargin,
+
+    "gh_daily_top_labels" ->
+      s"""WITH gh AS (
+         |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+         |    $repoExpr AS repo_name,
+         |    'l' || CAST(event_id % 7 AS VARCHAR) || ':' ||
+         |    'l' || CAST(event_id % 3 AS VARCHAR) AS pair
+         |  FROM events),
+         |stars AS (
+         |  SELECT day, repo_name, count(*) AS stars FROM gh
+         |  WHERE event_type = 'click' GROUP BY 1, 2),
+         |top AS (
+         |  SELECT * FROM (
+         |    SELECT day, repo_name, stars, row_number() OVER (
+         |      PARTITION BY day ORDER BY stars DESC, repo_name) AS rnk
+         |    FROM stars) WHERE rnk <= 5),
+         |prs AS (
+         |  SELECT day, repo_name, pair FROM gh WHERE event_type = 'purchase')
+         |SELECT t.day, t.repo_name, t.stars, t.rnk,
+         |  count(p.pair) AS n_prs, count(DISTINCT p.pair) AS n_label_pairs
+         |FROM top t LEFT JOIN prs p
+         |  ON p.day = t.day AND p.repo_name = t.repo_name
+         |GROUP BY t.day, t.repo_name, t.stars, t.rnk
+         |ORDER BY t.day, t.rnk""".stripMargin,
   )
 }

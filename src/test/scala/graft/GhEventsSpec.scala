@@ -118,6 +118,50 @@ class GhEventsSpec extends SparkSpecBase {
     viaTable shouldBe viaView
   }
 
+  test("x100-scale JSONL ingest: 50k-row archive lands, aggregates, and compacts correctly") {
+    // the 54-column MergeTree analog beyond smoke scale: a deterministic
+    // 50k-line gharchive-shaped fixture (100 repos x 5 event types x 10
+    // days) through the full enum-validating ingest, then the heavy
+    // daily-top query shape and a clustered compact over the result
+    val imp = new GitImporter(spark, tmpDir("wh"))
+    val n = 50000
+    val lines = (0 until n).map { i =>
+      val day = f"2024-03-${i % 10 + 1}%02d"
+      val et = Seq("WatchEvent", "PushEvent", "PullRequestEvent",
+        "IssuesEvent", "ForkEvent")(i % 5)
+      val labels =
+        if (et == "PullRequestEvent") Seq(s"l${i % 7}", s"l${i % 3}") else Seq.empty
+      val action = if (et == "WatchEvent") "started"
+        else if (et == "PullRequestEvent") "opened" else "none"
+      eventJson(et, s"org${i % 10}/repo${i % 100}",
+        f"$day 10:${i / 60 % 60}%02d:${i % 60}%02d", labels, action)
+    }
+    val fixture = writeFixture(lines)
+    GhEventsIngest.ingest(spark, imp.catalog, fixture) shouldBe n
+    val t = imp.catalog.read("github_events")
+    t.count() shouldBe n
+
+    // stars rollup: i % 5 == 0 rows are WatchEvents; their repo class
+    // i % 100 covers the 20 multiples of 5, each hit n/100 = 500 times
+    val stars = StarsMv.githubStars(t).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    stars.length shouldBe 20
+    stars.foreach { case (_, c) => c shouldBe (n / 100).toLong }
+
+    // label co-occurrence over the PR stream: pairs cycle with period
+    // lcm(5,7,3)=105, distinct (i%7, i%3) pairs among i%5==2 → 21 pairs
+    val pairs = t.filter(col("event_type") === "PullRequestEvent")
+      .select(concat(col("labels")(0), lit(":"), col("labels")(1)).as("p"))
+      .distinct().count()
+    pairs shouldBe 21
+
+    // clustered compact preserves everything at weight
+    imp.catalog.compact("github_events")
+    imp.catalog.read("github_events").count() shouldBe n
+    StarsMv.githubStars(imp.catalog.read("github_events")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted shouldBe stars.sorted
+  }
+
   test("compact() preserves github_events under Append semantics") {
     val imp = new GitImporter(spark, tmpDir("wh"))
     val f1 = writeFixture(Seq(
