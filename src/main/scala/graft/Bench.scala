@@ -23,7 +23,13 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // storage hygiene between queries: drop whatever blocks the query
+      // left pinned (localCheckpoints from fixpoint loops, caches) so a
+      // heavy family can't squeeze later queries' memory — the measured
+      // single-JVM interference signature (BASELINE.md anomaly log)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
