@@ -90,6 +90,34 @@ object ChAggs extends QueryModule {
           (abs(col("approx") - col("exact")) <=
             (col("hi") - col("lo")) * 0.01).as("approx_within_1pct_range"))),
 
+    // uniqState / uniqMerge analog — ClickHouse's AggregatingMergeTree
+    // pattern where per-insert-block partial uniq sketches are stored and
+    // merged at read time. Here: one Datasketches-HLL sketch per
+    // (event_type, day) shard (`hll_sketch_agg`), shards union-merged per
+    // event_type (`hll_union_agg`) and estimated — the two-level shape that
+    // lets a 100 TB corpus keep per-partition uniq state as kilobytes of
+    // mergeable bytes instead of re-scanning raw ids. Sketch bits are
+    // engine-specific, so the query carries its accuracy contract in-plan
+    // (the agg_approx_quantile pattern): the merged estimate must land
+    // within 5% of the exact distinct count (lgK=12 → σ≈1.6%), and the
+    // oracle checks the exact count plus a literal TRUE.
+    "agg_hll_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val shards = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("state"))
+      val merged = shards
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("state"))).as("est"))
+      ev.groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .join(merged, Seq("event_type"))
+        .select(col("event_type"), col("n_users"),
+          (abs(col("est") - col("n_users")) <= col("n_users") * 0.05)
+            .as("hll_ok"))
+        .orderBy(col("event_type"))
+    }),
+
     // moment statistics: stddevPop / varPop / corr / covarPop.
     "agg_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -250,6 +278,11 @@ object ChAggs extends QueryModule {
       """SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
         | TRUE AS approx_within_1pct_range
         |FROM lineitem""".stripMargin,
+
+    "agg_hll_merge" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        | TRUE AS hll_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "agg_stats" ->
       """SELECT l_returnflag,

@@ -1,8 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnShim
 import graft.Tables
 import graft.functions.{CosineSimilarity, TextFns}
 
@@ -78,6 +80,13 @@ object Dedup extends QueryModule {
     */
   private val MaxShingleDocFrac = 0.5
   private val MaxShingleDocCap = 1000L
+
+  /** Width (in tokens) of the grams used for duplicate-SPAN detection
+    * (`dedup_substring`). 8 tokens ≈ the point where a match stops being
+    * chance phrase reuse and starts being copied text on a natural corpus;
+    * interpolated into the oracle SQL so both engines mark the same grams.
+    */
+  private val SpanGramK = 8
 
   /** Inverted index as per-shingle posting lists, built with ONE shuffle:
     * collect_set dedups repeated (doc, shingle) contacts inside the
@@ -162,6 +171,18 @@ object Dedup extends QueryModule {
       |    SELECT i, j, shared * 1.0 / (ca.n + cb.n - shared) AS jac
       |    FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j)
       |  WHERE jac >= 0.8)""".stripMargin
+
+  /** Shared oracle for the two decontamination queries: the Bloom variant
+    * prunes with a no-false-negative sketch then exact-verifies, so its
+    * answer is definitionally the broadcast-exact answer.
+    */
+  private val decontamOracle: String =
+    s"""WITH $jaccardCtes,
+       |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10)
+       |SELECT doc_id, count(*) AS n_shared
+       |FROM sh JOIN bench USING (sh)
+       |WHERE doc_id >= 10
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Shared oracle for the two Jaccard-thresholded pair queries. */
   private val jaccardOracle: String =
@@ -273,6 +294,101 @@ object Dedup extends QueryModule {
       truePairs.agg(count(lit(1)).as("n_true_pairs")).crossJoin(hits)
         .select(col("n_true_pairs"),
           (col("nrec") >= col("n_true_pairs") * 0.8).as("recovery_ok"))
+    }),
+
+    // Duplicate-SPAN detection (the substring-dedup shape from the
+    // "Deduplicating Training Data Makes Language Models Better" pipeline):
+    // find, per document, the maximal token ranges whose every K-gram also
+    // appears in some OTHER document. Unlike whole-doc dedup this catches
+    // partially-copied text (boilerplate headers, quoted passages) that
+    // document-level Jaccard dilutes below threshold.
+    //
+    // Distributed shape — deliberately NO pair generation anywhere:
+    //   1. positional K-grams (doc_id, pos, md5(gram)) — narrow explode;
+    //      only 16-byte digests shuffle, never gram text (gram text would
+    //      multiply corpus bytes by K across the wire);
+    //   2. cross-document duplication = count(DISTINCT doc_id) ≥ 2 per
+    //      digest — a partial-aggregable groupBy. A boilerplate gram in 10⁶
+    //      docs is ONE growing count, not a posting list, so hot grams cost
+    //      O(1) memory and never explode (contrast: the Jaccard family
+    //      needs its df cap precisely because it materializes postings);
+    //   3. mark positions via left-semi join back on the digest (AQE
+    //      skew-split handles hot digests; semi keeps it one row out per
+    //      row in);
+    //   4. merge marked positions into maximal token spans. A marked gram
+    //      at pos covers tokens [pos, pos+K-1], so spans are the INTERVAL
+    //      UNION of gram coverage: consecutive marked positions coalesce
+    //      while the gap is ≤ K (overlapping or touching coverage), and a
+    //      gap > K starts a new island — a running sum of break flags over
+    //      a per-doc window, so frame size is bounded by document length,
+    //      never corpus size. Output spans within a doc are disjoint by
+    //      construction (next start > prev end).
+    "dedup_substring" -> ((s, d) => {
+      val k = SpanGramK
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(expr(
+          s"""CASE WHEN size(toks) < $k THEN array()
+             |     ELSE transform(sequence(1, size(toks) - ${k - 1}),
+             |            i -> named_struct(
+             |                   'pos', CAST(i AS BIGINT),
+             |                   'gh', md5(concat_ws(' ', slice(toks, i, $k)))))
+             |END""".stripMargin)).as("g"))
+        .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+      val dup = grams.groupBy(col("gh"))
+        .agg(count_distinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2)
+        .select(col("gh"))
+      val marked = grams.join(dup, Seq("gh"), "left_semi")
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val islands = marked
+        .withColumn("brk",
+          when(col("pos") - lag(col("pos"), 1).over(w) > k, 1).otherwise(0))
+        .withColumn("island", sum(col("brk")).over(w))
+      islands.groupBy(col("doc_id"), col("island"))
+        .agg(min(col("pos")).as("span_start"),
+          (max(col("pos")) + lit(k - 1)).as("span_end"),
+          count(lit(1)).as("n_grams"))
+        .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
+    // Bloom-pruned decontamination — the scale path for when the held-out
+    // benchmark is too large to broadcast as raw shingles (text_decontam's
+    // shape). The benchmark shingle-hash set is compressed into a Bloom
+    // filter (~1.2 bytes/key at 1% fpp vs ~25 bytes/shingle raw), the
+    // corpus index is pruned through the codegen'd `might_contain`
+    // predicate (a Catalyst BloomFilterMightContain — zero UDFs), and only
+    // the surviving ~1% false-positive stream pays the exact-verify join.
+    // Bloom filters have NO false negatives, so prune→verify returns
+    // exactly text_decontam's answer — the two queries share one oracle.
+    //
+    // The filter build is one narrow aggregate whose result (the sketch
+    // bytes, bounded by the fpp math — never by corpus size) returns to
+    // the driver and re-enters the plan as a literal in the task closure:
+    // the same bounded-coordination-state pattern as CentroidStore's IVF
+    // training, and the batch analog of Spark's own runtime-filter
+    // subqueries.
+    "text_decontam_bloom" -> ((s, d) => {
+      val idx = cappedIndex(s, d)
+      val bloom = idx.filter(col("doc_id") < 10)
+        .select(xxhash64(col("sh")).as("h"))
+        .stat.bloomFilter("h", 10000L, 0.01)
+      val bytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        bos.toByteArray
+      }
+      val mightContain = ColumnShim.column(BloomFilterMightContain(
+        ColumnShim.expression(lit(bytes)),
+        ColumnShim.expression(xxhash64(col("sh")))))
+      val benchSh = idx.filter(col("doc_id") < 10).select(col("sh")).distinct()
+      idx.filter(col("doc_id") >= 10)
+        .filter(mightContain)
+        .join(benchSh, Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"))
     }),
   ) ++ clusterQueries
 
@@ -488,13 +604,37 @@ object Dedup extends QueryModule {
     "dedup_minhash_lsh" -> jaccardOracle,
     "dedup_clusters" -> clustersOracle,
 
-    "text_decontam" ->
-      s"""WITH $jaccardCtes,
-         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10)
-         |SELECT doc_id, count(*) AS n_shared
-         |FROM sh JOIN bench USING (sh)
-         |WHERE doc_id >= 10
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_decontam" -> decontamOracle,
+    // bloom prune + exact verify ≡ exact (no false negatives) — same oracle
+    "text_decontam_bloom" -> decontamOracle,
+
+    "dedup_substring" -> {
+      val km1 = SpanGramK - 1
+      raw"""WITH tok AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+         |  FROM documents),
+         |g0 AS (
+         |  SELECT doc_id, t, unnest(generate_series(1, len(t) - $km1)) AS pos
+         |  FROM tok),
+         |g AS (
+         |  SELECT doc_id, pos,
+         |         md5(array_to_string(t[pos:pos+$km1], ' ')) AS gh
+         |  FROM g0),
+         |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+         |m AS (SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM dup)),
+         |lagged AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |                   > ${SpanGramK} THEN 1 ELSE 0 END AS brk
+         |  FROM m),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM lagged)
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + $km1 AS span_end,
+         |       count(*) AS n_grams
+         |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin
+    },
 
     // dedup_simhash: raw xxhash64 signatures are not reproducible in
     // DuckDB, but the recovery contract is — the oracle recomputes the

@@ -118,4 +118,40 @@ class DedupSpec extends SparkSpecBase {
     rounds should be <= 16
     labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap shouldBe expected
   }
+
+  test("duplicate spans are disjoint interval unions of duplicated 8-gram coverage") {
+    val spans = Dedup.queries("dedup_substring")(spark, sf0001).collect()
+    spans should not be empty // planted near-dups guarantee shared 8-grams
+    spans.foreach { r =>
+      val len = r.getAs[Long]("span_end") - r.getAs[Long]("span_start") + 1
+      val n = r.getAs[Long]("n_grams")
+      len should be >= 8L                 // at least one full gram
+      n should be >= 1L
+      len should be <= n * 8              // union of n intervals of length 8
+    }
+    // interval-union maximality: spans within a doc are disjoint and ordered
+    spans.groupBy(_.getAs[Long]("doc_id")).values.foreach { rs =>
+      rs.sortBy(_.getAs[Long]("span_start")).toSeq.sliding(2).foreach {
+        case Seq(a, b) =>
+          b.getAs[Long]("span_start") should be > a.getAs[Long]("span_end")
+        case _ => ()
+      }
+    }
+    // a planted whole-document near-dup must surface as one long span
+    spans.map(r => r.getAs[Long]("span_end") - r.getAs[Long]("span_start") + 1)
+      .max should be >= 20L
+  }
+
+  test("bloom-pruned decontamination returns exactly the broadcast-exact answer") {
+    // Bloom filters have no false negatives and the exact-verify join
+    // removes false positives, so prune->verify must be value-identical to
+    // text_decontam — the property that lets the two queries share one
+    // oracle.
+    def rows(name: String): Seq[(Long, Long)] =
+      Dedup.queries(name)(spark, sf0001).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shared"))).toSeq
+    val exact = rows("text_decontam")
+    exact should not be empty
+    rows("text_decontam_bloom") shouldBe exact
+  }
 }

@@ -45,5 +45,18 @@ class QueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("merged HLL shard sketches estimate within the 5% contract") {
+    // merge-then-estimate must agree with the exact distinct count per
+    // group — the invariant that makes stored uniqState shards (the
+    // AggregatingMergeTree pattern) safe to union at read time
+    val rows = SparkEntry.queries("agg_hll_merge")(spark, sf0001).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      withClue(s"event_type=${r.getAs[String]("event_type")}: ") {
+        r.getAs[Boolean]("hll_ok") shouldBe true
+      }
+    }
+  }
+
   // plan-shape guards (incl. the partitionless-window check) live in PlanSpec
 }
