@@ -82,6 +82,50 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream event-time interval join — the attribution shape: each
+    * `click` joins the same user's `view`s from the preceding `horizon`.
+    *
+    * Both inputs carry watermarks and the join condition bounds event time
+    * on BOTH ends, which is what lets Spark evict join state: a buffered
+    * view row is dropped once the click watermark passes `v_ts + horizon`,
+    * so state is ∝ events-per-horizon-window per user, never stream
+    * history. Without the interval bound the view buffer would grow
+    * forever — the stream-stream analog of the partitionless-window
+    * hazard. Inner join: unmatched clicks simply never emit (left-outer
+    * would emit nulls only at watermark close).
+    */
+  def attributionJoin(views: DataFrame, clicks: DataFrame,
+                      horizon: String = "60 minutes",
+                      watermark: String = "30 minutes"): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", watermark)
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermark)
+    c.join(v, expr(
+        s"""c_user = v_user AND
+           |v_ts <= c_ts AND v_ts >= c_ts - INTERVAL $horizon""".stripMargin))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("c_ts"), col("v_ts"))
+  }
+
+  /** Batch oracle for [[attributionJoin]]: identical condition on static
+    * frames — a finished stream must produce exactly this row set.
+    */
+  def attributionJoinBatch(views: DataFrame, clicks: DataFrame,
+                           horizon: String = "60 minutes"): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+      col("event_id").as("view_id"))
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+      col("event_id").as("click_id"))
+    c.join(v, expr(
+        s"""c_user = v_user AND
+           |v_ts <= c_ts AND v_ts >= c_ts - INTERVAL $horizon""".stripMargin))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("c_ts"), col("v_ts"))
+  }
+
   /** Batch oracle for [[windowedCounts]]: same plan without the stream —
     * a finished stream over a static source must equal this.
     */

@@ -147,4 +147,42 @@ class EventStreamsSpec extends SparkSpecBase {
     out shouldBe Map(1L -> 2, 2L -> 1)
     all(spark.table("sessions").collect().map(_.getAs[Boolean]("closed"))) shouldBe true
   }
+
+  test("stream-stream interval join equals its batch oracle on a finished stream") {
+    val viewDir = tmpDir("attr-views")
+    val clickDir = tmpDir("attr-clicks")
+    val views = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 100L), // within horizon of clicks 201 and 202
+      (10L, ts("2024-01-01 10:20:00"), 101L), // within horizon of click 202 only
+      (11L, ts("2024-01-01 09:00:00"), 102L), // 90 min before click 203 — outside horizon
+      (12L, ts("2024-01-01 10:05:00"), 103L)) // user never clicks
+    val clicks = Seq(
+      (10L, ts("2024-01-01 10:10:00"), 201L), // attributes to view 100
+      (10L, ts("2024-01-01 10:45:00"), 202L), // attributes to views 100 AND 101
+      (11L, ts("2024-01-01 10:30:00"), 203L), // no view in horizon
+      (13L, ts("2024-01-01 12:30:00"), 204L)) // advances both watermarks
+    views.toDF("user_id", "ts", "event_id").write.mode("append").parquet(viewDir)
+    clicks.toDF("user_id", "ts", "event_id").write.mode("append").parquet(clickDir)
+
+    val schema = "user_id LONG, ts TIMESTAMP, event_id LONG"
+    val joined = EventStreams.attributionJoin(
+      spark.readStream.schema(schema).parquet(viewDir),
+      spark.readStream.schema(schema).parquet(clickDir))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("attr")
+      .option("checkpointLocation", tmpDir("attr-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("click_id"), r.getAs[Long]("view_id"))).toSet
+    val streamed = canon(spark.table("attr"))
+    val batch = canon(EventStreams.attributionJoinBatch(
+      views.toDF("user_id", "ts", "event_id"),
+      clicks.toDF("user_id", "ts", "event_id")))
+    batch shouldBe Set((10L, 201L, 100L), (10L, 202L, 100L), (10L, 202L, 101L))
+    streamed shouldBe batch
+  }
 }
