@@ -77,6 +77,15 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("proj_rollup_count is answered from the rollup, not the base table") {
+    // the projection rewrite is the operator under test: losing it would
+    // silently fall back to a (correct but full) base scan — at 100 TB
+    // that is the regression this guard exists to catch
+    val plan = planOf("proj_rollup_count")
+    plan should include("orders_rollup")
+    plan should not include "orders.parquet"
+  }
+
   test("flagship aggregation stays inside whole-stage codegen") {
     // q1_agg's scan -> filter -> partial agg must be one codegen'd span;
     // zero codegen stages would mean an interpreted expression crept into

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.{ProjectionDef, RollupRewrite}
+
+/** The PROJECTION-analog optimizer rule: eligible count aggregates are
+  * silently answered from a registered rollup; anything the rollup cannot
+  * answer is left untouched.
+  */
+class RollupRewriteSpec extends SparkSpecBase {
+
+  private def withProjection[A](body: (String, String) => A): A = {
+    val base = tmpDir("proj-base") + "/base.parquet"
+    val rollup = tmpDir("proj-roll") + "/rollup.parquet"
+    import spark.implicits._
+    // base: (k1 dim, k2 non-dim, v); two k1 groups, k2 splits them further
+    Seq(("a", "x", 1L), ("a", "x", 2L), ("a", "y", 3L),
+        ("b", "x", 4L), ("b", "y", 5L), ("b", "y", 6L))
+      .toDF("k1", "k2", "v").write.parquet(base)
+    spark.read.parquet(base).groupBy("k1")
+      .agg(count(lit(1)).as("cnt")).write.parquet(rollup)
+    RollupRewrite.register(spark, ProjectionDef(base, rollup, Seq("k1"), "cnt"))
+    try body(base, rollup) finally RollupRewrite.clear()
+  }
+
+  test("eligible count aggregate is rewritten to scan the rollup, values intact") {
+    withProjection { (base, rollup) =>
+      val df = spark.read.parquet(base)
+        .groupBy(col("k1")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k1"))
+      val plan = df.queryExecution.executedPlan.toString
+      plan should include(rollup)
+      plan should not include base
+      df.collect().map(r => (r.getString(0), r.getLong(1))) shouldBe
+        Array(("a", 3L), ("b", 3L))
+    }
+  }
+
+  test("dim filter rides the rewrite; count stays correct") {
+    withProjection { (base, rollup) =>
+      val df = spark.read.parquet(base)
+        .filter(col("k1") =!= "a")
+        .groupBy(col("k1")).agg(count(lit(1)).as("n"))
+      df.queryExecution.executedPlan.toString should include(rollup)
+      df.collect().map(r => (r.getString(0), r.getLong(1))) shouldBe
+        Array(("b", 3L))
+    }
+  }
+
+  test("non-dim grouping, non-dim filter, and non-count aggregates are NOT rewritten") {
+    withProjection { (base, rollup) =>
+      val byNonDim = spark.read.parquet(base)
+        .groupBy(col("k2")).agg(count(lit(1)).as("n"))
+      byNonDim.queryExecution.executedPlan.toString should not include rollup
+
+      val filterNonDim = spark.read.parquet(base)
+        .filter(col("k2") === "x")
+        .groupBy(col("k1")).agg(count(lit(1)).as("n"))
+      filterNonDim.queryExecution.executedPlan.toString should not include rollup
+      // and it still answers correctly from the base
+      filterNonDim.collect().map(r => (r.getString(0), r.getLong(1))).toSet shouldBe
+        Set(("a", 2L), ("b", 1L))
+
+      val sumAgg = spark.read.parquet(base)
+        .groupBy(col("k1")).agg(sum(col("v")).as("s"))
+      sumAgg.queryExecution.executedPlan.toString should not include rollup
+
+      val countCol = spark.read.parquet(base)
+        .groupBy(col("k1")).agg(count(col("k2")).as("n"))
+      countCol.queryExecution.executedPlan.toString should not include rollup
+
+      val distinctCount = spark.read.parquet(base)
+        .groupBy(col("k1")).agg(countDistinct(col("k2")).as("n"))
+      distinctCount.queryExecution.executedPlan.toString should not include rollup
+    }
+  }
+
+  test("parents above the aggregate (sort, projection) survive the id-preserving swap") {
+    withProjection { (base, rollup) =>
+      val df = spark.read.parquet(base)
+        .groupBy(col("k1")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("k1"))
+        .select(concat(col("k1"), lit(":"), col("n")).as("tag"))
+      df.queryExecution.executedPlan.toString should include(rollup)
+      df.collect().map(_.getString(0)) shouldBe Array("a:3", "b:3")
+    }
+  }
+}
