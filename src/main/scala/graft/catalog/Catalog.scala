@@ -299,14 +299,69 @@ final class Catalog(spark: SparkSession) {
     * object stores without atomic rename need a manifest-based commit
     * instead, out of scope here).
     */
-  def compact(name: String): Unit = writeLock(name).synchronized {
-    import org.apache.hadoop.fs.Path
-    val t = get(name)
-    if (t.layout == Versioned) { withCompactLock(t)(compactVersioned(t)); return }
-    withCompactLock(t)(compactFlat(t))
-  }
+  def compact(name: String): Unit = mutate(name, identity)
 
-  private def compactFlat(t: TableDef): Unit = {
+  /** ClickHouse lightweight-mutation analog (`ALTER TABLE … DELETE/UPDATE
+    * … WHERE`, SURVEY.md §2.9): a copy-on-write rewrite of the merged view
+    * committed through the SAME crash-safe machinery as [[compact]] — the
+    * FlatDir two-rename swap or the Versioned manifest flip — so a crashed
+    * mutation is recovered or invisible, never a half-mutated table.
+    * Mutations see merge semantics first (ReplacingDedup/Summing views),
+    * matching ClickHouse where mutations rewrite fully-merged parts.
+    *
+    * `transform` must preserve the table's column names and types (it may
+    * drop/alter rows, not shape) — enforced loudly, since an accidental
+    * schema drift would poison every later append.
+    */
+  def mutate(name: String, transform: DataFrame => DataFrame): Unit =
+    writeLock(name).synchronized {
+      val t = get(name)
+      val checked: DataFrame => DataFrame = { df =>
+        val out = transform(df)
+        val shape = (d: DataFrame) => d.schema.map(f => (f.name, f.dataType))
+        require(shape(out) == shape(df),
+          s"mutate($name): transform changed the table shape " +
+            s"(${shape(df)} -> ${shape(out)})")
+        out
+      }
+      if (t.layout == Versioned) withCompactLock(t)(compactVersioned(t, checked))
+      else withCompactLock(t)(compactFlat(t, checked))
+    }
+
+  /** `ALTER TABLE name DELETE WHERE predicate` — drops rows where the
+    * predicate is TRUE. NULL-predicate rows are kept (SQL DELETE
+    * three-valued semantics: only definite matches are removed).
+    */
+  def delete(name: String, predicate: org.apache.spark.sql.Column): Unit =
+    mutate(name, _.filter(!coalesce(predicate, lit(false))))
+
+  /** `ALTER TABLE name UPDATE set… WHERE where` — rewrites matching rows'
+    * columns; non-matching rows and unlisted columns are untouched. Each
+    * assignment is cast back to the column's declared type so an update
+    * can never widen the schema.
+    */
+  def update(name: String, where: org.apache.spark.sql.Column,
+             set: Map[String, org.apache.spark.sql.Column]): Unit =
+    mutate(name, { df =>
+      val types = df.schema.map(f => f.name -> f.dataType).toMap
+      set.foldLeft(df) { case (d, (c, e)) =>
+        require(types.contains(c), s"update($name): no such column $c")
+        d.withColumn(c, when(where, e.cast(types(c))).otherwise(col(c)))
+      }
+    })
+
+  /** MergeTree `TTL` analog: expire rows whose `ttlCol` (epoch seconds)
+    * is older than `maxAgeSec` relative to `nowEpochSec`. The reference
+    * clock is an explicit argument — deterministic for tests/replays, and
+    * at scale the caller runs this on the maintenance cadence where "now"
+    * should be the batch boundary, not per-executor wall clocks.
+    */
+  def applyTtl(name: String, ttlCol: String, maxAgeSec: Long,
+               nowEpochSec: Long): Unit =
+    delete(name, col(ttlCol) < lit(nowEpochSec - maxAgeSec))
+
+  private def compactFlat(t: TableDef,
+                          transform: DataFrame => DataFrame = identity): Unit = {
     import org.apache.hadoop.fs.Path
     val name = t.name
     val path = new Path(t.path)
@@ -317,7 +372,7 @@ final class Catalog(spark: SparkSession) {
     // only stale leftovers remain now that the table path exists
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (fs.exists(old)) fs.delete(old, true)
-    val merged = read(name)
+    val merged = transform(read(name))
     val sorted =
       if (t.sortKeys.nonEmpty)
         merged.repartitionByRange(t.sortKeys.map(col): _*)
@@ -341,7 +396,8 @@ final class Catalog(spark: SparkSession) {
     * highest-complete-version fallback. Readers never see a missing or
     * half-written table at any point.
     */
-  private def compactVersioned(t: TableDef): Unit = {
+  private def compactVersioned(t: TableDef,
+                               transform: DataFrame => DataFrame = identity): Unit = {
     import org.apache.hadoop.fs.Path
     val f = fs(t)
     val cur = currentVersion(t)
@@ -370,7 +426,7 @@ final class Catalog(spark: SparkSession) {
         System.currentTimeMillis() - s.getModificationTime > staleLockMs)
       .foreach(s => f.delete(s.getPath, false))
     if (!f.exists(new Path(t.path, cur))) return // nothing written yet
-    val merged = read(t.name)
+    val merged = transform(read(t.name))
     val sorted =
       if (t.sortKeys.nonEmpty)
         merged.repartitionByRange(t.sortKeys.map(col): _*)

@@ -217,4 +217,67 @@ class CatalogSpec extends SparkSpecBase {
     cat.read("cr").orderBy("k").collect() shouldBe before
     java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".compact.old")) shouldBe false
   }
+
+  test("lightweight DELETE drops only definite matches, through both layouts") {
+    for (layout <- Seq(FlatDir, Versioned)) {
+      val cat = new Catalog(spark)
+      val name = s"del-$layout"
+      cat.createTable(TableDef(name, tmpDir("cat") + s"/$name", replacingSchema,
+        Seq("k"), Append, layout = layout))
+      cat.append(name, Seq(("a", 1L, 10L), ("b", 2L, 20L), ("c", 3L, 30L))
+        .toDF("k", "v", "updated_at"))
+      cat.delete(name, col("v") >= 2 && col("k") =!= "c")
+      withClue(s"$layout: ") {
+        cat.read(name).orderBy("k").collect()
+          .map(r => (r.getString(0), r.getLong(1))) shouldBe
+          Array(("a", 1L), ("c", 3L))
+      }
+      // NULL predicate keeps the row: v > NULL is NULL, not TRUE
+      cat.delete(name, col("v") > lit(null).cast("long"))
+      withClue(s"$layout null-pred: ") {
+        cat.read(name).count() shouldBe 2
+      }
+    }
+  }
+
+  test("lightweight UPDATE rewrites matching rows, preserves shape, rejects drift") {
+    val cat = new Catalog(spark)
+    cat.createTable(TableDef("upd", tmpDir("cat") + "/upd", replacingSchema,
+      Seq("k"), Append))
+    cat.append("upd", Seq(("a", 1L, 10L), ("b", 2L, 20L)).toDF("k", "v", "updated_at"))
+    cat.update("upd", col("k") === "a",
+      Map("v" -> lit(100), "updated_at" -> (col("updated_at") + 1)))
+    cat.read("upd").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))) shouldBe
+      Array(("a", 100L, 11L), ("b", 2L, 20L)) // lit(100) cast back to long
+    an[IllegalArgumentException] should be thrownBy
+      cat.update("upd", col("k") === "a", Map("nope" -> lit(1)))
+    an[IllegalArgumentException] should be thrownBy
+      cat.mutate("upd", _.withColumn("extra", lit(1)))
+  }
+
+  test("mutation on a ReplacingDedup table sees the merged view first") {
+    val cat = new Catalog(spark)
+    cat.createTable(TableDef("mrd", tmpDir("cat") + "/mrd", replacingSchema,
+      Seq("k"), ReplacingDedup(Seq("k"), "updated_at")))
+    cat.append("mrd", Seq(("a", 1L, 10L), ("b", 2L, 10L)).toDF("k", "v", "updated_at"))
+    cat.append("mrd", Seq(("a", 99L, 20L)).toDF("k", "v", "updated_at"))
+    // deleting v >= 99 must remove key a entirely — the mutation operates
+    // on the merged (latest-wins) view, not on the stale v=1 storage row
+    cat.delete("mrd", col("v") >= 99)
+    cat.read("mrd").collect().map(_.getString(0)) shouldBe Array("b")
+    cat.readRaw("mrd").count() shouldBe 1 // storage rewritten, stale row gone
+  }
+
+  test("TTL expiry deletes rows older than the horizon, deterministically") {
+    val cat = new Catalog(spark)
+    cat.createTable(TableDef("ttl", tmpDir("cat") + "/ttl", replacingSchema,
+      Seq("k"), Append))
+    cat.append("ttl", Seq(("old", 1L, 1000L), ("mid", 2L, 5000L), ("new", 3L, 9000L))
+      .toDF("k", "v", "updated_at"))
+    cat.applyTtl("ttl", "updated_at", maxAgeSec = 4000L, nowEpochSec = 9000L)
+    // horizon = 5000: strictly-older rows expire, boundary row survives
+    cat.read("ttl").orderBy("k").collect().map(_.getString(0)) shouldBe
+      Array("mid", "new")
+  }
 }
