@@ -376,6 +376,34 @@ object Analytics extends QueryModule {
         .agg(count(lit(1)).as("n"))
         .select(col("user_id"), col("w.start").as("session_start"), col("n"))
         .orderBy(col("user_id"), col("session_start"))),
+
+    // ClickHouse `ORDER BY … WITH FILL` analog: per-event_type 10-minute
+    // counts with every missing bucket materialized as an explicit zero
+    // row — the gap-filling a monitoring/training-curve consumer needs
+    // (downstream diffs and moving averages break on absent buckets).
+    //
+    // Scale shape: the skeleton is sequence(min, max, step) exploded PER
+    // GROUP — its size is the group's time span over the step, independent
+    // of row count (a year of 10-min buckets is ~52k rows per type). The
+    // left join back is keyed (event_type, bkt), the same keys the count
+    // aggregate just shuffled on, so the skeleton join co-locates instead
+    // of re-shuffling the fact stream.
+    "ts_gap_fill" -> ((s, d) => {
+      val step = 600L
+      val counts = Tables.events(s, d)
+        .select(col("event_type"),
+          (floor(unix_timestamp(col("ts")) / step) * step).cast("long").as("bkt"))
+        .groupBy(col("event_type"), col("bkt"))
+        .agg(count(lit(1)).as("n"))
+      val skeleton = counts.groupBy(col("event_type"))
+        .agg(min(col("bkt")).as("lo"), max(col("bkt")).as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), lit(step))).as("bkt"))
+      skeleton.join(counts, Seq("event_type", "bkt"), "left")
+        .select(col("event_type"), col("bkt"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("event_type"), col("bkt"))
+    }),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -605,5 +633,22 @@ object Analytics extends QueryModule {
         |SELECT user_id, min(ts) AS session_start, count(*) AS n
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "ts_gap_fill" ->
+      """WITH b AS (
+        |  -- floor() before the BIGINT cast: epoch() on a nanos timestamp
+        |  -- is a DOUBLE and DuckDB's double->int cast ROUNDS, which would
+        |  -- shift any .5+ fractional second into the next bucket while
+        |  -- Spark's unix_timestamp() floors
+        |  SELECT event_type, (floor(epoch(ts))::BIGINT // 600) * 600 AS bkt,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, min(bkt) AS lo, max(bkt) AS hi
+        |      FROM b GROUP BY 1),
+        |a AS (SELECT event_type, unnest(generate_series(lo, hi, 600)) AS bkt
+        |      FROM r)
+        |SELECT a.event_type, a.bkt, coalesce(b.n, 0) AS n
+        |FROM a LEFT JOIN b USING (event_type, bkt)
+        |ORDER BY event_type, bkt""".stripMargin,
   )
 }
