@@ -194,7 +194,12 @@ object TextAnalysis extends QueryModule {
             |END""".stripMargin)).as("b"))
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       val cnt = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
-      val marginal = bi.groupBy(col("w1")).agg(count(lit(1)).as("n_w1"))
+      // marginal n(w1) = Σ_w2 cnt(w1,w2): derived from the aggregated
+      // counts (|vocab|² rows), NOT a second corpus-wide explode — the
+      // original two-scan form paid the tokenize + interpreted-lambda
+      // explode twice for identical output and was the suite's worst
+      // scaler (×6.1 at data ×10) for it
+      val marginal = cnt.groupBy(col("w1")).agg(sum(col("cnt")).as("n_w1"))
       cnt.join(marginal, Seq("w1"))
         .select(col("w1"), col("w2"), col("cnt"),
           (floor(col("cnt") * lit(1e6) / col("n_w1") + 0.5) / 1e6).as("p_w2_given_w1"))
