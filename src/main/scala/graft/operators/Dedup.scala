@@ -325,16 +325,16 @@ object Dedup extends QueryModule {
     //      construction (next start > prev end).
     "dedup_substring" -> ((s, d) => {
       val k = SpanGramK
+      // positional digests via the codegen'd kernel ([[TextFns]] lesson:
+      // the HOF transform() formulation evaluates its lambda interpreted
+      // per gram — slice copy + concat + md5 through an expression-tree
+      // walk); posexplode supplies the 0-based index, +1 = 1-based pos
       val grams = Tables.documents(s, d)
         .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), explode(expr(
-          s"""CASE WHEN size(toks) < $k THEN array()
-             |     ELSE transform(sequence(1, size(toks) - ${k - 1}),
-             |            i -> named_struct(
-             |                   'pos', CAST(i AS BIGINT),
-             |                   'gh', md5(concat_ws(' ', slice(toks, i, $k)))))
-             |END""".stripMargin)).as("g"))
-        .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+        .select(col("doc_id"),
+          posexplode(graft.functions.GramDigests(col("toks"), k)))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("gh"))
       val dup = grams.groupBy(col("gh"))
         .agg(count_distinct(col("doc_id")).as("df"))
         .filter(col("df") >= 2)
