@@ -90,6 +90,40 @@ object ChAggs extends QueryModule {
           (abs(col("approx") - col("exact")) <=
             (col("hi") - col("lo")) * 0.01).as("approx_within_1pct_range"))),
 
+    // quantiles(0.25, 0.5, 0.75)(x) analog — ClickHouse's multi-quantile
+    // combinator: ONE exact-percentile aggregate evaluates all requested
+    // ranks in a single pass/shuffle (three separate percentile() calls
+    // would sort-buffer the group three times), then the array is
+    // projected to columns.
+    "agg_quantiles_multi" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+        .select(col("l_returnflag"),
+          round(element_at(col("qs"), 1), 4).as("q25"),
+          round(element_at(col("qs"), 2), 4).as("q50"),
+          round(element_at(col("qs"), 3), 4).as("q75"))
+        .orderBy(col("l_returnflag"))),
+
+    // sumMap analog — ClickHouse's map-valued aggregate (per-key sums
+    // collected into one map per group). Two-level shape: the inner
+    // groupBy(user, type) does the real work distributed (map-side
+    // combine, no per-user arrays until AFTER aggregation), the outer
+    // collect assembles each user's ≤|event types| entries. Sums are
+    // emitted as integer cents (floor(x*100+0.5)) and the map serialized
+    // as sorted `k:v` pairs — double->string rendering is the one thing
+    // two engines never agree on, integer strings always match.
+    "agg_summap" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(floor(sum(col("value")) * 100 + 0.5).cast("long").as("cents"))
+        .groupBy(col("user_id"))
+        .agg(concat_ws(",",
+          sort_array(collect_list(
+            concat(col("event_type"), lit(":"), col("cents"))))).as("type_sums"))
+        .orderBy(col("user_id"))),
+
     // uniqState / uniqMerge analog — ClickHouse's AggregatingMergeTree
     // pattern where per-insert-block partial uniq sketches are stored and
     // merged at read time. Here: one Datasketches-HLL sketch per
@@ -278,6 +312,22 @@ object ChAggs extends QueryModule {
       """SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
         | TRUE AS approx_within_1pct_range
         |FROM lineitem""".stripMargin,
+
+    "agg_quantiles_multi" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS q50,
+        | round(quantile_cont(l_extendedprice, 0.75), 4) AS q75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_summap" ->
+      """SELECT user_id,
+        | string_agg(event_type || ':' || cents, ',' ORDER BY event_type)
+        |   AS type_sums
+        |FROM (SELECT user_id, event_type,
+        |        floor(sum(value) * 100 + 0.5)::BIGINT AS cents
+        |      FROM events GROUP BY 1, 2)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "agg_hll_merge" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
