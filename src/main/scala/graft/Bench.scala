@@ -25,6 +25,12 @@ object Bench {
     // any single-query delta as a regression)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // unknown names fail loudly: a typo would otherwise time ZERO queries
+    // and print a success-looking {"value":0.0}
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY: unknown queries $unknown")
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
       case None => SparkEntry.queries

@@ -339,15 +339,24 @@ final class Catalog(spark: SparkSession) {
     * columns; non-matching rows and unlisted columns are untouched. Each
     * assignment is cast back to the column's declared type so an update
     * can never widen the schema.
+    *
+    * All assignments and the WHERE evaluate against the ORIGINAL row (SQL
+    * UPDATE semantics): one simultaneous select, NOT chained withColumn —
+    * sequential rewriting would let an earlier assignment change what the
+    * predicate and later assignments see, with Map order deciding which.
     */
   def update(name: String, where: org.apache.spark.sql.Column,
              set: Map[String, org.apache.spark.sql.Column]): Unit =
     mutate(name, { df =>
       val types = df.schema.map(f => f.name -> f.dataType).toMap
-      set.foldLeft(df) { case (d, (c, e)) =>
-        require(types.contains(c), s"update($name): no such column $c")
-        d.withColumn(c, when(where, e.cast(types(c))).otherwise(col(c)))
-      }
+      set.keys.foreach(c =>
+        require(types.contains(c), s"update($name): no such column $c"))
+      df.select(df.columns.map { c =>
+        set.get(c) match {
+          case Some(e) => when(where, e.cast(types(c))).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
     })
 
   /** MergeTree `TTL` analog: expire rows whose `ttlCol` (epoch seconds)

@@ -64,12 +64,14 @@ object GramDigests {
   def digests(toks: ArrayData, k: Int): ArrayData = {
     val n = toks.numElements()
     if (n < k) return new GenericArrayData(Array.empty[Any])
-    // hoist each token's bytes once; a token is re-read by up to k grams
+    // hoist each token's bytes once; a token is re-read by up to k grams.
+    // null elements stay null: concat_ws SKIPS nulls (token and separator
+    // both) and the gram loop must mirror that byte stream exactly
     val bytes = new Array[Array[Byte]](n)
     var i = 0
     while (i < n) {
       val t = toks.getUTF8String(i)
-      bytes(i) = if (t == null) Array.emptyByteArray else t.getBytes
+      bytes(i) = if (t == null) null else t.getBytes
       i += 1
     }
     val digest = md.get()
@@ -78,9 +80,14 @@ object GramDigests {
     while (p <= n - k) {
       digest.reset()
       var j = 0
+      var emitted = false
       while (j < k) {
-        if (j > 0) digest.update(Sep)
-        digest.update(bytes(p + j))
+        val b = bytes(p + j)
+        if (b != null) {
+          if (emitted) digest.update(Sep)
+          digest.update(b)
+          emitted = true
+        }
         j += 1
       }
       out(p) = UTF8String.fromString(hex(digest.digest()))

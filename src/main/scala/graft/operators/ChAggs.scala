@@ -119,9 +119,12 @@ object ChAggs extends QueryModule {
         .groupBy(col("user_id"), col("event_type"))
         .agg(floor(sum(col("value")) * 100 + 0.5).cast("long").as("cents"))
         .groupBy(col("user_id"))
-        .agg(concat_ws(",",
-          sort_array(collect_list(
-            concat(col("event_type"), lit(":"), col("cents"))))).as("type_sums"))
+        // sort STRUCTS by key, then render: sorting the rendered "k:v"
+        // strings would order by ':' vs the key's next char when one key
+        // prefixes another ("e1" / "e10"), diverging from ORDER BY key
+        .agg(concat_ws(",", transform(
+          sort_array(collect_list(struct(col("event_type"), col("cents")))),
+          x => concat(x("event_type"), lit(":"), x("cents")))).as("type_sums"))
         .orderBy(col("user_id"))),
 
     // uniqState / uniqMerge analog — ClickHouse's AggregatingMergeTree

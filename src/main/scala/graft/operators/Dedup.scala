@@ -353,26 +353,38 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
-    // Bloom-pruned decontamination — the scale path for when the held-out
-    // benchmark is too large to broadcast as raw shingles (text_decontam's
-    // shape). The benchmark shingle-hash set is compressed into a Bloom
-    // filter (~1.2 bytes/key at 1% fpp vs ~25 bytes/shingle raw), the
-    // corpus index is pruned through the codegen'd `might_contain`
-    // predicate (a Catalyst BloomFilterMightContain — zero UDFs), and only
-    // the surviving ~1% false-positive stream pays the exact-verify join.
-    // Bloom filters have NO false negatives, so prune→verify returns
-    // exactly text_decontam's answer — the two queries share one oracle.
+    // Bloom-pruned decontamination — the shape that keeps the CORPUS from
+    // ever shuffling (text_decontam broadcasts the bench set but still
+    // builds the full capped corpus index — a corpus-wide shuffle — to
+    // count against; at sf10 that shuffle is ~the whole query).
     //
-    // The filter build is one narrow aggregate whose result (the sketch
-    // bytes, bounded by the fpp math — never by corpus size) returns to
-    // the driver and re-enters the plan as a literal in the task closure:
-    // the same bounded-coordination-state pattern as CentroidStore's IVF
-    // training, and the batch analog of Spark's own runtime-filter
-    // subqueries.
+    // Order of operations is the point:
+    //   1. bench shingles (docs 0..9): tiny, doc_id<10 pushed to the scan;
+    //      hashed into a Bloom filter (~1.2 bytes/key at 1% fpp). The
+    //      sketch bytes return to the driver and re-enter the plan as a
+    //      literal — the bounded-coordination-state pattern of
+    //      CentroidStore, and the batch analog of Spark's runtime filters.
+    //   2. corpus side: per-doc DISTINCT shingles narrowly
+    //      (array_distinct BEFORE explode — no dedup shuffle), then pruned
+    //      map-side through the codegen'd `might_contain` predicate
+    //      (Catalyst BloomFilterMightContain — zero UDFs). Only the
+    //      bench-overlapping + ~1% false-positive stream ever shuffles.
+    //   3. the df cap is replayed EXACTLY on the survivors: a shingle's
+    //      bloom verdict is deterministic, so a passing shingle passes in
+    //      EVERY doc that contains it — survivor counts (plus the bench
+    //      docs' own contacts) are the shingle's exact global df. Bench
+    //      shingles over the cap are dropped, mirroring the capped oracle.
+    //   4. exact verify: join survivors to the capped bench set — false
+    //      positives die here, so the answer is definitionally
+    //      text_decontam's and the two queries share one oracle.
     "text_decontam_bloom" -> ((s, d) => {
-      val idx = cappedIndex(s, d)
-      val bloom = idx.filter(col("doc_id") < 10)
-        .select(xxhash64(col("sh")).as("h"))
+      def docShingles(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode(array_distinct(TextFns.shingles3FromToks)).as("sh"))
+      val docs = Tables.documents(s, d)
+      val benchContacts = docShingles(docs.filter(col("doc_id") < 10))
+      val bloom = benchContacts.select(xxhash64(col("sh")).as("h")).distinct()
         .stat.bloomFilter("h", 10000L, 0.01)
       val bytes = {
         val bos = new java.io.ByteArrayOutputStream()
@@ -382,10 +394,18 @@ object Dedup extends QueryModule {
       val mightContain = ColumnShim.column(BloomFilterMightContain(
         ColumnShim.expression(lit(bytes)),
         ColumnShim.expression(xxhash64(col("sh")))))
-      val benchSh = idx.filter(col("doc_id") < 10).select(col("sh")).distinct()
-      idx.filter(col("doc_id") >= 10)
+      val survivors = docShingles(docs.filter(col("doc_id") >= 10))
         .filter(mightContain)
-        .join(benchSh, Seq("sh"))
+      val nDocs = docs.agg(count(lit(1)).as("ndocs"))
+      val dfCounts = survivors.unionByName(benchContacts)
+        .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      val benchCapped = benchContacts.select(col("sh")).distinct()
+        .join(dfCounts, Seq("sh"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") <=
+          least(col("ndocs") * MaxShingleDocFrac, lit(MaxShingleDocCap)))
+        .select(col("sh"))
+      survivors.join(benchCapped, Seq("sh"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shared"))
         .orderBy(col("doc_id"))

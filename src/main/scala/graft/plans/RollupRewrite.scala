@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{col, sum}
+import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
 import org.apache.spark.sql.graftshim.ColumnShim
 
 /** A registered rollup: `rollupPath` holds `SELECT dims…, count(*) AS
@@ -64,6 +64,17 @@ object RollupRewrite extends Rule[LogicalPlan] {
         s.experimental.extraOptimizations :+ RollupRewrite
   }
 
+  /** Is a projection currently registered for this base path? */
+  def isRegistered(basePath: String): Boolean =
+    registry.containsKey(canon(basePath))
+
+  /** Deregister a base's projection. REQUIRED before rebuilding a rollup
+    * in the same session: a rebuild query (count over the base grouped by
+    * the dims) is itself rewrite-eligible, and answering it from the
+    * rollup file being overwritten would read and destroy the same path.
+    */
+  def unregister(basePath: String): Unit = registry.remove(canon(basePath))
+
   /** Test hook: forget every registered projection. */
   def clear(): Unit = registry.clear()
 
@@ -98,14 +109,21 @@ object RollupRewrite extends Rule[LogicalPlan] {
   }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
-    for {
+    val candidate = for {
       (filters, rel) <- unwrap(agg.child, Nil)
       fsRel = rel.relation.asInstanceOf[HadoopFsRelation]
-      root <- fsRel.location.rootPaths.headOption
-      proj <- Option(registry.get(canon(root.toString)))
+      // single-root scans only: a multi-path read (parquet(base, other))
+      // contains rows the rollup never saw — rewriting on a head match
+      // would silently drop the other paths' rows
+      roots = fsRel.location.rootPaths
+      if roots.length == 1
+      proj <- Option(registry.get(canon(roots.head.toString)))
       dims = proj.dims.toSet
-      // every filter and grouping column must be a projection dimension
-      if filters.forall(_.references.forall(a => dims(a.name)))
+      // every filter must be DETERMINISTIC (a rand() filter has an empty
+      // reference set — replaying it per rollup GROUP would sample whole
+      // groups instead of base rows) and reference only projection dims
+      if filters.forall(f =>
+        f.deterministic && f.references.forall(a => dims(a.name)))
       if agg.groupingExpressions.forall {
         case a: AttributeReference => dims(a.name)
         case _ => false
@@ -117,35 +135,51 @@ object RollupRewrite extends Rule[LogicalPlan] {
         case Alias(ae, _) => isCountLiteral(ae)
         case _ => false
       }
-    } yield {
-      val spark = SparkSession.active
-      var df = spark.read.parquet(proj.rollupPath)
-      // replay the dim filters against the rollup's attributes (by name)
-      val byName = df.queryExecution.analyzed.output.map(a => a.name -> a).toMap
-      filters.foreach { c =>
-        df = df.filter(ColumnShim.column(c.transform {
-          case a: AttributeReference => byName(a.name)
-        }))
+    } yield (filters, proj, dims)
+
+    candidate.flatMap { case (filters, proj, dims) =>
+      // any failure past this point (rollup dir deleted, stale rollup
+      // missing a dim column) must degrade to "leave the plan alone" —
+      // an optimizer rule that throws fails an otherwise-valid query
+      try {
+        val spark = SparkSession.active
+        var df = spark.read.parquet(proj.rollupPath)
+        val byName = df.queryExecution.analyzed.output.map(a => a.name -> a).toMap
+        if (!(dims + proj.cntCol).forall(byName.contains)) None
+        else {
+          // replay the dim filters against the rollup's attributes (by name)
+          filters.foreach { c =>
+            df = df.filter(ColumnShim.column(c.transform {
+              case a: AttributeReference => byName(a.name)
+            }))
+          }
+          val groupCols = agg.groupingExpressions.map {
+            case a: AttributeReference => col(a.name)
+          }
+          // count(*) over the base ≡ sum(cnt) over the rollup (rollup rows
+          // partition the base rows). coalesce: an UNGROUPED count over zero
+          // surviving rollup rows must yield 0, where sum alone yields null
+          val rolled = df.groupBy(groupCols: _*)
+            .agg(coalesce(sum(col(proj.cntCol)).cast("long"), lit(0L))
+              .as("__rollup_cnt"))
+          val analyzed = rolled.queryExecution.analyzed
+          val outByName = analyzed.output.map(a => a.name -> a).toMap
+          // pin the original output names AND exprIds so parents are untouched
+          val aligned: Seq[NamedExpression] = agg.aggregateExpressions.map {
+            case a: AttributeReference =>
+              Alias(outByName(a.name), a.name)(exprId = a.exprId)
+            case al @ Alias(a: AttributeReference, name) =>
+              Alias(outByName(a.name), name)(exprId = al.exprId)
+            case al: Alias =>
+              Alias(outByName("__rollup_cnt"), al.name)(exprId = al.exprId)
+          }
+          Some(Project(aligned, analyzed))
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          logWarning(s"RollupRewrite: leaving plan alone (${e.getMessage})")
+          None
       }
-      val groupCols = agg.groupingExpressions.map {
-        case a: AttributeReference => col(a.name)
-      }
-      // count(*) over the base ≡ sum(cnt) over the rollup (rollup rows
-      // partition the base rows); sum of a non-null long is a long
-      val rolled = df.groupBy(groupCols: _*)
-        .agg(sum(col(proj.cntCol)).cast("long").as("__rollup_cnt"))
-      val analyzed = rolled.queryExecution.analyzed
-      val outByName = analyzed.output.map(a => a.name -> a).toMap
-      // pin the original output names AND exprIds so parents are untouched
-      val aligned: Seq[NamedExpression] = agg.aggregateExpressions.map {
-        case a: AttributeReference =>
-          Alias(outByName(a.name), a.name)(exprId = a.exprId)
-        case al @ Alias(a: AttributeReference, name) =>
-          Alias(outByName(a.name), name)(exprId = al.exprId)
-        case al: Alias =>
-          Alias(outByName("__rollup_cnt"), al.name)(exprId = al.exprId)
-      }
-      Project(aligned, analyzed)
     }
   }
 }

@@ -250,6 +250,14 @@ class CatalogSpec extends SparkSpecBase {
     cat.read("upd").orderBy("k").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))) shouldBe
       Array(("a", 100L, 11L), ("b", 2L, 20L)) // lit(100) cast back to long
+    // simultaneous old-row semantics: a WHERE on a column being assigned
+    // must see the PRE-update value for every assignment, regardless of
+    // Map order — both v and updated_at change for the v=100 row
+    cat.update("upd", col("v") === 100,
+      Map("v" -> lit(7), "updated_at" -> lit(99)))
+    cat.read("upd").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))) shouldBe
+      Array(("a", 7L, 99L), ("b", 2L, 20L))
     an[IllegalArgumentException] should be thrownBy
       cat.update("upd", col("k") === "a", Map("nope" -> lit(1)))
     an[IllegalArgumentException] should be thrownBy

@@ -15,6 +15,11 @@ class GramDigestsSpec extends SparkSpecBase {
       "x  doubled   spaces stay empty tokens here ok tail",
       "").toDF("text")
       .select(split(lower(col("text")), "\\s+").as("toks"))
+      // + an array with NULL entries: concat_ws skips the null AND its
+      // separator, and the kernel must mirror that byte stream
+      .union(Seq(1).toDF("i").select(
+        expr("array('a', CAST(NULL AS STRING), 'b', 'c', 'd', 'e', 'f', 'g', 'h')")
+          .as("toks")))
     val both = docs.select(
       GramDigests(col("toks"), 8).as("kernel"),
       expr("""CASE WHEN size(toks) < 8 THEN array()

@@ -75,6 +75,57 @@ class RollupRewriteSpec extends SparkSpecBase {
     }
   }
 
+  test("ungrouped count over a filtered-out slice yields 0 through the rewrite, not null") {
+    withProjection { (base, rollup) =>
+      val df = spark.read.parquet(base)
+        .filter(col("k1") === "zzz")
+        .agg(count(lit(1)).as("n"))
+      df.queryExecution.executedPlan.toString should include(rollup)
+      val row = df.collect()(0)
+      row.isNullAt(0) shouldBe false
+      row.getLong(0) shouldBe 0L
+    }
+  }
+
+  test("nondeterministic filters and multi-path scans are NOT rewritten") {
+    withProjection { (base, rollup) =>
+      val randFiltered = spark.read.parquet(base)
+        .filter(rand(7) < 0.5)
+        .groupBy(col("k1")).agg(count(lit(1)).as("n"))
+      randFiltered.queryExecution.executedPlan.toString should not include rollup
+
+      val extra = tmpDir("proj-extra") + "/extra.parquet"
+      import spark.implicits._
+      Seq(("a", "x", 9L)).toDF("k1", "k2", "v").write.parquet(extra)
+      val multi = spark.read.parquet(base, extra)
+        .groupBy(col("k1")).agg(count(lit(1)).as("n"))
+      multi.queryExecution.executedPlan.toString should not include rollup
+      // and the multi-path answer keeps the extra file's rows
+      multi.collect().map(r => (r.getString(0), r.getLong(1))).toSet shouldBe
+        Set(("a", 4L), ("b", 3L))
+    }
+  }
+
+  test("a stale rollup missing a dim column degrades to the base scan, not a failure") {
+    withProjection { (base, rollup) =>
+      import spark.implicits._
+      // clobber the rollup with one lacking cnt — the rule must leave the
+      // plan alone (and certainly not throw inside the optimizer)
+      Seq(("a")).toDF("k1").write.mode("overwrite").parquet(rollup)
+      val df = spark.read.parquet(base)
+        .groupBy(col("k1")).agg(count(lit(1)).as("n"))
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet shouldBe
+        Set(("a", 3L), ("b", 3L))
+    }
+  }
+
+  test("the registered production query is stable across re-invocations in one session") {
+    val fn = SparkEntry.queries("proj_rollup_count")
+    val a = fn(spark, sf0001).collect().toSeq
+    fn(spark, sf0001).collect().toSeq shouldBe a
+    fn(spark, sf0001).collect().toSeq shouldBe a
+  }
+
   test("parents above the aggregate (sort, projection) survive the id-preserving swap") {
     withProjection { (base, rollup) =>
       val df = spark.read.parquet(base)
