@@ -378,6 +378,10 @@ final class Catalog(spark: SparkSession) {
     val tmp = new Path(t.path + ".compact.tmp")
     val old = new Path(t.path + ".compact.old")
     recoverInterruptedSwap(t)
+    // nothing written yet (no data AND no swap artifacts to recover):
+    // compacting or mutating an empty table is a no-op, not an error —
+    // the Versioned path has the same guard via its version probe
+    if (!fs.exists(path)) return
     // only stale leftovers remain now that the table path exists
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (fs.exists(old)) fs.delete(old, true)

@@ -277,6 +277,47 @@ class CatalogSpec extends SparkSpecBase {
     cat.readRaw("mrd").count() shouldBe 1 // storage rewritten, stale row gone
   }
 
+  test("randomized mutation sequences agree with a driver-side reference model") {
+    // the mutation surface vs a plain in-memory model: interleaved
+    // append/delete/update/compact in random order must leave the table
+    // exactly where the model says, through both layouts
+    for (layout <- Seq(FlatDir, Versioned)) {
+      val cat = new Catalog(spark)
+      val name = s"fuzz-$layout"
+      cat.createTable(TableDef(name, tmpDir("cat") + s"/$name", replacingSchema,
+        Seq("k"), Append, layout = layout))
+      val rnd = new scala.util.Random(1234)
+      var model = Vector.empty[(String, Long, Long)] // (k, v, updated_at)
+      var nextKey = 0
+      for (step <- 1 to 12) rnd.nextInt(4) match {
+        case 0 => // append a small batch of fresh keys
+          val batch = (1 to rnd.nextInt(3) + 1).map { _ =>
+            nextKey += 1
+            (s"k$nextKey", rnd.nextInt(100).toLong, step.toLong)
+          }
+          cat.append(name, batch.toDF("k", "v", "updated_at"))
+          model = model ++ batch
+        case 1 => // delete where v < threshold
+          val th = rnd.nextInt(100).toLong
+          cat.delete(name, col("v") < th)
+          model = model.filterNot(_._2 < th)
+        case 2 => // update: bump v by 1000 where v >= threshold
+          val th = rnd.nextInt(100).toLong
+          cat.update(name, col("v") >= th, Map("v" -> (col("v") + 1000)))
+          model = model.map { case r @ (k, v, u) =>
+            if (v >= th) (k, v + 1000, u) else r
+          }
+        case 3 =>
+          cat.compact(name)
+      }
+      withClue(s"$layout after 12 random steps: ") {
+        cat.read(name).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .sorted.toVector shouldBe model.sorted
+      }
+    }
+  }
+
   test("TTL expiry deletes rows older than the horizon, deterministically") {
     val cat = new Catalog(spark)
     cat.createTable(TableDef("ttl", tmpDir("cat") + "/ttl", replacingSchema,
