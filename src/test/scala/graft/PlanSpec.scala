@@ -77,6 +77,14 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("bloom decontam prunes with might_contain before any corpus shuffle") {
+    // the operator's whole value is the map-side bloom prune: if a future
+    // edit drops the predicate the query silently degrades to shuffling
+    // the full corpus shingle stream
+    val plan = planOf("text_decontam_bloom")
+    plan should include("might_contain")
+  }
+
   test("proj_rollup_count is answered from the rollup, not the base table") {
     // the projection rewrite is the operator under test: losing it would
     // silently fall back to a (correct but full) base scan — at 100 TB
