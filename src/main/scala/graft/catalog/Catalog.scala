@@ -235,6 +235,13 @@ final class Catalog(spark: SparkSession) {
     * so no caller can ever observe, recreate, or delete a mid-swap table.
     * One `exists` probe when the table is healthy.
     */
+  /** Zero-row frame with the table's declared schema — lets mutation
+    * transforms validate (column existence, shape preservation) before a
+    * table holds any data.
+    */
+  private def emptyFrame(t: TableDef): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), t.schema)
+
   private def recoverInterruptedSwap(t: TableDef): Unit = {
     import org.apache.hadoop.fs.Path
     if (t.layout != FlatDir) return // Versioned has no unreadable window
@@ -379,9 +386,11 @@ final class Catalog(spark: SparkSession) {
     val old = new Path(t.path + ".compact.old")
     recoverInterruptedSwap(t)
     // nothing written yet (no data AND no swap artifacts to recover):
-    // compacting or mutating an empty table is a no-op, not an error —
-    // the Versioned path has the same guard via its version probe
-    if (!fs.exists(path)) return
+    // compacting or mutating an empty table is a DATA no-op — but the
+    // transform still runs once against an empty frame of the declared
+    // schema, so update()'s unknown-column require and mutate()'s shape
+    // check fail as loudly on a fresh table as on a populated one
+    if (!fs.exists(path)) { transform(emptyFrame(t)); return }
     // only stale leftovers remain now that the table path exists
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (fs.exists(old)) fs.delete(old, true)
@@ -438,7 +447,9 @@ final class Catalog(spark: SparkSession) {
       .filter(s => s.isFile && s.getPath.getName.startsWith("_CURRENT.tmp") &&
         System.currentTimeMillis() - s.getModificationTime > staleLockMs)
       .foreach(s => f.delete(s.getPath, false))
-    if (!f.exists(new Path(t.path, cur))) return // nothing written yet
+    // nothing written yet: data no-op, but validate the transform (see
+    // the compactFlat twin of this guard)
+    if (!f.exists(new Path(t.path, cur))) { transform(emptyFrame(t)); return }
     val merged = transform(read(t.name))
     val sorted =
       if (t.sortKeys.nonEmpty)

@@ -394,8 +394,15 @@ object Dedup extends QueryModule {
       val mightContain = ColumnShim.column(BloomFilterMightContain(
         ColumnShim.expression(lit(bytes)),
         ColumnShim.expression(xxhash64(col("sh")))))
+      // persisted: survivors feed BOTH the df-count aggregate and the
+      // final verify join through non-identical subtrees (the union wrap
+      // defeats ReuseExchange), and without the cache the full corpus
+      // scan+shingle+prune pass runs twice per query. The cached set is
+      // the bloom-pruned stream — bench overlap + ~1% false positives —
+      // bounded tiny relative to the corpus it replaces
       val survivors = docShingles(docs.filter(col("doc_id") >= 10))
         .filter(mightContain)
+        .persist()
       val nDocs = docs.agg(count(lit(1)).as("ndocs"))
       val dfCounts = survivors.unionByName(benchContacts)
         .groupBy(col("sh")).agg(count(lit(1)).as("df"))

@@ -262,6 +262,14 @@ class CatalogSpec extends SparkSpecBase {
       cat.update("upd", col("k") === "a", Map("nope" -> lit(1)))
     an[IllegalArgumentException] should be thrownBy
       cat.mutate("upd", _.withColumn("extra", lit(1)))
+    // validation is as loud on a never-written table: the transform runs
+    // against an empty frame of the declared schema
+    cat.createTable(TableDef("updEmpty", tmpDir("cat") + "/updEmpty",
+      replacingSchema, Seq("k"), Append))
+    an[IllegalArgumentException] should be thrownBy
+      cat.update("updEmpty", col("k") === "a", Map("nope" -> lit(1)))
+    an[IllegalArgumentException] should be thrownBy
+      cat.mutate("updEmpty", _.withColumn("extra", lit(1)))
   }
 
   test("mutation on a ReplacingDedup table sees the merged view first") {

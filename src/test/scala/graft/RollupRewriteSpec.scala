@@ -120,10 +120,15 @@ class RollupRewriteSpec extends SparkSpecBase {
   }
 
   test("the registered production query is stable across re-invocations in one session") {
-    val fn = SparkEntry.queries("proj_rollup_count")
-    val a = fn(spark, sf0001).collect().toSeq
-    fn(spark, sf0001).collect().toSeq shouldBe a
-    fn(spark, sf0001).collect().toSeq shouldBe a
+    // clear afterwards: the production registration is process-global and
+    // would otherwise leave an active rewrite pointed at a /tmp rollup for
+    // every later suite sharing this test JVM
+    try {
+      val fn = SparkEntry.queries("proj_rollup_count")
+      val a = fn(spark, sf0001).collect().toSeq
+      fn(spark, sf0001).collect().toSeq shouldBe a
+      fn(spark, sf0001).collect().toSeq shouldBe a
+    } finally RollupRewrite.clear()
   }
 
   test("parents above the aggregate (sort, projection) survive the id-preserving swap") {
