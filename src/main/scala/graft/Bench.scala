@@ -44,6 +44,10 @@ object Bench {
       // heavy family can't squeeze later queries' memory — the measured
       // single-JVM interference signature (BASELINE.md anomaly log)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // DataFrame-level caches too (persist() registers in the cache
+      // manager, not only as RDD blocks) — a survivor cache left by one
+      // query must not donate warm blocks to the next one's timing
+      spark.catalog.clearCache()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

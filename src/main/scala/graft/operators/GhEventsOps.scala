@@ -113,6 +113,31 @@ object GhEventsOps extends QueryModule {
           count_distinct(col("pair")).as("n_label_pairs"))
         .orderBy(col("day"), col("rnk"))
     }),
+
+    // Stars velocity: week-over-week star delta per repo, top movers
+    // first — the trending-repos query every GitHub-analytics dashboard
+    // runs. Scale shape: the weekly pre-aggregate collapses the event
+    // stream before any window (the lag partitions carry one row per
+    // repo-week, never raw events), and the ranked output is a top-k
+    // (TakeOrderedAndProject), not a global sort.
+    "gh_star_velocity" -> ((s, d) => {
+      val gh = fromEvents(s, d)
+      val weekly = gh.filter(col("event_type") === "WatchEvent")
+        .groupBy(
+          date_format(date_trunc("week", col("created_at")), "yyyy-MM-dd")
+            .as("week"),
+          col("repo_name"))
+        .agg(count(lit(1)).as("stars"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("repo_name")).orderBy(col("week"))
+      weekly
+        .withColumn("prev", lag(col("stars"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("week"), col("repo_name"), col("stars"),
+          (col("stars") - col("prev")).as("delta"))
+        .orderBy(col("delta").desc, col("week"), col("repo_name"))
+        .limit(25)
+    }),
   )
 
   private val repoExpr =
@@ -160,5 +185,18 @@ object GhEventsOps extends QueryModule {
          |  ON p.day = t.day AND p.repo_name = t.repo_name
          |GROUP BY t.day, t.repo_name, t.stars, t.rnk
          |ORDER BY t.day, t.rnk""".stripMargin,
+
+    "gh_star_velocity" ->
+      s"""WITH weekly AS (
+         |  SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+         |    $repoExpr AS repo_name, count(*) AS stars
+         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         |lagged AS (
+         |  SELECT week, repo_name, stars,
+         |    lag(stars) OVER (PARTITION BY repo_name ORDER BY week) AS prev
+         |  FROM weekly)
+         |SELECT week, repo_name, stars, stars - prev AS delta
+         |FROM lagged WHERE prev IS NOT NULL
+         |ORDER BY delta DESC, week, repo_name LIMIT 25""".stripMargin,
   )
 }
