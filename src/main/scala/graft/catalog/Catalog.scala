@@ -62,7 +62,8 @@ final case class TableDef(
     schema: StructType,
     sortKeys: Seq[String],
     semantics: EngineSemantics,
-    layout: TableLayout = FlatDir)
+    layout: TableLayout = FlatDir,
+    partitionKeys: Seq[String] = Nil)
 
 final class Catalog(spark: SparkSession) {
 
@@ -203,12 +204,7 @@ final class Catalog(spark: SparkSession) {
       case ReplacingDedup(keys, version) => latestWins(batch, keys, version)
       case _ => batch
     }
-    val sorted =
-      if (t.sortKeys.nonEmpty)
-        deduped
-          .repartitionByRange(t.sortKeys.map(col): _*)
-          .sortWithinPartitions(t.sortKeys.map(col): _*)
-      else deduped
+    val sorted = clusteredFor(t, deduped)
     writeLock(name).synchronized {
       // an append into a mid-swap table would recreate it with just this
       // batch, and the next compact's "stale leftovers" delete would then
@@ -222,7 +218,7 @@ final class Catalog(spark: SparkSession) {
       sorted.cache()
       try {
         val n = sorted.count()
-        sorted.write.mode("append").parquet(dataPath(t))
+        writeData(t, sorted, dataPath(t), mode = "append")
         n
       } finally sorted.unpersist()
     }
@@ -235,6 +231,34 @@ final class Catalog(spark: SparkSession) {
     * so no caller can ever observe, recreate, or delete a mid-swap table.
     * One `exists` probe when the table is healthy.
     */
+  /** The on-write clustering for a table — MergeTree's two storage axes:
+    *
+    *   - `partitionKeys` (PARTITION BY, create_db.py's MergeTree family):
+    *     hash-repartition on the partition columns so each task holds few
+    *     partition values (few files per directory), then sort rows by
+    *     (partition, sortKeys) — ClickHouse likewise orders WITHIN each
+    *     partition, and readers get directory-level partition pruning on
+    *     top of row-group min/max skipping;
+    *   - `sortKeys` alone (ORDER BY): global range layout via
+    *     `repartitionByRange` + per-file sort, the O3 clustering.
+    */
+  private def clusteredFor(t: TableDef, df: DataFrame): DataFrame =
+    if (t.partitionKeys.nonEmpty)
+      df.repartition(t.partitionKeys.map(col): _*)
+        .sortWithinPartitions((t.partitionKeys ++ t.sortKeys).map(col): _*)
+    else if (t.sortKeys.nonEmpty)
+      df.repartitionByRange(t.sortKeys.map(col): _*)
+        .sortWithinPartitions(t.sortKeys.map(col): _*)
+    else df
+
+  /** Parquet write honoring the table's partition layout. */
+  private def writeData(t: TableDef, df: DataFrame, path: String,
+                        mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode)
+    (if (t.partitionKeys.nonEmpty) w.partitionBy(t.partitionKeys: _*) else w)
+      .parquet(path)
+  }
+
   /** Zero-row frame with the table's declared schema — lets mutation
     * transforms validate (column existence, shape preservation) before a
     * table holds any data.
@@ -395,12 +419,7 @@ final class Catalog(spark: SparkSession) {
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (fs.exists(old)) fs.delete(old, true)
     val merged = transform(read(name))
-    val sorted =
-      if (t.sortKeys.nonEmpty)
-        merged.repartitionByRange(t.sortKeys.map(col): _*)
-          .sortWithinPartitions(t.sortKeys.map(col): _*)
-      else merged
-    sorted.write.mode("overwrite").parquet(tmp.toString)
+    writeData(t, clusteredFor(t, merged), tmp.toString)
     // Hadoop rename reports failure by returning false, not throwing —
     // check each step so a failed swap is loud, never a silent no-op
     require(fs.rename(path, old), s"compact($name): rename $path -> $old failed")
@@ -451,13 +470,8 @@ final class Catalog(spark: SparkSession) {
     // the compactFlat twin of this guard)
     if (!f.exists(new Path(t.path, cur))) { transform(emptyFrame(t)); return }
     val merged = transform(read(t.name))
-    val sorted =
-      if (t.sortKeys.nonEmpty)
-        merged.repartitionByRange(t.sortKeys.map(col): _*)
-          .sortWithinPartitions(t.sortKeys.map(col): _*)
-      else merged
     val next = s"v${versionNum(cur) + 1}"
-    sorted.write.mode("overwrite").parquet(new Path(t.path, next).toString)
+    writeData(t, clusteredFor(t, merged), new Path(t.path, next).toString)
     writeManifest(t, next)
     // the displaced version is NOT deleted here: it stays readable until
     // the next compact's orphan-GC pass (snapshot retention of one), so

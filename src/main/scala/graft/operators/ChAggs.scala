@@ -200,6 +200,34 @@ object ChAggs extends QueryModule {
         .orderBy(col("level"))
     }),
 
+    // sequenceMatch('(?1).*(?2).*(?3)') analog — does an ORDERED
+    // click → view → purchase chain exist per user, with any gaps and NO
+    // time bound (the windowless sibling of agg_funnel)? Greedy min-chain
+    // ≡ existence: if any ordered triple exists then t1 = min(click) ≤ c
+    // leaves a view after it, t2 = min such view ≤ v leaves a purchase
+    // after it — so "t3 exists" is exact. Same scale shape as the funnel:
+    // per-step conditional mins with equi-join-backs on user_id, every
+    // stage co-partitioned, frames shrinking monotonically, no per-user
+    // event arrays ever collected.
+    "agg_seq_match" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val t1 = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "view")
+        .join(t1, Seq("user_id"))
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, Seq("user_id"))
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      ev.select(col("user_id")).distinct()
+        .join(t3.select(col("user_id"), lit(1).as("m")), Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_users"),
+          count(col("m")).as("n_matched"))
+    }),
+
     // histogram (ClickHouse histogram() / DuckDB width_bucket shape):
     // fixed-width bins over l_extendedprice — one codegen'd bin expression
     // + one groupBy, the distributed histogram that never collects values.
@@ -315,6 +343,22 @@ object ChAggs extends QueryModule {
       """SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
         | TRUE AS approx_within_1pct_range
         |FROM lineitem""".stripMargin,
+
+    "agg_seq_match" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN t1 ON t1.user_id = e.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > t1.t1 GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN t2 ON t2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id)
+        |SELECT count(*) AS n_users, count(t3.t3) AS n_matched
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN t3 ON t3.user_id = u.user_id""".stripMargin,
 
     "agg_quantiles_multi" ->
       """SELECT l_returnflag,

@@ -326,6 +326,33 @@ class CatalogSpec extends SparkSpecBase {
     }
   }
 
+  test("PARTITION BY layout: directory partitioning, pruning, and full-cycle semantics") {
+    val cat = new Catalog(spark)
+    val path = tmpDir("cat") + "/pt"
+    cat.createTable(TableDef("pt", path, StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType),
+      StructField("lang", StringType))),
+      sortKeys = Seq("k"), semantics = Append, partitionKeys = Seq("lang")))
+    cat.append("pt", Seq(("a", 1L, "en"), ("b", 2L, "de"), ("c", 3L, "en"))
+      .toDF("k", "v", "lang"))
+    // directory-encoded partitions on disk
+    new java.io.File(path).list().count(_.startsWith("lang=")) shouldBe 2
+    // a partition predicate prunes at the DIRECTORY level, before any read
+    val pruned = cat.read("pt").filter(col("lang") === "en")
+    pruned.queryExecution.executedPlan.toString should
+      include("PartitionFilters: [isnotnull(lang")
+    pruned.orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))) shouldBe
+      Array(("a", 1L), ("c", 3L))
+    // append + mutate + compact keep the layout and the declared schema
+    cat.append("pt", Seq(("d", 4L, "fr")).toDF("k", "v", "lang"))
+    cat.delete("pt", col("lang") === "de")
+    cat.compact("pt")
+    new java.io.File(path).list().count(_.startsWith("lang=")) shouldBe 2 // en, fr
+    cat.read("pt").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getString(2))) shouldBe
+      Array(("a", "en"), ("c", "en"), ("d", "fr"))
+  }
+
   test("TTL expiry deletes rows older than the horizon, deterministically") {
     val cat = new Catalog(spark)
     cat.createTable(TableDef("ttl", tmpDir("cat") + "/ttl", replacingSchema,
