@@ -61,6 +61,39 @@ object CatalogOps extends QueryModule {
           max(col("o_orderkey")).as("max_key"),
           count(col("o_custkey")).as("n_cust"))),
 
+    // PARTITION BY exercised through the correctness gate (the clustered
+    // twin of cat_clustered_scan): a Catalog copy of `events` partitioned
+    // by event_type + sorted by ts, scanned with a partition predicate.
+    // The filter prunes at the DIRECTORY level (PartitionFilters — only
+    // the one partition's files are even listed), the oracle runs the
+    // same aggregate on the original table, and equality proves the
+    // partitioned rewrite is content-preserving while the layout does the
+    // skipping. The measured time deliberately includes the partitioned
+    // write — the layout path is the operator under test.
+    "cat_partitioned_scan" -> ((s, d) => {
+      val cat = new Catalog(s)
+      val src = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-part")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp).iterator.asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }))
+      val path = tmp.resolve("events_by_type").toString
+      cat.createTable(TableDef("events_by_type", path, src.schema,
+        sortKeys = Seq("ts"), semantics = Append,
+        partitionKeys = Seq("event_type")))
+      cat.append("events_by_type", src)
+      cat.read("events_by_type")
+        .filter(col("event_type") === "purchase")
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 2).as("sum_value"))
+    }),
+
     // PROJECTION-analog end to end through the correctness gate: build the
     // rollup (the MV-backfill shape), register it, then run a plain count
     // aggregate against the BASE table. RollupRewrite answers it from the
@@ -107,6 +140,11 @@ object CatalogOps extends QueryModule {
       s"""SELECT count(*) AS n, min(o_orderkey) AS min_key,
          | max(o_orderkey) AS max_key, count(o_custkey) AS n_cust
          |FROM orders WHERE o_orderkey BETWEEN $KeyLo AND $KeyHi""".stripMargin,
+
+    "cat_partitioned_scan" ->
+      """SELECT count(*) AS n, count(DISTINCT user_id) AS n_users,
+        | round(sum(value), 2) AS sum_value
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
 
     // computed on the BASE table: proves the rollup rewrite is sound
     "proj_rollup_count" ->

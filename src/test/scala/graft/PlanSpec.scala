@@ -85,6 +85,11 @@ class PlanSpec extends SparkSpecBase {
     plan should include("might_contain")
   }
 
+  test("cat_partitioned_scan prunes at the partition-directory level") {
+    planOf("cat_partitioned_scan") should
+      include("PartitionFilters: [isnotnull(event_type")
+  }
+
   test("proj_rollup_count is answered from the rollup, not the base table") {
     // the projection rewrite is the operator under test: losing it would
     // silently fall back to a (correct but full) base scan — at 100 TB
