@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Table registry — our analog of the reference's DDL catalog
   * (/root/reference/create_db.py:30-128 + /root/reference/types.json).
@@ -133,6 +133,36 @@ final class Catalog(spark: SparkSession) {
 
   /** D1/D2: register ≈ CREATE TABLE (create_db.py:32-33). Idempotent. */
   def createTable(t: TableDef): TableDef = { tables.putIfAbsent(t.name, t); tables(t.name) }
+
+  // per-column read defaults added by ALTER ADD COLUMN: applied at read
+  // time for parts written before the column existed (which surface the
+  // column as null), materialized permanently by the next compact/mutation
+  private val columnDefaults =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, Any]]
+
+  /** `ALTER TABLE name ADD COLUMN field DEFAULT default` — widens the
+    * declared schema in place. Old parquet files simply lack the column;
+    * the declared read schema surfaces it as null and the stored default
+    * fills it, so readers see a fully-populated column immediately while
+    * storage is rewritten lazily (exactly ClickHouse's ADD COLUMN: a
+    * metadata-only change, old parts materialize the default on merge).
+    * New appends may carry the column or omit it (nulls → default).
+    */
+  def addColumn(name: String, field: StructField, default: Any): Unit =
+    writeLock(name).synchronized {
+      val t = get(name)
+      require(!t.schema.fieldNames.contains(field.name),
+        s"addColumn($name): column ${field.name} already exists")
+      tables.put(name, t.copy(schema = StructType(t.schema.fields :+ field)))
+      columnDefaults.put(name,
+        columnDefaults.getOrElse(name, Map.empty) + (field.name -> default))
+    }
+
+  /** Fill ALTER-added columns' nulls with their declared defaults. */
+  private def applyDefaults(name: String, df: DataFrame): DataFrame =
+    columnDefaults.getOrElse(name, Map.empty).foldLeft(df) {
+      case (d, (c, v)) => d.withColumn(c, coalesce(col(c), lit(v)))
+    }
 
   def get(name: String): TableDef =
     tables.getOrElse(name, throw new NoSuchElementException(s"table $name"))
@@ -292,7 +322,7 @@ final class Catalog(spark: SparkSession) {
   def read(name: String): DataFrame = {
     val t = get(name)
     recoverInterruptedSwap(t)
-    val raw = spark.read.schema(t.schema).parquet(dataPath(t))
+    val raw = applyDefaults(name, spark.read.schema(t.schema).parquet(dataPath(t)))
     t.semantics match {
       case Append => raw
       case ReplacingDedup(keys, version) => latestWins(raw, keys, version)

@@ -326,6 +326,35 @@ class CatalogSpec extends SparkSpecBase {
     }
   }
 
+  test("ALTER ADD COLUMN: metadata-only widen, read-time default, materialized on compact") {
+    val cat = new Catalog(spark)
+    cat.createTable(TableDef("ac", tmpDir("cat") + "/ac", replacingSchema,
+      Seq("k"), Append))
+    cat.append("ac", Seq(("a", 1L, 10L), ("b", 2L, 20L)).toDF("k", "v", "updated_at"))
+    cat.addColumn("ac", StructField("score", LongType), 7L)
+    // old parts lack the column entirely — readers see the default NOW
+    cat.read("ac").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("score"))) shouldBe
+      Array(("a", 7L), ("b", 7L))
+    // new appends may carry the column; omitted values also fill
+    cat.append("ac", Seq(("c", 3L, 30L, 99L)).toDF("k", "v", "updated_at", "score"))
+    cat.read("ac").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("score"))) shouldBe
+      Array(("a", 7L), ("b", 7L), ("c", 99L))
+    // compact materializes the default into storage permanently
+    cat.compact("ac")
+    cat.readRaw("ac").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("score"))) shouldBe
+      Array(("a", 7L), ("b", 7L), ("c", 99L))
+    // duplicate add rejected
+    an[IllegalArgumentException] should be thrownBy
+      cat.addColumn("ac", StructField("score", LongType), 0L)
+    // and the new column is immediately mutable
+    cat.update("ac", col("k") === "a", Map("score" -> lit(1)))
+    cat.read("ac").filter(col("k") === "a").collect()(0)
+      .getAs[Long]("score") shouldBe 1L
+  }
+
   test("PARTITION BY layout: directory partitioning, pruning, and full-cycle semantics") {
     val cat = new Catalog(spark)
     val path = tmpDir("cat") + "/pt"
