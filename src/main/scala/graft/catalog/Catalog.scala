@@ -1,6 +1,6 @@
 package graft.catalog
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType}
@@ -134,11 +134,19 @@ final class Catalog(spark: SparkSession) {
   /** D1/D2: register ≈ CREATE TABLE (create_db.py:32-33). Idempotent. */
   def createTable(t: TableDef): TableDef = { tables.putIfAbsent(t.name, t); tables(t.name) }
 
-  // per-column read defaults added by ALTER ADD COLUMN: applied at read
-  // time for parts written before the column existed (which surface the
-  // column as null), materialized permanently by the next compact/mutation
-  private val columnDefaults =
-    scala.collection.concurrent.TrieMap.empty[String, Map[String, Any]]
+  // ALTER ADD COLUMN defaults, two lifetimes (values pre-cast to the
+  // declared type):
+  //   - readDefaults: coalesce applied at READ time for parts written
+  //     before the column existed. Retired per table once a
+  //     compact/mutation materializes the default into every stored row —
+  //     afterwards an explicitly stored NULL reads back as NULL, never as
+  //     the default.
+  //   - insertDefaults: permanent table metadata (ClickHouse DEFAULT):
+  //     a batch that OMITS the column fills at insert time, forever.
+  private val readDefaults =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, Column]]
+  private val insertDefaults =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, Column]]
 
   /** `ALTER TABLE name ADD COLUMN field DEFAULT default` — widens the
     * declared schema in place. Old parquet files simply lack the column;
@@ -146,22 +154,51 @@ final class Catalog(spark: SparkSession) {
     * fills it, so readers see a fully-populated column immediately while
     * storage is rewritten lazily (exactly ClickHouse's ADD COLUMN: a
     * metadata-only change, old parts materialize the default on merge).
-    * New appends may carry the column or omit it (nulls → default).
+    * New appends materialize at insert time: an OMITTED column fills with
+    * the default (ClickHouse INSERT semantics); a column the batch
+    * carries is stored verbatim, explicit nulls included.
+    *
+    * The default is validated against the declared type up front — a
+    * default the type can't hold would otherwise silently retype the
+    * read-side column and the next compact would write that wrong type
+    * into storage, corrupting the table against its own schema.
     */
   def addColumn(name: String, field: StructField, default: Any): Unit =
     writeLock(name).synchronized {
       val t = get(name)
       require(!t.schema.fieldNames.contains(field.name),
         s"addColumn($name): column ${field.name} already exists")
+      val cast = lit(default).cast(field.dataType)
+      // driver-side eval of the raw Cast(Literal) pair: a lossy or
+      // uncastable default fails NOW, not as a silent null (or worse, a
+      // coerced column type) at read
+      val evaluated = org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(default),
+        field.dataType, Some("UTC")).eval(null)
+      require(default == null || evaluated != null,
+        s"addColumn($name): default $default does not fit ${field.dataType}")
       tables.put(name, t.copy(schema = StructType(t.schema.fields :+ field)))
-      columnDefaults.put(name,
-        columnDefaults.getOrElse(name, Map.empty) + (field.name -> default))
+      readDefaults.put(name,
+        readDefaults.getOrElse(name, Map.empty) + (field.name -> cast))
+      insertDefaults.put(name,
+        insertDefaults.getOrElse(name, Map.empty) + (field.name -> cast))
     }
 
-  /** Fill ALTER-added columns' nulls with their declared defaults. */
+  /** Fill ALTER-added columns' nulls with their declared defaults (old
+    * parts only — see [[readDefaults]] retirement).
+    */
   private def applyDefaults(name: String, df: DataFrame): DataFrame =
-    columnDefaults.getOrElse(name, Map.empty).foldLeft(df) {
-      case (d, (c, v)) => d.withColumn(c, coalesce(col(c), lit(v)))
+    readDefaults.getOrElse(name, Map.empty).foldLeft(df) {
+      case (d, (c, v)) => d.withColumn(c, coalesce(col(c), v))
+    }
+
+  /** Insert-time default materialization for a batch that OMITS an
+    * ALTER-added column; carried columns are stored verbatim.
+    */
+  private def fillOmittedDefaults(name: String, batch: DataFrame): DataFrame =
+    insertDefaults.getOrElse(name, Map.empty).foldLeft(batch) {
+      case (d, (c, v)) if !d.columns.contains(c) => d.withColumn(c, v)
+      case (d, _) => d
     }
 
   def get(name: String): TableDef =
@@ -230,9 +267,10 @@ final class Catalog(spark: SparkSession) {
     */
   def append(name: String, batch: DataFrame): Long = {
     val t = get(name)
+    val filled = fillOmittedDefaults(name, batch)
     val deduped = t.semantics match {
-      case ReplacingDedup(keys, version) => latestWins(batch, keys, version)
-      case _ => batch
+      case ReplacingDedup(keys, version) => latestWins(filled, keys, version)
+      case _ => filled
     }
     val sorted = clusteredFor(t, deduped)
     writeLock(name).synchronized {
@@ -387,6 +425,12 @@ final class Catalog(spark: SparkSession) {
       }
       if (t.layout == Versioned) withCompactLock(t)(compactVersioned(t, checked))
       else withCompactLock(t)(compactFlat(t, checked))
+      // if data was rewritten, it read through applyDefaults — every
+      // stored row now carries its ALTER-added defaults, so retire the
+      // READ-side coalesce: from here on an explicitly stored NULL reads
+      // back as NULL. Insert-time fill stays (permanent table metadata).
+      // An empty table materialized nothing — keep its read defaults.
+      if (exists(name)) readDefaults.remove(name)
     }
 
   /** `ALTER TABLE name DELETE WHERE predicate` — drops rows where the

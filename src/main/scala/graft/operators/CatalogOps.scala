@@ -35,21 +35,41 @@ object CatalogOps extends QueryModule {
     * INCLUDES the clustered write — the O3 write path is the operator
     * under test, not just the skipping scan.
     */
-  def clusteredOrdersWithPath(s: SparkSession, d: String): (DataFrame, String) = {
-    val cat = new Catalog(s)
-    val src = Tables.orders(s, d)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-cat-scan")
+  def clusteredOrdersWithPath(s: SparkSession, d: String): (DataFrame, String) =
+    catalogCopy(s, "orders_by_key", Tables.orders(s, d),
+      sortKeys = Seq("o_orderkey"))
+
+  // one JVM-wide cleanup hook over all copies made by the layout queries
+  // (fresh temp dir per invocation; each invocation's copy IS the write
+  // path under test, so re-copying is deliberate — but hooks must not
+  // accumulate per call)
+  private val copyDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       try {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tmp).iterator.asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        copyDirs.iterator.asScala.foreach { tmp =>
+          java.nio.file.Files.walk(tmp).iterator.asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
       } catch { case _: Throwable => () }))
-    val path = tmp.resolve("orders_by_key").toString
-    cat.createTable(TableDef("orders_by_key", path, src.schema,
-      sortKeys = Seq("o_orderkey"), semantics = Append))
-    cat.append("orders_by_key", src)
-    (cat.read("orders_by_key"), path)
+  }
+
+  /** Catalog copy of `src` under a fresh temp dir with the given layout —
+    * shared scaffolding for the storage-layout gate queries.
+    */
+  private def catalogCopy(s: SparkSession, table: String, src: DataFrame,
+                          sortKeys: Seq[String],
+                          partitionKeys: Seq[String] = Nil): (DataFrame, String) = {
+    val cat = new Catalog(s)
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-cat-$table")
+    copyDirs.add(tmp)
+    val path = tmp.resolve(table).toString
+    cat.createTable(TableDef(table, path, src.schema,
+      sortKeys = sortKeys, semantics = Append, partitionKeys = partitionKeys))
+    cat.append(table, src)
+    (cat.read(table), path)
   }
 
   override def queries: Map[String, Q] = Map(
@@ -71,23 +91,11 @@ object CatalogOps extends QueryModule {
     // skipping. The measured time deliberately includes the partitioned
     // write — the layout path is the operator under test.
     "cat_partitioned_scan" -> ((s, d) => {
-      val cat = new Catalog(s)
       val src = Tables.events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-part")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(tmp).iterator.asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case _: Throwable => () }))
-      val path = tmp.resolve("events_by_type").toString
-      cat.createTable(TableDef("events_by_type", path, src.schema,
-        sortKeys = Seq("ts"), semantics = Append,
-        partitionKeys = Seq("event_type")))
-      cat.append("events_by_type", src)
-      cat.read("events_by_type")
+      catalogCopy(s, "events_by_type", src,
+        sortKeys = Seq("ts"), partitionKeys = Seq("event_type"))._1
         .filter(col("event_type") === "purchase")
         .agg(count(lit(1)).as("n"),
           count_distinct(col("user_id")).as("n_users"),

@@ -346,13 +346,27 @@ class CatalogSpec extends SparkSpecBase {
     cat.readRaw("ac").orderBy("k").collect()
       .map(r => (r.getString(0), r.getAs[Long]("score"))) shouldBe
       Array(("a", 7L), ("b", 7L), ("c", 99L))
-    // duplicate add rejected
+    // duplicate add rejected; type-violating default rejected UP FRONT
+    // (a lossy default would silently retype the column at read time and
+    // the next compact would corrupt storage against the declared schema)
     an[IllegalArgumentException] should be thrownBy
       cat.addColumn("ac", StructField("score", LongType), 0L)
+    an[IllegalArgumentException] should be thrownBy
+      cat.addColumn("ac", StructField("score2", LongType), "not-a-number")
     // and the new column is immediately mutable
     cat.update("ac", col("k") === "a", Map("score" -> lit(1)))
     cat.read("ac").filter(col("k") === "a").collect()(0)
       .getAs[Long]("score") shouldBe 1L
+    // the compact retired the READ default: an explicitly stored NULL now
+    // reads back as NULL, not as 7
+    cat.update("ac", col("k") === "b", Map("score" -> lit(null)))
+    cat.read("ac").filter(col("k") === "b").collect()(0)
+      .isNullAt(3) shouldBe true
+    // but insert-time fill is permanent table metadata: a batch that
+    // still OMITS the column gets the default materialized at append
+    cat.append("ac", Seq(("e", 5L, 50L)).toDF("k", "v", "updated_at"))
+    cat.read("ac").filter(col("k") === "e").collect()(0)
+      .getAs[Long]("score") shouldBe 7L
   }
 
   test("PARTITION BY layout: directory partitioning, pruning, and full-cycle semantics") {
