@@ -155,8 +155,11 @@ final class Catalog(spark: SparkSession) {
     * storage is rewritten lazily (exactly ClickHouse's ADD COLUMN: a
     * metadata-only change, old parts materialize the default on merge).
     * New appends materialize at insert time: an OMITTED column fills with
-    * the default (ClickHouse INSERT semantics); a column the batch
-    * carries is stored verbatim, explicit nulls included.
+    * the default (ClickHouse INSERT semantics), and until the first
+    * compact materializes old parts, NULLs in a carried column fill too
+    * (see [[fillOmittedDefaults]] — the read-time coalesce cannot tell
+    * old parts from new, so pre-materialization the column cannot hold
+    * NULL; afterwards it is a plain nullable column).
     *
     * The default is validated against the declared type up front — a
     * default the type can't hold would otherwise silently retype the
@@ -177,11 +180,16 @@ final class Catalog(spark: SparkSession) {
         field.dataType, Some("UTC")).eval(null)
       require(default == null || evaluated != null,
         s"addColumn($name): default $default does not fit ${field.dataType}")
-      tables.put(name, t.copy(schema = StructType(t.schema.fields :+ field)))
+      // defaults BEFORE the schema swap: read() takes no lock, so a
+      // reader racing this block must either see the old schema (column
+      // invisible) or the new schema WITH its default — never the widened
+      // schema with bare nulls. applyDefaults skips columns a frame
+      // doesn't carry, so the defaults-first window is harmless.
       readDefaults.put(name,
         readDefaults.getOrElse(name, Map.empty) + (field.name -> cast))
       insertDefaults.put(name,
         insertDefaults.getOrElse(name, Map.empty) + (field.name -> cast))
+      tables.put(name, t.copy(schema = StructType(t.schema.fields :+ field)))
     }
 
   /** Fill ALTER-added columns' nulls with their declared defaults (old
@@ -189,15 +197,28 @@ final class Catalog(spark: SparkSession) {
     */
   private def applyDefaults(name: String, df: DataFrame): DataFrame =
     readDefaults.getOrElse(name, Map.empty).foldLeft(df) {
-      case (d, (c, v)) => d.withColumn(c, coalesce(col(c), v))
+      case (d, (c, v)) if d.columns.contains(c) =>
+        d.withColumn(c, coalesce(col(c), v))
+      case (d, _) => d // pre-swap reader: column not in its schema yet
     }
 
-  /** Insert-time default materialization for a batch that OMITS an
-    * ALTER-added column; carried columns are stored verbatim.
+  /** Insert-time default materialization: an OMITTED column is added, and
+    * nulls in a CARRIED column also fill. The null-fill is load-bearing
+    * for consistency, not convenience: the read path coalesces the whole
+    * table while readDefaults is live (it cannot tell pre-ALTER parts
+    * from new ones), so if an explicit NULL were stored verbatim it would
+    * READ as the default and then be permanently materialized into the
+    * default by the next compact — a silent rewrite of inserted data.
+    * Filling at insert makes storage and reads agree at every point:
+    * until the default is materialized the column simply cannot hold
+    * NULL; after materialization (readDefaults retired) it behaves like
+    * any nullable column, explicit NULLs included.
     */
   private def fillOmittedDefaults(name: String, batch: DataFrame): DataFrame =
     insertDefaults.getOrElse(name, Map.empty).foldLeft(batch) {
       case (d, (c, v)) if !d.columns.contains(c) => d.withColumn(c, v)
+      case (d, (c, v)) if readDefaults.get(name).exists(_.contains(c)) =>
+        d.withColumn(c, coalesce(col(c), v))
       case (d, _) => d
     }
 

@@ -52,15 +52,26 @@ final class CentroidStore(spark: SparkSession, catalog: Catalog,
       spark.sparkContext.parallelize(rows, 1), schema))
   }
 
-  /** Latest committed quantizer for (version, variant), cells in order. */
+  /** Latest committed quantizer for (version, variant), cells in order.
+    *
+    * Only the newest TRAINING BATCH is returned (all of a training's
+    * cells share one `trained_at`): per-cell latest-wins alone cannot
+    * forget the tail of an earlier, larger training — retraining 16
+    * cells down to 8 would otherwise return 8 fresh + 8 stale centroids
+    * and silently skew every IVF assignment.
+    */
   def load(version: String, variant: String): Option[Seq[Array[Double]]] = {
     if (!catalog.exists(tableName)) return None
     val rows = catalog.read(tableName)
       .filter(col("corpus_version") === version && col("variant") === variant)
-      .select(col("cell"), col("centroid"))
+      .select(col("cell"), col("centroid"), col("trained_at"))
       .collect()
     if (rows.isEmpty) None
-    else Some(rows.sortBy(_.getInt(0)).toSeq.map(_.getSeq[Double](1).toArray))
+    else {
+      val newest = rows.map(_.getLong(2)).max
+      Some(rows.filter(_.getLong(2) == newest)
+        .sortBy(_.getInt(0)).toSeq.map(_.getSeq[Double](1).toArray))
+    }
   }
 
   /** Load-or-train-and-commit: the amortization entry point. */

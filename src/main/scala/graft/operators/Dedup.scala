@@ -399,7 +399,12 @@ object Dedup extends QueryModule {
       // defeats ReuseExchange), and without the cache the full corpus
       // scan+shingle+prune pass runs twice per query. The cached set is
       // the bloom-pruned stream — bench overlap + ~1% false positives —
-      // bounded tiny relative to the corpus it replaces
+      // bounded tiny relative to the corpus it replaces.
+      // LIFECYCLE CONTRACT: a lazy query fn has no unpersist point, so
+      // the harness owns release — Bench and Verify clearCache() between
+      // queries (re-invocations dedup to one cache-manager entry via plan
+      // canonicalization, so specs don't accumulate entries, but blocks
+      // stay resident until the harness clears them)
       val survivors = docShingles(docs.filter(col("doc_id") >= 10))
         .filter(mightContain)
         .persist()

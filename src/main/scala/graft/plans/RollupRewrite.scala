@@ -102,7 +102,13 @@ object RollupRewrite extends Rule[LogicalPlan] {
   private def isCountLiteral(e: Expression): Boolean = e match {
     case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
       ae.aggregateFunction match {
-        case Count(children) => children.forall(_.isInstanceOf[Literal])
+        // NON-NULL literals only: count(NULL) is 0 for every group, not
+        // the group's row count — rewriting it to sum(cnt) would be a
+        // silent wrong answer
+        case Count(children) => children.forall {
+          case l: Literal => l.value != null
+          case _ => false
+        }
         case _ => false
       }
     case _ => false

@@ -96,29 +96,27 @@ object EventStreams {
     */
   def attributionJoin(views: DataFrame, clicks: DataFrame,
                       horizon: String = "60 minutes",
-                      watermark: String = "30 minutes"): DataFrame = {
-    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
-        col("event_id").as("view_id"))
-      .withWatermark("v_ts", watermark)
-    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-        col("event_id").as("click_id"))
-      .withWatermark("c_ts", watermark)
-    c.join(v, expr(
-        s"""c_user = v_user AND
-           |v_ts <= c_ts AND v_ts >= c_ts - INTERVAL $horizon""".stripMargin))
-      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
-        col("c_ts"), col("v_ts"))
-  }
+                      watermark: String = "30 minutes"): DataFrame =
+    attributionShape(views, clicks, horizon, Some(watermark))
 
-  /** Batch oracle for [[attributionJoin]]: identical condition on static
-    * frames — a finished stream must produce exactly this row set.
+  /** Batch oracle for [[attributionJoin]]: the SAME builder with the
+    * watermarks skipped — a finished stream must produce exactly this row
+    * set, and sharing one shape makes condition/column drift between the
+    * stream and its oracle structurally impossible.
     */
   def attributionJoinBatch(views: DataFrame, clicks: DataFrame,
-                           horizon: String = "60 minutes"): DataFrame = {
-    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
-      col("event_id").as("view_id"))
-    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-      col("event_id").as("click_id"))
+                           horizon: String = "60 minutes"): DataFrame =
+    attributionShape(views, clicks, horizon, watermark = None)
+
+  private def attributionShape(views: DataFrame, clicks: DataFrame,
+                               horizon: String,
+                               watermark: Option[String]): DataFrame = {
+    def wm(df: DataFrame, tsCol: String): DataFrame =
+      watermark.fold(df)(w => df.withWatermark(tsCol, w))
+    val v = wm(views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+      col("event_id").as("view_id")), "v_ts")
+    val c = wm(clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+      col("event_id").as("click_id")), "c_ts")
     c.join(v, expr(
         s"""c_user = v_user AND
            |v_ts <= c_ts AND v_ts >= c_ts - INTERVAL $horizon""".stripMargin))

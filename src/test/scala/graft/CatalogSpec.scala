@@ -336,16 +336,25 @@ class CatalogSpec extends SparkSpecBase {
     cat.read("ac").orderBy("k").collect()
       .map(r => (r.getString(0), r.getAs[Long]("score"))) shouldBe
       Array(("a", 7L), ("b", 7L))
-    // new appends may carry the column; omitted values also fill
-    cat.append("ac", Seq(("c", 3L, 30L, 99L)).toDF("k", "v", "updated_at", "score"))
+    // new appends may carry the column; omitted values also fill.
+    // Pre-materialization the column cannot hold NULL: an explicit null
+    // in a carried column fills at insert (the read-side coalesce cannot
+    // tell old parts from new, so storing the null verbatim would read as
+    // the default now and be silently materialized INTO the default by
+    // the next compact — the insert-time fill makes storage and reads
+    // agree at every point)
+    cat.append("ac",
+      Seq[(String, Long, Long, java.lang.Long)](
+        ("c", 3L, 30L, 99L), ("d", 4L, 40L, null))
+      .toDF("k", "v", "updated_at", "score"))
     cat.read("ac").orderBy("k").collect()
       .map(r => (r.getString(0), r.getAs[Long]("score"))) shouldBe
-      Array(("a", 7L), ("b", 7L), ("c", 99L))
+      Array(("a", 7L), ("b", 7L), ("c", 99L), ("d", 7L))
     // compact materializes the default into storage permanently
     cat.compact("ac")
     cat.readRaw("ac").orderBy("k").collect()
       .map(r => (r.getString(0), r.getAs[Long]("score"))) shouldBe
-      Array(("a", 7L), ("b", 7L), ("c", 99L))
+      Array(("a", 7L), ("b", 7L), ("c", 99L), ("d", 7L))
     // duplicate add rejected; type-violating default rejected UP FRONT
     // (a lossy default would silently retype the column at read time and
     // the next compact would corrupt storage against the declared schema)

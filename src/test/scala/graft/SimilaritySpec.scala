@@ -82,6 +82,17 @@ class SimilaritySpec extends SparkSpecBase {
     Thread.sleep(2) // distinct trained_at
     store.save(sf0001, "spherical_f32", bumped)
     store.load(sf0001, "spherical_f32").get.map(_.toSeq) shouldBe bumped.map(_.toSeq)
+
+    // shrink-retrain: fewer cells than the previous training — load must
+    // return ONLY the newest training batch, never 8 fresh + stale tail
+    // cells from the larger run (per-cell latest-wins can't forget them;
+    // the batch-timestamp filter does)
+    val half = bumped.take(bumped.size / 2)
+    Thread.sleep(2)
+    store.save(sf0001, "spherical_f32", half)
+    val shrunk = store.load(sf0001, "spherical_f32").get
+    shrunk.size shouldBe half.size
+    shrunk.map(_.toSeq) shouldBe half.map(_.toSeq)
   }
 
   test("cell-blocked near-dup bounds blocks under label skew and finds all tight pairs") {
