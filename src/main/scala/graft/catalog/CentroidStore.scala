@@ -42,14 +42,39 @@ final class CentroidStore(spark: SparkSession, catalog: Catalog,
     sortKeys = Seq("corpus_version", "variant", "cell"),
     semantics = ReplacingDedup(Seq("corpus_version", "variant", "cell"), "trained_at")))
 
-  /** Commit a trained quantizer. K×dim doubles — one tiny file. */
-  def save(version: String, variant: String, cents: Seq[Array[Double]]): Unit = {
-    val now = System.currentTimeMillis()
+  /** Commit a trained quantizer. K×dim doubles — one tiny file.
+    *
+    * `trained_at` is forced strictly above the previous batch's (two
+    * same-millisecond trainings would otherwise TIE and [[load]]'s
+    * newest-batch filter would return both batches mixed — the exact
+    * stale/fresh skew the filter exists to prevent); the method is
+    * synchronized so in-process concurrent saves serialize. After the
+    * append, batches this one supersedes are reclaimed through the
+    * mutation surface — without it a shrink-retrain's dead tail cells
+    * would live in storage forever (per-cell latest-wins can never
+    * collapse a cell that simply stopped existing).
+    */
+  def save(version: String, variant: String,
+           cents: Seq[Array[Double]]): Unit = synchronized {
+    val prevMax =
+      if (!catalog.exists(tableName)) 0L
+      else catalog.read(tableName)
+        .filter(col("corpus_version") === version && col("variant") === variant)
+        .agg(org.apache.spark.sql.functions.max(col("trained_at")))
+        .collect()(0) match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+    val now = math.max(System.currentTimeMillis(), prevMax + 1)
     val rows = cents.zipWithIndex.map { case (c, i) =>
       Row(version, variant, i, c.toSeq, now)
     }
     catalog.append(tableName, spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema))
+    if (prevMax > 0)
+      catalog.delete(tableName,
+        col("corpus_version") === version && col("variant") === variant &&
+          col("trained_at") < now)
   }
 
   /** Latest committed quantizer for (version, variant), cells in order.
