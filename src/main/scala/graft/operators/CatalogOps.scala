@@ -102,6 +102,36 @@ object CatalogOps extends QueryModule {
           round(sum(col("value")), 2).as("sum_value"))
     }),
 
+    // the summable-measure variant: the rollup carries count AND
+    // sum(l_quantity) partials per (returnflag, linestatus), and the
+    // q1-shaped query — dim filter, dim grouping, count + sum — is
+    // answered entirely from it (sum of per-group partials ≡ the total;
+    // l_quantity is integral-valued so the re-association is exact).
+    // Oracled on the BASE lineitem table, independently checking the
+    // measure rewrite every round.
+    "proj_rollup_sum" -> ((s: SparkSession, d: String) => {
+      val base = s"$d/lineitem.parquet"
+      val rollup = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft-proj-" + Integer.toHexString(d.hashCode),
+        "lineitem_rollup").toString
+      if (!RollupRewrite.isRegistered(base)) {
+        s.read.parquet(base)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+          .write.mode("overwrite").parquet(rollup)
+        RollupRewrite.register(s, ProjectionDef(base, rollup,
+          Seq("l_returnflag", "l_linestatus"), "cnt",
+          sumCols = Map("l_quantity" -> "sum_qty")))
+      }
+      s.read.parquet(base)
+        .filter(col("l_linestatus") === "O")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // PROJECTION-analog end to end through the correctness gate: build the
     // rollup (the MV-backfill shape), register it, then run a plain count
     // aggregate against the BASE table. RollupRewrite answers it from the
@@ -153,6 +183,15 @@ object CatalogOps extends QueryModule {
       """SELECT count(*) AS n, count(DISTINCT user_id) AS n_users,
         | round(sum(value), 2) AS sum_value
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    // computed on the BASE table: proves the sum-measure rewrite is sound
+    // (l_quantity is integral-valued, so partial-sum re-association is
+    // exact and the round is cosmetic on both sides)
+    "proj_rollup_sum" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        | round(sum(l_quantity), 2) AS qty
+        |FROM lineitem WHERE l_linestatus = 'O'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // computed on the BASE table: proves the rollup rewrite is sound
     "proj_rollup_count" ->

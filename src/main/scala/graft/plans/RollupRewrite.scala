@@ -13,11 +13,15 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
 import org.apache.spark.sql.graftshim.ColumnShim
 
 /** A registered rollup: `rollupPath` holds `SELECT dims…, count(*) AS
-  * cntCol FROM basePath GROUP BY dims…` — the stars-MV shape (reference
-  * README.md:256-266), maintained by the MV/backfill machinery.
+  * cntCol[, sum(m) AS sumCols(m)…] FROM basePath GROUP BY dims…` — the
+  * stars-MV shape (reference README.md:256-266) plus optional summable
+  * measure states (SummingMergeTree-style partials), maintained by the
+  * MV/backfill machinery. `sumCols` maps each base measure column to the
+  * rollup column holding its per-group partial sum.
   */
 final case class ProjectionDef(basePath: String, rollupPath: String,
-                               dims: Seq[String], cntCol: String)
+                               dims: Seq[String], cntCol: String,
+                               sumCols: Map[String, String] = Map.empty)
 
 /** ClickHouse-PROJECTION analog: automatic rollup selection as a Catalyst
   * optimizer rule (reference engine feature class; clickhub's
@@ -114,6 +118,30 @@ object RollupRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** The base measure name when `e` is a plain `sum(measure)` the rollup
+    * carries a partial for (sum of per-group partial sums ≡ the total:
+    * re-association only, same summed type).
+    */
+  private def sumMeasure(e: Expression, sumCols: Map[String, String]): Option[String] =
+    e match {
+      case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case org.apache.spark.sql.catalyst.expressions.aggregate.Sum(a: AttributeReference, _)
+              if sumCols.contains(a.name) => Some(a.name)
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** Attribute references NOT under any AggregateExpression — the
+    * grouping-attr occurrences inside an output expression.
+    */
+  private def nonAggRefs(e: Expression): Seq[AttributeReference] = e match {
+    case _: AggregateExpression => Nil
+    case a: AttributeReference => Seq(a)
+    case other => other.children.flatMap(nonAggRefs)
+  }
+
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     val candidate = for {
       (filters, rel) <- unwrap(agg.child, Nil)
@@ -134,11 +162,17 @@ object RollupRewrite extends Rule[LogicalPlan] {
         case a: AttributeReference => dims(a.name)
         case _ => false
       }
-      // aggregates: bare/aliased grouping attrs, or count(literal)
+      // output expressions: bare/aliased grouping attrs, or ANY expression
+      // over eligible aggregates — count(literal) and rollup-carried sums
+      // — whose non-aggregate attribute references are all dims (so
+      // round(sum(x), 2), sum(x)/count(*), … all qualify)
       if agg.aggregateExpressions.forall {
         case a: AttributeReference => dims(a.name)
-        case Alias(a: AttributeReference, _) => dims(a.name)
-        case Alias(ae, _) => isCountLiteral(ae)
+        case al: Alias =>
+          val aggs = al.child.collect { case ae: AggregateExpression => ae }
+          aggs.forall(ae =>
+            isCountLiteral(ae) || sumMeasure(ae, proj.sumCols).isDefined) &&
+            nonAggRefs(al.child).forall(a => dims(a.name))
         case _ => false
       }
     } yield (filters, proj, dims)
@@ -151,7 +185,15 @@ object RollupRewrite extends Rule[LogicalPlan] {
         val spark = SparkSession.active
         var df = spark.read.parquet(proj.rollupPath)
         val byName = df.queryExecution.analyzed.output.map(a => a.name -> a).toMap
-        if (!(dims + proj.cntCol).forall(byName.contains)) None
+        // the distinct aggregates this query needs, each mapped to one
+        // rolled column: count(literal) → sum(cnt), sum(m) → sum(sum_m)
+        val neededAggs: Seq[AggregateExpression] = agg.aggregateExpressions
+          .flatMap(_.collect { case ae: AggregateExpression => ae })
+          .foldLeft(Vector.empty[AggregateExpression])((acc, ae) =>
+            if (acc.exists(_.semanticEquals(ae))) acc else acc :+ ae)
+        val measures = neededAggs.flatMap(sumMeasure(_, proj.sumCols)).distinct
+        val neededCols = dims + proj.cntCol ++ measures.map(proj.sumCols)
+        if (!neededCols.forall(byName.contains)) None
         else {
           // replay the dim filters against the rollup's attributes (by name)
           filters.foreach { c =>
@@ -162,22 +204,38 @@ object RollupRewrite extends Rule[LogicalPlan] {
           val groupCols = agg.groupingExpressions.map {
             case a: AttributeReference => col(a.name)
           }
-          // count(*) over the base ≡ sum(cnt) over the rollup (rollup rows
-          // partition the base rows). coalesce: an UNGROUPED count over zero
-          // surviving rollup rows must yield 0, where sum alone yields null
+          // count(*) over the base ≡ sum(cnt) over the rollup, and
+          // sum(measure) ≡ sum of its per-group partials (rollup rows
+          // partition the base rows; re-association only). coalesce on
+          // the count: an UNGROUPED count over zero surviving rollup rows
+          // must yield 0, where sum alone yields null
+          val rolledCols = neededAggs.zipWithIndex.map { case (ae, i) =>
+            val c = sumMeasure(ae, proj.sumCols) match {
+              case Some(m) => sum(col(proj.sumCols(m)))
+              case None =>
+                coalesce(sum(col(proj.cntCol)).cast("long"), lit(0L))
+            }
+            c.as(s"__rollup_$i")
+          }
           val rolled = df.groupBy(groupCols: _*)
-            .agg(coalesce(sum(col(proj.cntCol)).cast("long"), lit(0L))
-              .as("__rollup_cnt"))
+            .agg(rolledCols.head, rolledCols.tail: _*)
           val analyzed = rolled.queryExecution.analyzed
           val outByName = analyzed.output.map(a => a.name -> a).toMap
-          // pin the original output names AND exprIds so parents are untouched
+          // rebuild each output expression over the rollup: aggregates
+          // swap for their rolled column, dim attrs rebind by name, and
+          // the original names AND exprIds are pinned so parents are
+          // untouched
           val aligned: Seq[NamedExpression] = agg.aggregateExpressions.map {
             case a: AttributeReference =>
               Alias(outByName(a.name), a.name)(exprId = a.exprId)
-            case al @ Alias(a: AttributeReference, name) =>
-              Alias(outByName(a.name), name)(exprId = al.exprId)
             case al: Alias =>
-              Alias(outByName("__rollup_cnt"), al.name)(exprId = al.exprId)
+              val rebuilt = al.child.transform {
+                case ae: AggregateExpression =>
+                  val i = neededAggs.indexWhere(_.semanticEquals(ae))
+                  outByName(s"__rollup_$i")
+                case a: AttributeReference => byName(a.name)
+              }
+              Alias(rebuilt, al.name)(exprId = al.exprId)
           }
           Some(Project(aligned, analyzed))
         }

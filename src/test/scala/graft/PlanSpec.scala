@@ -99,6 +99,12 @@ class PlanSpec extends SparkSpecBase {
     plan should not include "orders.parquet"
   }
 
+  test("proj_rollup_sum is answered from the rollup, not the base table") {
+    val plan = planOf("proj_rollup_sum")
+    plan should include("lineitem_rollup")
+    plan should not include "lineitem.parquet"
+  }
+
   test("flagship aggregation stays inside whole-stage codegen") {
     // q1_agg's scan -> filter -> partial agg must be one codegen'd span;
     // zero codegen stages would mean an interpreted expression crept into

@@ -131,6 +131,37 @@ class RollupRewriteSpec extends SparkSpecBase {
     } finally RollupRewrite.clear()
   }
 
+  test("sum measures and expressions over aggregates rewrite onto the rollup") {
+    val base = tmpDir("proj-base") + "/base.parquet"
+    val rollup = tmpDir("proj-roll") + "/rollup.parquet"
+    import spark.implicits._
+    Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L), ("b", 20L))
+      .toDF("k1", "v").write.parquet(base)
+    spark.read.parquet(base).groupBy("k1")
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"))
+      .write.parquet(rollup)
+    RollupRewrite.register(spark, ProjectionDef(base, rollup,
+      Seq("k1"), "cnt", sumCols = Map("v" -> "sum_v")))
+    try {
+      // round(sum), a sum/count ratio, and a bare count — all in one
+      // aggregate, all answered from the rollup
+      val df = spark.read.parquet(base)
+        .groupBy(col("k1"))
+        .agg(round(sum(col("v")), 1).as("s"),
+          (sum(col("v")) / count(lit(1))).as("avg_v"),
+          count(lit(1)).as("n"))
+        .orderBy(col("k1"))
+      df.queryExecution.executedPlan.toString should include(rollup)
+      df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))) shouldBe
+        Array(("a", 6L, 2.0, 3L), ("b", 30L, 15.0, 2L))
+      // a sum over a column the rollup does NOT carry is left alone
+      val other = spark.read.parquet(base)
+        .groupBy(col("k1")).agg(sum(col("v") * 2).as("s2"))
+      other.queryExecution.executedPlan.toString should not include rollup
+    } finally RollupRewrite.clear()
+  }
+
   test("parents above the aggregate (sort, projection) survive the id-preserving swap") {
     withProjection { (base, rollup) =>
       val df = spark.read.parquet(base)
