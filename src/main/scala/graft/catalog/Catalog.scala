@@ -75,10 +75,22 @@ final class Catalog(spark: SparkSession) {
   // commit deletes the second's files). ClickHouse serializes per-table
   // INSERT commits the same way; concurrent workers (start_workers) contend
   // here only when they land on the same table, and only for the write —
-  // claim/scan/read stay fully concurrent.
-  private val writeLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
-  private def writeLock(name: String): Object =
-    writeLocks.getOrElseUpdate(name, new Object)
+  // claim/scan/read stay fully concurrent. The monitor is JVM-GLOBAL and
+  // keyed by the table PATH (Catalog.lockFor), not per-Catalog-instance:
+  // two Catalog (or CentroidStore) instances over one warehouse in one
+  // process must share the same lock, or their read-modify-write commits
+  // (e.g. CentroidStore.save's max/append/delete) interleave.
+  private def writeLock(name: String): Object = Catalog.lockFor(get(name).path)
+
+  /** Run `body` holding the table's write lock — for callers whose commit
+    * is a multi-step read-modify-write (read a watermark, append, reclaim)
+    * that must serialize as a unit against other writers in this process.
+    * Reentrant with the lock `append`/`mutate` take internally. Cross-JVM
+    * writers are NOT excluded by this — they serialize through the
+    * storage-level artifacts (compact lock, manifest CAS) only.
+    */
+  def withWriteLock[T](name: String)(body: => T): T =
+    writeLock(name).synchronized(body)
 
   // Identifies this process in cross-process artifacts (manifest tmp names,
   // compaction lock contents) so two JVMs sharing a warehouse can never
@@ -610,4 +622,16 @@ final class Catalog(spark: SparkSession) {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+}
+
+object Catalog {
+  // JVM-global per-table-path monitors (doc on writeLock). Keyed by the
+  // table's path STRING: every constructor in this repo derives it the same
+  // way (s"$warehouseRoot/$tableName"), so equal storage ⇒ equal key; a
+  // scheme-qualified URI key would be stricter but would force a filesystem
+  // round-trip on every lock acquisition.
+  private val pathLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def lockFor(path: String): Object =
+    pathLocks.getOrElseUpdate(path, new Object)
 }

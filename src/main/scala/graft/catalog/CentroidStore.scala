@@ -47,15 +47,21 @@ final class CentroidStore(spark: SparkSession, catalog: Catalog,
     * `trained_at` is forced strictly above the previous batch's (two
     * same-millisecond trainings would otherwise TIE and [[load]]'s
     * newest-batch filter would return both batches mixed — the exact
-    * stale/fresh skew the filter exists to prevent); the method is
-    * synchronized so in-process concurrent saves serialize. After the
-    * append, batches this one supersedes are reclaimed through the
-    * mutation surface — without it a shrink-retrain's dead tail cells
-    * would live in storage forever (per-cell latest-wins can never
-    * collapse a cell that simply stopped existing).
+    * stale/fresh skew the filter exists to prevent); the read-max/append/
+    * reclaim sequence runs under the Catalog's per-table-PATH write lock
+    * (JVM-global), so concurrent saves from ANY two store/catalog
+    * instances in this process serialize as a unit. Cross-JVM saves are
+    * NOT mutually excluded — training commits are assumed single-writer
+    * per (version, variant) across a fleet (one scheduled trainer job),
+    * the same assumption deploy/README.md documents for compaction
+    * ownership. After the append, batches this one supersedes are
+    * reclaimed through the mutation surface — without it a
+    * shrink-retrain's dead tail cells would live in storage forever
+    * (per-cell latest-wins can never collapse a cell that simply stopped
+    * existing).
     */
   def save(version: String, variant: String,
-           cents: Seq[Array[Double]]): Unit = synchronized {
+           cents: Seq[Array[Double]]): Unit = catalog.withWriteLock(tableName) {
     val prevMax =
       if (!catalog.exists(tableName)) 0L
       else catalog.read(tableName)
@@ -97,6 +103,22 @@ final class CentroidStore(spark: SparkSession, catalog: Catalog,
       Some(rows.filter(_.getLong(2) == newest)
         .sortBy(_.getInt(0)).toSeq.map(_.getSeq[Double](1).toArray))
     }
+  }
+
+  /** Latest committed quantizer as a (cell, centroid) DATAFRAME — the
+    * broadcast side of [[graft.operators.Similarity]]'s cell assignment.
+    * Unlike [[load]] this never collects to the driver: the newest-batch
+    * filter is replayed relationally (scan → max(trained_at) → semi
+    * filter), so at ncells = 10³–10⁴ the quantizer flows parquet scan →
+    * BroadcastExchange → executors without ever riding in the plan.
+    */
+  def frame(version: String, variant: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, max}
+    val t = catalog.read(tableName)
+      .filter(col("corpus_version") === version && col("variant") === variant)
+    val newest = t.agg(max(col("trained_at")).as("__newest"))
+    t.join(broadcast(newest), t("trained_at") === newest("__newest"))
+      .select(col("cell"), col("centroid"))
   }
 
   /** Load-or-train-and-commit: the amortization entry point. */

@@ -1,10 +1,13 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
 import graft.Tables
 import graft.functions.CosineSimilarity
+
+import scala.jdk.CollectionConverters._
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (`embedding: Array[Float]`, 64-dim).
@@ -18,10 +21,12 @@ import graft.functions.CosineSimilarity
   *     trained with spherical k-means (seeded from the first NCELLS
   *     vectors, [[LLOYD_ITERS]] Lloyd rounds); each corpus vector is
   *     assigned to its max-cosine cell, and each query probes only its
-  *     NPROBE nearest cells. Centroids are a K×dim handful of doubles —
-  *     they ride in the closure (at 100 TB you train them on a sample the
-  *     same way); the corpus is never shuffled, only scanned with a
-  *     cell-membership filter, so scored candidates drop to
+  *     NPROBE nearest cells. Centroids are a K×dim table of doubles that
+  *     arrives at the executors via ONE BroadcastExchange (a LocalRelation
+  *     here, a [[graft.catalog.CentroidStore.frame]] parquet scan in a
+  *     deployment) — never as expression-tree literals, so plan size and
+  *     generated code stay constant as ncells grows and the Σ|cell|² knob
+  *     can actually be turned at 100 TB. Scored candidates drop to
   *     ~NPROBE/NCELLS of the corpus (measured recall@5 ≈ 0.8 at ~30%
   *     scanned on the test data; SimilaritySpec holds the floor).
   *
@@ -136,19 +141,29 @@ object Similarity extends QueryModule {
     * across queries and sessions; SimilaritySpec pins that equivalence).
     */
   def ivfTopKWith(s: SparkSession, d: String,
-                  centroids: Seq[Array[Float]], nProbe: Int = NPROBE): DataFrame = {
+                  centroids: Seq[Array[Float]], nProbe: Int = NPROBE): DataFrame =
+    ivfTopKFrame(s, d, centroidFrame(s, centroids.map(_.map(_.toDouble))), nProbe)
+
+  /** IVF search against a centroid DATAFRAME — the broadcast side of both
+    * the corpus cell assignment and the query probe ranking. This is the
+    * scale entry point: [[graft.catalog.CentroidStore.frame]] feeds it a
+    * parquet scan, so at ncells = 10³–10⁴ the quantizer arrives via one
+    * BroadcastExchange instead of an O(ncells·dim) expression fold baked
+    * into the plan (constant plan size and codegen regardless of ncells).
+    */
+  def ivfTopKFrame(s: SparkSession, d: String,
+                   cdf: DataFrame, nProbe: Int = NPROBE): DataFrame = {
     val corpus = Tables.embeddings(s, d)
 
-    val binned = corpus.withColumn("cell", assignCell(centroids, col("embedding")))
+    val binned = assignCells(corpus.select(col("vec_id"), col("embedding")), cdf,
+      rounded = false)
 
     // each query probes its NPROBE max-cosine cells
     val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
     val probes = queriesSet(s, d)
-      .select(col("q_id"), col("q_emb"),
-        explode(array(centroids.zipWithIndex.map { case (c, i) =>
-          struct(lit(i).as("cell"), CosineSimilarity(col("q_emb"), centroidLit(c)).as("ccos"))
-        }: _*)).as("p"))
-      .select(col("q_id"), col("q_emb"), col("p.cell").as("cell"), col("p.ccos").as("ccos"))
+      .crossJoin(broadcast(cdf))
+      .select(col("q_id"), col("q_emb"), col("cell"),
+        CosineSimilarity(col("q_emb"), col("centroid")).as("ccos"))
       .withColumn("cr", row_number().over(wq))
       .filter(col("cr") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("cell"))
@@ -161,8 +176,42 @@ object Similarity extends QueryModule {
     topK(scored)
   }
 
-  private def centroidLit(c: Array[Float]): Column =
-    array(c.map(v => lit(v)): _*)
+  /** Centroids as a tiny single-partition (cell, centroid) relation — the
+    * broadcast side of every cell assignment. K×dim doubles of DATA (a
+    * LocalRelation / table scan), never expression-tree literals: the plan
+    * and its generated code stay constant-size as ncells grows, which is
+    * what lets the Σ|cell|² knob actually be turned at 100 TB.
+    */
+  def centroidFrame(s: SparkSession, cents: Seq[Array[Double]]): DataFrame = {
+    val rows: java.util.List[Row] =
+      cents.zipWithIndex.map { case (c, i) => Row(i, c.toSeq) }.asJava
+    s.createDataFrame(rows, StructType(Seq(
+      StructField("cell", IntegerType, nullable = false),
+      StructField("centroid", ArrayType(DoubleType, containsNull = false),
+        nullable = false))))
+  }
+
+  /** (vec_id, embedding, cell): nearest-centroid assignment as a broadcast
+    * nested-loop join (corpus × centroids) + per-vector arg-max aggregate —
+    * `max(struct(score, cell, …))` picks the best cell with ties to the
+    * higher cell id, the same lexicographic struct rule the previous
+    * `array_max`-over-literals fold used and the same `max(struct_pack(…))`
+    * the DuckDB oracle replays. The embedding rides inside the maxed struct
+    * (it is constant per vec_id, and the unique cell id breaks every tie
+    * before it, so it never decides the max) — one pass, no re-join of the
+    * corpus against itself. With `rounded`, cosines are rounded to 6
+    * decimals BEFORE the arg-max so the assignment is engine-deterministic.
+    */
+  private def assignCells(vecs: DataFrame, cents: DataFrame,
+                          rounded: Boolean): DataFrame = {
+    val sc0 = CosineSimilarity(col("embedding"), col("centroid"))
+    val sc = if (rounded) round(sc0, 6) else sc0
+    vecs.crossJoin(broadcast(cents))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(sc.as("sc"), col("cell"), col("embedding"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.cell").as("cell"))
+  }
 
   // ---------------------------------------------------------------------
   // Cell-blocked embedding near-dup (the IVF front end reused for dedup)
@@ -202,22 +251,9 @@ object Similarity extends QueryModule {
         trained.getOrElseUpdate((v, "rounded", nCells), roundedCentroids(corpus, nCells))
       case None => roundedCentroids(corpus, nCells)
     }
-    corpus.select(col("vec_id"), col("embedding"))
-      .withColumn("cell", assignCellRounded(cents, col("embedding")))
+    assignCells(corpus.select(col("vec_id"), col("embedding")),
+      centroidFrame(corpus.sparkSession, cents), rounded = true)
   }
-
-  private def centroidLitD(c: Array[Double]): Column =
-    array(c.map(v => lit(v)): _*)
-
-  /** Arg-max-cosine cell with the cosine rounded to 6 decimals first —
-    * cross-engine double arithmetic agrees far past 1e-6, so the rounded
-    * compare (ties broken by higher cell index, the struct-max rule on
-    * both engines) makes the assignment deterministic across engines.
-    */
-  private def assignCellRounded(cents: Seq[Array[Double]], vec: Column): Column =
-    array_max(array(cents.zipWithIndex.map { case (c, i) =>
-      struct(round(CosineSimilarity(vec, centroidLitD(c)), 6).as("sc"), lit(i).as("cell"))
-    }: _*)).getField("cell")
 
   /** One rounded Lloyd iteration of spherical k-means over the ~20%
     * deterministic sample (same sampling rule as [[trainCentroids]]):
@@ -234,9 +270,9 @@ object Similarity extends QueryModule {
       .filter(col("vec_id") < nCells).orderBy(col("vec_id"))
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
-    val means = sample
-      .select(assignCellRounded(seeds, col("embedding")).as("cell"),
-        posexplode(col("embedding")).as(Seq("pos", "v")))
+    val means = assignCells(sample.select(col("vec_id"), col("embedding")),
+        centroidFrame(corpus.sparkSession, seeds), rounded = true)
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
       .agg((floor(avg(col("v")) * 1e6 + 0.5) / 1e6).as("m"))
       .collect()
@@ -246,16 +282,6 @@ object Similarity extends QueryModule {
       }
     seeds.indices.map(i => means.getOrElse(i, seeds(i)))
   }
-
-  /** Argmax-cosine cell id via `array_max` over (score, cell) structs —
-    * lexicographic struct ordering picks the best cell and each cosine is
-    * evaluated exactly once (a `when`-fold would re-evaluate the accumulator
-    * at every nesting level).
-    */
-  private def assignCell(centroids: Seq[Array[Float]], vec: Column): Column =
-    array_max(array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(CosineSimilarity(vec, centroidLit(c)).as("sc"), lit(i).as("cell"))
-    }: _*)).getField("cell")
 
   /** Spherical k-means coarse quantizer: seeds = first NCELLS vectors, then
     * LLOYD_ITERS rounds of (assign to max-cosine centroid → per-cell
@@ -275,9 +301,9 @@ object Similarity extends QueryModule {
         .select(col("embedding")).collect()
         .map(_.getSeq[Float](0).toArray).toSeq
       (1 to LLOYD_ITERS).foreach { _ =>
-        val means = corpus
-          .select(assignCell(cents, col("embedding")).as("cell"),
-            posexplode(col("embedding")).as(Seq("pos", "v")))
+        val means = assignCells(corpus.select(col("vec_id"), col("embedding")),
+            centroidFrame(s, cents.map(_.map(_.toDouble))), rounded = false)
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
           .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
           .collect()
           .groupBy(_.getInt(0))

@@ -77,6 +77,23 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("IVF cell assignment broadcasts centroid ROWS, not plan literals") {
+    // the round-5 `weak` flag: the old shape folded one CosineSimilarity
+    // per centroid into the plan (O(ncells·dim) literals — a multi-MB plan
+    // and a codegen blowup at the ncells a 100× corpus needs). The join
+    // shape must broadcast the centroid relation instead, so the kernel
+    // count in the plan is O(1) in ncells (16 cells here; a literal fold
+    // would show ≥ 16 kernels) and a BroadcastNestedLoopJoin feeds the
+    // arg-max aggregate.
+    Seq("dedup_embed_cosine", "ann_ivf_topk").foreach { q =>
+      val plan = planOf(q)
+      withClue(s"$q: ") {
+        plan should include("BroadcastNestedLoopJoin")
+        "cosinesimilarity".r.findAllIn(plan.toLowerCase).size should be <= 8
+      }
+    }
+  }
+
   test("bloom decontam prunes with might_contain before any corpus shuffle") {
     // the operator's whole value is the map-side bloom prune: if a future
     // edit drops the predicate the query silently degrades to shuffling

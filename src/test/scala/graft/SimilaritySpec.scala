@@ -77,6 +77,14 @@ class SimilaritySpec extends SparkSpecBase {
     val direct = Similarity.ivfTopK(spark, sf0001).collect()
     fromStore.map(_.toSeq) shouldBe direct.map(_.toSeq)
 
+    // the scan-backed path: centroids flow parquet scan → BroadcastExchange
+    // (never collected, never plan literals) and the result is still
+    // bit-identical — this is the 100 TB shape where ncells is large
+    val framed = Similarity
+      .ivfTopKFrame(spark, sf0001, store.frame(sf0001, "spherical_f32"))
+    framed.queryExecution.executedPlan.toString should include("BroadcastExchange")
+    framed.collect().map(_.toSeq) shouldBe direct.map(_.toSeq)
+
     // retrain = append with a newer trained_at; latest wins on load
     val bumped = first.map(_.map(_ + 1.0))
     Thread.sleep(2) // distinct trained_at
