@@ -184,14 +184,25 @@ final class Catalog(spark: SparkSession) {
       require(!t.schema.fieldNames.contains(field.name),
         s"addColumn($name): column ${field.name} already exists")
       val cast = lit(default).cast(field.dataType)
-      // driver-side eval of the raw Cast(Literal) pair: a lossy or
-      // uncastable default fails NOW, not as a silent null (or worse, a
-      // coerced column type) at read
-      val evaluated = org.apache.spark.sql.catalyst.expressions.Cast(
-        org.apache.spark.sql.catalyst.expressions.Literal(default),
-        field.dataType, Some("UTC")).eval(null)
+      // driver-side eval of the raw Cast(Literal) pair: an uncastable
+      // default fails NOW, not as a silent null (or worse, a coerced
+      // column type) at read
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+      val inLit = Literal(default)
+      val evaluated = Cast(inLit, field.dataType, Some("UTC")).eval(null)
       require(default == null || evaluated != null,
         s"addColumn($name): default $default does not fit ${field.dataType}")
+      // ...and a TRUNCATING numeric default fails too: the non-ANSI Cast
+      // happily stores 3 for a 3.9 default into an int column — round-trip
+      // the stored value back to the caller's literal type and require
+      // equality, so what is stored is exactly what the caller wrote
+      if (default != null && inLit.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]) {
+        val back = Cast(Literal(evaluated, field.dataType), inLit.dataType,
+          Some("UTC")).eval(null)
+        require(back == inLit.value,
+          s"addColumn($name): default $default would be stored as $evaluated " +
+            s"(lossy cast to ${field.dataType})")
+      }
       // defaults BEFORE the schema swap: read() takes no lock, so a
       // reader racing this block must either see the old schema (column
       // invisible) or the new schema WITH its default — never the widened

@@ -4,6 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnShim
@@ -30,6 +31,17 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class GramDigests(child: Expression, k: Int) extends UnaryExpression {
   require(k >= 1, s"gram width must be >= 1, got $k")
+
+  // analysis-time type check: the kernel reads UTF8String elements straight
+  // off the ArrayData buffer, so a non-array<string> child must fail in the
+  // analyzer with a typed error, not as a ClassCastException mid-task
+  // (AbstractDataType is private[sql], so this is checkInputDataTypes
+  // directly rather than ExpectsInputTypes)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gram_digests requires array<string> input, got ${other.catalogString}")
+  }
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 

@@ -58,7 +58,20 @@ object RollupRewrite extends Rule[LogicalPlan] {
 
   private val registry = new ConcurrentHashMap[String, ProjectionDef]()
 
-  private def canon(p: String): String = new Path(p).toUri.getPath
+  // Fully-qualified URI, not the bare path: two tables at the same path on
+  // DIFFERENT filesystems (file:/data/t vs hdfs:/data/t) must not collide
+  // in the registry — a scan of one silently answered from the other's
+  // rollup would be a wrong-filesystem wrong answer. Scan rootPaths arrive
+  // already qualified; registration-time strings qualify here the same way.
+  private def canon(p: String): String = {
+    val path = new Path(p)
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val q = path.getFileSystem(conf).makeQualified(path).toUri
+    // normalize the authority: `file:/x` (null authority, how scan
+    // rootPaths print) and `file:///x` (empty authority, how makeQualified
+    // renders a bare local path) are the same filesystem location
+    s"${q.getScheme}://${Option(q.getAuthority).getOrElse("")}${q.getPath}"
+  }
 
   /** Register a projection and install the rule in the session (once). */
   def register(s: SparkSession, p: ProjectionDef): Unit = {
@@ -211,7 +224,14 @@ object RollupRewrite extends Rule[LogicalPlan] {
           // must yield 0, where sum alone yields null
           val rolledCols = neededAggs.zipWithIndex.map { case (ae, i) =>
             val c = sumMeasure(ae, proj.sumCols) match {
-              case Some(m) => sum(col(proj.sumCols(m)))
+              // cast back to the ORIGINAL aggregate's type: Spark widens
+              // sum-of-decimal precision per level (sum(m): decimal(p+10,s),
+              // sum(sum_m): decimal(p+20,s)), and past precision 18 the
+              // UnsafeRow encoding flips long-backed → byte-array while
+              // parents' attribute refs still carry the old type — the
+              // exprId-pinned Alias would expose garbage downstream. For
+              // type-stable measures (long, double) the cast is a no-op.
+              case Some(m) => sum(col(proj.sumCols(m))).cast(ae.dataType)
               case None =>
                 coalesce(sum(col(proj.cntCol)).cast("long"), lit(0L))
             }
@@ -233,7 +253,13 @@ object RollupRewrite extends Rule[LogicalPlan] {
                 case ae: AggregateExpression =>
                   val i = neededAggs.indexWhere(_.semanticEquals(ae))
                   outByName(s"__rollup_$i")
-                case a: AttributeReference => byName(a.name)
+                // dims inside an output EXPRESSION must bind to the
+                // post-groupBy attributes: Spark currently keeps grouping
+                // exprIds stable through groupBy (making the scan attr
+                // equivalent), but that invariant is implicit — prefer the
+                // aggregate's own output, fall back to the scan attr
+                case a: AttributeReference =>
+                  outByName.getOrElse(a.name, byName(a.name))
               }
               Alias(rebuilt, al.name)(exprId = al.exprId)
           }

@@ -362,6 +362,15 @@ class CatalogSpec extends SparkSpecBase {
       cat.addColumn("ac", StructField("score", LongType), 0L)
     an[IllegalArgumentException] should be thrownBy
       cat.addColumn("ac", StructField("score2", LongType), "not-a-number")
+    // a TRUNCATING numeric default is rejected too — the non-ANSI cast
+    // would silently store 3 for 3.9, so what's stored would differ from
+    // what the caller wrote
+    an[IllegalArgumentException] should be thrownBy
+      cat.addColumn("ac", StructField("score3", LongType), 3.9)
+    // while an exactly-representable cross-type default is fine
+    cat.addColumn("ac", StructField("score4", LongType), 4.0)
+    cat.read("ac").filter(col("k") === "a").collect()(0)
+      .getAs[Long]("score4") shouldBe 4L
     // and the new column is immediately mutable
     cat.update("ac", col("k") === "a", Map("score" -> lit(1)))
     cat.read("ac").filter(col("k") === "a").collect()(0)

@@ -42,4 +42,15 @@ class GramDigestsSpec extends SparkSpecBase {
     d.queryExecution.executedPlan.toString should include("*(1) Project [gramdigests")
     d.select(explode(col("g")).as("h")).count() should be > 0L
   }
+
+  test("non-array<string> input fails at ANALYSIS time with a typed error") {
+    // the kernel reads UTF8String elements off the ArrayData buffer — a
+    // wrong-typed child must be a typed analysis error, never a mid-task
+    // ClassCastException
+    val df = Seq((Seq(1L, 2L, 3L), "plain")).toDF("nums", "s")
+    an[org.apache.spark.sql.AnalysisException] should be thrownBy
+      df.select(GramDigests(col("nums"), 2)).collect()
+    an[org.apache.spark.sql.AnalysisException] should be thrownBy
+      df.select(GramDigests(col("s"), 2)).collect()
+  }
 }

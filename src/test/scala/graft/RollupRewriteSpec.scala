@@ -162,6 +162,50 @@ class RollupRewriteSpec extends SparkSpecBase {
     } finally RollupRewrite.clear()
   }
 
+  test("decimal sum measures keep the ORIGINAL aggregate's type through the rewrite") {
+    // sum-of-decimal widens precision per level: base sum(decimal(12,2)) is
+    // decimal(22,2), the rollup's sum(sum_v) would be decimal(32,2) — past
+    // the precision-18 boundary the UnsafeRow encoding flips long-backed →
+    // byte-array, so without the cast-back parents reading the pinned
+    // exprId would decode garbage
+    val base = tmpDir("proj-base") + "/base.parquet"
+    val rollup = tmpDir("proj-roll") + "/rollup.parquet"
+    import spark.implicits._
+    Seq(("a", "1.25"), ("a", "2.50"), ("b", "10.00"))
+      .toDF("k1", "raw")
+      .select(col("k1"), col("raw").cast("decimal(12,2)").as("vd"))
+      .write.parquet(base)
+    spark.read.parquet(base).groupBy("k1")
+      .agg(count(lit(1)).as("cnt"), sum(col("vd")).as("sum_vd"))
+      .write.parquet(rollup)
+    RollupRewrite.register(spark, graft.plans.ProjectionDef(base, rollup,
+      Seq("k1"), "cnt", sumCols = Map("vd" -> "sum_vd")))
+    try {
+      val df = spark.read.parquet(base)
+        .groupBy(col("k1")).agg(sum(col("vd")).as("s"))
+        .orderBy(col("k1"))
+      df.queryExecution.executedPlan.toString should include(rollup)
+      df.schema("s").dataType shouldBe
+        org.apache.spark.sql.types.DecimalType(22, 2)
+      df.collect().map(r => (r.getString(0), r.getDecimal(1).toPlainString)) shouldBe
+        Array(("a", "3.75"), ("b", "10.00"))
+    } finally RollupRewrite.clear()
+  }
+
+  test("a dim INSIDE an output expression binds to the rewritten aggregate's output") {
+    // guards the implicit invariant that grouping exprIds survive groupBy:
+    // the rebind now prefers the post-groupBy attribute explicitly
+    withProjection { (base, rollup) =>
+      val df = spark.read.parquet(base)
+        .groupBy(col("k1"))
+        .agg(concat(col("k1"), lit("!")).as("tag"), count(lit(1)).as("n"))
+        .orderBy(col("k1"))
+      df.queryExecution.executedPlan.toString should include(rollup)
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))) shouldBe
+        Array(("a", "a!", 3L), ("b", "b!", 3L))
+    }
+  }
+
   test("parents above the aggregate (sort, projection) survive the id-preserving swap") {
     withProjection { (base, rollup) =>
       val df = spark.read.parquet(base)
