@@ -17,12 +17,15 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *     arithmetic)
   *   - per-media feature vector: fixed 64-dim byte-histogram embedding
   *
-  * ===The stub===
-  * This container ships no image/audio/video codecs, so [[decodeFrame]] is
-  * a DETERMINISTIC FAKE: it "decodes" a payload chunk into an 8×8 grayscale
-  * plane by reading raw bytes. Swapping in a real codec changes only that
-  * one function — schema, batching, partitioning, and everything downstream
-  * is production-shaped.
+  * ===Decoders===
+  * IMAGE payloads decode for REAL: [[decodeImage]] uses the JDK's built-in
+  * `javax.imageio` (PNG/BMP/GIF/JPEG — no external codec dependency) and
+  * converts to a BT.601 integer-luma grayscale plane. Audio/video still go
+  * through the DETERMINISTIC STUB [[decodeFrame(payload:Array[Byte],frameIdx:Int)*]]
+  * (this container ships no av codecs): it "decodes" a payload chunk into
+  * an 8×8 plane by reading raw bytes. Swapping in a real av codec changes
+  * only that one function — schema, batching, partitioning, and everything
+  * downstream is production-shaped for both families.
   */
 object MediaPipeline {
 
@@ -37,8 +40,50 @@ object MediaPipeline {
   final case class MediaFeatures(media_id: Long, n_frames: Int,
                                  embedding: Array[Float])
 
-  /** STUB decoder — replace with a real codec binding in production. Reads
-    * one FrameStride-byte chunk as an 8×8 grayscale plane (zero-padded).
+  /** True when the mime family routes to the REAL image decoder. */
+  def isImageMime(mime: String): Boolean = mime != null && mime.startsWith("image/")
+
+  /** REAL single-frame image decode via the JDK's `javax.imageio`
+    * (PNG/BMP/GIF/JPEG ship with every JRE — zero new dependencies).
+    * Grayscale plane = BT.601 integer luma `(299r + 587g + 114b) / 1000`
+    * per pixel. None when the bytes are not a decodable image (wrong
+    * format, truncated), so callers fall back deterministically.
+    */
+  def decodeImage(payload: Array[Byte]): Option[Frame] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val pixels = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xFF
+            val g = (rgb >> 8) & 0xFF
+            val b = rgb & 0xFF
+            pixels(y * w + x) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Some(Frame(-1L, 0, w, h, pixels))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Mime-routed decode: an image mime → the real [[decodeImage]] (one frame),
+    * anything else (or an undecodable image payload) → the stride stub.
+    */
+  def decodeFrame(payload: Array[Byte], mime: String, frameIdx: Int): Frame =
+    (if (isImageMime(mime) && frameIdx == 0) decodeImage(payload) else None)
+      .getOrElse(decodeFrame(payload, frameIdx))
+
+  /** STUB decoder (audio/video only — images decode for real above).
+    * Reads one FrameStride-byte chunk as an 8×8 grayscale plane
+    * (zero-padded); replace with a codec binding in production.
     */
   def decodeFrame(payload: Array[Byte], frameIdx: Int): Frame = {
     val off = frameIdx * FrameStride
@@ -62,18 +107,26 @@ object MediaPipeline {
     f.copy(width = w, height = h, pixels = out)
   }
 
+  /** All frames of a payload under its mime routing: a decodable image is
+    * exactly one real frame; everything else windows through the stub.
+    */
+  def frames(payload: Array[Byte], mime: String): Iterator[Frame] =
+    (if (isImageMime(mime)) decodeImage(payload) else None) match {
+      case Some(f) => Iterator.single(f)
+      case None => (0 until frameCount(payload)).iterator.map(decodeFrame(payload, _))
+    }
+
   /** 64-bin byte histogram over all frame planes, L1-normalized — the
     * fixed-width executor-side feature that is all a downstream ANN/dedup
     * stage ever shuffles.
     */
-  def featurize(payload: Array[Byte]): MediaFeatures = {
+  def featurize(payload: Array[Byte],
+                mime: String = "application/octet-stream"): MediaFeatures = {
     val hist = new Array[Float](FeatureDim)
-    val n = frameCount(payload)
-    var fi = 0
-    while (fi < n) {
-      val frame = decodeFrame(payload, fi)
+    var n = 0
+    frames(payload, mime).foreach { frame =>
+      n += 1
       frame.pixels.foreach { b => hist((b & 0xFF) / (256 / FeatureDim)) += 1f }
-      fi += 1
     }
     val total = hist.sum
     if (total > 0) { var i = 0; while (i < FeatureDim) { hist(i) /= total; i += 1 } }
@@ -88,16 +141,18 @@ object MediaPipeline {
     import spark.implicits._
     media.mapPartitions { rows =>
       // per-partition setup happens once here (real codecs open a context)
-      rows.map { r => featurize(r.payload).copy(media_id = r.media_id) }
+      rows.map { r => featurize(r.payload, r.mime).copy(media_id = r.media_id) }
     }
   }
 
-  /** Frame explosion as typed rows — one Frame per stride chunk. */
+  /** Frame explosion as typed rows — one real frame per image, one Frame
+    * per stride chunk for everything else.
+    */
   def explodeFrames(spark: SparkSession, media: Dataset[MediaRow]): Dataset[Frame] = {
     import spark.implicits._
     media.flatMap { r =>
-      (0 until frameCount(r.payload)).iterator
-        .map(i => decodeFrame(r.payload, i).copy(media_id = r.media_id))
+      frames(r.payload, r.mime).zipWithIndex
+        .map { case (f, i) => f.copy(media_id = r.media_id, frame_idx = i) }
     }
   }
 }

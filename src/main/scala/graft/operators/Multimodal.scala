@@ -8,13 +8,14 @@ import graft.Tables
   * bytes in Parquet binary columns, decode on executors, only features
   * shuffled).
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic stub (documented in
-  * [[graft.multimodal.MediaPipeline]]); what is REAL and oracle-verified
-  * here is the Spark-side plumbing: binary encode, per-payload metadata
-  * extraction (byte length, digest, derived dimensions), and frame-offset
-  * sampling (one output row per fixed-stride chunk of the payload — the
-  * shape of video frame extraction).
+  * Image payloads decode for REAL (`javax.imageio`, see
+  * [[graft.multimodal.MediaPipeline.decodeImage]] and the header-only
+  * [[graft.functions.ImageDims]] expression); audio/video still go through
+  * the clearly-marked deterministic stub. What is oracle-verified here is
+  * the Spark-side plumbing: binary encode, per-payload metadata extraction
+  * (byte length, digest, dimensions), and frame-offset sampling (one
+  * output row per fixed-stride chunk of the payload — the shape of video
+  * frame extraction).
   */
 object Multimodal extends QueryModule {
 
@@ -22,15 +23,28 @@ object Multimodal extends QueryModule {
 
   override def queries: Map[String, Q] = Map(
     // Payload metadata: every column derived from the binary payload alone.
+    // width/height come from the REAL image header decode when the payload
+    // is a decodable image, else the deterministic byte-derived fallback —
+    // the testdata payloads are text bytes (never decodable), so the DuckDB
+    // oracle replays the fallback exactly, while MultimodalSpec pins the
+    // real branch with a generated PNG fixture of known dimensions.
     "mm_meta" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"), col("text"))
         .select(
           col("doc_id"),
+          col("payload"),
+          graft.functions.ImageDims(col("payload")).as("dims"),
           octet_length(col("payload")).cast("long").as("n_bytes"),
-          md5(col("text")).as("digest"),
-          (octet_length(col("payload")) % 640 + 1).cast("long").as("fake_width"),
-          (octet_length(col("payload")) % 480 + 1).cast("long").as("fake_height"))
+          md5(col("text")).as("digest"))
+        .select(
+          col("doc_id"),
+          col("n_bytes"),
+          col("digest"),
+          coalesce(col("dims.width").cast("long"),
+            (octet_length(col("payload")) % 640 + 1).cast("long")).as("width"),
+          coalesce(col("dims.height").cast("long"),
+            (octet_length(col("payload")) % 480 + 1).cast("long")).as("height"))
         .orderBy(col("doc_id"))),
 
     // Frame sampling: one row per FrameStride-byte chunk — posexplode over a
@@ -47,12 +61,15 @@ object Multimodal extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // width/height: DuckDB cannot decode images, but it doesn't need to —
+    // text payloads never decode, so both engines take the byte-derived
+    // fallback branch here; the real-decode branch is spec-pinned instead
     "mm_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | md5(text) AS digest,
-        | CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS fake_width,
-        | CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS fake_height
+        | CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+        | CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_frame_sample" ->

@@ -55,6 +55,73 @@ class MultimodalSpec extends SparkSpecBase {
     down.pixels shouldBe f.pixels          // up then down restores the plane
   }
 
+  private def pngFixture(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 50) % 256 << 16) | ((y * 80) % 256 << 8) | 40)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("PNG fixture decodes END TO END: real dimensions, real luma, one frame") {
+    val png = pngFixture(5, 3)
+
+    // the real decoder: known dimensions, known BT.601 luma per pixel
+    val f = decodeFrame(png, "image/png", 0)
+    f.width shouldBe 5
+    f.height shouldBe 3
+    // pixel (x=2, y=1): r=100, g=80, b=40
+    f.pixels(1 * 5 + 2) shouldBe ((100 * 299 + 80 * 587 + 40 * 114) / 1000).toByte
+    // pixel (0,0): r=0, g=0, b=40
+    f.pixels(0) shouldBe ((40 * 114) / 1000).toByte
+
+    // mime routing: same bytes under a non-image mime take the stub
+    decodeFrame(png, "application/octet-stream", 0).width shouldBe PlaneW
+
+    // e2e through the Dataset paths, image and av rows mixed
+    val av = Array.tabulate[Byte](600)(i => (i % 251).toByte)
+    val ds = Seq(MediaRow(1L, png, "image/png"),
+      MediaRow(2L, av, "application/octet-stream")).toDS()
+    val feats = featurizeDataset(spark, ds).collect().map(f => f.media_id -> f).toMap
+    feats(1L).n_frames shouldBe 1                      // one REAL frame
+    feats(2L).n_frames shouldBe (600 / FrameStride + 1) // stub stride count
+    feats(1L).embedding.sum.toDouble shouldBe 1.0 +- 1e-4
+    val exploded = explodeFrames(spark, ds).collect().map(f => f.media_id -> f).toMap
+    exploded(1L).width shouldBe 5
+    exploded(1L).height shouldBe 3
+
+    // resize runs real resampling over the real plane
+    val up = MediaPipeline.resize(decodeFrame(png, "image/png", 0), 10, 6)
+    up.pixels(0) shouldBe f.pixels(0)
+  }
+
+  test("ImageDims expression: header-only dims in a query, NULL for non-images") {
+    val png = pngFixture(7, 4)
+    val rows = Seq((1L, png), (2L, "just text bytes".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+      .select(col("media_id"), graft.functions.ImageDims(col("payload")).as("dims"))
+      .orderBy(col("media_id"))
+      .collect()
+    rows(0).getStruct(1).getInt(0) shouldBe 7
+    rows(0).getStruct(1).getInt(1) shouldBe 4
+    rows(1).isNullAt(1) shouldBe true
+
+    // and through mm_meta's coalesce: a real image reports REAL dimensions
+    val meta = Seq((1L, png, "x"), (2L, "plain".getBytes("UTF-8"), "y"))
+      .toDF("doc_id", "payload", "text")
+      .select(col("doc_id"),
+        graft.functions.ImageDims(col("payload")).as("dims"),
+        octet_length(col("payload")).as("nb"))
+      .select(col("doc_id"),
+        coalesce(col("dims.width").cast("long"), (col("nb") % 640 + 1).cast("long")).as("width"),
+        coalesce(col("dims.height").cast("long"), (col("nb") % 480 + 1).cast("long")).as("height"))
+      .orderBy(col("doc_id")).collect()
+    (meta(0).getLong(1), meta(0).getLong(2)) shouldBe ((7L, 4L))
+    (meta(1).getLong(1), meta(1).getLong(2)) shouldBe ((6L, 6L)) // 5 bytes → fallback
+  }
+
   test("decode stub: frames window the payload at the declared stride") {
     // period-251 pattern: a 256-byte stride never repeats the same bytes
     val payload = Array.tabulate[Byte](600)(i => (i % 251).toByte)
