@@ -34,6 +34,19 @@ case object Append extends EngineSemantics
 final case class ReplacingDedup(keys: Seq[String], versionCol: String) extends EngineSemantics
 final case class Summing(keys: Seq[String], sumCols: Seq[String]) extends EngineSemantics
 
+/** ≈ AggregatingMergeTree (the uniqState-in-MV family, reference
+  * README.md:247-266): each `stateCols` column stores MERGEABLE aggregate
+  * state — Datasketches HLL bytes (`hll_sketch_agg`) — keyed by `keys`.
+  * Appends carry per-batch partial sketches; the read view union-merges
+  * states per key (`hll_union_agg`), and [[Catalog.compact]] materializes
+  * that merge into storage (ClickHouse's background merge of
+  * AggregateFunction parts). Readers estimate with `hll_sketch_estimate`
+  * when they want the number rather than the state. Schema contract:
+  * declared fields are exactly `keys ++ stateCols` (validated at
+  * CREATE) — an un-aggregated payload column has no merge rule here.
+  */
+final case class Aggregating(keys: Seq[String], stateCols: Seq[String]) extends EngineSemantics
+
 /** Physical layout of a table directory — how compact() commits its swap.
   *
   *   - [[FlatDir]]: one flat Parquet dir; compact rewrites to a sibling and
@@ -144,7 +157,19 @@ final class Catalog(spark: SparkSession) {
   }
 
   /** D1/D2: register ≈ CREATE TABLE (create_db.py:32-33). Idempotent. */
-  def createTable(t: TableDef): TableDef = { tables.putIfAbsent(t.name, t); tables(t.name) }
+  def createTable(t: TableDef): TableDef = {
+    t.semantics match {
+      case Aggregating(keys, stateCols) =>
+        // the merged read view is groupBy(keys).agg(union(states)) — a
+        // column outside both lists would be silently dropped there, and
+        // the declared order is what read() re-emits
+        require(t.schema.fieldNames.toSeq == keys ++ stateCols,
+          s"${t.name}: Aggregating schema must be exactly keys ++ stateCols " +
+            s"(got ${t.schema.fieldNames.toSeq}, want ${keys ++ stateCols})")
+      case _ => ()
+    }
+    tables.putIfAbsent(t.name, t); tables(t.name)
+  }
 
   // ALTER ADD COLUMN defaults, two lifetimes (values pre-cast to the
   // declared type):
@@ -314,6 +339,12 @@ final class Catalog(spark: SparkSession) {
     val filled = fillOmittedDefaults(name, batch)
     val deduped = t.semantics match {
       case ReplacingDedup(keys, version) => latestWins(filled, keys, version)
+      // pre-merge within the batch (ClickHouse merges the insert block):
+      // storage then holds one state row per key per APPEND, not per
+      // upstream partial — the read-time union still folds across appends
+      case Aggregating(keys, stateCols) =>
+        val merged = stateCols.map(c => hll_union_agg(col(c)).as(c))
+        filled.groupBy(keys.map(col): _*).agg(merged.head, merged.tail: _*)
       case _ => filled
     }
     val sorted = clusteredFor(t, deduped)
@@ -412,6 +443,10 @@ final class Catalog(spark: SparkSession) {
         raw.groupBy(keys.map(col): _*)
           .agg(sumCols.head -> "sum", sumCols.tail.map(_ -> "sum"): _*)
           .toDF(keys ++ sumCols: _*)
+      case Aggregating(keys, stateCols) =>
+        val merged = stateCols.map(c => hll_union_agg(col(c)).as(c))
+        raw.groupBy(keys.map(col): _*)
+          .agg(merged.head, merged.tail: _*)
     }
   }
 

@@ -128,22 +128,21 @@ object ChAggs extends QueryModule {
         .orderBy(col("user_id"))),
 
     // uniqState / uniqMerge analog — ClickHouse's AggregatingMergeTree
-    // pattern where per-insert-block partial uniq sketches are stored and
-    // merged at read time. Here: one Datasketches-HLL sketch per
-    // (event_type, day) shard (`hll_sketch_agg`), shards union-merged per
-    // event_type (`hll_union_agg`) and estimated — the two-level shape that
-    // lets a 100 TB corpus keep per-partition uniq state as kilobytes of
-    // mergeable bytes instead of re-scanning raw ids. Sketch bits are
-    // engine-specific, so the query carries its accuracy contract in-plan
-    // (the agg_approx_quantile pattern): the merged estimate must land
-    // within 5% of the exact distinct count (lgK=12 → σ≈1.6%), and the
-    // oracle checks the exact count plus a literal TRUE.
+    // pattern where per-insert-block partial uniq sketches are STORED and
+    // merged at read time. This now runs against a MAINTAINED sketch table
+    // (Catalog `Aggregating` semantics, [[hllSketchTable]]): the MV/backfill
+    // path writes per-(event_type, day) Datasketches-HLL shards in two
+    // separate appends, the engine's read view union-merges states per key,
+    // and the query estimates per event_type — the shape that lets a 100 TB
+    // corpus keep per-partition uniq state as kilobytes of mergeable bytes
+    // instead of re-scanning raw ids. Sketch bits are engine-specific, so
+    // the query carries its accuracy contract in-plan (the
+    // agg_approx_quantile pattern): the merged estimate must land within 5%
+    // of the exact distinct count (lgK=12 → σ≈1.6%), and the oracle checks
+    // the exact count plus a literal TRUE.
     "agg_hll_merge" -> ((s, d) => {
       val ev = Tables.events(s, d)
-      val shards = ev
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(hll_sketch_agg(col("user_id")).as("state"))
-      val merged = shards
+      val merged = hllSketchTable(s, d)
         .groupBy(col("event_type"))
         .agg(hll_sketch_estimate(hll_union_agg(col("state"))).as("est"))
       ev.groupBy(col("event_type"))
@@ -261,6 +260,46 @@ object ChAggs extends QueryModule {
           sum(col("d0") * col("d14")).as("day14"))
     }),
   )
+
+  /** The maintained uniq-state table behind `agg_hll_merge`: a Catalog
+    * table with [[graft.catalog.Aggregating]] semantics holding one HLL
+    * sketch per (event_type, day), backfilled from `events` in TWO appends
+    * split on user parity — so the read below exercises the engine's
+    * cross-append state merge, not a single self-consistent batch. Memoized
+    * per corpus dir (the CentroidStore amortization pattern): the backfill
+    * is the MV's job, not the querying session's, and at 100 TB it runs
+    * once per partition of new data while readers only union kilobytes of
+    * state. Returns the table's merged READ VIEW (event_type, day, state).
+    */
+  private val hllTables =
+    scala.collection.concurrent.TrieMap.empty[String, (graft.catalog.Catalog, String)]
+
+  private[graft] def hllSketchTable(s: org.apache.spark.sql.SparkSession,
+                                    d: String): org.apache.spark.sql.DataFrame = {
+    import graft.catalog.{Aggregating, Catalog, TableDef}
+    import org.apache.spark.sql.types._
+    val (cat, name) = hllTables.getOrElseUpdate(d, {
+      val cat = new Catalog(s)
+      val wh = java.nio.file.Files.createTempDirectory("graft-hll-mv").toString
+      val t = cat.createTable(TableDef(
+        "uniq_users_by_type_day", s"$wh/uniq_users_by_type_day",
+        StructType(Seq(
+          StructField("event_type", StringType, nullable = true),
+          StructField("day", DateType, nullable = true),
+          StructField("state", BinaryType, nullable = true))),
+        sortKeys = Seq("event_type", "day"),
+        semantics = Aggregating(Seq("event_type", "day"), Seq("state"))))
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      Seq(0, 1).foreach { parity => // two insert blocks → two stored partials
+        cat.append(t.name, ev.filter(pmod(col("user_id"), lit(2)) === parity)
+          .groupBy(col("event_type"), col("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("state")))
+      }
+      (cat, t.name)
+    })
+    cat.read(name)
+  }
 
   override def oracleSql: Map[String, String] = Map(
     "agg_funnel" ->

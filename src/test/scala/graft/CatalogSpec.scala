@@ -36,6 +36,52 @@ class CatalogSpec extends SparkSpecBase {
     cat.read("r2").head().getLong(1) shouldBe 2L
   }
 
+  test("Aggregating: stored HLL states merge across appends; compact materializes the merge") {
+    // ≈ AggregatingMergeTree (uniqState in an MV): two backfill batches
+    // write per-key partial sketches over OVERLAPPING id ranges; the read
+    // view must union them (overlap not double-counted), and compact must
+    // fold storage to one state row per key without changing any estimate
+    val cat = new Catalog(spark)
+    val t = cat.createTable(TableDef("agx", tmpDir("cat") + "/agx",
+      StructType(Seq(
+        StructField("k", StringType),
+        StructField("state", BinaryType))),
+      Seq("k"), Aggregating(Seq("k"), Seq("state"))))
+
+    def sketchBatch(ids: Range): org.apache.spark.sql.DataFrame =
+      ids.map(i => (if (i % 2 == 0) "even" else "odd", i.toLong)).toDF("k", "id")
+        .groupBy(col("k")).agg(hll_sketch_agg(col("id")).as("state"))
+
+    cat.append("agx", sketchBatch(0 until 100))
+    cat.append("agx", sketchBatch(50 until 150)) // 50..99 overlap batch 1
+    cat.readRaw("agx").count() shouldBe 4        // 2 keys × 2 appends
+    def estimates(): Map[String, Double] =
+      cat.read("agx")
+        .select(col("k"), hll_sketch_estimate(col("state")).as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val est = estimates()
+    est("even") shouldBe 75.0 +- 4.0 // 150 ids / 2, 5% HLL tolerance
+    est("odd") shouldBe 75.0 +- 4.0
+    // within-batch pre-merge: an append with several partials per key
+    // still stores one state row per key
+    cat.append("agx", sketchBatch(150 until 160)
+      .union(sketchBatch(160 until 170)))
+    cat.readRaw("agx").count() shouldBe 6
+
+    cat.compact("agx")
+    cat.readRaw("agx").count() shouldBe 2 // one materialized state per key
+    val after = estimates()
+    after("even") shouldBe 85.0 +- 5.0
+    after("odd") shouldBe 85.0 +- 5.0
+
+    // schema contract: a non-key non-state column has no merge rule
+    an[IllegalArgumentException] should be thrownBy
+      cat.createTable(TableDef("agbad", tmpDir("cat") + "/agbad",
+        StructType(Seq(StructField("k", StringType),
+          StructField("extra", LongType), StructField("state", BinaryType))),
+        Seq("k"), Aggregating(Seq("k"), Seq("state"))))
+  }
+
   test("Summing: read re-sums equal-key partials; appends of partial aggregates compose") {
     val cat = new Catalog(spark)
     val schema = StructType(Seq(StructField("repo", StringType), StructField("stars", LongType)))
