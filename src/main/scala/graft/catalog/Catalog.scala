@@ -277,8 +277,8 @@ final class Catalog(spark: SparkSession) {
   // java.io.File probe would answer false for every non-local warehouse
   def exists(name: String): Boolean = tables.contains(name) && {
     val t = get(name)
-    val p = new org.apache.hadoop.fs.Path(dataPath(t))
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    val f = fs(t)
+    dataPaths(t).exists(p => f.exists(new org.apache.hadoop.fs.Path(p)))
   }
 
   private def fs(t: TableDef): org.apache.hadoop.fs.FileSystem =
@@ -322,6 +322,62 @@ final class Catalog(spark: SparkSession) {
       new org.apache.hadoop.fs.Path(t.path, currentVersion(t)).toString
   }
 
+  // ---- multi-writer append segments (Versioned layout) -----------------
+  //
+  // Concurrent APPENDS from different processes to one Versioned table
+  // never share an output directory: each append stages its batch into a
+  // process-unique `seg-<tag>` dir beside the version dirs, then commits
+  // it with ONE atomic operation — an O_EXCL create of a marker file under
+  // `_segs/` (the same create-fails-if-exists primitive as the compaction
+  // lock and the queue claim CAS; on an object store, a conditional PUT).
+  // Add-only markers mean two writers cannot lose each other's update and
+  // nothing ever aborts; a crash before the marker leaves an invisible
+  // stage dir that compaction age-GCs. Readers see version dir + committed
+  // segments; compact folds the segments it SNAPSHOTTED into the next
+  // version and unmarks exactly those, so a segment committed mid-compact
+  // stays visible throughout. This promotes the deploy/README.md
+  // "manifest-flip race" contract from docs to a real commit protocol.
+
+  private def segMarkerDir(t: TableDef) =
+    new org.apache.hadoop.fs.Path(t.path, "_segs")
+
+  /** Committed segment dirs, by marker listing. `.folded` tombstones (a
+    * previous compact's grace-window bookkeeping) are not live segments.
+    */
+  private def committedSegments(t: TableDef): Seq[String] = {
+    val f = fs(t)
+    val md = segMarkerDir(t)
+    if (!f.exists(md)) Seq.empty
+    else f.listStatus(md).toSeq.filter(_.isFile).map(_.getPath.getName)
+      .filter(!_.endsWith(".folded"))
+      .filter(s => f.exists(new org.apache.hadoop.fs.Path(t.path, s)))
+      .sorted
+  }
+
+  /** Every directory a read must scan: live version dir + committed
+    * segments (Versioned), or the flat dir.
+    *
+    * Resolution order is deliberate — segments FIRST, manifest second.
+    * Compaction commits in the opposite order (flip manifest, then unmark
+    * the folded segments), so a reader that straddles the flip resolves
+    * either the old consistent view or, in the microseconds between flip
+    * and unmark, the new version PLUS a just-folded segment — transient
+    * duplicates that the Replacing/Aggregating merged read views collapse.
+    * The reverse order would instead transiently DROP the folded rows
+    * (old version, markers already gone), which no semantics can repair.
+    */
+  private def dataPaths(t: TableDef): Seq[String] = t.layout match {
+    case FlatDir => Seq(t.path)
+    case Versioned =>
+      val segs = committedSegments(t)
+        .map(s => new org.apache.hadoop.fs.Path(t.path, s).toString)
+      val cur = dataPath(t)
+      // a fresh table whose only data is appended segments has no version
+      // dir yet — passing the nonexistent dir to the scan would fail it
+      if (segs.nonEmpty && !fs(t).exists(new org.apache.hadoop.fs.Path(cur))) segs
+      else cur +: segs
+  }
+
   /** S4: columnar append, clustered by the declared sort key on the way in
     * (O3) — `repartitionByRange` gives cross-file range layout, then
     * `sortWithinPartitions` gives Parquet row groups whose min/max stats
@@ -361,10 +417,28 @@ final class Catalog(spark: SparkSession) {
       sorted.cache()
       try {
         val n = sorted.count()
-        writeData(t, sorted, dataPath(t), mode = "append")
+        if (t.layout == Versioned) commitSegment(t, sorted)
+        else writeData(t, sorted, dataPath(t), mode = "append")
         n
       } finally sorted.unpersist()
     }
+  }
+
+  /** Multi-writer Versioned append (doc at [[segMarkerDir]]): stage to a
+    * process-unique segment dir, then commit with one atomic marker
+    * create. The stage write is a fresh-directory overwrite, so two
+    * processes can never interleave inside one Spark `_temporary` staging
+    * tree the way concurrent same-directory appends would.
+    */
+  private def commitSegment(t: TableDef, batch: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val f = fs(t)
+    val seg = s"seg-$processTag-${java.util.UUID.randomUUID().toString.take(8)}"
+    writeData(t, batch, new Path(t.path, seg).toString)
+    f.mkdirs(segMarkerDir(t))
+    val out = f.create(new Path(segMarkerDir(t), seg), false) // atomic commit
+    try out.write(processTag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Finish a compact swap a crash interrupted (doc on [[compact]]): table
@@ -435,7 +509,17 @@ final class Catalog(spark: SparkSession) {
   def read(name: String): DataFrame = {
     val t = get(name)
     recoverInterruptedSwap(t)
-    val raw = applyDefaults(name, spark.read.schema(t.schema).parquet(dataPath(t)))
+    readVia(t, dataPaths(t))
+  }
+
+  /** Merged-view read over an EXPLICIT path snapshot — compaction folds
+    * exactly the segments it listed, never whatever a re-listing at job
+    * time would see (a segment committed mid-compact must stay a segment,
+    * or it would land in the new version AND stay visible = duplicated).
+    */
+  private def readVia(t: TableDef, paths: Seq[String]): DataFrame = {
+    val raw = applyDefaults(t.name,
+      spark.read.schema(t.schema).parquet(paths: _*))
     t.semantics match {
       case Append => raw
       case ReplacingDedup(keys, version) => latestWins(raw, keys, version)
@@ -456,7 +540,7 @@ final class Catalog(spark: SparkSession) {
   def readRaw(name: String): DataFrame = {
     val t = get(name)
     recoverInterruptedSwap(t)
-    spark.read.schema(t.schema).parquet(dataPath(t))
+    spark.read.schema(t.schema).parquet(dataPaths(t): _*)
   }
 
   /** The deferred "background merge": rewrite storage to its merged form.
@@ -619,16 +703,55 @@ final class Catalog(spark: SparkSession) {
       .filter(s => s.isFile && s.getPath.getName.startsWith("_CURRENT.tmp") &&
         System.currentTimeMillis() - s.getModificationTime > staleLockMs)
       .foreach(s => f.delete(s.getPath, false))
-    // nothing written yet: data no-op, but validate the transform (see
-    // the compactFlat twin of this guard)
-    if (!f.exists(new Path(t.path, cur))) { transform(emptyFrame(t)); return }
-    val merged = transform(read(t.name))
+    // segments the PREVIOUS compact folded (`.folded` tombstones): their
+    // dirs were retained one cycle as the reader grace window — collect
+    // them now, the same retention versions get
+    val segMd = segMarkerDir(t)
+    if (f.exists(segMd)) f.listStatus(segMd).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".folded"))
+      .foreach { s =>
+        f.delete(new Path(t.path, s.getPath.getName.stripSuffix(".folded")), true)
+        f.delete(s.getPath, false)
+      }
+    // crashed appends: a stage dir with NO commit marker (and no
+    // tombstone) is invisible to readers; age-gated like the manifest
+    // tmps — a peer may be staging RIGHT NOW, its marker lands only after
+    // the data write completes
+    val committed = committedSegments(t).toSet
+    f.listStatus(new Path(t.path)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg-") &&
+        !committed(s.getPath.getName) &&
+        System.currentTimeMillis() - s.getModificationTime > staleLockMs)
+      .foreach(s => f.delete(s.getPath, true))
+    // nothing written yet (no version data AND no committed segments):
+    // data no-op, but validate the transform (see the compactFlat twin of
+    // this guard)
+    val curExists = f.exists(new Path(t.path, cur))
+    if (!curExists && committed.isEmpty) {
+      transform(emptyFrame(t)); return
+    }
+    // fold the SNAPSHOTTED segments only: a segment committed by a
+    // concurrent append after the snapshot keeps its marker — still
+    // visible to every reader now, folded by the next compact; folding a
+    // re-listed superset instead would both fold it AND leave it marked
+    // (duplicated rows)
+    val snapPaths = (if (curExists) Seq(new Path(t.path, cur).toString) else Nil) ++
+      committed.toSeq.sorted.map(s => new Path(t.path, s).toString)
+    val merged = transform(readVia(t, snapPaths))
     val next = s"v${versionNum(cur) + 1}"
     writeData(t, clusteredFor(t, merged), new Path(t.path, next).toString)
     writeManifest(t, next)
-    // the displaced version is NOT deleted here: it stays readable until
-    // the next compact's orphan-GC pass (snapshot retention of one), so
-    // in-flight readers that resolved their path pre-flip finish cleanly
+    // unmark the folded segments (hidden from new readers) and tombstone
+    // them for the next compact's GC; their dirs — like the displaced
+    // version dir — are NOT deleted here, staying readable until then so
+    // in-flight readers that resolved their paths pre-flip finish cleanly
+    committed.foreach { s =>
+      // marker first, tombstone second: a crash in between leaves an
+      // unmarked dir for the age-gated GC — tombstone-first would let the
+      // next compact delete a dir whose live marker still names it
+      f.delete(new Path(segMarkerDir(t), s), false)
+      f.create(new Path(segMarkerDir(t), s + ".folded"), true).close()
+    }
   }
 
   /** Atomically (re)point `_CURRENT` at a version: tmp file + delete +

@@ -36,6 +36,51 @@ class CatalogSpec extends SparkSpecBase {
     cat.read("r2").head().getLong(1) shouldBe 2L
   }
 
+  test("multi-writer commit: segment appends from two PROCESSES both land; compact folds them") {
+    // the deploy/README fleet contract promoted to code: two separate JVMs
+    // (own SparkSessions, own Catalog instances — no shared in-process
+    // lock) append concurrently to ONE Versioned table. Per-writer staged
+    // segment dirs + an atomic O_EXCL marker create as the commit point
+    // mean both batches must land: no lost update, no spurious abort.
+    val wh = tmpDir("mwwh")
+    import graft.tools.CatalogAppendWorker
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+      "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+      "sun.security.action", "sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+    def launch(lo: Long, hi: Long): Process = {
+      val cmd = (Seq("java") ++ addOpens ++ Seq("-Xmx2g", "-cp", cp,
+        "graft.tools.CatalogAppendWorker", wh, lo.toString, hi.toString))
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(java.io.File.createTempFile("mwworker", ".log"))
+      pb.start()
+    }
+    val p1 = launch(0L, 500L)
+    val p2 = launch(500L, 1000L)
+    p1.waitFor() shouldBe 0
+    p2.waitFor() shouldBe 0
+
+    val cat = new Catalog(spark)
+    val t = cat.createTable(CatalogAppendWorker.tableDef(wh))
+    cat.read(t.name).count() shouldBe 1000L
+    cat.read(t.name).select("k").distinct().count() shouldBe 1000L
+
+    // a third append from THIS process lands beside the workers'
+    cat.append(t.name, Seq(("extra", 9999L)).toDF("k", "v"))
+    cat.read(t.name).count() shouldBe 1001L
+
+    // compact folds the committed segments into the next version; nothing
+    // lost, and the folded segments are unmarked (no double counting)
+    cat.compact(t.name)
+    cat.read(t.name).count() shouldBe 1001L
+    cat.read(t.name).agg(sum(col("v"))).head().getLong(0) shouldBe
+      (0L until 1000L).sum + 9999L
+  }
+
   test("Aggregating: stored HLL states merge across appends; compact materializes the merge") {
     // ≈ AggregatingMergeTree (uniqState in an MV): two backfill batches
     // write per-key partial sketches over OVERLAPPING id ranges; the read
@@ -160,23 +205,42 @@ class CatalogSpec extends SparkSpecBase {
       Seq("k"), ReplacingDedup(Seq("k"), "updated_at"), layout = Versioned))
     cat.append("vm", Seq(("a", 1L, 10L), ("b", 2L, 10L)).toDF("k", "v", "updated_at"))
     cat.append("vm", Seq(("a", 9L, 20L)).toDF("k", "v", "updated_at"))
-    cat.readRaw("vm").count() shouldBe 3 // both versions of a, in v0
+    cat.readRaw("vm").count() shouldBe 3 // both versions of a, across segments
+    // each append is a committed SEGMENT (multi-writer protocol): two
+    // marker files, two stage dirs, no version dir written yet
+    def liveMarkers(): Seq[String] = {
+      val md = java.nio.file.Paths.get(path, "_segs")
+      if (!java.nio.file.Files.exists(md)) Seq.empty
+      else scala.jdk.CollectionConverters.IteratorHasAsScala(
+        java.nio.file.Files.list(md).iterator).asScala
+        .map(_.getFileName.toString)
+        .filter(n => !n.endsWith(".folded") && !n.startsWith(".")) // skip crc
+        .toSeq
+    }
+    liveMarkers().size shouldBe 2
+    val segDirs = liveMarkers()
     val before = cat.read("vm").orderBy("k").collect()
     before.map(r => (r.getString(0), r.getLong(1))) shouldBe Array(("a", 9L), ("b", 2L))
     cat.compact("vm")
-    // committed: manifest points at v1, merged rows only; the displaced v0
-    // is RETAINED one compact cycle so in-flight readers that resolved
-    // their path pre-flip don't scan a deleted directory
+    // committed: manifest points at v1 holding the merged rows; the folded
+    // segments are unmarked but their dirs are RETAINED one compact cycle
+    // so in-flight readers that resolved their paths pre-flip don't scan a
+    // deleted directory
     java.nio.file.Files.readString(java.nio.file.Paths.get(path, "_CURRENT")) shouldBe "v1"
-    java.nio.file.Files.exists(java.nio.file.Paths.get(path, "v0")) shouldBe true
+    liveMarkers() shouldBe empty
+    segDirs.foreach(s =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, s)) shouldBe true)
     cat.readRaw("vm").count() shouldBe 2
     cat.read("vm").orderBy("k").collect() shouldBe before
-    // appends keep landing in the live version
+    // appends keep landing as committed segments beside the live version
     cat.append("vm", Seq(("c", 3L, 10L)).toDF("k", "v", "updated_at"))
+    liveMarkers().size shouldBe 1
     cat.read("vm").count() shouldBe 3
-    // the next compact's orphan-GC collects the grace-window version
+    // the next compact's orphan-GC collects the grace-window segment dirs
     cat.compact("vm")
-    java.nio.file.Files.exists(java.nio.file.Paths.get(path, "v0")) shouldBe false
+    segDirs.foreach(s =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, s)) shouldBe false)
+    cat.read("vm").count() shouldBe 3
   }
 
   test("Versioned layout: half-written compact output never becomes visible") {
