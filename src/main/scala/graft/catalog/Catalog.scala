@@ -76,7 +76,8 @@ final case class TableDef(
     sortKeys: Seq[String],
     semantics: EngineSemantics,
     layout: TableLayout = FlatDir,
-    partitionKeys: Seq[String] = Nil)
+    partitionKeys: Seq[String] = Nil,
+    indexCols: Seq[String] = Nil)
 
 final class Catalog(spark: SparkSession) {
 
@@ -474,6 +475,112 @@ final class Catalog(spark: SparkSession) {
     val w = df.write.mode(mode)
     (if (t.partitionKeys.nonEmpty) w.partitionBy(t.partitionKeys: _*) else w)
       .parquet(path)
+    if (t.indexCols.nonEmpty) buildSkipIndex(t, path)
+  }
+
+  // ---- bloom skip-index sidecars ---------------------------------------
+  //
+  // ClickHouse's secondary data-skipping indexes (`INDEX … TYPE
+  // bloom_filter`) for NON-sort-key columns: row-group min/max skipping
+  // (clustered writes) only prunes predicates on the sort key, so a
+  // selective equality filter on any other column still scans every file.
+  // Declared `indexCols` get one bloom sidecar PER DATA FILE PER COLUMN,
+  // written at append/compact time under the data dir's `_idx/`
+  // (underscore-prefixed → invisible to Spark's file listing; the sidecars
+  // travel with their directory through compact swaps, manifest flips, and
+  // segment GC for free). [[readPruned]] consults them to drop whole files
+  // before the scan starts — `might contain` false positives only cost a
+  // wasted file read, absent sidecars fail open, and the filter itself is
+  // still applied on top, so pruning can never change results.
+
+  private def idxSidecar(dir: org.apache.hadoop.fs.Path, fileName: String,
+                         column: String) =
+    new org.apache.hadoop.fs.Path(dir, s"_idx/$fileName.$column.bloom")
+
+  /** Index every parquet file under `dir` (recursive — partitioned layouts
+    * nest files in key=value subdirs) that lacks a sidecar. One
+    * column-pruned pass per file per column, paid at WRITE time — the
+    * read-side win at 100 TB is skipping the file entirely.
+    */
+  private def buildSkipIndex(t: TableDef, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val f = fs(t)
+    val d = new Path(dir)
+    if (!f.exists(d)) return
+    val it = f.listFiles(d, true)
+    val files = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (it.hasNext) {
+      val s = it.next()
+      val n = s.getPath.getName
+      if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+          !s.getPath.toString.contains("/_idx/"))
+        files += s.getPath
+    }
+    files.foreach { p =>
+      val parent = p.getParent
+      val cols = t.indexCols.filter(c => !f.exists(idxSidecar(parent, p.getName, c)))
+      if (cols.nonEmpty) {
+        val fileDf = spark.read.parquet(p.toString)
+        val n = math.max(fileDf.count(), 1L)
+        cols.filter(fileDf.columns.contains).foreach { c =>
+          val bf = fileDf.stat.bloomFilter(c, n, 0.01)
+          val out = f.create(idxSidecar(parent, p.getName, c), true)
+          try bf.writeTo(out) finally out.close()
+        }
+      }
+    }
+  }
+
+  /** Equality-probe read through the skip index: scan only the data files
+    * whose bloom sidecar might contain `value` (no sidecar → kept). The
+    * returned frame carries full read semantics; callers still apply the
+    * predicate (bloom false positives pass the file test, never the
+    * filter). Also returns (files scanned, files total) so callers — and
+    * the spec — can observe the skipping.
+    */
+  def readPruned(name: String, column: String,
+                 value: Any): (DataFrame, Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val t = get(name)
+    require(t.indexCols.contains(column),
+      s"$name: no bloom skip-index declared on $column")
+    // partitioned layouts read partition values from directory names — a
+    // bare-file read would blank them; they already skip at the directory
+    // level, which is the stronger prune
+    require(t.partitionKeys.isEmpty,
+      s"$name: bloom-pruned reads target unpartitioned layouts")
+    recoverInterruptedSwap(t)
+    val f = fs(t)
+    val all = scala.collection.mutable.ArrayBuffer.empty[Path]
+    dataPaths(t).map(new Path(_)).filter(f.exists).foreach { root =>
+      val it = f.listFiles(root, true)
+      while (it.hasNext) {
+        val s = it.next()
+        val n = s.getPath.getName
+        if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+            !s.getPath.toString.contains("/_idx/"))
+          all += s.getPath
+      }
+    }
+    val kept = all.filter { p =>
+      val sc = idxSidecar(p.getParent, p.getName, column)
+      if (!f.exists(sc)) true // fail open: unindexed file might match
+      else {
+        val in = f.open(sc)
+        val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+                 finally in.close()
+        value match {
+          case s: String => bf.mightContainString(s)
+          case b: Array[Byte] => bf.mightContainBinary(b)
+          case n: Number => bf.mightContainLong(n.longValue())
+          case other => bf.mightContain(other)
+        }
+      }
+    }
+    val df =
+      if (kept.isEmpty) readVia(t, dataPaths(t)).limit(0)
+      else readVia(t, kept.toSeq.map(_.toString))
+    (df, kept.size, all.size)
   }
 
   /** Zero-row frame with the table's declared schema — lets mutation

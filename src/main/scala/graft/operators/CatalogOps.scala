@@ -61,15 +61,41 @@ object CatalogOps extends QueryModule {
     */
   private def catalogCopy(s: SparkSession, table: String, src: DataFrame,
                           sortKeys: Seq[String],
-                          partitionKeys: Seq[String] = Nil): (DataFrame, String) = {
+                          partitionKeys: Seq[String] = Nil): (DataFrame, String) =
+    catalogCopyCat(s, table, src, sortKeys, partitionKeys) match {
+      case (cat, path) => (cat.read(table), path)
+    }
+
+  private def catalogCopyCat(s: SparkSession, table: String, src: DataFrame,
+                             sortKeys: Seq[String],
+                             partitionKeys: Seq[String] = Nil,
+                             indexCols: Seq[String] = Nil): (Catalog, String) = {
     val cat = new Catalog(s)
     val tmp = java.nio.file.Files.createTempDirectory(s"graft-cat-$table")
     copyDirs.add(tmp)
     val path = tmp.resolve(table).toString
     cat.createTable(TableDef(table, path, src.schema,
-      sortKeys = sortKeys, semantics = Append, partitionKeys = partitionKeys))
+      sortKeys = sortKeys, semantics = Append, partitionKeys = partitionKeys,
+      indexCols = indexCols))
     cat.append(table, src)
-    (cat.read(table), path)
+    (cat, path)
+  }
+
+  /** The bloom-skip-index gate table: a Catalog copy of `orders` clustered
+    * by o_orderkey with a bloom sidecar on o_custkey — a NON-sort-key
+    * column, so row-group min/max can't skip for it — plus the pruned read
+    * for the probe key and its (files scanned, files total) observation.
+    * Probe = the custkey of the minimum-orderkey row: deterministic at
+    * every SF without baking a data value into the query text.
+    */
+  def bloomScanWithStats(s: SparkSession, d: String): (DataFrame, Int, Int) = {
+    val src = Tables.orders(s, d)
+    val (cat, _) = catalogCopyCat(s, "orders_bloom", src,
+      sortKeys = Seq("o_orderkey"), indexCols = Seq("o_custkey"))
+    val probe = src.orderBy(col("o_orderkey")).select(col("o_custkey"))
+      .head().getLong(0) // one scalar to the driver: the lookup key itself
+    val (df, kept, total) = cat.readPruned("orders_bloom", "o_custkey", probe)
+    (df.filter(col("o_custkey") === probe), kept, total)
   }
 
   override def queries: Map[String, Q] = Map(
@@ -80,6 +106,18 @@ object CatalogOps extends QueryModule {
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"),
           count(col("o_custkey")).as("n_cust"))),
+
+    // Bloom skip-index exercised through the correctness gate: a point
+    // lookup on a NON-sort-key column reads only the files whose bloom
+    // sidecar might contain the probe (CatalogOpsSpec counts the skipped
+    // files; the pruning observation lives there). The oracle runs the
+    // same aggregate over the ORIGINAL table — equality proves pruning
+    // never drops a matching row (bloom has no false negatives).
+    "cat_bloom_scan" -> ((s, d) =>
+      CatalogOps.bloomScanWithStats(s, d)._1
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_orderkey")).as("min_key"),
+          round(sum(col("o_totalprice")), 2).as("total"))),
 
     // PARTITION BY exercised through the correctness gate (the clustered
     // twin of cat_clustered_scan): a Catalog copy of `events` partitioned
@@ -183,6 +221,13 @@ object CatalogOps extends QueryModule {
       """SELECT count(*) AS n, count(DISTINCT user_id) AS n_users,
         | round(sum(value), 2) AS sum_value
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    "cat_bloom_scan" ->
+      """SELECT count(*) AS n_orders, min(o_orderkey) AS min_key,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_custkey = (
+        |  SELECT o_custkey FROM orders WHERE o_orderkey = (
+        |    SELECT min(o_orderkey) FROM orders))""".stripMargin,
 
     // computed on the BASE table: proves the sum-measure rewrite is sound
     // (l_quantity is integral-valued, so partial-sum re-association is

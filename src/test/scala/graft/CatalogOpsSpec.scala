@@ -58,4 +58,59 @@ class CatalogOpsSpec extends SparkSpecBase {
       case _ => false
     } should be >= blocks.size / 2
   }
+
+  test("bloom skip-index: non-sort-key equality probe reads fewer files, same answer") {
+    import spark.implicits._
+    import graft.catalog.{Append, Catalog, TableDef}
+    // controlled fixture: sorted by k, indexed on tag; each tag value
+    // lives in exactly one rowid neighborhood → exactly one file, while
+    // min/max on k can never help a tag predicate
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try {
+      val cat = new Catalog(spark)
+      val path = tmpDir("bloomidx") + "/tagged"
+      val src = (0L until 16000L).map(i => (i, s"tag${i / 1000}", i % 97))
+        .toDF("k", "tag", "v")
+      cat.createTable(TableDef("tagged", path, src.schema,
+        sortKeys = Seq("k"), semantics = Append, indexCols = Seq("tag")))
+      cat.append("tagged", src)
+
+      val (df, kept, total) = cat.readPruned("tagged", "tag", "tag7")
+      total should be >= 8
+      kept should be < total  // files actually skipped
+      kept should be <= 3     // ~one neighborhood + bloom false positives
+      val got = df.filter(col("tag") === "tag7")
+      got.count() shouldBe 1000L   // no false negatives: every row found
+      got.agg(sum(col("k"))).head().getLong(0) shouldBe (7000L until 8000L).sum
+
+      // a probe for an absent value prunes everything and returns empty
+      val (none, keptNone, _) = cat.readPruned("tagged", "tag", "no-such-tag")
+      keptNone shouldBe 0
+      none.filter(col("tag") === "no-such-tag").count() shouldBe 0L
+
+      // appends keep the index current: new files get sidecars too
+      cat.append("tagged", Seq((99999L, "fresh", 1L)).toDF("k", "tag", "v"))
+      val (fresh, keptF, totalF) = cat.readPruned("tagged", "tag", "fresh")
+      keptF should be < totalF
+      fresh.filter(col("tag") === "fresh").count() shouldBe 1L
+
+      // undeclared column fails loudly, not with a silent full scan
+      an[IllegalArgumentException] should be thrownBy
+        cat.readPruned("tagged", "v", 1L)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("cat_bloom_scan gate query: pruned result equals the unpruned aggregate") {
+    val (df, kept, total) = CatalogOps.bloomScanWithStats(spark, sf0001)
+    kept should be <= total
+    val pruned = df.agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("s")).head()
+    val probe = Tables.orders(spark, sf0001)
+      .orderBy(col("o_orderkey")).select(col("o_custkey")).head().getLong(0)
+    val full = Tables.orders(spark, sf0001)
+      .filter(col("o_custkey") === probe)
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("s")).head()
+    pruned.getLong(0) shouldBe full.getLong(0)
+    pruned.getDouble(1) shouldBe full.getDouble(1) +- 1e-6
+  }
 }

@@ -38,7 +38,8 @@ class SqlParitySpec extends SparkSpecBase {
     "agg_cube", "agg_distinct", "agg_funnel", "agg_histogram",
     "agg_hll_merge", "agg_retention", "agg_rollup", "agg_seq_match",
     "agg_stats", "agg_sumif", "cat_clustered_scan", "cat_partitioned_scan",
-    "dedup_exact", "distinct_rows", "fn_date", "fn_math", "fn_string",
+    "cat_bloom_scan", "dedup_exact", "distinct_rows", "fn_date", "fn_math",
+    "fn_string",
     "j1_anti_join", "j2_semi_join", "j3_existence", "join_broadcast",
     "join_cross", "join_left_outer", "join_null_safe", "join_range",
     "join_shuffle", "join_skew_salted", "o1_topk", "o2_stalest_first",
