@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+
+/** Arg-max cosine cell assignment against a fixed centroid codebook — the
+  * IVF hot kernel — as ONE codegen'd expression with the codebook attached
+  * as a codegen REFERENCE OBJECT (`ctx.addReferenceObj`), not as plan
+  * literals and not as a joined relation.
+  *
+  * This is the third formulation of cell assignment, fixing what the first
+  * two could not hold at scale:
+  *
+  *   1. literal fold (round 4): one `CosineSimilarity(emb, lit(centroid))`
+  *      per cell folded into `array_max` — plan AST and generated code grow
+  *      O(ncells·dim); a multi-MB plan at the ncells a 100× corpus needs
+  *      (the round-5 `weak` flag).
+  *   2. broadcast nested-loop join + `max(struct(score, cell, embedding))`
+  *      arg-max (round 6 first cut): plan size constant, but the join
+  *      MATERIALIZES n×ncells candidate structs each carrying the full
+  *      embedding array through the aggregate — measured 6.8 s → 39 s on
+  *      the sf10 corpus when ncells went 64 → 256; the knob the design
+  *      leans on turned the wrong way again.
+  *   3. this kernel: a narrow map, no join, no shuffle, no struct
+  *      materialization. Generated code is ONE fused loop (cells × dims)
+  *      of primitive-double arithmetic; code size and plan size are O(1)
+  *      in ncells because the codebook lives in a `double[][]` reference
+  *      object that ships with the serialized plan (once per task binary —
+  *      fine through ~MB codebooks; a 10⁴-cell × 10³-dim codebook would
+  *      want an executor-side broadcast instead).
+  *
+  * Semantics are EXACTLY the join formulation's, so the DuckDB oracle that
+  * replays assignment relationally keeps hash-matching: per-cell cosine in
+  * one left-to-right double pass (dims = min of the two lengths, zero-norm
+  * → 0.0), optionally rounded to 6 decimals with the same BigDecimal
+  * HALF_UP rule Spark's `round` applies, ties broken toward the HIGHER
+  * cell id (the lexicographic `max(struct(score, cell))` rule).
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]],
+                           rounded: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  // analysis-time type check (AbstractDataType is private[sql], so
+  // checkInputDataTypes directly — the GramDigests pattern): the kernel
+  // reads primitive floats/doubles straight off the ArrayData buffer
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid requires array<float> or array<double> input, got ${other.catalogString}")
+  }
+
+  @transient private lazy val childDouble = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var bestCell = -1
+    var best = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val n = math.min(x.numElements(), cent.length)
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (childDouble) x.getDouble(i) else x.getFloat(i).toDouble
+        val yv = cent(i)
+        dot += xv * yv; nx += xv * xv; ny += yv * yv
+        i += 1
+      }
+      var sc = if (nx == 0.0 || ny == 0.0) 0.0
+               else dot / (math.sqrt(nx) * math.sqrt(ny))
+      if (rounded)
+        sc = java.math.BigDecimal.valueOf(sc)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (sc >= best) { best = sc; bestCell = c }
+      c += 1
+    }
+    bestCell
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val get = if (childDouble) "getDouble" else "getFloat"
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n"); val cent = ctx.freshName("cent")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny"); val sc = ctx.freshName("sc")
+      val best = ctx.freshName("best"); val bestCell = ctx.freshName("bestCell")
+      val roundStmt = if (rounded)
+        s"$sc = java.math.BigDecimal.valueOf($sc).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();"
+      else ""
+      s"""
+         |int $bestCell = -1;
+         |double $best = Double.NEGATIVE_INFINITY;
+         |for (int $c = 0; $c < $cref.length; $c++) {
+         |  final double[] $cent = $cref[$c];
+         |  final int $n = java.lang.Math.min($a.numElements(), $cent.length);
+         |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double xv = (double) $a.$get($i);
+         |    final double yv = $cent[$i];
+         |    $dot += xv * yv; $nx += xv * xv; $ny += yv * yv;
+         |  }
+         |  double $sc = ($nx == 0.0 || $ny == 0.0)
+         |    ? 0.0 : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  $roundStmt
+         |  if ($sc >= $best) { $best = $sc; $bestCell = $c; }
+         |}
+         |${ev.value} = $bestCell;
+       """.stripMargin
+    })
+
+  override def prettyName: String = "nearest_centroid"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NearestCentroid {
+  def apply(emb: Column, centroids: Seq[Array[Double]], rounded: Boolean): Column =
+    ColumnShim.column(
+      NearestCentroid(ColumnShim.expression(emb), centroids.toArray, rounded))
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
 import graft.Tables
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, NearestCentroid}
 
 import scala.jdk.CollectionConverters._
 
@@ -142,23 +142,33 @@ object Similarity extends QueryModule {
     */
   def ivfTopKWith(s: SparkSession, d: String,
                   centroids: Seq[Array[Float]], nProbe: Int = NPROBE): DataFrame =
-    ivfTopKFrame(s, d, centroidFrame(s, centroids.map(_.map(_.toDouble))), nProbe)
+    ivfTopKCents(s, d, centroids.map(_.map(_.toDouble)), nProbe)
 
-  /** IVF search against a centroid DATAFRAME — the broadcast side of both
-    * the corpus cell assignment and the query probe ranking. This is the
-    * scale entry point: [[graft.catalog.CentroidStore.frame]] feeds it a
-    * parquet scan, so at ncells = 10³–10⁴ the quantizer arrives via one
-    * BroadcastExchange instead of an O(ncells·dim) expression fold baked
-    * into the plan (constant plan size and codegen regardless of ncells).
+  /** IVF search against a centroid DATAFRAME — the entry point a
+    * [[graft.catalog.CentroidStore.frame]] parquet scan feeds. The K×dim
+    * doubles are collected to the driver (the documented bounded pattern —
+    * a quantizer is K×dim by construction) and handed to the
+    * [[graft.functions.NearestCentroid]] kernel, so corpus assignment is a
+    * narrow map with constant plan size regardless of ncells.
     */
   def ivfTopKFrame(s: SparkSession, d: String,
-                   cdf: DataFrame, nProbe: Int = NPROBE): DataFrame = {
+                   cdf: DataFrame, nProbe: Int = NPROBE): DataFrame =
+    ivfTopKCents(s, d,
+      cdf.orderBy(col("cell")).collect()
+        .map(_.getSeq[Double](1).toArray).toSeq, nProbe)
+
+  private def ivfTopKCents(s: SparkSession, d: String,
+                           cents: Seq[Array[Double]],
+                           nProbe: Int = NPROBE): DataFrame = {
     val corpus = Tables.embeddings(s, d)
 
-    val binned = assignCells(corpus.select(col("vec_id"), col("embedding")), cdf,
+    val binned = assignCells(corpus.select(col("vec_id"), col("embedding")), cents,
       rounded = false)
 
-    // each query probes its NPROBE max-cosine cells
+    // each query probes its NPROBE max-cosine cells: queries are FEW, so a
+    // cross join against the tiny (cell, centroid) relation stays cheap and
+    // keeps the per-query cell ranking relational
+    val cdf = centroidFrame(s, cents)
     val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
     val probes = queriesSet(s, d)
       .crossJoin(broadcast(cdf))
@@ -177,10 +187,11 @@ object Similarity extends QueryModule {
   }
 
   /** Centroids as a tiny single-partition (cell, centroid) relation — the
-    * broadcast side of every cell assignment. K×dim doubles of DATA (a
-    * LocalRelation / table scan), never expression-tree literals: the plan
-    * and its generated code stay constant-size as ncells grows, which is
-    * what lets the Σ|cell|² knob actually be turned at 100 TB.
+    * broadcast side of the per-QUERY probe ranking (queries × centroids is
+    * small on the query axis) and the round-trip format of
+    * [[graft.catalog.CentroidStore]]. Corpus-side cell assignment does NOT
+    * join this relation — it runs through the [[graft.functions.NearestCentroid]]
+    * kernel (see [[assignCells]]).
     */
   def centroidFrame(s: SparkSession, cents: Seq[Array[Double]]): DataFrame = {
     val rows: java.util.List[Row] =
@@ -191,27 +202,23 @@ object Similarity extends QueryModule {
         nullable = false))))
   }
 
-  /** (vec_id, embedding, cell): nearest-centroid assignment as a broadcast
-    * nested-loop join (corpus × centroids) + per-vector arg-max aggregate —
-    * `max(struct(score, cell, …))` picks the best cell with ties to the
-    * higher cell id, the same lexicographic struct rule the previous
-    * `array_max`-over-literals fold used and the same `max(struct_pack(…))`
-    * the DuckDB oracle replays. The embedding rides inside the maxed struct
-    * (it is constant per vec_id, and the unique cell id breaks every tie
-    * before it, so it never decides the max) — one pass, no re-join of the
-    * corpus against itself. With `rounded`, cosines are rounded to 6
-    * decimals BEFORE the arg-max so the assignment is engine-deterministic.
+  /** (vec_id, embedding, cell): nearest-centroid assignment as ONE narrow
+    * map through the [[graft.functions.NearestCentroid]] kernel — no join,
+    * no shuffle, plan size O(1) in ncells. The earlier broadcast-join +
+    * `max(struct(score, cell, embedding))` arg-max was plan-size-safe but
+    * MATERIALIZED n×ncells candidate structs (each dragging the embedding
+    * array) through the aggregate: the sf10 probe measured 6.8 s → 39 s
+    * when ncells went 64 → 256, i.e. the Σ|cell|² knob turned the wrong
+    * way again. The kernel keeps the identical semantics the DuckDB oracle
+    * replays relationally (`max(struct_pack(…))` over the cross join):
+    * left-to-right double cosine, ties to the HIGHER cell id, and with
+    * `rounded` the cosine is 6-decimal HALF_UP-rounded BEFORE the arg-max
+    * so assignment is engine-deterministic.
     */
-  private def assignCells(vecs: DataFrame, cents: DataFrame,
-                          rounded: Boolean): DataFrame = {
-    val sc0 = CosineSimilarity(col("embedding"), col("centroid"))
-    val sc = if (rounded) round(sc0, 6) else sc0
-    vecs.crossJoin(broadcast(cents))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(sc.as("sc"), col("cell"), col("embedding"))).as("best"))
-      .select(col("vec_id"), col("best.embedding").as("embedding"),
-        col("best.cell").as("cell"))
-  }
+  private def assignCells(vecs: DataFrame, cents: Seq[Array[Double]],
+                          rounded: Boolean): DataFrame =
+    vecs.select(col("vec_id"), col("embedding"),
+      NearestCentroid(col("embedding"), cents, rounded).as("cell"))
 
   // ---------------------------------------------------------------------
   // Cell-blocked embedding near-dup (the IVF front end reused for dedup)
@@ -233,7 +240,15 @@ object Similarity extends QueryModule {
   def embedNearDupPairs(corpus: DataFrame, nCells: Int, threshold: Double,
                         version: Option[String] = None): DataFrame = {
     val binned = binnedCells(corpus, nCells, version)
-    binned.as("a").join(binned.as("b"),
+    // SHUFFLE_HASH, not sort-merge: the cell key has only nCells distinct
+    // values, so sort-merge buffers each |cell|-row group through
+    // ExternalAppendOnlyUnsafeRowArray and SPILLS past ~2k rows — the sf10
+    // probe measured the same Σ|cell|² candidate stream 7× slower under
+    // SMJ (41.8 s vs 5.9 s at ncells=16). A shuffled hash join keeps one
+    // partition's cells as an in-memory hash relation — Σ|cell| rows per
+    // partition, the working set within-cell pair generation needs anyway —
+    // and streams the probe side at full codegen rate.
+    binned.as("a").join(binned.as("b").hint("SHUFFLE_HASH"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
         round(CosineSimilarity(col("a.embedding"), col("b.embedding")), 6).as("cos"))
@@ -252,7 +267,7 @@ object Similarity extends QueryModule {
       case None => roundedCentroids(corpus, nCells)
     }
     assignCells(corpus.select(col("vec_id"), col("embedding")),
-      centroidFrame(corpus.sparkSession, cents), rounded = true)
+      cents, rounded = true)
   }
 
   /** One rounded Lloyd iteration of spherical k-means over the ~20%
@@ -271,7 +286,7 @@ object Similarity extends QueryModule {
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
     val means = assignCells(sample.select(col("vec_id"), col("embedding")),
-        centroidFrame(corpus.sparkSession, seeds), rounded = true)
+        seeds, rounded = true)
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
       .agg((floor(avg(col("v")) * 1e6 + 0.5) / 1e6).as("m"))
@@ -302,7 +317,7 @@ object Similarity extends QueryModule {
         .map(_.getSeq[Float](0).toArray).toSeq
       (1 to LLOYD_ITERS).foreach { _ =>
         val means = assignCells(corpus.select(col("vec_id"), col("embedding")),
-            centroidFrame(s, cents.map(_.map(_.toDouble))), rounded = false)
+            cents.map(_.map(_.toDouble)), rounded = false)
           .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
           .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
           .collect()

@@ -77,21 +77,27 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
-  test("IVF cell assignment broadcasts centroid ROWS, not plan literals") {
-    // the round-5 `weak` flag: the old shape folded one CosineSimilarity
-    // per centroid into the plan (O(ncells·dim) literals — a multi-MB plan
-    // and a codegen blowup at the ncells a 100× corpus needs). The join
-    // shape must broadcast the centroid relation instead, so the kernel
-    // count in the plan is O(1) in ncells (16 cells here; a literal fold
-    // would show ≥ 16 kernels) and a BroadcastNestedLoopJoin feeds the
-    // arg-max aggregate.
+  test("IVF cell assignment is one constant-size kernel, no literals, no join") {
+    // the round-5 `weak` flag, second iteration: the round-4 shape folded
+    // one CosineSimilarity per centroid into the plan (O(ncells·dim)
+    // literals); the first round-6 fix broadcast the centroid relation and
+    // arg-maxed with max(struct(score, cell, embedding)) — constant plan
+    // size but n×ncells candidate structs materialized through the
+    // aggregate (sf10: 6.8 s at ncells=64, 39 s at 256). Corpus assignment
+    // must now be the nearest_centroid reference-object kernel: a narrow
+    // map, kernel count O(1) in ncells (16 cells here; a literal fold
+    // would show ≥ 16 CosineSimilarity kernels), and no nested-loop join
+    // anywhere in the corpus-assignment subtree.
     Seq("dedup_embed_cosine", "ann_ivf_topk").foreach { q =>
       val plan = planOf(q)
       withClue(s"$q: ") {
-        plan should include("BroadcastNestedLoopJoin")
+        plan.toLowerCase should include("nearest_centroid")
         "cosinesimilarity".r.findAllIn(plan.toLowerCase).size should be <= 8
       }
     }
+    // dedup's whole plan is assignment + the cell-blocked equi-self-join:
+    // nothing in it may degrade to a nested-loop join
+    planOf("dedup_embed_cosine") should not include "BroadcastNestedLoopJoin"
   }
 
   test("bloom decontam prunes with might_contain before any corpus shuffle") {
