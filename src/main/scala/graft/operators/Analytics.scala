@@ -404,6 +404,42 @@ object Analytics extends QueryModule {
           coalesce(col("n"), lit(0L)).as("n"))
         .orderBy(col("event_type"), col("bkt"))
     }),
+
+    // ---- ClickHouse query-surface analogs (round 6) ----
+    // LIMIT n BY col: first 2 orders per customer by date. CH implements
+    // this as a per-group limit inside the sort; the Spark altitude is a
+    // row_number window over the group key — one shuffle on o_custkey,
+    // then a codegen'd filter. Tiebreak on o_orderkey keeps both engines
+    // deterministic on equal dates.
+    "limit_by" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .drop("rn")
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // SAMPLE k analog: CH tables declare SAMPLE BY intHash32(key) and a
+    // query's `SAMPLE 1/5` reads the deterministic fifth of key-hash
+    // space, scaling additive aggregates back up. Same shape here: the
+    // polyHash kernel (the repo's cross-engine hash) over the sort key
+    // picks hash residues {0,1} of 10 — a stable 20% sample — and counts
+    // are multiplied by 5. The filter runs pre-shuffle, so at 100 TB the
+    // aggregate shuffles a fifth of the rows; avg is reported unscaled
+    // (ratio estimators don't rescale).
+    "sample_key" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"),
+          graft.functions.TextFns.polyHash(col("l_orderkey").cast("string")).as("h"))
+        .filter(pmod(col("h"), lit(10)) < 2)
+        .groupBy(col("l_returnflag"))
+        .agg((count(lit(1)) * 5).as("est_rows"),
+          round(sum(col("l_quantity")) * 5, 1).as("est_qty"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"))
+        .orderBy(col("l_returnflag"))),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -650,5 +686,27 @@ object Analytics extends QueryModule {
         |SELECT a.event_type, a.bkt, coalesce(b.n, 0) AS n
         |FROM a LEFT JOIN b USING (event_type, bkt)
         |ORDER BY event_type, bkt""".stripMargin,
+
+    "limit_by" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2 ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "sample_key" ->
+      """SELECT l_returnflag, count(*) * 5 AS est_rows,
+        |  round(sum(l_quantity) * 5, 1) AS est_qty,
+        |  round(avg(l_quantity), 6) AS avg_qty
+        |FROM (
+        |  SELECT l_returnflag, l_quantity,
+        |    list_reduce(
+        |      list_prepend(0::BIGINT,
+        |        [unicode(c) for c in string_split(l_orderkey::VARCHAR, '')]),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+        |  FROM lineitem)
+        |WHERE h % 10 < 2
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -43,6 +43,7 @@ class SqlParitySpec extends SparkSpecBase {
     "j1_anti_join", "j2_semi_join", "j3_existence", "join_broadcast",
     "join_cross", "join_left_outer", "join_null_safe", "join_range",
     "join_shuffle", "join_skew_salted", "o1_topk", "o2_stalest_first",
+    "dict_get", "limit_by",
     "p3_filter_eq", "p5_watermark", "p6_conj_pred", "p7_in_list",
     "p8_count_if", "p9_point_lookup", "proj_rollup_count",
     "proj_rollup_sum", "q1_agg", "q3_shipping", "q5_region_revenue",
@@ -410,7 +411,22 @@ class SqlParitySpec extends SparkSpecBase {
         |        regexp_replace(text,
         |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
         |          '<EMAIL>') AS emailless
-        |      FROM documents) ORDER BY doc_id""".stripMargin)
+        |      FROM documents) ORDER BY doc_id""".stripMargin,
+
+    "dict_hierarchy" ->
+      """SELECT s_suppkey, array(s_nationkey, n_regionkey + 100) AS path
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "sample_key" ->
+      """SELECT l_returnflag, count(*) * 5 AS est_rows,
+        |  round(sum(l_quantity) * 5, 1) AS est_qty,
+        |  round(avg(l_quantity), 6) AS avg_qty
+        |FROM (SELECT l_returnflag, l_quantity,
+        |        polyhash(CAST(l_orderkey AS STRING)) AS h
+        |      FROM lineitem)
+        |WHERE pmod(h, 10) < 2
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 
   /** No single-statement Spark-SQL form — each with the blocking construct.
     * These stay DataFrame-surface operators (still oracled in CORRECTNESS).

@@ -22,6 +22,15 @@ def load_spark(outdir, name):
 
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
+    # array-typed cells (numpy arrays / lists) are unhashable and unsortable
+    # in pandas — canonicalize them to their string form, which is also how
+    # values end up compared (the driver's gate hashes rendered values)
+    for c in df.columns:
+        if df[c].dtype == object and df[c].map(
+                lambda v: isinstance(v, (list, tuple)) or hasattr(v, "tolist")).any():
+            df[c] = df[c].map(
+                lambda v: str(list(v.tolist() if hasattr(v, "tolist") else v))
+                if v is not None else None)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
