@@ -498,9 +498,18 @@ final class Catalog(spark: SparkSession) {
     new org.apache.hadoop.fs.Path(dir, s"_idx/$fileName.$column.bloom")
 
   /** Index every parquet file under `dir` (recursive — partitioned layouts
-    * nest files in key=value subdirs) that lacks a sidecar. One
-    * column-pruned pass per file per column, paid at WRITE time — the
-    * read-side win at 100 TB is skipping the file entirely.
+    * nest files in key=value subdirs) that lacks a sidecar, in ONE
+    * distributed pass: all unindexed files are scanned as a single
+    * column-pruned read tagged with `input_file_name()`, each file's
+    * blooms are built EXECUTOR-side inside `mapGroups` (a file's index-col
+    * values fit its executor by construction — a file is at most a scan
+    * split), and only the finished sidecar BYTES come back to the driver
+    * (~KB per file per column at 1% fpp). The first formulation looped
+    * files on the DRIVER with a count + stat.bloomFilter job per file —
+    * 2 sequential Spark jobs per file, ~7.7 s for a 32-file table at
+    * sf0.1 and days at a 100 TB table's file count; this pass is one job
+    * regardless of file count. Cost is paid at WRITE time — the read-side
+    * win at 100 TB is skipping the file entirely.
     */
   private def buildSkipIndex(t: TableDef, dir: String): Unit = {
     import org.apache.hadoop.fs.Path
@@ -516,18 +525,47 @@ final class Catalog(spark: SparkSession) {
           !s.getPath.toString.contains("/_idx/"))
         files += s.getPath
     }
-    files.foreach { p =>
-      val parent = p.getParent
-      val cols = t.indexCols.filter(c => !f.exists(idxSidecar(parent, p.getName, c)))
-      if (cols.nonEmpty) {
-        val fileDf = spark.read.parquet(p.toString)
-        val n = math.max(fileDf.count(), 1L)
-        cols.filter(fileDf.columns.contains).foreach { c =>
-          val bf = fileDf.stat.bloomFilter(c, n, 0.01)
-          val out = f.create(idxSidecar(parent, p.getName, c), true)
-          try bf.writeTo(out) finally out.close()
+    // only files still missing at least one column's sidecar participate
+    val missing = files.filter { p =>
+      t.indexCols.exists(c => !f.exists(idxSidecar(p.getParent, p.getName, c)))
+    }
+    if (missing.isEmpty) return
+    val schema = spark.read.parquet(missing.head.toString).schema
+    val cols = t.indexCols.filter(schema.fieldNames.contains)
+    if (cols.isEmpty) return
+    import spark.implicits._
+    val colIdx = cols.zipWithIndex
+    val sidecars: Array[(String, String, Array[Byte])] = spark.read
+      .schema(schema)
+      .parquet(missing.map(_.toString).toSeq: _*)
+      .select(input_file_name().as("__file") +: cols.map(col): _*)
+      .as(org.apache.spark.sql.Encoders.row(StructType(
+        StructField("__file", org.apache.spark.sql.types.StringType) +:
+          cols.map(schema(_)))))
+      .groupByKey(_.getString(0))
+      .flatMapGroups { (file: String, rows: Iterator[org.apache.spark.sql.Row]) =>
+        // buffer the file's index-col values (bloom sizing needs n first)
+        val bufs = Array.fill(cols.size)(
+          scala.collection.mutable.ArrayBuffer.empty[Any])
+        rows.foreach { r =>
+          colIdx.foreach { case (_, i) =>
+            val v = r.get(i + 1)
+            if (v != null) bufs(i) += v
+          }
         }
-      }
+        colIdx.iterator.map { case (c, i) =>
+          val bf = org.apache.spark.util.sketch.BloomFilter.create(
+            math.max(bufs(i).size.toLong, 1L), 0.01)
+          bufs(i).foreach(bf.put)
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          (file, c, bos.toByteArray)
+        }
+      }.collect()
+    sidecars.foreach { case (fileUri, c, bytes) =>
+      val p = new Path(new java.net.URI(fileUri))
+      val out = f.create(idxSidecar(p.getParent, p.getName, c), true)
+      try out.write(bytes) finally out.close()
     }
   }
 
