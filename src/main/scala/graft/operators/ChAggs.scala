@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -208,6 +209,25 @@ object ChAggs extends QueryModule {
     // per-step conditional mins with equi-join-backs on user_id, every
     // stage co-partitioned, frames shrinking monotonically, no per-user
     // event arrays ever collected.
+    // deltaSum analog: per-user sum of POSITIVE consecutive deltas of
+    // `value` in event order (CH's counter-increase aggregate — total
+    // growth ignoring resets). One window shuffle on user_id; the lag and
+    // the positive-delta filter are codegen'd row-local ops on top.
+    // event_id tiebreaks equal timestamps so the lag chain is identical
+    // on both engines.
+    "agg_delta_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .filter(col("prev").isNotNull && col("value") > col("prev"))
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("value") - col("prev")), 2).as("delta_sum"),
+          count(lit(1)).as("n_rises"))
+        .orderBy(col("user_id"))
+    }),
+
     "agg_seq_match" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("user_id"), col("ts"), col("event_type"))
@@ -382,6 +402,16 @@ object ChAggs extends QueryModule {
       """SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
         | TRUE AS approx_within_1pct_range
         |FROM lineitem""".stripMargin,
+
+    "agg_delta_sum" ->
+      """SELECT user_id, round(sum(value - prev), 2) AS delta_sum,
+        |       count(*) AS n_rises
+        |FROM (
+        |  SELECT user_id, value, lag(value) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |WHERE prev IS NOT NULL AND value > prev
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "agg_seq_match" ->
       """WITH t1 AS (

@@ -207,6 +207,46 @@ object TextAnalysis extends QueryModule {
         .limit(50)
     }),
 
+    // Bigram-LM document scoring — the CCNet-style quality filter: each
+    // doc scored by the mean log-probability of its bigrams under a
+    // PRUNED corpus LM (top-LmK bigrams by count; everything else hits a
+    // 1e-6 OOV floor, the pruning real LM filters apply so the model
+    // stays broadcastable).
+    //
+    // Scale shape: one corpus explode builds doc bigrams WITH doc_id; the
+    // LM derives from their (w1, w2) aggregate — count-ranked via
+    // orderBy+limit (TakeOrderedAndProject, never a global window) — and
+    // the scoring join is a map-side BROADCAST probe of the capped model,
+    // so the corpus stream never shuffles for scoring: the only wide ops
+    // are the bigram-count aggregate and the per-doc mean. Probabilities
+    // are floor-rounded to 6 decimals BEFORE the log so both engines feed
+    // identical doubles into identical log calls.
+    "text_lm_score" -> ((s, d) => {
+      val LmK = 500
+      val bi = Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(toks) < 2 THEN array()
+            |     ELSE transform(sequence(1, size(toks) - 1),
+            |                    i -> struct(toks[i-1] AS w1, toks[i] AS w2))
+            |END""".stripMargin)).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val cnt = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      val marginal = cnt.groupBy(col("w1")).agg(sum(col("cnt")).as("n_w1"))
+      val lm = cnt.orderBy(col("cnt").desc, col("w1"), col("w2")).limit(LmK)
+        .join(marginal, Seq("w1"))
+        .select(col("w1"), col("w2"),
+          (floor(col("cnt") * lit(1e6) / col("n_w1") + 0.5) / 1e6).as("p"))
+      bi.join(broadcast(lm), Seq("w1", "w2"), "left_outer")
+        .select(col("doc_id"),
+          when(col("p").isNotNull, log(col("p")))
+            .otherwise(log(lit(1e-6))).as("lp"))
+        .groupBy(col("doc_id"))
+        .agg((floor(avg(col("lp")) * 1e4 + 0.5) / 1e4).as("lm_score"),
+          count(lit(1)).as("n_bigrams"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Stratified quota sampling: a fixed per-language quota (20 docs)
     // selected in content-hash order — the deterministic "N examples per
     // stratum" split builder (eval sets, ablations) that no RNG-based
@@ -431,6 +471,26 @@ object TextAnalysis extends QueryModule {
         |  AS p_w2_given_w1
         |FROM bc JOIN fw USING (w1)
         |ORDER BY cnt DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    "text_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2
+        |  FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS g(i)),
+        |bc AS (SELECT w1, w2, count(*) AS cnt FROM bi GROUP BY 1, 2),
+        |fw AS (SELECT w1, sum(cnt) AS n_w1 FROM bc GROUP BY 1),
+        |lm AS (
+        |  SELECT w1, w2, floor(cnt * 1e6 / n_w1 + 0.5) / 1e6 AS p
+        |  FROM (SELECT * FROM bc ORDER BY cnt DESC, w1, w2 LIMIT 500)
+        |  JOIN fw USING (w1))
+        |SELECT doc_id,
+        |  floor(avg(CASE WHEN p IS NOT NULL THEN ln(p) ELSE ln(1e-6) END)
+        |        * 1e4 + 0.5) / 1e4 AS lm_score,
+        |  count(*) AS n_bigrams
+        |FROM bi LEFT JOIN lm USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_stratified" ->
       """SELECT doc_id, lang, rk FROM (

@@ -43,7 +43,7 @@ class SqlParitySpec extends SparkSpecBase {
     "j1_anti_join", "j2_semi_join", "j3_existence", "join_broadcast",
     "join_cross", "join_left_outer", "join_null_safe", "join_range",
     "join_shuffle", "join_skew_salted", "o1_topk", "o2_stalest_first",
-    "dict_get", "limit_by",
+    "agg_delta_sum", "dict_get", "limit_by",
     "p3_filter_eq", "p5_watermark", "p6_conj_pred", "p7_in_list",
     "p8_count_if", "p9_point_lookup", "proj_rollup_count",
     "proj_rollup_sum", "q1_agg", "q3_shipping", "q5_region_revenue",
@@ -417,6 +417,29 @@ class SqlParitySpec extends SparkSpecBase {
       """SELECT s_suppkey, array(s_nationkey, n_regionkey + 100) AS path
         |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
         |ORDER BY s_suppkey""".stripMargin,
+
+    "text_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, split(lower(text), '\\s+') AS t FROM documents),
+        |bi AS (
+        |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM tok
+        |  LATERAL VIEW explode(
+        |    CASE WHEN size(t) < 2 THEN array()
+        |         ELSE transform(sequence(1, size(t) - 1),
+        |                        i -> struct(t[i-1] AS w1, t[i] AS w2))
+        |    END) x AS b),
+        |bc AS (SELECT w1, w2, count(*) AS cnt FROM bi GROUP BY 1, 2),
+        |fw AS (SELECT w1, sum(cnt) AS n_w1 FROM bc GROUP BY 1),
+        |lm AS (
+        |  SELECT w1, w2, floor(cnt * 1e6 / n_w1 + 0.5) / 1e6 AS p
+        |  FROM (SELECT * FROM bc ORDER BY cnt DESC, w1, w2 LIMIT 500)
+        |  JOIN fw USING (w1))
+        |SELECT doc_id,
+        |  floor(avg(CASE WHEN p IS NOT NULL THEN ln(p) ELSE ln(1e-6) END)
+        |        * 1e4 + 0.5) / 1e4 AS lm_score,
+        |  count(*) AS n_bigrams
+        |FROM bi LEFT JOIN lm USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "sample_key" ->
       """SELECT l_returnflag, count(*) * 5 AS est_rows,
