@@ -688,6 +688,80 @@ final class Catalog(spark: SparkSession) {
     spark.read.schema(t.schema).parquet(dataPaths(t): _*)
   }
 
+  // ---- introspection (system.tables / system.parts analog) --------------
+  //
+  // ClickHouse exposes storage state through the `system` database
+  // (system.tables, system.parts) and every ops runbook leans on it —
+  // part counts before/after merges, bytes per table, min/max block
+  // bounds. Same surface here, as DataFrames: registry + filesystem
+  // METADATA for tables (no data scan), one distributed pass for
+  // per-part row counts and sort-key bounds.
+
+  private def listDataFiles(t: TableDef): Seq[org.apache.hadoop.fs.FileStatus] = {
+    import org.apache.hadoop.fs.Path
+    val f = fs(t)
+    dataPaths(t).map(new Path(_)).filter(f.exists).flatMap { root =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+      val it = f.listFiles(root, true)
+      while (it.hasNext) {
+        val s = it.next()
+        val n = s.getPath.getName
+        if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+            !s.getPath.toString.contains("/_idx/"))
+          out += s
+      }
+      out.toSeq
+    }
+  }
+
+  /** `system.tables` analog: one row per registered table — layout,
+    * engine semantics, declared keys, and storage totals (part count +
+    * bytes from the listing; pure metadata, no data scan).
+    */
+  def systemTables(): DataFrame = {
+    import spark.implicits._
+    tables.values.toSeq.sortBy(_.name).map { t =>
+      val files = if (exists(t.name)) listDataFiles(t) else Nil
+      (t.name, t.path, t.layout.toString,
+        t.semantics.getClass.getSimpleName.stripSuffix("$"),
+        t.sortKeys, t.partitionKeys, t.indexCols,
+        files.size.toLong, files.map(_.getLen).sum)
+    }.toDF("table", "path", "layout", "engine", "sort_keys",
+      "partition_keys", "index_cols", "n_parts", "bytes")
+  }
+
+  /** `system.parts` analog: one row per data file of `name` — rows and
+    * leading-sort-key min/max from ONE distributed pass over the table
+    * (input_file_name groupBy; the bounds this reports are exactly what
+    * clustered writes give the scan's row-group skipping), bytes joined
+    * from the driver listing by file name (Spark part names embed the
+    * write's UUID, so they are unique across segments).
+    */
+  def systemParts(name: String): DataFrame = {
+    import spark.implicits._
+    val t = get(name)
+    recoverInterruptedSwap(t)
+    val sizes = listDataFiles(t)
+      .map(s => (s.getPath.getName, s.getLen)).toDF("part", "bytes")
+    val sortKey = t.sortKeys.headOption
+    val perFile = spark.read.schema(t.schema).parquet(dataPaths(t): _*)
+      .withColumn("part", element_at(split(input_file_name(), "/"), -1))
+    val stats = sortKey match {
+      case Some(k) => perFile.groupBy(col("part")).agg(
+        count(lit(1)).as("rows"),
+        min(col(k)).cast("string").as("min_key"),
+        max(col(k)).cast("string").as("max_key"))
+      case None => perFile.groupBy(col("part")).agg(
+        count(lit(1)).as("rows"),
+        lit(null).cast("string").as("min_key"),
+        lit(null).cast("string").as("max_key"))
+    }
+    stats.join(broadcast(sizes), Seq("part"), "left_outer")
+      .select(col("part"), col("rows"), col("bytes"),
+        col("min_key"), col("max_key"))
+      .orderBy(col("min_key"), col("part"))
+  }
+
   /** The deferred "background merge": rewrite storage to its merged form.
     * ClickHouse does this continuously and asynchronously; on Parquet it is
     * a write to a sibling temp directory followed by a directory swap — the

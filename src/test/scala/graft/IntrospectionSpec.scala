@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.catalog._
+
+/** system.tables / system.parts analog: the observability surface an ops
+  * runbook drives (part counts before/after compaction, bytes per table,
+  * per-part sort-key bounds). Engine STATE, not table data, so it is
+  * spec-pinned rather than DuckDB-oracled.
+  */
+class IntrospectionSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshCat(name: String): (Catalog, String) = {
+    val cat = new Catalog(spark)
+    (cat, tmpDir(name))
+  }
+
+  test("systemTables reports layout, engine, keys, and storage totals") {
+    val (cat, dir) = freshCat("sys-tables")
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("k", "v")
+    cat.createTable(TableDef("t1", s"$dir/t1", df.schema,
+      sortKeys = Seq("k"), semantics = Append, indexCols = Seq("v")))
+    cat.createTable(TableDef("t2", s"$dir/t2", df.schema,
+      sortKeys = Seq("k"), semantics = ReplacingDedup(Seq("k"), "v"),
+      layout = Versioned))
+    cat.append("t1", df)
+    val rows = cat.systemTables().collect()
+      .map(r => r.getString(0) -> r).toMap
+    rows.keySet shouldBe Set("t1", "t2")
+    val t1 = rows("t1")
+    t1.getString(3) shouldBe "Append"
+    t1.getSeq[String](4) shouldBe Seq("k")      // sort_keys
+    t1.getSeq[String](6) shouldBe Seq("v")      // index_cols
+    t1.getLong(7) should be >= 1L               // n_parts
+    t1.getLong(8) should be > 0L                // bytes
+    val t2 = rows("t2")
+    t2.getString(2) shouldBe "Versioned"
+    t2.getString(3) shouldBe "ReplacingDedup"
+    t2.getLong(7) shouldBe 0L                   // no data yet
+  }
+
+  test("systemParts rows sum to the table count and bounds nest in order") {
+    val (cat, dir) = freshCat("sys-parts")
+    val df = spark.range(0, 1000).select(col("id").as("k"),
+      (col("id") % 7).cast("string").as("v")).repartition(4)
+    cat.createTable(TableDef("t", s"$dir/t", df.schema,
+      sortKeys = Seq("k"), semantics = Append))
+    cat.append("t", df)
+    val parts = cat.systemParts("t").collect()
+    parts.map(_.getLong(1)).sum shouldBe 1000L
+    all(parts.map(_.getLong(2))) should be > 0L // bytes joined for every part
+    // clustered append range-partitions by k: each part's [min,max] span
+    // must not overlap the next part's (the skipping the layout exists for)
+    val bounds = parts.map(r => (r.getString(3).toLong, r.getString(4).toLong))
+    bounds.sortBy(_._1).sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => hi should be <= lo2
+      case _ => ()
+    }
+  }
+
+  test("systemParts tracks compaction merging appends down") {
+    val (cat, dir) = freshCat("sys-compact")
+    val df = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    cat.createTable(TableDef("t", s"$dir/t", df.schema,
+      sortKeys = Seq("k"), semantics = Append))
+    cat.append("t", df)
+    cat.append("t", df)
+    val before = cat.systemParts("t").count()
+    cat.compact("t")
+    val after = cat.systemParts("t").count()
+    after should be <= before
+    cat.systemParts("t").agg(sum(col("rows"))).head().getLong(0) shouldBe 4L
+  }
+}
