@@ -355,24 +355,50 @@ final class Catalog(spark: SparkSession) {
       .sorted
   }
 
+  /** Segment names a version dir absorbed when compaction wrote it — its
+    * `_FOLDED` sidecar, written BEFORE the manifest flips to the version.
+    * Readers subtract this set from the committed-segment list, which
+    * makes the fold exclusion ATOMIC with version resolution: whichever
+    * version a reader lands on (manifest or highest-complete fallback),
+    * the segments that version already contains are never ALSO scanned.
+    * Without it, the window between manifest flip and segment unmark —
+    * and permanently, a crash inside that window — double-counted folded
+    * rows on Append tables (no merge view to collapse them) and re-folded
+    * them into the next compact's output.
+    */
+  private def foldedOf(t: TableDef, version: String): Set[String] = {
+    import org.apache.hadoop.fs.Path
+    val f = fs(t)
+    val p = new Path(new Path(t.path, version), "_FOLDED")
+    if (!f.exists(p)) Set.empty
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().map(_.trim).filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
   /** Every directory a read must scan: live version dir + committed
-    * segments (Versioned), or the flat dir.
+    * segments it has not absorbed (Versioned), or the flat dir.
     *
     * Resolution order is deliberate — segments FIRST, manifest second.
     * Compaction commits in the opposite order (flip manifest, then unmark
     * the folded segments), so a reader that straddles the flip resolves
-    * either the old consistent view or, in the microseconds between flip
-    * and unmark, the new version PLUS a just-folded segment — transient
-    * duplicates that the Replacing/Aggregating merged read views collapse.
-    * The reverse order would instead transiently DROP the folded rows
-    * (old version, markers already gone), which no semantics can repair.
+    * either the old consistent view or the new version plus a just-folded
+    * segment — which [[foldedOf]] then excludes, for EVERY semantics
+    * including Append. The reverse order would instead transiently DROP
+    * the folded rows (old version, markers already gone), which nothing
+    * can repair.
     */
   private def dataPaths(t: TableDef): Seq[String] = t.layout match {
     case FlatDir => Seq(t.path)
     case Versioned =>
+      val curV = currentVersion(t)
       val segs = committedSegments(t)
+        .filterNot(foldedOf(t, curV))
         .map(s => new org.apache.hadoop.fs.Path(t.path, s).toString)
-      val cur = dataPath(t)
+      val cur = new org.apache.hadoop.fs.Path(t.path, curV).toString
       // a fresh table whose only data is appended segments has no version
       // dir yet — passing the nonexistent dir to the scan would fail it
       if (segs.nonEmpty && !fs(t).exists(new org.apache.hadoop.fs.Path(cur))) segs
@@ -440,6 +466,10 @@ final class Catalog(spark: SparkSession) {
     val out = f.create(new Path(segMarkerDir(t), seg), false) // atomic commit
     try out.write(processTag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // void a GC nomination a concurrent compact may have written while
+    // this (long) data write looked abandoned — the marker above already
+    // makes the segment live, so the tombstone must not outlive it
+    f.delete(new Path(segMarkerDir(t), seg + ".orphan"), false)
   }
 
   /** Finish a compact swap a crash interrupted (doc on [[compact]]): table
@@ -533,38 +563,53 @@ final class Catalog(spark: SparkSession) {
     val schema = spark.read.parquet(missing.head.toString).schema
     val cols = t.indexCols.filter(schema.fieldNames.contains)
     if (cols.isEmpty) return
-    import spark.implicits._
-    val colIdx = cols.zipWithIndex
-    val sidecars: Array[(String, String, Array[Byte])] = spark.read
-      .schema(schema)
+    val base = spark.read.schema(schema)
       .parquet(missing.map(_.toString).toSeq: _*)
       .select(input_file_name().as("__file") +: cols.map(col): _*)
-      .as(org.apache.spark.sql.Encoders.row(StructType(
-        StructField("__file", org.apache.spark.sql.types.StringType) +:
-          cols.map(schema(_)))))
-      .groupByKey(_.getString(0))
-      .flatMapGroups { (file: String, rows: Iterator[org.apache.spark.sql.Row]) =>
-        // buffer the file's index-col values (bloom sizing needs n first)
-        val bufs = Array.fill(cols.size)(
-          scala.collection.mutable.ArrayBuffer.empty[Any])
-        rows.foreach { r =>
-          colIdx.foreach { case (_, i) =>
-            val v = r.get(i + 1)
-            if (v != null) bufs(i) += v
-          }
+    // job 1: per-file row counts (bloom sizing) — one tiny aggregate
+    val counts = base.groupBy(col("__file")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bcCounts = spark.sparkContext.broadcast(counts)
+    val nCols = cols.size
+    // job 2: STREAM rows into per-(file, column) partial blooms per scan
+    // partition, merge partials by key. A partition holds at most a few
+    // files' splits, so task memory is a handful of fixed-size blooms —
+    // never the file's values (a 'file' regathered via groupByKey is NOT
+    // one scan split; buffering its boxed values OOMs at exactly the
+    // file sizes the 100 TB pitch assumes). Partials built from the same
+    // (n, fpp) are mergeInPlace-compatible by construction.
+    val sidecars = base.rdd.mapPartitions { it =>
+      val blooms = scala.collection.mutable.HashMap
+        .empty[(String, Int), org.apache.spark.util.sketch.BloomFilter]
+      it.foreach { r =>
+        val file = r.getString(0)
+        var i = 0
+        while (i < nCols) {
+          val v = r.get(i + 1)
+          if (v != null)
+            blooms.getOrElseUpdate((file, i),
+              org.apache.spark.util.sketch.BloomFilter.create(
+                math.max(bcCounts.value.getOrElse(file, 1L), 1L), 0.01)).put(v)
+          i += 1
         }
-        colIdx.iterator.map { case (c, i) =>
-          val bf = org.apache.spark.util.sketch.BloomFilter.create(
-            math.max(bufs(i).size.toLong, 1L), 0.01)
-          bufs(i).foreach(bf.put)
-          val bos = new java.io.ByteArrayOutputStream()
-          bf.writeTo(bos)
-          (file, c, bos.toByteArray)
-        }
-      }.collect()
-    sidecars.foreach { case (fileUri, c, bytes) =>
+      }
+      blooms.iterator.map { case (k, bf) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (k, bos.toByteArray)
+      }
+    }.reduceByKey { (a, b) =>
+      val x = org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(a))
+      x.mergeInPlace(org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(b)))
+      val bos = new java.io.ByteArrayOutputStream()
+      x.writeTo(bos)
+      bos.toByteArray
+    }.collect()
+    sidecars.foreach { case ((fileUri, i), bytes) =>
       val p = new Path(new java.net.URI(fileUri))
-      val out = f.create(idxSidecar(p.getParent, p.getName, c), true)
+      val out = f.create(idxSidecar(p.getParent, p.getName, cols(i)), true)
       try out.write(bytes) finally out.close()
     }
   }
@@ -587,6 +632,16 @@ final class Catalog(spark: SparkSession) {
     // level, which is the stronger prune
     require(t.partitionKeys.isEmpty,
       s"$name: bloom-pruned reads target unpartitioned layouts")
+    // file pruning composes with a raw scan, NOT with a merge view:
+    // under Replacing/Summing/Aggregating semantics the merge needs every
+    // file of a key group, and dropping a file whose bloom lacks the
+    // probe can resurrect a superseded row (its superseder lives in the
+    // pruned file) or return a partial sum/state — so the skip index is
+    // an Append-tables feature, exactly like ClickHouse applies
+    // secondary indexes to raw parts, before FINAL merging
+    require(t.semantics == Append,
+      s"$name: bloom-pruned reads require Append semantics " +
+        s"(merge views need every file of a key group)")
     recoverInterruptedSwap(t)
     val f = fs(t)
     val all = scala.collection.mutable.ArrayBuffer.empty[Path]
@@ -932,16 +987,54 @@ final class Catalog(spark: SparkSession) {
         f.delete(new Path(t.path, s.getPath.getName.stripSuffix(".folded")), true)
         f.delete(s.getPath, false)
       }
+    // finish a crashed unmark: segments the CURRENT version already
+    // absorbed (its _FOLDED list) but whose markers survived a crash
+    // between the manifest flip and the unmark loop — readers already
+    // exclude them via foldedOf, but the markers must go before this
+    // compact snapshots, or the rows would fold twice
+    foldedOf(t, cur).foreach { s =>
+      val m = new Path(segMd, s)
+      if (f.exists(m)) {
+        f.delete(m, false)
+        f.create(new Path(segMd, s + ".folded"), true).close()
+      }
+    }
     // crashed appends: a stage dir with NO commit marker (and no
-    // tombstone) is invisible to readers; age-gated like the manifest
-    // tmps — a peer may be staging RIGHT NOW, its marker lands only after
-    // the data write completes
+    // tombstone) is invisible to readers. TWO-phase, not a one-shot age
+    // gate: a peer's data write can legitimately run longer than any
+    // fixed age (the staging dir's mtime is set at creation, not
+    // refreshed), so this compact only NOMINATES an old unmarked dir
+    // (`.orphan` tombstone); a LATER compact deletes it only if it is
+    // still unmarked, the nomination itself has aged past staleLockMs,
+    // and nothing inside the dir has been written for staleLockMs (the
+    // newest-file mtime is the writer's heartbeat). A writer that
+    // eventually commits voids its nomination in commitSegment.
     val committed = committedSegments(t).toSet
     f.listStatus(new Path(t.path)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg-") &&
         !committed(s.getPath.getName) &&
+        !f.exists(new Path(segMd, s.getPath.getName + ".folded")) &&
         System.currentTimeMillis() - s.getModificationTime > staleLockMs)
-      .foreach(s => f.delete(s.getPath, true))
+      .foreach { s =>
+        val seg = s.getPath.getName
+        val orphan = new Path(segMd, seg + ".orphan")
+        if (!f.exists(orphan)) {
+          f.mkdirs(segMd)
+          f.create(orphan, true).close()
+        } else if (System.currentTimeMillis() -
+                     f.getFileStatus(orphan).getModificationTime > staleLockMs) {
+          val newest = {
+            val it = f.listFiles(s.getPath, true)
+            var m = s.getModificationTime
+            while (it.hasNext) m = math.max(m, it.next().getModificationTime)
+            m
+          }
+          if (System.currentTimeMillis() - newest > staleLockMs) {
+            f.delete(s.getPath, true)
+            f.delete(orphan, false)
+          }
+        }
+      }
     // nothing written yet (no version data AND no committed segments):
     // data no-op, but validate the transform (see the compactFlat twin of
     // this guard)
@@ -959,6 +1052,18 @@ final class Catalog(spark: SparkSession) {
     val merged = transform(readVia(t, snapPaths))
     val next = s"v${versionNum(cur) + 1}"
     writeData(t, clusteredFor(t, merged), new Path(t.path, next).toString)
+    // record what this version absorbed BEFORE it can become current:
+    // readers subtract the _FOLDED set from the committed-segment list
+    // (see foldedOf), so the flip below hides the folded segments in the
+    // SAME atomic step that exposes their rows in the new version — no
+    // double-count window, for Append semantics too, and a crash before
+    // the unmark loop below is fully recoverable
+    if (committed.nonEmpty) {
+      val out = f.create(new Path(new Path(t.path, next), "_FOLDED"), true)
+      try out.write(committed.toSeq.sorted.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     writeManifest(t, next)
     // unmark the folded segments (hidden from new readers) and tombstone
     // them for the next compact's GC; their dirs — like the displaced

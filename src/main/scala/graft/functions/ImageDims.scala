@@ -57,8 +57,39 @@ object ImageDims {
   def apply(c: Column): Column =
     ColumnShim.column(ImageDims(ColumnShim.expression(c)))
 
+  /** Structural magic-number gate BEFORE ImageIO sees the bytes. The SPI
+    * sniffers are too permissive to run on arbitrary column content:
+    * the BMP reader matches on the 2 ASCII bytes "BM" (any text starting
+    * "BMW…" would "decode" with bytes 18–21 of the text as its width) and
+    * the WBMP reader matches on a leading 0x00 pair (any binary blob).
+    * Only formats whose signature cannot occur as innocent text/binary
+    * prefixes pass: PNG/JPEG magics are non-UTF-8, BMP additionally must
+    * declare its own exact byte length, GIF must carry its 0x3B trailer.
+    * A real image an exotic writer produced without these invariants
+    * resolves to null (the callers' byte-derived fallback) — conservative
+    * by design; garbage dimensions are the worse failure.
+    */
+  private def looksLikeImage(p: Array[Byte]): Boolean = {
+    def u(i: Int): Int = p(i) & 0xff
+    val png = p.length >= 8 && u(0) == 0x89 && p(1) == 'P' && p(2) == 'N' &&
+      p(3) == 'G' && u(4) == 0x0d && u(5) == 0x0a && u(6) == 0x1a && u(7) == 0x0a
+    val jpeg = p.length >= 3 && u(0) == 0xff && u(1) == 0xd8 && u(2) == 0xff
+    val bmp = p.length >= 6 && p(0) == 'B' && p(1) == 'M' && {
+      val declared = u(2).toLong | (u(3).toLong << 8) |
+        (u(4).toLong << 16) | (u(5).toLong << 24)
+      declared == p.length
+    }
+    val gif = p.length >= 7 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+      p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a' &&
+      u(p.length - 1) == 0x3b
+    png || jpeg || bmp || gif
+  }
+
+  private val MaxDim = 1 << 24 // 16M px a side: anything beyond is garbage
+
   /** Shared eval/codegen kernel: header-only (w, h), or null. */
   def dims(payload: Array[Byte]): InternalRow = {
+    if (payload == null || !looksLikeImage(payload)) return null
     var stream: javax.imageio.stream.ImageInputStream = null
     try {
       stream = javax.imageio.ImageIO.createImageInputStream(
@@ -69,7 +100,10 @@ object ImageDims {
         val reader = readers.next()
         try {
           reader.setInput(stream)
-          InternalRow(reader.getWidth(0), reader.getHeight(0))
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim) null
+          else InternalRow(w, h)
         } finally reader.dispose()
       }
     } catch { case scala.util.control.NonFatal(_) => null }

@@ -44,6 +44,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
 case class NearestCentroid(child: Expression, centroids: Array[Array[Double]],
                            rounded: Boolean)
     extends UnaryExpression {
+  require(centroids.nonEmpty, "nearest_centroid requires a non-empty codebook")
 
   override def dataType: DataType = IntegerType
 
@@ -80,10 +81,20 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]],
       }
       var sc = if (nx == 0.0 || ny == 0.0) 0.0
                else dot / (math.sqrt(nx) * math.sqrt(ny))
-      if (rounded)
+      // BigDecimal.valueOf(NaN) throws, and Spark's round() passes NaN
+      // through — so must this
+      if (rounded && !java.lang.Double.isNaN(sc))
         sc = java.math.BigDecimal.valueOf(sc)
           .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-      if (sc >= best) { best = sc; bestCell = c }
+      // Spark's struct-max (the pinned relational semantics) orders NaN
+      // ABOVE every double; `sc >= best` alone would instead skip NaN
+      // cells. NaN wins (and a later NaN re-wins: ties to higher cell);
+      // a number never displaces a NaN best.
+      val better =
+        if (java.lang.Double.isNaN(sc)) true
+        else if (java.lang.Double.isNaN(best)) false
+        else sc >= best
+      if (better) { best = sc; bestCell = c }
       c += 1
     }
     bestCell
@@ -99,7 +110,7 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]],
       val ny = ctx.freshName("ny"); val sc = ctx.freshName("sc")
       val best = ctx.freshName("best"); val bestCell = ctx.freshName("bestCell")
       val roundStmt = if (rounded)
-        s"$sc = java.math.BigDecimal.valueOf($sc).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();"
+        s"if (!Double.isNaN($sc)) $sc = java.math.BigDecimal.valueOf($sc).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();"
       else ""
       s"""
          |int $bestCell = -1;
@@ -116,7 +127,11 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]],
          |  double $sc = ($nx == 0.0 || $ny == 0.0)
          |    ? 0.0 : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
          |  $roundStmt
-         |  if ($sc >= $best) { $best = $sc; $bestCell = $c; }
+         |  // NaN orders ABOVE every double (struct-max semantics): NaN
+         |  // always wins, a number never displaces a NaN best
+         |  if (Double.isNaN($sc) || (!Double.isNaN($best) && $sc >= $best)) {
+         |    $best = $sc; $bestCell = $c;
+         |  }
          |}
          |${ev.value} = $bestCell;
        """.stripMargin

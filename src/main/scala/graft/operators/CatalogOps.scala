@@ -59,6 +59,12 @@ object CatalogOps extends QueryModule {
   /** Catalog copy of `src` under a fresh temp dir with the given layout —
     * shared scaffolding for the storage-layout gate queries.
     */
+  /** Register a temp warehouse dir for the shutdown-hook GC — shared with
+    * other modules that stage catalog copies (e.g. ChAggs' sketch MV).
+    */
+  private[graft] def registerForCleanup(dir: java.nio.file.Path): Unit =
+    copyDirs.add(dir)
+
   private def catalogCopy(s: SparkSession, table: String, src: DataFrame,
                           sortKeys: Seq[String],
                           partitionKeys: Seq[String] = Nil): (DataFrame, String) =

@@ -291,16 +291,25 @@ object ChAggs extends QueryModule {
     * once per partition of new data while readers only union kilobytes of
     * state. Returns the table's merged READ VIEW (event_type, day, state).
     */
-  private val hllTables =
-    scala.collection.concurrent.TrieMap.empty[String, (graft.catalog.Catalog, String)]
+  // memo keyed by (session, corpus dir): the maintained table's DATA is
+  // reusable across sessions, but Catalog/DataFrame handles are bound to
+  // the session that made them — keying on the dir alone pinned the FIRST
+  // caller's (possibly stopped) session into every later caller. The temp
+  // warehouse registers with CatalogOps' shutdown-hook GC like every
+  // other catalog-copy the suite writes.
+  private val hllTables = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+           (graft.catalog.Catalog, String)]
 
   private[graft] def hllSketchTable(s: org.apache.spark.sql.SparkSession,
                                     d: String): org.apache.spark.sql.DataFrame = {
     import graft.catalog.{Aggregating, Catalog, TableDef}
     import org.apache.spark.sql.types._
-    val (cat, name) = hllTables.getOrElseUpdate(d, {
+    val (cat, name) = hllTables.getOrElseUpdate((s, d), {
       val cat = new Catalog(s)
-      val wh = java.nio.file.Files.createTempDirectory("graft-hll-mv").toString
+      val whPath = java.nio.file.Files.createTempDirectory("graft-hll-mv")
+      CatalogOps.registerForCleanup(whPath)
+      val wh = whPath.toString
       val t = cat.createTable(TableDef(
         "uniq_users_by_type_day", s"$wh/uniq_users_by_type_day",
         StructType(Seq(

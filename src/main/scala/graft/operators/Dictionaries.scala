@@ -63,20 +63,33 @@ object Dictionaries extends QueryModule {
   def hierarchy(fact: DataFrame, factKey: Column, dict: DataFrame,
                 key: String, parent: String, maxDepth: Int = 8,
                 as: String = "path"): DataFrame = {
+    // eager localCheckpoint per level (the connectedComponents pattern,
+    // Dedup.scala): without it, each level's stop-check action recomputes
+    // the whole uncached join chain from scratch — O(depth²) join work —
+    // and the invariant step projection would re-broadcast per level.
+    // Blocks of the superseded level are released as soon as the next is
+    // materialized; the final level's checkpoint stays live for the fact
+    // join to read.
+    def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+    val step = broadcast(dict.select(col(key).as("__sk"), col(parent).as("__sp")))
     // resolve key -> full ancestor path on the dict itself (|dict| rows)
     var chain = dict.select(col(key).as("__k"), array(col(key)).as("__path"),
-      col(parent).as("__next"))
+      col(parent).as("__next")).localCheckpoint()
     var depth = 1
     var open = !chain.filter(col("__next").isNotNull).isEmpty
     while (open && depth < maxDepth) {
-      val step = broadcast(dict.select(col(key).as("__sk"),
-        col(parent).as("__sp")))
-      chain = chain.join(step, col("__next") === col("__sk"), "left_outer")
+      val next = chain.join(step, col("__next") === col("__sk"), "left_outer")
         .select(col("__k"),
           when(col("__next").isNotNull,
             concat(col("__path"), array(col("__next"))))
             .otherwise(col("__path")).as("__path"),
           col("__sp").as("__next"))
+        .localCheckpoint() // eager: one job per level, lineage truncated
+      release(chain)
+      chain = next
       depth += 1
       open = !chain.filter(col("__next").isNotNull).isEmpty
     }

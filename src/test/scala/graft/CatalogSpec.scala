@@ -535,4 +535,51 @@ class CatalogSpec extends SparkSpecBase {
     cat.read("ttl").orderBy("k").collect().map(_.getString(0)) shouldBe
       Array("mid", "new")
   }
+
+  test("a crash between manifest flip and segment unmark never double-counts") {
+    // the window the _FOLDED sidecar closes: compact writes v1 (absorbing
+    // the segments), flips _CURRENT, and CRASHES before deleting the
+    // segment markers. On an APPEND-semantics table there is no merge
+    // view to hide duplicates — the fold exclusion must come from the
+    // version itself. Simulated by resurrecting the post-compact state's
+    // markers (marker present + dir present + rows already in v1).
+    import java.nio.file.{Files, Paths}
+    val cat = new Catalog(spark)
+    val path = tmpDir("cat") + "/crashwin"
+    cat.createTable(TableDef("cw", path, replacingSchema,
+      Seq("k"), Append, layout = Versioned))
+    cat.append("cw", Seq(("a", 1L, 1L), ("b", 2L, 1L)).toDF("k", "v", "updated_at"))
+    cat.append("cw", Seq(("c", 3L, 1L), ("d", 4L, 1L)).toDF("k", "v", "updated_at"))
+    val segDirs = new java.io.File(path).list().filter(_.startsWith("seg-")).toSeq
+    segDirs.size shouldBe 2
+    cat.compact("cw")
+    cat.read("cw").count() shouldBe 4
+    // resurrect the crash state: markers back, tombstones gone
+    segDirs.foreach { s =>
+      Files.deleteIfExists(Paths.get(path, "_segs", s + ".folded"))
+      Files.write(Paths.get(path, "_segs", s), "crashed".getBytes)
+    }
+    // v1's _FOLDED list excludes the re-marked segments from every read
+    cat.read("cw").count() shouldBe 4
+    cat.readRaw("cw").count() shouldBe 4
+    // and the next compact finishes the unmark instead of re-folding
+    cat.compact("cw")
+    cat.read("cw").count() shouldBe 4
+    new java.io.File(path + "/_segs").list()
+      .filter(n => segDirs.contains(n)) shouldBe empty
+  }
+
+  test("bloom-pruned reads refuse merge-view semantics") {
+    // pruning composes with a raw scan only: under ReplacingDedup a
+    // pruned file can hold the SUPERSEDER of a row the kept files still
+    // contain — dropping it would resurrect the superseded row
+    val cat = new Catalog(spark)
+    cat.createTable(TableDef("bp", tmpDir("cat") + "/bp", replacingSchema,
+      Seq("k"), ReplacingDedup(Seq("k"), "updated_at"), indexCols = Seq("v")))
+    cat.append("bp", Seq(("a", 1L, 10L)).toDF("k", "v", "updated_at"))
+    val ex = intercept[IllegalArgumentException] {
+      cat.readPruned("bp", "v", 1L)
+    }
+    ex.getMessage should include("Append semantics")
+  }
 }

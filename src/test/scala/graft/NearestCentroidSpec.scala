@@ -57,6 +57,27 @@ class NearestCentroidSpec extends SparkSpecBase {
     assign(probe, Seq(b, a), rounded = true) shouldBe Seq(1)  // tie → higher
   }
 
+  test("NaN scores order above every number, matching struct-max") {
+    // a NaN centroid component makes that cell's cosine NaN; Spark's
+    // struct-max (the pinned relational semantics) orders NaN above every
+    // double, so the NaN cell must win — and with several NaN cells the
+    // HIGHEST one (tie rule)
+    val nanCent = Seq(Array(1.0, 0.0), Array(Double.NaN, 0.0), Array(0.0, 1.0))
+    assign(Seq(Seq(1f, 0f), Seq(0f, 1f)), nanCent, rounded = true) shouldBe Seq(1, 1)
+    // NaN input vector: every cell scores NaN → highest cell wins
+    assign(Seq(Seq(Float.NaN, 1f)), nanCent, rounded = true) shouldBe Seq(2)
+    // and the relational replay agrees
+    val vdf = Seq((0, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val cdf = nanCent.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+    val rel = vdf.crossJoin(cdf)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(round(CosineSimilarity(col("embedding"), col("centroid")), 6).as("sc"),
+        col("cell"))).as("best"))
+      .select(col("best.cell")).head().getInt(0)
+    rel shouldBe 1
+  }
+
   test("zero-norm input scores 0 against every centroid, ties to last cell") {
     val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 1.0))
     assign(Seq(Seq(0f, 0f)), cents, rounded = true) shouldBe Seq(2)
