@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.catalog.{Append, Catalog, TableDef}
-import graft.plans.{ProjectionDef, RollupRewrite}
+import graft.plans.{ProjectionDef, RollupRewrite, SortedProjectionDef, SortedProjectionRewrite}
 
 /** The Catalog's clustered write path exercised FROM the query suite —
   * queries elsewhere read the raw testdata Parquet, so the row-group-
@@ -213,6 +213,37 @@ object CatalogOps extends QueryModule {
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(col("o_orderstatus"))
     }),
+
+    // The OTHER half of ClickHouse projections: an alternate-ORDER-BY
+    // copy (`PROJECTION p (SELECT * ORDER BY o_custkey)`). The base is
+    // clustered on o_orderkey, so a customer point-lookup scans every
+    // row group; the registered sorted projection answers it instead —
+    // SortedProjectionRewrite swaps the relation under the filter
+    // (exprIds pinned), the predicate pushes into a scan whose min/max
+    // stats match it, and the oracle runs on the BASE so the swap is
+    // independently result-checked every round. Probe = the custkey of
+    // the minimum-orderkey row (deterministic at every SF).
+    "proj_sorted_lookup" -> ((s, d) => {
+      val base = s"$d/orders.parquet"
+      val proj = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft-proj-" + Integer.toHexString(d.hashCode),
+        "orders_bycust").toString
+      if (!SortedProjectionRewrite.isRegistered(base)) {
+        s.read.parquet(base)
+          .repartitionByRange(col("o_custkey"))
+          .sortWithinPartitions(col("o_custkey"))
+          .write.mode("overwrite").parquet(proj)
+        SortedProjectionRewrite.register(s,
+          SortedProjectionDef(base, proj, "o_custkey"))
+      }
+      val probe = s.read.parquet(base).orderBy(col("o_orderkey"))
+        .select(col("o_custkey")).head().getLong(0)
+      s.read.parquet(base)
+        .filter(col("o_custkey") === probe)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -249,5 +280,12 @@ object CatalogOps extends QueryModule {
       """SELECT o_orderstatus, count(*) AS n_orders
         |FROM orders WHERE o_orderpriority <> '1-URGENT'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // on the BASE table: proves the sorted-projection swap is sound
+    "proj_sorted_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey = (SELECT o_custkey FROM orders
+        |                   ORDER BY o_orderkey LIMIT 1)
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

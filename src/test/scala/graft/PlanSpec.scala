@@ -113,6 +113,17 @@ class PlanSpec extends SparkSpecBase {
       include("PartitionFilters: [isnotnull(event_type")
   }
 
+  test("proj_sorted_lookup reads the sorted projection, not the base table") {
+    // the alternate-ORDER-BY projection swap is the operator under test:
+    // losing it silently degrades the point lookup to a full scan of a
+    // copy clustered on the wrong key
+    val plan = planOf("proj_sorted_lookup")
+    plan should include("orders_bycust")
+    plan should not include "orders.parquet"
+    // and the probe predicate still pushes into the (projection) scan
+    plan should include("PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey")
+  }
+
   test("proj_rollup_count is answered from the rollup, not the base table") {
     // the projection rewrite is the operator under test: losing it would
     // silently fall back to a (correct but full) base scan — at 100 TB

@@ -46,7 +46,8 @@ class SqlParitySpec extends SparkSpecBase {
     "agg_delta_sum", "dict_get", "limit_by",
     "p3_filter_eq", "p5_watermark", "p6_conj_pred", "p7_in_list",
     "p8_count_if", "p9_point_lookup", "proj_rollup_count",
-    "proj_rollup_sum", "q1_agg", "q3_shipping", "q5_region_revenue",
+    "proj_rollup_sum", "proj_sorted_lookup", "q1_agg", "q3_shipping",
+    "q5_region_revenue",
     "set_except", "set_intersect", "set_union", "ts_session", "win_dist",
     "win_lag", "win_ntile_dense", "win_rank", "win_running_sum")
 
