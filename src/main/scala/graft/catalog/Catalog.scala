@@ -169,8 +169,109 @@ final class Catalog(spark: SparkSession) {
             s"(got ${t.schema.fieldNames.toSeq}, want ${keys ++ stateCols})")
       case _ => ()
     }
-    tables.putIfAbsent(t.name, t); tables(t.name)
+    tables.putIfAbsent(t.name, t)
+    persistTableDef(t)
+    tables(t.name)
   }
+
+  // ---- persisted table metadata (ATTACH TABLE analog) -------------------
+  //
+  // ClickHouse stores each table's definition beside its data and ATTACH
+  // re-registers it from disk; without this, every process in a fleet
+  // must re-declare the identical TableDef after a restart (the deploy
+  // runbook's re-declare step). createTable writes a `_TABLE` JSON
+  // sidecar (idempotent — same definition, same bytes), and [[attach]]
+  // reconstructs the TableDef from the path alone.
+
+  private def tableDefPath(t: TableDef) =
+    new org.apache.hadoop.fs.Path(t.path, "_TABLE")
+
+  private def persistTableDef(t: TableDef): Unit = try {
+    val f = fs(t)
+    val sem = t.semantics match {
+      case Append => Seq("kind" -> "append")
+      case ReplacingDedup(keys, v) =>
+        Seq("kind" -> "replacing", "keys" -> keys.mkString(","), "version" -> v)
+      case Summing(keys, cols) =>
+        Seq("kind" -> "summing", "keys" -> keys.mkString(","), "cols" -> cols.mkString(","))
+      case Aggregating(keys, cols) =>
+        Seq("kind" -> "aggregating", "keys" -> keys.mkString(","), "cols" -> cols.mkString(","))
+    }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val fields = Seq(
+      "name" -> t.name,
+      "schema" -> t.schema.json,
+      "sort_keys" -> t.sortKeys.mkString(","),
+      "layout" -> t.layout.toString,
+      "partition_keys" -> t.partitionKeys.mkString(","),
+      "index_cols" -> t.indexCols.mkString(",")) ++ sem.map {
+        case (k, v) => s"sem_$k" -> v
+      }
+    // schema.json is already JSON: embed verbatim under its own key
+    val json = fields.map {
+      case ("schema", v) => s"${jstr("schema")}:$v"
+      case (k, v) => s"${jstr(k)}:${jstr(v)}"
+    }.mkString("{", ",", "}")
+    f.mkdirs(new org.apache.hadoop.fs.Path(t.path))
+    val out = f.create(tableDefPath(t), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  } catch { case scala.util.control.NonFatal(_) => () } // metadata best-effort
+
+  /** Re-register a table from its persisted `_TABLE` definition — the
+    * ATTACH TABLE analog. Returns the reconstructed def, registered in
+    * this catalog under its stored name.
+    */
+  def attach(path: String): TableDef = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path, "_TABLE")
+    val f = p.getFileSystem(conf)
+    require(f.exists(p), s"attach: no _TABLE metadata under $path")
+    val in = f.open(p)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    // the only nested object is the schema — cut it out verbatim, then
+    // the remaining fields are flat "k":"v" pairs
+    val schemaStart = json.indexOf("\"schema\":") + "\"schema\":".length
+    var depth = 0; var i = schemaStart; var end = -1
+    while (end < 0 && i < json.length) {
+      json.charAt(i) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) end = i
+        case _ => ()
+      }
+      i += 1
+    }
+    require(end > 0, s"attach: malformed _TABLE under $path")
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(json.substring(schemaStart, end + 1))
+      .asInstanceOf[StructType]
+    val flat = (json.substring(0, schemaStart) + json.substring(end + 1))
+    val kv = "\"([^\"]+)\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findAllMatchIn(flat)
+      .map(m => m.group(1) -> m.group(2).replace("\\\"", "\"").replace("\\\\", "\\"))
+      .toMap
+    def list(k: String): Seq[String] =
+      kv.getOrElse(k, "").split(",").toSeq.filter(_.nonEmpty)
+    val sem = kv("sem_kind") match {
+      case "append" => Append
+      case "replacing" => ReplacingDedup(list("sem_keys"), kv("sem_version"))
+      case "summing" => Summing(list("sem_keys"), list("sem_cols"))
+      case "aggregating" => Aggregating(list("sem_keys"), list("sem_cols"))
+    }
+    val layout = kv("layout") match {
+      case "Versioned" => Versioned
+      case _ => FlatDir
+    }
+    createTable(TableDef(kv("name"), path, schema, list("sort_keys"), sem,
+      layout, list("partition_keys"), list("index_cols")))
+  }
+
+  /** Forget a table's registration, keeping its storage — DETACH TABLE.
+    * [[attach]] (or a fresh createTable with the same def) re-registers.
+    */
+  def detach(name: String): Unit = tables.remove(name)
 
   // ALTER ADD COLUMN defaults, two lifetimes (values pre-cast to the
   // declared type):
@@ -861,7 +962,13 @@ final class Catalog(spark: SparkSession) {
         out
       }
       if (t.layout == Versioned) withCompactLock(t)(compactVersioned(t, checked))
-      else withCompactLock(t)(compactFlat(t, checked))
+      else {
+        withCompactLock(t)(compactFlat(t, checked))
+        // the FlatDir swap replaced the whole table dir — restore the
+        // persisted definition sidecar (Versioned swaps version SUBDIRS,
+        // so its root-level _TABLE survives)
+        persistTableDef(t)
+      }
       // if data was rewritten, it read through applyDefaults — every
       // stored row now carries its ALTER-added defaults, so retire the
       // READ-side coalesce: from here on an explicitly stored NULL reads

@@ -59,6 +59,46 @@ class IntrospectionSpec extends SparkSpecBase {
     }
   }
 
+  test("attach re-registers a table from its persisted _TABLE metadata") {
+    // the ATTACH TABLE analog: a fresh process (here: a fresh Catalog)
+    // recovers the full definition — schema, keys, semantics, layout —
+    // from storage alone, instead of re-declaring the TableDef
+    val dir = tmpDir("attach")
+    val writer = new Catalog(spark)
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 10L))
+      .toDF("k", "v", "updated_at")
+    writer.createTable(TableDef("att", s"$dir/att", df.schema,
+      sortKeys = Seq("k"), semantics = ReplacingDedup(Seq("k"), "updated_at"),
+      layout = Versioned, indexCols = Seq("v")))
+    writer.append("att", df)
+
+    val reader = new Catalog(spark)
+    val t = reader.attach(s"$dir/att")
+    t.name shouldBe "att"
+    t.sortKeys shouldBe Seq("k")
+    t.semantics shouldBe ReplacingDedup(Seq("k"), "updated_at")
+    t.layout shouldBe Versioned
+    t.indexCols shouldBe Seq("v")
+    // the merge view works through the attached definition
+    reader.read("att").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1))) shouldBe Array(("a", 2L), ("b", 3L))
+  }
+
+  test("_TABLE metadata survives a FlatDir compact swap; detach forgets") {
+    val dir = tmpDir("attach2")
+    val writer = new Catalog(spark)
+    val df = Seq(("a", 1L, 10L)).toDF("k", "v", "updated_at")
+    writer.createTable(TableDef("att2", s"$dir/att2", df.schema,
+      sortKeys = Seq("k"), semantics = Append))
+    writer.append("att2", df)
+    writer.compact("att2") // FlatDir swap replaces the whole dir
+    writer.detach("att2")
+    intercept[NoSuchElementException](writer.read("att2"))
+    val t = writer.attach(s"$dir/att2")
+    t.semantics shouldBe Append
+    writer.read("att2").count() shouldBe 1
+  }
+
   test("systemParts tracks compaction merging appends down") {
     val (cat, dir) = freshCat("sys-compact")
     val df = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
