@@ -406,6 +406,47 @@ object Analytics extends QueryModule {
     }),
 
     // ---- ClickHouse query-surface analogs (round 6) ----
+    // bit-function family (bitAnd/bitOr/bitXor/bitCount + aggregate
+    // forms): pure codegen'd integer ops — narrow map + one groupBy.
+    "fn_bitops" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"))
+        .select(col("l_orderkey"),
+          (col("l_partkey").bitwiseAND(col("l_suppkey"))).as("pk_and_sk"),
+          (col("l_partkey").bitwiseOR(col("l_suppkey"))).as("pk_or_sk"),
+          (col("l_partkey").bitwiseXOR(col("l_suppkey"))).as("pk_xor_sk"),
+          bit_count(col("l_partkey")).as("pk_bits"),
+          col("l_linenumber"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("pk_and_sk")).as("sum_and"),
+          sum(col("pk_or_sk")).as("sum_or"),
+          sum(col("pk_xor_sk")).as("sum_xor"),
+          sum(col("pk_bits").cast("long")).as("sum_bits"),
+          // groupBitOr analog: OR-fold of the line numbers as a bitmask
+          bit_or(expr("shiftleft(1L, l_linenumber)")).as("line_mask"))
+        .orderBy(col("l_orderkey"))
+        .limit(1000)),
+
+    // first_value / last_value / nth_value window family over each
+    // customer's order history (ignoring no NULLs — keys are non-null):
+    // one shuffle on the partition key, frame = full partition for the
+    // last/nth (RANGE UNBOUNDED ... UNBOUNDED), default frame for first.
+    "win_first_last" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .withColumn("first_order", first(col("o_orderkey")).over(w))
+        .withColumn("last_order", last(col("o_orderkey")).over(wFull))
+        .withColumn("second_order", nth_value(col("o_orderkey"), 2).over(wFull))
+        .select(col("o_custkey"), col("o_orderkey"), col("first_order"),
+          col("last_order"), col("second_order"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // LIMIT n BY col: first 2 orders per customer by date. CH implements
     // this as a per-group limit inside the sort; the Spark altitude is a
     // row_number window over the group key — one shuffle on o_custkey,
@@ -686,6 +727,31 @@ object Analytics extends QueryModule {
         |SELECT a.event_type, a.bkt, coalesce(b.n, 0) AS n
         |FROM a LEFT JOIN b USING (event_type, bkt)
         |ORDER BY event_type, bkt""".stripMargin,
+
+    "fn_bitops" ->
+      """SELECT l_orderkey, count(*) AS n,
+        |  sum(l_partkey & l_suppkey) AS sum_and,
+        |  sum(l_partkey | l_suppkey) AS sum_or,
+        |  sum(xor(l_partkey, l_suppkey)) AS sum_xor,
+        |  sum(bit_count(l_partkey)) AS sum_bits,
+        |  bit_or(1::BIGINT << l_linenumber) AS line_mask
+        |FROM lineitem GROUP BY l_orderkey
+        |ORDER BY l_orderkey LIMIT 1000""".stripMargin,
+
+    "win_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  last_value(o_orderkey) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS last_order,
+        |  nth_value(o_orderkey, 2) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "limit_by" ->
       """SELECT o_custkey, o_orderkey, o_orderdate FROM (

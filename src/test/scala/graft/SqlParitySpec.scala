@@ -43,7 +43,7 @@ class SqlParitySpec extends SparkSpecBase {
     "j1_anti_join", "j2_semi_join", "j3_existence", "join_broadcast",
     "join_cross", "join_left_outer", "join_null_safe", "join_range",
     "join_shuffle", "join_skew_salted", "o1_topk", "o2_stalest_first",
-    "agg_delta_sum", "dict_get", "limit_by",
+    "agg_delta_sum", "dict_get", "limit_by", "win_first_last",
     "p3_filter_eq", "p5_watermark", "p6_conj_pred", "p7_in_list",
     "p8_count_if", "p9_point_lookup", "proj_rollup_count",
     "proj_rollup_sum", "proj_sorted_lookup", "q1_agg", "q3_shipping",
@@ -418,6 +418,16 @@ class SqlParitySpec extends SparkSpecBase {
       """SELECT s_suppkey, array(s_nationkey, n_regionkey + 100) AS path
         |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
         |ORDER BY s_suppkey""".stripMargin,
+
+    "fn_bitops" ->
+      """SELECT l_orderkey, count(*) AS n,
+        |  sum(l_partkey & l_suppkey) AS sum_and,
+        |  sum(l_partkey | l_suppkey) AS sum_or,
+        |  sum(l_partkey ^ l_suppkey) AS sum_xor,
+        |  sum(bit_count(l_partkey)) AS sum_bits,
+        |  bit_or(shiftleft(1L, l_linenumber)) AS line_mask
+        |FROM lineitem GROUP BY l_orderkey
+        |ORDER BY l_orderkey LIMIT 1000""".stripMargin,
 
     "text_lm_score" ->
       """WITH tok AS (
