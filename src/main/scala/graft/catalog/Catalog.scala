@@ -170,7 +170,11 @@ final class Catalog(spark: SparkSession) {
       case _ => ()
     }
     tables.putIfAbsent(t.name, t)
-    persistTableDef(t)
+    // persist the WINNING definition: when putIfAbsent lost to an existing
+    // registration, writing the argument def would leave a _TABLE sidecar
+    // describing semantics that were never in effect — attach() after a
+    // restart would then apply the wrong merge view
+    persistTableDef(tables(t.name))
     tables(t.name)
   }
 
@@ -186,44 +190,61 @@ final class Catalog(spark: SparkSession) {
   private def tableDefPath(t: TableDef) =
     new org.apache.hadoop.fs.Path(t.path, "_TABLE")
 
-  private def persistTableDef(t: TableDef): Unit = try {
-    val f = fs(t)
-    val sem = t.semantics match {
-      case Append => Seq("kind" -> "append")
+  /** The `_TABLE` JSON for a def — json4s (ships with Spark), not string
+    * splicing: column names may legally contain braces/commas/quotes, and
+    * a hand-rolled brace counter or comma-joined key list silently
+    * mis-parses them.
+    */
+  private def tableDefJson(t: TableDef): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val sem: org.json4s.JObject = t.semantics match {
+      case Append => ("kind" -> "append"): org.json4s.JObject
       case ReplacingDedup(keys, v) =>
-        Seq("kind" -> "replacing", "keys" -> keys.mkString(","), "version" -> v)
+        ("kind" -> "replacing") ~ ("keys" -> keys) ~ ("version" -> v)
       case Summing(keys, cols) =>
-        Seq("kind" -> "summing", "keys" -> keys.mkString(","), "cols" -> cols.mkString(","))
+        ("kind" -> "summing") ~ ("keys" -> keys) ~ ("cols" -> cols)
       case Aggregating(keys, cols) =>
-        Seq("kind" -> "aggregating", "keys" -> keys.mkString(","), "cols" -> cols.mkString(","))
+        ("kind" -> "aggregating") ~ ("keys" -> keys) ~ ("cols" -> cols)
     }
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val fields = Seq(
-      "name" -> t.name,
-      "schema" -> t.schema.json,
-      "sort_keys" -> t.sortKeys.mkString(","),
-      "layout" -> t.layout.toString,
-      "partition_keys" -> t.partitionKeys.mkString(","),
-      "index_cols" -> t.indexCols.mkString(",")) ++ sem.map {
-        case (k, v) => s"sem_$k" -> v
-      }
-    // schema.json is already JSON: embed verbatim under its own key
-    val json = fields.map {
-      case ("schema", v) => s"${jstr("schema")}:$v"
-      case (k, v) => s"${jstr(k)}:${jstr(v)}"
-    }.mkString("{", ",", "}")
-    f.mkdirs(new org.apache.hadoop.fs.Path(t.path))
-    val out = f.create(tableDefPath(t), true)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val obj =
+      ("name" -> t.name) ~
+      ("schema" -> JsonMethods.parse(t.schema.json)) ~
+      ("sort_keys" -> t.sortKeys) ~
+      ("layout" -> t.layout.toString) ~
+      ("partition_keys" -> t.partitionKeys) ~
+      ("index_cols" -> t.indexCols) ~
+      ("semantics" -> sem)
+    JsonMethods.compact(JsonMethods.render(obj))
+  }
+
+  /** Write the sidecar into `dir` (normally the table root; compactFlat
+    * passes its swap staging dir so the sidecar travels atomically with
+    * the directory rename). Best-effort ONLY at registration time —
+    * inside a swap the caller lets failures abort the swap instead.
+    */
+  private def writeTableDef(t: TableDef, dir: String): Unit = {
+    val f = fs(t)
+    f.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val out = f.create(new org.apache.hadoop.fs.Path(dir, "_TABLE"), true)
+    try out.write(tableDefJson(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-  } catch { case scala.util.control.NonFatal(_) => () } // metadata best-effort
+  }
+
+  private def persistTableDef(t: TableDef): Unit =
+    try writeTableDef(t, t.path)
+    catch { case scala.util.control.NonFatal(_) => () } // metadata best-effort
 
   /** Re-register a table from its persisted `_TABLE` definition — the
     * ATTACH TABLE analog. Returns the reconstructed def, registered in
-    * this catalog under its stored name.
+    * this catalog under its stored name. Refuses a name collision with an
+    * already-registered table at a DIFFERENT path — silently returning
+    * the other table's def would leave every read pointed at the wrong
+    * storage.
     */
   def attach(path: String): TableDef = {
     import org.apache.hadoop.fs.Path
+    import org.json4s.jackson.JsonMethods
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path, "_TABLE")
     val f = p.getFileSystem(conf)
@@ -231,41 +252,44 @@ final class Catalog(spark: SparkSession) {
     val in = f.open(p)
     val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                finally in.close()
-    // the only nested object is the schema — cut it out verbatim, then
-    // the remaining fields are flat "k":"v" pairs
-    val schemaStart = json.indexOf("\"schema\":") + "\"schema\":".length
-    var depth = 0; var i = schemaStart; var end = -1
-    while (end < 0 && i < json.length) {
-      json.charAt(i) match {
-        case '{' => depth += 1
-        case '}' => depth -= 1; if (depth == 0) end = i
-        case _ => ()
-      }
-      i += 1
+    val j = JsonMethods.parse(json)
+    def str(k: String): String = (j \ k) match {
+      case org.json4s.JString(s) => s
+      case other => throw new IllegalArgumentException(
+        s"attach: _TABLE field $k malformed under $path ($other)")
     }
-    require(end > 0, s"attach: malformed _TABLE under $path")
+    def list(node: org.json4s.JValue): Seq[String] = node match {
+      case org.json4s.JArray(xs) => xs.collect { case org.json4s.JString(s) => s }
+      case _ => Seq.empty
+    }
     val schema = org.apache.spark.sql.types.DataType
-      .fromJson(json.substring(schemaStart, end + 1))
+      .fromJson(JsonMethods.compact(JsonMethods.render(j \ "schema")))
       .asInstanceOf[StructType]
-    val flat = (json.substring(0, schemaStart) + json.substring(end + 1))
-    val kv = "\"([^\"]+)\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
-      .findAllMatchIn(flat)
-      .map(m => m.group(1) -> m.group(2).replace("\\\"", "\"").replace("\\\\", "\\"))
-      .toMap
-    def list(k: String): Seq[String] =
-      kv.getOrElse(k, "").split(",").toSeq.filter(_.nonEmpty)
-    val sem = kv("sem_kind") match {
-      case "append" => Append
-      case "replacing" => ReplacingDedup(list("sem_keys"), kv("sem_version"))
-      case "summing" => Summing(list("sem_keys"), list("sem_cols"))
-      case "aggregating" => Aggregating(list("sem_keys"), list("sem_cols"))
+    val semNode = j \ "semantics"
+    val sem = (semNode \ "kind") match {
+      case org.json4s.JString("append") => Append
+      case org.json4s.JString("replacing") =>
+        ReplacingDedup(list(semNode \ "keys"),
+          (semNode \ "version").asInstanceOf[org.json4s.JString].s)
+      case org.json4s.JString("summing") =>
+        Summing(list(semNode \ "keys"), list(semNode \ "cols"))
+      case org.json4s.JString("aggregating") =>
+        Aggregating(list(semNode \ "keys"), list(semNode \ "cols"))
+      case other => throw new IllegalArgumentException(
+        s"attach: unknown semantics under $path ($other)")
     }
-    val layout = kv("layout") match {
+    val layout = str("layout") match {
       case "Versioned" => Versioned
       case _ => FlatDir
     }
-    createTable(TableDef(kv("name"), path, schema, list("sort_keys"), sem,
-      layout, list("partition_keys"), list("index_cols")))
+    val name = str("name")
+    tables.get(name).foreach { existing =>
+      require(existing.path == path,
+        s"attach: table $name is already registered at ${existing.path}; " +
+          s"refusing to shadow it with $path (detach first)")
+    }
+    createTable(TableDef(name, path, schema, list(j \ "sort_keys"), sem,
+      layout, list(j \ "partition_keys"), list(j \ "index_cols")))
   }
 
   /** Forget a table's registration, keeping its storage — DETACH TABLE.
@@ -340,6 +364,9 @@ final class Catalog(spark: SparkSession) {
       insertDefaults.put(name,
         insertDefaults.getOrElse(name, Map.empty) + (field.name -> cast))
       tables.put(name, t.copy(schema = StructType(t.schema.fields :+ field)))
+      // the persisted definition must track the ALTER, or attach() after
+      // a restart reconstructs the pre-ALTER schema and hides the column
+      persistTableDef(tables(name))
     }
 
   /** Fill ALTER-added columns' nulls with their declared defaults (old
@@ -961,14 +988,11 @@ final class Catalog(spark: SparkSession) {
             s"(${shape(df)} -> ${shape(out)})")
         out
       }
+      // compactFlat writes the _TABLE sidecar into its staging dir, so
+      // the definition travels atomically with the FlatDir swap;
+      // Versioned swaps version SUBDIRS, so its root-level _TABLE survives
       if (t.layout == Versioned) withCompactLock(t)(compactVersioned(t, checked))
-      else {
-        withCompactLock(t)(compactFlat(t, checked))
-        // the FlatDir swap replaced the whole table dir — restore the
-        // persisted definition sidecar (Versioned swaps version SUBDIRS,
-        // so its root-level _TABLE survives)
-        persistTableDef(t)
-      }
+      else withCompactLock(t)(compactFlat(t, checked))
       // if data was rewritten, it read through applyDefaults — every
       // stored row now carries its ALTER-added defaults, so retire the
       // READ-side coalesce: from here on an explicitly stored NULL reads
@@ -1038,6 +1062,11 @@ final class Catalog(spark: SparkSession) {
     if (fs.exists(old)) fs.delete(old, true)
     val merged = transform(read(name))
     writeData(t, clusteredFor(t, merged), tmp.toString)
+    // the _TABLE definition sidecar rides the swap ATOMICALLY: written
+    // into the staging dir before the rename, so no crash point leaves a
+    // healthy data dir without its persisted definition. NOT best-effort
+    // here — a failure aborts the swap with the table intact.
+    writeTableDef(tables.getOrElse(name, t), tmp.toString)
     // Hadoop rename reports failure by returning false, not throwing —
     // check each step so a failed swap is loud, never a silent no-op
     require(fs.rename(path, old), s"compact($name): rename $path -> $old failed")

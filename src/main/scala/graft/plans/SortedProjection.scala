@@ -45,6 +45,19 @@ object SortedProjectionRewrite extends Rule[LogicalPlan] {
 
   private val registry = new ConcurrentHashMap[String, SortedProjectionDef]()
 
+  // the projection path is immutable once registered, so the analyzed
+  // relation (whose construction pays a full driver-side file-index
+  // listing) is resolved ONCE per (session, path) instead of on every
+  // optimization of every candidate query; dropped with its registration
+  private val relCache =
+    new ConcurrentHashMap[(SparkSession, String), LogicalRelation]()
+
+  private def projRelation(spark: SparkSession, projPath: String): LogicalRelation =
+    relCache.computeIfAbsent((spark, projPath), { _ =>
+      spark.read.parquet(projPath).queryExecution.analyzed
+        .collect { case r: LogicalRelation => r }.head
+    })
+
   private def canon(p: String): String = {
     val path = new Path(p)
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -62,10 +75,15 @@ object SortedProjectionRewrite extends Rule[LogicalPlan] {
   def isRegistered(basePath: String): Boolean =
     registry.containsKey(canon(basePath))
 
-  def unregister(basePath: String): Unit = registry.remove(canon(basePath))
+  def unregister(basePath: String): Unit = {
+    val removed = Option(registry.remove(canon(basePath)))
+    removed.foreach { p =>
+      relCache.keySet.removeIf(_._2 == p.projPath)
+    }
+  }
 
   /** Test hook: forget every registered projection. */
-  def clear(): Unit = registry.clear()
+  def clear(): Unit = { registry.clear(); relCache.clear() }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (registry.isEmpty) plan
@@ -94,9 +112,10 @@ object SortedProjectionRewrite extends Rule[LogicalPlan] {
   private def selectiveOnKey(c: Expression, key: String): Boolean =
     c.deterministic && c.references.toSeq.map(_.name).distinct == Seq(key) &&
       (c match {
+        // EqualNullSafe included: it extends BinaryComparison, and the
+        // foldable-side requirement applies to it the same way
         case bc: BinaryComparison =>
           bc.left.foldable || bc.right.foldable
-        case _: EqualNullSafe => true
         case in: In => in.list.forall(_.foldable)
         case _: InSet => true
         case _ => false
@@ -115,8 +134,11 @@ object SortedProjectionRewrite extends Rule[LogicalPlan] {
     candidate.flatMap { case (rel, proj) =>
       try {
         val spark = SparkSession.active
-        val analyzed = spark.read.parquet(proj.projPath).queryExecution.analyzed
-        val newRel = analyzed.collect { case r: LogicalRelation => r }.head
+        // fresh exprIds per use: the cached instance appearing in two
+        // plans (or twice in one) with identical attribute ids would
+        // alias unrelated subtrees; newInstance() re-ids without paying
+        // the file-index listing again
+        val newRel = projRelation(spark, proj.projPath).newInstance()
         val byName = newRel.output.map(a => a.name -> a).toMap
         // every base output column, same type, or leave the plan alone
         if (!rel.output.forall(a =>

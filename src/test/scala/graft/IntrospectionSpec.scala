@@ -99,6 +99,37 @@ class IntrospectionSpec extends SparkSpecBase {
     writer.read("att2").count() shouldBe 1
   }
 
+  test("attach reconstructs the POST-ALTER schema and refuses name shadowing") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("attach3")
+    val writer = new Catalog(spark)
+    val df = Seq(("a", 1L)).toDF("k", "v")
+    writer.createTable(TableDef("att3", s"$dir/att3", df.schema,
+      sortKeys = Seq("k"), semantics = Append))
+    writer.append("att3", df)
+    writer.addColumn("att3", StructField("w", LongType), 7L)
+    // a fresh catalog attaches the ALTERED definition, default included
+    val reader = new Catalog(spark)
+    val t = reader.attach(s"$dir/att3")
+    t.schema.fieldNames.toSeq shouldBe Seq("k", "v", "w")
+    // pre-ALTER parts read through the attached def (nulls, not a crash)
+    reader.read("att3").columns.toSeq shouldBe Seq("k", "v", "w")
+    // a same-name table at a DIFFERENT path refuses to shadow
+    val other = tmpDir("attach3b")
+    writer.createTable(TableDef("att3x", s"$other/att3x", df.schema,
+      sortKeys = Seq("k"), semantics = Append))
+    writer.append("att3x", df)
+    // forge a colliding _TABLE name by attaching into a catalog that
+    // already holds att3 at the original path
+    val ex = intercept[IllegalArgumentException] {
+      val forged = new Catalog(spark)
+      forged.createTable(TableDef("att3", s"$other/elsewhere", df.schema,
+        sortKeys = Seq("k"), semantics = Append))
+      forged.attach(s"$dir/att3")
+    }
+    ex.getMessage should include("already registered")
+  }
+
   test("systemParts tracks compaction merging appends down") {
     val (cat, dir) = freshCat("sys-compact")
     val df = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
