@@ -13,7 +13,7 @@ object SparkEntry {
   // package-visible so QueriesSpec can assert no key collides across
   // modules (flatMap(_.queries).toMap would drop a colliding query SILENTLY)
   private[graft] val modules: Seq[QueryModule] =
-    Seq(RefOps, Analytics, ChAggs, TemporalJoins, Dedup, TextAnalysis, Similarity, Multimodal, GhEventsOps, CatalogOps, Dictionaries)
+    Seq(RefOps, Analytics, ChAggs, TemporalJoins, Dedup, TextAnalysis, Similarity, Multimodal, GhEventsOps, CatalogOps, Dictionaries, FuncDepth)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

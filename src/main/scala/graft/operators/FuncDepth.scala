@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Depth extension of the scalar-function surface: the ClickHouse URL-,
+  * hash-, and array-function families (the function groups create_db.py's
+  * server exposes beside the basic string/math/date set already covered by
+  * Analytics `fn_*`).
+  *
+  *   - URL family (`protocol/domain/path/queryString/extractURLParameter/
+  *     topLevelDomain`): Spark's codegen'd `parse_url` — one expression,
+  *     no UDF, stays inside whole-stage codegen.
+  *   - Hash family (`MD5/SHA256/hex/base64` + the UUIDStringToNum-style
+  *     reformat): all built-ins over binary casts.
+  *   - Array family (`arraySort/arrayReverseSort/arrayCompact/
+  *     arrayDifference/arrayCumSum/arraySlice/arrayFlatten`): higher-order
+  *     functions over per-row arrays. HOF lambdas are interpreted, so these
+  *     stay on SHORT arrays (a handful of tokens per row — the per-row
+  *     shape CH's array functions serve); corpus-scale signature work uses
+  *     the explode+groupBy shapes in TextAnalysis/Dedup instead.
+  *
+  * All array outputs are `array_join`-ed to strings so the oracle compare
+  * is cell-exact on both engines.
+  */
+object FuncDepth extends QueryModule {
+
+  override def queries: Map[String, Q] = Map(
+    // URL function family over a deterministically synthesized URL (the
+    // events table carries no URL column; both engines build the same
+    // string, so extraction is the only thing under test).
+    "fn_url" -> ((s, d) => {
+      val url = concat(
+        lit("https://"), col("event_type"), lit(".example.com/u/"),
+        col("user_id").cast("string"), lit("/p?k="),
+        get_json_object(col("props"), "$.k"), lit("&t="), col("event_type"))
+      Tables.events(s, d)
+        .select(col("event_id"), url.as("url"))
+        .select(col("event_id"),
+          parse_url(col("url"), lit("PROTOCOL")).as("proto"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY")).as("qs"),
+          parse_url(col("url"), lit("QUERY"), lit("k")).cast("int").as("k"),
+          regexp_extract(parse_url(col("url"), lit("HOST")), "\\.([^.]+)$", 1)
+            .as("tld"))
+        .filter(col("k") > 90)
+        .orderBy(col("event_id"))
+    }),
+
+    // Hash/encoding family; `uuid_fmt` is the UUID-reformat shape
+    // (MD5 digest rendered 8-4-4-4-12) — deterministic, so oracle-exact.
+    "fn_hash" -> ((s, d) => {
+      val h = md5(col("p_name").cast("binary"))
+      Tables.part(s, d)
+        .filter(col("p_partkey") < 500)
+        .select(col("p_partkey"),
+          h.alias("h_md5"),
+          sha2(col("p_name").cast("binary"), 256).as("h_sha256"),
+          lower(hex(col("p_name"))).as("h_hex"),
+          base64(col("p_name").cast("binary")).as("h_b64"),
+          concat_ws("-", substring(h, 1, 8), substring(h, 9, 4),
+            substring(h, 13, 4), substring(h, 17, 4), substring(h, 21, 12))
+            .as("uuid_fmt"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Array function family. `words` exercises the string-array ops,
+    // `nums` (3 derived longs per row) the numeric ones. `compact_w` is
+    // consecutive-duplicate removal (arrayCompact), not distinct; `diff_n`
+    // keeps CH's leading 0 convention for arrayDifference.
+    "fn_array_ops" -> ((s, d) => {
+      val w = split(col("p_name"), " ")
+      val n = array(col("p_size").cast("long"),
+        pmod(col("p_size") * 3, lit(7)).cast("long"),
+        pmod(length(col("p_name")), lit(5)).cast("long"))
+      Tables.part(s, d)
+        .filter(col("p_name").like("%widget%"))
+        .select(col("p_partkey"),
+          array_join(array_sort(w), ",").as("sorted_w"),
+          array_join(reverse(array_sort(w)), ",").as("rsorted_w"),
+          array_join(filter(w, (x: Column, i: Column) =>
+            when(i === 0, lit(true)).otherwise(x =!= element_at(w, i))), ",")
+            .as("compact_w"),
+          array_join(slice(w, 2, 2), ",").as("sliced_w"),
+          array_join(transform(sequence(lit(1), size(n)), i =>
+            aggregate(slice(n, lit(1), i), lit(0L), (a, x) => a + x)
+              .cast("string")), ",").as("cumsum_n"),
+          array_join(transform(n, (x: Column, i: Column) =>
+            when(i === 0, lit(0L)).otherwise(x - element_at(n, i))
+              .cast("string")), ",").as("diff_n"),
+          array_join(transform(flatten(array(n, array(lit(99L)))),
+            (x: Column) => x.cast("string")), ",").as("flat_n"))
+        .orderBy(col("p_partkey"))
+    }),
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "fn_url" ->
+      """SELECT event_id,
+        |  regexp_extract(url, '^([a-z]+)://', 1)            AS proto,
+        |  regexp_extract(url, '^[a-z]+://([^/]+)', 1)       AS host,
+        |  regexp_extract(url, '^[a-z]+://[^/]+([^?#]*)', 1) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1)               AS qs,
+        |  CAST(regexp_extract(url, '[?&]k=([^&#]*)', 1) AS INTEGER) AS k,
+        |  regexp_extract(regexp_extract(url, '^[a-z]+://([^/]+)', 1),
+        |                 '\.([^.]+)$', 1)                   AS tld
+        |FROM (
+        |  SELECT event_id,
+        |    'https://' || event_type || '.example.com/u/' || user_id ||
+        |    '/p?k=' || json_extract_string(props, '$.k') ||
+        |    '&t=' || event_type AS url
+        |  FROM events)
+        |WHERE CAST(regexp_extract(url, '[?&]k=([^&#]*)', 1) AS INTEGER) > 90
+        |ORDER BY event_id""".stripMargin,
+
+    "fn_hash" ->
+      """SELECT p_partkey,
+        |  md5(p_name)                       AS h_md5,
+        |  sha256(p_name)                    AS h_sha256,
+        |  lower(hex(p_name))                AS h_hex,
+        |  to_base64(encode(p_name))         AS h_b64,
+        |  substr(md5(p_name), 1, 8)  || '-' ||
+        |  substr(md5(p_name), 9, 4)  || '-' ||
+        |  substr(md5(p_name), 13, 4) || '-' ||
+        |  substr(md5(p_name), 17, 4) || '-' ||
+        |  substr(md5(p_name), 21, 12)       AS uuid_fmt
+        |FROM part WHERE p_partkey < 500
+        |ORDER BY p_partkey""".stripMargin,
+
+    "fn_array_ops" ->
+      """SELECT p_partkey,
+        |  array_to_string(list_sort(w), ',')         AS sorted_w,
+        |  array_to_string(list_reverse_sort(w), ',') AS rsorted_w,
+        |  array_to_string([w[i] FOR i IN generate_series(1, len(w))
+        |                   IF i = 1 OR w[i] != w[i-1]], ',') AS compact_w,
+        |  array_to_string(w[2:3], ',')               AS sliced_w,
+        |  array_to_string(list_transform(generate_series(1, len(n)),
+        |    i -> CAST(list_sum(n[1:i]) AS BIGINT)), ',')     AS cumsum_n,
+        |  array_to_string(list_transform(generate_series(1, len(n)),
+        |    i -> CASE WHEN i = 1 THEN 0 ELSE n[i] - n[i-1] END), ',')
+        |                                             AS diff_n,
+        |  array_to_string(flatten([n, [99]]), ',')   AS flat_n
+        |FROM (
+        |  SELECT p_partkey, string_split(p_name, ' ') AS w,
+        |    [CAST(p_size AS BIGINT), (p_size*3) % 7, length(p_name) % 5] AS n
+        |  FROM part WHERE p_name LIKE '%widget%')
+        |ORDER BY p_partkey""".stripMargin,
+  )
+}
