@@ -77,7 +77,8 @@ final case class TableDef(
     semantics: EngineSemantics,
     layout: TableLayout = FlatDir,
     partitionKeys: Seq[String] = Nil,
-    indexCols: Seq[String] = Nil)
+    indexCols: Seq[String] = Nil,
+    minmaxCols: Seq[String] = Nil)
 
 final class Catalog(spark: SparkSession) {
 
@@ -214,6 +215,22 @@ final class Catalog(spark: SparkSession) {
       ("layout" -> t.layout.toString) ~
       ("partition_keys" -> t.partitionKeys) ~
       ("index_cols" -> t.indexCols) ~
+      ("minmax_cols" -> t.minmaxCols) ~
+      // pending (un-materialized) column renames must survive a restart:
+      // without them attach() would read pre-rename files' old column
+      // names as all-null under the renamed schema
+      ("renames" -> renamePending.getOrElse(t.name, Map.empty[String, String])) ~
+      // ...and pending drops: the physical names may still exist in old
+      // files, so re-adding one before a compact must stay refused after
+      // a restart (the old stored values would bleed into the new column)
+      ("dropped_cols" -> droppedPending.getOrElse(t.name, Set.empty[String]).toSeq.sorted) ~
+      // ALTER-added defaults as re-parseable SQL: without these an
+      // attach()ed table reads old parts' added columns as bare null
+      // (insert defaults are permanent; read defaults only until a
+      // compact materializes them — hence the separate retired-state list)
+      ("defaults" -> defaultSql.getOrElse(t.name, Map.empty[String, String])) ~
+      ("read_default_cols" ->
+        readDefaults.getOrElse(t.name, Map.empty[String, Column]).keys.toSeq.sorted) ~
       ("semantics" -> sem)
     JsonMethods.compact(JsonMethods.render(obj))
   }
@@ -288,14 +305,47 @@ final class Catalog(spark: SparkSession) {
         s"attach: table $name is already registered at ${existing.path}; " +
           s"refusing to shadow it with $path (detach first)")
     }
+    // restore ALTER state BEFORE registration: a reader racing the attach
+    // must never see the renamed/widened schema without its storage
+    // mapping or default fill
+    def strMap(node: org.json4s.JValue): Map[String, String] = node match {
+      case org.json4s.JObject(fields) => fields.collect {
+        case (k, org.json4s.JString(v)) => k -> v
+      }.toMap
+      case _ => Map.empty
+    }
+    val ren = strMap(j \ "renames")
+    if (ren.nonEmpty) renamePending.put(name, ren)
+    val dropped = list(j \ "dropped_cols")
+    if (dropped.nonEmpty) droppedPending.put(name, dropped.toSet)
+    val defs = strMap(j \ "defaults")
+    if (defs.nonEmpty) {
+      defaultSql.put(name, defs)
+      insertDefaults.put(name, defs.map { case (c, s) => c -> expr(s) })
+      val readCols = list(j \ "read_default_cols").toSet
+      val rd = defs.filter { case (c, _) => readCols.contains(c) }
+      if (rd.nonEmpty)
+        readDefaults.put(name, rd.map { case (c, s) => c -> expr(s) })
+    }
     createTable(TableDef(name, path, schema, list(j \ "sort_keys"), sem,
-      layout, list(j \ "partition_keys"), list(j \ "index_cols")))
+      layout, list(j \ "partition_keys"), list(j \ "index_cols"),
+      list(j \ "minmax_cols")))
   }
 
   /** Forget a table's registration, keeping its storage — DETACH TABLE.
     * [[attach]] (or a fresh createTable with the same def) re-registers.
+    * Per-table ALTER state is dropped with the registration — it is all
+    * persisted in the `_TABLE` sidecar, and leaving it would poison a
+    * DIFFERENT table later attached under the same name.
     */
-  def detach(name: String): Unit = tables.remove(name)
+  def detach(name: String): Unit = {
+    tables.remove(name)
+    renamePending.remove(name)
+    droppedPending.remove(name)
+    readDefaults.remove(name)
+    insertDefaults.remove(name)
+    defaultSql.remove(name)
+  }
 
   // ALTER ADD COLUMN defaults, two lifetimes (values pre-cast to the
   // declared type):
@@ -310,6 +360,31 @@ final class Catalog(spark: SparkSession) {
     scala.collection.concurrent.TrieMap.empty[String, Map[String, Column]]
   private val insertDefaults =
     scala.collection.concurrent.TrieMap.empty[String, Map[String, Column]]
+  // the same defaults as storable SQL (`CAST(<literal> AS <type>)`) — the
+  // Column maps are runtime objects; the `_TABLE` sidecar needs a form
+  // attach() can re-parse after a restart (Spark 4's Column no longer
+  // exposes its expression, so the SQL is captured at addColumn time)
+  private val defaultSql =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
+
+  // ALTER DROP COLUMN, pending materialization: the PHYSICAL column names
+  // that may still exist inside old data files for each dropped column
+  // (the declared name, plus its pre-rename stored name if a rename was
+  // pending). Readers ignore them for free (absent from the read schema),
+  // but re-introducing one before a compact rewrites storage must be
+  // refused — the old files' stored values would bleed into the new
+  // column. Persisted in the `_TABLE` sidecar; retired on compact.
+  private val droppedPending =
+    scala.collection.concurrent.TrieMap.empty[String, Set[String]]
+
+  // ALTER RENAME COLUMN, pending materialization: newName -> oldName per
+  // table. Files written before the rename carry the old name; the read
+  // path surfaces them under the new name until a compact/mutation
+  // rewrites storage (then the mapping retires, like readDefaults).
+  // Persisted in the _TABLE sidecar so attach() after a restart keeps
+  // reading pre-rename files correctly.
+  private val renamePending =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
 
   /** `ALTER TABLE name ADD COLUMN field DEFAULT default` — widens the
     * declared schema in place. Old parquet files simply lack the column;
@@ -334,6 +409,12 @@ final class Catalog(spark: SparkSession) {
       val t = get(name)
       require(!t.schema.fieldNames.contains(field.name),
         s"addColumn($name): column ${field.name} already exists")
+      // a name that is still a PHYSICAL stored name — the pre-rename name
+      // of a renamed column, or a dropped column not yet compacted away —
+      // would read old files' stored values into the new column
+      require(!stored(name).contains(field.name),
+        s"addColumn($name): ${field.name} is still a stored column name " +
+          s"in un-rewritten files (compact first)")
       val cast = lit(default).cast(field.dataType)
       // driver-side eval of the raw Cast(Literal) pair: an uncastable
       // default fails NOW, not as a silent null (or worse, a coerced
@@ -363,11 +444,121 @@ final class Catalog(spark: SparkSession) {
         readDefaults.getOrElse(name, Map.empty) + (field.name -> cast))
       insertDefaults.put(name,
         insertDefaults.getOrElse(name, Map.empty) + (field.name -> cast))
+      defaultSql.put(name, defaultSql.getOrElse(name, Map.empty) +
+        (field.name -> s"CAST(${inLit.sql} AS ${field.dataType.sql})"))
       tables.put(name, t.copy(schema = StructType(t.schema.fields :+ field)))
       // the persisted definition must track the ALTER, or attach() after
       // a restart reconstructs the pre-ALTER schema and hides the column
       persistTableDef(tables(name))
     }
+
+  /** `ALTER TABLE name RENAME COLUMN from TO to` — metadata-only, like
+    * ClickHouse: the declared schema renames in place, old parquet files
+    * keep the old physical name, and the read path maps them under the new
+    * name (see [[renamePending]]) until the next compact/mutation rewrites
+    * storage with the new name and retires the mapping. Key columns (sort/
+    * partition/semantics/index keys) are refused, matching ClickHouse's
+    * "cannot rename key column" — every downstream merge view and layout
+    * decision is keyed by name.
+    */
+  /** Key/engine columns — every column a merge view, layout, or skip
+    * index is keyed by. Renaming or dropping one is refused, matching
+    * ClickHouse's "cannot rename/drop key column".
+    */
+  private def keyCols(t: TableDef): Set[String] =
+    (t.sortKeys ++ t.partitionKeys ++ t.indexCols ++ t.minmaxCols ++
+      (t.semantics match {
+        case ReplacingDedup(keys, v) => keys :+ v
+        case Summing(keys, cols) => keys ++ cols
+        case Aggregating(keys, cols) => keys ++ cols
+        case Append => Nil
+      })).toSet
+
+  /** Physical column names that old, un-rewritten files may still carry
+    * beyond the declared schema: pre-rename stored names plus
+    * dropped-pending names. No NEW column may take one of these names
+    * until a compact rewrites storage — the read path could not tell the
+    * new column's data from the old files' stored values.
+    */
+  private def stored(name: String): Set[String] =
+    renamePending.getOrElse(name, Map.empty).values.toSet ++
+      droppedPending.getOrElse(name, Set.empty)
+
+  def renameColumn(name: String, from: String, to: String): Unit =
+    writeLock(name).synchronized {
+      val t = get(name)
+      require(t.schema.fieldNames.contains(from),
+        s"renameColumn($name): no such column $from")
+      require(!t.schema.fieldNames.contains(to),
+        s"renameColumn($name): column $to already exists")
+      require(!stored(name).contains(to),
+        s"renameColumn($name): $to is still a stored column name in " +
+          s"un-rewritten files (compact first)")
+      require(!keyCols(t).contains(from),
+        s"renameColumn($name): $from is a key/engine column")
+      // a column can be renamed AGAIN before materialization: collapse the
+      // chain so the mapping always points at the PHYSICAL stored name
+      val prior = renamePending.getOrElse(name, Map.empty)
+      val physical = prior.getOrElse(from, from)
+      renamePending.put(name, (prior - from) + (to -> physical))
+      // ALTER-added-column state follows the rename (its default keeps
+      // filling under the new name)
+      readDefaults.get(name).filter(_.contains(from)).foreach(m =>
+        readDefaults.put(name, (m - from) + (to -> m(from))))
+      insertDefaults.get(name).filter(_.contains(from)).foreach(m =>
+        insertDefaults.put(name, (m - from) + (to -> m(from))))
+      defaultSql.get(name).filter(_.contains(from)).foreach(m =>
+        defaultSql.put(name, (m - from) + (to -> m(from))))
+      tables.put(name, t.copy(schema = StructType(t.schema.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))))
+      persistTableDef(tables(name))
+    }
+
+  /** `ALTER TABLE name DROP COLUMN column` — metadata-only: the declared
+    * schema narrows, readers stop projecting the column immediately
+    * (Spark's parquet reader ignores file columns absent from the read
+    * schema), and the next compact rewrites storage without it. Key
+    * columns are refused for the same reason as [[renameColumn]].
+    */
+  def dropColumn(name: String, column: String): Unit =
+    writeLock(name).synchronized {
+      val t = get(name)
+      require(t.schema.fieldNames.contains(column),
+        s"dropColumn($name): no such column $column")
+      require(t.schema.fields.length > 1,
+        s"dropColumn($name): cannot drop the only column")
+      require(!keyCols(t).contains(column),
+        s"dropColumn($name): $column is a key/engine column")
+      // storage may carry the declared name (post-rename appends, or no
+      // rename) AND the pre-rename physical name — record both, so
+      // neither can be re-introduced before a compact clears the files
+      val physical = renamePending.getOrElse(name, Map.empty)
+        .getOrElse(column, column)
+      droppedPending.put(name,
+        droppedPending.getOrElse(name, Set.empty) + column + physical)
+      renamePending.get(name).foreach(m =>
+        renamePending.put(name, m - column))
+      readDefaults.get(name).foreach(m => readDefaults.put(name, m - column))
+      insertDefaults.get(name).foreach(m => insertDefaults.put(name, m - column))
+      defaultSql.get(name).foreach(m => defaultSql.put(name, m - column))
+      tables.put(name, t.copy(schema =
+        StructType(t.schema.fields.filterNot(_.name == column))))
+      persistTableDef(tables(name))
+    }
+
+  /** `OPTIMIZE TABLE name FINAL DEDUPLICATE [BY by…]` — drops fully
+    * duplicate rows (all columns) or rows duplicated on `by`, keeping one
+    * arbitrary survivor per group, through the same crash-safe rewrite as
+    * [[compact]]. ClickHouse semantics exactly: DEDUPLICATE is a merge-
+    * time rewrite, not a declared engine — for declared dedup use
+    * [[ReplacingDedup]].
+    */
+  def optimizeDeduplicate(name: String, by: Seq[String] = Nil): Unit = {
+    by.foreach(c => require(get(name).schema.fieldNames.contains(c),
+      s"optimizeDeduplicate($name): no such column $c"))
+    mutate(name, df => if (by.isEmpty) df.dropDuplicates()
+                       else df.dropDuplicates(by))
+  }
 
   /** Fill ALTER-added columns' nulls with their declared defaults (old
     * parts only — see [[readDefaults]] retirement).
@@ -634,6 +825,7 @@ final class Catalog(spark: SparkSession) {
     (if (t.partitionKeys.nonEmpty) w.partitionBy(t.partitionKeys: _*) else w)
       .parquet(path)
     if (t.indexCols.nonEmpty) buildSkipIndex(t, path)
+    if (t.minmaxCols.nonEmpty) buildMinmaxIndex(t, path)
   }
 
   // ---- bloom skip-index sidecars ---------------------------------------
@@ -804,6 +996,167 @@ final class Catalog(spark: SparkSession) {
     (df, kept.size, all.size)
   }
 
+  // ---- minmax skip-index sidecars --------------------------------------
+  //
+  // ClickHouse's `INDEX … TYPE minmax` (and the per-part minmax index
+  // MergeTree always keeps on its key): one tiny `[min, max]` record per
+  // data file per declared `minmaxCols` column, consulted by
+  // [[readRangePruned]] to drop whole files before the scan starts. It
+  // complements the bloom sidecars (equality probes) with RANGE
+  // predicates, and complements parquet row-group min/max (applied inside
+  // a file, after its footer is fetched) with file-level skipping that
+  // never opens the file at all — at 100 TB the footer round-trips alone
+  // dominate a highly-selective scan. Same lifecycle as the blooms:
+  // written under `_idx/` at append/compact time (one aggregate job for
+  // ALL unindexed files), they travel with their directory through swaps
+  // and manifest flips, absent sidecars fail open, and the caller's
+  // filter still applies on top, so pruning can never change results.
+
+  private def mmSidecar(dir: org.apache.hadoop.fs.Path, fileName: String,
+                        column: String) =
+    new org.apache.hadoop.fs.Path(dir, s"_idx/$fileName.$column.minmax")
+
+  /** Orderable sidecar form of a driver-side value: numeric (and
+    * date/time, via epoch-day / epoch-micros) as BigDecimal under kind
+    * "num", strings as kind "str". Two values compare only within a kind
+    * — mixed kinds fail open at prune time.
+    */
+  private def mmKey(v: Any): (String, Any) = v match {
+    case s: String => ("str", s)
+    case d: java.math.BigDecimal => ("num", BigDecimal(d))
+    case d: java.sql.Date => ("num", BigDecimal(d.toLocalDate.toEpochDay))
+    case d: java.time.LocalDate => ("num", BigDecimal(d.toEpochDay))
+    case t: java.sql.Timestamp =>
+      val i = t.toInstant
+      ("num", BigDecimal(i.getEpochSecond) * BigDecimal(1000000L) +
+        BigDecimal(i.getNano / 1000L))
+    case i: java.time.Instant =>
+      ("num", BigDecimal(i.getEpochSecond) * BigDecimal(1000000L) +
+        BigDecimal(i.getNano / 1000L))
+    case n: java.lang.Number => ("num", BigDecimal(n.toString))
+    case other => throw new IllegalArgumentException(
+      s"minmax index: unsupported value type ${other.getClass.getName}")
+  }
+
+  private def mmLeq(a: (String, Any), b: (String, Any)): Boolean = (a, b) match {
+    case (("num", x: BigDecimal), ("num", y: BigDecimal)) => x <= y
+    case (("str", x: String), ("str", y: String)) => x <= y
+    case _ => true // mixed kinds: no defined order — fail open
+  }
+
+  /** Write minmax sidecars for every parquet file under `dir` still
+    * missing one, in ONE aggregate job regardless of file count: all
+    * unindexed files scan once as a column-pruned read grouped by
+    * `input_file_name()`, and only (file, min, max) triples — one row per
+    * file — come back to the driver.
+    */
+  private def buildMinmaxIndex(t: TableDef, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val f = fs(t)
+    val d = new Path(dir)
+    if (!f.exists(d)) return
+    val it = f.listFiles(d, true)
+    val files = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (it.hasNext) {
+      val s = it.next()
+      val n = s.getPath.getName
+      if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+          !s.getPath.toString.contains("/_idx/"))
+        files += s.getPath
+    }
+    val missing = files.filter { p =>
+      t.minmaxCols.exists(c => !f.exists(mmSidecar(p.getParent, p.getName, c)))
+    }
+    if (missing.isEmpty) return
+    val schema = spark.read.parquet(missing.head.toString).schema
+    val cols = t.minmaxCols.filter(schema.fieldNames.contains)
+    if (cols.isEmpty) return
+    val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val rows = spark.read.schema(schema)
+      .parquet(missing.map(_.toString).toSeq: _*)
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val enc: Any => org.json4s.JValue = {
+      case null => org.json4s.JNull
+      case v => mmKey(v) match {
+        case (_, bd: BigDecimal) => org.json4s.JString(bd.toString)
+        case (_, s: String) => org.json4s.JString(s)
+        case _ => org.json4s.JNull
+      }
+    }
+    rows.foreach { r =>
+      val p = new Path(new java.net.URI(r.getString(0)))
+      cols.zipWithIndex.foreach { case (c, i) =>
+        val mn = r.get(1 + 2 * i)
+        val mx = r.get(2 + 2 * i)
+        val kind =
+          if (mn == null && mx == null) "num" // all-null file: kind moot
+          else mmKey(if (mn != null) mn else mx)._1
+        val json = JsonMethods.compact(JsonMethods.render(
+          ("k" -> kind) ~ ("min" -> enc(mn)) ~ ("max" -> enc(mx))))
+        val out = f.create(mmSidecar(p.getParent, p.getName, c), true)
+        try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+    }
+  }
+
+  /** Range-predicate read through the minmax index: scan only the data
+    * files whose `[min, max]` intersects `[lo, hi]` (null bound = open
+    * side; no sidecar → kept; all-null files dropped — no non-null value
+    * can satisfy a range). The caller still applies the predicate on top,
+    * so pruning can never change results. Append-only and unpartitioned,
+    * exactly like [[readPruned]] and for the same reasons. Returns
+    * (frame, files kept, files total).
+    */
+  def readRangePruned(name: String, column: String, lo: Any,
+                      hi: Any): (DataFrame, Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    import org.json4s.jackson.JsonMethods
+    val t = get(name)
+    require(t.minmaxCols.contains(column),
+      s"$name: no minmax skip-index declared on $column")
+    require(t.partitionKeys.isEmpty,
+      s"$name: minmax-pruned reads target unpartitioned layouts")
+    require(t.semantics == Append,
+      s"$name: minmax-pruned reads require Append semantics " +
+        s"(merge views need every file of a key group)")
+    recoverInterruptedSwap(t)
+    val f = fs(t)
+    val all = listDataFiles(t).map(_.getPath)
+    val loK = Option(lo).map(mmKey)
+    val hiK = Option(hi).map(mmKey)
+    val kept = all.filter { p =>
+      val sc = mmSidecar(p.getParent, p.getName, column)
+      if (!f.exists(sc)) true // fail open: unindexed file might match
+      else {
+        val in = f.open(sc)
+        val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                   finally in.close()
+        val j = JsonMethods.parse(json)
+        def bound(k: String): Option[(String, Any)] = (j \ k) match {
+          case org.json4s.JString(s) => (j \ "k") match {
+            case org.json4s.JString("num") => Some(("num", BigDecimal(s)))
+            case _ => Some(("str", s))
+          }
+          case _ => None
+        }
+        (bound("min"), bound("max")) match {
+          case (Some(mn), Some(mx)) =>
+            loK.forall(l => mmLeq(l, mx)) && hiK.forall(h => mmLeq(mn, h))
+          case _ => false // all-null file: no value satisfies a range
+        }
+      }
+    }
+    val df =
+      if (kept.isEmpty) readVia(t, dataPaths(t)).limit(0)
+      else readVia(t, kept.map(_.toString))
+    (df, kept.size, all.size)
+  }
+
   /** Zero-row frame with the table's declared schema — lets mutation
     * transforms validate (column existence, shape preservation) before a
     * table holds any data.
@@ -845,9 +1198,35 @@ final class Catalog(spark: SparkSession) {
     * time would see (a segment committed mid-compact must stay a segment,
     * or it would land in the new version AND stay visible = duplicated).
     */
+  /** Storage scan surfacing the DECLARED schema over mixed physical
+    * layouts: files written before a pending RENAME carry the old column
+    * name, files written after carry the new one. The read schema is
+    * widened with each pending physical name (absent fields read as null
+    * in parquet), the two columns coalesce into the declared one, and the
+    * final select restores the declared shape. No pending renames → the
+    * plain declared-schema scan, zero overhead. The coalesce is sound
+    * because no file can carry BOTH names: the new name did not exist as
+    * a column before the rename ([[renameColumn]] refuses an existing
+    * `to`), and [[stored]] keeps the old name un-reintroducible until a
+    * compact retires the mapping.
+    */
+  private def readStorage(t: TableDef, paths: Seq[String]): DataFrame = {
+    val renames = renamePending.getOrElse(t.name, Map.empty)
+      .filter { case (to, _) => t.schema.fieldNames.contains(to) }
+    if (renames.isEmpty) spark.read.schema(t.schema).parquet(paths: _*)
+    else {
+      val widened = StructType(t.schema.fields ++ renames.map {
+        case (to, phys) => StructField(phys, t.schema(to).dataType)
+      })
+      val raw = spark.read.schema(widened).parquet(paths: _*)
+      renames.foldLeft(raw) { case (d, (to, phys)) =>
+        d.withColumn(to, coalesce(col(to), col(phys)))
+      }.select(t.schema.fieldNames.map(col).toSeq: _*)
+    }
+  }
+
   private def readVia(t: TableDef, paths: Seq[String]): DataFrame = {
-    val raw = applyDefaults(t.name,
-      spark.read.schema(t.schema).parquet(paths: _*))
+    val raw = applyDefaults(t.name, readStorage(t, paths))
     t.semantics match {
       case Append => raw
       case ReplacingDedup(keys, version) => latestWins(raw, keys, version)
@@ -868,7 +1247,7 @@ final class Catalog(spark: SparkSession) {
   def readRaw(name: String): DataFrame = {
     val t = get(name)
     recoverInterruptedSwap(t)
-    spark.read.schema(t.schema).parquet(dataPaths(t): _*)
+    readStorage(t, dataPaths(t)) // raw in MERGE terms; renames still map
   }
 
   // ---- introspection (system.tables / system.parts analog) --------------
@@ -998,7 +1377,20 @@ final class Catalog(spark: SparkSession) {
       // READ-side coalesce: from here on an explicitly stored NULL reads
       // back as NULL. Insert-time fill stays (permanent table metadata).
       // An empty table materialized nothing — keep its read defaults.
-      if (exists(name)) readDefaults.remove(name)
+      // Pending renames/drops retire the same way: the rewrite read
+      // through readStorage, so every stored file now carries the
+      // declared names and nothing else. Re-persist so the sidecar
+      // written during the swap (which still listed them) is corrected —
+      // a stale mapping would spuriously refuse re-adding those names
+      // after an attach.
+      if (exists(name)) {
+        val hadPending = readDefaults.contains(name) ||
+          renamePending.contains(name) || droppedPending.contains(name)
+        readDefaults.remove(name)
+        renamePending.remove(name)
+        droppedPending.remove(name)
+        if (hadPending) persistTableDef(tables(name))
+      }
     }
 
   /** `ALTER TABLE name DELETE WHERE predicate` — drops rows where the

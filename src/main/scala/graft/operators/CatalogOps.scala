@@ -75,16 +75,33 @@ object CatalogOps extends QueryModule {
   private def catalogCopyCat(s: SparkSession, table: String, src: DataFrame,
                              sortKeys: Seq[String],
                              partitionKeys: Seq[String] = Nil,
-                             indexCols: Seq[String] = Nil): (Catalog, String) = {
+                             indexCols: Seq[String] = Nil,
+                             minmaxCols: Seq[String] = Nil): (Catalog, String) = {
     val cat = new Catalog(s)
     val tmp = java.nio.file.Files.createTempDirectory(s"graft-cat-$table")
     copyDirs.add(tmp)
     val path = tmp.resolve(table).toString
     cat.createTable(TableDef(table, path, src.schema,
       sortKeys = sortKeys, semantics = Append, partitionKeys = partitionKeys,
-      indexCols = indexCols))
+      indexCols = indexCols, minmaxCols = minmaxCols))
     cat.append(table, src)
     (cat, path)
+  }
+
+  /** The minmax-skip-index gate table: a Catalog copy of `orders`
+    * clustered by o_orderkey with a minmax sidecar on the same key — the
+    * MergeTree part-level minmax index shape: the range predicate drops
+    * whole FILES before the scan starts (no footer fetch at all), on top
+    * of the row-group min/max skipping the clustering already gives
+    * inside kept files. Returns the pruned frame plus (files kept, files
+    * total) so CatalogOpsSpec can observe the skipping.
+    */
+  def minmaxScanWithStats(s: SparkSession, d: String): (DataFrame, Int, Int) = {
+    val (cat, _) = catalogCopyCat(s, "orders_mm", Tables.orders(s, d),
+      sortKeys = Seq("o_orderkey"), minmaxCols = Seq("o_orderkey"))
+    val (df, kept, total) =
+      cat.readRangePruned("orders_mm", "o_orderkey", KeyLo, KeyHi)
+    (df.filter(col("o_orderkey").between(KeyLo, KeyHi)), kept, total)
   }
 
   /** The bloom-skip-index gate table: a Catalog copy of `orders` clustered
@@ -244,6 +261,61 @@ object CatalogOps extends QueryModule {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))
     }),
+
+    // Minmax skip-index through the correctness gate: the range scan
+    // reads only the files whose sidecar interval intersects the
+    // predicate (CatalogOpsSpec counts the skipped files). The oracle
+    // runs the same aggregate over the ORIGINAL table — equality proves
+    // file-level pruning never drops a matching row.
+    "cat_minmax_scan" -> ((s, d) =>
+      minmaxScanWithStats(s, d)._1
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"),
+          round(sum(col("o_totalprice")), 2).as("total"))),
+
+    // ALTER RENAME COLUMN end to end through the gate, over MIXED
+    // storage: half of `customer` is appended BEFORE the rename (files
+    // physically carry c_acctbal), half after (files carry balance), and
+    // the merged read must surface one `balance` column over both. The
+    // oracle aggregates the ORIGINAL table with a SQL alias — equality
+    // proves the metadata-only rename loses nothing on either side of
+    // the rename point.
+    "cat_renamed_scan" -> ((s, d) => {
+      val src = Tables.customer(s, d)
+      val cat = new Catalog(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-customer_ren")
+      registerForCleanup(tmp)
+      cat.createTable(TableDef("customer_ren",
+        tmp.resolve("customer_ren").toString, src.schema,
+        sortKeys = Seq("c_custkey"), semantics = Append))
+      cat.append("customer_ren", src.filter(col("c_custkey") % 2 === 0))
+      cat.renameColumn("customer_ren", "c_acctbal", "balance")
+      cat.append("customer_ren", src.filter(col("c_custkey") % 2 === 1)
+        .withColumnRenamed("c_acctbal", "balance"))
+      cat.read("customer_ren")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("balance")), 2).as("bal_sum"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // OPTIMIZE … FINAL DEDUPLICATE through the gate: `supplier` appended
+    // TWICE (every row a full duplicate), deduplicated by the crash-safe
+    // mutation rewrite, then aggregated. The oracle aggregates the
+    // original single copy — equality proves the rewrite kept exactly
+    // one survivor per row.
+    "cat_dedup_optimize" -> ((s, d) => {
+      val src = Tables.supplier(s, d)
+      val (cat, _) = catalogCopyCat(s, "supplier_dup", src,
+        sortKeys = Seq("s_suppkey"))
+      cat.append("supplier_dup", src) // deliberate full-duplicate batch
+      cat.optimizeDeduplicate("supplier_dup")
+      cat.read("supplier_dup")
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("s_suppkey")).as("n_keys"),
+          round(sum(col("s_acctbal")), 2).as("bal_sum"))
+    }),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -287,5 +359,22 @@ object CatalogOps extends QueryModule {
         |WHERE o_custkey = (SELECT o_custkey FROM orders
         |                   ORDER BY o_orderkey LIMIT 1)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "cat_minmax_scan" ->
+      s"""SELECT count(*) AS n, min(o_orderkey) AS min_key,
+         | max(o_orderkey) AS max_key, round(sum(o_totalprice), 2) AS total
+         |FROM orders WHERE o_orderkey BETWEEN $KeyLo AND $KeyHi""".stripMargin,
+
+    // the oracle's alias IS the rename: same data, same new name
+    "cat_renamed_scan" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | round(sum(c_acctbal), 2) AS bal_sum
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // the original single copy: dedup of two full copies must equal it
+    "cat_dedup_optimize" ->
+      """SELECT count(*) AS n, count(DISTINCT s_suppkey) AS n_keys,
+        | round(sum(s_acctbal), 2) AS bal_sum
+        |FROM supplier""".stripMargin,
   )
 }

@@ -113,4 +113,16 @@ class CatalogOpsSpec extends SparkSpecBase {
     pruned.getLong(0) shouldBe full.getLong(0)
     pruned.getDouble(1) shouldBe full.getDouble(1) +- 1e-6
   }
+
+  test("cat_minmax_scan gate query: files skipped, result equals the unpruned aggregate") {
+    val (df, kept, total) = CatalogOps.minmaxScanWithStats(spark, sf0001)
+    total should be > 1
+    kept should be < total // the range-clustered layout makes most files disjoint
+    val pruned = df.agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("s")).head()
+    val full = Tables.orders(spark, sf0001)
+      .filter(col("o_orderkey").between(100, 200))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("s")).head()
+    pruned.getLong(0) shouldBe full.getLong(0)
+    pruned.getDouble(1) shouldBe full.getDouble(1) +- 1e-6
+  }
 }

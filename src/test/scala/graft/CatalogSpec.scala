@@ -582,4 +582,160 @@ class CatalogSpec extends SparkSpecBase {
     }
     ex.getMessage should include("Append semantics")
   }
+
+  test("ALTER RENAME COLUMN: mixed storage reads one column; retires on compact; survives attach") {
+    val cat = new Catalog(spark)
+    val path = tmpDir("cat") + "/rn"
+    cat.createTable(TableDef("rn", path, replacingSchema, Seq("k"), Append))
+    cat.append("rn", Seq(("a", 1L, 10L), ("b", 2L, 20L)).toDF("k", "v", "updated_at"))
+    cat.renameColumn("rn", "v", "score")
+    cat.get("rn").schema.fieldNames.toSeq shouldBe Seq("k", "score", "updated_at")
+    // pre-rename files surface under the new name immediately
+    cat.read("rn").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("score"))) shouldBe
+      Array(("a", 1L), ("b", 2L))
+    // post-rename appends carry the new physical name; the merged read
+    // spans BOTH storage generations as one column
+    cat.append("rn", Seq(("c", 3L, 30L)).toDF("k", "score", "updated_at"))
+    cat.read("rn").orderBy("k").collect()
+      .map(_.getAs[Long]("score")) shouldBe Array(1L, 2L, 3L)
+    // the mapping survives a restart: detach forgets, attach restores it
+    // from the _TABLE sidecar — pre-rename files still read correctly
+    cat.detach("rn")
+    cat.attach(path)
+    cat.read("rn").orderBy("k").collect()
+      .map(_.getAs[Long]("score")) shouldBe Array(1L, 2L, 3L)
+    // the old name is still a stored column name in un-rewritten files —
+    // re-introducing it (by add or by rename) is refused until a compact
+    an[IllegalArgumentException] should be thrownBy
+      cat.addColumn("rn", StructField("v", LongType), 0L)
+    an[IllegalArgumentException] should be thrownBy
+      cat.renameColumn("rn", "updated_at", "v")
+    // key/engine columns are not renameable
+    an[IllegalArgumentException] should be thrownBy
+      cat.renameColumn("rn", "k", "key2")
+    // compact rewrites storage under the new name and retires the mapping
+    cat.compact("rn")
+    cat.readRaw("rn").schema.fieldNames should contain("score")
+    cat.read("rn").orderBy("k").collect()
+      .map(_.getAs[Long]("score")) shouldBe Array(1L, 2L, 3L)
+    cat.addColumn("rn", StructField("v", LongType), 0L) // name free again
+    cat.read("rn").filter(col("k") === "a").head()
+      .getAs[Long]("v") shouldBe 0L
+  }
+
+  test("ALTER RENAME COLUMN: chained renames collapse to the physical stored name") {
+    val cat = new Catalog(spark)
+    cat.createTable(TableDef("rn2", tmpDir("cat") + "/rn2", replacingSchema,
+      Seq("k"), Append))
+    cat.append("rn2", Seq(("a", 1L, 10L)).toDF("k", "v", "updated_at"))
+    cat.renameColumn("rn2", "v", "s1")
+    cat.renameColumn("rn2", "s1", "s2")
+    cat.read("rn2").head().getAs[Long]("s2") shouldBe 1L
+  }
+
+  test("ALTER DROP COLUMN: metadata-only narrow; name re-usable only after compact") {
+    val cat = new Catalog(spark)
+    cat.createTable(TableDef("dc", tmpDir("cat") + "/dc", replacingSchema,
+      Seq("k"), Append))
+    cat.append("dc", Seq(("a", 1L, 10L), ("b", 2L, 20L)).toDF("k", "v", "updated_at"))
+    cat.dropColumn("dc", "v")
+    cat.get("dc").schema.fieldNames.toSeq shouldBe Seq("k", "updated_at")
+    cat.read("dc").columns should not contain "v"
+    // appends in the narrowed shape work immediately
+    cat.append("dc", Seq(("c", 30L)).toDF("k", "updated_at"))
+    cat.read("dc").count() shouldBe 3
+    // old files still carry v physically — re-adding it now would read
+    // their stale stored values into the "new" column
+    an[IllegalArgumentException] should be thrownBy
+      cat.addColumn("dc", StructField("v", LongType), 0L)
+    cat.compact("dc")
+    cat.addColumn("dc", StructField("v", LongType), 5L)
+    // the default fills — the dropped generation's data is never resurrected
+    cat.read("dc").orderBy("k").collect()
+      .map(_.getAs[Long]("v")) shouldBe Array(5L, 5L, 5L)
+    an[IllegalArgumentException] should be thrownBy cat.dropColumn("dc", "k")
+  }
+
+  test("OPTIMIZE DEDUPLICATE: full-row and BY-subset dedup through the crash-safe rewrite") {
+    val cat = new Catalog(spark)
+    cat.createTable(TableDef("od", tmpDir("cat") + "/od", replacingSchema,
+      Seq("k"), Append))
+    val batch = Seq(("a", 1L, 10L), ("b", 2L, 20L)).toDF("k", "v", "updated_at")
+    cat.append("od", batch)
+    cat.append("od", batch) // full duplicate of every row
+    cat.read("od").count() shouldBe 4
+    cat.optimizeDeduplicate("od")
+    cat.read("od").count() shouldBe 2
+    cat.readRaw("od").count() shouldBe 2 // a storage rewrite, not a read view
+    // BY-subset: one arbitrary survivor per key group
+    cat.append("od", Seq(("a", 99L, 11L)).toDF("k", "v", "updated_at"))
+    cat.optimizeDeduplicate("od", Seq("k"))
+    cat.read("od").count() shouldBe 2
+    an[IllegalArgumentException] should be thrownBy
+      cat.optimizeDeduplicate("od", Seq("nope"))
+  }
+
+  test("minmax skip-index: range reads skip non-overlapping files, same answer") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try {
+      val cat = new Catalog(spark)
+      // sorted by k; minmax declared on ts — correlated with k but NOT
+      // the sort key, so only the sidecar interval can prune files for a
+      // ts range (the ClickHouse `INDEX … TYPE minmax` use case)
+      val src = (0L until 16000L).map(i => (i, i * 10L, i % 97))
+        .toDF("k", "ts", "v")
+      cat.createTable(TableDef("mmx", tmpDir("cat") + "/mmx", src.schema,
+        sortKeys = Seq("k"), semantics = Append, minmaxCols = Seq("ts")))
+      cat.append("mmx", src)
+      val (df, kept, total) = cat.readRangePruned("mmx", "ts", 50000L, 60000L)
+      total should be >= 8
+      kept should be < total // files actually skipped
+      val got = df.filter(col("ts").between(50000L, 60000L))
+      got.count() shouldBe 1001L // no false negatives
+      val b = got.agg(min(col("k")), max(col("k"))).head()
+      (b.getLong(0), b.getLong(1)) shouldBe ((5000L, 6000L))
+      // open-ended bound: null = that side unbounded
+      val (hi, keptHi, totalHi) = cat.readRangePruned("mmx", "ts", 159000L, null)
+      keptHi should be < totalHi
+      hi.filter(col("ts") >= 159000L).count() shouldBe 100L
+      // a disjoint range prunes every file and returns empty
+      val (none, keptNone, _) = cat.readRangePruned("mmx", "ts", 1000000L, 2000000L)
+      keptNone shouldBe 0
+      none.count() shouldBe 0L
+      // appends keep the index current: new files get sidecars too
+      cat.append("mmx", Seq((99999L, 999990L, 1L)).toDF("k", "ts", "v"))
+      val (fresh, keptF, totalF) = cat.readRangePruned("mmx", "ts", 999990L, 999990L)
+      keptF should be < totalF
+      fresh.filter(col("ts") === 999990L).count() shouldBe 1L
+      // undeclared column fails loudly, not with a silent full scan
+      an[IllegalArgumentException] should be thrownBy
+        cat.readRangePruned("mmx", "k", 0L, 1L)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("attach restores ALTER defaults: added columns keep filling after a restart") {
+    val cat = new Catalog(spark)
+    val path = tmpDir("cat") + "/ad"
+    cat.createTable(TableDef("ad", path, replacingSchema, Seq("k"), Append))
+    cat.append("ad", Seq(("a", 1L, 10L)).toDF("k", "v", "updated_at"))
+    cat.addColumn("ad", StructField("score", LongType), 7L)
+    val cat2 = new Catalog(spark) // fresh-process analog
+    cat2.attach(path)
+    // read-time default restored: the old part's absent column reads 7
+    cat2.read("ad").head().getAs[Long]("score") shouldBe 7L
+    // insert-time fill restored: an omitting batch still materializes it
+    cat2.append("ad", Seq(("b", 2L, 20L)).toDF("k", "v", "updated_at"))
+    cat2.read("ad").orderBy("k").collect()
+      .map(_.getAs[Long]("score")) shouldBe Array(7L, 7L)
+    // compact retires the READ default and persists the retirement: after
+    // ANOTHER restart an explicitly stored NULL stays NULL
+    cat2.compact("ad")
+    val cat3 = new Catalog(spark)
+    cat3.attach(path)
+    cat3.update("ad", col("k") === "a", Map("score" -> lit(null)))
+    cat3.read("ad").filter(col("k") === "a").head()
+      .isNullAt(3) shouldBe true
+  }
 }

@@ -38,7 +38,8 @@ class SqlParitySpec extends SparkSpecBase {
     "agg_cube", "agg_distinct", "agg_funnel", "agg_histogram",
     "agg_hll_merge", "agg_retention", "agg_rollup", "agg_seq_match",
     "agg_stats", "agg_sumif", "cat_clustered_scan", "cat_partitioned_scan",
-    "cat_bloom_scan", "dedup_exact", "distinct_rows", "fn_date", "fn_math",
+    "cat_bloom_scan", "cat_minmax_scan", "cat_renamed_scan",
+    "cat_dedup_optimize", "dedup_exact", "distinct_rows", "fn_date", "fn_math",
     "fn_string",
     "j1_anti_join", "j2_semi_join", "j3_existence", "join_broadcast",
     "join_cross", "join_left_outer", "join_null_safe", "join_range",
@@ -460,7 +461,68 @@ class SqlParitySpec extends SparkSpecBase {
         |        polyhash(CAST(l_orderkey AS STRING)) AS h
         |      FROM lineitem)
         |WHERE pmod(h, 10) < 2
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // DuckDB oracle regex-extracts URL parts; the Spark twin uses the
+    // native parse_url the DataFrame surface is built on
+    "fn_url" ->
+      """SELECT event_id,
+        |  parse_url(url, 'PROTOCOL') AS proto,
+        |  parse_url(url, 'HOST') AS host,
+        |  parse_url(url, 'PATH') AS path,
+        |  parse_url(url, 'QUERY') AS qs,
+        |  CAST(parse_url(url, 'QUERY', 'k') AS INT) AS k,
+        |  regexp_extract(parse_url(url, 'HOST'), '\\.([^.]+)$', 1) AS tld
+        |FROM (
+        |  SELECT event_id,
+        |    concat('https://', event_type, '.example.com/u/',
+        |      CAST(user_id AS STRING), '/p?k=',
+        |      get_json_object(props, '$.k'), '&t=', event_type) AS url
+        |  FROM events)
+        |WHERE CAST(parse_url(url, 'QUERY', 'k') AS INT) > 90
+        |ORDER BY event_id""".stripMargin,
+
+    // DuckDB spells these sha256/to_base64/encode; Spark sha2/base64
+    "fn_hash" ->
+      """SELECT p_partkey,
+        |  md5(CAST(p_name AS BINARY)) AS h_md5,
+        |  sha2(CAST(p_name AS BINARY), 256) AS h_sha256,
+        |  lower(hex(p_name)) AS h_hex,
+        |  base64(CAST(p_name AS BINARY)) AS h_b64,
+        |  concat_ws('-',
+        |    substring(md5(CAST(p_name AS BINARY)), 1, 8),
+        |    substring(md5(CAST(p_name AS BINARY)), 9, 4),
+        |    substring(md5(CAST(p_name AS BINARY)), 13, 4),
+        |    substring(md5(CAST(p_name AS BINARY)), 17, 4),
+        |    substring(md5(CAST(p_name AS BINARY)), 21, 12)) AS uuid_fmt
+        |FROM part WHERE p_partkey < 500
+        |ORDER BY p_partkey""".stripMargin,
+
+    // DuckDB list comprehensions; the Spark twin uses SQL lambda HOFs
+    "fn_array_ops" ->
+      """SELECT p_partkey,
+        |  array_join(array_sort(w), ',') AS sorted_w,
+        |  array_join(reverse(array_sort(w)), ',') AS rsorted_w,
+        |  array_join(filter(w, (x, i) ->
+        |    CASE WHEN i = 0 THEN true
+        |         ELSE x != element_at(w, i) END), ',') AS compact_w,
+        |  array_join(slice(w, 2, 2), ',') AS sliced_w,
+        |  array_join(transform(sequence(1, size(n)), i ->
+        |    CAST(aggregate(slice(n, 1, i), 0L, (a, x) -> a + x)
+        |         AS STRING)), ',') AS cumsum_n,
+        |  array_join(transform(n, (x, i) ->
+        |    CAST(CASE WHEN i = 0 THEN 0L
+        |              ELSE x - element_at(n, i) END AS STRING)), ',')
+        |    AS diff_n,
+        |  array_join(transform(flatten(array(n, array(99L))),
+        |    x -> CAST(x AS STRING)), ',') AS flat_n
+        |FROM (
+        |  SELECT p_partkey, split(p_name, ' ') AS w,
+        |    array(CAST(p_size AS BIGINT),
+        |          CAST(pmod(p_size * 3, 7) AS BIGINT),
+        |          CAST(pmod(length(p_name), 5) AS BIGINT)) AS n
+        |  FROM part WHERE p_name LIKE '%widget%')
+        |ORDER BY p_partkey""".stripMargin)
 
   /** No single-statement Spark-SQL form — each with the blocking construct.
     * These stay DataFrame-surface operators (still oracled in CORRECTNESS).
