@@ -546,6 +546,75 @@ final class Catalog(spark: SparkSession) {
       persistTableDef(tables(name))
     }
 
+  /** Lossless type widenings Spark's parquet reader performs natively
+    * (probed on 4.1: int32→int64, integral→double, float→double, decimal
+    * precision/scale growth, date→timestamp_ntz — long→double and
+    * anything→string are refused by the reader, so they are refused
+    * here). This is what makes [[modifyColumnType]] metadata-only: old
+    * files keep their narrow physical type and the scan widens in place.
+    */
+  private def widens(from: org.apache.spark.sql.types.DataType,
+                     to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def rank(t: DataType): Int = t match {
+      case ByteType => 1; case ShortType => 2
+      case IntegerType => 3; case LongType => 4; case _ => -1
+    }
+    def intDigits(t: DataType): Int = t match {
+      case ByteType => 3; case ShortType => 5
+      case IntegerType => 10; case LongType => 19; case _ => Int.MaxValue
+    }
+    (from, to) match {
+      case (f, t) if rank(f) > 0 && rank(t) > 0 => rank(f) <= rank(t)
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (f, d: DecimalType) if rank(f) > 0 && rank(f) < 4 =>
+        d.precision - d.scale >= intDigits(f) // integral digits all fit
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.scale >= d1.scale &&
+          d2.precision - d2.scale >= d1.precision - d1.scale
+      case (DateType, TimestampNTZType) => true
+      case _ => false
+    }
+  }
+
+  /** `ALTER TABLE name MODIFY COLUMN column newType` — metadata-only for
+    * the LOSSLESS widenings in [[widens]]: the declared schema widens in
+    * place, old parquet files keep the narrow physical type (the scan
+    * promotes natively), new appends write the wide type, and the next
+    * compact materializes storage — nothing to track or retire.
+    * Narrowing or lossy changes are refused loudly: ClickHouse runs those
+    * as a full rewrite mutation; here the caller does the same thing
+    * explicitly with [[mutate]] + a new table. Key/engine columns are
+    * refused — layout and merge views are keyed by (name, type).
+    */
+  def modifyColumnType(name: String, column: String,
+                       newType: org.apache.spark.sql.types.DataType): Unit =
+    writeLock(name).synchronized {
+      val t = get(name)
+      require(t.schema.fieldNames.contains(column),
+        s"modifyColumnType($name): no such column $column")
+      val old = t.schema(column).dataType
+      if (old == newType) return
+      require(widens(old, newType),
+        s"modifyColumnType($name): $old -> $newType is not a lossless " +
+          s"widening (rewrite the table explicitly for narrowing casts)")
+      require(!keyCols(t).contains(column),
+        s"modifyColumnType($name): $column is a key/engine column")
+      // ALTER-added defaults re-cast to the wide type, so read coalesce
+      // and insert fill produce the declared type (not a coerced hybrid)
+      readDefaults.get(name).filter(_.contains(column)).foreach(m =>
+        readDefaults.put(name, m + (column -> m(column).cast(newType))))
+      insertDefaults.get(name).filter(_.contains(column)).foreach(m =>
+        insertDefaults.put(name, m + (column -> m(column).cast(newType))))
+      defaultSql.get(name).filter(_.contains(column)).foreach(m =>
+        defaultSql.put(name,
+          m + (column -> s"CAST((${m(column)}) AS ${newType.sql})")))
+      tables.put(name, t.copy(schema = StructType(t.schema.fields.map(f =>
+        if (f.name == column) f.copy(dataType = newType) else f))))
+      persistTableDef(tables(name))
+    }
+
   /** `OPTIMIZE TABLE name FINAL DEDUPLICATE [BY by…]` — drops fully
     * duplicate rows (all columns) or rows duplicated on `by`, keeping one
     * arbitrary survivor per group, through the same crash-safe rewrite as

@@ -300,6 +300,30 @@ object CatalogOps extends QueryModule {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // ALTER MODIFY COLUMN end to end through the gate, over MIXED
+    // storage: half of `part` appended while p_size is declared INT
+    // (files physically int32), the column widened to BIGINT, half
+    // appended wide — the scan promotes the narrow generation natively
+    // and the aggregate must match the oracle over the original table.
+    "cat_modified_scan" -> ((s, d) => {
+      val src = Tables.part(s, d).select(col("p_partkey"), col("p_brand"),
+        col("p_size").cast("int").as("p_size"))
+      val cat = new Catalog(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-part_mod")
+      registerForCleanup(tmp)
+      cat.createTable(TableDef("part_mod", tmp.resolve("part_mod").toString,
+        src.schema, sortKeys = Seq("p_partkey"), semantics = Append))
+      cat.append("part_mod", src.filter(col("p_partkey") % 2 === 0))
+      cat.modifyColumnType("part_mod", "p_size",
+        org.apache.spark.sql.types.LongType)
+      cat.append("part_mod", src.filter(col("p_partkey") % 2 === 1)
+        .withColumn("p_size", col("p_size").cast("long")))
+      cat.read("part_mod")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("p_size")).as("size_sum"))
+        .orderBy(col("p_brand"))
+    }),
+
     // OPTIMIZE … FINAL DEDUPLICATE through the gate: `supplier` appended
     // TWICE (every row a full duplicate), deduplicated by the crash-safe
     // mutation rewrite, then aggregated. The oracle aggregates the
@@ -370,6 +394,11 @@ object CatalogOps extends QueryModule {
       """SELECT c_mktsegment, count(*) AS n,
         | round(sum(c_acctbal), 2) AS bal_sum
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // on the ORIGINAL table: the int->bigint widened copy must agree
+    "cat_modified_scan" ->
+      """SELECT p_brand, count(*) AS n, sum(p_size) AS size_sum
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     // the original single copy: dedup of two full copies must equal it
     "cat_dedup_optimize" ->

@@ -715,6 +715,36 @@ class CatalogSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("ALTER MODIFY COLUMN: lossless widening is metadata-only; lossy changes refused") {
+    val cat = new Catalog(spark)
+    val sch = StructType(Seq(
+      StructField("k", StringType), StructField("v", IntegerType),
+      StructField("f", FloatType)))
+    cat.createTable(TableDef("mc", tmpDir("cat") + "/mc", sch, Seq("k"), Append))
+    cat.append("mc", Seq(("a", 1, 1.5f), ("b", 2, 2.5f)).toDF("k", "v", "f"))
+    cat.modifyColumnType("mc", "v", LongType)
+    cat.modifyColumnType("mc", "f", DoubleType)
+    // old narrow files widen inside the scan — no rewrite happened
+    cat.read("mc").orderBy("k").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))) shouldBe
+      Array((1L, 1.5), (2L, 2.5))
+    // new appends carry the wide type; both generations read together
+    cat.append("mc", Seq(("c", 3L, 3.5)).toDF("k", "v", "f"))
+    cat.read("mc").agg(sum(col("v"))).head().getLong(0) shouldBe 6L
+    // compact materializes storage at the wide PHYSICAL type
+    cat.compact("mc")
+    spark.read.parquet(cat.get("mc").path)
+      .schema("v").dataType shouldBe LongType
+    cat.read("mc").count() shouldBe 3
+    // narrowing and lossy changes refused (long->double loses precision)
+    an[IllegalArgumentException] should be thrownBy
+      cat.modifyColumnType("mc", "v", IntegerType)
+    an[IllegalArgumentException] should be thrownBy
+      cat.modifyColumnType("mc", "v", DoubleType)
+    an[IllegalArgumentException] should be thrownBy
+      cat.modifyColumnType("mc", "k", LongType) // key column
+  }
+
   test("attach restores ALTER defaults: added columns keep filling after a restart") {
     val cat = new Catalog(spark)
     val path = tmpDir("cat") + "/ad"

@@ -39,7 +39,8 @@ class SqlParitySpec extends SparkSpecBase {
     "agg_hll_merge", "agg_retention", "agg_rollup", "agg_seq_match",
     "agg_stats", "agg_sumif", "cat_clustered_scan", "cat_partitioned_scan",
     "cat_bloom_scan", "cat_minmax_scan", "cat_renamed_scan",
-    "cat_dedup_optimize", "dedup_exact", "distinct_rows", "fn_date", "fn_math",
+    "cat_dedup_optimize", "cat_modified_scan",
+    "dedup_exact", "distinct_rows", "fn_date", "fn_math",
     "fn_string",
     "j1_anti_join", "j2_semi_join", "j3_existence", "join_broadcast",
     "join_cross", "join_left_outer", "join_null_safe", "join_range",
