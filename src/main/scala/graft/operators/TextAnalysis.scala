@@ -319,6 +319,33 @@ object TextAnalysis extends QueryModule {
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
         .orderBy(col("source"))
     }),
+
+    // Hashed-feature linear classifier — the fastText shape behind most
+    // corpus quality gates: tokens → hashing trick into 1024 buckets →
+    // per-bucket weight → mean activation → sigmoid → binary label. The
+    // weight table is DERIVED (bucket*37 mod 101, scaled to [-1,1]) so
+    // both engines hold the identical "model" with no artifact to ship;
+    // the operator under test is the distributed scoring shape: explode →
+    // codegen'd polyHash → ONE groupBy(doc) — tokens shuffle once as
+    // (doc_id, weight) pairs, never as text, and a real weight vector
+    // drops in as a broadcast lookup without changing the plan.
+    "text_classifier" -> ((s, d) => {
+      val w = (pmod(pmod(TextFns.polyHash(col("t")), lit(1024)) * 37, lit(101))
+        .cast("double") / 50.0) - 1.0
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
+        .select(col("doc_id"), w.as("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          (lit(1.0) / (lit(1.0) + exp(-avg(col("w"))))).as("s"))
+        // binary half-up at 1e4: exp() may differ in the last ulp between
+        // the engines' libm, and round() re-parses decimal strings
+        .select(col("doc_id"), col("n_tokens"),
+          (floor(col("s") * 1e4 + 0.5) / 1e4).as("quality"),
+          when(floor(col("s") * 1e4 + 0.5) / 1e4 > 0.5, lit(1))
+            .otherwise(lit(0)).as("label"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -512,5 +539,25 @@ object TextAnalysis extends QueryModule {
         |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
         |  FROM documents)
         |WHERE h % 5 = 0 ORDER BY doc_id""".stripMargin,
+
+    "text_classifier" ->
+      """SELECT doc_id, n_tokens,
+        |  floor(s * 1e4 + 0.5) / 1e4 AS quality,
+        |  CASE WHEN floor(s * 1e4 + 0.5) / 1e4 > 0.5 THEN 1 ELSE 0 END
+        |    AS label
+        |FROM (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    1.0 / (1.0 + exp(-avg(w))) AS s
+        |  FROM (
+        |    SELECT doc_id,
+        |      (list_reduce(list_prepend(0::BIGINT,
+        |         [unicode(c) for c in string_split(t, '')]),
+        |         (acc, x) -> (acc * 31 + x) % 1000000007)
+        |       % 1024 * 37 % 101) / 50.0 - 1.0 AS w
+        |    FROM (SELECT doc_id,
+        |            unnest(string_split_regex(lower(text), '\s+')) AS t
+        |          FROM documents))
+        |  GROUP BY doc_id)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

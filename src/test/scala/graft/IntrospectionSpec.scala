@@ -143,4 +143,50 @@ class IntrospectionSpec extends SparkSpecBase {
     after should be <= before
     cat.systemParts("t").agg(sum(col("rows"))).head().getLong(0) shouldBe 4L
   }
+
+  test("query_log records storage-touching actions; flush lands them in a catalog table") {
+    val (cat, dir) = freshCat("sys-qlog")
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("k", "v")
+    cat.createTable(TableDef("qt", s"$dir/qt", df.schema,
+      sortKeys = Seq("k"), semantics = Append))
+    cat.append("qt", df)
+    val qlog = new QueryLog(spark, cat, s"$dir/query_log").attach()
+    // listener delivery is asynchronous — poll the buffer to a deadline
+    def awaitPending(n: Int): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (qlog.pending < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+    }
+    try {
+      // two storage-touching actions (parquet-backed reads)
+      cat.read("qt").count() shouldBe 3L
+      cat.read("qt").filter(col("v") === "a").collect().length shouldBe 2
+      awaitPending(2)
+      qlog.flush() should be >= 2L
+      val rows = qlog.log().collect()
+      rows.length should be >= 2
+      all(rows.map(_.getAs[Long]("duration_ms"))) should be >= 0L
+      all(rows.map(_.getAs[String]("status"))) shouldBe "QueryFinish"
+      all(rows.map(_.getAs[String]("statement"))) should not be empty
+      // the flush's own internal appends (driver-local batches) are NOT
+      // logged: a second flush with no new user queries lands nothing
+      Thread.sleep(1000) // negative assertion: give the bus time to (not) deliver
+      qlog.flush() shouldBe 0L
+      // the log is an ordinary catalog table: queryable, compactable
+      // (these reads are themselves storage-touching and get logged —
+      // ClickHouse likewise logs queries against query_log)
+      qlog.log().filter(col("result_rows") >= -1L).count() should be >= 2L
+      cat.compact("query_log")
+      // detach stops recording: land everything recorded so far, then a
+      // fresh storage read must not appear
+      qlog.detach()
+      Thread.sleep(1000) // let in-flight deliveries land, then snapshot
+      qlog.flush()
+      val n0 = qlog.log().count()
+      cat.read("qt").count()
+      Thread.sleep(1000) // negative assertion: nothing may arrive
+      qlog.flush() shouldBe 0L
+      qlog.log().count() shouldBe n0
+    } finally qlog.detach()
+  }
 }

@@ -499,6 +499,25 @@ class SqlParitySpec extends SparkSpecBase {
         |FROM part WHERE p_partkey < 500
         |ORDER BY p_partkey""".stripMargin,
 
+    // DuckDB folds codepoints with a list comprehension; the Spark twin
+    // uses the registered cross-engine polyhash kernel
+    "text_classifier" ->
+      """SELECT doc_id, n_tokens,
+        |  floor(s * 1e4 + 0.5) / 1e4 AS quality,
+        |  CASE WHEN floor(s * 1e4 + 0.5) / 1e4 > 0.5 THEN 1 ELSE 0 END
+        |    AS label
+        |FROM (
+        |  SELECT doc_id, count(1) AS n_tokens,
+        |    1.0 / (1.0 + exp(-avg(w))) AS s
+        |  FROM (
+        |    SELECT doc_id,
+        |      (CAST(pmod(pmod(polyhash(t), 1024) * 37, 101) AS DOUBLE)
+        |        / 50.0) - 1.0 AS w
+        |    FROM (SELECT doc_id, explode(split(lower(text), '\\s+')) AS t
+        |          FROM documents))
+        |  GROUP BY doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // DuckDB list comprehensions; the Spark twin uses SQL lambda HOFs
     "fn_array_ops" ->
       """SELECT p_partkey,
