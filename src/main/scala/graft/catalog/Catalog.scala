@@ -78,7 +78,8 @@ final case class TableDef(
     layout: TableLayout = FlatDir,
     partitionKeys: Seq[String] = Nil,
     indexCols: Seq[String] = Nil,
-    minmaxCols: Seq[String] = Nil)
+    minmaxCols: Seq[String] = Nil,
+    codec: String = "snappy")
 
 final class Catalog(spark: SparkSession) {
 
@@ -158,8 +159,17 @@ final class Catalog(spark: SparkSession) {
     try body finally f.delete(lock, false)
   }
 
+  /** Parquet codecs Spark writes without extra jars — the CREATE TABLE
+    * `CODEC(...)` axis (ClickHouse defaults LZ4 and offers ZSTD for cold
+    * data; the parquet equivalents are snappy and zstd). Per-TABLE, not
+    * per-column: parquet sets compression file-wide.
+    */
+  private val codecs = Set("snappy", "zstd", "gzip", "lz4", "uncompressed")
+
   /** D1/D2: register ≈ CREATE TABLE (create_db.py:32-33). Idempotent. */
   def createTable(t: TableDef): TableDef = {
+    require(codecs.contains(t.codec),
+      s"${t.name}: unknown codec ${t.codec} (one of ${codecs.mkString(", ")})")
     t.semantics match {
       case Aggregating(keys, stateCols) =>
         // the merged read view is groupBy(keys).agg(union(states)) — a
@@ -216,6 +226,7 @@ final class Catalog(spark: SparkSession) {
       ("partition_keys" -> t.partitionKeys) ~
       ("index_cols" -> t.indexCols) ~
       ("minmax_cols" -> t.minmaxCols) ~
+      ("codec" -> t.codec) ~
       // pending (un-materialized) column renames must survive a restart:
       // without them attach() would read pre-rename files' old column
       // names as all-null under the renamed schema
@@ -327,9 +338,15 @@ final class Catalog(spark: SparkSession) {
       if (rd.nonEmpty)
         readDefaults.put(name, rd.map { case (c, s) => c -> expr(s) })
     }
+    // codec defaulted when absent: sidecars written before the axis
+    // existed keep attaching (and parquet self-describes per file anyway)
+    val codec = (j \ "codec") match {
+      case org.json4s.JString(c) => c
+      case _ => "snappy"
+    }
     createTable(TableDef(name, path, schema, list(j \ "sort_keys"), sem,
       layout, list(j \ "partition_keys"), list(j \ "index_cols"),
-      list(j \ "minmax_cols")))
+      list(j \ "minmax_cols"), codec))
   }
 
   /** Forget a table's registration, keeping its storage — DETACH TABLE.
@@ -890,7 +907,7 @@ final class Catalog(spark: SparkSession) {
   /** Parquet write honoring the table's partition layout. */
   private def writeData(t: TableDef, df: DataFrame, path: String,
                         mode: String = "overwrite"): Unit = {
-    val w = df.write.mode(mode)
+    val w = df.write.mode(mode).option("compression", t.codec)
     (if (t.partitionKeys.nonEmpty) w.partitionBy(t.partitionKeys: _*) else w)
       .parquet(path)
     if (t.indexCols.nonEmpty) buildSkipIndex(t, path)
@@ -1356,9 +1373,29 @@ final class Catalog(spark: SparkSession) {
       (t.name, t.path, t.layout.toString,
         t.semantics.getClass.getSimpleName.stripSuffix("$"),
         t.sortKeys, t.partitionKeys, t.indexCols,
-        files.size.toLong, files.map(_.getLen).sum)
+        files.size.toLong, files.map(_.getLen).sum, t.codec)
     }.toDF("table", "path", "layout", "engine", "sort_keys",
-      "partition_keys", "index_cols", "n_parts", "bytes")
+      "partition_keys", "index_cols", "n_parts", "bytes", "codec")
+  }
+
+  /** `system.columns` analog: one row per declared column of every
+    * registered table — position, type, and which storage/engine roles
+    * the column plays (sort key, partition key, bloom/minmax index,
+    * ALTER-added default). Pure registry metadata, no data scan.
+    */
+  def systemColumns(): DataFrame = {
+    import spark.implicits._
+    tables.values.toSeq.sortBy(_.name).flatMap { t =>
+      val defaults = insertDefaults.getOrElse(t.name, Map.empty)
+      t.schema.fields.zipWithIndex.map { case (f, i) =>
+        (t.name, f.name, i, f.dataType.simpleString, f.nullable,
+          t.sortKeys.contains(f.name), t.partitionKeys.contains(f.name),
+          t.indexCols.contains(f.name), t.minmaxCols.contains(f.name),
+          defaults.contains(f.name))
+      }
+    }.toDF("table", "column", "position", "type", "nullable",
+      "is_sort_key", "is_partition_key", "in_bloom_index",
+      "in_minmax_index", "has_default")
   }
 
   /** `system.parts` analog: one row per data file of `name` — rows and

@@ -94,6 +94,34 @@ object FuncDepth extends QueryModule {
             (x: Column) => x.cast("string")), ",").as("flat_n"))
         .orderBy(col("p_partkey"))
     }),
+
+    // Geo family (`greatCircleDistance`/`geoDistance` + the bounding-box
+    // prefilter pattern): coordinates synthesized deterministically from
+    // event ids (pure integer arithmetic — both engines derive identical
+    // doubles), haversine distance to a fixed point, the cheap box filter
+    // FIRST (the pushdown-friendly pattern: the exact trig runs only on
+    // surviving rows), then a distance-band rollup. Binary half-up at
+    // 1e-3 km absorbs last-ulp libm differences between engines.
+    "fn_geo" -> ((s, d) => {
+      val lat = ((col("user_id") * 37) % 17000).cast("double") / 100.0 - 85.0
+      val lon = ((col("event_id") * 73) % 36000).cast("double") / 100.0 - 180.0
+      val lat1 = radians(col("lat"))
+      val lat2 = radians(lit(48.8566))
+      val dlat = radians(lit(48.8566)) - radians(col("lat"))
+      val dlon = radians(lit(2.3522)) - radians(col("lon"))
+      val a = pow(sin(dlat / 2), 2) + cos(lat1) * cos(lat2) * pow(sin(dlon / 2), 2)
+      val dist = asin(sqrt(a)) * 2 * 6371.0088
+      Tables.events(s, d)
+        .select(col("event_id"), lat.as("lat"), lon.as("lon"))
+        .filter(col("lat").between(-60.0, 70.0))
+        .select(col("event_id"), dist.as("dist_km"))
+        .groupBy(floor(col("dist_km") / 2000).cast("long").as("band"))
+        .agg(count(lit(1)).as("n"),
+          (floor(avg(col("dist_km")) * 1e3 + 0.5) / 1e3).as("avg_km"),
+          (floor(min(col("dist_km")) * 1e3 + 0.5) / 1e3).as("min_km"),
+          (floor(max(col("dist_km")) * 1e3 + 0.5) / 1e3).as("max_km"))
+        .orderBy(col("band"))
+    }),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -147,5 +175,26 @@ object FuncDepth extends QueryModule {
         |    [CAST(p_size AS BIGINT), (p_size*3) % 7, length(p_name) % 5] AS n
         |  FROM part WHERE p_name LIKE '%widget%')
         |ORDER BY p_partkey""".stripMargin,
+
+    "fn_geo" ->
+      """SELECT CAST(floor(dist_km / 2000) AS BIGINT) AS band,
+        |  count(*) AS n,
+        |  floor(avg(dist_km) * 1e3 + 0.5) / 1e3 AS avg_km,
+        |  floor(min(dist_km) * 1e3 + 0.5) / 1e3 AS min_km,
+        |  floor(max(dist_km) * 1e3 + 0.5) / 1e3 AS max_km
+        |FROM (
+        |  SELECT event_id,
+        |    asin(sqrt(
+        |      pow(sin((radians(48.8566) - radians(lat)) / 2), 2) +
+        |      cos(radians(lat)) * cos(radians(48.8566)) *
+        |      pow(sin((radians(2.3522) - radians(lon)) / 2), 2)))
+        |      * 2 * 6371.0088 AS dist_km
+        |  FROM (
+        |    SELECT event_id,
+        |      ((user_id * 37) % 17000) / 100.0 - 85.0 AS lat,
+        |      ((event_id * 73) % 36000) / 100.0 - 180.0 AS lon
+        |    FROM events)
+        |  WHERE lat BETWEEN -60.0 AND 70.0)
+        |GROUP BY band ORDER BY band""".stripMargin,
   )
 }

@@ -144,6 +144,54 @@ class IntrospectionSpec extends SparkSpecBase {
     cat.systemParts("t").agg(sum(col("rows"))).head().getLong(0) shouldBe 4L
   }
 
+  test("CODEC axis: declared compression reaches the parquet files; zstd round-trips") {
+    val (cat, dir) = freshCat("sys-codec")
+    val df = Seq((1L, "aaaa"), (2L, "bbbb"), (3L, "cccc")).toDF("k", "v")
+    cat.createTable(TableDef("cz", s"$dir/cz", df.schema,
+      sortKeys = Seq("k"), semantics = Append, codec = "zstd"))
+    cat.append("cz", df)
+    // Spark stamps the codec into the part-file name — observe it there
+    val files = new java.io.File(s"$dir/cz").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName)
+    files should not be empty
+    all(files) should include(".zstd.")
+    cat.read("cz").orderBy("k").collect().map(_.getLong(0)) shouldBe
+      Array(1L, 2L, 3L)
+    // the codec survives compact (the rewrite writes through writeData)
+    cat.compact("cz")
+    val after = new java.io.File(s"$dir/cz").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName)
+    all(after) should include(".zstd.")
+    // ...and survives detach/attach via the sidecar
+    cat.detach("cz")
+    cat.attach(s"$dir/cz").codec shouldBe "zstd"
+    cat.systemTables().filter(col("table") === "cz")
+      .head().getAs[String]("codec") shouldBe "zstd"
+    // unknown codec refused at declaration, not at first write
+    an[IllegalArgumentException] should be thrownBy
+      cat.createTable(TableDef("bad", s"$dir/bad", df.schema,
+        sortKeys = Seq("k"), semantics = Append, codec = "brotli9000"))
+  }
+
+  test("systemColumns reports every declared column with its storage roles") {
+    val (cat, dir) = freshCat("sys-cols")
+    val df = Seq((1L, "a", 2L)).toDF("k", "v", "ts")
+    cat.createTable(TableDef("sc", s"$dir/sc", df.schema,
+      sortKeys = Seq("k"), semantics = Append, indexCols = Seq("v"),
+      minmaxCols = Seq("ts")))
+    cat.addColumn("sc", org.apache.spark.sql.types.StructField("score",
+      org.apache.spark.sql.types.LongType), 5L)
+    val rows = cat.systemColumns().filter(col("table") === "sc").collect()
+      .map(r => r.getString(1) -> r).toMap
+    rows.keySet shouldBe Set("k", "v", "ts", "score")
+    rows("k").getAs[Boolean]("is_sort_key") shouldBe true
+    rows("v").getAs[Boolean]("in_bloom_index") shouldBe true
+    rows("ts").getAs[Boolean]("in_minmax_index") shouldBe true
+    rows("score").getAs[Boolean]("has_default") shouldBe true
+    rows("score").getAs[Int]("position") shouldBe 3
+    rows("k").getAs[String]("type") shouldBe "bigint"
+  }
+
   test("query_log records storage-touching actions; flush lands them in a catalog table") {
     val (cat, dir) = freshCat("sys-qlog")
     val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("k", "v")

@@ -41,7 +41,7 @@ class SqlParitySpec extends SparkSpecBase {
     "cat_bloom_scan", "cat_minmax_scan", "cat_renamed_scan",
     "cat_dedup_optimize", "cat_modified_scan",
     "dedup_exact", "distinct_rows", "fn_date", "fn_math",
-    "fn_string",
+    "fn_string", "fn_geo",
     "j1_anti_join", "j2_semi_join", "j3_existence", "join_broadcast",
     "join_cross", "join_left_outer", "join_null_safe", "join_range",
     "join_shuffle", "join_skew_salted", "o1_topk", "o2_stalest_first",
