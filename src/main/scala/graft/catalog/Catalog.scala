@@ -170,6 +170,18 @@ final class Catalog(spark: SparkSession) {
   def createTable(t: TableDef): TableDef = {
     require(codecs.contains(t.codec),
       s"${t.name}: unknown codec ${t.codec} (one of ${codecs.mkString(", ")})")
+    // skip-index columns must be DATA-FILE columns: a partition key lives
+    // in directory names, so its sidecar could never be built — the file
+    // would re-enter the "missing" set on every append, silently turning
+    // O(batch) appends into full-table scans (and partition keys already
+    // prune at the directory level, the stronger skip)
+    (t.indexCols ++ t.minmaxCols).foreach { c =>
+      require(t.schema.fieldNames.contains(c),
+        s"${t.name}: skip-index column $c is not in the schema")
+      require(!t.partitionKeys.contains(c),
+        s"${t.name}: skip-index column $c is a partition key " +
+          s"(directory pruning already covers it)")
+    }
     t.semantics match {
       case Aggregating(keys, stateCols) =>
         // the merged read view is groupBy(keys).agg(union(states)) — a
@@ -344,9 +356,24 @@ final class Catalog(spark: SparkSession) {
       case org.json4s.JString(c) => c
       case _ => "snappy"
     }
-    createTable(TableDef(name, path, schema, list(j \ "sort_keys"), sem,
+    // registration can still fail (corrupt codec, malformed semantics
+    // lists) — the pending ALTER state restored above must not outlive a
+    // failed attach, or a LATER table created under the same name would
+    // inherit another table's defaults and stored-name refusals
+    try createTable(TableDef(name, path, schema, list(j \ "sort_keys"), sem,
       layout, list(j \ "partition_keys"), list(j \ "index_cols"),
       list(j \ "minmax_cols"), codec))
+    catch {
+      case e: Throwable =>
+        if (!tables.contains(name)) {
+          renamePending.remove(name)
+          droppedPending.remove(name)
+          readDefaults.remove(name)
+          insertDefaults.remove(name)
+          defaultSql.remove(name)
+        }
+        throw e
+    }
   }
 
   /** Forget a table's registration, keeping its storage — DETACH TABLE.
@@ -966,10 +993,14 @@ final class Catalog(spark: SparkSession) {
       t.indexCols.exists(c => !f.exists(idxSidecar(p.getParent, p.getName, c)))
     }
     if (missing.isEmpty) return
-    val schema = spark.read.parquet(missing.head.toString).schema
-    val cols = t.indexCols.filter(schema.fieldNames.contains)
+    // declared schema projected to the index columns, never a sampled
+    // file's physical schema: post-ALTER the unindexed set can mix
+    // narrow/wide physical types, and only the declared read schema
+    // promotes both — which also keys the blooms by the DECLARED type,
+    // the same type every probe value arrives in
+    val cols = t.indexCols.filter(t.schema.fieldNames.contains)
     if (cols.isEmpty) return
-    val base = spark.read.schema(schema)
+    val base = spark.read.schema(StructType(cols.map(c => t.schema(c))))
       .parquet(missing.map(_.toString).toSeq: _*)
       .select(input_file_name().as("__file") +: cols.map(col): _*)
     // job 1: per-file row counts (bloom sizing) — one tiny aggregate
@@ -1105,7 +1136,12 @@ final class Catalog(spark: SparkSession) {
   /** Orderable sidecar form of a driver-side value: numeric (and
     * date/time, via epoch-day / epoch-micros) as BigDecimal under kind
     * "num", strings as kind "str". Two values compare only within a kind
-    * — mixed kinds fail open at prune time.
+    * — mixed kinds fail open at prune time. Throws for values with no
+    * total order BigDecimal can hold (NaN/Infinity — Spark's max() ranks
+    * NaN greatest, which BigDecimal cannot express) and for unsupported
+    * types; [[buildMinmaxIndex]] catches and SKIPS that sidecar (the
+    * unindexed file fails open), while a probe-side throw is a caller
+    * error and stays loud.
     */
   private def mmKey(v: Any): (String, Any) = v match {
     case s: String => ("str", s)
@@ -1119,14 +1155,37 @@ final class Catalog(spark: SparkSession) {
     case i: java.time.Instant =>
       ("num", BigDecimal(i.getEpochSecond) * BigDecimal(1000000L) +
         BigDecimal(i.getNano / 1000L))
-    case n: java.lang.Number => ("num", BigDecimal(n.toString))
+    case l: java.time.LocalDateTime => // TIMESTAMP_NTZ driver-side value
+      ("num", BigDecimal(l.toEpochSecond(java.time.ZoneOffset.UTC)) *
+        BigDecimal(1000000L) + BigDecimal(l.getNano / 1000L))
+    case b: java.lang.Boolean => ("num", BigDecimal(if (b) 1 else 0))
+    case n: java.lang.Number => ("num", BigDecimal(n.toString)) // throws on NaN/Inf
     case other => throw new IllegalArgumentException(
       s"minmax index: unsupported value type ${other.getClass.getName}")
   }
 
+  /** Spark's string min/max (and its comparisons) order by UTF-8 BYTES
+    * (UTF8String.binaryCompare) — JVM String `<=` orders by UTF-16 code
+    * unit, which DISAGREES beyond the BMP (a supplementary code point's
+    * surrogates sort below U+E000..U+FFFF in UTF-16 but above in UTF-8).
+    * Pruning with the wrong order would drop files holding matches.
+    */
+  private def utf8Leq(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length <= y.length
+  }
+
   private def mmLeq(a: (String, Any), b: (String, Any)): Boolean = (a, b) match {
     case (("num", x: BigDecimal), ("num", y: BigDecimal)) => x <= y
-    case (("str", x: String), ("str", y: String)) => x <= y
+    case (("str", x: String), ("str", y: String)) => utf8Leq(x, y)
     case _ => true // mixed kinds: no defined order — fail open
   }
 
@@ -1156,11 +1215,15 @@ final class Catalog(spark: SparkSession) {
       t.minmaxCols.exists(c => !f.exists(mmSidecar(p.getParent, p.getName, c)))
     }
     if (missing.isEmpty) return
-    val schema = spark.read.parquet(missing.head.toString).schema
-    val cols = t.minmaxCols.filter(schema.fieldNames.contains)
+    // the DECLARED schema projected to the index columns — never a
+    // sampled file's physical schema: after an ALTER MODIFY COLUMN the
+    // unindexed set can mix narrow and wide physical types, and only the
+    // declared read schema promotes both natively
+    val cols = t.minmaxCols.filter(t.schema.fieldNames.contains)
     if (cols.isEmpty) return
+    val readSchema = StructType(cols.map(c => t.schema(c)))
     val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
-    val rows = spark.read.schema(schema)
+    val rows = spark.read.schema(readSchema)
       .parquet(missing.map(_.toString).toSeq: _*)
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -1178,14 +1241,23 @@ final class Catalog(spark: SparkSession) {
       cols.zipWithIndex.foreach { case (c, i) =>
         val mn = r.get(1 + 2 * i)
         val mx = r.get(2 + 2 * i)
-        val kind =
-          if (mn == null && mx == null) "num" // all-null file: kind moot
-          else mmKey(if (mn != null) mn else mx)._1
-        val json = JsonMethods.compact(JsonMethods.render(
-          ("k" -> kind) ~ ("min" -> enc(mn)) ~ ("max" -> enc(mx))))
-        val out = f.create(mmSidecar(p.getParent, p.getName, c), true)
-        try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
+        // un-encodable bounds (NaN/Infinity extremes, exotic types) get
+        // an explicit "none" sidecar: the file is permanently marked
+        // unprunable (reads keep it), the append that already committed
+        // its data never throws, and — unlike skipping the write — the
+        // file never re-enters the missing set, so appends stay O(batch)
+        val json = try {
+          val kind =
+            if (mn == null && mx == null) "num" // all-null file: kind moot
+            else mmKey(if (mn != null) mn else mx)._1
+          JsonMethods.compact(JsonMethods.render(
+            ("k" -> kind) ~ ("min" -> enc(mn)) ~ ("max" -> enc(mx))))
+        } catch { case scala.util.control.NonFatal(_) => """{"k":"none"}""" }
+        try {
+          val out = f.create(mmSidecar(p.getParent, p.getName, c), true)
+          try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        } catch { case scala.util.control.NonFatal(_) => () } // fs hiccup: fail open
       }
     }
   }
@@ -1230,10 +1302,13 @@ final class Catalog(spark: SparkSession) {
           }
           case _ => None
         }
-        (bound("min"), bound("max")) match {
-          case (Some(mn), Some(mx)) =>
-            loK.forall(l => mmLeq(l, mx)) && hiK.forall(h => mmLeq(mn, h))
-          case _ => false // all-null file: no value satisfies a range
+        (j \ "k") match {
+          case org.json4s.JString("none") => true // marked unprunable
+          case _ => (bound("min"), bound("max")) match {
+            case (Some(mn), Some(mx)) =>
+              loK.forall(l => mmLeq(l, mx)) && hiK.forall(h => mmLeq(mn, h))
+            case _ => false // all-null file: no value satisfies a range
+          }
         }
       }
     }

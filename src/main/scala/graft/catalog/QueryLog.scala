@@ -49,8 +49,17 @@ final class QueryLog(spark: SparkSession, cat: Catalog, path: String,
   private val buf =
     new ConcurrentLinkedQueue[(Long, String, String, String, Long, Long, String, String)]
 
-  private def touchesStorage(plan: LogicalPlan): Boolean =
-    plan.collectFirst { case _: LogicalRelation => () }.isDefined
+  /** Inspect the ANALYZED plan, not qe.logical: Spark 4's lazy
+    * DataFrameReader leaves `UnresolvedDataSource` at the leaf of the
+    * raw logical plan, so a direct action on a freshly-read table would
+    * look storage-free and silently escape the log. Analysis resolves it
+    * to the [[LogicalRelation]] this test keys on. onFailure may carry a
+    * plan that cannot analyze — treat that as storage-touching (an
+    * analysis error against a table is exactly what an ops log wants).
+    */
+  private def touchesStorage(qe: QueryExecution): Boolean =
+    scala.util.Try(qe.analyzed).toOption
+      .forall(_.collectFirst { case _: LogicalRelation => () }.isDefined)
 
   /** One line of plan text identifies the query shape without dragging a
     * full multi-KB tree into every log row (ClickHouse stores the query
@@ -67,13 +76,13 @@ final class QueryLog(spark: SparkSession, cat: Catalog, path: String,
   private val listener = new QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution,
                            durationNs: Long): Unit =
-      if (touchesStorage(qe.logical))
+      if (touchesStorage(qe))
         buf.add((System.currentTimeMillis(),
           java.util.UUID.randomUUID().toString, funcName, statementOf(qe),
           durationNs / 1000000L, resultRows(qe), "QueryFinish", null))
     override def onFailure(funcName: String, qe: QueryExecution,
                            exception: Exception): Unit =
-      if (touchesStorage(qe.logical))
+      if (touchesStorage(qe))
         buf.add((System.currentTimeMillis(),
           java.util.UUID.randomUUID().toString, funcName, statementOf(qe),
           -1L, -1L, "ExceptionWhileProcessing",
@@ -108,9 +117,17 @@ final class QueryLog(spark: SparkSession, cat: Catalog, path: String,
     if (rows.isEmpty) 0L
     else {
       import spark.implicits._
-      cat.append(table,
+      try cat.append(table,
         rows.toDF("ts_ms", "query_id", "action", "statement",
           "duration_ms", "result_rows", "status", "error"))
+      catch {
+        case e: Throwable =>
+          // a failed append must not eat the drained events — requeue
+          // them for the next cycle (order is immaterial: the log is
+          // clustered on ts_ms)
+          rows.foreach(buf.add)
+          throw e
+      }
     }
   }
 

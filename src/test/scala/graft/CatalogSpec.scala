@@ -745,6 +745,32 @@ class CatalogSpec extends SparkSpecBase {
       cat.modifyColumnType("mc", "k", LongType) // key column
   }
 
+  test("minmax skip-index survives hostile values: NaN bounds and non-BMP strings fail open") {
+    val cat = new Catalog(spark)
+    val src = Seq((1L, 1.0, "a"), (2L, Double.NaN, "😀"))
+      .toDF("k", "d", "s")
+    cat.createTable(TableDef("mmh", tmpDir("cat") + "/mmh", src.schema,
+      sortKeys = Seq("k"), semantics = Append, minmaxCols = Seq("d", "s")))
+    cat.append("mmh", src) // must not throw despite the NaN max
+    // the NaN-bounded file is marked unprunable ("none" sidecar), never
+    // silently dropped — and never re-enters the unindexed set
+    val (dfd, keptD, totalD) = cat.readRangePruned("mmh", "d", 0.5, 2.0)
+    keptD shouldBe totalD
+    dfd.filter(col("d").between(0.5, 2.0)).count() shouldBe 1L
+    // string pruning orders by UTF-8 bytes like Spark itself, not UTF-16
+    // code units: a probe above the surrogate range must NOT prune the
+    // file whose max is a supplementary-plane string
+    val (dfs, keptS, _) = cat.readRangePruned("mmh", "s", "�", null)
+    keptS should be >= 1
+    dfs.filter(col("s") >= "�").count() shouldBe 1L
+    // a skip index on a partition key could never be built (the column
+    // lives in directory names) — refused at declaration
+    an[IllegalArgumentException] should be thrownBy
+      cat.createTable(TableDef("mmp", tmpDir("cat") + "/mmp", src.schema,
+        sortKeys = Seq("k"), semantics = Append, partitionKeys = Seq("s"),
+        minmaxCols = Seq("s")))
+  }
+
   test("attach restores ALTER defaults: added columns keep filling after a restart") {
     val cat = new Catalog(spark)
     val path = tmpDir("cat") + "/ad"

@@ -206,20 +206,27 @@ class IntrospectionSpec extends SparkSpecBase {
         Thread.sleep(50)
     }
     try {
-      // two storage-touching actions (parquet-backed reads)
+      // three storage-touching actions — including a DIRECT collect on
+      // the reader Dataset, whose raw logical plan is an unresolved data
+      // source under Spark 4's lazy reader (the analyzed plan is what
+      // carries the LogicalRelation the listener keys on)
       cat.read("qt").count() shouldBe 3L
       cat.read("qt").filter(col("v") === "a").collect().length shouldBe 2
-      awaitPending(2)
-      qlog.flush() should be >= 2L
+      cat.read("qt").collect().length shouldBe 3
+      awaitPending(3)
+      qlog.flush() should be >= 3L
+      // the flush's own internal appends (driver-local batches) are NOT
+      // logged: a second flush with no new user queries lands nothing.
+      // This must be checked BEFORE reading the log — reading query_log
+      // is itself a storage-touching query and gets logged, exactly like
+      // ClickHouse logs queries against query_log
+      Thread.sleep(1000) // negative assertion: give the bus time to (not) deliver
+      qlog.flush() shouldBe 0L
       val rows = qlog.log().collect()
-      rows.length should be >= 2
+      rows.length should be >= 3
       all(rows.map(_.getAs[Long]("duration_ms"))) should be >= 0L
       all(rows.map(_.getAs[String]("status"))) shouldBe "QueryFinish"
       all(rows.map(_.getAs[String]("statement"))) should not be empty
-      // the flush's own internal appends (driver-local batches) are NOT
-      // logged: a second flush with no new user queries lands nothing
-      Thread.sleep(1000) // negative assertion: give the bus time to (not) deliver
-      qlog.flush() shouldBe 0L
       // the log is an ordinary catalog table: queryable, compactable
       // (these reads are themselves storage-touching and get logged —
       // ClickHouse likewise logs queries against query_log)
