@@ -670,7 +670,9 @@ final class Catalog(spark: SparkSession) {
     by.foreach(c => require(get(name).schema.fieldNames.contains(c),
       s"optimizeDeduplicate($name): no such column $c"))
     mutate(name, df => if (by.isEmpty) df.dropDuplicates()
-                       else df.dropDuplicates(by))
+                       else df.dropDuplicates(by),
+      if (by.isEmpty) "OPTIMIZE TABLE FINAL DEDUPLICATE"
+      else s"OPTIMIZE TABLE FINAL DEDUPLICATE BY ${by.mkString(", ")}")
   }
 
   /** Fill ALTER-added columns' nulls with their declared defaults (old
@@ -1523,7 +1525,76 @@ final class Catalog(spark: SparkSession) {
     * object stores without atomic rename need a manifest-based commit
     * instead, out of scope here).
     */
-  def compact(name: String): Unit = mutate(name, identity)
+  def compact(name: String): Unit =
+    mutate(name, identity, "OPTIMIZE TABLE FINAL")
+
+  // ---- system.mutations analog ------------------------------------------
+  //
+  // ClickHouse records every ALTER mutation in system.mutations and ops
+  // runbooks poll it (`is_done`) before depending on the rewrite. Here a
+  // mutation IS done when mutate() returns (the rewrite is synchronous),
+  // so the log is pure history: one JSONL line per completed mutation in
+  // a SIBLING file (`<path>.mutations` — outside the table dir, because
+  // FlatDir compaction swaps the whole directory and would orphan any
+  // history stored inside it). Written under the table's write lock;
+  // best-effort (losing ops history on a crash mid-write never corrupts
+  // data).
+
+  private def mutationsPath(t: TableDef) =
+    new org.apache.hadoop.fs.Path(t.path + ".mutations")
+
+  private def recordMutation(t: TableDef, command: String): Unit =
+    try {
+      import org.json4s.JsonDSL._
+      import org.json4s.jackson.JsonMethods
+      val f = fs(t)
+      val p = mutationsPath(t)
+      val prior =
+        if (!f.exists(p)) ""
+        else {
+          val in = f.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        }
+      val line = JsonMethods.compact(JsonMethods.render(
+        ("ts_ms" -> System.currentTimeMillis()) ~ ("command" -> command))) + "\n"
+      val out = f.create(p, true)
+      try out.write((prior + line).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** The mutation history of `name` as a DataFrame — (table, seq, ts_ms,
+    * command, is_done), oldest first. Every row is done by construction
+    * (mutations here are synchronous rewrites); the column exists so the
+    * runbook shape matches ClickHouse's.
+    */
+  def systemMutations(name: String): DataFrame = {
+    import spark.implicits._
+    import org.json4s.jackson.JsonMethods
+    val t = get(name)
+    val f = fs(t)
+    val p = mutationsPath(t)
+    val lines =
+      if (!f.exists(p)) Seq.empty[String]
+      else {
+        val in = f.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+    lines.zipWithIndex.map { case (l, i) =>
+      val j = JsonMethods.parse(l)
+      val ts = (j \ "ts_ms") match {
+        case org.json4s.JInt(v) => v.toLong
+        case org.json4s.JLong(v) => v
+        case _ => -1L
+      }
+      val cmd = (j \ "command") match {
+        case org.json4s.JString(c) => c
+        case _ => ""
+      }
+      (name, i.toLong, ts, cmd, true)
+    }.toDF("table", "seq", "ts_ms", "command", "is_done")
+  }
 
   /** ClickHouse lightweight-mutation analog (`ALTER TABLE … DELETE/UPDATE
     * … WHERE`, SURVEY.md §2.9): a copy-on-write rewrite of the merged view
@@ -1537,7 +1608,8 @@ final class Catalog(spark: SparkSession) {
     * drop/alter rows, not shape) — enforced loudly, since an accidental
     * schema drift would poison every later append.
     */
-  def mutate(name: String, transform: DataFrame => DataFrame): Unit =
+  def mutate(name: String, transform: DataFrame => DataFrame,
+             command: String = "mutation"): Unit =
     writeLock(name).synchronized {
       val t = get(name)
       val checked: DataFrame => DataFrame = { df =>
@@ -1572,6 +1644,7 @@ final class Catalog(spark: SparkSession) {
         droppedPending.remove(name)
         if (hadPending) persistTableDef(tables(name))
       }
+      recordMutation(t, command)
     }
 
   /** `ALTER TABLE name DELETE WHERE predicate` — drops rows where the
@@ -1579,7 +1652,8 @@ final class Catalog(spark: SparkSession) {
     * three-valued semantics: only definite matches are removed).
     */
   def delete(name: String, predicate: org.apache.spark.sql.Column): Unit =
-    mutate(name, _.filter(!coalesce(predicate, lit(false))))
+    mutate(name, _.filter(!coalesce(predicate, lit(false))),
+      s"ALTER DELETE WHERE $predicate")
 
   /** `ALTER TABLE name UPDATE set… WHERE where` — rewrites matching rows'
     * columns; non-matching rows and unlisted columns are untouched. Each
@@ -1593,7 +1667,8 @@ final class Catalog(spark: SparkSession) {
     */
   def update(name: String, where: org.apache.spark.sql.Column,
              set: Map[String, org.apache.spark.sql.Column]): Unit =
-    mutate(name, { df =>
+    mutate(name, command = s"ALTER UPDATE ${set.keys.toSeq.sorted.mkString(", ")} WHERE $where",
+      transform = { df =>
       val types = df.schema.map(f => f.name -> f.dataType).toMap
       set.keys.foreach(c =>
         require(types.contains(c), s"update($name): no such column $c"))
@@ -1613,7 +1688,9 @@ final class Catalog(spark: SparkSession) {
     */
   def applyTtl(name: String, ttlCol: String, maxAgeSec: Long,
                nowEpochSec: Long): Unit =
-    delete(name, col(ttlCol) < lit(nowEpochSec - maxAgeSec))
+    mutate(name,
+      _.filter(!coalesce(col(ttlCol) < lit(nowEpochSec - maxAgeSec), lit(false))),
+      s"TTL $ttlCol + INTERVAL $maxAgeSec SECOND (now=$nowEpochSec)")
 
   private def compactFlat(t: TableDef,
                           transform: DataFrame => DataFrame = identity): Unit = {

@@ -55,4 +55,13 @@ object GraftSql {
     registerFunctions(s)
     s.sql(query)
   }
+
+  /** `EXPLAIN [PIPELINE]` analog: the formatted physical plan for a SQL
+    * text — the surface an engine user reads to check pushdown
+    * (`PushedFilters`), codegen spans (`WholeStageCodegen`), and join
+    * strategies, without leaving the SQL entry point.
+    */
+  def explain(s: SparkSession, sfDir: String, query: String): String =
+    sql(s, sfDir, query).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
 }

@@ -192,6 +192,26 @@ class IntrospectionSpec extends SparkSpecBase {
     rows("k").getAs[String]("type") shouldBe "bigint"
   }
 
+  test("systemMutations records every completed rewrite, in order, across compactions") {
+    val (cat, dir) = freshCat("sys-mut")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    cat.createTable(TableDef("mt", s"$dir/mt", df.schema,
+      sortKeys = Seq("k"), semantics = Append))
+    cat.append("mt", df)
+    cat.delete("mt", col("k") === 2L)
+    cat.update("mt", col("k") === 1L, Map("v" -> lit("z")))
+    cat.compact("mt")
+    val rows = cat.systemMutations("mt").orderBy("seq").collect()
+    rows.length shouldBe 3
+    rows(0).getAs[String]("command") should include("ALTER DELETE")
+    rows(1).getAs[String]("command") should include("ALTER UPDATE v")
+    rows(2).getAs[String]("command") shouldBe "OPTIMIZE TABLE FINAL"
+    all(rows.map(_.getAs[Boolean]("is_done"))) shouldBe true
+    // the data agrees with the recorded history
+    cat.read("mt").collect().map(r => (r.getLong(0), r.getString(1))) shouldBe
+      Array((1L, "z"))
+  }
+
   test("query_log records storage-touching actions; flush lands them in a catalog table") {
     val (cat, dir) = freshCat("sys-qlog")
     val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("k", "v")

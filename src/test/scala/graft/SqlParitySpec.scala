@@ -596,4 +596,12 @@ class SqlParitySpec extends SparkSpecBase {
     val rows = GraftSql.sql(spark, sf0001, SparkEntry.oracleSql("q1_agg")).collect()
     rows.length should be > 0
   }
+
+  test("EXPLAIN analog surfaces pushdown and codegen from the SQL entry point") {
+    val plan = GraftSql.explain(spark, sf0001,
+      "SELECT count(*) FROM lineitem WHERE l_quantity > 10")
+    plan should include("Scan parquet")
+    plan should include("PushedFilters")
+    plan should include("l_quantity")
+  }
 }
