@@ -167,6 +167,18 @@ object Analytics extends QueryModule {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
 
+    // `GROUP BY a, b WITH TOTALS` — NOT rollup: the sets are ((a,b),()),
+    // full groups plus ONE grand-total row, with no per-a subtotal level
+    // in between. Dataset.groupingSets expresses it exactly.
+    "agg_totals" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // HLL sketch vs exact, oracle-checkable: the raw sketch estimate is
     // engine-specific (HLL bit layout), but its documented accuracy contract
     // is not — approx_count_distinct's default rsd 0.05 is a standard
@@ -580,6 +592,13 @@ object Analytics extends QueryModule {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "agg_totals" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "win_rank" ->
       """SELECT o_orderstatus, rnk, o_orderkey, o_totalprice FROM (

@@ -122,6 +122,31 @@ object FuncDepth extends QueryModule {
           (floor(max(col("dist_km")) * 1e3 + 0.5) / 1e3).as("max_km"))
         .orderBy(col("band"))
     }),
+
+    // IP family (`IPv4NumToString`/`IPv4StringToNum`/`isIPAddressInRange`):
+    // synthesized IPv4 numbers (Knuth-hash spread over the 32-bit space),
+    // rendered dotted-quad with bit ops, PARSED BACK from the string, and
+    // classified RFC-1918-private — the render and parse must round-trip
+    // exactly (rt == ip on every row, asserted in the result itself).
+    "fn_ip" -> ((s, d) => {
+      val ip = pmod(col("user_id") * 2654435761L, lit(4294967296L))
+      val b = (n: Int) => shiftright(col("ip"), n).bitwiseAND(lit(255L))
+      val quad = concat_ws(".", b(24).cast("string"), b(16).cast("string"),
+        b(8).cast("string"), b(0).cast("string"))
+      val part = (i: Int) =>
+        element_at(split(col("ip_str"), "\\."), i).cast("long")
+      Tables.events(s, d)
+        .filter(col("event_id") < 200)
+        .select(col("event_id"), ip.as("ip"))
+        .withColumn("ip_str", quad)
+        .withColumn("rt", part(1) * 16777216L + part(2) * 65536L +
+          part(3) * 256L + part(4))
+        .select(col("event_id"), col("ip"), col("ip_str"),
+          (col("rt") === col("ip")).as("roundtrip"),
+          (b(24) === 10 || (b(24) === 192 && b(16) === 168))
+            .as("is_private"))
+        .orderBy(col("event_id"))
+    }),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -196,5 +221,28 @@ object FuncDepth extends QueryModule {
         |    FROM events)
         |  WHERE lat BETWEEN -60.0 AND 70.0)
         |GROUP BY band ORDER BY band""".stripMargin,
+
+    "fn_ip" ->
+      """SELECT event_id, ip,
+        |  (ip >> 24 & 255) || '.' || (ip >> 16 & 255) || '.' ||
+        |  (ip >> 8 & 255)  || '.' || (ip & 255) AS ip_str,
+        |  CAST(string_split((ip >> 24 & 255) || '.' || (ip >> 16 & 255)
+        |         || '.' || (ip >> 8 & 255) || '.' || (ip & 255), '.')[1]
+        |       AS BIGINT) * 16777216 +
+        |  CAST(string_split((ip >> 24 & 255) || '.' || (ip >> 16 & 255)
+        |         || '.' || (ip >> 8 & 255) || '.' || (ip & 255), '.')[2]
+        |       AS BIGINT) * 65536 +
+        |  CAST(string_split((ip >> 24 & 255) || '.' || (ip >> 16 & 255)
+        |         || '.' || (ip >> 8 & 255) || '.' || (ip & 255), '.')[3]
+        |       AS BIGINT) * 256 +
+        |  CAST(string_split((ip >> 24 & 255) || '.' || (ip >> 16 & 255)
+        |         || '.' || (ip >> 8 & 255) || '.' || (ip & 255), '.')[4]
+        |       AS BIGINT) = ip AS roundtrip,
+        |  (ip >> 24 & 255) = 10 OR
+        |  ((ip >> 24 & 255) = 192 AND (ip >> 16 & 255) = 168) AS is_private
+        |FROM (
+        |  SELECT event_id, (user_id * 2654435761) % 4294967296 AS ip
+        |  FROM events WHERE event_id < 200)
+        |ORDER BY event_id""".stripMargin,
   )
 }
