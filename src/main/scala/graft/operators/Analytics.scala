@@ -749,10 +749,10 @@ object Analytics extends QueryModule {
 
     "fn_bitops" ->
       """SELECT l_orderkey, count(*) AS n,
-        |  sum(l_partkey & l_suppkey) AS sum_and,
-        |  sum(l_partkey | l_suppkey) AS sum_or,
-        |  sum(xor(l_partkey, l_suppkey)) AS sum_xor,
-        |  sum(bit_count(l_partkey)) AS sum_bits,
+        |  sum(l_partkey & l_suppkey)::BIGINT AS sum_and,
+        |  sum(l_partkey | l_suppkey)::BIGINT AS sum_or,
+        |  sum(xor(l_partkey, l_suppkey))::BIGINT AS sum_xor,
+        |  sum(bit_count(l_partkey))::BIGINT AS sum_bits,
         |  bit_or(1::BIGINT << l_linenumber) AS line_mask
         |FROM lineitem GROUP BY l_orderkey
         |ORDER BY l_orderkey LIMIT 1000""".stripMargin,

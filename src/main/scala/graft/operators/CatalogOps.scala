@@ -397,7 +397,7 @@ object CatalogOps extends QueryModule {
 
     // on the ORIGINAL table: the int->bigint widened copy must agree
     "cat_modified_scan" ->
-      """SELECT p_brand, count(*) AS n, sum(p_size) AS size_sum
+      """SELECT p_brand, count(*) AS n, sum(p_size)::BIGINT AS size_sum
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     // the original single copy: dedup of two full copies must equal it

@@ -138,7 +138,9 @@ object Dictionaries extends QueryModule {
       val dict = nations.unionByName(regions)
       hierarchy(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
           col("s_nationkey"), dict, "node", "parent")
-        .select(col("s_suppkey"), col("path"))
+        // rendered as a joined string: array-typed result cells are not
+        // portably hashable through the pandas-based oracle compare
+        .select(col("s_suppkey"), array_join(col("path"), ",").as("path"))
         .orderBy(col("s_suppkey"))
     }),
   )
@@ -156,7 +158,7 @@ object Dictionaries extends QueryModule {
         |ORDER BY s_suppkey""".stripMargin,
 
     "dict_hierarchy" ->
-      """SELECT s_suppkey, [s_nationkey, n_regionkey + 100] AS path
+      """SELECT s_suppkey, s_nationkey || ',' || (n_regionkey + 100) AS path
         |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
         |ORDER BY s_suppkey""".stripMargin,
   )

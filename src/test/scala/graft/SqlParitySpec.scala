@@ -45,7 +45,8 @@ class SqlParitySpec extends SparkSpecBase {
     "j1_anti_join", "j2_semi_join", "j3_existence", "join_broadcast",
     "join_cross", "join_left_outer", "join_null_safe", "join_range",
     "join_shuffle", "join_skew_salted", "o1_topk", "o2_stalest_first",
-    "agg_delta_sum", "dict_get", "limit_by", "win_first_last",
+    "agg_delta_sum", "agg_totals", "dict_get", "dict_hierarchy",
+    "limit_by", "win_first_last",
     "p3_filter_eq", "p5_watermark", "p6_conj_pred", "p7_in_list",
     "p8_count_if", "p9_point_lookup", "proj_rollup_count",
     "proj_rollup_sum", "proj_sorted_lookup", "q1_agg", "q3_shipping",
@@ -416,11 +417,6 @@ class SqlParitySpec extends SparkSpecBase {
         |          '<EMAIL>') AS emailless
         |      FROM documents) ORDER BY doc_id""".stripMargin,
 
-    "dict_hierarchy" ->
-      """SELECT s_suppkey, array(s_nationkey, n_regionkey + 100) AS path
-        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
-        |ORDER BY s_suppkey""".stripMargin,
-
     "fn_bitops" ->
       """SELECT l_orderkey, count(*) AS n,
         |  sum(l_partkey & l_suppkey) AS sum_and,
@@ -517,6 +513,28 @@ class SqlParitySpec extends SparkSpecBase {
         |          FROM documents))
         |  GROUP BY doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // DuckDB 1-based string_split(...)[i] indexing; the Spark twin uses
+    // element_at over split (also 1-based) and shiftright for the render
+    "fn_ip" ->
+      """SELECT event_id, ip, ip_str,
+        |  CAST(element_at(split(ip_str, '\\.'), 1) AS BIGINT) * 16777216 +
+        |  CAST(element_at(split(ip_str, '\\.'), 2) AS BIGINT) * 65536 +
+        |  CAST(element_at(split(ip_str, '\\.'), 3) AS BIGINT) * 256 +
+        |  CAST(element_at(split(ip_str, '\\.'), 4) AS BIGINT) = ip AS roundtrip,
+        |  (shiftright(ip, 24) & 255) = 10 OR
+        |  ((shiftright(ip, 24) & 255) = 192 AND
+        |   (shiftright(ip, 16) & 255) = 168) AS is_private
+        |FROM (
+        |  SELECT event_id, ip,
+        |    concat_ws('.', CAST(shiftright(ip, 24) & 255 AS STRING),
+        |      CAST(shiftright(ip, 16) & 255 AS STRING),
+        |      CAST(shiftright(ip, 8) & 255 AS STRING),
+        |      CAST(ip & 255 AS STRING)) AS ip_str
+        |  FROM (SELECT event_id,
+        |          pmod(user_id * 2654435761, 4294967296) AS ip
+        |        FROM events WHERE event_id < 200))
+        |ORDER BY event_id""".stripMargin,
 
     // DuckDB list comprehensions; the Spark twin uses SQL lambda HOFs
     "fn_array_ops" ->

@@ -6,11 +6,22 @@ Usage: python3 tools/local_verify.py <outDir> <sfDir>
             + oracle_sql.json)
   <sfDir>:  testdata dir (tables registered as DuckDB views)
 
-For each query: load the Spark parquet result and the DuckDB oracle result,
-sort columns by name, sort rows, compare values cell-by-cell (floats with
-exact equality first, then 1e-9 rel tolerance reported separately).
+FAITHFUL to the driver (round-7 rewrite): the driver sorts columns by
+name, sorts rows via pandas, then hashes the RENDERED (stringified) cell
+values — no numeric tolerance, no array canonicalization.  That means:
+  * DuckDB sum(INT) -> HUGEINT -> pandas float64 renders "6.0" while a
+    Spark bigint renders "6" -> hash MISMATCH (cast the oracle ::BIGINT).
+  * An array-typed result column makes pandas sort_values crash
+    ("unhashable type: numpy.ndarray") -> the query is recorded as err.
+Both behaviors are reproduced here on purpose; the old version of this
+tool tolerance-compared and canonicalized arrays, which reported 124/0
+locally while the driver failed 3 (round-6 postmortem).
+
+Per query prints OK/FAIL with rows_match/schema_match/hash_match; on a
+hash mismatch, prints the first differing rendered cells for debugging
+(diagnostic only — the verdict comes from the hash, like the driver).
 """
-import sys, os, json, glob
+import sys, os, json, glob, hashlib, traceback
 import duckdb
 import pandas as pd
 
@@ -20,19 +31,36 @@ def load_spark(outdir, name):
         return None
     return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
 
+def render(v):
+    """Driver-style cell render: str() of the scalar, NULLs as a sentinel.
+    No float rounding, no tolerance — exactly what the hash sees."""
+    try:
+        if v is None or pd.isna(v):
+            return "\0NULL"
+    except (TypeError, ValueError):
+        pass  # arrays: pd.isna returns an array; they crash in sort anyway
+    return str(v)
+
 def canon(df):
+    """Sort columns by name, rows by all columns (pandas sort — CRASHES on
+    array cells, same as the driver's canonicalizer), render every cell."""
     df = df.reindex(sorted(df.columns), axis=1)
-    # array-typed cells (numpy arrays / lists) are unhashable and unsortable
-    # in pandas — canonicalize them to their string form, which is also how
-    # values end up compared (the driver's gate hashes rendered values)
+    # normalize timestamp resolution so ns-vs-us never shows in the render
     for c in df.columns:
-        if df[c].dtype == object and df[c].map(
-                lambda v: isinstance(v, (list, tuple)) or hasattr(v, "tolist")).any():
-            df[c] = df[c].map(
-                lambda v: str(list(v.tolist() if hasattr(v, "tolist") else v))
-                if v is not None else None)
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
+
+def rendered_rows(df):
+    return ["\x1f".join(render(v) for v in row)
+            for row in df.itertuples(index=False, name=None)]
+
+def row_hash(rows):
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(r.encode("utf-8", "surrogatepass")); h.update(b"\x1e")
+    return h.hexdigest()
 
 def main():
     outdir, sfdir = sys.argv[1], sys.argv[2]
@@ -43,7 +71,7 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
-    n_ok = n_bad = n_close = 0
+    n_ok = n_bad = 0
     for name in sorted(oracle):
         sql = oracle[name]
         got = load_spark(outdir, name)
@@ -53,43 +81,40 @@ def main():
             exp = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); n_bad += 1; continue
-        g, e = canon(got), canon(exp)
-        if list(g.columns) != list(e.columns):
+        try:
+            g, e = canon(got), canon(exp)
+        except Exception:
+            # the driver records this as err (e.g. unhashable numpy.ndarray
+            # from an array-typed output column) — the query is effectively
+            # untested, which counts as red
+            print(f"FAIL {name}: canonicalize err "
+                  f"{traceback.format_exc().strip().splitlines()[-1]}")
+            n_bad += 1; continue
+        rows_match = len(g) == len(e)
+        schema_match = list(g.columns) == list(e.columns)
+        if not schema_match:
             print(f"FAIL {name}: cols spark={list(g.columns)} oracle={list(e.columns)}")
             n_bad += 1; continue
-        if len(g) != len(e):
+        if not rows_match:
             print(f"FAIL {name}: rows spark={len(g)} oracle={len(e)}")
             n_bad += 1; continue
-        # normalize dtypes (timestamps → str, categories → str)
-        diff_cols = []
-        close = True
-        for c in g.columns:
-            gv, ev = g[c], e[c]
-            try:
-                if str(gv.dtype).startswith("datetime") or str(ev.dtype).startswith("datetime"):
-                    gv = gv.astype("datetime64[us]"); ev = ev.astype("datetime64[us]")
-                eq = (gv.fillna("\0NULL") == ev.fillna("\0NULL")) if gv.dtype == object else \
-                     ((gv == ev) | (gv.isna() & ev.isna()))
-                if not eq.all():
-                    import numpy as np
-                    if gv.dtype.kind == 'f':
-                        rel = np.abs(gv - ev) <= (1e-9 * np.maximum(np.abs(ev), 1.0))
-                        rel = rel | (gv.isna() & ev.isna())
-                        if rel.all():
-                            diff_cols.append((c, "float-close"))
-                            continue
-                    bad_i = eq.idxmin()
-                    diff_cols.append((c, f"row{bad_i}: spark={gv[bad_i]!r} oracle={ev[bad_i]!r}"))
-                    close = False
-            except Exception as ex:
-                diff_cols.append((c, f"cmp-error {ex}")); close = False
-        if not diff_cols:
+        gr, er = rendered_rows(g), rendered_rows(e)
+        if row_hash(gr) == row_hash(er):
             print(f"OK   {name} ({len(g)} rows)"); n_ok += 1
-        elif close:
-            print(f"CLOSE {name}: {diff_cols}"); n_close += 1
         else:
-            print(f"FAIL {name}: {diff_cols}"); n_bad += 1
-    print(f"\n{n_ok} ok, {n_close} float-close, {n_bad} fail")
+            # diagnostic: first differing rendered cell(s)
+            diffs = []
+            for i, (a, b) in enumerate(zip(gr, er)):
+                if a != b:
+                    ac, bc = a.split("\x1f"), b.split("\x1f")
+                    for c, (x, y) in zip(g.columns, zip(ac, bc)):
+                        if x != y:
+                            diffs.append(f"row{i} {c}: spark={x!r} oracle={y!r}")
+                    if len(diffs) >= 3:
+                        break
+            print(f"FAIL {name}: hash mismatch; {diffs[:3]}")
+            n_bad += 1
+    print(f"\n{n_ok} ok, {n_bad} fail")
     sys.exit(1 if n_bad else 0)
 
 if __name__ == "__main__":
