@@ -182,6 +182,20 @@ final class Catalog(spark: SparkSession) {
         s"${t.name}: skip-index column $c is a partition key " +
           s"(directory pruning already covers it)")
     }
+    // bloom sidecars are Spark sketch BloomFilters, which accept ONLY
+    // string, binary, and integral keys — a double/decimal/date/timestamp
+    // index column would pass here and then throw executor-side on every
+    // append (after the parquet data is durably written for FlatDir),
+    // leaving the table un-appendable; reject it at declaration instead
+    t.indexCols.foreach { c =>
+      import org.apache.spark.sql.types._
+      val dt = t.schema(c).dataType
+      require(dt == StringType || dt == BinaryType ||
+          Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"${t.name}: bloom skip-index column $c is ${dt.simpleString}; the " +
+          "sketch BloomFilter supports only string, binary, and integral " +
+          "columns — declare it under minmaxCols for range skipping instead")
+    }
     t.semantics match {
       case Aggregating(keys, stateCols) =>
         // the merged read view is groupBy(keys).agg(union(states)) — a
@@ -323,11 +337,26 @@ final class Catalog(spark: SparkSession) {
       case _ => FlatDir
     }
     val name = str("name")
-    tables.get(name).foreach { existing =>
+    val already = tables.get(name)
+    already.foreach { existing =>
       require(existing.path == path,
         s"attach: table $name is already registered at ${existing.path}; " +
           s"refusing to shadow it with $path (detach first)")
     }
+    // already registered at THIS path: the live in-memory ALTER state is
+    // authoritative (persistTableDef is best-effort, so the sidecar can
+    // lag it) — re-attaching must not overwrite it with stale contents
+    if (already.isDefined) return already.get
+    // capture the pre-attach state so a failed registration restores it
+    // exactly instead of merely clearing (the name is unregistered here,
+    // so these are normally absent — but restore-what-was beats guess)
+    def snap[V](m: scala.collection.concurrent.TrieMap[String, V]) = {
+      val prior = m.get(name)
+      () => prior match { case Some(v) => m.put(name, v); case None => m.remove(name) }
+    }
+    val restorePrior: Seq[() => Any] = Seq(snap(renamePending),
+      snap(droppedPending), snap(readDefaults), snap(insertDefaults),
+      snap(defaultSql))
     // restore ALTER state BEFORE registration: a reader racing the attach
     // must never see the renamed/widened schema without its storage
     // mapping or default fill
@@ -365,13 +394,7 @@ final class Catalog(spark: SparkSession) {
       list(j \ "minmax_cols"), codec))
     catch {
       case e: Throwable =>
-        if (!tables.contains(name)) {
-          renamePending.remove(name)
-          droppedPending.remove(name)
-          readDefaults.remove(name)
-          insertDefaults.remove(name)
-          defaultSql.remove(name)
-        }
+        if (!tables.contains(name)) restorePrior.foreach(_.apply())
         throw e
     }
   }
@@ -828,8 +851,12 @@ final class Catalog(spark: SparkSession) {
   private def dataPaths(t: TableDef): Seq[String] = t.layout match {
     case FlatDir => Seq(t.path)
     case Versioned =>
+      // segment listing must happen BEFORE the manifest read (see the doc
+      // comment above): a reader that straddles a concurrent compact then
+      // resolves either old-consistent or new-version-plus-excluded-segment
+      val segNames = committedSegments(t)
       val curV = currentVersion(t)
-      val segs = committedSegments(t)
+      val segs = segNames
         .filterNot(foldedOf(t, curV))
         .map(s => new org.apache.hadoop.fs.Path(t.path, s).toString)
       val cur = new org.apache.hadoop.fs.Path(t.path, curV).toString
@@ -1104,7 +1131,14 @@ final class Catalog(spark: SparkSession) {
         value match {
           case s: String => bf.mightContainString(s)
           case b: Array[Byte] => bf.mightContainBinary(b)
-          case n: Number => bf.mightContainLong(n.longValue())
+          // only integral index columns exist (createTable validates), so a
+          // fractional probe that is not exactly integral can match no row —
+          // reject it loudly rather than silently truncating via longValue
+          case n: Number =>
+            val l = n.longValue()
+            require(n.doubleValue() == l.toDouble,
+              s"bloom probe value $n is fractional; column $column is integral")
+            bf.mightContainLong(l)
           case other => bf.mightContain(other)
         }
       }
@@ -1548,18 +1582,18 @@ final class Catalog(spark: SparkSession) {
       import org.json4s.JsonDSL._
       import org.json4s.jackson.JsonMethods
       val f = fs(t)
-      val p = mutationsPath(t)
-      val prior =
-        if (!f.exists(p)) ""
-        else {
-          val in = f.open(p)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        }
-      val line = JsonMethods.compact(JsonMethods.render(
-        ("ts_ms" -> System.currentTimeMillis()) ~ ("command" -> command))) + "\n"
-      val out = f.create(p, true)
-      try out.write((prior + line).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // one uniquely-named file per mutation (the _segs markers pattern):
+      // a whole-history read-modify-write would lose lines when two
+      // PROCESSES mutate the same table — the JVM write lock only covers
+      // in-process writers. Zero-padded ts prefix makes the lexical file
+      // order the history order; the uuid suffix de-collides same-ms.
+      val ts = System.currentTimeMillis()
+      val fn = f"m_$ts%013d_${java.util.UUID.randomUUID().toString.take(8)}%s.json"
+      val marker = new org.apache.hadoop.fs.Path(mutationsPath(t), fn)
+      val json = JsonMethods.compact(JsonMethods.render(
+        ("ts_ms" -> ts) ~ ("command" -> command)))
+      val out = f.create(marker, true)
+      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     } catch { case scala.util.control.NonFatal(_) => () }
 
@@ -1574,13 +1608,20 @@ final class Catalog(spark: SparkSession) {
     val t = get(name)
     val f = fs(t)
     val p = mutationsPath(t)
+    def readAll(path: org.apache.hadoop.fs.Path): String = {
+      val in = f.open(path)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
     val lines =
       if (!f.exists(p)) Seq.empty[String]
-      else {
-        val in = f.open(p)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      }
+      else if (f.getFileStatus(p).isDirectory)
+        // marker-file layout: one json file per mutation, named so the
+        // lexical order IS the history order
+        f.listStatus(p).map(_.getPath).filter(_.getName.startsWith("m_"))
+          .sortBy(_.getName).map(readAll).toSeq
+      else // legacy single-file layout (pre-round-7 tables)
+        readAll(p).linesIterator.filter(_.nonEmpty).toList
     lines.zipWithIndex.map { case (l, i) =>
       val j = JsonMethods.parse(l)
       val ts = (j \ "ts_ms") match {

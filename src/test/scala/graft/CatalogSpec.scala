@@ -794,4 +794,60 @@ class CatalogSpec extends SparkSpecBase {
     cat3.read("ad").filter(col("k") === "a").head()
       .isNullAt(3) shouldBe true
   }
+
+  test("re-attach at the same path is a no-op: live ALTER state survives") {
+    import java.nio.file.Files
+    val cat = new Catalog(spark)
+    val path = tmpDir("cat") + "/ra"
+    cat.createTable(TableDef("ra", path, replacingSchema, Seq("k"), Append))
+    cat.append("ra", Seq(("a", 1L, 10L)).toDF("k", "v", "updated_at"))
+    cat.attach(path) // registers the sidecar-persisted def
+    // live state advances past the last persisted sidecar: simulate a
+    // lagging sidecar by adding a column AFTER deleting the sidecar, so a
+    // re-attach that re-read it would resurrect the pre-ALTER state
+    cat.addColumn("ra", StructField("score", LongType), 7L)
+    val sidecar = new java.io.File(path, "_TABLE")
+    val stale = Files.readAllBytes(sidecar.toPath)
+    cat.detach("ra"); cat.attach(path) // persisted state round-trips
+    Files.write(sidecar.toPath, stale) // now make the sidecar stale
+    val again = cat.attach(path) // same name, same path: short-circuits
+    again.schema.fieldNames should contain("score")
+    // the read-time default was NOT overwritten by the stale sidecar
+    cat.read("ra").head().getAs[Long]("score") shouldBe 7L
+  }
+
+  test("bloom skip-index declarations reject non-integral key types") {
+    val cat = new Catalog(spark)
+    val sch = StructType(Seq(StructField("k", StringType),
+      StructField("score", DoubleType)))
+    val ex = intercept[IllegalArgumentException] {
+      cat.createTable(TableDef("bt", tmpDir("cat") + "/bt", sch,
+        Seq("k"), Append, indexCols = Seq("score")))
+    }
+    ex.getMessage should include("minmaxCols")
+    // the probe side refuses fractional values instead of truncating
+    cat.createTable(TableDef("bt2", tmpDir("cat") + "/bt2", replacingSchema,
+      Seq("k"), Append, indexCols = Seq("v")))
+    cat.append("bt2", Seq(("a", 1L, 10L)).toDF("k", "v", "updated_at"))
+    val pex = intercept[IllegalArgumentException] {
+      cat.readPruned("bt2", "v", java.lang.Double.valueOf(1.5))
+    }
+    pex.getMessage should include("fractional")
+  }
+
+  test("mutation history: one marker file per mutation, listed in order") {
+    val cat = new Catalog(spark)
+    val path = tmpDir("cat") + "/mh"
+    cat.createTable(TableDef("mh", path, replacingSchema, Seq("k"), Append))
+    cat.append("mh", Seq(("a", 1L, 10L), ("b", 2L, 20L)).toDF("k", "v", "updated_at"))
+    cat.delete("mh", col("k") === "a")
+    cat.update("mh", col("k") === "b", Map("v" -> lit(9L)))
+    val hist = cat.systemMutations("mh").orderBy("seq").collect()
+    hist.length shouldBe 2
+    hist.map(_.getAs[String]("command")).head should include("DELETE")
+    // marker-file layout: concurrent writers in other processes append
+    // their own file instead of read-modify-writing a shared one
+    new java.io.File(path + ".mutations").listFiles()
+      .count(_.getName.startsWith("m_")) shouldBe 2
+  }
 }
