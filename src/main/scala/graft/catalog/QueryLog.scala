@@ -40,14 +40,17 @@ final class QueryLog(spark: SparkSession, cat: Catalog, path: String,
     StructField("statement", StringType),
     StructField("duration_ms", LongType),
     StructField("result_rows", LongType),
+    StructField("shuffle_read_bytes", LongType),
+    StructField("shuffle_write_bytes", LongType),
+    StructField("spill_bytes", LongType),
     StructField("status", StringType),
     StructField("error", StringType)))
 
   cat.createTable(TableDef(table, path, schema,
     sortKeys = Seq("ts_ms"), semantics = Append))
 
-  private val buf =
-    new ConcurrentLinkedQueue[(Long, String, String, String, Long, Long, String, String)]
+  private val buf = new ConcurrentLinkedQueue[
+    (Long, String, String, String, Long, Long, Long, Long, Long, String, String)]
 
   /** Inspect the ANALYZED plan, not qe.logical: Spark 4's lazy
     * DataFrameReader leaves `UnresolvedDataSource` at the leaf of the
@@ -73,19 +76,57 @@ final class QueryLog(spark: SparkSession, cat: Catalog, path: String,
   private def resultRows(qe: QueryExecution): Long =
     qe.executedPlan.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
 
+  /** Every physical node of the FINAL plan, descending through the AQE
+    * wrapper (a leaf whose real tree hangs off `executedPlan`), materialized
+    * query stages, and subquery plans. [[ReusedExchangeExec]] is kept as a
+    * boundary leaf: its metrics alias the original exchange's, so walking
+    * through it would double-count the reused shuffle.
+    */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val below = p match {
+      case _: ReusedExchangeExec => Nil
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => allNodes(q.plan)
+      case other => other.children.flatMap(allNodes)
+    }
+    p +: (below ++ p.subqueries.flatMap(allNodes))
+  }
+
+  /** (shuffle read bytes, shuffle write bytes, spill bytes) summed from the
+    * executed plan's own SQLMetrics — the numbers the SQL UI shows, read
+    * AFTER the action so they are complete, attributed per query with no
+    * listener bookkeeping (the `read_bytes`/`written_bytes` columns of
+    * ClickHouse's system.query_log). Size metrics initialize to -1
+    * ("invalid"), so unset ones clamp to 0 instead of draining the sum.
+    */
+  private def execMetrics(qe: QueryExecution): (Long, Long, Long) =
+    scala.util.Try {
+      val nodes = allNodes(qe.executedPlan)
+      def sum(keys: String*): Long =
+        nodes.map(n => keys.flatMap(n.metrics.get).map(m => math.max(0L, m.value)).sum).sum
+      (sum("localBytesRead", "remoteBytesRead"),
+        sum("shuffleBytesWritten"),
+        sum("spillSize", "diskBytesSpilled"))
+    }.getOrElse((0L, 0L, 0L))
+
   private val listener = new QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution,
                            durationNs: Long): Unit =
-      if (touchesStorage(qe))
+      if (touchesStorage(qe)) {
+        val (rd, wr, sp) = execMetrics(qe)
         buf.add((System.currentTimeMillis(),
           java.util.UUID.randomUUID().toString, funcName, statementOf(qe),
-          durationNs / 1000000L, resultRows(qe), "QueryFinish", null))
+          durationNs / 1000000L, resultRows(qe), rd, wr, sp, "QueryFinish", null))
+      }
     override def onFailure(funcName: String, qe: QueryExecution,
                            exception: Exception): Unit =
       if (touchesStorage(qe))
         buf.add((System.currentTimeMillis(),
           java.util.UUID.randomUUID().toString, funcName, statementOf(qe),
-          -1L, -1L, "ExceptionWhileProcessing",
+          -1L, -1L, 0L, 0L, 0L, "ExceptionWhileProcessing",
           String.valueOf(exception.getMessage).take(500)))
   }
 
@@ -119,7 +160,8 @@ final class QueryLog(spark: SparkSession, cat: Catalog, path: String,
       import spark.implicits._
       try cat.append(table,
         rows.toDF("ts_ms", "query_id", "action", "statement",
-          "duration_ms", "result_rows", "status", "error"))
+          "duration_ms", "result_rows", "shuffle_read_bytes",
+          "shuffle_write_bytes", "spill_bytes", "status", "error"))
       catch {
         case e: Throwable =>
           // a failed append must not eat the drained events — requeue

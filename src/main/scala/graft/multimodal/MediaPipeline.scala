@@ -20,12 +20,16 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * ===Decoders===
   * IMAGE payloads decode for REAL: [[decodeImage]] uses the JDK's built-in
   * `javax.imageio` (PNG/BMP/GIF/JPEG — no external codec dependency) and
-  * converts to a BT.601 integer-luma grayscale plane. Audio/video still go
-  * through the DETERMINISTIC STUB [[decodeFrame(payload:Array[Byte],frameIdx:Int)*]]
-  * (this container ships no av codecs): it "decodes" a payload chunk into
-  * an 8×8 plane by reading raw bytes. Swapping in a real av codec changes
-  * only that one function — schema, batching, partitioning, and everything
-  * downstream is production-shaped for both families.
+  * converts to a BT.601 integer-luma grayscale plane. AUDIO payloads decode
+  * for REAL too: [[decodeAudio]] uses the JDK's `javax.sound.sampled`
+  * (WAV/PCM incl. µ-law/a-law via the JDK codec chain) into a mono 8-bit
+  * sample stream, windowed into planes by [[audioFrames]]. Only VIDEO still
+  * goes through the DETERMINISTIC STUB
+  * [[decodeFrame(payload:Array[Byte],frameIdx:Int)*]] (this container ships
+  * no video codecs): it "decodes" a payload chunk into an 8×8 plane by
+  * reading raw bytes. Swapping in a real video codec changes only that one
+  * function — schema, batching, partitioning, and everything downstream is
+  * production-shaped for all three families.
   */
 object MediaPipeline {
 
@@ -42,6 +46,102 @@ object MediaPipeline {
 
   /** True when the mime family routes to the REAL image decoder. */
   def isImageMime(mime: String): Boolean = mime != null && mime.startsWith("image/")
+
+  /** True when the mime family routes to the REAL audio decoder. */
+  def isAudioMime(mime: String): Boolean = mime != null && mime.startsWith("audio/")
+
+  /** Decoded PCM audio: `samples` is the mono 8-bit signed downmix (the
+    * plane-precision working form every downstream stage consumes);
+    * `channels`/`sampleRate`/`durationMs` describe the SOURCE payload.
+    */
+  final case class AudioClip(sampleRate: Int, channels: Int, nSamples: Int,
+                             durationMs: Long, samples: Array[Byte])
+
+  /** Structural RIFF/WAVE gate before `javax.sound.sampled` sees the bytes
+    * (same rationale as [[graft.functions.ImageDims]]'s magic-number gate:
+    * the AU reader matches on the 4 ASCII bytes ".snd", which innocent text
+    * can start with). The RIFF chunk size must agree with the payload
+    * length, so arbitrary column content cannot pass by accident.
+    */
+  def looksLikeWav(p: Array[Byte]): Boolean =
+    p != null && p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' && {
+        val declared = (p(4) & 0xffL) | ((p(5) & 0xffL) << 8) |
+          ((p(6) & 0xffL) << 16) | ((p(7) & 0xffL) << 24)
+        declared == p.length - 8
+      } && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/PCM ships
+    * with every JRE — zero new dependencies, the same trick as
+    * [[decodeImage]]'s imageio). Non-PCM WAV encodings (µ-law, a-law,
+    * float) are converted through the JDK's codec chain to 16-bit signed
+    * PCM first; channels are averaged to a mono downmix and samples drop
+    * to 8-bit signed (the plane precision). None when the bytes are not a
+    * decodable WAV, so callers fall back deterministically to the stub.
+    */
+  def decodeAudio(payload: Array[Byte]): Option[AudioClip] = {
+    if (!looksLikeWav(payload)) return None
+    var in: javax.sound.sampled.AudioInputStream = null
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val raw = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val srcFmt = raw.getFormat
+      val pcm = srcFmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
+        srcFmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+      in =
+        if (pcm && (srcFmt.getSampleSizeInBits == 8 || srcFmt.getSampleSizeInBits == 16)) raw
+        else AudioSystem.getAudioInputStream(
+          new AudioFormat(srcFmt.getSampleRate, 16, srcFmt.getChannels,
+            true, false), raw)
+      val f = in.getFormat
+      val bytes = in.readAllBytes()
+      val ch = f.getChannels max 1
+      val bps = f.getSampleSizeInBits / 8
+      val frameSize = ch * bps
+      if (frameSize <= 0) return None
+      val nFrames = bytes.length / frameSize
+      val unsigned = f.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+      val mono = new Array[Byte](nFrames)
+      var i = 0
+      while (i < nFrames) {
+        var acc = 0
+        var c = 0
+        while (c < ch) {
+          val off = i * frameSize + c * bps
+          // every branch widens to a 16-bit signed sample before the mix
+          val s16 =
+            if (bps == 1) (if (unsigned) (bytes(off) & 0xff) - 128 else bytes(off).toInt) << 8
+            else if (f.isBigEndian) (bytes(off) << 8) | (bytes(off + 1) & 0xff)
+            else (bytes(off + 1) << 8) | (bytes(off) & 0xff)
+          acc += s16
+          c += 1
+        }
+        mono(i) = ((acc / ch) >> 8).toByte
+        i += 1
+      }
+      val sr = math.round(f.getSampleRate)
+      Some(AudioClip(sr, srcFmt.getChannels, nFrames,
+        if (sr > 0) nFrames * 1000L / sr else 0L, mono))
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally if (in != null) in.close()
+  }
+
+  /** Decoded audio windowed into PlaneW×PlaneH sample planes — the audio
+    * analog of video frame extraction (one 64-sample window per Frame),
+    * zero-padded on the tail like the stride stub.
+    */
+  def audioFrames(clip: AudioClip): Iterator[Frame] = {
+    val per = PlaneW * PlaneH
+    val n = math.max((clip.nSamples + per - 1) / per, 1)
+    (0 until n).iterator.map { idx =>
+      val off = idx * per
+      val pixels = Array.tabulate[Byte](per) { i =>
+        if (off + i < clip.nSamples) clip.samples(off + i) else 0
+      }
+      Frame(-1L, idx, PlaneW, PlaneH, pixels)
+    }
+  }
 
   /** REAL single-frame image decode via the JDK's `javax.imageio`
     * (PNG/BMP/GIF/JPEG ship with every JRE — zero new dependencies).
@@ -74,15 +174,19 @@ object MediaPipeline {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Mime-routed decode: an image mime → the real [[decodeImage]] (one frame),
-    * anything else (or an undecodable image payload) → the stride stub.
+  /** Mime-routed decode: an image mime → the real [[decodeImage]] (one
+    * frame), an audio mime → the real [[decodeAudio]] sample window,
+    * anything else (or an undecodable payload) → the stride stub.
     */
   def decodeFrame(payload: Array[Byte], mime: String, frameIdx: Int): Frame =
-    (if (isImageMime(mime) && frameIdx == 0) decodeImage(payload) else None)
+    (if (isImageMime(mime) && frameIdx == 0) decodeImage(payload)
+     else if (isAudioMime(mime))
+       decodeAudio(payload).flatMap(c => audioFrames(c).drop(frameIdx).nextOption())
+     else None)
       .getOrElse(decodeFrame(payload, frameIdx))
 
-  /** STUB decoder (audio/video only — images decode for real above).
-    * Reads one FrameStride-byte chunk as an 8×8 grayscale plane
+  /** STUB decoder (video only — images and WAV audio decode for real
+    * above). Reads one FrameStride-byte chunk as an 8×8 grayscale plane
     * (zero-padded); replace with a codec binding in production.
     */
   def decodeFrame(payload: Array[Byte], frameIdx: Int): Frame = {
@@ -108,13 +212,17 @@ object MediaPipeline {
   }
 
   /** All frames of a payload under its mime routing: a decodable image is
-    * exactly one real frame; everything else windows through the stub.
+    * exactly one real frame, a decodable WAV windows its real PCM samples;
+    * everything else windows through the stub.
     */
   def frames(payload: Array[Byte], mime: String): Iterator[Frame] =
-    (if (isImageMime(mime)) decodeImage(payload) else None) match {
-      case Some(f) => Iterator.single(f)
-      case None => (0 until frameCount(payload)).iterator.map(decodeFrame(payload, _))
-    }
+    (if (isImageMime(mime)) decodeImage(payload).map(Iterator.single(_)) else None)
+      .orElse(decodeAudioFrames(payload, mime))
+      .getOrElse((0 until frameCount(payload)).iterator.map(decodeFrame(payload, _)))
+
+  private def decodeAudioFrames(payload: Array[Byte],
+                                mime: String): Option[Iterator[Frame]] =
+    if (isAudioMime(mime)) decodeAudio(payload).map(audioFrames) else None
 
   /** 64-bin byte histogram over all frame planes, L1-normalized — the
     * fixed-width executor-side feature that is all a downstream ANN/dedup

@@ -35,6 +35,7 @@ object Multimodal extends QueryModule {
           col("doc_id"),
           col("payload"),
           graft.functions.ImageDims(col("payload")).as("dims"),
+          graft.functions.AudioMeta(col("payload")).as("ameta"),
           octet_length(col("payload")).cast("long").as("n_bytes"),
           md5(col("text")).as("digest"))
         .select(
@@ -44,7 +45,11 @@ object Multimodal extends QueryModule {
           coalesce(col("dims.width").cast("long"),
             (octet_length(col("payload")) % 640 + 1).cast("long")).as("width"),
           coalesce(col("dims.height").cast("long"),
-            (octet_length(col("payload")) % 480 + 1).cast("long")).as("height"))
+            (octet_length(col("payload")) % 480 + 1).cast("long")).as("height"),
+          coalesce(col("ameta.sample_rate").cast("long"),
+            (octet_length(col("payload")) % 48000 + 8000).cast("long")).as("sample_rate"),
+          coalesce(col("ameta.duration_ms"),
+            (octet_length(col("payload")) % 60000).cast("long")).as("duration_ms"))
         .orderBy(col("doc_id"))),
 
     // Frame sampling: one row per FrameStride-byte chunk — posexplode over a
@@ -61,15 +66,19 @@ object Multimodal extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
-    // width/height: DuckDB cannot decode images, but it doesn't need to —
-    // text payloads never decode, so both engines take the byte-derived
-    // fallback branch here; the real-decode branch is spec-pinned instead
+    // width/height/sample_rate/duration_ms: DuckDB cannot decode media, but
+    // it doesn't need to — text payloads never decode as images OR WAV, so
+    // both engines take the byte-derived fallback branches here; the
+    // real-decode branches are spec-pinned instead (MultimodalSpec's PNG
+    // and WAV fixtures)
     "mm_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | md5(text) AS digest,
         | CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
-        | CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height
+        | CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height,
+        | CAST(octet_length(encode(text)) % 48000 + 8000 AS BIGINT) AS sample_rate,
+        | CAST(octet_length(encode(text)) % 60000 AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_frame_sample" ->

@@ -264,4 +264,34 @@ class IntrospectionSpec extends SparkSpecBase {
       qlog.log().count() shouldBe n0
     } finally qlog.detach()
   }
+
+  test("query_log attributes shuffle bytes per query (system.query_log read_bytes analog)") {
+    val (cat, dir) = freshCat("sys-qlog-metrics")
+    val df = spark.range(20000)
+      .select(col("id").as("k"), (col("id") % 97).cast("string").as("v"))
+    cat.createTable(TableDef("qm", s"$dir/qm", df.schema,
+      sortKeys = Seq("k"), semantics = Append))
+    cat.append("qm", df)
+    val qlog = new QueryLog(spark, cat, s"$dir/query_log").attach()
+    try {
+      // one shuffling action (groupBy forces an exchange) and one narrow
+      // scan — the metric columns must tell them apart
+      cat.read("qm").groupBy(col("v")).count().collect().length shouldBe 97
+      cat.read("qm").filter(col("k") === 7L).collect().length shouldBe 1
+      val deadline = System.currentTimeMillis() + 30000
+      while (qlog.pending < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      qlog.flush() should be >= 2L
+      val rows = qlog.log().collect()
+      // the groupBy run wrote AND read shuffle data
+      val shuffled = rows.filter(_.getAs[Long]("shuffle_write_bytes") > 0L)
+      shuffled.length should be >= 1
+      all(shuffled.map(_.getAs[Long]("shuffle_read_bytes"))) should be > 0L
+      // the narrow scan logged zero shuffle traffic
+      rows.exists(r => r.getAs[Long]("shuffle_write_bytes") == 0L &&
+        r.getAs[Long]("shuffle_read_bytes") == 0L) shouldBe true
+      // spill is a valid (non-negative) byte count, zero on this tiny run
+      all(rows.map(_.getAs[Long]("spill_bytes"))) should be >= 0L
+    } finally qlog.detach()
+  }
 }

@@ -122,6 +122,87 @@ class MultimodalSpec extends SparkSpecBase {
     (meta(1).getLong(1), meta(1).getLong(2)) shouldBe ((6L, 6L)) // 5 bytes → fallback
   }
 
+  /** 16-bit signed little-endian PCM WAV with sample i = `gen(i)` per
+    * channel (channel 1 gets `gen(i) + delta` so downmix averaging is
+    * observable), written through the JDK's own WAV writer.
+    */
+  private def wavFixture(sampleRate: Int, channels: Int, nSamples: Int,
+                         gen: Int => Short, delta: Short = 0): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val pcm = new Array[Byte](nSamples * channels * 2)
+    for (i <- 0 until nSamples; c <- 0 until channels) {
+      val v = (gen(i) + (if (c == 1) delta else 0)).toShort
+      val off = (i * channels + c) * 2
+      pcm(off) = (v & 0xff).toByte
+      pcm(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("WAV fixture decodes END TO END: real rate, real samples, real downmix") {
+    // 8 kHz mono, 1600 samples = 200 ms; sample i = i*16 (so s16 >> 8 = i/16)
+    val wav = wavFixture(8000, 1, 1600, i => (i * 16).toShort)
+    val clip = decodeAudio(wav).get
+    clip.sampleRate shouldBe 8000
+    clip.channels shouldBe 1
+    clip.nSamples shouldBe 1600
+    clip.durationMs shouldBe 200L
+    clip.samples(256) shouldBe ((256 * 16) >> 8).toByte
+
+    // stereo downmix: ch0 = 1024, ch1 = 1024 + 512 → mean 1280 → byte 5
+    val st = decodeAudio(wavFixture(16000, 2, 320, _ => 1024.toShort, 512.toShort)).get
+    st.channels shouldBe 2
+    st.nSamples shouldBe 320
+    st.durationMs shouldBe 20L
+    all(st.samples.toSeq) shouldBe ((1024 + 1536) / 2 >> 8).toByte
+
+    // frames routing: 1600 samples / 64-per-plane = 25 real windows
+    val fs = frames(wav, "audio/wav").toSeq
+    fs.length shouldBe 1600 / (PlaneW * PlaneH)
+    fs.head.pixels(4) shouldBe ((4 * 16) >> 8).toByte
+    // same bytes under a non-audio mime take the stride stub instead
+    frames(wav, "application/octet-stream").length shouldBe frameCount(wav)
+    // mime-routed single-frame decode agrees with the window iterator
+    decodeFrame(wav, "audio/wav", 1).pixels shouldBe fs(1).pixels
+
+    // non-WAV bytes under an audio mime fall back deterministically
+    decodeAudio("RIFFxxxx not audio".getBytes("UTF-8")) shouldBe None
+    frames("plain text".getBytes("UTF-8"), "audio/wav").length shouldBe
+      frameCount("plain text".getBytes("UTF-8"))
+  }
+
+  test("AudioMeta expression: header-only audio metadata, NULL for non-audio") {
+    val wav = wavFixture(22050, 2, 4410, i => (i % 100).toShort) // 200 ms stereo
+    val rows = Seq((1L, wav), (2L, "just text bytes".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+      .select(col("media_id"), graft.functions.AudioMeta(col("payload")).as("meta"))
+      .orderBy(col("media_id"))
+      .collect()
+    rows(0).getStruct(1).getInt(0) shouldBe 22050
+    rows(0).getStruct(1).getInt(1) shouldBe 2
+    rows(0).getStruct(1).getLong(2) shouldBe 200L
+    rows(1).isNullAt(1) shouldBe true
+
+    // and through mm_meta's coalesce: a real WAV reports REAL rate/duration
+    val meta = Seq((1L, wav), (2L, "plain".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"),
+        graft.functions.AudioMeta(col("payload")).as("ameta"),
+        octet_length(col("payload")).as("nb"))
+      .select(col("doc_id"),
+        coalesce(col("ameta.sample_rate").cast("long"),
+          (col("nb") % 48000 + 8000).cast("long")).as("sample_rate"),
+        coalesce(col("ameta.duration_ms"), (col("nb") % 60000).cast("long")).as("duration_ms"))
+      .orderBy(col("doc_id")).collect()
+    (meta(0).getLong(1), meta(0).getLong(2)) shouldBe ((22050L, 200L))
+    (meta(1).getLong(1), meta(1).getLong(2)) shouldBe ((8005L, 5L)) // 5 bytes → fallback
+  }
+
   test("decode stub: frames window the payload at the declared stride") {
     // period-251 pattern: a 256-byte stride never repeats the same bytes
     val payload = Array.tabulate[Byte](600)(i => (i % 251).toByte)

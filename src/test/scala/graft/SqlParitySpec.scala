@@ -274,15 +274,18 @@ class SqlParitySpec extends SparkSpecBase {
         |FROM clicks FULL OUTER JOIN buys ON clicks.d = buys.d
         |ORDER BY d""".stripMargin,
 
-    // width/height spell out the byte-derived fallback: text payloads are
-    // never decodable images, so the DataFrame surface's real-decode branch
-    // never fires on this corpus (the PNG branch is MultimodalSpec's job)
+    // width/height/sample_rate/duration_ms spell out the byte-derived
+    // fallbacks: text payloads are never decodable images or WAV, so the
+    // DataFrame surface's real-decode branches never fire on this corpus
+    // (the PNG and WAV branches are MultimodalSpec's job)
     "mm_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text, 'UTF-8')) AS BIGINT) AS n_bytes,
         | md5(text) AS digest,
         | CAST(octet_length(encode(text, 'UTF-8')) % 640 + 1 AS BIGINT) AS width,
-        | CAST(octet_length(encode(text, 'UTF-8')) % 480 + 1 AS BIGINT) AS height
+        | CAST(octet_length(encode(text, 'UTF-8')) % 480 + 1 AS BIGINT) AS height,
+        | CAST(octet_length(encode(text, 'UTF-8')) % 48000 + 8000 AS BIGINT) AS sample_rate,
+        | CAST(octet_length(encode(text, 'UTF-8')) % 60000 AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_tokens" ->
