@@ -179,6 +179,23 @@ object Analytics extends QueryModule {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // `GROUP BY a, b WITH TOTALS HAVING n > k` under the default
+    // totals_mode = before_having: HAVING filters the GROUP rows only,
+    // while the totals row keeps aggregating every group (including the
+    // filtered-out ones). One grouping-sets pass — the filter exempts the
+    // totals row by grouping_id, so no second scan and no extra shuffle.
+    "agg_totals_having" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"),
+          grouping_id().as("gid"))
+        .filter(col("gid") === 3 || col("n") > 10000)
+        .drop("gid")
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // HLL sketch vs exact, oracle-checkable: the raw sketch estimate is
     // engine-specific (HLL bit layout), but its documented accuracy contract
     // is not — approx_count_distinct's default rsd 0.05 is a standard
@@ -598,6 +615,15 @@ object Analytics extends QueryModule {
         | round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "agg_totals_having" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), ())
+        |HAVING (grouping(l_returnflag) = 1 AND grouping(l_linestatus) = 1)
+        |    OR count(*) > 10000
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "win_rank" ->
