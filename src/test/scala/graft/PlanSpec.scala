@@ -100,6 +100,20 @@ class PlanSpec extends SparkSpecBase {
     planOf("dedup_embed_cosine") should not include "BroadcastNestedLoopJoin"
   }
 
+  test("IVF-PQ candidate scoring reads M-byte codes, never float vectors") {
+    // the operator's whole 100 TB value is that the candidate stage scans
+    // the codes table (8 B/vector) instead of the embedding column
+    // (256 B/vector): the ADC stage's plan must score through the
+    // pq_adc_score kernel against the pq_codes scan, and NO scan in it may
+    // read an embedding column (the full vectors are allowed only in the
+    // downstream broadcast-pruned exact-refine point-read)
+    val plan = graft.operators.Similarity.pqCandidates(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    plan should include("pq_adc_score")
+    plan should include("pq_codes")
+    plan.toLowerCase should not include "embedding"
+  }
+
   test("bloom decontam prunes with might_contain before any corpus shuffle") {
     // the operator's whole value is the map-side bloom prune: if a future
     // edit drops the predicate the query silently degrades to shuffling
