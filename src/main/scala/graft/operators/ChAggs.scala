@@ -155,6 +155,28 @@ object ChAggs extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // groupBitmap analog: EXACT distinct via Spark's bitmap aggregates.
+    // Per-(type, day, bucket) dense bitmap states (bitmap_bucket_number
+    // splits the id space into 32768-bit pages so each state is one fixed
+    // 4 KB page — the RoaringBitmap container discipline), OR-merged
+    // across days per bucket, then per-page cardinalities sum — the same
+    // partial-aggregable state shape ClickHouse stores in a
+    // groupBitmapState AggregatingMergeTree column. Exact, so it
+    // hash-matches count(DISTINCT) — the property that distinguishes it
+    // from the HLL path (agg_hll_merge), at bitmap-sized state cost.
+    "agg_bitmap" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+        .groupBy(col("event_type"), col("day"),
+          bitmap_bucket_number(col("user_id")).as("bkt"))
+        .agg(bitmap_construct_agg(bitmap_bit_position(col("user_id"))).as("bm"))
+      daily.groupBy(col("event_type"), col("bkt"))
+        .agg(bitmap_or_agg(col("bm")).as("bm"))
+        .groupBy(col("event_type"))
+        .agg(sum(bitmap_count(col("bm"))).cast("long").as("n_users"))
+        .orderBy(col("event_type"))
+    }),
+
     // moment statistics: stddevPop / varPop / corr / covarPop.
     "agg_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -331,6 +353,10 @@ object ChAggs extends QueryModule {
   }
 
   override def oracleSql: Map[String, String] = Map(
+    "agg_bitmap" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "agg_funnel" ->
       """WITH ev AS (SELECT user_id, ts, event_type FROM events),
         |t1 AS (SELECT user_id, min(ts) AS t1 FROM ev

@@ -147,9 +147,34 @@ object FuncDepth extends QueryModule {
             .as("is_private"))
         .orderBy(col("event_id"))
     }),
+
+    // Encoding family (`hex`/`unhex`/`base64Encode`/`base64Decode`/`bin`):
+    // part names encoded both ways, ROUND-TRIPPED back through decode (the
+    // rt columns must equal the original on every row — the oracle asserts
+    // it by emitting p_name itself), and the integer key rendered binary.
+    "fn_encoding" -> ((s, d) => {
+      val bytes = encode(col("p_name"), "UTF-8")
+      Tables.part(s, d)
+        .filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"),
+          base64(bytes).as("b64"),
+          hex(bytes).as("hx"),
+          decode(unbase64(base64(bytes)), "UTF-8").as("rt_b64"),
+          decode(unhex(hex(bytes)), "UTF-8").as("rt_hex"),
+          bin(col("p_partkey")).as("key_bin"))
+        .orderBy(col("p_partkey"))
+    }),
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "fn_encoding" ->
+      """SELECT p_partkey,
+        | to_base64(encode(p_name)) AS b64,
+        | hex(encode(p_name)) AS hx,
+        | p_name AS rt_b64,
+        | p_name AS rt_hex,
+        | bin(p_partkey) AS key_bin
+        |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
     "fn_url" ->
       """SELECT event_id,
         |  regexp_extract(url, '^([a-z]+)://', 1)            AS proto,

@@ -35,7 +35,7 @@ class SqlParitySpec extends SparkSpecBase {
     "a1_count_scalar", "a2_count_filtered", "a3_max_watermark",
     "a4_groupby_min", "a5_stars_rollup", "a6_countif_backfill",
     "a7_summing_merge", "a8_dedup_latest", "agg_approx_distinct",
-    "agg_cube", "agg_distinct", "agg_funnel", "agg_histogram",
+    "agg_bitmap", "agg_cube", "agg_distinct", "agg_funnel", "agg_histogram",
     "agg_hll_merge", "agg_retention", "agg_rollup", "agg_seq_match",
     "agg_stats", "agg_sumif", "cat_clustered_scan", "cat_partitioned_scan",
     "cat_bloom_scan", "cat_minmax_scan", "cat_renamed_scan",
@@ -111,6 +111,16 @@ class SqlParitySpec extends SparkSpecBase {
         |        CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS cents
         |      FROM events GROUP BY 1, 2)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // DuckDB spells the byte conversion encode(x) and base64 to_base64
+    "fn_encoding" ->
+      """SELECT p_partkey,
+        | base64(encode(p_name, 'UTF-8')) AS b64,
+        | hex(encode(p_name, 'UTF-8')) AS hx,
+        | p_name AS rt_b64,
+        | p_name AS rt_hex,
+        | bin(p_partkey) AS key_bin
+        |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
