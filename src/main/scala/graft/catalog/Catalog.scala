@@ -1407,15 +1407,34 @@ final class Catalog(spark: SparkSession) {
     * `to`), and [[stored]] keeps the old name un-reintroducible until a
     * compact retires the mapping.
     */
+  /** Scan `paths` under `schema`. A PARTITIONED table's live paths
+    * (version dir + append segments) are distinct partition-discovery
+    * roots — one multi-path read makes Spark infer partition columns
+    * across conflicting base directories and refuse the scan
+    * (CONFLICTING_DIRECTORY_STRUCTURES), so each root is read on its own
+    * and unioned. Filters, column pruning, and directory-level partition
+    * pruning all push into every branch of the union, so the plan cost is
+    * identical to the single-root read.
+    */
+  private def scanRoots(t: TableDef, schema: StructType,
+                        paths: Seq[String]): DataFrame =
+    if (t.partitionKeys.isEmpty || paths.size <= 1)
+      spark.read.schema(schema).parquet(paths: _*)
+    else paths.map(p => spark.read.schema(schema).parquet(p)
+        // per-root partition discovery appends partition cols last —
+        // restore declared order so the branches union positionally
+        .select(schema.fieldNames.map(col).toSeq: _*))
+      .reduce(_.union(_))
+
   private def readStorage(t: TableDef, paths: Seq[String]): DataFrame = {
     val renames = renamePending.getOrElse(t.name, Map.empty)
       .filter { case (to, _) => t.schema.fieldNames.contains(to) }
-    if (renames.isEmpty) spark.read.schema(t.schema).parquet(paths: _*)
+    if (renames.isEmpty) scanRoots(t, t.schema, paths)
     else {
       val widened = StructType(t.schema.fields ++ renames.map {
         case (to, phys) => StructField(phys, t.schema(to).dataType)
       })
-      val raw = spark.read.schema(widened).parquet(paths: _*)
+      val raw = scanRoots(t, widened, paths)
       renames.foldLeft(raw) { case (d, (to, phys)) =>
         d.withColumn(to, coalesce(col(to), col(phys)))
       }.select(t.schema.fieldNames.map(col).toSeq: _*)
@@ -1523,7 +1542,7 @@ final class Catalog(spark: SparkSession) {
     val sizes = listDataFiles(t)
       .map(s => (s.getPath.getName, s.getLen)).toDF("part", "bytes")
     val sortKey = t.sortKeys.headOption
-    val perFile = spark.read.schema(t.schema).parquet(dataPaths(t): _*)
+    val perFile = scanRoots(t, t.schema, dataPaths(t))
       .withColumn("part", element_at(split(input_file_name(), "/"), -1))
     val stats = sortKey match {
       case Some(k) => perFile.groupBy(col("part")).agg(
@@ -1732,6 +1751,192 @@ final class Catalog(spark: SparkSession) {
     mutate(name,
       _.filter(!coalesce(col(ttlCol) < lit(nowEpochSec - maxAgeSec), lit(false))),
       s"TTL $ttlCol + INTERVAL $maxAgeSec SECOND (now=$nowEpochSec)")
+
+  // ---- partition-level DDL (DROP / DETACH / ATTACH PARTITION) ----------
+  //
+  // ClickHouse's constant-time data-management verbs (README.md:232-266's
+  // retention runbook depends on them): `ALTER TABLE … DROP PARTITION`
+  // deletes a partition's parts outright, DETACH moves them to
+  // `detached/` for manual handling, ATTACH re-adopts detached parts.
+  // Here a "partition" is the Hive-layout `key=value` directory the
+  // table's `partitionBy` write produced, so all three are DIRECTORY
+  // renames/deletes — O(partition-dir count), never a row rewrite; at a
+  // 100 TB table dropping a day of data touches a handful of directory
+  // entries while `delete(…)` would rewrite the table. Mutation-logged
+  // like every ALTER.
+  //
+  // Merge semantics note (same contract as ClickHouse): parts in
+  // different partitions never merge, so under Replacing/Summing
+  // semantics a key whose rows SPAN partitions loses only the dropped
+  // partition's contribution — dropping a partition can un-shadow an
+  // older version of a key that also lives elsewhere, exactly as it does
+  // in ClickHouse. Partition ops are not atomic across the table's live
+  // data paths (version dir + segments): a crash mid-op leaves some
+  // directories moved and some not — rerunning the op completes it
+  // (all three verbs are idempotent for a given value).
+
+  /** Detached partitions live in a SIBLING dir (like `.mutations`):
+    * FlatDir compaction swaps the whole table directory and would drop
+    * anything stored inside it. One uniquely-named bucket per source
+    * directory so detaching a value present in the version dir AND in
+    * N append segments never collides; the bucket's `key=value` child
+    * names the partition, so ATTACH finds its buckets by inspection.
+    */
+  private def detachedRoot(t: TableDef) =
+    new org.apache.hadoop.fs.Path(t.path + ".detached")
+
+  /** The `key=value` leaf dir name for `value`, escaped exactly as
+    * Spark's `partitionBy` writer escapes it (same utility). The caller
+    * passes the value as Spark renders it into the path: strings
+    * verbatim, numbers via toString, dates as yyyy-MM-dd.
+    */
+  private def partitionLeaf(t: TableDef, value: Any): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    require(t.partitionKeys.nonEmpty,
+      s"${t.name}: not a partitioned table (no PARTITION BY)")
+    require(value != null, s"${t.name}: partition value must be non-null")
+    // multi-key layouts nest key2=… under key1=…; the op moves the whole
+    // first-level subtree, which is the ClickHouse partition granularity
+    escapePathName(t.partitionKeys.head) + "=" + escapePathName(value.toString)
+  }
+
+  /** `ALTER TABLE name DROP PARTITION value` — removes the partition's
+    * directories from every live data path. Returns the number of
+    * directories removed (0 = no such partition anywhere: a no-op, like
+    * dropping an empty partition). Takes the write lock THEN the compact
+    * lock (mutate's order): a concurrent compact folds a snapshot of the
+    * old paths into the next version, which would resurrect the partition
+    * it raced with.
+    */
+  def dropPartition(name: String, value: Any): Int =
+    writeLock(name).synchronized {
+      val t = get(name)
+      val leaf = partitionLeaf(t, value)
+      recoverInterruptedSwap(t)
+      withCompactLock(t) {
+        val f = fs(t)
+        val targets = dataPaths(t)
+          .map(new org.apache.hadoop.fs.Path(_, leaf)).filter(f.exists)
+        targets.foreach(p => f.delete(p, true))
+        recordMutation(t, s"ALTER DROP PARTITION $leaf")
+        targets.size
+      }
+    }
+
+  /** `ALTER TABLE name DETACH PARTITION value` — moves the partition's
+    * directories (data files plus their `_idx` sidecars, which live
+    * inside) into `<path>.detached/<bucket>/key=value` with one atomic
+    * rename per source directory. Returns directories detached.
+    */
+  def detachPartition(name: String, value: Any): Int =
+    writeLock(name).synchronized {
+      val t = get(name)
+      val leaf = partitionLeaf(t, value)
+      recoverInterruptedSwap(t)
+      withCompactLock(t) {
+        import org.apache.hadoop.fs.Path
+        val f = fs(t)
+        val srcs = dataPaths(t).map(new Path(_, leaf)).filter(f.exists)
+        srcs.foreach { src =>
+          val bucket = new Path(detachedRoot(t),
+            s"d-$processTag-${java.util.UUID.randomUUID().toString.take(8)}")
+          f.mkdirs(bucket)
+          if (!f.rename(src, new Path(bucket, leaf)))
+            throw new java.io.IOException(
+              s"$name: detach failed to move $src into $bucket")
+        }
+        recordMutation(t, s"ALTER DETACH PARTITION $leaf")
+        srcs.size
+      }
+    }
+
+  /** `ALTER TABLE name ATTACH PARTITION value` — re-adopts every detached
+    * bucket holding this value. Versioned tables commit each bucket
+    * through the SAME atomic segment-marker protocol as multi-writer
+    * appends (stage dir → O_EXCL marker), so a reader never sees a
+    * half-attached partition and a crash before the marker leaves the
+    * stage invisible (age-GC'd like any abandoned append stage). FlatDir
+    * tables rename the partition dir back, merging file-by-file if the
+    * partition was re-created by later appends. Returns buckets attached.
+    */
+  def attachPartition(name: String, value: Any): Int =
+    writeLock(name).synchronized {
+      val t = get(name)
+      val leaf = partitionLeaf(t, value)
+      recoverInterruptedSwap(t)
+      withCompactLock(t) {
+        import org.apache.hadoop.fs.Path
+        val f = fs(t)
+        val root = detachedRoot(t)
+        val buckets =
+          if (!f.exists(root)) Seq.empty[Path]
+          else f.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+            .filter(b => f.exists(new Path(b, leaf)))
+        t.layout match {
+          case Versioned =>
+            // fallback-soundness pin, same as append(): manifest present
+            // from the first write on
+            if (buckets.nonEmpty && !f.exists(manifestPath(t)))
+              writeManifest(t, currentVersion(t))
+            buckets.foreach { b =>
+              val seg = s"seg-$processTag-" +
+                java.util.UUID.randomUUID().toString.take(8)
+              val segDir = new Path(t.path, seg)
+              f.mkdirs(segDir)
+              if (!f.rename(new Path(b, leaf), new Path(segDir, leaf)))
+                throw new java.io.IOException(
+                  s"$name: attach failed to stage $b as $seg")
+              f.mkdirs(segMarkerDir(t))
+              val out = f.create(new Path(segMarkerDir(t), seg), false)
+              try out.write(
+                processTag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              finally out.close()
+              // same GC-nomination void as append(): the marker made the
+              // segment live, so no orphan tombstone may outlive it
+              f.delete(new Path(segMarkerDir(t), seg + ".orphan"), false)
+              f.delete(b, true) // now-empty bucket
+            }
+          case FlatDir =>
+            val dst = new Path(t.path, leaf)
+            buckets.foreach { b =>
+              val src = new Path(b, leaf)
+              if (!f.exists(dst)) {
+                if (!f.rename(src, dst))
+                  throw new java.io.IOException(
+                    s"$name: attach failed to move $src back")
+              } else {
+                // later appends re-created the partition: merge children
+                // by name (Spark part files carry a per-job UUID, so
+                // collisions don't arise from distinct writes; a stale
+                // same-name leftover gets a uniquifying prefix). `_idx`
+                // exists on BOTH sides whenever both had sidecars — its
+                // CONTENTS merge (sidecar names embed their data file's
+                // unique name); renaming the dir itself would surface a
+                // non-underscore copy to the scan.
+                def merge(srcDir: Path, dstDir: Path): Unit =
+                  f.listStatus(srcDir).foreach { st =>
+                    val tgt0 = new Path(dstDir, st.getPath.getName)
+                    if (st.isDirectory && f.exists(tgt0)) merge(st.getPath, tgt0)
+                    else {
+                      val tgt =
+                        if (!f.exists(tgt0)) tgt0
+                        else new Path(dstDir,
+                          s"att-${java.util.UUID.randomUUID().toString.take(8)}-" +
+                            st.getPath.getName)
+                      if (!f.rename(st.getPath, tgt))
+                        throw new java.io.IOException(
+                          s"$name: attach failed to merge ${st.getPath}")
+                    }
+                  }
+                merge(src, dst)
+              }
+              f.delete(b, true)
+            }
+        }
+        recordMutation(t, s"ALTER ATTACH PARTITION $leaf")
+        buckets.size
+      }
+    }
 
   private def compactFlat(t: TableDef,
                           transform: DataFrame => DataFrame = identity): Unit = {

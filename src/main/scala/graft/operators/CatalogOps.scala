@@ -163,6 +163,30 @@ object CatalogOps extends QueryModule {
           round(sum(col("value")), 2).as("sum_value"))
     }),
 
+    // Partition-level DDL through the correctness gate: DROP one
+    // partition outright, DETACH a second and ATTACH it back, then
+    // aggregate the survivors. The oracle filters the dropped value from
+    // the original table — equality proves drop removed exactly one
+    // partition's rows and the detach/attach round-trip lost none. All
+    // three verbs are directory renames/deletes (O(partition), no row
+    // rewrite) — the 100 TB retention path; the spec asserts untouched
+    // partitions' files are bit-identical after the ops.
+    "cat_partition_ops" -> ((s, d) => {
+      val src = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val (cat, _) = catalogCopyCat(s, "events_part_ops", src,
+        sortKeys = Seq("ts"), partitionKeys = Seq("event_type"))
+      cat.dropPartition("events_part_ops", "click")
+      cat.detachPartition("events_part_ops", "view")
+      cat.attachPartition("events_part_ops", "view")
+      cat.read("events_part_ops")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // the summable-measure variant: the rollup carries count AND
     // sum(l_quantity) partials per (returnflag, linestatus), and the
     // q1-shaped query — dim filter, dim grouping, count + sum — is
@@ -354,6 +378,14 @@ object CatalogOps extends QueryModule {
       """SELECT count(*) AS n, count(DISTINCT user_id) AS n_users,
         | round(sum(value), 2) AS sum_value
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    // the dropped partition is gone; the detached-then-attached one is
+    // intact — the oracle states both by filtering only the drop
+    "cat_partition_ops" ->
+      """SELECT event_type, count(*) AS n,
+        | round(sum(value), 2) AS sum_value
+        |FROM events WHERE event_type <> 'click'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "cat_bloom_scan" ->
       """SELECT count(*) AS n_orders, min(o_orderkey) AS min_key,

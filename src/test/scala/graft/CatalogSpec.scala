@@ -524,6 +524,75 @@ class CatalogSpec extends SparkSpecBase {
       Array(("a", "en"), ("c", "en"), ("d", "fr"))
   }
 
+  test("DROP PARTITION: one partition's dirs removed, other partitions' files untouched") {
+    val cat = new Catalog(spark)
+    val path = tmpDir("cat") + "/pdrop"
+    cat.createTable(TableDef("pdrop", path, StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType),
+      StructField("lang", StringType))),
+      sortKeys = Seq("k"), semantics = Append, partitionKeys = Seq("lang")))
+    cat.append("pdrop", Seq(("a", 1L, "en"), ("b", 2L, "de")).toDF("k", "v", "lang"))
+    cat.append("pdrop", Seq(("c", 3L, "en"), ("d", 4L, "fr")).toDF("k", "v", "lang"))
+    def files(leaf: String): Seq[(String, Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val d = java.nio.file.Paths.get(path, leaf)
+      java.nio.file.Files.walk(d).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_)).toSeq
+        .map(p => (p.toString, java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)).sortBy(_._1)
+    }
+    val enBefore = files("lang=en")
+    val frBefore = files("lang=fr")
+    enBefore.size should be >= 2 // two appends → at least one file each
+    // drop is O(partition): directory delete, no rewrite anywhere else
+    cat.dropPartition("pdrop", "de") shouldBe 1
+    new java.io.File(path).list() should not contain "lang=de"
+    files("lang=en") shouldBe enBefore // byte-identical survivors
+    files("lang=fr") shouldBe frBefore
+    cat.read("pdrop").orderBy("k").collect().map(_.getString(0)) shouldBe
+      Array("a", "c", "d")
+    cat.dropPartition("pdrop", "de") shouldBe 0 // idempotent no-op
+    // an unpartitioned table refuses partition verbs
+    cat.createTable(TableDef("flat0", tmpDir("cat") + "/flat0",
+      replacingSchema, Seq("k"), Append))
+    an[IllegalArgumentException] should be thrownBy
+      cat.dropPartition("flat0", "x")
+    // the op is mutation-logged like any ALTER
+    cat.systemMutations("pdrop").collect().map(_.getString(3)) should
+      contain("ALTER DROP PARTITION lang=de")
+  }
+
+  test("DETACH/ATTACH PARTITION round-trips content through both layouts") {
+    for (layout <- Seq(FlatDir, Versioned)) {
+      val cat = new Catalog(spark)
+      val name = s"pda_$layout"
+      val path = tmpDir("cat") + s"/$name"
+      cat.createTable(TableDef(name, path, StructType(Seq(
+        StructField("k", StringType), StructField("v", LongType),
+        StructField("lang", StringType))),
+        sortKeys = Seq("k"), semantics = Append, layout = layout,
+        partitionKeys = Seq("lang")))
+      cat.append(name, Seq(("a", 1L, "en"), ("b", 2L, "de")).toDF("k", "v", "lang"))
+      if (layout == Versioned) cat.compact(name) // value now in the version dir…
+      cat.append(name, Seq(("c", 3L, "en"), ("d", 4L, "fr")).toDF("k", "v", "lang"))
+      val before = cat.read(name).orderBy("k").collect().map(_.toSeq)
+      // …and in an append segment: detach must move BOTH directories
+      val expectDirs = if (layout == Versioned) 2 else 1
+      cat.detachPartition(name, "en") shouldBe expectDirs
+      cat.read(name).orderBy("k").collect().map(_.getString(0)) shouldBe
+        Array("b", "d")
+      // detached data sits beside the table, outside any compaction swap
+      new java.io.File(path + ".detached").exists() shouldBe true
+      // attach re-adopts every bucket; content round-trips exactly
+      cat.attachPartition(name, "en") shouldBe expectDirs
+      cat.read(name).orderBy("k").collect().map(_.toSeq) shouldBe before
+      cat.attachPartition(name, "en") shouldBe 0 // nothing left detached
+      // the table stays fully operational through later ops
+      cat.compact(name)
+      cat.read(name).orderBy("k").collect().map(_.toSeq) shouldBe before
+    }
+  }
+
   test("TTL expiry deletes rows older than the horizon, deterministically") {
     val cat = new Catalog(spark)
     cat.createTable(TableDef("ttl", tmpDir("cat") + "/ttl", replacingSchema,
