@@ -188,6 +188,43 @@ object ChAggs extends QueryModule {
           round(covar_pop(col("l_quantity"), col("l_tax")), 8).as("cov_qty_tax"))
         .orderBy(col("l_returnflag"))),
 
+    // simpleLinearRegression / the regr_* family: OLS of extendedprice on
+    // quantity per return flag — slope/intercept/r2/count, all partial-
+    // aggregable (sums of x, y, xy, x², y²), so the shuffle carries six
+    // doubles per group regardless of row count. Rounded coarser than
+    // agg_stats: slope/intercept live at magnitude 10³-10⁴ where 6
+    // decimals would demand 1e-9 relative agreement between two engines'
+    // accumulation orders.
+    "agg_regr" -> ((s, d) => {
+      val y = col("l_extendedprice"); val x = col("l_quantity")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          regr_count(y, x).cast("long").as("n"),
+          round(regr_slope(y, x), 4).as("slope"),
+          round(regr_intercept(y, x), 4).as("icept"),
+          round(regr_r2(y, x), 8).as("r2"),
+          round(regr_avgx(y, x), 4).as("avg_x"),
+          round(regr_avgy(y, x), 4).as("avg_y"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // entropy() analog: Shannon entropy (bits) of the ship-mode
+    // distribution within each return flag — count per (flag, mode),
+    // window-normalize to probabilities, fold -Σ p·log2 p. Two shuffles
+    // on the same key family; the second input is one row per distinct
+    // (flag, mode), constant-sized at any corpus scale.
+    "agg_entropy" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("p", col("c") / sum(col("c")).over(w))
+        .groupBy(col("l_returnflag"))
+        .agg(round(-sum(col("p") * log2(col("p"))), 6).as("entropy"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // windowFunnel analog: how far does each user get through the
     // click → view → purchase sequence within 24 h of the chain start?
     // Earliest-chain greedy semantics (documented contract, mirrored
@@ -484,6 +521,26 @@ object ChAggs extends QueryModule {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         | TRUE AS hll_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_regr" ->
+      """SELECT l_returnflag,
+        | regr_count(l_extendedprice, l_quantity)::BIGINT AS n,
+        | round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        | round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        | round(regr_r2(l_extendedprice, l_quantity), 8) AS r2,
+        | round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_x,
+        | round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_entropy" ->
+      """SELECT l_returnflag,
+        | round(-sum(p * log2(p)), 6) AS entropy
+        |FROM (
+        |  SELECT l_returnflag,
+        |    c / sum(c) OVER (PARTITION BY l_returnflag) AS p
+        |  FROM (SELECT l_returnflag, l_quantity, count(*)::DOUBLE AS c
+        |        FROM lineitem GROUP BY 1, 2))
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_stats" ->
       """SELECT l_returnflag,

@@ -148,6 +148,54 @@ object FuncDepth extends QueryModule {
         .orderBy(col("event_id"))
     }),
 
+    // Conditional family (`if`/`multiIf`/`nullIf`/`ifNull`/`least`/
+    // `greatest`): a three-way CASE band over order totals, empty-comment
+    // normalization through nullif→coalesce, and two-sided least/greatest.
+    // Pure row-local expressions — whole-stage codegen end to end.
+    "fn_cond" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 1000)
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 200000, "high")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("low").as("band"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("(open)")).as("status_nz"),
+          least(col("o_custkey"), col("o_orderkey")).as("lo"),
+          greatest(col("o_custkey"), col("o_orderkey")).as("hi"))
+        .orderBy(col("o_orderkey"))),
+
+    // String-search family (`position`/`countSubstrings`/`multiSearchAny`/
+    // `splitByChar`+indexing/`leftPad`): substring position, an occurrence
+    // count via the replace-length identity (portable to any engine,
+    // stays codegen'd), an any-of-patterns regex hit, the first token of
+    // the space-split name, and fixed-width key padding.
+    "fn_string_search" -> ((s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_partkey") <= 500)
+        .select(col("p_partkey"),
+          instr(col("p_name"), "wid").as("pos"),
+          ((length(col("p_name")) -
+            length(expr("replace(p_name, 'id', '')"))) / 2)
+            .cast("long").as("n_id"),
+          col("p_name").rlike("widget|gadget").as("any_hit"),
+          split(col("p_name"), " ").getItem(0).as("first_tok"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("key8"))
+        .orderBy(col("p_partkey"))),
+
+    // numbers()/system.numbers table-function analog: a GENERATED source,
+    // no input files at all — spark.range is a parallelized leaf operator
+    // (Range splits across executors like ClickHouse's numbers_mt), here
+    // folded per residue class. sum(id) at 1e6 rows ≈ 5e11 and
+    // sum(id²) ≈ 3.3e17: both inside long range, declared BIGINT on the
+    // oracle side too.
+    "src_numbers" -> ((s, d) =>
+      s.range(0L, 1000000L)
+        .groupBy((col("id") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("id")).cast("long").as("sum_id"),
+          sum(col("id") * col("id")).cast("long").as("sum_sq"))
+        .orderBy(col("bucket"))),
+
     // Encoding family (`hex`/`unhex`/`base64Encode`/`base64Decode`/`bin`):
     // part names encoded both ways, ROUND-TRIPPED back through decode (the
     // rt columns must equal the original on every row — the oracle asserts
@@ -167,6 +215,31 @@ object FuncDepth extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "fn_cond" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_totalprice > 200000 THEN 'high'
+        |      WHEN o_totalprice > 100000 THEN 'mid'
+        |      ELSE 'low' END AS band,
+        | coalesce(nullif(o_orderstatus, 'O'), '(open)') AS status_nz,
+        | least(o_custkey, o_orderkey) AS lo,
+        | greatest(o_custkey, o_orderkey) AS hi
+        |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin,
+
+    "fn_string_search" ->
+      """SELECT p_partkey,
+        | strpos(p_name, 'wid') AS pos,
+        | ((length(p_name) - length(replace(p_name, 'id', ''))) / 2)::BIGINT AS n_id,
+        | regexp_matches(p_name, 'widget|gadget') AS any_hit,
+        | split_part(p_name, ' ', 1) AS first_tok,
+        | lpad(p_partkey::VARCHAR, 8, '0') AS key8
+        |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin,
+
+    "src_numbers" ->
+      """SELECT id % 10 AS bucket, count(*) AS n,
+        | sum(id)::BIGINT AS sum_id, sum(id * id)::BIGINT AS sum_sq
+        |FROM range(0, 1000000) t(id)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "fn_encoding" ->
       """SELECT p_partkey,
         | to_base64(encode(p_name)) AS b64,

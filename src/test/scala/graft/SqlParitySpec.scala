@@ -40,7 +40,7 @@ class SqlParitySpec extends SparkSpecBase {
     "agg_stats", "agg_sumif", "cat_clustered_scan", "cat_partitioned_scan",
     "cat_partition_ops", "cat_bloom_scan", "cat_minmax_scan", "cat_renamed_scan",
     "cat_dedup_optimize", "cat_modified_scan",
-    "dedup_exact", "distinct_rows", "fn_date", "fn_math",
+    "dedup_exact", "distinct_rows", "fn_cond", "fn_date", "fn_math",
     "fn_string", "fn_geo",
     "j1_anti_join", "j2_semi_join", "j3_existence", "join_broadcast",
     "join_cross", "join_left_outer", "join_null_safe", "join_range",
@@ -57,6 +57,44 @@ class SqlParitySpec extends SparkSpecBase {
 
   /** DuckDB-blocked queries with a mechanical Spark-SQL twin. */
   private val twins: Map[String, String] = Map(
+    // DuckDB ::BIGINT casts → Spark cast(... AS BIGINT)
+    "agg_regr" ->
+      """SELECT l_returnflag,
+        | cast(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+        | round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        | round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        | round(regr_r2(l_extendedprice, l_quantity), 8) AS r2,
+        | round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_x,
+        | round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_entropy" ->
+      """SELECT l_returnflag,
+        | round(-sum(p * log2(p)), 6) AS entropy
+        |FROM (
+        |  SELECT l_returnflag,
+        |    c / sum(c) OVER (PARTITION BY l_returnflag) AS p
+        |  FROM (SELECT l_returnflag, l_quantity, cast(count(*) AS DOUBLE) AS c
+        |        FROM lineitem GROUP BY 1, 2))
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // DuckDB strpos/regexp_matches/::VARCHAR → Spark instr/rlike/cast
+    "fn_string_search" ->
+      """SELECT p_partkey,
+        | instr(p_name, 'wid') AS pos,
+        | cast((length(p_name) - length(replace(p_name, 'id', ''))) / 2 AS BIGINT) AS n_id,
+        | p_name rlike 'widget|gadget' AS any_hit,
+        | split_part(p_name, ' ', 1) AS first_tok,
+        | lpad(cast(p_partkey AS STRING), 8, '0') AS key8
+        |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin,
+
+    // DuckDB's range(...) t(id) column-list alias → Spark's bare range TVF
+    "src_numbers" ->
+      """SELECT id % 10 AS bucket, count(*) AS n,
+        | cast(sum(id) AS BIGINT) AS sum_id,
+        | cast(sum(id * id) AS BIGINT) AS sum_sq
+        |FROM range(0, 1000000)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "agg_quantile" ->
       """SELECT l_returnflag,
         | round(percentile(l_extendedprice, 0.5), 4) AS p50,
