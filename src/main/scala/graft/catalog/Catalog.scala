@@ -1800,6 +1800,149 @@ final class Catalog(spark: SparkSession) {
     escapePathName(t.partitionKeys.head) + "=" + escapePathName(value.toString)
   }
 
+  // ---- FREEZE / snapshots (Versioned layout) ---------------------------
+  //
+  // ClickHouse `ALTER TABLE … FREEZE` snapshots a table by hardlinking its
+  // parts into `shadow/` — constant-time, no data copy, and later merges/
+  // drops don't disturb the frozen view. The portable analog on the
+  // Versioned layout: a snapshot is a JSON manifest (sibling
+  // `<path>.snapshots/<tag>.json`) recording the live read set — current
+  // version dir + unfolded committed segments — taken under the compact
+  // lock so it is a CONSISTENT view. Instead of hardlinks (no such
+  // primitive on HDFS/object stores), compaction's GC pins every
+  // directory a snapshot references: compacts keep rewriting forward and
+  // collecting unpinned garbage, while pinned versions/segments stay
+  // readable until their snapshot is dropped (then the next compact
+  // collects them). Dropping a snapshot of a 100 TB table is one file
+  // delete; taking one is one file write.
+  //
+  // Partition DDL is copy-on-write against snapshots: DROP/DETACH
+  // PARTITION mutate directories IN PLACE, so when any live directory is
+  // pinned they first roll a compact (new version, pinned dirs retired
+  // from the live set) and then operate on the fresh copy — a frozen
+  // view never changes underneath its snapshot. Mutations/compacts are
+  // snapshot-safe by construction (they always write a NEW version).
+
+  private def snapshotsDir(t: TableDef) =
+    new org.apache.hadoop.fs.Path(t.path + ".snapshots")
+
+  private def snapshotJson(t: TableDef, tag: String) =
+    new org.apache.hadoop.fs.Path(snapshotsDir(t), s"$tag.json")
+
+  private case class SnapshotRef(tag: String, version: Option[String],
+                                 segments: Seq[String], tsMs: Long)
+
+  private def readSnapshotRef(t: TableDef, p: org.apache.hadoop.fs.Path): SnapshotRef = {
+    import org.json4s.jackson.JsonMethods
+    val f = fs(t)
+    val in = f.open(p)
+    val j = try JsonMethods.parse(
+      scala.io.Source.fromInputStream(in, "UTF-8").mkString) finally in.close()
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    SnapshotRef(
+      (j \ "tag").extract[String],
+      (j \ "version").extractOpt[String],
+      (j \ "segments").extract[Seq[String]],
+      (j \ "ts_ms").extract[Long])
+  }
+
+  private def listSnapshotRefs(t: TableDef): Seq[SnapshotRef] = {
+    val f = fs(t)
+    val d = snapshotsDir(t)
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+      .map(s => readSnapshotRef(t, s.getPath)).sortBy(_.tag)
+  }
+
+  /** Every version/segment directory NAME some snapshot still references
+    * — the set compaction GC must not collect.
+    */
+  private def snapshotPins(t: TableDef): Set[String] =
+    listSnapshotRefs(t).flatMap(r => r.version.toSeq ++ r.segments).toSet
+
+  /** `ALTER TABLE name FREEZE WITH NAME tag`: record the live read set as
+    * snapshot `tag`. O(1) — one JSON write, no data copied. Refuses a
+    * duplicate tag (O_EXCL create, the marker primitive). Versioned
+    * layout only: FlatDir compaction swaps the whole table directory, so
+    * nothing survives to pin.
+    */
+  def freeze(name: String, tag: String): Unit =
+    writeLock(name).synchronized {
+      val t = get(name)
+      require(t.layout == Versioned,
+        s"$name: FREEZE requires the Versioned layout (FlatDir swaps " +
+          "the whole directory out from under any snapshot)")
+      require(tag.matches("[A-Za-z0-9_.-]+"),
+        s"$name: snapshot tag must be [A-Za-z0-9_.-]+ (got '$tag')")
+      recoverInterruptedSwap(t)
+      withCompactLock(t) {
+        import org.apache.hadoop.fs.Path
+        val f = fs(t)
+        val segNames = committedSegments(t)
+        val curV = currentVersion(t)
+        val segs = segNames.filterNot(foldedOf(t, curV))
+        val ver = if (f.exists(new Path(t.path, curV))) Some(curV) else None
+        import org.json4s.JsonDSL._
+        import org.json4s.jackson.JsonMethods
+        val json = JsonMethods.compact(JsonMethods.render(
+          ("tag" -> tag) ~ ("version" -> ver) ~ ("segments" -> segs.sorted) ~
+            ("ts_ms" -> System.currentTimeMillis())))
+        f.mkdirs(snapshotsDir(t))
+        val out = f.create(snapshotJson(t, tag), false) // refuse duplicates
+        try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+    }
+
+  /** Read the table AS OF snapshot `tag` — the frozen version + segments
+    * through the table's full read semantics (merge view, defaults,
+    * renames). The referenced directories exist as long as the snapshot
+    * does (GC pins them).
+    */
+  def readSnapshot(name: String, tag: String): DataFrame = {
+    val t = get(name)
+    val f = fs(t)
+    val p = snapshotJson(t, tag)
+    if (!f.exists(p))
+      throw new NoSuchElementException(s"$name: no snapshot '$tag'")
+    val r = readSnapshotRef(t, p)
+    val paths = (r.version.toSeq ++ r.segments)
+      .map(n => new org.apache.hadoop.fs.Path(t.path, n).toString)
+    if (paths.isEmpty) readVia(t, Seq(dataPath(t))).limit(0)
+    else readVia(t, paths)
+  }
+
+  /** Drop snapshot `tag` — one file delete; the next compact collects the
+    * directories it pinned (unless another snapshot still pins them).
+    * Returns false when no such snapshot existed.
+    */
+  def dropSnapshot(name: String, tag: String): Boolean =
+    writeLock(name).synchronized {
+      fs(get(name)).delete(snapshotJson(get(name), tag), false)
+    }
+
+  /** `system.snapshots`-style listing: (tag, version, n_segments, ts_ms). */
+  def systemSnapshots(name: String): DataFrame = {
+    import spark.implicits._
+    listSnapshotRefs(get(name))
+      .map(r => (r.tag, r.version.getOrElse(""), r.segments.size.toLong, r.tsMs))
+      .toDF("tag", "version", "n_segments", "ts_ms")
+  }
+
+  /** COW guard for in-place partition DDL: when any live directory is
+    * pinned by a snapshot, roll a compact first so the op mutates a
+    * FRESH version and the frozen view stays intact. Caller holds the
+    * write lock but NOT the compact lock (compact acquires it itself).
+    */
+  private def unpinLiveDirs(name: String): Unit = {
+    val t = get(name)
+    if (t.layout == Versioned) {
+      val live = dataPaths(t)
+        .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
+      if (snapshotPins(t).intersect(live).nonEmpty) compact(name)
+    }
+  }
+
   /** `ALTER TABLE name DROP PARTITION value` — removes the partition's
     * directories from every live data path. Returns the number of
     * directories removed (0 = no such partition anywhere: a no-op, like
@@ -1813,6 +1956,7 @@ final class Catalog(spark: SparkSession) {
       val t = get(name)
       val leaf = partitionLeaf(t, value)
       recoverInterruptedSwap(t)
+      unpinLiveDirs(name) // COW: never mutate a snapshot-pinned directory
       withCompactLock(t) {
         val f = fs(t)
         val targets = dataPaths(t)
@@ -1833,6 +1977,7 @@ final class Catalog(spark: SparkSession) {
       val t = get(name)
       val leaf = partitionLeaf(t, value)
       recoverInterruptedSwap(t)
+      unpinLiveDirs(name) // COW: never mutate a snapshot-pinned directory
       withCompactLock(t) {
         import org.apache.hadoop.fs.Path
         val f = fs(t)
@@ -1997,8 +2142,10 @@ final class Catalog(spark: SparkSession) {
     // PREVIOUS compact displaced — retained until now as a read grace
     // window (Spark reads are lazy: a scan that resolved its path just
     // before that flip may still be running; deleting eagerly would fail
-    // it mid-job with FileNotFoundException)
-    listVersions(t).filter(_ != cur)
+    // it mid-job with FileNotFoundException). Snapshot-pinned versions
+    // are NOT garbage: they stay until their snapshot drops (FREEZE).
+    val pinned = snapshotPins(t)
+    listVersions(t).filter(_ != cur).filterNot(pinned)
       .foreach(v => f.delete(new Path(t.path, v), true))
     // crashed writers' abandoned manifest staging files. Age-gated: a
     // peer process's append() may be pinning the manifest RIGHT NOW
@@ -2011,10 +2158,13 @@ final class Catalog(spark: SparkSession) {
       .foreach(s => f.delete(s.getPath, false))
     // segments the PREVIOUS compact folded (`.folded` tombstones): their
     // dirs were retained one cycle as the reader grace window — collect
-    // them now, the same retention versions get
+    // them now, the same retention versions get. A snapshot-pinned
+    // segment keeps BOTH its dir and its tombstone (so a later compact
+    // retries once the pin is gone).
     val segMd = segMarkerDir(t)
     if (f.exists(segMd)) f.listStatus(segMd).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".folded"))
+      .filterNot(s => pinned(s.getPath.getName.stripSuffix(".folded")))
       .foreach { s =>
         f.delete(new Path(t.path, s.getPath.getName.stripSuffix(".folded")), true)
         f.delete(s.getPath, false)

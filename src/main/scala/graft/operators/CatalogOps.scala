@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.catalog.{Append, Catalog, TableDef}
+import graft.catalog.{Append, Catalog, FlatDir, TableDef, TableLayout, Versioned}
 import graft.plans.{ProjectionDef, RollupRewrite, SortedProjectionDef, SortedProjectionRewrite}
 
 /** The Catalog's clustered write path exercised FROM the query suite —
@@ -76,14 +76,15 @@ object CatalogOps extends QueryModule {
                              sortKeys: Seq[String],
                              partitionKeys: Seq[String] = Nil,
                              indexCols: Seq[String] = Nil,
-                             minmaxCols: Seq[String] = Nil): (Catalog, String) = {
+                             minmaxCols: Seq[String] = Nil,
+                             layout: TableLayout = FlatDir): (Catalog, String) = {
     val cat = new Catalog(s)
     val tmp = java.nio.file.Files.createTempDirectory(s"graft-cat-$table")
     copyDirs.add(tmp)
     val path = tmp.resolve(table).toString
     cat.createTable(TableDef(table, path, src.schema,
       sortKeys = sortKeys, semantics = Append, partitionKeys = partitionKeys,
-      indexCols = indexCols, minmaxCols = minmaxCols))
+      indexCols = indexCols, minmaxCols = minmaxCols, layout = layout))
     cat.append(table, src)
     (cat, path)
   }
@@ -161,6 +162,23 @@ object CatalogOps extends QueryModule {
         .agg(count(lit(1)).as("n"),
           count_distinct(col("user_id")).as("n_users"),
           round(sum(col("value")), 2).as("sum_value"))
+    }),
+
+    // FREEZE through the correctness gate: snapshot a Versioned copy of
+    // orders, then DELETE a third of the live table, then aggregate the
+    // SNAPSHOT — the oracle aggregates the original table, so equality
+    // proves the frozen view is untouched by mutations that happened
+    // after it (the O(1)-pin time-travel contract, not a data copy).
+    "cat_snapshot_read" -> ((s, d) => {
+      val (cat, _) = catalogCopyCat(s, "orders_frz", Tables.orders(s, d),
+        sortKeys = Seq("o_orderkey"), layout = Versioned)
+      cat.freeze("orders_frz", "pre")
+      cat.delete("orders_frz", col("o_totalprice") > 150000)
+      cat.readSnapshot("orders_frz", "pre")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus"))
     }),
 
     // Partition-level DDL through the correctness gate: DROP one
@@ -378,6 +396,12 @@ object CatalogOps extends QueryModule {
       """SELECT count(*) AS n, count(DISTINCT user_id) AS n_users,
         | round(sum(value), 2) AS sum_value
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    // the snapshot predates the delete: the oracle is the ORIGINAL table
+    "cat_snapshot_read" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // the dropped partition is gone; the detached-then-attached one is
     // intact — the oracle states both by filtering only the drop

@@ -593,6 +593,59 @@ class CatalogSpec extends SparkSpecBase {
     }
   }
 
+  test("FREEZE: snapshot pins its read set through compacts and mutations; drop re-enables GC") {
+    val cat = new Catalog(spark)
+    val path = tmpDir("cat") + "/frz"
+    cat.createTable(TableDef("frz", path, replacingSchema,
+      Seq("k"), Append, layout = Versioned))
+    cat.append("frz", Seq(("a", 1L, 10L), ("b", 2L, 10L)).toDF("k", "v", "updated_at"))
+    cat.freeze("frz", "s1")
+    val frozen = cat.readSnapshot("frz", "s1").orderBy("k").collect().map(_.toSeq)
+    frozen.map(_.head) shouldBe Array("a", "b")
+    // live table moves on; the frozen view does not
+    cat.append("frz", Seq(("c", 3L, 11L)).toDF("k", "v", "updated_at"))
+    cat.compact("frz") // folds the pinned segment; pin keeps its dir
+    cat.delete("frz", col("k") === "a") // mutation writes a NEW version
+    cat.compact("frz") // and another GC cycle on top
+    cat.read("frz").orderBy("k").collect().map(_.getString(0)) shouldBe
+      Array("b", "c")
+    cat.readSnapshot("frz", "s1").orderBy("k").collect().map(_.toSeq) shouldBe frozen
+    cat.systemSnapshots("frz").collect().map(_.getString(0)) shouldBe Array("s1")
+    // a second freeze under the same tag refuses (O_EXCL)
+    an[Exception] should be thrownBy cat.freeze("frz", "s1")
+    // drop the pin: the next compact collects what the snapshot held
+    cat.dropSnapshot("frz", "s1") shouldBe true
+    cat.dropSnapshot("frz", "s1") shouldBe false
+    cat.compact("frz")
+    // the once-pinned segment dir is collected (the displaced version
+    // dir legitimately survives ONE more cycle as the reader grace
+    // window — that retention is compact's, not the snapshot's)
+    new java.io.File(path).list().count(_.startsWith("seg-")) shouldBe 0
+    new java.io.File(path).list().count(_.matches("v\\d+")) should be <= 2
+    a[NoSuchElementException] should be thrownBy cat.readSnapshot("frz", "s1")
+    // FlatDir tables cannot freeze (whole-dir swap would strand the pin)
+    cat.createTable(TableDef("frzflat", tmpDir("cat") + "/frzflat",
+      replacingSchema, Seq("k"), Append))
+    an[IllegalArgumentException] should be thrownBy cat.freeze("frzflat", "x")
+  }
+
+  test("partition DDL is copy-on-write against snapshots: frozen views keep dropped partitions") {
+    val cat = new Catalog(spark)
+    val path = tmpDir("cat") + "/frzp"
+    cat.createTable(TableDef("frzp", path, StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType),
+      StructField("lang", StringType))),
+      sortKeys = Seq("k"), semantics = Append, layout = Versioned,
+      partitionKeys = Seq("lang")))
+    cat.append("frzp", Seq(("a", 1L, "en"), ("b", 2L, "de")).toDF("k", "v", "lang"))
+    cat.freeze("frzp", "pin")
+    // in-place DDL must not mutate the pinned dirs: a compact rolls first
+    cat.dropPartition("frzp", "de") shouldBe 1
+    cat.read("frzp").collect().map(_.getString(0)) shouldBe Array("a")
+    cat.readSnapshot("frzp", "pin").orderBy("k").collect().map(_.getString(0)) shouldBe
+      Array("a", "b")
+  }
+
   test("TTL expiry deletes rows older than the horizon, deterministically") {
     val cat = new Catalog(spark)
     cat.createTable(TableDef("ttl", tmpDir("cat") + "/ttl", replacingSchema,

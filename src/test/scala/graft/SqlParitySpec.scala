@@ -38,7 +38,8 @@ class SqlParitySpec extends SparkSpecBase {
     "agg_bitmap", "agg_cube", "agg_distinct", "agg_funnel", "agg_histogram",
     "agg_hll_merge", "agg_retention", "agg_rollup", "agg_seq_match",
     "agg_stats", "agg_sumif", "cat_clustered_scan", "cat_partitioned_scan",
-    "cat_partition_ops", "cat_bloom_scan", "cat_minmax_scan", "cat_renamed_scan",
+    "cat_partition_ops", "cat_snapshot_read", "cat_bloom_scan",
+    "cat_minmax_scan", "cat_renamed_scan",
     "cat_dedup_optimize", "cat_modified_scan",
     "dedup_exact", "distinct_rows", "fn_cond", "fn_date", "fn_math",
     "fn_string", "fn_geo",
