@@ -2017,71 +2017,128 @@ final class Catalog(spark: SparkSession) {
           if (!f.exists(root)) Seq.empty[Path]
           else f.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
             .filter(b => f.exists(new Path(b, leaf)))
-        t.layout match {
-          case Versioned =>
-            // fallback-soundness pin, same as append(): manifest present
-            // from the first write on
-            if (buckets.nonEmpty && !f.exists(manifestPath(t)))
-              writeManifest(t, currentVersion(t))
-            buckets.foreach { b =>
-              val seg = s"seg-$processTag-" +
-                java.util.UUID.randomUUID().toString.take(8)
-              val segDir = new Path(t.path, seg)
-              f.mkdirs(segDir)
-              if (!f.rename(new Path(b, leaf), new Path(segDir, leaf)))
-                throw new java.io.IOException(
-                  s"$name: attach failed to stage $b as $seg")
-              f.mkdirs(segMarkerDir(t))
-              val out = f.create(new Path(segMarkerDir(t), seg), false)
-              try out.write(
-                processTag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              finally out.close()
-              // same GC-nomination void as append(): the marker made the
-              // segment live, so no orphan tombstone may outlive it
-              f.delete(new Path(segMarkerDir(t), seg + ".orphan"), false)
-              f.delete(b, true) // now-empty bucket
-            }
-          case FlatDir =>
-            val dst = new Path(t.path, leaf)
-            buckets.foreach { b =>
-              val src = new Path(b, leaf)
-              if (!f.exists(dst)) {
-                if (!f.rename(src, dst))
-                  throw new java.io.IOException(
-                    s"$name: attach failed to move $src back")
-              } else {
-                // later appends re-created the partition: merge children
-                // by name (Spark part files carry a per-job UUID, so
-                // collisions don't arise from distinct writes; a stale
-                // same-name leftover gets a uniquifying prefix). `_idx`
-                // exists on BOTH sides whenever both had sidecars — its
-                // CONTENTS merge (sidecar names embed their data file's
-                // unique name); renaming the dir itself would surface a
-                // non-underscore copy to the scan.
-                def merge(srcDir: Path, dstDir: Path): Unit =
-                  f.listStatus(srcDir).foreach { st =>
-                    val tgt0 = new Path(dstDir, st.getPath.getName)
-                    if (st.isDirectory && f.exists(tgt0)) merge(st.getPath, tgt0)
-                    else {
-                      val tgt =
-                        if (!f.exists(tgt0)) tgt0
-                        else new Path(dstDir,
-                          s"att-${java.util.UUID.randomUUID().toString.take(8)}-" +
-                            st.getPath.getName)
-                      if (!f.rename(st.getPath, tgt))
-                        throw new java.io.IOException(
-                          s"$name: attach failed to merge ${st.getPath}")
-                    }
-                  }
-                merge(src, dst)
-              }
-              f.delete(b, true)
-            }
+        buckets.foreach { b =>
+          adoptPartitionDir(t, leaf, new Path(b, leaf))
+          f.delete(b, true) // now-empty bucket
         }
         recordMutation(t, s"ALTER ATTACH PARTITION $leaf")
         buckets.size
       }
     }
+
+  /** Adopt one `key=value` directory (data files + `_idx` sidecars) into
+    * `t` — the shared commit path of ATTACH and MOVE PARTITION. Caller
+    * holds t's write + compact locks. Versioned: stage as a fresh segment
+    * dir, then the O_EXCL marker create commits it atomically (the
+    * multi-writer append protocol — readers never see a half-adopted
+    * partition). FlatDir: rename the dir in, merging file-by-file if
+    * later appends re-created the partition.
+    */
+  private def adoptPartitionDir(t: TableDef, leaf: String,
+                                src: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    val f = fs(t)
+    t.layout match {
+      case Versioned =>
+        // fallback-soundness pin, same as append(): manifest present
+        // from the first write on
+        if (!f.exists(manifestPath(t)))
+          writeManifest(t, currentVersion(t))
+        val seg = s"seg-$processTag-" +
+          java.util.UUID.randomUUID().toString.take(8)
+        val segDir = new Path(t.path, seg)
+        f.mkdirs(segDir)
+        if (!f.rename(src, new Path(segDir, leaf)))
+          throw new java.io.IOException(
+            s"${t.name}: failed to stage $src as segment $seg")
+        f.mkdirs(segMarkerDir(t))
+        val out = f.create(new Path(segMarkerDir(t), seg), false)
+        try out.write(
+          processTag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        // same GC-nomination void as append(): the marker made the
+        // segment live, so no orphan tombstone may outlive it
+        f.delete(new Path(segMarkerDir(t), seg + ".orphan"), false)
+      case FlatDir =>
+        val dst = new Path(t.path, leaf)
+        if (!f.exists(dst)) {
+          f.mkdirs(new Path(t.path))
+          if (!f.rename(src, dst))
+            throw new java.io.IOException(
+              s"${t.name}: failed to move $src into the table")
+        } else {
+          // the partition already exists here: merge children by name
+          // (Spark part files carry a per-job UUID, so collisions don't
+          // arise from distinct writes; a stale same-name leftover gets
+          // a uniquifying prefix). `_idx` exists on BOTH sides whenever
+          // both had sidecars — its CONTENTS merge (sidecar names embed
+          // their data file's unique name); renaming the dir itself
+          // would surface a non-underscore copy to the scan.
+          def merge(srcDir: Path, dstDir: Path): Unit =
+            f.listStatus(srcDir).foreach { st =>
+              val tgt0 = new Path(dstDir, st.getPath.getName)
+              if (st.isDirectory && f.exists(tgt0)) merge(st.getPath, tgt0)
+              else {
+                val tgt =
+                  if (!f.exists(tgt0)) tgt0
+                  else new Path(dstDir,
+                    s"att-${java.util.UUID.randomUUID().toString.take(8)}-" +
+                      st.getPath.getName)
+                if (!f.rename(st.getPath, tgt))
+                  throw new java.io.IOException(
+                    s"${t.name}: failed to merge ${st.getPath}")
+              }
+            }
+          merge(src, dst)
+          f.delete(src, true)
+        }
+    }
+  }
+
+  /** `ALTER TABLE src MOVE PARTITION value TO TABLE dst` — transfers the
+    * partition's directories from one table to another by rename:
+    * O(partition dirs), no data copy, the ClickHouse cross-table
+    * partition move. Requires identical column shape and partition keys
+    * (same contract as ClickHouse: structurally equal tables). Both
+    * tables' write + compact locks are taken in path order (one global
+    * order → no deadlock against a concurrent reverse move); COW against
+    * source snapshots like every in-place partition verb. Returns the
+    * number of directories moved.
+    */
+  def movePartition(srcName: String, dstName: String, value: Any): Int = {
+    import org.apache.hadoop.fs.Path
+    val (first, second) =
+      if (get(srcName).path <= get(dstName).path) (srcName, dstName)
+      else (dstName, srcName)
+    writeLock(first).synchronized {
+      writeLock(second).synchronized {
+        val s = get(srcName)
+        val d = get(dstName)
+        require(srcName != dstName, s"MOVE PARTITION: src = dst ($srcName)")
+        val shape = (t: TableDef) => t.schema.map(f => (f.name, f.dataType))
+        require(shape(s) == shape(d),
+          s"MOVE PARTITION $srcName -> $dstName: column shapes differ " +
+            s"(${shape(s)} vs ${shape(d)})")
+        require(s.partitionKeys == d.partitionKeys,
+          s"MOVE PARTITION $srcName -> $dstName: partition keys differ " +
+            s"(${s.partitionKeys} vs ${d.partitionKeys})")
+        val leaf = partitionLeaf(s, value)
+        recoverInterruptedSwap(s)
+        recoverInterruptedSwap(d)
+        unpinLiveDirs(srcName) // COW: a frozen source view keeps its data
+        withCompactLock(s) {
+          withCompactLock(d) {
+            val f = fs(s)
+            val srcs = dataPaths(s).map(new Path(_, leaf)).filter(f.exists)
+            srcs.foreach(adoptPartitionDir(d, leaf, _))
+            recordMutation(s, s"ALTER MOVE PARTITION $leaf TO TABLE $dstName")
+            recordMutation(d, s"ALTER ATTACH PARTITION $leaf (moved from $srcName)")
+            srcs.size
+          }
+        }
+      }
+    }
+  }
 
   private def compactFlat(t: TableDef,
                           transform: DataFrame => DataFrame = identity): Unit = {

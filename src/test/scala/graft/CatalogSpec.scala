@@ -593,6 +593,41 @@ class CatalogSpec extends SparkSpecBase {
     }
   }
 
+  test("MOVE PARTITION TO TABLE: directories transfer across tables and layouts by rename") {
+    val langSchema = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType),
+      StructField("lang", StringType)))
+    val cat = new Catalog(spark)
+    // FlatDir source → Versioned destination
+    cat.createTable(TableDef("mv_src", tmpDir("cat") + "/mv_src", langSchema,
+      Seq("k"), Append, partitionKeys = Seq("lang")))
+    cat.createTable(TableDef("mv_dst", tmpDir("cat") + "/mv_dst", langSchema,
+      Seq("k"), Append, layout = Versioned, partitionKeys = Seq("lang")))
+    cat.append("mv_src", Seq(("a", 1L, "en"), ("b", 2L, "de")).toDF("k", "v", "lang"))
+    cat.append("mv_dst", Seq(("z", 9L, "fr")).toDF("k", "v", "lang"))
+    cat.movePartition("mv_src", "mv_dst", "en") shouldBe 1
+    cat.read("mv_src").collect().map(_.getString(0)) shouldBe Array("b")
+    cat.read("mv_dst").orderBy("k").collect().map(_.getString(0)) shouldBe
+      Array("a", "z")
+    // and back: Versioned source → FlatDir destination, landing in a
+    // partition that already exists (file-level merge)
+    cat.append("mv_src", Seq(("c", 3L, "en")).toDF("k", "v", "lang"))
+    cat.movePartition("mv_dst", "mv_src", "en") shouldBe 1
+    cat.read("mv_src").orderBy("k").collect().map(_.getString(0)) shouldBe
+      Array("a", "b", "c")
+    cat.read("mv_dst").collect().map(_.getString(0)) shouldBe Array("z")
+    // both sides carry the op in their mutation history
+    cat.systemMutations("mv_src").collect().map(_.getString(3)) should
+      contain("ALTER MOVE PARTITION lang=en TO TABLE mv_dst")
+    cat.systemMutations("mv_dst").collect().map(_.getString(3)) should
+      contain("ALTER ATTACH PARTITION lang=en (moved from mv_src)")
+    // structurally different tables refuse the move
+    cat.createTable(TableDef("mv_other", tmpDir("cat") + "/mv_other",
+      replacingSchema, Seq("k"), Append, partitionKeys = Seq("k")))
+    an[IllegalArgumentException] should be thrownBy
+      cat.movePartition("mv_src", "mv_other", "en")
+  }
+
   test("FREEZE: snapshot pins its read set through compacts and mutations; drop re-enables GC") {
     val cat = new Catalog(spark)
     val path = tmpDir("cat") + "/frz"
