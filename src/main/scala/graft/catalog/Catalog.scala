@@ -1598,17 +1598,45 @@ final class Catalog(spark: SparkSession) {
 
   private def recordMutation(t: TableDef, command: String): Unit =
     try {
+      import org.apache.hadoop.fs.Path
       import org.json4s.JsonDSL._
       import org.json4s.jackson.JsonMethods
       val f = fs(t)
+      val p = mutationsPath(t)
+      // legacy (pre-round-7) tables hold the history as ONE file at this
+      // path — the marker create below would need it as a DIRECTORY, and
+      // the mkdirs failure would be swallowed by the best-effort catch,
+      // silently dropping every new entry. Migrate in place: each line
+      // becomes a zero-ts marker (sorts before any real timestamp, order
+      // preserved by the index). Runs under the table's write lock.
+      if (f.exists(p) && f.getFileStatus(p).isFile) {
+        val in = f.open(p)
+        val legacy = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toList finally in.close()
+        val aside = new Path(t.path + ".mutations.legacy")
+        if (f.rename(p, aside)) {
+          f.mkdirs(p)
+          legacy.zipWithIndex.foreach { case (line, i) =>
+            val o = f.create(new Path(p, f"m_0000000000000_$i%06d.json"), true)
+            try o.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally o.close()
+          }
+          f.delete(aside, false)
+        }
+      }
       // one uniquely-named file per mutation (the _segs markers pattern):
       // a whole-history read-modify-write would lose lines when two
       // PROCESSES mutate the same table — the JVM write lock only covers
       // in-process writers. Zero-padded ts prefix makes the lexical file
-      // order the history order; the uuid suffix de-collides same-ms.
+      // order the history order; the per-process monotonic seq keeps
+      // same-millisecond mutations in issue order (a random tiebreak
+      // would shuffle back-to-back directory-rename ops ~half the time);
+      // the uuid suffix de-collides across processes.
       val ts = System.currentTimeMillis()
-      val fn = f"m_$ts%013d_${java.util.UUID.randomUUID().toString.take(8)}%s.json"
-      val marker = new org.apache.hadoop.fs.Path(mutationsPath(t), fn)
+      val seq = Catalog.mutationSeq.incrementAndGet()
+      val fn = f"m_$ts%013d_$seq%06d_" +
+        s"${java.util.UUID.randomUUID().toString.take(8)}.json"
+      val marker = new Path(p, fn)
       val json = JsonMethods.compact(JsonMethods.render(
         ("ts_ms" -> ts) ~ ("command" -> command)))
       val out = f.create(marker, true)
@@ -1888,9 +1916,22 @@ final class Catalog(spark: SparkSession) {
           ("tag" -> tag) ~ ("version" -> ver) ~ ("segments" -> segs.sorted) ~
             ("ts_ms" -> System.currentTimeMillis())))
         f.mkdirs(snapshotsDir(t))
-        val out = f.create(snapshotJson(t, tag), false) // refuse duplicates
+        val dst = snapshotJson(t, tag)
+        // stage-then-rename (the writeManifest pattern): a crash mid-write
+        // must never leave a truncated <tag>.json — snapshotPins parses
+        // every entry, so one corrupt file would wedge compaction and all
+        // partition DDL for the table until hand-deleted. The stage name
+        // doesn't end in .json, so listSnapshotRefs never reads it.
+        require(!f.exists(dst), s"$name: snapshot '$tag' already exists")
+        val tmp = new Path(snapshotsDir(t), s"$tag.tmp.$processTag")
+        val out = f.create(tmp, true)
         try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
+        if (!f.rename(tmp, dst)) {
+          f.delete(tmp, false)
+          throw new java.io.IOException(
+            s"$name: snapshot '$tag' lost a race to a concurrent freeze")
+        }
       }
     }
 
@@ -1929,18 +1970,35 @@ final class Catalog(spark: SparkSession) {
       .toDF("tag", "version", "n_segments", "ts_ms")
   }
 
-  /** COW guard for in-place partition DDL: when any live directory is
-    * pinned by a snapshot, roll a compact first so the op mutates a
-    * FRESH version and the frozen view stays intact. Caller holds the
-    * write lock but NOT the compact lock (compact acquires it itself).
+  /** COW guard for in-place partition DDL: run `body` holding the
+    * table's compact lock with a GUARANTEE that no live data directory
+    * is snapshot-pinned. The pin check runs INSIDE the lock — freeze()
+    * also takes it, so a cross-process freeze cannot slip between the
+    * check and the mutation (checking before acquiring would let a
+    * snapshot taken in that window get its frozen view edited in
+    * place). When pins are found, the lock is released, a compact rolls
+    * the live set onto fresh directories, and the acquire + check
+    * retries. Caller holds the write lock but NOT the compact lock.
     */
-  private def unpinLiveDirs(name: String): Unit = {
-    val t = get(name)
-    if (t.layout == Versioned) {
-      val live = dataPaths(t)
-        .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
-      if (snapshotPins(t).intersect(live).nonEmpty) compact(name)
+  private def withCowCompactLock[T](name: String)(body: => T): T = {
+    var attempt = 0
+    while (attempt < 6) {
+      val t = get(name)
+      val res = withCompactLock(t) {
+        if (t.layout != Versioned) Some(body)
+        else {
+          val live = dataPaths(t)
+            .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
+          if (snapshotPins(t).intersect(live).isEmpty) Some(body) else None
+        }
+      }
+      res match {
+        case Some(v) => return v
+        case None => attempt += 1; compact(name)
+      }
     }
+    throw new IllegalStateException(
+      s"$name: live directories remain snapshot-pinned after $attempt COW compacts")
   }
 
   /** `ALTER TABLE name DROP PARTITION value` — removes the partition's
@@ -1956,8 +2014,7 @@ final class Catalog(spark: SparkSession) {
       val t = get(name)
       val leaf = partitionLeaf(t, value)
       recoverInterruptedSwap(t)
-      unpinLiveDirs(name) // COW: never mutate a snapshot-pinned directory
-      withCompactLock(t) {
+      withCowCompactLock(name) { // pin check runs inside the lock
         val f = fs(t)
         val targets = dataPaths(t)
           .map(new org.apache.hadoop.fs.Path(_, leaf)).filter(f.exists)
@@ -1977,8 +2034,7 @@ final class Catalog(spark: SparkSession) {
       val t = get(name)
       val leaf = partitionLeaf(t, value)
       recoverInterruptedSwap(t)
-      unpinLiveDirs(name) // COW: never mutate a snapshot-pinned directory
-      withCompactLock(t) {
+      withCowCompactLock(name) { // pin check runs inside the lock
         import org.apache.hadoop.fs.Path
         val f = fs(t)
         val srcs = dataPaths(t).map(new Path(_, leaf)).filter(f.exists)
@@ -2125,8 +2181,7 @@ final class Catalog(spark: SparkSession) {
         val leaf = partitionLeaf(s, value)
         recoverInterruptedSwap(s)
         recoverInterruptedSwap(d)
-        unpinLiveDirs(srcName) // COW: a frozen source view keeps its data
-        withCompactLock(s) {
+        withCowCompactLock(srcName) { // source pin check inside its lock
           withCompactLock(d) {
             val f = fs(s)
             val srcs = dataPaths(s).map(new Path(_, leaf)).filter(f.exists)
@@ -2366,4 +2421,8 @@ object Catalog {
     scala.collection.concurrent.TrieMap.empty[String, Object]
   private def lockFor(path: String): Object =
     pathLocks.getOrElseUpdate(path, new Object)
+
+  // per-process monotonic mutation counter: same-millisecond mutation
+  // markers sort in issue order (doc on recordMutation)
+  private val mutationSeq = new java.util.concurrent.atomic.AtomicLong(0)
 }

@@ -87,10 +87,16 @@ object MediaPipeline {
       val raw = AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
       val srcFmt = raw.getFormat
-      val pcm = srcFmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
-        srcFmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+      // raw path only for layouts the mix loop actually decodes: signed
+      // 8/16-bit, or UNSIGNED 8-bit (the only width whose unsigned flag
+      // the loop consults). Unsigned 16-bit would fall through the signed
+      // branches and decode offset by full scale — convert it instead.
+      val rawOk = (srcFmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+          (srcFmt.getSampleSizeInBits == 8 || srcFmt.getSampleSizeInBits == 16)) ||
+        (srcFmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED &&
+          srcFmt.getSampleSizeInBits == 8)
       in =
-        if (pcm && (srcFmt.getSampleSizeInBits == 8 || srcFmt.getSampleSizeInBits == 16)) raw
+        if (rawOk) raw
         else AudioSystem.getAudioInputStream(
           new AudioFormat(srcFmt.getSampleRate, 16, srcFmt.getChannels,
             true, false), raw)

@@ -1006,5 +1006,48 @@ class CatalogSpec extends SparkSpecBase {
     // their own file instead of read-modify-writing a shared one
     new java.io.File(path + ".mutations").listFiles()
       .count(_.getName.startsWith("m_")) shouldBe 2
+    // rapid-fire mutations land in ISSUE order even inside one
+    // millisecond (the per-process seq in the marker name — a random
+    // tiebreak would shuffle back-to-back ops about half the time)
+    (0 until 6).foreach(i => cat.delete("mh", col("k") === s"none_$i"))
+    val cmds = cat.systemMutations("mh").orderBy("seq").collect()
+      .map(_.getAs[String]("command")).toSeq
+    cmds.filter(_.contains("none_")) shouldBe
+      (0 until 6).map(i => s"ALTER DELETE WHERE =(k, 'none_$i')")
+  }
+
+  test("mutation history: a legacy single-file layout migrates in place on the next mutation") {
+    val cat = new Catalog(spark)
+    val path = tmpDir("cat") + "/mhl"
+    cat.createTable(TableDef("mhl", path, replacingSchema, Seq("k"), Append))
+    cat.append("mhl", Seq(("a", 1L, 10L)).toDF("k", "v", "updated_at"))
+    // fabricate the pre-round-7 layout: ONE file holding the history
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path + ".mutations"),
+      """{"ts_ms":1,"command":"legacy ALTER DELETE"}
+        |{"ts_ms":2,"command":"legacy TTL"}
+        |""".stripMargin)
+    // a new mutation must MIGRATE the file to markers, not silently drop
+    cat.delete("mhl", col("k") === "zzz")
+    val hist = cat.systemMutations("mhl").orderBy("seq").collect()
+      .map(_.getAs[String]("command")).toSeq
+    hist shouldBe Seq("legacy ALTER DELETE", "legacy TTL",
+      "ALTER DELETE WHERE =(k, 'zzz')")
+    new java.io.File(path + ".mutations").isDirectory shouldBe true
+  }
+
+  test("a staged snapshot tmp file never wedges listing, compaction, or DDL") {
+    val cat = new Catalog(spark)
+    val path = tmpDir("cat") + "/frzt"
+    cat.createTable(TableDef("frzt", path, replacingSchema,
+      Seq("k"), Append, layout = Versioned))
+    cat.append("frzt", Seq(("a", 1L, 10L)).toDF("k", "v", "updated_at"))
+    cat.freeze("frzt", "good")
+    // simulate a freeze that crashed mid-write: stage file, not .json
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path + ".snapshots"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path + ".snapshots/bad.tmp.123"), "{trunc")
+    cat.systemSnapshots("frzt").collect().map(_.getString(0)) shouldBe Array("good")
+    cat.compact("frzt") // snapshotPins must not parse the stage file
+    cat.read("frzt").collect().length shouldBe 1
   }
 }
