@@ -23,6 +23,8 @@ import org.apache.spark.sql.types.{StructField, StructType}
   *     re-sum `sumCols`. Partial aggregates are summable, so appends of
   *     per-batch partials + read-time re-sum ≡ a total aggregate —
   *     exactly the MV contract (README.md:247-266).
+  *   - [[Collapsing]]      ≈ VersionedCollapsingMergeTree: upsert/delete by
+  *     paired ±1 sign rows; opposing pairs cancel in the fold (doc there).
   *
   * Scale note: the read-time window/agg shuffles only when a batch boundary
   * actually split a key; [[compact]] folds history back to one row per key so
@@ -33,6 +35,28 @@ sealed trait EngineSemantics
 case object Append extends EngineSemantics
 final case class ReplacingDedup(keys: Seq[String], versionCol: String) extends EngineSemantics
 final case class Summing(keys: Seq[String], sumCols: Seq[String]) extends EngineSemantics
+
+/** ≈ VersionedCollapsingMergeTree: row-level upsert/delete by PAIRED
+  * writes. A live row carries `signCol` = +1; updating or deleting it
+  * means appending an exact copy with sign −1 (the cancel) — plus, for an
+  * update, the new state at a higher `versionCol`. The fold groups by
+  * EVERY column except the sign (the contract requires a cancel to be a
+  * byte-copy of its state row, so group-by-all ≡ group-by-(key, version)
+  * under the contract, and a malformed cancel simply fails to cancel
+  * instead of corrupting an unrelated row), sums the signs, drops net-zero
+  * groups, and re-emits |net| rows of sign(net) — preserving uncancelled
+  * duplicates exactly like the reference engine's pair-at-a-time merge,
+  * and keeping the fold ASSOCIATIVE so batch pre-fold, read-time fold, and
+  * compact materialization compose in any order. A dangling cancel (state
+  * not yet arrived) therefore stays visible as a −1 row, exactly as in a
+  * ClickHouse `FINAL` read; consumers take the documented patterns —
+  * `filter(sign > 0)` for current state, `sum(x * sign)` for aggregates
+  * that never need the fold at all (the raw-storage trick that makes this
+  * engine the 100 TB-friendly upsert: aggregation reads unmerged parts and
+  * the cancels subtract themselves).
+  */
+final case class Collapsing(keys: Seq[String], signCol: String,
+                            versionCol: String) extends EngineSemantics
 
 /** ≈ AggregatingMergeTree (the uniqState-in-MV family, reference
   * README.md:247-266): each `stateCols` column stores MERGEABLE aggregate
@@ -204,6 +228,15 @@ final class Catalog(spark: SparkSession) {
         require(t.schema.fieldNames.toSeq == keys ++ stateCols,
           s"${t.name}: Aggregating schema must be exactly keys ++ stateCols " +
             s"(got ${t.schema.fieldNames.toSeq}, want ${keys ++ stateCols})")
+      case Collapsing(keys, sign, version) =>
+        import org.apache.spark.sql.types._
+        (keys :+ sign :+ version).foreach(c =>
+          require(t.schema.fieldNames.contains(c),
+            s"${t.name}: Collapsing column $c is not in the schema"))
+        require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+            .contains(t.schema(sign).dataType),
+          s"${t.name}: Collapsing sign column $sign must be integral " +
+            s"(got ${t.schema(sign).dataType.simpleString})")
       case _ => ()
     }
     tables.putIfAbsent(t.name, t)
@@ -243,6 +276,9 @@ final class Catalog(spark: SparkSession) {
         ("kind" -> "summing") ~ ("keys" -> keys) ~ ("cols" -> cols)
       case Aggregating(keys, cols) =>
         ("kind" -> "aggregating") ~ ("keys" -> keys) ~ ("cols" -> cols)
+      case Collapsing(keys, sign, version) =>
+        ("kind" -> "collapsing") ~ ("keys" -> keys) ~ ("sign" -> sign) ~
+          ("version" -> version)
     }
     val obj =
       ("name" -> t.name) ~
@@ -329,6 +365,10 @@ final class Catalog(spark: SparkSession) {
         Summing(list(semNode \ "keys"), list(semNode \ "cols"))
       case org.json4s.JString("aggregating") =>
         Aggregating(list(semNode \ "keys"), list(semNode \ "cols"))
+      case org.json4s.JString("collapsing") =>
+        Collapsing(list(semNode \ "keys"),
+          (semNode \ "sign").asInstanceOf[org.json4s.JString].s,
+          (semNode \ "version").asInstanceOf[org.json4s.JString].s)
       case other => throw new IllegalArgumentException(
         s"attach: unknown semantics under $path ($other)")
     }
@@ -538,6 +578,7 @@ final class Catalog(spark: SparkSession) {
         case ReplacingDedup(keys, v) => keys :+ v
         case Summing(keys, cols) => keys ++ cols
         case Aggregating(keys, cols) => keys ++ cols
+        case Collapsing(keys, sign, version) => keys :+ sign :+ version
         case Append => Nil
       })).toSet
 
@@ -889,6 +930,18 @@ final class Catalog(spark: SparkSession) {
       case Aggregating(keys, stateCols) =>
         val merged = stateCols.map(c => hll_union_agg(col(c)).as(c))
         filled.groupBy(keys.map(col): _*).agg(merged.head, merged.tail: _*)
+      case Collapsing(_, sign, _) =>
+        // reject out-of-range signs at insert (the Enum8 raise_error
+        // pattern), then pre-fold within the batch: a same-batch
+        // state+cancel pair never reaches storage. Sound across batches
+        // because the fold is associative (doc on [[Collapsing]]).
+        val signTyp = t.schema(sign).dataType
+        val guarded = filled.withColumn(sign,
+          when(col(sign).isin(-1, 1), col(sign))
+            .otherwise(raise_error(concat(
+              lit(s"${t.name}: Collapsing sign $sign must be +1 or -1, got "),
+              col(sign).cast("string"))).cast(signTyp)))
+        collapseFold(t, guarded, sign)
       case _ => filled
     }
     val sorted = clusteredFor(t, deduped)
@@ -1454,7 +1507,26 @@ final class Catalog(spark: SparkSession) {
         val merged = stateCols.map(c => hll_union_agg(col(c)).as(c))
         raw.groupBy(keys.map(col): _*)
           .agg(merged.head, merged.tail: _*)
+      case Collapsing(_, sign, _) => collapseFold(t, raw, sign)
     }
+  }
+
+  /** The [[Collapsing]] fold (doc on the case class): group by every
+    * column but the sign, cancel opposing pairs, re-emit |net| copies at
+    * sign(net). A hash aggregate with map-side partials — cheaper at
+    * scale than a window, and the shuffle key prunes to nothing once
+    * [[compact]] has materialized the fold.
+    */
+  private def collapseFold(t: TableDef, df: DataFrame, sign: String): DataFrame = {
+    val others = t.schema.fieldNames.filterNot(_ == sign).toSeq
+    val signTyp = t.schema(sign).dataType
+    df.groupBy(others.map(col): _*)
+      .agg(sum(col(sign).cast("long")).as("__net"))
+      .filter(col("__net") =!= 0L)
+      .select(others.map(col) :+
+        explode(array_repeat(signum(col("__net")).cast(signTyp),
+          abs(col("__net")).cast("int"))).as(sign): _*)
+      .select(t.schema.fieldNames.map(col).toSeq: _*)
   }
 
   /** Raw storage view — duplicates/partials visible (what a ClickHouse

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.catalog.{Append, Catalog, FlatDir, TableDef, TableLayout, Versioned}
+import graft.catalog.{Append, Catalog, Collapsing, FlatDir, TableDef, TableLayout, Versioned}
 import graft.plans.{ProjectionDef, RollupRewrite, SortedProjectionDef, SortedProjectionRewrite}
 
 /** The Catalog's clustered write path exercised FROM the query suite —
@@ -382,6 +382,41 @@ object CatalogOps extends QueryModule {
           count_distinct(col("s_suppkey")).as("n_keys"),
           round(sum(col("s_acctbal")), 2).as("bal_sum"))
     }),
+
+    // VersionedCollapsingMergeTree analog end to end through the gate:
+    // `orders` loaded as +1 states, then a second batch UPDATES every
+    // 7th key (cancel copy + new state at ver 2, price +100) and DELETES
+    // every (11k+3)th (cancel only). The read-time fold cancels the
+    // pairs; the oracle restates the surviving rows directly from the
+    // original table — equality proves pair cancellation, not just row
+    // counting.
+    "cat_collapsing_scan" -> ((s, d) => {
+      val src = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val cat = new Catalog(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-collapse")
+      registerForCleanup(tmp)
+      val schema = src
+        .withColumn("ver", lit(1L)).withColumn("sign", lit(1)).schema
+      cat.createTable(TableDef("orders_cl", tmp.resolve("orders_cl").toString,
+        schema, sortKeys = Seq("o_orderkey"),
+        semantics = Collapsing(Seq("o_orderkey"), "sign", "ver")))
+      cat.append("orders_cl",
+        src.withColumn("ver", lit(1L)).withColumn("sign", lit(1)))
+      val upd = col("o_orderkey") % 7 === 0
+      val del = col("o_orderkey") % 11 === 3 && !upd
+      val cancels = src.filter(upd || del)
+        .withColumn("ver", lit(1L)).withColumn("sign", lit(-1))
+      val restated = src.filter(upd)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+        .withColumn("ver", lit(2L)).withColumn("sign", lit(1))
+      cat.append("orders_cl", cancels.unionByName(restated))
+      cat.read("orders_cl").filter(col("sign") > 0)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -461,5 +496,15 @@ object CatalogOps extends QueryModule {
       """SELECT count(*) AS n, count(DISTINCT s_suppkey) AS n_keys,
         | round(sum(s_acctbal), 2) AS bal_sum
         |FROM supplier""".stripMargin,
+
+    // the surviving state restated from the ORIGINAL table: updates add
+    // 100 to every 7th key's price, deletes remove every (11k+3)th key
+    "cat_collapsing_scan" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | round(sum(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100
+        |                ELSE o_totalprice END), 2) AS total
+        |FROM orders
+        |WHERE NOT (o_orderkey % 11 = 3 AND o_orderkey % 7 <> 0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }

@@ -1035,6 +1035,66 @@ class CatalogSpec extends SparkSpecBase {
     new java.io.File(path + ".mutations").isDirectory shouldBe true
   }
 
+  private val collapsingSchema = StructType(Seq(
+    StructField("k", StringType), StructField("v", LongType),
+    StructField("ver", LongType), StructField("sign", IntegerType)))
+
+  test("Collapsing: paired cancel+state rows upsert and delete across batches") {
+    val cat = new Catalog(spark)
+    val t = TableDef("cl", tmpDir("cat") + "/cl", collapsingSchema,
+      Seq("k"), Collapsing(Seq("k"), "sign", "ver"))
+    cat.createTable(t)
+    // initial states
+    cat.append("cl", Seq(("a", 10L, 1L, 1), ("b", 20L, 1L, 1), ("c", 30L, 1L, 1))
+      .toDF("k", "v", "ver", "sign"))
+    // update a: cancel (exact copy, sign -1) + new state at ver 2;
+    // delete c: cancel only
+    cat.append("cl", Seq(("a", 10L, 1L, -1), ("a", 11L, 2L, 1), ("c", 30L, 1L, -1))
+      .toDF("k", "v", "ver", "sign"))
+    val live = cat.read("cl").filter(col("sign") > 0)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    live shouldBe Array(("a", 11L), ("b", 20L))
+    // the raw-storage aggregate trick: sum(v * sign) needs NO fold
+    cat.readRaw("cl").agg(sum(col("v") * col("sign"))).head.getLong(0) shouldBe 31L
+    // compact materializes the fold: storage drops to the two live rows
+    cat.compact("cl")
+    cat.readRaw("cl").count() shouldBe 2
+    // fold is associative: same answer compact-then-cancel as cancel-then-read
+    cat.append("cl", Seq(("b", 20L, 1L, -1)).toDF("k", "v", "ver", "sign"))
+    cat.read("cl").filter(col("sign") > 0).collect()
+      .map(_.getString(0)) shouldBe Array("a")
+  }
+
+  test("Collapsing: dangling cancels stay visible; bad signs and defs are refused") {
+    val cat = new Catalog(spark)
+    val t = TableDef("cl2", tmpDir("cat") + "/cl2", collapsingSchema,
+      Seq("k"), Collapsing(Seq("k"), "sign", "ver"))
+    cat.createTable(t)
+    // cancel arrives BEFORE its state (reordered ingest): visible as -1
+    cat.append("cl2", Seq(("x", 5L, 1L, -1)).toDF("k", "v", "ver", "sign"))
+    cat.read("cl2").collect().map(_.getInt(3)) shouldBe Array(-1)
+    // the late state lands and the pair cancels — even through a compact
+    cat.compact("cl2")
+    cat.append("cl2", Seq(("x", 5L, 1L, 1)).toDF("k", "v", "ver", "sign"))
+    cat.read("cl2").count() shouldBe 0
+    // sign outside ±1 fails the append loudly
+    val err = intercept[Exception] {
+      cat.append("cl2", Seq(("y", 1L, 1L, 3)).toDF("k", "v", "ver", "sign"))
+    }
+    err.getMessage should include("sign")
+    // a def whose sign column is non-integral is refused at CREATE
+    intercept[IllegalArgumentException] {
+      cat.createTable(TableDef("clbad", tmpDir("cat") + "/clbad",
+        StructType(Seq(StructField("k", StringType),
+          StructField("sign", StringType), StructField("ver", LongType))),
+        Seq("k"), Collapsing(Seq("k"), "sign", "ver")))
+    }
+    // the sidecar round-trips the engine: attach restores Collapsing
+    val cat2 = new Catalog(spark)
+    val restored = cat2.attach(t.path)
+    restored.semantics shouldBe Collapsing(Seq("k"), "sign", "ver")
+  }
+
   test("a staged snapshot tmp file never wedges listing, compaction, or DDL") {
     val cat = new Catalog(spark)
     val path = tmpDir("cat") + "/frzt"
