@@ -1,0 +1,148 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.functions.PolyHash
+
+/** A registered Distributed facade: `members` are ordinary [[Catalog]]
+  * tables (one per shard, index = shard id) and `shardKey` is the column
+  * whose hash routes each row.
+  */
+final case class DistributedDef(name: String, path: String,
+                                shardKey: String, members: Seq[String])
+
+/** ≈ the ClickHouse `Distributed` engine: a facade over N per-shard member
+  * tables. INSERTs split the batch by `hash(shardKey) % N` and land each
+  * slice in its member; SELECTs union all members; a point probe on the
+  * sharding key reads exactly one member — the `optimize_skip_unused_shards`
+  * prune, which here means N−1 shards' files never even enter the plan.
+  *
+  * Spark-first shape: members are plain [[Catalog]] tables (any engine
+  * semantics, any layout — a Collapsing member collapses per shard, which
+  * is sound because equal sort keys hash to the same shard). The facade
+  * keeps NO data of its own, only a `_DIST` sidecar naming the members, so
+  * [[attachDistributed]] can rebuild the whole topology from storage alone
+  * — the restart story matches [[Catalog.attach]].
+  *
+  * The routing hash is the cross-engine [[PolyHash]] fold of the key cast
+  * to string: the same loop runs as a codegen'd Catalyst expression on the
+  * insert path and as plain Scala on the driver for [[shardOf]], so a
+  * probe's shard is computable WITHOUT a Spark job and provably agrees
+  * with where appends put the row.
+  *
+  * Scale note: `append` materializes the routed batch once (cached) and
+  * slices it N ways — N short cached filters, not N source scans; on a
+  * real fleet each slice write is the member's own clustered append, so
+  * the facade adds no extra shuffle. Reads are a union of independent
+  * per-member scans: Catalyst pushes predicates and pruning into every
+  * branch separately, and a shard-pinned probe skips the union entirely.
+  */
+final class DistributedCatalog(spark: SparkSession, cat: Catalog) {
+
+  private val dists =
+    scala.collection.concurrent.TrieMap.empty[String, DistributedDef]
+
+  private def fs(path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def sidecar(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_DIST")
+
+  def get(name: String): DistributedDef =
+    dists.getOrElse(name,
+      throw new NoSuchElementException(s"unknown distributed table $name"))
+
+  /** CREATE TABLE … ENGINE = Distributed: declares N member tables
+    * (`<name>_shard0…N-1`, each at `<path>/shard<i>`) with the given
+    * per-member schema/keys/semantics, and persists the topology sidecar.
+    */
+  def create(name: String, path: String, schema: StructType,
+             sortKeys: Seq[String], semantics: EngineSemantics,
+             shardKey: String, nShards: Int,
+             layout: TableLayout = FlatDir): DistributedDef = {
+    require(nShards >= 1, s"$name: need at least one shard (got $nShards)")
+    require(schema.fieldNames.contains(shardKey),
+      s"$name: sharding key $shardKey is not in the schema")
+    val members = (0 until nShards).map(i => s"${name}_shard$i")
+    members.zipWithIndex.foreach { case (m, i) =>
+      cat.createTable(TableDef(m, s"$path/shard$i", schema, sortKeys,
+        semantics, layout))
+    }
+    val d = DistributedDef(name, path, shardKey, members)
+    persist(d)
+    dists.putIfAbsent(name, d)
+    dists(name)
+  }
+
+  private def persist(d: DistributedDef): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val json = JsonMethods.compact(JsonMethods.render(
+      ("name" -> d.name) ~ ("shard_key" -> d.shardKey) ~
+        ("members" -> d.members)))
+    val f = fs(d.path)
+    val out = f.create(sidecar(d.path), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Rebuild the facade (and attach every member) from storage alone. */
+  def attachDistributed(path: String): DistributedDef = {
+    import org.json4s.jackson.JsonMethods
+    val f = fs(path)
+    val in = f.open(sidecar(path))
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val j = JsonMethods.parse(json)
+    def str(k: String) =
+      (j \ k).asInstanceOf[org.json4s.JString].s
+    val members = (j \ "members").asInstanceOf[org.json4s.JArray]
+      .arr.map(_.asInstanceOf[org.json4s.JString].s)
+    members.zipWithIndex.foreach { case (_, i) => cat.attach(s"$path/shard$i") }
+    val d = DistributedDef(str("name"), path, str("shard_key"), members)
+    dists.putIfAbsent(d.name, d)
+    dists(d.name)
+  }
+
+  /** The shard a key value routes to — driver-side, no Spark job; the
+    * value is rendered the way `cast(col AS STRING)` renders it, so only
+    * pass values of the key column's declared type.
+    */
+  def shardOf(name: String, keyValue: Any): Int = {
+    val d = get(name)
+    (PolyHash.fold(String.valueOf(keyValue)) % d.members.size).toInt
+  }
+
+  /** INSERT through the facade: one routed materialization, N slice
+    * appends (each slice goes through its member's full append path —
+    * engine pre-fold, clustering sort, skip-index build).
+    */
+  def append(name: String, batch: DataFrame): Long = {
+    val d = get(name)
+    val n = d.members.size
+    val routed = batch.withColumn("__shard",
+      pmod(PolyHash(col(d.shardKey).cast("string")), lit(n.toLong)).cast("int"))
+      .cache()
+    try {
+      routed.count() // materialize once; the N filters below hit the cache
+      d.members.zipWithIndex.map { case (m, i) =>
+        cat.append(m, routed.filter(col("__shard") === i).drop("__shard"))
+      }.sum
+    } finally routed.unpersist()
+  }
+
+  /** SELECT through the facade: the union of every member's (engine-
+    * merged) read view. Catalyst pushes filters/pruning into each branch.
+    */
+  def read(name: String): DataFrame =
+    get(name).members.map(cat.read).reduce(_.unionByName(_))
+
+  /** Shard-pruned point read (`optimize_skip_unused_shards`): the N−1
+    * other members never enter the plan.
+    */
+  def readShardOf(name: String, keyValue: Any): DataFrame =
+    cat.read(get(name).members(shardOf(name, keyValue)))
+}

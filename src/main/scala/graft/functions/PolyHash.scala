@@ -28,17 +28,8 @@ case class PolyHash(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    var acc = 0L
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      acc = (acc * 31L + cp) % 1000000007L
-      i += Character.charCount(cp)
-    }
-    acc
-  }
+  override def nullSafeEval(input: Any): Any =
+    PolyHash.fold(input.asInstanceOf[UTF8String].toString)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
@@ -67,4 +58,20 @@ object PolyHash {
   /** Column-API entry point: `PolyHash($"text")`. */
   def apply(c: Column): Column =
     ColumnShim.column(PolyHash(ColumnShim.expression(c)))
+
+  /** The same fold in plain Scala — the DRIVER-side mirror that lets
+    * shard routing ([[graft.catalog.DistributedCatalog]]) compute a row's
+    * shard without a Spark job, guaranteed consistent with the
+    * expression because interpreted eval delegates here.
+    */
+  def fold(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
 }

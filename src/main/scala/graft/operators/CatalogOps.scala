@@ -417,6 +417,29 @@ object CatalogOps extends QueryModule {
           round(sum(col("o_totalprice")), 2).as("total"))
         .orderBy(col("o_orderstatus"))
     }),
+
+    // Distributed engine analog through the gate: `customer` inserted
+    // through a 4-shard facade (hash-routed on c_custkey), then read back
+    // through the union view. The oracle aggregates the ORIGINAL table —
+    // equality proves routing is total and disjoint (a dropped or
+    // double-routed row would shift a count or balance). The shard-prune
+    // path is plan-asserted in DistributedSpec.
+    "cat_distributed_scan" -> ((s, d) => {
+      val src = Tables.customer(s, d).select(
+        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val cat = new Catalog(s)
+      val dc = new graft.catalog.DistributedCatalog(s, cat)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-dist")
+      registerForCleanup(tmp)
+      dc.create("cust_dist", tmp.resolve("cust_dist").toString, src.schema,
+        Seq("c_custkey"), Append, "c_custkey", 4)
+      dc.append("cust_dist", src)
+      dc.read("cust_dist")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal")), 2).as("bal_sum"))
+        .orderBy(col("c_mktsegment"))
+    }),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -506,5 +529,12 @@ object CatalogOps extends QueryModule {
         |FROM orders
         |WHERE NOT (o_orderkey % 11 = 3 AND o_orderkey % 7 <> 0)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the oracle reads the ORIGINAL table: the sharded union must
+    // preserve content exactly (routing total + disjoint)
+    "cat_distributed_scan" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | round(sum(c_acctbal), 2) AS bal_sum
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
   )
 }
