@@ -1568,6 +1568,24 @@ final class Catalog(spark: SparkSession) {
     * engine semantics, declared keys, and storage totals (part count +
     * bytes from the listing; pure metadata, no data scan).
     */
+  /** ClickHouse `merge('db', 'regex')` table-function analog: the union
+    * of every registered table whose name fully matches the regex, each
+    * through its own engine-merged read view, plus the virtual `_table`
+    * discriminator column. Schemas must agree column-for-column
+    * (unionByName without missing-column fill — a silent null-fill would
+    * mask a mismatched member). Catalyst pushes predicates and pruning
+    * into each branch independently, so a filtered merge read scans only
+    * what each member's layout admits.
+    */
+  def readMerge(pattern: String): DataFrame = {
+    val re = pattern.r
+    val names =
+      tables.keys.toSeq.filter(n => re.pattern.matcher(n).matches()).sorted
+    require(names.nonEmpty, s"merge('$pattern') matched no registered table")
+    names.map(n => read(n).withColumn("_table", lit(n)))
+      .reduce(_.unionByName(_))
+  }
+
   def systemTables(): DataFrame = {
     import spark.implicits._
     tables.values.toSeq.sortBy(_.name).map { t =>

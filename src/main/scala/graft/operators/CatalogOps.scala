@@ -440,6 +440,30 @@ object CatalogOps extends QueryModule {
           round(sum(col("c_acctbal")), 2).as("bal_sum"))
         .orderBy(col("c_mktsegment"))
     }),
+
+    // merge('regex') table function through the gate: `supplier` split
+    // across three member tables (by s_nationkey mod 3), then read back
+    // as ONE relation via the regex union with its virtual `_table`
+    // column. The oracle restates the member a row belongs to from the
+    // original table — equality proves the union is lossless and the
+    // discriminator truthful.
+    "src_merge" -> ((s, d) => {
+      val src = Tables.supplier(s, d).select(
+        col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      val cat = new Catalog(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-merge")
+      registerForCleanup(tmp)
+      (0 until 3).foreach { i =>
+        cat.createTable(TableDef(s"sup_m$i", tmp.resolve(s"sup_m$i").toString,
+          src.schema, sortKeys = Seq("s_suppkey"), semantics = Append))
+        cat.append(s"sup_m$i", src.filter(col("s_nationkey") % 3 === i))
+      }
+      cat.readMerge("sup_m.*")
+        .groupBy(col("_table"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("s_acctbal")), 2).as("bal_sum"))
+        .orderBy(col("_table"))
+    }),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -536,5 +560,11 @@ object CatalogOps extends QueryModule {
       """SELECT c_mktsegment, count(*) AS n,
         | round(sum(c_acctbal), 2) AS bal_sum
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // the member each row belongs to, restated from the original table
+    "src_merge" ->
+      """SELECT 'sup_m' || (s_nationkey % 3) AS _table, count(*) AS n,
+        | round(sum(s_acctbal), 2) AS bal_sum
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

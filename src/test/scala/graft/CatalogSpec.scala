@@ -1035,6 +1035,26 @@ class CatalogSpec extends SparkSpecBase {
     new java.io.File(path + ".mutations").isDirectory shouldBe true
   }
 
+  test("readMerge: regex union with a truthful _table column; misuse is loud") {
+    val cat = new Catalog(spark)
+    val base = tmpDir("cat")
+    Seq("mA", "mB").foreach { n =>
+      cat.createTable(TableDef(n, s"$base/$n", replacingSchema, Seq("k"), Append))
+    }
+    cat.append("mA", Seq(("a", 1L, 1L)).toDF("k", "v", "updated_at"))
+    cat.append("mB", Seq(("b", 2L, 1L)).toDF("k", "v", "updated_at"))
+    val merged = cat.readMerge("m[AB]").orderBy("k").collect()
+    merged.map(r => (r.getString(0), r.getAs[String]("_table"))) shouldBe
+      Array(("a", "mA"), ("b", "mB"))
+    // full-match semantics: the pattern must cover the whole name
+    intercept[IllegalArgumentException](cat.readMerge("zzz.*"))
+    // a mismatched member schema fails loudly, never null-fills
+    cat.createTable(TableDef("mC", s"$base/mC",
+      StructType(Seq(StructField("other", StringType))), Nil, Append))
+    cat.append("mC", Seq(Tuple1("x")).toDF("other"))
+    intercept[Exception](cat.readMerge("m[ABC]").collect())
+  }
+
   private val collapsingSchema = StructType(Seq(
     StructField("k", StringType), StructField("v", LongType),
     StructField("ver", LongType), StructField("sign", IntegerType)))
