@@ -27,12 +27,19 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
 
-  /** `events.ts` is physical Parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and floor-divide
-    * to microseconds — the same truncation DuckDB applies when it narrows
-    * NANOS to its micro TIMESTAMP, so oracle comparisons stay exact.
-    * Integer `div` (not `/1000`) because ns-epoch ≈ 1.7e18 exceeds double's
-    * 2^53 integer range.
+  /** `events.ts` normalizes to session-timezone TIMESTAMP (LTZ) across the
+    * physical variants the driver has shipped:
+    *   - TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+    *     ([PARQUET_TYPE_ILLEGAL]) — read nanos as long and floor-divide to
+    *     microseconds, the same truncation DuckDB applies when it narrows
+    *     NANOS to its micro TIMESTAMP, so oracle comparisons stay exact.
+    *     Integer `div` (not `/1000`) because ns-epoch ≈ 1.7e18 exceeds
+    *     double's 2^53 integer range.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+    *     TIMESTAMP_NTZ — cast to LTZ (value-preserving in the UTC test
+    *     session) so every time-window query keeps ONE output type
+    *     regardless of which testdata vintage it reads; the SQL twins'
+    *     timestamp_seconds()/window() arithmetic is LTZ-typed.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -40,6 +47,9 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => raw
     }
   }

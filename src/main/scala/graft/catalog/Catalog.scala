@@ -1470,32 +1470,71 @@ final class Catalog(spark: SparkSession) {
     * identical to the single-root read.
     */
   private def scanRoots(t: TableDef, schema: StructType,
-                        paths: Seq[String]): DataFrame =
+                        paths: Seq[String],
+                        withId: Boolean = false): DataFrame = {
+    // row identity for the deletion-vector anti-join: the scanned file's
+    // path + the row's ordinal inside it, from the file source's hidden
+    // _metadata struct (constant-per-file, no read amplification)
+    def id(df: DataFrame): DataFrame =
+      if (!withId) df
+      else df.withColumn("__dv_file", col("_metadata.file_path"))
+        .withColumn("__dv_pos", col("_metadata.row_index"))
     if (t.partitionKeys.isEmpty || paths.size <= 1)
-      spark.read.schema(schema).parquet(paths: _*)
-    else paths.map(p => spark.read.schema(schema).parquet(p)
+      id(spark.read.schema(schema).parquet(paths: _*))
+    else paths.map(p => id(spark.read.schema(schema).parquet(p))
         // per-root partition discovery appends partition cols last —
         // restore declared order so the branches union positionally
-        .select(schema.fieldNames.map(col).toSeq: _*))
+        .select((schema.fieldNames.toSeq ++
+          (if (withId) Seq("__dv_file", "__dv_pos") else Nil)).map(col): _*))
       .reduce(_.union(_))
+  }
 
-  private def readStorage(t: TableDef, paths: Seq[String]): DataFrame = {
+  private def readStorage(t: TableDef, paths: Seq[String]): DataFrame =
+    readStorageDv(t, paths, currentDvDirs(t))
+
+  /** [[readStorage]] with an EXPLICIT deletion-vector set (the live read
+    * passes the current one; [[readSnapshot]] replays its frozen one) and
+    * optionally keeping the `__dv_file`/`__dv_pos` row-identity columns
+    * ([[deleteLightweight]] records matched rows by them).
+    */
+  private def readStorageDv(t: TableDef, paths: Seq[String],
+                            dvs: Seq[String],
+                            keepId: Boolean = false): DataFrame = {
     val renames = renamePending.getOrElse(t.name, Map.empty)
       .filter { case (to, _) => t.schema.fieldNames.contains(to) }
-    if (renames.isEmpty) scanRoots(t, t.schema, paths)
+    val withId = dvs.nonEmpty || keepId
+    // the mask is tiny next to the data (pairs, not rows): no broadcast
+    // hint — AQE broadcasts the anti-join side when its runtime size
+    // allows and degrades to shuffle when a mass-delete outgrows it
+    def mask(df: DataFrame): DataFrame =
+      if (dvs.isEmpty) df
+      else {
+        val dv = spark.read.schema(dvPairSchema).parquet(dvs: _*)
+        df.join(dv, df("__dv_file") === dv("file") &&
+          df("__dv_pos") === dv("pos"), "left_anti")
+      }
+    val outCols = t.schema.fieldNames.toSeq ++
+      (if (keepId) Seq("__dv_file", "__dv_pos") else Nil)
+    if (renames.isEmpty)
+      mask(scanRoots(t, t.schema, paths, withId))
+        .select(outCols.map(col): _*)
     else {
       val widened = StructType(t.schema.fields ++ renames.map {
         case (to, phys) => StructField(phys, t.schema(to).dataType)
       })
-      val raw = scanRoots(t, widened, paths)
+      val raw = mask(scanRoots(t, widened, paths, withId))
       renames.foldLeft(raw) { case (d, (to, phys)) =>
         d.withColumn(to, coalesce(col(to), col(phys)))
-      }.select(t.schema.fieldNames.map(col).toSeq: _*)
+      }.select(outCols.map(col): _*)
     }
   }
 
-  private def readVia(t: TableDef, paths: Seq[String]): DataFrame = {
-    val raw = applyDefaults(t.name, readStorage(t, paths))
+  private def readVia(t: TableDef, paths: Seq[String]): DataFrame =
+    readViaDv(t, paths, currentDvDirs(t))
+
+  private def readViaDv(t: TableDef, paths: Seq[String],
+                        dvs: Seq[String]): DataFrame = {
+    val raw = applyDefaults(t.name, readStorageDv(t, paths, dvs))
     t.semantics match {
       case Append => raw
       case ReplacingDedup(keys, version) => latestWins(raw, keys, version)
@@ -1536,6 +1575,123 @@ final class Catalog(spark: SparkSession) {
     val t = get(name)
     recoverInterruptedSwap(t)
     readStorage(t, dataPaths(t)) // raw in MERGE terms; renames still map
+  }
+
+  // ---- lightweight DELETE (deletion-vector analog) ---------------------
+  //
+  // ClickHouse's `DELETE FROM t WHERE p` (lightweight delete) marks rows
+  // in a hidden `_row_exists` mask inside the part and filters them at
+  // every read; the expensive rewrite happens later, when merges
+  // materialize the mask. Same contract here, shaped for immutable
+  // parquet: a part file cannot grow a column, so the mask lives BESIDE
+  // the table ( `<path>.dv/dv-*` ) as (file, pos) pairs — the
+  // deletion-vector layout. DELETE writes O(matched rows) of pairs and
+  // never touches a data file; every read anti-joins the mask on
+  // (_metadata.file_path, _metadata.row_index); compaction materializes
+  // it for free (its rewrite reads THROUGH the mask, so the new files
+  // simply don't contain the rows) and then collects the applied dv
+  // dirs. A FREEZE taken between a delete and its materialization lists
+  // the dv dirs it froze, [[readSnapshot]] replays exactly those, and
+  // compaction retains pinned dv dirs until their snapshots drop — a
+  // retained dv masks nothing in the live table (its pairs address
+  // pre-rewrite file paths, and paths are unique per write). At 100 TB
+  // the mask is KBs-to-MBs against TB scans; a maskless table pays one
+  // directory listing and nothing in-plan.
+
+  private val dvPairSchema = StructType(Seq(
+    StructField("file", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("pos", org.apache.spark.sql.types.LongType, nullable = false)))
+
+  private def dvRoot(t: TableDef) =
+    new org.apache.hadoop.fs.Path(t.path + ".dv")
+
+  /** Committed deletion-vector dirs (one per DELETE), oldest first. */
+  private def currentDvDirs(t: TableDef): Seq[String] = {
+    val f = fs(t)
+    val root = dvRoot(t)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("dv-"))
+      .map(_.getPath.toString).sorted
+  }
+
+  /** Deletion-vector dirs not yet materialized — 0 means every past
+    * lightweight DELETE has been folded into storage by a compact.
+    */
+  def pendingDeleteFiles(name: String): Int =
+    currentDvDirs(get(name)).size
+
+  /** `DELETE FROM name WHERE predicate` — ClickHouse lightweight delete.
+    * Marks matching rows deleted WITHOUT rewriting any data file (the
+    * heavy path, [[delete]], stays available as the ALTER DELETE
+    * analog). NULL-predicate rows are kept, like [[delete]]. Returns the
+    * number of rows newly masked (already-masked rows never re-match:
+    * the matching scan reads through the existing mask).
+    *
+    * Append semantics only, the [[readPruned]] contract: merge-view
+    * engines fold key groups across files, so masking one physical row
+    * would CHANGE fold results (e.g. resurrect the row it superseded)
+    * rather than delete a logical row.
+    *
+    * Takes the compact lock: a concurrent compact swaps storage to new
+    * file paths, and pairs recorded against the old paths would be
+    * silently lost in the swap.
+    */
+  def deleteLightweight(name: String,
+                        predicate: org.apache.spark.sql.Column): Long =
+    writeLock(name).synchronized {
+      val t = get(name)
+      require(t.semantics == Append,
+        s"$name: lightweight DELETE requires Append semantics (merge " +
+          "views fold key groups across files; use ALTER DELETE's " +
+          "rewrite on merge-view engines)")
+      recoverInterruptedSwap(t)
+      withCompactLock(t) {
+        import org.apache.hadoop.fs.Path
+        val f = fs(t)
+        // any .stage-* here is a crashed predecessor: committed writers
+        // renamed theirs away, and no live writer exists under this lock
+        if (f.exists(dvRoot(t)))
+          f.listStatus(dvRoot(t)).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage-"))
+            .foreach(s => f.delete(s.getPath, true))
+        val masked = applyDefaults(t.name,
+          readStorageDv(t, dataPaths(t), currentDvDirs(t), keepId = true))
+        val matched = masked.filter(coalesce(predicate, lit(false)))
+          .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+        val n = matched.count()
+        if (n > 0L) {
+          f.mkdirs(dvRoot(t))
+          val tag = s"dv-$processTag-${java.util.UUID.randomUUID().toString.take(8)}"
+          val stage = new Path(dvRoot(t), s".stage-$tag")
+          matched.write.mode("overwrite").parquet(stage.toString)
+          if (!f.rename(stage, new Path(dvRoot(t), tag))) {
+            f.delete(stage, true)
+            throw new java.io.IOException(
+              s"$name: deletion-vector commit rename failed")
+          }
+        }
+        recordMutation(t, s"DELETE WHERE $predicate (lightweight, $n rows)")
+        n
+      }
+    }
+
+  /** Collect deletion-vector dirs a just-finished rewrite materialized.
+    * Caller holds the write + compact locks and has already swapped in
+    * the rewritten storage. Snapshot-pinned dv dirs survive until their
+    * snapshots drop — their pairs address pre-rewrite paths, so they
+    * mask nothing in the live table and exist purely for frozen views.
+    */
+  private def clearAppliedDvs(t: TableDef): Unit = {
+    val f = fs(t)
+    val root = dvRoot(t)
+    if (!f.exists(root)) return
+    val pinned = listSnapshotRefs(t).flatMap(_.dvs).toSet
+    f.listStatus(root).toSeq.filter(_.isDirectory).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith(".stage-") || (n.startsWith("dv-") && !pinned(n)))
+        f.delete(s.getPath, true)
+    }
   }
 
   // ---- introspection (system.tables / system.parts analog) --------------
@@ -1948,7 +2104,8 @@ final class Catalog(spark: SparkSession) {
     new org.apache.hadoop.fs.Path(snapshotsDir(t), s"$tag.json")
 
   private case class SnapshotRef(tag: String, version: Option[String],
-                                 segments: Seq[String], tsMs: Long)
+                                 segments: Seq[String], dvs: Seq[String],
+                                 tsMs: Long)
 
   private def readSnapshotRef(t: TableDef, p: org.apache.hadoop.fs.Path): SnapshotRef = {
     import org.json4s.jackson.JsonMethods
@@ -1961,6 +2118,8 @@ final class Catalog(spark: SparkSession) {
       (j \ "tag").extract[String],
       (j \ "version").extractOpt[String],
       (j \ "segments").extract[Seq[String]],
+      // absent in pre-deletion-vector manifests: those froze no masks
+      (j \ "dv").extractOpt[Seq[String]].getOrElse(Nil),
       (j \ "ts_ms").extract[Long])
   }
 
@@ -2000,10 +2159,15 @@ final class Catalog(spark: SparkSession) {
         val curV = currentVersion(t)
         val segs = segNames.filterNot(foldedOf(t, curV))
         val ver = if (f.exists(new Path(t.path, curV))) Some(curV) else None
+        // pending deletion vectors are part of the frozen read set:
+        // readSnapshot replays exactly these, and compaction's dv GC
+        // retains them while this snapshot pins them
+        val dvNames = currentDvDirs(t).map(p => new Path(p).getName)
         import org.json4s.JsonDSL._
         import org.json4s.jackson.JsonMethods
         val json = JsonMethods.compact(JsonMethods.render(
           ("tag" -> tag) ~ ("version" -> ver) ~ ("segments" -> segs.sorted) ~
+            ("dv" -> dvNames.sorted) ~
             ("ts_ms" -> System.currentTimeMillis())))
         f.mkdirs(snapshotsDir(t))
         val dst = snapshotJson(t, tag)
@@ -2039,8 +2203,13 @@ final class Catalog(spark: SparkSession) {
     val r = readSnapshotRef(t, p)
     val paths = (r.version.toSeq ++ r.segments)
       .map(n => new org.apache.hadoop.fs.Path(t.path, n).toString)
+    // the mask AS OF the freeze — not the live one: deletes issued after
+    // the freeze must not edit the frozen view, and the frozen dv dirs
+    // are GC-pinned while this manifest exists
+    val dvPaths = r.dvs
+      .map(n => new org.apache.hadoop.fs.Path(dvRoot(t), n).toString)
     if (paths.isEmpty) readVia(t, Seq(dataPath(t))).limit(0)
-    else readVia(t, paths)
+    else readViaDv(t, paths, dvPaths)
   }
 
   /** Drop snapshot `tag` — one file delete; the next compact collects the
@@ -2124,9 +2293,16 @@ final class Catalog(spark: SparkSession) {
       val t = get(name)
       val leaf = partitionLeaf(t, value)
       recoverInterruptedSwap(t)
+      // deletion-vector pairs address file PATHS; a detached dir comes
+      // back under a different path, so pending masks would silently
+      // un-delete on re-attach — materialize them first (the COW-compact
+      // pattern; rare maintenance verb, correctness over constant time)
+      if (currentDvDirs(t).nonEmpty) compact(name)
       withCowCompactLock(name) { // pin check runs inside the lock
         import org.apache.hadoop.fs.Path
         val f = fs(t)
+        require(currentDvDirs(get(name)).isEmpty,
+          s"$name: a concurrent lightweight DELETE landed mid-detach — retry")
         val srcs = dataPaths(t).map(new Path(_, leaf)).filter(f.exists)
         srcs.foreach { src =>
           val bucket = new Path(detachedRoot(t),
@@ -2271,9 +2447,14 @@ final class Catalog(spark: SparkSession) {
         val leaf = partitionLeaf(s, value)
         recoverInterruptedSwap(s)
         recoverInterruptedSwap(d)
+        // masks are path-addressed and do not travel with moved dirs —
+        // materialize the source's pending deletes first (see detach)
+        if (currentDvDirs(s).nonEmpty) compact(srcName)
         withCowCompactLock(srcName) { // source pin check inside its lock
           withCompactLock(d) {
             val f = fs(s)
+            require(currentDvDirs(get(srcName)).isEmpty,
+              s"$srcName: a concurrent lightweight DELETE landed mid-move — retry")
             val srcs = dataPaths(s).map(new Path(_, leaf)).filter(f.exists)
             srcs.foreach(adoptPartitionDir(d, leaf, _))
             recordMutation(s, s"ALTER MOVE PARTITION $leaf TO TABLE $dstName")
@@ -2315,6 +2496,9 @@ final class Catalog(spark: SparkSession) {
     require(fs.rename(path, old), s"compact($name): rename $path -> $old failed")
     require(fs.rename(tmp, path), s"compact($name): rename $tmp -> $path failed")
     fs.delete(old, true)
+    // the rewrite read through the deletion-vector mask, so the swapped-in
+    // files already exclude the masked rows — the applied dvs are done
+    clearAppliedDvs(t)
   }
 
   /** Manifest-commit compact for [[Versioned]] tables (the object-store
@@ -2460,6 +2644,10 @@ final class Catalog(spark: SparkSession) {
       f.delete(new Path(segMarkerDir(t), s), false)
       f.create(new Path(segMarkerDir(t), s + ".folded"), true).close()
     }
+    // every dv existing at this compact's start addressed segments/versions
+    // the fold just absorbed (deleteLightweight serializes on the compact
+    // lock, so none arrived mid-fold) — materialized, collect them
+    clearAppliedDvs(t)
   }
 
   /** Atomically (re)point `_CURRENT` at a version: tmp file + delete +

@@ -383,6 +383,26 @@ object CatalogOps extends QueryModule {
           round(sum(col("s_acctbal")), 2).as("bal_sum"))
     }),
 
+    // ClickHouse lightweight DELETE (`DELETE FROM … WHERE …`) through the
+    // gate: two deletes mask overlapping row sets WITHOUT rewriting any
+    // data file (deletion-vector pairs beside the table; CatalogSpec
+    // asserts the files are untouched), and the masked read aggregates
+    // what survives. The oracle restates the survivors from the original
+    // table — equality proves the mask composes and excludes exactly the
+    // matched rows.
+    "cat_lightweight_delete" -> ((s, d) => {
+      val src = Tables.customer(s, d)
+      val (cat, _) = catalogCopyCat(s, "customer_lwd", src,
+        sortKeys = Seq("c_custkey"))
+      cat.deleteLightweight("customer_lwd", col("c_mktsegment") === "BUILDING")
+      cat.deleteLightweight("customer_lwd", col("c_acctbal") < 0)
+      cat.read("customer_lwd")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal")), 2).as("bal_sum"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // VersionedCollapsingMergeTree analog end to end through the gate:
     // `orders` loaded as +1 states, then a second batch UPDATES every
     // 7th key (cancel copy + new state at ver 2, price +100) and DELETES
@@ -537,6 +557,15 @@ object CatalogOps extends QueryModule {
     "cat_modified_scan" ->
       """SELECT p_brand, count(*) AS n, sum(p_size)::BIGINT AS size_sum
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // the survivors restated from the ORIGINAL table: masked rows gone,
+    // everything else intact — the deletion-vector read is lossless
+    "cat_lightweight_delete" ->
+      """SELECT c_nationkey, count(*) AS n,
+        | round(sum(c_acctbal), 2) AS bal_sum
+        |FROM customer
+        |WHERE NOT (c_mktsegment = 'BUILDING') AND NOT (c_acctbal < 0)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     // the original single copy: dedup of two full copies must equal it
     "cat_dedup_optimize" ->

@@ -681,6 +681,112 @@ class CatalogSpec extends SparkSpecBase {
       Array("a", "b")
   }
 
+  test("deletion vectors: lightweight DELETE masks rows without touching data files") {
+    val cat = new Catalog(spark)
+    val path = tmpDir("cat") + "/dvt"
+    cat.createTable(TableDef("dvt", path, replacingSchema, Seq("k"), Append))
+    cat.append("dvt", Seq(("a", 1L, 10L), ("b", 2L, 10L), ("c", 3L, 10L))
+      .toDF("k", "v", "updated_at"))
+    cat.append("dvt", Seq(("d", 4L, 20L), ("e", 5L, 20L))
+      .toDF("k", "v", "updated_at"))
+    def dataFiles: Seq[(String, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path)).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.length(), f.lastModified())).sortBy(_._1)
+    }
+    val before = dataFiles
+    cat.deleteLightweight("dvt", col("v") % 2 === 0) shouldBe 2L // b, d
+    dataFiles shouldBe before // the delete wrote NO data file
+    cat.pendingDeleteFiles("dvt") shouldBe 1
+    cat.read("dvt").orderBy("k").collect().map(_.getString(0)) shouldBe
+      Array("a", "c", "e")
+    // incremental: the matching scan reads through the existing mask, so
+    // re-running the same predicate records nothing new
+    cat.deleteLightweight("dvt", col("v") % 2 === 0) shouldBe 0L
+    cat.pendingDeleteFiles("dvt") shouldBe 1
+    // masks compose across deletes
+    cat.deleteLightweight("dvt", col("k") === "e") shouldBe 1L
+    cat.pendingDeleteFiles("dvt") shouldBe 2
+    cat.read("dvt").orderBy("k").collect().map(_.getString(0)) shouldBe
+      Array("a", "c")
+    // the raw view excludes them too: deleted is deleted, merge or no merge
+    cat.readRaw("dvt").count() shouldBe 2
+    // NULL-predicate rows are kept (three-valued DELETE semantics)
+    cat.deleteLightweight("dvt",
+      when(col("k") === "zzz", lit(true))) shouldBe 0L
+    // compact materializes the mask and collects the applied dv dirs
+    cat.compact("dvt")
+    cat.pendingDeleteFiles("dvt") shouldBe 0
+    cat.read("dvt").orderBy("k").collect().map(_.getString(0)) shouldBe
+      Array("a", "c")
+    // merge-view engines refuse: masking one physical row would CHANGE
+    // the fold (resurrect a superseded row), not delete a logical one
+    cat.createTable(TableDef("dvr", tmpDir("cat") + "/dvr", replacingSchema,
+      Seq("k"), ReplacingDedup(Seq("k"), "updated_at")))
+    cat.append("dvr", Seq(("a", 1L, 10L)).toDF("k", "v", "updated_at"))
+    an[IllegalArgumentException] should be thrownBy
+      cat.deleteLightweight("dvr", col("k") === "a")
+    // the lightweight delete is mutation-logged like every ALTER
+    cat.systemMutations("dvt").collect().map(_.getString(3))
+      .count(_.contains("lightweight")) should be >= 3
+  }
+
+  test("deletion vectors: frozen views replay exactly their frozen mask") {
+    val cat = new Catalog(spark)
+    val path = tmpDir("cat") + "/dvf"
+    cat.createTable(TableDef("dvf", path, replacingSchema,
+      Seq("k"), Append, layout = Versioned))
+    cat.append("dvf", Seq(("a", 1L, 10L), ("b", 2L, 10L), ("c", 3L, 10L))
+      .toDF("k", "v", "updated_at"))
+    cat.freeze("dvf", "s0") // no mask frozen
+    cat.deleteLightweight("dvf", col("k") === "b") shouldBe 1L
+    cat.freeze("dvf", "s1") // mask {b} frozen
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k").collect().map(_.getString(0))
+    keys(cat.read("dvf")) shouldBe Array("a", "c")
+    keys(cat.readSnapshot("dvf", "s0")) shouldBe Array("a", "b", "c")
+    keys(cat.readSnapshot("dvf", "s1")) shouldBe Array("a", "c")
+    // a delete AFTER the freeze must not edit either frozen view
+    cat.deleteLightweight("dvf", col("k") === "c") shouldBe 1L
+    keys(cat.read("dvf")) shouldBe Array("a")
+    keys(cat.readSnapshot("dvf", "s0")) shouldBe Array("a", "b", "c")
+    keys(cat.readSnapshot("dvf", "s1")) shouldBe Array("a", "c")
+    // compact materializes the live mask; s1's pinned dv dir survives it
+    cat.compact("dvf")
+    keys(cat.read("dvf")) shouldBe Array("a")
+    keys(cat.readSnapshot("dvf", "s0")) shouldBe Array("a", "b", "c")
+    keys(cat.readSnapshot("dvf", "s1")) shouldBe Array("a", "c")
+    // drop the pins: the next compact collects every retained dv dir
+    cat.dropSnapshot("dvf", "s0") shouldBe true
+    cat.dropSnapshot("dvf", "s1") shouldBe true
+    cat.compact("dvf")
+    val dvDir = new java.io.File(path + ".dv")
+    (!dvDir.exists() || dvDir.list().isEmpty) shouldBe true
+    keys(cat.read("dvf")) shouldBe Array("a")
+  }
+
+  test("deletion vectors: DETACH materializes pending masks, so round-trips keep deletes") {
+    val cat = new Catalog(spark)
+    val path = tmpDir("cat") + "/dvp"
+    cat.createTable(TableDef("dvp", path, StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType),
+      StructField("lang", StringType))),
+      sortKeys = Seq("k"), semantics = Append, partitionKeys = Seq("lang")))
+    cat.append("dvp", Seq(("a", 1L, "en"), ("b", 2L, "en"), ("c", 3L, "de"))
+      .toDF("k", "v", "lang"))
+    cat.deleteLightweight("dvp", col("k") === "b") shouldBe 1L
+    cat.pendingDeleteFiles("dvp") shouldBe 1
+    // masks are path-addressed; a detached dir re-attaches under a new
+    // path, so DETACH folds the mask into storage first
+    cat.detachPartition("dvp", "en") shouldBe 1
+    cat.pendingDeleteFiles("dvp") shouldBe 0
+    cat.read("dvp").collect().map(_.getString(0)) shouldBe Array("c")
+    cat.attachPartition("dvp", "en") shouldBe 1
+    cat.read("dvp").orderBy("k").collect().map(_.getString(0)) shouldBe
+      Array("a", "c") // b stays deleted through the round-trip
+  }
+
   test("TTL expiry deletes rows older than the horizon, deterministically") {
     val cat = new Catalog(spark)
     cat.createTable(TableDef("ttl", tmpDir("cat") + "/ttl", replacingSchema,
