@@ -71,6 +71,18 @@ final case class Collapsing(keys: Seq[String], signCol: String,
   */
 final case class Aggregating(keys: Seq[String], stateCols: Seq[String]) extends EngineSemantics
 
+/** ≈ ENGINE = Null: inserts are type-checked, counted, and DISCARDED;
+  * reads are always empty. Useless alone — the point is the ClickHouse
+  * ingestion idiom it enables: attach materialized views
+  * ([[Catalog.createMaterializedView]]) to a Null table and INSERT the
+  * raw feed into it. Every attached MV sees each inserted block and
+  * writes its transform into its target table, so one insert fans out to
+  * N differently-shaped aggregates while the raw rows are never stored —
+  * at 100 TB/day of feed this is the difference between paying for one
+  * durable copy of the firehose and paying for none.
+  */
+case object NullEngine extends EngineSemantics
+
 /** Physical layout of a table directory — how compact() commits its swap.
   *
   *   - [[FlatDir]]: one flat Parquet dir; compact rewrites to a sibling and
@@ -270,6 +282,7 @@ final class Catalog(spark: SparkSession) {
     import org.json4s.jackson.JsonMethods
     val sem: org.json4s.JObject = t.semantics match {
       case Append => ("kind" -> "append"): org.json4s.JObject
+      case NullEngine => ("kind" -> "null"): org.json4s.JObject
       case ReplacingDedup(keys, v) =>
         ("kind" -> "replacing") ~ ("keys" -> keys) ~ ("version" -> v)
       case Summing(keys, cols) =>
@@ -358,6 +371,7 @@ final class Catalog(spark: SparkSession) {
     val semNode = j \ "semantics"
     val sem = (semNode \ "kind") match {
       case org.json4s.JString("append") => Append
+      case org.json4s.JString("null") => NullEngine
       case org.json4s.JString("replacing") =>
         ReplacingDedup(list(semNode \ "keys"),
           (semNode \ "version").asInstanceOf[org.json4s.JString].s)
@@ -579,7 +593,7 @@ final class Catalog(spark: SparkSession) {
         case Summing(keys, cols) => keys ++ cols
         case Aggregating(keys, cols) => keys ++ cols
         case Collapsing(keys, sign, version) => keys :+ sign :+ version
-        case Append => Nil
+        case Append | NullEngine => Nil
       })).toSet
 
   /** Physical column names that old, un-rewritten files may still carry
@@ -919,9 +933,87 @@ final class Catalog(spark: SparkSession) {
     * accounting, importer.py:111's "Inserted N rows") get the batch size in
     * O(batch), never via a full-table scan.
     */
+  // ---- materialized views as insert triggers ---------------------------
+  //
+  // ClickHouse's CREATE MATERIALIZED VIEW … TO target is an INSERT
+  // trigger: each inserted block is run through the view's SELECT and the
+  // result is inserted into the target table — the MV never reads the
+  // source's history (`POPULATE` is the separate backfill). Same contract
+  // here: the transform sees exactly the inserted batch (defaults
+  // applied, pre-merge — the block as inserted, not as stored), its
+  // output is appended to the target through the target's own engine
+  // semantics, and targets' own MVs trigger transitively (the cascade).
+  // Combined with [[NullEngine]] this is the fan-out ingestion idiom;
+  // on a storing table it is the rollup-maintenance idiom (a7's Summing
+  // partials maintained by the engine instead of the caller).
+  //
+  // Failure contract — ClickHouse parity, documented not hidden: the base
+  // insert commits first, then MVs run sequentially; a failing MV aborts
+  // the remaining fan-out but never rolls back what already committed
+  // (at-least-once per target under retries, exactly like the reference
+  // engine). The registry is session-scoped (transforms are closures);
+  // re-create MVs after attach(), as ClickHouse re-parses view DDL at
+  // server start.
+
+  private final case class MvDef(name: String, target: String,
+                                 transform: DataFrame => DataFrame)
+
+  private val attachedMvs =
+    scala.collection.concurrent.TrieMap.empty[String, Vector[MvDef]]
+
+  /** Attach materialized view `mvName` on `src`: every future append's
+    * batch flows through `transform` into `target`. Cycles are refused at
+    * creation (a cycle would make one insert recurse forever).
+    */
+  def createMaterializedView(src: String, mvName: String, target: String,
+                             transform: DataFrame => DataFrame): Unit = {
+    get(src); get(target)
+    require(!attachedMvs.getOrElse(src, Vector.empty).exists(_.name == mvName),
+      s"$src: materialized view $mvName already exists")
+    def reaches(from: String, to: String, seen: Set[String]): Boolean =
+      from == to || (!seen(from) &&
+        attachedMvs.getOrElse(from, Vector.empty)
+          .exists(m => reaches(m.target, to, seen + from)))
+    require(!reaches(target, src, Set.empty),
+      s"$src: materialized view $mvName would create an insert cycle " +
+        s"($target reaches $src)")
+    attachedMvs.updateWith(src) {
+      case Some(v) => Some(v :+ MvDef(mvName, target, transform))
+      case None => Some(Vector(MvDef(mvName, target, transform)))
+    }
+  }
+
+  /** Detach materialized view `mvName` from `src`; false if absent. */
+  def dropMaterializedView(src: String, mvName: String): Boolean = {
+    val had = attachedMvs.getOrElse(src, Vector.empty).exists(_.name == mvName)
+    attachedMvs.updateWith(src)(_.map(_.filterNot(_.name == mvName))
+      .filter(_.nonEmpty))
+    had
+  }
+
+  /** `system.tables`-style MV listing: (source, view, target). */
+  def systemMaterializedViews(): DataFrame = {
+    import spark.implicits._
+    attachedMvs.toSeq.sortBy(_._1)
+      .flatMap { case (src, mvs) => mvs.map(m => (src, m.name, m.target)) }
+      .toDF("source", "view", "target")
+  }
+
   def append(name: String, batch: DataFrame): Long = {
     val t = get(name)
     val filled = fillOmittedDefaults(name, batch)
+    // ENGINE = Null: type-check + count, discard, fan out to MVs. The
+    // batch is cached around the count so attached transforms don't
+    // recompute an arbitrary upstream lineage once per view.
+    if (t.semantics == NullEngine) {
+      val aligned = filled.select(t.schema.fieldNames.map(col).toSeq: _*)
+      aligned.cache()
+      try {
+        val n = aligned.count()
+        fanOutMvs(name, aligned)
+        return n
+      } finally aligned.unpersist()
+    }
     val deduped = t.semantics match {
       case ReplacingDedup(keys, version) => latestWins(filled, keys, version)
       // pre-merge within the batch (ClickHouse merges the insert block):
@@ -945,7 +1037,7 @@ final class Catalog(spark: SparkSession) {
       case _ => filled
     }
     val sorted = clusteredFor(t, deduped)
-    writeLock(name).synchronized {
+    val n = writeLock(name).synchronized {
       // an append into a mid-swap table would recreate it with just this
       // batch, and the next compact's "stale leftovers" delete would then
       // discard the original data for good — finish the swap first
@@ -957,12 +1049,30 @@ final class Catalog(spark: SparkSession) {
         writeManifest(t, currentVersion(t))
       sorted.cache()
       try {
-        val n = sorted.count()
+        val cnt = sorted.count()
         if (t.layout == Versioned) commitSegment(t, sorted)
         else writeData(t, sorted, dataPath(t), mode = "append")
-        n
+        cnt
       } finally sorted.unpersist()
     }
+    // MV fan-out AFTER the base commit and OUTSIDE its lock (a target's
+    // append takes its own lock; holding the source's across both invites
+    // lock-order deadlock). MVs see the block AS INSERTED (pre-merge).
+    fanOutMvs(name, filled)
+    n
+  }
+
+  /** Run `name`'s attached materialized views over one inserted block —
+    * sequential, base-committed-first (failure contract on the registry
+    * doc). The batch is cached around the fan-out so N views don't
+    * recompute the upstream lineage N times.
+    */
+  private def fanOutMvs(name: String, batch: DataFrame): Unit = {
+    val mvs = attachedMvs.getOrElse(name, Vector.empty)
+    if (mvs.isEmpty) return
+    batch.cache()
+    try mvs.foreach(m => append(m.target, m.transform(batch)))
+    finally batch.unpersist()
   }
 
   /** Multi-writer Versioned append (doc at [[segMarkerDir]]): stage to a
@@ -1537,6 +1647,9 @@ final class Catalog(spark: SparkSession) {
     val raw = applyDefaults(t.name, readStorageDv(t, paths, dvs))
     t.semantics match {
       case Append => raw
+      // nothing is ever stored, but limit(0) also guards against stray
+      // files dropped into the dir by hand
+      case NullEngine => raw.limit(0)
       case ReplacingDedup(keys, version) => latestWins(raw, keys, version)
       case Summing(keys, sumCols) =>
         raw.groupBy(keys.map(col): _*)

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.catalog.{Append, Catalog, Collapsing, FlatDir, TableDef, TableLayout, Versioned}
+import graft.catalog.{Append, Catalog, Collapsing, FlatDir, NullEngine, Summing, TableDef, TableLayout, Versioned}
 import graft.plans.{ProjectionDef, RollupRewrite, SortedProjectionDef, SortedProjectionRewrite}
 
 /** The Catalog's clustered write path exercised FROM the query suite —
@@ -383,6 +383,35 @@ object CatalogOps extends QueryModule {
           round(sum(col("s_acctbal")), 2).as("bal_sum"))
     }),
 
+    // ClickHouse's Null-table + MV fan-out ingestion idiom through the
+    // gate: the raw events feed is INSERTed into an ENGINE=Null table in
+    // two batches; the attached materialized view maintains a Summing
+    // rollup per event type from each inserted block. The feed itself is
+    // never stored (CatalogSpec pins the empty Null read); the oracle
+    // restates the rollup from the original events table, proving
+    // per-block MV partials + engine re-sum ≡ the direct aggregate.
+    "cat_null_mv" -> ((s, d) => {
+      val src = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val cat = new Catalog(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-nullmv")
+      registerForCleanup(tmp)
+      val rollup = (b: DataFrame) => b.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("val_sum"))
+      cat.createTable(TableDef("ev_feed", tmp.resolve("ev_feed").toString,
+        src.schema, sortKeys = Nil, semantics = NullEngine))
+      cat.createTable(TableDef("ev_rollup", tmp.resolve("ev_rollup").toString,
+        rollup(src.limit(0)).schema, sortKeys = Seq("event_type"),
+        semantics = Summing(Seq("event_type"), Seq("n", "val_sum"))))
+      cat.createMaterializedView("ev_feed", "mv_rollup", "ev_rollup", rollup)
+      cat.append("ev_feed", src.filter(col("event_id") % 2 === 0))
+      cat.append("ev_feed", src.filter(col("event_id") % 2 =!= 0))
+      cat.read("ev_rollup")
+        .select(col("event_type"), col("n"),
+          round(col("val_sum"), 2).as("val_sum"))
+        .orderBy(col("event_type"))
+    }),
+
     // ClickHouse lightweight DELETE (`DELETE FROM … WHERE …`) through the
     // gate: two deletes mask overlapping row sets WITHOUT rewriting any
     // data file (deletion-vector pairs beside the table; CatalogSpec
@@ -557,6 +586,12 @@ object CatalogOps extends QueryModule {
     "cat_modified_scan" ->
       """SELECT p_brand, count(*) AS n, sum(p_size)::BIGINT AS size_sum
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // the rollup restated from the ORIGINAL table: per-block MV partials
+    // re-summed by the engine must equal the one-pass aggregate
+    "cat_null_mv" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS val_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the survivors restated from the ORIGINAL table: masked rows gone,
     // everything else intact — the deletion-vector read is lossless

@@ -681,6 +681,62 @@ class CatalogSpec extends SparkSpecBase {
       Array("a", "b")
   }
 
+  test("ENGINE=Null + materialized views: inserts discard, fan out, and cascade") {
+    val cat = new Catalog(spark)
+    val base = tmpDir("cat") + "/nullmv"
+    val feedSchema = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType)))
+    cat.createTable(TableDef("feed", s"$base/feed", feedSchema,
+      Nil, NullEngine))
+    val rollupSchema = StructType(Seq(
+      StructField("k", StringType), StructField("n", LongType)))
+    cat.createTable(TableDef("roll", s"$base/roll", rollupSchema,
+      Seq("k"), Summing(Seq("k"), Seq("n"))))
+    val totalSchema = StructType(Seq(
+      StructField("all", StringType), StructField("n", LongType)))
+    cat.createTable(TableDef("total", s"$base/total", totalSchema,
+      Nil, Summing(Seq("all"), Seq("n"))))
+    cat.createMaterializedView("feed", "mv_roll", "roll",
+      _.groupBy("k").agg(count(lit(1)).as("n")))
+    // cascade: the rollup's own MV maintains a grand total
+    cat.createMaterializedView("roll", "mv_total", "total",
+      _.groupBy(lit("all").as("all")).agg(sum("n").as("n")))
+    // a cycle is refused at creation, before any insert could recurse
+    an[IllegalArgumentException] should be thrownBy
+      cat.createMaterializedView("total", "mv_cycle", "feed", identity)
+    // a duplicate view name on the same source is refused
+    an[IllegalArgumentException] should be thrownBy
+      cat.createMaterializedView("feed", "mv_roll", "total", identity)
+    cat.append("feed", Seq(("a", 1L), ("a", 2L), ("b", 3L))
+      .toDF("k", "v")) shouldBe 3L // the COUNT commits even though nothing stores
+    cat.append("feed", Seq(("a", 4L)).toDF("k", "v")) shouldBe 1L
+    cat.read("feed").count() shouldBe 0 // Null reads are always empty
+    new java.io.File(s"$base/feed").listFiles() match {
+      case null => ()
+      case fs => fs.count(_.getName.endsWith(".parquet")) shouldBe 0
+    }
+    cat.read("roll").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1))) shouldBe
+      Array(("a", 3L), ("b", 1L))
+    cat.read("total").head().getLong(1) shouldBe 4L // cascaded twice
+    cat.systemMaterializedViews().collect().map(_.getString(1)).sorted shouldBe
+      Array("mv_roll", "mv_total")
+    // MVs on a STORING table trigger too (rollup maintenance idiom)
+    cat.createTable(TableDef("stored", s"$base/stored", feedSchema,
+      Seq("k"), Append))
+    cat.createMaterializedView("stored", "mv_roll2", "roll",
+      _.groupBy("k").agg(count(lit(1)).as("n")))
+    cat.append("stored", Seq(("c", 9L)).toDF("k", "v"))
+    cat.read("stored").count() shouldBe 1 // base stores
+    cat.read("roll").filter(col("k") === "c").head().getLong(1) shouldBe 1L
+    cat.read("total").head().getLong(1) shouldBe 5L // cascade reached it
+    // drop stops the fan-out
+    cat.dropMaterializedView("feed", "mv_roll") shouldBe true
+    cat.dropMaterializedView("feed", "mv_roll") shouldBe false
+    cat.append("feed", Seq(("z", 1L)).toDF("k", "v"))
+    cat.read("roll").filter(col("k") === "z").count() shouldBe 0
+  }
+
   test("deletion vectors: lightweight DELETE masks rows without touching data files") {
     val cat = new Catalog(spark)
     val path = tmpDir("cat") + "/dvt"

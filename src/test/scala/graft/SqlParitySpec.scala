@@ -41,7 +41,8 @@ class SqlParitySpec extends SparkSpecBase {
     "cat_partition_ops", "cat_snapshot_read", "cat_bloom_scan",
     "cat_minmax_scan", "cat_renamed_scan",
     "cat_dedup_optimize", "cat_modified_scan", "cat_collapsing_scan",
-    "cat_distributed_scan", "cat_lightweight_delete", "src_merge",
+    "cat_distributed_scan", "cat_lightweight_delete", "cat_null_mv",
+    "src_merge",
     "dedup_exact", "distinct_rows", "fn_cond", "fn_date", "fn_math",
     "fn_string", "fn_geo",
     "j1_anti_join", "j2_semi_join", "j3_existence", "join_broadcast",
