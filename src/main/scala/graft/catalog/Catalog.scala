@@ -2139,6 +2139,52 @@ final class Catalog(spark: SparkSession) {
       _.filter(!coalesce(col(ttlCol) < lit(nowEpochSec - maxAgeSec), lit(false))),
       s"TTL $ttlCol + INTERVAL $maxAgeSec SECOND (now=$nowEpochSec)")
 
+  /** ClickHouse `TTL … GROUP BY k SET c = agg(c)` analog: expired rows
+    * are not deleted but ROLLED UP — grouped by `groupKeys`, each column
+    * in `set` replaced by its aggregate over the group, every other
+    * non-key column by `max` (deterministic where ClickHouse keeps "any
+    * value of the group"; max is documented, replayable, and
+    * oracle-checkable). Fresh rows pass through untouched. The retention
+    * idiom for metrics tables: raw 5-minute points age into one row per
+    * key, so the table converges to O(keys) instead of O(history) while
+    * additive aggregates stay exact — re-running the rollup later
+    * re-aggregates already-rolled rows together with newly expired ones,
+    * which composes because the `set` aggregates are additive by
+    * contract.
+    *
+    * Aggregate results are cast back to the column's declared type
+    * (sum widens long→bigint decimal→wider; the table shape is part of
+    * the mutate() contract).
+    */
+  def applyTtlRollup(name: String, ttlCol: String, maxAgeSec: Long,
+                     nowEpochSec: Long, groupKeys: Seq[String],
+                     set: Map[String, Column]): Unit = {
+    val t = get(name)
+    val fields = t.schema.fieldNames.toSet
+    require(groupKeys.nonEmpty, s"$name: TTL GROUP BY needs group keys")
+    (groupKeys ++ set.keys).foreach(c =>
+      require(fields(c), s"$name: TTL GROUP BY references no such column $c"))
+    require(groupKeys.toSet.intersect(set.keySet).isEmpty,
+      s"$name: TTL GROUP BY SET columns overlap the group keys")
+    val horizon = nowEpochSec - maxAgeSec
+    mutate(name,
+      command = s"TTL $ttlCol GROUP BY ${groupKeys.mkString(", ")} " +
+        s"SET ${set.keys.toSeq.sorted.mkString(", ")} (now=$nowEpochSec)",
+      transform = { df =>
+        val expiredPred = coalesce(col(ttlCol) < lit(horizon), lit(false))
+        val types = df.schema.map(f => f.name -> f.dataType).toMap
+        val aggCols = df.columns.filterNot(groupKeys.contains).map { c =>
+          set.get(c).map(_.cast(types(c)).as(c))
+            .getOrElse(max(col(c)).cast(types(c)).as(c))
+        }.toSeq
+        val rolled = df.filter(expiredPred)
+          .groupBy(groupKeys.map(col): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+          .select(df.columns.map(col).toSeq: _*)
+        df.filter(!expiredPred).unionByName(rolled)
+      })
+  }
+
   // ---- partition-level DDL (DROP / DETACH / ATTACH PARTITION) ----------
   //
   // ClickHouse's constant-time data-management verbs (README.md:232-266's

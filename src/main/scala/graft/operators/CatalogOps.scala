@@ -383,6 +383,31 @@ object CatalogOps extends QueryModule {
           round(sum(col("s_acctbal")), 2).as("bal_sum"))
     }),
 
+    // ClickHouse `TTL … GROUP BY … SET` through the gate: a metrics table
+    // of per-(event_type, 5-min bucket) counts ages everything older than
+    // min+15 days into ONE row per event_type (n summed, bkt = max of the
+    // rolled buckets), fresh buckets untouched. The horizon is derived
+    // from the data (min bucket + 15 d) so the query is SF-independent;
+    // the oracle restates both legs from the original events table.
+    "cat_ttl_rollup" -> ((s, d) => {
+      val b = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("(unix_timestamp(ts) div 300) * 300").as("bkt"))
+        .agg(count(lit(1)).as("n"))
+      val cat = new Catalog(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-ttlgb")
+      registerForCleanup(tmp)
+      cat.createTable(TableDef("ev_metrics", tmp.resolve("ev_metrics").toString,
+        b.schema, sortKeys = Seq("event_type", "bkt"), semantics = Append))
+      cat.append("ev_metrics", b)
+      // one scalar probe to the driver: the data-derived horizon
+      val horizon = b.agg(min(col("bkt"))).head().getLong(0) + 15L * 86400L
+      cat.applyTtlRollup("ev_metrics", "bkt", maxAgeSec = 0L,
+        nowEpochSec = horizon, groupKeys = Seq("event_type"),
+        set = Map("n" -> sum(col("n"))))
+      cat.read("ev_metrics").orderBy(col("event_type"), col("bkt"))
+    }),
+
     // ClickHouse's Null-table + MV fan-out ingestion idiom through the
     // gate: the raw events feed is INSERTed into an ENGINE=Null table in
     // two batches; the attached materialized view maintains a Summing
@@ -586,6 +611,23 @@ object CatalogOps extends QueryModule {
     "cat_modified_scan" ->
       """SELECT p_brand, count(*) AS n, sum(p_size)::BIGINT AS size_sum
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // both TTL legs restated from the ORIGINAL events: buckets at or
+    // after the horizon intact, older ones rolled to one row per type
+    // with n summed and bkt = max over the rolled buckets
+    "cat_ttl_rollup" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         (floor(epoch(ts))::BIGINT // 300) * 300 AS bkt,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |h AS (SELECT min(bkt) + 1296000 AS horizon FROM b),
+        |old AS (SELECT event_type, max(bkt) AS bkt, sum(n)::BIGINT AS n
+        |        FROM b, h WHERE bkt < horizon GROUP BY event_type),
+        |keep AS (SELECT event_type, bkt, n FROM b, h WHERE bkt >= horizon)
+        |SELECT event_type, bkt, n
+        |FROM (SELECT * FROM old UNION ALL SELECT * FROM keep) u
+        |ORDER BY event_type, bkt""".stripMargin,
 
     // the rollup restated from the ORIGINAL table: per-block MV partials
     // re-summed by the engine must equal the one-pass aggregate

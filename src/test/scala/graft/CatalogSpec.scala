@@ -855,6 +855,40 @@ class CatalogSpec extends SparkSpecBase {
       Array("mid", "new")
   }
 
+  test("TTL GROUP BY rolls expired rows into aggregates; fresh rows pass through") {
+    val cat = new Catalog(spark)
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("bkt", LongType),
+      StructField("n", LongType), StructField("note", StringType)))
+    cat.createTable(TableDef("ttlgb", tmpDir("cat") + "/ttlgb", schema,
+      Seq("k", "bkt"), Append))
+    cat.append("ttlgb", Seq(
+      ("a", 100L, 1L, "x"), ("a", 200L, 2L, "y"), ("a", 900L, 4L, "z"),
+      ("b", 150L, 8L, "p")).toDF("k", "bkt", "n", "note"))
+    // horizon 500: a@100+a@200 and b@150 expire; a@900 stays raw
+    cat.applyTtlRollup("ttlgb", "bkt", maxAgeSec = 0L, nowEpochSec = 500L,
+      groupKeys = Seq("k"), set = Map("n" -> sum(col("n"))))
+    val rows = cat.read("ttlgb").orderBy("k", "bkt").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    rows shouldBe Array(
+      ("a", 200L, 3L, "y"), // rolled: n summed, bkt/note = max (documented)
+      ("a", 900L, 4L, "z"), // fresh, untouched
+      ("b", 150L, 8L, "p")) // whole group expired -> one rolled row
+    // re-running with a later horizon re-aggregates rolled + newly expired
+    cat.applyTtlRollup("ttlgb", "bkt", maxAgeSec = 0L, nowEpochSec = 1000L,
+      groupKeys = Seq("k"), set = Map("n" -> sum(col("n"))))
+    cat.read("ttlgb").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(2))) shouldBe
+      Array(("a", 7L), ("b", 8L))
+    // validation: unknown column, key/SET overlap, empty keys
+    an[IllegalArgumentException] should be thrownBy
+      cat.applyTtlRollup("ttlgb", "bkt", 0L, 0L, Seq("nope"), Map.empty)
+    an[IllegalArgumentException] should be thrownBy
+      cat.applyTtlRollup("ttlgb", "bkt", 0L, 0L, Seq("k"), Map("k" -> sum(col("n"))))
+    an[IllegalArgumentException] should be thrownBy
+      cat.applyTtlRollup("ttlgb", "bkt", 0L, 0L, Nil, Map.empty)
+  }
+
   test("a crash between manifest flip and segment unmark never double-counts") {
     // the window the _FOLDED sidecar closes: compact writes v1 (absorbing
     // the segments), flips _CURRENT, and CRASHES before deleting the

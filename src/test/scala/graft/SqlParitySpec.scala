@@ -250,6 +250,20 @@ class SqlParitySpec extends SparkSpecBase {
         |        FROM events))
         |GROUP BY w_start ORDER BY w_start""".stripMargin,
 
+    "cat_ttl_rollup" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         (unix_timestamp(ts) div 300) * 300 AS bkt,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |h AS (SELECT min(bkt) + 1296000 AS horizon FROM b),
+        |old AS (SELECT event_type, max(bkt) AS bkt, cast(sum(n) AS BIGINT) AS n
+        |        FROM b, h WHERE bkt < horizon GROUP BY event_type),
+        |keep AS (SELECT event_type, bkt, n FROM b, h WHERE bkt >= horizon)
+        |SELECT event_type, bkt, n
+        |FROM (SELECT * FROM old UNION ALL SELECT * FROM keep) u
+        |ORDER BY event_type, bkt""".stripMargin,
+
     "ts_gap_fill" ->
       """WITH b AS (
         |  SELECT event_type, (unix_timestamp(ts) div 600) * 600 AS bkt,
