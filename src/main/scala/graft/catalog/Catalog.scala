@@ -1469,6 +1469,41 @@ final class Catalog(spark: SparkSession) {
     * exactly like [[readPruned]] and for the same reasons. Returns
     * (frame, files kept, files total).
     */
+  /** Does `p` survive a `[loK, hiK]` range probe against its minmax
+    * sidecar for `column`? Shared by [[readRangePruned]] and
+    * [[explainEstimate]] so the estimate prices exactly the scan the
+    * read path would run. Fail-open on a missing sidecar.
+    */
+  private def mmSurvives(t: TableDef, p: org.apache.hadoop.fs.Path,
+                         column: String, loK: Option[(String, Any)],
+                         hiK: Option[(String, Any)]): Boolean = {
+    import org.json4s.jackson.JsonMethods
+    val f = fs(t)
+    val sc = mmSidecar(p.getParent, p.getName, column)
+    if (!f.exists(sc)) true // fail open: unindexed file might match
+    else {
+      val in = f.open(sc)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      val j = JsonMethods.parse(json)
+      def bound(k: String): Option[(String, Any)] = (j \ k) match {
+        case org.json4s.JString(s) => (j \ "k") match {
+          case org.json4s.JString("num") => Some(("num", BigDecimal(s)))
+          case _ => Some(("str", s))
+        }
+        case _ => None
+      }
+      (j \ "k") match {
+        case org.json4s.JString("none") => true // marked unprunable
+        case _ => (bound("min"), bound("max")) match {
+          case (Some(mn), Some(mx)) =>
+            loK.forall(l => mmLeq(l, mx)) && hiK.forall(h => mmLeq(mn, h))
+          case _ => false // all-null file: no value satisfies a range
+        }
+      }
+    }
+  }
+
   def readRangePruned(name: String, column: String, lo: Any,
                       hi: Any): (DataFrame, Int, Int) = {
     import org.apache.hadoop.fs.Path
@@ -1486,31 +1521,7 @@ final class Catalog(spark: SparkSession) {
     val all = listDataFiles(t).map(_.getPath)
     val loK = Option(lo).map(mmKey)
     val hiK = Option(hi).map(mmKey)
-    val kept = all.filter { p =>
-      val sc = mmSidecar(p.getParent, p.getName, column)
-      if (!f.exists(sc)) true // fail open: unindexed file might match
-      else {
-        val in = f.open(sc)
-        val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                   finally in.close()
-        val j = JsonMethods.parse(json)
-        def bound(k: String): Option[(String, Any)] = (j \ k) match {
-          case org.json4s.JString(s) => (j \ "k") match {
-            case org.json4s.JString("num") => Some(("num", BigDecimal(s)))
-            case _ => Some(("str", s))
-          }
-          case _ => None
-        }
-        (j \ "k") match {
-          case org.json4s.JString("none") => true // marked unprunable
-          case _ => (bound("min"), bound("max")) match {
-            case (Some(mn), Some(mx)) =>
-              loK.forall(l => mmLeq(l, mx)) && hiK.forall(h => mmLeq(mn, h))
-            case _ => false // all-null file: no value satisfies a range
-          }
-        }
-      }
-    }
+    val kept = all.filter(p => mmSurvives(t, p, column, loK, hiK))
     val df =
       if (kept.isEmpty) readVia(t, dataPaths(t)).limit(0)
       else readVia(t, kept.map(_.toString))
@@ -1917,6 +1928,43 @@ final class Catalog(spark: SparkSession) {
       .select(col("part"), col("rows"), col("bytes"),
         col("min_key"), col("max_key"))
       .orderBy(col("min_key"), col("part"))
+  }
+
+  /** ClickHouse `EXPLAIN ESTIMATE` analog: how much would a scan read —
+    * files (≈ parts), rows, bytes — from METADATA only, no data scan.
+    * Files and bytes come from the directory listing; rows from parquet
+    * FOOTERS (a few-KB metadata read per file — the analog of
+    * ClickHouse's in-RAM part counts; at 100 TB the footer loop runs
+    * over the files that SURVIVE pruning, not the table). With a range
+    * on a declared minmax column the estimate consults the skip-index
+    * sidecars first — via the same [[mmSurvives]] the read path uses —
+    * so it prices exactly the scan [[readRangePruned]] would run.
+    * One row: (table, files_total, files_selected, rows, bytes).
+    */
+  def explainEstimate(name: String,
+                      range: Option[(String, Any, Any)] = None): DataFrame = {
+    import spark.implicits._
+    val t = get(name)
+    recoverInterruptedSwap(t)
+    val all = listDataFiles(t)
+    val kept = range match {
+      case None => all
+      case Some((column, lo, hi)) =>
+        require(t.minmaxCols.contains(column),
+          s"$name: no minmax skip-index declared on $column")
+        val loK = Option(lo).map(mmKey)
+        val hiK = Option(hi).map(mmKey)
+        all.filter(s => mmSurvives(t, s.getPath, column, loK, hiK))
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val rows = kept.map { s =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(s.getPath, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+    Seq((t.name, all.size.toLong, kept.size.toLong, rows,
+        kept.map(_.getLen).sum))
+      .toDF("table", "files_total", "files_selected", "rows", "bytes")
   }
 
   /** The deferred "background merge": rewrite storage to its merged form.

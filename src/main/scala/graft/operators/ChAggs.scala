@@ -128,6 +128,25 @@ object ChAggs extends QueryModule {
           x => concat(x("event_type"), lit(":"), x("cents")))).as("type_sums"))
         .orderBy(col("user_id"))),
 
+    // sumForEach / avgForEach combinator analog — ClickHouse's element-
+    // wise vector aggregate, i.e. the centroid computation of every
+    // embedding pipeline. posexplode streams (label, pos, v) triples into
+    // a plain partial-aggregable groupBy — whole vectors never ride a
+    // shuffle, and at 100 TB the wire carries exactly (groups × dims)
+    // partial sums per map task, independent of row count. Floats are
+    // cast to double BEFORE summing (the oracle accumulates in double);
+    // the first 8 dims keep the oracled output compact.
+    "agg_foreach" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .filter(col("pos") < 8)
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
+        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+        .select(col("label"), col("pos"),
+          round(col("s"), 3).as("sum_v"),
+          round(col("s") / col("n"), 6).as("avg_v"))
+        .orderBy(col("label"), col("pos"))),
+
     // uniqState / uniqMerge analog — ClickHouse's AggregatingMergeTree
     // pattern where per-insert-block partial uniq sketches are STORED and
     // merged at read time. This now runs against a MAINTAINED sketch table
@@ -516,6 +535,14 @@ object ChAggs extends QueryModule {
         |        floor(sum(value) * 100 + 0.5)::BIGINT AS cents
         |      FROM events GROUP BY 1, 2)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // 1-based list index against Spark's 0-based posexplode: i-1
+    "agg_foreach" ->
+      """SELECT label, i - 1 AS pos,
+        | round(sum(embedding[i]::DOUBLE), 3) AS sum_v,
+        | round(sum(embedding[i]::DOUBLE) / count(*), 6) AS avg_v
+        |FROM embeddings, unnest(generate_series(1, 8)) AS t(i)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
 
     "agg_hll_merge" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,

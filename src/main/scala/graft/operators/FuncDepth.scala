@@ -200,6 +200,31 @@ object FuncDepth extends QueryModule {
     // part names encoded both ways, ROUND-TRIPPED back through decode (the
     // rt columns must equal the original on every row — the oracle asserts
     // it by emitting p_name itself), and the integer key rendered binary.
+    // ClickHouse map-function family (map / mapKeys / mapContains /
+    // mapApply probes) over a per-priority map of order-status counts.
+    // The map is BUILT distributively — count per (priority, status),
+    // then sort_array(collect_list(struct)) → map_from_entries, so key
+    // order is deterministic — and probed/flattened to scalar + string
+    // outputs: a map-typed result cell would crash the pandas-based
+    // oracle compare exactly like an array (round-6 postmortem).
+    "fn_map_ops" -> ((s, d) => {
+      val counts = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"),
+          col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.groupBy(col("prio"))
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("st"), col("cnt"))))).as("m"))
+        .select(col("prio"),
+          size(col("m")).cast("long").as("n_statuses"),
+          array_join(map_keys(col("m")), ",").as("statuses"),
+          coalesce(element_at(col("m"), "F"), lit(0L)).as("n_f"),
+          coalesce(element_at(col("m"), "O"), lit(0L)).as("n_o"),
+          (coalesce(element_at(col("m"), "F"), lit(0L)) +
+            coalesce(element_at(col("m"), "P"), lit(0L))).as("n_fp"))
+        .orderBy(col("prio"))
+    }),
+
     "fn_encoding" -> ((s, d) => {
       val bytes = encode(col("p_name"), "UTF-8")
       Tables.part(s, d)
@@ -239,6 +264,21 @@ object FuncDepth extends QueryModule {
         | sum(id)::BIGINT AS sum_id, sum(id * id)::BIGINT AS sum_sq
         |FROM range(0, 1000000) t(id)
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // no maps needed on the oracle side: the probes restate as
+    // conditional sums over the same (priority, status) counts
+    "fn_map_ops" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority AS prio, o_orderstatus AS st,
+        |         count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT prio,
+        |  count(*) AS n_statuses,
+        |  string_agg(st, ',' ORDER BY st) AS statuses,
+        |  sum(CASE WHEN st = 'F' THEN cnt ELSE 0 END)::BIGINT AS n_f,
+        |  sum(CASE WHEN st = 'O' THEN cnt ELSE 0 END)::BIGINT AS n_o,
+        |  sum(CASE WHEN st IN ('F', 'P') THEN cnt ELSE 0 END)::BIGINT AS n_fp
+        |FROM c GROUP BY prio ORDER BY prio""".stripMargin,
 
     "fn_encoding" ->
       """SELECT p_partkey,

@@ -265,6 +265,34 @@ class IntrospectionSpec extends SparkSpecBase {
     } finally qlog.detach()
   }
 
+  test("explainEstimate prices a scan from metadata; a minmax range prices the pruned scan") {
+    val (cat, dir) = freshCat("sys-estimate")
+    val df = spark.range(0, 4000)
+      .select(col("id").as("k"), (col("id") % 7).cast("string").as("v"))
+    cat.createTable(TableDef("est", s"$dir/est", df.schema,
+      sortKeys = Seq("k"), semantics = Append, minmaxCols = Seq("k")))
+    // four appends = four clustered parts with disjoint k ranges
+    (0 until 4).foreach(i =>
+      cat.append("est", df.filter(col("k") >= i * 1000 && col("k") < (i + 1) * 1000)))
+    val full = cat.explainEstimate("est").head()
+    full.getAs[Long]("files_total") shouldBe full.getAs[Long]("files_selected")
+    full.getAs[Long]("rows") shouldBe 4000L // footer counts, no data scan
+    full.getAs[Long]("bytes") should be > 0L
+    // a narrow range survives only its own part's sidecar
+    val pruned = cat.explainEstimate("est", Some(("k", 1100, 1200))).head()
+    pruned.getAs[Long]("files_selected") should be <
+      pruned.getAs[Long]("files_total")
+    pruned.getAs[Long]("rows") should be < 4000L
+    // the estimate prices EXACTLY the scan the read path runs
+    val (prDf, kept, total) = cat.readRangePruned("est", "k", 1100, 1200)
+    pruned.getAs[Long]("files_selected") shouldBe kept.toLong
+    pruned.getAs[Long]("files_total") shouldBe total.toLong
+    prDf.filter(col("k").between(1100, 1200)).count() shouldBe 101L
+    // a range on an undeclared column is refused, like the read path
+    an[IllegalArgumentException] should be thrownBy
+      cat.explainEstimate("est", Some(("v", "a", "b")))
+  }
+
   test("query_log attributes shuffle bytes per query (system.query_log read_bytes analog)") {
     val (cat, dir) = freshCat("sys-qlog-metrics")
     val df = spark.range(20000)

@@ -71,6 +71,26 @@ class SqlParitySpec extends SparkSpecBase {
         | round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    "fn_map_ops" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority AS prio, o_orderstatus AS st,
+        |         count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT prio,
+        |  count(*) AS n_statuses,
+        |  array_join(sort_array(collect_list(st)), ',') AS statuses,
+        |  sum(CASE WHEN st = 'F' THEN cnt ELSE 0 END) AS n_f,
+        |  sum(CASE WHEN st = 'O' THEN cnt ELSE 0 END) AS n_o,
+        |  sum(CASE WHEN st IN ('F', 'P') THEN cnt ELSE 0 END) AS n_fp
+        |FROM c GROUP BY prio ORDER BY prio""".stripMargin,
+
+    "agg_foreach" ->
+      """SELECT label, pos,
+        |  round(sum(cast(v AS DOUBLE)), 3) AS sum_v,
+        |  round(sum(cast(v AS DOUBLE)) / count(*), 6) AS avg_v
+        |FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, v
+        |WHERE pos < 8 GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
     "agg_entropy" ->
       """SELECT l_returnflag,
         | round(-sum(p * log2(p)), 6) AS entropy
