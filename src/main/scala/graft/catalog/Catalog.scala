@@ -33,7 +33,17 @@ import org.apache.spark.sql.types.{StructField, StructType}
   */
 sealed trait EngineSemantics
 case object Append extends EngineSemantics
-final case class ReplacingDedup(keys: Seq[String], versionCol: String) extends EngineSemantics
+/** `isDeletedCol` (ReplacingMergeTree's `is_deleted` parameter): when set,
+  * a row whose LATEST version carries is_deleted = 1 is a tombstone — the
+  * merged read hides the key entirely (the tombstone shadows every older
+  * version, so an upsert-then-delete stream needs no rewrite), and
+  * [[Catalog.compact]] materializes the view, physically dropping
+  * tombstones — the `OPTIMIZE … FINAL CLEANUP` analog. A later append at
+  * a HIGHER version resurrects the key, exactly as in the reference
+  * engine.
+  */
+final case class ReplacingDedup(keys: Seq[String], versionCol: String,
+                                isDeletedCol: Option[String] = None) extends EngineSemantics
 final case class Summing(keys: Seq[String], sumCols: Seq[String]) extends EngineSemantics
 
 /** ≈ VersionedCollapsingMergeTree: row-level upsert/delete by PAIRED
@@ -240,6 +250,14 @@ final class Catalog(spark: SparkSession) {
         require(t.schema.fieldNames.toSeq == keys ++ stateCols,
           s"${t.name}: Aggregating schema must be exactly keys ++ stateCols " +
             s"(got ${t.schema.fieldNames.toSeq}, want ${keys ++ stateCols})")
+      case ReplacingDedup(_, _, Some(isDel)) =>
+        import org.apache.spark.sql.types._
+        require(t.schema.fieldNames.contains(isDel),
+          s"${t.name}: is_deleted column $isDel is not in the schema")
+        require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+            .contains(t.schema(isDel).dataType),
+          s"${t.name}: is_deleted column $isDel must be integral " +
+            s"(got ${t.schema(isDel).dataType.simpleString})")
       case Collapsing(keys, sign, version) =>
         import org.apache.spark.sql.types._
         (keys :+ sign :+ version).foreach(c =>
@@ -283,8 +301,9 @@ final class Catalog(spark: SparkSession) {
     val sem: org.json4s.JObject = t.semantics match {
       case Append => ("kind" -> "append"): org.json4s.JObject
       case NullEngine => ("kind" -> "null"): org.json4s.JObject
-      case ReplacingDedup(keys, v) =>
-        ("kind" -> "replacing") ~ ("keys" -> keys) ~ ("version" -> v)
+      case ReplacingDedup(keys, v, isDel) =>
+        ("kind" -> "replacing") ~ ("keys" -> keys) ~ ("version" -> v) ~
+          ("is_deleted" -> isDel)
       case Summing(keys, cols) =>
         ("kind" -> "summing") ~ ("keys" -> keys) ~ ("cols" -> cols)
       case Aggregating(keys, cols) =>
@@ -374,7 +393,11 @@ final class Catalog(spark: SparkSession) {
       case org.json4s.JString("null") => NullEngine
       case org.json4s.JString("replacing") =>
         ReplacingDedup(list(semNode \ "keys"),
-          (semNode \ "version").asInstanceOf[org.json4s.JString].s)
+          (semNode \ "version").asInstanceOf[org.json4s.JString].s,
+          (semNode \ "is_deleted") match {
+            case org.json4s.JString(c) => Some(c)
+            case _ => None
+          })
       case org.json4s.JString("summing") =>
         Summing(list(semNode \ "keys"), list(semNode \ "cols"))
       case org.json4s.JString("aggregating") =>
@@ -589,7 +612,7 @@ final class Catalog(spark: SparkSession) {
   private def keyCols(t: TableDef): Set[String] =
     (t.sortKeys ++ t.partitionKeys ++ t.indexCols ++ t.minmaxCols ++
       (t.semantics match {
-        case ReplacingDedup(keys, v) => keys :+ v
+        case ReplacingDedup(keys, v, isDel) => (keys :+ v) ++ isDel
         case Summing(keys, cols) => keys ++ cols
         case Aggregating(keys, cols) => keys ++ cols
         case Collapsing(keys, sign, version) => keys :+ sign :+ version
@@ -1015,7 +1038,10 @@ final class Catalog(spark: SparkSession) {
       } finally aligned.unpersist()
     }
     val deduped = t.semantics match {
-      case ReplacingDedup(keys, version) => latestWins(filled, keys, version)
+      case ReplacingDedup(keys, version, _) =>
+        // within-batch collapse keeps tombstones: they must reach storage
+        // to shadow earlier appends' versions at read time
+        latestWins(filled, keys, version)
       // pre-merge within the batch (ClickHouse merges the insert block):
       // storage then holds one state row per key per APPEND, not per
       // upstream partial — the read-time union still folds across appends
@@ -1661,7 +1687,11 @@ final class Catalog(spark: SparkSession) {
       // nothing is ever stored, but limit(0) also guards against stray
       // files dropped into the dir by hand
       case NullEngine => raw.limit(0)
-      case ReplacingDedup(keys, version) => latestWins(raw, keys, version)
+      case ReplacingDedup(keys, version, isDel) =>
+        val merged = latestWins(raw, keys, version)
+        // a key whose WINNING version is a tombstone disappears; compact
+        // materializes this view = OPTIMIZE FINAL CLEANUP
+        isDel.fold(merged)(c => merged.filter(coalesce(col(c), lit(0)) =!= 1))
       case Summing(keys, sumCols) =>
         raw.groupBy(keys.map(col): _*)
           .agg(sumCols.head -> "sum", sumCols.tail.map(_ -> "sum"): _*)

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.catalog.{Append, Catalog, Collapsing, FlatDir, NullEngine, Summing, TableDef, TableLayout, Versioned}
+import graft.catalog.{Append, Catalog, Collapsing, FlatDir, NullEngine, ReplacingDedup, Summing, TableDef, TableLayout, Versioned}
 import graft.plans.{ProjectionDef, RollupRewrite, SortedProjectionDef, SortedProjectionRewrite}
 
 /** The Catalog's clustered write path exercised FROM the query suite —
@@ -383,6 +383,40 @@ object CatalogOps extends QueryModule {
           round(sum(col("s_acctbal")), 2).as("bal_sum"))
     }),
 
+    // ReplacingMergeTree(version, is_deleted) through the gate: customers
+    // loaded at version 1, then a second batch UPSERTS every 5th key
+    // (acctbal +100 at version 2) and TOMBSTONES every (7k+3)th
+    // (is_deleted = 1 at version 2 — shadows the live row, no rewrite).
+    // The merged read hides tombstoned keys and serves the upserted
+    // state; compact() is the OPTIMIZE FINAL CLEANUP analog (spec'd in
+    // CatalogSpec). The oracle restates the surviving state from the
+    // original table.
+    "cat_replacing_delete" -> ((s, d) => {
+      val src = Tables.customer(s, d).select(
+        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val cat = new Catalog(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-repdel")
+      registerForCleanup(tmp)
+      val v1 = src.withColumn("ver", lit(1L)).withColumn("del", lit(0))
+      cat.createTable(TableDef("cust_rd", tmp.resolve("cust_rd").toString,
+        v1.schema, sortKeys = Seq("c_custkey"),
+        semantics = ReplacingDedup(Seq("c_custkey"), "ver", Some("del"))))
+      cat.append("cust_rd", v1)
+      val upd = col("c_custkey") % 5 === 0
+      val dead = col("c_custkey") % 7 === 3 && !upd
+      cat.append("cust_rd",
+        src.filter(upd)
+          .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+          .withColumn("ver", lit(2L)).withColumn("del", lit(0))
+          .unionByName(src.filter(dead)
+            .withColumn("ver", lit(2L)).withColumn("del", lit(1))))
+      cat.read("cust_rd")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal")), 2).as("bal_sum"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // ClickHouse `TTL … GROUP BY … SET` through the gate: a metrics table
     // of per-(event_type, 5-min bucket) counts ages everything older than
     // min+15 days into ONE row per event_type (n summed, bkt = max of the
@@ -611,6 +645,16 @@ object CatalogOps extends QueryModule {
     "cat_modified_scan" ->
       """SELECT p_brand, count(*) AS n, sum(p_size)::BIGINT AS size_sum
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // surviving state restated from the ORIGINAL table: tombstoned keys
+    // gone, upserted keys at +100, everything else at version 1
+    "cat_replacing_delete" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | round(sum(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100
+        |                ELSE c_acctbal END), 2) AS bal_sum
+        |FROM customer
+        |WHERE NOT (c_custkey % 7 = 3 AND c_custkey % 5 <> 0)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // both TTL legs restated from the ORIGINAL events: buckets at or
     // after the horizon intact, older ones rolled to one row per type

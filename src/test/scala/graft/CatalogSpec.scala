@@ -36,6 +36,44 @@ class CatalogSpec extends SparkSpecBase {
     cat.read("r2").head().getLong(1) shouldBe 2L
   }
 
+  test("ReplacingDedup is_deleted: tombstones hide keys, resurrect on higher version, drop at CLEANUP") {
+    val cat = new Catalog(spark)
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType),
+      StructField("updated_at", LongType), StructField("del", IntegerType)))
+    val path = tmpDir("cat") + "/rdel"
+    cat.createTable(TableDef("rdel", path, schema, Seq("k"),
+      ReplacingDedup(Seq("k"), "updated_at", Some("del"))))
+    cat.append("rdel", Seq(("a", 1L, 10L, 0), ("b", 2L, 10L, 0))
+      .toDF("k", "v", "updated_at", "del"))
+    // the tombstone shadows a's EARLIER version across batches
+    cat.append("rdel", Seq(("a", 0L, 20L, 1)).toDF("k", "v", "updated_at", "del"))
+    cat.read("rdel").collect().map(_.getString(0)) shouldBe Array("b")
+    // a STALE tombstone loses to a newer live version (resurrection)
+    cat.append("rdel", Seq(("a", 9L, 30L, 0)).toDF("k", "v", "updated_at", "del"))
+    cat.read("rdel").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1))) shouldBe
+      Array(("a", 9L), ("b", 2L))
+    // tombstone again, then compact = OPTIMIZE FINAL CLEANUP: the key's
+    // rows (all versions AND the tombstone) leave storage physically
+    cat.append("rdel", Seq(("a", 0L, 40L, 1)).toDF("k", "v", "updated_at", "del"))
+    cat.read("rdel").collect().map(_.getString(0)) shouldBe Array("b")
+    cat.compact("rdel")
+    cat.readRaw("rdel").collect().map(_.getString(0)) shouldBe Array("b")
+    // the engine (with its is_deleted column) round-trips attach()
+    cat.detach("rdel")
+    cat.attach(path).semantics shouldBe
+      ReplacingDedup(Seq("k"), "updated_at", Some("del"))
+    cat.read("rdel").collect().map(_.getString(0)) shouldBe Array("b")
+    // validation: missing / non-integral is_deleted refused at CREATE
+    an[IllegalArgumentException] should be thrownBy
+      cat.createTable(TableDef("rdbad", tmpDir("cat") + "/rdbad", schema,
+        Seq("k"), ReplacingDedup(Seq("k"), "updated_at", Some("nope"))))
+    an[IllegalArgumentException] should be thrownBy
+      cat.createTable(TableDef("rdbad2", tmpDir("cat") + "/rdbad2", schema,
+        Seq("k"), ReplacingDedup(Seq("k"), "updated_at", Some("k"))))
+  }
+
   test("multi-writer commit: segment appends from two PROCESSES both land; compact folds them") {
     // the deploy/README fleet contract promoted to code: two separate JVMs
     // (own SparkSessions, own Catalog instances — no shared in-process
