@@ -1647,6 +1647,18 @@ final class Catalog(spark: SparkSession) {
   private def readStorageDv(t: TableDef, paths: Seq[String],
                             dvs: Seq[String],
                             keepId: Boolean = false): DataFrame = {
+    // a never-appended table's data roots may not exist yet (Versioned:
+    // no v0 until the first write) — an empty table reads as empty, it
+    // doesn't throw PATH_NOT_FOUND
+    val f0 = fs(t)
+    val live = paths.filter(p => f0.exists(new org.apache.hadoop.fs.Path(p)))
+    if (live.isEmpty) {
+      val base = emptyFrame(t)
+      return if (!keepId) base
+        else base
+          .withColumn("__dv_file", lit(null).cast("string"))
+          .withColumn("__dv_pos", lit(null).cast("long"))
+    }
     val renames = renamePending.getOrElse(t.name, Map.empty)
       .filter { case (to, _) => t.schema.fieldNames.contains(to) }
     val withId = dvs.nonEmpty || keepId
@@ -1663,13 +1675,13 @@ final class Catalog(spark: SparkSession) {
     val outCols = t.schema.fieldNames.toSeq ++
       (if (keepId) Seq("__dv_file", "__dv_pos") else Nil)
     if (renames.isEmpty)
-      mask(scanRoots(t, t.schema, paths, withId))
+      mask(scanRoots(t, t.schema, live, withId))
         .select(outCols.map(col): _*)
     else {
       val widened = StructType(t.schema.fields ++ renames.map {
         case (to, phys) => StructField(phys, t.schema(to).dataType)
       })
-      val raw = mask(scanRoots(t, widened, paths, withId))
+      val raw = mask(scanRoots(t, widened, live, withId))
       renames.foldLeft(raw) { case (d, (to, phys)) =>
         d.withColumn(to, coalesce(col(to), col(phys)))
       }.select(outCols.map(col): _*)

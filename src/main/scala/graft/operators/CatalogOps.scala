@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.catalog.{Append, Catalog, Collapsing, FlatDir, NullEngine, ReplacingDedup, Summing, TableDef, TableLayout, Versioned}
+import graft.catalog.{Append, BufferedTable, Catalog, Collapsing, FlatDir, NullEngine, ReplacingDedup, Summing, TableDef, TableLayout, Versioned}
 import graft.plans.{ProjectionDef, RollupRewrite, SortedProjectionDef, SortedProjectionRewrite}
 
 /** The Catalog's clustered write path exercised FROM the query suite —
@@ -383,6 +383,33 @@ object CatalogOps extends QueryModule {
           round(sum(col("s_acctbal")), 2).as("bal_sum"))
     }),
 
+    // Buffer engine through the gate: suppliers inserted in FOUR small
+    // batches through a row-thresholded buffer — the first three flush as
+    // ONE coalesced part, the fourth is still RAM-resident at read time —
+    // and the buffer∪target read must equal the plain table restated by
+    // the oracle: nothing invisible, nothing double-counted, regardless
+    // of what has flushed.
+    "cat_buffer_read" -> ((s, d) => {
+      val src = Tables.supplier(s, d).select(
+        col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      val cat = new Catalog(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-buf")
+      registerForCleanup(tmp)
+      cat.createTable(TableDef("sup_buf", tmp.resolve("sup_buf").toString,
+        src.schema, sortKeys = Seq("s_suppkey"), semantics = Append))
+      val total = src.count()
+      // threshold = 3/4 of the rows: batches 1-3 trip it, batch 4 buffers
+      val buf = new BufferedTable(cat, "sup_buf",
+        maxRows = math.max(1L, total * 3 / 4), maxAgeMs = Long.MaxValue / 2)
+      (0 until 4).foreach(i =>
+        buf.insert(src.filter(col("s_suppkey") % 4 === i), nowMs = 0L))
+      buf.read()
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("s_acctbal")), 2).as("bal_sum"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // ReplacingMergeTree(version, is_deleted) through the gate: customers
     // loaded at version 1, then a second batch UPSERTS every 5th key
     // (acctbal +100 at version 2) and TOMBSTONES every (7k+3)th
@@ -645,6 +672,13 @@ object CatalogOps extends QueryModule {
     "cat_modified_scan" ->
       """SELECT p_brand, count(*) AS n, sum(p_size)::BIGINT AS size_sum
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // the plain table restated: buffered + flushed legs must re-assemble
+    // the whole table exactly
+    "cat_buffer_read" ->
+      """SELECT s_nationkey, count(*) AS n,
+        | round(sum(s_acctbal), 2) AS bal_sum
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     // surviving state restated from the ORIGINAL table: tombstoned keys
     // gone, upserted keys at +100, everything else at version 1

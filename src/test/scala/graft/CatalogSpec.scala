@@ -719,6 +719,52 @@ class CatalogSpec extends SparkSpecBase {
       Array("a", "b")
   }
 
+  test("Buffer engine: thresholds coalesce inserts into one part; reads never lose rows") {
+    val cat = new Catalog(spark)
+    val path = tmpDir("cat") + "/buf"
+    // Versioned: one append = one committed segment dir, so the
+    // one-commit-per-flush coalescing claim is directly observable
+    cat.createTable(TableDef("buft", path, replacingSchema, Seq("k"), Append,
+      layout = Versioned))
+    def segs: Int =
+      new java.io.File(path).list() match {
+        case null => 0
+        case l => l.count(_.startsWith("seg-"))
+      }
+    val buf = new BufferedTable(cat, "buft", maxRows = 4L, maxAgeMs = 1000L)
+    buf.insert(Seq(("a", 1L, 10L), ("b", 2L, 10L)).toDF("k", "v", "updated_at"),
+      nowMs = 0L) shouldBe 2L
+    buf.buffered shouldBe 2L
+    cat.read("buft").count() shouldBe 0 // below both thresholds: RAM only
+    buf.read().count() shouldBe 2       // ...but the buffer read sees them
+    // row threshold trips: ONE coalesced append reaches the target
+    buf.insert(Seq(("c", 3L, 10L), ("d", 4L, 10L)).toDF("k", "v", "updated_at"),
+      nowMs = 10L)
+    buf.buffered shouldBe 0L
+    cat.read("buft").count() shouldBe 4
+    segs shouldBe 1 // TWO inserts coalesced into ONE append commit
+    // age threshold: an old buffered batch flushes on the next insert
+    buf.insert(Seq(("e", 5L, 11L)).toDF("k", "v", "updated_at"), nowMs = 100L)
+    buf.buffered shouldBe 1L
+    buf.insert(Seq(("f", 6L, 11L)).toDF("k", "v", "updated_at"), nowMs = 1200L)
+    buf.buffered shouldBe 0L // 1200 - 100 >= maxAgeMs
+    cat.read("buft").count() shouldBe 6
+    // explicit flush of an empty buffer is a no-op
+    buf.flush() shouldBe 0L
+    // flush-time MV: the target's views fire with the COALESCED block
+    val rollSchema = StructType(Seq(
+      StructField("all", StringType), StructField("n", LongType)))
+    cat.createTable(TableDef("bufroll", tmpDir("cat") + "/bufroll",
+      rollSchema, Nil, Summing(Seq("all"), Seq("n"))))
+    cat.createMaterializedView("buft", "mv_bufroll", "bufroll",
+      _.groupBy(lit("all").as("all")).agg(count(lit(1)).as("n")))
+    buf.insert(Seq(("g", 7L, 12L), ("h", 8L, 12L)).toDF("k", "v", "updated_at"),
+      nowMs = 2000L)
+    cat.read("bufroll").count() shouldBe 0 // buffered: MV has NOT fired
+    buf.flush() shouldBe 2L
+    cat.read("bufroll").head().getLong(1) shouldBe 2L // fired once, at flush
+  }
+
   test("ENGINE=Null + materialized views: inserts discard, fan out, and cascade") {
     val cat = new Catalog(spark)
     val base = tmpDir("cat") + "/nullmv"

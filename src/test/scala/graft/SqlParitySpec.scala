@@ -42,7 +42,7 @@ class SqlParitySpec extends SparkSpecBase {
     "cat_minmax_scan", "cat_renamed_scan",
     "cat_dedup_optimize", "cat_modified_scan", "cat_collapsing_scan",
     "cat_distributed_scan", "cat_lightweight_delete", "cat_null_mv",
-    "cat_replacing_delete", "src_merge",
+    "cat_replacing_delete", "cat_buffer_read", "src_merge",
     "dedup_exact", "distinct_rows", "fn_cond", "fn_date", "fn_math",
     "fn_string", "fn_geo",
     "j1_anti_join", "j2_semi_join", "j3_existence", "join_broadcast",
