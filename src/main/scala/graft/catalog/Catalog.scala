@@ -93,6 +93,22 @@ final case class Aggregating(keys: Seq[String], stateCols: Seq[String]) extends 
   */
 case object NullEngine extends EngineSemantics
 
+/** ≈ ENGINE = Join(ANY, LEFT, keys): the table IS a pre-built lookup map —
+  * one surviving row per key — kept small enough to broadcast, and probed
+  * with [[Catalog.joinGet]] (ClickHouse's `joinGet('t', 'col', key)`
+  * point-lookup expression) instead of spelling a join. ClickHouse's ANY
+  * strictness keeps an arbitrary row when a key is inserted twice (which
+  * row survives depends on merge order); here the fold is made
+  * DETERMINISTIC — the lexicographically least non-key tuple wins — so
+  * reads, compaction, and the oracle agree byte-for-byte. The fold is
+  * associative (min over structs), so within-batch pre-fold, read-time
+  * fold, and compact materialization compose in any order, same as
+  * [[Summing]]. Non-key columns must be orderable scalar types (the min
+  * needs an ordering); at 100 TB the map side stays O(keys) while the
+  * probe side never shuffles — joinGet broadcasts the folded map.
+  */
+final case class JoinAny(keys: Seq[String]) extends EngineSemantics
+
 /** Physical layout of a table directory — how compact() commits its swap.
   *
   *   - [[FlatDir]]: one flat Parquet dir; compact rewrites to a sibling and
@@ -267,6 +283,25 @@ final class Catalog(spark: SparkSession) {
             .contains(t.schema(sign).dataType),
           s"${t.name}: Collapsing sign column $sign must be integral " +
             s"(got ${t.schema(sign).dataType.simpleString})")
+      case JoinAny(keys) =>
+        keys.foreach(c => require(t.schema.fieldNames.contains(c),
+          s"${t.name}: Join key column $c is not in the schema"))
+        val vals = t.schema.fieldNames.filterNot(keys.contains)
+        require(vals.nonEmpty,
+          s"${t.name}: Join table needs at least one non-key column " +
+            "(joinGet must have something to return)")
+        // the ANY fold is min-of-struct over the value tuple — every
+        // value column needs an ordering, and declaring an unorderable
+        // one (map, unsortable udt) must fail HERE, not executor-side
+        // after data is durably written (the bloom indexCols lesson)
+        vals.foreach { c =>
+          val dt = t.schema(c).dataType
+          require(org.apache.spark.sql.catalyst.expressions.RowOrdering
+              .isOrderable(dt),
+            s"${t.name}: Join value column $c is ${dt.simpleString}, " +
+              "which has no ordering — the deterministic ANY fold " +
+              "requires orderable value columns")
+        }
       case _ => ()
     }
     tables.putIfAbsent(t.name, t)
@@ -311,6 +346,8 @@ final class Catalog(spark: SparkSession) {
       case Collapsing(keys, sign, version) =>
         ("kind" -> "collapsing") ~ ("keys" -> keys) ~ ("sign" -> sign) ~
           ("version" -> version)
+      case JoinAny(keys) =>
+        ("kind" -> "join_any") ~ ("keys" -> keys)
     }
     val obj =
       ("name" -> t.name) ~
@@ -406,6 +443,8 @@ final class Catalog(spark: SparkSession) {
         Collapsing(list(semNode \ "keys"),
           (semNode \ "sign").asInstanceOf[org.json4s.JString].s,
           (semNode \ "version").asInstanceOf[org.json4s.JString].s)
+      case org.json4s.JString("join_any") =>
+        JoinAny(list(semNode \ "keys"))
       case other => throw new IllegalArgumentException(
         s"attach: unknown semantics under $path ($other)")
     }
@@ -616,6 +655,7 @@ final class Catalog(spark: SparkSession) {
         case Summing(keys, cols) => keys ++ cols
         case Aggregating(keys, cols) => keys ++ cols
         case Collapsing(keys, sign, version) => keys :+ sign :+ version
+        case JoinAny(keys) => keys
         case Append | NullEngine => Nil
       })).toSet
 
@@ -1060,6 +1100,10 @@ final class Catalog(spark: SparkSession) {
               lit(s"${t.name}: Collapsing sign $sign must be +1 or -1, got "),
               col(sign).cast("string"))).cast(signTyp)))
         collapseFold(t, guarded, sign)
+      // pre-fold within the batch (associative min-of-struct): storage
+      // holds one candidate row per key per APPEND; the read-time fold
+      // still resolves ANY across appends
+      case JoinAny(keys) => joinAnyFold(t, filled, keys)
       case _ => filled
     }
     val sorted = clusteredFor(t, deduped)
@@ -1713,7 +1757,68 @@ final class Catalog(spark: SparkSession) {
         raw.groupBy(keys.map(col): _*)
           .agg(merged.head, merged.tail: _*)
       case Collapsing(_, sign, _) => collapseFold(t, raw, sign)
+      case JoinAny(keys) => joinAnyFold(t, raw, keys)
     }
+  }
+
+  /** The [[JoinAny]] fold: one surviving row per key — the
+    * lexicographically least non-key tuple (min over a struct, so the
+    * fold is associative and deterministic). A hash aggregate with
+    * map-side partials; after [[compact]] materializes it the table is
+    * physically one row per key and the fold prunes to nothing.
+    */
+  private def joinAnyFold(t: TableDef, df: DataFrame,
+                          keys: Seq[String]): DataFrame = {
+    val vals = t.schema.fieldNames.filterNot(keys.contains).toSeq
+    df.groupBy(keys.map(col): _*)
+      .agg(min(struct(vals.map(col): _*)).as("__any"))
+      .select(keys.map(col) ++ vals.map(v => col(s"__any.$v").as(v)): _*)
+      .select(t.schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** ClickHouse `joinGet('name', valueCol, keys…)` — probe a [[JoinAny]]
+    * table as a scalar lookup: returns `df` plus a `valueCol` column
+    * holding the matched value, the type's default when the key is
+    * absent (`joinGet` contract: '' / 0 — set `orNull = true` for the
+    * `joinGetOrNull` variant). The folded map is BROADCAST — a Join
+    * table is by contract the small side (ClickHouse pins it in RAM) —
+    * so the probe side never shuffles, whatever its size.
+    */
+  def joinGet(name: String, df: DataFrame, keyExprs: Seq[Column],
+              valueCol: String, orNull: Boolean = false): DataFrame = {
+    val t = get(name)
+    val keys = t.semantics match {
+      case JoinAny(k) => k
+      case other => throw new IllegalArgumentException(
+        s"$name: joinGet requires ENGINE=Join semantics (got $other)")
+    }
+    require(keyExprs.size == keys.size,
+      s"$name: joinGet needs ${keys.size} key expression(s) " +
+        s"(${keys.mkString(", ")}), got ${keyExprs.size}")
+    require(t.schema.fieldNames.contains(valueCol) && !keys.contains(valueCol),
+      s"$name: joinGet value column $valueCol must be a non-key column")
+    require(!df.columns.contains(valueCol),
+      s"joinGet: probe side already has a column named $valueCol")
+    val jt = broadcast(read(name)
+      .select((keys :+ valueCol).map(c => col(c).as(s"__jg_$c")): _*))
+    val cond = keys.zip(keyExprs)
+      .map { case (k, e) => e <=> col(s"__jg_$k") }.reduce(_ && _)
+    val matched = col(s"__jg_$valueCol")
+    val out =
+      if (orNull) matched
+      else {
+        import org.apache.spark.sql.types._
+        val dflt = t.schema(valueCol).dataType match {
+          case StringType => lit("")
+          case BooleanType => lit(false)
+          case dt: NumericType => lit(0).cast(dt)
+          case _ => lit(null) // no natural default — joinGetOrNull shape
+        }
+        coalesce(matched, dflt)
+      }
+    df.join(jt, cond, "left")
+      .withColumn(valueCol, out)
+      .drop((keys :+ valueCol).map(c => s"__jg_$c"): _*)
   }
 
   /** The [[Collapsing]] fold (doc on the case class): group by every

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.catalog.{Append, BufferedTable, Catalog, Collapsing, FlatDir, NullEngine, ReplacingDedup, Summing, TableDef, TableLayout, Versioned}
+import graft.catalog.{Append, BufferedTable, Catalog, Collapsing, FlatDir, JoinAny, NullEngine, ReplacingDedup, Summing, TableDef, TableLayout, Versioned}
 import graft.plans.{ProjectionDef, RollupRewrite, SortedProjectionDef, SortedProjectionRewrite}
 
 /** The Catalog's clustered write path exercised FROM the query suite —
@@ -410,6 +410,38 @@ object CatalogOps extends QueryModule {
         .orderBy(col("s_nationkey"))
     }),
 
+    // ENGINE=Join through the gate: a nation→label lookup map loaded in
+    // two appends (the second REUSES keys for region-0 nations, so the
+    // deterministic ANY fold — least value tuple — must resolve them),
+    // then probed per supplier row with joinGet. Region-4 nations are
+    // never loaded, so their suppliers take joinGet's type default ''.
+    // The oracle restates both appends and the min-fold in SQL: equality
+    // proves the fold, the broadcast probe, and the default path.
+    "cat_join_engine" -> ((s, d) => {
+      val nation = Tables.nation(s, d)
+      val cat = new Catalog(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-join")
+      registerForCleanup(tmp)
+      val load1 = nation.filter(col("n_regionkey") < 4)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("label"))
+      cat.createTable(TableDef("nation_jt", tmp.resolve("nation_jt").toString,
+        load1.schema, sortKeys = Seq("k"),
+        semantics = JoinAny(Seq("k"))))
+      cat.append("nation_jt", load1)
+      cat.append("nation_jt", nation.filter(col("n_regionkey") === 0)
+        .select(col("n_nationkey").cast("long").as("k"),
+          lit("AFRICA-OVERRIDE").as("label")))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      cat.joinGet("nation_jt", sup,
+          Seq(col("s_nationkey").cast("long")), "label")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("s_acctbal")), 2).as("bal_sum"))
+        .orderBy(col("label"))
+    }),
+
     // ReplacingMergeTree(version, is_deleted) through the gate: customers
     // loaded at version 1, then a second batch UPSERTS every 5th key
     // (acctbal +100 at version 2) and TOMBSTONES every (7k+3)th
@@ -679,6 +711,21 @@ object CatalogOps extends QueryModule {
       """SELECT s_nationkey, count(*) AS n,
         | round(sum(s_acctbal), 2) AS bal_sum
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    // both appends + the ANY min-fold + the missing-key default
+    // restated from the ORIGINAL nation/supplier tables
+    "cat_join_engine" ->
+      """WITH u AS (
+        |  SELECT n_nationkey AS k, n_name AS label
+        |  FROM nation WHERE n_regionkey < 4
+        |  UNION ALL
+        |  SELECT n_nationkey AS k, 'AFRICA-OVERRIDE' AS label
+        |  FROM nation WHERE n_regionkey = 0),
+        |j AS (SELECT k, min(label) AS label FROM u GROUP BY k)
+        |SELECT coalesce(j.label, '') AS label, count(*) AS n,
+        |  round(sum(s_acctbal), 2) AS bal_sum
+        |FROM supplier LEFT JOIN j ON s_nationkey = j.k
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // surviving state restated from the ORIGINAL table: tombstoned keys
     // gone, upserted keys at +100, everything else at version 1

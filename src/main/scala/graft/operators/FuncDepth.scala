@@ -164,6 +164,54 @@ object FuncDepth extends QueryModule {
           greatest(col("o_custkey"), col("o_orderkey")).as("hi"))
         .orderBy(col("o_orderkey"))),
 
+    // DateTime depth family (`dateDiff`/`addDays`/`toLastDayOfMonth`/
+    // `toQuarter`/`toISOWeek`/`toDayOfWeek`/`formatDateTime`): the
+    // calendar arithmetic CH exposes beside the basic toYear/toMonth set
+    // already in fn_date. All codegen'd date builtins; ISO week + Monday-
+    // first day-of-week are pinned to the ISO-8601 definitions both
+    // engines share (Spark `weekday()+1` ≡ DuckDB `isodow`).
+    "fn_datetime_depth" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), to_date(lit("1995-06-15")))
+            .cast("int").as("dd"),
+          // DATE cells render differently through the two engines'
+          // pandas paths (duckdb DATE → datetime64 'd 00:00:00'); the
+          // string render is the portable calendar answer
+          date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd")
+            .as("plus30"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("ld"),
+          quarter(col("o_orderdate")).cast("int").as("q"),
+          weekofyear(col("o_orderdate")).cast("int").as("wk"),
+          (weekday(col("o_orderdate")) + 1).cast("int").as("idow"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .orderBy(col("o_orderkey"))),
+
+    // String-distance family (`editDistance`/`ngramDistance`): Levenshtein
+    // against a fixed probe and between the name's own two tokens (both
+    // engines ship the same DP definition), plus character-trigram Jaccard
+    // similarity built from first principles — distinct 3-grams via
+    // transform(sequence), then |∩|/|∪| — the shape ngramDistance
+    // computes natively. Row-local; the trigram arrays live only inside
+    // one projection, never crossing a shuffle.
+    "fn_string_distance" -> ((s, d) => {
+      def grams(c: Column) = array_distinct(transform(
+        sequence(lit(1), greatest(length(c) - 2, lit(1))),
+        i => c.substr(i, lit(3))))
+      val g1 = grams(col("p_name"))
+      val g2 = grams(lit("red widget"))
+      Tables.part(s, d)
+        .filter(col("p_partkey") <= 800)
+        .select(col("p_partkey"), col("p_name"),
+          levenshtein(col("p_name"), lit("red widget")).as("lev_w"),
+          levenshtein(split_part(col("p_name"), lit(" "), lit(1)),
+            split_part(col("p_name"), lit(" "), lit(2))).as("lev_tok"),
+          round(size(array_intersect(g1, g2)).cast("double") /
+            size(array_union(g1, g2)), 6).as("jac3"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // String-search family (`position`/`countSubstrings`/`multiSearchAny`/
     // `splitByChar`+indexing/`leftPad`): substring position, an occurrence
     // count via the replace-length identity (portable to any engine,
@@ -249,6 +297,34 @@ object FuncDepth extends QueryModule {
         | least(o_custkey, o_orderkey) AS lo,
         | greatest(o_custkey, o_orderkey) AS hi
         |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin,
+
+    "fn_datetime_depth" ->
+      """SELECT o_orderkey,
+        | CAST(date_diff('day', DATE '1995-06-15', o_orderdate) AS INT) AS dd,
+        | strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+        | strftime(last_day(o_orderdate), '%Y-%m-%d') AS ld,
+        | CAST(quarter(o_orderdate) AS INT) AS q,
+        | CAST(weekofyear(o_orderdate) AS INT) AS wk,
+        | CAST(isodow(o_orderdate) AS INT) AS idow,
+        | strftime(o_orderdate, '%Y-%m') AS ym
+        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin,
+
+    "fn_string_distance" ->
+      """WITH g AS (
+        |  SELECT p_partkey, p_name,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(p_name) - 2, 1)),
+        |      i -> substr(p_name, i, 3))) AS g1,
+        |    list_distinct(list_transform(generate_series(1, 8),
+        |      i -> substr('red widget', i, 3))) AS g2
+        |  FROM part WHERE p_partkey <= 800)
+        |SELECT p_partkey, p_name,
+        |  CAST(levenshtein(p_name, 'red widget') AS INT) AS lev_w,
+        |  CAST(levenshtein(split_part(p_name, ' ', 1),
+        |                   split_part(p_name, ' ', 2)) AS INT) AS lev_tok,
+        |  round(CAST(len(list_intersect(g1, g2)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(g1, g2))), 6) AS jac3
+        |FROM g ORDER BY p_partkey""".stripMargin,
 
     "fn_string_search" ->
       """SELECT p_partkey,

@@ -1395,6 +1395,54 @@ class CatalogSpec extends SparkSpecBase {
     restored.semantics shouldBe Collapsing(Seq("k"), "sign", "ver")
   }
 
+  test("Join engine: deterministic ANY fold, joinGet defaults, compact, attach") {
+    val cat = new Catalog(spark)
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("label", StringType)))
+    val t = TableDef("jt", tmpDir("cat") + "/jt", schema, Seq("k"),
+      JoinAny(Seq("k")))
+    cat.createTable(t)
+    cat.append("jt", Seq((1L, "bravo"), (2L, "delta")).toDF("k", "label"))
+    // duplicate key across appends AND within a batch: least value wins
+    cat.append("jt", Seq((1L, "alpha"), (1L, "zulu"), (3L, "echo"))
+      .toDF("k", "label"))
+    cat.read("jt").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))) shouldBe
+      Array((1L, "alpha"), (2L, "delta"), (3L, "echo"))
+    // joinGet: hit → value, miss → type default '', orNull → null
+    val probe = Seq(1L, 4L).toDF("id")
+    val got = cat.joinGet("jt", probe, Seq(col("id")), "label")
+      .orderBy("id").collect().map(_.getString(1))
+    got shouldBe Array("alpha", "")
+    val gotNull = cat.joinGet("jt", probe, Seq(col("id")), "label",
+      orNull = true).orderBy("id").collect()
+    gotNull.map(r => Option(r.getString(1))) shouldBe
+      Array(Some("alpha"), None)
+    // compact materializes the fold: storage drops to one row per key
+    cat.compact("jt")
+    cat.readRaw("jt").count() shouldBe 3
+    // post-compact append still folds associatively (aaron < alpha)
+    cat.append("jt", Seq((1L, "aaron")).toDF("k", "label"))
+    cat.read("jt").filter(col("k") === 1L).head.getString(1) shouldBe "aaron"
+    // sidecar round-trips the engine; joinGet on non-Join tables refused
+    val restored = new Catalog(spark).attach(t.path)
+    restored.semantics shouldBe JoinAny(Seq("k"))
+    // value columns must be orderable — map type refused at CREATE
+    intercept[IllegalArgumentException] {
+      cat.createTable(TableDef("jtbad", tmpDir("cat") + "/jtbad",
+        StructType(Seq(StructField("k", LongType),
+          StructField("m", org.apache.spark.sql.types.MapType(
+            StringType, LongType)))),
+        Seq("k"), JoinAny(Seq("k"))))
+    }
+    // a Join table with no value column is useless — refused at CREATE
+    intercept[IllegalArgumentException] {
+      cat.createTable(TableDef("jtempty", tmpDir("cat") + "/jtempty",
+        StructType(Seq(StructField("k", LongType))), Seq("k"),
+        JoinAny(Seq("k"))))
+    }
+  }
+
   test("a staged snapshot tmp file never wedges listing, compaction, or DDL") {
     val cat = new Catalog(spark)
     val path = tmpDir("cat") + "/frzt"

@@ -42,7 +42,7 @@ class SqlParitySpec extends SparkSpecBase {
     "cat_minmax_scan", "cat_renamed_scan",
     "cat_dedup_optimize", "cat_modified_scan", "cat_collapsing_scan",
     "cat_distributed_scan", "cat_lightweight_delete", "cat_null_mv",
-    "cat_replacing_delete", "cat_buffer_read", "src_merge",
+    "cat_replacing_delete", "cat_buffer_read", "cat_join_engine", "src_merge",
     "dedup_exact", "distinct_rows", "fn_cond", "fn_date", "fn_math",
     "fn_string", "fn_geo",
     "j1_anti_join", "j2_semi_join", "j3_existence", "join_broadcast",
@@ -100,6 +100,35 @@ class SqlParitySpec extends SparkSpecBase {
         |  FROM (SELECT l_returnflag, l_quantity, cast(count(*) AS DOUBLE) AS c
         |        FROM lineitem GROUP BY 1, 2))
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // DuckDB date_diff/strftime/isodow → Spark datediff/date_format/weekday
+    "fn_datetime_depth" ->
+      """SELECT o_orderkey,
+        | CAST(datediff(o_orderdate, DATE '1995-06-15') AS INT) AS dd,
+        | date_format(date_add(o_orderdate, 30), 'yyyy-MM-dd') AS plus30,
+        | date_format(last_day(o_orderdate), 'yyyy-MM-dd') AS ld,
+        | CAST(quarter(o_orderdate) AS INT) AS q,
+        | CAST(weekofyear(o_orderdate) AS INT) AS wk,
+        | CAST(weekday(o_orderdate) + 1 AS INT) AS idow,
+        | date_format(o_orderdate, 'yyyy-MM') AS ym
+        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin,
+
+    // DuckDB list_* lambdas → Spark transform/array_* higher-order fns
+    "fn_string_distance" ->
+      """WITH g AS (
+        |  SELECT p_partkey, p_name,
+        |    array_distinct(transform(sequence(1, greatest(length(p_name) - 2, 1)),
+        |      i -> substring(p_name, i, 3))) AS g1,
+        |    array_distinct(transform(sequence(1, 8),
+        |      i -> substring('red widget', i, 3))) AS g2
+        |  FROM part WHERE p_partkey <= 800)
+        |SELECT p_partkey, p_name,
+        |  levenshtein(p_name, 'red widget') AS lev_w,
+        |  levenshtein(split_part(p_name, ' ', 1),
+        |              split_part(p_name, ' ', 2)) AS lev_tok,
+        |  round(CAST(size(array_intersect(g1, g2)) AS DOUBLE) /
+        |        size(array_union(g1, g2)), 6) AS jac3
+        |FROM g ORDER BY p_partkey""".stripMargin,
 
     // DuckDB strpos/regexp_matches/::VARCHAR → Spark instr/rlike/cast
     "fn_string_search" ->
