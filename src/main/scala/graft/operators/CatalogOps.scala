@@ -614,6 +614,46 @@ object CatalogOps extends QueryModule {
     // column. The oracle restates the member a row belongs to from the
     // original table — equality proves the union is lossless and the
     // discriminator truthful.
+    // JSONEachRow format analog: the documents table serialized to
+    // JSON-lines and read BACK under the declared schema (never inferred
+    // — schema inference is a full extra pass at scale), then aggregated.
+    // count + chars + distinct text digests per language must equal the
+    // oracle's read of the ORIGINAL parquet: every row and every text
+    // byte survived the JSON encode/decode, escapes included.
+    "src_jsonl" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-src-jsonl")
+      registerForCleanup(tmp)
+      val out = tmp.resolve("docs_jsonl").toString
+      val docs = Tables.documents(s, d)
+      docs.write.mode("overwrite").json(out)
+      s.read.schema(docs.schema).json(out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("chars"),
+          countDistinct(md5(col("text"))).as("uniq_texts"))
+        .orderBy(col("lang"))
+    }),
+
+    // ORC format analog (the other columnar interchange format the
+    // reference server reads/writes beside Parquet): a lineitem slice
+    // round-tripped through ORC — types (long/double/timestamp) and
+    // values must survive exactly, proven by aggregating the read-back
+    // against the oracle's parquet original.
+    "src_orc" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-src-orc")
+      registerForCleanup(tmp)
+      val out = tmp.resolve("li_orc").toString
+      Tables.lineitem(s, d).filter(col("l_orderkey") < 5000)
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty"),
+          round(sum(col("l_extendedprice")), 2).as("price"),
+          max(col("l_shipdate")).as("last_ship"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "src_merge" -> ((s, d) => {
       val src = Tables.supplier(s, d).select(
         col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
@@ -791,6 +831,24 @@ object CatalogOps extends QueryModule {
       """SELECT c_mktsegment, count(*) AS n,
         | round(sum(c_acctbal), 2) AS bal_sum
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // the ORIGINAL parquet restated: the JSON round-trip must preserve
+    // every row and every text byte (distinct digests prove it)
+    "src_jsonl" ->
+      """SELECT lang, count(*) AS n,
+        | CAST(sum(n_chars) AS BIGINT) AS chars,
+        | CAST(count(DISTINCT md5(text)) AS BIGINT) AS uniq_texts
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the ORIGINAL parquet restated: the ORC round-trip must preserve
+    // longs, doubles, and timestamps exactly
+    "src_orc" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_quantity), 2) AS qty,
+        | round(sum(l_extendedprice), 2) AS price,
+        | max(l_shipdate) AS last_ship
+        |FROM lineitem WHERE l_orderkey < 5000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // the member each row belongs to, restated from the original table
     "src_merge" ->

@@ -139,6 +139,46 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Context-window chunking: split each document into ≤64-token windows
+    // with stride 48 (16-token overlap) — the sequence-prep step between
+    // cleaning and packing in an LLM training pipeline. Per-document
+    // arithmetic + one explode: embarrassingly parallel, no shuffle, and
+    // the emitted rows carry only the chunk digest + counts, never the
+    // token arrays, so nothing wide survives past the projection. The
+    // window/stride contract (last window starts at the final stride
+    // boundary covering the tail) is restated exactly by the oracle.
+    "text_chunk" -> ((s, d) => {
+      val nChunksMinus1 = floor(
+        (greatest(size(col("toks")) - 64, lit(0)) + 47) / 48).cast("int")
+      val chunk = slice(col("toks"), col("cid") * 48 + 1, lit(64))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .withColumn("cid", explode(sequence(lit(0), nChunksMinus1)))
+        .select(col("doc_id"), col("cid").cast("long").as("chunk_id"),
+          size(chunk).as("n_toks"),
+          md5(array_join(chunk, " ")).as("digest"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // Seeded epoch shuffle: the deterministic global permutation every
+    // training run needs (same seed → same order, on any engine, any
+    // partitioning). Order is md5(seed:doc_id); docs are hash-split into
+    // shards and numbered WITHIN their shard — the shard count is the
+    // parallelism knob (raise it with the corpus; each shard's window
+    // sorts independently), so there is no global row_number bottleneck:
+    // a trainer reads shard files round-robin for the interleaved order.
+    "text_shuffle" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat(lit("ep7:"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("shard", pmod(ascii(substring(col("h"), 1, 1)), lit(8)).cast("int"))
+        .withColumn("idx", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("shard"), col("idx"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Vocabulary building: corpus-wide token frequencies with corpus share —
     // the first step of any tokenizer/vocab pipeline. One explode + one
     // groupBy (map-side combine carries most of the weight at scale: the
@@ -449,6 +489,28 @@ object TextAnalysis extends QueryModule {
         |  GROUP BY 1)
         |SELECT doc_id, floor(raw * 1e6 + 0.5) / 1e6 AS bm25
         |FROM scores ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    "text_chunk" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |  unnest(generate_series(0,
+        |    CAST((greatest(len(toks) - 64, 0) + 47) // 48 AS BIGINT))) AS cid
+        |  FROM t)
+        |SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+        |  CAST(len(list_slice(toks, cid*48 + 1, cid*48 + 64)) AS INT) AS n_toks,
+        |  md5(array_to_string(list_slice(toks, cid*48 + 1, cid*48 + 64), ' ')) AS digest
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "text_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |  md5('ep7:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |s AS (SELECT doc_id, h,
+        |  CAST(ascii(substr(h, 1, 1)) % 8 AS INT) AS shard FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+        |       AS BIGINT) AS idx
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "text_pack" ->
       """SELECT doc_id, lang, n_tokens,

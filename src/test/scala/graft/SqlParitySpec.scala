@@ -43,6 +43,7 @@ class SqlParitySpec extends SparkSpecBase {
     "cat_dedup_optimize", "cat_modified_scan", "cat_collapsing_scan",
     "cat_distributed_scan", "cat_lightweight_delete", "cat_null_mv",
     "cat_replacing_delete", "cat_buffer_read", "cat_join_engine", "src_merge",
+    "src_jsonl", "src_orc",
     "dedup_exact", "distinct_rows", "fn_cond", "fn_date", "fn_math",
     "fn_string", "fn_geo",
     "j1_anti_join", "j2_semi_join", "j3_existence", "join_broadcast",
@@ -100,6 +101,29 @@ class SqlParitySpec extends SparkSpecBase {
         |  FROM (SELECT l_returnflag, l_quantity, cast(count(*) AS DOUBLE) AS c
         |        FROM lineitem GROUP BY 1, 2))
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // DuckDB list_slice/generate_series → Spark slice/sequence/explode
+    "text_chunk" ->
+      """WITH t AS (SELECT doc_id, split(lower(text), '\\s+') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |  explode(sequence(0L, (greatest(size(toks) - 64, 0) + 47) div 48)) AS cid
+        |  FROM t)
+        |SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+        |  CAST(size(slice(toks, CAST(cid*48 + 1 AS INT), 64)) AS INT) AS n_toks,
+        |  md5(array_join(slice(toks, CAST(cid*48 + 1 AS INT), 64), ' ')) AS digest
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // DuckDB ::VARCHAR/substr → Spark STRING cast/substring
+    "text_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |  md5(concat('ep7:', CAST(doc_id AS STRING))) AS h FROM documents),
+        |s AS (SELECT doc_id, h,
+        |  CAST(ascii(substring(h, 1, 1)) % 8 AS INT) AS shard FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+        |       AS BIGINT) AS idx
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // DuckDB date_diff/strftime/isodow → Spark datediff/date_format/weekday
     "fn_datetime_depth" ->
