@@ -434,6 +434,47 @@ object Analytics extends QueryModule {
         .orderBy(col("event_type"), col("bkt"))
     }),
 
+    // ORDER BY … WITH FILL INTERPOLATE analog: the dense per-series
+    // skeleton of ts_gap_fill, but missing buckets take the LINEAR
+    // interpolation between the nearest present neighbors (edges clamp
+    // to the one available side). Neighbor discovery is two
+    // ignoreNulls window passes per series — no self-join, no
+    // per-gap loop; the window key is the series id, so throughput
+    // scales with series count (real deployments interpolate per
+    // (entity, metric), cardinality >> cores). `filled` marks which
+    // rows are synthetic, as ClickHouse's WITH FILL leaves visible.
+    "ts_interpolate" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val step = 600L
+      val b = Tables.events(s, d)
+        .select(col("event_type"),
+          (floor(unix_timestamp(col("ts")) / step) * step).cast("long").as("bkt"),
+          col("value"))
+        .groupBy(col("event_type"), col("bkt"))
+        .agg(avg(col("value")).as("v"))
+      val sk = b.groupBy(col("event_type"))
+        .agg(min(col("bkt")).as("lo"), max(col("bkt")).as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), lit(step))).as("bkt"))
+      val prevW = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val nextW = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      val pv = last(col("v"), ignoreNulls = true).over(prevW)
+      val pb = last(when(col("v").isNotNull, col("bkt")), ignoreNulls = true)
+        .over(prevW)
+      val nv = first(col("v"), ignoreNulls = true).over(nextW)
+      val nb = first(when(col("v").isNotNull, col("bkt")), ignoreNulls = true)
+        .over(nextW)
+      sk.join(b, Seq("event_type", "bkt"), "left")
+        .select(col("event_type"), col("bkt"),
+          col("v").isNull.cast("int").as("filled"),
+          (floor(coalesce(col("v"),
+            pv + (nv - pv) * (col("bkt") - pb) / (nb - pb), pv, nv)
+            * 1e6 + 0.5) / 1e6).as("val"))
+        .orderBy(col("event_type"), col("bkt"))
+    }),
+
     // ---- ClickHouse query-surface analogs (round 6) ----
     // bit-function family (bitAnd/bitOr/bitXor/bitCount + aggregate
     // forms): pure codegen'd integer ops — narrow map + one groupBy.
@@ -755,6 +796,37 @@ object Analytics extends QueryModule {
         |SELECT user_id, min(ts) AS session_start, count(*) AS n
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "ts_interpolate" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 600) * 600 AS bkt,
+        |    avg(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |sk AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi, 600)) AS bkt
+        |  FROM (SELECT event_type, min(bkt) AS lo, max(bkt) AS hi
+        |        FROM b GROUP BY 1)),
+        |j AS (SELECT sk.event_type, sk.bkt, b.v
+        |      FROM sk LEFT JOIN b USING (event_type, bkt)),
+        |w AS (
+        |  SELECT event_type, bkt, v,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN bkt END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY bkt
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb,
+        |    first_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY bkt ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN bkt END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY bkt
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nb
+        |  FROM j)
+        |SELECT event_type, bkt,
+        |  CAST(v IS NULL AS INT) AS filled,
+        |  floor(coalesce(v, pv + (nv - pv) * (bkt - pb) / (nb - pb), pv, nv)
+        |        * 1e6 + 0.5) / 1e6 AS val
+        |FROM w ORDER BY event_type, bkt""".stripMargin,
 
     "ts_gap_fill" ->
       """WITH b AS (

@@ -322,4 +322,46 @@ class IntrospectionSpec extends SparkSpecBase {
       all(rows.map(_.getAs[Long]("spill_bytes"))) should be >= 0L
     } finally qlog.detach()
   }
+
+  test("QueryGovernor: max_execution_time kills a runaway; KILL QUERY works cross-thread") {
+    val gov = new QueryGovernor(spark)
+    // a scan that would take minutes: the watchdog must kill it in ~1 s
+    // and the failure must surface to the caller, not return empty
+    val t0 = System.currentTimeMillis()
+    val killed = intercept[Exception] {
+      gov.run("runaway", maxExecutionMs = 1000L) {
+        spark.range(0L, Long.MaxValue / 1000L).selectExpr("sum(id % 7)")
+          .collect()
+      }
+    }
+    (System.currentTimeMillis() - t0) should be < 60000L
+    killed.getMessage.toLowerCase should include("cancel")
+    // the slot is released: the id is reusable and processes is empty
+    gov.systemProcesses().count() shouldBe 0L
+    // cross-thread KILL QUERY: observe the query in system.processes
+    // from the killing thread, then cancel it mid-flight
+    val errRef = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val worker = new Thread(() =>
+      try gov.run("victim") {
+        spark.range(0L, Long.MaxValue / 1000L).selectExpr("sum(id % 5)")
+          .collect()
+      } catch { case e: Throwable => errRef.set(e) })
+    worker.start()
+    val deadline = System.currentTimeMillis() + 30000L
+    while (!gov.systemProcesses().collect().map(_.getString(0))
+        .contains("victim") && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    gov.systemProcesses().collect().map(_.getString(0)) should contain("victim")
+    gov.kill("victim") shouldBe true
+    worker.join(60000L)
+    worker.isAlive shouldBe false
+    errRef.get should not be null
+    errRef.get.getMessage.toLowerCase should include("cancel")
+    // killing a finished/unknown id reports false, it doesn't throw
+    gov.kill("victim") shouldBe false
+    // duplicate live ids are refused (the registry is the kill target)
+    gov.run("dup") {
+      intercept[IllegalArgumentException](gov.run("dup")(0))
+    }
+  }
 }

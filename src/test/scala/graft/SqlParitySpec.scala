@@ -102,6 +102,39 @@ class SqlParitySpec extends SparkSpecBase {
         |        FROM lineitem GROUP BY 1, 2))
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // DuckDB epoch/generate_series + fn(x IGNORE NULLS) →
+    // Spark unix_timestamp/sequence + fn(x) IGNORE NULLS
+    "ts_interpolate" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(floor(unix_timestamp(ts) / 600) * 600 AS BIGINT) AS bkt,
+        |    avg(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |sk AS (
+        |  SELECT event_type, explode(sequence(lo, hi, 600L)) AS bkt
+        |  FROM (SELECT event_type, min(bkt) AS lo, max(bkt) AS hi
+        |        FROM b GROUP BY 1)),
+        |j AS (SELECT sk.event_type, sk.bkt, b.v
+        |      FROM sk LEFT JOIN b USING (event_type, bkt)),
+        |w AS (
+        |  SELECT event_type, bkt, v,
+        |    last_value(v) IGNORE NULLS OVER (PARTITION BY event_type
+        |      ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN bkt END) IGNORE NULLS
+        |      OVER (PARTITION BY event_type ORDER BY bkt
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb,
+        |    first_value(v) IGNORE NULLS OVER (PARTITION BY event_type
+        |      ORDER BY bkt ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN bkt END) IGNORE NULLS
+        |      OVER (PARTITION BY event_type ORDER BY bkt
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nb
+        |  FROM j)
+        |SELECT event_type, bkt,
+        |  CAST(v IS NULL AS INT) AS filled,
+        |  floor(coalesce(v, pv + (nv - pv) * (bkt - pb) / (nb - pb), pv, nv)
+        |        * 1e6 + 0.5) / 1e6 AS val
+        |FROM w ORDER BY event_type, bkt""".stripMargin,
+
     // DuckDB list_slice/generate_series → Spark slice/sequence/explode
     "text_chunk" ->
       """WITH t AS (SELECT doc_id, split(lower(text), '\\s+') AS toks
