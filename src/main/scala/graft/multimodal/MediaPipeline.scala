@@ -133,6 +133,26 @@ object MediaPipeline {
     finally if (in != null) in.close()
   }
 
+  /** Canonical 44-byte RIFF/WAVE writer, mono 8-bit UNSIGNED PCM — the
+    * fixture side of the real decode path: synthesized payloads go
+    * through the SAME structural gate + javax.sound decode chain as user
+    * WAVs (mm_audio_energy's end-to-end proof, MultimodalSpec fixtures).
+    */
+  def synthWavU8(samples: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
+    val n = samples.length
+    val bb = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate) // byte rate = sr × 1ch × 1B
+      .putShort(1).putShort(8) // block align, bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(n)
+      .put(samples)
+    bb.array()
+  }
+
   /** Decoded audio windowed into PlaneW×PlaneH sample planes — the audio
     * analog of video frame extraction (one 64-sample window per Frame),
     * zero-padded on the tail like the stride stub.

@@ -63,6 +63,40 @@ object Multimodal extends QueryModule {
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
           (col("frame_idx") * FrameStride).cast("long").as("byte_offset"))
         .orderBy(col("doc_id"), col("frame_idx"))),
+
+    // REAL audio decode, end-to-end, oracled: each doc gets a
+    // deterministic PCM-U8 WAV payload (synthesized executor-side),
+    // decoded through the SAME javax.sound chain as user audio, windowed
+    // into 64-sample frames, and reduced to per-frame energy Σs² — exact
+    // integer arithmetic, so the DuckDB oracle recomputes the expected
+    // energies from the generator formula WITHOUT any audio stack:
+    // equality proves the WAV header write, RIFF gate, decode, unsigned→
+    // signed mapping, windowing, and tail zero-padding all at once. The
+    // decode runs in mapPartitions on executors; only (doc_id, frame,
+    // energy) scalars ever shuffle — the 100 TB media-pipeline shape.
+    "mm_audio_energy" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.flatMap { id =>
+            // 250 + k·64 samples: NOT frame-aligned, so the last window
+            // exercises the zero-pad path (pads contribute 0 energy)
+            val n = 250 + (id % 4).toInt * 64
+            val u = Array.tabulate[Byte](n)(i => ((id * 31 + i * 7) % 256).toByte)
+            val clip = graft.multimodal.MediaPipeline
+              .decodeAudio(graft.multimodal.MediaPipeline.synthWavU8(u))
+              .getOrElse(throw new IllegalStateException(
+                s"doc $id: synthesized WAV failed to decode"))
+            graft.multimodal.MediaPipeline.audioFrames(clip).map { f =>
+              var e = 0L
+              f.pixels.foreach(b => e += b.toInt * b.toInt)
+              (id, f.frame_idx.toLong, e)
+            }
+          }
+        }
+        .toDF("doc_id", "frame_idx", "energy")
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -87,5 +121,23 @@ object Multimodal extends QueryModule {
         |FROM (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
         | UNNEST(generate_series(0, nb // 256)) AS u(f)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // the generator formula replayed in SQL: decoded sample =
+    // (id·31 + i·7) mod 256 − 128 (PCM-U8 → signed), energy = Σ s² over
+    // each 64-sample window, the partial tail summing only real samples
+    "mm_audio_energy" ->
+      """WITH p AS (SELECT doc_id, 250 + (doc_id % 4) * 64 AS n
+        |           FROM documents),
+        |f AS (SELECT doc_id, n,
+        |        unnest(generate_series(0, (n + 63) // 64 - 1)) AS frame_idx
+        |      FROM p),
+        |s AS (SELECT doc_id, frame_idx,
+        |        unnest(generate_series(frame_idx * 64,
+        |          least(frame_idx * 64 + 63, n - 1))) AS i
+        |      FROM f)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(sum(((doc_id * 31 + i * 7) % 256 - 128)
+        |         * ((doc_id * 31 + i * 7) % 256 - 128)) AS BIGINT) AS energy
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

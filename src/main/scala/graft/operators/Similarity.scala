@@ -140,6 +140,36 @@ object Similarity extends QueryModule {
           array_join(transform(q8, v => v.cast("string")), ",").as("q8"))
         .orderBy(col("vec_id"))
     }),
+
+    // Cluster-cohesion diagnostic: per-label centroid, then the
+    // distribution of member→own-centroid cosines — the embedding-quality
+    // report a curation pipeline runs before trusting labels (a low
+    // avg_cos or deeply negative min_cos flags a polluted cluster). The
+    // centroid pass is partial-aggregable (label, pos, avg): the shuffle
+    // carries labels×dims scalar partials regardless of corpus size —
+    // whole vectors never ride a shuffle — and the K centroids broadcast
+    // back, so the scoring pass is again narrow. Per-row cosines are
+    // 6-decimal rounded BEFORE aggregating (the CosineSimilarity kernel
+    // contract), aggregates floor-rounded half-up.
+    "embed_centroid_dist" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val cent = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("label"),
+          transform(col("pm"), x => x.getField("m")).as("centroid"))
+      e.join(broadcast(cent), Seq("label"))
+        .select(col("label"),
+          round(CosineSimilarity(col("embedding"), col("centroid")), 6).as("cos"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          (floor(avg(col("cos")) * 1e6 + 0.5) / 1e6).as("avg_cos"),
+          (floor(min(col("cos")) * 1e6 + 0.5) / 1e6).as("min_cos"))
+        .orderBy(col("label"))
+    }),
   )
 
   /** The raw IVF top-k rows (q_id, n_id, cos, rnk) — the operator itself;
@@ -581,5 +611,20 @@ object Similarity extends QueryModule {
         |  array_to_string(list_transform(x,
         |    v -> CAST(CAST(floor(v * scale + 0.5) AS INTEGER) AS VARCHAR)), ',') AS q8
         |FROM sc ORDER BY vec_id""".stripMargin,
+
+    "embed_centroid_dist" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |x AS (SELECT label, unnest(v) AS x,
+        |             unnest(generate_series(1, len(v))) AS pos FROM e),
+        |c AS (SELECT label, pos, avg(x) AS m FROM x GROUP BY 1, 2),
+        |cent AS (SELECT label, list(m ORDER BY pos) AS cv FROM c GROUP BY label),
+        |sc AS (SELECT e.label,
+        |         round(list_cosine_similarity(e.v, cent.cv), 6) AS cos
+        |       FROM e JOIN cent USING (label))
+        |SELECT label, count(*) AS n,
+        |  floor(avg(cos) * 1e6 + 0.5) / 1e6 AS avg_cos,
+        |  floor(min(cos) * 1e6 + 0.5) / 1e6 AS min_cos
+        |FROM sc GROUP BY label ORDER BY label""".stripMargin,
   )
 }

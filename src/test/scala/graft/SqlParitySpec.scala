@@ -281,6 +281,24 @@ class SqlParitySpec extends SparkSpecBase {
         |    PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rnk FROM scored)
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
 
+    // DuckDB unnest/generate_series/list() → Spark posexplode/collect_list;
+    // cosine via the registered engine kernel
+    "embed_centroid_dist" ->
+      """WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings),
+        |x AS (SELECT label, pos, x FROM e
+        |      LATERAL VIEW posexplode(v) t AS pos, x),
+        |c AS (SELECT label, pos, avg(x) AS m FROM x GROUP BY 1, 2),
+        |cent AS (SELECT label,
+        |    transform(array_sort(collect_list(struct(pos, m))), s -> s.m) AS cv
+        |  FROM c GROUP BY label),
+        |sc AS (SELECT e.label,
+        |         round(cosine_similarity(e.v, cent.cv), 6) AS cos
+        |       FROM e JOIN cent USING (label))
+        |SELECT label, count(*) AS n,
+        |  floor(avg(cos) * 1e6 + 0.5) / 1e6 AS avg_cos,
+        |  floor(min(cos) * 1e6 + 0.5) / 1e6 AS min_cos
+        |FROM sc GROUP BY label ORDER BY label""".stripMargin,
+
     "ann_ivf_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
         |           FROM embeddings WHERE vec_id < 20),
@@ -763,6 +781,7 @@ class SqlParitySpec extends SparkSpecBase {
     "dedup_substring" -> "interval-union islands over positional digests: staged window pipeline",
     "dedup_embed_cosine" -> "replays a trained k-means quantizer (engine state, not table data)",
     "mm_frame_sample" -> "binary frame decode runs in the MediaPipeline executor path, not SQL",
+    "mm_audio_energy" -> "real javax.sound WAV decode in the MediaPipeline executor path, not SQL",
     "text_decontam" -> "df-cap replay pipeline (the exact variant of the bloom pair)",
     "text_decontam_bloom" -> "driver-built Bloom sketch embedded as a plan literal (stat.bloomFilter)",
     "text_langid" -> "per-language stopword fold generated from the engine's language config",
