@@ -212,6 +212,36 @@ object FuncDepth extends QueryModule {
         .orderBy(col("p_partkey"))
     }),
 
+    // JSON-extraction depth (`JSONExtractInt/String/ArrayRaw`/
+    // `JSONLength`/nested paths/missing-key default — the JSONExtract
+    // family beyond fn_json's single get): both engines BUILD the same
+    // document from event fields (the fn_url pattern — synthesis is pure
+    // arithmetic/concat, so extraction is the only thing under test),
+    // then pull typed scalars, an array element, an array length, a
+    // nested field, and a missing path's default back out. All codegen'd
+    // builtins — no UDF, no shuffle beyond the presentation sort.
+    "fn_json_depth" -> ((s, d) => {
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      val json = concat(
+        lit("{\"a\": "), k,
+        lit(", \"s\": \""), col("event_type"),
+        lit("\", \"arr\": ["), k, lit(","), (k * 2), lit(","), (k * 3),
+        lit("], \"nest\": {\"b\": "), pmod(col("user_id"), lit(10)),
+        lit("}}"))
+      Tables.events(s, d)
+        .filter(col("event_id") < 3000)
+        .select(col("event_id"), json.as("j"))
+        .select(col("event_id"),
+          get_json_object(col("j"), "$.a").cast("int").as("a_int"),
+          get_json_object(col("j"), "$.s").as("s_str"),
+          get_json_object(col("j"), "$.arr[1]").cast("long").as("arr1"),
+          json_array_length(get_json_object(col("j"), "$.arr"))
+            .cast("int").as("n_arr"),
+          get_json_object(col("j"), "$.nest.b").cast("int").as("b"),
+          coalesce(get_json_object(col("j"), "$.zzz"), lit("-")).as("missing"))
+        .orderBy(col("event_id"))
+    }),
+
     // String-search family (`position`/`countSubstrings`/`multiSearchAny`/
     // `splitByChar`+indexing/`leftPad`): substring position, an occurrence
     // count via the replace-length identity (portable to any engine,
@@ -325,6 +355,25 @@ object FuncDepth extends QueryModule {
         |  round(CAST(len(list_intersect(g1, g2)) AS DOUBLE) /
         |        len(list_distinct(list_concat(g1, g2))), 6) AS jac3
         |FROM g ORDER BY p_partkey""".stripMargin,
+
+    "fn_json_depth" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |    '{"a": ' || CAST(json_extract(props, '$.k') AS INT) ||
+        |    ', "s": "' || event_type ||
+        |    '", "arr": [' || CAST(json_extract(props, '$.k') AS INT) ||
+        |    ',' || CAST(json_extract(props, '$.k') AS INT) * 2 ||
+        |    ',' || CAST(json_extract(props, '$.k') AS INT) * 3 ||
+        |    '], "nest": {"b": ' || (user_id % 10) || '}}' AS j
+        |  FROM events WHERE event_id < 3000)
+        |SELECT event_id,
+        | CAST(json_extract(j, '$.a') AS INT) AS a_int,
+        | json_extract_string(j, '$.s') AS s_str,
+        | CAST(json_extract(j, '$.arr[1]') AS BIGINT) AS arr1,
+        | CAST(json_array_length(j, '$.arr') AS INT) AS n_arr,
+        | CAST(json_extract(j, '$.nest.b') AS INT) AS b,
+        | coalesce(json_extract_string(j, '$.zzz'), '-') AS missing
+        |FROM e ORDER BY event_id""".stripMargin,
 
     "fn_string_search" ->
       """SELECT p_partkey,

@@ -48,6 +48,15 @@ class PlanSpec extends SparkSpecBase {
       }
   }
 
+  test("joinGet probes plan as a broadcast join, never a shuffle") {
+    // the Join-engine contract: the folded map broadcasts, the probe side
+    // stays in place — a SortMergeJoin here would shuffle the (unbounded)
+    // probe table on every lookup
+    val plan = planOf("cat_join_engine")
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
   test("order-by-limit queries plan TakeOrderedAndProject, not a global sort") {
     Seq("o1_topk", "o2_stalest_first", "text_vocab", "text_bm25").foreach { q =>
       withClue(s"$q: ") { planOf(q) should include("TakeOrderedAndProject") }

@@ -187,6 +187,26 @@ class SqlParitySpec extends SparkSpecBase {
         |        size(array_union(g1, g2)), 6) AS jac3
         |FROM g ORDER BY p_partkey""".stripMargin,
 
+    // DuckDB json_extract/json_extract_string → Spark get_json_object
+    "fn_json_depth" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |    concat('{"a": ', CAST(get_json_object(props, '$.k') AS INT),
+        |      ', "s": "', event_type,
+        |      '", "arr": [', CAST(get_json_object(props, '$.k') AS INT),
+        |      ',', CAST(get_json_object(props, '$.k') AS INT) * 2,
+        |      ',', CAST(get_json_object(props, '$.k') AS INT) * 3,
+        |      '], "nest": {"b": ', user_id % 10, '}}') AS j
+        |  FROM events WHERE event_id < 3000)
+        |SELECT event_id,
+        | CAST(get_json_object(j, '$.a') AS INT) AS a_int,
+        | get_json_object(j, '$.s') AS s_str,
+        | CAST(get_json_object(j, '$.arr[1]') AS BIGINT) AS arr1,
+        | CAST(json_array_length(get_json_object(j, '$.arr')) AS INT) AS n_arr,
+        | CAST(get_json_object(j, '$.nest.b') AS INT) AS b,
+        | coalesce(get_json_object(j, '$.zzz'), '-') AS missing
+        |FROM e ORDER BY event_id""".stripMargin,
+
     // DuckDB strpos/regexp_matches/::VARCHAR → Spark instr/rlike/cast
     "fn_string_search" ->
       """SELECT p_partkey,
