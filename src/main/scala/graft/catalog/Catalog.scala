@@ -598,6 +598,16 @@ final class Catalog(spark: SparkSession) {
       require(!stored(name).contains(field.name),
         s"addColumn($name): ${field.name} is still a stored column name " +
           s"in un-rewritten files (compact first)")
+      // the create-time engine invariants must hold across ALTER too: a
+      // JoinAny value column joins the min-of-struct fold, so an
+      // unorderable type added here would brick every subsequent
+      // read/append/compact executor-side — the exact failure mode the
+      // CREATE check exists to prevent
+      if (t.semantics.isInstanceOf[JoinAny])
+        require(org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(field.dataType),
+          s"addColumn($name): ${field.dataType.simpleString} has no " +
+            "ordering — Join value columns must stay orderable")
       val cast = lit(default).cast(field.dataType)
       // driver-side eval of the raw Cast(Literal) pair: an uncastable
       // default fails NOW, not as a silent null (or worse, a coerced
@@ -714,6 +724,18 @@ final class Catalog(spark: SparkSession) {
         s"dropColumn($name): cannot drop the only column")
       require(!keyCols(t).contains(column),
         s"dropColumn($name): $column is a key/engine column")
+      // JoinAny lists only its KEYS in keyCols (values are legitimately
+      // droppable one by one) — but dropping the LAST value column would
+      // violate the CREATE-time "joinGet must have something to return"
+      // invariant and leave the fold grouping on nothing
+      t.semantics match {
+        case JoinAny(keys) =>
+          require(t.schema.fieldNames.exists(c =>
+              !keys.contains(c) && c != column),
+            s"dropColumn($name): $column is the Join table's only value " +
+              "column (joinGet must have something to return)")
+        case _ => ()
+      }
       // storage may carry the declared name (post-rename appends, or no
       // rename) AND the pre-rename physical name — record both, so
       // neither can be re-introduced before a compact clears the files
@@ -1808,11 +1830,22 @@ final class Catalog(spark: SparkSession) {
       if (orNull) matched
       else {
         import org.apache.spark.sql.types._
+        // the documented type-default-on-miss contract ('' / 0 / false /
+        // epoch / empty array, as in the reference engine). A type with
+        // no natural default is REFUSED, not silently null'd — a silent
+        // null here would be joinGetOrNull behavior under the joinGet
+        // name, and downstream null-propagation would drop rows with no
+        // warning
         val dflt = t.schema(valueCol).dataType match {
           case StringType => lit("")
           case BooleanType => lit(false)
           case dt: NumericType => lit(0).cast(dt)
-          case _ => lit(null) // no natural default — joinGetOrNull shape
+          case dt @ DateType => lit("1970-01-01").cast(dt)
+          case dt @ TimestampType => lit("1970-01-01 00:00:00").cast(dt)
+          case dt: ArrayType => array().cast(dt)
+          case dt => throw new IllegalArgumentException(
+            s"$name: joinGet has no natural default for " +
+              s"${dt.simpleString} column $valueCol — use orNull = true")
         }
         coalesce(matched, dflt)
       }

@@ -48,18 +48,28 @@ final class QueryGovernor(spark: SparkSession) {
     * result.
     */
   def run[T](queryId: String, maxExecutionMs: Long = 0L)(action: => T): T = {
-    val tag = s"graft-q-$queryId-" +
+    // queryId is sanitized out of the tag (Spark refuses commas in job
+    // tags; uniqueness comes from the UUID suffix anyway), so no id can
+    // make addJobTag throw after the registry slot is taken
+    val tag = s"graft-q-${queryId.replaceAll("[,\\s]", "_")}-" +
       java.util.UUID.randomUUID().toString.take(8)
-    require(running.putIfAbsent(queryId,
-      GovernedQuery(queryId, tag, System.currentTimeMillis(), maxExecutionMs)).isEmpty,
+    val entry = GovernedQuery(queryId, tag, System.currentTimeMillis(),
+      maxExecutionMs)
+    require(running.putIfAbsent(queryId, entry).isEmpty,
       s"query_id $queryId is already running (ids must be unique while live)")
     val sc = spark.sparkContext
-    sc.addJobTag(tag)
+    try sc.addJobTag(tag)
+    catch { case e: Throwable => running.remove(queryId); throw e }
     val watchdog =
       if (maxExecutionMs <= 0) None
       else {
         val t = new java.util.TimerTask {
-          override def run(): Unit = kill(queryId)
+          // kill BY TAG, not by id: watchdog.cancel() cannot stop a task
+          // already executing on the timer thread, and an id-addressed
+          // kill firing after this run's finally could cancel an
+          // innocent NEW run that reused the id — the tag pins the kill
+          // to exactly the run that armed it
+          override def run(): Unit = killTagged(queryId, tag)
         }
         timer.schedule(t, maxExecutionMs)
         Some(t)
@@ -79,13 +89,19 @@ final class QueryGovernor(spark: SparkSession) {
     * can land during planning and miss), then the ticker retires itself.
     */
   def kill(queryId: String): Boolean =
-    running.get(queryId).exists { r =>
+    running.get(queryId).exists(r => killTagged(queryId, r.tag))
+
+  /** The kill addressed to ONE specific run (its per-run tag): no-op if
+    * that run has already exited, even when a new run reuses the id.
+    */
+  private def killTagged(queryId: String, tag: String): Boolean =
+    running.get(queryId).exists(_.tag == tag) && {
       def fire(): Unit =
-        spark.sparkContext.cancelJobsWithTag(r.tag, s"KILL QUERY $queryId")
+        spark.sparkContext.cancelJobsWithTag(tag, s"KILL QUERY $queryId")
       fire()
       val ticker = new java.util.TimerTask {
         override def run(): Unit =
-          if (running.get(queryId).exists(_.tag == r.tag)) fire()
+          if (running.get(queryId).exists(_.tag == tag)) fire()
           else cancel()
       }
       timer.schedule(ticker, 250L, 250L)

@@ -1441,6 +1441,19 @@ class CatalogSpec extends SparkSpecBase {
         StructType(Seq(StructField("k", LongType))), Seq("k"),
         JoinAny(Seq("k"))))
     }
+    // ...and the CREATE invariants hold across ALTER: an unorderable
+    // added column and dropping the last value column are both refused
+    // (either would brick the fold / the joinGet contract)
+    intercept[IllegalArgumentException] {
+      cat.addColumn("jt", StructField("m",
+        org.apache.spark.sql.types.MapType(StringType, LongType)), null)
+    }
+    intercept[IllegalArgumentException] { cat.dropColumn("jt", "label") }
+    // a second value column makes the first droppable again
+    cat.addColumn("jt", StructField("w", LongType), 5L)
+    cat.dropColumn("jt", "label")
+    cat.joinGet("jt", probe, Seq(col("id")), "w")
+      .orderBy("id").collect().map(_.getLong(1)) shouldBe Array(5L, 0L)
   }
 
   test("a staged snapshot tmp file never wedges listing, compaction, or DDL") {

@@ -363,5 +363,10 @@ class IntrospectionSpec extends SparkSpecBase {
     gov.run("dup") {
       intercept[IllegalArgumentException](gov.run("dup")(0))
     }
+    // ids Spark's job tags would reject (comma, spaces) are sanitized
+    // into the tag, run fine, and never leak a registry slot
+    gov.run("report,daily run") { 1 + 1 } shouldBe 2
+    gov.run("report,daily run") { 2 + 2 } shouldBe 4
+    gov.systemProcesses().count() shouldBe 0L
   }
 }
