@@ -1,0 +1,244 @@
+package graft.sql
+
+/** Mechanical ClickHouse-dialect → Spark-SQL shim for the SQL entry
+  * point: the subset of CH-isms the reference's own SQL surface uses
+  * (README.md:232-266, create_db.py typed projections) plus the everyday
+  * query-side idioms, rewritten token-by-token so `GraftSql.chSql` can
+  * run CH-shaped text through the session's parser unchanged otherwise.
+  *
+  * Supported rewrites:
+  *   - `count()` → `count(*)`; `countIf(p)` → `count_if(p)`;
+  *     `sumIf(x, p)` → `sum(CASE WHEN p THEN x ELSE 0 END)`;
+  *     `avgIf(x, p)` → `avg(CASE WHEN p THEN x END)`
+  *   - `uniq(x)` → `approx_count_distinct(x)`;
+  *     `uniqExact(x…)` → `count(DISTINCT x…)`
+  *   - combinator calls `quantile(q)(x)` / `quantileExact(q)(x)` →
+  *     `percentile(x, q)`
+  *   - `::UInt8/UInt16/UInt32/UInt64/Int8…/Float32/Float64/String/
+  *     Date/DateTime[('tz')]` type names → Spark type names (Spark
+  *     itself parses the `::` cast syntax); unsigned widths map UP
+  *     (UInt32 → BIGINT) so no legal value overflows
+  *   - `toStartOfDay/Hour/Week/Month/Quarter/Year` → `date_trunc`;
+  *     `toYYYYMM(x)` → `CAST(date_format(x,'yyyyMM') AS INT)`;
+  *     `toDate` → `to_date`; `toYear/toMonth/toDayOfMonth/toHour` →
+  *     `year/month/dayofmonth/hour`; `now()`/`today()` →
+  *     `current_timestamp()`/`current_date()`
+  *   - `arrayJoin(x)` → `explode(x)`; `any(x)`/`anyLast(x)` →
+  *     `any_value(x)`; `empty(x)`/`notEmpty(x)` → `(x = '')`/`(x <> '')`
+  *   - `cityHash64`/`sipHash64` → `xxhash64` (same bucketing role;
+  *     hash VALUES differ — do not compare digests across engines)
+  *   - table modifiers: `FINAL` stripped (catalog reads ARE the merged
+  *     view — FINAL semantics are the default here), `PREWHERE` →
+  *     `WHERE` (Catalyst pushes the predicate into the scan, which is
+  *     what PREWHERE asks for)
+  *
+  * Single-quoted string literals (with `''` escapes) pass through
+  * byte-for-byte — a literal containing `countIf(` or `FINAL` is never
+  * rewritten. NOT a full parser by design: `Enum8(...)` casts (ingest
+  * validates enums — TsvIngest), `LIMIT n BY`, and combinator suffixes
+  * beyond the list above are left untouched and fail loudly in the
+  * parser rather than silently changing meaning.
+  */
+object ChDialect {
+
+  def rewrite(query: String): String = {
+    val (masked, literals) = maskLiterals(query)
+    val rewritten = rewriteSegment(masked)
+    restoreLiterals(rewritten, literals)
+  }
+
+  // literals are MASKED (swapped for <idx> tokens) before any
+  // rewrite and restored verbatim after: a call's argument list may
+  // legally contain string literals (`sumIf(x, s = 'FINAL')`), so
+  // rewrites must see the whole call shape while never touching literal
+  // bytes — a segment-by-segment approach would split such a call in two
+  // escape processing differs between plain and interpolated string
+  // literals across Scala versions — a char literal is unambiguous
+  private val Sentinel: Char = 1.toChar
+
+  private def maskLiterals(s: String): (String, Vector[String]) = {
+    val out = new StringBuilder
+    val lits = Vector.newBuilder[String]
+    var n = 0
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') {
+        var j = i + 1
+        var done = false
+        while (j < s.length && !done) {
+          if (s.charAt(j) == '\'') {
+            if (j + 1 < s.length && s.charAt(j + 1) == '\'') j += 2
+            else { done = true; j += 1 }
+          } else j += 1
+        }
+        lits += s.substring(i, j)
+        out ++= s"$Sentinel$n$Sentinel"
+        n += 1
+        i = j
+      } else {
+        out += s.charAt(i)
+        i += 1
+      }
+    }
+    (out.toString, lits.result())
+  }
+
+  private def restoreLiterals(s: String, lits: Vector[String]): String =
+    (Sentinel + "(\\d+)" + Sentinel).r.replaceAllIn(s, m =>
+      scala.util.matching.Regex.quoteReplacement(lits(m.group(1).toInt)))
+
+  private val simpleReplacements: Seq[(scala.util.matching.Regex, String)] = Seq(
+    ("(?i)\\bcount\\(\\s*\\)".r, "count(*)"),
+    ("(?i)\\bcountIf\\(".r, "count_if("),
+    ("(?i)\\barrayJoin\\(".r, "explode("),
+    ("(?i)\\banyLast\\(".r, "any_value("),
+    ("(?i)\\bany\\(".r, "any_value("),
+    ("(?i)\\buniq\\(".r, "approx_count_distinct("),
+    ("(?i)\\bcityHash64\\(".r, "xxhash64("),
+    ("(?i)\\bsipHash64\\(".r, "xxhash64("),
+    ("(?i)\\btoDate\\(".r, "to_date("),
+    ("(?i)\\btoYear\\(".r, "year("),
+    ("(?i)\\btoMonth\\(".r, "month("),
+    ("(?i)\\btoDayOfMonth\\(".r, "dayofmonth("),
+    ("(?i)\\btoHour\\(".r, "hour("),
+    ("(?i)\\bnow\\(\\s*\\)".r, "current_timestamp()"),
+    ("(?i)\\btoday\\(\\s*\\)".r, "current_date()"),
+    ("(?i)\\bPREWHERE\\b".r, "WHERE"),
+    ("(?i)\\bFINAL\\b".r, ""),
+    // :: type names — Spark parses the cast syntax itself; unsigned
+    // widths map UP so every legal CH value fits
+    ("::\\s*(?i:UInt8)\\b".r, "::SMALLINT"),
+    ("::\\s*(?i:UInt16)\\b".r, "::INT"),
+    ("::\\s*(?i:UInt32)\\b".r, "::BIGINT"),
+    ("::\\s*(?i:UInt64)\\b".r, "::BIGINT"),
+    ("::\\s*(?i:Int8)\\b".r, "::TINYINT"),
+    ("::\\s*(?i:Int16)\\b".r, "::SMALLINT"),
+    ("::\\s*(?i:Int32)\\b".r, "::INT"),
+    ("::\\s*(?i:Int64)\\b".r, "::BIGINT"),
+    ("::\\s*(?i:Float32)\\b".r, "::FLOAT"),
+    ("::\\s*(?i:Float64)\\b".r, "::DOUBLE"),
+    ("::\\s*(?i:String)\\b".r, "::STRING"),
+    ("::\\s*(?i:DateTime)\\s*\\([^)]*\\)".r, "::TIMESTAMP"),
+    ("::\\s*(?i:DateTime)\\b".r, "::TIMESTAMP"),
+    ("::\\s*(?i:Date)\\b".r, "::DATE"))
+
+  private val truncUnits = Seq(
+    "toStartOfDay" -> "DAY", "toStartOfHour" -> "HOUR",
+    "toStartOfWeek" -> "WEEK", "toStartOfMonth" -> "MONTH",
+    "toStartOfQuarter" -> "QUARTER", "toStartOfYear" -> "YEAR")
+
+  private def rewriteSegment(seg0: String): String = {
+    var s = seg0
+    simpleReplacements.foreach { case (re, to) =>
+      s = re.replaceAllIn(s, _ => scala.util.matching.Regex
+        .quoteReplacement(to))
+    }
+    truncUnits.foreach { case (fn, unit) =>
+      s = s"(?i)\\b$fn\\(".r.replaceAllIn(s, _ => s"date_trunc('$unit', ")
+    }
+    // NOTE: the literal-splitting above means the date_trunc unit quote
+    // is inserted INTO a code segment — safe, because segments are
+    // joined verbatim and later passes in this method do not re-split
+    s = rewriteCall(s, "toYYYYMM",
+      args => s"CAST(date_format(${args.mkString(", ")}, 'yyyyMM') AS INT)")
+    s = rewriteCall(s, "sumIf", {
+      case List(x, p) => s"sum(CASE WHEN $p THEN $x ELSE 0 END)"
+      case args => throw new IllegalArgumentException(
+        s"sumIf expects 2 arguments, got ${args.length}")
+    })
+    s = rewriteCall(s, "avgIf", {
+      case List(x, p) => s"avg(CASE WHEN $p THEN $x END)"
+      case args => throw new IllegalArgumentException(
+        s"avgIf expects 2 arguments, got ${args.length}")
+    })
+    s = rewriteCall(s, "uniqExact",
+      args => s"count(DISTINCT ${args.mkString(", ")})")
+    s = rewriteCall(s, "empty", {
+      case List(x) => s"($x = '')"
+      case args => throw new IllegalArgumentException(
+        s"empty expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCall(s, "notEmpty", {
+      case List(x) => s"($x <> '')"
+      case args => throw new IllegalArgumentException(
+        s"notEmpty expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCombinator(s, "quantileExact")
+    s = rewriteCombinator(s, "quantile")
+    s
+  }
+
+  /** Rewrite every `fn(args…)` call in `s` (case-insensitive, balanced
+    * parens, top-level comma split) via `f`. Args are NOT re-entered —
+    * the surrounding simple passes already ran on the whole segment.
+    */
+  private def rewriteCall(s: String, fn: String,
+                          f: List[String] => String): String = {
+    val re = s"(?i)\\b$fn\\(".r
+    re.findFirstMatchIn(s) match {
+      case None => s
+      case Some(m) =>
+        val (args, end) = balancedArgs(s, m.end - 1)
+        s.substring(0, m.start) + f(args) + rewriteCall(s.substring(end), fn, f)
+    }
+  }
+
+  /** `fn(a)(x)` → `percentile(x, a)` — the CH parameterized-aggregate
+    * (combinator) call shape.
+    */
+  private def rewriteCombinator(s: String, fn: String): String = {
+    val re = s"(?i)\\b$fn\\(".r
+    re.findFirstMatchIn(s) match {
+      case None => s
+      case Some(m) =>
+        val (params, afterParams) = balancedArgs(s, m.end - 1)
+        val rest = s.substring(afterParams)
+        require(rest.startsWith("("),
+          s"$fn(q)(x): expected the argument list right after the parameter list")
+        val (args, end) = balancedArgs(rest, 0)
+        s.substring(0, m.start) +
+          s"percentile(${args.mkString(", ")}, ${params.mkString(", ")})" +
+          rewriteCombinator(s.substring(afterParams + end), fn)
+    }
+  }
+
+  /** Whitespace-only trim: `String.trim` strips every char ≤ 0x20,
+    * which would eat a literal-mask [[Sentinel]] sitting at an argument
+    * edge and orphan its placeholder past restoration.
+    */
+  private def wtrim(s: String): String = {
+    def ws(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\r'
+    val a = s.indexWhere(!ws(_))
+    if (a < 0) "" else s.substring(a, s.lastIndexWhere(!ws(_)) + 1)
+  }
+
+  /** From the `(` at `open`, return the top-level comma-split argument
+    * strings and the index just past the matching `)`.
+    */
+  private def balancedArgs(s: String, open: Int): (List[String], Int) = {
+    require(open < s.length && s.charAt(open) == '(', "expected (")
+    var depth = 0
+    var i = open
+    val args = scala.collection.mutable.ListBuffer.empty[String]
+    var argStart = open + 1
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) {
+            val a = wtrim(s.substring(argStart, i))
+            if (a.nonEmpty || args.nonEmpty) args += a
+            return (args.toList, i + 1)
+          }
+        case ',' if depth == 1 =>
+          args += wtrim(s.substring(argStart, i))
+          argStart = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      s"unbalanced parentheses after position $open in: $s")
+  }
+}

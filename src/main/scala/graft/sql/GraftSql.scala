@@ -56,6 +56,15 @@ object GraftSql {
     s.sql(query)
   }
 
+  /** ClickHouse-dialect entry point: the [[ChDialect]] shim rewrites the
+    * CH-isms the reference's own SQL surface uses (`count()`, `countIf`,
+    * `::UInt32` casts, `FINAL`, `PREWHERE`, `quantile(q)(x)`, …) into
+    * Spark SQL, then runs through [[sql]] — so a user can paste the
+    * reference's queries as written.
+    */
+  def chSql(s: SparkSession, sfDir: String, query: String): DataFrame =
+    sql(s, sfDir, ChDialect.rewrite(query))
+
   /** `EXPLAIN [PIPELINE]` analog: the formatted physical plan for a SQL
     * text — the surface an engine user reads to check pushdown
     * (`PushedFilters`), codegen spans (`WholeStageCodegen`), and join

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.sql.{ChDialect, GraftSql}
+
+/** ClickHouse-dialect shim: CH-shaped SQL text (the reference's own
+  * surface — README.md:232-266 `count()`/`countIf`/`::Type` casts, plus
+  * the everyday query-side idioms) must answer identically to the
+  * equivalent Spark SQL through the same session.
+  */
+class ChSqlSpec extends SparkSpecBase {
+
+  private def rows(df: DataFrame): Seq[Seq[String]] =
+    df.collect().toSeq.map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+
+  private def chEqualsSpark(ch: String, sparkSqlText: String): Unit = {
+    val got = rows(GraftSql.chSql(spark, sf0001, ch))
+    val want = rows(GraftSql.sql(spark, sf0001, sparkSqlText))
+    got shouldBe want
+  }
+
+  test("count()/countIf/uniq/uniqExact/quantile combinator rewrite and agree") {
+    chEqualsSpark(
+      """SELECT o_orderstatus, count() AS n,
+        |  countIf(o_orderkey % 2 = 0) AS even,
+        |  uniq(o_custkey) AS u, uniqExact(o_orderpriority) AS ux,
+        |  quantile(0.5)(o_totalprice) AS med
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+      """SELECT o_orderstatus, count(*) AS n,
+        |  count_if(o_orderkey % 2 = 0) AS even,
+        |  approx_count_distinct(o_custkey) AS u,
+        |  count(DISTINCT o_orderpriority) AS ux,
+        |  percentile(o_totalprice, 0.5) AS med
+        |FROM orders GROUP BY o_orderstatus""".stripMargin)
+  }
+
+  test("sumIf/avgIf with literal-bearing predicates rewrite and agree") {
+    chEqualsSpark(
+      """SELECT o_orderstatus,
+        |  sumIf(o_totalprice, o_orderpriority = '1-URGENT') AS s,
+        |  avgIf(o_totalprice, o_orderpriority = '2-HIGH') AS a
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+      """SELECT o_orderstatus,
+        |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END) AS s,
+        |  avg(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END) AS a
+        |FROM orders GROUP BY o_orderstatus""".stripMargin)
+  }
+
+  test("::Type casts, FINAL, and PREWHERE run as written in the reference") {
+    chEqualsSpark(
+      """SELECT o_orderkey::String AS s, o_custkey::UInt32 AS c,
+        |  o_orderdate::Date AS d
+        |FROM orders FINAL PREWHERE o_orderkey < 10""".stripMargin,
+      """SELECT CAST(o_orderkey AS STRING) AS s,
+        |  CAST(o_custkey AS BIGINT) AS c, CAST(o_orderdate AS DATE) AS d
+        |FROM orders WHERE o_orderkey < 10""".stripMargin)
+  }
+
+  test("date family + arrayJoin + empty/notEmpty rewrite and agree") {
+    chEqualsSpark(
+      """SELECT toStartOfMonth(o_orderdate) AS m, toYYYYMM(o_orderdate) AS ym,
+        |  toYear(o_orderdate) AS y, count() AS n
+        |FROM orders WHERE notEmpty(o_orderstatus)
+        |GROUP BY 1, 2, 3""".stripMargin,
+      """SELECT date_trunc('MONTH', o_orderdate) AS m,
+        |  CAST(date_format(o_orderdate, 'yyyyMM') AS INT) AS ym,
+        |  year(o_orderdate) AS y, count(*) AS n
+        |FROM orders WHERE o_orderstatus <> ''
+        |GROUP BY 1, 2, 3""".stripMargin)
+    // Spark can't GROUP BY a generator alias directly (either dialect),
+    // so the explode sits in a subquery — the CH text mirrors that shape
+    chEqualsSpark(
+      "SELECT w, count() AS n FROM (SELECT arrayJoin(split(p_name, ' ')) AS w FROM part) GROUP BY w",
+      "SELECT w, count(*) AS n FROM (SELECT explode(split(p_name, ' ')) AS w FROM part) GROUP BY w")
+  }
+
+  test("sumIf rewrite with a literal-bearing predicate produces exact Spark text") {
+    ChDialect.rewrite("SELECT sumIf(x, y = 'A') FROM t") shouldBe
+      "SELECT sum(CASE WHEN y = 'A' THEN x ELSE 0 END) FROM t"
+    ChDialect.rewrite(
+      "SELECT arrayJoin(split(p, ' ')) AS w FROM t GROUP BY w") shouldBe
+      "SELECT explode(split(p, ' ')) AS w FROM t GROUP BY w"
+  }
+
+  test("string literals pass through byte-for-byte — CH-isms inside are never rewritten") {
+    ChDialect.rewrite(
+      "SELECT 'countIf(FINAL)::UInt32 count()' AS s, count() FROM t") shouldBe
+      "SELECT 'countIf(FINAL)::UInt32 count()' AS s, count(*) FROM t"
+    // '' escape inside a literal survives
+    ChDialect.rewrite("SELECT 'it''s FINAL' AS s FROM t FINAL") shouldBe
+      "SELECT 'it''s FINAL' AS s FROM t "
+  }
+
+  test("the reference README star-count query runs as written") {
+    // README.md:263-266 shape (the MV backfill), over orders as the
+    // stand-in fact table: CH text in, correct rollup out
+    val ch =
+      """SELECT o_orderstatus AS repo_name,
+        |       countIf(o_orderpriority = '1-URGENT') AS stars
+        |FROM orders GROUP BY o_orderstatus""".stripMargin
+    val got = rows(GraftSql.chSql(spark, sf0001, ch))
+    val want = rows(GraftSql.sql(spark, sf0001,
+      """SELECT o_orderstatus AS repo_name,
+        |  count_if(o_orderpriority = '1-URGENT') AS stars
+        |FROM orders GROUP BY o_orderstatus""".stripMargin))
+    got shouldBe want
+  }
+
+  test("unsupported shapes fail loudly, not silently") {
+    intercept[IllegalArgumentException] {
+      ChDialect.rewrite("SELECT sumIf(x) FROM t")
+    }
+    intercept[Exception] {
+      // LIMIT n BY is deliberately NOT rewritten — the parser rejects it
+      GraftSql.chSql(spark, sf0001,
+        "SELECT o_orderstatus FROM orders LIMIT 2 BY o_orderstatus").collect()
+    }
+  }
+}
