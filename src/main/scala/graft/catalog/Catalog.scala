@@ -141,7 +141,15 @@ final case class TableDef(
     partitionKeys: Seq[String] = Nil,
     indexCols: Seq[String] = Nil,
     minmaxCols: Seq[String] = Nil,
-    codec: String = "snappy")
+    codec: String = "snappy",
+    // CH `CONSTRAINT name CHECK expr`: name -> boolean SQL over the schema,
+    // enforced on every INSERT block (SQL semantics: NULL passes); checked
+    // at insert only, like ClickHouse (mutations/merges don't re-check)
+    constraints: Seq[(String, String)] = Nil,
+    // CH `col T MATERIALIZED expr`: column -> SQL expr over the BASE
+    // (non-materialized) columns, computed at insert and stored physically;
+    // insert blocks must not supply the column
+    materializedCols: Seq[(String, String)] = Nil)
 
 final class Catalog(spark: SparkSession) {
 
@@ -304,6 +312,50 @@ final class Catalog(spark: SparkSession) {
         }
       case _ => ()
     }
+    // constraints + materialized columns must RESOLVE at declaration —
+    // an unparseable/non-boolean constraint or a materialized expression
+    // referencing a missing column would otherwise fail executor-side on
+    // the first insert (for FlatDir, after staging work is already done).
+    // Resolution is checked against an empty frame of the schema: plan
+    // analysis only, no job runs.
+    if (t.constraints.nonEmpty || t.materializedCols.nonEmpty) {
+      import org.apache.spark.sql.types._
+      t.materializedCols.foreach { case (c, _) =>
+        require(t.schema.fieldNames.contains(c),
+          s"${t.name}: MATERIALIZED column $c is not in the schema")
+      }
+      val matSet = t.materializedCols.map(_._1).toSet
+      val baseSchema = StructType(t.schema.fields.filterNot(f =>
+        matSet.contains(f.name)))
+      val base = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema)
+      t.materializedCols.foreach { case (c, e) =>
+        // resolves over the BASE columns only: materialized-referencing-
+        // materialized would make insert evaluation order-dependent
+        val dt = try base.select(expr(e)).schema.head.dataType
+          catch { case scala.util.control.NonFatal(ex) =>
+            throw new IllegalArgumentException(
+              s"${t.name}: MATERIALIZED $c expression '$e' does not " +
+                s"resolve over the base columns: ${ex.getMessage}") }
+        require(org.apache.spark.sql.catalyst.expressions.Cast
+            .canCast(dt, t.schema(c).dataType),
+          s"${t.name}: MATERIALIZED $c expression '$e' has type " +
+            s"${dt.simpleString}, not castable to declared " +
+            s"${t.schema(c).dataType.simpleString}")
+      }
+      val full = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], t.schema)
+      t.constraints.foreach { case (cn, ce) =>
+        val dt = try full.select(expr(ce)).schema.head.dataType
+          catch { case scala.util.control.NonFatal(ex) =>
+            throw new IllegalArgumentException(
+              s"${t.name}: CONSTRAINT $cn expression '$ce' does not " +
+                s"resolve: ${ex.getMessage}") }
+        require(dt == BooleanType,
+          s"${t.name}: CONSTRAINT $cn expression '$ce' is " +
+            s"${dt.simpleString}, not boolean")
+      }
+    }
     tables.putIfAbsent(t.name, t)
     // persist the WINNING definition: when putIfAbsent lost to an existing
     // registration, writing the argument def would leave a _TABLE sidecar
@@ -373,6 +425,11 @@ final class Catalog(spark: SparkSession) {
       ("defaults" -> defaultSql.getOrElse(t.name, Map.empty[String, String])) ~
       ("read_default_cols" ->
         readDefaults.getOrElse(t.name, Map.empty[String, Column]).keys.toSeq.sorted) ~
+      // declaration-ordered [name, expr] pairs (a JSON object would lose
+      // order; constraints report in declared order, like system.tables)
+      ("constraints" -> t.constraints.map { case (n, e) => Seq(n, e) }) ~
+      ("materialized_cols" ->
+        t.materializedCols.map { case (c, e) => Seq(c, e) }) ~
       ("semantics" -> sem)
     JsonMethods.compact(JsonMethods.render(obj))
   }
@@ -505,9 +562,18 @@ final class Catalog(spark: SparkSession) {
     // lists) — the pending ALTER state restored above must not outlive a
     // failed attach, or a LATER table created under the same name would
     // inherit another table's defaults and stored-name refusals
+    def pairList(node: org.json4s.JValue): Seq[(String, String)] =
+      node match {
+        case org.json4s.JArray(xs) => xs.collect {
+          case org.json4s.JArray(List(org.json4s.JString(a),
+            org.json4s.JString(b))) => a -> b
+        }
+        case _ => Nil
+      }
     try createTable(TableDef(name, path, schema, list(j \ "sort_keys"), sem,
       layout, list(j \ "partition_keys"), list(j \ "index_cols"),
-      list(j \ "minmax_cols"), codec))
+      list(j \ "minmax_cols"), codec, pairList(j \ "constraints"),
+      pairList(j \ "materialized_cols")))
     catch {
       case e: Throwable =>
         if (!tables.contains(name)) restorePrior.foreach(_.apply())
@@ -1084,9 +1150,111 @@ final class Catalog(spark: SparkSession) {
       .toDF("source", "view", "target")
   }
 
+  // ---- row policies ----------------------------------------------------
+  //
+  // CH `CREATE ROW POLICY name ON table FOR SELECT USING pred TO users`:
+  // permissive policies, OR-combined per user; the moment ANY policy
+  // exists on a table, users named by none of its policies read ZERO rows
+  // (the restrictive-default CH documents). JVM-local like the MV
+  // registry — policies are server state, not table state, so they do not
+  // travel in the _TABLE sidecar.
+
+  private final case class RowPolicyDef(name: String, users: Set[String],
+                                        predicate: String)
+  private val rowPolicies =
+    scala.collection.concurrent.TrieMap.empty[String, Vector[RowPolicyDef]]
+
+  /** Register policy `policyName` on `table`: `users` may read rows
+    * matching `predicate` (boolean SQL over the table schema, validated
+    * HERE — the constraints lesson: never executor-side at read time).
+    */
+  def createRowPolicy(table: String, policyName: String,
+                      users: Seq[String], predicate: String): Unit = {
+    val t = get(table)
+    require(users.nonEmpty, s"$table: row policy $policyName names no users")
+    require(!rowPolicies.getOrElse(table, Vector.empty)
+        .exists(_.name == policyName),
+      s"$table: row policy $policyName already exists")
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], t.schema)
+    val dt = try probe.select(expr(predicate)).schema.head.dataType
+      catch { case scala.util.control.NonFatal(ex) =>
+        throw new IllegalArgumentException(
+          s"$table: row policy $policyName predicate '$predicate' does " +
+            s"not resolve: ${ex.getMessage}") }
+    require(dt == org.apache.spark.sql.types.BooleanType,
+      s"$table: row policy $policyName predicate '$predicate' is " +
+        s"${dt.simpleString}, not boolean")
+    rowPolicies.updateWith(table) {
+      case Some(v) => Some(v :+ RowPolicyDef(policyName, users.toSet, predicate))
+      case None => Some(Vector(RowPolicyDef(policyName, users.toSet, predicate)))
+    }
+  }
+
+  /** Drop a row policy; false if absent. */
+  def dropRowPolicy(table: String, policyName: String): Boolean = {
+    val had = rowPolicies.getOrElse(table, Vector.empty)
+      .exists(_.name == policyName)
+    rowPolicies.updateWith(table)(_.map(_.filterNot(_.name == policyName))
+      .filter(_.nonEmpty))
+    had
+  }
+
+  /** Read `table` as `user`: the engine-merged view filtered by the OR of
+    * the user's policies — a plain Catalyst predicate on top of read(),
+    * so it pushes into the scan like any filter (policy enforcement costs
+    * nothing extra at 100 TB; it PRUNES). A policied table with no policy
+    * for this user reads empty; a policy-free table reads fully.
+    */
+  def readAs(table: String, user: String): DataFrame = {
+    val base = read(table)
+    rowPolicies.get(table) match {
+      case None => base
+      case Some(pols) =>
+        val mine = pols.filter(_.users.contains(user))
+        if (mine.isEmpty) base.filter(lit(false))
+        else base.filter(mine.map(p => expr(p.predicate)).reduce(_ || _))
+    }
+  }
+
+  /** `system.row_policies`: (table, policy, users, predicate). */
+  def systemRowPolicies(): DataFrame = {
+    import spark.implicits._
+    rowPolicies.toSeq.sortBy(_._1)
+      .flatMap { case (t, ps) => ps.map(p =>
+        (t, p.name, p.users.toSeq.sorted.mkString(","), p.predicate)) }
+      .toDF("table", "policy", "users", "predicate")
+  }
+
+  /** Compute MATERIALIZED columns and arm CHECK constraints on one insert
+    * block — both INLINE in the block's plan, zero extra passes:
+    * constraints guard the first column with a conditional `raise_error`
+    * (the Collapsing sign pattern), so a violation fails the write JOB,
+    * and Spark's commit protocol (FlatDir) / the segment marker
+    * (Versioned) makes the failed insert atomically invisible. SQL CHECK
+    * semantics: a NULL-valued constraint passes.
+    */
+  private def materializeAndCheck(t: TableDef, batch: DataFrame): DataFrame = {
+    t.materializedCols.foreach { case (c, e) =>
+      require(!batch.columns.contains(c),
+        s"${t.name}: column $c is MATERIALIZED ($e) and cannot be inserted")
+    }
+    val withMat = t.materializedCols.foldLeft(batch) { case (df, (c, e)) =>
+      df.withColumn(c, expr(e).cast(t.schema(c).dataType))
+    }
+    t.constraints.foldLeft(withMat) { case (df, (cn, ce)) =>
+      val guard = df.columns.head
+      df.withColumn(guard,
+        when(coalesce(expr(ce), lit(true)), col(guard))
+          .otherwise(raise_error(lit(
+            s"${t.name}: CONSTRAINT $cn violated ($ce)"))
+            .cast(df.schema(guard).dataType)))
+    }
+  }
+
   def append(name: String, batch: DataFrame): Long = {
     val t = get(name)
-    val filled = fillOmittedDefaults(name, batch)
+    val filled = materializeAndCheck(t, fillOmittedDefaults(name, batch))
     // ENGINE = Null: type-check + count, discard, fan out to MVs. The
     // batch is cached around the count so attached transforms don't
     // recompute an arbitrary upstream lineage once per view.
@@ -2108,6 +2276,30 @@ final class Catalog(spark: SparkSession) {
       .select(col("part"), col("rows"), col("bytes"),
         col("min_key"), col("max_key"))
       .orderBy(col("min_key"), col("part"))
+  }
+
+  /** `system.detached_parts`: every `key=value` partition dir sitting in
+    * the `.detached/` area with its bucket, file count, and bytes —
+    * metadata listing only, no data read (the operator's question is
+    * "what could ATTACH PARTITION re-adopt", answered before deciding to).
+    */
+  def systemDetachedParts(name: String): DataFrame = {
+    import spark.implicits._
+    val t = get(name)
+    val f = fs(t)
+    val root = detachedRoot(t)
+    val rows =
+      if (!f.exists(root)) Seq.empty[(String, String, Long, Long)]
+      else f.listStatus(root).toSeq.filter(_.isDirectory).flatMap { b =>
+        f.listStatus(b.getPath).toSeq.filter(_.isDirectory).map { leaf =>
+          val files = f.listStatus(leaf.getPath).toSeq.filter(_.isFile)
+            .filterNot(_.getPath.getName.startsWith("_"))
+          (b.getPath.getName, leaf.getPath.getName,
+            files.size.toLong, files.map(_.getLen).sum)
+        }
+      }
+    rows.toDF("bucket", "partition", "files", "bytes")
+      .orderBy(col("partition"), col("bucket"))
   }
 
   /** ClickHouse `EXPLAIN ESTIMATE` analog: how much would a scan read —

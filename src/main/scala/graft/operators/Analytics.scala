@@ -337,6 +337,48 @@ object Analytics extends QueryModule {
           .select(col("o_custkey").as("k")))
         .orderBy(col("k"))),
 
+    // multiset (ALL) variants: EXCEPT ALL subtracts MULTIPLICITIES — a
+    // customer with 3 'F' orders and 1 'O' order keeps 2 rows — and
+    // INTERSECT ALL keeps min(multiplicity). The distinct variants above
+    // can't observe duplicate counts at all.
+    "set_except_all" -> ((s, d) =>
+      Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+        .exceptAll(Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("k")))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))),
+
+    "set_intersect_all" -> ((s, d) =>
+      Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+        .intersectAll(Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("k")))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))),
+
+    // WITH RECURSIVE through the engine's generic fixpoint (semi-naive,
+    // Fixpoint.scala): ancestor closure over the implicit binary-tree
+    // parent edge custkey -> floor(custkey/2), seeded from customers
+    // <= 64 — chains up to 6 hops, every chain ending at root 1. The
+    // oracle runs DuckDB's native WITH RECURSIVE; the Spark surface runs
+    // ~log2(seed-max) frontier rounds, each a join of the (shrinking)
+    // frontier against the edge relation.
+    "cte_recursive" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val edges = cust.filter(col("c_custkey") > 1)
+        .select(col("c_custkey").as("node"),
+          floor(col("c_custkey") / 2).cast("long").as("parent"))
+      val seed = cust.filter(col("c_custkey") <= 64)
+        .select(col("c_custkey").as("start"), col("c_custkey").as("cur"))
+      graft.plans.Fixpoint.recursive(seed, frontier =>
+          frontier.join(edges, col("cur") === col("node"))
+            .select(col("start"), col("parent").as("cur")))
+        .groupBy(col("start"))
+        .agg((count(lit(1)) - 1).as("n_ancestors"), min(col("cur")).as("root"))
+        .orderBy(col("start"))
+    }),
+
     // ---- scalar function families ----
     "fn_string" -> ((s, d) =>
       Tables.part(s, d)
@@ -531,6 +573,23 @@ object Analytics extends QueryModule {
         .filter(col("rn") <= 2)
         .drop("rn")
         .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // LIMIT n WITH TIES — rows tying the n-th sort key stay in. NOT a
+    // global rank() window (a partitionless window single-threads the
+    // whole table — the PlanSpec-banned shape): the scalable form is a
+    // TakeOrderedAndProject for the n-th value (top-n per partition →
+    // driver merges n rows; one scalar crosses back) followed by an
+    // ordinary pushable >= filter over the table.
+    "limit_ties" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      // bounded driver read: min of the top-10 slice — one double
+      val cutoff = orders.select(col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc).limit(10)
+        .agg(min(col("o_totalprice"))).head().getDouble(0)
+      orders.filter(col("o_totalprice") >= cutoff)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     }),
 
     // SAMPLE k analog: CH tables declare SAMPLE BY intHash32(key) and a
@@ -733,6 +792,43 @@ object Analytics extends QueryModule {
         |INTERSECT
         |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY k""".stripMargin,
+
+    "set_except_all" ->
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT ALL
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+        |GROUP BY k ORDER BY k""".stripMargin,
+
+    "set_intersect_all" ->
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT ALL
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+        |GROUP BY k ORDER BY k""".stripMargin,
+
+    // WITH TIES restated as a rank() filter (portable across engines;
+    // the engine-side query uses the top-k + pushable-filter shape, not
+    // a global window)
+    "limit_ties" ->
+      """SELECT o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_totalprice,
+        |         rank() OVER (ORDER BY o_totalprice DESC) AS r
+        |  FROM orders) t WHERE r <= 10
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+
+    // DuckDB's native recursion restates the fixpoint: UNION (distinct)
+    // recursion over the same edge derivation
+    "cte_recursive" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT c_custkey AS start, c_custkey AS cur
+        |  FROM customer WHERE c_custkey <= 64
+        |  UNION
+        |  SELECT a.start, CAST(floor(e.c_custkey / 2) AS BIGINT) AS cur
+        |  FROM anc a JOIN customer e
+        |    ON a.cur = e.c_custkey AND e.c_custkey > 1)
+        |SELECT start, count(*) - 1 AS n_ancestors, min(cur) AS root
+        |FROM anc GROUP BY start ORDER BY start""".stripMargin,
 
     "fn_string" ->
       """SELECT p_partkey, upper(p_name) AS uname, substr(p_type, 1, 3) AS t3,

@@ -671,6 +671,109 @@ object CatalogOps extends QueryModule {
           round(sum(col("s_acctbal")), 2).as("bal_sum"))
         .orderBy(col("_table"))
     }),
+
+    // CONSTRAINT … CHECK through the gate: the insert into the
+    // constrained table succeeds because every supplier row satisfies
+    // both checks (TPC-H acctbal ∈ [-999.99, 9999.99], nations 0..24) —
+    // the read-back equals the oracle's direct aggregate, proving the
+    // inline raise_error guards are transparent on a passing block.
+    // Rejection + atomicity are CatalogSpec territory (a failing block
+    // needs an expected exception, which the oracle harness can't state).
+    "cat_constraint" -> ((s, d) => {
+      val src = Tables.supplier(s, d).select(
+        col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      val cat = new Catalog(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-ck")
+      registerForCleanup(tmp)
+      cat.createTable(TableDef("sup_ck", tmp.resolve("sup_ck").toString,
+        src.schema, sortKeys = Seq("s_suppkey"), semantics = Append,
+        constraints = Seq(
+          "acctbal_floor" -> "s_acctbal >= -1000.0",
+          "valid_nation" -> "s_nationkey BETWEEN 0 AND 24")))
+      cat.append("sup_ck", src)
+      cat.read("sup_ck")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("s_acctbal")), 2).as("bal_sum"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // GLOBAL JOIN on a Distributed table: customers sharded 4 ways by
+    // c_custkey, joined to the bounded nation dim with an explicit
+    // broadcast — the CH `GLOBAL JOIN` shape, where the right side ships
+    // once to every shard and each shard joins locally. In the Spark
+    // plan the broadcast sits above the member-scan union: one
+    // BroadcastExchange, four independent member scans, NO shuffle of
+    // the fact side before the final aggregate (DistributedSpec asserts
+    // the shape).
+    "cat_distributed_join" -> ((s, d) => {
+      val src = Tables.customer(s, d).select(
+        col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val cat = new Catalog(s)
+      val dc = new graft.catalog.DistributedCatalog(s, cat)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-dj")
+      registerForCleanup(tmp)
+      dc.create("cust_dj", tmp.resolve("cust_dj").toString, src.schema,
+        Seq("c_custkey"), Append, "c_custkey", 4)
+      dc.append("cust_dj", src)
+      dc.read("cust_dj")
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal")), 2).as("bal_sum"))
+        .orderBy(col("n_name"))
+    }),
+
+    // Row policies through the gate: two permissive policies for the same
+    // user OR-combine (CH semantics), and the policy filter is a plain
+    // Catalyst predicate on the merged read — it pushes into the scan, so
+    // enforcement PRUNES instead of costing. The restrictive default
+    // (uncovered user reads zero rows) is CatalogSpec territory.
+    "cat_row_policy" -> ((s, d) => {
+      val src = Tables.supplier(s, d).select(
+        col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      val cat = new Catalog(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-rp")
+      registerForCleanup(tmp)
+      cat.createTable(TableDef("sup_rp", tmp.resolve("sup_rp").toString,
+        src.schema, sortKeys = Seq("s_suppkey"), semantics = Append))
+      cat.append("sup_rp", src)
+      cat.createRowPolicy("sup_rp", "low_nations", Seq("analyst"),
+        "s_nationkey < 10")
+      cat.createRowPolicy("sup_rp", "nation_20", Seq("analyst"),
+        "s_nationkey = 20")
+      cat.readAs("sup_rp", "analyst")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("s_acctbal")), 2).as("bal_sum"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // MATERIALIZED column through the gate: `size_band` is declared
+    // MATERIALIZED floor(p_size/10) — the insert block does NOT carry it,
+    // the Catalog computes and stores it, and the grouped read-back must
+    // equal the oracle computing the same expression directly from
+    // `part`: the stored column IS the expression, for every row.
+    "cat_materialized_col" -> ((s, d) => {
+      val src = Tables.part(s, d).select(col("p_partkey"), col("p_size"))
+      val cat = new Catalog(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-matcol")
+      registerForCleanup(tmp)
+      val schema = src.schema
+        .add("size_band", org.apache.spark.sql.types.IntegerType)
+      cat.createTable(TableDef("part_mat", tmp.resolve("part_mat").toString,
+        schema, sortKeys = Seq("p_partkey"), semantics = Append,
+        materializedCols = Seq(
+          "size_band" -> "CAST(floor(p_size / 10) AS INT)")))
+      cat.append("part_mat", src)
+      cat.read("part_mat")
+        .groupBy(col("size_band"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p_size")).cast("long").as("size_sum"))
+        .orderBy(col("size_band"))
+    }),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -855,5 +958,33 @@ object CatalogOps extends QueryModule {
       """SELECT 'sup_m' || (s_nationkey % 3) AS _table, count(*) AS n,
         | round(sum(s_acctbal), 2) AS bal_sum
         |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // every supplier row satisfies both declared checks, so the
+    // constrained table holds exactly `supplier`
+    "cat_constraint" ->
+      """SELECT s_nationkey, count(*) AS n,
+        | round(sum(s_acctbal), 2) AS bal_sum
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    // the sharded join restated as a plain join on the original table
+    "cat_distributed_join" ->
+      """SELECT n_name, count(*) AS n,
+        | round(sum(c_acctbal), 2) AS bal_sum
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // the OR of the user's two policy predicates, restated as a WHERE
+    "cat_row_policy" ->
+      """SELECT s_nationkey, count(*) AS n,
+        | round(sum(s_acctbal), 2) AS bal_sum
+        |FROM supplier WHERE s_nationkey < 10 OR s_nationkey = 20
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    // the MATERIALIZED expression recomputed directly from the source:
+    // the stored column must equal it row for row
+    "cat_materialized_col" ->
+      """SELECT CAST(floor(p_size / 10) AS INT) AS size_band, count(*) AS n,
+        | CAST(sum(p_size) AS BIGINT) AS size_sum
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -99,6 +99,85 @@ object Dictionaries extends QueryModule {
       .drop("__k", "__path", "__next")
   }
 
+  /** `range_hashed` dictionary layout (CH: `LAYOUT(RANGE_HASHED())`): rows
+    * are (key, range lo..hi, attribute); `dictGet` probes with (key, point)
+    * and resolves the range containing the point. CH leaves the
+    * overlapping-range winner to a server setting
+    * (`range_lookup_strategy`); here it is pinned DETERMINISTIC: the
+    * matching range with the smallest `lo` wins (= `min` strategy).
+    *
+    * Shape: the dict is packed per key into a lo-sorted range array
+    * (groupBy of the DICT only — tiny), the fact side takes ONE broadcast
+    * equi-join on the key, and the range resolution happens INSIDE the
+    * row via a higher-order `filter` over the packed array. The fact
+    * table never shuffles and never multiplies: an unpacked range join
+    * would emit one row per overlapping candidate and need a fact-wide
+    * groupBy to pick the winner — a full extra shuffle of the big side.
+    */
+  final case class RangeDict(dim: DataFrame, key: String,
+                             lo: String, hi: String) {
+    def getOrDefault(fact: DataFrame, factKey: Column, point: Column,
+                     attr: String, default: Column, as: String): DataFrame = {
+      val packed = dim.groupBy(col(key).as("__rk"))
+        .agg(sort_array(collect_list(struct(col(lo).as("lo"),
+          col(hi).as("hi"), col(attr).as("v")))).as("__rng"))
+      // sort_array orders the structs by `lo` (first field), so the first
+      // surviving element after the in-row filter IS the smallest-lo match;
+      // get() (0-based) yields null on no-match without tripping ANSI mode
+      fact.join(broadcast(packed), factKey === col("__rk"), "left_outer")
+        .withColumn(as, coalesce(
+          get(filter(col("__rng"),
+            r => point >= r.getField("lo") && point <= r.getField("hi")),
+            lit(0)).getField("v"),
+          default))
+        .drop("__rk", "__rng")
+    }
+  }
+
+  /** `ip_trie` dictionary layout (CH: `LAYOUT(IP_TRIE())`): CIDR prefixes →
+    * attribute, probed by IPv4 address with LONGEST-prefix-match (the
+    * GeoIP/ASN-enrichment layout). CH keeps a trie per server; the Spark
+    * analog exploits that a trie probe is equivalent to "try each distinct
+    * prefix length, longest first": one broadcast hash probe per DISTINCT
+    * prefix length present in the dictionary (≤ 33, typically 2–5),
+    * coalesced longest-first. The fact side never shuffles, never
+    * explodes, and each probe is a codegen'd hash lookup against the
+    * masked address — per-row work is O(distinct lengths), independent of
+    * dictionary size, exactly the trie's depth bound.
+    *
+    * The distinct-length collect is a documented bounded driver read of
+    * the DICT (≤ 33 values by construction of IPv4).
+    */
+  final case class IpTrieDict(dim: DataFrame, cidr: String, attr: String) {
+    def getOrDefault(fact: DataFrame, ip: Column, default: Column,
+                     as: String): DataFrame = {
+      val quad = split(split(col(cidr), "/").getItem(0), "\\.")
+      val parsed = dim.select(
+        split(col(cidr), "/").getItem(1).cast("int").as("__len"),
+        (quad.getItem(0).cast("long") * 16777216L +
+         quad.getItem(1).cast("long") * 65536L +
+         quad.getItem(2).cast("long") * 256L +
+         quad.getItem(3).cast("long")).as("__net"),
+        col(attr).as("__v"))
+      val lens = parsed.select(col("__len")).distinct()
+        .collect().map(_.getInt(0)).sorted.reverse.toSeq
+      var out = fact
+      val hits = lens.map { l =>
+        val mask = (0xFFFFFFFFL << (32 - l)) & 0xFFFFFFFFL
+        // the dict's own net is masked too: host bits in a declared CIDR
+        // ("10.3.7.9/16") must not poison the match
+        val d = broadcast(parsed.filter(col("__len") === l)
+          .select(col("__net").bitwiseAND(lit(mask)).as(s"__net$l"),
+            col("__v").as(s"__v$l")))
+        out = out.join(d, ip.bitwiseAND(lit(mask)) === col(s"__net$l"),
+          "left_outer")
+        col(s"__v$l")
+      }
+      out.withColumn(as, coalesce(hits :+ default: _*))
+        .drop(lens.flatMap(l => Seq(s"__net$l", s"__v$l")): _*)
+    }
+  }
+
   override def queries: Map[String, Q] = Map(
     // Chained dictGet + a getOrDefault miss: supplier -> nation name via
     // the nation dict, nation -> region name via the region dict, plus a
@@ -143,6 +222,56 @@ object Dictionaries extends QueryModule {
         .select(col("s_suppkey"), array_join(col("path"), ",").as("path"))
         .orderBy(col("s_suppkey"))
     }),
+
+    // range_hashed dictGet: per-nation acctbal tier bands whose boundaries
+    // vary by key AND deliberately overlap (lo ends at 2000+100k, mid
+    // starts at 1500; mid ends at 7000+100k, hi starts at 6000) — the
+    // smallest-lo winner contract is what the oracle's arg_min(v, lo)
+    // restates. Nations >= 20 are absent from the dict, so their
+    // suppliers resolve to the default.
+    "dict_range" -> ((s, d) => {
+      val n = Tables.nation(s, d).filter(col("n_nationkey") < 20)
+      def band(lo: Column, hi: Column, tag: String) =
+        struct(lo.cast("double").as("lo"), hi.cast("double").as("hi"),
+          concat(col("n_name"), lit(":" + tag)).as("v"))
+      val dim = n.select(col("n_nationkey").as("k"), explode(array(
+          band(lit(-1000.0), lit(2000) + col("n_nationkey") * 100, "lo"),
+          band(lit(1500.0), lit(7000) + col("n_nationkey") * 100, "mid"),
+          band(lit(6000.0), lit(100000.0), "hi"))).as("r"))
+        .select(col("k"), col("r.lo").as("lo"), col("r.hi").as("hi"),
+          col("r.v").as("v"))
+      RangeDict(dim, "k", "lo", "hi")
+        .getOrDefault(
+          Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"),
+            col("s_acctbal")),
+          col("s_nationkey"), col("s_acctbal"), "v", lit("none"), "tier")
+        .select(col("s_suppkey"), col("tier"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // ip_trie dictGet: nested prefixes — every nation owns k.0.0.0/8, and
+    // inside it the k.(4k).0.0/16 subnet carries a finer label; events'
+    // synthetic IPs (the fn_ip derivation) land in /16, /8, or neither,
+    // and longest-prefix-match picks :16 over :8 over the default.
+    "dict_ip_trie" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val dim = n.select(
+          concat(col("n_nationkey").cast("string"), lit(".0.0.0/8"))
+            .as("cidr"),
+          concat(col("n_name"), lit(":8")).as("label"))
+        .unionByName(n.select(
+          concat(col("n_nationkey").cast("string"), lit("."),
+            (col("n_nationkey") * 4).cast("string"), lit(".0.0/16"))
+            .as("cidr"),
+          concat(col("n_name"), lit(":16")).as("label")))
+      val fact = Tables.events(s, d).filter(col("event_id") < 300)
+        .select(col("event_id"),
+          pmod(col("user_id") * 2654435761L, lit(4294967296L)).as("ip"))
+      IpTrieDict(dim, "cidr", "label")
+        .getOrDefault(fact, col("ip"), lit("unknown"), "label")
+        .select(col("event_id"), col("ip"), col("label"))
+        .orderBy(col("event_id"))
+    }),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -161,5 +290,43 @@ object Dictionaries extends QueryModule {
       """SELECT s_suppkey, s_nationkey || ',' || (n_regionkey + 100) AS path
         |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
         |ORDER BY s_suppkey""".stripMargin,
+
+    // the oracle restates the smallest-lo-wins contract as arg_min(v, lo)
+    // over the unpacked range join (misses produce all-null dict columns,
+    // which arg_min ignores -> null -> default)
+    "dict_range" ->
+      """WITH dict AS (
+        |  SELECT n_nationkey AS k, -1000.0 AS lo,
+        |         CAST(2000 + 100 * n_nationkey AS DOUBLE) AS hi,
+        |         n_name || ':lo' AS v
+        |  FROM nation WHERE n_nationkey < 20
+        |  UNION ALL
+        |  SELECT n_nationkey, 1500.0,
+        |         CAST(7000 + 100 * n_nationkey AS DOUBLE),
+        |         n_name || ':mid'
+        |  FROM nation WHERE n_nationkey < 20
+        |  UNION ALL
+        |  SELECT n_nationkey, 6000.0, 100000.0, n_name || ':hi'
+        |  FROM nation WHERE n_nationkey < 20)
+        |SELECT s_suppkey, coalesce(arg_min(v, lo), 'none') AS tier
+        |FROM supplier LEFT JOIN dict
+        |  ON s_nationkey = k AND s_acctbal >= lo AND s_acctbal <= hi
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+
+    // the oracle hardcodes this dictionary's two prefix lengths as two
+    // explicit octet-arithmetic joins, coalesced longest-first — the LPM
+    // contract restated without any trie machinery
+    "dict_ip_trie" ->
+      """WITH f AS (
+        |  SELECT event_id, (user_id * 2654435761) % 4294967296 AS ip
+        |  FROM events WHERE event_id < 300)
+        |SELECT event_id, ip,
+        |  coalesce(n16.n_name || ':16', n8.n_name || ':8', 'unknown')
+        |    AS label
+        |FROM f
+        |LEFT JOIN nation n16 ON (ip >> 24) = n16.n_nationkey
+        |  AND ((ip >> 16) & 255) = 4 * n16.n_nationkey
+        |LEFT JOIN nation n8 ON (ip >> 24) = n8.n_nationkey
+        |ORDER BY event_id""".stripMargin,
   )
 }

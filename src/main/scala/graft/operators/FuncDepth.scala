@@ -315,6 +315,26 @@ object FuncDepth extends QueryModule {
           bin(col("p_partkey")).as("key_bin"))
         .orderBy(col("p_partkey"))
     }),
+
+    // Nested type + multi-array ARRAY JOIN: CH `Nested(ln, qty)` stores
+    // parallel arrays and `ARRAY JOIN ns.ln, ns.qty` explodes them in
+    // LOCKSTEP (never a cross product). Same here: per-order parallel
+    // arrays built from lineitem, zip-exploded via arrays_zip — the
+    // round-trip back to the original rows proves position i of one
+    // array stays glued to position i of the other.
+    "fn_nested_zip" -> ((s, d) =>
+      Tables.lineitem(s, d).filter(col("l_orderkey") < 200)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber"), col("l_quantity")))).as("ns"))
+        .select(col("l_orderkey"),
+          transform(col("ns"), x => x.getField("l_linenumber")).as("lns"),
+          transform(col("ns"), x => x.getField("l_quantity")).as("qtys"))
+        .select(col("l_orderkey"),
+          explode(arrays_zip(col("lns"), col("qtys"))).as("z"))
+        .select(col("l_orderkey"),
+          col("z.lns").as("ln"), col("z.qtys").as("qty"))
+        .orderBy(col("l_orderkey"), col("ln"))),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -404,6 +424,12 @@ object FuncDepth extends QueryModule {
         |  sum(CASE WHEN st = 'O' THEN cnt ELSE 0 END)::BIGINT AS n_o,
         |  sum(CASE WHEN st IN ('F', 'P') THEN cnt ELSE 0 END)::BIGINT AS n_fp
         |FROM c GROUP BY prio ORDER BY prio""".stripMargin,
+
+    // the zip-explode round-trips to the original rows
+    "fn_nested_zip" ->
+      """SELECT l_orderkey, l_linenumber AS ln, l_quantity AS qty
+        |FROM lineitem WHERE l_orderkey < 200
+        |ORDER BY l_orderkey, ln""".stripMargin,
 
     "fn_encoding" ->
       """SELECT p_partkey,

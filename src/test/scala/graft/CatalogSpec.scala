@@ -1471,4 +1471,124 @@ class CatalogSpec extends SparkSpecBase {
     cat.compact("frzt") // snapshotPins must not parse the stage file
     cat.read("frzt").collect().length shouldBe 1
   }
+
+  test("CHECK constraints: a violating block is rejected whole; NULL passes") {
+    val cat = new Catalog(spark)
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType)))
+    cat.createTable(TableDef("ck", tmpDir("cat") + "/ck", schema,
+      Seq("k"), Append,
+      constraints = Seq("v_pos" -> "v > 0")))
+    cat.append("ck", Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
+    // one bad row fails the WHOLE block atomically: nothing lands
+    val ex = intercept[Exception] {
+      cat.append("ck", Seq(("c", 3L), ("d", -1L)).toDF("k", "v"))
+    }
+    ex.getMessage should include("v_pos")
+    cat.read("ck").count() shouldBe 2
+    // SQL CHECK semantics: a NULL-valued constraint passes
+    cat.append("ck", Seq(("e", None: Option[Long])).toDF("k", "v"))
+    cat.read("ck").count() shouldBe 3
+  }
+
+  test("CHECK constraints: unresolvable or non-boolean exprs refused at CREATE") {
+    val cat = new Catalog(spark)
+    val schema = StructType(Seq(StructField("k", StringType)))
+    intercept[Exception] {
+      cat.createTable(TableDef("ckbad", tmpDir("cat") + "/ckbad", schema,
+        Seq("k"), Append, constraints = Seq("c" -> "no_such_col > 0")))
+    }.getMessage should include("does not resolve")
+    intercept[Exception] {
+      cat.createTable(TableDef("ckbad2", tmpDir("cat") + "/ckbad2", schema,
+        Seq("k"), Append, constraints = Seq("c" -> "length(k)")))
+    }.getMessage should include("not boolean")
+  }
+
+  test("MATERIALIZED columns: computed at insert, stored, not insertable; " +
+       "def survives attach") {
+    val cat = new Catalog(spark)
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType),
+      StructField("v2", LongType)))
+    val path = tmpDir("cat") + "/mat"
+    cat.createTable(TableDef("mat", path, schema, Seq("k"), Append,
+      constraints = Seq("v_pos" -> "v >= 0"),
+      materializedCols = Seq("v2" -> "v * 2")))
+    cat.append("mat", Seq(("a", 3L), ("b", 5L)).toDF("k", "v"))
+    cat.read("mat").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(2))) shouldBe
+      Array(("a", 6L), ("b", 10L))
+    // supplying the materialized column is refused (CH INSERT contract)
+    intercept[Exception] {
+      cat.append("mat", Seq(("c", 1L, 99L)).toDF("k", "v", "v2"))
+    }.getMessage should include("MATERIALIZED")
+    // the declaration round-trips through the _TABLE sidecar: a fresh
+    // catalog's attach() keeps computing AND keeps checking
+    val cat2 = new Catalog(spark)
+    val t2 = cat2.attach(path)
+    t2.materializedCols shouldBe Seq("v2" -> "v * 2")
+    t2.constraints shouldBe Seq("v_pos" -> "v >= 0")
+    cat2.append("mat", Seq(("c", 7L)).toDF("k", "v"))
+    cat2.read("mat").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(2))) shouldBe
+      Array(("a", 6L), ("b", 10L), ("c", 14L))
+    intercept[Exception] {
+      cat2.append("mat", Seq(("d", -1L)).toDF("k", "v"))
+    }
+    cat2.read("mat").count() shouldBe 3
+  }
+
+  test("row policies: OR-combined per user, restrictive default, droppable") {
+    val cat = new Catalog(spark)
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType)))
+    cat.createTable(TableDef("rp", tmpDir("cat") + "/rp", schema,
+      Seq("k"), Append))
+    cat.append("rp", Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v"))
+    // no policies: everyone reads everything
+    cat.readAs("rp", "alice").count() shouldBe 3
+    cat.createRowPolicy("rp", "low", Seq("alice"), "v <= 1")
+    cat.createRowPolicy("rp", "high", Seq("alice", "bob"), "v >= 3")
+    // alice: OR of her two policies; bob: his one; carol: covered by
+    // none on a policied table -> zero rows (CH restrictive default)
+    cat.readAs("rp", "alice").collect().map(_.getString(0)).sorted shouldBe
+      Array("a", "c")
+    cat.readAs("rp", "bob").collect().map(_.getString(0)) shouldBe Array("c")
+    cat.readAs("rp", "carol").count() shouldBe 0
+    cat.systemRowPolicies().collect().map(r =>
+      (r.getString(1), r.getString(2))) shouldBe
+      Array(("low", "alice"), ("high", "alice,bob"))
+    // duplicates and unresolvable/non-boolean predicates are refused
+    intercept[Exception] {
+      cat.createRowPolicy("rp", "low", Seq("dave"), "v > 0")
+    }
+    intercept[Exception] {
+      cat.createRowPolicy("rp", "badcol", Seq("dave"), "nope > 0")
+    }.getMessage should include("does not resolve")
+    intercept[Exception] {
+      cat.createRowPolicy("rp", "badtype", Seq("dave"), "v + 1")
+    }.getMessage should include("not boolean")
+    // dropping the last policy restores open reads
+    cat.dropRowPolicy("rp", "low") shouldBe true
+    cat.readAs("rp", "alice").collect().map(_.getString(0)) shouldBe Array("c")
+    cat.dropRowPolicy("rp", "high") shouldBe true
+    cat.dropRowPolicy("rp", "high") shouldBe false
+    cat.readAs("rp", "carol").count() shouldBe 3
+  }
+
+  test("MATERIALIZED exprs must resolve over base columns and cast to the " +
+       "declared type") {
+    val cat = new Catalog(spark)
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("m", LongType)))
+    intercept[Exception] {
+      cat.createTable(TableDef("matbad", tmpDir("cat") + "/matbad", schema,
+        Seq("k"), Append, materializedCols = Seq("m" -> "m + 1")))
+    }.getMessage should include("does not resolve") // self-reference: m is
+    // excluded from the base frame, so this fails like any missing column
+    intercept[Exception] {
+      cat.createTable(TableDef("matbad2", tmpDir("cat") + "/matbad2", schema,
+        Seq("k"), Append, materializedCols = Seq("m" -> "array(1, 2)")))
+    }.getMessage should include("not castable")
+  }
 }

@@ -57,4 +57,47 @@ class DictionariesSpec extends SparkSpecBase {
     val plan = df.queryExecution.executedPlan.toString
     plan.linesIterator.count(_.contains("BroadcastHashJoin")) shouldBe 4
   }
+
+  test("range_hashed: smallest-lo wins on overlap, bounds inclusive, " +
+       "misses default") {
+    val dim = Seq((1L, 0.0, 10.0, "a"), (1L, 5.0, 20.0, "b"))
+      .toDF("k", "lo", "hi", "v")
+    val fact = Seq((10L, 1L, 7.0), (20L, 1L, 15.0), (30L, 1L, 20.0),
+      (40L, 1L, 99.0), (50L, 2L, 7.0)).toDF("id", "k", "p")
+    val got = Dictionaries.RangeDict(dim, "k", "lo", "hi")
+      .getOrDefault(fact, col("k"), col("p"), "v", lit("?"), "t")
+      .orderBy(col("id")).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    got shouldBe Map(10L -> "a", // both ranges match; lo=0 beats lo=5
+      20L -> "b", 30L -> "b",    // hi is inclusive
+      40L -> "?", 50L -> "?")    // point out of range; key absent
+  }
+
+  test("ip_trie: longest prefix wins, host bits in the CIDR are masked, " +
+       "misses default") {
+    def ip(a: Long, b: Long, c: Long, d: Long): Long =
+      a * 16777216L + b * 65536L + c * 256L + d
+    val dim = Seq(("10.0.0.0/8", "net8"), ("10.3.7.9/16", "net16"),
+      ("0.0.0.0/0", "default-route")).toDF("cidr", "label")
+    val fact = Seq((1L, ip(10, 3, 200, 1)), (2L, ip(10, 4, 0, 1)),
+      (3L, ip(11, 0, 0, 1))).toDF("id", "addr")
+    val got = Dictionaries.IpTrieDict(dim, "cidr", "label")
+      .getOrDefault(fact, col("addr"), lit("miss"), "label")
+      .orderBy(col("id")).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // 10.3.x.x: /16 wins over /8 and /0 (and the /16's host bits 7.9 did
+    // not narrow it to an exact-address match); 10.4.x.x: /8; 11.x: /0
+    got shouldBe Map(1L -> "net16", 2L -> "net8", 3L -> "default-route")
+  }
+
+  test("range and trie probes plan as broadcast joins, never sort-merge") {
+    Seq("dict_range", "dict_ip_trie").foreach { q =>
+      val plan = Dictionaries.queries(q)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      withClue(q) {
+        plan should include("BroadcastHashJoin")
+        plan should not include "SortMergeJoin"
+      }
+    }
+  }
 }

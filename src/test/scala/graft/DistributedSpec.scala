@@ -73,4 +73,20 @@ class DistributedSpec extends SparkSpecBase {
       PolyHash(lit("12345")).as("h")).head.getLong(0)
     sparkSide shouldBe PolyHash.fold("12345")
   }
+
+  test("GLOBAL JOIN shape: one broadcast over the member union, no " +
+       "fact-side shuffle before the aggregate") {
+    val df = graft.operators.CatalogOps.queries("cat_distributed_join")(
+      spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    // the only Exchange below the join must be the broadcast itself —
+    // the fact union feeds the join directly from the member scans
+    val joinDown = plan.linesIterator
+      .dropWhile(!_.contains("BroadcastHashJoin")).mkString("\n")
+    joinDown.linesIterator
+      .count(l => l.contains("Exchange") &&
+        !l.contains("BroadcastExchange")) shouldBe 0
+  }
 }

@@ -59,6 +59,24 @@ class IntrospectionSpec extends SparkSpecBase {
     }
   }
 
+  test("systemDetachedParts lists what ATTACH PARTITION could re-adopt") {
+    val (cat, dir) = freshCat("sys-det")
+    val df = spark.range(0, 100).select(col("id").as("k"),
+      (col("id") % 3).cast("long").as("p"))
+    cat.createTable(TableDef("t", s"$dir/t", df.schema,
+      sortKeys = Seq("k"), semantics = Append, partitionKeys = Seq("p")))
+    cat.append("t", df)
+    cat.systemDetachedParts("t").count() shouldBe 0
+    cat.detachPartition("t", 1L) should be > 0
+    val det = cat.systemDetachedParts("t").collect()
+    det.map(_.getString(1)).distinct shouldBe Array("p=1")
+    all(det.map(_.getLong(2))) should be > 0L // files
+    all(det.map(_.getLong(3))) should be > 0L // bytes
+    cat.attachPartition("t", 1L)
+    cat.systemDetachedParts("t").count() shouldBe 0
+    cat.read("t").count() shouldBe 100L
+  }
+
   test("attach re-registers a table from its persisted _TABLE metadata") {
     // the ATTACH TABLE analog: a fresh process (here: a fresh Catalog)
     // recovers the full definition — schema, keys, semantics, layout —

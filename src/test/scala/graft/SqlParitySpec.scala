@@ -41,6 +41,8 @@ class SqlParitySpec extends SparkSpecBase {
     "cat_partition_ops", "cat_snapshot_read", "cat_bloom_scan",
     "cat_minmax_scan", "cat_renamed_scan",
     "cat_dedup_optimize", "cat_modified_scan", "cat_collapsing_scan",
+    "cat_constraint", "cat_materialized_col", "cat_row_policy",
+    "cat_distributed_join",
     "cat_distributed_scan", "cat_lightweight_delete", "cat_null_mv",
     "cat_replacing_delete", "cat_buffer_read", "cat_join_engine", "src_merge",
     "src_jsonl", "src_orc",
@@ -56,7 +58,8 @@ class SqlParitySpec extends SparkSpecBase {
     "p8_count_if", "p9_point_lookup", "proj_rollup_count",
     "proj_rollup_sum", "proj_sorted_lookup", "q1_agg", "q3_shipping",
     "q5_region_revenue",
-    "set_except", "set_intersect", "set_union", "ts_session", "win_dist",
+    "set_except", "set_intersect", "set_union", "set_except_all",
+    "set_intersect_all", "limit_ties", "fn_nested_zip", "ts_session", "win_dist",
     "win_lag", "win_ntile_dense", "win_rank", "win_running_sum")
 
   /** DuckDB-blocked queries with a mechanical Spark-SQL twin. */
@@ -787,7 +790,56 @@ class SqlParitySpec extends SparkSpecBase {
         |          CAST(pmod(p_size * 3, 7) AS BIGINT),
         |          CAST(pmod(length(p_name), 5) AS BIGINT)) AS n
         |  FROM part WHERE p_name LIKE '%widget%')
-        |ORDER BY p_partkey""".stripMargin)
+        |ORDER BY p_partkey""".stripMargin,
+
+    // DuckDB arg_min -> Spark min_by (same null-ignoring semantics)
+    "dict_range" ->
+      """WITH dict AS (
+        |  SELECT n_nationkey AS k, -1000.0 AS lo,
+        |         CAST(2000 + 100 * n_nationkey AS DOUBLE) AS hi,
+        |         n_name || ':lo' AS v
+        |  FROM nation WHERE n_nationkey < 20
+        |  UNION ALL
+        |  SELECT n_nationkey, 1500.0,
+        |         CAST(7000 + 100 * n_nationkey AS DOUBLE),
+        |         n_name || ':mid'
+        |  FROM nation WHERE n_nationkey < 20
+        |  UNION ALL
+        |  SELECT n_nationkey, 6000.0, 100000.0, n_name || ':hi'
+        |  FROM nation WHERE n_nationkey < 20)
+        |SELECT s_suppkey, coalesce(min_by(v, lo), 'none') AS tier
+        |FROM supplier LEFT JOIN dict
+        |  ON s_nationkey = k AND s_acctbal >= lo AND s_acctbal <= hi
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+
+    // Spark 4.1 recursive CTEs support UNION ALL only
+    // (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE); this derivation is
+    // duplicate-free (cur strictly decreases along each ancestor chain),
+    // so ALL ≡ DISTINCT here and the twin is exact
+    "cte_recursive" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT c_custkey AS start, c_custkey AS cur
+        |  FROM customer WHERE c_custkey <= 64
+        |  UNION ALL
+        |  SELECT a.start, CAST(floor(e.c_custkey / 2) AS BIGINT) AS cur
+        |  FROM anc a JOIN customer e
+        |    ON a.cur = e.c_custkey AND e.c_custkey > 1)
+        |SELECT start, count(*) - 1 AS n_ancestors, min(cur) AS root
+        |FROM anc GROUP BY start ORDER BY start""".stripMargin,
+
+    // DuckDB >> / % -> Spark shiftright / pmod
+    "dict_ip_trie" ->
+      """WITH f AS (
+        |  SELECT event_id, pmod(user_id * 2654435761, 4294967296) AS ip
+        |  FROM events WHERE event_id < 300)
+        |SELECT event_id, ip,
+        |  coalesce(n16.n_name || ':16', n8.n_name || ':8', 'unknown')
+        |    AS label
+        |FROM f
+        |LEFT JOIN nation n16 ON shiftright(ip, 24) = n16.n_nationkey
+        |  AND (shiftright(ip, 16) & 255) = 4 * n16.n_nationkey
+        |LEFT JOIN nation n8 ON shiftright(ip, 24) = n8.n_nationkey
+        |ORDER BY event_id""".stripMargin)
 
   /** No single-statement Spark-SQL form — each with the blocking construct.
     * These stay DataFrame-surface operators (still oracled in CORRECTNESS).
