@@ -34,7 +34,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[catalog] final case class GovernedQuery(queryId: String, tag: String,
                                                 startedMs: Long, maxMs: Long)
 
-final class QueryGovernor(spark: SparkSession) {
+/** One quota declaration: limits are per `intervalMs` window, 0 = that
+  * dimension unlimited (the CH `CREATE QUOTA … FOR INTERVAL` shape).
+  */
+private[catalog] final case class QuotaDef(name: String, users: Set[String],
+    intervalMs: Long, maxQueries: Long, maxErrors: Long,
+    maxResultRows: Long, maxExecMs: Long)
+
+private[catalog] final class QuotaWindow(var windowStart: Long) {
+  var queries = 0L
+  var errors = 0L
+  var resultRows = 0L
+  var execMs = 0L
+}
+
+/** `clock` is injectable so quota-window rollover is testable without
+  * sleeping; production uses wall time.
+  */
+final class QueryGovernor(spark: SparkSession,
+                          clock: () => Long = () => System.currentTimeMillis()) {
 
   private val running = TrieMap.empty[String, GovernedQuery]
   // daemon timer: an abandoned governor must not pin the JVM
@@ -107,6 +125,112 @@ final class QueryGovernor(spark: SparkSession) {
       timer.schedule(ticker, 250L, 250L)
       true
     }
+
+  // ---- quotas ---------------------------------------------------------
+  //
+  // CH `CREATE QUOTA q FOR INTERVAL i MAX queries n, errors e, result_rows
+  // r, execution_time t TO users`: usage accumulates per user per rolling
+  // interval window; the CHECK happens when a query STARTS (a query that
+  // pushes usage over its limit completes — the NEXT one is refused with
+  // QUOTA_EXCEEDED), and counters reset when the window elapses. Result
+  // rows are reported by the caller ([[accountRows]]) because a generic
+  // governed action has no inspectable row count.
+
+  private val quotas = TrieMap.empty[String, QuotaDef]
+  // usage keyed (quota, user): each covered user gets its own window
+  private val usage = TrieMap.empty[(String, String), QuotaWindow]
+
+  def createQuota(name: String, users: Seq[String], intervalMs: Long,
+                  maxQueries: Long = 0L, maxErrors: Long = 0L,
+                  maxResultRows: Long = 0L, maxExecMs: Long = 0L): Unit = {
+    require(users.nonEmpty, s"quota $name names no users")
+    require(intervalMs > 0, s"quota $name: interval must be positive")
+    require(quotas.putIfAbsent(name, QuotaDef(name, users.toSet, intervalMs,
+        maxQueries, maxErrors, maxResultRows, maxExecMs)).isEmpty,
+      s"quota $name already exists")
+  }
+
+  def dropQuota(name: String): Boolean = {
+    usage.keys.filter(_._1 == name).foreach(usage.remove)
+    quotas.remove(name).isDefined
+  }
+
+  /** The user's live windows, one per quota covering them, rolled to the
+    * current interval.
+    */
+  private def windowsOf(user: String): Seq[(QuotaDef, QuotaWindow)] =
+    quotas.values.filter(_.users.contains(user)).toSeq.sortBy(_.name).map {
+      q =>
+        val w = usage.getOrElseUpdate((q.name, user),
+          new QuotaWindow(clock()))
+        w.synchronized {
+          if (clock() - w.windowStart >= q.intervalMs) {
+            w.windowStart = clock()
+            w.queries = 0; w.errors = 0; w.resultRows = 0; w.execMs = 0
+          }
+        }
+        (q, w)
+    }
+
+  /** Run `action` as `user`: every quota covering the user is checked
+    * FIRST (QUOTA_EXCEEDED refuses the query before any work), then the
+    * run is governed exactly like [[run]] (registered, killable,
+    * watchdogged), then queries/errors/execution time are accounted.
+    */
+  def runAs[T](user: String, queryId: String, maxExecutionMs: Long = 0L)
+              (action: => T): T = {
+    windowsOf(user).foreach { case (q, w) => w.synchronized {
+      def over(limit: Long, used: Long, dim: String): Unit =
+        if (limit > 0 && used >= limit)
+          throw new IllegalStateException(
+            s"QUOTA_EXCEEDED: quota ${q.name} for $user: $dim " +
+              s"$used/$limit in the current interval")
+      over(q.maxQueries, w.queries, "queries")
+      over(q.maxErrors, w.errors, "errors")
+      over(q.maxResultRows, w.resultRows, "result_rows")
+      over(q.maxExecMs, w.execMs, "execution_ms")
+    } }
+    val t0 = clock()
+    var failed = false
+    try run(queryId, maxExecutionMs)(action)
+    catch { case e: Throwable => failed = true; throw e }
+    finally {
+      val dt = clock() - t0
+      windowsOf(user).foreach { case (_, w) => w.synchronized {
+        w.queries += 1
+        if (failed) w.errors += 1
+        w.execMs += dt
+      } }
+    }
+  }
+
+  /** Report a query's result size against the user's quotas (CH counts
+    * result_rows server-side; here the caller that materialized the
+    * result reports it). Checked at the NEXT query start.
+    */
+  def accountRows(user: String, rows: Long): Unit =
+    windowsOf(user).foreach { case (_, w) =>
+      w.synchronized(w.resultRows += rows) }
+
+  /** `system.quotas`: the declarations. */
+  def systemQuotas(): DataFrame = {
+    import spark.implicits._
+    quotas.values.toSeq.sortBy(_.name)
+      .map(q => (q.name, q.users.toSeq.sorted.mkString(","), q.intervalMs,
+        q.maxQueries, q.maxErrors, q.maxResultRows, q.maxExecMs))
+      .toDF("quota", "users", "interval_ms", "max_queries", "max_errors",
+        "max_result_rows", "max_exec_ms")
+  }
+
+  /** `system.quota_usage`: live counters in each (quota, user) window. */
+  def systemQuotaUsage(): DataFrame = {
+    import spark.implicits._
+    usage.toSeq.sortBy(_._1)
+      .map { case ((q, u), w) => w.synchronized(
+        (q, u, w.windowStart, w.queries, w.errors, w.resultRows, w.execMs)) }
+      .toDF("quota", "user", "window_start", "queries", "errors",
+        "result_rows", "exec_ms")
+  }
 
   /** `system.processes`: the queries live RIGHT NOW, with elapsed wall
     * time and their configured limit (0 = unlimited).

@@ -357,6 +357,23 @@ object Analytics extends QueryModule {
         .groupBy(col("k")).agg(count(lit(1)).as("n"))
         .orderBy(col("k"))),
 
+    // Parameterized view through the SQL entry point: the view text
+    // carries typed {param:Type} placeholders, the invocation binds
+    // values through the typed-literal renderer (the injection barrier),
+    // and the bound text runs through the session's own parser/optimizer
+    // like any SQL. The oracle is the same text with the parameters
+    // inlined by hand.
+    "sql_param_view" -> ((s, d) => {
+      graft.sql.GraftSql.createParamView("orders_by_seg",
+        """SELECT o_orderpriority, count(*) AS n,
+          | round(sum(o_totalprice), 2) AS total
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = {seg:String} AND o_totalprice >= {lo:UInt32}
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      graft.sql.GraftSql.paramView(s, d, "orders_by_seg",
+        Map("seg" -> "BUILDING", "lo" -> 50000))
+    }),
+
     // WITH RECURSIVE through the engine's generic fixpoint (semi-naive,
     // Fixpoint.scala): ancestor closure over the implicit binary-tree
     // parent edge custkey -> floor(custkey/2), seeded from customers
@@ -816,6 +833,14 @@ object Analytics extends QueryModule {
         |         rank() OVER (ORDER BY o_totalprice DESC) AS r
         |  FROM orders) t WHERE r <= 10
         |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+
+    // the parameterized view with its two bindings inlined by hand
+    "sql_param_view" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_totalprice >= 50000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // DuckDB's native recursion restates the fixpoint: UNION (distinct)
     // recursion over the same edge derivation

@@ -56,6 +56,74 @@ object GraftSql {
     s.sql(query)
   }
 
+  // ---- parameterized views --------------------------------------------
+  //
+  // CH `CREATE VIEW v AS SELECT … WHERE x = {p:Type}` + `SELECT * FROM
+  // v(p = val)`: the view text carries typed placeholders; invocation
+  // binds values. Substitution is TYPED literal rendering — numbers are
+  // validated numeric (an integer placeholder refuses '1; DROP …'),
+  // strings are escaped — so a parameter can never smuggle SQL.
+
+  private val paramRe = """\{(\w+)\s*:\s*([A-Za-z0-9()]+)\}""".r
+  private val paramViews =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Register (or replace) a parameterized view. */
+  def createParamView(name: String, text: String): Unit = {
+    require(paramRe.findFirstIn(text).isDefined,
+      s"parameterized view $name declares no {param:Type} placeholders " +
+        "(use a plain temp view instead)")
+    paramViews.put(name, text)
+  }
+
+  /** Invoke a parameterized view with bound values — `SELECT * FROM
+    * name(p = v, …)`. Every declared placeholder must be bound and no
+    * extras are accepted.
+    */
+  def paramView(s: SparkSession, sfDir: String, name: String,
+                params: Map[String, Any]): DataFrame = {
+    val text = paramViews.getOrElse(name,
+      throw new NoSuchElementException(s"unknown parameterized view $name"))
+    val decls = paramRe.findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2)).toMap
+    val missing = decls.keySet.diff(params.keySet)
+    require(missing.isEmpty, s"$name: unbound parameters $missing")
+    val extra = params.keySet.diff(decls.keySet)
+    require(extra.isEmpty, s"$name: unknown parameters $extra")
+    val bound = paramRe.replaceAllIn(text, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        renderLiteral(name, m.group(1), m.group(2), params(m.group(1)))))
+    sql(s, sfDir, bound)
+  }
+
+  /** Render one bound value as a Spark SQL literal of the declared CH
+    * placeholder type — validation IS the injection barrier.
+    */
+  private def renderLiteral(view: String, p: String, chType: String,
+                            v: Any): String = {
+    val t = chType.toLowerCase
+    def num: String = v match {
+      case n: java.lang.Number => n.toString
+      case other => throw new IllegalArgumentException(
+        s"$view: parameter $p declared $chType but bound to " +
+          s"non-numeric ${other.getClass.getSimpleName}")
+    }
+    if (t.startsWith("uint") || t.startsWith("int")) {
+      val s = num
+      require(!s.contains('.') && !s.toLowerCase.contains("e"),
+        s"$view: parameter $p declared $chType but bound to non-integer $s")
+      require(!(t.startsWith("uint") && s.startsWith("-")),
+        s"$view: parameter $p declared $chType but bound to negative $s")
+      s
+    } else if (t.startsWith("float") || t.startsWith("decimal")) num
+    else if (t == "string" || t == "date" || t.startsWith("datetime") ||
+             t.startsWith("fixedstring"))
+      // Spark's default lexer processes backslash escapes in literals
+      "'" + v.toString.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    else throw new IllegalArgumentException(
+      s"$view: parameter $p has unsupported placeholder type $chType")
+  }
+
   /** ClickHouse-dialect entry point: the [[ChDialect]] shim rewrites the
     * CH-isms the reference's own SQL surface uses (`count()`, `countIf`,
     * `::UInt32` casts, `FINAL`, `PREWHERE`, `quantile(q)(x)`, …) into

@@ -116,4 +116,45 @@ class ChSqlSpec extends SparkSpecBase {
         "SELECT o_orderstatus FROM orders LIMIT 2 BY o_orderstatus").collect()
     }
   }
+
+  test("parameterized views bind typed placeholders; bad bindings refused") {
+    GraftSql.createParamView("pv_test",
+      """SELECT count(*) AS n FROM nation
+        |WHERE n_regionkey = {rk:UInt32} AND n_name != {skip:String}"""
+        .stripMargin)
+    val n = GraftSql.paramView(spark, sf0001, "pv_test",
+      Map("rk" -> 1, "skip" -> "CANADA")).head().getLong(0)
+    n should be >= 1L
+    // a string value with a quote binds as DATA, not as SQL (the
+    // injection barrier): syntactically survives and matches nothing
+    GraftSql.paramView(spark, sf0001, "pv_test",
+      Map("rk" -> 1, "skip" -> "x' OR '1'='1")).head().getLong(0) shouldBe
+      (GraftSql.paramView(spark, sf0001, "pv_test",
+        Map("rk" -> 1, "skip" -> "NO_SUCH_NATION")).head().getLong(0))
+    // an integer placeholder refuses strings, fractions, and negatives
+    intercept[Exception] {
+      GraftSql.paramView(spark, sf0001, "pv_test",
+        Map("rk" -> "1; DROP TABLE nation", "skip" -> ""))
+    }.getMessage should include("non-numeric")
+    intercept[Exception] {
+      GraftSql.paramView(spark, sf0001, "pv_test",
+        Map("rk" -> 1.5, "skip" -> ""))
+    }.getMessage should include("non-integer")
+    intercept[Exception] {
+      GraftSql.paramView(spark, sf0001, "pv_test",
+        Map("rk" -> -1, "skip" -> ""))
+    }.getMessage should include("negative")
+    // unbound and unknown parameters are refused
+    intercept[Exception] {
+      GraftSql.paramView(spark, sf0001, "pv_test", Map("rk" -> 1))
+    }.getMessage should include("unbound")
+    intercept[Exception] {
+      GraftSql.paramView(spark, sf0001, "pv_test",
+        Map("rk" -> 1, "skip" -> "", "oops" -> 2))
+    }.getMessage should include("unknown parameters")
+    // a placeholder-free view is refused at creation
+    intercept[Exception] {
+      GraftSql.createParamView("pv_plain", "SELECT 1")
+    }
+  }
 }

@@ -341,6 +341,50 @@ class IntrospectionSpec extends SparkSpecBase {
     } finally qlog.detach()
   }
 
+  test("quotas: per-user interval windows refuse at the limit and roll over") {
+    var now = 1000L
+    val gov = new QueryGovernor(spark, () => now)
+    gov.createQuota("analysts", Seq("alice", "bob"), intervalMs = 60000L,
+      maxQueries = 2, maxResultRows = 100)
+    // two queries fit, the third is refused BEFORE running
+    gov.runAs("alice", "a1")(1 + 1) shouldBe 2
+    gov.runAs("alice", "a2")(2 + 2) shouldBe 4
+    val ex = intercept[IllegalStateException] {
+      gov.runAs("alice", "a3")(fail("quota must refuse before the action"))
+    }
+    ex.getMessage should include("QUOTA_EXCEEDED")
+    ex.getMessage should include("queries 2/2")
+    // bob has his own window; carol is uncovered -> unlimited
+    gov.runAs("bob", "b1")(0) shouldBe 0
+    (1 to 5).foreach(i => gov.runAs("carol", s"c$i")(i))
+    // result-rows accounting: the query that EXCEEDS completes, the next
+    // one is refused (CH's check-at-start semantics)
+    gov.accountRows("bob", 150L)
+    intercept[IllegalStateException] {
+      gov.runAs("bob", "b2")(0)
+    }.getMessage should include("result_rows")
+    // window rollover resets every counter
+    now += 60001L
+    gov.runAs("alice", "a4")(9) shouldBe 9
+    gov.runAs("bob", "b3")(9) shouldBe 9
+    // declarations + live usage are introspectable
+    gov.systemQuotas().collect().map(_.getString(0)) shouldBe Array("analysts")
+    val u = gov.systemQuotaUsage().collect()
+      .map(r => (r.getString(1), r.getLong(3))).toMap
+    u("alice") shouldBe 1L
+    // errors count toward their own limit
+    gov.createQuota("fragile", Seq("dave"), intervalMs = 60000L,
+      maxErrors = 1)
+    intercept[RuntimeException] {
+      gov.runAs("dave", "d1")(throw new RuntimeException("boom"))
+    }
+    intercept[IllegalStateException] {
+      gov.runAs("dave", "d2")(0)
+    }.getMessage should include("errors")
+    gov.dropQuota("fragile") shouldBe true
+    gov.runAs("dave", "d3")(7) shouldBe 7
+  }
+
   test("QueryGovernor: max_execution_time kills a runaway; KILL QUERY works cross-thread") {
     val gov = new QueryGovernor(spark)
     // a scan that would take minutes: the watchdog must kill it in ~1 s

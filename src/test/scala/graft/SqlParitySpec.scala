@@ -59,7 +59,8 @@ class SqlParitySpec extends SparkSpecBase {
     "proj_rollup_sum", "proj_sorted_lookup", "q1_agg", "q3_shipping",
     "q5_region_revenue",
     "set_except", "set_intersect", "set_union", "set_except_all",
-    "set_intersect_all", "limit_ties", "fn_nested_zip", "ts_session", "win_dist",
+    "set_intersect_all", "limit_ties", "fn_nested_zip", "sql_param_view",
+    "ts_session", "win_dist",
     "win_lag", "win_ntile_dense", "win_rank", "win_running_sum")
 
   /** DuckDB-blocked queries with a mechanical Spark-SQL twin. */
