@@ -76,6 +76,35 @@ object ChAggs extends QueryModule {
       Tables.orders(s, d)
         .agg(graft.functions.TopKSketch.top_k(col("o_orderpriority"), 3).as("top3"))),
 
+    // topKWeighted(k)(v, w) analog: heaviest values by SUMMED WEIGHT, not
+    // occurrence count — partial-aggregable groupBy then a per-group
+    // row_number window (partitioned — never a global sort). Rank is
+    // computed on the raw sums (rounded only for display): the weights of
+    // distinct priorities differ by orders of magnitude, so cross-engine
+    // ulp noise cannot flip the order.
+    "agg_topk_weighted" -> ((s, d) => {
+      val byWeight = Tables.orders(s, d)
+        .groupBy(col("o_orderstatus").as("st"), col("o_orderpriority").as("v"))
+        .agg(sum(col("o_totalprice")).as("w0"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("st")).orderBy(col("w0").desc, col("v"))
+      byWeight.withColumn("rn", row_number().over(win))
+        .filter(col("rn") <= 2)
+        .select(col("st"), col("rn"), col("v"), round(col("w0"), 2).as("w"))
+        .orderBy(col("st"), col("rn"))
+    }),
+
+    // uniqUpTo(N) analog: exact distinct while <= N, the sentinel N+1
+    // beyond — the cheap "is this column low-cardinality" probe (CH uses
+    // it to avoid paying full uniqExact on columns that blow past the
+    // threshold anyway).
+    "agg_uniq_upto" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(least(countDistinct(col("o_custkey")), lit(501L)).as("u_upto"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))),
+
     // quantileTDigest analog: approx_percentile's value is sketch-specific,
     // but with accuracy=10000 its rank error is ≤0.01% of rows, so checking
     // it lands within 1% of the value range alongside the exact median is
@@ -493,6 +522,22 @@ object ChAggs extends QueryModule {
       """SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
         | TRUE AS approx_within_1pct_range
         |FROM lineitem""".stripMargin,
+
+    "agg_topk_weighted" ->
+      """SELECT st, rn, v, w FROM (
+        |  SELECT o_orderstatus AS st, o_orderpriority AS v,
+        |    round(sum(o_totalprice), 2) AS w,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY sum(o_totalprice) DESC, o_orderpriority) AS rn
+        |  FROM orders GROUP BY 1, 2) t
+        |WHERE rn <= 2 ORDER BY st, rn""".stripMargin,
+
+    "agg_uniq_upto" ->
+      """SELECT o_orderpriority,
+        | least(count(DISTINCT o_custkey), 501) AS u_upto,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "agg_delta_sum" ->
       """SELECT user_id, round(sum(value - prev), 2) AS delta_sum,

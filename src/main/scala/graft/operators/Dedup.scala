@@ -238,6 +238,33 @@ object Dedup extends QueryModule {
       .distinct()
   }
 
+  /** Per-batch MinHash band computation for the INCREMENTAL index
+    * (`dedup_incremental_lsh`): signatures derive from each doc's OWN
+    * distinct shingles — no corpus statistics — which is exactly what
+    * makes the index incrementally maintainable: a new batch's bands are
+    * computable from that batch alone, and batch-by-batch maintenance
+    * provably equals a full rebuild (per-doc determinism; DedupSpec pins
+    * the equivalence against the batch-built pair set). Same 32-perm /
+    * 8×4-band geometry as [[lshCandidates]].
+    */
+  private[graft] def bandsOf(batch: DataFrame): DataFrame = {
+    val hs = batch
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(TextFns.shingles3FromToks).as("sh"))
+      .distinct()
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val sigAggs = (0 until 32).map(i =>
+      min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    val sig = hs.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val bands = array((0 until 8).map(b => struct(
+      lit(b).as("band"),
+      xxhash64(col(s"m${4*b}"), col(s"m${4*b+1}"),
+               col(s"m${4*b+2}"), col(s"m${4*b+3}")).as("bh"))): _*)
+    sig.select(col("doc_id"), explode(bands).as("bd"))
+      .select(col("doc_id"), col("bd.band").cast("int").as("band"),
+        col("bd.bh").as("bh"))
+  }
+
   // explicit type param: the `++ clusterQueries` tail would otherwise stop
   // the expected type from reaching the lambda literals
   override def queries: Map[String, Q] = Map[String, Q](
@@ -270,6 +297,45 @@ object Dedup extends QueryModule {
     // widen the band count (recall 1-(1-J^r)^b), don't weaken the oracle.
     "dedup_minhash_lsh" -> ((s, d) =>
       jaccardPairs(s, d, 0.8, Some(lshCandidates(s, d)))),
+
+    // INCREMENTALLY MAINTAINED dedup index — the 100 TB operational shape:
+    // documents arrive through a Null-engine firehose whose insert-trigger
+    // MV computes each batch's MinHash bands into a STORED bands table
+    // (the raw feed is never stored twice); a dedup probe then reads the
+    // index, self-joins buckets for candidates, and exact-verifies. The
+    // per-doc signature needs no corpus statistics, so batch-by-batch
+    // maintenance equals a full rebuild — proven by sharing
+    // dedup_minhash_lsh's exact-pair oracle (and DedupSpec equates the
+    // two pair sets directly). Incremental cost per batch ∝ batch size;
+    // the batch-rebuild alternative re-signs the whole corpus per load.
+    "dedup_incremental_lsh" -> ((s, d) => {
+      import graft.catalog.{Append, Catalog, NullEngine, TableDef}
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val cat = new Catalog(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-inc")
+      CatalogOps.registerForCleanup(tmp)
+      cat.createTable(TableDef("docs_inc_in",
+        tmp.resolve("docs_in").toString, docs.schema, Seq.empty, NullEngine))
+      val bandsSchema = org.apache.spark.sql.types.StructType(Seq(
+        docs.schema("doc_id"),
+        org.apache.spark.sql.types.StructField("band",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("bh",
+          org.apache.spark.sql.types.LongType)))
+      cat.createTable(TableDef("doc_bands_inc",
+        tmp.resolve("bands").toString, bandsSchema,
+        sortKeys = Seq("bh"), semantics = Append))
+      cat.createMaterializedView("docs_inc_in", "mv_bands",
+        "doc_bands_inc", bandsOf)
+      (0 until 3).foreach(i => cat.append("docs_inc_in",
+        docs.filter(pmod(col("doc_id"), lit(3)) === i)))
+      val buckets = cat.read("doc_bands_inc")
+      val cands = buckets.as("x").join(buckets.as("y"), Seq("band", "bh"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+        .distinct()
+      jaccardPairs(s, d, 0.8, Some(cands))
+    }),
 
     // SimHash: 128-bit signature (two 64-bit halves from independently
     // seeded token hashes); near-dups = Hamming ≤ 16, found via 8×16-bit
@@ -634,6 +700,8 @@ object Dedup extends QueryModule {
 
     "dedup_ngram_jaccard" -> jaccardOracle,
     "dedup_minhash_lsh" -> jaccardOracle,
+    // the incrementally-maintained index must produce the exact pair set
+    "dedup_incremental_lsh" -> jaccardOracle,
     "dedup_clusters" -> clustersOracle,
 
     "text_decontam" -> decontamOracle,

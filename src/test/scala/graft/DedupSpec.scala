@@ -17,6 +17,13 @@ class DedupSpec extends SparkSpecBase {
     lsh shouldBe exact        // 8x4 bands: recall ≈ 0.985 at J ≥ 0.8, ≈ 1 at planted J ≈ 0.99
   }
 
+  test("the incrementally-maintained band index yields the batch pair set") {
+    // three MV-triggered loads into the stored index must answer exactly
+    // like the one-shot batch LSH build (per-doc signatures need no corpus
+    // stats, so maintenance composes) — and both equal the exact oracle
+    pairs("dedup_incremental_lsh") shouldBe pairs("dedup_minhash_lsh")
+  }
+
   test("LSH recovers every exact pair at the correctness-gate scale factor, marginal band included") {
     // The exact-Jaccard oracle for dedup_minhash_lsh / dedup_clusters is
     // cell-exact, but 8×4-band LSH recall at J just above 0.8 is only

@@ -162,6 +162,29 @@ class PlanSpec extends SparkSpecBase {
     plan should not include "lineitem.parquet"
   }
 
+  test("FINAL-read key predicates push below the merge fold into the scan") {
+    // CH users pay for FINAL because the merge view defeats index use;
+    // here the ReplacingDedup fold is a window PARTITIONed by the dedup
+    // keys, so Catalyst pushes key predicates below it — a keyed lookup
+    // on a FINAL view still prunes at the scan (the free PREWHERE). A
+    // regression here turns every keyed FINAL read into a full-table
+    // scan + fold at 100 TB.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import graft.catalog._
+    val cat = new Catalog(spark)
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType), StructField("ver", LongType)))
+    cat.createTable(TableDef("final_push", tmpDir("plan") + "/fp", schema,
+      Seq("k"), ReplacingDedup(Seq("k"), "ver")))
+    import spark.implicits._
+    cat.append("final_push",
+      (1L to 100L).map(i => (i, s"v$i", 1L)).toDF("k", "v", "ver"))
+    val plan = cat.read("final_push").filter(col("k") === 7L)
+      .queryExecution.executedPlan.toString
+    plan should include("EqualTo(k,7)") // inside PushedFilters at the scan
+  }
+
   test("flagship aggregation stays inside whole-stage codegen") {
     // q1_agg's scan -> filter -> partial agg must be one codegen'd span;
     // zero codegen stages would mean an interpreted expression crept into

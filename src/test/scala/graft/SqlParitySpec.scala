@@ -36,6 +36,7 @@ class SqlParitySpec extends SparkSpecBase {
     "a4_groupby_min", "a5_stars_rollup", "a6_countif_backfill",
     "a7_summing_merge", "a8_dedup_latest", "agg_approx_distinct",
     "agg_bitmap", "agg_cube", "agg_distinct", "agg_funnel", "agg_histogram",
+    "agg_topk_weighted", "agg_uniq_upto",
     "agg_hll_merge", "agg_retention", "agg_rollup", "agg_seq_match",
     "agg_stats", "agg_sumif", "cat_clustered_scan", "cat_partitioned_scan",
     "cat_partition_ops", "cat_snapshot_read", "cat_bloom_scan",
@@ -849,6 +850,7 @@ class SqlParitySpec extends SparkSpecBase {
     "join_asof" -> "Spark SQL has no ASOF JOIN syntax (DataFrame op: TemporalJoins.asof)",
     "dedup_clusters" -> "iterative large/small-star contraction: a driver loop, not one statement",
     "dedup_minhash_lsh" -> "32-permutation sketch pipeline with df-cap replay across stages",
+    "dedup_incremental_lsh" -> "MV-maintained stored band index (engine state), probed then exact-verified",
     "dedup_ngram_jaccard" -> "df-capped inverted-index pipeline shared with the LSH variant",
     "dedup_simhash" -> "xxhash64 lane-packed signatures built across multiple staged aggregations",
     "dedup_substring" -> "interval-union islands over positional digests: staged window pipeline",
