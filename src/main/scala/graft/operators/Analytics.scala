@@ -315,6 +315,33 @@ object Analytics extends QueryModule {
         .orderBy(col("o_orderstatus"), col("o_orderkey"))
     }),
 
+    // runningDifference / nonNegativeDerivative analogs: consecutive-row
+    // delta and the per-second rate clamped at zero (the counter-reset
+    // idiom for monotonic gauges), per event_type — a partitioned lag
+    // window, total-ordered by (ts, event_id). Time deltas are WHOLE
+    // seconds on both engines (unix_timestamp ≡ floor(epoch)): the
+    // events table's physical timestamp precision varies by vintage
+    // (X49), so sub-second epoch fractions are not cross-engine stable.
+    "win_derivative" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d).filter(col("event_id") < 2000)
+        .select(col("event_type"), col("event_id"), col("value"),
+          col("ts"), unix_timestamp(col("ts")).as("es"))
+        .withColumn("prev_v", lag(col("value"), 1).over(w))
+        .withColumn("dt", col("es") - lag(col("es"), 1).over(w))
+        .select(col("event_type"), col("event_id"),
+          round(coalesce(col("value") - col("prev_v"), lit(0.0)), 4)
+            .as("diff"),
+          // floor(x*1e6+0.5)/1e6, not round(x, 6): a quotient landing on
+          // a midpoint rounds differently across engines (the fn_math
+          // convention for non-aggregated ratios)
+          (floor(when(col("dt") > 0,
+              greatest((col("value") - col("prev_v")) / col("dt"), lit(0.0)))
+            .otherwise(lit(0.0)) * 1e6 + 0.5) / 1e6).as("nn_deriv"))
+        .orderBy(col("event_type"), col("event_id"))
+    }),
+
     // ---- set operations ----
     "set_union" -> ((s, d) =>
       Tables.orders(s, d).filter(col("o_orderstatus") === "F")
@@ -809,6 +836,21 @@ object Analytics extends QueryModule {
         |INTERSECT
         |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY k""".stripMargin,
+
+    "win_derivative" ->
+      """SELECT event_type, event_id,
+        |  round(coalesce(value - prev_v, 0), 4) AS diff,
+        |  floor((CASE WHEN dt > 0
+        |             THEN greatest((value - prev_v) / dt, 0)
+        |             ELSE 0 END) * 1e6 + 0.5) / 1e6 AS nn_deriv
+        |FROM (
+        |  SELECT event_type, event_id, value,
+        |    lag(value) OVER w AS prev_v,
+        |    floor(epoch(ts))::BIGINT
+        |      - lag(floor(epoch(ts))::BIGINT) OVER w AS dt
+        |  FROM events WHERE event_id < 2000
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)) t
+        |ORDER BY event_type, event_id""".stripMargin,
 
     "set_except_all" ->
       """SELECT k, count(*) AS n FROM (

@@ -814,6 +814,22 @@ class SqlParitySpec extends SparkSpecBase {
         |  ON s_nationkey = k AND s_acctbal >= lo AND s_acctbal <= hi
         |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
 
+    // DuckDB floor(epoch(ts))::BIGINT -> Spark unix_timestamp (same
+    // whole-second floor)
+    "win_derivative" ->
+      """SELECT event_type, event_id,
+        |  round(coalesce(value - prev_v, 0), 4) AS diff,
+        |  floor((CASE WHEN dt > 0
+        |             THEN greatest((value - prev_v) / dt, 0)
+        |             ELSE 0 END) * 1e6 + 0.5) / 1e6 AS nn_deriv
+        |FROM (
+        |  SELECT event_type, event_id, value,
+        |    lag(value) OVER w AS prev_v,
+        |    unix_timestamp(ts) - lag(unix_timestamp(ts)) OVER w AS dt
+        |  FROM events WHERE event_id < 2000
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)) t
+        |ORDER BY event_type, event_id""".stripMargin,
+
     // Spark 4.1 recursive CTEs support UNION ALL only
     // (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE); this derivation is
     // duplicate-free (cur strictly decreases along each ancestor chain),
