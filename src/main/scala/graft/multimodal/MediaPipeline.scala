@@ -18,16 +18,18 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *   - per-media feature vector: fixed 64-dim byte-histogram embedding
   *
   * ===Decoders===
-  * IMAGE payloads decode for REAL: [[decodeImage]] uses the JDK's built-in
-  * `javax.imageio` (PNG/BMP/GIF/JPEG — no external codec dependency) and
-  * converts to a BT.601 integer-luma grayscale plane. AUDIO payloads decode
-  * for REAL too: [[decodeAudio]] uses the JDK's `javax.sound.sampled`
-  * (WAV/PCM incl. µ-law/a-law via the JDK codec chain) into a mono 8-bit
-  * sample stream, windowed into planes by [[audioFrames]]. Only VIDEO still
-  * goes through the DETERMINISTIC STUB
-  * [[decodeFrame(payload:Array[Byte],frameIdx:Int)*]] (this container ships
-  * no video codecs): it "decodes" a payload chunk into an 8×8 plane by
-  * reading raw bytes. Swapping in a real video codec changes only that one
+  * All three media families now decode for REAL with zero external
+  * dependencies: [[decodeImage]] via the JDK's `javax.imageio` (PNG/BMP/
+  * GIF/JPEG) to a BT.601 integer-luma plane; [[decodeAudio]] via
+  * `javax.sound.sampled` (WAV/PCM incl. µ-law/a-law through the JDK codec
+  * chain) to a mono 8-bit sample stream windowed by [[audioFrames]]; and
+  * [[decodeVideo]] for MJPEG-in-AVI — a hand-walked RIFF container whose
+  * `00dc` frame chunks are plain JPEGs, each through the same imageio
+  * luma path ([[videoFrames]]). The DETERMINISTIC STUB
+  * [[decodeFrame(payload:Array[Byte],frameIdx:Int)*]] remains only as the
+  * fallback for non-media payloads and video codecs the JDK genuinely
+  * lacks (H.264 etc.): it "decodes" a payload chunk into an 8×8 plane by
+  * reading raw bytes. Swapping in a richer codec changes only that one
   * function — schema, batching, partitioning, and everything downstream is
   * production-shaped for all three families.
   */
@@ -169,6 +171,138 @@ object MediaPipeline {
     }
   }
 
+  /** True when the mime family routes to the REAL video decoder. */
+  def isVideoMime(mime: String): Boolean = mime != null && mime.startsWith("video/")
+
+  /** Decoded MJPEG video: per-frame JPEG payloads plus the container
+    * header's timing/geometry (the working form downstream frame
+    * extraction consumes lazily — frames decode one at a time, never all
+    * at once).
+    */
+  final case class VideoClip(width: Int, height: Int, usPerFrame: Long,
+                             nFrames: Int, durationMs: Long,
+                             jpegFrames: Vector[Array[Byte]])
+
+  /** Structural RIFF/AVI gate (same rationale as [[looksLikeWav]]): magic
+    * fourccs plus the declared RIFF size agreeing with the payload length,
+    * so arbitrary column bytes cannot wander into the container parser.
+    */
+  def looksLikeAvi(p: Array[Byte]): Boolean =
+    p != null && p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' && {
+        val declared = (p(4) & 0xffL) | ((p(5) & 0xffL) << 8) |
+          ((p(6) & 0xffL) << 16) | ((p(7) & 0xffL) << 24)
+        declared == p.length - 8
+      } && p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' '
+
+  /** REAL video decode for MJPEG-in-AVI — the one video coding the JDK
+    * can decode with ZERO new dependencies: AVI is a RIFF container (the
+    * same chunk grammar [[looksLikeWav]] already parses for audio) and
+    * each `00dc` frame chunk is a plain JPEG, which `javax.imageio`
+    * decodes like any image. The walk reads the `avih` header for
+    * geometry/timing and collects the `movi` frame chunks; anything
+    * non-AVI or structurally broken returns None so callers fall back
+    * deterministically to the stub (which remains the route for codecs
+    * the JDK genuinely lacks — H.264 etc.).
+    */
+  def decodeVideo(payload: Array[Byte]): Option[VideoClip] = {
+    if (!looksLikeAvi(payload)) return None
+    try {
+      def u32(off: Int): Long = (payload(off) & 0xffL) |
+        ((payload(off + 1) & 0xffL) << 8) | ((payload(off + 2) & 0xffL) << 16) |
+        ((payload(off + 3) & 0xffL) << 24)
+      def fourcc(off: Int): String =
+        new String(payload, off, 4, "US-ASCII")
+      var usPerFrame = 0L; var totalFrames = 0; var w = 0; var h = 0
+      val jpegs = Vector.newBuilder[Array[Byte]]
+      // walk one chunk sequence [start, end); recurse into LISTs
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val id = fourcc(off)
+          val size = u32(off + 4).toInt
+          val body = off + 8
+          if (id == "LIST" && body + 4 <= end) {
+            walk(body + 4, math.min(body + size, end)) // skip the list type
+          } else if (id == "avih" && body + 40 <= end) {
+            usPerFrame = u32(body)
+            totalFrames = u32(body + 16).toInt
+            w = u32(body + 32).toInt
+            h = u32(body + 36).toInt
+          } else if ((id == "00dc" || id == "00db") && size > 0 &&
+                     body + size <= end) {
+            jpegs += java.util.Arrays.copyOfRange(payload, body, body + size)
+          }
+          off = body + size + (size & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, payload.length)
+      val frames = jpegs.result()
+      if (frames.isEmpty || w <= 0 || h <= 0) None
+      else Some(VideoClip(w, h, usPerFrame, frames.length,
+        frames.length * usPerFrame / 1000L, frames))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Decoded video frames: each JPEG chunk through the REAL
+    * [[decodeImage]] luma path, lazily — one decoded plane in memory at
+    * a time. A frame whose JPEG is corrupt is skipped (decoders must not
+    * abort a 100 TB scan on one bad frame).
+    */
+  def videoFrames(clip: VideoClip): Iterator[Frame] =
+    clip.jpegFrames.iterator.zipWithIndex.flatMap { case (jp, i) =>
+      decodeImage(jp).map(_.copy(frame_idx = i))
+    }
+
+  /** Minimal MJPEG-AVI writer, the fixture side of [[decodeVideo]] (the
+    * [[synthWavU8]] pattern): uniform-gray frames JPEG-encoded by the
+    * JDK's own writer and wrapped in a canonical RIFF/AVI — synthesized
+    * payloads run the SAME structural gate + container walk + imageio
+    * decode as user AVIs.
+    */
+  def synthAviGray(levels: Seq[Int], w: Int, h: Int,
+                   fps: Int = 10): Array[Byte] = {
+    val jpegs = levels.map { lvl =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(lvl, lvl, lvl)); g.fillRect(0, 0, w, h)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array()
+    }
+    def le32(vs: Long*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(vs.length * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(v => bb.putInt(v.toInt)); bb.array()
+    }
+    val usPerFrame = 1000000L / fps
+    val avih = chunk("avih", le32(usPerFrame, 0, 0, 0, jpegs.length, 0, 1, 0,
+      w, h, 0, 0, 0, 0))
+    val strh = chunk("strh", "vids".getBytes("US-ASCII") ++
+      "MJPG".getBytes("US-ASCII") ++ le32(0, 0, 0, 1, fps, 0, jpegs.length,
+        0, 0, 0) ++ le32((h.toLong << 16) | w.toLong))
+    val strf = chunk("strf", le32(40, w, h, (24L << 16) | 1L) ++
+      "MJPG".getBytes("US-ASCII") ++ le32(w.toLong * h * 3, 0, 0, 0, 0))
+    def list(kind: String, bodies: Array[Byte]*): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ bodies.flatten.toArray)
+    val hdrl = list("hdrl", avih, list("strl", strh, strf))
+    val movi = list("movi", jpegs.map(j => chunk("00dc", j)): _*)
+    val riffBody = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val bb = java.nio.ByteBuffer.allocate(8 + riffBody.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(riffBody.length).put(riffBody)
+    bb.array()
+  }
+
   /** REAL single-frame image decode via the JDK's `javax.imageio`
     * (PNG/BMP/GIF/JPEG ship with every JRE — zero new dependencies).
     * Grayscale plane = BT.601 integer luma `(299r + 587g + 114b) / 1000`
@@ -208,12 +342,15 @@ object MediaPipeline {
     (if (isImageMime(mime) && frameIdx == 0) decodeImage(payload)
      else if (isAudioMime(mime))
        decodeAudio(payload).flatMap(c => audioFrames(c).drop(frameIdx).nextOption())
+     else if (isVideoMime(mime))
+       decodeVideo(payload).flatMap(c => videoFrames(c).drop(frameIdx).nextOption())
      else None)
       .getOrElse(decodeFrame(payload, frameIdx))
 
-  /** STUB decoder (video only — images and WAV audio decode for real
-    * above). Reads one FrameStride-byte chunk as an 8×8 grayscale plane
-    * (zero-padded); replace with a codec binding in production.
+  /** STUB decoder (the residual fallback: non-media payloads, and video
+    * codecs the JDK lacks — MJPEG-AVI decodes for REAL above). Reads one
+    * FrameStride-byte chunk as an 8×8 grayscale plane (zero-padded);
+    * replace with a codec binding in production.
     */
   def decodeFrame(payload: Array[Byte], frameIdx: Int): Frame = {
     val off = frameIdx * FrameStride
@@ -244,11 +381,16 @@ object MediaPipeline {
   def frames(payload: Array[Byte], mime: String): Iterator[Frame] =
     (if (isImageMime(mime)) decodeImage(payload).map(Iterator.single(_)) else None)
       .orElse(decodeAudioFrames(payload, mime))
+      .orElse(decodeVideoFrames(payload, mime))
       .getOrElse((0 until frameCount(payload)).iterator.map(decodeFrame(payload, _)))
 
   private def decodeAudioFrames(payload: Array[Byte],
                                 mime: String): Option[Iterator[Frame]] =
     if (isAudioMime(mime)) decodeAudio(payload).map(audioFrames) else None
+
+  private def decodeVideoFrames(payload: Array[Byte],
+                                mime: String): Option[Iterator[Frame]] =
+    if (isVideoMime(mime)) decodeVideo(payload).map(videoFrames) else None
 
   /** 64-bin byte histogram over all frame planes, L1-normalized — the
     * fixed-width executor-side feature that is all a downstream ANN/dedup

@@ -97,6 +97,42 @@ object Multimodal extends QueryModule {
         .toDF("doc_id", "frame_idx", "energy")
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
+
+    // REAL video decode, oracled end to end (the mm_audio_energy pattern
+    // for the third media family): deterministic uniform-gray MJPEG-AVIs
+    // are synthesized executor-side — the JDK's own JPEG encoder + the
+    // canonical RIFF/AVI writer — then run through the ACTUAL decode
+    // chain (structural gate → container walk → per-frame imageio JPEG
+    // decode → BT.601 luma plane). Geometry, frame count, and timing are
+    // EXACT; mean luma carries an in-plan ±8 contract (JPEG DC
+    // quantization — the agg_approx pattern), which the oracle restates
+    // as TRUE from the generator formula. A 1-in-7 doc sample keeps the
+    // encode+decode cost proportional but bounded at bench SFs.
+    "mm_video_frames" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(7)) === 0).as[Long]
+        .mapPartitions { it =>
+          it.flatMap { id =>
+            val nF = (1 + id % 3).toInt
+            val levels = (0 until nF).map(f => ((id * 37 + f * 11) % 240 + 8).toInt)
+            val avi = graft.multimodal.MediaPipeline
+              .synthAviGray(levels, w = 32, h = 24, fps = 10)
+            val clip = graft.multimodal.MediaPipeline.decodeVideo(avi)
+              .getOrElse(throw new IllegalStateException(
+                s"doc $id: synthesized AVI failed to decode"))
+            graft.multimodal.MediaPipeline.videoFrames(clip).map { fr =>
+              val mean = fr.pixels.map(_ & 0xff).sum.toDouble / fr.pixels.length
+              (id, fr.frame_idx.toLong, fr.width.toLong, fr.height.toLong,
+                math.abs(mean - levels(fr.frame_idx)) <= 8.0,
+                clip.nFrames.toLong, clip.durationMs)
+            }
+          }
+        }
+        .toDF("doc_id", "frame_idx", "w", "h", "luma_ok", "n_frames",
+          "duration_ms")
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -139,5 +175,20 @@ object Multimodal extends QueryModule {
         |  CAST(sum(((doc_id * 31 + i * 7) % 256 - 128)
         |         * ((doc_id * 31 + i * 7) % 256 - 128)) AS BIGINT) AS energy
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the generator replayed: geometry/count/timing exact, the luma
+    // contract a literal TRUE (equality proves the writer, the gate, the
+    // container walk, every frame's JPEG decode, and the timing math)
+    "mm_video_frames" ->
+      """WITH p AS (SELECT doc_id, 1 + (doc_id % 3) AS nf
+        |           FROM documents WHERE doc_id % 7 = 0),
+        |f AS (SELECT doc_id, nf,
+        |        unnest(generate_series(0, nf - 1)) AS frame_idx
+        |      FROM p)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(32 AS BIGINT) AS w, CAST(24 AS BIGINT) AS h,
+        |  TRUE AS luma_ok, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(nf * 100 AS BIGINT) AS duration_ms
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

@@ -203,6 +203,38 @@ class MultimodalSpec extends SparkSpecBase {
     (meta(1).getLong(1), meta(1).getLong(2)) shouldBe ((8005L, 5L)) // 5 bytes → fallback
   }
 
+  test("MJPEG-AVI fixture decodes END TO END: container walk, real JPEG " +
+       "frames, timing") {
+    val levels = Seq(40, 120, 200)
+    val avi = synthAviGray(levels, w = 64, h = 48, fps = 10)
+    looksLikeAvi(avi) shouldBe true
+    val clip = decodeVideo(avi).getOrElse(fail("synthesized AVI must decode"))
+    clip.width shouldBe 64
+    clip.height shouldBe 48
+    clip.nFrames shouldBe 3
+    clip.usPerFrame shouldBe 100000L
+    clip.durationMs shouldBe 300L
+    val fs = videoFrames(clip).toSeq
+    fs.map(_.frame_idx) shouldBe Seq(0, 1, 2)
+    all(fs.map(f => (f.width, f.height))) shouldBe ((64, 48))
+    // uniform-gray frames survive the JPEG round-trip to within DC
+    // quantization: mean luma within ±8 of the generator level
+    fs.zip(levels).foreach { case (f, lvl) =>
+      val mean = f.pixels.map(_ & 0xff).sum.toDouble / f.pixels.length
+      math.abs(mean - lvl) should be <= 8.0
+    }
+    // mime routing reaches the real path; non-AVI bytes fall back
+    val routed = frames(avi, "video/x-msvideo").toSeq
+    routed.map(_.width) shouldBe Seq(64, 64, 64)
+    looksLikeAvi("RIFFxxxxAVI x".getBytes) shouldBe false
+    decodeVideo(Array.tabulate[Byte](300)(_.toByte)) shouldBe None
+    // a corrupt frame chunk is skipped, not fatal
+    val broken = decodeVideo(avi).get.copy(
+      jpegFrames = Vector(clip.jpegFrames(0), Array[Byte](1, 2, 3),
+        clip.jpegFrames(2)))
+    videoFrames(broken).map(_.frame_idx).toSeq shouldBe Seq(0, 2)
+  }
+
   test("decode stub: frames window the payload at the declared stride") {
     // period-251 pattern: a 256-byte stride never repeats the same bytes
     val payload = Array.tabulate[Byte](600)(i => (i % 251).toByte)

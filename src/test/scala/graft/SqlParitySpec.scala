@@ -873,6 +873,7 @@ class SqlParitySpec extends SparkSpecBase {
     "dedup_embed_cosine" -> "replays a trained k-means quantizer (engine state, not table data)",
     "mm_frame_sample" -> "binary frame decode runs in the MediaPipeline executor path, not SQL",
     "mm_audio_energy" -> "real javax.sound WAV decode in the MediaPipeline executor path, not SQL",
+    "mm_video_frames" -> "real MJPEG-AVI container walk + JPEG frame decode in the executor path, not SQL",
     "text_decontam" -> "df-cap replay pipeline (the exact variant of the bloom pair)",
     "text_decontam_bloom" -> "driver-built Bloom sketch embedded as a plan literal (stat.bloomFilter)",
     "text_langid" -> "per-language stopword fold generated from the engine's language config",
