@@ -105,6 +105,34 @@ object ChAggs extends QueryModule {
           count(lit(1)).as("n"))
         .orderBy(col("o_orderpriority"))),
 
+    // mode / anyHeavy analog: the most frequent value per group, exact —
+    // count per (group, value), then ONE max_by over a (count, -value)
+    // struct: deterministic smallest-value tie-break, fully partial-
+    // aggregable, no window (the per-group row_number restatement the
+    // oracle uses would sort every group; max_by folds associatively).
+    "agg_mode" -> ((s, d) => {
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("n"))
+      counts.groupBy(col("l_returnflag"))
+        .agg(max_by(col("l_quantity"),
+            struct(col("n"), (-col("l_quantity")).as("neg"))).as("mode_qty"),
+          max(col("n")).as("mode_n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // skewPop / kurtPop: CH's population definitions ARE Spark's skewness
+    // (g1 = m3/m2^1.5) and kurtosis (excess g2 = m4/m2² − 3). DuckDB's
+    // skewness/kurtosis are SAMPLE-corrected and would disagree, so the
+    // oracle recomputes from raw power sums — the definition both engines
+    // share, stated once.
+    "agg_moments" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(skewness(col("l_quantity")), 6).as("skew_qty"),
+          round(kurtosis(col("l_quantity")), 6).as("kurt_qty"))
+        .orderBy(col("l_returnflag"))),
+
     // quantileTDigest analog: approx_percentile's value is sketch-specific,
     // but with accuracy=10000 its rank error is ≤0.01% of rows, so checking
     // it lands within 1% of the value range alongside the exact median is
@@ -522,6 +550,31 @@ object ChAggs extends QueryModule {
       """SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
         | TRUE AS approx_within_1pct_range
         |FROM lineitem""".stripMargin,
+
+    // the max_by fold restated as a per-group rank
+    "agg_mode" ->
+      """SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_n FROM (
+        |  SELECT l_returnflag, l_quantity, n,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY n DESC, l_quantity) AS rn
+        |  FROM (SELECT l_returnflag, l_quantity, count(*) AS n
+        |        FROM lineitem GROUP BY 1, 2) c) t
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+
+    // population moments from raw power sums (see the query comment)
+    "agg_moments" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, avg(l_quantity) AS a1,
+        |    avg(l_quantity * l_quantity) AS a2,
+        |    avg(l_quantity * l_quantity * l_quantity) AS a3,
+        |    avg(l_quantity * l_quantity * l_quantity * l_quantity) AS a4
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        |  round((a3 - 3 * a1 * a2 + 2 * a1 * a1 * a1)
+        |        / pow(a2 - a1 * a1, 1.5), 6) AS skew_qty,
+        |  round((a4 - 4 * a1 * a3 + 6 * a1 * a1 * a2 - 3 * a1 * a1 * a1 * a1)
+        |        / pow(a2 - a1 * a1, 2) - 3, 6) AS kurt_qty
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "agg_topk_weighted" ->
       """SELECT st, rn, v, w FROM (

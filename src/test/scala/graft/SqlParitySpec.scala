@@ -36,7 +36,7 @@ class SqlParitySpec extends SparkSpecBase {
     "a4_groupby_min", "a5_stars_rollup", "a6_countif_backfill",
     "a7_summing_merge", "a8_dedup_latest", "agg_approx_distinct",
     "agg_bitmap", "agg_cube", "agg_distinct", "agg_funnel", "agg_histogram",
-    "agg_topk_weighted", "agg_uniq_upto",
+    "agg_topk_weighted", "agg_uniq_upto", "agg_mode", "agg_moments",
     "agg_hll_merge", "agg_retention", "agg_rollup", "agg_seq_match",
     "agg_stats", "agg_sumif", "cat_clustered_scan", "cat_partitioned_scan",
     "cat_partition_ops", "cat_snapshot_read", "cat_bloom_scan",
