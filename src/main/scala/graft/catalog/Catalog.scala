@@ -1172,9 +1172,6 @@ final class Catalog(spark: SparkSession) {
                       users: Seq[String], predicate: String): Unit = {
     val t = get(table)
     require(users.nonEmpty, s"$table: row policy $policyName names no users")
-    require(!rowPolicies.getOrElse(table, Vector.empty)
-        .exists(_.name == policyName),
-      s"$table: row policy $policyName already exists")
     val probe = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], t.schema)
     val dt = try probe.select(expr(predicate)).schema.head.dataType
@@ -1185,9 +1182,18 @@ final class Catalog(spark: SparkSession) {
     require(dt == org.apache.spark.sql.types.BooleanType,
       s"$table: row policy $policyName predicate '$predicate' is " +
         s"${dt.simpleString}, not boolean")
-    rowPolicies.updateWith(table) {
-      case Some(v) => Some(v :+ RowPolicyDef(policyName, users.toSet, predicate))
-      case None => Some(Vector(RowPolicyDef(policyName, users.toSet, predicate)))
+    // the duplicate-name check and the append must be one atomic step
+    // (two racing creates would otherwise both pass the check and leave
+    // two same-name policies that dropRowPolicy removes together) —
+    // policy DDL is rare, a monitor is the obviously-correct shape
+    rowPolicies.synchronized {
+      require(!rowPolicies.getOrElse(table, Vector.empty)
+          .exists(_.name == policyName),
+        s"$table: row policy $policyName already exists")
+      rowPolicies.updateWith(table) {
+        case Some(v) => Some(v :+ RowPolicyDef(policyName, users.toSet, predicate))
+        case None => Some(Vector(RowPolicyDef(policyName, users.toSet, predicate)))
+      }
     }
   }
 

@@ -174,14 +174,22 @@ object MediaPipeline {
   /** True when the mime family routes to the REAL video decoder. */
   def isVideoMime(mime: String): Boolean = mime != null && mime.startsWith("video/")
 
-  /** Decoded MJPEG video: per-frame JPEG payloads plus the container
-    * header's timing/geometry (the working form downstream frame
-    * extraction consumes lazily — frames decode one at a time, never all
-    * at once).
+  /** Decoded MJPEG video: the container header's timing/geometry plus the
+    * (offset, length) span of each frame's JPEG bytes INSIDE the original
+    * payload — no second copy of the frame data is ever materialized
+    * (a large AVI is ~100% frame chunks; copying them out would double
+    * resident memory per video). [[frameBytes]] copies ONE frame
+    * transiently at decode time.
     */
   final case class VideoClip(width: Int, height: Int, usPerFrame: Long,
                              nFrames: Int, durationMs: Long,
-                             jpegFrames: Vector[Array[Byte]])
+                             payload: Array[Byte],
+                             frameSpans: Vector[(Int, Int)]) {
+    def frameBytes(i: Int): Array[Byte] = {
+      val (off, len) = frameSpans(i)
+      java.util.Arrays.copyOfRange(payload, off, off + len)
+    }
+  }
 
   /** Structural RIFF/AVI gate (same rationale as [[looksLikeWav]]): magic
     * fourccs plus the declared RIFF size agreeing with the payload length,
@@ -214,44 +222,59 @@ object MediaPipeline {
       def fourcc(off: Int): String =
         new String(payload, off, 4, "US-ASCII")
       var usPerFrame = 0L; var totalFrames = 0; var w = 0; var h = 0
-      val jpegs = Vector.newBuilder[Array[Byte]]
-      // walk one chunk sequence [start, end); recurse into LISTs
+      val spans = Vector.newBuilder[(Int, Int)]
+      // walk one chunk sequence [start, end); recurse into LISTs. Chunk
+      // sizes stay Long and are bounds-checked BEFORE use: a size with
+      // the top bit set would wrap a 32-bit Int negative and could stall
+      // or reverse the offset advance — a crafted payload passing the
+      // structural gate must terminate the walk, never hang the task.
       def walk(start: Int, end: Int): Unit = {
         var off = start
         while (off + 8 <= end) {
           val id = fourcc(off)
-          val size = u32(off + 4).toInt
-          val body = off + 8
-          if (id == "LIST" && body + 4 <= end) {
-            walk(body + 4, math.min(body + size, end)) // skip the list type
-          } else if (id == "avih" && body + 40 <= end) {
-            usPerFrame = u32(body)
-            totalFrames = u32(body + 16).toInt
-            w = u32(body + 32).toInt
-            h = u32(body + 36).toInt
-          } else if ((id == "00dc" || id == "00db") && size > 0 &&
-                     body + size <= end) {
-            jpegs += java.util.Arrays.copyOfRange(payload, body, body + size)
+          val size = u32(off + 4)
+          val body = off + 8L
+          if (size < 0 || body + size > end) return // malformed: stop
+          val bodyI = body.toInt; val sizeI = size.toInt
+          if (id == "LIST" && bodyI + 4 <= end) {
+            walk(bodyI + 4, bodyI + sizeI) // skip the list type
+          } else if (id == "avih" && sizeI >= 40) {
+            usPerFrame = u32(bodyI)
+            totalFrames = u32(bodyI + 16).toInt
+            w = u32(bodyI + 32).toInt
+            h = u32(bodyI + 36).toInt
+          } else if ((id == "00dc" || id == "00db") && sizeI > 2 &&
+                     // MJPEG frame chunks are plain JPEGs — require the
+                     // SOI marker, so a structurally-valid AVI carrying a
+                     // codec the JDK cannot decode (H.264, raw DIB) makes
+                     // the WHOLE clip undecodable -> every caller falls
+                     // back to the stub CONSISTENTLY (frames() and the
+                     // indexed decodeFrame agree)
+                     (payload(bodyI) & 0xff) == 0xff &&
+                     (payload(bodyI + 1) & 0xff) == 0xd8) {
+            spans += ((bodyI, sizeI))
           }
-          off = body + size + (size & 1) // chunks are word-aligned
+          off = bodyI + sizeI + (sizeI & 1) // chunks are word-aligned
         }
       }
       walk(12, payload.length)
-      val frames = jpegs.result()
-      if (frames.isEmpty || w <= 0 || h <= 0) None
-      else Some(VideoClip(w, h, usPerFrame, frames.length,
-        frames.length * usPerFrame / 1000L, frames))
+      val fs = spans.result()
+      if (fs.isEmpty || w <= 0 || h <= 0) None
+      else Some(VideoClip(w, h, usPerFrame, fs.length,
+        fs.length * usPerFrame / 1000L, payload, fs))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Decoded video frames: each JPEG chunk through the REAL
-    * [[decodeImage]] luma path, lazily — one decoded plane in memory at
-    * a time. A frame whose JPEG is corrupt is skipped (decoders must not
-    * abort a 100 TB scan on one bad frame).
+  /** Decoded video frames: each JPEG span through the REAL
+    * [[decodeImage]] luma path, lazily — one frame's bytes and one
+    * decoded plane in memory at a time. A frame whose JPEG body is
+    * corrupt is skipped (decoders must not abort a 100 TB scan on one
+    * bad frame); `frame_idx` always names the CONTAINER position, so a
+    * skip never silently relabels later frames.
     */
   def videoFrames(clip: VideoClip): Iterator[Frame] =
-    clip.jpegFrames.iterator.zipWithIndex.flatMap { case (jp, i) =>
-      decodeImage(jp).map(_.copy(frame_idx = i))
+    clip.frameSpans.indices.iterator.flatMap { i =>
+      decodeImage(clip.frameBytes(i)).map(_.copy(frame_idx = i))
     }
 
   /** Minimal MJPEG-AVI writer, the fixture side of [[decodeVideo]] (the
@@ -343,7 +366,11 @@ object MediaPipeline {
      else if (isAudioMime(mime))
        decodeAudio(payload).flatMap(c => audioFrames(c).drop(frameIdx).nextOption())
      else if (isVideoMime(mime))
-       decodeVideo(payload).flatMap(c => videoFrames(c).drop(frameIdx).nextOption())
+       // find BY container index, not drop(n): videoFrames skips corrupt
+       // frames, so positional dropping would silently return a LATER
+       // frame than the one asked for
+       decodeVideo(payload).flatMap(c =>
+         videoFrames(c).find(_.frame_idx == frameIdx))
      else None)
       .getOrElse(decodeFrame(payload, frameIdx))
 

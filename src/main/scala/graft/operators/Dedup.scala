@@ -243,9 +243,19 @@ object Dedup extends QueryModule {
     * distinct shingles — no corpus statistics — which is exactly what
     * makes the index incrementally maintainable: a new batch's bands are
     * computable from that batch alone, and batch-by-batch maintenance
-    * provably equals a full rebuild (per-doc determinism; DedupSpec pins
-    * the equivalence against the batch-built pair set). Same 32-perm /
-    * 8×4-band geometry as [[lshCandidates]].
+    * provably equals a full rebuild OF THIS SAME PER-DOC INDEX (per-doc
+    * determinism). Same 32-perm / 8×4-band geometry as [[lshCandidates]].
+    *
+    * Honest scope note vs the batch path: [[lshCandidates]] hashes the
+    * df-CAPPED shingle universe (corpus statistics), which per-doc
+    * signatures cannot — that independence is the PRICE of
+    * incrementality. On a corpus with hot shingles (df over the cap) the
+    * two candidate sets can differ; the exact-verify stage still measures
+    * the capped universe on both paths, so a divergence can only DROP a
+    * marginal-band pair, never admit a false one. DedupSpec pins
+    * candidate-set equivalence on the gate corpus; on data where it
+    * breaks, recall follows the LSH band bound — widen bands, as the
+    * lshCandidates oracle-mapping note already prescribes.
     */
   private[graft] def bandsOf(batch: DataFrame): DataFrame = {
     val hs = batch
@@ -304,10 +314,12 @@ object Dedup extends QueryModule {
     // (the raw feed is never stored twice); a dedup probe then reads the
     // index, self-joins buckets for candidates, and exact-verifies. The
     // per-doc signature needs no corpus statistics, so batch-by-batch
-    // maintenance equals a full rebuild — proven by sharing
-    // dedup_minhash_lsh's exact-pair oracle (and DedupSpec equates the
-    // two pair sets directly). Incremental cost per batch ∝ batch size;
-    // the batch-rebuild alternative re-signs the whole corpus per load.
+    // maintenance equals a full rebuild of the same per-doc index (the
+    // capped-universe caveat vs the batch LSH path is on [[bandsOf]]) —
+    // the exact-pair oracle and DedupSpec's pair-set equivalence pin the
+    // agreement on the gate corpus. Incremental cost per batch ∝ batch
+    // size; the batch-rebuild alternative re-signs the whole corpus per
+    // load.
     "dedup_incremental_lsh" -> ((s, d) => {
       import graft.catalog.{Append, Catalog, NullEngine, TableDef}
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))

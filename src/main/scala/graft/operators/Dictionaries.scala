@@ -165,10 +165,14 @@ object Dictionaries extends QueryModule {
       val hits = lens.map { l =>
         val mask = (0xFFFFFFFFL << (32 - l)) & 0xFFFFFFFFL
         // the dict's own net is masked too: host bits in a declared CIDR
-        // ("10.3.7.9/16") must not poison the match
+        // ("10.3.7.9/16") must not poison the match — and two declared
+        // CIDRs that mask to the SAME network (duplicates, or distinct
+        // host bits) must collapse to ONE entry, or every matching fact
+        // row would join twice; a trie holds one node per prefix, so the
+        // deterministic min-attribute survivor restates that here
         val d = broadcast(parsed.filter(col("__len") === l)
-          .select(col("__net").bitwiseAND(lit(mask)).as(s"__net$l"),
-            col("__v").as(s"__v$l")))
+          .groupBy(col("__net").bitwiseAND(lit(mask)).as(s"__net$l"))
+          .agg(min(col("__v")).as(s"__v$l")))
         out = out.join(d, ip.bitwiseAND(lit(mask)) === col(s"__net$l"),
           "left_outer")
         col(s"__v$l")

@@ -88,6 +88,16 @@ class DictionariesSpec extends SparkSpecBase {
     // 10.3.x.x: /16 wins over /8 and /0 (and the /16's host bits 7.9 did
     // not narrow it to an exact-address match); 10.4.x.x: /8; 11.x: /0
     got shouldBe Map(1L -> "net16", 2L -> "net8", 3L -> "default-route")
+    // two CIDRs masking to the SAME network collapse to one trie node
+    // (min label) — a fact row must never duplicate through the probe
+    val dupDim = Seq(("10.0.0.0/8", "b"), ("10.9.9.9/8", "a"))
+      .toDF("cidr", "label")
+    val dupGot = Dictionaries.IpTrieDict(dupDim, "cidr", "label")
+      .getOrDefault(Seq((1L, ip(10, 3, 0, 1))).toDF("id", "addr"),
+        col("addr"), lit("miss"), "label")
+      .collect()
+    dupGot.length shouldBe 1
+    dupGot.head.getString(2) shouldBe "a"
   }
 
   test("range and trie probes plan as broadcast joins, never sort-merge") {

@@ -228,11 +228,31 @@ class MultimodalSpec extends SparkSpecBase {
     routed.map(_.width) shouldBe Seq(64, 64, 64)
     looksLikeAvi("RIFFxxxxAVI x".getBytes) shouldBe false
     decodeVideo(Array.tabulate[Byte](300)(_.toByte)) shouldBe None
-    // a corrupt frame chunk is skipped, not fatal
-    val broken = decodeVideo(avi).get.copy(
-      jpegFrames = Vector(clip.jpegFrames(0), Array[Byte](1, 2, 3),
-        clip.jpegFrames(2)))
+    // a corrupt frame BODY (SOI intact) is skipped, not fatal — and the
+    // surviving frames keep their CONTAINER indices; the indexed decode
+    // addresses by container position, never positionally over the
+    // skipping iterator
+    val avi2 = avi.clone()
+    val (off1, len1) = clip.frameSpans(1)
+    java.util.Arrays.fill(avi2, off1 + 2, off1 + len1, 0x00.toByte)
+    val broken = decodeVideo(avi2).get
     videoFrames(broken).map(_.frame_idx).toSeq shouldBe Seq(0, 2)
+    decodeFrame(avi2, "video/avi", 2).frame_idx shouldBe 2
+    // a structurally-valid AVI carrying a non-JPEG codec (no SOI in its
+    // frame chunks) is undecodable as a WHOLE -> stub fallback, the same
+    // answer frames() and the indexed decode both give
+    val nonMjpeg = avi.clone()
+    clip.frameSpans.foreach { case (o, _) =>
+      nonMjpeg(o) = 0x00; nonMjpeg(o + 1) = 0x00 }
+    decodeVideo(nonMjpeg) shouldBe None
+    frames(nonMjpeg, "video/avi").size shouldBe frameCount(nonMjpeg)
+    // a chunk size with the top bit set (negative as Int) terminates the
+    // walk instead of stalling or reversing it
+    val hostile = avi.clone()
+    val sizeOff = clip.frameSpans(0)._1 - 4 // the first 00dc's size field
+    hostile(sizeOff) = 0xf8.toByte; hostile(sizeOff + 1) = 0xff.toByte
+    hostile(sizeOff + 2) = 0xff.toByte; hostile(sizeOff + 3) = 0xff.toByte
+    decodeVideo(hostile) shouldBe None // walk stopped, no frames found
   }
 
   test("decode stub: frames window the payload at the declared stride") {
