@@ -172,24 +172,36 @@ final class QueryGovernor(spark: SparkSession,
         (q, w)
     }
 
+  // serializes the check-and-increment phase of runAs: a user covered by
+  // several quotas must see all windows checked BEFORE any is bumped, and
+  // two concurrent starts must not both pass a maxQueries=1 check
+  private val admission = new Object
+
   /** Run `action` as `user`: every quota covering the user is checked
-    * FIRST (QUOTA_EXCEEDED refuses the query before any work), then the
-    * run is governed exactly like [[run]] (registered, killable,
-    * watchdogged), then queries/errors/execution time are accounted.
+    * FIRST and, like ClickHouse, the `queries` counter is incremented AT
+    * START in the same atomic step — N concurrent queries cannot all
+    * slip past maxQueries=N-1 because each admitted start is immediately
+    * counted against the next. Errors and execution time (only knowable
+    * at completion) are accounted when the run finishes.
     */
   def runAs[T](user: String, queryId: String, maxExecutionMs: Long = 0L)
               (action: => T): T = {
-    windowsOf(user).foreach { case (q, w) => w.synchronized {
-      def over(limit: Long, used: Long, dim: String): Unit =
-        if (limit > 0 && used >= limit)
-          throw new IllegalStateException(
-            s"QUOTA_EXCEEDED: quota ${q.name} for $user: $dim " +
-              s"$used/$limit in the current interval")
-      over(q.maxQueries, w.queries, "queries")
-      over(q.maxErrors, w.errors, "errors")
-      over(q.maxResultRows, w.resultRows, "result_rows")
-      over(q.maxExecMs, w.execMs, "execution_ms")
-    } }
+    admission.synchronized {
+      val ws = windowsOf(user)
+      ws.foreach { case (q, w) => w.synchronized {
+        def over(limit: Long, used: Long, dim: String): Unit =
+          if (limit > 0 && used >= limit)
+            throw new IllegalStateException(
+              s"QUOTA_EXCEEDED: quota ${q.name} for $user: $dim " +
+                s"$used/$limit in the current interval")
+        over(q.maxQueries, w.queries, "queries")
+        over(q.maxErrors, w.errors, "errors")
+        over(q.maxResultRows, w.resultRows, "result_rows")
+        over(q.maxExecMs, w.execMs, "execution_ms")
+      } }
+      // all checks passed: admit — count the start before releasing
+      ws.foreach { case (_, w) => w.synchronized(w.queries += 1) }
+    }
     val t0 = clock()
     var failed = false
     try run(queryId, maxExecutionMs)(action)
@@ -197,7 +209,6 @@ final class QueryGovernor(spark: SparkSession,
     finally {
       val dt = clock() - t0
       windowsOf(user).foreach { case (_, w) => w.synchronized {
-        w.queries += 1
         if (failed) w.errors += 1
         w.execMs += dt
       } }

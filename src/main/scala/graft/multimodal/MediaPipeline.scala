@@ -184,9 +184,13 @@ object MediaPipeline {
   final case class VideoClip(width: Int, height: Int, usPerFrame: Long,
                              nFrames: Int, durationMs: Long,
                              payload: Array[Byte],
-                             frameSpans: Vector[(Int, Int)]) {
+                             frameSpans: Vector[(Int, Int, Int)]) {
+    /** The i-th DECODABLE frame's JPEG bytes; its container position is
+      * `frameSpans(i)._1` (spans carry (containerIdx, off, len) so a
+      * span dropped at parse time never relabels the frames after it).
+      */
     def frameBytes(i: Int): Array[Byte] = {
-      val (off, len) = frameSpans(i)
+      val (_, off, len) = frameSpans(i)
       java.util.Arrays.copyOfRange(payload, off, off + len)
     }
   }
@@ -222,46 +226,66 @@ object MediaPipeline {
       def fourcc(off: Int): String =
         new String(payload, off, 4, "US-ASCII")
       var usPerFrame = 0L; var totalFrames = 0; var w = 0; var h = 0
-      val spans = Vector.newBuilder[(Int, Int)]
-      // walk one chunk sequence [start, end); recurse into LISTs. Chunk
+      var frameOrdinal = 0 // CONTAINER position: every 00dc/00db counts
+      val spans = Vector.newBuilder[(Int, Int, Int)]
+      // walk the chunk grammar ITERATIVELY — an explicit segment stack,
+      // not recursion: a crafted AVI can nest LISTs ~payload/12 deep and
+      // a recursive walk would StackOverflow (an Error NonFatal does not
+      // catch), failing the whole scan task on one hostile payload. Chunk
       // sizes stay Long and are bounds-checked BEFORE use: a size with
       // the top bit set would wrap a 32-bit Int negative and could stall
       // or reverse the offset advance — a crafted payload passing the
       // structural gate must terminate the walk, never hang the task.
-      def walk(start: Int, end: Int): Unit = {
-        var off = start
-        while (off + 8 <= end) {
+      var stack = List((12, payload.length)) // [start, end) segments, DFS order
+      while (stack.nonEmpty) {
+        var (off, end) = stack.head
+        stack = stack.tail
+        var walking = true
+        while (walking && off + 8 <= end) {
           val id = fourcc(off)
           val size = u32(off + 4)
           val body = off + 8L
-          if (size < 0 || body + size > end) return // malformed: stop
-          val bodyI = body.toInt; val sizeI = size.toInt
-          if (id == "LIST" && bodyI + 4 <= end) {
-            walk(bodyI + 4, bodyI + sizeI) // skip the list type
-          } else if (id == "avih" && sizeI >= 40) {
-            usPerFrame = u32(bodyI)
-            totalFrames = u32(bodyI + 16).toInt
-            w = u32(bodyI + 32).toInt
-            h = u32(bodyI + 36).toInt
-          } else if ((id == "00dc" || id == "00db") && sizeI > 2 &&
-                     // MJPEG frame chunks are plain JPEGs — require the
-                     // SOI marker, so a structurally-valid AVI carrying a
-                     // codec the JDK cannot decode (H.264, raw DIB) makes
-                     // the WHOLE clip undecodable -> every caller falls
-                     // back to the stub CONSISTENTLY (frames() and the
-                     // indexed decodeFrame agree)
-                     (payload(bodyI) & 0xff) == 0xff &&
-                     (payload(bodyI + 1) & 0xff) == 0xd8) {
-            spans += ((bodyI, sizeI))
+          if (size < 0 || body + size > end) walking = false // malformed: stop
+          else {
+            val bodyI = body.toInt; val sizeI = size.toInt
+            val next = bodyI + sizeI + (sizeI & 1) // chunks are word-aligned
+            if (id == "LIST" && bodyI + 4 <= end) {
+              // descend: continuation after the LIST first, then the list
+              // body on top — DFS preserves container frame order
+              stack = (bodyI + 4, bodyI + sizeI) :: (next, end) :: stack
+              walking = false
+            } else {
+              if (id == "avih" && sizeI >= 40) {
+                usPerFrame = u32(bodyI)
+                totalFrames = u32(bodyI + 16).toInt
+                w = u32(bodyI + 32).toInt
+                h = u32(bodyI + 36).toInt
+              } else if (id == "00dc" || id == "00db") {
+                // MJPEG frame chunks are plain JPEGs — require the SOI
+                // marker, so a structurally-valid AVI carrying a codec
+                // the JDK cannot decode (H.264, raw DIB) makes the WHOLE
+                // clip undecodable -> every caller falls back to the stub
+                // CONSISTENTLY (frames() and the indexed decodeFrame
+                // agree). The ordinal advances for EVERY frame chunk:
+                // a corrupted-SOI frame is dropped here but never
+                // relabels the frames after it.
+                if (sizeI > 2 && (payload(bodyI) & 0xff) == 0xff &&
+                    (payload(bodyI + 1) & 0xff) == 0xd8)
+                  spans += ((frameOrdinal, bodyI, sizeI))
+                frameOrdinal += 1
+              }
+              off = next
+            }
           }
-          off = bodyI + sizeI + (sizeI & 1) // chunks are word-aligned
         }
       }
-      walk(12, payload.length)
       val fs = spans.result()
+      // a clip where NO frame chunk carries a JPEG is a foreign codec ->
+      // undecodable as a whole; a clip where SOME do is MJPEG with
+      // corruption -> decode what survives, container indices intact
       if (fs.isEmpty || w <= 0 || h <= 0) None
-      else Some(VideoClip(w, h, usPerFrame, fs.length,
-        fs.length * usPerFrame / 1000L, payload, fs))
+      else Some(VideoClip(w, h, usPerFrame, frameOrdinal,
+        frameOrdinal * usPerFrame / 1000L, payload, fs))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -274,7 +298,9 @@ object MediaPipeline {
     */
   def videoFrames(clip: VideoClip): Iterator[Frame] =
     clip.frameSpans.indices.iterator.flatMap { i =>
-      decodeImage(clip.frameBytes(i)).map(_.copy(frame_idx = i))
+      // frame_idx is the span's CONTAINER ordinal (recorded at parse
+      // time), not its position among the decodable spans
+      decodeImage(clip.frameBytes(i)).map(_.copy(frame_idx = clip.frameSpans(i)._1))
     }
 
   /** Minimal MJPEG-AVI writer, the fixture side of [[decodeVideo]] (the

@@ -81,6 +81,21 @@ object Dedup extends QueryModule {
   private val MaxShingleDocFrac = 0.5
   private val MaxShingleDocCap = 1000L
 
+  /** Bucket fan-out cap for the INCREMENTAL LSH probe ([[probeCandidates]]),
+    * the band-bucket analog of [[MaxShingleDocCap]]: per-doc incremental
+    * signatures cannot df-cap the shingle universe (no corpus statistics at
+    * batch time), so M boilerplate near-identical documents — license
+    * files, templated pages, the NORM in web-scale corpora — land identical
+    * band hashes and would produce M²/2 candidate pairs per band before
+    * exact-verify. A (band, bh) bucket holding >1000 docs is a boilerplate
+    * cluster, not a near-dup signal worth pairing exhaustively: it is
+    * dropped at probe time, bounding every bucket's pair fan-out at cap²
+    * regardless of corpus size. Dropped mega-clusters are still caught by
+    * `dedup_exact` (identical text hashes together) and by their OTHER
+    * bands when any band stays under the cap.
+    */
+  private[graft] val MaxLshBucketCap = 1000L
+
   /** Width (in tokens) of the grams used for duplicate-SPAN detection
     * (`dedup_substring`). 8 tokens ≈ the point where a match stops being
     * chance phrase reuse and starts being copied text on a natural corpus;
@@ -275,6 +290,30 @@ object Dedup extends QueryModule {
         col("bd.bh").as("bh"))
   }
 
+  /** Candidate pairs from a STORED bands table (the incremental index
+    * probe), with hot buckets capped BEFORE the self-join: bucket sizes
+    * aggregate first (a count shuffle carrying only (band, bh) — bytes
+    * per distinct bucket, not per doc pair), buckets over
+    * [[MaxLshBucketCap]] are dropped, and only then do the surviving
+    * buckets pair up. Without the cap a boilerplate-heavy corpus goes
+    * quadratic in exactly the hot buckets the index exists to find; with
+    * it every bucket's fan-out is ≤ cap², so probe cost is linear in
+    * corpus size with a constant ceiling per bucket. The size join and
+    * the self-join share the same (band, bh) key, so the exchange is
+    * reused within the plan.
+    */
+  private[graft] def probeCandidates(buckets: DataFrame): DataFrame = {
+    val small = buckets.groupBy("band", "bh")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= MaxLshBucketCap)
+      .select(col("band"), col("bh"))
+    val capped = buckets.join(small, Seq("band", "bh"))
+    capped.as("x").join(capped.as("y"), Seq("band", "bh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+  }
+
   // explicit type param: the `++ clusterQueries` tail would otherwise stop
   // the expected type from reaching the lambda literals
   override def queries: Map[String, Q] = Map[String, Q](
@@ -341,12 +380,7 @@ object Dedup extends QueryModule {
         "doc_bands_inc", bandsOf)
       (0 until 3).foreach(i => cat.append("docs_inc_in",
         docs.filter(pmod(col("doc_id"), lit(3)) === i)))
-      val buckets = cat.read("doc_bands_inc")
-      val cands = buckets.as("x").join(buckets.as("y"), Seq("band", "bh"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
-        .distinct()
-      jaccardPairs(s, d, 0.8, Some(cands))
+      jaccardPairs(s, d, 0.8, Some(probeCandidates(cat.read("doc_bands_inc"))))
     }),
 
     // SimHash: 128-bit signature (two 64-bit halves from independently

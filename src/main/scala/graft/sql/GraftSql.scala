@@ -64,7 +64,8 @@ object GraftSql {
   // validated numeric (an integer placeholder refuses '1; DROP …'),
   // strings are escaped — so a parameter can never smuggle SQL.
 
-  private val paramRe = """\{(\w+)\s*:\s*([A-Za-z0-9()]+)\}""".r
+  // the type class admits ',' so Decimal(10,2)-shaped placeholders match
+  private val paramRe = """\{(\w+)\s*:\s*([A-Za-z0-9(),]+)\}""".r
   private val paramViews =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -93,6 +94,11 @@ object GraftSql {
     val bound = paramRe.replaceAllIn(text, m =>
       java.util.regex.Matcher.quoteReplacement(
         renderLiteral(name, m.group(1), m.group(2), params(m.group(1)))))
+    // belt-and-braces: any '{name:' remnant means a placeholder the
+    // regex could not parse (malformed type text) — refuse rather than
+    // hand Spark a literal brace token
+    require(!"""\{\w+\s*:""".r.findFirstIn(bound).isDefined,
+      s"$name: unsubstituted placeholder remains in view text")
     sql(s, sfDir, bound)
   }
 
@@ -115,7 +121,21 @@ object GraftSql {
       require(!(t.startsWith("uint") && s.startsWith("-")),
         s"$view: parameter $p declared $chType but bound to negative $s")
       s
-    } else if (t.startsWith("float") || t.startsWith("decimal")) num
+    } else if (t.startsWith("float") || t.startsWith("decimal")) {
+      val s = num
+      // NaN/Infinity would render as bare identifiers ('NaN' is a
+      // column reference to Spark's parser) — refuse non-finite binds
+      v match {
+        case d: java.lang.Double if d.isNaN || d.isInfinite =>
+          throw new IllegalArgumentException(
+            s"$view: parameter $p declared $chType but bound to non-finite $d")
+        case f: java.lang.Float if f.isNaN || f.isInfinite =>
+          throw new IllegalArgumentException(
+            s"$view: parameter $p declared $chType but bound to non-finite $f")
+        case _ =>
+      }
+      s
+    }
     else if (t == "string" || t == "date" || t.startsWith("datetime") ||
              t.startsWith("fixedstring"))
       // Spark's default lexer processes backslash escapes in literals

@@ -156,5 +156,18 @@ class ChSqlSpec extends SparkSpecBase {
     intercept[Exception] {
       GraftSql.createParamView("pv_plain", "SELECT 1")
     }
+    // Decimal(10,2) placeholders (comma in the type) match and bind
+    GraftSql.createParamView("pv_dec",
+      "SELECT count(*) AS n FROM nation WHERE n_regionkey < {lim:Decimal(10,2)}")
+    GraftSql.paramView(spark, sf0001, "pv_dec",
+      Map("lim" -> 2.5)).head().getLong(0) should be >= 1L
+    // non-finite floats are refused, never rendered as bare NaN/Infinity
+    intercept[Exception] {
+      GraftSql.paramView(spark, sf0001, "pv_dec", Map("lim" -> Double.NaN))
+    }.getMessage should include("non-finite")
+    intercept[Exception] {
+      GraftSql.paramView(spark, sf0001, "pv_dec",
+        Map("lim" -> Double.PositiveInfinity))
+    }.getMessage should include("non-finite")
   }
 }

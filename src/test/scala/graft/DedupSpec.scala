@@ -24,6 +24,37 @@ class DedupSpec extends SparkSpecBase {
     pairs("dedup_incremental_lsh") shouldBe pairs("dedup_minhash_lsh")
   }
 
+  test("incremental probe caps hot buckets: a boilerplate cluster cannot go quadratic") {
+    // 1200 near-identical boilerplate docs (think license files): every
+    // doc lands the SAME band hash in all 8 bands, so an uncapped probe
+    // would emit 8 × 1200·1199/2 ≈ 5.7M candidate pairs — M²/2 per band,
+    // the quadratic melt at web scale. With the bucket cap those mega
+    // buckets (size 1200 > 1000) are DROPPED, so the boilerplate cluster
+    // contributes zero probe candidates, while distinct small-bucket docs
+    // still pair normally. The cluster itself remains catchable by
+    // dedup_exact (identical text).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val boiler = (0L until 1200L)
+      .map(i => (i, "permission is hereby granted free of charge to any " +
+        "person obtaining a copy of this software and associated files"))
+    // two duplicate docs in their own small bucket (identical text ->
+    // identical signatures -> all 8 bands collide, deterministically)
+    val organic = Seq(
+      (5000L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (5001L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+    val docs = (boiler ++ organic).toDF("doc_id", "text")
+    val cands = Dedup.probeCandidates(Dedup.bandsOf(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bounded: nothing from the 1200-doc mega buckets; the organic pair
+    // (and only small-bucket pairs) survive
+    assert(cands.size.toLong <=
+      8L * Dedup.MaxLshBucketCap * Dedup.MaxLshBucketCap,
+      s"candidate count ${cands.size} exceeds the cap² bound")
+    cands should contain ((5000L, 5001L))
+    cands.count { case (i, j) => i < 1200L && j < 1200L } shouldBe 0
+  }
+
   test("LSH recovers every exact pair at the correctness-gate scale factor, marginal band included") {
     // The exact-Jaccard oracle for dedup_minhash_lsh / dedup_clusters is
     // cell-exact, but 8×4-band LSH recall at J just above 0.8 is only

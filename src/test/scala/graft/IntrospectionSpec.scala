@@ -385,6 +385,34 @@ class IntrospectionSpec extends SparkSpecBase {
     gov.runAs("dave", "d3")(7) shouldBe 7
   }
 
+  test("quotas: maxQueries bounds CONCURRENT starts (check-and-increment is atomic)") {
+    val gov = new QueryGovernor(spark)
+    gov.createQuota("solo", Seq("erin"), intervalMs = 600000L, maxQueries = 1)
+    // N threads race into runAs while the admitted one blocks inside the
+    // action: with check-at-start + count-at-start exactly ONE may pass
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val admitted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val refused = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 4).map { i =>
+      new Thread(() =>
+        try {
+          gov.runAs("erin", s"e$i") { admitted.incrementAndGet(); gate.await() }
+        } catch {
+          case e: IllegalStateException if e.getMessage.contains("QUOTA_EXCEEDED") =>
+            refused.incrementAndGet()
+        })
+    }
+    threads.foreach(_.start())
+    // wait until every thread has either been admitted or refused
+    val deadline = System.currentTimeMillis() + 10000L
+    while (admitted.get() + refused.get() < 4 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(10L)
+    gate.countDown()
+    threads.foreach(_.join(10000L))
+    admitted.get() shouldBe 1
+    refused.get() shouldBe 3
+  }
+
   test("QueryGovernor: max_execution_time kills a runaway; KILL QUERY works cross-thread") {
     val gov = new QueryGovernor(spark)
     // a scan that would take minutes: the watchdog must kill it in ~1 s

@@ -233,26 +233,53 @@ class MultimodalSpec extends SparkSpecBase {
     // addresses by container position, never positionally over the
     // skipping iterator
     val avi2 = avi.clone()
-    val (off1, len1) = clip.frameSpans(1)
+    val (_, off1, len1) = clip.frameSpans(1)
     java.util.Arrays.fill(avi2, off1 + 2, off1 + len1, 0x00.toByte)
     val broken = decodeVideo(avi2).get
     videoFrames(broken).map(_.frame_idx).toSeq shouldBe Seq(0, 2)
     decodeFrame(avi2, "video/avi", 2).frame_idx shouldBe 2
+    // a corrupted SOI drops the frame AT PARSE TIME — later frames must
+    // still carry their container ordinals (spans record the ordinal,
+    // not their position among the survivors), and nFrames/duration
+    // still count the container
+    val soiGone = avi.clone()
+    soiGone(off1) = 0x00; soiGone(off1 + 1) = 0x00
+    val parsed = decodeVideo(soiGone).get
+    parsed.nFrames shouldBe 3
+    parsed.durationMs shouldBe 300L
+    videoFrames(parsed).map(_.frame_idx).toSeq shouldBe Seq(0, 2)
+    decodeFrame(soiGone, "video/avi", 2).frame_idx shouldBe 2
     // a structurally-valid AVI carrying a non-JPEG codec (no SOI in its
     // frame chunks) is undecodable as a WHOLE -> stub fallback, the same
     // answer frames() and the indexed decode both give
     val nonMjpeg = avi.clone()
-    clip.frameSpans.foreach { case (o, _) =>
+    clip.frameSpans.foreach { case (_, o, _) =>
       nonMjpeg(o) = 0x00; nonMjpeg(o + 1) = 0x00 }
     decodeVideo(nonMjpeg) shouldBe None
     frames(nonMjpeg, "video/avi").size shouldBe frameCount(nonMjpeg)
     // a chunk size with the top bit set (negative as Int) terminates the
     // walk instead of stalling or reversing it
     val hostile = avi.clone()
-    val sizeOff = clip.frameSpans(0)._1 - 4 // the first 00dc's size field
+    val sizeOff = clip.frameSpans(0)._2 - 4 // the first 00dc's size field
     hostile(sizeOff) = 0xf8.toByte; hostile(sizeOff + 1) = 0xff.toByte
     hostile(sizeOff + 2) = 0xff.toByte; hostile(sizeOff + 3) = 0xff.toByte
     decodeVideo(hostile) shouldBe None // walk stopped, no frames found
+    // LISTs nested ~payload/12 deep must not blow the stack: the walk is
+    // iterative, so the hostile payload just yields None (no frames),
+    // never a StackOverflowError that kills the scan task
+    val depth = 60000
+    val bb = java.nio.ByteBuffer.allocate(12 + depth * 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(12 + depth * 12 - 8)
+      .put("AVI ".getBytes("US-ASCII"))
+    (0 until depth).foreach { i =>
+      val remaining = (depth - i) * 12 - 8
+      bb.put("LIST".getBytes("US-ASCII")).putInt(remaining)
+        .put("deep".getBytes("US-ASCII"))
+    }
+    val nested = bb.array()
+    looksLikeAvi(nested) shouldBe true
+    decodeVideo(nested) shouldBe None
   }
 
   test("decode stub: frames window the payload at the declared stride") {
