@@ -70,16 +70,36 @@ final case class Collapsing(keys: Seq[String], signCol: String,
 
 /** ≈ AggregatingMergeTree (the uniqState-in-MV family, reference
   * README.md:247-266): each `stateCols` column stores MERGEABLE aggregate
-  * state — Datasketches HLL bytes (`hll_sketch_agg`) — keyed by `keys`.
-  * Appends carry per-batch partial sketches; the read view union-merges
-  * states per key (`hll_union_agg`), and [[Catalog.compact]] materializes
+  * state keyed by `keys`. Appends carry per-batch partial states; the
+  * read view merges states per key, and [[Catalog.compact]] materializes
   * that merge into storage (ClickHouse's background merge of
-  * AggregateFunction parts). Readers estimate with `hll_sketch_estimate`
-  * when they want the number rather than the state. Schema contract:
-  * declared fields are exactly `keys ++ stateCols` (validated at
-  * CREATE) — an un-aggregated payload column has no merge rule here.
+  * AggregateFunction parts). Schema contract: declared fields are exactly
+  * `keys ++ stateCols` (validated at CREATE) — an un-aggregated payload
+  * column has no merge rule here.
+  *
+  * `stateKinds` generalizes beyond the original HLL-only engine to the
+  * full ClickHouse `-State`/`-Merge` column families (SummingMergeTree is
+  * the degenerate sum case — [[Summing]]); per state column:
+  *  - `"hll"` (the default): Datasketches HLL bytes (`hll_sketch_agg`),
+  *    merged with `hll_union_agg`, estimated with `hll_sketch_estimate` —
+  *    ClickHouse `uniqState`/`uniqMerge`.
+  *  - `"kll"`: Datasketches KLL quantile-sketch bytes
+  *    ([[graft.functions.QuantileSketch]]), merged by sketch union —
+  *    ClickHouse `quantileState`/`quantileMerge`, the incrementally
+  *    maintained percentile rollup.
+  *  - `"avg"`: exact `(sum: double, cnt: bigint)` struct state, merged by
+  *    field-wise sums — ClickHouse `avgState`/`avgMerge` (exact, so the
+  *    read is hash-matchable, unlike the sketch kinds).
   */
-final case class Aggregating(keys: Seq[String], stateCols: Seq[String]) extends EngineSemantics
+final case class Aggregating(keys: Seq[String], stateCols: Seq[String],
+                             stateKinds: Map[String, String] = Map.empty)
+    extends EngineSemantics {
+  /** Kind of one state column; unlisted columns keep the original HLL
+    * behavior so every pre-existing table and `_TABLE` sidecar reads
+    * unchanged.
+    */
+  def kindOf(c: String): String = stateKinds.getOrElse(c, "hll")
+}
 
 /** ≈ ENGINE = Null: inserts are type-checked, counted, and DISCARDED;
   * reads are always empty. Useless alone — the point is the ClickHouse
@@ -149,7 +169,13 @@ final case class TableDef(
     // CH `col T MATERIALIZED expr`: column -> SQL expr over the BASE
     // (non-materialized) columns, computed at insert and stored physically;
     // insert blocks must not supply the column
-    materializedCols: Seq[(String, String)] = Nil)
+    materializedCols: Seq[(String, String)] = Nil,
+    // CH `INDEX … TYPE tokenbf_v1`: full-text TOKEN bloom sidecars for
+    // string columns — every word-token of every row goes into the
+    // per-file bloom, so a hasToken-shaped predicate can drop whole files
+    // (the log-search workhorse: equality blooms only skip on the WHOLE
+    // value, useless for "find the request id inside the message")
+    tokenIndexCols: Seq[String] = Nil)
 
 final class Catalog(spark: SparkSession) {
 
@@ -245,12 +271,19 @@ final class Catalog(spark: SparkSession) {
     // would re-enter the "missing" set on every append, silently turning
     // O(batch) appends into full-table scans (and partition keys already
     // prune at the directory level, the stronger skip)
-    (t.indexCols ++ t.minmaxCols).foreach { c =>
+    (t.indexCols ++ t.minmaxCols ++ t.tokenIndexCols).foreach { c =>
       require(t.schema.fieldNames.contains(c),
         s"${t.name}: skip-index column $c is not in the schema")
       require(!t.partitionKeys.contains(c),
         s"${t.name}: skip-index column $c is a partition key " +
           s"(directory pruning already covers it)")
+    }
+    // token blooms tokenize text — only string columns have tokens
+    t.tokenIndexCols.foreach { c =>
+      require(t.schema(c).dataType == org.apache.spark.sql.types.StringType,
+        s"${t.name}: token skip-index column $c is " +
+          s"${t.schema(c).dataType.simpleString}; tokenbf-style indexes " +
+          "apply to string columns only")
     }
     // bloom sidecars are Spark sketch BloomFilters, which accept ONLY
     // string, binary, and integral keys — a double/decimal/date/timestamp
@@ -267,13 +300,39 @@ final class Catalog(spark: SparkSession) {
           "columns — declare it under minmaxCols for range skipping instead")
     }
     t.semantics match {
-      case Aggregating(keys, stateCols) =>
+      case agg @ Aggregating(keys, stateCols, kinds) =>
         // the merged read view is groupBy(keys).agg(union(states)) — a
         // column outside both lists would be silently dropped there, and
         // the declared order is what read() re-emits
         require(t.schema.fieldNames.toSeq == keys ++ stateCols,
           s"${t.name}: Aggregating schema must be exactly keys ++ stateCols " +
             s"(got ${t.schema.fieldNames.toSeq}, want ${keys ++ stateCols})")
+        // per-kind physical-type contract, checked at CREATE so a
+        // mis-typed state column fails loudly here, not as an opaque
+        // merge error mid-append
+        import org.apache.spark.sql.types._
+        kinds.keys.foreach(c => require(stateCols.contains(c),
+          s"${t.name}: stateKinds names $c, which is not a state column"))
+        stateCols.foreach { c =>
+          agg.kindOf(c) match {
+            case "hll" | "kll" =>
+              require(t.schema(c).dataType == BinaryType,
+                s"${t.name}: ${agg.kindOf(c)} state column $c must be " +
+                  s"BINARY (got ${t.schema(c).dataType.simpleString})")
+            case "avg" =>
+              val ok = t.schema(c).dataType match {
+                case StructType(Array(StructField("sum", DoubleType, _, _),
+                                      StructField("cnt", LongType, _, _))) => true
+                case _ => false
+              }
+              require(ok, s"${t.name}: avg state column $c must be " +
+                s"STRUCT<sum: DOUBLE, cnt: BIGINT> " +
+                s"(got ${t.schema(c).dataType.simpleString})")
+            case other => throw new IllegalArgumentException(
+              s"${t.name}: unknown state kind $other for column $c " +
+                "(supported: hll, kll, avg)")
+          }
+        }
       case ReplacingDedup(_, _, Some(isDel)) =>
         import org.apache.spark.sql.types._
         require(t.schema.fieldNames.contains(isDel),
@@ -393,8 +452,9 @@ final class Catalog(spark: SparkSession) {
           ("is_deleted" -> isDel)
       case Summing(keys, cols) =>
         ("kind" -> "summing") ~ ("keys" -> keys) ~ ("cols" -> cols)
-      case Aggregating(keys, cols) =>
-        ("kind" -> "aggregating") ~ ("keys" -> keys) ~ ("cols" -> cols)
+      case Aggregating(keys, cols, kinds) =>
+        ("kind" -> "aggregating") ~ ("keys" -> keys) ~ ("cols" -> cols) ~
+          ("state_kinds" -> kinds)
       case Collapsing(keys, sign, version) =>
         ("kind" -> "collapsing") ~ ("keys" -> keys) ~ ("sign" -> sign) ~
           ("version" -> version)
@@ -409,6 +469,7 @@ final class Catalog(spark: SparkSession) {
       ("partition_keys" -> t.partitionKeys) ~
       ("index_cols" -> t.indexCols) ~
       ("minmax_cols" -> t.minmaxCols) ~
+      ("token_index_cols" -> t.tokenIndexCols) ~
       ("codec" -> t.codec) ~
       // pending (un-materialized) column renames must survive a restart:
       // without them attach() would read pre-rename files' old column
@@ -495,7 +556,14 @@ final class Catalog(spark: SparkSession) {
       case org.json4s.JString("summing") =>
         Summing(list(semNode \ "keys"), list(semNode \ "cols"))
       case org.json4s.JString("aggregating") =>
-        Aggregating(list(semNode \ "keys"), list(semNode \ "cols"))
+        // state_kinds is absent in pre-generalization sidecars → all-HLL
+        val kinds = (semNode \ "state_kinds") match {
+          case org.json4s.JObject(fs) => fs.collect {
+            case (k, org.json4s.JString(v)) => k -> v
+          }.toMap
+          case _ => Map.empty[String, String]
+        }
+        Aggregating(list(semNode \ "keys"), list(semNode \ "cols"), kinds)
       case org.json4s.JString("collapsing") =>
         Collapsing(list(semNode \ "keys"),
           (semNode \ "sign").asInstanceOf[org.json4s.JString].s,
@@ -573,7 +641,9 @@ final class Catalog(spark: SparkSession) {
     try createTable(TableDef(name, path, schema, list(j \ "sort_keys"), sem,
       layout, list(j \ "partition_keys"), list(j \ "index_cols"),
       list(j \ "minmax_cols"), codec, pairList(j \ "constraints"),
-      pairList(j \ "materialized_cols")))
+      pairList(j \ "materialized_cols"),
+      // absent in pre-token-index sidecars → none
+      list(j \ "token_index_cols")))
     catch {
       case e: Throwable =>
         if (!tables.contains(name)) restorePrior.foreach(_.apply())
@@ -726,10 +796,11 @@ final class Catalog(spark: SparkSession) {
     */
   private def keyCols(t: TableDef): Set[String] =
     (t.sortKeys ++ t.partitionKeys ++ t.indexCols ++ t.minmaxCols ++
+      t.tokenIndexCols ++
       (t.semantics match {
         case ReplacingDedup(keys, v, isDel) => (keys :+ v) ++ isDel
         case Summing(keys, cols) => keys ++ cols
-        case Aggregating(keys, cols) => keys ++ cols
+        case Aggregating(keys, cols, _) => keys ++ cols
         case Collapsing(keys, sign, version) => keys :+ sign :+ version
         case JoinAny(keys) => keys
         case Append | NullEngine => Nil
@@ -1281,8 +1352,8 @@ final class Catalog(spark: SparkSession) {
       // pre-merge within the batch (ClickHouse merges the insert block):
       // storage then holds one state row per key per APPEND, not per
       // upstream partial — the read-time union still folds across appends
-      case Aggregating(keys, stateCols) =>
-        val merged = stateCols.map(c => hll_union_agg(col(c)).as(c))
+      case agg @ Aggregating(keys, _, _) =>
+        val merged = stateMergeExprs(agg)
         filled.groupBy(keys.map(col): _*).agg(merged.head, merged.tail: _*)
       case Collapsing(_, sign, _) =>
         // reject out-of-range signs at insert (the Enum8 raise_error
@@ -1397,6 +1468,7 @@ final class Catalog(spark: SparkSession) {
       .parquet(path)
     if (t.indexCols.nonEmpty) buildSkipIndex(t, path)
     if (t.minmaxCols.nonEmpty) buildMinmaxIndex(t, path)
+    if (t.tokenIndexCols.nonEmpty) buildTokenIndex(t, path)
   }
 
   // ---- bloom skip-index sidecars ---------------------------------------
@@ -1507,6 +1579,156 @@ final class Catalog(spark: SparkSession) {
       val out = f.create(idxSidecar(p.getParent, p.getName, cols(i)), true)
       try out.write(bytes) finally out.close()
     }
+  }
+
+  // ---- full-text token skip-index sidecars -----------------------------
+  //
+  // ClickHouse's `INDEX … TYPE tokenbf_v1` (the log-search workhorse):
+  // the equality blooms above skip only on the WHOLE column value, so
+  // `hasToken(message, 'req_8f3a')` still scans every file. A token
+  // sidecar blooms every WORD TOKEN of every row — same one-pass build,
+  // same `_idx/` travel-with-the-directory lifecycle, same fail-open
+  // consult — and [[readTokenPruned]] drops files whose bloom lacks the
+  // probe token. Tokenization is fixed and shared with the probe side
+  // ([[Catalog.TokenSeparators]]): maximal runs of [A-Za-z0-9_], the CH
+  // tokenbf definition, so index build and predicate can never disagree
+  // on what a token is.
+
+  private def tokenSidecar(dir: org.apache.hadoop.fs.Path, fileName: String,
+                           column: String) =
+    new org.apache.hadoop.fs.Path(dir, s"_idx/$fileName.$column.tokenbloom")
+
+  /** Token-index every parquet file under `dir` lacking a sidecar, in ONE
+    * distributed pass (the [[buildSkipIndex]] shape): unindexed files
+    * scanned as a single column-pruned read, each row's tokens streamed
+    * into per-(file, column) partial blooms executor-side, partials
+    * merged by key, only finished sidecar bytes to the driver. Sized by
+    * per-file TOKEN counts (an upper bound on distinct tokens — a larger
+    * bloom only lowers the false-positive rate).
+    */
+  private def buildTokenIndex(t: TableDef, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val f = fs(t)
+    val d = new Path(dir)
+    if (!f.exists(d)) return
+    val it = f.listFiles(d, true)
+    val files = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (it.hasNext) {
+      val s = it.next()
+      val n = s.getPath.getName
+      if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+          !s.getPath.toString.contains("/_idx/"))
+        files += s.getPath
+    }
+    val missing = files.filter { p =>
+      t.tokenIndexCols.exists(c =>
+        !f.exists(tokenSidecar(p.getParent, p.getName, c)))
+    }
+    if (missing.isEmpty) return
+    val cols = t.tokenIndexCols.filter(t.schema.fieldNames.contains)
+    if (cols.isEmpty) return
+    val base = spark.read.schema(StructType(cols.map(c => t.schema(c))))
+      .parquet(missing.map(_.toString).toSeq: _*)
+      .select(input_file_name().as("__file") +:
+        cols.map(c => split(col(c), Catalog.TokenSeparators).as(c)): _*)
+    // job 1: per-file token-count upper bounds (bloom sizing)
+    val counts = base
+      .groupBy(col("__file"))
+      .agg(sum(cols.map(c => coalesce(size(col(c)), lit(0)))
+        .reduce(_ + _)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bcCounts = spark.sparkContext.broadcast(counts)
+    val nCols = cols.size
+    // job 2: stream tokens into per-(file, column) partial blooms
+    val sidecars = base.rdd.mapPartitions { rows =>
+      val blooms = scala.collection.mutable.HashMap
+        .empty[(String, Int), org.apache.spark.util.sketch.BloomFilter]
+      rows.foreach { r =>
+        val file = r.getString(0)
+        var i = 0
+        while (i < nCols) {
+          val toks = if (r.isNullAt(i + 1)) Nil else r.getSeq[String](i + 1)
+          if (toks.nonEmpty) {
+            val bf = blooms.getOrElseUpdate((file, i),
+              org.apache.spark.util.sketch.BloomFilter.create(
+                math.max(bcCounts.value.getOrElse(file, 1L), 1L), 0.01))
+            toks.foreach(tok => if (tok.nonEmpty) bf.putString(tok))
+          }
+          i += 1
+        }
+      }
+      blooms.iterator.map { case (k, bf) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (k, bos.toByteArray)
+      }
+    }.reduceByKey { (a, b) =>
+      val x = org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(a))
+      x.mergeInPlace(org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(b)))
+      val bos = new java.io.ByteArrayOutputStream()
+      x.writeTo(bos)
+      bos.toByteArray
+    }.collect()
+    sidecars.foreach { case ((fileUri, i), bytes) =>
+      val p = new Path(new java.net.URI(fileUri))
+      val out = f.create(tokenSidecar(p.getParent, p.getName, cols(i)), true)
+      try out.write(bytes) finally out.close()
+    }
+  }
+
+  /** hasToken-probe read through the token skip index: scan only the
+    * files whose token bloom might contain `token` (no sidecar → kept).
+    * Callers still apply the real predicate on top — bloom false
+    * positives pass the file test, never the filter — so pruning can
+    * never change results. Returns (frame, files scanned, files total).
+    */
+  def readTokenPruned(name: String, column: String,
+                      token: String): (DataFrame, Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val t = get(name)
+    require(t.tokenIndexCols.contains(column),
+      s"$name: no token skip-index declared on $column")
+    // a "token" containing separator characters can never equal any
+    // indexed token — the caller's predicate is malformed, say so loudly
+    require(token.nonEmpty && !Catalog.TokenSeparatorsRe.matcher(token).find(),
+      s"$name: probe '$token' is not a single token " +
+        s"(tokens are maximal [A-Za-z0-9_] runs)")
+    require(t.partitionKeys.isEmpty,
+      s"$name: token-pruned reads target unpartitioned layouts")
+    require(t.semantics == Append,
+      s"$name: token-pruned reads require Append semantics " +
+        s"(merge views need every file of a key group)")
+    recoverInterruptedSwap(t)
+    val f = fs(t)
+    val all = scala.collection.mutable.ArrayBuffer.empty[Path]
+    dataPaths(t).map(new Path(_)).filter(f.exists).foreach { root =>
+      val it = f.listFiles(root, true)
+      while (it.hasNext) {
+        val s = it.next()
+        val n = s.getPath.getName
+        if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+            !s.getPath.toString.contains("/_idx/"))
+          all += s.getPath
+      }
+    }
+    val kept = all.filter { p =>
+      val sc = tokenSidecar(p.getParent, p.getName, column)
+      if (!f.exists(sc)) true // fail open: unindexed file might match
+      else {
+        val in = f.open(sc)
+        val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+                 finally in.close()
+        bf.mightContainString(token)
+      }
+    }
+    // readVia: the pruned set still goes through the full read semantics
+    // (renames, added-column defaults, deletion vectors, row policies)
+    val df =
+      if (kept.isEmpty) readVia(t, dataPaths(t)).limit(0)
+      else readVia(t, kept.toSeq.map(_.toString))
+    (df, kept.size, all.size)
   }
 
   /** Equality-probe read through the skip index: scan only the data files
@@ -1948,8 +2170,8 @@ final class Catalog(spark: SparkSession) {
         raw.groupBy(keys.map(col): _*)
           .agg(sumCols.head -> "sum", sumCols.tail.map(_ -> "sum"): _*)
           .toDF(keys ++ sumCols: _*)
-      case Aggregating(keys, stateCols) =>
-        val merged = stateCols.map(c => hll_union_agg(col(c)).as(c))
+      case agg @ Aggregating(keys, _, _) =>
+        val merged = stateMergeExprs(agg)
         raw.groupBy(keys.map(col): _*)
           .agg(merged.head, merged.tail: _*)
       case Collapsing(_, sign, _) => collapseFold(t, raw, sign)
@@ -1963,6 +2185,24 @@ final class Catalog(spark: SparkSession) {
     * map-side partials; after [[compact]] materializes it the table is
     * physically one row per key and the fold prunes to nothing.
     */
+  /** Per-kind state merge expressions for an [[Aggregating]] fold — the
+    * ONE definition both the append-time pre-merge and the read/compact
+    * view use, so an insert block and a cross-append read can never merge
+    * a state column differently. hll/kll union sketch bytes; avg sums its
+    * exact (sum, cnt) struct field-wise (all three are associative and
+    * commutative, which is what lets pre-merge, read-fold, and compact
+    * materialization compose in any order).
+    */
+  private def stateMergeExprs(sem: Aggregating): Seq[Column] =
+    sem.stateCols.map { c =>
+      (sem.kindOf(c) match {
+        case "kll" => graft.functions.QuantileSketch.quantile_merge_state(col(c))
+        case "avg" => struct(sum(col(c)("sum")).as("sum"),
+                             sum(col(c)("cnt")).as("cnt"))
+        case _ => hll_union_agg(col(c))
+      }).as(c)
+    }
+
   private def joinAnyFold(t: TableDef, df: DataFrame,
                           keys: Seq[String]): DataFrame = {
     val vals = t.schema.fieldNames.filterNot(keys.contains).toSeq
@@ -3288,4 +3528,20 @@ object Catalog {
   // per-process monotonic mutation counter: same-millisecond mutation
   // markers sort in issue order (doc on recordMutation)
   private val mutationSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Token separator regex (as a split pattern): tokens are maximal runs
+    * of [A-Za-z0-9_] — the ClickHouse tokenbf_v1 definition. ONE constant
+    * shared by the index build, the probe validation, and [[hasToken]],
+    * so the three can never disagree on tokenization.
+    */
+  val TokenSeparators = "[^A-Za-z0-9_]+"
+  private[catalog] val TokenSeparatorsRe =
+    java.util.regex.Pattern.compile(TokenSeparators)
+
+  /** ClickHouse `hasToken(col, token)` as a Column predicate — the exact
+    * row-level filter callers apply ON TOP of [[Catalog.readTokenPruned]]'s
+    * file pruning (same tokenization as the index by construction).
+    */
+  def hasToken(c: org.apache.spark.sql.Column, token: String): org.apache.spark.sql.Column =
+    array_contains(split(c, TokenSeparators), token)
 }

@@ -77,14 +77,16 @@ object CatalogOps extends QueryModule {
                              partitionKeys: Seq[String] = Nil,
                              indexCols: Seq[String] = Nil,
                              minmaxCols: Seq[String] = Nil,
-                             layout: TableLayout = FlatDir): (Catalog, String) = {
+                             layout: TableLayout = FlatDir,
+                             tokenIndexCols: Seq[String] = Nil): (Catalog, String) = {
     val cat = new Catalog(s)
     val tmp = java.nio.file.Files.createTempDirectory(s"graft-cat-$table")
     copyDirs.add(tmp)
     val path = tmp.resolve(table).toString
     cat.createTable(TableDef(table, path, src.schema,
       sortKeys = sortKeys, semantics = Append, partitionKeys = partitionKeys,
-      indexCols = indexCols, minmaxCols = minmaxCols, layout = layout))
+      indexCols = indexCols, minmaxCols = minmaxCols, layout = layout,
+      tokenIndexCols = tokenIndexCols))
     cat.append(table, src)
     (cat, path)
   }
@@ -122,7 +124,39 @@ object CatalogOps extends QueryModule {
     (df.filter(col("o_custkey") === probe), kept, total)
   }
 
+  /** The token-skip-index gate table: a Catalog copy of `customer`
+    * clustered by c_custkey with a TOKEN bloom on c_name (tokenbf_v1
+    * analog — the log-search shape: find the id token INSIDE a text
+    * column, where the whole-value equality bloom is useless). Probe =
+    * the numeric name-token of the median-custkey customer: with names
+    * unique and the table range-clustered on the key, that token lives
+    * in exactly one file, so the pruned read skips the rest. Returns the
+    * filtered frame plus (files kept, files total).
+    */
+  def tokenScanWithStats(s: SparkSession, d: String): (DataFrame, Int, Int) = {
+    val src = Tables.customer(s, d)
+    val (cat, _) = catalogCopyCat(s, "customer_tok", src,
+      sortKeys = Seq("c_custkey"), tokenIndexCols = Seq("c_name"))
+    val probeKey = src.count() / 2 // one scalar: the probe row's key
+    val name = src.filter(col("c_custkey") === probeKey)
+      .select(col("c_name")).head().getString(0)
+    val token = name.split(Catalog.TokenSeparators).filter(_.nonEmpty).last
+    val (df, kept, total) = cat.readTokenPruned("customer_tok", "c_name", token)
+    (df.filter(Catalog.hasToken(col("c_name"), token)), kept, total)
+  }
+
   override def queries: Map[String, Q] = Map(
+    // Full-text token skip index through the correctness gate: a
+    // hasToken probe on a text column reads only the files whose TOKEN
+    // bloom might contain the probe (CatalogOpsSpec counts the skipped
+    // files). The oracle selects the same row by key on the original
+    // table — equality proves token pruning never drops a matching row.
+    "cat_token_scan" -> ((s, d) =>
+      CatalogOps.tokenScanWithStats(s, d)._1
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("c_custkey")).as("probe_key"),
+          round(sum(col("c_acctbal")), 2).as("bal"))),
+
     "cat_clustered_scan" -> ((s, d) =>
       clusteredOrdersWithPath(s, d)._1
         .filter(col("o_orderkey").between(KeyLo, KeyHi))
@@ -802,6 +836,14 @@ object CatalogOps extends QueryModule {
         | round(sum(value), 2) AS sum_value
         |FROM events WHERE event_type <> 'click'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // selects the probe row BY KEY (names map 1:1 to keys): token
+    // pruning + hasToken on the Spark side must find exactly this row
+    "cat_token_scan" ->
+      """SELECT count(*) AS n_rows, min(c_custkey) AS probe_key,
+        | round(sum(c_acctbal), 2) AS bal
+        |FROM customer WHERE c_custkey = (
+        |  SELECT CAST(count(*) / 2 AS BIGINT) FROM customer)""".stripMargin,
 
     "cat_bloom_scan" ->
       """SELECT count(*) AS n_orders, min(o_orderkey) AS min_key,

@@ -231,6 +231,44 @@ object ChAggs extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // quantileState / quantileMerge analog over a MAINTAINED
+    // AggregatingMergeTree-style table with GENERALIZED state columns —
+    // the ClickHouse `-State`/`-Merge` pattern beyond HLL: per
+    // (l_returnflag) the engine stores a KLL quantile-sketch state AND an
+    // exact avg (sum, cnt) struct state, backfilled in TWO appends split
+    // on order parity and then COMPACTED (so the read exercises the
+    // engine's cross-append merge AND the materialized merge, not one
+    // self-consistent batch). The reader merges the stored states and
+    // finishes to estimates; at 100 TB this is the incrementally
+    // maintained percentile rollup — kilobytes of mergeable state per
+    // key instead of re-scanning raw values. Sketch bits are
+    // run-specific (KLL compaction randomness), so the query carries its
+    // accuracy contract in-plan (the agg_hll_merge pattern): the merged
+    // median must land between the exact p40 and p60 (KLL k=200 rank
+    // error ≈ 1.65% ≪ the ±10% rank window), and the merged avg state —
+    // exact by construction — must equal the recomputed avg to float
+    // round-off. The oracle restates both as TRUE plus the exact count.
+    "agg_quantile_merge" -> ((s, d) => {
+      import graft.functions.QuantileSketch
+      val merged = quantileStateTable(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(QuantileSketch.quantile_merge(col("qstate"), 0.5).as("p50_est"),
+          (sum(col("astate")("sum")) / sum(col("astate")("cnt"))).as("avg_est"))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(l_extendedprice, 0.40)").as("p40"),
+          expr("percentile(l_extendedprice, 0.60)").as("p60"),
+          avg(col("l_extendedprice")).as("avg_exact"))
+        .join(merged, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n"),
+          (col("p50_est") >= col("p40") && col("p50_est") <= col("p60"))
+            .as("p50_ok"),
+          (abs(col("avg_est") - col("avg_exact")) <=
+            abs(col("avg_exact")) * 1e-9).as("avg_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // groupBitmap analog: EXACT distinct via Spark's bitmap aggregates.
     // Per-(type, day, bucket) dense bitmap states (bitmap_bucket_number
     // splits the id space into 32768-bit pages so each state is one fixed
@@ -465,6 +503,57 @@ object ChAggs extends QueryModule {
     cat.read(name)
   }
 
+  /** The maintained GENERALIZED-state table behind `agg_quantile_merge`:
+    * Catalog `Aggregating` semantics with per-column state kinds — a KLL
+    * quantile sketch (`kll`) and an exact (sum, cnt) struct (`avg`) per
+    * l_returnflag — backfilled from `lineitem` in TWO appends split on
+    * order parity, then COMPACTED so the read crosses both the engine's
+    * cross-append state merge and the materialized merge. Memoized per
+    * (session, corpus) like [[hllSketchTable]].
+    */
+  private val quantileTables = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+           (graft.catalog.Catalog, String)]
+
+  private[graft] def quantileStateTable(s: org.apache.spark.sql.SparkSession,
+                                        d: String): org.apache.spark.sql.DataFrame = {
+    import graft.catalog.{Aggregating, Catalog, TableDef}
+    import graft.functions.QuantileSketch
+    import org.apache.spark.sql.types._
+    val (cat, name) = quantileTables.getOrElseUpdate((s, d), {
+      val cat = new Catalog(s)
+      val whPath = java.nio.file.Files.createTempDirectory("graft-quantile-mv")
+      CatalogOps.registerForCleanup(whPath)
+      val t = cat.createTable(TableDef(
+        "price_stats_by_flag",
+        s"${whPath.toString}/price_stats_by_flag",
+        StructType(Seq(
+          StructField("l_returnflag", StringType, nullable = true),
+          StructField("qstate", BinaryType, nullable = true),
+          StructField("astate", StructType(Seq(
+            StructField("sum", DoubleType),
+            StructField("cnt", LongType))), nullable = true))),
+        sortKeys = Seq("l_returnflag"),
+        semantics = Aggregating(Seq("l_returnflag"),
+          Seq("qstate", "astate"),
+          Map("qstate" -> "kll", "astate" -> "avg"))))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"),
+          col("l_extendedprice").cast("double").as("price"))
+      Seq(0, 1).foreach { parity => // two insert blocks → two stored partials
+        cat.append(t.name, li
+          .filter(pmod(col("l_orderkey"), lit(2)) === parity)
+          .groupBy(col("l_returnflag"))
+          .agg(QuantileSketch.quantile_state(col("price")).as("qstate"),
+            struct(sum(col("price")).as("sum"),
+              count(lit(1)).as("cnt")).as("astate")))
+      }
+      cat.compact(t.name) // materialize the merge: one state row per key
+      (cat, t.name)
+    })
+    cat.read(name)
+  }
+
   override def oracleSql: Map[String, String] = Map(
     "agg_bitmap" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
@@ -646,6 +735,10 @@ object ChAggs extends QueryModule {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         | TRUE AS hll_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_quantile_merge" ->
+      """SELECT l_returnflag, count(*) AS n, TRUE AS p50_ok, TRUE AS avg_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_regr" ->
       """SELECT l_returnflag,

@@ -17,6 +17,118 @@ object TextAnalysis extends QueryModule {
 
   private val punctClass = "[^a-z0-9\\s]"
 
+  // ---- BPE tokenizer training -----------------------------------------
+  //
+  // Learned-subword (byte-pair-encoding) training as a DISTRIBUTED
+  // operator (Sennrich et al., ACL 2016 — the algorithm behind GPT/Llama
+  // tokenizers): the pipeline gap a training-data engine must close,
+  // because packing by whitespace tokens (text_pack) mis-sizes batches
+  // the moment the model tokenizes differently.
+  //
+  // Shape: ONE corpus-sized aggregation (word → frequency; tokens hash-
+  // shuffle once), then a driver-paced merge loop over the WORD table —
+  // per round a distributed adjacent-pair count (groupBy(a, b).sum(freq))
+  // and a single argmax row to the driver (the Fixpoint.recursive
+  // discipline: localCheckpoint per round so lineage stays flat). The
+  // driver holds only the learned vocab (BpeMerges rows); word
+  // representations live distributed, so a 10⁸-distinct-word web corpus
+  // trains without any driver-side corpus state.
+  //
+  // Words are represented as SPACE-JOINED symbol strings ("h e l l o"),
+  // and a merge is a literal string replace of "a b" with "ab" —
+  // left-to-right non-overlapping, the exact semantics of Java/Spark
+  // `replace` AND DuckDB `replace`, which is what makes the oracle a full
+  // INDEPENDENT REPLAY: the DuckDB SQL (built by [[bpeOracleChain]])
+  // unrolls the same K rounds as materialized CTEs — same tokenization,
+  // same pair counts, same count-desc/lexicographic tie-break, same
+  // replace — and must derive the IDENTICAL merge sequence, not just
+  // accept ours. Determinism: counts are exact longs; ties break on
+  // (c DESC, a ASC, b ASC); ASCII collation agrees across engines.
+  //
+  // BpeMerges = 24 keeps the gate meaningful (the synthetic corpus'
+  // ~30-word vocabulary is fully sub-word-segmented by then) while
+  // bounding the unrolled oracle; vocab size is a linear knob — rounds
+  // cost one small-table job each, independent of corpus size.
+  private[graft] val BpeMerges = 24
+
+  /** Memoized per (session, corpus): (merge table, final word table
+    * (w, freq, s)). The word table is localCheckpoint-ed so both queries
+    * reuse it without replaying the loop.
+    */
+  private val bpeState = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+           (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame)]
+
+  private[graft] def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame) =
+    bpeState.getOrElseUpdate((s, d), {
+      var words = Tables.documents(s, d)
+        .select(explode(TextFns.tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .withColumn("s", array_join(split(col("w"), ""), " "))
+        .localCheckpoint()
+      val merges = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, Long)]
+      var k = 1
+      var exhausted = false
+      while (k <= BpeMerges && !exhausted) {
+        val top = words
+          .select(col("freq"), split(col("s"), " ").as("l"))
+          .filter(size(col("l")) >= 2)
+          // adjacent (symbol, next-symbol) pairs weighted by word freq;
+          // sequence() needs hi >= lo, guaranteed by the size filter
+          .select(col("freq"), col("l"),
+            explode(sequence(lit(1), size(col("l")) - 1)).as("i"))
+          .select(col("freq"),
+            element_at(col("l"), col("i")).as("a"),
+            element_at(col("l"), col("i") + 1).as("b"))
+          .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("c"))
+          .orderBy(col("c").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true // every word fully merged
+        else {
+          val (a, b, c) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((k.toLong, a, b, c))
+          words = words.withColumn("s",
+            replace(col("s"), lit(a + " " + b), lit(a + b)))
+            .localCheckpoint()
+          k += 1
+        }
+      }
+      (merges.toSeq, words)
+    })
+
+  /** The unrolled-K-round DuckDB replay (doc above): shared CTE chain for
+    * the `text_bpe` and `text_pack_bpe` oracles. MATERIALIZED is
+    * load-bearing — each round references the previous twice, and
+    * inlining would expand the chain exponentially.
+    */
+  private def bpeOracleChain: String = {
+    val sb = new StringBuilder(
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT w, count(*) AS freq,
+        |    array_to_string(str_split(w, ''), ' ') AS s
+        |  FROM (SELECT u.w AS w FROM
+        |        (SELECT string_split_regex(lower(text), '\s+') AS t FROM documents),
+        |        UNNEST(t) AS u(w))
+        |  WHERE w <> '' GROUP BY w)""".stripMargin)
+    (1 to BpeMerges).foreach { k =>
+      sb.append(s""",
+        |p$k AS MATERIALIZED (SELECT l[i] AS a, l[i+1] AS b, sum(freq) AS c
+        |  FROM (SELECT freq, str_split(s, ' ') AS l FROM w${k - 1}),
+        |       UNNEST(generate_series(1, len(l) - 1)) AS t(i)
+        |  GROUP BY 1, 2),
+        |b$k AS MATERIALIZED (SELECT a, b, c FROM p$k
+        |  ORDER BY c DESC, a, b LIMIT 1),
+        |w$k AS MATERIALIZED (SELECT w.w, w.freq,
+        |    replace(w.s, b.a || ' ' || b.b, b.a || b.b) AS s
+        |  FROM w${k - 1} w, b$k b)""".stripMargin)
+    }
+    sb.toString
+  }
+
   override def queries: Map[String, Q] = Map(
     // Token statistics: whitespace tokenization + distinct count + summed
     // token length (a cheap proxy for BPE token count: chars/4 heuristic).
@@ -125,6 +237,48 @@ object TextAnalysis extends QueryModule {
     // batch-prep step). Partitioned by language shard, so the running-sum
     // window never degenerates to a single partition; at 100 TB the shard
     // key is whatever the corpus is already bucketed by.
+    // Distributed BPE training (doc at [[bpeTrain]]): emits the learned
+    // merge sequence (rank, lhs, rhs, pair count). The DuckDB oracle
+    // INDEPENDENTLY re-derives the whole sequence by replaying the same
+    // algorithm as an unrolled materialized-CTE chain — a cell-exact
+    // hash match on the learned artifact itself.
+    "text_bpe" -> ((s, d) => {
+      val (merges, _) = bpeTrain(s, d)
+      import s.implicits._
+      merges.toDF("merge_rank", "lhs", "rhs", "cnt")
+        .orderBy(col("merge_rank"))
+    }),
+
+    // text_pack under the LEARNED vocab: documents sized by their BPE
+    // piece counts instead of whitespace tokens — the batch-sizing a real
+    // trainer needs (a doc's whitespace count and its subword count can
+    // differ several-fold). The trained word table doubles as the
+    // encode dictionary: piece count per word = symbols remaining after
+    // the K merges; the corpus joins to it once (dictionary-sized,
+    // shuffle on the word key) and the pack window is unchanged from
+    // text_pack. Oracle: the same unrolled replay, extended with the
+    // dictionary join + running-sum pack.
+    "text_pack_bpe" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val (_, words) = bpeTrain(s, d)
+      val dict = words.select(col("w"),
+        size(split(col("s"), " ")).cast("long").as("np"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(TextFns.tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .join(dict, "w")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("np")).as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id",
+          floor((col("cum") - col("n_tokens")) / 2048).cast("long"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_pack" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
@@ -511,6 +665,30 @@ object TextAnalysis extends QueryModule {
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
         |       AS BIGINT) AS idx
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "text_bpe" -> (bpeOracleChain + "\n" +
+      (1 to BpeMerges).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, " +
+          s"CAST(c AS BIGINT) AS cnt FROM b$k")
+        .mkString("\nUNION ALL ") + "\nORDER BY merge_rank"),
+
+    "text_pack_bpe" -> (bpeOracleChain + s""",
+      |dict AS MATERIALIZED (SELECT w,
+      |  CAST(len(str_split(s, ' ')) AS BIGINT) AS np FROM w$BpeMerges),
+      |dt AS (SELECT d.doc_id, d.lang, CAST(sum(dict.np) AS BIGINT) AS n_tokens
+      |  FROM (SELECT doc_id, lang, u.w AS w FROM
+      |        (SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS t
+      |         FROM documents),
+      |        UNNEST(t) AS u(w)
+      |        WHERE u.w <> '') d
+      |  JOIN dict ON d.w = dict.w GROUP BY 1, 2)
+      |SELECT doc_id, lang, n_tokens,
+      |  CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_id
+      |FROM (SELECT doc_id, lang, n_tokens,
+      |        sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM dt)
+      |ORDER BY doc_id""".stripMargin),
 
     "text_pack" ->
       """SELECT doc_id, lang, n_tokens,

@@ -114,6 +114,52 @@ class CatalogOpsSpec extends SparkSpecBase {
     pruned.getDouble(1) shouldBe full.getDouble(1) +- 1e-6
   }
 
+  test("cat_token_scan gate query: token pruning skips files, finds the row") {
+    val (df, kept, total) = CatalogOps.tokenScanWithStats(spark, sf0001)
+    total should be > 1
+    kept should be < total // the id-shaped token lives in ~one file
+    kept should be >= 1
+    // no false negatives: the probe row (the median-custkey customer) is
+    // found, with its balance intact
+    val src = Tables.customer(spark, sf0001)
+    val probeKey = src.count() / 2
+    val row = df.collect()
+    row.length shouldBe 1
+    row.head.getAs[Long]("c_custkey") shouldBe probeKey
+    // negative control: a token present in EVERY name ("Customer") keeps
+    // every file — token pruning can only skip, never lie
+    import graft.catalog.Catalog
+    val cat = new Catalog(spark)
+    // rebuild a small controlled fixture to probe both directions
+    import spark.implicits._
+    import graft.catalog.{Append, TableDef}
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val path = tmpDir("tokidx") + "/msgs"
+      val msgs = (0L until 8000L)
+        .map(i => (i, s"request id_${i / 1000} served from node common"))
+        .toDF("k", "msg")
+      cat.createTable(TableDef("msgs", path, msgs.schema,
+        sortKeys = Seq("k"), semantics = Append,
+        tokenIndexCols = Seq("msg")))
+      cat.append("msgs", msgs)
+      val (hit, keptH, totalH) = cat.readTokenPruned("msgs", "msg", "id_3")
+      totalH should be >= 4
+      keptH should be < totalH
+      hit.filter(Catalog.hasToken(col("msg"), "id_3")).count() shouldBe 1000L
+      // the everywhere-token keeps all files, the absent token none
+      val (_, keptAll, _) = cat.readTokenPruned("msgs", "msg", "common")
+      keptAll shouldBe totalH
+      val (miss, keptM, _) = cat.readTokenPruned("msgs", "msg", "absent_tok")
+      keptM should be <= 1 // at most bloom false positives
+      miss.filter(Catalog.hasToken(col("msg"), "absent_tok")).count() shouldBe 0L
+      // a probe with separators is a malformed hasToken, refused loudly
+      an[IllegalArgumentException] should be thrownBy
+        cat.readTokenPruned("msgs", "msg", "two tokens")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("cat_minmax_scan gate query: files skipped, result equals the unpruned aggregate") {
     val (df, kept, total) = CatalogOps.minmaxScanWithStats(spark, sf0001)
     total should be > 1

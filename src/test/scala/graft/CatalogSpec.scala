@@ -165,6 +165,82 @@ class CatalogSpec extends SparkSpecBase {
         Seq("k"), Aggregating(Seq("k"), Seq("state"))))
   }
 
+  test("Aggregating: generalized state kinds (kll quantile + exact avg) merge, compact, re-attach") {
+    import graft.functions.QuantileSketch
+    val cat = new Catalog(spark)
+    val path = tmpDir("cat") + "/agq"
+    val schema = StructType(Seq(
+      StructField("k", StringType),
+      StructField("qstate", BinaryType),
+      StructField("astate", StructType(Seq(
+        StructField("sum", DoubleType), StructField("cnt", LongType))))))
+    val t = cat.createTable(TableDef("agq", path, schema, Seq("k"),
+      Aggregating(Seq("k"), Seq("qstate", "astate"),
+        Map("qstate" -> "kll", "astate" -> "avg"))))
+
+    // two appends over disjoint halves of 0..999 per key: the merged
+    // median must see the WHOLE range, not either half's
+    def batch(lo: Int, hi: Int) =
+      (lo until hi).map(i => ("a", i.toDouble)).toDF("k", "v")
+        .groupBy(col("k"))
+        .agg(QuantileSketch.quantile_state(col("v")).as("qstate"),
+          struct(sum(col("v")).as("sum"), count(lit(1)).as("cnt")).as("astate"))
+    cat.append("agq", batch(0, 500))
+    cat.append("agq", batch(500, 1000))
+    cat.readRaw("agq").count() shouldBe 2 // one state row per append
+
+    def checks(df: org.apache.spark.sql.DataFrame): Unit = {
+      val row = df.groupBy(col("k"))
+        .agg(QuantileSketch.quantile_merge(col("qstate"), 0.5).as("p50"),
+          (sum(col("astate")("sum")) / sum(col("astate")("cnt"))).as("avg"))
+        .head()
+      // KLL k=200 rank error ≈1.65%: median of 0..999 lands within ±5% rank
+      row.getDouble(1) shouldBe 499.5 +- 50.0
+      // avg state is EXACT: (sum of halves) / 1000
+      row.getDouble(2) shouldBe 499.5
+    }
+    checks(cat.read("agq"))
+
+    cat.compact("agq")
+    cat.readRaw("agq").count() shouldBe 1 // materialized merge
+    checks(cat.read("agq"))
+
+    // the _TABLE sidecar round-trips the state kinds: a FRESH catalog
+    // attaching from disk must merge each column by its declared kind
+    cat.detach("agq")
+    val cat2 = new Catalog(spark)
+    val t2 = cat2.attach(path)
+    t2.semantics shouldBe Aggregating(Seq("k"), Seq("qstate", "astate"),
+      Map("qstate" -> "kll", "astate" -> "avg"))
+    cat2.append("agq", batch(1000, 1200)) // maintenance continues post-attach
+    val row2 = cat2.read("agq").groupBy(col("k"))
+      .agg(QuantileSketch.quantile_merge(col("qstate"), 0.5).as("p50"),
+        (sum(col("astate")("sum")) / sum(col("astate")("cnt"))).as("avg"))
+      .head()
+    row2.getDouble(1) shouldBe 599.5 +- 60.0
+    row2.getDouble(2) shouldBe 599.5
+
+    // kind/type contracts fail at CREATE, not mid-append
+    an[IllegalArgumentException] should be thrownBy
+      cat2.createTable(TableDef("agqbad", tmpDir("cat") + "/agqbad",
+        StructType(Seq(StructField("k", StringType),
+          StructField("qstate", LongType))), // kll state must be BINARY
+        Seq("k"), Aggregating(Seq("k"), Seq("qstate"),
+          Map("qstate" -> "kll"))))
+    an[IllegalArgumentException] should be thrownBy
+      cat2.createTable(TableDef("agqbad2", tmpDir("cat") + "/agqbad2",
+        StructType(Seq(StructField("k", StringType),
+          StructField("qstate", BinaryType))),
+        Seq("k"), Aggregating(Seq("k"), Seq("qstate"),
+          Map("qstate" -> "tdigest")))) // unknown kind
+    an[IllegalArgumentException] should be thrownBy
+      cat2.createTable(TableDef("agqbad3", tmpDir("cat") + "/agqbad3",
+        StructType(Seq(StructField("k", StringType),
+          StructField("astate", BinaryType))), // avg state must be struct
+        Seq("k"), Aggregating(Seq("k"), Seq("astate"),
+          Map("astate" -> "avg"))))
+  }
+
   test("Summing: read re-sums equal-key partials; appends of partial aggregates compose") {
     val cat = new Catalog(spark)
     val schema = StructType(Seq(StructField("repo", StringType), StructField("stars", LongType)))

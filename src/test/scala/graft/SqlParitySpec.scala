@@ -37,11 +37,13 @@ class SqlParitySpec extends SparkSpecBase {
     "a7_summing_merge", "a8_dedup_latest", "agg_approx_distinct",
     "agg_bitmap", "agg_cube", "agg_distinct", "agg_funnel", "agg_histogram",
     "agg_topk_weighted", "agg_uniq_upto", "agg_mode", "agg_moments",
-    "agg_hll_merge", "agg_retention", "agg_rollup", "agg_seq_match",
+    "agg_hll_merge", "agg_quantile_merge", "agg_retention", "agg_rollup",
+    "agg_seq_match",
     "agg_stats", "agg_sumif", "cat_clustered_scan", "cat_partitioned_scan",
     "cat_partition_ops", "cat_snapshot_read", "cat_bloom_scan",
     "cat_minmax_scan", "cat_renamed_scan",
     "cat_dedup_optimize", "cat_modified_scan", "cat_collapsing_scan",
+    "cat_token_scan",
     "cat_constraint", "cat_materialized_col", "cat_row_policy",
     "cat_distributed_join",
     "cat_distributed_scan", "cat_lightweight_delete", "cat_null_mv",
@@ -877,6 +879,8 @@ class SqlParitySpec extends SparkSpecBase {
     "text_decontam" -> "df-cap replay pipeline (the exact variant of the bloom pair)",
     "text_decontam_bloom" -> "driver-built Bloom sketch embedded as a plan literal (stat.bloomFilter)",
     "text_langid" -> "per-language stopword fold generated from the engine's language config",
+    "text_bpe" -> "iterative distributed pair-count/merge loop (driver-paced rounds, not one statement)",
+    "text_pack_bpe" -> "packs under the BPE loop's learned dictionary (engine state)",
     "text_mix" -> "mixture re-weighting driven by engine config, not a standalone statement")
 
   test("verbatim + twins + inexpressible exactly partition the oracle surface") {

@@ -57,4 +57,31 @@ class TextAnalysisSpec extends SparkSpecBase {
     // the tiers actually differentiate: not all sources share one rate
     a.map(_.getAs[Double]("rate")).distinct.length should be > 1
   }
+
+  test("BPE training: deterministic merges, valid subwords, pack counts consistent") {
+    import org.apache.spark.sql.functions._
+    val (merges, words) = TextAnalysis.bpeTrain(spark, sf0001)
+    merges.map(_._1) shouldBe (1L to TextAnalysis.BpeMerges.toLong)
+    // each merge is a distinct pair with a positive corpus-weighted count
+    merges.map(m => (m._2, m._3)).distinct.length shouldBe merges.length
+    all(merges.map(_._4)) should be > 0L
+    // the merged word table is a faithful segmentation: symbols of each
+    // word concatenate back to the word, and piece count only shrinks
+    val rows = words.select(col("w"), col("s")).collect()
+    rows.foreach { r =>
+      val w = r.getString(0); val s = r.getString(1)
+      s.split(" ").mkString shouldBe w
+      s.split(" ").length should be <= w.length
+    }
+    // pack-by-BPE: per-doc piece counts are at least the whitespace token
+    // count (subwords only split words) and at most the character count
+    val pack = TextAnalysis.queries("text_pack_bpe")(spark, sf0001)
+      .select(col("doc_id"), col("n_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ws = TextAnalysis.queries("text_pack")(spark, sf0001)
+      .select(col("doc_id"), col("n_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pack.keySet shouldBe ws.keySet
+    pack.foreach { case (id, n) => n should be >= ws(id) }
+  }
 }
