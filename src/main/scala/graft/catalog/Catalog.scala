@@ -175,7 +175,14 @@ final case class TableDef(
     // per-file bloom, so a hasToken-shaped predicate can drop whole files
     // (the log-search workhorse: equality blooms only skip on the WHOLE
     // value, useless for "find the request id inside the message")
-    tokenIndexCols: Seq[String] = Nil)
+    tokenIndexCols: Seq[String] = Nil,
+    // CH per-column `CODEC(Delta…)` / `LowCardinality(T)`: column ->
+    // storage ENCODING kind, carried to parquet's per-column writer
+    // knobs (declaration-ordered pairs, like constraints). See
+    // [[Catalog.columnCodecKinds]] for the supported kinds and the
+    // parquet mechanism each maps to; `codec` above stays the
+    // COMPRESSION axis (parquet compresses file-wide).
+    columnCodecs: Seq[(String, String)] = Nil)
 
 final class Catalog(spark: SparkSession) {
 
@@ -284,6 +291,35 @@ final class Catalog(spark: SparkSession) {
         s"${t.name}: token skip-index column $c is " +
           s"${t.schema(c).dataType.simpleString}; tokenbf-style indexes " +
           "apply to string columns only")
+    }
+    // per-column codec axis: each declared kind must exist, apply to a
+    // schema column exactly once, and match the column's physical type —
+    // checked HERE so a codec/type mismatch fails at CREATE, not as a
+    // silently-ignored writer option on the first append
+    require(t.columnCodecs.map(_._1).distinct.length == t.columnCodecs.length,
+      s"${t.name}: a column appears twice in columnCodecs")
+    t.columnCodecs.foreach { case (c, kind) =>
+      import org.apache.spark.sql.types._
+      require(t.schema.fieldNames.contains(c),
+        s"${t.name}: columnCodecs names $c, which is not in the schema")
+      require(!t.partitionKeys.contains(c),
+        s"${t.name}: columnCodecs names partition key $c, which lives in " +
+          "directory names, not data pages")
+      require(Catalog.columnCodecKinds.contains(kind),
+        s"${t.name}: unknown column codec $kind for $c " +
+          s"(one of ${Catalog.columnCodecKinds.mkString(", ")})")
+      if (kind == "delta" || kind == "doubledelta") {
+        val ok = t.schema(c).dataType match {
+          case ByteType | ShortType | IntegerType | LongType | DateType |
+               TimestampType | TimestampNTZType | StringType | BinaryType => true
+          case _ => false
+        }
+        // parquet has no delta encoding for FP (that would be
+        // BYTE_STREAM_SPLIT, not hadoop-config-reachable in 1.16) —
+        // refuse rather than write a codec that silently isn't there
+        require(ok, s"${t.name}: $kind codec on $c requires an integral/" +
+          s"time/string/binary column (got ${t.schema(c).dataType.simpleString})")
+      }
     }
     // bloom sidecars are Spark sketch BloomFilters, which accept ONLY
     // string, binary, and integral keys — a double/decimal/date/timestamp
@@ -491,6 +527,7 @@ final class Catalog(spark: SparkSession) {
       ("constraints" -> t.constraints.map { case (n, e) => Seq(n, e) }) ~
       ("materialized_cols" ->
         t.materializedCols.map { case (c, e) => Seq(c, e) }) ~
+      ("column_codecs" -> t.columnCodecs.map { case (c, k) => Seq(c, k) }) ~
       ("semantics" -> sem)
     JsonMethods.compact(JsonMethods.render(obj))
   }
@@ -642,8 +679,9 @@ final class Catalog(spark: SparkSession) {
       layout, list(j \ "partition_keys"), list(j \ "index_cols"),
       list(j \ "minmax_cols"), codec, pairList(j \ "constraints"),
       pairList(j \ "materialized_cols"),
-      // absent in pre-token-index sidecars → none
-      list(j \ "token_index_cols")))
+      // absent in pre-token-index / pre-column-codec sidecars → none
+      list(j \ "token_index_cols"),
+      pairList(j \ "column_codecs")))
     catch {
       case e: Throwable =>
         if (!tables.contains(name)) restorePrior.foreach(_.apply())
@@ -841,8 +879,14 @@ final class Catalog(spark: SparkSession) {
         insertDefaults.put(name, (m - from) + (to -> m(from))))
       defaultSql.get(name).filter(_.contains(from)).foreach(m =>
         defaultSql.put(name, (m - from) + (to -> m(from))))
-      tables.put(name, t.copy(schema = StructType(t.schema.fields.map(f =>
-        if (f.name == from) f.copy(name = to) else f))))
+      tables.put(name, t.copy(
+        schema = StructType(t.schema.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f)),
+        // the declared codec follows the column (CH: codecs are part of
+        // the column declaration, renaming keeps them)
+        columnCodecs = t.columnCodecs.map {
+          case (`from`, k) => (to, k); case p => p
+        }))
       persistTableDef(tables(name))
     }
 
@@ -885,8 +929,9 @@ final class Catalog(spark: SparkSession) {
       readDefaults.get(name).foreach(m => readDefaults.put(name, m - column))
       insertDefaults.get(name).foreach(m => insertDefaults.put(name, m - column))
       defaultSql.get(name).foreach(m => defaultSql.put(name, m - column))
-      tables.put(name, t.copy(schema =
-        StructType(t.schema.fields.filterNot(_.name == column))))
+      tables.put(name, t.copy(
+        schema = StructType(t.schema.fields.filterNot(_.name == column)),
+        columnCodecs = t.columnCodecs.filterNot(_._1 == column)))
       persistTableDef(tables(name))
     }
 
@@ -945,6 +990,21 @@ final class Catalog(spark: SparkSession) {
           s"widening (rewrite the table explicitly for narrowing casts)")
       require(!keyCols(t).contains(column),
         s"modifyColumnType($name): $column is a key/engine column")
+      // a widening can invalidate a declared per-column codec (int→double
+      // under delta: parquet has no FP delta) — refuse rather than carry
+      // a codec the writer would silently drop
+      t.columnCodecs.collectFirst {
+        case (`column`, k @ ("delta" | "doubledelta")) => k
+      }.foreach { k =>
+        import org.apache.spark.sql.types._
+        val ok = newType match {
+          case ByteType | ShortType | IntegerType | LongType | DateType |
+               TimestampType | TimestampNTZType | StringType | BinaryType => true
+          case _ => false
+        }
+        require(ok, s"modifyColumnType($name): $column declares codec $k, " +
+          s"which does not apply to ${newType.simpleString}")
+      }
       // ALTER-added defaults re-cast to the wide type, so read coalesce
       // and insert fill produce the declared type (not a coerced hybrid)
       readDefaults.get(name).filter(_.contains(column)).foreach(m =>
@@ -1460,10 +1520,47 @@ final class Catalog(spark: SparkSession) {
         .sortWithinPartitions(t.sortKeys.map(col): _*)
     else df
 
+  /** Per-column codec kinds → parquet writer options for one write.
+    * The mechanism (all public parquet-mr 1.16 hadoop config, reached
+    * through Spark's write options → hadoop conf plumbing):
+    *
+    *  - `delta`/`doubledelta` (CH Delta, DoubleDelta): writer version v2
+    *    + dictionary OFF for the column, so parquet's type-dispatched
+    *    delta family takes over — DELTA_BINARY_PACKED for int/long/
+    *    date/time physical types, DELTA_BYTE_ARRAY (front-coding) for
+    *    string/binary. v2 is file-wide, but OTHER columns keep their
+    *    dictionary, so their pages stay RLE_DICTIONARY — the per-column
+    *    contract holds at the encoding level the spec asserts.
+    *  - `lowcardinality` (CH LowCardinality(T)): dictionary FORCED on for
+    *    the column (`parquet.enable.dictionary#col` — parquet's
+    *    ColumnConfigParser `#` syntax), parquet's exact analog of CH's
+    *    dictionary-encoded storage.
+    *  - `plain` (CH CODEC(NONE) on the encoding axis): dictionary OFF —
+    *    values stored verbatim; the high-entropy-column escape hatch
+    *    where a dictionary would grow to the data size and then spill
+    *    every page to PLAIN anyway, paying the dictionary build for
+    *    nothing.
+    */
+  private def codecWriteOptions(t: TableDef): Map[String, String] = {
+    if (t.columnCodecs.isEmpty) return Map.empty
+    val perCol = t.columnCodecs.map { case (c, kind) =>
+      val dict = kind match {
+        case "lowcardinality" => "true"
+        case _ => "false" // delta, doubledelta, plain
+      }
+      s"parquet.enable.dictionary#$c" -> dict
+    }.toMap
+    val v2 = t.columnCodecs.collectFirst {
+      case (_, "delta") | (_, "doubledelta") => "parquet.writer.version" -> "v2"
+    }
+    perCol ++ v2
+  }
+
   /** Parquet write honoring the table's partition layout. */
   private def writeData(t: TableDef, df: DataFrame, path: String,
                         mode: String = "overwrite"): Unit = {
     val w = df.write.mode(mode).option("compression", t.codec)
+      .options(codecWriteOptions(t))
     (if (t.partitionKeys.nonEmpty) w.partitionBy(t.partitionKeys: _*) else w)
       .parquet(path)
     if (t.indexCols.nonEmpty) buildSkipIndex(t, path)
@@ -2481,15 +2578,16 @@ final class Catalog(spark: SparkSession) {
     import spark.implicits._
     tables.values.toSeq.sortBy(_.name).flatMap { t =>
       val defaults = insertDefaults.getOrElse(t.name, Map.empty)
+      val codecOf = t.columnCodecs.toMap
       t.schema.fields.zipWithIndex.map { case (f, i) =>
         (t.name, f.name, i, f.dataType.simpleString, f.nullable,
           t.sortKeys.contains(f.name), t.partitionKeys.contains(f.name),
           t.indexCols.contains(f.name), t.minmaxCols.contains(f.name),
-          defaults.contains(f.name))
+          defaults.contains(f.name), codecOf.getOrElse(f.name, ""))
       }
     }.toDF("table", "column", "position", "type", "nullable",
       "is_sort_key", "is_partition_key", "in_bloom_index",
-      "in_minmax_index", "has_default")
+      "in_minmax_index", "has_default", "codec")
   }
 
   /** `system.parts` analog: one row per data file of `name` — rows and
@@ -3528,6 +3626,16 @@ object Catalog {
   // per-process monotonic mutation counter: same-millisecond mutation
   // markers sort in issue order (doc on recordMutation)
   private val mutationSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Per-column codec kinds [[TableDef.columnCodecs]] accepts — the CH
+    * per-column CODEC / LowCardinality axis; mechanism doc at
+    * `codecWriteOptions`. `doubledelta` is accepted as an alias of
+    * `delta` (parquet's DELTA_BINARY_PACKED already encodes
+    * second-order-compressible sequences well; CH distinguishes them,
+    * parquet has one integer-delta encoding).
+    */
+  val columnCodecKinds: Set[String] =
+    Set("delta", "doubledelta", "lowcardinality", "plain")
 
   /** Token separator regex (as a split pattern): tokens are maximal runs
     * of [A-Za-z0-9_] — the ClickHouse tokenbf_v1 definition. ONE constant

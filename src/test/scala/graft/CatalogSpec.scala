@@ -241,6 +241,85 @@ class CatalogSpec extends SparkSpecBase {
           Map("astate" -> "avg"))))
   }
 
+  test("per-column codecs reach parquet encodings and survive compact + attach") {
+    import scala.jdk.CollectionConverters._
+    val cat = new Catalog(spark)
+    val path = tmpDir("cat") + "/codecs"
+    // four columns, three declared codecs, one default: k monotonic
+    // (delta), tag 4-distinct (lowcardinality), payload high-entropy
+    // (plain: a dictionary would grow to data size), v left alone
+    val df = (0L until 20000L).map(i =>
+        (i, s"t${i % 4}", f"payload-${i * 2654435761L}%x", i * 0.5))
+      .toDF("k", "tag", "payload", "v")
+    cat.createTable(TableDef("codecs", path, df.schema, Seq("k"), Append,
+      columnCodecs = Seq("k" -> "delta", "tag" -> "lowcardinality",
+        "payload" -> "plain")))
+    cat.append("codecs", df)
+
+    // footer-level observation: per column, the union of page encodings
+    // across every data file — the writer option either reached parquet
+    // or it didn't, no proxy
+    def encodings(): Map[String, Set[String]] = {
+      val conf = spark.sessionState.newHadoopConf()
+      val dir = new java.io.File(path)
+      val files = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      files.flatMap { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala.map(c =>
+          c.getPath.toDotString -> c.getEncodings.asScala.map(_.name).toSet)).toSeq
+        finally r.close()
+      }.groupBy(_._1).map { case (c, xs) => c -> xs.flatMap(_._2).toSet }
+    }
+    def assertEncodings(): Unit = {
+      val e = encodings()
+      e("k") should contain("DELTA_BINARY_PACKED")
+      e("payload") should contain("DELTA_BYTE_ARRAY") // v2, dictionary off
+      assert(e("tag").exists(_.contains("DICTIONARY")),
+        s"tag should be dictionary-encoded, got ${e("tag")}")
+      assert(!e("payload").exists(_.contains("DICTIONARY")),
+        s"payload should not be dictionary-encoded, got ${e("payload")}")
+      assert(!e("k").exists(_.contains("DICTIONARY")),
+        s"k should be delta-encoded, not dictionary, got ${e("k")}")
+    }
+    assertEncodings()
+    cat.read("codecs").count() shouldBe 20000L // encodings never change data
+
+    cat.compact("codecs") // the rewrite re-applies the declared codecs
+    assertEncodings()
+
+    // _TABLE sidecar round-trip: a fresh catalog attaching from disk
+    // keeps the axis, and post-attach appends still encode
+    cat.detach("codecs")
+    val cat2 = new Catalog(spark)
+    val t2 = cat2.attach(path)
+    t2.columnCodecs shouldBe Seq("k" -> "delta", "tag" -> "lowcardinality",
+      "payload" -> "plain")
+    cat2.append("codecs", Seq((20000L, "t0", "payload-x", 1.0))
+      .toDF("k", "tag", "payload", "v"))
+    assertEncodings()
+    cat2.read("codecs").count() shouldBe 20001L
+
+    // the codec follows a rename and dies with a drop
+    cat2.renameColumn("codecs", "payload", "body")
+    cat2.get("codecs").columnCodecs should contain("body" -> "plain")
+    cat2.dropColumn("codecs", "body")
+    cat2.get("codecs").columnCodecs shouldBe
+      Seq("k" -> "delta", "tag" -> "lowcardinality")
+
+    // contract failures at CREATE: unknown kind, missing column, delta
+    // on floating point (parquet has no FP delta encoding)
+    def bad(cc: Seq[(String, String)]) =
+      an[IllegalArgumentException] should be thrownBy
+        cat2.createTable(TableDef("codecsbad", tmpDir("cat") + "/codecsbad",
+          df.schema, Seq("k"), Append, columnCodecs = cc))
+    bad(Seq("k" -> "gorilla"))
+    bad(Seq("nope" -> "delta"))
+    bad(Seq("v" -> "delta"))
+  }
+
   test("Summing: read re-sums equal-key partials; appends of partial aggregates compose") {
     val cat = new Catalog(spark)
     val schema = StructType(Seq(StructField("repo", StringType), StructField("stars", LongType)))
