@@ -1404,36 +1404,7 @@ final class Catalog(spark: SparkSession) {
         return n
       } finally aligned.unpersist()
     }
-    val deduped = t.semantics match {
-      case ReplacingDedup(keys, version, _) =>
-        // within-batch collapse keeps tombstones: they must reach storage
-        // to shadow earlier appends' versions at read time
-        latestWins(filled, keys, version)
-      // pre-merge within the batch (ClickHouse merges the insert block):
-      // storage then holds one state row per key per APPEND, not per
-      // upstream partial — the read-time union still folds across appends
-      case agg @ Aggregating(keys, _, _) =>
-        val merged = stateMergeExprs(agg)
-        filled.groupBy(keys.map(col): _*).agg(merged.head, merged.tail: _*)
-      case Collapsing(_, sign, _) =>
-        // reject out-of-range signs at insert (the Enum8 raise_error
-        // pattern), then pre-fold within the batch: a same-batch
-        // state+cancel pair never reaches storage. Sound across batches
-        // because the fold is associative (doc on [[Collapsing]]).
-        val signTyp = t.schema(sign).dataType
-        val guarded = filled.withColumn(sign,
-          when(col(sign).isin(-1, 1), col(sign))
-            .otherwise(raise_error(concat(
-              lit(s"${t.name}: Collapsing sign $sign must be +1 or -1, got "),
-              col(sign).cast("string"))).cast(signTyp)))
-        collapseFold(t, guarded, sign)
-      // pre-fold within the batch (associative min-of-struct): storage
-      // holds one candidate row per key per APPEND; the read-time fold
-      // still resolves ANY across appends
-      case JoinAny(keys) => joinAnyFold(t, filled, keys)
-      case _ => filled
-    }
-    val sorted = clusteredFor(t, deduped)
+    val sorted = clusteredFor(t, preMergedBlock(t, filled))
     val n = writeLock(name).synchronized {
       // an append into a mid-swap table would recreate it with just this
       // batch, and the next compact's "stale leftovers" delete would then
@@ -1478,6 +1449,124 @@ final class Catalog(spark: SparkSession) {
     * processes can never interleave inside one Spark `_temporary` staging
     * tree the way concurrent same-directory appends would.
     */
+  /** The per-engine INSERT-BLOCK pre-merge (ClickHouse merges each insert
+    * block before it reaches storage) — shared by [[append]] and
+    * [[appendIdempotent]] so a block lands identically through either
+    * door.
+    */
+  private def preMergedBlock(t: TableDef, filled: DataFrame): DataFrame =
+    t.semantics match {
+      case ReplacingDedup(keys, version, _) =>
+        // within-batch collapse keeps tombstones: they must reach storage
+        // to shadow earlier appends' versions at read time
+        latestWins(filled, keys, version)
+      // pre-merge within the batch: storage then holds one state row per
+      // key per APPEND, not per upstream partial — the read-time union
+      // still folds across appends
+      case agg @ Aggregating(keys, _, _) =>
+        val merged = stateMergeExprs(agg)
+        filled.groupBy(keys.map(col): _*).agg(merged.head, merged.tail: _*)
+      case Collapsing(_, sign, _) =>
+        // reject out-of-range signs at insert (the Enum8 raise_error
+        // pattern), then pre-fold within the batch: a same-batch
+        // state+cancel pair never reaches storage. Sound across batches
+        // because the fold is associative (doc on [[Collapsing]]).
+        val signTyp = t.schema(sign).dataType
+        val guarded = filled.withColumn(sign,
+          when(col(sign).isin(-1, 1), col(sign))
+            .otherwise(raise_error(concat(
+              lit(s"${t.name}: Collapsing sign $sign must be +1 or -1, got "),
+              col(sign).cast("string"))).cast(signTyp)))
+        collapseFold(t, guarded, sign)
+      // pre-fold within the batch (associative min-of-struct): storage
+      // holds one candidate row per key per APPEND; the read-time fold
+      // still resolves ANY across appends
+      case JoinAny(keys) => joinAnyFold(t, filled, keys)
+      case _ => filled
+    }
+
+  /** ClickHouse `insert_deduplication_token`: an append that commits AT
+    * MOST ONCE per `token`. Rides the Versioned segment-marker commit —
+    * the segment dir name is derived from the token, so the marker's
+    * O_EXCL create IS the dedup test-and-set: a replayed block (client
+    * retry, crashed ingestion loop, [[graft.streaming.DirTail]]'s
+    * roll-forward) sees the marker and is DROPPED, not double-inserted.
+    * Returns Some(rowCount) when this call committed the block, None when
+    * the token had already landed (the block is untouched and the caller
+    * may treat the insert as done — CH returns OK for deduped inserts).
+    *
+    * Dedup window caveat, exactly ClickHouse's: a compact FOLDS the
+    * segment into the next version and retires its marker, after which
+    * the token can land again — like `insert_deduplication_window`
+    * bounding CH's block-hash log. Callers needing unbounded replay
+    * protection must track delivery themselves (DirTail's offsets commit
+    * does) and use this as the crash-window guard, not the ledger.
+    *
+    * Single writer per TOKEN assumed (concurrent same-token writers may
+    * both stage into the deterministic dir; the marker CAS still admits
+    * only one, but the loser can corrupt the winner's staged files on an
+    * overlapped write — DirTail's one-consumer-per-source discipline).
+    */
+  def appendIdempotent(name: String, batch: DataFrame,
+                       token: String): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val t = get(name)
+    require(t.layout == Versioned,
+      s"$name: appendIdempotent rides the segment-marker commit " +
+        "(Versioned layout only)")
+    require(t.semantics != NullEngine,
+      s"$name: ENGINE=Null discards data — a dedup token has nothing " +
+        "to deduplicate against")
+    val san = token.replaceAll("[^A-Za-z0-9._-]", "_")
+    require(san.nonEmpty && san.length <= 180,
+      s"$name: dedup token must be 1-180 chars after sanitization")
+    val seg = s"seg-tok-$san"
+    val committed = writeLock(name).synchronized {
+      recoverInterruptedSwap(t)
+      val f = fs(t)
+      val marker = new Path(segMarkerDir(t), seg)
+      // marker OR folded tombstone present → the block already landed
+      // (and possibly was already compacted into a version)
+      if (f.exists(marker) || f.exists(new Path(segMarkerDir(t), seg + ".folded")))
+        None
+      else {
+        if (!f.exists(manifestPath(t))) writeManifest(t, currentVersion(t))
+        val segPath = new Path(t.path, seg)
+        // a crashed prior attempt's partial stage is invisible (no
+        // marker) — clear and restage
+        if (f.exists(segPath)) f.delete(segPath, true)
+        val filled = materializeAndCheck(t, fillOmittedDefaults(name, batch))
+        val sorted = clusteredFor(t, preMergedBlock(t, filled))
+        sorted.cache()
+        try {
+          val cnt = sorted.count()
+          writeData(t, sorted, segPath.toString)
+          f.mkdirs(segMarkerDir(t))
+          val won =
+            try {
+              val out = f.create(marker, false) // atomic commit + dedup CAS
+              try out.write(processTag.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+              finally out.close()
+              true
+            } catch { case _: java.io.IOException => false }
+          if (won) {
+            f.delete(new Path(segMarkerDir(t), seg + ".orphan"), false)
+            Some((cnt, filled))
+          } else {
+            // a cross-process racer committed the token first: this copy
+            // of the block is surplus
+            f.delete(segPath, true)
+            None
+          }
+        } finally sorted.unpersist()
+      }
+    }
+    // MV fan-out exactly once — only the committing call triggers, after
+    // the base commit and outside its lock (same discipline as append)
+    committed.map { case (cnt, filled) => fanOutMvs(name, filled); cnt }
+  }
+
   private def commitSegment(t: TableDef, batch: DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     val f = fs(t)
