@@ -35,19 +35,30 @@ object Bench {
       case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
       case None => SparkEntry.queries
     }
+    // SPARK_GRAFT_REPEAT=k → time each query k times, report the MIN.
+    // The isolation protocol's fix for fixture attribution: a single-query
+    // child JVM pays its family's memoized fixture build (catalog copies,
+    // sketch tables) inside the ONE timing, which in-suite lands on the
+    // family's first query — repeat 1 measures fixture+query, repeat 2+
+    // measures the steady state in-suite minima approximate. Caches are
+    // still cleared between repeats, so data reads stay cold-cache honest.
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // storage hygiene between queries: drop whatever blocks the query
-      // left pinned (localCheckpoints from fixpoint loops, caches) so a
-      // heavy family can't squeeze later queries' memory — the measured
-      // single-JVM interference signature (BASELINE.md anomaly log)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      // DataFrame-level caches too (persist() registers in the cache
-      // manager, not only as RDD blocks) — a survivor cache left by one
-      // query must not donate warm blocks to the next one's timing
-      spark.catalog.clearCache()
+      val dt = (1 to math.max(repeat, 1)).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val t = (System.nanoTime() - t0) / 1e9
+        // storage hygiene between queries: drop whatever blocks the query
+        // left pinned (localCheckpoints from fixpoint loops, caches) so a
+        // heavy family can't squeeze later queries' memory — the measured
+        // single-JVM interference signature (BASELINE.md anomaly log)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        // DataFrame-level caches too (persist() registers in the cache
+        // manager, not only as RDD blocks) — a survivor cache left by one
+        // query must not donate warm blocks to the next one's timing
+        spark.catalog.clearCache()
+        t
+      }.min
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

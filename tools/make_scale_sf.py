@@ -17,7 +17,7 @@ pattern (TESTDATA.md counts across sf0.001/0.01/0.1):
     not x10), replica > 0 perturbed with deterministic per-dim noise so
     there are no bit-identical clones
 
-Usage: make_scale_sf.py SRC_DIR OUT_DIR [FACTOR=10] [EMB_FACTOR=4]
+Usage: make_scale_sf.py SRC_DIR OUT_DIR [FACTOR=10] [EMB_FACTOR=4] [STRIDE=10000000]
 """
 import sys, os
 import duckdb
@@ -26,7 +26,12 @@ src = sys.argv[1]
 out = sys.argv[2]
 factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 emb_factor = int(sys.argv[4]) if len(sys.argv) > 4 else 4
-STRIDE = 10_000_000
+# key shift per replica: must exceed the SOURCE's max key, or replica
+# keys collide. Chaining decades (sf0.1 -> sf10 -> sf100) grows keys by
+# x(factor) per hop, so the stride is an argument: default suits a
+# first hop from driver testdata; pass a larger one when re-scaling an
+# already-scaled dir (e.g. 10_000_000_000 for sf10 -> sf100).
+STRIDE = int(sys.argv[5]) if len(sys.argv) > 5 else 10_000_000
 
 os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
@@ -53,7 +58,10 @@ def copy(sql, name, multi=False):
     print(f"{name}: {n} rows")
 
 def t(name):
-    return f"'{src}/{name}.parquet'"
+    # driver testdata tables are single files; this tool's own multi-file
+    # output (and any real warehouse) is a directory of part files
+    p = f"{src}/{name}.parquet"
+    return f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
 
 R = f"CROSS JOIN range(0, {factor}) rep(r)"
 
