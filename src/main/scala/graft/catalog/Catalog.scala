@@ -90,6 +90,17 @@ final case class Collapsing(keys: Seq[String], signCol: String,
   *  - `"avg"`: exact `(sum: double, cnt: bigint)` struct state, merged by
   *    field-wise sums — ClickHouse `avgState`/`avgMerge` (exact, so the
   *    read is hash-matchable, unlike the sketch kinds).
+  *  - `"sum"` / `"min"` / `"max"`: exact scalar states merged by the
+  *    eponymous fold — `sumState`/`minState`/`maxState` (sum requires
+  *    BIGINT or DOUBLE so the merged type equals the declared type).
+  *  - `"argmax"`: a `STRUCT<…>` whose FIRST field is the ordering value,
+  *    merged by struct max (Spark's lexicographic struct ordering) —
+  *    ClickHouse `argMaxState`: the remaining fields ride along with the
+  *    winning row, ties broken by the later fields deterministically.
+  *  - `"topk:CAPACITY"`: a SpaceSaving counter table as
+  *    `MAP<STRING, BIGINT>` ([[graft.functions.TopKSketch]]), merged by
+  *    union + re-evict to CAPACITY — ClickHouse `topKState`/`topKMerge`;
+  *    counts are exact while distinct values stay under CAPACITY.
   */
 final case class Aggregating(keys: Seq[String], stateCols: Seq[String],
                              stateKinds: Map[String, String] = Map.empty)
@@ -99,6 +110,16 @@ final case class Aggregating(keys: Seq[String], stateCols: Seq[String],
     * unchanged.
     */
   def kindOf(c: String): String = stateKinds.getOrElse(c, "hll")
+
+  /** Kind with its parameter stripped (`topk:1024` → `topk`). */
+  def baseKindOf(c: String): String = kindOf(c).split(':')(0)
+
+  /** The numeric parameter of a parameterized kind, if declared. */
+  def kindParamOf(c: String): Option[Int] =
+    kindOf(c).split(':') match {
+      case Array(_, p) if p.forall(_.isDigit) && p.nonEmpty => Some(p.toInt)
+      case _ => None
+    }
 }
 
 /** ≈ ENGINE = Null: inserts are type-checked, counted, and DISCARDED;
@@ -350,23 +371,62 @@ final class Catalog(spark: SparkSession) {
         kinds.keys.foreach(c => require(stateCols.contains(c),
           s"${t.name}: stateKinds names $c, which is not a state column"))
         stateCols.foreach { c =>
-          agg.kindOf(c) match {
+          val dt = t.schema(c).dataType
+          agg.baseKindOf(c) match {
             case "hll" | "kll" =>
-              require(t.schema(c).dataType == BinaryType,
+              require(dt == BinaryType,
                 s"${t.name}: ${agg.kindOf(c)} state column $c must be " +
-                  s"BINARY (got ${t.schema(c).dataType.simpleString})")
+                  s"BINARY (got ${dt.simpleString})")
             case "avg" =>
-              val ok = t.schema(c).dataType match {
+              val ok = dt match {
                 case StructType(Array(StructField("sum", DoubleType, _, _),
                                       StructField("cnt", LongType, _, _))) => true
                 case _ => false
               }
               require(ok, s"${t.name}: avg state column $c must be " +
                 s"STRUCT<sum: DOUBLE, cnt: BIGINT> " +
-                s"(got ${t.schema(c).dataType.simpleString})")
+                s"(got ${dt.simpleString})")
+            case "sum" =>
+              // BIGINT/DOUBLE only: Spark's sum() of those returns the
+              // same type, so the merged column keeps the declared type
+              // (sum of INT would silently widen the schema to BIGINT)
+              require(dt == LongType || dt == DoubleType,
+                s"${t.name}: sum state column $c must be BIGINT or " +
+                  s"DOUBLE (got ${dt.simpleString})")
+            case "min" | "max" =>
+              val ok = dt match {
+                case _: NumericType | StringType | DateType |
+                     TimestampType | TimestampNTZType => true
+                case _ => false
+              }
+              require(ok, s"${t.name}: ${agg.kindOf(c)} state column $c " +
+                s"must be an orderable scalar (got ${dt.simpleString})")
+            case "argmax" =>
+              val ok = dt match {
+                case s: StructType if s.fields.nonEmpty =>
+                  s.fields.head.dataType match {
+                    case _: NumericType | StringType | DateType |
+                         TimestampType | TimestampNTZType => true
+                    case _ => false
+                  }
+                case _ => false
+              }
+              require(ok, s"${t.name}: argmax state column $c must be a " +
+                "STRUCT whose first field is the orderable value " +
+                s"(got ${dt.simpleString})")
+            case "topk" =>
+              require(agg.kindParamOf(c).exists(_ > 0),
+                s"${t.name}: topk state kind needs a capacity " +
+                  s"(declare topk:N), got ${agg.kindOf(c)}")
+              val ok = dt match {
+                case MapType(StringType, LongType, _) => true
+                case _ => false
+              }
+              require(ok, s"${t.name}: topk state column $c must be " +
+                s"MAP<STRING, BIGINT> (got ${dt.simpleString})")
             case other => throw new IllegalArgumentException(
               s"${t.name}: unknown state kind $other for column $c " +
-                "(supported: hll, kll, avg)")
+                "(supported: hll, kll, avg, sum, min, max, argmax, topk:N)")
           }
         }
       case ReplacingDedup(_, _, Some(isDel)) =>
@@ -2381,10 +2441,18 @@ final class Catalog(spark: SparkSession) {
     */
   private def stateMergeExprs(sem: Aggregating): Seq[Column] =
     sem.stateCols.map { c =>
-      (sem.kindOf(c) match {
+      (sem.baseKindOf(c) match {
         case "kll" => graft.functions.QuantileSketch.quantile_merge_state(col(c))
         case "avg" => struct(sum(col(c)("sum")).as("sum"),
                              sum(col(c)("cnt")).as("cnt"))
+        case "sum" => sum(col(c))
+        case "min" => min(col(c))
+        case "max" => max(col(c))
+        // struct max = lexicographic: first field decides, later fields
+        // break ties AND carry the winning row's payload — argMax exactly
+        case "argmax" => max(col(c))
+        case "topk" => graft.functions.TopKSketch
+          .topk_merge_state(col(c), sem.kindParamOf(c).get)
         case _ => hll_union_agg(col(c))
       }).as(c)
     }

@@ -72,4 +72,66 @@ object TopKSketch {
     val cap = if (capacity > 0) capacity else math.max(4 * k, 8)
     udaf(topKAggregator(k, cap)).apply(c)
   }
+
+  // ---- -State / -Merge pair (the Aggregating engine's `topk` kind) ----
+  //
+  // ClickHouse `topKState` / `topKMerge`: the SpaceSaving counter table
+  // itself is the stored state — a MAP<STRING, BIGINT> of at most
+  // `capacity` counters per key, mergeable by union + re-evict (the same
+  // associative merge the in-query aggregate uses). Counts are EXACT
+  // while distinct values stay under capacity (the TopKSketchSpec pinning
+  // property), which is what lets the maintained-table oracle be exact at
+  // gate scale while the sketch stays bounded at 100 TB.
+
+  // typed MAP<STRING, BIGINT> output (the stored state's column type —
+  // kryo here would silently store opaque binary instead)
+  private val mapEnc: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+
+  private def stateAggregator(capacity: Int): Aggregator[String, Sketch, Map[String, Long]] =
+    new Aggregator[String, Sketch, Map[String, Long]] {
+      override def zero: Sketch = Sketch(mutable.Map.empty)
+      override def reduce(b: Sketch, v: String): Sketch =
+        if (v == null) b else b.add(v, capacity)
+      override def merge(a: Sketch, b: Sketch): Sketch = a.mergeWith(b, capacity)
+      override def finish(s: Sketch): Map[String, Long] = s.counters.toMap
+      override def bufferEncoder: Encoder[Sketch] = Encoders.kryo[Sketch]
+      override def outputEncoder: Encoder[Map[String, Long]] = mapEnc
+    }
+
+  private def mergeStateAggregator(capacity: Int): Aggregator[Map[String, Long], Sketch, Map[String, Long]] =
+    new Aggregator[Map[String, Long], Sketch, Map[String, Long]] {
+      override def zero: Sketch = Sketch(mutable.Map.empty)
+      override def reduce(b: Sketch, m: Map[String, Long]): Sketch =
+        if (m == null) b
+        else b.mergeWith(Sketch(mutable.Map.from(m)), capacity)
+      override def merge(a: Sketch, b: Sketch): Sketch = a.mergeWith(b, capacity)
+      override def finish(s: Sketch): Map[String, Long] = s.counters.toMap
+      override def bufferEncoder: Encoder[Sketch] = Encoders.kryo[Sketch]
+      override def outputEncoder: Encoder[Map[String, Long]] = mapEnc
+    }
+
+  /** `topKState(capacity)(x)` → counter-map state. */
+  def topk_state(c: Column, capacity: Int): Column =
+    udaf(stateAggregator(capacity)).apply(c)
+
+  /** `topKMergeState(capacity)(state)` → merged counter-map state. */
+  def topk_merge_state(c: Column, capacity: Int): Column =
+    udaf(mergeStateAggregator(capacity)).apply(c)
+
+  /** Finish a merged state to the `top_k` output string ("v:c,…", count
+    * desc / value asc) — all built-ins over the final small map, no
+    * per-row UDF in the read path.
+    */
+  def topk_finish(state: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val ordered = array_sort(map_entries(state), (l, r) =>
+      when(l("value") > r("value"), -1)
+        .when(l("value") < r("value"), 1)
+        .when(l("key") < r("key"), -1)
+        .when(l("key") > r("key"), 1)
+        .otherwise(0))
+    array_join(transform(slice(ordered, 1, k),
+      e => concat(e("key"), lit(":"), e("value").cast("string"))), ",")
+  }
 }

@@ -269,6 +269,35 @@ object ChAggs extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
+    // topKState/argMaxState/sumState/minState over ONE maintained
+    // Aggregating table — the rest of the `-State`/`-Merge` family (the
+    // quantile/avg pair above covers the sketch+struct kinds): per
+    // event_type the engine stores a SpaceSaving counter map of user_ids
+    // (topk:1024 — capacity exceeds gate-scale cardinality, so counts
+    // are EXACT and the oracle hash-matches the finished top-3 string),
+    // an argmax struct (value, event_id: the winning event rides the
+    // state; ties fall to the second field deterministically), and exact
+    // sum/min scalars. Backfilled in two parity-split appends +
+    // compacted, so the read crosses the cross-append merge AND the
+    // materialized merge. At 100 TB each key's state is bounded
+    // (capacity counters / one struct / one scalar) no matter how many
+    // rows fold in — the maintained leaderboard pattern.
+    "agg_topk_merge" -> ((s, d) => {
+      import graft.functions.TopKSketch
+      topkStateTable(s, d)
+        .groupBy(col("event_type"))
+        .agg(TopKSketch.topk_merge_state(col("tk"), 1024).as("tk"),
+          max(col("am")).as("am"),
+          sum(col("sv")).as("sv"),
+          min(col("mn")).as("mn"))
+        .select(col("event_type"),
+          TopKSketch.topk_finish(col("tk"), 3).as("top_users"),
+          col("am")("event_id").as("argmax_event"),
+          round(col("sv"), 2).as("sum_value"),
+          round(col("mn"), 6).as("min_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // groupBitmap analog: EXACT distinct via Spark's bitmap aggregates.
     // Per-(type, day, bucket) dense bitmap states (bitmap_bucket_number
     // splits the id space into 32768-bit pages so each state is one fixed
@@ -554,6 +583,58 @@ object ChAggs extends QueryModule {
     cat.read(name)
   }
 
+  /** The maintained topk/argmax/sum/min state table behind
+    * `agg_topk_merge` (doc there): two parity-split appends + compact,
+    * memoized per (session, corpus) like [[quantileStateTable]].
+    */
+  private val topkTables = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+           (graft.catalog.Catalog, String)]
+
+  private[graft] def topkStateTable(s: org.apache.spark.sql.SparkSession,
+                                    d: String): org.apache.spark.sql.DataFrame = {
+    import graft.catalog.{Aggregating, Catalog, TableDef}
+    import graft.functions.TopKSketch
+    import org.apache.spark.sql.types._
+    val (cat, name) = topkTables.getOrElseUpdate((s, d), {
+      val cat = new Catalog(s)
+      val whPath = java.nio.file.Files.createTempDirectory("graft-topk-mv")
+      CatalogOps.registerForCleanup(whPath)
+      val t = cat.createTable(TableDef(
+        "event_leaders",
+        s"${whPath.toString}/event_leaders",
+        StructType(Seq(
+          StructField("event_type", StringType, nullable = true),
+          StructField("tk", MapType(StringType, LongType), nullable = true),
+          StructField("am", StructType(Seq(
+            StructField("value", DoubleType),
+            StructField("event_id", LongType))), nullable = true),
+          StructField("sv", DoubleType, nullable = true),
+          StructField("mn", DoubleType, nullable = true))),
+        sortKeys = Seq("event_type"),
+        semantics = Aggregating(Seq("event_type"),
+          Seq("tk", "am", "sv", "mn"),
+          Map("tk" -> "topk:1024", "am" -> "argmax",
+              "sv" -> "sum", "mn" -> "min"))))
+      val ev = Tables.events(s, d).select(col("event_type"),
+        col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("string").as("uid"),
+        col("value").cast("double").as("value"))
+      Seq(0, 1).foreach { parity => // two insert blocks → two stored partials
+        cat.append(t.name, ev
+          .filter(pmod(col("event_id"), lit(2)) === parity)
+          .groupBy(col("event_type"))
+          .agg(TopKSketch.topk_state(col("uid"), 1024).as("tk"),
+            max(struct(col("value"), col("event_id"))).as("am"),
+            sum(col("value")).as("sv"),
+            min(col("value")).as("mn")))
+      }
+      cat.compact(t.name) // materialize the merge: one state row per key
+      (cat, t.name)
+    })
+    cat.read(name)
+  }
+
   override def oracleSql: Map[String, String] = Map(
     "agg_bitmap" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
@@ -739,6 +820,37 @@ object ChAggs extends QueryModule {
     "agg_quantile_merge" ->
       """SELECT l_returnflag, count(*) AS n, TRUE AS p50_ok, TRUE AS avg_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // exact replay of the maintained-state read: capacity 1024 exceeds
+    // gate-scale user cardinality, so the SpaceSaving counts are exact
+    // and the finished top-3 string hash-matches; argmax ties break on
+    // (value DESC, event_id DESC) = Spark's struct max
+    "agg_topk_merge" ->
+      """WITH ev AS (SELECT event_type, event_id,
+        |    CAST(user_id AS VARCHAR) AS uid, CAST(value AS DOUBLE) AS value
+        |  FROM events),
+        |top3 AS (
+        |  SELECT event_type,
+        |    string_agg(uid || ':' || c, ',' ORDER BY c DESC, uid) AS top_users
+        |  FROM (
+        |    SELECT event_type, uid, c,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY c DESC, uid) AS rn
+        |    FROM (SELECT event_type, uid, CAST(count(*) AS BIGINT) AS c
+        |          FROM ev GROUP BY 1, 2))
+        |  WHERE rn <= 3 GROUP BY event_type),
+        |am AS (
+        |  SELECT event_type, event_id AS argmax_event FROM (
+        |    SELECT event_type, event_id,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY value DESC, event_id DESC) AS rn FROM ev)
+        |  WHERE rn = 1),
+        |sm AS (SELECT event_type, round(sum(value), 2) AS sum_value,
+        |         round(min(value), 6) AS min_value FROM ev GROUP BY 1)
+        |SELECT t.event_type, t.top_users, am.argmax_event,
+        |  sm.sum_value, sm.min_value
+        |FROM top3 t JOIN am USING (event_type) JOIN sm USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     "agg_regr" ->
       """SELECT l_returnflag,

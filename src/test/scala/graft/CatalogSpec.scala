@@ -239,6 +239,19 @@ class CatalogSpec extends SparkSpecBase {
           StructField("astate", BinaryType))), // avg state must be struct
         Seq("k"), Aggregating(Seq("k"), Seq("astate"),
           Map("astate" -> "avg"))))
+    // the scalar/map kind family's type contracts, same CREATE-time gate
+    def badKind(name: String, dt: DataType, kind: String) =
+      an[IllegalArgumentException] should be thrownBy
+        cat2.createTable(TableDef(name, tmpDir("cat") + s"/$name",
+          StructType(Seq(StructField("k", StringType),
+            StructField("st", dt))),
+          Seq("k"), Aggregating(Seq("k"), Seq("st"), Map("st" -> kind))))
+    badKind("agqbad4", IntegerType, "sum") // sum(INT) would widen to BIGINT
+    badKind("agqbad5", BinaryType, "min")  // binary is not orderable
+    badKind("agqbad6", StructType(Seq(    // first field must order
+      StructField("v", BinaryType), StructField("a", LongType))), "argmax")
+    badKind("agqbad7", MapType(StringType, LongType), "topk") // no capacity
+    badKind("agqbad8", MapType(LongType, LongType), "topk:64") // key type
   }
 
   test("per-column codecs reach parquet encodings and survive compact + attach") {

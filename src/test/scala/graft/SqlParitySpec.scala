@@ -79,6 +79,34 @@ class SqlParitySpec extends SparkSpecBase {
         | round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // DuckDB string_agg(expr, sep ORDER BY …) → Spark has no inline
+    // aggregate ORDER BY: rank first, then array_sort(collect_list) on a
+    // rank-led struct (lexicographic = rank order) and join
+    "agg_topk_merge" ->
+      """WITH ev AS (SELECT event_type, event_id,
+        |    CAST(user_id AS STRING) AS uid, CAST(value AS DOUBLE) AS value
+        |  FROM events),
+        |cnt AS (SELECT event_type, uid, CAST(count(*) AS BIGINT) AS c
+        |        FROM ev GROUP BY 1, 2),
+        |rnk AS (SELECT event_type, uid, c,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY c DESC, uid) AS rn FROM cnt),
+        |top3 AS (SELECT event_type,
+        |    array_join(transform(array_sort(collect_list(struct(rn, uid, c))),
+        |      e -> concat(e.uid, ':', e.c)), ',') AS top_users
+        |  FROM rnk WHERE rn <= 3 GROUP BY event_type),
+        |am AS (SELECT event_type, event_id AS argmax_event FROM (
+        |    SELECT event_type, event_id,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY value DESC, event_id DESC) AS rn FROM ev)
+        |  WHERE rn = 1),
+        |sm AS (SELECT event_type, round(sum(value), 2) AS sum_value,
+        |         round(min(value), 6) AS min_value FROM ev GROUP BY 1)
+        |SELECT t.event_type, t.top_users, am.argmax_event,
+        |  sm.sum_value, sm.min_value
+        |FROM top3 t JOIN am USING (event_type) JOIN sm USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
     "fn_map_ops" ->
       """WITH c AS (
         |  SELECT o_orderpriority AS prio, o_orderstatus AS st,
