@@ -163,6 +163,17 @@ object ChDialect {
       case args => throw new IllegalArgumentException(
         s"notEmpty expects 1 argument, got ${args.length}")
     })
+    // hasToken(col, 'tok') → token-membership under the ONE tokenizer
+    // constant the token skip index shares (Catalog.TokenSeparators), so
+    // the SQL predicate and the storage-side bloom can never disagree on
+    // what a token is (the quoted pattern lands in a code segment —
+    // safe, same reasoning as the date_trunc note above)
+    s = rewriteCall(s, "hasToken", {
+      case List(c, tok) =>
+        s"array_contains(split($c, '${graft.catalog.Catalog.TokenSeparators}'), $tok)"
+      case args => throw new IllegalArgumentException(
+        s"hasToken expects 2 arguments, got ${args.length}")
+    })
     s = rewriteCombinator(s, "quantileExact")
     s = rewriteCombinator(s, "quantile")
     s

@@ -82,6 +82,21 @@ class ChSqlSpec extends SparkSpecBase {
       "SELECT explode(split(p, ' ')) AS w FROM t GROUP BY w"
   }
 
+  test("hasToken rewrites to the token-index tokenizer and agrees") {
+    chEqualsSpark(
+      """SELECT count() AS n FROM customer
+        |WHERE hasToken(c_mktsegment, 'BUILDING')""".stripMargin,
+      """SELECT count(*) AS n FROM customer
+        |WHERE array_contains(split(c_mktsegment, '[^A-Za-z0-9_]+'),
+        |  'BUILDING')""".stripMargin)
+    // the token argument is a LITERAL segment: a CH-ism inside it must
+    // survive byte-for-byte, and a non-token match stays false
+    chEqualsSpark(
+      "SELECT count() AS n FROM customer WHERE hasToken(c_name, 'BUILD')",
+      "SELECT count(*) AS n FROM customer WHERE " +
+        "array_contains(split(c_name, '[^A-Za-z0-9_]+'), 'BUILD')")
+  }
+
   test("string literals pass through byte-for-byte — CH-isms inside are never rewritten") {
     ChDialect.rewrite(
       "SELECT 'countIf(FINAL)::UInt32 count()' AS s, count() FROM t") shouldBe
