@@ -18,15 +18,16 @@ object TextFns {
   /** Whitespace tokenization of lowercased text. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
-  /** Distinct word 3-grams ("shingles") of a token array column named `toks`.
-    * Guarded for <3 tokens because Spark's `sequence(1, 0)` counts *down*
-    * (yields `[1, 0]`), unlike DuckDB's empty `generate_series(1, 0)`.
+  /** Word 3-grams ("shingles") of a token array column named `toks` —
+    * empty below 3 tokens. Codegen'd [[ShingleJoin]] kernel; replaces the
+    * interpreted-HOF form
+    * `CASE WHEN size(toks) < 3 THEN array() ELSE transform(sequence(1,
+    * size(toks) - 2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))
+    * END`, whose per-gram lambda interpretation was the dedup family's
+    * hottest stage at the sf100 probe (byte-identical output —
+    * ShingleJoinSpec pins the equivalence property).
     */
-  val shingles3FromToks: Column = expr(
-    """CASE WHEN size(toks) < 3 THEN array()
-      |     ELSE transform(sequence(1, size(toks) - 2),
-      |                    i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))
-      |END""".stripMargin)
+  val shingles3FromToks: Column = ShingleJoin(col("toks"), 3)
 
   /** Portable polynomial rolling hash of a string column (codepoint fold,
     * base 31, mod 1e9+7) — deterministic and replicable in DuckDB SQL, unlike
