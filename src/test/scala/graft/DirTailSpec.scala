@@ -150,11 +150,22 @@ class DirTailSpec extends SparkSpecBase {
     val path = tmpDir("tail") + "/idem"
     cat.createTable(TableDef("idem", path, schema, Seq("k"), Append,
       layout = Versioned))
+    // an attached MV: fan-out must fire exactly once per COMMITTED token
+    cat.createTable(TableDef("idem_counts", tmpDir("tail") + "/idem_counts",
+      StructType(Seq(StructField("v", StringType),
+        StructField("n", LongType))), Seq("v"), Append))
+    cat.createMaterializedView("idem", "idem_mv", "idem_counts",
+      df => df.groupBy(col("v")).agg(count(lit(1)).as("n")))
     val batch = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     cat.appendIdempotent("idem", batch, "tok-1") shouldBe Some(2L)
     cat.appendIdempotent("idem", batch, "tok-1") shouldBe None // deduped
     cat.appendIdempotent("idem", batch, "tok-2") shouldBe Some(2L)
     cat.read("idem").count() shouldBe 4L
+    // two committed blocks → two MV blocks; the deduped replay fired none
+    cat.read("idem_counts").groupBy(col("v"))
+      .agg(sum(col("n")).as("n")).orderBy(col("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1))) shouldBe
+      Array(("a", 2L), ("b", 2L))
     // the dedup window survives a compact (folded tombstone still vetoes)
     cat.compact("idem")
     cat.appendIdempotent("idem", batch, "tok-1") shouldBe None
