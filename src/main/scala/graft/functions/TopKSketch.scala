@@ -25,15 +25,29 @@ import org.apache.spark.sql.functions.udaf
   */
 object TopKSketch {
 
-  final case class Sketch(counters: mutable.Map[String, Long]) {
+  /** `floor` is the largest count any pruned counter ever held: an unseen
+    * value enters at `floor + 1` (the SpaceSaving inherit-the-evicted-
+    * count overestimate), so counts only ever overestimate and a value
+    * with true frequency above N/capacity keeps a surviving counter.
+    *
+    * Eviction is AMORTIZED, not per-insert: the working map grows to
+    * 2×capacity, then one O(c log c) prune keeps the top `capacity`
+    * counters by (count desc, value asc). The original per-insert
+    * `minBy` eviction was O(capacity) per unseen value — at 10 M rows
+    * against capacity 1024 that is ~10¹⁰ comparisons, and exactly what
+    * made `agg_topk_merge` the heaviest query of the sf10 suite (54 s);
+    * batch pruning is O(log c) amortized per insert with the same
+    * retention guarantee and identical behavior under capacity (no
+    * eviction ever fires — the exactness contract the gate oracle uses).
+    */
+  final case class Sketch(counters: mutable.Map[String, Long],
+                          var floor: Long = 0L) {
     def add(v: String, capacity: Int): Sketch = {
-      if (counters.contains(v)) counters(v) += 1L
-      else if (counters.size < capacity) counters(v) = 1L
-      else {
-        val (minV, minC) = counters.minBy { case (value, c) => (c, value) }
-        counters.remove(minV)
-        counters(v) = minC + 1L
+      counters.updateWith(v) {
+        case Some(c) => Some(c + 1L)
+        case None => Some(floor + 1L)
       }
+      if (counters.size > capacity * 2) prune(capacity)
       this
     }
 
@@ -41,11 +55,28 @@ object TopKSketch {
       other.counters.foreach { case (v, c) =>
         counters(v) = counters.getOrElse(v, 0L) + c
       }
-      while (counters.size > capacity) {
-        val (minV, _) = counters.minBy { case (value, c) => (c, value) }
-        counters.remove(minV)
-      }
+      floor = math.max(floor, other.floor)
+      if (counters.size > capacity) prune(capacity)
       this
+    }
+
+    /** Keep the top `capacity` counters by (count desc, value asc);
+      * `floor` absorbs the largest dropped count so later arrivals
+      * inherit it. Deterministic for a deterministic insertion order.
+      */
+    def prune(capacity: Int): Unit = {
+      if (counters.size <= capacity) return
+      val kept = counters.toSeq
+        .sortBy { case (v, c) => (-c, v) }
+        .take(capacity)
+      val keptSet = kept.map(_._1).toSet
+      var dropMax = floor
+      counters.foreach { case (v, c) =>
+        if (!keptSet.contains(v) && c > dropMax) dropMax = c
+      }
+      floor = dropMax
+      counters.clear()
+      counters ++= kept
     }
   }
 
@@ -94,7 +125,10 @@ object TopKSketch {
       override def reduce(b: Sketch, v: String): Sketch =
         if (v == null) b else b.add(v, capacity)
       override def merge(a: Sketch, b: Sketch): Sketch = a.mergeWith(b, capacity)
-      override def finish(s: Sketch): Map[String, Long] = s.counters.toMap
+      override def finish(s: Sketch): Map[String, Long] = {
+        s.prune(capacity) // the stored state's declared bound: <= capacity
+        s.counters.toMap
+      }
       override def bufferEncoder: Encoder[Sketch] = Encoders.kryo[Sketch]
       override def outputEncoder: Encoder[Map[String, Long]] = mapEnc
     }
@@ -106,7 +140,10 @@ object TopKSketch {
         if (m == null) b
         else b.mergeWith(Sketch(mutable.Map.from(m)), capacity)
       override def merge(a: Sketch, b: Sketch): Sketch = a.mergeWith(b, capacity)
-      override def finish(s: Sketch): Map[String, Long] = s.counters.toMap
+      override def finish(s: Sketch): Map[String, Long] = {
+        s.prune(capacity)
+        s.counters.toMap
+      }
       override def bufferEncoder: Encoder[Sketch] = Encoders.kryo[Sketch]
       override def outputEncoder: Encoder[Map[String, Long]] = mapEnc
     }
