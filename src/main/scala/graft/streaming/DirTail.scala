@@ -211,13 +211,23 @@ final class DirTail(spark: SparkSession, cat: Catalog, table: String,
     if (crashAfterIntent) throw new IllegalStateException("failpoint: after intent")
 
     // read the frozen byte ranges — one task per partition file, seek to
-    // offset, new suffix only (records never visit the driver)
+    // offset, new suffix only (records never visit the driver). The
+    // session hadoop conf ships to executors as plain entries (a bare
+    // `new Configuration` would drop credentials/endpoints for
+    // object-store topic dirs; Spark's SerializableConfiguration is
+    // private[spark], so the entries ride a broadcast instead)
+    val confEntries = {
+      import scala.jdk.CollectionConverters._
+      conf.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+    }
+    val bcConf = spark.sparkContext.broadcast(confEntries)
     val lines = spark.sparkContext
       .parallelize(ranges.map(r => (r.file, r.from, r.to)), ranges.size)
       .flatMap { case (file, from, to) =>
         val p = new Path(file)
-        val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-          .open(p)
+        val hc = new org.apache.hadoop.conf.Configuration(false)
+        bcConf.value.foreach { case (k, v) => hc.set(k, v) }
+        val in = p.getFileSystem(hc).open(p)
         try {
           val buf = new Array[Byte]((to - from).toInt)
           in.seek(from)
