@@ -1580,7 +1580,14 @@ final class Catalog(spark: SparkSession) {
     val san = token.replaceAll("[^A-Za-z0-9._-]", "_")
     require(san.nonEmpty && san.length <= 180,
       s"$name: dedup token must be 1-180 chars after sanitization")
-    val seg = s"seg-tok-$san"
+    // the sanitized stem is for operator legibility only; the sha1 prefix
+    // of the RAW token makes the segment name collision-free — without it
+    // distinct tokens like "a b" and "a_b" collapse to one segment and the
+    // second block is silently swallowed as a replay
+    val rawHash = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(5).map("%02x".format(_)).mkString
+    val seg = s"seg-tok-$san-$rawHash"
     val committed = writeLock(name).synchronized {
       recoverInterruptedSwap(t)
       val f = fs(t)
@@ -1609,7 +1616,17 @@ final class Catalog(spark: SparkSession) {
                 java.nio.charset.StandardCharsets.UTF_8))
               finally out.close()
               true
-            } catch { case _: java.io.IOException => false }
+            } catch {
+              // ONLY an already-exists outcome is "lost the race": a
+              // transient IOException must propagate so the caller
+              // retries — swallowing it as a loss deletes the staged
+              // segment and returns None, and a caller like DirTail then
+              // advances committed offsets past bytes never ingested
+              case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+              case _: java.nio.file.FileAlreadyExistsException => false
+              case e: java.io.IOException =>
+                if (f.exists(marker)) false else throw e
+            }
           if (won) {
             f.delete(new Path(segMarkerDir(t), seg + ".orphan"), false)
             Some((cnt, filled))

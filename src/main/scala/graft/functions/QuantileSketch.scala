@@ -34,9 +34,10 @@ object QuantileSketch {
   /** Serialization shim: KllDoublesSketch is not Serializable, so the
     * aggregation buffer wraps it and ships the COMPACT byte image across
     * shuffle boundaries (kilobytes per group, the entire point of the
-    * sketch). Java serialization (NOT kryo: kryo field-serializes and
-    * skips @transient, silently dropping the sketch) goes through the
-    * hooks below.
+    * sketch). The buffer encoder below is an explicit binary codec whose
+    * wire format IS the Datasketches compact image — stable across
+    * Spark/kryo/JVM upgrades (the javaSerialization hooks remain only
+    * for incidental closure capture).
     */
   final class Buf(@transient var sk: KllDoublesSketch) extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {
@@ -53,6 +54,25 @@ object QuantileSketch {
   private val K = 200 // Datasketches default: ~1.65% normalized rank error
 
   private def fresh(): KllDoublesSketch = KllDoublesSketch.newHeapInstance(K)
+
+  /** Explicit shuffle wire format for the aggregation buffer: the KLL
+    * compact byte image itself (empty array = empty sketch) — no Java
+    * serialization header, no kryo class registry, nothing
+    * version-coupled beyond Datasketches' own documented layout.
+    */
+  private val bufEnc: Encoder[Buf] = {
+    import org.apache.spark.sql.catalyst.encoders.{AgnosticEncoders, Codec, ExpressionEncoder}
+    ExpressionEncoder(AgnosticEncoders.TransformingEncoder[Buf, Array[Byte]](
+      scala.reflect.classTag[Buf],
+      AgnosticEncoders.BinaryEncoder,
+      () => new Codec[Buf, Array[Byte]] {
+        override def encode(b: Buf): Array[Byte] =
+          if (b.sk == null) Array.emptyByteArray else b.sk.toByteArray
+        override def decode(bytes: Array[Byte]): Buf =
+          new Buf(if (bytes == null || bytes.isEmpty) null
+                  else KllDoublesSketch.heapify(Memory.wrap(bytes)))
+      }))
+  }
 
   private def mergeInto(a: Buf, b: Buf): Buf = {
     if (b.sk != null) {
@@ -78,7 +98,7 @@ object QuantileSketch {
       override def merge(a: Buf, b: Buf): Buf = mergeInto(a, b)
       override def finish(b: Buf): Array[Byte] =
         if (b.sk == null) fresh().toByteArray else b.sk.toByteArray
-      override def bufferEncoder: Encoder[Buf] = Encoders.javaSerialization[Buf]
+      override def bufferEncoder: Encoder[Buf] = bufEnc
       override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
     }
 
@@ -100,7 +120,7 @@ object QuantileSketch {
       override def merge(a: Buf, b: Buf): Buf = mergeInto(a, b)
       override def finish(b: Buf): Array[Byte] =
         if (b.sk == null) fresh().toByteArray else b.sk.toByteArray
-      override def bufferEncoder: Encoder[Buf] = Encoders.javaSerialization[Buf]
+      override def bufferEncoder: Encoder[Buf] = bufEnc
       override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
     }
 
@@ -118,7 +138,7 @@ object QuantileSketch {
       override def finish(b: Buf): java.lang.Double =
         if (b.sk == null || b.sk.isEmpty) null
         else b.sk.getQuantile(q, QuantileSearchCriteria.INCLUSIVE)
-      override def bufferEncoder: Encoder[Buf] = Encoders.javaSerialization[Buf]
+      override def bufferEncoder: Encoder[Buf] = bufEnc
       override def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
     }
 

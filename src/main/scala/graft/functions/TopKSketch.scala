@@ -52,10 +52,24 @@ object TopKSketch {
     }
 
     def mergeWith(other: Sketch, capacity: Int): Sketch = {
+      // mergeable-SpaceSaving rule (Agarwal et al., "Mergeable
+      // Summaries", PODS 2012): a value absent from one side may have
+      // been pruned there holding up to that side's floor, so the merged
+      // count adds the MISSING side's floor — and the merged floor is
+      // the SUM (a value pruned from both sides could have carried
+      // floor_a + floor_b). Exact under capacity (both floors 0: no
+      // adjustment fires), and counts keep the overestimate-only bound.
+      val oFloor = other.floor
+      if (oFloor > 0)
+        counters.keysIterator.filterNot(other.counters.contains).toArray
+          .foreach(v => counters(v) += oFloor)
       other.counters.foreach { case (v, c) =>
-        counters(v) = counters.getOrElse(v, 0L) + c
+        counters.updateWith(v) {
+          case Some(c0) => Some(c0 + c)
+          case None => Some(c + floor)
+        }
       }
-      floor = math.max(floor, other.floor)
+      floor = floor + oFloor
       if (counters.size > capacity) prune(capacity)
       this
     }
@@ -80,6 +94,49 @@ object TopKSketch {
     }
   }
 
+  /** Explicit length-prefixed wire format for shuffle buffers — the
+    * partial-aggregate state that crosses executors. A hand-written
+    * codec (not kryo) keeps the bytes stable across Spark/kryo upgrades
+    * and mixed-version executors: Int count, then per counter
+    * UTF-8-length-prefixed value + Long count, then the Long floor.
+    */
+  private[graft] def sketchToBytes(s: Sketch): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(64)
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(s.counters.size)
+    s.counters.foreach { case (v, c) =>
+      val vb = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(vb.length); out.write(vb); out.writeLong(c)
+    }
+    out.writeLong(s.floor)
+    out.flush()
+    bos.toByteArray
+  }
+
+  private[graft] def sketchFromBytes(b: Array[Byte]): Sketch = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(b))
+    val n = in.readInt()
+    val m = mutable.Map.empty[String, Long]
+    var i = 0
+    while (i < n) {
+      val vb = new Array[Byte](in.readInt()); in.readFully(vb)
+      m(new String(vb, java.nio.charset.StandardCharsets.UTF_8)) = in.readLong()
+      i += 1
+    }
+    Sketch(m, in.readLong())
+  }
+
+  private val sketchEnc: Encoder[Sketch] = {
+    import org.apache.spark.sql.catalyst.encoders.{AgnosticEncoders, Codec, ExpressionEncoder}
+    ExpressionEncoder(AgnosticEncoders.TransformingEncoder[Sketch, Array[Byte]](
+      scala.reflect.classTag[Sketch],
+      AgnosticEncoders.BinaryEncoder,
+      () => new Codec[Sketch, Array[Byte]] {
+        override def encode(s: Sketch): Array[Byte] = sketchToBytes(s)
+        override def decode(b: Array[Byte]): Sketch = sketchFromBytes(b)
+      }))
+  }
+
   private def topKAggregator(k: Int, capacity: Int): Aggregator[String, Sketch, String] =
     new Aggregator[String, Sketch, String] {
       override def zero: Sketch = Sketch(mutable.Map.empty)
@@ -92,7 +149,7 @@ object TopKSketch {
           .take(k)
           .map { case (v, c) => s"$v:$c" }
           .mkString(",")
-      override def bufferEncoder: Encoder[Sketch] = Encoders.kryo[Sketch]
+      override def bufferEncoder: Encoder[Sketch] = sketchEnc
       override def outputEncoder: Encoder[String] = Encoders.STRING
     }
 
@@ -129,7 +186,7 @@ object TopKSketch {
         s.prune(capacity) // the stored state's declared bound: <= capacity
         s.counters.toMap
       }
-      override def bufferEncoder: Encoder[Sketch] = Encoders.kryo[Sketch]
+      override def bufferEncoder: Encoder[Sketch] = sketchEnc
       override def outputEncoder: Encoder[Map[String, Long]] = mapEnc
     }
 
@@ -144,7 +201,7 @@ object TopKSketch {
         s.prune(capacity)
         s.counters.toMap
       }
-      override def bufferEncoder: Encoder[Sketch] = Encoders.kryo[Sketch]
+      override def bufferEncoder: Encoder[Sketch] = sketchEnc
       override def outputEncoder: Encoder[Map[String, Long]] = mapEnc
     }
 

@@ -60,10 +60,11 @@ object Analytics extends QueryModule {
     }),
 
     "join_left_outer" -> ((s, d) =>
-      // preserve-left outer join: only the streamed (right) side can be
-      // broadcast, so hint supplier, not nation
+      // preserve-left outer join; supplier grows with SF, so no forced
+      // broadcast hint — AQE picks BHJ at bench scale and degrades to
+      // shuffle when supplier outgrows the threshold
       Tables.nation(s, d)
-        .join(broadcast(Tables.supplier(s, d)), col("s_nationkey") === col("n_nationkey"), "left_outer")
+        .join(Tables.supplier(s, d), col("s_nationkey") === col("n_nationkey"), "left_outer")
         .groupBy(col("n_name"))
         .agg(count(col("s_suppkey")).as("n_supp"))
         .orderBy(col("n_name"))),
@@ -95,7 +96,7 @@ object Analytics extends QueryModule {
         .join(Tables.orders(s, d)
           .filter(col("o_orderdate") < lit("1998-06-01 00:00:00").cast("timestamp")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
@@ -103,7 +104,10 @@ object Analytics extends QueryModule {
         .limit(20)
     }),
 
-    // TPC-H Q5 shape: 6-way snowflake join, dims broadcast
+    // TPC-H Q5 shape: 6-way snowflake join. Only the bounded dims
+    // (nation⋈region, 25×5 rows forever) carry a broadcast hint; supplier
+    // is SF×10k rows, so its join is left to AQE — BHJ at bench scale,
+    // graceful shuffle degrade when it outgrows the threshold at 100×.
     "q5_region_revenue" -> ((s, d) => {
       val nr = broadcast(Tables.nation(s, d)
         .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
@@ -111,7 +115,7 @@ object Analytics extends QueryModule {
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.supplier(s, d)),
+        .join(Tables.supplier(s, d),
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .join(nr, col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))

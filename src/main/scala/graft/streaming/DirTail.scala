@@ -63,6 +63,12 @@ final class DirTail(spark: SparkSession, cat: Catalog, table: String,
   private def conf = spark.sessionState.newHadoopConf()
   private def fs(p: Path): FileSystem = p.getFileSystem(conf)
 
+  /** Per-poll sub-range cap: bounds a read task's heap to ~this many
+    * bytes regardless of backlog size (overridable only for specs —
+    * production polls never need it changed).
+    */
+  private[graft] var maxRangeBytes: Long = 128L * 1024 * 1024
+
   private def tailDir: Path =
     new Path(new Path(cat.get(table).path, "_tail"), sourceId)
 
@@ -141,6 +147,52 @@ final class DirTail(spark: SparkSession, cat: Catalog, table: String,
     } finally in.close()
   }
 
+  /** Byte position just AFTER the first '\n' at or beyond `cand`
+    * (capped at `hardEnd`) — the forward twin of [[lastLineEnd]], used
+    * to snap sub-range cuts onto record boundaries.
+    */
+  private def nextLineStart(p: Path, cand: Long, hardEnd: Long): Long = {
+    if (cand >= hardEnd) return hardEnd
+    val in = fs(p).open(p)
+    try {
+      val chunk = 64 * 1024
+      var lo = cand
+      in.seek(lo)
+      while (lo < hardEnd) {
+        val n = math.min(chunk.toLong, hardEnd - lo).toInt
+        val buf = new Array[Byte](n)
+        in.readFully(buf, 0, n)
+        var i = 0
+        while (i < n) {
+          if (buf(i) == '\n') return lo + i + 1
+          i += 1
+        }
+        lo += n
+      }
+      hardEnd
+    } finally in.close()
+  }
+
+  /** Split one file's new suffix `[from, to)` into newline-aligned
+    * sub-ranges of at most ~[[maxRangeBytes]] each (a single over-long
+    * line keeps its range oversized rather than splitting mid-record).
+    * Bounds task heap — a first poll against a pre-existing multi-GB
+    * file would otherwise plan ONE range whose `(to-from).toInt`
+    * overflows negative and, the intent being frozen, replay the same
+    * crash on every poll — and adds read parallelism on big backlogs.
+    */
+  private def subRanges(p: Path, from: Long, to: Long): Seq[Range] = {
+    val out = Seq.newBuilder[Range]
+    var start = from
+    while (to - start > maxRangeBytes) {
+      val cut = nextLineStart(p, start + maxRangeBytes, to)
+      out += Range(p.toString, start, cut)
+      start = cut
+    }
+    if (start < to) out += Range(p.toString, start, to)
+    out.result()
+  }
+
   /** Current partition files of the topic dir (regular files, sorted —
     * dotfiles and subdirs ignored).
     */
@@ -188,9 +240,10 @@ final class DirTail(spark: SparkSession, cat: Catalog, table: String,
         }
       } else {
         val fresh = partitions().flatMap { case (file, len) =>
+          val p = new Path(file)
           val from = offsets.get(file).map(_.bytes).getOrElse(0L)
-          val to = lastLineEnd(new Path(file), from, len)
-          if (to > from) Some(Range(file, from, to)) else None
+          val to = lastLineEnd(p, from, len)
+          if (to > from) subRanges(p, from, to) else Nil
         }
         if (fresh.isEmpty) return 0L // nothing new: no batch consumed
         val body = org.json4s.jackson.JsonMethods.compact(
@@ -228,14 +281,74 @@ final class DirTail(spark: SparkSession, cat: Catalog, table: String,
         val hc = new org.apache.hadoop.conf.Configuration(false)
         bcConf.value.foreach { case (k, v) => hc.set(k, v) }
         val in = p.getFileSystem(hc).open(p)
-        try {
-          val buf = new Array[Byte]((to - from).toInt)
-          in.seek(from)
-          in.readFully(buf)
-          new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-            .split("\n", -1).iterator.filter(_.nonEmpty)
-            .map(line => (file, line)).toVector
-        } finally in.close()
+        // stream the range in bounded chunks (never one (to-from) array:
+        // a multi-GB backlog range would overflow Int / blow task heap).
+        // Lines split on the raw '\n' byte — safe in UTF-8 — and decode
+        // per LINE, so a multi-byte char straddling a chunk cut is fine.
+        // The iterator is lazy; the task-completion listener closes the
+        // stream even if the task dies mid-consumption.
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit] { _ =>
+            try in.close() catch { case _: java.io.IOException => () }
+          })
+        in.seek(from)
+        // bound under fresh names: inside the anonymous Iterator, `to`
+        // would resolve to IterableOnceOps.to(factory)
+        val rangeEnd = to
+        val lineIt = new Iterator[String] {
+          private val chunkCap = 8 * 1024 * 1024
+          private var pos = from
+          private var buf: Array[Byte] = Array.emptyByteArray
+          private var bi = 0
+          private val cur = new java.io.ByteArrayOutputStream(256)
+          private var pendingLine: String = null
+          private var exhausted = false
+          private def refill(): Boolean = {
+            if (pos >= rangeEnd) false
+            else {
+              val n = math.min(chunkCap.toLong, rangeEnd - pos).toInt
+              buf = new Array[Byte](n)
+              in.readFully(buf, 0, n)
+              pos += n; bi = 0; true
+            }
+          }
+          private def advance(): Unit =
+            while (pendingLine == null && !exhausted) {
+              if (bi >= buf.length) {
+                if (!refill()) {
+                  exhausted = true
+                  // `to` is a lastLineEnd/nextLineStart boundary, so this
+                  // flush only fires on a torn final record — keep it
+                  // rather than silently dropping bytes
+                  if (cur.size() > 0) {
+                    pendingLine = new String(cur.toByteArray,
+                      java.nio.charset.StandardCharsets.UTF_8)
+                    cur.reset()
+                  }
+                }
+              } else {
+                while (bi < buf.length && pendingLine == null) {
+                  val b = buf(bi); bi += 1
+                  if (b == '\n') {
+                    if (cur.size() > 0) {
+                      pendingLine = new String(cur.toByteArray,
+                        java.nio.charset.StandardCharsets.UTF_8)
+                      cur.reset()
+                    }
+                  } else cur.write(b.toInt)
+                }
+              }
+            }
+          override def hasNext: Boolean = {
+            if (pendingLine == null) advance()
+            pendingLine != null
+          }
+          override def next(): String = {
+            if (!hasNext) throw new NoSuchElementException
+            val r = pendingLine; pendingLine = null; r
+          }
+        }
+        lineIt.map(line => (file, line))
       }
     val raw = spark.createDataFrame(lines.map(t => org.apache.spark.sql.Row(t._1, t._2)),
       StructType(Seq(
@@ -265,11 +378,15 @@ final class DirTail(spark: SparkSession, cat: Catalog, table: String,
     val appended = cat.appendIdempotent(table, block, s"$sourceId-$n")
     if (crashAfterAppend) throw new IllegalStateException("failpoint: after append")
 
-    val newOffsets = ranges.foldLeft(offsets) { case (m, r) =>
-      val prev = m.getOrElse(r.file, PartState(0, 0, 0))
-      val (tot, broken) = stats.getOrElse(r.file, (0L, 0L))
-      m + (r.file -> PartState(r.to, prev.records + (tot - broken),
-        prev.broken + broken))
+    // offsets advance per FILE (a file may carry several sub-ranges this
+    // batch; stats are per-file, so fold them in exactly once, and the
+    // committed byte offset is the file's furthest range end)
+    val newOffsets = ranges.groupBy(_.file).foldLeft(offsets) {
+      case (m, (file, rs)) =>
+        val prev = m.getOrElse(file, PartState(0, 0, 0))
+        val (tot, broken) = stats.getOrElse(file, (0L, 0L))
+        m + (file -> PartState(rs.map(_.to).max,
+          prev.records + (tot - broken), prev.broken + broken))
     }
     commitBatch(n, newOffsets)
     appended.getOrElse(0L)

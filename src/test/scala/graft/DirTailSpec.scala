@@ -176,4 +176,57 @@ class DirTailSpec extends SparkSpecBase {
     an[IllegalArgumentException] should be thrownBy
       cat.appendIdempotent("idemflat", batch, "tok-1")
   }
+
+  test("distinct tokens that sanitize to the same stem both commit") {
+    // round-9 advice: 'a b' and 'a_b' both sanitize to 'a_b'; without the
+    // raw-token hash in the segment name the second block was silently
+    // swallowed as a replay — data loss through a public API
+    val cat = new Catalog(spark)
+    cat.createTable(TableDef("idemtok", tmpDir("tail") + "/idemtok", schema,
+      Seq("k"), Append, layout = Versioned))
+    val batch = Seq((1L, "a")).toDF("k", "v")
+    cat.appendIdempotent("idemtok", batch, "a b") shouldBe Some(1L)
+    cat.appendIdempotent("idemtok", batch, "a_b") shouldBe Some(1L)
+    cat.appendIdempotent("idemtok", batch, "a.b") shouldBe Some(1L)
+    cat.read("idemtok").count() shouldBe 3L
+    // and each still dedups against ITSELF
+    cat.appendIdempotent("idemtok", batch, "a b") shouldBe None
+    cat.appendIdempotent("idemtok", batch, "a_b") shouldBe None
+    cat.read("idemtok").count() shouldBe 3L
+  }
+
+  test("big backlog splits into newline-aligned sub-ranges, still exactly once") {
+    // round-9 advice: a first poll against a large pre-existing file used
+    // to plan ONE range (Int-overflow + whole-suffix-in-one-heap at GB
+    // scale). With the cap forced tiny, this poll must plan many
+    // sub-ranges — and still ingest every record exactly once, commit
+    // per-FILE offsets once (not once per sub-range), and roll forward
+    // a crashed multi-range intent without dupes.
+    val cat = new Catalog(spark)
+    mkTable(cat, "tlsplit")
+    val topic = new java.io.File(tmpDir("tail"), "topicsplit")
+    topic.mkdirs()
+    val p0 = new java.io.File(topic, "part-0.jsonl")
+    writeLines(p0, (0L until 300L).map(rec))
+    val tail = new DirTail(spark, cat, "tlsplit", topic.toString, "srcsplit", schema)
+    tail.maxRangeBytes = 256 // ~18-byte records → ~14 records per range
+    tail.poll() shouldBe 300L
+    cat.read("tlsplit").select(col("k")).collect()
+      .map(_.getLong(0)).sorted shouldBe (0L until 300L).toArray
+    val off = tail.offsetsListing().collect()
+    off.length shouldBe 1 // one row per FILE, not per sub-range
+    off.head.getAs[Long]("committed_bytes") shouldBe p0.length()
+    off.head.getAs[Long]("committed_records") shouldBe 300L
+    tail.poll() shouldBe 0L
+
+    // crash after a multi-range intent froze → roll-forward replays it
+    // byte-identically, then the next poll picks up post-crash growth
+    writeLines(p0, (300L until 400L).map(rec))
+    an[IllegalStateException] should be thrownBy tail.pollOnce(true, false)
+    writeLines(p0, (400L until 450L).map(rec))
+    tail.poll() shouldBe 100L // the frozen intent: rows 300-399 only
+    tail.poll() shouldBe 50L
+    cat.read("tlsplit").select(col("k")).collect()
+      .map(_.getLong(0)).sorted shouldBe (0L until 450L).toArray
+  }
 }

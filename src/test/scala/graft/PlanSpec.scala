@@ -39,13 +39,51 @@ class PlanSpec extends SparkSpecBase {
     // (round 4 removed the forced broadcast(part): pinned hints on
     // SF-growing dims are the #1 scale trap; size-based planning + AQE is
     // the contract).
-    Seq("join_broadcast" -> 1, "q3_shipping" -> 1, "q5_region_revenue" -> 2)
+    Seq("join_broadcast" -> 1, "q3_shipping" -> 1, "q5_region_revenue" -> 2,
+        "join_left_outer" -> 1)
       .foreach { case (q, minBhj) =>
         val plan = planOf(q)
         withClue(s"$q (expected >= $minBhj BroadcastHashJoin): ") {
           plan.linesIterator.count(_.contains("BroadcastHashJoin")) should be >= minBhj
         }
       }
+  }
+
+  test("no broadcast() hint pins an unbounded scan of an SF-growing fact table") {
+    // The round-5 lesson made structural (round-9 verdict item 1): a forced
+    // broadcast() of a table that GROWS with scale factor pins the planner
+    // into shipping a multi-hundred-MB build side to the driver and every
+    // executor at 100×, where AQE's size-based choice would degrade
+    // gracefully to a shuffle join. Bounded dims (nation/region, 25/5 rows
+    // forever) may be hinted; the growing TPC-H facts may appear under a
+    // hint ONLY below a cardinality-bounding Aggregate or Limit (e.g. the
+    // win_ntile top-40 frame, a count(*) scalar).
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val growing = Set("lineitem", "orders", "customer", "supplier", "part")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf0001).queryExecution.analyzed
+      plan.foreach {
+        case h: ResolvedHint if h.hints.strategy.exists(_.toString.toLowerCase.contains("broadcast")) =>
+          val growingScans = h.collect {
+            case lr: LogicalRelation => lr.relation match {
+              case fs: HadoopFsRelation =>
+                fs.location.rootPaths.map(_.getName.stripSuffix(".parquet")).toSeq
+              case _ => Seq.empty[String]
+            }
+          }.flatten.filter(growing.contains)
+          if (growingScans.nonEmpty) {
+            val bounded = h.collectFirst {
+              case _: Aggregate => (); case _: GlobalLimit => (); case _: LocalLimit => ()
+            }.isDefined
+            withClue(s"$name: broadcast() hint over unbounded scan of " +
+              s"${growingScans.mkString(",")} (no Aggregate/Limit below the hint): ") {
+              bounded shouldBe true
+            }
+          }
+        case _ => ()
+      }
+    }
   }
 
   test("joinGet probes plan as a broadcast join, never a shuffle") {

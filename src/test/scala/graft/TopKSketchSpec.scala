@@ -61,4 +61,34 @@ class TopKSketchSpec extends SparkSpecBase {
     val merged = sk("a" -> 10L, "b" -> 2L).mergeWith(sk("a" -> 5L, "c" -> 7L), capacity = 2)
     merged.counters.toSeq.sorted shouldBe Seq("a" -> 15L, "c" -> 7L)
   }
+
+  test("merge adds the missing side's floor (mergeable-SpaceSaving rule)") {
+    // round-9 advice: a counter pruned from one side may have carried up
+    // to that side's floor there — merging with max-of-floors alone loses
+    // it, breaking the counts-only-overestimate guarantee. The rule:
+    // one-sided counters gain the OTHER side's floor; merged floor is the
+    // sum (a value pruned from both sides could carry floor_a + floor_b).
+    def sk(floor: Long, pairs: (String, Long)*) =
+      Sketch(scala.collection.mutable.Map(pairs: _*), floor)
+    val merged = sk(3L, "a" -> 10L).mergeWith(sk(2L, "b" -> 5L), capacity = 8)
+    merged.counters("a") shouldBe 12L // 10 + other.floor(2)
+    merged.counters("b") shouldBe 8L  // 5 + this.floor(3)
+    merged.floor shouldBe 5L          // 3 + 2
+    // shared counters just sum — no floor double-count
+    val m2 = sk(3L, "a" -> 10L).mergeWith(sk(2L, "a" -> 5L), capacity = 8)
+    m2.counters("a") shouldBe 15L
+  }
+
+  test("wire codec round-trips the sketch byte-identically in meaning") {
+    def sk(floor: Long, pairs: (String, Long)*) =
+      Sketch(scala.collection.mutable.Map(pairs: _*), floor)
+    val s = sk(7L, "α" -> 3L, "b" -> 11L, "" + "长字符串" -> 2L)
+    val rt = TopKSketch.sketchFromBytes(TopKSketch.sketchToBytes(s))
+    rt.counters shouldBe s.counters
+    rt.floor shouldBe 7L
+    val empty = TopKSketch.sketchFromBytes(
+      TopKSketch.sketchToBytes(Sketch(scala.collection.mutable.Map.empty)))
+    empty.counters shouldBe empty.counters.empty
+    empty.floor shouldBe 0L
+  }
 }
