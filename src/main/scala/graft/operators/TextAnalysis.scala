@@ -35,9 +35,17 @@ object TextAnalysis extends QueryModule {
   // trains without any driver-side corpus state.
   //
   // Words are represented as SPACE-JOINED symbol strings ("h e l l o"),
-  // and a merge is a literal string replace of "a b" with "ab" —
-  // left-to-right non-overlapping, the exact semantics of Java/Spark
-  // `replace` AND DuckDB `replace`, which is what makes the oracle a full
+  // and a merge is a BOUNDARY-GUARDED string replace: the word rides
+  // between space sentinels and " a b " rewrites to " ab ", so a pair
+  // can never match across a symbol boundary (raw "a b".replace would
+  // fuse "x al b" into "x alb" for the pair l+b — the round-8 advice
+  // finding). replace is left-to-right non-overlapping, so adjacent
+  // occurrences ("a b a b") share a boundary space and the first pass
+  // takes alternating ones — a SECOND identical pass picks up the
+  // leftovers (never adjacent after pass one), which reproduces
+  // Sennrich's merge-all-occurrences exactly. Both passes have the same
+  // semantics in Java/Spark `replace` AND DuckDB `replace`, which is
+  // what makes the oracle a full
   // INDEPENDENT REPLAY: the DuckDB SQL (built by [[bpeOracleChain]])
   // unrolls the same K rounds as materialized CTEs — same tokenization,
   // same pair counts, same count-desc/lexicographic tie-break, same
@@ -91,8 +99,11 @@ object TextAnalysis extends QueryModule {
           val (a, b, c) =
             (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
           merges += ((k.toLong, a, b, c))
+          val pat = lit(" " + a + " " + b + " ")
+          val rep = lit(" " + a + b + " ")
           words = words.withColumn("s",
-            replace(col("s"), lit(a + " " + b), lit(a + b)))
+            trim(replace(replace(
+              concat(lit(" "), col("s"), lit(" ")), pat, rep), pat, rep)))
             .localCheckpoint()
           k += 1
         }
@@ -123,11 +134,93 @@ object TextAnalysis extends QueryModule {
         |b$k AS MATERIALIZED (SELECT a, b, c FROM p$k
         |  ORDER BY c DESC, a, b LIMIT 1),
         |w$k AS MATERIALIZED (SELECT w.w, w.freq,
-        |    replace(w.s, b.a || ' ' || b.b, b.a || b.b) AS s
+        |    trim(replace(replace(' ' || w.s || ' ',
+        |      ' ' || b.a || ' ' || b.b || ' ', ' ' || b.a || b.b || ' '),
+        |      ' ' || b.a || ' ' || b.b || ' ', ' ' || b.a || b.b || ' ')) AS s
         |  FROM w${k - 1} w, b$k b)""".stripMargin)
     }
     sb.toString
   }
+
+  /** Encode dictionary from the trained word table: per word, its final
+    * piece sequence and piece ids under the learned vocab. Piece ids rank
+    * by (corpus frequency DESC, piece ASC) via the win_ntile theta-join
+    * trick — the vocab is BOUNDED by construction (≤ alphabet +
+    * BpeMerges pieces, independent of corpus size: merges only ever
+    * create one new symbol each), so it broadcasts at any scale and no
+    * global window enters the plan. Everything here is dictionary-sized;
+    * the corpus never appears.
+    */
+  private[graft] def bpeEncodeDict(s: org.apache.spark.sql.SparkSession,
+                                   d: String): org.apache.spark.sql.DataFrame = {
+    val (_, words) = bpeTrain(s, d)
+    val vocab = words
+      .select(explode(split(col("s"), " ")).as("piece"), col("freq"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("pfreq"))
+    val vid = vocab.as("a").join(broadcast(vocab.as("b")),
+        col("b.pfreq") > col("a.pfreq") ||
+          (col("b.pfreq") === col("a.pfreq") && col("b.piece") < col("a.piece")),
+        "left_outer")
+      .groupBy(col("a.piece").as("piece"))
+      .agg((count(col("b.piece")) + 1).as("pid"))
+    words
+      .select(col("w"), posexplode(split(col("s"), " ")).as(Seq("j", "piece")))
+      .join(broadcast(vid), "piece")
+      .groupBy(col("w"))
+      .agg(array_sort(collect_list(struct(col("j"), col("piece"), col("pid"))))
+        .as("ps"))
+      .select(col("w"),
+        transform(col("ps"), x => x("piece")).as("pieces"),
+        transform(col("ps"), x => x("pid")).as("pids"))
+  }
+
+  /** Per-document learned-piece sequence (doc_id, pieces[], pids[]): the
+    * corpus posexplodes its tokens once and hash-joins the dictionary on
+    * the word key (the BM25 tf-shuffle shape — the corpus-sized side
+    * shuffles once; the dictionary is word-vocabulary-sized), then one
+    * groupBy re-assembles per document in (word, piece) order. Never a
+    * driver loop over the corpus — the driver holds nothing.
+    */
+  private def encodedDocs(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(TextFns.tokens(col("text"))).as(Seq("i", "w")))
+      .filter(col("w") =!= "")
+      .join(bpeEncodeDict(s, d), "w")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("i"), col("pieces"), col("pids"))))
+        .as("ws"))
+      .select(col("doc_id"),
+        flatten(transform(col("ws"), x => x("pieces"))).as("pieces"),
+        flatten(transform(col("ws"), x => x("pids"))).as("pids"))
+
+  /** Oracle suffix shared by the encode-path queries: the training
+    * replay plus the vocab ranking (row_number ≡ the Spark theta-join
+    * rank — piece is unique, so the order is total), the per-word
+    * dictionary application, and the position-tracked corpus tokenize.
+    */
+  private def bpeEncodeChain: String = bpeOracleChain + s""",
+    |vocab AS MATERIALIZED (SELECT u.piece AS piece, sum(freq) AS pfreq
+    |  FROM (SELECT freq, str_split(s, ' ') AS l FROM w$BpeMerges),
+    |       UNNEST(l) AS u(piece)
+    |  GROUP BY 1),
+    |vid AS MATERIALIZED (SELECT piece,
+    |  CAST(row_number() OVER (ORDER BY pfreq DESC, piece) AS BIGINT) AS pid
+    |  FROM vocab),
+    |dictp AS MATERIALIZED (SELECT w, i AS j, l[i] AS piece
+    |  FROM (SELECT w, str_split(s, ' ') AS l FROM w$BpeMerges),
+    |       UNNEST(generate_series(1, len(l))) AS t(i)),
+    |dicte AS MATERIALIZED (SELECT d.w,
+    |    string_agg(d.piece, ' ' ORDER BY d.j) AS pieces,
+    |    string_agg(CAST(v.pid AS VARCHAR), ',' ORDER BY d.j) AS pids,
+    |    count(*) AS np
+    |  FROM dictp d JOIN vid v USING (piece) GROUP BY d.w),
+    |dtok AS (SELECT doc_id, i, t[i] AS w
+    |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+    |        FROM documents),
+    |       UNNEST(generate_series(1, len(t))) AS x(i)
+    |  WHERE t[i] <> '')""".stripMargin
 
   override def queries: Map[String, Q] = Map(
     // Token statistics: whitespace tokenization + distinct count + summed
@@ -277,6 +370,40 @@ object TextAnalysis extends QueryModule {
           floor((col("cum") - col("n_tokens")) / 2048).cast("long"))
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"))
         .orderBy(col("doc_id"))
+    }),
+
+    // BPE ENCODE — the step every training pipeline actually runs last
+    // (round-9 verdict item 2): apply the learned merge table to emit
+    // each document's subword piece sequence and vocab-rank ids. The
+    // word table IS the dictionary (its `s` column is the fully-merged
+    // segmentation), so encoding is a dictionary join + per-word split —
+    // no per-document merge replay, no driver corpus state. Oracle: the
+    // unrolled training replay extended with the same vocab ranking and
+    // dictionary application.
+    "text_encode_bpe" -> ((s, d) =>
+      encodedDocs(s, d).select(col("doc_id"),
+        array_join(col("pieces"), " ").as("pieces"),
+        array_join(transform(col("pids"), _.cast("string")), ",")
+          .as("piece_ids"),
+        size(col("pieces")).cast("long").as("n_pieces"))
+      .orderBy(col("doc_id"))),
+
+    // text_chunk re-based on LEARNED tokens: 64-piece windows, stride 48,
+    // over the encoded subword sequence — what the context-window cutter
+    // should count once a tokenizer exists (whitespace text_chunk stays
+    // as the pre-tokenizer shape). Same window/stride contract and
+    // digest as text_chunk, restated by the oracle over the encoded
+    // sequence.
+    "text_chunk_bpe" -> ((s, d) => {
+      val nChunksMinus1 = floor(
+        (greatest(size(col("toks")) - 64, lit(0)) + 47) / 48).cast("int")
+      val chunk = slice(col("toks"), col("cid") * 48 + 1, lit(64))
+      encodedDocs(s, d).select(col("doc_id"), col("pieces").as("toks"))
+        .withColumn("cid", explode(sequence(lit(0), nChunksMinus1)))
+        .select(col("doc_id"), col("cid").cast("long").as("chunk_id"),
+          size(chunk).as("n_toks"),
+          md5(array_join(chunk, " ")).as("digest"))
+        .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
     "text_pack" -> ((s, d) => {
@@ -671,6 +798,28 @@ object TextAnalysis extends QueryModule {
         s"SELECT CAST($k AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, " +
           s"CAST(c AS BIGINT) AS cnt FROM b$k")
         .mkString("\nUNION ALL ") + "\nORDER BY merge_rank"),
+
+    "text_encode_bpe" -> (bpeEncodeChain + s"""
+      |SELECT d.doc_id,
+      |  string_agg(e.pieces, ' ' ORDER BY d.i) AS pieces,
+      |  string_agg(e.pids, ',' ORDER BY d.i) AS piece_ids,
+      |  CAST(sum(e.np) AS BIGINT) AS n_pieces
+      |FROM dtok d JOIN dicte e USING (w)
+      |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin),
+
+    "text_chunk_bpe" -> (bpeEncodeChain + s""",
+      |dp AS MATERIALIZED (SELECT d.doc_id,
+      |    string_agg(e.pieces, ' ' ORDER BY d.i) AS ps
+      |  FROM dtok d JOIN dicte e USING (w) GROUP BY d.doc_id),
+      |tt AS (SELECT doc_id, str_split(ps, ' ') AS toks FROM dp),
+      |cc AS (SELECT doc_id, toks,
+      |  unnest(generate_series(0,
+      |    CAST((greatest(len(toks) - 64, 0) + 47) // 48 AS BIGINT))) AS cid
+      |  FROM tt)
+      |SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+      |  CAST(len(list_slice(toks, cid*48 + 1, cid*48 + 64)) AS INT) AS n_toks,
+      |  md5(array_to_string(list_slice(toks, cid*48 + 1, cid*48 + 64), ' ')) AS digest
+      |FROM cc ORDER BY doc_id, chunk_id""".stripMargin),
 
     "text_pack_bpe" -> (bpeOracleChain + s""",
       |dict AS MATERIALIZED (SELECT w,

@@ -84,4 +84,63 @@ class TextAnalysisSpec extends SparkSpecBase {
     pack.keySet shouldBe ws.keySet
     pack.foreach { case (id, n) => n should be >= ws(id) }
   }
+
+  test("BPE merges are boundary-guarded: a pair never fuses across a symbol edge") {
+    // The round-9 advice corpus: 'al'×5 forces merge 1 = (a,l); 'lb'×3
+    // then forces merge 2 = (l,b). Word 'alb' is 'al b' after round 1 —
+    // a RAW "l b"→"lb" replace would fuse it to the single symbol 'alb',
+    // a merge (al,b) that was never learned. The guard (space sentinels)
+    // must leave it as 'al b'. The invariant checked is closure: every
+    // symbol in the final word table is a single char or the product of
+    // a learned merge applied to already-valid symbols.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = tmpDir("bpeguard")
+    (Seq.fill(5)("al") ++ Seq.fill(3)("lb") ++ Seq("alb"))
+      .zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "synth", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(dir + "/documents.parquet")
+    val (merges, words) = TextAnalysis.bpeTrain(spark, dir)
+    merges.take(2).map(m => (m._2, m._3)) shouldBe Seq(("a", "l"), ("l", "b"))
+    val valid = merges.foldLeft(Set.empty[String]) { case (acc, (_, a, b, _)) =>
+      val ok = (a.length == 1 || acc(a)) && (b.length == 1 || acc(b))
+      if (ok) acc + (a + b) else acc
+    }
+    val bad = words.select(col("s")).collect().flatMap(_.getString(0).split(" "))
+      .filterNot(sym => sym.length == 1 || valid(sym))
+    withClue(s"unlearned fused symbols: ${bad.mkString(",")}: ") {
+      bad shouldBe empty
+    }
+    // The discriminating signal: after (a,l) and (l,b), 'alb' must still
+    // be 'al b' — so round 3 SEES pair (al,b) and learns it as a third
+    // merge. The unguarded replace fused 'al b'→'alb' during round 2,
+    // leaving round 3 pairless: only 2 merges learned. (The final fused
+    // 'alb' is then lawful — produced by the LEARNED merge 3.)
+    merges.length shouldBe 3
+    (merges(2)._2, merges(2)._3) shouldBe ("al", "b")
+    words.filter(col("w") === "alb").head().getAs[String]("s") shouldBe "alb"
+  }
+
+  test("BPE encode: pieces concatenate back to the document's tokens, ids rank the vocab") {
+    import org.apache.spark.sql.functions._
+    val enc = TextAnalysis.queries("text_encode_bpe")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    enc.length.toLong shouldBe Tables.documents(spark, sf0001)
+      .filter(exists(graft.functions.TextFns.tokens(col("text")), _ =!= ""))
+      .count()
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), concat_ws("", graft.functions.TextFns.tokens(col("text"))).as("flat"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    enc.foreach { case (id, pieces, ids, n) =>
+      // piece stream reconstructs the exact character stream of the doc
+      pieces.split(" ").mkString shouldBe docs(id)
+      val idArr = ids.split(",")
+      idArr.length.toLong shouldBe n
+      pieces.split(" ").length.toLong shouldBe n
+      // ids are positive vocab ranks
+      all(idArr.map(_.toLong)) should be > 0L
+    }
+  }
 }
