@@ -1341,6 +1341,120 @@ final class Catalog(spark: SparkSession) {
       .toDF("source", "view", "target")
   }
 
+  // ---- refreshable materialized views ----------------------------------
+  //
+  // ClickHouse `CREATE MATERIALIZED VIEW … REFRESH EVERY n SECONDS`:
+  // scheduled FULL recompute with an atomic swap — the reporting-rollup
+  // workhorse for queries incremental maintenance can't express (joins,
+  // window funnels). The commit rides the SAME crash-safe machinery as
+  // mutations (FlatDir two-rename / Versioned manifest flip via
+  // [[mutate]]), so a crashed refresh leaves the PRIOR contents fully
+  // readable and never a half-written target; readers between refreshes
+  // serve the last committed version atomically (CH's
+  // APPEND-less refresh semantics). Time is an EXPLICIT argument
+  // everywhere ([[QueryGovernor]]'s injectable-clock discipline) — the
+  // caller's poll loop decides "now", so interval rollover is
+  // deterministic for tests and replays. Registry is JVM-local server
+  // state, like [[createMaterializedView]]'s.
+
+  private final case class RefreshableDef(name: String, target: String,
+      query: SparkSession => DataFrame, intervalMs: Long)
+  private final class RefreshState {
+    @volatile var lastRefreshMs: Long = -1L
+    @volatile var refreshes: Long = 0L
+    @volatile var lastError: String = ""
+  }
+  private val refreshableViews = scala.collection.concurrent.TrieMap
+    .empty[String, (RefreshableDef, RefreshState)]
+
+  /** Register refreshable view `viewName` materializing `query` into
+    * `target` every `intervalMs` (logical) milliseconds. The query must
+    * resolve NOW and match the target's declared shape (the
+    * CHECK-constraint discipline: schema drift fails at CREATE, loudly,
+    * not at the 3 a.m. refresh). Nothing materializes until the first
+    * [[refreshView]] / [[refreshDueViews]]. The target belongs to the
+    * view: concurrent appends to it would be swapped away by the next
+    * refresh, exactly like writing into a CH refreshable MV's target.
+    */
+  def createRefreshableView(viewName: String, target: String,
+                            intervalMs: Long,
+                            query: SparkSession => DataFrame): Unit = {
+    val t = get(target)
+    require(intervalMs > 0, s"$viewName: refresh interval must be positive")
+    require(!refreshableViews.contains(viewName),
+      s"refreshable view $viewName already exists")
+    require(t.semantics != NullEngine,
+      s"$viewName: ENGINE=Null discards data — nothing to refresh into")
+    val shape = (sch: org.apache.spark.sql.types.StructType) =>
+      sch.map(f => (f.name, f.dataType))
+    val got = shape(query(spark).schema)
+    val want = shape(t.schema)
+    require(got == want,
+      s"$viewName: query shape $got does not match target $target's $want")
+    refreshableViews.put(viewName,
+      (RefreshableDef(viewName, target, query, intervalMs), new RefreshState))
+  }
+
+  /** Drop refreshable view `viewName` (target table and its last
+    * refreshed contents stay); false if absent.
+    */
+  def dropRefreshableView(viewName: String): Boolean =
+    refreshableViews.remove(viewName).isDefined
+
+  /** `SYSTEM REFRESH VIEW` — recompute NOW and swap atomically. `nowMs`
+    * stamps the ledger (explicit clock). A failed recompute records the
+    * error in `system.view_refreshes` and rethrows; the target keeps its
+    * prior contents.
+    */
+  def refreshView(viewName: String,
+                  nowMs: Long = System.currentTimeMillis()): Unit = {
+    val (d, st) = refreshableViews.getOrElse(viewName,
+      throw new IllegalArgumentException(s"no refreshable view $viewName"))
+    try {
+      val result = d.query(spark)
+      // a target that has never materialized data takes the append path
+      // (mutate on a data-less table validates but writes nothing);
+      // every later refresh is a full copy-on-write swap
+      if (read(d.target).isEmpty) append(d.target, result)
+      else mutate(d.target, _ => result, s"REFRESH VIEW $viewName")
+      st.lastRefreshMs = nowMs
+      st.refreshes += 1
+      st.lastError = ""
+    } catch {
+      case e: Throwable =>
+        st.lastError = Option(e.getMessage).getOrElse(e.getClass.getName)
+        throw e
+    }
+  }
+
+  /** Interval semantics: refresh every registered view whose interval
+    * has elapsed at `nowMs` (or that never refreshed). Returns the
+    * refreshed view names — the caller's scheduler loop drives this with
+    * its own clock. One failing view does not starve the others.
+    */
+  def refreshDueViews(nowMs: Long = System.currentTimeMillis()): Seq[String] =
+    refreshableViews.toSeq.sortBy(_._1).flatMap { case (n, (d, st)) =>
+      val due = st.lastRefreshMs < 0 || nowMs - st.lastRefreshMs >= d.intervalMs
+      if (!due) None
+      else try { refreshView(n, nowMs); Some(n) }
+      catch { case _: Throwable => None } // recorded in lastError
+    }
+
+  /** `system.view_refreshes` analog: one row per refreshable view with
+    * its schedule state at `nowMs` — staleness is data, not a log line.
+    */
+  def systemViewRefreshes(nowMs: Long = System.currentTimeMillis()): DataFrame = {
+    import spark.implicits._
+    refreshableViews.toSeq.sortBy(_._1).map { case (n, (d, st)) =>
+      val next = if (st.lastRefreshMs < 0) nowMs
+                 else st.lastRefreshMs + d.intervalMs
+      (n, d.target, d.intervalMs, st.lastRefreshMs, next, st.refreshes,
+        st.lastError,
+        st.lastRefreshMs < 0 || nowMs - st.lastRefreshMs >= d.intervalMs)
+    }.toDF("view", "target", "interval_ms", "last_refresh_ms",
+      "next_due_ms", "refreshes", "last_error", "is_stale")
+  }
+
   // ---- row policies ----------------------------------------------------
   //
   // CH `CREATE ROW POLICY name ON table FOR SELECT USING pred TO users`:

@@ -564,6 +564,45 @@ object CatalogOps extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // REFRESHABLE MATERIALIZED VIEW through the gate (round-9 verdict
+    // item 3): a join + group rollup — the shape incremental MV
+    // maintenance can't express — registered over a growing base table.
+    // First refresh materializes half the orders; the base then doubles;
+    // an early poll (interval not elapsed) must NOT refresh — the
+    // target keeps serving the prior version atomically — and the due
+    // poll swaps in the full recompute through the crash-safe mutate
+    // machinery. The oracle restates the final rollup from the original
+    // tables: equality proves the swap serves exactly the view query.
+    "cat_refreshable_mv" -> ((s, d) => {
+      val cat = new Catalog(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-refresh")
+      registerForCleanup(tmp)
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val rollup = (o: DataFrame) =>
+        o.join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("revenue"))
+      cat.createTable(TableDef("rv_orders",
+        tmp.resolve("rv_orders").toString, orders.schema,
+        Seq("o_orderkey"), Append, layout = Versioned))
+      cat.createTable(TableDef("rv_rollup",
+        tmp.resolve("rv_rollup").toString, rollup(orders.limit(0)).schema,
+        Seq("c_nationkey"), Append, layout = Versioned))
+      cat.append("rv_orders", orders.filter(col("o_orderkey") % 2 === 0))
+      cat.createRefreshableView("rv_view", "rv_rollup", 60000L,
+        _ => rollup(cat.read("rv_orders")))
+      val t0 = 1000000L
+      cat.refreshView("rv_view", t0)
+      cat.append("rv_orders", orders.filter(col("o_orderkey") % 2 =!= 0))
+      cat.refreshDueViews(t0 + 30000L) // not due: prior version serves
+      cat.refreshDueViews(t0 + 60000L) // due: full recompute, atomic swap
+      cat.read("rv_rollup").orderBy(col("c_nationkey"))
+    }),
+
     // ClickHouse lightweight DELETE (`DELETE FROM … WHERE …`) through the
     // gate: two deletes mask overlapping row sets WITHOUT rewriting any
     // data file (deletion-vector pairs beside the table; CatalogSpec
@@ -944,6 +983,14 @@ object CatalogOps extends QueryModule {
     "cat_null_mv" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS val_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the final refresh restated from the ORIGINAL tables: the swapped-in
+    // target must equal the view query over the full base
+    "cat_refreshable_mv" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     // the survivors restated from the ORIGINAL table: masked rows gone,
     // everything else intact — the deletion-vector read is lossless

@@ -1744,6 +1744,65 @@ class CatalogSpec extends SparkSpecBase {
     cat.readAs("rp", "carol").count() shouldBe 3
   }
 
+  test("refreshable MV: interval schedule, atomic stale serving, error ledger") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cat = new Catalog(spark)
+    val base = tmpDir("cat")
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType)))
+    cat.createTable(TableDef("rv_base", base + "/rv_base", schema,
+      Seq("k"), Append, layout = Versioned))
+    cat.createTable(TableDef("rv_sum", base + "/rv_sum",
+      StructType(Seq(StructField("total", LongType))), Nil, Append,
+      layout = Versioned))
+    cat.append("rv_base", Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+
+    // shape drift fails at CREATE, not at refresh
+    intercept[IllegalArgumentException] {
+      cat.createRefreshableView("rv_bad", "rv_sum", 1000L,
+        _ => cat.read("rv_base")) // wrong shape
+    }.getMessage should include("does not match")
+
+    cat.createRefreshableView("rv_view", "rv_sum", 60000L,
+      _ => cat.read("rv_base").agg(sum(col("v")).as("total")))
+    // registered but never refreshed: stale, nothing materialized
+    cat.systemViewRefreshes(0L).head().getAs[Boolean]("is_stale") shouldBe true
+    cat.read("rv_sum").isEmpty shouldBe true
+
+    val t0 = 5000000L
+    cat.refreshView("rv_view", t0)
+    cat.read("rv_sum").head().getLong(0) shouldBe 30L
+    // base grows; an early poll refreshes NOTHING and readers keep the
+    // prior version (the atomic-stale-serving contract)
+    cat.append("rv_base", Seq((3L, 70L)).toDF("k", "v"))
+    cat.refreshDueViews(t0 + 59999L) shouldBe empty
+    cat.read("rv_sum").head().getLong(0) shouldBe 30L
+    val row = cat.systemViewRefreshes(t0 + 59999L).head()
+    row.getAs[Boolean]("is_stale") shouldBe false
+    row.getAs[Long]("next_due_ms") shouldBe t0 + 60000L
+    row.getAs[Long]("refreshes") shouldBe 1L
+    // the due poll swaps in the full recompute
+    cat.refreshDueViews(t0 + 60000L) shouldBe Seq("rv_view")
+    cat.read("rv_sum").head().getLong(0) shouldBe 100L
+
+    // a failing recompute records the error and leaves the target intact
+    cat.createRefreshableView("rv_boom", "rv_sum", 60000L,
+      _ => cat.read("rv_base")
+        .select(raise_error(lit("refresh exploded")).cast("long").as("total")))
+    intercept[Exception] { cat.refreshView("rv_boom", t0 + 61000L) }
+    cat.read("rv_sum").head().getLong(0) shouldBe 100L
+    val boom = cat.systemViewRefreshes(t0 + 61000L).collect()
+      .find(_.getAs[String]("view") == "rv_boom").get
+    boom.getAs[String]("last_error") should include("refresh exploded")
+    boom.getAs[Long]("refreshes") shouldBe 0L
+    // ...and a failing due view does not starve healthy ones
+    cat.refreshDueViews(t0 + 130000L) shouldBe Seq("rv_view")
+
+    cat.dropRefreshableView("rv_boom") shouldBe true
+    cat.dropRefreshableView("rv_boom") shouldBe false
+  }
+
   test("MATERIALIZED exprs must resolve over base columns and cast to the " +
        "declared type") {
     val cat = new Catalog(spark)
