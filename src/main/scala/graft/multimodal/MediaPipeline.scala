@@ -427,6 +427,55 @@ object MediaPipeline {
     f.copy(width = w, height = h, pixels = out)
   }
 
+  /** Deterministic grayscale PNG writer for spec/gate fixtures: `vals`
+    * are row-major 0-255 lumas, stored as r=g=b through TYPE_INT_RGB so
+    * the lossless PNG round-trip and the BT.601 luma fold ((299v + 587v
+    * + 114v)/1000 = v exactly) return the SAME integers — what lets a
+    * SQL oracle replay a REAL encode→decode→hash chain formula-exactly.
+    * (TYPE_BYTE_GRAY would gamma-convert through the gray color space
+    * and break integer equality.)
+    */
+  def synthPngGray(vals: Array[Int], w: Int, h: Int): Array[Byte] = {
+    require(vals.length == w * h, s"need $w*$h lumas, got ${vals.length}")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < vals.length) {
+      val v = vals(i) & 0xff
+      img.setRGB(i % w, i / w, (v << 16) | (v << 8) | v)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(256)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit difference hash (dHash — the standard perceptual image hash):
+    * nearest-neighbor resize to 9×8 gray, then bit (y,x) = (p[y][x] <
+    * p[y][x+1]), packed row-major MSB-first (bit for (y,x) sits at
+    * position 63−(y·8+x)). Integer-only end to end, so a synthetic
+    * corpus's hashes are replayable from the generator formula by a SQL
+    * oracle. Near-duplicate images (crops, re-encodes, small edits)
+    * differ in few bits; Hamming distance over the 64 bits is the
+    * dedup metric.
+    */
+  def dHash(f: Frame): Long = {
+    val g = if (f.width == 9 && f.height == 8) f else resize(f, 9, 8)
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val l = g.pixels(y * 9 + x) & 0xff
+        val r = g.pixels(y * 9 + x + 1) & 0xff
+        h = (h << 1) | (if (l < r) 1L else 0L)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
   /** All frames of a payload under its mime routing: a decodable image is
     * exactly one real frame, a decodable WAV windows its real PCM samples;
     * everything else windows through the stub.

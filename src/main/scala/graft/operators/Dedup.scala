@@ -431,6 +431,70 @@ object Dedup extends QueryModule {
     //      at pos covers tokens [pos, pos+K-1], so spans are the INTERVAL
     //      UNION of gram coverage: consecutive marked positions coalesce
     //      while the gap is ≤ K (overlapping or touching coverage), and a
+    // IMAGE near-dup detection via perceptual hash (round-9 verdict item
+    // 4): each sampled doc gets a deterministic 9×8 grayscale PNG
+    // (groups of 4 ids share a base image; non-zero variants corrupt one
+    // pixel — a near-dup), synthesized and decoded through the REAL
+    // javax.imageio chain, then dHashed. Hamming-banded LSH: the 64-bit
+    // hash splits into 4×16-bit bands (two pixel rows each — the minhash
+    // band trick on bit slices), bucketed through the SAME capped
+    // front end as the incremental-LSH probe (probeCandidates: bucket
+    // sizes aggregate first, >cap buckets dropped, fan-out ≤ cap² per
+    // bucket), and surviving candidate pairs verify the full 64-bit
+    // Hamming distance ≤ 6. Only (doc_id, 4 band ints) ever shuffle —
+    // pixels and payloads stay executor-local, the 100 TB image-dedup
+    // shape. The oracle replays generator → luma → dHash bits → bands →
+    // capped buckets → Hamming verify entirely in integer SQL: equality
+    // proves the real encode/decode round-trip IS the formula, plus the
+    // whole banding pipeline.
+    "dedup_image_phash" -> ((s, d) => {
+      import s.implicits._
+      import graft.multimodal.MediaPipeline
+      val hashes = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .filter((id: Long) => id % 2 == 0) // 1-in-2: decode cost bounded
+        .mapPartitions { it =>
+          it.map { id =>
+            val gid = id / 4
+            val v = (id % 4).toInt
+            val vals = Array.tabulate(9 * 8) { i =>
+              val x = i % 9; val y = i / 9
+              // QUADRATIC in pixel position and multiplicative in gid:
+              // adjacent-pixel deltas vary per position AND per group, so
+              // unrelated groups get uncorrelated bit patterns. (A linear
+              // formula keeps a constant adjacent-pixel delta per image —
+              // measured: near-identical hashes across groups, 2.8M
+              // false pairs at 25k images; this form: designed pairs
+              // + ~1% noise, linear in corpus size.)
+              val pos = y * 9 + x
+              val base =
+                (((gid + 1) * (pos + 17) * (pos + 31)) % 1000003L % 256L).toInt
+              if (v > 0 && x == v && y == v) (base + 128) % 256 else base
+            }
+            val f = MediaPipeline
+              .decodeImage(MediaPipeline.synthPngGray(vals, 9, 8))
+              .getOrElse(throw new IllegalStateException(
+                s"doc $id: synthesized PNG failed to decode"))
+            val h = MediaPipeline.dHash(f)
+            (id, ((h >>> 48) & 0xffff).toInt, ((h >>> 32) & 0xffff).toInt,
+              ((h >>> 16) & 0xffff).toInt, (h & 0xffff).toInt)
+          }
+        }
+        .toDF("doc_id", "b0", "b1", "b2", "b3")
+      val buckets = hashes.select(col("doc_id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("band", "bh")))
+      val hi = hashes.toDF("i", "a0", "a1", "a2", "a3")
+      val hj = hashes.toDF("j", "c0", "c1", "c2", "c3")
+      probeCandidates(buckets)
+        .join(hi, "i").join(hj, "j")
+        .withColumn("dist", expr(
+          "int(bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+            "bit_count(a2 ^ c2) + bit_count(a3 ^ c3))"))
+        .filter(col("dist") <= 6)
+        .select(col("i"), col("j"), col("dist"))
+        .orderBy(col("i"), col("j"))
+    }),
+
     //      gap > K starts a new island — a running sum of break flags over
     //      a per-doc window, so frame size is bounded by document length,
     //      never corpus size. Output spans within a doc are disjoint by
@@ -793,6 +857,42 @@ object Dedup extends QueryModule {
     // Replays the rounded spherical-k-means cell assignment relationally
     // (seeds = first 16 vectors, one Lloyd round over the vec_id%5 sample,
     // every cosine rounded to 6 decimals before the struct-max arg-max and
+    // the image generator → BT.601 luma → dHash bits → 16-bit bands →
+    // capped buckets → Hamming verify, replayed entirely in integer SQL:
+    // equality proves the real PNG encode/decode round-trip returns
+    // exactly the generator lumas AND the whole banding pipeline
+    "dedup_image_phash" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+        |px AS (SELECT doc_id, x, y,
+        |    CASE WHEN (doc_id % 4) > 0 AND x = (doc_id % 4) AND y = (doc_id % 4)
+        |         THEN ((((doc_id // 4) + 1) * (y * 9 + x + 17) * (y * 9 + x + 31))
+        |               % 1000003 % 256 + 128) % 256
+        |         ELSE (((doc_id // 4) + 1) * (y * 9 + x + 17) * (y * 9 + x + 31))
+        |              % 1000003 % 256 END AS p
+        |  FROM ids,
+        |       UNNEST(generate_series(0, 8)) AS gx(x),
+        |       UNNEST(generate_series(0, 7)) AS gy(y)),
+        |bits AS (SELECT l.doc_id, l.y, l.x,
+        |    CASE WHEN l.p < r.p THEN 1 ELSE 0 END AS bit
+        |  FROM px l JOIN px r ON l.doc_id = r.doc_id AND l.y = r.y AND r.x = l.x + 1
+        |  WHERE l.x < 8),
+        |bands AS (SELECT doc_id, y // 2 AS band,
+        |    CAST(sum(bit * (1::BIGINT << (15 - ((y % 2) * 8 + x)))) AS BIGINT) AS bh
+        |  FROM bits GROUP BY 1, 2),
+        |small AS (SELECT band, bh FROM bands GROUP BY band, bh
+        |          HAVING count(*) <= 1000),
+        |capped AS (SELECT b.doc_id, b.band, b.bh
+        |           FROM bands b JOIN small USING (band, bh)),
+        |cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+        |  FROM capped x JOIN capped y USING (band, bh) WHERE x.doc_id < y.doc_id),
+        |dists AS (SELECT c.i, c.j,
+        |    CAST(sum(bit_count(xor(a.bh, b.bh))) AS INT) AS dist
+        |  FROM cand c
+        |  JOIN bands a ON a.doc_id = c.i
+        |  JOIN bands b ON b.doc_id = c.j AND b.band = a.band
+        |  GROUP BY 1, 2)
+        |SELECT i, j, dist FROM dists WHERE dist <= 6 ORDER BY i, j""".stripMargin,
+
     // every centroid mean floor-rounded to 6 decimals) — the same numbers
     // Similarity.roundedCentroids produces, so the blocking itself is
     // oracle-checked, not just the pair scores.

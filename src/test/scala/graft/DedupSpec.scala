@@ -55,6 +55,45 @@ class DedupSpec extends SparkSpecBase {
     cands.count { case (i, j) => i < 1200L && j < 1200L } shouldBe 0
   }
 
+  test("image pHash LSH: a boilerplate image cluster is capped, near-dup pairs survive") {
+    // The image twin of the cap test: 1200 copies of ONE image (think a
+    // site logo or placeholder thumbnail replicated across a crawl) hash
+    // identically, so all 4 Hamming bands form 1200-doc mega buckets —
+    // dropped by the shared capped front end, zero probe candidates from
+    // the cluster. Three designed near-dup pairs (one corrupted pixel →
+    // ≤ 2 bits, confined to one band) keep 3 clean bands each and pair up.
+    import graft.multimodal.MediaPipeline
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def hash(vals: Array[Int]): Long = MediaPipeline.dHash(
+      MediaPipeline.decodeImage(MediaPipeline.synthPngGray(vals, 9, 8)).get)
+    val hB = hash(Array.tabulate(72)(i => (i * 53 + 7) % 256))
+    val pairHashes = (0 until 3).map { g =>
+      val base = Array.tabulate(72)(i => ((g + 2) * (i * i + 13) + 5) % 256)
+      val ed = base.clone(); ed(3 * 9 + 3) = (base(3 * 9 + 3) + 128) % 256
+      (hash(base), hash(ed))
+    }
+    val rows = (0L until 1200L).map(id => (id, hB)) ++
+      pairHashes.zipWithIndex.flatMap { case ((h1, h2), g) =>
+        Seq((2000L + 2 * g, h1), (2001L + 2 * g, h2)) }
+    val bands = rows.toDF("doc_id", "h")
+      .select(col("doc_id"), posexplode(array(
+        expr("int(shiftrightunsigned(h, 48) & 65535)"),
+        expr("int(shiftrightunsigned(h, 32) & 65535)"),
+        expr("int(shiftrightunsigned(h, 16) & 65535)"),
+        expr("int(h & 65535)"))).as(Seq("band", "bh")))
+    val cands = Dedup.probeCandidates(bands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    cands.count { case (i, j) => i < 1200L && j < 1200L } shouldBe 0
+    (0 until 3).foreach { g =>
+      cands should contain ((2000L + 2 * g, 2001L + 2 * g))
+    }
+    // and the designed edits really are near-dups under the full hash
+    pairHashes.foreach { case (h1, h2) =>
+      java.lang.Long.bitCount(h1 ^ h2) should be <= 2
+    }
+  }
+
   test("LSH recovers every exact pair at the correctness-gate scale factor, marginal band included") {
     // The exact-Jaccard oracle for dedup_minhash_lsh / dedup_clusters is
     // cell-exact, but 8×4-band LSH recall at J just above 0.8 is only

@@ -291,4 +291,32 @@ class MultimodalSpec extends SparkSpecBase {
     f1.pixels(0) shouldBe payload(FrameStride)
     f0.pixels should not equal f1.pixels
   }
+
+  test("synthPngGray round-trips lumas exactly through the real decode chain") {
+    import graft.multimodal.MediaPipeline
+    val vals = Array.tabulate(9 * 8)(i => (i * 37 + 11) % 256)
+    val f = MediaPipeline.decodeImage(MediaPipeline.synthPngGray(vals, 9, 8)).get
+    (f.width, f.height) shouldBe ((9, 8))
+    // TYPE_INT_RGB + lossless PNG + r=g=b luma fold: exact integers back
+    f.pixels.map(_ & 0xff).toSeq shouldBe vals.toSeq
+  }
+
+  test("dHash: invariant to identity, few bits under a small edit, resize path works") {
+    import graft.multimodal.MediaPipeline
+    def img(vals: Array[Int]) =
+      MediaPipeline.decodeImage(MediaPipeline.synthPngGray(vals, 9, 8)).get
+    val base = Array.tabulate(9 * 8)(i => (i * i * 7 + 31) % 256)
+    val h0 = MediaPipeline.dHash(img(base))
+    MediaPipeline.dHash(img(base.clone())) shouldBe h0
+    // one corrupted pixel flips at most its two adjacent comparisons
+    val edited = base.clone(); edited(2 * 9 + 4) = (base(2 * 9 + 4) + 128) % 256
+    java.lang.Long.bitCount(h0 ^ MediaPipeline.dHash(img(edited))) should be <= 2
+    // an upscaled copy of the same image hashes THROUGH the resize to the
+    // same 9x8 grid: nearest-neighbor at 2x returns the original samples
+    val big = Array.tabulate(18 * 16) { i =>
+      val x = (i % 18) / 2; val y = (i / 18) / 2; base(y * 9 + x)
+    }
+    val bigF = MediaPipeline.decodeImage(MediaPipeline.synthPngGray(big, 18, 16)).get
+    MediaPipeline.dHash(bigF) shouldBe h0
+  }
 }
