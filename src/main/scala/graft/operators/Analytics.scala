@@ -405,6 +405,23 @@ object Analytics extends QueryModule {
         Map("seg" -> "BUILDING", "lo" -> 50000))
     }),
 
+    // CREATE FUNCTION through the SQL entry point (round-9 verdict item
+    // 5): named expression macros — one calling another — expand
+    // textually before parsing, so the plan is identical to hand-written
+    // SQL (no UDF anywhere; registration validated the bodies resolve).
+    // The oracle is the same query with the macros inlined by hand.
+    "sql_udf_call" -> ((s, d) => {
+      graft.sql.GraftSql.createFunction(s, "one_minus", Seq("x"), "1 - x")
+      graft.sql.GraftSql.createFunction(s, "disc_price", Seq("p", "disc"),
+        "p * one_minus(disc)")
+      graft.sql.GraftSql.createFunction(s, "big_line", Seq("q"), "q > 30")
+      graft.sql.GraftSql.sql(s, d,
+        """SELECT l_returnflag, count(*) AS n,
+          | round(sum(disc_price(l_extendedprice, l_discount)), 2) AS revenue
+          |FROM lineitem WHERE big_line(l_quantity)
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
     // WITH RECURSIVE through the engine's generic fixpoint (semi-naive,
     // Fixpoint.scala): ancestor closure over the implicit binary-tree
     // parent edge custkey -> floor(custkey/2), seeded from customers
@@ -887,6 +904,13 @@ object Analytics extends QueryModule {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING' AND o_totalprice >= 50000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the function macros inlined by hand
+    "sql_udf_call" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem WHERE l_quantity > 30
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // DuckDB's native recursion restates the fixpoint: UNION (distinct)
     // recursion over the same edge derivation

@@ -49,11 +49,200 @@ object GraftSql {
     }
   }
 
-  /** One-call text query: register views + kernels, parse, run. */
+  /** One-call text query: register views + kernels, expand user-defined
+    * SQL-function macros, parse, run.
+    */
   def sql(s: SparkSession, sfDir: String, query: String): DataFrame = {
     registerViews(s, sfDir)
     registerFunctions(s)
-    s.sql(query)
+    s.sql(expandFunctions(query))
+  }
+
+  // ---- user-defined SQL functions (CREATE FUNCTION analog) -------------
+  //
+  // CH `CREATE FUNCTION f AS (a, b) -> expr`: a named expression macro —
+  // calls expand TEXTUALLY before parsing, so no UDF enters any plan and
+  // the expanded expression optimizes/codegens exactly like hand-written
+  // SQL (the §2.12 zero-scalar-UDF discipline extends to user functions).
+  // Registration is the safety gate (the CHECK-constraint discipline):
+  // the body must parse as ONE expression (a statement or `; DROP …`
+  // smuggle fails the expression parser) and must RESOLVE over a probe
+  // frame exposing exactly the declared parameters — typos and unknown
+  // columns fail at CREATE, loudly, not at the 3 a.m. query. Expansion is
+  // quote-aware on both the call site and the body, so string literals
+  // can never be rewritten or escape their quoting; recursive macros
+  // expand to a fixpoint with a depth cap (a definition cycle is caught
+  // at CREATE by the probe, and again at call time by the cap).
+
+  private final case class SqlFnDef(params: Seq[String], body: String)
+  private val sqlFunctions =
+    scala.collection.concurrent.TrieMap.empty[String, SqlFnDef]
+
+  /** `CREATE OR REPLACE FUNCTION name AS (params…) -> body`. */
+  def createFunction(s: SparkSession, name: String, params: Seq[String],
+                     body: String): Unit = {
+    val ident = "[A-Za-z_][A-Za-z0-9_]*"
+    require(name.matches(ident), s"invalid function name '$name'")
+    params.foreach(p => require(p.matches(ident),
+      s"CREATE FUNCTION $name: invalid parameter name '$p'"))
+    require(params.distinct.length == params.length,
+      s"CREATE FUNCTION $name: duplicate parameter names")
+    // must be ONE expression — the parser is the injection barrier
+    s.sessionState.sqlParser.parseExpression(body)
+    val probe =
+      if (params.isEmpty) s"SELECT $body"
+      else s"SELECT $body FROM (SELECT ${
+        params.map(p => s"CAST(NULL AS STRING) AS $p").mkString(", ")})"
+    val old = sqlFunctions.put(name, SqlFnDef(params, body))
+    try s.sql(expandFunctions(probe)).queryExecution.analyzed
+    catch {
+      case e: Throwable =>
+        old match {
+          case Some(o) => sqlFunctions.put(name, o)
+          case None => sqlFunctions.remove(name)
+        }
+        throw new IllegalArgumentException(
+          s"CREATE FUNCTION $name: body does not resolve over " +
+            s"(${params.mkString(", ")}): ${e.getMessage}")
+    }
+    ()
+  }
+
+  /** `DROP FUNCTION name`; false if absent. */
+  def dropFunction(name: String): Boolean =
+    sqlFunctions.remove(name).isDefined
+
+  /** `system.functions` analog: (name, params, body). */
+  def systemFunctions(s: SparkSession): DataFrame = {
+    import s.implicits._
+    sqlFunctions.toSeq.sortBy(_._1)
+      .map { case (n, d) => (n, d.params.mkString(","), d.body) }
+      .toDF("name", "params", "body")
+  }
+
+  /** Expand registered function calls to a fixpoint (macros may call
+    * macros); the depth cap backstops a definition cycle that slipped
+    * past the CREATE probe (e.g. via OR REPLACE redefinition).
+    */
+  private[sql] def expandFunctions(query: String): String = {
+    if (sqlFunctions.isEmpty) return query
+    var q = query
+    var depth = 0
+    while (depth < 10) {
+      val next = expandOnce(q)
+      if (next == q) return q
+      q = next
+      depth += 1
+    }
+    throw new IllegalStateException(
+      "SQL function expansion did not terminate — definition cycle?")
+  }
+
+  private def expandOnce(q: String): String = {
+    val sb = new StringBuilder
+    val n = q.length
+    var i = 0
+    def copyQuoted(): Unit = { // copy '…' / "…" / `…` spans verbatim
+      val quote = q.charAt(i)
+      sb.append(quote); i += 1
+      while (i < n && q.charAt(i) != quote) {
+        if (q.charAt(i) == '\\' && i + 1 < n) { sb.append(q.charAt(i)); i += 1 }
+        sb.append(q.charAt(i)); i += 1
+      }
+      if (i < n) { sb.append(quote); i += 1 }
+    }
+    while (i < n) {
+      val c = q.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') copyQuoted()
+      else if (Character.isJavaIdentifierStart(c)) {
+        val start = i
+        while (i < n && Character.isJavaIdentifierPart(q.charAt(i))) i += 1
+        val word = q.substring(start, i)
+        // a dotted reference (db.f / alias.col) is never a macro call
+        val qualified = sb.reverseIterator.find(!_.isWhitespace).contains('.')
+        var j = i
+        while (j < n && q.charAt(j).isWhitespace) j += 1
+        sqlFunctions.get(word) match {
+          case Some(fn) if !qualified && j < n && q.charAt(j) == '(' =>
+            val (args, end) = parseCallArgs(q, j, word)
+            require(args.length == fn.params.length,
+              s"$word expects ${fn.params.length} argument(s), got ${args.length}")
+            sb.append(substituteBody(fn, args))
+            i = end
+          case _ => sb.append(word)
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Parse a balanced, quote-aware argument list starting at the `(` at
+    * `open`; returns (top-level comma-split args, index after `)`).
+    */
+  private def parseCallArgs(q: String, open: Int,
+                            name: String): (Seq[String], Int) = {
+    val n = q.length
+    var i = open + 1
+    var depth = 1
+    val args = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    while (i < n && depth > 0) {
+      val c = q.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        val quote = c
+        cur.append(c); i += 1
+        while (i < n && q.charAt(i) != quote) {
+          if (q.charAt(i) == '\\' && i + 1 < n) { cur.append(q.charAt(i)); i += 1 }
+          cur.append(q.charAt(i)); i += 1
+        }
+        if (i < n) { cur.append(quote); i += 1 }
+      } else {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        if (depth == 0) { i += 1 }
+        else if (c == ',' && depth == 1) { args += cur.toString; cur.clear(); i += 1 }
+        else { cur.append(c); i += 1 }
+      }
+    }
+    require(depth == 0, s"$name: unbalanced parentheses in call")
+    val last = cur.toString
+    val all = args.result() ++ (if (last.trim.nonEmpty) Seq(last) else Nil)
+    require(all.forall(_.trim.nonEmpty),
+      s"$name: empty argument in call")
+    (all, i)
+  }
+
+  /** Body with each parameter occurrence replaced by its parenthesized
+    * argument — quote-aware over the body, so a parameter name inside a
+    * body string literal stays literal text.
+    */
+  private def substituteBody(fn: SqlFnDef, args: Seq[String]): String = {
+    val bind = fn.params.zip(args.map(a => "(" + a.trim + ")")).toMap
+    val b = fn.body
+    val n = b.length
+    val sb = new StringBuilder("(")
+    var i = 0
+    while (i < n) {
+      val c = b.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        val quote = c
+        sb.append(c); i += 1
+        while (i < n && b.charAt(i) != quote) {
+          if (b.charAt(i) == '\\' && i + 1 < n) { sb.append(b.charAt(i)); i += 1 }
+          sb.append(b.charAt(i)); i += 1
+        }
+        if (i < n) { sb.append(quote); i += 1 }
+      } else if (Character.isJavaIdentifierStart(c)) {
+        val start = i
+        while (i < n && Character.isJavaIdentifierPart(b.charAt(i))) i += 1
+        val word = b.substring(start, i)
+        val qualified = sb.reverseIterator.find(!_.isWhitespace).contains('.')
+        if (!qualified) sb.append(bind.getOrElse(word, word))
+        else sb.append(word)
+      } else { sb.append(c); i += 1 }
+    }
+    sb.append(")")
+    sb.toString
   }
 
   // ---- parameterized views --------------------------------------------

@@ -185,4 +185,56 @@ class ChSqlSpec extends SparkSpecBase {
         Map("lim" -> Double.PositiveInfinity))
     }.getMessage should include("non-finite")
   }
+
+  test("CREATE FUNCTION: macros expand, nest, validate at CREATE, and can't escape quotes") {
+    // expansion ≡ hand-inlined SQL
+    GraftSql.createFunction(spark, "udf_one_minus", Seq("x"), "1 - x")
+    GraftSql.createFunction(spark, "udf_disc", Seq("p", "d"),
+      "p * udf_one_minus(d)") // macro calling a macro
+    val got = GraftSql.sql(spark, sf0001,
+      "SELECT round(sum(udf_disc(l_extendedprice, l_discount)), 2) AS r FROM lineitem")
+      .head().getDouble(0)
+    val want = GraftSql.sql(spark, sf0001,
+      "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS r FROM lineitem")
+      .head().getDouble(0)
+    got shouldBe want
+
+    // a body that is a STATEMENT (or smuggles one) fails the expression
+    // parser at CREATE — the injection barrier
+    intercept[Exception] {
+      GraftSql.createFunction(spark, "udf_evil", Seq("x"),
+        "1; DROP TABLE lineitem")
+    }
+    // an unresolvable body (typo'd parameter) fails at CREATE, loudly
+    intercept[IllegalArgumentException] {
+      GraftSql.createFunction(spark, "udf_typo", Seq("x"), "y + 1")
+    }.getMessage should include("does not resolve")
+    GraftSql.systemFunctions(spark).collect()
+      .map(_.getString(0)) should not contain "udf_typo"
+
+    // the macro name inside a string literal is NEVER rewritten, and a
+    // macro argument containing quotes/parens stays one argument
+    GraftSql.sql(spark, sf0001,
+      "SELECT 'udf_disc(1, 2)' AS s").head().getString(0) shouldBe
+      "udf_disc(1, 2)"
+    GraftSql.createFunction(spark, "udf_len", Seq("s"), "length(s)")
+    GraftSql.sql(spark, sf0001,
+      "SELECT udf_len(concat('a)b', '(', ',')) AS n").head().getInt(0) shouldBe 5
+
+    // wrong arity is refused; dotted names are not macro calls
+    intercept[Exception] {
+      GraftSql.sql(spark, sf0001, "SELECT udf_len(1, 2) FROM lineitem")
+    }.getMessage should include("expects 1 argument")
+
+    // a redefinition cycle (legal per-create) is caught by the depth cap
+    GraftSql.createFunction(spark, "udf_a", Seq("x"), "x + 1")
+    GraftSql.createFunction(spark, "udf_b", Seq("x"), "udf_a(x)")
+    intercept[Exception] { // OR REPLACE udf_a in terms of udf_b -> cycle
+      GraftSql.createFunction(spark, "udf_a", Seq("x"), "udf_b(x)")
+    }
+    GraftSql.dropFunction("udf_b") shouldBe true
+    GraftSql.dropFunction("udf_b") shouldBe false
+    Seq("udf_one_minus", "udf_disc", "udf_len", "udf_a")
+      .foreach(GraftSql.dropFunction)
+  }
 }
