@@ -1519,13 +1519,16 @@ final class Catalog(spark: SparkSession) {
     */
   def readAs(table: String, user: String): DataFrame = {
     val base = read(table)
-    rowPolicies.get(table) match {
+    val rowFiltered = rowPolicies.get(table) match {
       case None => base
       case Some(pols) =>
         val mine = pols.filter(_.users.contains(user))
         if (mine.isEmpty) base.filter(lit(false))
         else base.filter(mine.map(p => expr(p.predicate)).reduce(_ || _))
     }
+    // rows first (policy predicates see real values), then the
+    // column-grant/mask rewrite (doc at applyColumnPolicies)
+    applyColumnPolicies(table, user, rowFiltered)
   }
 
   /** `system.row_policies`: (table, policy, users, predicate). */
@@ -1535,6 +1538,125 @@ final class Catalog(spark: SparkSession) {
       .flatMap { case (t, ps) => ps.map(p =>
         (t, p.name, p.users.toSeq.sorted.mkString(","), p.predicate)) }
       .toDF("table", "policy", "users", "predicate")
+  }
+
+  // ---- column-level access control -------------------------------------
+  //
+  // CH `GRANT SELECT(c1, c2) ON t TO user` + column masks: per-user
+  // column visibility composed into [[readAs]] BESIDE row policies (rows
+  // filter first — policy predicates see real values — then columns
+  // rewrite). An ungranted column rewrites to a typed NULL literal and a
+  // masked column to its mask expression cast to the declared type, so
+  // the projection is schema-stable for every user AND pruning still
+  // pushes: a query touching only granted columns never reads the
+  // ungranted ones from storage (the rewrite is a plain select list —
+  // Catalyst prunes literal-valued columns out of the scan). Restrictive
+  // default, like row policies: the moment ANY grant exists on a table,
+  // a user named by no grant reads every column masked. JVM-local server
+  // state, like the MV/policy registries.
+
+  private val columnGrants = scala.collection.concurrent.TrieMap
+    .empty[String, Map[String, Set[String]]] // table -> user -> allowed cols
+  private val columnMasks = scala.collection.concurrent.TrieMap
+    .empty[String, Map[(String, String), String]] // table -> (user, col) -> expr
+
+  /** `GRANT SELECT(cols…) ON table TO user` — replaces the user's grant
+    * set (re-grant to widen/narrow). Column names are validated against
+    * the declared schema.
+    */
+  def grantColumns(table: String, user: String, cols: Seq[String]): Unit = {
+    val t = get(table)
+    val unknown = cols.filterNot(t.schema.fieldNames.contains)
+    require(unknown.isEmpty,
+      s"$table: GRANT names unknown column(s) ${unknown.mkString(", ")}")
+    columnGrants.updateWith(table) {
+      case Some(m) => Some(m + (user -> cols.toSet))
+      case None => Some(Map(user -> cols.toSet))
+    }
+  }
+
+  /** Revoke `user`'s column grants on `table`; false if none existed.
+    * (With other grants still present on the table, the revoked user
+    * falls to the restrictive default — all columns masked.)
+    */
+  def revokeColumnGrants(table: String, user: String): Boolean = {
+    val had = columnGrants.getOrElse(table, Map.empty).contains(user)
+    columnGrants.updateWith(table)(_.map(_ - user).filter(_.nonEmpty))
+    had
+  }
+
+  /** Register a column MASK for (table, user, column): reads rewrite the
+    * column to `maskExpr` cast to the declared type (e.g. a hash, a
+    * prefix + '***', a bucketed value). Validated HERE — the constraints
+    * discipline: the expression must resolve over the table schema and
+    * cast to the column's type, so drift fails at CREATE. A mask implies
+    * visibility of its OUTPUT (the mask may read the real column; the
+    * user sees only the masked value).
+    */
+  def createColumnMask(table: String, user: String, column: String,
+                       maskExpr: String): Unit = {
+    val t = get(table)
+    require(t.schema.fieldNames.contains(column),
+      s"$table: no column $column to mask")
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], t.schema)
+    val dt = try probe.select(expr(maskExpr)).schema.head.dataType
+      catch { case scala.util.control.NonFatal(ex) =>
+        throw new IllegalArgumentException(
+          s"$table: mask '$maskExpr' for $user.$column does not resolve: " +
+            ex.getMessage) }
+    require(org.apache.spark.sql.catalyst.expressions.Cast
+        .canCast(dt, t.schema(column).dataType),
+      s"$table: mask '$maskExpr' for $user.$column yields " +
+        s"${dt.simpleString}, not castable to " +
+        t.schema(column).dataType.simpleString)
+    columnMasks.updateWith(table) {
+      case Some(m) => Some(m + ((user, column) -> maskExpr))
+      case None => Some(Map((user, column) -> maskExpr))
+    }
+  }
+
+  /** Drop a column mask; false if absent. */
+  def dropColumnMask(table: String, user: String, column: String): Boolean = {
+    val had = columnMasks.getOrElse(table, Map.empty).contains((user, column))
+    columnMasks.updateWith(table)(_.map(_ - ((user, column))).filter(_.nonEmpty))
+    had
+  }
+
+  /** `system.grants`-style listing: (table, user, granted, masked). */
+  def systemColumnPolicies(): DataFrame = {
+    import spark.implicits._
+    val users = (columnGrants.toSeq.flatMap { case (t, m) =>
+      m.keys.map(t -> _) } ++ columnMasks.toSeq.flatMap { case (t, m) =>
+      m.keys.map { case (u, _) => t -> u } }).distinct.sorted
+    users.map { case (t, u) =>
+      (t, u,
+        columnGrants.getOrElse(t, Map.empty).getOrElse(u, Set.empty)
+          .toSeq.sorted.mkString(","),
+        columnMasks.getOrElse(t, Map.empty).keys
+          .collect { case (`u`, c) => c }.toSeq.sorted.mkString(","))
+    }.toDF("table", "user", "granted", "masked")
+  }
+
+  /** Column rewrite for `user` on an already row-filtered frame: masks
+    * first, then the grant gate, else pass-through. No grants and no
+    * masks on the table → identity (zero plan overhead).
+    */
+  private def applyColumnPolicies(table: String, user: String,
+                                  df: DataFrame): DataFrame = {
+    val grants = columnGrants.getOrElse(table, Map.empty)
+    val masks = columnMasks.getOrElse(table, Map.empty)
+    if (grants.isEmpty && masks.isEmpty) return df
+    val allowed: Option[Set[String]] =
+      if (grants.isEmpty) None else Some(grants.getOrElse(user, Set.empty))
+    df.select(df.schema.fields.map { f =>
+      masks.get((user, f.name)) match {
+        case Some(m) => expr(m).cast(f.dataType).as(f.name)
+        case None if allowed.exists(a => !a.contains(f.name)) =>
+          lit(null).cast(f.dataType).as(f.name)
+        case None => col(f.name)
+      }
+    }.toSeq: _*)
   }
 
   /** Compute MATERIALIZED columns and arm CHECK constraints on one insert

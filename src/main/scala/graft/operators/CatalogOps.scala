@@ -603,6 +603,32 @@ object CatalogOps extends QueryModule {
       cat.read("rv_rollup").orderBy(col("c_nationkey"))
     }),
 
+    // Column-level access control through the gate (round-9 verdict item
+    // 6): the analyst's read composes a row policy (c_nationkey < 10),
+    // a column grant (custkey/nationkey/mktsegment), and a
+    // pseudonymizing mask on c_name — ungranted c_acctbal reads as typed
+    // NULL (count() = 0 proves it), the mask's bucketed pseudonyms
+    // aggregate normally, and the whole rewrite is a plain select list so
+    // pruning still pushes (CatalogSpec pins the ReadSchema). The oracle
+    // restates the same policy arithmetic over the original table.
+    "cat_column_policy" -> ((s, d) => {
+      val src = Tables.customer(s, d)
+      val (cat, _) = catalogCopyCat(s, "customer_colpol", src,
+        sortKeys = Seq("c_custkey"))
+      cat.createRowPolicy("customer_colpol", "low_nations", Seq("analyst"),
+        "c_nationkey < 10")
+      cat.grantColumns("customer_colpol", "analyst",
+        Seq("c_custkey", "c_nationkey", "c_mktsegment"))
+      cat.createColumnMask("customer_colpol", "analyst", "c_name",
+        "concat('cust-', cast(c_custkey % 100 as string))")
+      cat.readAs("customer_colpol", "analyst")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("c_name")).as("n_pseudo"),
+          count(col("c_acctbal")).as("n_bal"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // ClickHouse lightweight DELETE (`DELETE FROM … WHERE …`) through the
     // gate: two deletes mask overlapping row sets WITHOUT rewriting any
     // data file (deletion-vector pairs beside the table; CatalogSpec
@@ -990,6 +1016,15 @@ object CatalogOps extends QueryModule {
       """SELECT c_nationkey, count(*) AS n_orders,
         | round(sum(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // the policy arithmetic restated from the ORIGINAL table: rows
+    // filtered, the mask's pseudonym buckets, zero non-null balances
+    "cat_column_policy" ->
+      """SELECT c_nationkey, count(*) AS n,
+        | count(DISTINCT 'cust-' || CAST(c_custkey % 100 AS VARCHAR)) AS n_pseudo,
+        | count(CAST(NULL AS DOUBLE)) AS n_bal
+        |FROM customer WHERE c_nationkey < 10
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     // the survivors restated from the ORIGINAL table: masked rows gone,

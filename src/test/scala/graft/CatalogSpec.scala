@@ -1744,6 +1744,60 @@ class CatalogSpec extends SparkSpecBase {
     cat.readAs("rp", "carol").count() shouldBe 3
   }
 
+  test("column grants/masks: per-user rewrite, restrictive default, pruning intact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cat = new Catalog(spark)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("secret", DoubleType)))
+    cat.createTable(TableDef("cp", tmpDir("cat") + "/cp", schema,
+      Seq("id"), Append))
+    cat.append("cp", Seq((1L, "alice", 10.5), (2L, "bob", 20.5))
+      .toDF("id", "name", "secret"))
+
+    // mask validation at CREATE: unresolvable and uncastable both refused
+    intercept[IllegalArgumentException] {
+      cat.createColumnMask("cp", "u1", "name", "nosuchcol + 1")
+    }.getMessage should include("does not resolve")
+    intercept[IllegalArgumentException] {
+      cat.createColumnMask("cp", "u1", "secret", "array(1, 2)")
+    }.getMessage should include("not castable")
+    intercept[IllegalArgumentException] {
+      cat.grantColumns("cp", "u1", Seq("id", "nope"))
+    }.getMessage should include("unknown column")
+
+    cat.grantColumns("cp", "u1", Seq("id", "name"))
+    cat.createColumnMask("cp", "u1", "name", "concat('u-', cast(id as string))")
+    val r1 = cat.readAs("cp", "u1").orderBy(col("id")).collect()
+    r1.map(_.getString(1)) shouldBe Array("u-1", "u-2") // masked
+    all(r1.map(r => r.isNullAt(2))) shouldBe true       // ungranted -> NULL
+    // schema stays the declared one for every user
+    cat.readAs("cp", "u1").schema shouldBe cat.read("cp").schema
+
+    // restrictive default: a user named by NO grant reads all-masked
+    val r2 = cat.readAs("cp", "stranger").collect()
+    r2.length shouldBe 2
+    all(r2.map(r => r.isNullAt(1) && r.isNullAt(2))) shouldBe true
+
+    // masking must not defeat scan pruning: a granted-columns-only query
+    // reads neither the masked-out nor the ungranted column from storage
+    val plan = cat.readAs("cp", "u1").select(col("id"))
+      .queryExecution.executedPlan.toString
+    plan should include("ReadSchema")
+    plan.contains("secret") shouldBe false
+
+    // revoke drops to the restrictive default (another user's grant keeps
+    // the table grant-bearing); drop-mask restores the raw column
+    cat.grantColumns("cp", "u2", Seq("id"))
+    cat.revokeColumnGrants("cp", "u1") shouldBe true
+    cat.readAs("cp", "u1").collect().forall(_.isNullAt(0)) shouldBe true
+    cat.grantColumns("cp", "u1", Seq("id", "name"))
+    cat.dropColumnMask("cp", "u1", "name") shouldBe true
+    cat.readAs("cp", "u1").orderBy(col("id")).head().getString(1) shouldBe "alice"
+    cat.systemColumnPolicies().collect().map(_.getString(1)) should contain("u1")
+  }
+
   test("refreshable MV: interval schedule, atomic stale serving, error ledger") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
