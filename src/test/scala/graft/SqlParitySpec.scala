@@ -47,6 +47,7 @@ class SqlParitySpec extends SparkSpecBase {
     "cat_constraint", "cat_materialized_col", "cat_row_policy",
     "cat_distributed_join",
     "cat_distributed_scan", "cat_lightweight_delete", "cat_null_mv",
+    "cat_refreshable_mv", "sql_udf_call",
     "cat_replacing_delete", "cat_buffer_read", "cat_join_engine", "src_merge",
     "src_jsonl", "src_orc",
     "dedup_exact", "distinct_rows", "fn_cond", "fn_date", "fn_math",
@@ -428,6 +429,14 @@ class SqlParitySpec extends SparkSpecBase {
         |  FROM (SELECT timestamp_seconds((unix_timestamp(ts) div 300) * 300) AS b
         |        FROM events))
         |GROUP BY w_start ORDER BY w_start""".stripMargin,
+
+    // DuckDB CAST(... AS VARCHAR) → Spark STRING
+    "cat_column_policy" ->
+      """SELECT c_nationkey, count(*) AS n,
+        | count(DISTINCT 'cust-' || CAST(c_custkey % 100 AS STRING)) AS n_pseudo,
+        | count(CAST(NULL AS DOUBLE)) AS n_bal
+        |FROM customer WHERE c_nationkey < 10
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "cat_ttl_rollup" ->
       """WITH b AS (
@@ -909,7 +918,10 @@ class SqlParitySpec extends SparkSpecBase {
     "text_langid" -> "per-language stopword fold generated from the engine's language config",
     "text_bpe" -> "iterative distributed pair-count/merge loop (driver-paced rounds, not one statement)",
     "text_pack_bpe" -> "packs under the BPE loop's learned dictionary (engine state)",
-    "text_mix" -> "mixture re-weighting driven by engine config, not a standalone statement")
+    "text_mix" -> "mixture re-weighting driven by engine config, not a standalone statement",
+    "text_encode_bpe" -> "applies the BPE loop's learned dictionary (engine state)",
+    "text_chunk_bpe" -> "chunks over the BPE loop's learned piece sequences (engine state)",
+    "dedup_image_phash" -> "real PNG encode/decode + dHash in the MediaPipeline executor path, not SQL")
 
   test("verbatim + twins + inexpressible exactly partition the oracle surface") {
     val all = verbatim ++ twins.keySet ++ sqlInexpressible.keySet
