@@ -35,6 +35,16 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 object MediaPipeline {
 
+  // ImageIO defaults to a DISK-backed stream cache: every decode of an
+  // in-memory payload creates (and deletes) a temp FILE. A round-9
+  // sf100 probe thread dump showed all 32 executor threads serialized
+  // in TempFileHelper.createTempFile under ImageIO.read — file-creation
+  // syscalls, not decoding, dominated dedup_image_phash and the MJPEG
+  // frame path. Every payload this pipeline decodes is a small
+  // in-memory byte array, so the memory cache is strictly better.
+  // Object init runs once per executor JVM on first use.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val FrameStride = 256
   val PlaneW = 8
   val PlaneH = 8
