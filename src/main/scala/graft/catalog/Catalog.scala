@@ -2515,6 +2515,36 @@ final class Catalog(spark: SparkSession) {
     (df, kept.size, all.size)
   }
 
+  /** CH `SELECT … SAMPLE frac [OFFSET offset]` over a table declared
+    * through [[Catalog.withSampleBy]] — see the companion's SAMPLE BY doc
+    * for the semantics contract. Same result as filtering the full read
+    * on the stored bucket window (the exact row filter always applies);
+    * on an unpartitioned Append table the minmax sidecars additionally
+    * drop the files whose bucket range misses the window first.
+    */
+  def readSampled(name: String, frac: Double, offset: Double = 0.0): DataFrame =
+    readSampledWithStats(name, frac, offset)._1
+
+  /** [[readSampled]] plus (filesKept, filesTotal) when the file-prune
+    * path applies, (-1, -1) when only the row filter ran (partitioned or
+    * merge-semantics tables) — the spec surface for "a 25% sample read a
+    * quarter of the files".
+    */
+  def readSampledWithStats(name: String, frac: Double,
+                           offset: Double = 0.0): (DataFrame, Int, Int) = {
+    val t = get(name)
+    require(t.schema.fieldNames.contains(Catalog.SampleCol),
+      s"$name: no SAMPLE BY declared (build the def through Catalog.withSampleBy)")
+    val (lo, hi) = Catalog.sampleWindow(frac, offset)
+    val rowFilter = col(Catalog.SampleCol) >= lit(lo) && col(Catalog.SampleCol) < lit(hi)
+    val prunable = t.minmaxCols.contains(Catalog.SampleCol) &&
+      t.partitionKeys.isEmpty && t.semantics == Append
+    if (prunable) {
+      val (df, kept, total) = readRangePruned(name, Catalog.SampleCol, lo, hi - 1)
+      (df.filter(rowFilter), kept, total)
+    } else (read(name).filter(rowFilter), -1, -1)
+  }
+
   /** Zero-row frame with the table's declared schema — lets mutation
     * transforms validate (column existence, shape preservation) before a
     * table holds any data.
@@ -3054,6 +3084,33 @@ final class Catalog(spark: SparkSession) {
       }
     rows.toDF("bucket", "partition", "files", "bytes")
       .orderBy(col("partition"), col("bucket"))
+  }
+
+  /** Cheap content-version token for a table: a digest over the data-file
+    * listing (path, length, mtime) plus the live deletion-vector
+    * directories — every result-changing storage event (append, compact,
+    * mutation rewrite, lightweight delete, TTL sweep, refresh swap) moves
+    * at least one of those, so equal tokens ⇒ equal read results. One
+    * directory listing, no data read — the [[graft.sql.QueryCache]]
+    * validity probe, priced to run on every cache hit. (In-process
+    * metadata-only changes — a pending RENAME's read view — also bump it:
+    * the declared schema participates in the digest.)
+    */
+  def tableVersion(name: String): String = {
+    val t = get(name)
+    recoverInterruptedSwap(t)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def add(s: String): Unit =
+      md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    add(t.schema.fieldNames.mkString(","))
+    add(renamePending.getOrElse(name, Map.empty).toSeq.sorted.mkString(","))
+    add(readDefaults.getOrElse(name, Map.empty).keys.toSeq.sorted.mkString(","))
+    listDataFiles(t).sortBy(_.getPath.toString).foreach { s =>
+      add(s.getPath.toString); add(s.getLen.toString)
+      add(s.getModificationTime.toString)
+    }
+    currentDvDirs(t).sorted.foreach(add)
+    md.digest().map("%02x".format(_)).mkString
   }
 
   /** ClickHouse `EXPLAIN ESTIMATE` analog: how much would a scan read —
@@ -4062,4 +4119,84 @@ object Catalog {
     */
   def hasToken(c: org.apache.spark.sql.Column, token: String): org.apache.spark.sql.Column =
     array_contains(split(c, TokenSeparators), token)
+
+  // ---- SAMPLE BY (deterministic, key-consistent sampling) ---------------
+  //
+  // ClickHouse `SAMPLE BY expr` (DDL) + `SELECT … SAMPLE k [OFFSET m]`
+  // (reference README.md query surface): every row's sampling key hashes
+  // to a bucket in [0, 65536); `SAMPLE k` reads the rows whose bucket
+  // falls in [⌊m·65536⌋, ⌊(m+k)·65536⌋). Properties the design keeps:
+  //
+  //   - DETERMINISTIC: a key is in or out of a given window forever,
+  //     across queries, appends, and compactions — re-running an
+  //     experiment on "the same 10%" reads the same rows;
+  //   - KEY-CONSISTENT: all rows of one key share one bucket, so
+  //     sampling BOTH sides of a join on the sampling key with the same
+  //     window loses no pairs (CH's cross-table sampling contract);
+  //   - DISJOINT WINDOWS PARTITION: OFFSET windows that tile [0,1) split
+  //     the table exactly — the parallel-experiment / train-holdout cut;
+  //   - ENGINE-PORTABLE: the bucket is the first 4 hex digits of
+  //     md5(CAST(key AS STRING)) — the DuckDB oracle replays it
+  //     bit-for-bit as a lexicographic hex-string compare.
+  //
+  // The bucket is a MATERIALIZED column (computed at insert, stored) and
+  // is declared under minmaxCols; [[withSampleBy]] also puts it FIRST in
+  // the sort keys, so the clustered write gives each data file a narrow
+  // bucket range and a sampled read drops ~(1-k) of FILES through the
+  // existing minmax sidecars before any row is scanned — the analog of
+  // CH's "sampling key in the primary key" granule skip. At 100 TB that
+  // is the difference between "SAMPLE 0.01 reads 1 TB" and "SAMPLE 0.01
+  // reads 100 TB and throws away 99% of it".
+  val SampleCol = "_gsample"
+  val SampleBuckets = 65536
+
+  /** The stored-bucket expression — md5 is the deliberate choice over
+    * xxhash64: both engines of the correctness gate compute identical
+    * md5 bytes, so the oracle checks the SAMPLE SEMANTICS, not a
+    * reimplementation of the hash. Rows with a NULL key hash to a NULL
+    * bucket and never enter any window (document-level nulls are a data
+    * bug a sample should not resurrect).
+    */
+  def sampleExprSql(key: String): String =
+    s"CAST(conv(substr(md5(CAST(CAST($key AS STRING) AS BINARY)), 1, 4), 16, 10) AS INT)"
+
+  /** Bucket window for `SAMPLE frac OFFSET offset` — the ONE place the
+    * float→bucket rounding happens, shared by the Spark filter, the
+    * file-prune range, and the oracle-side predicate renderer, so all
+    * three always agree on the exact window.
+    */
+  def sampleWindow(frac: Double, offset: Double = 0.0): (Int, Int) = {
+    require(frac > 0.0 && frac <= 1.0,
+      s"SAMPLE fraction must be in (0, 1], got $frac (the row-count form " +
+        "SAMPLE n needs table statistics — pass n/count as a fraction)")
+    require(offset >= 0.0 && offset < 1.0, s"SAMPLE OFFSET must be in [0, 1), got $offset")
+    val lo = math.floor(offset * SampleBuckets).toInt
+    val hi = math.min(SampleBuckets.toLong,
+      math.floor((offset + frac) * SampleBuckets).toLong).toInt
+    require(hi > lo, s"SAMPLE window [$offset, ${offset + frac}) rounds to zero buckets")
+    (lo, hi)
+  }
+
+  /** Declare `SAMPLE BY key` on a table definition: returns the def with
+    * the stored bucket column, its minmax sidecar declaration, and the
+    * bucket leading the sort keys (the file-prune clustering — callers
+    * who need a different physical order can reorder sortKeys afterwards
+    * and keep row-level sampling only). Pure transformation over the
+    * existing machinery: nothing new to persist — ATTACH rebuilds the
+    * sampled table from the `_TABLE` sidecar like any other.
+    */
+  def withSampleBy(t: TableDef, key: String): TableDef = {
+    require(t.schema.fieldNames.contains(key),
+      s"${t.name}: SAMPLE BY column $key is not in the schema")
+    require(!t.schema.fieldNames.contains(SampleCol),
+      s"${t.name}: $SampleCol already declared — SAMPLE BY can be applied once")
+    require(!t.partitionKeys.contains(key),
+      s"${t.name}: SAMPLE BY on partition key $key — sample windows would " +
+        "degenerate to whole-partition in/out; sample by a finer key")
+    t.copy(
+      schema = t.schema.add(SampleCol, org.apache.spark.sql.types.IntegerType),
+      sortKeys = SampleCol +: t.sortKeys,
+      minmaxCols = t.minmaxCols :+ SampleCol,
+      materializedCols = t.materializedCols :+ (SampleCol -> sampleExprSql(key)))
+  }
 }

@@ -422,6 +422,51 @@ object Analytics extends QueryModule {
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }),
 
+    // CH `SAMPLE k OFFSET m` through the dialect entry point: the text
+    // runs as written; the rewrite swaps in the deterministic bucket
+    // window over orders' declared sampling key (ChDialect.SampleKeys).
+    // The oracle replays the SAME window via Sampling.duckPredicate —
+    // both sides derive it from the one Catalog.sampleWindow rounding —
+    // so the gate checks sample semantics exactly (this row set), not
+    // statistically ("about 25%").
+    "sql_sample" -> ((s, d) =>
+      graft.sql.GraftSql.chSql(s, d,
+        """SELECT o_orderstatus, count() AS n,
+          | round(sum(o_totalprice), 2) AS total
+          |FROM orders SAMPLE 0.25 OFFSET 0.5
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // CH query result cache (`use_query_cache = 1`) through the gate:
+    // the second invocation serves the STORED result — no job, no scan —
+    // and must still hash-match the oracle's independent recompute. The
+    // validity token is the source parquet's mtime (the catalog-table
+    // form probes Catalog.tableVersion — QueryCacheSpec covers append/
+    // delete invalidation); TTL and capacity behavior are spec'd with an
+    // injected clock.
+    "sql_query_cache" -> ((s, d) => {
+      val text =
+        """SELECT o_orderpriority, count(*) AS n,
+          | round(sum(o_totalprice), 2) AS total
+          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+      def validity = Seq(d,
+        java.nio.file.Files.getLastModifiedTime(
+          java.nio.file.Paths.get(d, "orders.parquet")).toMillis.toString)
+      val cache = graft.sql.GraftSql.queryCache
+      cache.cached(s, text, validity)(graft.sql.GraftSql.sql(s, d, text))
+      cache.cached(s, text, validity)(graft.sql.GraftSql.sql(s, d, text))
+    }),
+
+    // CH `WITH TOTALS` through the dialect: rewritten to GROUPING SETS
+    // ((keys), ()) — the totals surface as the all-NULL-keys row of the
+    // same relation (single result set; CH's side-channel block has no
+    // SQL analog and the NULL-keys row is the standard shape).
+    "sql_totals" -> ((s, d) =>
+      graft.sql.GraftSql.chSql(s, d,
+        """SELECT l_returnflag, count() AS n,
+          | round(sum(l_extendedprice), 2) AS revenue
+          |FROM lineitem GROUP BY l_returnflag WITH TOTALS
+          |ORDER BY l_returnflag NULLS FIRST""".stripMargin)),
+
     // WITH RECURSIVE through the engine's generic fixpoint (semi-naive,
     // Fixpoint.scala): ancestor closure over the implicit binary-tree
     // parent edge custkey -> floor(custkey/2), seeded from customers
@@ -911,6 +956,26 @@ object Analytics extends QueryModule {
         | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM lineitem WHERE l_quantity > 30
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the same bucket window, rendered by the shared formatter — a
+    // lexicographic hex compare, equivalent to the numeric bucket compare
+    "sql_sample" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE ${Sampling.duckPredicate("o_orderkey", 0.25, 0.5)}
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "sql_totals" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), ())
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+
+    // the oracle recomputes what the cache served
+    "sql_query_cache" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // DuckDB's native recursion restates the fixpoint: UNION (distinct)
     // recursion over the same edge derivation

@@ -107,6 +107,28 @@ object CatalogOps extends QueryModule {
     (df.filter(col("o_orderkey").between(KeyLo, KeyHi)), kept, total)
   }
 
+  /** The SAMPLE BY gate table: a Catalog copy of `orders` declared
+    * `SAMPLE BY o_custkey` (Catalog.withSampleBy — stored md5-prefix
+    * bucket column, bucket-led sort keys, bucket minmax sidecars), plus
+    * the `SAMPLE 0.25` read and its (files kept, files total): with data
+    * files clustered on the bucket, a quarter-window read drops ~¾ of
+    * the FILES before any row is scanned — the CH "sampling key in the
+    * primary key" granule skip. Sampling by CUSTOMER on an ORDERS table
+    * is the key-consistency shape: the same window over a customer table
+    * keeps exactly the sampled customers' orders.
+    */
+  def sampledScanWithStats(s: SparkSession, d: String): (DataFrame, Int, Int) = {
+    val src = Tables.orders(s, d)
+    val cat = new Catalog(s)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cat-orders_smp")
+    copyDirs.add(tmp)
+    cat.createTable(Catalog.withSampleBy(
+      TableDef("orders_smp", tmp.resolve("orders_smp").toString, src.schema,
+        sortKeys = Seq("o_orderkey"), semantics = Append), "o_custkey"))
+    cat.append("orders_smp", src)
+    cat.readSampledWithStats("orders_smp", 0.25)
+  }
+
   /** The bloom-skip-index gate table: a Catalog copy of `orders` clustered
     * by o_orderkey with a bloom sidecar on o_custkey — a NON-sort-key
     * column, so row-group min/max can't skip for it — plus the pruned read
@@ -349,6 +371,19 @@ object CatalogOps extends QueryModule {
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"),
           round(sum(col("o_totalprice")), 2).as("total"))),
+
+    // SAMPLE BY through the correctness gate: the stored-bucket window
+    // read (file-pruned via the bucket minmax sidecars — CatalogOpsSpec
+    // counts the skipped files) must select EXACTLY the rows the oracle's
+    // independent md5-prefix replay selects on the original table. The
+    // measured time deliberately includes the sampled table's build (the
+    // catalog-gate convention: the bucketed layout write IS the operator).
+    "cat_sample_scan" -> ((s, d) =>
+      sampledScanWithStats(s, d)._1
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus"))),
 
     // ALTER RENAME COLUMN end to end through the gate, over MIXED
     // storage: half of `customer` is appended BEFORE the rename (files
@@ -943,6 +978,15 @@ object CatalogOps extends QueryModule {
       s"""SELECT count(*) AS n, min(o_orderkey) AS min_key,
          | max(o_orderkey) AS max_key, round(sum(o_totalprice), 2) AS total
          |FROM orders WHERE o_orderkey BETWEEN $KeyLo AND $KeyHi""".stripMargin,
+
+    // the oracle replays the bucket window through the shared formatter
+    // (Sampling.duckPredicate) on the ORIGINAL table — an independent
+    // engine agreeing on the exact sampled row set every round
+    "cat_sample_scan" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         | round(sum(o_totalprice), 2) AS total
+         |FROM orders WHERE ${Sampling.duckPredicate("o_custkey", 0.25)}
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // the oracle's alias IS the rename: same data, same new name
     "cat_renamed_scan" ->

@@ -30,7 +30,18 @@ package graft.sql
   *   - table modifiers: `FINAL` stripped (catalog reads ARE the merged
   *     view — FINAL semantics are the default here), `PREWHERE` →
   *     `WHERE` (Catalyst pushes the predicate into the scan, which is
-  *     what PREWHERE asks for)
+  *     what PREWHERE asks for); `t SAMPLE k [OFFSET m]` → a derived
+  *     table filtered on the deterministic bucket window of `t`'s
+  *     declared sampling key ([[SampleKeys]]; window math shared with
+  *     the storage path through `Catalog.sampleWindow` — see the
+  *     SAMPLE BY doc there). Fraction form only: the row-count form
+  *     `SAMPLE n` needs table statistics and fails loudly.
+  *   - `GROUP BY … WITH ROLLUP/CUBE` → ANSI `GROUP BY ROLLUP(…)`/
+  *     `CUBE(…)` (Catalyst's Expand operator — one scan, no re-read per
+  *     grouping set); `WITH TOTALS` → `GROUPING SETS ((…), ())`, the
+  *     totals row surfacing as the all-NULL-keys row of the same result
+  *     set (CH ships it as a separate block; a single relation has no
+  *     side channel, and the NULL-keys row is the standard SQL shape)
   *
   * Single-quoted string literals (with `''` escapes) pass through
   * byte-for-byte — a literal containing `countIf(` or `FINAL` is never
@@ -88,6 +99,13 @@ object ChDialect {
       scala.util.matching.Regex.quoteReplacement(lits(m.group(1).toInt)))
 
   private val simpleReplacements: Seq[(scala.util.matching.Regex, String)] = Seq(
+    // CH EXPLAIN variants → Spark's native EXPLAIN statement (plan rows
+    // come back as the result set, like CH): PLAN is the default logical/
+    // physical dump, PIPELINE (CH's executor-graph view) maps to
+    // FORMATTED — the operator-tree-with-details form, the closest
+    // answer Spark has to "what will actually execute"
+    ("(?i)\\bEXPLAIN\\s+PLAN\\b".r, "EXPLAIN"),
+    ("(?i)\\bEXPLAIN\\s+PIPELINE\\b".r, "EXPLAIN FORMATTED"),
     ("(?i)\\bcount\\(\\s*\\)".r, "count(*)"),
     ("(?i)\\bcountIf\\(".r, "count_if("),
     ("(?i)\\barrayJoin\\(".r, "explode("),
@@ -122,6 +140,67 @@ object ChDialect {
     ("::\\s*(?i:DateTime)\\b".r, "::TIMESTAMP"),
     ("::\\s*(?i:Date)\\b".r, "::DATE"))
 
+  /** The `SAMPLE BY` declarations for the TESTDATA tables — the DDL side
+    * of CH sampling, which lives in CREATE TABLE there and in this map
+    * here (the temp views [[GraftSql.registerViews]] registers carry no
+    * DDL). Primary keys throughout: key-consistent with the tables'
+    * natural join columns, so `orders SAMPLE 0.1` joined to
+    * `lineitem SAMPLE 0.1` keeps every pair of the sampled keys.
+    */
+  val SampleKeys: Map[String, String] = Map(
+    "region" -> "r_regionkey", "nation" -> "n_nationkey",
+    "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+    "part" -> "p_partkey", "orders" -> "o_orderkey",
+    "lineitem" -> "l_orderkey", "events" -> "event_id",
+    "documents" -> "doc_id", "embeddings" -> "vec_id")
+
+  private val sampleRe =
+    ("(?i)\\b(FROM|JOIN)\\s+([A-Za-z_][A-Za-z0-9_]*)(?:\\s+FINAL)?\\s+SAMPLE\\s+" +
+      "([0-9]+(?:\\.[0-9]+)?)(?:\\s+OFFSET\\s+([0-9]+(?:\\.[0-9]+)?))?").r
+
+  /** `FROM t SAMPLE k [OFFSET m]` → `FROM (SELECT * FROM t WHERE
+    * bucket-window) t` — aliased back to the table name so the rest of
+    * the query resolves unchanged. The predicate is the same
+    * md5-prefix-bucket expression the stored [[graft.catalog.Catalog.SampleCol]]
+    * column materializes, so dialect-sampled and catalog-sampled reads of
+    * one table select the same rows.
+    */
+  private def rewriteSample(s: String): String =
+    sampleRe.replaceAllIn(s, { m =>
+      val (kw, tbl) = (m.group(1), m.group(2))
+      val frac = m.group(3).toDouble
+      require(frac <= 1.0,
+        s"SAMPLE ${m.group(3)}: only the fraction form is supported " +
+          "(the row-count form needs table statistics)")
+      val offset = Option(m.group(4)).map(_.toDouble).getOrElse(0.0)
+      val key = SampleKeys.getOrElse(tbl.toLowerCase,
+        throw new IllegalArgumentException(
+          s"table $tbl declares no SAMPLE BY key"))
+      val (lo, hi) = graft.catalog.Catalog.sampleWindow(frac, offset)
+      val b = graft.catalog.Catalog.sampleExprSql(key)
+      scala.util.matching.Regex.quoteReplacement(
+        s"$kw (SELECT * FROM $tbl WHERE $b >= $lo AND $b < $hi) $tbl")
+    })
+
+  // `GROUP BY list WITH TOTALS/ROLLUP/CUBE` — the list span is "up to
+  // the WITH keyword", which is unambiguous because a GROUP BY list
+  // cannot itself contain a WITH clause at top level (a scalar subquery
+  // using WITH inside a grouping expression is outside this shim's
+  // documented scope, like the other not-a-full-parser limits above)
+  private val groupModRe =
+    "(?is)\\bGROUP\\s+BY\\s+(.*?)\\s+WITH\\s+(TOTALS|ROLLUP|CUBE)\\b".r
+
+  private def rewriteGroupMods(s: String): String =
+    groupModRe.replaceAllIn(s, { m =>
+      val list = m.group(1)
+      val rewritten = m.group(2).toUpperCase match {
+        case "ROLLUP" => s"GROUP BY ROLLUP($list)"
+        case "CUBE"   => s"GROUP BY CUBE($list)"
+        case _        => s"GROUP BY GROUPING SETS (($list), ())"
+      }
+      scala.util.matching.Regex.quoteReplacement(rewritten)
+    })
+
   private val truncUnits = Seq(
     "toStartOfDay" -> "DAY", "toStartOfHour" -> "HOUR",
     "toStartOfWeek" -> "WEEK", "toStartOfMonth" -> "MONTH",
@@ -129,6 +208,11 @@ object ChDialect {
 
   private def rewriteSegment(seg0: String): String = {
     var s = seg0
+    // SAMPLE first: its replacement emits a derived table whose text must
+    // not be re-scanned by the token passes below (it contains none of
+    // their tokens by construction, but ordering makes that a non-issue)
+    s = rewriteSample(s)
+    s = rewriteGroupMods(s)
     simpleReplacements.foreach { case (re, to) =>
       s = re.replaceAllIn(s, _ => scala.util.matching.Regex
         .quoteReplacement(to))

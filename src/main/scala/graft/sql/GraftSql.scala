@@ -58,6 +58,13 @@ object GraftSql {
     s.sql(expandFunctions(query))
   }
 
+  /** The process-global result cache — the CH server-wide query cache
+    * analog ([[QueryCache]] doc carries the semantics). Callers opt in
+    * per query (CH `use_query_cache = 1` is per-query too) and supply
+    * the validity tokens of the tables the query reads.
+    */
+  val queryCache = new QueryCache()
+
   // ---- user-defined SQL functions (CREATE FUNCTION analog) -------------
   //
   // CH `CREATE FUNCTION f AS (a, b) -> expr`: a named expression macro —

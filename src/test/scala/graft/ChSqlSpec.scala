@@ -121,6 +121,28 @@ class ChSqlSpec extends SparkSpecBase {
     got shouldBe want
   }
 
+  test("SAMPLE / WITH TOTALS / EXPLAIN run end to end through the dialect") {
+    // SAMPLE k OFFSET m == the explicit bucket-window filter
+    chEqualsSpark(
+      "SELECT count() AS n FROM orders SAMPLE 0.25 OFFSET 0.5",
+      """SELECT count(*) AS n FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS STRING)), 1, 4) >= '8000'
+        |  AND substr(md5(CAST(o_orderkey AS STRING)), 1, 4) < 'c000'""".stripMargin)
+    // WITH TOTALS: the all-NULL-keys totals row joins the result set
+    chEqualsSpark(
+      """SELECT o_orderstatus, count() AS n
+        |FROM orders GROUP BY o_orderstatus WITH TOTALS""".stripMargin,
+      """SELECT o_orderstatus, count(*) AS n
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), ())""".stripMargin)
+    // EXPLAIN PIPELINE returns the formatted physical plan as rows, and
+    // the plan it shows for a sampled read carries the bucket filter
+    val plan = GraftSql.chSql(spark, sf0001,
+      "EXPLAIN PIPELINE SELECT count() FROM orders SAMPLE 0.5")
+      .collect().map(_.getString(0)).mkString("\n")
+    plan should include("md5")
+    plan should (include("Physical Plan") or include("WholeStageCodegen"))
+  }
+
   test("unsupported shapes fail loudly, not silently") {
     intercept[IllegalArgumentException] {
       ChDialect.rewrite("SELECT sumIf(x) FROM t")

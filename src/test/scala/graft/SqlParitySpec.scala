@@ -64,6 +64,7 @@ class SqlParitySpec extends SparkSpecBase {
     "q5_region_revenue",
     "set_except", "set_intersect", "set_union", "set_except_all",
     "set_intersect_all", "limit_ties", "fn_nested_zip", "sql_param_view",
+    "sql_totals", "sql_query_cache",
     "ts_session", "win_dist",
     "win_lag", "win_ntile_dense", "win_rank", "win_running_sum")
 
@@ -883,6 +884,24 @@ class SqlParitySpec extends SparkSpecBase {
         |    ON a.cur = e.c_custkey AND e.c_custkey > 1)
         |SELECT start, count(*) - 1 AS n_ancestors, min(cur) AS root
         |FROM anc GROUP BY start ORDER BY start""".stripMargin,
+
+    // DuckDB `CAST(… AS VARCHAR)` → Spark `AS STRING`; same shared-
+    // formatter window text otherwise (Sampling.duckPredicate)
+    "sql_sample" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         | round(sum(o_totalprice), 2) AS total
+         |FROM orders WHERE ${
+           graft.operators.Sampling.duckPredicate("o_orderkey", 0.25, 0.5)
+             .replace("AS VARCHAR", "AS STRING")}
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "cat_sample_scan" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         | round(sum(o_totalprice), 2) AS total
+         |FROM orders WHERE ${
+           graft.operators.Sampling.duckPredicate("o_custkey", 0.25)
+             .replace("AS VARCHAR", "AS STRING")}
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // DuckDB >> / % -> Spark shiftright / pmod
     "dict_ip_trie" ->
