@@ -436,6 +436,16 @@ object Analytics extends QueryModule {
           |FROM orders SAMPLE 0.25 OFFSET 0.5
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // CH `LIMIT n BY` through the dialect (closing its last documented
+    // refusal): per-group top-n in the query's own ORDER BY, rewritten
+    // to a row_number window — runs as written from the reference's
+    // dialect. The oracle is the standard rank formulation.
+    "sql_limit_by" -> ((s, d) =>
+      graft.sql.GraftSql.chSql(s, d,
+        """SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders
+          |ORDER BY o_totalprice DESC, o_orderkey
+          |LIMIT 2 BY o_orderstatus""".stripMargin)),
+
     // CH query result cache (`use_query_cache = 1`) through the gate:
     // the second invocation serves the STORED result — no job, no scan —
     // and must still hash-match the oracle's independent recompute. The
@@ -970,6 +980,14 @@ object Analytics extends QueryModule {
         | round(sum(l_extendedprice), 2) AS revenue
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), ())
         |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+
+    "sql_limit_by" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t WHERE rn <= 2
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
 
     // the oracle recomputes what the cache served
     "sql_query_cache" ->

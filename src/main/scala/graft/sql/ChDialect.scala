@@ -42,13 +42,17 @@ package graft.sql
   *     totals row surfacing as the all-NULL-keys row of the same result
   *     set (CH ships it as a separate block; a single relation has no
   *     side channel, and the NULL-keys row is the standard SQL shape)
+  *   - `ORDER BY … LIMIT n BY cols [LIMIT m]` → a row_number window
+  *     partitioned by the BY list over the query's own ORDER BY
+  *     (top-level statements only; an ORDER BY is required — see
+  *     [[rewriteLimitBy]])
   *
   * Single-quoted string literals (with `''` escapes) pass through
   * byte-for-byte — a literal containing `countIf(` or `FINAL` is never
   * rewritten. NOT a full parser by design: `Enum8(...)` casts (ingest
-  * validates enums — TsvIngest), `LIMIT n BY`, and combinator suffixes
-  * beyond the list above are left untouched and fail loudly in the
-  * parser rather than silently changing meaning.
+  * validates enums — TsvIngest), sub-query-level `LIMIT n BY`, and
+  * combinator suffixes beyond the list above are left untouched and
+  * fail loudly in the parser rather than silently changing meaning.
   */
 object ChDialect {
 
@@ -182,6 +186,37 @@ object ChDialect {
         s"$kw (SELECT * FROM $tbl WHERE $b >= $lo AND $b < $hi) $tbl")
     })
 
+  // `… ORDER BY ord LIMIT n BY cols [LIMIT m]` (CH's per-group top-n) →
+  // a row_number window partitioned by the BY list, ordered by the
+  // query's own ORDER BY (CH takes the first n rows of each group IN
+  // THE QUERY'S ORDER — an ORDER BY is therefore REQUIRED here: without
+  // one CH returns an arbitrary n per group, which a deterministic
+  // engine refuses rather than emulates). Top-level statements only;
+  // order keys must be output columns of the select (they become
+  // subquery columns the window can see — a non-output order key fails
+  // loudly at the parser, the shim's documented failure mode).
+  private val limitByRe =
+    "(?is)^(.*\\S)\\s+LIMIT\\s+(\\d+)\\s+BY\\s+(.+?)(?:\\s+LIMIT\\s+(\\d+))?\\s*$".r
+  private val orderTailRe = "(?is)^(.*\\S)\\s+ORDER\\s+BY\\s+(.+)$".r
+
+  private def rewriteLimitBy(s: String): String = s match {
+    case limitByRe(inner, n, byList, outerLimit) =>
+      val (body, ord) = inner match {
+        case orderTailRe(b, o) => (b, o)
+        case _ => throw new IllegalArgumentException(
+          "LIMIT n BY requires an ORDER BY (ClickHouse returns an " +
+            "arbitrary n rows per group without one; this engine refuses " +
+            "nondeterminism rather than emulating it)")
+      }
+      val lim = Option(outerLimit).map(m => s" LIMIT $m").getOrElse("")
+      s"""SELECT * EXCEPT (__rn) FROM (
+         |  SELECT __q.*, row_number() OVER (
+         |    PARTITION BY $byList ORDER BY $ord) AS __rn
+         |  FROM ( $body ) __q
+         |) WHERE __rn <= $n ORDER BY $ord$lim""".stripMargin
+    case _ => s
+  }
+
   // `GROUP BY list WITH TOTALS/ROLLUP/CUBE` — the list span is "up to
   // the WITH keyword", which is unambiguous because a GROUP BY list
   // cannot itself contain a WITH clause at top level (a scalar subquery
@@ -208,9 +243,11 @@ object ChDialect {
 
   private def rewriteSegment(seg0: String): String = {
     var s = seg0
-    // SAMPLE first: its replacement emits a derived table whose text must
+    // statement-level LIMIT BY first (it re-nests the whole text), then
+    // SAMPLE: its replacement emits a derived table whose text must
     // not be re-scanned by the token passes below (it contains none of
     // their tokens by construction, but ordering makes that a non-issue)
+    s = rewriteLimitBy(s)
     s = rewriteSample(s)
     s = rewriteGroupMods(s)
     simpleReplacements.foreach { case (re, to) =>

@@ -143,14 +143,31 @@ class ChSqlSpec extends SparkSpecBase {
     plan should (include("Physical Plan") or include("WholeStageCodegen"))
   }
 
+  test("LIMIT n BY rewrites to a per-group row_number window and agrees") {
+    chEqualsSpark(
+      """SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 2 BY o_orderstatus""".stripMargin,
+      """SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 2
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin)
+    // the trailing-LIMIT form caps the total row count
+    GraftSql.chSql(spark, sf0001,
+      """SELECT o_orderstatus, o_orderkey FROM orders
+        |ORDER BY o_orderkey LIMIT 2 BY o_orderstatus LIMIT 3""".stripMargin)
+      .count() shouldBe 3L
+  }
+
   test("unsupported shapes fail loudly, not silently") {
     intercept[IllegalArgumentException] {
       ChDialect.rewrite("SELECT sumIf(x) FROM t")
     }
-    intercept[Exception] {
-      // LIMIT n BY is deliberately NOT rewritten — the parser rejects it
-      GraftSql.chSql(spark, sf0001,
-        "SELECT o_orderstatus FROM orders LIMIT 2 BY o_orderstatus").collect()
+    intercept[IllegalArgumentException] {
+      // LIMIT n BY without an ORDER BY is nondeterministic in CH — refused
+      ChDialect.rewrite("SELECT o_orderstatus FROM orders LIMIT 2 BY o_orderstatus")
     }
   }
 
