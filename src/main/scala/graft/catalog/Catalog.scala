@@ -203,7 +203,14 @@ final case class TableDef(
     // [[Catalog.columnCodecKinds]] for the supported kinds and the
     // parquet mechanism each maps to; `codec` above stays the
     // COMPRESSION axis (parquet compresses file-wide).
-    columnCodecs: Seq[(String, String)] = Nil)
+    columnCodecs: Seq[(String, String)] = Nil,
+    // CH `INDEX … TYPE set(N)`: per-file EXACT distinct-value sidecars —
+    // column -> max stored distincts. The low-cardinality complement of
+    // the bloom index: an IN/equality probe consults the exact set (no
+    // false positives), and a file whose distinct count exceeded N is
+    // marked overflowed and always kept (fail open, like CH's unbounded
+    // set marker).
+    setIndexCols: Seq[(String, Int)] = Nil)
 
 final class Catalog(spark: SparkSession) {
 
@@ -299,13 +306,29 @@ final class Catalog(spark: SparkSession) {
     // would re-enter the "missing" set on every append, silently turning
     // O(batch) appends into full-table scans (and partition keys already
     // prune at the directory level, the stronger skip)
-    (t.indexCols ++ t.minmaxCols ++ t.tokenIndexCols).foreach { c =>
+    (t.indexCols ++ t.minmaxCols ++ t.tokenIndexCols ++
+        t.setIndexCols.map(_._1)).foreach { c =>
       require(t.schema.fieldNames.contains(c),
         s"${t.name}: skip-index column $c is not in the schema")
       require(!t.partitionKeys.contains(c),
         s"${t.name}: skip-index column $c is a partition key " +
           s"(directory pruning already covers it)")
     }
+    // set indexes store EXACT values in JSON sidecars — restrict to types
+    // whose driver-side value renders losslessly and compares by equality
+    t.setIndexCols.foreach { case (c, n) =>
+      import org.apache.spark.sql.types._
+      require(n > 0, s"${t.name}: set skip-index on $c needs a positive " +
+        s"max-distinct bound (got $n)")
+      val dt = t.schema(c).dataType
+      require(dt == StringType ||
+          Seq[DataType](ByteType, ShortType, IntegerType, LongType,
+            BooleanType).contains(dt),
+        s"${t.name}: set skip-index column $c is ${dt.simpleString}; " +
+          "exact value sets support string, integral, and boolean columns")
+    }
+    require(t.setIndexCols.map(_._1).distinct.length == t.setIndexCols.length,
+      s"${t.name}: a column appears twice in setIndexCols")
     // token blooms tokenize text — only string columns have tokens
     t.tokenIndexCols.foreach { c =>
       require(t.schema(c).dataType == org.apache.spark.sql.types.StringType,
@@ -588,6 +611,8 @@ final class Catalog(spark: SparkSession) {
       ("materialized_cols" ->
         t.materializedCols.map { case (c, e) => Seq(c, e) }) ~
       ("column_codecs" -> t.columnCodecs.map { case (c, k) => Seq(c, k) }) ~
+      ("set_index_cols" ->
+        t.setIndexCols.map { case (c, n) => Seq(c, n.toString) }) ~
       ("semantics" -> sem)
     JsonMethods.compact(JsonMethods.render(obj))
   }
@@ -741,7 +766,8 @@ final class Catalog(spark: SparkSession) {
       pairList(j \ "materialized_cols"),
       // absent in pre-token-index / pre-column-codec sidecars → none
       list(j \ "token_index_cols"),
-      pairList(j \ "column_codecs")))
+      pairList(j \ "column_codecs"),
+      pairList(j \ "set_index_cols").map { case (c, n) => c -> n.toInt }))
     catch {
       case e: Throwable =>
         if (!tables.contains(name)) restorePrior.foreach(_.apply())
@@ -894,7 +920,7 @@ final class Catalog(spark: SparkSession) {
     */
   private def keyCols(t: TableDef): Set[String] =
     (t.sortKeys ++ t.partitionKeys ++ t.indexCols ++ t.minmaxCols ++
-      t.tokenIndexCols ++
+      t.tokenIndexCols ++ t.setIndexCols.map(_._1) ++
       (t.semantics match {
         case ReplacingDedup(keys, v, isDel) => (keys :+ v) ++ isDel
         case Summing(keys, cols) => keys ++ cols
@@ -1968,6 +1994,7 @@ final class Catalog(spark: SparkSession) {
     if (t.indexCols.nonEmpty) buildSkipIndex(t, path)
     if (t.minmaxCols.nonEmpty) buildMinmaxIndex(t, path)
     if (t.tokenIndexCols.nonEmpty) buildTokenIndex(t, path)
+    if (t.setIndexCols.nonEmpty) buildSetIndex(t, path)
   }
 
   // ---- bloom skip-index sidecars ---------------------------------------
@@ -2227,6 +2254,173 @@ final class Catalog(spark: SparkSession) {
     val df =
       if (kept.isEmpty) readVia(t, dataPaths(t)).limit(0)
       else readVia(t, kept.toSeq.map(_.toString))
+    (df, kept.size, all.size)
+  }
+
+  // ---- set skip-index sidecars -----------------------------------------
+  //
+  // ClickHouse `INDEX … TYPE set(N)`: the EXACT low-cardinality
+  // complement of the bloom index. Per data file per declared column, the
+  // sidecar stores the file's distinct values — IF there are at most N of
+  // them; a file that overflows the bound stores an overflow marker and
+  // is always kept (CH's unbounded-set rule: an enum-ish column prunes
+  // hard, a high-cardinality column degrades to "no pruning", never to
+  // wrong answers). Unlike the bloom, the probe has NO false positives:
+  // a kept file either really contains a probe value or overflowed.
+
+  private def setSidecar(dir: org.apache.hadoop.fs.Path, fileName: String,
+                         column: String) =
+    new org.apache.hadoop.fs.Path(dir, s"_idx/$fileName.$column.set")
+
+  /** Driver/sidecar render of one set value — string/integral/boolean
+    * only (enforced at CREATE), so `toString` is lossless and equality
+    * on the rendered form IS value equality. NULLs are not stored: SQL
+    * equality/IN never selects NULL rows, so a set without NULL prunes
+    * them correctly for the probe shapes this index serves.
+    */
+  private def setKey(v: Any): String = String.valueOf(v)
+
+  /** Set-index every parquet file under `dir` lacking a sidecar. Two
+    * bounded aggregate jobs over the DISTINCT (file, column, value)
+    * projection — never a per-file collect of raw rows:
+    *   1. distinct-count per (file, column) — decides overflow WITHOUT
+    *      materializing any value list;
+    *   2. value collection restricted to the under-bound groups, so no
+    *      executor ever holds more than N values per group (the
+    *      high-cardinality file that would blow the heap is exactly the
+    *      one job 1 already marked overflowed).
+    */
+  private def buildSetIndex(t: TableDef, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val f = fs(t)
+    val d = new Path(dir)
+    if (!f.exists(d)) return
+    val it = f.listFiles(d, true)
+    val files = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (it.hasNext) {
+      val s = it.next()
+      val n = s.getPath.getName
+      if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+          !s.getPath.toString.contains("/_idx/"))
+        files += s.getPath
+    }
+    val missing = files.filter { p =>
+      t.setIndexCols.exists { case (c, _) =>
+        !f.exists(setSidecar(p.getParent, p.getName, c))
+      }
+    }
+    if (missing.isEmpty) return
+    val cols = t.setIndexCols.filter { case (c, _) =>
+      t.schema.fieldNames.contains(c)
+    }
+    if (cols.isEmpty) return
+    val bounds = cols.toMap
+    val base = spark.read
+      .schema(StructType(cols.map { case (c, _) => t.schema(c) }))
+      .parquet(missing.map(_.toString).toSeq: _*)
+    // one narrow frame of rendered (file, column, value) triples
+    val triples = cols.map { case (c, _) =>
+      base.select(input_file_name().as("__file"), lit(c).as("__col"),
+        col(c).cast("string").as("__v"))
+        .filter(col("__v").isNotNull)
+    }.reduce(_.union(_)).distinct()
+    // job 1: distinct counts (no lists anywhere)
+    val counts = triples.groupBy(col("__file"), col("__col"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // job 2: values for the under-bound groups only (the per-column bound
+    // folds into one CASE column so a single filter gates every group)
+    val boundExpr = cols.map { case (c, n) =>
+      when(col("__col") === lit(c), lit(n))
+    }.reduce((a, b) => a.otherwise(b))
+    val smallSets = triples
+      .join(triples.groupBy(col("__file"), col("__col"))
+          .agg(count(lit(1)).as("__n")),
+        Seq("__file", "__col"))
+      .filter(col("__n") <= boundExpr)
+      .groupBy(col("__file"), col("__col"))
+      .agg(sort_array(collect_list(col("__v"))).as("vals"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getSeq[String](2))
+      .toMap
+    def writeSidecar(sc: Path, json: org.json4s.JObject): Unit = {
+      val out = f.create(sc, true)
+      try out.write(JsonMethods.compact(JsonMethods.render(json))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    // data-bearing (file, column) groups: the Path derives FROM the
+    // collected input_file_name URI (the buildTokenIndex rule — never
+    // string-compare two different renderings of one URI)
+    counts.foreach { case (key @ (fileUri, c), distinct) =>
+      val p = new Path(new java.net.URI(fileUri))
+      writeSidecar(setSidecar(p.getParent, p.getName, c),
+        if (distinct > bounds(c)) ("kind" -> "overflow"): org.json4s.JObject
+        else ("kind" -> "set") ~
+          ("vals" -> smallSets.getOrElse(key, Seq.empty[String])))
+    }
+    // columns all-null (or files empty) contribute no counts row — write
+    // the EMPTY set (prunes every probe, correctly: no value can match),
+    // and without a sidecar the file would re-enter the missing list on
+    // every append, re-scanning forever
+    missing.foreach { p =>
+      cols.foreach { case (c, _) =>
+        val sc = setSidecar(p.getParent, p.getName, c)
+        if (!f.exists(sc))
+          writeSidecar(sc,
+            ("kind" -> "set") ~ ("vals" -> Seq.empty[String]))
+      }
+    }
+  }
+
+  /** IN/equality-probe read through the set skip index: scan only the
+    * files whose exact value set intersects `values` (no sidecar or
+    * overflow marker → kept, fail open). Callers still apply the real
+    * predicate on top — not for false positives (the set is exact) but
+    * because a kept file still holds non-matching rows. Returns
+    * (frame, files scanned, files total).
+    */
+  def readSetPruned(name: String, column: String,
+                    values: Seq[Any]): (DataFrame, Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    import org.json4s.jackson.JsonMethods
+    val t = get(name)
+    require(t.setIndexCols.exists(_._1 == column),
+      s"$name: no set skip-index declared on $column")
+    require(values.nonEmpty, s"$name: empty IN-list probe")
+    require(t.partitionKeys.isEmpty,
+      s"$name: set-pruned reads target unpartitioned layouts")
+    require(t.semantics == Append,
+      s"$name: set-pruned reads require Append semantics " +
+        s"(merge views need every file of a key group)")
+    recoverInterruptedSwap(t)
+    val probe = values.map(setKey).toSet
+    val f = fs(t)
+    val all = listDataFiles(t).map(_.getPath)
+    val kept = all.filter { p =>
+      val sc = setSidecar(p.getParent, p.getName, column)
+      if (!f.exists(sc)) true // fail open: unindexed file might match
+      else {
+        val in = f.open(sc)
+        val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                   finally in.close()
+        val j = JsonMethods.parse(json)
+        (j \ "kind") match {
+          case org.json4s.JString("set") => (j \ "vals") match {
+            case org.json4s.JArray(xs) =>
+              xs.exists { case org.json4s.JString(s) => probe.contains(s)
+                          case _ => false }
+            case _ => true // malformed → fail open
+          }
+          case _ => true // overflow (or unknown kind) → kept
+        }
+      }
+    }
+    val df =
+      if (kept.isEmpty) readVia(t, dataPaths(t)).limit(0)
+      else readVia(t, kept.map(_.toString))
     (df, kept.size, all.size)
   }
 

@@ -107,6 +107,30 @@ object CatalogOps extends QueryModule {
     (df.filter(col("o_orderkey").between(KeyLo, KeyHi)), kept, total)
   }
 
+  /** The set-skip-index gate table: a Catalog copy of `orders` clustered
+    * by (o_orderpriority, o_orderkey) with an exact set(8) sidecar on
+    * the priority column — the CH `INDEX … TYPE set(N)` shape for
+    * enum-ish columns: clustering gives each file 1-2 of the 5 priority
+    * values, the sidecar stores them EXACTLY (no false positives, unlike
+    * the bloom), and an IN-probe drops every file whose set misses all
+    * probe values. Returns the pruned frame + (files kept, files total).
+    */
+  def setScanWithStats(s: SparkSession, d: String): (DataFrame, Int, Int) = {
+    val src = Tables.orders(s, d)
+    val cat = new Catalog(s)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cat-orders_set")
+    copyDirs.add(tmp)
+    cat.createTable(TableDef("orders_set",
+      tmp.resolve("orders_set").toString, src.schema,
+      sortKeys = Seq("o_orderpriority", "o_orderkey"), semantics = Append,
+      setIndexCols = Seq("o_orderpriority" -> 8)))
+    cat.append("orders_set", src)
+    val probe = Seq("1-URGENT", "3-MEDIUM")
+    val (df, kept, total) = cat.readSetPruned("orders_set",
+      "o_orderpriority", probe)
+    (df.filter(col("o_orderpriority").isin(probe: _*)), kept, total)
+  }
+
   /** The SAMPLE BY gate table: a Catalog copy of `orders` declared
     * `SAMPLE BY o_custkey` (Catalog.withSampleBy — stored md5-prefix
     * bucket column, bucket-led sort keys, bucket minmax sidecars), plus
@@ -371,6 +395,18 @@ object CatalogOps extends QueryModule {
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"),
           round(sum(col("o_totalprice")), 2).as("total"))),
+
+    // Exact set(N) skip index through the correctness gate: the IN-probe
+    // scan reads only the files whose stored value set intersects the
+    // probe (CatalogOpsSpec counts the skipped files); the oracle runs
+    // the same aggregate over the ORIGINAL table — equality proves the
+    // exact-set pruning never drops a matching row.
+    "cat_set_scan" -> ((s, d) =>
+      setScanWithStats(s, d)._1
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderpriority"))),
 
     // SAMPLE BY through the correctness gate: the stored-bucket window
     // read (file-pruned via the bucket minmax sidecars — CatalogOpsSpec
@@ -978,6 +1014,13 @@ object CatalogOps extends QueryModule {
       s"""SELECT count(*) AS n, min(o_orderkey) AS min_key,
          | max(o_orderkey) AS max_key, round(sum(o_totalprice), 2) AS total
          |FROM orders WHERE o_orderkey BETWEEN $KeyLo AND $KeyHi""".stripMargin,
+
+    // on the ORIGINAL table: exact-set pruning must be invisible
+    "cat_set_scan" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // the oracle replays the bucket window through the shared formatter
     // (Sampling.duckPredicate) on the ORIGINAL table — an independent

@@ -114,6 +114,74 @@ class CatalogOpsSpec extends SparkSpecBase {
     pruned.getDouble(1) shouldBe full.getDouble(1) +- 1e-6
   }
 
+  test("cat_set_scan gate query: exact-set pruning skips files; overflow fails open") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    val (df, kept, total) =
+      try CatalogOps.setScanWithStats(spark, sf0001)
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    total should be > 4
+    kept should be < total // 2-of-5 priorities, priority-clustered files
+    kept should be >= 1
+    // pruning invisible: pruned+filtered equals the source filtered
+    val want = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority").isin("1-URGENT", "3-MEDIUM")).count()
+    df.count() shouldBe want
+    // overflow fails open, never lies: a set(2) bound on the high-
+    // cardinality key column overflows in every file (customer sf0.001:
+    // ~tens of distinct keys per file) — all files kept, every probe row
+    // still found
+    import graft.catalog.{Append, Catalog, TableDef}
+    val cat = new Catalog(spark)
+    val src = Tables.customer(spark, sf0001)
+    cat.createTable(TableDef("cust_set", tmpDir("setidx") + "/cust_set",
+      src.schema, sortKeys = Seq("c_mktsegment", "c_custkey"),
+      semantics = Append,
+      setIndexCols = Seq("c_custkey" -> 2, "c_mktsegment" -> 10)))
+    cat.append("cust_set", src)
+    val (ov, keptO, totalO) = cat.readSetPruned("cust_set", "c_custkey", Seq(1L))
+    keptO shouldBe totalO // every sidecar is the overflow marker
+    ov.filter(col("c_custkey") === 1L).count() shouldBe 1L
+    // …while the low-cardinality column on the SAME (segment-clustered)
+    // table still prunes correctly through its own exact sets
+    val (nf, keptS, totalS) =
+      cat.readSetPruned("cust_set", "c_mktsegment", Seq("BUILDING"))
+    keptS should be < totalS
+    nf.filter(col("c_mktsegment") === "BUILDING").count() shouldBe
+      src.filter(col("c_mktsegment") === "BUILDING").count()
+    // declaration refusals: unknown column, non-positive bound, bad type
+    an[IllegalArgumentException] should be thrownBy
+      cat.createTable(TableDef("bad1", "/tmp/bad1", src.schema,
+        sortKeys = Seq("c_custkey"), semantics = Append,
+        setIndexCols = Seq("nope" -> 4)))
+    an[IllegalArgumentException] should be thrownBy
+      cat.createTable(TableDef("bad2", "/tmp/bad2", src.schema,
+        sortKeys = Seq("c_custkey"), semantics = Append,
+        setIndexCols = Seq("c_custkey" -> 0)))
+    an[IllegalArgumentException] should be thrownBy
+      cat.createTable(TableDef("bad3", "/tmp/bad3", src.schema,
+        sortKeys = Seq("c_custkey"), semantics = Append,
+        setIndexCols = Seq("c_acctbal" -> 4)))
+  }
+
+  test("set index declaration survives the _TABLE sidecar round-trip") {
+    import graft.catalog.{Append, Catalog, TableDef}
+    val cat = new Catalog(spark)
+    val src = Tables.region(spark, sf0001)
+    val path = tmpDir("setattach") + "/reg_set"
+    cat.createTable(TableDef("reg_set", path, src.schema,
+      sortKeys = Seq("r_regionkey"), semantics = Append,
+      setIndexCols = Seq("r_name" -> 8)))
+    cat.append("reg_set", src)
+    val cat2 = new Catalog(spark)
+    val re = cat2.attach(path)
+    re.setIndexCols shouldBe Seq("r_name" -> 8)
+    val (df, kept, total) = cat2.readSetPruned("reg_set", "r_name",
+      Seq("ASIA"))
+    kept should be <= total
+    df.filter(col("r_name") === "ASIA").count() shouldBe 1L
+  }
+
   test("cat_token_scan gate query: token pruning skips files, finds the row") {
     val (df, kept, total) = CatalogOps.tokenScanWithStats(spark, sf0001)
     total should be > 1
