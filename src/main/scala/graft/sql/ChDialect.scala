@@ -25,6 +25,14 @@ package graft.sql
   *     `current_timestamp()`/`current_date()`
   *   - `arrayJoin(x)` → `explode(x)`; `any(x)`/`anyLast(x)` →
   *     `any_value(x)`; `empty(x)`/`notEmpty(x)` → `(x = '')`/`(x <> '')`
+  *   - everyday scalar/aggregate breadth: `argMax/argMin` →
+  *     `max_by/min_by`; `groupArray/groupUniqArray` →
+  *     `collect_list/collect_set`; `maxIf/minIf` → filtered CASE
+  *     aggregates; `has/indexOf/arrayStringConcat/lengthUTF8` → their
+  *     Spark names; `position(h, n)` → `locate(n, h)` (argument swap);
+  *     `multiIf(…)` → the CASE chain; function-form casts (`toString`,
+  *     the `toIntN`/`toUIntN`/`toFloatN` families) → `CAST(… AS T)`
+  *     with the same widen-unsigned mapping as the `::` table
   *   - `cityHash64`/`sipHash64` → `xxhash64` (same bucketing role;
   *     hash VALUES differ — do not compare digests across engines)
   *   - table modifiers: `FINAL` stripped (catalog reads ARE the merged
@@ -115,6 +123,15 @@ object ChDialect {
     ("(?i)\\barrayJoin\\(".r, "explode("),
     ("(?i)\\banyLast\\(".r, "any_value("),
     ("(?i)\\bany\\(".r, "any_value("),
+    // everyday scalar/aggregate renames with identical argument shapes
+    ("(?i)\\bargMax\\(".r, "max_by("),
+    ("(?i)\\bargMin\\(".r, "min_by("),
+    ("(?i)\\bgroupArray\\(".r, "collect_list("),
+    ("(?i)\\bgroupUniqArray\\(".r, "collect_set("),
+    ("(?i)\\bhas\\(".r, "array_contains("),
+    ("(?i)\\bindexOf\\(".r, "array_position("),
+    ("(?i)\\barrayStringConcat\\(".r, "array_join("),
+    ("(?i)\\blengthUTF8\\(".r, "char_length("),
     ("(?i)\\buniq\\(".r, "approx_count_distinct("),
     ("(?i)\\bcityHash64\\(".r, "xxhash64("),
     ("(?i)\\bsipHash64\\(".r, "xxhash64("),
@@ -274,6 +291,43 @@ object ChDialect {
     })
     s = rewriteCall(s, "uniqExact",
       args => s"count(DISTINCT ${args.mkString(", ")})")
+    s = rewriteCall(s, "maxIf", {
+      case List(x, p) => s"max(CASE WHEN $p THEN $x END)"
+      case args => throw new IllegalArgumentException(
+        s"maxIf expects 2 arguments, got ${args.length}")
+    })
+    s = rewriteCall(s, "minIf", {
+      case List(x, p) => s"min(CASE WHEN $p THEN $x END)"
+      case args => throw new IllegalArgumentException(
+        s"minIf expects 2 arguments, got ${args.length}")
+    })
+    // CH position(haystack, needle) swaps arguments vs Spark's locate
+    s = rewriteCall(s, "position", {
+      case List(h, n) => s"locate($n, $h)"
+      case args => throw new IllegalArgumentException(
+        s"position expects 2 arguments, got ${args.length}")
+    })
+    // multiIf(c1, v1, c2, v2, …, else) → the CASE chain it abbreviates
+    s = rewriteCall(s, "multiIf", { args =>
+      require(args.length >= 3 && args.length % 2 == 1,
+        s"multiIf expects an odd argument count >= 3, got ${args.length}")
+      val whens = args.dropRight(1).grouped(2)
+        .map { case List(c, v) => s"WHEN $c THEN $v" }.mkString(" ")
+      s"(CASE $whens ELSE ${args.last} END)"
+    })
+    // function-form casts (the :: mapping's call-shaped siblings; unsigned
+    // widths map UP so every legal CH value fits, same as the :: table)
+    Seq("toString" -> "STRING", "toInt8" -> "TINYINT",
+      "toInt16" -> "SMALLINT", "toInt32" -> "INT", "toInt64" -> "BIGINT",
+      "toUInt8" -> "SMALLINT", "toUInt16" -> "INT", "toUInt32" -> "BIGINT",
+      "toUInt64" -> "BIGINT", "toFloat32" -> "FLOAT",
+      "toFloat64" -> "DOUBLE").foreach { case (fn, ty) =>
+      s = rewriteCall(s, fn, {
+        case List(x) => s"CAST($x AS $ty)"
+        case args => throw new IllegalArgumentException(
+          s"$fn expects 1 argument, got ${args.length}")
+      })
+    }
     s = rewriteCall(s, "empty", {
       case List(x) => s"($x = '')"
       case args => throw new IllegalArgumentException(

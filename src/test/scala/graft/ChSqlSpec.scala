@@ -143,6 +143,45 @@ class ChSqlSpec extends SparkSpecBase {
     plan should (include("Physical Plan") or include("WholeStageCodegen"))
   }
 
+  test("scalar/aggregate breadth: argMax, groupArray, multiIf, function casts agree") {
+    chEqualsSpark(
+      """SELECT o_orderstatus,
+        |  argMax(o_orderkey, o_totalprice) AS top_order,
+        |  argMin(o_orderkey, o_totalprice) AS bottom_order,
+        |  maxIf(o_totalprice, o_orderpriority = '1-URGENT') AS max_urgent,
+        |  minIf(o_totalprice, o_orderpriority = '1-URGENT') AS min_urgent,
+        |  toString(count()) AS n_str,
+        |  toUInt32(max(o_orderkey)) AS max_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      """SELECT o_orderstatus,
+        |  max_by(o_orderkey, o_totalprice) AS top_order,
+        |  min_by(o_orderkey, o_totalprice) AS bottom_order,
+        |  max(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END) AS max_urgent,
+        |  min(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END) AS min_urgent,
+        |  CAST(count(*) AS STRING) AS n_str,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    chEqualsSpark(
+      """SELECT r_regionkey,
+        |  multiIf(r_regionkey < 2, 'low', r_regionkey < 4, 'mid', 'high') AS bucket,
+        |  position(r_name, 'A') AS a_pos,
+        |  groupArray(r_name) AS names
+        |FROM region GROUP BY r_regionkey, r_name ORDER BY r_regionkey""".stripMargin,
+      """SELECT r_regionkey,
+        |  CASE WHEN r_regionkey < 2 THEN 'low'
+        |       WHEN r_regionkey < 4 THEN 'mid' ELSE 'high' END AS bucket,
+        |  locate('A', r_name) AS a_pos,
+        |  collect_list(r_name) AS names
+        |FROM region GROUP BY r_regionkey, r_name ORDER BY r_regionkey""".stripMargin)
+    // array ops: has / indexOf / arrayStringConcat over a built array
+    chEqualsSpark(
+      "SELECT has(array(1, 2, 3), 2) AS h, indexOf(array(5, 6), 6) AS i, " +
+        "arrayStringConcat(array('a', 'b'), '-') AS j",
+      "SELECT array_contains(array(1, 2, 3), 2) AS h, " +
+        "array_position(array(5, 6), 6) AS i, " +
+        "array_join(array('a', 'b'), '-') AS j")
+  }
+
   test("LIMIT n BY rewrites to a per-group row_number window and agrees") {
     chEqualsSpark(
       """SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders
