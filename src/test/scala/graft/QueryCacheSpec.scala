@@ -77,6 +77,21 @@ class QueryCacheSpec extends SparkSpecBase {
     computed.toSeq shouldBe Seq("a", "b", "c", "b")
   }
 
+  test("system.query_cache listing: rows, hits, age, staleness") {
+    val (clock, setTime) = fixedClock(0L)
+    val cache = new QueryCache(ttlMs = 100L, clock = clock)
+    def run = Tables.region(spark, sf0001).select(col("r_regionkey"))
+    cache.cached(spark, "q1", Seq("v"))(run)
+    cache.cached(spark, "q1", Seq("v"))(run) // one hit
+    setTime(150L) // q1 now past TTL
+    cache.cached(spark, "q2", Seq("v"))(run)
+    val rows = cache.listing(spark).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    rows.length shouldBe 2
+    rows.find(_._1 == "q1").get shouldBe (("q1", 5L, 1L, true)) // stale
+    rows.find(_._1 == "q2").get shouldBe (("q2", 5L, 0L, false))
+  }
+
   test("tableVersion moves on append and lightweight delete, not on read") {
     val src = Tables.region(spark, sf0001)
     val cat = new Catalog(spark)
