@@ -107,6 +107,40 @@ object CatalogOps extends QueryModule {
     (df.filter(col("o_orderkey").between(KeyLo, KeyHi)), kept, total)
   }
 
+  /** The DDL-entry gate table: `orders` re-declared through ClickHouse
+    * CREATE TABLE TEXT (ChDdl — Enum8 value validation, LowCardinality →
+    * parquet dictionary, a set(8) skip index, a MATERIALIZED ingest
+    * timestamp, MergeTree ORDER BY clustering), loaded, and read back
+    * through the set index. The reference's own DDL dialect driving the
+    * engine end to end.
+    */
+  def ddlScanWithStats(s: SparkSession, d: String): (DataFrame, Int, Int) = {
+    val cat = new Catalog(s)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cat-orders_ddl")
+    copyDirs.add(tmp)
+    graft.sql.ChDdl.createTable(cat,
+      """CREATE TABLE orders_ddl (
+        |  `o_orderkey` UInt64,
+        |  `o_custkey` UInt64,
+        |  `o_orderstatus` Enum8('F' = 1, 'O' = 2, 'P' = 3),
+        |  `o_totalprice` Float64,
+        |  `o_orderdate` Date,
+        |  `o_orderpriority` LowCardinality(String),
+        |  `loaded_at` DateTime MATERIALIZED now(),
+        |  INDEX pri_set o_orderpriority TYPE set(8) GRANULARITY 1
+        |) ENGINE = MergeTree
+        |ORDER BY (o_orderpriority, o_orderkey)
+        |SETTINGS index_granularity = 8192""".stripMargin,
+      tmp.resolve("orders_ddl").toString)
+    cat.append("orders_ddl", Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority")))
+    val probe = Seq("2-HIGH", "5-LOW")
+    val (df, kept, total) =
+      cat.readSetPruned("orders_ddl", "o_orderpriority", probe)
+    (df.filter(col("o_orderpriority").isin(probe: _*)), kept, total)
+  }
+
   /** The set-skip-index gate table: a Catalog copy of `orders` clustered
     * by (o_orderpriority, o_orderkey) with an exact set(8) sidecar on
     * the priority column — the CH `INDEX … TYPE set(N)` shape for
@@ -395,6 +429,18 @@ object CatalogOps extends QueryModule {
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"),
           round(sum(col("o_totalprice")), 2).as("total"))),
+
+    // The CH DDL TEXT entry point through the correctness gate: CREATE
+    // TABLE text (enum validation, LowCardinality, set index,
+    // MATERIALIZED column) declares the table, the load and the pruned
+    // read run through it, and the oracle recomputes over the ORIGINAL
+    // parquet — the reference's own dialect driving the engine.
+    "cat_ddl_create" -> ((s, d) =>
+      ddlScanWithStats(s, d)._1
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus"))),
 
     // Exact set(N) skip index through the correctness gate: the IN-probe
     // scan reads only the files whose stored value set intersects the
@@ -1014,6 +1060,13 @@ object CatalogOps extends QueryModule {
       s"""SELECT count(*) AS n, min(o_orderkey) AS min_key,
          | max(o_orderkey) AS max_key, round(sum(o_totalprice), 2) AS total
          |FROM orders WHERE o_orderkey BETWEEN $KeyLo AND $KeyHi""".stripMargin,
+
+    // on the ORIGINAL table: the DDL-declared load must be lossless
+    "cat_ddl_create" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderpriority IN ('2-HIGH', '5-LOW')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // on the ORIGINAL table: exact-set pruning must be invisible
     "cat_set_scan" ->

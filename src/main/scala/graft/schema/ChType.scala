@@ -64,6 +64,34 @@ object ChType {
     def sparkType: DataType = ArrayType(inner.sparkType)
   }
 
+  // ---- the remainder of the scalar family (round-9 DDL parser, ChDdl):
+  // same widen-unsigned / record-loss-as-metadata rules as above
+  case object ChUInt16 extends ChType {
+    def sparkType: DataType = IntegerType
+    override def metadata: Metadata =
+      new MetadataBuilder().putBoolean("unsigned", true).build()
+  }
+  case object ChInt16 extends ChType { def sparkType: DataType = ShortType }
+  case object ChInt64 extends ChType { def sparkType: DataType = LongType }
+  case object ChFloat32 extends ChType { def sparkType: DataType = FloatType }
+  case object ChFloat64 extends ChType { def sparkType: DataType = DoubleType }
+  case object ChBool extends ChType { def sparkType: DataType = BooleanType }
+  case object ChDate extends ChType { def sparkType: DataType = DateType }
+  final case class ChDecimal(precision: Int, scale: Int) extends ChType {
+    def sparkType: DataType = DecimalType(precision, scale)
+  }
+  /** Fixed width is a storage property, not a Spark type — recorded. */
+  final case class ChFixedString(n: Int) extends ChType {
+    def sparkType: DataType = StringType
+    override def metadata: Metadata =
+      new MetadataBuilder().putLong("fixedLength", n.toLong).build()
+  }
+  /** Spark fields are nullable by default — Nullable is the inner type. */
+  final case class ChNullable(inner: ChType) extends ChType {
+    def sparkType: DataType = inner.sparkType
+    override def metadata: Metadata = inner.metadata
+  }
+
   /** One declared column: position in the TSV is its index in the schema. */
   final case class Col(name: String, ch: ChType) {
     def field: StructField = StructField(name, ch.sparkType, nullable = true, ch.metadata)

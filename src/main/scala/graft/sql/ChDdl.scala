@@ -1,0 +1,474 @@
+package graft.sql
+
+import org.apache.spark.sql.types._
+import graft.catalog.{Append, Catalog, Collapsing, JoinAny, NullEngine,
+  ReplacingDedup, Summing, TableDef}
+import graft.schema.ChType
+import graft.schema.ChType._
+
+/** ClickHouse `CREATE TABLE` text → a registered [[TableDef]] — the DDL
+  * entry point the reference's own surface is written in
+  * (create_db.py:30-128, types.json `schema` strings): a user pastes the
+  * DDL they run today and gets the engine's analog of every clause.
+  *
+  * Clause mapping (each verified against the reference's own DDL by
+  * ChDdlSpec):
+  *
+  *   - column types through the [[graft.schema.ChType]] algebra (unsigned
+  *     widens, Enum8/16 → validated String + an automatic CHECK
+  *     constraint from the declared value set, `LowCardinality(T)` → the
+  *     inner type PLUS a `lowcardinality` per-column codec — parquet
+  *     dictionary encoding, the storage analog);
+  *   - `MATERIALIZED expr` → [[TableDef.materializedCols]], the
+  *     expression rewritten through [[ChDialect]] (so `now()` etc. work
+  *     as written); `CONSTRAINT n CHECK e` → constraints, same rewrite;
+  *   - `INDEX n col TYPE bloom_filter/minmax/set(N)/tokenbf_v1` → the
+  *     four skip-index families;
+  *   - `ENGINE =` MergeTree → Append; ReplacingMergeTree(ver) →
+  *     ReplacingDedup (no-argument form resolves its version to the
+  *     reference's own `updated_at MATERIALIZED now()` idiom when that
+  *     column exists — an arrival ordinal is REQUIRED for deterministic
+  *     last-wins, so absent both it fails loudly); SummingMergeTree
+  *     ([cols]; default = non-key numerics, the CH rule);
+  *     VersionedCollapsingMergeTree(sign, ver) → Collapsing; Null; Join
+  *     (ANY, LEFT, keys) → JoinAny; KeeperMap('path') → [[CreateQueue]]
+  *     (the reference's queue tables — our analog is the CAS
+  *     [[graft.queue.WorkQueue]], not a Catalog table);
+  *   - `ORDER BY` → sortKeys (`tuple()` → none); `PRIMARY KEY` must be a
+  *     sortKeys prefix (the CH rule; for KeeperMap it is the queue key);
+  *   - `PARTITION BY col` → partitionKeys; `PARTITION BY toYYYYMM(col)`
+  *     — the commonest CH partition expression — materializes the month
+  *     ordinal as a stored column and partitions by it;
+  *   - `SAMPLE BY col` → [[Catalog.withSampleBy]] (stored bucket column,
+  *     minmax pruning — the X85 machinery);
+  *   - `SETTINGS`/`TTL`/`COMMENT` parse and surface as warnings (engine
+  *     tuning knobs with no Spark-side meaning never silently change a
+  *     table's shape).
+  *
+  * Unsupported engines (AggregatingMergeTree — state kinds are a typed
+  * declaration, not inferable from DDL; sign-only CollapsingMergeTree —
+  * this engine implements the versioned variant) fail loudly.
+  */
+object ChDdl {
+
+  sealed trait Statement
+  /** A parsed table: register with `cat.createTable(t.tableDef)`. */
+  final case class CreateTable(tableDef: TableDef, warnings: Seq[String])
+    extends Statement
+  /** A KeeperMap queue table — the WorkQueue shape, not a Catalog table. */
+  final case class CreateQueue(name: String, primaryKey: String,
+                               keeperPath: String) extends Statement
+
+  /** Parse `ddl`; a CreateTable is rooted at `path`. */
+  def parse(ddl: String, path: String): Statement = {
+    val headRe =
+      "(?is)^\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([`\\w.]+)\\s*\\(".r
+    val m = headRe.findFirstMatchIn(ddl).getOrElse(
+      throw new IllegalArgumentException(
+        "expected CREATE TABLE <name> ( … ) — other statements are not DDL"))
+    val name = m.group(1).replace("`", "").split('.').last
+    val (body, afterBody) = balancedSection(ddl, m.end - 1)
+    val clauses = parseClauses(ddl.substring(afterBody))
+    val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
+    Seq("SETTINGS", "TTL", "COMMENT").foreach(k =>
+      clauses.get(k).foreach(v => warnings += s"$k $v: parsed and ignored " +
+        "(no Spark-side meaning)"))
+
+    val (engine, engineArgs) = clauses.get("ENGINE") match {
+      case Some(e) =>
+        val t = e.trim.stripPrefix("=").trim
+        val p = t.indexOf('(')
+        if (p < 0) (t, Nil)
+        else (t.substring(0, p).trim,
+          splitTopLevel(t.substring(p + 1, t.lastIndexOf(')'))).map(_.trim))
+      case None => throw new IllegalArgumentException(
+        s"$name: CREATE TABLE requires an ENGINE clause")
+    }
+
+    def keyList(clause: String): Seq[String] = {
+      val t = clause.trim
+      if (t.equalsIgnoreCase("tuple()")) Nil
+      else if (t.startsWith("("))
+        splitTopLevel(t.stripPrefix("(").stripSuffix(")")).map(_.trim.replace("`", ""))
+      else Seq(t.replace("`", ""))
+    }
+
+    if (engine.equalsIgnoreCase("KeeperMap")) {
+      val pk = clauses.getOrElse("PRIMARY KEY", throw new IllegalArgumentException(
+        s"$name: KeeperMap requires PRIMARY KEY"))
+      val kp = engineArgs.headOption.map(_.trim.stripPrefix("'").stripSuffix("'"))
+        .getOrElse("")
+      return CreateQueue(name, keyList(pk).head, kp)
+    }
+
+    // ---- column block ---------------------------------------------------
+    val cols = Seq.newBuilder[Col]
+    val constraints = Seq.newBuilder[(String, String)]
+    val materialized = Seq.newBuilder[(String, String)]
+    var indexCols = Seq.empty[String]
+    var minmaxCols = Seq.empty[String]
+    var tokenCols = Seq.empty[String]
+    var setCols = Seq.empty[(String, Int)]
+    var codecs = Seq.empty[(String, String)]
+
+    val conRe = "(?is)^CONSTRAINT\\s+(\\w+)\\s+CHECK\\s+(.+)$".r
+    val idxRe = ("(?is)^INDEX\\s+(\\w+)\\s+([`\\w]+)\\s+TYPE\\s+(\\w+)" +
+      "(?:\\((.*?)\\))?(?:\\s+GRANULARITY\\s+\\d+)?\\s*$").r
+    splitTopLevel(body).map(_.trim).filter(_.nonEmpty).foreach {
+      case conRe(cn, ce) => constraints += cn -> ChDialect.rewrite(ce.trim)
+      case idxRe(_, colName, kind, arg) =>
+        val c = colName.replace("`", "")
+        kind.toLowerCase match {
+          case "bloom_filter" => indexCols :+= c
+          case "minmax" => minmaxCols :+= c
+          case "set" =>
+            val n = Option(arg).map(_.trim).filter(_.nonEmpty).map(_.toInt)
+              .getOrElse(throw new IllegalArgumentException(
+                s"$name: INDEX TYPE set needs a max-distinct bound set(N)"))
+            setCols :+= c -> n
+          case "tokenbf_v1" | "ngrambf_v1" => tokenCols :+= c
+          case other => throw new IllegalArgumentException(
+            s"$name: unsupported skip-index type $other")
+        }
+      case item =>
+        val (cName, rest) = splitColName(item)
+        val mods = splitModifiers(rest)
+        val ch = parseType(mods.typeText.trim)
+        cols += Col(cName, ch)
+        mods.materialized.foreach(e =>
+          materialized += cName -> ChDialect.rewrite(e))
+        mods.default.foreach(_ =>
+          warnings += s"column $cName: DEFAULT parsed and ignored " +
+            "(declare defaults through the ALTER default machinery)")
+        mods.codec.foreach { c =>
+          val k = c.trim.takeWhile(ch => ch.isLetterOrDigit).toLowerCase
+          k match {
+            case "delta" | "doubledelta" => codecs :+= cName -> "delta"
+            case "zstd" | "lz4" | "none" =>
+              warnings += s"column $cName: CODEC($c) is a compression " +
+                "codec; parquet compresses file-wide (TableDef.codec)"
+            case other =>
+              warnings += s"column $cName: CODEC($other) has no parquet " +
+                "mapping; ignored"
+          }
+        }
+        // LowCardinality is an encoding declaration — carry it to the
+        // parquet dictionary knob (the storage analog), top level only
+        if (isLowCardinality(ch)) codecs :+= cName -> "lowcardinality"
+        // Enum declarations validate at insert: the declared value set
+        // becomes a CHECK constraint (SQL semantics — NULL passes)
+        enumValues(ch).foreach { vs =>
+          val lits = vs.map(v => "'" + v.replace("\\", "\\\\")
+            .replace("'", "\\'") + "'").mkString(", ")
+          constraints += s"${cName}_enum" -> s"$cName IS NULL OR $cName IN ($lits)"
+        }
+    }
+
+    var schema = ChType.structType(cols.result())
+    var sortKeys = clauses.get("ORDER BY").map(keyList).getOrElse(Nil)
+    clauses.get("PRIMARY KEY").foreach { pk =>
+      val p = keyList(pk)
+      require(sortKeys.startsWith(p),
+        s"$name: PRIMARY KEY (${p.mkString(", ")}) must be a prefix of " +
+          s"ORDER BY (${sortKeys.mkString(", ")}) — the ClickHouse rule")
+    }
+
+    var partitionKeys = Seq.empty[String]
+    clauses.get("PARTITION BY").foreach { p =>
+      val t = p.trim
+      val monthRe = "(?i)^toYYYYMM\\(\\s*([`\\w]+)\\s*\\)$".r
+      t match {
+        case monthRe(c0) =>
+          val c = c0.replace("`", "")
+          val pc = s"p_yyyymm_$c"
+          schema = schema.add(pc, IntegerType)
+          materialized += pc -> s"CAST(date_format($c, 'yyyyMM') AS INT)"
+          partitionKeys = Seq(pc)
+        case _ if !t.contains("(") => partitionKeys = keyList(t)
+        case other => throw new IllegalArgumentException(
+          s"$name: PARTITION BY $other — supported forms are a column " +
+            "list or toYYYYMM(col)")
+      }
+    }
+
+    val numericNonKey = schema.fields.filter(f =>
+      !sortKeys.contains(f.name) && !partitionKeys.contains(f.name) &&
+        f.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
+    val semantics = engine match {
+      case e if e.equalsIgnoreCase("MergeTree") => Append
+      case e if e.equalsIgnoreCase("ReplacingMergeTree") =>
+        val ver = engineArgs.headOption.orElse(
+          Option.when(schema.fieldNames.contains("updated_at"))("updated_at"))
+          .getOrElse(throw new IllegalArgumentException(
+            s"$name: ReplacingMergeTree needs a version column for " +
+              "deterministic last-wins — pass ReplacingMergeTree(ver) or " +
+              "declare `updated_at DateTime MATERIALIZED now()` (the " +
+              "reference's own idiom, types.json:7)"))
+        ReplacingDedup(sortKeys, ver.replace("`", ""),
+          engineArgs.drop(1).headOption.map(_.replace("`", "")))
+      case e if e.equalsIgnoreCase("SummingMergeTree") =>
+        val sumCols =
+          if (engineArgs.isEmpty) numericNonKey
+          else engineArgs.flatMap(a => keyList(a.trim))
+        Summing(sortKeys, sumCols)
+      case e if e.equalsIgnoreCase("VersionedCollapsingMergeTree") =>
+        require(engineArgs.length == 2,
+          s"$name: VersionedCollapsingMergeTree(sign, version)")
+        Collapsing(sortKeys, engineArgs(0).replace("`", ""),
+          engineArgs(1).replace("`", ""))
+      case e if e.equalsIgnoreCase("CollapsingMergeTree") =>
+        throw new IllegalArgumentException(
+          s"$name: sign-only CollapsingMergeTree is not supported — this " +
+            "engine implements the versioned variant " +
+            "(VersionedCollapsingMergeTree(sign, version))")
+      case e if e.equalsIgnoreCase("AggregatingMergeTree") =>
+        throw new IllegalArgumentException(
+          s"$name: AggregatingMergeTree state kinds are a typed " +
+            "declaration (Aggregating(keys, stateCols, kinds)) — not " +
+            "inferable from DDL text")
+      case e if e.equalsIgnoreCase("Null") => NullEngine
+      case e if e.equalsIgnoreCase("Join") =>
+        require(engineArgs.length >= 3 &&
+            engineArgs.head.equalsIgnoreCase("ANY") &&
+            engineArgs(1).equalsIgnoreCase("LEFT"),
+          s"$name: supported Join engine form is Join(ANY, LEFT, keys…)")
+        JoinAny(engineArgs.drop(2).map(_.replace("`", "")))
+      case other => throw new IllegalArgumentException(
+        s"$name: unsupported engine $other")
+    }
+
+    // partition keys must not carry per-column codecs (createTable rule)
+    codecs = codecs.filterNot { case (c, _) => partitionKeys.contains(c) }
+
+    var t = TableDef(name, path, schema, sortKeys, semantics,
+      partitionKeys = partitionKeys, indexCols = indexCols,
+      minmaxCols = minmaxCols, constraints = constraints.result(),
+      materializedCols = materialized.result(), tokenIndexCols = tokenCols,
+      columnCodecs = codecs, setIndexCols = setCols)
+    clauses.get("SAMPLE BY").foreach { sb =>
+      t = Catalog.withSampleBy(t, keyList(sb).head)
+    }
+    CreateTable(t, warnings.toSeq)
+  }
+
+  /** Parse + register in one step; queues are refused here (use WorkQueue). */
+  def createTable(cat: Catalog, ddl: String, path: String): TableDef =
+    parse(ddl, path) match {
+      case CreateTable(t, _) => cat.createTable(t)
+      case q: CreateQueue => throw new IllegalArgumentException(
+        s"${q.name}: KeeperMap is the queue engine — declare it through " +
+          "graft.queue.WorkQueue, not the table catalog")
+    }
+
+  // ---- lexical helpers ---------------------------------------------------
+
+  /** (content between the `(` at `open` and its match, index past `)`). */
+  private def balancedSection(s: String, open: Int): (String, Int) = {
+    require(open < s.length && s.charAt(open) == '(', "expected (")
+    var depth = 0; var i = open; var inQ = false; var inB = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else if (inB) { if (c == '`') inB = false }
+      else c match {
+        case '\'' => inQ = true
+        case '`' => inB = true
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return (s.substring(open + 1, i), i + 1)
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parentheses in DDL")
+  }
+
+  /** Top-level comma split, quote/backtick/paren aware; tolerates the
+    * trailing comma the reference's own DDL carries (create_db.py:40).
+    */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0; var inQ = false; var inB = false
+    s.foreach { c =>
+      if (inQ) { cur += c; if (c == '\'') inQ = false }
+      else if (inB) { cur += c; if (c == '`') inB = false }
+      else c match {
+        case '\'' => inQ = true; cur += c
+        case '`' => inB = true; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString
+    out.result()
+  }
+
+  /** Split the DDL tail into clauses keyed by their keyword. */
+  private def parseClauses(tail: String): Map[String, String] = {
+    val kws = Seq("ENGINE", "ORDER BY", "PRIMARY KEY", "PARTITION BY",
+      "SAMPLE BY", "SETTINGS", "TTL", "COMMENT")
+    // find keyword positions outside quotes/parens
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    var depth = 0; var inQ = false; var i = 0
+    val upper = tail.toUpperCase
+    while (i < tail.length) {
+      val c = tail.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false; i += 1 }
+      else c match {
+        case '\'' => inQ = true; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ =>
+          if (depth == 0) {
+            kws.find(k => upper.startsWith(k, i) &&
+                (i == 0 || !upper.charAt(i - 1).isLetterOrDigit) &&
+                (i + k.length >= tail.length ||
+                  !upper.charAt(i + k.length).isLetterOrDigit)) match {
+              case Some(k) => hits += i -> k; i += k.length
+              case None => i += 1
+            }
+          } else i += 1
+      }
+    }
+    hits.zipAll(hits.drop(1).map(h => Some(h)), (0, ""), None).collect {
+      case ((pos, k), next) if k.nonEmpty =>
+        val end = next.map(_._1).getOrElse(tail.length)
+        k -> tail.substring(pos + k.length, end).trim
+    }.toMap
+  }
+
+  private def splitColName(item: String): (String, String) = {
+    val t = item.trim
+    if (t.startsWith("`")) {
+      val e = t.indexOf('`', 1)
+      (t.substring(1, e), t.substring(e + 1))
+    } else {
+      val e = t.indexWhere(c => !c.isLetterOrDigit && c != '_')
+      if (e < 0) (t, "") else (t.substring(0, e), t.substring(e))
+    }
+  }
+
+  private final case class Mods(typeText: String,
+                                materialized: Option[String],
+                                default: Option[String],
+                                codec: Option[String])
+
+  /** Split a column tail into type text + MATERIALIZED/DEFAULT/CODEC. */
+  private def splitModifiers(rest: String): Mods = {
+    val kws = Seq("MATERIALIZED", "DEFAULT", "ALIAS", "CODEC", "COMMENT")
+    val upper = rest.toUpperCase
+    var depth = 0; var inQ = false; var i = 0
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    while (i < rest.length) {
+      val c = rest.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false; i += 1 }
+      else c match {
+        case '\'' => inQ = true; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ =>
+          if (depth == 0) {
+            kws.find(k => upper.startsWith(k, i) &&
+                (i == 0 || !upper.charAt(i - 1).isLetterOrDigit) &&
+                (i + k.length >= rest.length ||
+                  !upper.charAt(i + k.length).isLetterOrDigit)) match {
+              case Some(k) => hits += i -> k; i += k.length
+              case None => i += 1
+            }
+          } else i += 1
+      }
+    }
+    val typeEnd = hits.headOption.map(_._1).getOrElse(rest.length)
+    def section(k: String): Option[String] =
+      hits.zipWithIndex.collectFirst { case ((pos, `k`), idx) =>
+        val end = hits.lift(idx + 1).map(_._1).getOrElse(rest.length)
+        rest.substring(pos + k.length, end).trim
+      }
+    val codec = section("CODEC").map { c =>
+      val t = c.trim
+      if (t.startsWith("(")) t.stripPrefix("(").stripSuffix(")") else t
+    }
+    Mods(rest.substring(0, typeEnd), section("MATERIALIZED"),
+      section("DEFAULT"), codec)
+  }
+
+  // ---- type parsing ------------------------------------------------------
+
+  private[sql] def parseType(s: String): ChType = {
+    val t = s.trim
+    val p = t.indexOf('(')
+    val (ident, args) =
+      if (p < 0) (t, None)
+      else {
+        val (inner, after) = balancedSection(t, p)
+        require(t.substring(after).trim.isEmpty,
+          s"trailing text after type: '$t'")
+        (t.substring(0, p).trim, Some(inner))
+      }
+    def one = args.getOrElse(throw new IllegalArgumentException(
+      s"type $ident needs a parameter"))
+    ident.toLowerCase match {
+      case "string" => ChString
+      case "fixedstring" => ChFixedString(one.trim.toInt)
+      case "uint8" => ChUInt8
+      case "uint16" => ChUInt16
+      case "uint32" => ChUInt32
+      case "uint64" => ChUInt64
+      case "int8" => ChInt8
+      case "int16" => ChInt16
+      case "int32" => ChInt32
+      case "int64" => ChInt64
+      case "float32" => ChFloat32
+      case "float64" => ChFloat64
+      case "bool" | "boolean" => ChBool
+      case "uuid" => ChString // textual identity; no dedicated Spark type
+      case "date" | "date32" => ChDate
+      case "datetime" => ChDateTime // tz arg, if any, is display metadata
+      case "datetime64" => ChDateTime // micro precision is Spark's native
+      case "decimal" =>
+        val Array(pr, sc) = splitTopLevel(one).map(_.trim.toInt).toArray
+        ChDecimal(pr, sc)
+      case "lowcardinality" => ChLowCardinality(parseType(one))
+      case "nullable" => ChNullable(parseType(one))
+      case "array" => ChArray(parseType(one))
+      case "enum8" | "enum16" =>
+        val pairs = splitTopLevel(one).map { pair =>
+          val eq = lastTopLevelEq(pair)
+          val nm = pair.substring(0, eq).trim.stripPrefix("'").stripSuffix("'")
+          (nm, pair.substring(eq + 1).trim.toInt)
+        }
+        ChEnum8(pairs)
+      case other => throw new IllegalArgumentException(
+        s"unsupported ClickHouse type $other")
+    }
+  }
+
+  // the '=' separating name from code, never one inside the quoted name
+  private def lastTopLevelEq(pair: String): Int = {
+    var inQ = false
+    var last = -1
+    pair.zipWithIndex.foreach { case (c, i) =>
+      if (c == '\'') inQ = !inQ
+      else if (c == '=' && !inQ) last = i
+    }
+    require(last >= 0, s"Enum entry '$pair' has no = code")
+    last
+  }
+
+  private def isLowCardinality(t: ChType): Boolean = t match {
+    case ChLowCardinality(_) => true
+    case ChNullable(inner) => isLowCardinality(inner)
+    case _ => false
+  }
+
+  private def enumValues(t: ChType): Option[Seq[String]] = t match {
+    case ChEnum8(vs) => Some(vs.map(_._1))
+    case ChLowCardinality(inner) => enumValues(inner)
+    case ChNullable(inner) => enumValues(inner)
+    case _ => None
+  }
+}

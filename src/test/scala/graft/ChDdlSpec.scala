@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.catalog.{Append, Catalog, ReplacingDedup, Summing, TableDef}
+import graft.schema.{ChType, GhEventsSchema, GitSchemas}
+import graft.sql.ChDdl
+
+/** The DDL entry point proved against the reference's OWN statements:
+  * every `CREATE TABLE` the reference runs (types.json `schema` strings,
+  * create_db.py github_events + KeeperMap queues) must parse to exactly
+  * the hand-built schema/semantics this repo has carried since round 1 —
+  * so the parser and the transcribed schemas can never drift apart.
+  */
+class ChDdlSpec extends SparkSpecBase {
+
+  private lazy val typesJson: Map[String, String] = {
+    import org.json4s.jackson.JsonMethods
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/types.json")), "UTF-8")
+    (JsonMethods.parse(txt) \ "types") match {
+      case org.json4s.JArray(xs) => xs.map { t =>
+        val org.json4s.JString(n) = t \ "name"
+        val org.json4s.JString(s) = t \ "schema"
+        n -> s
+      }.toMap
+      case other => fail(s"types.json malformed: $other")
+    }
+  }
+
+  private lazy val ghEventsDdl: String = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/create_db.py")), "UTF-8")
+    val start = txt.indexOf("CREATE TABLE git.github_events")
+    start should be >= 0
+    txt.substring(start, txt.indexOf("\"\"\"", start))
+  }
+
+  test("the reference's git.commits DDL parses to the hand-built schema") {
+    val ChDdl.CreateTable(t, _) =
+      ChDdl.parse(typesJson("commits"), "/tmp/x")
+    t.name shouldBe "commits"
+    // 13 TSV columns + repo_name + the materialized updated_at
+    val expected = ChType.structType(GitSchemas.commits).fields.toSeq
+      .map(f => (f.name, f.dataType))
+    t.schema.fields.take(13).toSeq.map(f => (f.name, f.dataType)) shouldBe expected
+    t.schema.fieldNames.drop(13).toSeq shouldBe Seq("repo_name", "updated_at")
+    t.sortKeys shouldBe GitSchemas.commitsSortKey
+    // no version argument in the DDL: resolves to the reference's own
+    // `updated_at MATERIALIZED now()` idiom
+    t.semantics shouldBe ReplacingDedup(GitSchemas.commitsSortKey, "updated_at", None)
+    t.materializedCols shouldBe Seq("updated_at" -> "current_timestamp()")
+    // LowCardinality columns surface as parquet dictionary declarations
+    t.columnCodecs should contain ("author" -> "lowcardinality")
+    t.columnCodecs should contain ("repo_name" -> "lowcardinality")
+  }
+
+  test("the reference's git.file_changes DDL parses: enum constraint + 24 columns") {
+    val ChDdl.CreateTable(t, _) =
+      ChDdl.parse(typesJson("file_changes"), "/tmp/x")
+    t.schema.fields.length shouldBe 24 // 22 TSV + repo_name + updated_at
+    t.schema("change_type").dataType shouldBe StringType
+    // the Enum8 declaration became an insert-time CHECK constraint
+    val enumCon = t.constraints.find(_._1 == "change_type_enum")
+    enumCon.isDefined shouldBe true
+    enumCon.get._2 should include ("'Add'")
+    enumCon.get._2 should include ("'Type'")
+    t.semantics match {
+      case ReplacingDedup(keys, ver, None) =>
+        keys shouldBe Seq("repo_name", "time", "commit_hash", "path")
+        ver shouldBe "updated_at"
+      case other => fail(s"unexpected semantics $other")
+    }
+  }
+
+  test("the reference's 54-column github_events DDL parses to GhEventsSchema") {
+    val ChDdl.CreateTable(t, warnings) = ChDdl.parse(ghEventsDdl, "/tmp/x")
+    val expected = ChType.structType(GhEventsSchema.columns).fields.toSeq
+      .map(f => (f.name, f.dataType))
+    t.schema.fields.toSeq.map(f => (f.name, f.dataType)) shouldBe expected
+    t.sortKeys shouldBe GhEventsSchema.sortKey
+    t.semantics shouldBe Append
+    // 7 Enum8 columns → 7 automatic enum CHECK constraints
+    t.constraints.count(_._1.endsWith("_enum")) shouldBe 7
+    // SETTINGS index_granularity parsed and ignored, loudly
+    warnings.exists(_.startsWith("SETTINGS")) shouldBe true
+  }
+
+  test("KeeperMap DDL parses to a queue declaration, refused by the catalog") {
+    val ddl =
+      """CREATE TABLE git_queue.tasks (
+        |  `repo_name` String,
+        |  `scheduled` DateTime,
+        |  `priority` Int32,
+        |  `worker_id` String,
+        |  `started_time` DateTime,
+        |) ENGINE = KeeperMap('git_queue') PRIMARY KEY repo_name""".stripMargin
+    ChDdl.parse(ddl, "/tmp/x") shouldBe
+      ChDdl.CreateQueue("tasks", "repo_name", "git_queue")
+    an[IllegalArgumentException] should be thrownBy
+      ChDdl.createTable(new Catalog(spark), ddl, "/tmp/x")
+  }
+
+  test("clause mapping: PARTITION BY toYYYYMM, SAMPLE BY, skip indexes, Summing") {
+    val ChDdl.CreateTable(t, _) = ChDdl.parse(
+      """CREATE TABLE m (
+        |  `k` UInt64,
+        |  `d` Date,
+        |  `seg` LowCardinality(String),
+        |  `v` Float64,
+        |  INDEX bl k TYPE bloom_filter GRANULARITY 4,
+        |  INDEX mm v TYPE minmax,
+        |  INDEX st seg TYPE set(8),
+        |  INDEX tk seg TYPE tokenbf_v1(1024, 3, 0)
+        |) ENGINE = SummingMergeTree
+        |PARTITION BY toYYYYMM(d)
+        |ORDER BY (seg, k)
+        |SAMPLE BY k""".stripMargin, "/tmp/x")
+    t.partitionKeys shouldBe Seq("p_yyyymm_d")
+    t.materializedCols.map(_._1) should contain ("p_yyyymm_d")
+    t.schema.fieldNames should contain (Catalog.SampleCol) // SAMPLE BY applied
+    t.indexCols shouldBe Seq("k")
+    t.minmaxCols shouldBe Seq("v", Catalog.SampleCol)
+    t.setIndexCols shouldBe Seq("seg" -> 8)
+    t.tokenIndexCols shouldBe Seq("seg")
+    t.semantics match {
+      case Summing(keys, cols) =>
+        keys shouldBe Seq("seg", "k")
+        // CH default: every numeric non-key column sums (the materialized
+        // partition ordinal and sample bucket are derived, not measures —
+        // they land in the sum set under the plain numeric rule, which is
+        // why real Summing DDL names its columns; here v is among them)
+        cols should contain ("v")
+      case other => fail(s"unexpected semantics $other")
+    }
+  }
+
+  test("refusals: unsupported engines and types fail loudly") {
+    def ddl(engine: String) =
+      s"CREATE TABLE t (`k` UInt64, `s` Int8, `v` UInt64) ENGINE = $engine ORDER BY k"
+    an[IllegalArgumentException] should be thrownBy
+      ChDdl.parse(ddl("AggregatingMergeTree"), "/tmp/x")
+    an[IllegalArgumentException] should be thrownBy
+      ChDdl.parse(ddl("CollapsingMergeTree(s)"), "/tmp/x")
+    an[IllegalArgumentException] should be thrownBy
+      ChDdl.parse(ddl("GraphiteMergeTree"), "/tmp/x")
+    an[IllegalArgumentException] should be thrownBy
+      ChDdl.parse("CREATE TABLE t (`x` Map(String, String)) ENGINE = MergeTree ORDER BY tuple()", "/tmp/x")
+    an[IllegalArgumentException] should be thrownBy // no version, no updated_at
+      ChDdl.parse("CREATE TABLE t (`k` UInt64) ENGINE = ReplacingMergeTree ORDER BY k", "/tmp/x")
+    an[IllegalArgumentException] should be thrownBy // pk not a sort prefix
+      ChDdl.parse("CREATE TABLE t (`a` UInt64, `b` UInt64) ENGINE = MergeTree ORDER BY a PRIMARY KEY b", "/tmp/x")
+  }
+
+  test("end to end: reference-idiom Replacing DDL registers, validates enums, dedups") {
+    val cat = new Catalog(spark)
+    val path = tmpDir("chddl") + "/ev"
+    val t = ChDdl.createTable(cat,
+      """CREATE TABLE ev (
+        |  `k` UInt64,
+        |  `state` Enum8('open' = 1, 'closed' = 2),
+        |  `n` UInt32,
+        |  `updated_at` DateTime MATERIALIZED now()
+        |) ENGINE = ReplacingMergeTree ORDER BY k""".stripMargin, path)
+    t.path shouldBe path
+    import spark.implicits._
+    cat.append("ev", Seq((1L, "open", 10L), (2L, "open", 20L))
+      .toDF("k", "state", "n"))
+    // the Enum8 CHECK constraint rejects an undeclared value, atomically
+    an[Exception] should be thrownBy
+      cat.append("ev", Seq((3L, "banana", 1L)).toDF("k", "state", "n"))
+    // last-wins on the materialized arrival ordinal
+    cat.append("ev", Seq((1L, "closed", 11L)).toDF("k", "state", "n"))
+    val rows = cat.read("ev").select("k", "state", "n")
+      .orderBy(col("k")).collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    rows.toSeq shouldBe Seq((1L, "closed", 11L), (2L, "open", 20L))
+  }
+}
