@@ -58,14 +58,53 @@ object ChDdl {
   /** A KeeperMap queue table — the WorkQueue shape, not a Catalog table. */
   final case class CreateQueue(name: String, primaryKey: String,
                                keeperPath: String) extends Statement
+  /** `CREATE MATERIALIZED VIEW name TO target AS select` — the reference's
+    * insert-trigger rollup (README.md:256-262). `source` is the single
+    * FROM table; registering wires the select as the per-batch transform
+    * of the catalog's MV cascade.
+    */
+  final case class CreateMaterializedView(name: String, target: String,
+                                          source: String, selectSql: String)
+    extends Statement
+  /** `INSERT INTO target select` — the reference's MV backfill
+    * (README.md:263-266): run once over the source table's CURRENT
+    * contents, append to the target.
+    */
+  final case class InsertSelect(target: String, source: String,
+                                selectSql: String) extends Statement
+
+  private val mvRe =
+    ("(?is)^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "([`\\w.]+)\\s+TO\\s+([`\\w.]+)\\s+AS\\s+(SELECT\\b.*)$").r
+  private val insRe =
+    "(?is)^\\s*INSERT\\s+INTO\\s+([`\\w.]+)\\s+(SELECT\\b.*)$".r
+  private val fromRe = "(?is)\\bFROM\\s+([`\\w.]+)".r
+
+  private def bare(n: String): String = n.replace("`", "").split('.').last
+
+  private def sourceOf(select: String, what: String): String =
+    fromRe.findFirstMatchIn(select).map(m => bare(m.group(1)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$what: SELECT has no FROM table"))
 
   /** Parse `ddl`; a CreateTable is rooted at `path`. */
   def parse(ddl: String, path: String): Statement = {
+    mvRe.findFirstMatchIn(ddl).foreach { m =>
+      val sel = m.group(3).trim
+      return CreateMaterializedView(bare(m.group(1)), bare(m.group(2)),
+        sourceOf(sel, "CREATE MATERIALIZED VIEW"), sel)
+    }
+    insRe.findFirstMatchIn(ddl).foreach { m =>
+      val sel = m.group(2).trim
+      return InsertSelect(bare(m.group(1)),
+        sourceOf(sel, "INSERT INTO … SELECT"), sel)
+    }
     val headRe =
       "(?is)^\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([`\\w.]+)\\s*\\(".r
     val m = headRe.findFirstMatchIn(ddl).getOrElse(
       throw new IllegalArgumentException(
-        "expected CREATE TABLE <name> ( … ) — other statements are not DDL"))
+        "expected CREATE TABLE / CREATE MATERIALIZED VIEW / INSERT INTO " +
+          "SELECT — other statements are not DDL"))
     val name = m.group(1).replace("`", "").split('.').last
     val (body, afterBody) = balancedSection(ddl, m.end - 1)
     val clauses = parseClauses(ddl.substring(afterBody))
@@ -258,6 +297,59 @@ object ChDdl {
       case q: CreateQueue => throw new IllegalArgumentException(
         s"${q.name}: KeeperMap is the queue engine — declare it through " +
           "graft.queue.WorkQueue, not the table catalog")
+      case other => throw new IllegalArgumentException(
+        s"expected CREATE TABLE, got ${other.getClass.getSimpleName}")
+    }
+
+  /** Run `selectSql` (CH dialect) with `frame` standing in for `source`:
+    * the frame registers under a per-statement view name and the FROM
+    * reference rewrites to it. Bare column references only (the
+    * reference's own MV text uses bare columns) — a `source.col`
+    * qualification fails loudly at the parser.
+    */
+  private def selectOver(s: org.apache.spark.sql.SparkSession, source: String,
+                         selectSql: String,
+                         frame: org.apache.spark.sql.DataFrame,
+                         viewTag: String): org.apache.spark.sql.DataFrame = {
+    val view = s"__chddl_${viewTag}_$source"
+    frame.createOrReplaceTempView(view)
+    val sub = ("(?is)\\bFROM\\s+[`\\w.]*" +
+      java.util.regex.Pattern.quote(source) + "\\b").r
+      .replaceAllIn(selectSql, s"FROM $view")
+    s.sql(GraftSql.expandFunctions(ChDialect.rewrite(sub)))
+  }
+
+  /** `CREATE MATERIALIZED VIEW … TO target AS SELECT …` (the reference's
+    * README.md:256-262 statement, as written): wires the select as the
+    * per-batch transform of the catalog's insert-trigger MV cascade —
+    * every future append to the source folds its batch through the
+    * select into the target (whose own engine — Summing for the stars
+    * rollup — merges the partials).
+    */
+  def createMaterializedView(cat: Catalog,
+                             s: org.apache.spark.sql.SparkSession,
+                             ddl: String): Unit =
+    parse(ddl, "") match {
+      case mv: CreateMaterializedView =>
+        cat.createMaterializedView(mv.source, mv.name, mv.target,
+          batch => selectOver(s, mv.source, mv.selectSql, batch, mv.name))
+      case other => throw new IllegalArgumentException(
+        s"expected CREATE MATERIALIZED VIEW, got ${other.getClass.getSimpleName}")
+    }
+
+  /** `INSERT INTO target SELECT … FROM source` (the reference's MV
+    * backfill, README.md:263-266): one pass over the source's CURRENT
+    * merged contents, appended to the target.
+    */
+  def insertSelect(cat: Catalog, s: org.apache.spark.sql.SparkSession,
+                   ddl: String): Unit =
+    parse(ddl, "") match {
+      case i: InsertSelect =>
+        cat.append(i.target, selectOver(s, i.source, i.selectSql,
+          cat.read(i.source), s"backfill_${i.target}"))
+        ()
+      case other => throw new IllegalArgumentException(
+        s"expected INSERT INTO … SELECT, got ${other.getClass.getSimpleName}")
     }
 
   // ---- lexical helpers ---------------------------------------------------

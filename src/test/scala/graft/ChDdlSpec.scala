@@ -152,6 +152,65 @@ class ChDdlSpec extends SparkSpecBase {
       ChDdl.parse("CREATE TABLE t (`a` UInt64, `b` UInt64) ENGINE = MergeTree ORDER BY a PRIMARY KEY b", "/tmp/x")
   }
 
+  test("the reference's full MV pipeline runs from DDL text alone") {
+    // Every statement here is the reference's own dialect: the 54-column
+    // github_events CREATE TABLE (create_db.py:69-128), the github_stars
+    // SummingMergeTree table and the github_stars_mv statement
+    // (README.md:247-262), and the backfill INSERT (README.md:263-266).
+    import org.apache.spark.sql.Row
+    val cat = new Catalog(spark)
+    val dir = tmpDir("chddl-mv")
+    val ev = ChDdl.createTable(cat, ghEventsDdl, s"$dir/github_events")
+    ChDdl.createTable(cat,
+      """CREATE TABLE github_stars (
+        |    `repo_name` LowCardinality(String),
+        |    `stars`     UInt64
+        |) ENGINE = SummingMergeTree
+        |ORDER BY repo_name""".stripMargin, s"$dir/github_stars")
+    ChDdl.createMaterializedView(cat, spark,
+      """CREATE MATERIALIZED VIEW github_stars_mv TO github_stars AS
+        |SELECT repo_name,
+        |       count() AS stars
+        |FROM github_events
+        |WHERE event_type = 'WatchEvent'
+        |GROUP BY repo_name""".stripMargin)
+    // a 54-column batch: NULL everywhere except the columns under test
+    // (the Enum8 CHECK constraints pass NULL — SQL semantics)
+    def event(tpe: String, repo: String): Row =
+      Row.fromSeq(ev.schema.fields.toSeq.map { f =>
+        f.name match {
+          case "event_type" => tpe
+          case "repo_name" => repo
+          case _ => null
+        }
+      })
+    def append(rows: Row*): Unit =
+      cat.append("github_events", spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), ev.schema))
+    append(event("WatchEvent", "a"), event("WatchEvent", "a"),
+      event("WatchEvent", "b"), event("PushEvent", "a"))
+    append(event("WatchEvent", "a"), event("PushEvent", "c"))
+    // the insert-trigger MV folded each batch through the select; the
+    // Summing target merged the partials: a = 2 + 1, b = 1
+    val stars = cat.read("github_stars").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    stars shouldBe Map("a" -> 3L, "b" -> 1L)
+    // backfill shape: one pass over current contents into a fresh target
+    ChDdl.createTable(cat,
+      """CREATE TABLE github_stars_bf (
+        |    `repo_name` LowCardinality(String),
+        |    `stars`     UInt64
+        |) ENGINE = SummingMergeTree ORDER BY repo_name""".stripMargin,
+      s"$dir/github_stars_bf")
+    ChDdl.insertSelect(cat, spark,
+      """INSERT INTO github_stars_bf
+        |SELECT repo_name, countIf(event_type = 'WatchEvent') AS stars
+        |FROM github_events GROUP BY repo_name""".stripMargin)
+    val bf = cat.read("github_stars_bf").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bf shouldBe Map("a" -> 3L, "b" -> 1L, "c" -> 0L)
+  }
+
   test("end to end: reference-idiom Replacing DDL registers, validates enums, dedups") {
     val cat = new Catalog(spark)
     val path = tmpDir("chddl") + "/ev"
