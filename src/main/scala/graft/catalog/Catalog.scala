@@ -3365,6 +3365,13 @@ final class Catalog(spark: SparkSession) {
   def compact(name: String): Unit =
     mutate(name, identity, "OPTIMIZE TABLE FINAL")
 
+  /** `TRUNCATE TABLE name` — removes every row through the same
+    * crash-safe rewrite as [[compact]] (ClickHouse semantics: the table
+    * definition, indexes, and defaults survive; only data goes).
+    */
+  def truncate(name: String): Unit =
+    mutate(name, _.limit(0), "TRUNCATE TABLE")
+
   // ---- system.mutations analog ------------------------------------------
   //
   // ClickHouse records every ALTER mutation in system.mutations and ops

@@ -442,6 +442,54 @@ object CatalogOps extends QueryModule {
           round(sum(col("o_totalprice")), 2).as("total"))
         .orderBy(col("o_orderstatus"))),
 
+    // The ALTER/ops DDL TEXT entry point through the gate: after the
+    // load, the table is deduplicated, evolved, mutated, and partition-
+    // pruned ENTIRELY by a pasted ClickHouse runbook — OPTIMIZE FINAL
+    // DEDUPLICATE, ADD COLUMN DEFAULT, UPDATE … WHERE, DELETE WHERE,
+    // DROP PARTITION, DROP/MODIFY/RENAME COLUMN — each verb dispatching
+    // to the existing crash-safe Catalog machinery (ChDdl.runScript).
+    // The final read must equal the oracle's independent recomputation
+    // of the whole chain from the ORIGINAL parquet.
+    "cat_ddl_alter" -> ((s, d) => {
+      val cat = new Catalog(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-orders_alter")
+      copyDirs.add(tmp)
+      graft.sql.ChDdl.runScript(cat, s,
+        """CREATE TABLE orders_alter (
+          |  `o_orderkey` UInt64,
+          |  `o_custkey` UInt64,
+          |  `o_orderstatus` LowCardinality(String),
+          |  `o_totalprice` Float64,
+          |  `o_orderpriority` String,
+          |  `o_year` Int32,
+          |  `o_clerk` String
+          |) ENGINE = MergeTree
+          |ORDER BY o_orderkey
+          |PARTITION BY o_orderstatus""".stripMargin, tmp.toString)
+      val src = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"),
+        year(col("o_orderdate")).cast("int").as("o_year"),
+        concat(lit("clerk#"), col("o_custkey") % 1000).as("o_clerk"))
+      cat.append("orders_alter", src)
+      cat.append("orders_alter", src) // deliberate full-duplicate batch
+      graft.sql.ChDdl.runScript(cat, s,
+        """OPTIMIZE TABLE orders_alter FINAL DEDUPLICATE;
+          |ALTER TABLE orders_alter ADD COLUMN band String DEFAULT 'std';
+          |ALTER TABLE orders_alter UPDATE band = 'big' WHERE o_totalprice > 200000;
+          |ALTER TABLE orders_alter DELETE WHERE o_orderpriority = '1-URGENT';
+          |ALTER TABLE orders_alter DROP PARTITION 'P';
+          |ALTER TABLE orders_alter DROP COLUMN o_clerk;
+          |ALTER TABLE orders_alter MODIFY COLUMN o_year Int64;
+          |ALTER TABLE orders_alter RENAME COLUMN o_orderpriority TO priority
+          |""".stripMargin, tmp.toString)
+      cat.read("orders_alter")
+        .groupBy(col("o_orderstatus"), col("band"))
+        .agg(count(lit(1)).as("n"), sum(col("o_year")).as("year_sum"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus"), col("band"))
+    }),
+
     // Exact set(N) skip index through the correctness gate: the IN-probe
     // scan reads only the files whose stored value set intersects the
     // probe (CatalogOpsSpec counts the skipped files); the oracle runs
@@ -1067,6 +1115,18 @@ object CatalogOps extends QueryModule {
         | round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderpriority IN ('2-HIGH', '5-LOW')
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the whole runbook chain recomputed independently on the ORIGINAL
+    // table: dedup of the double append, the band UPDATE, the priority
+    // DELETE, the 'P' partition drop — column verbs are shape-only
+    "cat_ddl_alter" ->
+      """SELECT o_orderstatus,
+        | CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'std' END AS band,
+        | count(*) AS n, sum(year(o_orderdate))::BIGINT AS year_sum,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderpriority <> '1-URGENT' AND o_orderstatus <> 'P'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // on the ORIGINAL table: exact-set pruning must be invisible
     "cat_set_scan" ->

@@ -73,6 +73,34 @@ object ChDdl {
   final case class InsertSelect(target: String, source: String,
                                 selectSql: String) extends Statement
 
+  /** One command of an `ALTER TABLE` statement. ClickHouse joins several
+    * with commas; each maps 1:1 onto a [[Catalog]] verb (all already
+    * crash-safe), so the text entry point is dispatch, not new machinery.
+    */
+  sealed trait AlterCmd
+  final case class AddColumnCmd(field: StructField,
+                                defaultSql: Option[String]) extends AlterCmd
+  final case class DropColumnCmd(column: String) extends AlterCmd
+  final case class RenameColumnCmd(from: String, to: String) extends AlterCmd
+  final case class ModifyColumnCmd(column: String,
+                                   newType: DataType) extends AlterCmd
+  final case class DeleteCmd(whereSql: String) extends AlterCmd
+  final case class UpdateCmd(set: Seq[(String, String)],
+                             whereSql: String) extends AlterCmd
+  final case class DropPartitionCmd(value: String) extends AlterCmd
+  final case class DetachPartitionCmd(value: String) extends AlterCmd
+  final case class AttachPartitionCmd(value: String) extends AlterCmd
+  final case class FreezeCmd(tag: String) extends AlterCmd
+
+  /** `ALTER TABLE name cmd[, cmd…]` — the runbook mutation surface. */
+  final case class AlterTable(table: String, cmds: Seq[AlterCmd])
+    extends Statement
+  /** `OPTIMIZE TABLE name [FINAL] [DEDUPLICATE [BY cols]]`. */
+  final case class OptimizeTable(table: String, dedup: Boolean,
+                                 by: Seq[String]) extends Statement
+  /** `TRUNCATE TABLE [IF EXISTS] name`. */
+  final case class TruncateTable(table: String) extends Statement
+
   private val mvRe =
     ("(?is)^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
       "([`\\w.]+)\\s+TO\\s+([`\\w.]+)\\s+AS\\s+(SELECT\\b.*)$").r
@@ -87,8 +115,28 @@ object ChDdl {
       .getOrElse(throw new IllegalArgumentException(
         s"$what: SELECT has no FROM table"))
 
+  private val alterRe =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+([`\\w.]+)\\s+(.+)$".r
+  private val optimizeRe =
+    ("(?is)^\\s*OPTIMIZE\\s+TABLE\\s+([`\\w.]+)(\\s+FINAL)?" +
+      "(?:\\s+DEDUPLICATE(?:\\s+BY\\s+(.+?))?)?\\s*$").r
+  private val truncateRe =
+    "(?is)^\\s*TRUNCATE\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?([`\\w.]+)\\s*$".r
+
   /** Parse `ddl`; a CreateTable is rooted at `path`. */
   def parse(ddl: String, path: String): Statement = {
+    alterRe.findFirstMatchIn(ddl).foreach { m =>
+      return AlterTable(bare(m.group(1)), parseAlterCmds(m.group(2).trim))
+    }
+    optimizeRe.findFirstMatchIn(ddl).foreach { m =>
+      val hasDedup = "(?i)\\bDEDUPLICATE\\b".r.findFirstIn(ddl).isDefined
+      val by = Option(m.group(3)).map(b =>
+        splitTopLevel(b).map(_.trim.replace("`", ""))).getOrElse(Nil)
+      return OptimizeTable(bare(m.group(1)), hasDedup, by)
+    }
+    truncateRe.findFirstMatchIn(ddl).foreach { m =>
+      return TruncateTable(bare(m.group(1)))
+    }
     mvRe.findFirstMatchIn(ddl).foreach { m =>
       val sel = m.group(3).trim
       return CreateMaterializedView(bare(m.group(1)), bare(m.group(2)),
@@ -352,6 +400,224 @@ object ChDdl {
         s"expected INSERT INTO … SELECT, got ${other.getClass.getSimpleName}")
     }
 
+  // ---- ALTER / ops statement surface ------------------------------------
+
+  private val cmdHeads = Seq("ADD COLUMN", "DROP COLUMN", "RENAME COLUMN",
+    "MODIFY COLUMN", "COMMENT COLUMN", "DELETE", "UPDATE", "DROP PARTITION",
+    "DETACH PARTITION", "ATTACH PARTITION", "FREEZE")
+
+  /** Split the ALTER tail into commands: a top-level comma separates
+    * commands only when a command keyword follows — commas inside an
+    * UPDATE assignment list or a type's arguments stay put.
+    */
+  private def splitAlterCmds(tail: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val upper = tail.toUpperCase
+    var depth = 0; var inQ = false; var inB = false; var i = 0; var start = 0
+    while (i < tail.length) {
+      val c = tail.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else if (inB) { if (c == '`') inB = false }
+      else c match {
+        case '\'' => inQ = true
+        case '`' => inB = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          var j = i + 1
+          while (j < tail.length && tail.charAt(j).isWhitespace) j += 1
+          if (cmdHeads.exists(h => upper.startsWith(h, j) &&
+              (j + h.length >= tail.length ||
+                !isWordChar(upper.charAt(j + h.length))))) {
+            out += tail.substring(start, i).trim
+            start = i + 1
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    if (tail.substring(start).trim.nonEmpty) out += tail.substring(start).trim
+    out.result()
+  }
+
+  /** First position of keyword `kw` at top level (outside quotes/backticks/
+    * parens) with word boundaries, or -1.
+    */
+  private def topLevelKeyword(s: String, kw: String): Int = {
+    val upper = s.toUpperCase
+    var depth = 0; var inQ = false; var inB = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else if (inB) { if (c == '`') inB = false }
+      else c match {
+        case '\'' => inQ = true
+        case '`' => inB = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && upper.startsWith(kw, i) &&
+              (i == 0 || !isWordChar(upper.charAt(i - 1))) &&
+              (i + kw.length >= s.length ||
+                !isWordChar(upper.charAt(i + kw.length)))) return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private def stripQuotes(v: String): String = {
+    val t = v.trim
+    if (t.startsWith("'") && t.endsWith("'") && t.length >= 2)
+      t.substring(1, t.length - 1)
+    else t.replace("`", "")
+  }
+
+  private def parseAlterCmds(tail: String): Seq[AlterCmd] =
+    splitAlterCmds(tail).map(parseAlterCmd)
+
+  private val addColRe =
+    "(?is)^ADD\\s+COLUMN\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(.+)$".r
+  private val dropColRe =
+    "(?is)^DROP\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?([`\\w]+)\\s*$".r
+  private val renameColRe =
+    "(?is)^RENAME\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?([`\\w]+)\\s+TO\\s+([`\\w]+)\\s*$".r
+  private val modifyColRe =
+    "(?is)^MODIFY\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?(.+)$".r
+  private val deleteRe = "(?is)^DELETE\\s+WHERE\\s+(.+)$".r
+  private val updateRe = "(?is)^UPDATE\\s+(.+)$".r
+  private val partRe =
+    "(?is)^(DROP|DETACH|ATTACH)\\s+PARTITION\\s+(.+?)\\s*$".r
+  private val freezeRe =
+    "(?is)^FREEZE\\s+WITH\\s+NAME\\s+'([^']+)'\\s*$".r
+
+  private def parseAlterCmd(cmd: String): AlterCmd = cmd.trim match {
+    case addColRe(decl) =>
+      val (cName, rest) = splitColName(decl.trim)
+      val mods = splitModifiers(rest)
+      require(mods.materialized.isEmpty,
+        s"ADD COLUMN $cName: MATERIALIZED expressions are a CREATE-time " +
+          "declaration (TableDef.materializedCols) — ALTER adds plain " +
+          "columns with optional constant DEFAULTs")
+      val field = ChType.structType(
+        Seq(Col(cName, parseType(mods.typeText.trim)))).fields.head
+      AddColumnCmd(field, mods.default.map(d =>
+        GraftSql.expandFunctions(ChDialect.rewrite(d))))
+    case dropColRe(c) => DropColumnCmd(c.replace("`", ""))
+    case renameColRe(from, to) =>
+      RenameColumnCmd(from.replace("`", ""), to.replace("`", ""))
+    case modifyColRe(decl) =>
+      val (cName, rest) = splitColName(decl.trim)
+      val mods = splitModifiers(rest)
+      require(mods.materialized.isEmpty && mods.default.isEmpty,
+        s"MODIFY COLUMN $cName: only type modification is supported " +
+          "(widening; defaults/materialized are CREATE-time declarations)")
+      ModifyColumnCmd(cName, ChType.structType(
+        Seq(Col(cName, parseType(mods.typeText.trim)))).fields.head.dataType)
+    case deleteRe(where) =>
+      DeleteCmd(GraftSql.expandFunctions(ChDialect.rewrite(where.trim)))
+    case updateRe(body) =>
+      val w = topLevelKeyword(body, "WHERE")
+      require(w >= 0, "ALTER UPDATE requires a WHERE clause (ClickHouse " +
+        "mutations are always predicated — use WHERE 1 to rewrite all rows)")
+      val set = splitTopLevel(body.substring(0, w)).map { a =>
+        val eq = a.indexOf('=')
+        require(eq > 0, s"ALTER UPDATE: expected col = expr, got '$a'")
+        a.substring(0, eq).trim.replace("`", "") ->
+          GraftSql.expandFunctions(ChDialect.rewrite(a.substring(eq + 1).trim))
+      }
+      UpdateCmd(set, GraftSql.expandFunctions(
+        ChDialect.rewrite(body.substring(w + 5).trim)))
+    case partRe(verb, value) =>
+      val v = stripQuotes(value)
+      verb.toUpperCase match {
+        case "DROP" => DropPartitionCmd(v)
+        case "DETACH" => DetachPartitionCmd(v)
+        case _ => AttachPartitionCmd(v)
+      }
+    case freezeRe(tag) => FreezeCmd(tag)
+    case other => throw new IllegalArgumentException(
+      s"unsupported ALTER command '${other.take(60)}' — supported: " +
+        "ADD/DROP/RENAME/MODIFY COLUMN, DELETE WHERE, UPDATE … WHERE, " +
+        "DROP/DETACH/ATTACH PARTITION, FREEZE WITH NAME")
+  }
+
+  /** Execute ONE parsed statement against the catalog. `warehouse` roots
+    * a CREATE TABLE's storage at `<warehouse>/<table>`. Returns the
+    * statement, so callers can inspect warnings.
+    */
+  def execute(cat: Catalog, s: org.apache.spark.sql.SparkSession,
+              ddl: String, warehouse: String = ""): Statement = {
+    import org.apache.spark.sql.functions.expr
+    val stmt = parse(ddl,
+      if (warehouse.isEmpty) "" else s"$warehouse/${nameOf(ddl)}")
+    stmt match {
+      case CreateTable(t, _) => cat.createTable(t)
+      case q: CreateQueue => throw new IllegalArgumentException(
+        s"${q.name}: KeeperMap is the queue engine — declare it through " +
+          "graft.queue.WorkQueue, not the table catalog")
+      case _: CreateMaterializedView => createMaterializedView(cat, s, ddl)
+      case _: InsertSelect => insertSelect(cat, s, ddl)
+      case AlterTable(table, cmds) => cmds.foreach {
+        case AddColumnCmd(field, defaultSql) =>
+          // the DEFAULT is a constant expression: evaluate it ONCE on the
+          // driver (CH stores the expression; our addColumn machinery
+          // stores the value — same read/insert fill semantics for the
+          // constant class, and non-constants fail loudly right here)
+          val v = defaultSql.map(d => s.sql(s"SELECT ($d)").head().get(0))
+            .orNull
+          cat.addColumn(table, field, v)
+        case DropColumnCmd(c) => cat.dropColumn(table, c)
+        case RenameColumnCmd(from, to) => cat.renameColumn(table, from, to)
+        case ModifyColumnCmd(c, dt) => cat.modifyColumnType(table, c, dt)
+        case DeleteCmd(where) => cat.delete(table, expr(where))
+        case UpdateCmd(set, where) =>
+          cat.update(table, expr(where),
+            set.map { case (c, e) => c -> expr(e) }.toMap)
+        case DropPartitionCmd(v) => cat.dropPartition(table, v)
+        case DetachPartitionCmd(v) => cat.detachPartition(table, v)
+        case AttachPartitionCmd(v) => cat.attachPartition(table, v)
+        case FreezeCmd(tag) => cat.freeze(table, tag)
+      }
+      case OptimizeTable(table, dedup, by) =>
+        if (dedup) cat.optimizeDeduplicate(table, by) else cat.compact(table)
+      case TruncateTable(table) => cat.truncate(table)
+    }
+    stmt
+  }
+
+  private def nameOf(ddl: String): String =
+    "(?is)CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([`\\w.]+)".r
+      .findFirstMatchIn(ddl).map(m => bare(m.group(1))).getOrElse("t")
+
+  /** Run a whole runbook: statements split on top-level `;`, executed in
+    * order. The "paste your ClickHouse script and it runs" entry point.
+    */
+  def runScript(cat: Catalog, s: org.apache.spark.sql.SparkSession,
+                script: String, warehouse: String): Seq[Statement] =
+    splitStatements(script).map(stmt => execute(cat, s, stmt, warehouse))
+
+  /** Quote-aware `;` split; drops empty fragments and `--` comment lines. */
+  private[sql] def splitStatements(script: String): Seq[String] = {
+    val noComments = script.linesIterator
+      .filterNot(_.trim.startsWith("--")).mkString("\n")
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false; var inB = false
+    noComments.foreach { c =>
+      if (inQ) { cur += c; if (c == '\'') inQ = false }
+      else if (inB) { cur += c; if (c == '`') inB = false }
+      else c match {
+        case '\'' => inQ = true; cur += c
+        case '`' => inB = true; cur += c
+        case ';' => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   // ---- lexical helpers ---------------------------------------------------
 
   /** (content between the `(` at `open` and its match, index past `)`). */
@@ -399,27 +665,35 @@ object ChDdl {
     out.result()
   }
 
+  /** Identifier-character test for keyword boundaries: CH identifiers are
+    * `[A-Za-z0-9_]` — '_' MUST count as a word character or legal names
+    * like `settings_hash` / `ttl_days` mis-split into bogus clauses.
+    */
+  private def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+
   /** Split the DDL tail into clauses keyed by their keyword. */
   private def parseClauses(tail: String): Map[String, String] = {
     val kws = Seq("ENGINE", "ORDER BY", "PRIMARY KEY", "PARTITION BY",
       "SAMPLE BY", "SETTINGS", "TTL", "COMMENT")
-    // find keyword positions outside quotes/parens
+    // find keyword positions outside quotes/backticks/parens
     val hits = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
-    var depth = 0; var inQ = false; var i = 0
+    var depth = 0; var inQ = false; var inB = false; var i = 0
     val upper = tail.toUpperCase
     while (i < tail.length) {
       val c = tail.charAt(i)
       if (inQ) { if (c == '\'') inQ = false; i += 1 }
+      else if (inB) { if (c == '`') inB = false; i += 1 }
       else c match {
         case '\'' => inQ = true; i += 1
+        case '`' => inB = true; i += 1
         case '(' => depth += 1; i += 1
         case ')' => depth -= 1; i += 1
         case _ =>
           if (depth == 0) {
             kws.find(k => upper.startsWith(k, i) &&
-                (i == 0 || !upper.charAt(i - 1).isLetterOrDigit) &&
+                (i == 0 || !isWordChar(upper.charAt(i - 1))) &&
                 (i + k.length >= tail.length ||
-                  !upper.charAt(i + k.length).isLetterOrDigit)) match {
+                  !isWordChar(upper.charAt(i + k.length)))) match {
               case Some(k) => hits += i -> k; i += k.length
               case None => i += 1
             }
@@ -453,21 +727,23 @@ object ChDdl {
   private def splitModifiers(rest: String): Mods = {
     val kws = Seq("MATERIALIZED", "DEFAULT", "ALIAS", "CODEC", "COMMENT")
     val upper = rest.toUpperCase
-    var depth = 0; var inQ = false; var i = 0
+    var depth = 0; var inQ = false; var inB = false; var i = 0
     val hits = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
     while (i < rest.length) {
       val c = rest.charAt(i)
       if (inQ) { if (c == '\'') inQ = false; i += 1 }
+      else if (inB) { if (c == '`') inB = false; i += 1 }
       else c match {
         case '\'' => inQ = true; i += 1
+        case '`' => inB = true; i += 1
         case '(' => depth += 1; i += 1
         case ')' => depth -= 1; i += 1
         case _ =>
           if (depth == 0) {
             kws.find(k => upper.startsWith(k, i) &&
-                (i == 0 || !upper.charAt(i - 1).isLetterOrDigit) &&
+                (i == 0 || !isWordChar(upper.charAt(i - 1))) &&
                 (i + k.length >= rest.length ||
-                  !upper.charAt(i + k.length).isLetterOrDigit)) match {
+                  !isWordChar(upper.charAt(i + k.length)))) match {
               case Some(k) => hits += i -> k; i += k.length
               case None => i += 1
             }
@@ -490,7 +766,7 @@ object ChDdl {
 
   // ---- type parsing ------------------------------------------------------
 
-  private[sql] def parseType(s: String): ChType = {
+  private[graft] def parseType(s: String): ChType = {
     val t = s.trim
     val p = t.indexOf('(')
     val (ident, args) =
@@ -522,8 +798,18 @@ object ChDdl {
       case "datetime" => ChDateTime // tz arg, if any, is display metadata
       case "datetime64" => ChDateTime // micro precision is Spark's native
       case "decimal" =>
-        val Array(pr, sc) = splitTopLevel(one).map(_.trim.toInt).toArray
-        ChDecimal(pr, sc)
+        splitTopLevel(one).map(_.trim.toInt) match {
+          case Seq(pr, sc) => ChDecimal(pr, sc)
+          case other => throw new IllegalArgumentException(
+            s"Decimal expects (precision, scale), got ${other.length} " +
+              s"argument(s) in '$t' — the single-scale forms are " +
+              "Decimal32/64/128(S)")
+        }
+      // fixed-precision shorthands: Decimal32(S)=9 digits, 64(S)=18,
+      // 128(S)=38 (the ClickHouse width table)
+      case "decimal32" => ChDecimal(9, one.trim.toInt)
+      case "decimal64" => ChDecimal(18, one.trim.toInt)
+      case "decimal128" => ChDecimal(38, one.trim.toInt)
       case "lowcardinality" => ChLowCardinality(parseType(one))
       case "nullable" => ChNullable(parseType(one))
       case "array" => ChArray(parseType(one))

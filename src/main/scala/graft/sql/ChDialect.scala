@@ -239,8 +239,12 @@ object ChDialect {
   // cannot itself contain a WITH clause at top level (a scalar subquery
   // using WITH inside a grouping expression is outside this shim's
   // documented scope, like the other not-a-full-parser limits above)
+  // the captured list must not itself contain a GROUP BY — otherwise the
+  // non-greedy scan can anchor at an INNER subquery's GROUP BY and
+  // swallow everything up to an outer WITH ROLLUP, emitting malformed SQL
   private val groupModRe =
-    "(?is)\\bGROUP\\s+BY\\s+(.*?)\\s+WITH\\s+(TOTALS|ROLLUP|CUBE)\\b".r
+    ("(?is)\\bGROUP\\s+BY\\s+((?:(?!\\bGROUP\\s+BY\\b).)*?)" +
+      "\\s+WITH\\s+(TOTALS|ROLLUP|CUBE)\\b").r
 
   private def rewriteGroupMods(s: String): String =
     groupModRe.replaceAllIn(s, { m =>
@@ -301,9 +305,14 @@ object ChDialect {
       case args => throw new IllegalArgumentException(
         s"minIf expects 2 arguments, got ${args.length}")
     })
-    // CH position(haystack, needle) swaps arguments vs Spark's locate
+    // CH position(haystack, needle) swaps arguments vs Spark's locate;
+    // the ANSI form position(needle IN haystack) — which CH also accepts
+    // — arrives as ONE argument and both engines parse it natively, so
+    // it passes through unchanged
     s = rewriteCall(s, "position", {
       case List(h, n) => s"locate($n, $h)"
+      case List(single) if "(?i)\\s+IN\\s+".r.findFirstIn(single).isDefined =>
+        s"position($single)"
       case args => throw new IllegalArgumentException(
         s"position expects 2 arguments, got ${args.length}")
     })

@@ -211,6 +211,102 @@ class ChDdlSpec extends SparkSpecBase {
     bf shouldBe Map("a" -> 3L, "b" -> 1L, "c" -> 0L)
   }
 
+  test("ALTER/OPTIMIZE/TRUNCATE statement classes parse to their commands") {
+    ChDdl.parse("ALTER TABLE t ADD COLUMN IF NOT EXISTS band String DEFAULT 'std'", "") shouldBe
+      ChDdl.AlterTable("t", Seq(ChDdl.AddColumnCmd(
+        StructField("band", StringType, nullable = true), Some("'std'"))))
+    ChDdl.parse("ALTER TABLE db.t DROP COLUMN `c`", "") shouldBe
+      ChDdl.AlterTable("t", Seq(ChDdl.DropColumnCmd("c")))
+    ChDdl.parse("ALTER TABLE t RENAME COLUMN a TO b", "") shouldBe
+      ChDdl.AlterTable("t", Seq(ChDdl.RenameColumnCmd("a", "b")))
+    ChDdl.parse("ALTER TABLE t MODIFY COLUMN n Int64", "") shouldBe
+      ChDdl.AlterTable("t", Seq(ChDdl.ModifyColumnCmd("n", LongType)))
+    ChDdl.parse("ALTER TABLE t DELETE WHERE x = 'gone'", "") shouldBe
+      ChDdl.AlterTable("t", Seq(ChDdl.DeleteCmd("x = 'gone'")))
+    // UPDATE keeps its assignment-list commas; the WHERE splits top-level
+    ChDdl.parse("ALTER TABLE t UPDATE a = a + 1, b = 'x,y' WHERE k IN (1, 2)", "") shouldBe
+      ChDdl.AlterTable("t", Seq(ChDdl.UpdateCmd(
+        Seq("a" -> "a + 1", "b" -> "'x,y'"), "k IN (1, 2)")))
+    ChDdl.parse("ALTER TABLE t DROP PARTITION 'P'", "") shouldBe
+      ChDdl.AlterTable("t", Seq(ChDdl.DropPartitionCmd("P")))
+    ChDdl.parse("ALTER TABLE t DETACH PARTITION 202405", "") shouldBe
+      ChDdl.AlterTable("t", Seq(ChDdl.DetachPartitionCmd("202405")))
+    ChDdl.parse("ALTER TABLE t ATTACH PARTITION 202405", "") shouldBe
+      ChDdl.AlterTable("t", Seq(ChDdl.AttachPartitionCmd("202405")))
+    ChDdl.parse("ALTER TABLE t FREEZE WITH NAME 'snap1'", "") shouldBe
+      ChDdl.AlterTable("t", Seq(ChDdl.FreezeCmd("snap1")))
+    // the CH comma-joined command list splits ONLY at command keywords
+    ChDdl.parse("ALTER TABLE t ADD COLUMN x String, DROP COLUMN y, RENAME COLUMN a TO b", "") shouldBe
+      ChDdl.AlterTable("t", Seq(
+        ChDdl.AddColumnCmd(StructField("x", StringType, nullable = true), None),
+        ChDdl.DropColumnCmd("y"), ChDdl.RenameColumnCmd("a", "b")))
+    ChDdl.parse("OPTIMIZE TABLE t FINAL", "") shouldBe
+      ChDdl.OptimizeTable("t", dedup = false, Nil)
+    ChDdl.parse("OPTIMIZE TABLE t FINAL DEDUPLICATE BY k, v", "") shouldBe
+      ChDdl.OptimizeTable("t", dedup = true, Seq("k", "v"))
+    ChDdl.parse("TRUNCATE TABLE IF EXISTS t", "") shouldBe
+      ChDdl.TruncateTable("t")
+    // unsupported verbs refuse loudly, never silently no-op
+    an[IllegalArgumentException] should be thrownBy
+      ChDdl.parse("ALTER TABLE t ADD INDEX i c TYPE minmax", "")
+    an[IllegalArgumentException] should be thrownBy
+      ChDdl.parse("ALTER TABLE t COMMENT COLUMN c 'hi'", "")
+    an[IllegalArgumentException] should be thrownBy
+      ChDdl.parse("ALTER TABLE t UPDATE a = 1", "") // mutations need WHERE
+    an[IllegalArgumentException] should be thrownBy
+      ChDdl.parse("ALTER TABLE t ADD COLUMN c DateTime MATERIALIZED now()", "")
+  }
+
+  test("runScript drives DETACH/ATTACH PARTITION and TRUNCATE as text") {
+    val cat = new Catalog(spark)
+    val dir = tmpDir("chddl-ops")
+    import spark.implicits._
+    ChDdl.runScript(cat, spark,
+      """CREATE TABLE pt (
+        |  `k` UInt64, `seg` String, `v` UInt64
+        |) ENGINE = MergeTree ORDER BY k PARTITION BY seg""".stripMargin, dir)
+    cat.append("pt", Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L))
+      .toDF("k", "seg", "v"))
+    ChDdl.execute(cat, spark, "ALTER TABLE pt DETACH PARTITION 'a'")
+    cat.read("pt").count() shouldBe 1
+    ChDdl.execute(cat, spark, "ALTER TABLE pt ATTACH PARTITION 'a'")
+    cat.read("pt").count() shouldBe 3
+    ChDdl.execute(cat, spark, "TRUNCATE TABLE pt")
+    cat.read("pt").count() shouldBe 0
+    // the definition survived the truncate (CH semantics)
+    cat.append("pt", Seq((9L, "c", 90L)).toDF("k", "seg", "v"))
+    cat.read("pt").count() shouldBe 1
+  }
+
+  test("ADVICE regressions: '_' identifiers, backticked ttl, Decimal widths") {
+    // identifiers with embedded keyword prefixes must not mis-split into
+    // bogus SETTINGS/TTL/COMMENT/DEFAULT clauses ('_' is a word char)
+    val ChDdl.CreateTable(t, warnings) = ChDdl.parse(
+      """CREATE TABLE w (
+        |  `settings_hash` UInt64,
+        |  `ttl_days` UInt32,
+        |  `comment_type` String,
+        |  `my_default` UInt64 MATERIALIZED settings_hash + my_default_base,
+        |  `my_default_base` UInt64
+        |) ENGINE = MergeTree
+        |ORDER BY (settings_hash, ttl_days, comment_type)""".stripMargin, "/tmp/x")
+    t.sortKeys shouldBe Seq("settings_hash", "ttl_days", "comment_type")
+    t.materializedCols.map(_._1) shouldBe Seq("my_default")
+    warnings shouldBe empty
+    // a backtick-quoted column named after a clause keyword stays a column
+    val ChDdl.CreateTable(t2, w2) = ChDdl.parse(
+      "CREATE TABLE w2 (`k` UInt64, `ttl` UInt32) ENGINE = MergeTree ORDER BY (k, `ttl`)",
+      "/tmp/x")
+    t2.sortKeys shouldBe Seq("k", "ttl")
+    w2 shouldBe empty
+    // fixed-precision Decimal widths (CH table: 9/18/38 digits)
+    ChDdl.parseType("Decimal32(2)") shouldBe ChType.ChDecimal(9, 2)
+    ChDdl.parseType("Decimal64(4)") shouldBe ChType.ChDecimal(18, 4)
+    ChDdl.parseType("Decimal128(6)") shouldBe ChType.ChDecimal(38, 6)
+    val e = the[IllegalArgumentException] thrownBy ChDdl.parseType("Decimal(10)")
+    e.getMessage should include ("Decimal32/64/128")
+  }
+
   test("end to end: reference-idiom Replacing DDL registers, validates enums, dedups") {
     val cat = new Catalog(spark)
     val path = tmpDir("chddl") + "/ev"

@@ -200,6 +200,25 @@ class ChSqlSpec extends SparkSpecBase {
       .count() shouldBe 3L
   }
 
+  test("ADVICE regressions: inner GROUP BY vs WITH ROLLUP, ANSI position") {
+    // the group-modifier rewrite must anchor at the OUTER GROUP BY, not
+    // swallow from an inner subquery's GROUP BY to the WITH keyword
+    ChDialect.rewrite(
+      "SELECT k, count(*) FROM (SELECT r_regionkey AS k FROM region " +
+        "GROUP BY r_regionkey) q GROUP BY k WITH ROLLUP") shouldBe
+      ("SELECT k, count(*) FROM (SELECT r_regionkey AS k FROM region " +
+        "GROUP BY r_regionkey) q GROUP BY ROLLUP(k)")
+    // ANSI position(needle IN haystack) — also legal CH — passes through
+    // (both engines parse it natively); the 2-arg CH form still swaps
+    ChDialect.rewrite("SELECT position('B' IN r_name) AS p FROM region") shouldBe
+      "SELECT position('B' IN r_name) AS p FROM region"
+    chEqualsSpark(
+      "SELECT r_name, position('E' IN r_name) AS p, position(r_name, 'E') AS q " +
+        "FROM region ORDER BY r_name",
+      "SELECT r_name, position('E' IN r_name) AS p, locate('E', r_name) AS q " +
+        "FROM region ORDER BY r_name")
+  }
+
   test("unsupported shapes fail loudly, not silently") {
     intercept[IllegalArgumentException] {
       ChDialect.rewrite("SELECT sumIf(x) FROM t")
