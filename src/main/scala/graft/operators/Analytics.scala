@@ -15,6 +15,32 @@ import graft.Tables
   */
 object Analytics extends QueryModule {
 
+  /** The pinned SHOW CREATE TABLE output for `sql_show_create` — the
+    * renderer's exact text for the fixture DDL (now() stores as its
+    * rewritten form, the honest stored expression). The oracle escapes
+    * this literal into SQL; SqlParitySpec reuses it for the Spark twin.
+    */
+  private[graft] val ShowCreateExpected: String =
+    """CREATE TABLE show_tbl (
+      |  `k_id` UInt64,
+      |  `seg` LowCardinality(String),
+      |  `status` Enum8('open' = 1, 'closed' = 2),
+      |  `d_day` Date,
+      |  `price` Decimal(12, 2),
+      |  `qty` UInt32 CODEC(Delta),
+      |  `tag` FixedString(8),
+      |  `loaded_at` DateTime MATERIALIZED current_timestamp(),
+      |  CONSTRAINT qty_pos CHECK qty >= 0,
+      |  INDEX bf_seg seg TYPE bloom_filter GRANULARITY 1,
+      |  INDEX mm_qty qty TYPE minmax GRANULARITY 1,
+      |  INDEX set_status status TYPE set(8) GRANULARITY 1,
+      |  INDEX tok_tag tag TYPE tokenbf_v1 GRANULARITY 1
+      |)
+      |ENGINE = ReplacingMergeTree(loaded_at)
+      |ORDER BY (seg, k_id)
+      |PARTITION BY toYYYYMM(d_day)
+      |SAMPLE BY k_id""".stripMargin
+
   override def queries: Map[String, Q] = Map(
     // ---- joins ----
     // No forced broadcast() hint: part GROWS with scale factor (x100 from
@@ -420,6 +446,46 @@ object Analytics extends QueryModule {
           | round(sum(disc_price(l_extendedprice, l_discount)), 2) AS revenue
           |FROM lineitem WHERE big_line(l_quantity)
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // SHOW CREATE TABLE through the gate: a rich DDL fixture (Replacing
+    // engine with version col, Enum8 + LowCardinality + FixedString +
+    // Decimal + Delta codec, all four skip-index families, MATERIALIZED
+    // col, CONSTRAINT, PARTITION BY toYYYYMM, SAMPLE BY) parses to a
+    // TableDef and renders BACK to DDL text; the in-plan require proves
+    // parse(render(def)) == def before the text is returned, and the
+    // oracle pins the exact rendered statement — so any drift in parser
+    // OR renderer breaks the hash.
+    "sql_show_create" -> ((s, d) => {
+      import graft.sql.{ChDdl, ChDdlRender}
+      val ChDdl.CreateTable(t, _) = ChDdl.parse(
+        """CREATE TABLE show_tbl (
+          |  `k_id` UInt64,
+          |  `seg` LowCardinality(String),
+          |  `status` Enum8('open' = 1, 'closed' = 2),
+          |  `d_day` Date,
+          |  `price` Decimal(12, 2),
+          |  `qty` UInt32 CODEC(Delta),
+          |  `tag` FixedString(8),
+          |  `loaded_at` DateTime MATERIALIZED now(),
+          |  CONSTRAINT qty_pos CHECK qty >= 0,
+          |  INDEX bf_seg seg TYPE bloom_filter GRANULARITY 1,
+          |  INDEX mm_qty qty TYPE minmax GRANULARITY 1,
+          |  INDEX set_status status TYPE set(8) GRANULARITY 1,
+          |  INDEX tok_tag tag TYPE tokenbf_v1 GRANULARITY 1
+          |) ENGINE = ReplacingMergeTree(loaded_at)
+          |ORDER BY (seg, k_id)
+          |PARTITION BY toYYYYMM(d_day)
+          |SAMPLE BY k_id""".stripMargin, "/tmp/show_tbl")
+      val rendered = ChDdlRender.render(t)
+      ChDdl.parse(rendered, "/tmp/show_tbl") match {
+        case ChDdl.CreateTable(t2, w2) =>
+          require(t2 == t && w2.isEmpty,
+            "SHOW CREATE round trip drifted from the registered definition")
+        case other => throw new IllegalStateException(s"unexpected $other")
+      }
+      import s.implicits._
+      Seq(rendered).toDF("ddl")
     }),
 
     // CH `SAMPLE k OFFSET m` through the dialect entry point: the text
@@ -959,6 +1025,11 @@ object Analytics extends QueryModule {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING' AND o_totalprice >= 50000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the exact SHOW CREATE text, pinned as a literal (escaped for SQL):
+    // drift in the parser OR renderer breaks the hash
+    "sql_show_create" ->
+      ("SELECT '" + ShowCreateExpected.replace("'", "''") + "' AS ddl"),
 
     // the function macros inlined by hand
     "sql_udf_call" ->

@@ -307,6 +307,94 @@ class ChDdlSpec extends SparkSpecBase {
     e.getMessage should include ("Decimal32/64/128")
   }
 
+  test("property: parse∘render∘parse == parse across the DDL algebra") {
+    // randomized CREATE TABLE statements over the whole representable
+    // algebra (fixed seed — deterministic): every def the parser can
+    // produce must survive the SHOW CREATE round trip unchanged. This is
+    // the cheapest regression net over the parser AND renderer at once:
+    // a drift in either side breaks the identity.
+    import graft.sql.ChDdlRender
+    val rnd = new scala.util.Random(7)
+    val scalarTypes = Seq("String", "FixedString(16)", "UInt8", "UInt16",
+      "UInt32", "UInt64", "Int8", "Int16", "Int32", "Int64", "Float32",
+      "Float64", "Bool", "Date", "DateTime", "Decimal(12, 3)",
+      "Decimal64(4)", "Enum8('a' = 1, 'b' = 2)", "LowCardinality(String)",
+      "Nullable(Int32)", "Array(UInt32)", "LowCardinality(FixedString(8))",
+      "Enum16('lo' = 1, 'hi' = 400)")
+    (1 to 80).foreach { i =>
+      val extraCols = (0 until rnd.nextInt(4)).map(j =>
+        s"  `c_${j}_ttl_x` ${scalarTypes(rnd.nextInt(scalarTypes.length))}")
+      val mergeFamily = rnd.nextInt(5) // 0-4 merge-tree family, 5-6 other
+      val engine = rnd.nextInt(7) match {
+        case 0 | 1 => "MergeTree"
+        case 2 => "ReplacingMergeTree(ver_ts)"
+        case 3 => "ReplacingMergeTree(ver_ts, sign_c)"
+        case 4 => "SummingMergeTree((x_sum))"
+        case 5 => "VersionedCollapsingMergeTree(sign_c, ver_ts)"
+        case _ => if (rnd.nextBoolean()) "Null" else "Join(ANY, LEFT, k_id)"
+      }
+      val isMergeTree = !engine.startsWith("Null") && !engine.startsWith("Join")
+      val orderBy =
+        if (!isMergeTree) Nil
+        else Seq("ORDER BY " +
+          (if (rnd.nextBoolean()) "k_id" else "(seg, k_id)"))
+      val partition = if (isMergeTree) rnd.nextInt(3) match {
+        case 0 => Seq("PARTITION BY toYYYYMM(d_day)")
+        case 1 => Seq("PARTITION BY seg")
+        case _ => Nil
+      } else Nil
+      val sample =
+        if (isMergeTree && rnd.nextBoolean() && partition != Seq("PARTITION BY seg"))
+          Seq("SAMPLE BY k_id")
+        else Nil
+      val decorations = Seq(
+        "  CONSTRAINT x_pos CHECK x_sum >= 0",
+        "  INDEX bf_seg seg TYPE bloom_filter GRANULARITY 1",
+        "  INDEX mm_x x_sum TYPE minmax GRANULARITY 1",
+        "  INDEX set_seg seg TYPE set(8) GRANULARITY 1",
+        "  INDEX tok_seg seg TYPE tokenbf_v1 GRANULARITY 1"
+      ).filter(_ => rnd.nextBoolean())
+      val matCol =
+        if (rnd.nextBoolean()) Seq("  `m_sum` UInt64 MATERIALIZED x_sum + 1")
+        else Nil
+      val codec = if (rnd.nextBoolean()) " CODEC(Delta)" else ""
+      val body = (Seq(
+        "  `k_id` UInt64",
+        "  `seg` LowCardinality(String)",
+        "  `d_day` Date",
+        "  `ver_ts` DateTime",
+        "  `sign_c` Int8",
+        s"  `x_sum` UInt32$codec") ++ extraCols ++ matCol ++ decorations)
+        .mkString(",\n")
+      val ddl = (Seq(s"CREATE TABLE rt_$i (\n$body\n)", s"ENGINE = $engine") ++
+        orderBy ++ partition ++ sample).mkString("\n")
+      withClue(s"ddl #$i:\n$ddl\n") {
+        val ChDdl.CreateTable(d1, _) = ChDdl.parse(ddl, "/tmp/rt")
+        val rendered = ChDdlRender.render(d1)
+        withClue(s"rendered:\n$rendered\n") {
+          val ChDdl.CreateTable(d2, w2) = ChDdl.parse(rendered, "/tmp/rt")
+          d2 shouldBe d1
+          w2 shouldBe empty
+          // and the renderer is a fixpoint: render(parse(render)) == render
+          ChDdlRender.render(d2) shouldBe rendered
+        }
+      }
+      val _ = mergeFamily
+    }
+  }
+
+  test("DESCRIBE TABLE lists physical columns with materialized expressions") {
+    import graft.sql.ChDdlRender
+    val ChDdl.CreateTable(t, _) = ChDdl.parse(
+      """CREATE TABLE dsc (
+        |  `k` UInt64,
+        |  `loaded_at` DateTime MATERIALIZED now()
+        |) ENGINE = MergeTree ORDER BY k""".stripMargin, "/tmp/x")
+    ChDdlRender.describe(t) shouldBe Seq(
+      ("k", "UInt64", "", ""),
+      ("loaded_at", "DateTime", "MATERIALIZED", "current_timestamp()"))
+  }
+
   test("end to end: reference-idiom Replacing DDL registers, validates enums, dedups") {
     val cat = new Catalog(spark)
     val path = tmpDir("chddl") + "/ev"

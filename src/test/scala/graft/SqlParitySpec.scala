@@ -47,7 +47,7 @@ class SqlParitySpec extends SparkSpecBase {
     "cat_constraint", "cat_materialized_col", "cat_row_policy",
     "cat_distributed_join",
     "cat_distributed_scan", "cat_lightweight_delete", "cat_null_mv",
-    "cat_refreshable_mv", "sql_udf_call",
+    "cat_refreshable_mv", "sql_udf_call", "sql_show_create",
     "cat_replacing_delete", "cat_buffer_read", "cat_join_engine", "src_merge",
     "src_jsonl", "src_orc",
     "dedup_exact", "distinct_rows", "fn_cond", "fn_date", "fn_math",
