@@ -77,6 +77,39 @@ class QueryCacheSpec extends SparkSpecBase {
     computed.toSeq shouldBe Seq("a", "b", "c", "b")
   }
 
+  test("byte budget: oversized entries pass through; total evicts LRU") {
+    val (clock, _) = fixedClock(0L)
+    // 25 nation-name strings estimate ~2 KB — far past the 200-byte
+    // per-entry cap — while small projections still cache
+    val small = new QueryCache(maxBytesPerEntry = 200L,
+      maxTotalBytes = 200L, clock = clock)
+    var computes = 0
+    def wide = { computes += 1
+      Tables.nation(spark, sf0001).select(col("n_name")) }
+    small.cached(spark, "wide", Seq("v"))(wide).count() shouldBe 25L
+    small.cached(spark, "wide", Seq("v"))(wide).count() shouldBe 25L
+    computes shouldBe 2 // never cached: over the per-entry byte cap
+    small.bytes shouldBe 0L
+    // total budget: each slim entry fits alone, the second evicts the
+    // first even though maxEntries would allow both
+    // one entry = 5 rows * (24 + 16 boxed long) = 200 estimated bytes:
+    // each fits the 250 per-entry cap alone, two together breach 300
+    val slim = new QueryCache(maxBytesPerEntry = 250L,
+      maxTotalBytes = 300L, clock = clock)
+    val computed = scala.collection.mutable.ArrayBuffer.empty[String]
+    def run(tag: String) = { computed += tag
+      Tables.region(spark, sf0001).select(col("r_regionkey")) }
+    slim.cached(spark, "a", Seq("v"))(run("a"))
+    slim.bytes should be > 0L
+    val afterA = slim.bytes
+    slim.cached(spark, "b", Seq("v"))(run("b")) // evicts a (byte budget)
+    slim.bytes shouldBe afterA
+    slim.cached(spark, "a", Seq("v"))(run("a")) // recomputes
+    computed.toSeq shouldBe Seq("a", "b", "a")
+    slim.clear()
+    slim.bytes shouldBe 0L
+  }
+
   test("system.query_cache listing: rows, hits, age, staleness") {
     val (clock, setTime) = fixedClock(0L)
     val cache = new QueryCache(ttlMs = 100L, clock = clock)
