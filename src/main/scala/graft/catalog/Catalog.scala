@@ -210,7 +210,18 @@ final case class TableDef(
     // false positives), and a file whose distinct count exceeded N is
     // marked overflowed and always kept (fail open, like CH's unbounded
     // set marker).
-    setIndexCols: Seq[(String, Int)] = Nil)
+    setIndexCols: Seq[(String, Int)] = Nil,
+    // CH `INDEX … TYPE full_text(N)` (the inverted index): per-file
+    // POSTING-LIST sidecars for text columns — token -> the row ordinals
+    // carrying it — column -> max distinct tokens per file. Answers the
+    // multi-token AND / phrase probes the token BLOOM refuses: the probe
+    // intersects the tokens' row sets, so a file whose tokens never
+    // co-occur in one row drops entirely. Two overflow reliefs keep the
+    // sidecar bounded (both fail OPEN): a file over the token bound
+    // stores an overflow marker; a token in more rows than
+    // [[Catalog.FullTextRowCap]] stores a dense marker (present, rows
+    // unknown = universal for intersection).
+    fullTextCols: Seq[(String, Int)] = Nil)
 
 final class Catalog(spark: SparkSession) {
 
@@ -307,7 +318,7 @@ final class Catalog(spark: SparkSession) {
     // O(batch) appends into full-table scans (and partition keys already
     // prune at the directory level, the stronger skip)
     (t.indexCols ++ t.minmaxCols ++ t.tokenIndexCols ++
-        t.setIndexCols.map(_._1)).foreach { c =>
+        t.setIndexCols.map(_._1) ++ t.fullTextCols.map(_._1)).foreach { c =>
       require(t.schema.fieldNames.contains(c),
         s"${t.name}: skip-index column $c is not in the schema")
       require(!t.partitionKeys.contains(c),
@@ -329,6 +340,16 @@ final class Catalog(spark: SparkSession) {
     }
     require(t.setIndexCols.map(_._1).distinct.length == t.setIndexCols.length,
       s"${t.name}: a column appears twice in setIndexCols")
+    // posting lists tokenize text — string columns, positive token bound
+    t.fullTextCols.foreach { case (c, n) =>
+      require(n > 0, s"${t.name}: full-text index on $c needs a positive " +
+        s"max-distinct-token bound (got $n)")
+      require(t.schema(c).dataType == org.apache.spark.sql.types.StringType,
+        s"${t.name}: full-text index column $c is " +
+          s"${t.schema(c).dataType.simpleString}; posting lists index text")
+    }
+    require(t.fullTextCols.map(_._1).distinct.length == t.fullTextCols.length,
+      s"${t.name}: a column appears twice in fullTextCols")
     // token blooms tokenize text — only string columns have tokens
     t.tokenIndexCols.foreach { c =>
       require(t.schema(c).dataType == org.apache.spark.sql.types.StringType,
@@ -613,6 +634,8 @@ final class Catalog(spark: SparkSession) {
       ("column_codecs" -> t.columnCodecs.map { case (c, k) => Seq(c, k) }) ~
       ("set_index_cols" ->
         t.setIndexCols.map { case (c, n) => Seq(c, n.toString) }) ~
+      ("fulltext_cols" ->
+        t.fullTextCols.map { case (c, n) => Seq(c, n.toString) }) ~
       ("semantics" -> sem)
     JsonMethods.compact(JsonMethods.render(obj))
   }
@@ -767,7 +790,8 @@ final class Catalog(spark: SparkSession) {
       // absent in pre-token-index / pre-column-codec sidecars → none
       list(j \ "token_index_cols"),
       pairList(j \ "column_codecs"),
-      pairList(j \ "set_index_cols").map { case (c, n) => c -> n.toInt }))
+      pairList(j \ "set_index_cols").map { case (c, n) => c -> n.toInt },
+      pairList(j \ "fulltext_cols").map { case (c, n) => c -> n.toInt }))
     catch {
       case e: Throwable =>
         if (!tables.contains(name)) restorePrior.foreach(_.apply())
@@ -920,7 +944,7 @@ final class Catalog(spark: SparkSession) {
     */
   private def keyCols(t: TableDef): Set[String] =
     (t.sortKeys ++ t.partitionKeys ++ t.indexCols ++ t.minmaxCols ++
-      t.tokenIndexCols ++ t.setIndexCols.map(_._1) ++
+      t.tokenIndexCols ++ t.setIndexCols.map(_._1) ++ t.fullTextCols.map(_._1) ++
       (t.semantics match {
         case ReplacingDedup(keys, v, isDel) => (keys :+ v) ++ isDel
         case Summing(keys, cols) => keys ++ cols
@@ -1995,6 +2019,7 @@ final class Catalog(spark: SparkSession) {
     if (t.minmaxCols.nonEmpty) buildMinmaxIndex(t, path)
     if (t.tokenIndexCols.nonEmpty) buildTokenIndex(t, path)
     if (t.setIndexCols.nonEmpty) buildSetIndex(t, path)
+    if (t.fullTextCols.nonEmpty) buildFullTextIndex(t, path)
   }
 
   // ---- bloom skip-index sidecars ---------------------------------------
@@ -2422,6 +2447,257 @@ final class Catalog(spark: SparkSession) {
       if (kept.isEmpty) readVia(t, dataPaths(t)).limit(0)
       else readVia(t, kept.map(_.toString))
     (df, kept.size, all.size)
+  }
+
+  // ---- full-text (inverted) index sidecars ------------------------------
+  //
+  // ClickHouse `INDEX … TYPE full_text` (the inverted/gin index): where
+  // the token BLOOM answers "might this file contain token X" one token
+  // at a time, the posting list stores WHICH ROWS carry each token — so a
+  // multi-token AND (and its phrase special case) can intersect row sets
+  // and drop a file whose probe tokens never co-occur in one row, a prune
+  // no bloom can make. Same `_idx/` lifecycle, same fail-open consult,
+  // same two-phase bounded build as the set(N) index: counts first (no
+  // lists), then list collection restricted to groups the bound admits.
+
+  private def fullTextSidecar(dir: org.apache.hadoop.fs.Path,
+                              fileName: String, column: String) =
+    new org.apache.hadoop.fs.Path(dir, s"_idx/$fileName.$column.postings")
+
+  /** Posting-index every parquet file under `dir` lacking a sidecar.
+    * Bounded like [[buildSetIndex]]:
+    *   1. distinct-token count per (file, column) — an over-bound file is
+    *      marked overflowed WITHOUT materializing its vocabulary;
+    *   2. per-token row counts for under-bound files only — a token in
+    *      more rows than [[Catalog.FullTextRowCap]] stores a dense marker
+    *      instead of its list;
+    *   3. row-ordinal collection for the sparse tokens of under-bound
+    *      files only — no executor group ever holds more than rowCap ids.
+    * Row ordinals are the parquet reader's `_metadata.row_index` — stable
+    * per file, the granule-position analog.
+    */
+  private def buildFullTextIndex(t: TableDef, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val f = fs(t)
+    val d = new Path(dir)
+    if (!f.exists(d)) return
+    val it = f.listFiles(d, true)
+    val files = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (it.hasNext) {
+      val s = it.next()
+      val n = s.getPath.getName
+      if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+          !s.getPath.toString.contains("/_idx/"))
+        files += s.getPath
+    }
+    val missing = files.filter { p =>
+      t.fullTextCols.exists { case (c, _) =>
+        !f.exists(fullTextSidecar(p.getParent, p.getName, c))
+      }
+    }
+    if (missing.isEmpty) return
+    val cols = t.fullTextCols.filter { case (c, _) =>
+      t.schema.fieldNames.contains(c)
+    }
+    if (cols.isEmpty) return
+    val bounds = cols.toMap
+    val rowCap = Catalog.FullTextRowCap
+    val base = spark.read
+      .schema(StructType(cols.map { case (c, _) => t.schema(c) }))
+      .parquet(missing.map(_.toString).toSeq: _*)
+    // one narrow frame of distinct (file, column, token, row) quads —
+    // persisted: both actions below (the overflow collect and the
+    // sidecar write) start here, and the tokenize+distinct upstream is
+    // the expensive part of the build
+    val quads = cols.map { case (c, _) =>
+      base.select(input_file_name().as("__file"), lit(c).as("__col"),
+        explode(split(coalesce(col(c), lit("")),
+          Catalog.TokenSeparators)).as("__tok"),
+        col("_metadata.row_index").as("__row"))
+        .filter(col("__tok") =!= "")
+    }.reduce(_.union(_)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    // job 1: distinct-token counts per (file, column) — overflow verdicts
+    // (the ONLY per-token driver state in this build is these counts;
+    // posting lists never leave the executors)
+    val vocabDf = quads.select(col("__file"), col("__col"), col("__tok"))
+      .distinct()
+      .groupBy(col("__file"), col("__col"))
+      .agg(count(lit(1)).as("__vocab"))
+    val vocab = vocabDf
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val boundExpr = cols.map { case (c, n) =>
+      when(col("__col") === lit(c), lit(n))
+    }.reduce((a, b) => a.otherwise(b))
+    val admitted = quads
+      .join(vocabDf, Seq("__file", "__col"))
+      .filter(col("__vocab") <= boundExpr)
+    // job 2: per-token row counts for admitted groups — the dense/sparse
+    // verdict. Counting BEFORE any list collection means no aggregation
+    // buffer anywhere holds more than rowCap row ids.
+    val tokCounts = admitted
+      .groupBy(col("__file"), col("__col"), col("__tok"))
+      .agg(count(lit(1)).as("__nrows"))
+    // job 3: the postings sidecar is ASSEMBLED IN SPARK — row lists for
+    // sparse tokens, name-only markers for dense ones, folded to ONE
+    // JSON document per (file, column) — and written from the EXECUTORS.
+    // The driver never holds a posting list; each sidecar is bounded by
+    // O(vocab bound × rowCap) by construction.
+    val sparseLists = admitted
+      .join(tokCounts.filter(col("__nrows") <= rowCap)
+        .select(col("__file"), col("__col"), col("__tok")),
+        Seq("__file", "__col", "__tok"))
+      .groupBy(col("__file"), col("__col"), col("__tok"))
+      .agg(sort_array(collect_list(col("__row"))).as("rows"))
+      .groupBy(col("__file"), col("__col"))
+      .agg(map_from_entries(collect_list(struct(col("__tok"), col("rows"))))
+        .as("toks"))
+    val denseLists = tokCounts.filter(col("__nrows") > rowCap)
+      .groupBy(col("__file"), col("__col"))
+      .agg(sort_array(collect_list(col("__tok"))).as("dense"))
+    // to_json omits null struct fields: a group with no dense (or no
+    // sparse) tokens simply lacks that key, which the probe reads as
+    // empty — same semantics, no typed-empty coalesce needed
+    val sidecarRows = sparseLists
+      .join(denseLists, Seq("__file", "__col"), "full_outer")
+      .select(col("__file"), col("__col"),
+        to_json(struct(lit("postings").as("kind"), col("dense"),
+          col("toks"))).as("__json"))
+    sidecarRows.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      // executor-side write: a fresh Configuration resolves the data
+      // files' own scheme (file:// here; hdfs:///s3a:// on a cluster
+      // where executors carry core-site like any output committer)
+      val conf = new org.apache.hadoop.conf.Configuration()
+      rows.foreach { r =>
+        val p = new Path(new java.net.URI(r.getString(0)))
+        val sc = new Path(p.getParent,
+          s"_idx/${p.getName}.${r.getString(1)}.postings")
+        val efs = sc.getFileSystem(conf)
+        val out = efs.create(sc, true)
+        try out.write(r.getString(2)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+    }
+    def writeSidecar(sc: Path, json: org.json4s.JObject): Unit = {
+      val out = f.create(sc, true)
+      try out.write(JsonMethods.compact(JsonMethods.render(json))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    // over-bound groups never reach the executor write (admitted filters
+    // them out) — the driver stamps their overflow markers, a
+    // metadata-sized loop
+    vocab.foreach { case ((fileUri, c), nTokens) =>
+      if (nTokens > bounds(c)) {
+        val p = new Path(new java.net.URI(fileUri))
+        writeSidecar(fullTextSidecar(p.getParent, p.getName, c),
+          ("kind" -> "overflow"): org.json4s.JObject)
+      }
+    }
+    // all-null / empty files contribute no vocab row: write the empty
+    // posting map (prunes every probe, correctly) so the file never
+    // re-enters the missing list
+    missing.foreach { p =>
+      cols.foreach { case (c, _) =>
+        val sc = fullTextSidecar(p.getParent, p.getName, c)
+        if (!f.exists(sc))
+          writeSidecar(sc, ("kind" -> "postings") ~
+            ("dense" -> Seq.empty[String]) ~
+            ("toks" -> org.json4s.JObject(Nil)))
+      }
+    }
+    } finally quads.unpersist()
+  }
+
+  /** Multi-token AND probe through the inverted index: scan only the
+    * files where EVERY probe token is present AND the tokens' row sets
+    * intersect (a dense-marked token counts as universal; no sidecar or
+    * overflow → kept, fail open). This is the probe shape
+    * [[readTokenPruned]] refuses — the posting lists answer it with NO
+    * false positives below the dense cap. Callers still apply the real
+    * row predicate on top (a kept file still holds non-matching rows).
+    * Returns (frame, files scanned, files total).
+    */
+  def readFullTextAnd(name: String, column: String,
+                      tokens: Seq[String]): (DataFrame, Int, Int) = {
+    import org.json4s.jackson.JsonMethods
+    val t = get(name)
+    require(t.fullTextCols.exists(_._1 == column),
+      s"$name: no full-text index declared on $column")
+    require(tokens.nonEmpty, s"$name: empty token probe")
+    tokens.foreach(tok => require(
+      tok.nonEmpty && !Catalog.TokenSeparatorsRe.matcher(tok).find(),
+      s"$name: probe '$tok' is not a single token " +
+        s"(tokens are maximal [A-Za-z0-9_] runs); phrase probes go " +
+        "through readFullTextPhrase"))
+    require(t.partitionKeys.isEmpty,
+      s"$name: full-text-pruned reads target unpartitioned layouts")
+    require(t.semantics == Append,
+      s"$name: full-text-pruned reads require Append semantics " +
+        s"(merge views need every file of a key group)")
+    recoverInterruptedSwap(t)
+    val f = fs(t)
+    val all = listDataFiles(t).map(_.getPath)
+    val kept = all.filter { p =>
+      val sc = fullTextSidecar(p.getParent, p.getName, column)
+      if (!f.exists(sc)) true // fail open: unindexed file might match
+      else {
+        val in = f.open(sc)
+        val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                   finally in.close()
+        val j = JsonMethods.parse(json)
+        (j \ "kind") match {
+          case org.json4s.JString("postings") =>
+            val denseSet: Set[String] = (j \ "dense") match {
+              case org.json4s.JArray(xs) =>
+                xs.collect { case org.json4s.JString(s) => s }.toSet
+              case _ => Set.empty
+            }
+            def rowsOf(tok: String): Option[Set[Long]] =
+              (j \ "toks" \ tok) match {
+                case org.json4s.JArray(xs) => Some(xs.collect {
+                  case org.json4s.JLong(v) => v
+                  case org.json4s.JInt(v) => v.toLong
+                }.toSet)
+                case _ => None
+              }
+            // every token present, and the sparse tokens' row sets
+            // intersect (dense = universal)
+            val sparse = tokens.filterNot(denseSet.contains)
+            val lists = sparse.map(rowsOf)
+            if (lists.exists(_.isEmpty)) false // a probe token is absent
+            else lists.flatten match {
+              case Nil => true // all probe tokens dense
+              case xs => xs.reduce(_ intersect _).nonEmpty
+            }
+          case _ => true // overflow (or unknown kind) → kept
+        }
+      }
+    }
+    val df =
+      if (kept.isEmpty) readVia(t, dataPaths(t)).limit(0)
+      else readVia(t, kept.map(_.toString))
+    (df, kept.size, all.size)
+  }
+
+  /** Phrase probe: tokenize `phrase` with the index's own tokenizer and
+    * prune by row-set intersection — a file survives only if some row
+    * carries ALL the phrase's tokens. Token adjacency is not stored
+    * (matching ClickHouse's full_text index), so callers verify the
+    * actual phrase on the returned rows (e.g. `contains`) — which the
+    * pruning has already reduced to the candidate files.
+    */
+  def readFullTextPhrase(name: String, column: String,
+                         phrase: String): (DataFrame, Int, Int) = {
+    val toks = phrase.split(Catalog.TokenSeparators).filter(_.nonEmpty).toSeq
+    require(toks.nonEmpty,
+      s"$name: phrase '$phrase' contains no indexable tokens")
+    readFullTextAnd(name, column, toks.distinct)
   }
 
   /** Equality-probe read through the skip index: scan only the data files
@@ -4311,6 +4587,14 @@ object Catalog {
     * so the three can never disagree on tokenization.
     */
   val TokenSeparators = "[^A-Za-z0-9_]+"
+
+  /** Max row ordinals stored per token in a full-text posting list — a
+    * token in more rows degrades to a dense marker (present, rows
+    * unknown): high-frequency words prune nothing (honestly), while the
+    * selective tokens the probe shape depends on keep exact lists. Keeps
+    * every sidecar O(tokens × min(rows, cap)).
+    */
+  val FullTextRowCap = 4096
   private[catalog] val TokenSeparatorsRe =
     java.util.regex.Pattern.compile(TokenSeparators)
 

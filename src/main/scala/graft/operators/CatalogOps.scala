@@ -165,6 +165,46 @@ object CatalogOps extends QueryModule {
     (df.filter(col("o_orderpriority").isin(probe: _*)), kept, total)
   }
 
+  /** The full-text (inverted) index gate table: a Catalog copy of
+    * `orders` carrying a derived log-line column
+    * `note = "clerk_<custkey%1000> pri_<priority>"` with a posting-list
+    * sidecar on it (the CH `INDEX … TYPE full_text` shape) — clustered
+    * by o_orderkey so both probe tokens are scattered across every file.
+    * The probe is the multi-token AND the token BLOOM refuses: each
+    * token alone lives in most files, but the pair CO-OCCURS IN ONE ROW
+    * only where that clerk filed at that priority — the row-set
+    * intersection drops every file without such a row, a prune no
+    * per-token structure can make. Probe tokens come from the
+    * minimum-orderkey row (two scalars to the driver, the
+    * [[bloomScanWithStats]] rule), so the probe is deterministic at
+    * every SF and matches at least that row. Returns the filtered frame
+    * plus (files kept, files total).
+    */
+  def fullTextScanWithStats(s: SparkSession, d: String): (DataFrame, Int, Int) = {
+    val src = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderpriority"),
+      concat(lit("clerk_"), col("o_custkey") % 1000, lit(" pri_"),
+        translate(col("o_orderpriority"), "-", "_")).as("note"))
+    val cat = new Catalog(s)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cat-orders_ft")
+    copyDirs.add(tmp)
+    cat.createTable(TableDef("orders_ft",
+      tmp.resolve("orders_ft").toString, src.schema,
+      sortKeys = Seq("o_orderkey"), semantics = Append,
+      fullTextCols = Seq("note" -> 4096)))
+    cat.append("orders_ft", src)
+    val head = src.orderBy(col("o_orderkey"))
+      .select(col("o_custkey") % 1000, col("o_orderpriority")).head()
+    val (clerk, pri) = (head.getLong(0), head.getString(1))
+    val (df, kept, total) = cat.readFullTextAnd("orders_ft", "note",
+      Seq(s"clerk_$clerk", s"pri_${pri.replace('-', '_')}"))
+    // the real row predicate on top of the file prune (a kept file still
+    // holds rows where the tokens DON'T share a row)
+    (df.filter(col("o_custkey") % 1000 === clerk &&
+      col("o_orderpriority") === pri), kept, total)
+  }
+
   /** The SAMPLE BY gate table: a Catalog copy of `orders` declared
     * `SAMPLE BY o_custkey` (Catalog.withSampleBy — stored md5-prefix
     * bucket column, bucket-led sort keys, bucket minmax sidecars), plus
@@ -501,6 +541,20 @@ object CatalogOps extends QueryModule {
         .agg(count(lit(1)).as("n"),
           round(sum(col("o_totalprice")), 2).as("total"))
         .orderBy(col("o_orderpriority"))),
+
+    // The inverted full-text index through the correctness gate: the
+    // multi-token AND probe (the shape the token bloom refuses) scans
+    // only files where the probe tokens co-occur in some row
+    // (CatalogOpsSpec counts the skipped files); the oracle recomputes
+    // the same aggregate over the ORIGINAL table from the probe's
+    // defining predicate — equality proves the posting-list intersection
+    // never drops a qualifying row.
+    "cat_fulltext_scan" -> ((s, d) =>
+      fullTextScanWithStats(s, d)._1
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus"))),
 
     // SAMPLE BY through the correctness gate: the stored-bucket window
     // read (file-pruned via the bucket minmax sidecars — CatalogOpsSpec
@@ -1134,6 +1188,19 @@ object CatalogOps extends QueryModule {
         | round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // on the ORIGINAL table, from the probe's defining predicate (the
+    // min-orderkey row's clerk bucket + priority): posting-list pruning
+    // must be invisible to the result
+    "cat_fulltext_scan" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_custkey % 1000 =
+        |  (SELECT o_custkey % 1000 FROM orders ORDER BY o_orderkey LIMIT 1)
+        | AND o_orderpriority =
+        |  (SELECT o_orderpriority FROM orders ORDER BY o_orderkey LIMIT 1)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // the oracle replays the bucket window through the shared formatter
     // (Sampling.duckPredicate) on the ORIGINAL table — an independent

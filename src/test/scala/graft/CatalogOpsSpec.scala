@@ -164,6 +164,146 @@ class CatalogOpsSpec extends SparkSpecBase {
         setIndexCols = Seq("c_acctbal" -> 4)))
   }
 
+  test("cat_fulltext_scan gate query: AND-probe prunes by row co-occurrence") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    val (df, kept, total) =
+      try CatalogOps.fullTextScanWithStats(spark, sf0001)
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    total should be > 4
+    kept should be < total // the token pair co-occurs in few rows
+    kept should be >= 1 // …but at least the probe's defining row
+    // pruning invisible: pruned+filtered equals the source filtered
+    val head = Tables.orders(spark, sf0001).orderBy(col("o_orderkey"))
+      .select(col("o_custkey") % 1000, col("o_orderpriority")).head()
+    val want = Tables.orders(spark, sf0001)
+      .filter(col("o_custkey") % 1000 === head.getLong(0) &&
+        col("o_orderpriority") === head.getString(1)).count()
+    want should be >= 1L
+    df.count() shouldBe want
+  }
+
+  test("full-text index: co-occurrence prune, phrase probe, probe refusals") {
+    import graft.catalog.{Append, Catalog, TableDef}
+    val cat = new Catalog(spark)
+    val path = tmpDir("ftidx") + "/notes"
+    val rows = Seq((1L, "alpha ember"), (2L, "beta stone"))
+    val src = spark.createDataFrame(rows).toDF("id", "body")
+    cat.createTable(TableDef("notes", path, src.schema,
+      sortKeys = Seq("id"), semantics = Append,
+      fullTextCols = Seq("body" -> 1000)))
+    cat.append("notes", src) // both tokens present, never in one row
+    cat.append("notes", spark.createDataFrame(
+      Seq((3L, "gamma alpha beta"), (4L, "delta"))).toDF("id", "body"))
+    val (df, kept, total) = cat.readFullTextAnd("notes", "body",
+      Seq("alpha", "beta"))
+    total should be >= 2
+    kept should be < total // batch-1 files: tokens never share a row
+    df.collect().map(_.getLong(0)) should contain(3L)
+    df.filter(col("body").contains("alpha") &&
+      col("body").contains("beta")).count() shouldBe 1L
+    // a token absent from the corpus prunes every file — even alongside
+    // a present one
+    val (none, kept0, _) = cat.readFullTextAnd("notes", "body",
+      Seq("alpha", "zzz"))
+    kept0 shouldBe 0
+    none.count() shouldBe 0L
+    // phrase probe tokenizes with the index's own tokenizer and prunes
+    // the same way; the caller's contains() verifies adjacency on the
+    // candidates
+    val (ph, keptP, _) = cat.readFullTextPhrase("notes", "body", "alpha beta")
+    keptP shouldBe kept
+    ph.filter(col("body").contains("alpha beta")).count() shouldBe 1L
+    // refusals: multi-word AND probe tokens, empty probes
+    an[IllegalArgumentException] should be thrownBy
+      cat.readFullTextAnd("notes", "body", Seq("two words"))
+    an[IllegalArgumentException] should be thrownBy
+      cat.readFullTextAnd("notes", "body", Nil)
+    an[IllegalArgumentException] should be thrownBy
+      cat.readFullTextPhrase("notes", "body", " .. ")
+    // declaration refusals: unknown column, non-positive bound, non-text
+    an[IllegalArgumentException] should be thrownBy
+      cat.createTable(TableDef("badf1", "/tmp/badf1", src.schema,
+        sortKeys = Seq("id"), semantics = Append,
+        fullTextCols = Seq("nope" -> 4)))
+    an[IllegalArgumentException] should be thrownBy
+      cat.createTable(TableDef("badf2", "/tmp/badf2", src.schema,
+        sortKeys = Seq("id"), semantics = Append,
+        fullTextCols = Seq("body" -> 0)))
+    an[IllegalArgumentException] should be thrownBy
+      cat.createTable(TableDef("badf3", "/tmp/badf3", src.schema,
+        sortKeys = Seq("id"), semantics = Append,
+        fullTextCols = Seq("id" -> 4)))
+  }
+
+  test("full-text index: dense tokens degrade to universal markers; overflow fails open") {
+    import graft.catalog.{Append, Catalog, TableDef}
+    val cat = new Catalog(spark)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    // one file, so the over-cap token is dense WITHIN it
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    val n = graft.catalog.Catalog.FullTextRowCap + 1000
+    try {
+      val src = spark.range(1, n + 1).select(col("id"),
+        when(col("id") === 42L, lit("common rare"))
+          .otherwise(lit("common")).as("body"))
+      val path = tmpDir("ftdense") + "/dense"
+      cat.createTable(TableDef("dense_ft", path, src.schema,
+        sortKeys = Seq("id"), semantics = Append,
+        fullTextCols = Seq("body" -> 100)))
+      cat.append("dense_ft", src)
+      // the sidecar itself records the dense degradation — no row list
+      // for the over-cap token, a name-only marker instead
+      val idx = new java.io.File(path + "/_idx").listFiles()
+        .filter(_.getName.endsWith(".body.postings"))
+      idx should have length 1
+      val json = new String(java.nio.file.Files.readAllBytes(idx.head.toPath))
+      json should include(""""dense":["common"]""")
+      json.contains(""""common":[""") shouldBe false
+      // dense = universal for intersection: (common AND rare) keeps the
+      // file and finds the one co-occurring row
+      val (df, kept, total) = cat.readFullTextAnd("dense_ft", "body",
+        Seq("common", "rare"))
+      kept shouldBe total
+      df.filter(col("body") === "common rare").count() shouldBe 1L
+      // …but an absent token still prunes despite the dense companion
+      val (_, kept0, _) = cat.readFullTextAnd("dense_ft", "body",
+        Seq("common", "zzz"))
+      kept0 shouldBe 0
+      // overflow fails open: a bound below the file's vocabulary marks
+      // the sidecar overflowed and every probe keeps the file
+      val src2 = spark.range(0, 50).select(col("id"),
+        concat(lit("tok_"), col("id")).as("body"))
+      cat.createTable(TableDef("ovf_ft", tmpDir("ftovf") + "/ovf",
+        src2.schema, sortKeys = Seq("id"), semantics = Append,
+        fullTextCols = Seq("body" -> 4)))
+      cat.append("ovf_ft", src2)
+      val (ov, keptO, totalO) = cat.readFullTextAnd("ovf_ft", "body",
+        Seq("tok_7", "tok_8"))
+      keptO shouldBe totalO // overflow marker: fail open, never lie
+      ov.filter(col("body") === "tok_7").count() shouldBe 1L
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("full-text declaration survives the _TABLE sidecar round-trip") {
+    import graft.catalog.{Append, Catalog, TableDef}
+    val cat = new Catalog(spark)
+    val path = tmpDir("ftattach") + "/reg_ft"
+    val src = spark.createDataFrame(Seq(
+      (1L, "asia pacific"), (2L, "north america"))).toDF("id", "body")
+    cat.createTable(TableDef("reg_ft", path, src.schema,
+      sortKeys = Seq("id"), semantics = Append,
+      fullTextCols = Seq("body" -> 64)))
+    cat.append("reg_ft", src)
+    val cat2 = new Catalog(spark)
+    val re = cat2.attach(path)
+    re.fullTextCols shouldBe Seq("body" -> 64)
+    val (df, kept, total) = cat2.readFullTextAnd("reg_ft", "body",
+      Seq("asia", "pacific"))
+    kept should be <= total
+    df.filter(col("body") === "asia pacific").count() shouldBe 1L
+  }
+
   test("set index declaration survives the _TABLE sidecar round-trip") {
     import graft.catalog.{Append, Catalog, TableDef}
     val cat = new Catalog(spark)
