@@ -221,7 +221,22 @@ final case class TableDef(
     // stores an overflow marker; a token in more rows than
     // [[Catalog.FullTextRowCap]] stores a dense marker (present, rows
     // unknown = universal for intersection).
-    fullTextCols: Seq[(String, Int)] = Nil)
+    fullTextCols: Seq[(String, Int)] = Nil,
+    // CH `INDEX … TYPE vector_similarity`: a declared ANN index on ONE
+    // embedding column — appends maintain an IVF-PQ companion (coarse
+    // cell + M-byte code per row, keyed by the first sort key) through
+    // [[AnnIndex]], and [[Catalog.readAnnTopK]] probes it codes-only.
+    annIndex: Option[AnnIndexDef] = None)
+
+/** The declared shape of a `vector_similarity` index: IVF-PQ with
+  * `nCells` coarse cells, `m` PQ subspaces of `k` sub-centroids each.
+  * The indexed row's identity is the table's FIRST SORT KEY (an integral
+  * column — the id the exact-rerank point-read joins back on), which is
+  * also the CH discipline: a vector index without a primary key to
+  * return has nothing to point at.
+  */
+final case class AnnIndexDef(column: String, nCells: Int = 16,
+                             m: Int = 8, k: Int = 16)
 
 final class Catalog(spark: SparkSession) {
 
@@ -350,6 +365,34 @@ final class Catalog(spark: SparkSession) {
     }
     require(t.fullTextCols.map(_._1).distinct.length == t.fullTextCols.length,
       s"${t.name}: a column appears twice in fullTextCols")
+    // vector_similarity: one float/double array column, anchored to an
+    // integral first sort key (the id the exact rerank points back at)
+    t.annIndex.foreach { a =>
+      import org.apache.spark.sql.types._
+      require(t.schema.fieldNames.contains(a.column),
+        s"${t.name}: ANN index column ${a.column} is not in the schema")
+      val ok = t.schema(a.column).dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+        case _ => false
+      }
+      require(ok, s"${t.name}: ANN index column ${a.column} is " +
+        s"${t.schema(a.column).dataType.simpleString}; vector_similarity " +
+        "indexes float/double array columns")
+      require(t.sortKeys.nonEmpty && t.sortKeys.head != a.column,
+        s"${t.name}: an ANN index needs a non-vector first sort key " +
+          "(the row id the exact rerank joins back on)")
+      val idT = t.schema(t.sortKeys.head).dataType
+      require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+          .contains(idT),
+        s"${t.name}: ANN index id (first sort key ${t.sortKeys.head}) is " +
+          s"${idT.simpleString}; an integral id column is required")
+      require(a.nCells > 0 && a.m > 0 && a.k > 0 && a.k <= 256,
+        s"${t.name}: ANN index needs nCells > 0, m > 0, 0 < k <= 256 " +
+          s"(got ${a.nCells}/${a.m}/${a.k})")
+      require(t.semantics == Append,
+        s"${t.name}: ANN indexes require Append semantics (a merge view " +
+          "would re-key rows under the index)")
+    }
     // token blooms tokenize text — only string columns have tokens
     t.tokenIndexCols.foreach { c =>
       require(t.schema(c).dataType == org.apache.spark.sql.types.StringType,
@@ -636,6 +679,8 @@ final class Catalog(spark: SparkSession) {
         t.setIndexCols.map { case (c, n) => Seq(c, n.toString) }) ~
       ("fulltext_cols" ->
         t.fullTextCols.map { case (c, n) => Seq(c, n.toString) }) ~
+      ("ann_index" -> t.annIndex.map(a =>
+        Seq(a.column, a.nCells.toString, a.m.toString, a.k.toString))) ~
       ("semantics" -> sem)
     JsonMethods.compact(JsonMethods.render(obj))
   }
@@ -791,7 +836,14 @@ final class Catalog(spark: SparkSession) {
       list(j \ "token_index_cols"),
       pairList(j \ "column_codecs"),
       pairList(j \ "set_index_cols").map { case (c, n) => c -> n.toInt },
-      pairList(j \ "fulltext_cols").map { case (c, n) => c -> n.toInt }))
+      pairList(j \ "fulltext_cols").map { case (c, n) => c -> n.toInt },
+      (j \ "ann_index") match {
+        case org.json4s.JArray(List(org.json4s.JString(c),
+            org.json4s.JString(nc), org.json4s.JString(m),
+            org.json4s.JString(k))) =>
+          Some(AnnIndexDef(c, nc.toInt, m.toInt, k.toInt))
+        case _ => None // absent in pre-ANN sidecars
+      }))
     catch {
       case e: Throwable =>
         if (!tables.contains(name)) restorePrior.foreach(_.apply())
@@ -944,7 +996,8 @@ final class Catalog(spark: SparkSession) {
     */
   private def keyCols(t: TableDef): Set[String] =
     (t.sortKeys ++ t.partitionKeys ++ t.indexCols ++ t.minmaxCols ++
-      t.tokenIndexCols ++ t.setIndexCols.map(_._1) ++ t.fullTextCols.map(_._1) ++
+      t.tokenIndexCols ++ t.setIndexCols.map(_._1) ++
+      t.fullTextCols.map(_._1) ++ t.annIndex.map(_.column).toSeq ++
       (t.semantics match {
         case ReplacingDedup(keys, v, isDel) => (keys :+ v) ++ isDel
         case Summing(keys, cols) => keys ++ cols
@@ -2020,6 +2073,23 @@ final class Catalog(spark: SparkSession) {
     if (t.tokenIndexCols.nonEmpty) buildTokenIndex(t, path)
     if (t.setIndexCols.nonEmpty) buildSetIndex(t, path)
     if (t.fullTextCols.nonEmpty) buildFullTextIndex(t, path)
+    if (t.annIndex.nonEmpty) AnnIndex.maintain(spark, t, path)
+  }
+
+  /** Codes-only ANN probe through a declared `vector_similarity` index:
+    * top-`k` cosine neighbors per query row, candidate generation reading
+    * ONLY the maintained IVF-PQ companion (never the vector column), then
+    * an exact rerank point-reading just the candidate ids' vectors from
+    * this table. `queries` needs (q_id, q_emb) columns and is collected —
+    * probes are few by definition (it rides the broadcast side).
+    */
+  def readAnnTopK(name: String, queries: DataFrame, k: Int,
+                  nProbe: Int = 4): DataFrame = {
+    val t = get(name)
+    require(t.annIndex.nonEmpty,
+      s"$name: no vector_similarity index declared")
+    recoverInterruptedSwap(t)
+    AnnIndex.search(this, spark, t, queries, k, nProbe)
   }
 
   // ---- bloom skip-index sidecars ---------------------------------------

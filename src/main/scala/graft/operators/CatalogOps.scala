@@ -542,6 +542,36 @@ object CatalogOps extends QueryModule {
           round(sum(col("o_totalprice")), 2).as("total"))
         .orderBy(col("o_orderpriority"))),
 
+    // The declared vector_similarity index through the correctness gate:
+    // a Catalog table over `embeddings` declares the ANN axis, the append
+    // trains + encodes the IVF-PQ companion (the insert-trigger
+    // maintenance), and readAnnTopK answers codes-only + exact rerank.
+    // Same accuracy-contract oracle pattern as ann_ivfpq_topk: the
+    // probe-pruned rows are engine-specific, the documented recall floor
+    // (recall@5 >= 0.5 vs brute force) is not. AnnIndexSpec pins the raw
+    // rows, markers, and the detach/attach round-trip.
+    "cat_ann_index" -> ((s, d) => {
+      val src = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cat = new Catalog(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-emb_ann")
+      copyDirs.add(tmp)
+      cat.createTable(TableDef("emb_ann", tmp.resolve("emb_ann").toString,
+        src.schema, sortKeys = Seq("vec_id"), semantics = Append,
+        annIndex = Some(graft.catalog.AnnIndexDef("embedding"))))
+      cat.append("emb_ann", src)
+      val q = cat.read("emb_ann").filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val ann = cat.readAnnTopK("emb_ann", q, 5)
+        .select(col("q_id"), col("n_id"))
+      val bf = Similarity.queries("ann_cosine_topk")(s, d)
+        .select(col("q_id"), col("n_id"))
+      val hits = bf.join(ann, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("nhits"))
+      bf.agg(count(lit(1)).as("n_exact")).crossJoin(hits)
+        .select(col("n_exact"),
+          (col("nhits") >= col("n_exact") * 0.5).as("recall_at5_ok"))
+    }),
+
     // The inverted full-text index through the correctness gate: the
     // multi-token AND probe (the shape the token bloom refuses) scans
     // only files where the probe tokens co-occur in some row
@@ -1188,6 +1218,23 @@ object CatalogOps extends QueryModule {
         | round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the raw ANN rows are engine-specific; the oracle recomputes the
+    // brute-force top-5 count and asserts the documented recall floor as
+    // a literal (the ann_ivfpq_topk accuracy-contract pattern)
+    "cat_ann_index" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id AS n_id,
+        |    round(list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+        |bf AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM scored)
+        |  WHERE rnk <= 5)
+        |SELECT count(*) AS n_exact, TRUE AS recall_at5_ok FROM bf""".stripMargin,
 
     // on the ORIGINAL table, from the probe's defining predicate (the
     // min-orderkey row's clerk bucket + priority): posting-list pruning

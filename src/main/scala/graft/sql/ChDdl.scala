@@ -196,6 +196,8 @@ object ChDdl {
     var minmaxCols = Seq.empty[String]
     var tokenCols = Seq.empty[String]
     var setCols = Seq.empty[(String, Int)]
+    var ftCols = Seq.empty[(String, Int)]
+    var annIdx: Option[graft.catalog.AnnIndexDef] = None
     var codecs = Seq.empty[(String, String)]
 
     val conRe = "(?is)^CONSTRAINT\\s+(\\w+)\\s+CHECK\\s+(.+)$".r
@@ -214,6 +216,27 @@ object ChDdl {
                 s"$name: INDEX TYPE set needs a max-distinct bound set(N)"))
             setCols :+= c -> n
           case "tokenbf_v1" | "ngrambf_v1" => tokenCols :+= c
+          // the inverted index (CH full_text/gin): the numeric arg is
+          // OUR bound (max distinct tokens per file — the posting-list
+          // budget), not CH's ngram size; absent → a generous default
+          case "full_text" | "inverted" | "gin" =>
+            val n = Option(arg).map(_.trim).filter(_.nonEmpty).map(_.toInt)
+              .getOrElse(65536)
+            ftCols :+= c -> n
+          // CH vector_similarity('hnsw', 'cosine', …): this engine's ANN
+          // shape is IVF-PQ, so numeric args map to (nCells, m, k) and
+          // CH's quoted method/metric args are accepted and ignored
+          // (cosine IS the metric; hnsw has no Spark-native analog)
+          case "vector_similarity" =>
+            require(annIdx.isEmpty,
+              s"$name: at most one vector_similarity index per table")
+            val nums = Option(arg).toSeq.flatMap(_.split(","))
+              .map(_.trim.replaceAll("^'|'$", ""))
+              .filter(_.matches("\\d+")).map(_.toInt)
+            annIdx = Some(graft.catalog.AnnIndexDef(c,
+              nCells = nums.lift(0).getOrElse(16),
+              m = nums.lift(1).getOrElse(8),
+              k = nums.lift(2).getOrElse(16)))
           case other => throw new IllegalArgumentException(
             s"$name: unsupported skip-index type $other")
         }
@@ -331,7 +354,8 @@ object ChDdl {
       partitionKeys = partitionKeys, indexCols = indexCols,
       minmaxCols = minmaxCols, constraints = constraints.result(),
       materializedCols = materialized.result(), tokenIndexCols = tokenCols,
-      columnCodecs = codecs, setIndexCols = setCols)
+      columnCodecs = codecs, setIndexCols = setCols,
+      fullTextCols = ftCols, annIndex = annIdx)
     clauses.get("SAMPLE BY").foreach { sb =>
       t = Catalog.withSampleBy(t, keyList(sb).head)
     }

@@ -146,7 +146,12 @@ object ChDdlRender {
       t0.minmaxCols.map(c => s"  INDEX mm_$c $c TYPE minmax GRANULARITY 1") ++
       t0.setIndexCols.map { case (c, n) =>
         s"  INDEX set_$c $c TYPE set($n) GRANULARITY 1" } ++
-      t0.tokenIndexCols.map(c => s"  INDEX tok_$c $c TYPE tokenbf_v1 GRANULARITY 1")
+      t0.tokenIndexCols.map(c => s"  INDEX tok_$c $c TYPE tokenbf_v1 GRANULARITY 1") ++
+      t0.fullTextCols.map { case (c, n) =>
+        s"  INDEX ft_$c $c TYPE full_text($n) GRANULARITY 1" } ++
+      t0.annIndex.toSeq.map(a =>
+        s"  INDEX ann_${a.column} ${a.column} TYPE " +
+          s"vector_similarity(${a.nCells}, ${a.m}, ${a.k}) GRANULARITY 1")
 
     val engine = t0.semantics match {
       case Append => "MergeTree"

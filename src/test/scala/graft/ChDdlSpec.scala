@@ -352,7 +352,9 @@ class ChDdlSpec extends SparkSpecBase {
         "  INDEX bf_seg seg TYPE bloom_filter GRANULARITY 1",
         "  INDEX mm_x x_sum TYPE minmax GRANULARITY 1",
         "  INDEX set_seg seg TYPE set(8) GRANULARITY 1",
-        "  INDEX tok_seg seg TYPE tokenbf_v1 GRANULARITY 1"
+        "  INDEX tok_seg seg TYPE tokenbf_v1 GRANULARITY 1",
+        "  INDEX ft_seg seg TYPE full_text(512) GRANULARITY 1",
+        "  INDEX ann_v_emb v_emb TYPE vector_similarity(16, 8, 16) GRANULARITY 1"
       ).filter(_ => rnd.nextBoolean())
       val matCol =
         if (rnd.nextBoolean()) Seq("  `m_sum` UInt64 MATERIALIZED x_sum + 1")
@@ -364,6 +366,7 @@ class ChDdlSpec extends SparkSpecBase {
         "  `d_day` Date",
         "  `ver_ts` DateTime",
         "  `sign_c` Int8",
+        "  `v_emb` Array(Float32)",
         s"  `x_sum` UInt32$codec") ++ extraCols ++ matCol ++ decorations)
         .mkString(",\n")
       val ddl = (Seq(s"CREATE TABLE rt_$i (\n$body\n)", s"ENGINE = $engine") ++
@@ -381,6 +384,38 @@ class ChDdlSpec extends SparkSpecBase {
       }
       val _ = mergeFamily
     }
+  }
+
+  test("full_text and vector_similarity indexes parse into the catalog axes") {
+    val ChDdl.CreateTable(t, _) = ChDdl.parse(
+      """CREATE TABLE vs (
+        |  `id` UInt64,
+        |  `body` String,
+        |  `emb` Array(Float32),
+        |  INDEX ft body TYPE full_text(1024) GRANULARITY 1,
+        |  INDEX ann emb TYPE vector_similarity('ivfpq', 'cosine', 32, 8, 64) GRANULARITY 1
+        |) ENGINE = MergeTree
+        |ORDER BY id""".stripMargin, "/tmp/x")
+    t.fullTextCols shouldBe Seq("body" -> 1024)
+    t.annIndex shouldBe Some(graft.catalog.AnnIndexDef("emb", 32, 8, 64))
+    // CH's own two-arg form maps to the defaults
+    val ChDdl.CreateTable(t2, _) = ChDdl.parse(
+      """CREATE TABLE vs2 (
+        |  `id` UInt64,
+        |  `emb` Array(Float32),
+        |  INDEX ann emb TYPE vector_similarity('hnsw', 'cosineDistance') GRANULARITY 1
+        |) ENGINE = MergeTree
+        |ORDER BY id""".stripMargin, "/tmp/x")
+    t2.annIndex shouldBe Some(graft.catalog.AnnIndexDef("emb", 16, 8, 16))
+    an[IllegalArgumentException] should be thrownBy ChDdl.parse(
+      """CREATE TABLE vs3 (
+        |  `id` UInt64,
+        |  `e1` Array(Float32),
+        |  `e2` Array(Float32),
+        |  INDEX a1 e1 TYPE vector_similarity GRANULARITY 1,
+        |  INDEX a2 e2 TYPE vector_similarity GRANULARITY 1
+        |) ENGINE = MergeTree
+        |ORDER BY id""".stripMargin, "/tmp/x")
   }
 
   test("DESCRIBE TABLE lists physical columns with materialized expressions") {

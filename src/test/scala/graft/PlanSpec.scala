@@ -161,6 +161,30 @@ class PlanSpec extends SparkSpecBase {
     plan.toLowerCase should not include "embedding"
   }
 
+  test("declared ANN index candidates read the codes companion, never vectors") {
+    // same contract as the standalone IVF-PQ operator, through the
+    // DECLARED index axis: the candidate stage's plan scans the
+    // maintained `_idx/ann/codes` companion through pq_adc_score, and no
+    // scan in it reads the indexed vector column
+    import graft.catalog.{AnnIndexDef, Append, Catalog, TableDef}
+    import org.apache.spark.sql.functions.col
+    val cat = new Catalog(spark)
+    val path = tmpDir("annplan") + "/emb_plan"
+    val src = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    cat.createTable(TableDef("emb_plan", path, src.schema,
+      sortKeys = Seq("vec_id"), semantics = Append,
+      annIndex = Some(AnnIndexDef("embedding"))))
+    cat.append("emb_plan", src)
+    val q = src.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val plan = graft.catalog.AnnIndex.candidates(cat, spark,
+      cat.get("emb_plan"), q, 4).queryExecution.executedPlan.toString
+    plan should include("pq_adc_score")
+    plan should include("/_idx/ann/codes")
+    plan.toLowerCase.contains("embedding") shouldBe false
+  }
+
   test("bloom decontam prunes with might_contain before any corpus shuffle") {
     // the operator's whole value is the map-side bloom prune: if a future
     // edit drops the predicate the query silently degrades to shuffling

@@ -371,6 +371,21 @@ class SqlParitySpec extends SparkSpecBase {
         |  WHERE rnk <= 5)
         |SELECT count(*) AS n_exact, TRUE AS recall_at5_ok FROM bf""".stripMargin,
 
+    // the declared-index variant carries the identical accuracy contract
+    "cat_ann_index" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id AS n_id,
+        |    round(cosine_similarity(q.q_emb, e.embedding), 6) AS cos
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+        |bf AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM scored)
+        |  WHERE rnk <= 5)
+        |SELECT count(*) AS n_exact, TRUE AS recall_at5_ok FROM bf""".stripMargin,
+
     "ann_ivfpq_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
         |           FROM embeddings WHERE vec_id < 20),
