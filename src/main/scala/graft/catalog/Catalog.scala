@@ -1770,7 +1770,19 @@ final class Catalog(spark: SparkSession) {
     * (Versioned) makes the failed insert atomically invisible. SQL CHECK
     * semantics: a NULL-valued constraint passes.
     */
-  private def materializeAndCheck(t: TableDef, batch: DataFrame): DataFrame = {
+  private def materializeAndCheck(t: TableDef, batch0: DataFrame): DataFrame = {
+    // CH JSON-column ingest semantics: a VariantType-declared column
+    // accepts JSON TEXT — string batches parse at insert (parse_json
+    // raises on malformed input, CH's strict JSON ingestion); variant
+    // batches pass through untouched
+    val batch = t.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.VariantType)
+      .foldLeft(batch0) { (df, f) =>
+        if (df.columns.contains(f.name) &&
+            df.schema(f.name).dataType == org.apache.spark.sql.types.StringType)
+          df.withColumn(f.name, parse_json(col(f.name)))
+        else df
+      }
     t.materializedCols.foreach { case (c, e) =>
       require(!batch.columns.contains(c),
         s"${t.name}: column $c is MATERIALIZED ($e) and cannot be inserted")

@@ -542,6 +542,37 @@ object CatalogOps extends QueryModule {
           round(sum(col("o_totalprice")), 2).as("total"))
         .orderBy(col("o_orderpriority"))),
 
+    // The JSON/Variant column TYPE through the correctness gate: a
+    // Catalog table declared `props JSON` (CH's semi-structured type →
+    // Spark VariantType) from DDL TEXT, loaded from the raw JSON-string
+    // column (parse_json fires at insert — the CH JSON-ingest
+    // semantics), then read back with typed variant_get extraction
+    // through the dialect's JSONExtract* mapping. The oracle re-extracts
+    // from the ORIGINAL string column with DuckDB's native JSON
+    // functions — equality proves the variant round-trip (parse →
+    // parquet variant group → typed path read) loses nothing.
+    "fn_json_variant" -> ((s, d) => {
+      val cat = new Catalog(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-ev_json")
+      copyDirs.add(tmp)
+      graft.sql.ChDdl.createTable(cat,
+        """CREATE TABLE ev_json (
+          |  `event_id` UInt64,
+          |  `etype` LowCardinality(String),
+          |  `props` JSON
+          |) ENGINE = MergeTree
+          |ORDER BY event_id""".stripMargin,
+        tmp.resolve("ev_json").toString)
+      cat.append("ev_json", Tables.events(s, d).select(col("event_id"),
+        col("event_type").as("etype"), col("props")))
+      cat.read("ev_json").createOrReplaceTempView("ev_json")
+      graft.sql.GraftSql.chSql(s, d,
+        """SELECT etype, count(*) AS n,
+          | CAST(sum(JSONExtractInt(props, 'k')) AS BIGINT) AS k_sum,
+          | CAST(max(JSONExtractInt(props, 'k')) AS BIGINT) AS k_max
+          |FROM ev_json GROUP BY etype ORDER BY etype""".stripMargin)
+    }),
+
     // The declared vector_similarity index through the correctness gate:
     // a Catalog table over `embeddings` declares the ANN axis, the append
     // trains + encodes the IVF-PQ companion (the insert-trigger
@@ -1218,6 +1249,15 @@ object CatalogOps extends QueryModule {
         | round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the oracle re-extracts from the ORIGINAL JSON-string column with
+    // DuckDB's native JSON functions: the variant round-trip must be
+    // invisible to every typed extraction
+    "fn_json_variant" ->
+      """SELECT event_type AS etype, count(*) AS n,
+        | sum(CAST(json_extract_string(props, '$.k') AS INTEGER))::BIGINT AS k_sum,
+        | CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_max
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the raw ANN rows are engine-specific; the oracle recomputes the
     // brute-force top-5 count and asserts the documented recall floor as

@@ -92,6 +92,16 @@ object ChType {
     override def metadata: Metadata = inner.metadata
   }
 
+  /** CH `JSON` (and its `Dynamic`/legacy `Object('json')` kin): a
+    * semi-structured column TYPE, not a string holding JSON text. Spark
+    * 4's VariantType is the native carrier — a parsed binary encoding
+    * whose typed paths extract with `variant_get` (the `JSONExtract*`
+    * dialect mappings) instead of re-parsing text per call; parquet
+    * stores it as the (metadata, value) variant group, the shredded-
+    * column analog of CH's dynamic subcolumn storage.
+    */
+  case object ChJson extends ChType { def sparkType: DataType = VariantType }
+
   /** One declared column: position in the TSV is its index in the schema. */
   final case class Col(name: String, ch: ChType) {
     def field: StructField = StructField(name, ch.sparkType, nullable = true, ch.metadata)

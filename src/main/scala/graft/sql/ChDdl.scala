@@ -818,6 +818,10 @@ object ChDdl {
       case "float64" => ChFloat64
       case "bool" | "boolean" => ChBool
       case "uuid" => ChString // textual identity; no dedicated Spark type
+      // the semi-structured column TYPE (args — CH's max_dynamic_paths
+      // etc. — are storage tuning, accepted and ignored); legacy
+      // Object('json') spells the same type
+      case "json" | "dynamic" | "object" => ChJson
       case "date" | "date32" => ChDate
       case "datetime" => ChDateTime // tz arg, if any, is display metadata
       case "datetime64" => ChDateTime // micro precision is Spark's native

@@ -60,6 +60,7 @@ object ChDdlRender {
       case DateType => "Date"
       case TimestampType => "DateTime"
       case d: DecimalType => s"Decimal(${d.precision}, ${d.scale})"
+      case VariantType => "JSON"
       case ArrayType(inner, _) => s"Array(${typeText(inner, Metadata.empty)})"
       case other => throw new IllegalArgumentException(
         s"no ClickHouse rendering for Spark type ${other.simpleString}")

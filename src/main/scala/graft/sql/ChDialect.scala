@@ -358,6 +358,27 @@ object ChDialect {
       case args => throw new IllegalArgumentException(
         s"hasToken expects 2 arguments, got ${args.length}")
     })
+    // JSONExtract* over the JSON/Variant column type → typed variant_get
+    // paths. CH's key arguments become the '$.a.b' path through a
+    // concat of literals (key literals are MASKED here — sentinel
+    // tokens — so the path is assembled relationally; concat-of-
+    // literals stays foldable, which variant_get's path requires, and a
+    // genuinely computed key still fails loudly there). The quoted '$.'
+    // and '.' separators land in a code segment — safe, the date_trunc
+    // note above.
+    Seq("JSONExtractString" -> "string", "JSONExtractInt" -> "bigint",
+      "JSONExtractUInt" -> "bigint", "JSONExtractFloat" -> "double",
+      "JSONExtractBool" -> "boolean").foreach { case (fn, ty) =>
+      s = rewriteCall(s, fn, {
+        case json :: keys if keys.nonEmpty =>
+          // strip(), not trim(): the masked-literal sentinel is a control
+          // char and trim() would eat it, orphaning the key literals
+          val path = keys.map(_.strip()).mkString(", '.', ")
+          s"variant_get($json, concat('$$.', $path), '$ty')"
+        case args => throw new IllegalArgumentException(
+          s"$fn expects (json, key…), got ${args.length} argument(s)")
+      })
+    }
     s = rewriteCombinator(s, "quantileExact")
     s = rewriteCombinator(s, "quantile")
     s

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.catalog.{Append, Catalog, ReplacingDedup, Summing, TableDef}
 import graft.schema.{ChType, GhEventsSchema, GitSchemas}
-import graft.sql.ChDdl
+import graft.sql.{ChDdl, ChDdlRender, GraftSql}
 
 /** The DDL entry point proved against the reference's OWN statements:
   * every `CREATE TABLE` the reference runs (types.json `schema` strings,
@@ -320,7 +320,7 @@ class ChDdlSpec extends SparkSpecBase {
       "Float64", "Bool", "Date", "DateTime", "Decimal(12, 3)",
       "Decimal64(4)", "Enum8('a' = 1, 'b' = 2)", "LowCardinality(String)",
       "Nullable(Int32)", "Array(UInt32)", "LowCardinality(FixedString(8))",
-      "Enum16('lo' = 1, 'hi' = 400)")
+      "Enum16('lo' = 1, 'hi' = 400)", "JSON")
     (1 to 80).foreach { i =>
       val extraCols = (0 until rnd.nextInt(4)).map(j =>
         s"  `c_${j}_ttl_x` ${scalarTypes(rnd.nextInt(scalarTypes.length))}")
@@ -384,6 +384,42 @@ class ChDdlSpec extends SparkSpecBase {
       }
       val _ = mergeFamily
     }
+  }
+
+  test("JSON column type: variant storage, string ingest, typed extraction") {
+    import org.apache.spark.sql.functions._
+    val cat = new Catalog(spark)
+    val path = tmpDir("chjson") + "/jv"
+    val t = ChDdl.createTable(cat,
+      """CREATE TABLE jv (
+        |  `id` UInt64,
+        |  `doc` JSON
+        |) ENGINE = MergeTree
+        |ORDER BY id""".stripMargin, path)
+    t.schema("doc").dataType shouldBe org.apache.spark.sql.types.VariantType
+    // string batches parse at insert (the CH JSON-ingest semantics)
+    cat.append("jv", spark.createDataFrame(Seq(
+      (1L, """{"a": 7, "b": {"c": "x"}}"""),
+      (2L, """{"a": 9}"""))).toDF("id", "doc"))
+    val got = cat.read("jv")
+      .select(col("id"),
+        expr("variant_get(doc, '$.a', 'bigint')").as("a"),
+        expr("variant_get(doc, '$.b.c', 'string')").as("c"))
+      .orderBy(col("id")).collect()
+    got.map(_.getLong(1)).toSeq shouldBe Seq(7L, 9L)
+    got.map(r => Option(r.getString(2))).toSeq shouldBe Seq(Some("x"), None)
+    // the dialect's JSONExtract* maps to the same typed paths
+    cat.read("jv").createOrReplaceTempView("jv")
+    val viaDialect = GraftSql.chSql(spark, sf0001,
+      "SELECT id, JSONExtractString(doc, 'b', 'c') AS c FROM jv ORDER BY id")
+    viaDialect.collect().map(r => Option(r.getString(1))).toSeq shouldBe
+      Seq(Some("x"), None)
+    // malformed input fails the insert loudly, CH-strict
+    an[Exception] should be thrownBy
+      cat.append("jv", spark.createDataFrame(Seq((3L, "{nope")))
+        .toDF("id", "doc"))
+    // and the type renders back as JSON (SHOW CREATE round-trip)
+    ChDdlRender.render(cat.get("jv")) should include("`doc` JSON")
   }
 
   test("full_text and vector_similarity indexes parse into the catalog axes") {

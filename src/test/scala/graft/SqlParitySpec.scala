@@ -425,6 +425,15 @@ class SqlParitySpec extends SparkSpecBase {
         |FROM events WHERE CAST(get_json_object(props, '$.k') AS INT) > 90
         |ORDER BY event_id""".stripMargin,
 
+    // the Variant-typed gate query restated over the original string
+    // column (the twin needs no catalog table — extraction equivalence
+    // is the point)
+    "fn_json_variant" ->
+      """SELECT event_type AS etype, count(*) AS n,
+        | CAST(sum(CAST(get_json_object(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+        | CAST(max(CAST(get_json_object(props, '$.k') AS INT)) AS BIGINT) AS k_max
+        |FROM events GROUP BY etype ORDER BY etype""".stripMargin,
+
     "win_moving_range" ->
       """SELECT event_id, user_id, epoch,
         | count(*) OVER w AS mov_n,
