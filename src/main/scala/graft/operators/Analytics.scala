@@ -512,6 +512,20 @@ object Analytics extends QueryModule {
           |ORDER BY o_totalprice DESC, o_orderkey
           |LIMIT 2 BY o_orderstatus""".stripMargin)),
 
+    // CH `ARRAY JOIN` (the clause form) through the dialect: unnests a
+    // computed array per row — here the whitespace tokens of short docs,
+    // the tokenize-then-aggregate shape every CH text pipeline uses —
+    // rewritten to LATERAL VIEW explode. splitByChar rides along
+    // (argument swap + \Q-quoted separator). The oracle is DuckDB's
+    // native unnest over the same derivation.
+    "sql_array_join" -> ((s, d) =>
+      graft.sql.GraftSql.chSql(s, d,
+        """SELECT tok, count() AS n, uniqExact(doc_id) AS n_docs
+          |FROM documents ARRAY JOIN splitByChar(' ', text) AS tok
+          |WHERE doc_id < 500 AND tok != ''
+          |GROUP BY tok HAVING count() >= 25
+          |ORDER BY n DESC, tok LIMIT 50""".stripMargin)),
+
     // CH query result cache (`use_query_cache = 1`) through the gate:
     // the second invocation serves the STORED result — no job, no scan —
     // and must still hash-match the oracle's independent recompute. The
@@ -1059,6 +1073,14 @@ object Analytics extends QueryModule {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) t WHERE rn <= 2
         |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "sql_array_join" ->
+      """SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents WHERE doc_id < 500) t
+        |WHERE tok != ''
+        |GROUP BY tok HAVING count(*) >= 25
+        |ORDER BY n DESC, tok LIMIT 50""".stripMargin,
 
     // the oracle recomputes what the cache served
     "sql_query_cache" ->

@@ -54,6 +54,18 @@ package graft.sql
   *     partitioned by the BY list over the query's own ORDER BY
   *     (top-level statements only; an ORDER BY is required — see
   *     [[rewriteLimitBy]])
+  *   - `FROM t [LEFT] ARRAY JOIN expr AS x` (the clause form of CH's
+  *     array unnest; the function form `arrayJoin(x)` maps to `explode`
+  *     above) → `LATERAL VIEW [OUTER] explode(expr) __ajN AS x`. LEFT
+  *     keeps empty-array rows with a NULL element (SQL convention;
+  *     ClickHouse emits the type's default value — documented
+  *     divergence). The alias is REQUIRED: the bare `ARRAY JOIN col`
+  *     makes the element SHADOW the array column, which no LATERAL
+  *     VIEW rewrite can express without ambiguity — it fails loudly.
+  *     The zipped multi-array form (`ARRAY JOIN a, b`) fails loudly too.
+  *   - `splitByChar(sep, s)`/`splitByString(sep, s)` → `split(s, sep)`
+  *     with the separator regex-quoted via `\\Q…\\E` (argument swap;
+  *     any separator byte stays literal)
   *
   * Single-quoted string literals (with `''` escapes) pass through
   * byte-for-byte — a literal containing `countIf(` or `FINAL` is never
@@ -271,6 +283,7 @@ object ChDialect {
     s = rewriteLimitBy(s)
     s = rewriteSample(s)
     s = rewriteGroupMods(s)
+    s = rewriteArrayJoin(s, 0)
     simpleReplacements.foreach { case (re, to) =>
       s = re.replaceAllIn(s, _ => scala.util.matching.Regex
         .quoteReplacement(to))
@@ -352,6 +365,17 @@ object ChDialect {
     // the SQL predicate and the storage-side bloom can never disagree on
     // what a token is (the quoted pattern lands in a code segment —
     // safe, same reasoning as the date_trunc note above)
+    // splitByChar/splitByString(sep, s) → split(s, sep) — argument swap,
+    // separator regex-quoted through \Q…\E so a metachar separator ('.',
+    // '|') splits literally; the quoting concat lands in a code segment
+    // (safe — the date_trunc note above)
+    Seq("splitByChar", "splitByString").foreach { fn =>
+      s = rewriteCall(s, fn, {
+        case List(sep, str) => s"split($str, concat('\\\\Q', $sep, '\\\\E'))"
+        case args => throw new IllegalArgumentException(
+          s"$fn expects 2 arguments, got ${args.length}")
+      })
+    }
     s = rewriteCall(s, "hasToken", {
       case List(c, tok) =>
         s"array_contains(split($c, '${graft.catalog.Catalog.TokenSeparators}'), $tok)"
@@ -383,6 +407,78 @@ object ChDialect {
     s = rewriteCombinator(s, "quantile")
     s
   }
+
+  // the ARRAY JOIN clause sits between the FROM refs and the first
+  // boundary keyword (or the `)` closing the subquery it lives in) —
+  // the same place Spark puts LATERAL VIEW, so the rewrite is positional
+  private val arrayJoinRe = "(?i)\\b(LEFT\\s+)?ARRAY\\s+JOIN\\b".r
+  private val ajBoundaryPat = java.util.regex.Pattern.compile(
+    "(?i)\\b(WHERE|GROUP\\s+BY|HAVING|ORDER\\s+BY|LIMIT|SETTINGS|" +
+      "UNION|WINDOW|LATERAL|ARRAY\\s+JOIN|LEFT\\s+ARRAY\\s+JOIN)\\b")
+  private val ajAsSplit = "(?i)\\s+AS\\s+".r
+  private val identRe = "[A-Za-z_][A-Za-z0-9_]*".r
+
+  /** `[LEFT] ARRAY JOIN expr AS alias` → `LATERAL VIEW [OUTER]
+    * explode(expr) __ajN AS alias` (doc in the class header). `n`
+    * numbers the generator table aliases so chained ARRAY JOINs in one
+    * statement never collide.
+    */
+  private def rewriteArrayJoin(s: String, n: Int): String =
+    arrayJoinRe.findFirstMatchIn(s) match {
+      case None => s
+      case Some(m) =>
+        val left = m.group(1) != null
+        val tail = s.substring(m.end)
+        // clause end = the earliest of: a boundary keyword at paren
+        // depth 0, an unmatched ')' (the clause sits in a subquery), or
+        // end-of-text
+        var end = tail.length
+        val bm = ajBoundaryPat.matcher(tail)
+        var from = 0
+        var done = false
+        while (!done && bm.find(from)) {
+          val d = tail.substring(0, bm.start).foldLeft(0)((a, c) =>
+            if (c == '(') a + 1 else if (c == ')') a - 1 else a)
+          if (d == 0) { end = bm.start; done = true } else from = bm.end
+        }
+        var depth = 0
+        var i = 0
+        while (i < end) {
+          tail.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => if (depth == 0) { end = i } else depth -= 1
+            case _ => ()
+          }
+          i += 1
+        }
+        val body = wtrim(tail.substring(0, end))
+        // a top-level comma = CH's zipped multi-array form — refuse
+        // loudly rather than emulate (arrays_zip changes element shape)
+        var d2 = 0
+        body.foreach { c =>
+          if (c == '(') d2 += 1 else if (c == ')') d2 -= 1
+          else if (c == ',' && d2 == 0) throw new IllegalArgumentException(
+            "ARRAY JOIN a, b (the zipped multi-array form) is not " +
+              "supported — chain single ARRAY JOIN … AS clauses instead")
+        }
+        // the LAST top-level AS splits expr from alias (an AS inside a
+        // parenthesized expr never sits at depth 0)
+        val asAt = ajAsSplit.findAllMatchIn(body).toList.filter { am =>
+          body.substring(0, am.start).foldLeft(0)((a, c) =>
+            if (c == '(') a + 1 else if (c == ')') a - 1 else a) == 0
+        }.lastOption.getOrElse(throw new IllegalArgumentException(
+          "ARRAY JOIN without AS: ClickHouse makes the element shadow " +
+            "the array column, which a LATERAL VIEW rewrite cannot " +
+            "express unambiguously — write ARRAY JOIN expr AS alias"))
+        val expr = wtrim(body.substring(0, asAt.start))
+        val alias = wtrim(body.substring(asAt.end))
+        require(identRe.pattern.matcher(alias).matches(),
+          s"ARRAY JOIN … AS $alias: the alias must be a plain identifier")
+        val outer = if (left) "OUTER " else ""
+        s.substring(0, m.start) +
+          s"LATERAL VIEW ${outer}explode($expr) __aj$n AS $alias " +
+          rewriteArrayJoin(tail.substring(end), n + 1)
+    }
 
   /** Rewrite every `fn(args…)` call in `s` (case-insensitive, balanced
     * parens, top-level comma split) via `f`. Args are NOT re-entered —

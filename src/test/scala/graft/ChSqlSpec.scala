@@ -219,7 +219,49 @@ class ChSqlSpec extends SparkSpecBase {
         "FROM region ORDER BY r_name")
   }
 
+  test("ARRAY JOIN clause rewrites to LATERAL VIEW and agrees") {
+    // the clause form (exact text: positional LATERAL VIEW swap)
+    ChDialect.rewrite(
+      "SELECT doc_id, tok FROM documents ARRAY JOIN split(text, ' ') AS tok " +
+        "WHERE doc_id < 3") shouldBe
+      ("SELECT doc_id, tok FROM documents LATERAL VIEW " +
+        "explode(split(text, ' ')) __aj0 AS tok WHERE doc_id < 3")
+    // LEFT keeps empty-array rows (NULL element — doc'd divergence from
+    // CH's type-default); behavior check against the explicit Spark form
+    chEqualsSpark(
+      """SELECT n_name, e FROM nation
+        |LEFT ARRAY JOIN filter(split(n_name, 'A'), x -> x != '') AS e
+        |WHERE n_regionkey = 1 ORDER BY n_name, e""".stripMargin,
+      """SELECT n_name, e FROM nation
+        |LATERAL VIEW OUTER explode(filter(split(n_name, 'A'), x -> x != ''))
+        |  __x AS e
+        |WHERE n_regionkey = 1 ORDER BY n_name, e""".stripMargin)
+    // chained clauses get distinct generator aliases
+    val chained = ChDialect.rewrite(
+      "SELECT a, b FROM t ARRAY JOIN xs AS a ARRAY JOIN ys AS b WHERE a > 0")
+    chained should include("__aj0 AS a")
+    chained should include("__aj1 AS b")
+    // inside a subquery, the clause ends at the subquery's ')'
+    ChDialect.rewrite(
+      "SELECT * FROM (SELECT tok FROM docs ARRAY JOIN xs AS tok) q LIMIT 1") shouldBe
+      ("SELECT * FROM (SELECT tok FROM docs LATERAL VIEW explode(xs) " +
+        "__aj0 AS tok ) q LIMIT 1")
+    // splitByChar swaps arguments and \Q-quotes the separator: a regex
+    // metachar separator splits literally
+    chEqualsSpark(
+      "SELECT splitByChar('.', '1.2.3') AS parts",
+      "SELECT split('1.2.3', '\\\\.') AS parts")
+  }
+
   test("unsupported shapes fail loudly, not silently") {
+    intercept[IllegalArgumentException] {
+      // bare ARRAY JOIN col shadows the array column in CH — refused
+      ChDialect.rewrite("SELECT x FROM t ARRAY JOIN xs WHERE x > 0")
+    }
+    intercept[IllegalArgumentException] {
+      // the zipped multi-array form — refused
+      ChDialect.rewrite("SELECT a, b FROM t ARRAY JOIN xs AS a, ys AS b")
+    }
     intercept[IllegalArgumentException] {
       ChDialect.rewrite("SELECT sumIf(x) FROM t")
     }
