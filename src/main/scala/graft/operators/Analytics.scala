@@ -526,6 +526,20 @@ object Analytics extends QueryModule {
           |GROUP BY tok HAVING count() >= 25
           |ORDER BY n DESC, tok LIMIT 50""".stripMargin)),
 
+    // CH `ORDER BY … WITH FILL` through the dialect: gap-filled price
+    // histogram — the fill axis FROM 0 TO 25 runs past the data's top
+    // bucket (~16 at every SF), so filled rows exist at every scale and
+    // CORRECTNESS pins both halves (kept real rows + injected grid rows
+    // with NULL measures). The count is string-cast on BOTH sides so the
+    // NULL-bearing measure column renders engine-independently.
+    "sql_with_fill" -> ((s, d) =>
+      graft.sql.GraftSql.chSql(s, d,
+        """SELECT bucket, toString(count()) AS n
+          |FROM (SELECT CAST(floor(o_totalprice / 30000) AS INT) AS bucket
+          |      FROM orders) t
+          |GROUP BY bucket
+          |ORDER BY bucket WITH FILL FROM 0 TO 25""".stripMargin)),
+
     // CH query result cache (`use_query_cache = 1`) through the gate:
     // the second invocation serves the STORED result — no job, no scan —
     // and must still hash-match the oracle's independent recompute. The
@@ -1073,6 +1087,16 @@ object Analytics extends QueryModule {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) t WHERE rn <= 2
         |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+
+    // DuckDB's native range() (end-exclusive, like CH's TO) restates the
+    // fill axis; the FULL OUTER JOIN is the same keep-all + inject shape
+    "sql_with_fill" ->
+      """SELECT coalesce(q.bucket, g.range) AS bucket, q.n
+        |FROM (SELECT CAST(floor(o_totalprice / 30000) AS INT) AS bucket,
+        |             CAST(count(*) AS VARCHAR) AS n
+        |      FROM orders GROUP BY 1) q
+        |FULL OUTER JOIN range(0, 25) g ON q.bucket = g.range
+        |ORDER BY bucket""".stripMargin,
 
     "sql_array_join" ->
       """SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS n_docs

@@ -54,6 +54,17 @@ package graft.sql
   *     partitioned by the BY list over the query's own ORDER BY
   *     (top-level statements only; an ORDER BY is required — see
   *     [[rewriteLimitBy]])
+  *   - `ORDER BY x WITH FILL [FROM a TO b] [STEP s]` (CH's gap-filling
+  *     sort) → a FULL OUTER join of the body against the generated step
+  *     axis (`sequence()`), so existing rows — on- or off-grid — are all
+  *     kept and missing grid points appear with NULL non-axis columns
+  *     (SQL convention; ClickHouse emits type defaults — documented
+  *     divergence, same stance as LEFT ARRAY JOIN). FROM is inclusive,
+  *     TO exclusive, STEP defaults to 1 (all CH semantics); with no
+  *     bounds the axis spans the body's own min..max inclusive, which
+  *     recomputes the body for each bound — bound big bodies explicitly.
+  *     Single plain-identifier fill key, top-level statements, no
+  *     INTERPOLATE (fails loudly).
   *   - `FROM t [LEFT] ARRAY JOIN expr AS x` (the clause form of CH's
   *     array unnest; the function form `arrayJoin(x)` maps to `explode`
   *     above) → `LATERAL VIEW [OUTER] explode(expr) __ajN AS x`. LEFT
@@ -281,6 +292,7 @@ object ChDialect {
     // not be re-scanned by the token passes below (it contains none of
     // their tokens by construction, but ordering makes that a non-issue)
     s = rewriteLimitBy(s)
+    s = rewriteWithFill(s)
     s = rewriteSample(s)
     s = rewriteGroupMods(s)
     s = rewriteArrayJoin(s, 0)
@@ -406,6 +418,64 @@ object ChDialect {
     s = rewriteCombinator(s, "quantileExact")
     s = rewriteCombinator(s, "quantile")
     s
+  }
+
+  // `… ORDER BY col WITH FILL [FROM a TO b] [STEP s] [LIMIT n]` — the
+  // greedy body prefix anchors at the LAST ORDER BY (subquery sorts stay
+  // in the body), like rewriteLimitBy above
+  private val withFillRe =
+    ("(?is)^(.*\\S)\\s+ORDER\\s+BY\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+" +
+      "WITH\\s+FILL\\b(.*)$").r
+  private val fillTailRe =
+    "(?is)^(?:\\s+FROM\\s+(.+?))?(?:\\s+TO\\s+(.+?))?(?:\\s+STEP\\s+(.+?))?\\s*$".r
+  private val fillLimitRe = "(?is)^(.*?)\\s+LIMIT\\s+(\\d+)\\s*$".r
+
+  /** Doc in the class header. The generated text contains no CH-isms of
+    * its own; `body` and the bound/step expressions stay in the segment
+    * and keep flowing through the later rewrite passes.
+    */
+  private def rewriteWithFill(s: String): String = s match {
+    case withFillRe(body, col, tail0) =>
+      require("(?i)\\bINTERPOLATE\\b".r.findFirstIn(tail0).isEmpty,
+        "WITH FILL INTERPOLATE is not supported — filled rows carry NULL " +
+          "non-axis columns; compute interpolations over the filled result")
+      val (tail, limit) = tail0 match {
+        case fillLimitRe(t, n) => (t, s" LIMIT $n")
+        case t                 => (t, "")
+      }
+      val (from, to, step) = tail match {
+        case fillTailRe(f, t, st) =>
+          (Option(f).map(wtrim), Option(t).map(wtrim),
+            Option(st).map(wtrim).getOrElse("1"))
+        case _ => throw new IllegalArgumentException(
+          s"WITH FILL: cannot parse '$tail' — expected [FROM a TO b] [STEP s]")
+      }
+      val axis = (from, to) match {
+        case (Some(a), Some(b)) =>
+          // CH: FROM inclusive, TO exclusive; sequence() is inclusive of
+          // its upper bound, so over-generate to b and filter back
+          s"""(SELECT __v AS __fill_x FROM (
+             |   SELECT explode(sequence($a, $b, $step)) AS __v) __sq
+             | WHERE __v < $b)""".stripMargin
+        case (None, None) =>
+          s"""(SELECT explode(sequence(
+             |   (SELECT min($col) FROM ( $body ) __fmin),
+             |   (SELECT max($col) FROM ( $body ) __fmax),
+             |   $step)) AS __fill_x)""".stripMargin
+        case _ => throw new IllegalArgumentException(
+          "WITH FILL: FROM and TO must be given together (or both omitted " +
+            "for the body's own min..max)")
+      }
+      s"""SELECT coalesce(__q.$col, __fx.__fill_x) AS $col,
+         |  __q.* EXCEPT ($col)
+         |FROM ( $body ) __q
+         |FULL OUTER JOIN $axis __fx ON __q.$col = __fx.__fill_x
+         |ORDER BY $col$limit""".stripMargin
+    case _ =>
+      require("(?i)\\bWITH\\s+FILL\\b".r.findFirstIn(s).isEmpty,
+        "WITH FILL: only `ORDER BY col WITH FILL [FROM a TO b] [STEP s]` " +
+          "over a single ascending plain-identifier key is supported")
+      s
   }
 
   // the ARRAY JOIN clause sits between the FROM refs and the first

@@ -253,10 +253,42 @@ class ChSqlSpec extends SparkSpecBase {
       "SELECT split('1.2.3', '\\\\.') AS parts")
   }
 
+  test("ORDER BY WITH FILL injects missing grid rows and keeps real ones") {
+    // explicit bounds: FROM inclusive, TO exclusive, STEP honored —
+    // regionkeys are 0..4, so the grid 0..8 step 2 injects 6 and 8 while
+    // every real row (odd keys included, OFF the grid) is kept
+    val filled = GraftSql.chSql(spark, sf0001,
+      """SELECT n_regionkey AS rk, count() AS n FROM nation GROUP BY n_regionkey
+        |ORDER BY rk WITH FILL FROM 0 TO 10 STEP 2""".stripMargin).collect()
+    filled.map(_.get(0).toString.toInt).toSeq shouldBe Seq(0, 1, 2, 3, 4, 6, 8)
+    filled.filter(_.isNullAt(1)).map(_.get(0).toString.toInt).toSeq shouldBe Seq(6, 8)
+    // unbounded form: the axis spans the body's own min..max inclusive
+    val auto = GraftSql.chSql(spark, sf0001,
+      """SELECT rk, count() AS n
+        |FROM (SELECT n_regionkey * 2 AS rk FROM nation) t GROUP BY rk
+        |ORDER BY rk WITH FILL""".stripMargin).collect()
+    auto.map(_.get(0).toString.toInt).toSeq shouldBe (0 to 8)
+    auto.filter(_.isNullAt(1)).map(_.get(0).toString.toInt).toSeq shouldBe
+      Seq(1, 3, 5, 7)
+  }
+
   test("unsupported shapes fail loudly, not silently") {
     intercept[IllegalArgumentException] {
       // bare ARRAY JOIN col shadows the array column in CH — refused
       ChDialect.rewrite("SELECT x FROM t ARRAY JOIN xs WHERE x > 0")
+    }
+    intercept[IllegalArgumentException] {
+      // WITH FILL INTERPOLATE — refused
+      ChDialect.rewrite("SELECT a, b FROM t ORDER BY a WITH FILL INTERPOLATE (b)")
+    }
+    intercept[IllegalArgumentException] {
+      // one-sided bounds — refused
+      ChDialect.rewrite("SELECT a FROM t ORDER BY a WITH FILL FROM 0")
+    }
+    intercept[IllegalArgumentException] {
+      // descending / multi-key fill — refused (regex can't anchor), the
+      // guard turns the parser error into a clear refusal
+      ChDialect.rewrite("SELECT a FROM t ORDER BY a DESC WITH FILL")
     }
     intercept[IllegalArgumentException] {
       // the zipped multi-array form — refused
