@@ -226,7 +226,19 @@ final case class TableDef(
     // embedding column — appends maintain an IVF-PQ companion (coarse
     // cell + M-byte code per row, keyed by the first sort key) through
     // [[AnnIndex]], and [[Catalog.readAnnTopK]] probes it codes-only.
-    annIndex: Option[AnnIndexDef] = None)
+    annIndex: Option[AnnIndexDef] = None,
+    // CH `PROJECTION p (SELECT …)`: declared per-table projections —
+    // every append/compact maintains a companion dataset under
+    // `_proj_<name>/` inside the data dir (underscore prefix = invisible
+    // to base scans), and queries are AUTO-rewritten onto it by the
+    // registered optimizer rules ([[graft.plans.RollupRewrite]] /
+    // [[graft.plans.SortedProjectionRewrite]]); queries never opt in.
+    // Plain Append + FlatDir + unpartitioned tables only (merging
+    // engines fold at read time, so an aggregate over their scan is
+    // never a plain rollup of stored rows; the rules also require a
+    // single-root scan). See [[Catalog.materializeProjection]] for the
+    // crash-recovery contract.
+    projections: Seq[ProjectionSpec] = Nil)
 
 /** The declared shape of a `vector_similarity` index: IVF-PQ with
   * `nCells` coarse cells, `m` PQ subspaces of `k` sub-centroids each.
@@ -237,6 +249,26 @@ final case class TableDef(
   */
 final case class AnnIndexDef(column: String, nCells: Int = 16,
                              m: Int = 8, k: Int = 16)
+
+/** One declared table projection (doc on [[TableDef.projections]]). */
+sealed trait ProjectionSpec { def name: String }
+
+/** The aggregate form — CH `PROJECTION p (SELECT dims…, count(), sum(m)…
+  * GROUP BY dims…)`. The companion holds one partial row per (dims) per
+  * INSERT BLOCK (`__cnt` + `__sum_<m>` columns — the SummingMergeTree
+  * partial-state shape this engine already merges at read); a count/sum
+  * aggregate over the base re-aggregates those partials, so per-block
+  * appends never need to rewrite the companion.
+  */
+final case class AggProjection(name: String, dims: Seq[String],
+                               sumCols: Seq[String] = Nil) extends ProjectionSpec
+
+/** The alternate-sort form — CH `PROJECTION p (SELECT * ORDER BY key)`.
+  * Each appended block is range-clustered on `sortKey` in the companion,
+  * so a selective predicate on it prunes to ~1/files-per-block within
+  * every block (a compact re-clusters globally — the CH merge analog).
+  */
+final case class SortProjection(name: String, sortKey: String) extends ProjectionSpec
 
 final class Catalog(spark: SparkSession) {
 
@@ -392,6 +424,36 @@ final class Catalog(spark: SparkSession) {
       require(t.semantics == Append,
         s"${t.name}: ANN indexes require Append semantics (a merge view " +
           "would re-key rows under the index)")
+    }
+    // projections: plain-Append FlatDir unpartitioned tables only (the
+    // TableDef doc), one per rewrite rule (each rule's registry is keyed
+    // by the base path), every referenced column a schema column
+    if (t.projections.nonEmpty) {
+      require(t.semantics == Append,
+        s"${t.name}: projections need plain MergeTree semantics — a " +
+          "merging engine's stored rows are partial states, and a rollup " +
+          "of partials is not a rollup of the merged view")
+      require(t.layout == FlatDir && t.partitionKeys.isEmpty,
+        s"${t.name}: projections are maintained per data directory — " +
+          "FlatDir unpartitioned tables only")
+      require(t.projections.map(_.name).distinct.length == t.projections.length,
+        s"${t.name}: duplicate projection name")
+      require(t.projections.count(_.isInstanceOf[AggProjection]) <= 1 &&
+          t.projections.count(_.isInstanceOf[SortProjection]) <= 1,
+        s"${t.name}: at most one aggregate and one sorted projection per " +
+          "table (the rewrite registries key on the base path)")
+      t.projections.foreach {
+        case AggProjection(nm, dims, sums) =>
+          require(dims.nonEmpty, s"${t.name}.$nm: GROUP BY dims required")
+          (dims ++ sums).foreach(c => require(t.schema.fieldNames.contains(c),
+            s"${t.name}.$nm: projection column $c is not in the schema"))
+          sums.foreach(c => require(
+            t.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+            s"${t.name}.$nm: sum measure $c is not numeric"))
+        case SortProjection(nm, key) =>
+          require(t.schema.fieldNames.contains(key),
+            s"${t.name}.$nm: sort key $key is not in the schema")
+      }
     }
     // token blooms tokenize text — only string columns have tokens
     t.tokenIndexCols.foreach { c =>
@@ -604,8 +666,31 @@ final class Catalog(spark: SparkSession) {
     // describing semantics that were never in effect — attach() after a
     // restart would then apply the wrong merge view
     persistTableDef(tables(t.name))
+    registerProjections(tables(t.name))
     tables(t.name)
   }
+
+  /** Install the winning def's projections into the optimizer rewrite
+    * rules (idempotent; covers createTable AND attach, which routes
+    * here). Registration keys on the DATA path, which is what a base
+    * scan's root prints.
+    */
+  private def registerProjections(t: TableDef): Unit =
+    t.projections.foreach { p =>
+      val pp = projPath(t, p.name)
+      p match {
+        case AggProjection(_, dims, sums) =>
+          graft.plans.RollupRewrite.register(spark,
+            graft.plans.ProjectionDef(dataPath(t), pp, dims, "__cnt",
+              sums.map(c => c -> s"__sum_$c").toMap))
+        case SortProjection(_, key) =>
+          graft.plans.SortedProjectionRewrite.register(spark,
+            graft.plans.SortedProjectionDef(dataPath(t), pp, key))
+      }
+    }
+
+  private def projPath(t: TableDef, proj: String): String =
+    new org.apache.hadoop.fs.Path(dataPath(t), s"_proj_$proj").toString
 
   // ---- persisted table metadata (ATTACH TABLE analog) -------------------
   //
@@ -681,6 +766,13 @@ final class Catalog(spark: SparkSession) {
         t.fullTextCols.map { case (c, n) => Seq(c, n.toString) }) ~
       ("ann_index" -> t.annIndex.map(a =>
         Seq(a.column, a.nCells.toString, a.m.toString, a.k.toString))) ~
+      // [kind, name, cols, sums] rows; cols/sums comma-joined (projection
+      // columns are schema identifiers — no commas by construction)
+      ("projections" -> t.projections.map {
+        case AggProjection(n, dims, sums) =>
+          Seq("agg", n, dims.mkString(","), sums.mkString(","))
+        case SortProjection(n, k) => Seq("sort", n, k, "")
+      }) ~
       ("semantics" -> sem)
     JsonMethods.compact(JsonMethods.render(obj))
   }
@@ -843,6 +935,19 @@ final class Catalog(spark: SparkSession) {
             org.json4s.JString(k))) =>
           Some(AnnIndexDef(c, nc.toInt, m.toInt, k.toInt))
         case _ => None // absent in pre-ANN sidecars
+      },
+      (j \ "projections") match {
+        case org.json4s.JArray(xs) => xs.collect {
+          case org.json4s.JArray(List(org.json4s.JString("agg"),
+              org.json4s.JString(n), org.json4s.JString(d),
+              org.json4s.JString(s))) =>
+            AggProjection(n, d.split(',').filter(_.nonEmpty).toSeq,
+              s.split(',').filter(_.nonEmpty).toSeq)
+          case org.json4s.JArray(List(org.json4s.JString("sort"),
+              org.json4s.JString(n), org.json4s.JString(k),
+              org.json4s.JString(_))) => SortProjection(n, k)
+        }
+        case _ => Nil // absent in pre-projection sidecars
       }))
     catch {
       case e: Throwable =>
@@ -2086,6 +2191,119 @@ final class Catalog(spark: SparkSession) {
     if (t.setIndexCols.nonEmpty) buildSetIndex(t, path)
     if (t.fullTextCols.nonEmpty) buildFullTextIndex(t, path)
     if (t.annIndex.nonEmpty) AnnIndex.maintain(spark, t, path)
+    if (t.projections.nonEmpty) maintainProjections(t, df, path, mode)
+  }
+
+  /** Maintain the declared projections for one [[writeData]] call: on an
+    * APPEND `df` is the insert block and each companion gains one partial
+    * block; on an OVERWRITE (compactFlat staging, mutations, TRUNCATE)
+    * `df` is the full rewritten table and the companions are rebuilt
+    * beside it — inside the staging dir, so they travel atomically with
+    * the swap. Crash contract: the companion write follows the base
+    * write, so a crash between the two leaves the companion one block
+    * BEHIND; [[materializeProjection]] (CH's `ALTER TABLE … MATERIALIZE
+    * PROJECTION`) rebuilds it — run it after recovering an interrupted
+    * ingest, the same way CH re-materializes after `ALTER` drift.
+    */
+  private def maintainProjections(t: TableDef, block: DataFrame,
+                                  path: String, mode: String): Unit =
+    t.projections.foreach { p =>
+      val dir = new org.apache.hadoop.fs.Path(path, s"_proj_${p.name}").toString
+      val out = p match {
+        case AggProjection(_, dims, sums) =>
+          val aggs = count(lit(1)).as("__cnt") +:
+            sums.map(c => sum(col(c)).as(s"__sum_$c"))
+          block.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        case SortProjection(_, key) =>
+          // range-cluster WITHIN the block: per-file min/max on the sort
+          // key narrows to ~1/N of each block's files; sizing by the
+          // session's shuffle parallelism keeps files near block/N
+          block.repartitionByRange(col(key)).sortWithinPartitions(col(key))
+      }
+      out.write.mode(mode).option("compression", t.codec).parquet(dir)
+      graft.plans.SortedProjectionRewrite.invalidate(dataPath(t))
+    }
+
+  /** Rebuild one declared projection's companion from the CURRENT base
+    * data — `ALTER TABLE … MATERIALIZE PROJECTION`: the recovery verb for
+    * the append crash window (doc on [[maintainProjections]]) and the
+    * backfill step of [[addProjection]]. The rebuild is staged beside the
+    * live companion and moved into place, so readers racing it see old
+    * complete data or new complete data, never a half-written dir.
+    */
+  def materializeProjection(name: String, proj: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val t = get(name)
+    val p = t.projections.find(_.name == proj).getOrElse(
+      throw new IllegalArgumentException(
+        s"$name: no projection named $proj declared"))
+    writeLock(name).synchronized {
+      recoverInterruptedSwap(t)
+      val live = new Path(projPath(t, proj))
+      val stage = new Path(dataPath(t), s"_proj_$proj.rebuild")
+      val f = fs(t)
+      f.delete(stage, true)
+      // readVia applies pending renames/defaults — the companion must
+      // hold DECLARED-schema rows, like the base rewrite paths do
+      val base = readVia(t, dataPaths(t))
+      val out = p match {
+        case AggProjection(_, dims, sums) =>
+          val aggs = count(lit(1)).as("__cnt") +:
+            sums.map(c => sum(col(c)).as(s"__sum_$c"))
+          base.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        case SortProjection(_, key) =>
+          base.repartitionByRange(col(key)).sortWithinPartitions(col(key))
+      }
+      out.write.mode("overwrite").option("compression", t.codec)
+        .parquet(stage.toString)
+      f.delete(live, true)
+      require(f.rename(stage, live),
+        s"$name: could not move rebuilt projection into place ($stage)")
+      graft.plans.SortedProjectionRewrite.invalidate(dataPath(t))
+    }
+  }
+
+  /** Declare a projection on an EXISTING table — `ALTER TABLE … ADD
+    * PROJECTION`, plus an immediate backfill (CH leaves old parts
+    * unindexed until MATERIALIZE; a path-keyed rewrite can't scope to
+    * new-blocks-only, so this engine materializes synchronously and the
+    * rule is correct from the first query).
+    */
+  def addProjection(name: String, spec: ProjectionSpec): Unit = {
+    val t = get(name)
+    require(!t.projections.exists(_.name == spec.name),
+      s"$name: projection ${spec.name} already declared")
+    createTableUpdate(t.copy(projections = t.projections :+ spec))
+    materializeProjection(name, spec.name)
+  }
+
+  /** `ALTER TABLE … DROP PROJECTION` — removes the declaration, its
+    * companion storage, and its rewrite registration.
+    */
+  def dropProjection(name: String, proj: String): Unit = {
+    val t = get(name)
+    val p = t.projections.find(_.name == proj).getOrElse(
+      throw new IllegalArgumentException(
+        s"$name: no projection named $proj declared"))
+    writeLock(name).synchronized {
+      p match {
+        case _: AggProjection =>
+          graft.plans.RollupRewrite.unregister(dataPath(t))
+        case _: SortProjection =>
+          graft.plans.SortedProjectionRewrite.unregister(dataPath(t))
+      }
+      createTableUpdate(t.copy(projections = t.projections.filterNot(_.name == proj)))
+      fs(t).delete(new org.apache.hadoop.fs.Path(projPath(t, proj)), true)
+    }
+  }
+
+  /** Re-validate + swap in an updated definition (projection add/drop):
+    * the same checks createTable runs, then an unconditional registry
+    * replace + sidecar persist.
+    */
+  private def createTableUpdate(nt: TableDef): TableDef = {
+    tables.remove(nt.name)
+    createTable(nt)
   }
 
   /** Codes-only ANN probe through a declared `vector_similarity` index:

@@ -603,6 +603,46 @@ object CatalogOps extends QueryModule {
           (col("nhits") >= col("n_exact") * 0.5).as("recall_at5_ok"))
     }),
 
+    // The DECLARED projection axis through the correctness gate (CH
+    // `PROJECTION p (SELECT … GROUP BY …)`): a table created from DDL
+    // TEXT with an aggregate projection, loaded in TWO insert blocks
+    // (the companion must merge per-block partials), then queried with a
+    // plain dim-filtered count+sum against the BASE read — RollupRewrite
+    // auto-answers it from the maintained `_proj_…` companion (plan
+    // pinned in ProjectionAxisSpec), while the oracle recomputes the
+    // same aggregate from the ORIGINAL parquet. The measured time
+    // deliberately includes the table + companion build (catalog-gate
+    // convention). l_quantity is integral-valued, so the partial-sum
+    // re-association is exact.
+    "cat_projection_scan" -> ((s, d) => {
+      val cat = new Catalog(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-liproj")
+      copyDirs.add(tmp)
+      graft.sql.ChDdl.createTable(cat,
+        """CREATE TABLE li_proj (
+          |  `okey` UInt64,
+          |  `lnum` Int32,
+          |  `rflag` LowCardinality(String),
+          |  `lstatus` LowCardinality(String),
+          |  `qty` Float64,
+          |  PROJECTION by_flag (
+          |    SELECT rflag, lstatus, count(), sum(qty) GROUP BY rflag, lstatus)
+          |) ENGINE = MergeTree
+          |ORDER BY okey""".stripMargin,
+        tmp.resolve("li_proj").toString)
+      val li = s.read.parquet(s"$d/lineitem.parquet").select(
+        col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"),
+        col("l_returnflag").as("rflag"), col("l_linestatus").as("lstatus"),
+        col("l_quantity").as("qty"))
+      cat.append("li_proj", li.filter(col("okey") % 2 === 0))
+      cat.append("li_proj", li.filter(col("okey") % 2 =!= 0))
+      cat.read("li_proj")
+        .filter(col("lstatus") === "O")
+        .groupBy(col("rflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("qty")), 2).as("qty_sum"))
+        .orderBy(col("rflag"))
+    }),
+
     // The inverted full-text index through the correctness gate: the
     // multi-token AND probe (the shape the token bloom refuses) scans
     // only files where the probe tokens co-occur in some row
@@ -1258,6 +1298,15 @@ object CatalogOps extends QueryModule {
         | sum(CAST(json_extract_string(props, '$.k') AS INTEGER))::BIGINT AS k_sum,
         | CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_max
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle recomputes the projection-answered aggregate from the
+    // original parquet — equality proves the per-block partial merge and
+    // the dim-filter replay on the companion lose nothing
+    "cat_projection_scan" ->
+      """SELECT l_returnflag AS rflag, count(*) AS n,
+        | round(sum(l_quantity), 2) AS qty_sum
+        |FROM lineitem WHERE l_linestatus = 'O'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the raw ANN rows are engine-specific; the oracle recomputes the
     // brute-force top-5 count and asserts the documented recall floor as

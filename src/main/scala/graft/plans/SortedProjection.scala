@@ -45,18 +45,43 @@ object SortedProjectionRewrite extends Rule[LogicalPlan] {
 
   private val registry = new ConcurrentHashMap[String, SortedProjectionDef]()
 
-  // the projection path is immutable once registered, so the analyzed
-  // relation (whose construction pays a full driver-side file-index
-  // listing) is resolved ONCE per (session, path) instead of on every
-  // optimization of every candidate query; dropped with its registration
+  // the analyzed relation (whose construction pays a full driver-side
+  // file-index listing) is cached per (session, path) and VALIDATED by
+  // the projection dir's modification time: a Catalog-MAINTAINED
+  // projection changes on every append/compact, and serving the stale
+  // file listing would read deleted files after a compaction swap. A
+  // stat that fails (dir missing mid-rebuild, object store without dir
+  // mtimes) drops the cache and re-resolves — never serves stale.
   private val relCache =
-    new ConcurrentHashMap[(SparkSession, String), LogicalRelation]()
+    new ConcurrentHashMap[(SparkSession, String), (Long, LogicalRelation)]()
 
-  private def projRelation(spark: SparkSession, projPath: String): LogicalRelation =
-    relCache.computeIfAbsent((spark, projPath), { _ =>
-      spark.read.parquet(projPath).queryExecution.analyzed
-        .collect { case r: LogicalRelation => r }.head
-    })
+  private def dirMtime(spark: SparkSession, p: String): Long = {
+    val path = new Path(p)
+    path.getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileStatus(path).getModificationTime
+  }
+
+  private def projRelation(spark: SparkSession, projPath: String): LogicalRelation = {
+    val mt = dirMtime(spark, projPath)
+    relCache.compute((spark, projPath), { (_, cached) =>
+      cached match {
+        case (t, _) if t == mt => cached
+        case _ =>
+          (mt, spark.read.parquet(projPath).queryExecution.analyzed
+            .collect { case r: LogicalRelation => r }.head)
+      }
+    })._2
+  }
+
+  /** Drop the cached resolved relation for a base's projection — called
+    * by the Catalog after maintaining a declared projection, so the next
+    * optimization re-lists even if the filesystem's mtime granularity
+    * hid a same-millisecond rewrite.
+    */
+  def invalidate(basePath: String): Unit =
+    Option(registry.get(canon(basePath))).foreach { p =>
+      relCache.keySet.removeIf(_._2 == p.projPath)
+    }
 
   private def canon(p: String): String = {
     val path = new Path(p)

@@ -91,6 +91,10 @@ object ChDdl {
   final case class DetachPartitionCmd(value: String) extends AlterCmd
   final case class AttachPartitionCmd(value: String) extends AlterCmd
   final case class FreezeCmd(tag: String) extends AlterCmd
+  final case class AddProjectionCmd(spec: graft.catalog.ProjectionSpec)
+    extends AlterCmd
+  final case class DropProjectionCmd(name: String) extends AlterCmd
+  final case class MaterializeProjectionCmd(name: String) extends AlterCmd
 
   /** `ALTER TABLE name cmd[, cmd…]` — the runbook mutation surface. */
   final case class AlterTable(table: String, cmds: Seq[AlterCmd])
@@ -199,12 +203,15 @@ object ChDdl {
     var ftCols = Seq.empty[(String, Int)]
     var annIdx: Option[graft.catalog.AnnIndexDef] = None
     var codecs = Seq.empty[(String, String)]
+    var projections = Seq.empty[graft.catalog.ProjectionSpec]
 
     val conRe = "(?is)^CONSTRAINT\\s+(\\w+)\\s+CHECK\\s+(.+)$".r
+    val projRe = "(?is)^PROJECTION\\s+(\\w+)\\s*\\((.+)\\)\\s*$".r
     val idxRe = ("(?is)^INDEX\\s+(\\w+)\\s+([`\\w]+)\\s+TYPE\\s+(\\w+)" +
       "(?:\\((.*?)\\))?(?:\\s+GRANULARITY\\s+\\d+)?\\s*$").r
     splitTopLevel(body).map(_.trim).filter(_.nonEmpty).foreach {
       case conRe(cn, ce) => constraints += cn -> ChDialect.rewrite(ce.trim)
+      case projRe(pn, sel) => projections :+= parseProjection(pn, sel)
       case idxRe(_, colName, kind, arg) =>
         val c = colName.replace("`", "")
         kind.toLowerCase match {
@@ -355,7 +362,7 @@ object ChDdl {
       minmaxCols = minmaxCols, constraints = constraints.result(),
       materializedCols = materialized.result(), tokenIndexCols = tokenCols,
       columnCodecs = codecs, setIndexCols = setCols,
-      fullTextCols = ftCols, annIndex = annIdx)
+      fullTextCols = ftCols, annIndex = annIdx, projections = projections)
     clauses.get("SAMPLE BY").foreach { sb =>
       t = Catalog.withSampleBy(t, keyList(sb).head)
     }
@@ -467,6 +474,49 @@ object ChDdl {
   /** First position of keyword `kw` at top level (outside quotes/backticks/
     * parens) with word boundaries, or -1.
     */
+  /** `PROJECTION p (SELECT …)` body → a [[graft.catalog.ProjectionSpec]].
+    * Two CH forms: `SELECT dims…, count()[, sum(m)…] GROUP BY dims…`
+    * (aggregate) and `SELECT * ORDER BY key` (alternate sort). Select
+    * items must be bare dims, `count()`, or `sum(col)` — anything else
+    * fails loudly (a projection the rewrite rules can't answer from
+    * would be declared-but-dead weight).
+    */
+  private[graft] def parseProjection(name: String,
+      select0: String): graft.catalog.ProjectionSpec = {
+    val select = select0.trim
+    require(select.toUpperCase.startsWith("SELECT"),
+      s"projection $name: expected SELECT …, got '${select.take(40)}'")
+    val gb = topLevelKeyword(select, "GROUP BY")
+    val ob = topLevelKeyword(select, "ORDER BY")
+    if (gb >= 0) {
+      val dims = splitTopLevel(select.substring(gb + "GROUP BY".length))
+        .map(_.trim.replace("`", ""))
+      val sumRe = "(?is)^sum\\(\\s*([`\\w]+)\\s*\\)(?:\\s+AS\\s+\\w+)?$".r
+      val cntRe = "(?is)^count\\(\\s*\\*?\\s*\\)(?:\\s+AS\\s+\\w+)?$".r
+      val sums = Seq.newBuilder[String]
+      splitTopLevel(select.substring("SELECT".length, gb))
+        .map(_.trim).filter(_.nonEmpty).foreach {
+          case sumRe(c) => sums += c.replace("`", "")
+          case cntRe() => () // __cnt is always stored
+          case d if dims.contains(d.replace("`", "")) => ()
+          case other => throw new IllegalArgumentException(
+            s"projection $name: select item '$other' is not a GROUP BY " +
+              "dim, count(), or sum(col) — the rewrite rules answer " +
+              "exactly those shapes")
+        }
+      graft.catalog.AggProjection(name, dims, sums.result())
+    } else if (ob >= 0) {
+      require(select.substring("SELECT".length, ob).trim == "*",
+        s"projection $name: the sorted form is SELECT * ORDER BY key")
+      val key = select.substring(ob + "ORDER BY".length).trim.replace("`", "")
+      require(key.matches("\\w+"),
+        s"projection $name: ORDER BY key must be a single column, got '$key'")
+      graft.catalog.SortProjection(name, key)
+    } else throw new IllegalArgumentException(
+      s"projection $name: expected GROUP BY (aggregate projection) or " +
+        "ORDER BY (sorted projection)")
+  }
+
   private def topLevelKeyword(s: String, kw: String): Int = {
     val upper = s.toUpperCase
     var depth = 0; var inQ = false; var inB = false; var i = 0
@@ -514,6 +564,12 @@ object ChDdl {
     "(?is)^(DROP|DETACH|ATTACH)\\s+PARTITION\\s+(.+?)\\s*$".r
   private val freezeRe =
     "(?is)^FREEZE\\s+WITH\\s+NAME\\s+'([^']+)'\\s*$".r
+  private val addProjRe =
+    "(?is)^ADD\\s+PROJECTION\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\w+)\\s*\\((.+)\\)\\s*$".r
+  private val dropProjRe =
+    "(?is)^DROP\\s+PROJECTION\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s*$".r
+  private val matProjRe =
+    "(?is)^MATERIALIZE\\s+PROJECTION\\s+(\\w+)\\s*$".r
 
   private def parseAlterCmd(cmd: String): AlterCmd = cmd.trim match {
     case addColRe(decl) =>
@@ -560,10 +616,14 @@ object ChDdl {
         case _ => AttachPartitionCmd(v)
       }
     case freezeRe(tag) => FreezeCmd(tag)
+    case addProjRe(pn, sel) => AddProjectionCmd(parseProjection(pn, sel))
+    case dropProjRe(pn) => DropProjectionCmd(pn)
+    case matProjRe(pn) => MaterializeProjectionCmd(pn)
     case other => throw new IllegalArgumentException(
       s"unsupported ALTER command '${other.take(60)}' — supported: " +
         "ADD/DROP/RENAME/MODIFY COLUMN, DELETE WHERE, UPDATE … WHERE, " +
-        "DROP/DETACH/ATTACH PARTITION, FREEZE WITH NAME")
+        "DROP/DETACH/ATTACH PARTITION, FREEZE WITH NAME, " +
+        "ADD/DROP/MATERIALIZE PROJECTION")
   }
 
   /** Execute ONE parsed statement against the catalog. `warehouse` roots
@@ -602,6 +662,9 @@ object ChDdl {
         case DetachPartitionCmd(v) => cat.detachPartition(table, v)
         case AttachPartitionCmd(v) => cat.attachPartition(table, v)
         case FreezeCmd(tag) => cat.freeze(table, tag)
+        case AddProjectionCmd(spec) => cat.addProjection(table, spec)
+        case DropProjectionCmd(pn) => cat.dropProjection(table, pn)
+        case MaterializeProjectionCmd(pn) => cat.materializeProjection(table, pn)
       }
       case OptimizeTable(table, dedup, by) =>
         if (dedup) cat.optimizeDeduplicate(table, by) else cat.compact(table)

@@ -152,7 +152,15 @@ object ChDdlRender {
         s"  INDEX ft_$c $c TYPE full_text($n) GRANULARITY 1" } ++
       t0.annIndex.toSeq.map(a =>
         s"  INDEX ann_${a.column} ${a.column} TYPE " +
-          s"vector_similarity(${a.nCells}, ${a.m}, ${a.k}) GRANULARITY 1")
+          s"vector_similarity(${a.nCells}, ${a.m}, ${a.k}) GRANULARITY 1") ++
+      t0.projections.map {
+        case graft.catalog.AggProjection(n, dims, sums) =>
+          val items = dims ++ Seq("count()") ++ sums.map(c => s"sum($c)")
+          s"  PROJECTION $n (SELECT ${items.mkString(", ")} " +
+            s"GROUP BY ${dims.mkString(", ")})"
+        case graft.catalog.SortProjection(n, key) =>
+          s"  PROJECTION $n (SELECT * ORDER BY $key)"
+      }
 
     val engine = t0.semantics match {
       case Append => "MergeTree"
