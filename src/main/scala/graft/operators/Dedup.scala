@@ -567,6 +567,74 @@ object Dedup extends QueryModule {
       bandHammingPairs(hashes, maxDist = 6)
     }),
 
+    // VIDEO near-dup detection — the FOURTH modality through the shared
+    // banded-Hamming front end (text/embedding, image, audio, video):
+    // each sampled doc gets a deterministic 65-frame MJPEG-AVI (groups
+    // of 4 ids share a base per-frame brightness SEQUENCE over levels
+    // {30,120,210}; non-zero variants re-level ONE frame — a re-encoded
+    // clip with one corrupted frame, the classic video near-dup), walked
+    // and decoded through the REAL RIFF + imageio chain (the
+    // mm_video_frames path), then fingerprinted by the TEMPORAL
+    // brightness-delta sign bits: bit k = mean-luma(frame k+1) >
+    // mean-luma(frame k) — the Haitsma-Kalker shape on the video's
+    // luminance envelope instead of the audio energy envelope. JPEG is
+    // lossy, but the bits are still EXACTLY oracle-replayable: adjacent
+    // levels are either equal (byte-identical JPEGs → identical decoded
+    // means → strict `>` is false) or ≥ 90 apart (flat-frame decode
+    // error ≪ 45 can't flip the comparison) — so DuckDB replays
+    // generator → level compare → bands → capped buckets → Hamming in
+    // integer SQL, and equality proves the AVI write, container walk,
+    // 65 real frame decodes, AND the banding pipeline. One corrupted
+    // frame flips ≤ 2 delta bits → designed pairs at Hamming ≤ 4;
+    // unrelated groups sit at ~28 expected. 1-in-28 sampling bounds the
+    // decode bill (65 JPEG decodes per doc is the honest per-video price).
+    "dedup_video_sig" -> ((s, d) => {
+      import s.implicits._
+      import graft.multimodal.MediaPipeline
+      val hashes = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .filter((id: Long) => id % 28 == 3)
+        .mapPartitions { it =>
+          it.map { id =>
+            val gid = id / 112
+            val v = ((id % 112) / 28).toInt
+            // gid is SCRAMBLED (×7919 mod 1000003) before entering the
+            // product: a bare (gid+1) multiplier never wraps the modulus
+            // at small gid, so sel collapses to (gid+1)%3 equivalence
+            // classes — measured: cross-group min-Hamming 0 and 72 false
+            // pairs at 18 docs; scrambled: cross-min 13, ZERO false
+            // pairs, designed recall 100% at sf0.1 (the round-9 image
+            // lesson: simulate the generator before wiring)
+            val levels = Array.tabulate(65) { k =>
+              val sel = ((((gid * 7919L + 1) % 1000003L) *
+                (k + 19L) * (k + 41L)) % 1000003L % 3L).toInt
+              val s2 = if (v > 0 && k == v * 13) (sel + 1) % 3 else sel
+              30 + 90 * s2
+            }
+            val clip = MediaPipeline
+              .decodeVideo(MediaPipeline.synthAviGray(
+                levels.toIndexedSeq, w = 16, h = 12, fps = 10))
+              .getOrElse(throw new IllegalStateException(
+                s"doc $id: synthesized AVI failed to decode"))
+            val means = MediaPipeline.videoFrames(clip).toArray
+              .sortBy(_.frame_idx).map { fr =>
+                fr.pixels.map(_ & 0xff).sum.toDouble / fr.pixels.length
+              }
+            require(means.length == 65,
+              s"doc $id: expected 65 decoded frames, got ${means.length}")
+            var h = 0L
+            var k = 0
+            while (k < 64) {
+              if (means(k + 1) > means(k)) h |= 1L << (63 - k)
+              k += 1
+            }
+            (id, ((h >>> 48) & 0xffff).toInt, ((h >>> 32) & 0xffff).toInt,
+              ((h >>> 16) & 0xffff).toInt, (h & 0xffff).toInt)
+          }
+        }
+        .toDF("doc_id", "b0", "b1", "b2", "b3")
+      bandHammingPairs(hashes, maxDist = 6)
+    }),
+
     //      gap > K starts a new island — a running sum of break flags over
     //      a per-doc window, so frame size is bounded by document length,
     //      never corpus size. Output spans within a doc are disjoint by
@@ -970,6 +1038,42 @@ object Dedup extends QueryModule {
     // replayed entirely in integer SQL (energies are exact integers):
     // equality proves the WAV write/decode/window round-trip IS the
     // formula, plus the shared banding pipeline
+    // the video replay: per-frame LEVEL-index comparisons stand in for
+    // the decoded-mean comparisons exactly (equal levels → identical
+    // JPEG bytes → strict > false; 90-apart levels → flat-frame decode
+    // error ≪ 45; the 30+90*sel map is monotone so comparing sel ≡
+    // comparing level), then the same bands → capped buckets → Hamming
+    // pipeline as image/audio
+    "dedup_video_sig" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 28 = 3),
+        |lv AS (SELECT doc_id, k,
+        |    CASE WHEN (doc_id % 112) // 28 > 0 AND k = ((doc_id % 112) // 28) * 13
+        |         THEN (((((doc_id // 112) * 7919 + 1) % 1000003)
+        |               * (k + 19) * (k + 41)) % 1000003 % 3 + 1) % 3
+        |         ELSE ((((doc_id // 112) * 7919 + 1) % 1000003)
+        |              * (k + 19) * (k + 41)) % 1000003 % 3 END AS sel
+        |  FROM ids, UNNEST(generate_series(0, 64)) AS gk(k)),
+        |bits AS (SELECT l.doc_id, l.k,
+        |    CASE WHEN r.sel > l.sel THEN 1 ELSE 0 END AS bit
+        |  FROM lv l JOIN lv r ON l.doc_id = r.doc_id AND r.k = l.k + 1
+        |  WHERE l.k < 64),
+        |bands AS (SELECT doc_id, k // 16 AS band,
+        |    CAST(sum(bit * (1::BIGINT << (15 - (k % 16)))) AS BIGINT) AS bh
+        |  FROM bits GROUP BY 1, 2),
+        |small AS (SELECT band, bh FROM bands GROUP BY band, bh
+        |          HAVING count(*) <= 1000),
+        |capped AS (SELECT b.doc_id, b.band, b.bh
+        |           FROM bands b JOIN small USING (band, bh)),
+        |cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+        |  FROM capped x JOIN capped y USING (band, bh) WHERE x.doc_id < y.doc_id),
+        |dists AS (SELECT c.i, c.j,
+        |    CAST(sum(bit_count(xor(a.bh, b.bh))) AS INT) AS dist
+        |  FROM cand c
+        |  JOIN bands a ON a.doc_id = c.i
+        |  JOIN bands b ON b.doc_id = c.j AND b.band = a.band
+        |  GROUP BY 1, 2)
+        |SELECT i, j, dist FROM dists WHERE dist <= 6 ORDER BY i, j""".stripMargin,
+
     "dedup_audio_fp" ->
       """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
         |s AS (SELECT doc_id, k, i,

@@ -142,6 +142,45 @@ class DedupSpec extends SparkSpecBase {
     pairs.toSet shouldBe expected
   }
 
+  test("video signature: decoded-mean bits equal the level-compare formula; pairs are exactly the designed groups") {
+    // The JPEG-lossy decode must still yield EXACTLY the level-compare
+    // bits (equal levels → byte-identical frames → strict > false;
+    // 90-apart levels → flat-frame decode error ≪ 45) — the identity the
+    // DuckDB oracle rests on.
+    import graft.multimodal.MediaPipeline
+    def sel(gid: Long, v: Int, k: Int): Int = {
+      val s = ((((gid * 7919L + 1) % 1000003L) *
+        (k + 19L) * (k + 41L)) % 1000003L % 3L).toInt
+      if (v > 0 && k == v * 13) (s + 1) % 3 else s
+    }
+    def viaDecode(gid: Long, v: Int): Long = {
+      val levels = Array.tabulate(65)(k => 30 + 90 * sel(gid, v, k))
+      val clip = MediaPipeline.decodeVideo(
+        MediaPipeline.synthAviGray(levels.toIndexedSeq, 16, 12, 10)).get
+      val means = MediaPipeline.videoFrames(clip).toArray.sortBy(_.frame_idx)
+        .map(fr => fr.pixels.map(_ & 0xff).sum.toDouble / fr.pixels.length)
+      means.length shouldBe 65
+      (0 until 64).foldLeft(0L)((h, k) =>
+        if (means(k + 1) > means(k)) h | (1L << (63 - k)) else h)
+    }
+    def viaFormula(gid: Long, v: Int): Long =
+      (0 until 64).foldLeft(0L)((h, k) =>
+        if (sel(gid, v, k + 1) > sel(gid, v, k)) h | (1L << (63 - k)) else h)
+    for (gid <- Seq(0L, 7L, 123L); v <- 0 to 3)
+      viaDecode(gid, v) shouldBe viaFormula(gid, v)
+
+    // the gate query returns exactly the within-group designed pairs
+    val pairs = Dedup.queries("dedup_video_sig")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs should not be empty
+    pairs.foreach { case (i, j) => i / 112 shouldBe j / 112 } // no false pairs
+    val docN = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    val byGroup = (0L until docN).filter(_ % 28 == 3).groupBy(_ / 112)
+    val expected = byGroup.values.flatMap(ids =>
+      for (a <- ids; b <- ids if a < b) yield (a, b)).toSet
+    pairs.toSet shouldBe expected
+  }
+
   test("LSH recovers every exact pair at the correctness-gate scale factor, marginal band included") {
     // The exact-Jaccard oracle for dedup_minhash_lsh / dedup_clusters is
     // cell-exact, but 8×4-band LSH recall at J just above 0.8 is only
