@@ -1325,6 +1325,13 @@ final class Catalog(spark: SparkSession) {
     * NULL; after materialization (readDefaults retired) it behaves like
     * any nullable column, explicit NULLs included.
     */
+  /** Columns with a registered ALTER-declared insert DEFAULT — the text
+    * insert door (ChDdl InsertValues) leaves these out of its type-default
+    * fill so [[fillOmittedDefaults]] applies the declared value instead.
+    */
+  def insertDefaultColumns(name: String): Set[String] =
+    insertDefaults.getOrElse(name, Map.empty).keySet
+
   private def fillOmittedDefaults(name: String, batch: DataFrame): DataFrame =
     insertDefaults.getOrElse(name, Map.empty).foldLeft(batch) {
       case (d, (c, v)) if !d.columns.contains(c) => d.withColumn(c, v)

@@ -70,6 +70,15 @@ object ChDdl {
     * (README.md:263-266): run once over the source table's CURRENT
     * contents, append to the target.
     */
+  /** `INSERT INTO t [(cols…)] VALUES (…), (…)` — the literal-tuple insert
+    * (ClickHouse's most everyday statement). Omitted columns take the
+    * table's insert defaults through the normal append fill; tuples are
+    * typed against the declared schema (cast at insert, reject on
+    * non-castable). MATERIALIZED columns must not be supplied, the same
+    * rule as every other insert door.
+    */
+  final case class InsertValues(target: String, columns: Seq[String],
+                                valuesSql: String) extends Statement
   final case class InsertSelect(target: String, source: String,
                                 selectSql: String) extends Statement
 
@@ -110,6 +119,9 @@ object ChDdl {
       "([`\\w.]+)\\s+TO\\s+([`\\w.]+)\\s+AS\\s+(SELECT\\b.*)$").r
   private val insRe =
     "(?is)^\\s*INSERT\\s+INTO\\s+([`\\w.]+)\\s+(SELECT\\b.*)$".r
+  private val insValRe =
+    ("(?is)^\\s*INSERT\\s+INTO\\s+([`\\w.]+)\\s*(?:\\(([^)]*)\\)\\s*)?" +
+      "VALUES\\s+(.+)$").r
   private val fromRe = "(?is)\\bFROM\\s+([`\\w.]+)".r
 
   private def bare(n: String): String = n.replace("`", "").split('.').last
@@ -145,6 +157,11 @@ object ChDdl {
       val sel = m.group(3).trim
       return CreateMaterializedView(bare(m.group(1)), bare(m.group(2)),
         sourceOf(sel, "CREATE MATERIALIZED VIEW"), sel)
+    }
+    insValRe.findFirstMatchIn(ddl).foreach { m =>
+      val cols = Option(m.group(2)).toSeq.flatMap(c =>
+        splitTopLevel(c).map(_.trim.replace("`", "")).filter(_.nonEmpty))
+      return InsertValues(bare(m.group(1)), cols, m.group(3).trim)
     }
     insRe.findFirstMatchIn(ddl).foreach { m =>
       val sel = m.group(2).trim
@@ -642,6 +659,35 @@ object ChDdl {
           "graft.queue.WorkQueue, not the table catalog")
       case _: CreateMaterializedView => createMaterializedView(cat, s, ddl)
       case _: InsertSelect => insertSelect(cat, s, ddl)
+      case InsertValues(target, cols, valuesSql) =>
+        val t = cat.get(target)
+        val matSet = t.materializedCols.map(_._1).toSet
+        val insertable = t.schema.fields.filterNot(f => matSet(f.name))
+        val names = if (cols.nonEmpty) cols else insertable.map(_.name).toSeq
+        names.foreach { n =>
+          require(!matSet(n),
+            s"INSERT INTO $target: $n is MATERIALIZED — computed at " +
+              "insert, never supplied")
+          require(t.schema.fieldNames.contains(n),
+            s"INSERT INTO $target: unknown column $n")
+        }
+        // Spark's own VALUES parser types the tuples; literals ride the
+        // dialect rewrite so CH-isms (now(), toDate('…')) work inside
+        val rewritten = GraftSql.expandFunctions(ChDialect.rewrite(valuesSql))
+        val df0 = s.sql(
+          s"SELECT * FROM VALUES $rewritten AS __v(${names.mkString(", ")})")
+        val byName = t.schema.fields.map(f => f.name -> f.dataType).toMap
+        val typed = df0.select(names.map(n =>
+          org.apache.spark.sql.functions.col(n).cast(byName(n)).as(n)): _*)
+        // CH semantics for omitted columns: the declared DEFAULT if one
+        // exists (left absent here — the append fill applies it), else
+        // the TYPE default (0 / '' / false / epoch; containers NULL)
+        val altered = cat.insertDefaultColumns(target)
+        val filled = insertable.filterNot(f =>
+            names.contains(f.name) || altered(f.name))
+          .foldLeft(typed)((d, f) =>
+            d.withColumn(f.name, chTypeDefault(f.dataType)))
+        cat.append(target, filled)
       case AlterTable(table, cmds) => cmds.foreach {
         case AddColumnCmd(field, defaultSql) =>
           // the DEFAULT is a constant expression: evaluate it ONCE on the
@@ -671,6 +717,24 @@ object ChDdl {
       case TruncateTable(table) => cat.truncate(table)
     }
     stmt
+  }
+
+  /** ClickHouse's per-type implicit default (columns omitted from an
+    * INSERT without a declared DEFAULT): numeric 0, String '', Bool
+    * false, Date/DateTime epoch; container/variant types have no natural
+    * scalar default and take NULL (documented divergence — CH uses []).
+    */
+  private def chTypeDefault(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => lit("")
+      case BooleanType => lit(false)
+      case _: NumericType => lit(0).cast(dt)
+      case DateType | TimestampType => lit(0L).cast(TimestampType).cast(dt)
+      case other => lit(null).cast(other)
+    }
   }
 
   private def nameOf(ddl: String): String =

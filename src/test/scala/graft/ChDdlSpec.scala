@@ -278,6 +278,37 @@ class ChDdlSpec extends SparkSpecBase {
     cat.read("pt").count() shouldBe 1
   }
 
+  test("INSERT INTO … VALUES runs as text: typed tuples, partial columns, refusals") {
+    val cat = new Catalog(spark)
+    val dir = tmpDir("chddl-insval")
+    ChDdl.runScript(cat, spark,
+      """CREATE TABLE iv (
+        |  `k` UInt64,
+        |  `name` String,
+        |  `v` Float64,
+        |  `tag` String,
+        |  `k2` UInt64 MATERIALIZED k * 2
+        |) ENGINE = MergeTree ORDER BY k;
+        |INSERT INTO iv (k, name, v) VALUES
+        |  (1, 'a', 1.5), (2, 'it''s', 2.5);
+        |INSERT INTO iv (k, name, v, tag) VALUES (3, 'c', 3.5, 'x')"""
+        .stripMargin, dir)
+    val rows = cat.read("iv").orderBy("k").collect()
+    rows.map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L, 3L)
+    rows.map(_.getString(1)).toSeq shouldBe Seq("a", "it's", "c")
+    // omitted column took the CH TYPE default (''); materialized computed
+    rows.map(_.getAs[String]("tag")).toSeq shouldBe Seq("", "", "x")
+    rows.map(_.getAs[Long]("k2")).toSeq shouldBe Seq(2L, 4L, 6L)
+    // supplying a MATERIALIZED column is refused, same as every insert door
+    intercept[IllegalArgumentException] {
+      ChDdl.execute(cat, spark, "INSERT INTO iv (k, name, v, k2) VALUES (9, 'z', 0.0, 99)")
+    }
+    // unknown column is refused
+    intercept[IllegalArgumentException] {
+      ChDdl.execute(cat, spark, "INSERT INTO iv (nope) VALUES (1)")
+    }
+  }
+
   test("ADVICE regressions: '_' identifiers, backticked ttl, Decimal widths") {
     // identifiers with embedded keyword prefixes must not mis-split into
     // bogus SETTINGS/TTL/COMMENT/DEFAULT clauses ('_' is a word char)
