@@ -386,7 +386,13 @@ class ChDdlSpec extends SparkSpecBase {
         "  INDEX tok_seg seg TYPE tokenbf_v1 GRANULARITY 1",
         "  INDEX ft_seg seg TYPE full_text(512) GRANULARITY 1",
         "  INDEX ann_v_emb v_emb TYPE vector_similarity(16, 8, 16) GRANULARITY 1"
-      ).filter(_ => rnd.nextBoolean())
+      ).filter(_ => rnd.nextBoolean()) ++
+        // PROJECTION declarations parse only where the catalog accepts
+        // them (plain MergeTree) — the round-trip must carry both forms
+        (if (engine == "MergeTree" && rnd.nextBoolean())
+          Seq("  PROJECTION p_agg (SELECT seg, count(), sum(x_sum) GROUP BY seg)",
+            "  PROJECTION p_ord (SELECT * ORDER BY x_sum)")
+        else Nil)
       val matCol =
         if (rnd.nextBoolean()) Seq("  `m_sum` UInt64 MATERIALIZED x_sum + 1")
         else Nil
