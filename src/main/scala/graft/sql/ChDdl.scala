@@ -113,6 +113,14 @@ object ChDdl {
                                  by: Seq[String]) extends Statement
   /** `TRUNCATE TABLE [IF EXISTS] name`. */
   final case class TruncateTable(table: String) extends Statement
+  /** `GRANT SELECT(cols…) ON t TO users…` — column-level access, dispatched
+    * to [[graft.catalog.Catalog.grantColumns]] (X82's engine). */
+  final case class Grant(table: String, users: Seq[String],
+                         columns: Seq[String]) extends Statement
+  /** `CREATE ROW POLICY name ON t [FOR SELECT] USING pred TO users…`. */
+  final case class CreateRowPolicy(name: String, table: String,
+                                   users: Seq[String],
+                                   predicateSql: String) extends Statement
 
   private val mvRe =
     ("(?is)^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
@@ -130,6 +138,12 @@ object ChDdl {
     fromRe.findFirstMatchIn(select).map(m => bare(m.group(1)))
       .getOrElse(throw new IllegalArgumentException(
         s"$what: SELECT has no FROM table"))
+
+  private val grantRe =
+    "(?is)^\\s*GRANT\\s+SELECT\\s*\\(([^)]*)\\)\\s+ON\\s+([`\\w.]+)\\s+TO\\s+(.+?)\\s*$".r
+  private val rowPolicyRe =
+    ("(?is)^\\s*CREATE\\s+ROW\\s+POLICY\\s+(\\w+)\\s+ON\\s+([`\\w.]+)\\s+" +
+      "(?:FOR\\s+SELECT\\s+)?USING\\s+(.+?)\\s+TO\\s+(.+?)\\s*$").r
 
   private val alterRe =
     "(?is)^\\s*ALTER\\s+TABLE\\s+([`\\w.]+)\\s+(.+)$".r
@@ -152,6 +166,21 @@ object ChDdl {
     }
     truncateRe.findFirstMatchIn(ddl).foreach { m =>
       return TruncateTable(bare(m.group(1)))
+    }
+    grantRe.findFirstMatchIn(ddl).foreach { m =>
+      val cols = splitTopLevel(m.group(1)).map(_.trim.replace("`", ""))
+        .filter(_.nonEmpty)
+      val users = m.group(3).split(',').map(_.trim.replace("`", ""))
+        .filter(_.nonEmpty).toSeq
+      require(cols.nonEmpty && users.nonEmpty,
+        "GRANT SELECT(cols) ON t TO users: needs columns and users")
+      return Grant(bare(m.group(2)), users, cols)
+    }
+    rowPolicyRe.findFirstMatchIn(ddl).foreach { m =>
+      val users = m.group(4).split(',').map(_.trim.replace("`", ""))
+        .filter(_.nonEmpty).toSeq
+      return CreateRowPolicy(m.group(1), bare(m.group(2)), users,
+        GraftSql.expandFunctions(ChDialect.rewrite(m.group(3).trim)))
     }
     mvRe.findFirstMatchIn(ddl).foreach { m =>
       val sel = m.group(3).trim
@@ -715,6 +744,10 @@ object ChDdl {
       case OptimizeTable(table, dedup, by) =>
         if (dedup) cat.optimizeDeduplicate(table, by) else cat.compact(table)
       case TruncateTable(table) => cat.truncate(table)
+      case Grant(table, users, cols) =>
+        users.foreach(u => cat.grantColumns(table, u, cols))
+      case CreateRowPolicy(pn, table, users, pred) =>
+        cat.createRowPolicy(table, pn, users, pred)
     }
     stmt
   }

@@ -77,6 +77,12 @@ package graft.sql
   *   - `splitByChar(sep, s)`/`splitByString(sep, s)` → `split(s, sep)`
   *     with the separator regex-quoted via `\\Q…\\E` (argument swap;
   *     any separator byte stays literal)
+  *   - `FROM numbers(N)` / `numbers(offset, N)` (CH's integer-generator
+  *     table function) → a derived `explode(sequence(…))` table aliased
+  *     `numbers` with CH's column name `number`
+  *   - a trailing `FORMAT <name>` is STRIPPED: it selects a wire
+  *     serialization in CH, never a different result set (format
+  *     round-trips live in the catalog's JSONEachRow/ORC paths)
   *
   * Single-quoted string literals (with `''` escapes) pass through
   * byte-for-byte — a literal containing `countIf(` or `FINAL` is never
@@ -291,9 +297,25 @@ object ChDialect {
     // SAMPLE: its replacement emits a derived table whose text must
     // not be re-scanned by the token passes below (it contains none of
     // their tokens by construction, but ordering makes that a non-issue)
+    // FORMAT first: it is statement-trailing text the other statement-
+    // level rewrites (LIMIT BY, WITH FILL) must not see as their tail
+    s = formatTailRe.replaceAllIn(s, "")
     s = rewriteLimitBy(s)
     s = rewriteWithFill(s)
     s = rewriteSample(s)
+    s = numbersRe.replaceAllIn(s, { m =>
+      val (a, b) = (m.group(2), Option(m.group(3)))
+      val (lo, cnt) = b match {
+        case Some(n) => (a.toLong, n.toLong)
+        case None => (0L, a.toLong)
+      }
+      // numbers(0) is legal CH (empty set); sequence() refuses start>stop
+      val table =
+        if (cnt == 0) "(SELECT 0L AS number WHERE false)"
+        else s"(SELECT explode(sequence($lo, ${lo + cnt - 1})) AS number)"
+      scala.util.matching.Regex.quoteReplacement(
+        s"${m.group(1)} $table numbers")
+    })
     s = rewriteGroupMods(s)
     s = rewriteArrayJoin(s, 0)
     simpleReplacements.foreach { case (re, to) =>
@@ -419,6 +441,13 @@ object ChDialect {
     s = rewriteCombinator(s, "quantile")
     s
   }
+
+  // numbers(N) / numbers(offset, N) after FROM/JOIN only — a scalar call
+  // named numbers() elsewhere stays untouched
+  private val numbersRe =
+    ("(?i)\\b(FROM|JOIN)\\s+numbers\\(\\s*(\\d+)\\s*" +
+      "(?:,\\s*(\\d+)\\s*)?\\)").r
+  private val formatTailRe = "(?is)\\s+FORMAT\\s+\\w+\\s*$".r
 
   // `… ORDER BY col WITH FILL [FROM a TO b] [STEP s] [LIMIT n]` — the
   // greedy body prefix anchors at the LAST ORDER BY (subquery sorts stay

@@ -309,6 +309,32 @@ class ChDdlSpec extends SparkSpecBase {
     }
   }
 
+  test("GRANT SELECT(cols) and CREATE ROW POLICY run as text") {
+    import org.apache.spark.sql.functions.col
+    val cat = new Catalog(spark)
+    val dir = tmpDir("chddl-acl")
+    import spark.implicits._
+    ChDdl.runScript(cat, spark,
+      """CREATE TABLE acl (
+        |  `k` UInt64, `region` String, `sal` Float64
+        |) ENGINE = MergeTree ORDER BY k""".stripMargin, dir)
+    cat.append("acl", Seq((1L, "eu", 10.0), (2L, "us", 20.0), (3L, "eu", 30.0))
+      .toDF("k", "region", "sal"))
+    ChDdl.execute(cat, spark,
+      "CREATE ROW POLICY eu_only ON acl FOR SELECT USING region = 'eu' TO bob")
+    ChDdl.execute(cat, spark, "GRANT SELECT(k, region) ON acl TO bob")
+    val bob = cat.readAs("acl", "bob")
+    bob.count() shouldBe 2 // row policy filtered
+    // ungranted column masked (column policy)
+    bob.select(col("sal")).collect().foreach(r => r.isNullAt(0) shouldBe true)
+    bob.select(col("k")).collect().map(_.getLong(0)).sorted shouldBe Array(1L, 3L)
+    // malformed predicate refused at CREATE, not at read
+    intercept[IllegalArgumentException] {
+      ChDdl.execute(cat, spark,
+        "CREATE ROW POLICY bad ON acl USING nope_col = 1 TO alice")
+    }
+  }
+
   test("ADVICE regressions: '_' identifiers, backticked ttl, Decimal widths") {
     // identifiers with embedded keyword prefixes must not mis-split into
     // bogus SETTINGS/TTL/COMMENT/DEFAULT clauses ('_' is a word char)

@@ -272,6 +272,25 @@ class ChSqlSpec extends SparkSpecBase {
       Seq(1, 3, 5, 7)
   }
 
+  test("numbers() table function and FORMAT tail") {
+    chEqualsSpark(
+      "SELECT count() AS n, CAST(sum(number) AS BIGINT) AS s FROM numbers(10)",
+      "SELECT count(*) AS n, CAST(sum(number) AS BIGINT) AS s " +
+        "FROM (SELECT explode(sequence(0, 9)) AS number)")
+    chEqualsSpark(
+      "SELECT min(number) AS lo, max(number) AS hi FROM numbers(5, 3)",
+      "SELECT 5L AS lo, 7L AS hi")
+    // numbers(0) is legal CH — the empty set, not an error
+    GraftSql.chSql(spark, sf0001,
+      "SELECT count() AS n FROM numbers(0)").head().getLong(0) shouldBe 0L
+    // a trailing FORMAT picks a serialization in CH, never a result set —
+    // stripped; 'FORMAT' inside a literal is untouched
+    ChDialect.rewrite("SELECT r_name FROM region FORMAT JSONEachRow") shouldBe
+      "SELECT r_name FROM region"
+    ChDialect.rewrite("SELECT 'x FORMAT CSV' AS s FROM t") shouldBe
+      "SELECT 'x FORMAT CSV' AS s FROM t"
+  }
+
   test("unsupported shapes fail loudly, not silently") {
     intercept[IllegalArgumentException] {
       // bare ARRAY JOIN col shadows the array column in CH — refused
