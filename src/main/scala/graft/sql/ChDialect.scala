@@ -77,6 +77,10 @@ package graft.sql
   *   - `splitByChar(sep, s)`/`splitByString(sep, s)` → `split(s, sep)`
   *     with the separator regex-quoted via `\\Q…\\E` (argument swap;
   *     any separator byte stays literal)
+  *   - `LIMIT offset, n` (the CH/MySQL comma form) → `LIMIT n OFFSET
+  *     offset`; `intDiv(a, b)` → `(a DIV b)`; `modulo(a, b)` → `(a % b)`
+  *     (both engines keep the dividend's sign); `toUnixTimestamp(x)` →
+  *     `unix_timestamp(x)`; `fromUnixTimestamp(x)` → `from_unixtime(x)`
   *   - `FROM numbers(N)` / `numbers(offset, N)` (CH's integer-generator
   *     table function) → a derived `explode(sequence(…))` table aliased
   *     `numbers` with CH's column name `number`
@@ -164,6 +168,8 @@ object ChDialect {
     ("(?i)\\buniq\\(".r, "approx_count_distinct("),
     ("(?i)\\bcityHash64\\(".r, "xxhash64("),
     ("(?i)\\bsipHash64\\(".r, "xxhash64("),
+    ("(?i)\\btoUnixTimestamp\\(".r, "unix_timestamp("),
+    ("(?i)\\bfromUnixTimestamp\\(".r, "from_unixtime("),
     ("(?i)\\btoDate\\(".r, "to_date("),
     ("(?i)\\btoYear\\(".r, "year("),
     ("(?i)\\btoMonth\\(".r, "month("),
@@ -303,6 +309,10 @@ object ChDialect {
     s = rewriteLimitBy(s)
     s = rewriteWithFill(s)
     s = rewriteSample(s)
+    // the CH/MySQL comma form — after rewriteLimitBy (which owns the
+    // `LIMIT n BY cols` shape; a comma can't follow its count)
+    s = limitCommaRe.replaceAllIn(s, m =>
+      s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
     s = numbersRe.replaceAllIn(s, { m =>
       val (a, b) = (m.group(2), Option(m.group(3)))
       val (lo, cnt) = b match {
@@ -410,6 +420,16 @@ object ChDialect {
           s"$fn expects 2 arguments, got ${args.length}")
       })
     }
+    s = rewriteCall(s, "intDiv", {
+      case List(a, b) => s"($a DIV $b)"
+      case args => throw new IllegalArgumentException(
+        s"intDiv expects 2 arguments, got ${args.length}")
+    })
+    s = rewriteCall(s, "modulo", {
+      case List(a, b) => s"($a % $b)"
+      case args => throw new IllegalArgumentException(
+        s"modulo expects 2 arguments, got ${args.length}")
+    })
     s = rewriteCall(s, "hasToken", {
       case List(c, tok) =>
         s"array_contains(split($c, '${graft.catalog.Catalog.TokenSeparators}'), $tok)"
@@ -448,6 +468,7 @@ object ChDialect {
     ("(?i)\\b(FROM|JOIN)\\s+numbers\\(\\s*(\\d+)\\s*" +
       "(?:,\\s*(\\d+)\\s*)?\\)").r
   private val formatTailRe = "(?is)\\s+FORMAT\\s+\\w+\\s*$".r
+  private val limitCommaRe = "(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)\\b".r
 
   // `… ORDER BY col WITH FILL [FROM a TO b] [STEP s] [LIMIT n]` — the
   // greedy body prefix anchors at the LAST ORDER BY (subquery sorts stay

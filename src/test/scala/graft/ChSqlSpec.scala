@@ -291,6 +291,21 @@ class ChSqlSpec extends SparkSpecBase {
       "SELECT 'x FORMAT CSV' AS s FROM t"
   }
 
+  test("LIMIT offset,n / intDiv / modulo / unix timestamp family") {
+    chEqualsSpark(
+      "SELECT number FROM numbers(10) ORDER BY number LIMIT 3, 2",
+      "SELECT number FROM (SELECT explode(sequence(0, 9)) AS number) " +
+        "ORDER BY number LIMIT 2 OFFSET 3")
+    chEqualsSpark(
+      "SELECT intDiv(n_nationkey, 7) AS d, modulo(n_nationkey, 7) AS m " +
+        "FROM nation ORDER BY n_nationkey",
+      "SELECT (n_nationkey DIV 7) AS d, (n_nationkey % 7) AS m " +
+        "FROM nation ORDER BY n_nationkey")
+    chEqualsSpark(
+      "SELECT fromUnixTimestamp(0) AS t, toUnixTimestamp(now()) > 0 AS ok",
+      "SELECT from_unixtime(0) AS t, unix_timestamp(current_timestamp()) > 0 AS ok")
+  }
+
   test("unsupported shapes fail loudly, not silently") {
     intercept[IllegalArgumentException] {
       // bare ARRAY JOIN col shadows the array column in CH — refused
