@@ -540,6 +540,16 @@ object Analytics extends QueryModule {
           |GROUP BY bucket
           |ORDER BY bucket WITH FILL FROM 0 TO 25""".stripMargin)),
 
+    // numbers() + intDiv + the LIMIT offset,n comma form + FORMAT tail in
+    // one statement — the everyday CH-CLI idioms, gate-checked together
+    // (each is spec'd in isolation in ChSqlSpec).
+    "sql_numbers" -> ((s, d) =>
+      graft.sql.GraftSql.chSql(s, d,
+        """SELECT intDiv(number, 7) AS g, count() AS n,
+          | CAST(sum(number) AS BIGINT) AS sm
+          |FROM numbers(100) GROUP BY g ORDER BY g
+          |LIMIT 2, 5 FORMAT JSONEachRow""".stripMargin)),
+
     // CH query result cache (`use_query_cache = 1`) through the gate:
     // the second invocation serves the STORED result — no job, no scan —
     // and must still hash-match the oracle's independent recompute. The
@@ -1105,6 +1115,12 @@ object Analytics extends QueryModule {
         |WHERE tok != ''
         |GROUP BY tok HAVING count(*) >= 25
         |ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+
+    "sql_numbers" ->
+      """SELECT number // 7 AS g, count(*) AS n,
+        | CAST(sum(number) AS BIGINT) AS sm
+        |FROM range(100) t(number) GROUP BY 1 ORDER BY 1
+        |LIMIT 5 OFFSET 2""".stripMargin,
 
     // the oracle recomputes what the cache served
     "sql_query_cache" ->
