@@ -237,8 +237,19 @@ object RollupRewrite extends Rule[LogicalPlan] {
             }
             c.as(s"__rollup_$i")
           }
-          val rolled = df.groupBy(groupCols: _*)
-            .agg(rolledCols.head, rolledCols.tail: _*)
+          // grouping-only aggregates (SELECT DISTINCT dims / GROUP BY
+          // dims with no measures) are answerable too: the rollup's dim
+          // rows cover the base's distinct dims. A groupBy (not
+          // .distinct()) because the companion may hold per-block PARTIAL
+          // rows per group AND because this rule runs in the FINAL
+          // optimizer batch — a Deduplicate node injected here would
+          // never meet ReplaceDeduplicateWithAggregate again. The dummy
+          // count is dropped by the aligning Project below.
+          val rolled =
+            if (neededAggs.isEmpty) df.groupBy(groupCols: _*)
+              .agg(coalesce(sum(lit(0L)), lit(0L)).as("__rollup_drop"))
+            else df.groupBy(groupCols: _*)
+              .agg(rolledCols.head, rolledCols.tail: _*)
           val analyzed = rolled.queryExecution.analyzed
           val outByName = analyzed.output.map(a => a.name -> a).toMap
           // rebuild each output expression over the rollup: aggregates

@@ -36,6 +36,20 @@ class RollupRewriteSpec extends SparkSpecBase {
     }
   }
 
+  test("grouping-only aggregate (DISTINCT dims) is answered from the rollup") {
+    withProjection { (base, rollup) =>
+      val df = spark.read.parquet(base).select(col("k1")).distinct()
+        .orderBy(col("k1"))
+      df.queryExecution.executedPlan.toString should include(rollup)
+      df.collect().map(_.getString(0)) shouldBe Array("a", "b")
+      // with a dim filter riding along
+      val f = spark.read.parquet(base).filter(col("k1") =!= "a")
+        .select(col("k1")).distinct()
+      f.queryExecution.executedPlan.toString should include(rollup)
+      f.collect().map(_.getString(0)) shouldBe Array("b")
+    }
+  }
+
   test("dim filter rides the rewrite; count stays correct") {
     withProjection { (base, rollup) =>
       val df = spark.read.parquet(base)
