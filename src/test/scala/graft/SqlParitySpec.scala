@@ -61,7 +61,8 @@ class SqlParitySpec extends SparkSpecBase {
     "limit_by", "win_first_last",
     "p3_filter_eq", "p5_watermark", "p6_conj_pred", "p7_in_list",
     "p8_count_if", "p9_point_lookup", "proj_rollup_count",
-    "proj_rollup_sum", "proj_sorted_lookup", "q1_agg", "q3_shipping",
+    "proj_rollup_sum", "proj_sorted_lookup", "cat_projection_scan",
+    "q1_agg", "q3_shipping",
     "q5_region_revenue",
     "set_except", "set_intersect", "set_union", "set_except_all",
     "set_intersect_all", "limit_ties", "fn_nested_zip", "sql_param_view",
@@ -71,6 +72,30 @@ class SqlParitySpec extends SparkSpecBase {
 
   /** DuckDB-blocked queries with a mechanical Spark-SQL twin. */
   private val twins: Map[String, String] = Map(
+    // DuckDB unnest(string_split) → Spark LATERAL VIEW explode(split)
+    "sql_array_join" ->
+      """SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+        |FROM documents LATERAL VIEW explode(split(text, ' ')) t AS tok
+        |WHERE doc_id < 500 AND tok != ''
+        |GROUP BY tok HAVING count(*) >= 25
+        |ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+
+    // DuckDB range(0, 25) → Spark explode(sequence(0, 24))
+    "sql_with_fill" ->
+      """SELECT coalesce(q.bucket, g.x) AS bucket, q.n
+        |FROM (SELECT CAST(floor(o_totalprice / 30000) AS INT) AS bucket,
+        |             CAST(count(*) AS STRING) AS n
+        |      FROM orders GROUP BY 1) q
+        |FULL OUTER JOIN (SELECT explode(sequence(0, 24)) AS x) g
+        |  ON q.bucket = g.x
+        |ORDER BY bucket""".stripMargin,
+
+    // DuckDB range(100) + // → Spark explode(sequence) + DIV
+    "sql_numbers" ->
+      """SELECT (number DIV 7) AS g, count(*) AS n,
+        | CAST(sum(number) AS BIGINT) AS sm
+        |FROM (SELECT explode(sequence(0, 99)) AS number)
+        |GROUP BY 1 ORDER BY 1 LIMIT 5 OFFSET 2""".stripMargin,
     // DuckDB ::BIGINT casts → Spark cast(... AS BIGINT)
     "agg_regr" ->
       """SELECT l_returnflag,
@@ -966,7 +991,8 @@ class SqlParitySpec extends SparkSpecBase {
     "text_encode_bpe" -> "applies the BPE loop's learned dictionary (engine state)",
     "text_chunk_bpe" -> "chunks over the BPE loop's learned piece sequences (engine state)",
     "dedup_image_phash" -> "real PNG encode/decode + dHash in the MediaPipeline executor path, not SQL",
-    "dedup_audio_fp" -> "real WAV encode/decode + energy-delta fingerprint in the MediaPipeline executor path, not SQL")
+    "dedup_audio_fp" -> "real WAV encode/decode + energy-delta fingerprint in the MediaPipeline executor path, not SQL",
+    "dedup_video_sig" -> "real MJPEG-AVI encode/walk/decode + temporal signature in the MediaPipeline executor path, not SQL")
 
   test("verbatim + twins + inexpressible exactly partition the oracle surface") {
     val all = verbatim ++ twins.keySet ++ sqlInexpressible.keySet
