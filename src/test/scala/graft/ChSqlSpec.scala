@@ -272,6 +272,29 @@ class ChSqlSpec extends SparkSpecBase {
       Seq(1, 3, 5, 7)
   }
 
+  test("WITH FILL on a DATE axis with an INTERVAL step") {
+    // bounds/step pass through verbatim, so sequence() handles dates and
+    // intervals natively; TO stays exclusive
+    val out = GraftSql.chSql(spark, sf0001,
+      """SELECT d, count() AS n
+        |FROM (SELECT to_date(o_orderdate) AS d FROM orders) t
+        |GROUP BY d
+        |ORDER BY d WITH FILL FROM DATE'1995-01-01' TO DATE'1995-01-08'
+        |STEP INTERVAL 1 DAY""".stripMargin).collect()
+    val dates = out.map(_.getDate(0).toString)
+    // every day of the half-open week is present exactly once
+    (1 to 7).map(i => f"1995-01-0$i").foreach(d => dates.count(_ == d) shouldBe 1)
+    // INJECTED points (null count) honor FROM-inclusive/TO-exclusive;
+    // real rows outside the grid are kept (1995-01-08 has an order at
+    // this SF and must survive — CH keeps off-grid rows too)
+    val injected = out.filter(_.isNullAt(1)).map(_.getDate(0).toString)
+    injected should not be empty
+    injected.foreach { d =>
+      d should be >= "1995-01-01"
+      d should be < "1995-01-08"
+    }
+  }
+
   test("numbers() table function and FORMAT tail") {
     chEqualsSpark(
       "SELECT count() AS n, CAST(sum(number) AS BIGINT) AS s FROM numbers(10)",
