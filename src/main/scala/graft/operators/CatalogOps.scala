@@ -643,6 +643,58 @@ object CatalogOps extends QueryModule {
         .orderBy(col("rflag"))
     }),
 
+    // AggregatingMergeTree from DDL TEXT (closing the parser's last
+    // documented engine refusal): the state kinds ARE declared in CH DDL
+    // as `AggregateFunction(fn, T…)` column TYPES — parsed into the
+    // typed Aggregating semantics, loaded as TWO pre-aggregated partial
+    // blocks (the CH -State insert idiom), merged by the read-time fold.
+    // The uniq estimate carries the 5% accuracy contract (agg_hll_merge
+    // pattern); avg/sum finals carry a 1e-9 relative contract against
+    // the raw-events exact recompute (double re-association across
+    // partials is not bit-stable — the contract IS the semantics).
+    "cat_ddl_aggstate" -> ((s, d) => {
+      val cat = new Catalog(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-aggddl")
+      copyDirs.add(tmp)
+      graft.sql.ChDdl.createTable(cat,
+        """CREATE TABLE ev_states (
+          |  `etype` LowCardinality(String),
+          |  `users` AggregateFunction(uniq, String),
+          |  `val_avg` AggregateFunction(avg, Float64),
+          |  `val_sum` AggregateFunction(sum, Float64)
+          |) ENGINE = AggregatingMergeTree
+          |ORDER BY etype""".stripMargin,
+        tmp.resolve("ev_states").toString)
+      val ev = Tables.events(s, d).select(col("event_type").as("etype"),
+        col("event_id"), col("user_id").cast("string").as("uid"),
+        col("value").cast("double").as("v"))
+      Seq(0, 1).foreach { parity =>
+        cat.append("ev_states", ev
+          .filter(pmod(col("event_id"), lit(2)) === parity)
+          .groupBy(col("etype"))
+          .agg(hll_sketch_agg(col("uid")).as("users"),
+            struct(sum(col("v")).as("sum"), count(lit(1)).as("cnt"))
+              .as("val_avg"),
+            sum(col("v")).as("val_sum")))
+      }
+      val finals = cat.read("ev_states").select(col("etype"),
+        hll_sketch_estimate(col("users")).as("est"),
+        (col("val_avg.sum") / col("val_avg.cnt")).as("avg_est"),
+        col("val_sum").as("sum_est"))
+      ev.groupBy(col("etype"))
+        .agg(count_distinct(col("uid")).as("n_users"),
+          avg(col("v")).as("avg_exact"), sum(col("v")).as("sum_exact"))
+        .join(finals, Seq("etype"))
+        .select(col("etype"), col("n_users"),
+          (abs(col("est") - col("n_users")) <= col("n_users") * 0.05)
+            .as("uniq_ok"),
+          (abs(col("avg_est") - col("avg_exact")) <=
+            abs(col("avg_exact")) * 1e-9 + 1e-9).as("avg_ok"),
+          (abs(col("sum_est") - col("sum_exact")) <=
+            abs(col("sum_exact")) * 1e-9 + 1e-9).as("sum_ok"))
+        .orderBy(col("etype"))
+    }),
+
     // The inverted full-text index through the correctness gate: the
     // multi-token AND probe (the shape the token bloom refuses) scans
     // only files where the probe tokens co-occur in some row
@@ -1297,6 +1349,13 @@ object CatalogOps extends QueryModule {
       """SELECT event_type AS etype, count(*) AS n,
         | sum(CAST(json_extract_string(props, '$.k') AS INTEGER))::BIGINT AS k_sum,
         | CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_max
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exact counts from the raw events; the estimate/rounding contracts
+    // are asserted as literals (the agg_hll_merge pattern)
+    "cat_ddl_aggstate" ->
+      """SELECT event_type AS etype, count(DISTINCT user_id) AS n_users,
+        | TRUE AS uniq_ok, TRUE AS avg_ok, TRUE AS sum_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the oracle recomputes the projection-answered aggregate from the

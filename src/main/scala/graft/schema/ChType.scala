@@ -102,6 +102,50 @@ object ChType {
     */
   case object ChJson extends ChType { def sparkType: DataType = VariantType }
 
+  /** CH `AggregateFunction(fn, T…)` — a stored PARTIAL-STATE column (the
+    * AggregatingMergeTree column type). `kind` is the engine-normalized
+    * state kind ([[graft.catalog.Aggregating.kindOf]]'s vocabulary:
+    * hll / kll / avg / sum / min / max / argmax / topk:N); `inners` are
+    * the declared argument types. The SPARK storage type is the kind's
+    * merge representation (the exact shapes
+    * [[graft.catalog.Catalog]].stateMergeExprs folds):
+    * binary sketches for hll/kll, a (value, count) map for topk, a
+    * (sum, cnt) struct for avg, a (value, arg) struct for argMax
+    * (value FIRST — the lexicographic-max trick needs the deciding field
+    * leading), the widened scalar for sum, the scalar itself for min/max.
+    * `fnText`/`argTexts` keep the DECLARED spelling so SHOW CREATE
+    * renders `AggregateFunction(topK(10), String)` back verbatim.
+    */
+  final case class ChAggState(kind: String, inners: Seq[ChType],
+                              fnText: String, argTexts: Seq[String])
+      extends ChType {
+    private def widened(t: ChType): DataType = t.sparkType match {
+      case FloatType | DoubleType => DoubleType
+      case _: org.apache.spark.sql.types.DecimalType => t.sparkType
+      case _ => LongType
+    }
+    def sparkType: DataType = kind.split(':')(0) match {
+      case "hll" | "kll" => BinaryType
+      case "topk" => MapType(StringType, LongType)
+      case "avg" => StructType(Seq(
+        StructField("sum", widened(inners.head)),
+        StructField("cnt", LongType)))
+      case "sum" => widened(inners.head)
+      case "min" | "max" => inners.head.sparkType
+      // CH argMax(arg, val): inners = (Targ, Tval); value leads
+      case "argmax" => StructType(Seq(
+        StructField("value", inners(1).sparkType),
+        StructField("arg", inners.head.sparkType)))
+      case other => throw new IllegalArgumentException(
+        s"AggregateFunction: unsupported state kind $other")
+    }
+    override def metadata: Metadata = new MetadataBuilder()
+      .putString("aggKind", kind)
+      .putString("aggFn", fnText)
+      .putStringArray("aggArgs", argTexts.toArray)
+      .build()
+  }
+
   /** One declared column: position in the TSV is its index in the schema. */
   final case class Col(name: String, ch: ChType) {
     def field: StructField = StructField(name, ch.sparkType, nullable = true, ch.metadata)

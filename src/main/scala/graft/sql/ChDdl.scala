@@ -1,8 +1,8 @@
 package graft.sql
 
 import org.apache.spark.sql.types._
-import graft.catalog.{Append, Catalog, Collapsing, JoinAny, NullEngine,
-  ReplacingDedup, Summing, TableDef}
+import graft.catalog.{Aggregating, Append, Catalog, Collapsing, JoinAny,
+  NullEngine, ReplacingDedup, Summing, TableDef}
 import graft.schema.ChType
 import graft.schema.ChType._
 
@@ -385,10 +385,23 @@ object ChDdl {
             "engine implements the versioned variant " +
             "(VersionedCollapsingMergeTree(sign, version))")
       case e if e.equalsIgnoreCase("AggregatingMergeTree") =>
-        throw new IllegalArgumentException(
-          s"$name: AggregatingMergeTree state kinds are a typed " +
-            "declaration (Aggregating(keys, stateCols, kinds)) — not " +
-            "inferable from DDL text")
+        // the state kinds ARE in the DDL: CH declares them as
+        // `AggregateFunction(fn, T…)` column TYPES (parseType carries
+        // each kind in field metadata)
+        val states = schema.fields.filter(_.metadata.contains("aggKind"))
+        require(states.nonEmpty,
+          s"$name: AggregatingMergeTree needs at least one " +
+            "AggregateFunction(fn, T…) column")
+        val plain = schema.fields.map(_.name).filterNot(c =>
+          sortKeys.contains(c) || partitionKeys.contains(c) ||
+            states.exists(_.name == c))
+        require(plain.isEmpty,
+          s"$name: AggregatingMergeTree folds keys + state columns — " +
+            s"plain column(s) ${plain.mkString(", ")} would be lost in " +
+            "the merge; declare them AggregateFunction(…) or move them " +
+            "to ORDER BY")
+        Aggregating(sortKeys, states.map(_.name).toSeq,
+          states.map(f => f.name -> f.metadata.getString("aggKind")).toMap)
       case e if e.equalsIgnoreCase("Null") => NullEngine
       case e if e.equalsIgnoreCase("Join") =>
         require(engineArgs.length >= 3 &&
@@ -1001,6 +1014,50 @@ object ChDdl {
       case "lowcardinality" => ChLowCardinality(parseType(one))
       case "nullable" => ChNullable(parseType(one))
       case "array" => ChArray(parseType(one))
+      // `AggregateFunction(fn, T…)` — the AggregatingMergeTree state
+      // column type; fn may be parameterized (topK(10), quantile(0.5) —
+      // a quantile's probe point is a READ-time argument, the stored
+      // sketch is point-free)
+      case "aggregatefunction" =>
+        val parts = splitTopLevel(one).map(_.trim)
+        require(parts.length >= 2,
+          s"AggregateFunction(fn, T…): needs a function and at least " +
+            s"one argument type in '$t'")
+        val fnText = parts.head
+        val argTexts = parts.tail
+        val inners = argTexts.map(parseType)
+        val fp = fnText.indexOf('(')
+        val (fn, fparam) =
+          if (fp < 0) (fnText, None)
+          else (fnText.substring(0, fp).trim,
+            Some(fnText.substring(fp + 1, fnText.lastIndexOf(')')).trim))
+        def numeric(what: String): Unit = {
+          import org.apache.spark.sql.types.NumericType
+          require(inners.head.sparkType.isInstanceOf[NumericType],
+            s"AggregateFunction($what, …): argument must be numeric, " +
+              s"got ${argTexts.head}")
+        }
+        val kind = fn.toLowerCase match {
+          case "uniq" | "uniqcombined" | "uniqhll12" => "hll"
+          case "quantile" | "quantiles" | "median" => "kll"
+          case "avg" => numeric("avg"); "avg"
+          case "sum" => numeric("sum"); "sum"
+          case "min" => "min"
+          case "max" => "max"
+          case "argmax" =>
+            require(inners.length == 2,
+              "AggregateFunction(argMax, Targ, Tval): needs two types")
+            "argmax"
+          case "topk" =>
+            require(inners.head == ChString,
+              "AggregateFunction(topK, T): the maintained top-k state " +
+                "stores STRING values — declare topK over String")
+            s"topk:${fparam.filter(_.nonEmpty).map(_.toInt).getOrElse(10)}"
+          case other => throw new IllegalArgumentException(
+            s"AggregateFunction($other, …): unsupported state kind — " +
+              "supported: uniq, quantile, avg, sum, min, max, argMax, topK(N)")
+        }
+        ChType.ChAggState(kind, inners, fnText, argTexts)
       case "enum8" | "enum16" =>
         val pairs = splitTopLevel(one).map { pair =>
           val eq = lastTopLevelEq(pair)

@@ -36,6 +36,11 @@ object ChDdlRender {
   def chTypeText(f: StructField): String = typeText(f.dataType, f.metadata)
 
   private def typeText(dt: DataType, m: Metadata): String = {
+    // a state column renders from its declared spelling, whatever the
+    // storage representation (binary sketch, struct, map)
+    if (m.contains("aggFn"))
+      return s"AggregateFunction(${m.getString("aggFn")}, " +
+        s"${m.getStringArray("aggArgs").mkString(", ")})"
     val base = dt match {
       case StringType if m.contains("enumNames") =>
         val names = m.getStringArray("enumNames")
@@ -179,6 +184,10 @@ object ChDdlRender {
         s"VersionedCollapsingMergeTree($sign, $version)"
       case NullEngine => "Null"
       case JoinAny(keys) => s"Join(ANY, LEFT, ${keys.mkString(", ")})"
+      case Aggregating(keys, stateCols, _)
+          if keys == t0.sortKeys &&
+            stateCols.forall(c => t0.schema(c).metadata.contains("aggFn")) =>
+        "AggregatingMergeTree"
       case _: Aggregating => throw new IllegalArgumentException(
         s"${t.name}: AggregatingMergeTree state kinds are a typed " +
           "declaration with no DDL text form (symmetric with ChDdl.parse)")

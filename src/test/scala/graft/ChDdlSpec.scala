@@ -309,6 +309,48 @@ class ChDdlSpec extends SparkSpecBase {
     }
   }
 
+  test("AggregatingMergeTree parses from AggregateFunction column types") {
+    import graft.catalog.Aggregating
+    val ChDdl.CreateTable(t, _) = ChDdl.parse(
+      """CREATE TABLE ag (
+        |  `k` String,
+        |  `u` AggregateFunction(uniq, String),
+        |  `q` AggregateFunction(quantile(0.5), Float64),
+        |  `a` AggregateFunction(avg, UInt64),
+        |  `tk` AggregateFunction(topK(16), String),
+        |  `am` AggregateFunction(argMax, String, Float64),
+        |  `mx` AggregateFunction(max, DateTime)
+        |) ENGINE = AggregatingMergeTree ORDER BY k""".stripMargin, "/tmp/ag")
+    t.semantics shouldBe Aggregating(Seq("k"),
+      Seq("u", "q", "a", "tk", "am", "mx"),
+      Map("u" -> "hll", "q" -> "kll", "a" -> "avg", "tk" -> "topk:16",
+        "am" -> "argmax", "mx" -> "max"))
+    // storage shapes are the engine's merge representations
+    import org.apache.spark.sql.types._
+    t.schema("u").dataType shouldBe BinaryType
+    t.schema("tk").dataType shouldBe MapType(StringType, LongType)
+    t.schema("a").dataType shouldBe StructType(Seq(
+      StructField("sum", LongType), StructField("cnt", LongType)))
+    t.schema("am").dataType shouldBe StructType(Seq(
+      StructField("value", DoubleType), StructField("arg", StringType)))
+    // SHOW CREATE renders the declared spelling back and re-parses equal
+    val rendered = graft.sql.ChDdlRender.render(t)
+    rendered should include("AggregateFunction(topK(16), String)")
+    val ChDdl.CreateTable(t2, _) = ChDdl.parse(rendered, "/tmp/ag")
+    t2 shouldBe t
+    // a plain non-key column would be LOST in the merge — refused
+    val e = the[IllegalArgumentException] thrownBy ChDdl.parse(
+      """CREATE TABLE bad (
+        |  `k` String, `plain` UInt64,
+        |  `u` AggregateFunction(uniq, String)
+        |) ENGINE = AggregatingMergeTree ORDER BY k""".stripMargin, "/tmp/bad")
+    e.getMessage should include("plain")
+    // unsupported state kinds fail loudly
+    intercept[IllegalArgumentException] {
+      ChDdl.parseType("AggregateFunction(corr, Float64, Float64)")
+    }
+  }
+
   test("GRANT SELECT(cols) and CREATE ROW POLICY run as text") {
     import org.apache.spark.sql.functions.col
     val cat = new Catalog(spark)
