@@ -113,6 +113,13 @@ object ChDdl {
                                  by: Seq[String]) extends Statement
   /** `TRUNCATE TABLE [IF EXISTS] name`. */
   final case class TruncateTable(table: String) extends Statement
+  /** `DELETE FROM t WHERE p` — ClickHouse's standalone LIGHTWEIGHT delete
+    * (deletion vectors, O(matches)), vs `ALTER TABLE … DELETE WHERE`'s
+    * full mutation rewrite. Dispatched to
+    * [[graft.catalog.Catalog.deleteLightweight]].
+    */
+  final case class LightweightDelete(table: String,
+                                     whereSql: String) extends Statement
   /** `GRANT SELECT(cols…) ON t TO users…` — column-level access, dispatched
     * to [[graft.catalog.Catalog.grantColumns]] (X82's engine). */
   final case class Grant(table: String, users: Seq[String],
@@ -139,6 +146,8 @@ object ChDdl {
       .getOrElse(throw new IllegalArgumentException(
         s"$what: SELECT has no FROM table"))
 
+  private val delFromRe =
+    "(?is)^\\s*DELETE\\s+FROM\\s+([`\\w.]+)\\s+WHERE\\s+(.+)$".r
   private val grantRe =
     "(?is)^\\s*GRANT\\s+SELECT\\s*\\(([^)]*)\\)\\s+ON\\s+([`\\w.]+)\\s+TO\\s+(.+?)\\s*$".r
   private val rowPolicyRe =
@@ -166,6 +175,10 @@ object ChDdl {
     }
     truncateRe.findFirstMatchIn(ddl).foreach { m =>
       return TruncateTable(bare(m.group(1)))
+    }
+    delFromRe.findFirstMatchIn(ddl).foreach { m =>
+      return LightweightDelete(bare(m.group(1)),
+        GraftSql.expandFunctions(ChDialect.rewrite(m.group(2).trim)))
     }
     grantRe.findFirstMatchIn(ddl).foreach { m =>
       val cols = splitTopLevel(m.group(1)).map(_.trim.replace("`", ""))
@@ -757,6 +770,8 @@ object ChDdl {
       case OptimizeTable(table, dedup, by) =>
         if (dedup) cat.optimizeDeduplicate(table, by) else cat.compact(table)
       case TruncateTable(table) => cat.truncate(table)
+      case LightweightDelete(table, where) =>
+        cat.deleteLightweight(table, expr(where))
       case Grant(table, users, cols) =>
         users.foreach(u => cat.grantColumns(table, u, cols))
       case CreateRowPolicy(pn, table, users, pred) =>

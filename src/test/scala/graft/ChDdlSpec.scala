@@ -351,6 +351,23 @@ class ChDdlSpec extends SparkSpecBase {
     }
   }
 
+  test("DELETE FROM (lightweight) runs as text, distinct from ALTER DELETE") {
+    val cat = new Catalog(spark)
+    val dir = tmpDir("chddl-lwdel")
+    import spark.implicits._
+    ChDdl.runScript(cat, spark,
+      """CREATE TABLE lw (
+        |  `k` UInt64, `v` UInt64
+        |) ENGINE = MergeTree ORDER BY k""".stripMargin, dir)
+    cat.append("lw", (1L to 10L).map(i => (i, i * 10)).toDF("k", "v"))
+    ChDdl.execute(cat, spark, "DELETE FROM lw WHERE modulo(k, 2) = 0")
+    cat.read("lw").count() shouldBe 5
+    // the data files are untouched (deletion vectors, not a rewrite):
+    // a compact folds the mask into storage
+    cat.read("lw").agg(org.apache.spark.sql.functions.sum("v"))
+      .head().getLong(0) shouldBe (1L + 3 + 5 + 7 + 9) * 10
+  }
+
   test("GRANT SELECT(cols) and CREATE ROW POLICY run as text") {
     import org.apache.spark.sql.functions.col
     val cat = new Catalog(spark)
