@@ -3786,6 +3786,31 @@ final class Catalog(spark: SparkSession) {
       "partition_keys", "index_cols", "n_parts", "bytes", "codec")
   }
 
+  /** `system.projections` analog: one row per declared projection of
+    * every registered table — kind, spec columns, and the companion's
+    * current storage footprint. Registry metadata plus one dir listing.
+    */
+  def systemProjections(): DataFrame = {
+    import spark.implicits._
+    tables.values.toSeq.sortBy(_.name).flatMap { t =>
+      t.projections.map { p =>
+        val dir = new org.apache.hadoop.fs.Path(projPath(t, p.name))
+        val f = fs(t)
+        val bytes =
+          if (f.exists(dir))
+            f.listStatus(dir).filter(_.isFile).map(_.getLen).sum
+          else 0L
+        p match {
+          case AggProjection(nm, dims, sums) =>
+            (t.name, nm, "aggregate", dims.mkString(","),
+              sums.mkString(","), bytes)
+          case SortProjection(nm, key) =>
+            (t.name, nm, "sorted", key, "", bytes)
+        }
+      }
+    }.toDF("table", "projection", "kind", "columns", "sum_cols", "bytes")
+  }
+
   /** `system.columns` analog: one row per declared column of every
     * registered table — position, type, and which storage/engine roles
     * the column plays (sort key, partition key, bloom/minmax index,

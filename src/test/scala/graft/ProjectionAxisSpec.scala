@@ -169,6 +169,23 @@ class ProjectionAxisSpec extends SparkSpecBase {
     } finally { RollupRewrite.clear(); SortedProjectionRewrite.clear() }
   }
 
+  test("system.projections lists declared projections with storage bytes") {
+    val (cat, dir) = mkCat()
+    try {
+      sales(cat, dir,
+        ",\n  PROJECTION by_status (SELECT status, count(), sum(qty) GROUP BY status)" +
+          ",\n  PROJECTION by_qty (SELECT * ORDER BY qty)")
+      append(cat, block1)
+      val rows = cat.systemProjections()
+        .filter(col("table") === "sales")
+        .orderBy(col("projection")).collect()
+      rows.map(r => (r.getString(1), r.getString(2), r.getString(3))) shouldBe
+        Array(("by_qty", "sorted", "qty"),
+          ("by_status", "aggregate", "status"))
+      rows.foreach(_.getLong(5) should be > 0L) // maintained companions
+    } finally { RollupRewrite.clear(); SortedProjectionRewrite.clear() }
+  }
+
   test("ineligible declarations fail loudly at CREATE") {
     val (cat, dir) = mkCat()
     intercept[IllegalArgumentException] { // merging engine
