@@ -2305,12 +2305,22 @@ final class Catalog(spark: SparkSession) {
   }
 
   /** Re-validate + swap in an updated definition (projection add/drop):
-    * the same checks createTable runs, then an unconditional registry
-    * replace + sidecar persist.
+    * the same checks createTable runs, then a registry replace + sidecar
+    * persist. A FAILED validation restores the prior registration — the
+    * table must not vanish because an ALTER was refused. (The
+    * remove→create window is a microsecond registry gap; projection
+    * ALTERs are rare ops and racing reads of a mid-ALTER table have no
+    * consistency claim to lose.)
     */
   private def createTableUpdate(nt: TableDef): TableDef = {
+    val prior = tables.get(nt.name)
     tables.remove(nt.name)
-    createTable(nt)
+    try createTable(nt)
+    catch {
+      case e: Throwable =>
+        prior.foreach(p => tables.putIfAbsent(nt.name, p))
+        throw e
+    }
   }
 
   /** Codes-only ANN probe through a declared `vector_similarity` index:

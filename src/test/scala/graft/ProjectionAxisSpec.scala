@@ -211,4 +211,18 @@ class ProjectionAxisSpec extends SparkSpecBase {
           |) ENGINE = MergeTree ORDER BY id""".stripMargin, s"$dir/bad3")
     }
   }
+
+  test("a refused ALTER ADD PROJECTION leaves the table registered") {
+    val (cat, dir) = mkCat()
+    try {
+      sales(cat, dir)
+      append(cat, block1)
+      intercept[IllegalArgumentException] {
+        cat.addProjection("sales", AggProjection("bad", Seq("nope_col")))
+      }
+      // the prior registration survived the failed re-validation
+      cat.get("sales").projections shouldBe Nil
+      cat.read("sales").count() shouldBe 3
+    } finally { RollupRewrite.clear(); SortedProjectionRewrite.clear() }
+  }
 }
