@@ -438,10 +438,11 @@ final class Catalog(spark: SparkSession) {
           "FlatDir unpartitioned tables only")
       require(t.projections.map(_.name).distinct.length == t.projections.length,
         s"${t.name}: duplicate projection name")
-      require(t.projections.count(_.isInstanceOf[AggProjection]) <= 1 &&
-          t.projections.count(_.isInstanceOf[SortProjection]) <= 1,
-        s"${t.name}: at most one aggregate and one sorted projection per " +
-          "table (the rewrite registries key on the base path)")
+      require(t.projections.count(_.isInstanceOf[SortProjection]) <= 1,
+        s"${t.name}: at most one SORTED projection per table (the sorted " +
+          "registry keys one alternate order per base path; aggregate " +
+          "projections may be declared in any number — the rollup rule " +
+          "picks the narrowest eligible one per query)")
       t.projections.foreach {
         case AggProjection(nm, dims, sums) =>
           require(dims.nonEmpty, s"${t.name}.$nm: GROUP BY dims required")
@@ -2295,7 +2296,8 @@ final class Catalog(spark: SparkSession) {
     writeLock(name).synchronized {
       p match {
         case _: AggProjection =>
-          graft.plans.RollupRewrite.unregister(dataPath(t))
+          graft.plans.RollupRewrite.unregister(dataPath(t),
+            Some(projPath(t, proj)))
         case _: SortProjection =>
           graft.plans.SortedProjectionRewrite.unregister(dataPath(t))
       }

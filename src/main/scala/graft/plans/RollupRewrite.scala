@@ -56,7 +56,9 @@ final case class ProjectionDef(basePath: String, rollupPath: String,
   */
 object RollupRewrite extends Rule[LogicalPlan] {
 
-  private val registry = new ConcurrentHashMap[String, ProjectionDef]()
+  // a base may carry SEVERAL rollups (CH tables routinely declare several
+  // projections); tryRewrite picks the narrowest eligible one
+  private val registry = new ConcurrentHashMap[String, Vector[ProjectionDef]]()
 
   // Fully-qualified URI, not the bare path: two tables at the same path on
   // DIFFERENT filesystems (file:/data/t vs hdfs:/data/t) must not collide
@@ -73,24 +75,39 @@ object RollupRewrite extends Rule[LogicalPlan] {
     s"${q.getScheme}://${Option(q.getAuthority).getOrElse("")}${q.getPath}"
   }
 
-  /** Register a projection and install the rule in the session (once). */
+  /** Register a projection and install the rule in the session (once).
+    * Re-registering the same rollupPath replaces its entry (idempotent);
+    * a different rollupPath over the same base ADDS a candidate.
+    */
   def register(s: SparkSession, p: ProjectionDef): Unit = {
-    registry.put(canon(p.basePath), p)
+    registry.compute(canon(p.basePath), (_, cur) =>
+      Option(cur).getOrElse(Vector.empty)
+        .filterNot(_.rollupPath == p.rollupPath) :+ p)
     if (!s.experimental.extraOptimizations.contains(RollupRewrite))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ RollupRewrite
   }
 
-  /** Is a projection currently registered for this base path? */
+  /** Is any projection currently registered for this base path? */
   def isRegistered(basePath: String): Boolean =
     registry.containsKey(canon(basePath))
 
-  /** Deregister a base's projection. REQUIRED before rebuilding a rollup
-    * in the same session: a rebuild query (count over the base grouped by
-    * the dims) is itself rewrite-eligible, and answering it from the
-    * rollup file being overwritten would read and destroy the same path.
+  /** Deregister a base's projections (all of them, or just the one at
+    * `rollupPath`). REQUIRED before rebuilding a rollup in the same
+    * session: a rebuild query (count over the base grouped by the dims)
+    * is itself rewrite-eligible, and answering it from the rollup file
+    * being overwritten would read and destroy the same path.
     */
-  def unregister(basePath: String): Unit = registry.remove(canon(basePath))
+  def unregister(basePath: String, rollupPath: Option[String] = None): Unit =
+    rollupPath match {
+      case None => registry.remove(canon(basePath))
+      case Some(rp) =>
+        registry.computeIfPresent(canon(basePath), (_, cur) =>
+          cur.filterNot(_.rollupPath == rp) match {
+            case v if v.isEmpty => null
+            case v => v
+          })
+    }
 
   /** Test hook: forget every registered projection. */
   def clear(): Unit = registry.clear()
@@ -155,6 +172,35 @@ object RollupRewrite extends Rule[LogicalPlan] {
     case other => other.children.flatMap(nonAggRefs)
   }
 
+  /** Can `proj` answer this aggregate? Every filter must be DETERMINISTIC
+    * (a rand() filter has an empty reference set — replaying it per
+    * rollup GROUP would sample whole groups instead of base rows) and
+    * reference only projection dims; every grouping expression a bare
+    * dim; every output a bare/aliased dim or ANY expression over eligible
+    * aggregates — count(literal) and rollup-carried sums — whose
+    * non-aggregate attribute references are all dims (so round(sum(x), 2),
+    * sum(x)/count(*), … all qualify).
+    */
+  private def eligible(agg: Aggregate, filters: List[Expression],
+                       proj: ProjectionDef): Boolean = {
+    val dims = proj.dims.toSet
+    filters.forall(f =>
+      f.deterministic && f.references.forall(a => dims(a.name))) &&
+    agg.groupingExpressions.forall {
+      case a: AttributeReference => dims(a.name)
+      case _ => false
+    } &&
+    agg.aggregateExpressions.forall {
+      case a: AttributeReference => dims(a.name)
+      case al: Alias =>
+        val aggs = al.child.collect { case ae: AggregateExpression => ae }
+        aggs.forall(ae =>
+          isCountLiteral(ae) || sumMeasure(ae, proj.sumCols).isDefined) &&
+          nonAggRefs(al.child).forall(a => dims(a.name))
+      case _ => false
+    }
+  }
+
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     val candidate = for {
       (filters, rel) <- unwrap(agg.child, Nil)
@@ -164,30 +210,12 @@ object RollupRewrite extends Rule[LogicalPlan] {
       // would silently drop the other paths' rows
       roots = fsRel.location.rootPaths
       if roots.length == 1
-      proj <- Option(registry.get(canon(roots.head.toString)))
+      cands <- Option(registry.get(canon(roots.head.toString)))
+      // among the base's registered rollups, the NARROWEST eligible one
+      // (fewest dims = fewest groups = smallest companion scan) wins
+      proj <- cands.filter(eligible(agg, filters, _))
+        .sortBy(_.dims.length).headOption
       dims = proj.dims.toSet
-      // every filter must be DETERMINISTIC (a rand() filter has an empty
-      // reference set — replaying it per rollup GROUP would sample whole
-      // groups instead of base rows) and reference only projection dims
-      if filters.forall(f =>
-        f.deterministic && f.references.forall(a => dims(a.name)))
-      if agg.groupingExpressions.forall {
-        case a: AttributeReference => dims(a.name)
-        case _ => false
-      }
-      // output expressions: bare/aliased grouping attrs, or ANY expression
-      // over eligible aggregates — count(literal) and rollup-carried sums
-      // — whose non-aggregate attribute references are all dims (so
-      // round(sum(x), 2), sum(x)/count(*), … all qualify)
-      if agg.aggregateExpressions.forall {
-        case a: AttributeReference => dims(a.name)
-        case al: Alias =>
-          val aggs = al.child.collect { case ae: AggregateExpression => ae }
-          aggs.forall(ae =>
-            isCountLiteral(ae) || sumMeasure(ae, proj.sumCols).isDefined) &&
-            nonAggRefs(al.child).forall(a => dims(a.name))
-        case _ => false
-      }
     } yield (filters, proj, dims)
 
     candidate.flatMap { case (filters, proj, dims) =>

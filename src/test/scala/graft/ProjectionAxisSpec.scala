@@ -115,6 +115,38 @@ class ProjectionAxisSpec extends SparkSpecBase {
     } finally { RollupRewrite.clear(); SortedProjectionRewrite.clear() }
   }
 
+  test("multiple aggregate projections: the narrowest eligible one answers") {
+    val (cat, dir) = mkCat()
+    try {
+      sales(cat, dir,
+        ",\n  PROJECTION by_status (SELECT status, count(), sum(qty) GROUP BY status)" +
+          ",\n  PROJECTION by_status_id (SELECT status, id, count() GROUP BY status, id)")
+      append(cat, block1)
+      append(cat, block2)
+      // groupBy(status): BOTH are eligible — the narrower by_status wins
+      val narrow = cat.read("sales").groupBy(col("status"))
+        .agg(sum(col("qty")).as("s")).orderBy(col("status"))
+      narrow.queryExecution.executedPlan.toString should include("_proj_by_status")
+      narrow.queryExecution.executedPlan.toString should not include "_proj_by_status_id"
+      narrow.collect().map(r => (r.getString(0), r.getLong(1))) shouldBe
+        Array(("A", 90L), ("B", 60L), ("C", 60L))
+      // groupBy(status, id): only the wider one can answer
+      val wide = cat.read("sales").groupBy(col("status"), col("id"))
+        .agg(count(lit(1)).as("n"))
+      wide.queryExecution.executedPlan.toString should include("_proj_by_status_id")
+      wide.collect().map(_.getLong(2)).sum shouldBe 6L
+      // dropping the wide one leaves the narrow registered and serving
+      graft.sql.ChDdl.execute(cat, spark,
+        "ALTER TABLE sales DROP PROJECTION by_status_id")
+      val after = cat.read("sales").groupBy(col("status"))
+        .agg(count(lit(1)).as("n"))
+      after.queryExecution.executedPlan.toString should include("_proj_by_status")
+      cat.read("sales").groupBy(col("status"), col("id"))
+        .agg(count(lit(1)).as("n"))
+        .queryExecution.executedPlan.toString should not include "_proj_by_status_id"
+    } finally { RollupRewrite.clear(); SortedProjectionRewrite.clear() }
+  }
+
   test("declared sorted projection: point lookups swap to the clustered copy") {
     val (cat, dir) = mkCat()
     try {
