@@ -661,7 +661,55 @@ final class Catalog(spark: SparkSession) {
             s"${dt.simpleString}, not boolean")
       }
     }
-    tables.putIfAbsent(t.name, t)
+    // CREATE-time `DEFAULT expr` columns (ChDdl carries the rewritten
+    // expression in field metadata, key "chDefault"): validated like
+    // MATERIALIZED — the expression must resolve over the non-defaulted,
+    // non-materialized columns (a default referencing another DEFAULT
+    // column would make the insert fill order-dependent; one referencing
+    // a MATERIALIZED column would fail at insert, where defaults fill
+    // BEFORE materialization) and cast to the declared type. Installed
+    // into the SAME insert-default machinery ALTER ADD COLUMN DEFAULT
+    // uses, so `_TABLE` persistence, attach(), and the text-insert fill
+    // apply unchanged. No READ default: a CREATE-time default has no
+    // pre-existing files to back-fill.
+    val createDefaults: Seq[(String, String)] = t.schema.fields.toSeq
+      .filter(_.metadata.contains("chDefault"))
+      .map(f => f.name -> f.metadata.getString("chDefault"))
+    if (createDefaults.nonEmpty) {
+      val excluded = createDefaults.map(_._1).toSet ++
+        t.materializedCols.map(_._1)
+      val baseSchema = StructType(t.schema.fields.filterNot(f =>
+        excluded.contains(f.name)))
+      val base = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema)
+      createDefaults.foreach { case (c, e) =>
+        val dt = try base.select(expr(e)).schema.head.dataType
+          catch { case scala.util.control.NonFatal(ex) =>
+            throw new IllegalArgumentException(
+              s"${t.name}: DEFAULT $c expression '$e' does not resolve " +
+                "over the plain columns (defaults referencing other " +
+                "DEFAULT or MATERIALIZED columns are refused — the fill " +
+                s"would be evaluation-order-dependent): ${ex.getMessage}") }
+        require(org.apache.spark.sql.catalyst.expressions.Cast
+            .canCast(dt, t.schema(c).dataType),
+          s"${t.name}: DEFAULT $c expression '$e' has type " +
+            s"${dt.simpleString}, not castable to declared " +
+            s"${t.schema(c).dataType.simpleString}")
+      }
+    }
+    val prior = tables.putIfAbsent(t.name, t)
+    // install the defaults only for the WINNING registration (a lost
+    // putIfAbsent must not overwrite the live table's default state) and
+    // BEFORE persistTableDef, which snapshots defaultSql into the sidecar
+    if (prior.isEmpty && createDefaults.nonEmpty) {
+      val casts = createDefaults.map { case (c, e) =>
+        c -> s"CAST(($e) AS ${t.schema(c).dataType.sql})" }
+      defaultSql.put(t.name,
+        defaultSql.getOrElse(t.name, Map.empty) ++ casts)
+      insertDefaults.put(t.name,
+        insertDefaults.getOrElse(t.name, Map.empty) ++
+          casts.map { case (c, s) => c -> expr(s) })
+    }
     // persist the WINNING definition: when putIfAbsent lost to an existing
     // registration, writing the argument def would leave a _TABLE sidecar
     // describing semantics that were never in effect — attach() after a
@@ -2186,20 +2234,72 @@ final class Catalog(spark: SparkSession) {
     perCol ++ v2
   }
 
-  /** Parquet write honoring the table's partition layout. */
+  /** Recursively list the visible data files under `path` — sidecar dirs
+    * and marker files (any component starting with '_' or '.') excluded,
+    * matching what a Spark scan of the path would read. Used to diff the
+    * file set across an append so projection companions derive from the
+    * WRITTEN block (see [[writeData]]).
+    */
+  private def listDataFiles(path: String): Set[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val f = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!f.exists(root)) return Set.empty
+    val out = scala.collection.mutable.Set[String]()
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      f.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) ()
+        else if (st.isDirectory) walk(st.getPath)
+        else out += st.getPath.toString
+      }
+    walk(root)
+    out.toSet
+  }
+
+  /** Parquet write honoring the table's partition layout.
+    *
+    * Projection companions are derived from the files this call WROTE,
+    * never by re-executing the caller's `df` plan: a second execution
+    * after the base commit re-lists the data dir (a self-referencing
+    * `INSERT INTO t SELECT … FROM t` would see its own output) and any
+    * non-deterministic input (sampling, rand ids) evaluates differently —
+    * the companion partials would diverge from the stored base and
+    * auto-rewritten aggregates would be silently wrong. The other
+    * maintainers (skip/ANN indexes) already rebuild from the written
+    * path; this makes projections match. On overwrite the written path IS
+    * the block; on append the block is the before/after file-set diff,
+    * read with `basePath` so partition-dir columns are recovered.
+    */
   private def writeData(t: TableDef, df: DataFrame, path: String,
                         mode: String = "overwrite"): Unit = {
+    val before: Set[String] =
+      if (t.projections.nonEmpty && mode == "append") listDataFiles(path)
+      else Set.empty
     val w = df.write.mode(mode).option("compression", t.codec)
       .options(codecWriteOptions(t))
     (if (t.partitionKeys.nonEmpty) w.partitionBy(t.partitionKeys: _*) else w)
       .parquet(path)
+    // re-project the read-back block to the input's declared schema:
+    // partition-dir columns come back LAST and type-INFERRED from the dir
+    // strings (a string key "01" would read as int 1) — the cast pins both
+    // order and types to what the caller handed in
+    def asWritten(raw: DataFrame): DataFrame =
+      raw.select(df.schema.map(f => col(f.name).cast(f.dataType)): _*)
+    val block: Option[DataFrame] =
+      if (t.projections.isEmpty) None
+      else if (mode == "append") {
+        val added = (listDataFiles(path) -- before).toSeq.sorted
+        if (added.isEmpty) None
+        else Some(asWritten(
+          spark.read.option("basePath", path).parquet(added: _*)))
+      } else Some(asWritten(spark.read.parquet(path)))
     if (t.indexCols.nonEmpty) buildSkipIndex(t, path)
     if (t.minmaxCols.nonEmpty) buildMinmaxIndex(t, path)
     if (t.tokenIndexCols.nonEmpty) buildTokenIndex(t, path)
     if (t.setIndexCols.nonEmpty) buildSetIndex(t, path)
     if (t.fullTextCols.nonEmpty) buildFullTextIndex(t, path)
     if (t.annIndex.nonEmpty) AnnIndex.maintain(spark, t, path)
-    if (t.projections.nonEmpty) maintainProjections(t, df, path, mode)
+    block.foreach(b => maintainProjections(t, b, path, mode))
   }
 
   /** Maintain the declared projections for one [[writeData]] call: on an
@@ -2251,22 +2351,41 @@ final class Catalog(spark: SparkSession) {
       val stage = new Path(dataPath(t), s"_proj_$proj.rebuild")
       val f = fs(t)
       f.delete(stage, true)
-      // readVia applies pending renames/defaults — the companion must
-      // hold DECLARED-schema rows, like the base rewrite paths do
-      val base = readVia(t, dataPaths(t))
-      val out = p match {
-        case AggProjection(_, dims, sums) =>
-          val aggs = count(lit(1)).as("__cnt") +:
-            sums.map(c => sum(col(c)).as(s"__sum_$c"))
-          base.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
-        case SortProjection(_, key) =>
-          base.repartitionByRange(col(key)).sortWithinPartitions(col(key))
+      // An AGG rebuild's own query (count/sum over the base grouped by the
+      // projection dims) is RollupRewrite-eligible for the very projection
+      // being rebuilt: with the registration live, a STALE-but-present
+      // companion (the append crash window this verb exists to repair)
+      // would silently ANSWER the rebuild and re-persist its own stale
+      // partials. Deregister this companion for the duration so the
+      // rebuild always scans the base, then restore the registration
+      // after the swap (try/finally — a failed rebuild must not leave the
+      // still-live old companion unregistered).
+      p match {
+        case _: AggProjection =>
+          graft.plans.RollupRewrite.unregister(dataPath(t),
+            Some(projPath(t, proj)))
+        case _ => ()
       }
-      out.write.mode("overwrite").option("compression", t.codec)
-        .parquet(stage.toString)
-      f.delete(live, true)
-      require(f.rename(stage, live),
-        s"$name: could not move rebuilt projection into place ($stage)")
+      try {
+        // readVia applies pending renames/defaults — the companion must
+        // hold DECLARED-schema rows, like the base rewrite paths do
+        val base = readVia(t, dataPaths(t))
+        val out = p match {
+          case AggProjection(_, dims, sums) =>
+            val aggs = count(lit(1)).as("__cnt") +:
+              sums.map(c => sum(col(c)).as(s"__sum_$c"))
+            base.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          case SortProjection(_, key) =>
+            base.repartitionByRange(col(key)).sortWithinPartitions(col(key))
+        }
+        out.write.mode("overwrite").option("compression", t.codec)
+          .parquet(stage.toString)
+        f.delete(live, true)
+        require(f.rename(stage, live),
+          s"$name: could not move rebuilt projection into place ($stage)")
+      } finally {
+        registerProjections(t)
+      }
       graft.plans.SortedProjectionRewrite.invalidate(dataPath(t))
     }
   }

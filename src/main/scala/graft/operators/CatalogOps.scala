@@ -530,6 +530,39 @@ object CatalogOps extends QueryModule {
         .orderBy(col("o_orderstatus"), col("band"))
     }),
 
+    // CREATE-time `DEFAULT expr` columns through the gate: the table is
+    // declared entirely as DDL text with three DEFAULT flavors — a
+    // literal, a column-referencing expression (fee derives from
+    // o_totalprice per row), and a function call — then loaded by an
+    // append that OMITS all three and by an INSERT VALUES that omits
+    // them too (the text door must take the DECLARED default, not the
+    // type default). The oracle recomputes every fill independently
+    // from the ORIGINAL parquet.
+    "cat_ddl_default" -> ((s, d) => {
+      val cat = new Catalog(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-orders_def")
+      copyDirs.add(tmp)
+      graft.sql.ChDdl.runScript(cat, s,
+        """CREATE TABLE orders_def (
+          |  `o_orderkey` UInt64,
+          |  `o_orderstatus` LowCardinality(String),
+          |  `o_totalprice` Float64,
+          |  `band` String DEFAULT 'std',
+          |  `fee` Float64 DEFAULT o_totalprice * 0.01,
+          |  `src` LowCardinality(String) DEFAULT upper('batch')
+          |) ENGINE = MergeTree
+          |ORDER BY o_orderkey""".stripMargin, tmp.toString)
+      cat.append("orders_def", Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+      graft.sql.ChDdl.execute(cat, s,
+        "INSERT INTO orders_def (o_orderkey, o_orderstatus, o_totalprice) " +
+          "VALUES (9000000001, 'X', 100.0)")
+      cat.read("orders_def")
+        .groupBy(col("o_orderstatus"), col("band"), col("src"))
+        .agg(count(lit(1)).as("n"), round(sum(col("fee")), 2).as("fee_sum"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Exact set(N) skip index through the correctness gate: the IN-probe
     // scan reads only the files whose stored value set intersects the
     // probe (CatalogOpsSpec counts the skipped files); the oracle runs
@@ -1334,6 +1367,16 @@ object CatalogOps extends QueryModule {
         |FROM orders
         |WHERE o_orderpriority <> '1-URGENT' AND o_orderstatus <> 'P'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // every DEFAULT fill recomputed independently from the ORIGINAL
+    // table (plus the one VALUES row): literal band, per-row fee
+    // expression, function-call src
+    "cat_ddl_default" ->
+      """SELECT o_orderstatus, 'std' AS band, 'BATCH' AS src,
+        | count(*) AS n, round(sum(o_totalprice * 0.01), 2) AS fee_sum
+        |FROM (SELECT o_orderstatus, o_totalprice FROM orders
+        |      UNION ALL SELECT 'X', 100.0::DOUBLE)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // on the ORIGINAL table: exact-set pruning must be invisible
     "cat_set_scan" ->

@@ -255,6 +255,7 @@ object ChDdl {
     val cols = Seq.newBuilder[Col]
     val constraints = Seq.newBuilder[(String, String)]
     val materialized = Seq.newBuilder[(String, String)]
+    val defaulted = Seq.newBuilder[(String, String)]
     var indexCols = Seq.empty[String]
     var minmaxCols = Seq.empty[String]
     var tokenCols = Seq.empty[String]
@@ -313,9 +314,16 @@ object ChDdl {
         cols += Col(cName, ch)
         mods.materialized.foreach(e =>
           materialized += cName -> ChDialect.rewrite(e))
-        mods.default.foreach(_ =>
-          warnings += s"column $cName: DEFAULT parsed and ignored " +
-            "(declare defaults through the ALTER default machinery)")
+        // CREATE-time `DEFAULT expr` — the commonest CH column modifier:
+        // the rewritten expression rides in field METADATA (the aggKind
+        // precedent) so pure parse∘render round-trips carry it, and
+        // Catalog.createTable routes it into the SAME insert-default
+        // machinery ALTER ADD COLUMN DEFAULT uses (X24e persistence,
+        // fillOmittedDefaults, the text-insert fill)
+        require(mods.materialized.isEmpty || mods.default.isEmpty,
+          s"$name: column $cName declares both DEFAULT and MATERIALIZED — " +
+            "ClickHouse allows exactly one default-kind modifier")
+        mods.default.foreach(e => defaulted += cName -> ChDialect.rewrite(e))
         mods.codec.foreach { c =>
           val k = c.trim.takeWhile(ch => ch.isLetterOrDigit).toLowerCase
           k match {
@@ -341,6 +349,13 @@ object ChDdl {
     }
 
     var schema = ChType.structType(cols.result())
+    val defaultedMap = defaulted.result().toMap
+    if (defaultedMap.nonEmpty)
+      schema = StructType(schema.fields.map(f => defaultedMap.get(f.name) match {
+        case Some(e) => f.copy(metadata = new MetadataBuilder()
+          .withMetadata(f.metadata).putString("chDefault", e).build())
+        case None => f
+      }))
     var sortKeys = clauses.get("ORDER BY").map(keyList).getOrElse(Nil)
     clauses.get("PRIMARY KEY").foreach { pk =>
       val p = keyList(pk)
@@ -1064,9 +1079,18 @@ object ChDdl {
               "AggregateFunction(argMax, Targ, Tval): needs two types")
             "argmax"
           case "topk" =>
-            require(inners.head == ChString,
+            // unwrap storage-attribute wrappers: LowCardinality(String) /
+            // Nullable(String) are common CH spellings for key columns and
+            // store the same string values the state tracks
+            def unwrapped(t: ChType): ChType = t match {
+              case ChLowCardinality(inner) => unwrapped(inner)
+              case ChNullable(inner) => unwrapped(inner)
+              case other => other
+            }
+            require(unwrapped(inners.head) == ChString,
               "AggregateFunction(topK, T): the maintained top-k state " +
-                "stores STRING values — declare topK over String")
+                "stores STRING values — declare topK over String " +
+                "(LowCardinality/Nullable wrappers accepted)")
             s"topk:${fparam.filter(_.nonEmpty).map(_.toInt).getOrElse(10)}"
           case other => throw new IllegalArgumentException(
             s"AggregateFunction($other, …): unsupported state kind — " +

@@ -137,9 +137,14 @@ object ChDdlRender {
       .filterNot(f => hiddenPartCol.contains(f.name)).map { f =>
         val mat = materialized.get(f.name).map(e => s" MATERIALIZED $e")
           .getOrElse("")
+        // CREATE-time DEFAULT rides in field metadata (ChDdl.parse); the
+        // emitted expression is the REWRITTEN (Spark-safe) text, on which
+        // a re-parse's ChDialect pass is a no-op — the round-trip contract
+        val dflt = if (f.metadata.contains("chDefault"))
+          s" DEFAULT ${f.metadata.getString("chDefault")}" else ""
         val codec =
           if (deltaCodecs.contains(f.name)) " CODEC(Delta)" else ""
-        s"  `${f.name}` ${chTypeText(f)}$mat$codec"
+        s"  `${f.name}` ${chTypeText(f)}$dflt$mat$codec"
       }
 
     // constraints minus the Enum auto-checks (regenerated at parse)
@@ -211,6 +216,8 @@ object ChDdlRender {
     t.schema.fields.toSeq.map { f =>
       materialized.get(f.name) match {
         case Some(e) => (f.name, chTypeText(f), "MATERIALIZED", e)
+        case None if f.metadata.contains("chDefault") =>
+          (f.name, chTypeText(f), "DEFAULT", f.metadata.getString("chDefault"))
         case None => (f.name, chTypeText(f), "", "")
       }
     }

@@ -54,17 +54,22 @@ package graft.sql
   *     partitioned by the BY list over the query's own ORDER BY
   *     (top-level statements only; an ORDER BY is required — see
   *     [[rewriteLimitBy]])
-  *   - `ORDER BY x WITH FILL [FROM a TO b] [STEP s]` (CH's gap-filling
-  *     sort) → a FULL OUTER join of the body against the generated step
-  *     axis (`sequence()`), so existing rows — on- or off-grid — are all
-  *     kept and missing grid points appear with NULL non-axis columns
+  *   - `ORDER BY x [ASC|DESC] WITH FILL [FROM a TO b] [STEP s]
+  *     [INTERPOLATE (c [AS expr], …)]` (CH's gap-filling sort) → a FULL
+  *     OUTER join of the body against the generated step axis
+  *     (`sequence()`), so existing rows — on- or off-grid — are all kept
+  *     and missing grid points appear with NULL non-interpolated columns
   *     (SQL convention; ClickHouse emits type defaults — documented
   *     divergence, same stance as LEFT ARRAY JOIN). FROM is inclusive,
-  *     TO exclusive, STEP defaults to 1 (all CH semantics); with no
-  *     bounds the axis spans the body's own min..max inclusive, which
-  *     recomputes the body for each bound — bound big bodies explicitly.
-  *     Single plain-identifier fill key, top-level statements, no
-  *     INTERPOLATE (fails loudly).
+  *     TO exclusive, STEP defaults to 1 (−1 descending); with no bounds
+  *     the axis spans the body's own min..max through a `WITH
+  *     __fill_body` CTE (one body evaluation for bounds + join). Through
+  *     the schema-aware entry point (GraftSql.chSql) the SELECT's
+  *     declared column order is preserved and INTERPOLATE carries the
+  *     last actual row's values into filled rows (`AS expr` evaluates
+  *     over the last ACTUAL row — see [[rewriteWithFill]] for the
+  *     multi-row-gap divergence). Single plain-identifier fill key,
+  *     top-level statements.
   *   - `FROM t [LEFT] ARRAY JOIN expr AS x` (the clause form of CH's
   *     array unnest; the function form `arrayJoin(x)` maps to `explode`
   *     above) → `LATERAL VIEW [OUTER] explode(expr) __ajN AS x`. LEFT
@@ -73,7 +78,9 @@ package graft.sql
   *     divergence). The alias is REQUIRED: the bare `ARRAY JOIN col`
   *     makes the element SHADOW the array column, which no LATERAL
   *     VIEW rewrite can express without ambiguity — it fails loudly.
-  *     The zipped multi-array form (`ARRAY JOIN a, b`) fails loudly too.
+  *     The zipped multi-array form (`ARRAY JOIN a AS x, b AS y`)
+  *     explodes in lockstep via `inline(arrays_zip(…))`; unequal array
+  *     lengths NULL-pad (ClickHouse throws — documented divergence).
   *   - `splitByChar(sep, s)`/`splitByString(sep, s)` → `split(s, sep)`
   *     with the separator regex-quoted via `\\Q…\\E` (argument swap;
   *     any separator byte stays literal)
@@ -97,9 +104,23 @@ package graft.sql
   */
 object ChDialect {
 
-  def rewrite(query: String): String = {
+  def rewrite(query: String): String = rewrite(query, None)
+
+  /** Session-aware variant: `analyze` maps a CH-dialect statement to its
+    * output column names (GraftSql.chSql passes an analysis-only probe —
+    * no execution). It unlocks the rewrites that need the body's schema:
+    * WITH FILL preserving the SELECT's declared column order (ClickHouse
+    * keeps it; the schema-blind fallback moves the fill key first) and
+    * INTERPOLATE. The plain [[rewrite]] keeps working without it.
+    */
+  def rewrite(query: String,
+              analyze: Option[String => Seq[String]]): String = {
     val (masked, literals) = maskLiterals(query)
-    val rewritten = rewriteSegment(masked)
+    // the analyzer sees RESTORED text: the body fragment handed to it
+    // still carries literal-mask sentinels, which no parser accepts
+    val unmasked = analyze.map(f =>
+      (b: String) => f(restoreLiterals(b, literals)))
+    val rewritten = rewriteSegment(masked, unmasked)
     restoreLiterals(rewritten, literals)
   }
 
@@ -297,7 +318,8 @@ object ChDialect {
     "toStartOfWeek" -> "WEEK", "toStartOfMonth" -> "MONTH",
     "toStartOfQuarter" -> "QUARTER", "toStartOfYear" -> "YEAR")
 
-  private def rewriteSegment(seg0: String): String = {
+  private def rewriteSegment(seg0: String,
+                             analyze: Option[String => Seq[String]] = None): String = {
     var s = seg0
     // statement-level LIMIT BY first (it re-nests the whole text), then
     // SAMPLE: its replacement emits a derived table whose text must
@@ -307,7 +329,7 @@ object ChDialect {
     // level rewrites (LIMIT BY, WITH FILL) must not see as their tail
     s = formatTailRe.replaceAllIn(s, "")
     s = rewriteLimitBy(s)
-    s = rewriteWithFill(s)
+    s = rewriteWithFill(s, analyze)
     s = rewriteSample(s)
     // the CH/MySQL comma form — after rewriteLimitBy (which owns the
     // `LIMIT n BY cols` shape; a comma can't follow its count)
@@ -470,61 +492,149 @@ object ChDialect {
   private val formatTailRe = "(?is)\\s+FORMAT\\s+\\w+\\s*$".r
   private val limitCommaRe = "(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)\\b".r
 
-  // `… ORDER BY col WITH FILL [FROM a TO b] [STEP s] [LIMIT n]` — the
-  // greedy body prefix anchors at the LAST ORDER BY (subquery sorts stay
-  // in the body), like rewriteLimitBy above
+  // `… ORDER BY col [ASC|DESC] WITH FILL [FROM a TO b] [STEP s]
+  // [INTERPOLATE (c [AS e], …)] [LIMIT n]` — the greedy body prefix
+  // anchors at the LAST ORDER BY (subquery sorts stay in the body), like
+  // rewriteLimitBy above
   private val withFillRe =
-    ("(?is)^(.*\\S)\\s+ORDER\\s+BY\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+" +
-      "WITH\\s+FILL\\b(.*)$").r
+    ("(?is)^(.*\\S)\\s+ORDER\\s+BY\\s+([A-Za-z_][A-Za-z0-9_]*)" +
+      "(?:\\s+(ASC|DESC))?\\s+WITH\\s+FILL\\b(.*)$").r
   private val fillTailRe =
     "(?is)^(?:\\s+FROM\\s+(.+?))?(?:\\s+TO\\s+(.+?))?(?:\\s+STEP\\s+(.+?))?\\s*$".r
   private val fillLimitRe = "(?is)^(.*?)\\s+LIMIT\\s+(\\d+)\\s*$".r
+  private val interpOpenRe = "(?i)\\bINTERPOLATE\\s*\\(".r
 
   /** Doc in the class header. The generated text contains no CH-isms of
     * its own; `body` and the bound/step expressions stay in the segment
     * and keep flowing through the later rewrite passes.
+    *
+    * With an `analyze` hook (the GraftSql.chSql path) the outer select
+    * list is generated explicitly in the body's own column order —
+    * ClickHouse preserves the SELECT's declared order; the schema-blind
+    * fallback (`coalesce(…) AS col, __q.* EXCEPT (col)`) moves the fill
+    * key first. The unbounded form binds the body to a `WITH __fill_body`
+    * CTE so the min/max bounds and the join source share ONE body subtree
+    * (Catalyst keeps multi-reference CTEs un-inlined and reuses the
+    * subquery result) instead of recomputing the body per bound.
+    *
+    * INTERPOLATE (analyze hook required): `(c)` carries the last actual
+    * (non-filled) row's value forward into filled rows — CH's default
+    * recurrence collapses to exactly this for the bare form. `(c AS expr)`
+    * evaluates `expr` once per filled row over the LAST ACTUAL row's
+    * column values; for a self-referential expr over a multi-row gap CH
+    * re-evaluates row over row (`c AS c+1` counts up) while this rewrite
+    * holds the last-actual base (documented divergence — same stance as
+    * LEFT ARRAY JOIN's NULL-vs-default). The carry windows order by the
+    * fill axis globally — WITH FILL is a totally-ordered stream operation
+    * (its final ORDER BY already is one), so INTERPOLATE adds no new
+    * scale ceiling beyond the sort the clause itself demands.
     */
-  private def rewriteWithFill(s: String): String = s match {
-    case withFillRe(body, col, tail0) =>
-      require("(?i)\\bINTERPOLATE\\b".r.findFirstIn(tail0).isEmpty,
-        "WITH FILL INTERPOLATE is not supported — filled rows carry NULL " +
-          "non-axis columns; compute interpolations over the filled result")
-      val (tail, limit) = tail0 match {
+  private def rewriteWithFill(s: String,
+                              analyze: Option[String => Seq[String]]): String = s match {
+    case withFillRe(body, col, dir, tail0) =>
+      val desc = dir != null && dir.equalsIgnoreCase("DESC")
+      val (tail1, limit) = tail0 match {
         case fillLimitRe(t, n) => (t, s" LIMIT $n")
         case t                 => (t, "")
       }
+      // INTERPOLATE sits after the FROM/TO/STEP modifiers (CH grammar);
+      // peel it off the tail before the bound parse
+      val (tail, interpItems): (String, List[String]) =
+        interpOpenRe.findFirstMatchIn(tail1) match {
+          case None => (tail1, Nil)
+          case Some(im) =>
+            val (items, end) = balancedArgs(tail1, im.end - 1)
+            require(wtrim(tail1.substring(end)).isEmpty,
+              "WITH FILL: INTERPOLATE (…) must be the last ORDER BY " +
+                "modifier (before any LIMIT)")
+            (tail1.substring(0, im.start), items)
+        }
       val (from, to, step) = tail match {
         case fillTailRe(f, t, st) =>
           (Option(f).map(wtrim), Option(t).map(wtrim),
-            Option(st).map(wtrim).getOrElse("1"))
+            Option(st).map(wtrim).getOrElse(if (desc) "-1" else "1"))
         case _ => throw new IllegalArgumentException(
           s"WITH FILL: cannot parse '$tail' — expected [FROM a TO b] [STEP s]")
+      }
+      val ordDir = if (desc) " DESC" else ""
+      val (cte, fromBody) = (from, to) match {
+        case (None, None) => (s"WITH __fill_body AS ( $body )\n", "__fill_body")
+        case _ => ("", s"( $body )")
       }
       val axis = (from, to) match {
         case (Some(a), Some(b)) =>
           // CH: FROM inclusive, TO exclusive; sequence() is inclusive of
-          // its upper bound, so over-generate to b and filter back
+          // its upper bound, so over-generate to b and filter back (the
+          // strictness flips with the fill direction)
+          val keep = if (desc) s"__v > $b" else s"__v < $b"
           s"""(SELECT __v AS __fill_x FROM (
              |   SELECT explode(sequence($a, $b, $step)) AS __v) __sq
-             | WHERE __v < $b)""".stripMargin
+             | WHERE $keep)""".stripMargin
         case (None, None) =>
+          val (lo, hi) = if (desc) ("max", "min") else ("min", "max")
           s"""(SELECT explode(sequence(
-             |   (SELECT min($col) FROM ( $body ) __fmin),
-             |   (SELECT max($col) FROM ( $body ) __fmax),
+             |   (SELECT $lo($col) FROM __fill_body),
+             |   (SELECT $hi($col) FROM __fill_body),
              |   $step)) AS __fill_x)""".stripMargin
         case _ => throw new IllegalArgumentException(
           "WITH FILL: FROM and TO must be given together (or both omitted " +
             "for the body's own min..max)")
       }
-      s"""SELECT coalesce(__q.$col, __fx.__fill_x) AS $col,
-         |  __q.* EXCEPT ($col)
-         |FROM ( $body ) __q
+      val selectList = analyze match {
+        case Some(f) =>
+          val cols = f(body)
+          val axisOut = s"coalesce(__q.`$col`, __fx.__fill_x)"
+          val prevWin = s"OVER (ORDER BY $axisOut$ordDir " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+          def carried(c: String) = s"last(__q.`$c`) IGNORE NULLS $prevWin"
+          val interp: Map[String, String] = interpItems.map { item =>
+            ajAsSplit.findFirstMatchIn(item) match {
+              case None =>
+                val c = wtrim(item)
+                require(identRe.pattern.matcher(c).matches() && cols.contains(c),
+                  s"INTERPOLATE ($c): not a plain output column of the body")
+                c -> carried(c)
+              case Some(am) =>
+                val c = wtrim(item.substring(0, am.start))
+                require(identRe.pattern.matcher(c).matches() && cols.contains(c),
+                  s"INTERPOLATE ($c AS …): target must be a plain output " +
+                    "column of the body")
+                // rebind every body-column reference inside the expr to
+                // its carried (last-actual-row) value; longest names
+                // first so a column that prefixes another never clips it
+                var e = item.substring(am.end)
+                cols.sortBy(-_.length).foreach { n =>
+                  e = ("\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
+                    .replaceAllIn(e, scala.util.matching.Regex
+                      .quoteReplacement(carried(n)))
+                }
+                c -> s"($e)"
+            }
+          }.toMap
+          cols.map { n =>
+            if (n == col) s"$axisOut AS `$n`"
+            else interp.get(n) match {
+              case Some(e) =>
+                s"CASE WHEN __q.`$col` IS NULL THEN $e ELSE __q.`$n` END AS `$n`"
+              case None => s"__q.`$n`"
+            }
+          }.mkString(",\n  ")
+        case None =>
+          require(interpItems.isEmpty,
+            "WITH FILL INTERPOLATE needs the schema-aware SQL entry point " +
+              "(GraftSql.chSql) — the rewrite must know the body's columns")
+          s"""coalesce(__q.$col, __fx.__fill_x) AS $col,
+             |  __q.* EXCEPT ($col)""".stripMargin
+      }
+      s"""${cte}SELECT $selectList
+         |FROM $fromBody __q
          |FULL OUTER JOIN $axis __fx ON __q.$col = __fx.__fill_x
-         |ORDER BY $col$limit""".stripMargin
+         |ORDER BY $col$ordDir$limit""".stripMargin
     case _ =>
       require("(?i)\\bWITH\\s+FILL\\b".r.findFirstIn(s).isEmpty,
-        "WITH FILL: only `ORDER BY col WITH FILL [FROM a TO b] [STEP s]` " +
-          "over a single ascending plain-identifier key is supported")
+        "WITH FILL: only `ORDER BY col [ASC|DESC] WITH FILL [FROM a TO b] " +
+          "[STEP s] [INTERPOLATE (…)]` over a single plain-identifier key " +
+          "is supported")
       s
   }
 
@@ -572,31 +682,51 @@ object ChDialect {
           i += 1
         }
         val body = wtrim(tail.substring(0, end))
-        // a top-level comma = CH's zipped multi-array form — refuse
-        // loudly rather than emulate (arrays_zip changes element shape)
-        var d2 = 0
-        body.foreach { c =>
-          if (c == '(') d2 += 1 else if (c == ')') d2 -= 1
-          else if (c == ',' && d2 == 0) throw new IllegalArgumentException(
-            "ARRAY JOIN a, b (the zipped multi-array form) is not " +
-              "supported — chain single ARRAY JOIN … AS clauses instead")
+        // top-level commas split CH's zipped multi-array form
+        // (`ARRAY JOIN a AS x, b AS y` explodes the arrays in LOCKSTEP —
+        // one output row per index, not a cross product)
+        val items = {
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var d2 = 0
+          var start = 0
+          body.zipWithIndex.foreach { case (c, i) =>
+            if (c == '(') d2 += 1 else if (c == ')') d2 -= 1
+            else if (c == ',' && d2 == 0) { out += body.substring(start, i); start = i + 1 }
+          }
+          out += body.substring(start)
+          out.toList.map(wtrim)
         }
-        // the LAST top-level AS splits expr from alias (an AS inside a
-        // parenthesized expr never sits at depth 0)
-        val asAt = ajAsSplit.findAllMatchIn(body).toList.filter { am =>
-          body.substring(0, am.start).foldLeft(0)((a, c) =>
-            if (c == '(') a + 1 else if (c == ')') a - 1 else a) == 0
-        }.lastOption.getOrElse(throw new IllegalArgumentException(
-          "ARRAY JOIN without AS: ClickHouse makes the element shadow " +
-            "the array column, which a LATERAL VIEW rewrite cannot " +
-            "express unambiguously — write ARRAY JOIN expr AS alias"))
-        val expr = wtrim(body.substring(0, asAt.start))
-        val alias = wtrim(body.substring(asAt.end))
-        require(identRe.pattern.matcher(alias).matches(),
-          s"ARRAY JOIN … AS $alias: the alias must be a plain identifier")
+        // each item: the LAST top-level AS splits expr from alias (an AS
+        // inside a parenthesized expr never sits at depth 0)
+        val pairs = items.map { item =>
+          val asAt = ajAsSplit.findAllMatchIn(item).toList.filter { am =>
+            item.substring(0, am.start).foldLeft(0)((a, c) =>
+              if (c == '(') a + 1 else if (c == ')') a - 1 else a) == 0
+          }.lastOption.getOrElse(throw new IllegalArgumentException(
+            "ARRAY JOIN without AS: ClickHouse makes the element shadow " +
+              "the array column, which a LATERAL VIEW rewrite cannot " +
+              "express unambiguously — write ARRAY JOIN expr AS alias"))
+          val expr = wtrim(item.substring(0, asAt.start))
+          val alias = wtrim(item.substring(asAt.end))
+          require(identRe.pattern.matcher(alias).matches(),
+            s"ARRAY JOIN … AS $alias: the alias must be a plain identifier")
+          (expr, alias)
+        }
         val outer = if (left) "OUTER " else ""
-        s.substring(0, m.start) +
-          s"LATERAL VIEW ${outer}explode($expr) __aj$n AS $alias " +
+        val view = pairs match {
+          case (expr, alias) :: Nil =>
+            s"LATERAL VIEW ${outer}explode($expr) __aj$n AS $alias "
+          case many =>
+            // zipped form → inline(arrays_zip(…)): one generated row per
+            // index, struct fields aliased positionally. Length mismatch:
+            // arrays_zip NULL-pads the shorter arrays (ClickHouse throws
+            // on unequal sizes — documented divergence, the NULL-vs-
+            // default stance of the single-array form)
+            s"LATERAL VIEW ${outer}inline(arrays_zip(" +
+              s"${many.map(_._1).mkString(", ")})) __aj$n AS " +
+              s"${many.map(_._2).mkString(", ")} "
+        }
+        s.substring(0, m.start) + view +
           rewriteArrayJoin(tail.substring(end), n + 1)
     }
 

@@ -347,7 +347,12 @@ object GraftSql {
     * reference's queries as written.
     */
   def chSql(s: SparkSession, sfDir: String, query: String): DataFrame =
-    sql(s, sfDir, ChDialect.rewrite(query))
+    // the analyzer hook gives schema-needing rewrites (WITH FILL column
+    // order, INTERPOLATE) the body's output columns — an analysis-only
+    // probe (DataFrame creation never executes), recursing through chSql
+    // so a CH-dialect body resolves the same way the outer statement does
+    sql(s, sfDir, ChDialect.rewrite(query,
+      Some(b => chSql(s, sfDir, b).columns.toSeq)))
 
   /** `EXPLAIN [PIPELINE]` analog: the formatted physical plan for a SQL
     * text — the surface an engine user reads to check pushdown

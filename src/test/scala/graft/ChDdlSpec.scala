@@ -345,6 +345,12 @@ class ChDdlSpec extends SparkSpecBase {
         |  `u` AggregateFunction(uniq, String)
         |) ENGINE = AggregatingMergeTree ORDER BY k""".stripMargin, "/tmp/bad")
     e.getMessage should include("plain")
+    // wrapper types on the topK argument are common CH spellings for
+    // low-cardinality keys — accepted by unwrapping to the stored String
+    ChDdl.parseType("AggregateFunction(topK(10), LowCardinality(String))")
+      .asInstanceOf[graft.schema.ChType.ChAggState].kind shouldBe "topk:10"
+    ChDdl.parseType("AggregateFunction(topK, Nullable(String))")
+      .asInstanceOf[graft.schema.ChType.ChAggState].kind shouldBe "topk:10"
     // unsupported state kinds fail loudly
     intercept[IllegalArgumentException] {
       ChDdl.parseType("AggregateFunction(corr, Float64, Float64)")
@@ -481,6 +487,12 @@ class ChDdlSpec extends SparkSpecBase {
       val matCol =
         if (rnd.nextBoolean()) Seq("  `m_sum` UInt64 MATERIALIZED x_sum + 1")
         else Nil
+      // CREATE-time DEFAULT columns ride field metadata — the round trip
+      // must carry both the literal and the column-referencing flavor
+      val defCol =
+        if (rnd.nextBoolean()) Seq("  `d_band` String DEFAULT 'std'",
+          "  `d_fee` Float64 DEFAULT x_sum * 0.5")
+        else Nil
       val codec = if (rnd.nextBoolean()) " CODEC(Delta)" else ""
       val body = (Seq(
         "  `k_id` UInt64",
@@ -489,8 +501,8 @@ class ChDdlSpec extends SparkSpecBase {
         "  `ver_ts` DateTime",
         "  `sign_c` Int8",
         "  `v_emb` Array(Float32)",
-        s"  `x_sum` UInt32$codec") ++ extraCols ++ matCol ++ decorations)
-        .mkString(",\n")
+        s"  `x_sum` UInt32$codec") ++ extraCols ++ matCol ++ defCol ++
+        decorations).mkString(",\n")
       val ddl = (Seq(s"CREATE TABLE rt_$i (\n$body\n)", s"ENGINE = $engine") ++
         orderBy ++ partition ++ sample).mkString("\n")
       withClue(s"ddl #$i:\n$ddl\n") {
@@ -505,6 +517,63 @@ class ChDdlSpec extends SparkSpecBase {
         }
       }
       val _ = mergeFamily
+    }
+  }
+
+  test("CREATE-time DEFAULT columns: insert fill, supplied wins, attach, refusals") {
+    import spark.implicits._
+    val cat = new Catalog(spark)
+    val dir = tmpDir("chdefault")
+    val t = ChDdl.createTable(cat,
+      """CREATE TABLE dt (
+        |  `k` UInt64,
+        |  `v` Float64,
+        |  `band` String DEFAULT 'std',
+        |  `fee` Float64 DEFAULT v * 2
+        |) ENGINE = MergeTree ORDER BY k""".stripMargin, s"$dir/dt")
+    // an append omitting the defaulted columns fills them (literal +
+    // per-row column-referencing expression)
+    cat.append("dt", Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"))
+    // the text-insert door: declared default beats the type default, and
+    // a SUPPLIED value beats the default
+    ChDdl.execute(cat, spark,
+      "INSERT INTO dt (k, v, band) VALUES (3, 30.0, 'vip')")
+    val rows = cat.read("dt").orderBy(col("k")).collect()
+    rows.map(_.getAs[String]("band")).toSeq shouldBe Seq("std", "std", "vip")
+    rows.map(_.getAs[Double]("fee")).toSeq shouldBe Seq(20.0, 40.0, 60.0)
+    // SHOW CREATE renders the DEFAULT clauses back; re-parse is identical
+    val rendered = ChDdlRender.render(t)
+    rendered should include("`band` String DEFAULT 'std'")
+    rendered should include("`fee` Float64 DEFAULT v * 2")
+    val ChDdl.CreateTable(t2, _) = ChDdl.parse(rendered, s"$dir/dt")
+    t2 shouldBe t
+    // DESCRIBE lists the default kind + expression
+    ChDdlRender.describe(t).find(_._1 == "band").get shouldBe
+      (("band", "String", "DEFAULT", "'std'"))
+    // the `_TABLE` sidecar carries the defaults: a fresh catalog attaches
+    // and keeps filling
+    val cat2 = new Catalog(spark)
+    cat2.attach(s"$dir/dt")
+    cat2.append("dt", Seq((9L, 90.0)).toDF("k", "v"))
+    cat2.read("dt").filter(col("k") === 9L).head()
+      .getAs[Double]("fee") shouldBe 180.0
+    // refusals: DEFAULT+MATERIALIZED on one column; a default referencing
+    // another DEFAULT column (order-dependent fill); non-resolving expr
+    intercept[IllegalArgumentException] {
+      ChDdl.parse("CREATE TABLE b1 (`k` UInt64, `x` String DEFAULT 'a' " +
+        "MATERIALIZED upper(k)) ENGINE = MergeTree ORDER BY k", "/tmp/b1")
+    }
+    intercept[IllegalArgumentException] {
+      ChDdl.createTable(cat, """CREATE TABLE b2 (
+        |  `k` UInt64,
+        |  `a` String DEFAULT 'x',
+        |  `b` String DEFAULT concat(a, 'y')
+        |) ENGINE = MergeTree ORDER BY k""".stripMargin, s"$dir/b2")
+    }
+    intercept[IllegalArgumentException] {
+      ChDdl.createTable(cat, "CREATE TABLE b3 (`k` UInt64, " +
+        "`x` Float64 DEFAULT no_such_col + 1) ENGINE = MergeTree ORDER BY k",
+        s"$dir/b3")
     }
   }
 

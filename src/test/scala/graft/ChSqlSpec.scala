@@ -272,6 +272,74 @@ class ChSqlSpec extends SparkSpecBase {
       Seq(1, 3, 5, 7)
   }
 
+  test("WITH FILL preserves the SELECT's declared column order") {
+    // CH keeps the fill key wherever the SELECT put it; the chSql path
+    // (schema-aware) must not move it first
+    val df = GraftSql.chSql(spark, sf0001,
+      """SELECT count() AS n, n_regionkey AS rk FROM nation
+        |GROUP BY n_regionkey ORDER BY rk WITH FILL FROM 0 TO 7""".stripMargin)
+    df.columns.toSeq shouldBe Seq("n", "rk")
+    val rows = df.collect()
+    rows.map(_.get(1).toString.toInt).toSeq shouldBe (0 to 6)
+    rows.filter(_.isNullAt(0)).map(_.get(1).toString.toInt).toSeq shouldBe Seq(5, 6)
+  }
+
+  test("descending WITH FILL: bounds flip, default step is -1") {
+    // FROM 8 (inclusive, the start) TO -1 (exclusive) STEP -2 → grid
+    // {8,6,4,2,0}; real keys 0..4 are kept off-grid, output sorted DESC
+    val d = GraftSql.chSql(spark, sf0001,
+      """SELECT n_regionkey AS rk, count() AS n FROM nation
+        |GROUP BY n_regionkey
+        |ORDER BY rk DESC WITH FILL FROM 8 TO -1 STEP -2""".stripMargin).collect()
+    d.map(_.get(0).toString.toInt).toSeq shouldBe Seq(8, 6, 4, 3, 2, 1, 0)
+    d.filter(_.isNullAt(1)).map(_.get(0).toString.toInt).toSeq shouldBe Seq(8, 6)
+    // unbounded descending: the axis spans max..min with the -1 default
+    val auto = GraftSql.chSql(spark, sf0001,
+      """SELECT rk, count() AS n
+        |FROM (SELECT n_regionkey * 2 AS rk FROM nation) t GROUP BY rk
+        |ORDER BY rk DESC WITH FILL""".stripMargin).collect()
+    auto.map(_.get(0).toString.toInt).toSeq shouldBe (8 to 0 by -1)
+    auto.filter(_.isNullAt(1)).map(_.get(0).toString.toInt).toSeq shouldBe
+      Seq(7, 5, 3, 1)
+  }
+
+  test("WITH FILL INTERPOLATE carries the last actual row into filled rows") {
+    // each region holds 5 nations at this SF → base rows (rk=0,2,4,6,8)
+    // all carry n=5; bare INTERPOLATE(n) forwards it into the odd gaps
+    val it = GraftSql.chSql(spark, sf0001,
+      """SELECT rk, count() AS n
+        |FROM (SELECT n_regionkey * 2 AS rk FROM nation) t GROUP BY rk
+        |ORDER BY rk WITH FILL INTERPOLATE (n)""".stripMargin).collect()
+    it.map(_.get(0).toString.toInt).toSeq shouldBe (0 to 8)
+    it.map(_.get(1).toString.toLong).toSeq shouldBe Seq.fill(9)(5L)
+    // AS expr evaluates over the last actual row's values
+    val ex = GraftSql.chSql(spark, sf0001,
+      """SELECT rk, count() AS n
+        |FROM (SELECT n_regionkey * 2 AS rk FROM nation) t GROUP BY rk
+        |ORDER BY rk WITH FILL INTERPOLATE (n AS n + 100)""".stripMargin).collect()
+    ex.filter(_.get(0).toString.toInt % 2 == 0)
+      .map(_.get(1).toString.toLong).toSeq shouldBe Seq.fill(5)(5L)
+    ex.filter(_.get(0).toString.toInt % 2 == 1)
+      .map(_.get(1).toString.toLong).toSeq shouldBe Seq.fill(4)(105L)
+  }
+
+  test("zipped multi-array ARRAY JOIN explodes in lockstep") {
+    // exact text: one inline(arrays_zip(…)) view with positional aliases
+    ChDialect.rewrite(
+      "SELECT a, b FROM t ARRAY JOIN xs AS a, ys AS b WHERE a > 0") shouldBe
+      ("SELECT a, b FROM t LATERAL VIEW inline(arrays_zip(xs, ys)) " +
+        "__aj0 AS a, b WHERE a > 0")
+    // behavior: lockstep pairing, not a cross product
+    chEqualsSpark(
+      """SELECT n_name, x, y FROM nation
+        |ARRAY JOIN array(1, 2) AS x, array(n_nationkey, n_regionkey) AS y
+        |WHERE n_nationkey < 3 ORDER BY n_name, x""".stripMargin,
+      """SELECT n_name, x, y FROM nation
+        |LATERAL VIEW inline(arrays_zip(array(1, 2),
+        |  array(n_nationkey, n_regionkey))) __z AS x, y
+        |WHERE n_nationkey < 3 ORDER BY n_name, x""".stripMargin)
+  }
+
   test("WITH FILL on a DATE axis with an INTERVAL step") {
     // bounds/step pass through verbatim, so sequence() handles dates and
     // intervals natively; TO stays exclusive
@@ -335,7 +403,8 @@ class ChSqlSpec extends SparkSpecBase {
       ChDialect.rewrite("SELECT x FROM t ARRAY JOIN xs WHERE x > 0")
     }
     intercept[IllegalArgumentException] {
-      // WITH FILL INTERPOLATE — refused
+      // WITH FILL INTERPOLATE needs the body's schema — the schema-blind
+      // rewrite entry refuses (GraftSql.chSql supplies the analyzer)
       ChDialect.rewrite("SELECT a, b FROM t ORDER BY a WITH FILL INTERPOLATE (b)")
     }
     intercept[IllegalArgumentException] {
@@ -343,13 +412,13 @@ class ChSqlSpec extends SparkSpecBase {
       ChDialect.rewrite("SELECT a FROM t ORDER BY a WITH FILL FROM 0")
     }
     intercept[IllegalArgumentException] {
-      // descending / multi-key fill — refused (regex can't anchor), the
-      // guard turns the parser error into a clear refusal
-      ChDialect.rewrite("SELECT a FROM t ORDER BY a DESC WITH FILL")
+      // multi-key fill — refused (regex can't anchor), the guard turns
+      // the parser error into a clear refusal
+      ChDialect.rewrite("SELECT a, b FROM t ORDER BY a, b WITH FILL")
     }
     intercept[IllegalArgumentException] {
-      // the zipped multi-array form — refused
-      ChDialect.rewrite("SELECT a, b FROM t ARRAY JOIN xs AS a, ys AS b")
+      // a bare item inside the zipped multi-array form — same AS rule
+      ChDialect.rewrite("SELECT a, b FROM t ARRAY JOIN xs, ys AS b")
     }
     intercept[IllegalArgumentException] {
       ChDialect.rewrite("SELECT sumIf(x) FROM t")

@@ -201,6 +201,55 @@ class ProjectionAxisSpec extends SparkSpecBase {
     } finally { RollupRewrite.clear(); SortedProjectionRewrite.clear() }
   }
 
+  test("MATERIALIZE of a STALE companion rebuilds from the base, not itself") {
+    // the append crash window leaves the companion present but one block
+    // behind; the rebuild query is itself rewrite-eligible, so without
+    // deregistering first it would be silently ANSWERED from the stale
+    // companion and re-persist the stale counts
+    val (cat, dir) = mkCat()
+    try {
+      sales(cat, dir,
+        ",\n  PROJECTION by_status (SELECT status, count(), sum(qty) GROUP BY status)")
+      append(cat, block1)
+      // simulate the crash: base gains a block the companion never saw
+      import spark.implicits._
+      block2.toDF("id", "status", "qty").write.mode("append")
+        .parquet(s"$dir/sales")
+      graft.sql.ChDdl.execute(cat, spark,
+        "ALTER TABLE sales MATERIALIZE PROJECTION by_status")
+      val q = cat.read("sales").groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("s"))
+        .orderBy(col("status"))
+      q.queryExecution.executedPlan.toString should include("_proj_by_status")
+      q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))) shouldBe
+        Array(("A", 3L, 90L), ("B", 2L, 60L), ("C", 1L, 60L))
+    } finally { RollupRewrite.clear(); SortedProjectionRewrite.clear() }
+  }
+
+  test("companion partials derive from the WRITTEN block, not the input plan") {
+    // a self-referencing insert (INSERT INTO t SELECT … FROM t) and any
+    // non-deterministic input would diverge if the maintainer re-executed
+    // the caller's plan after the base commit; the companion must agree
+    // with the stored base exactly
+    val (cat, dir) = mkCat()
+    try {
+      sales(cat, dir,
+        ",\n  PROJECTION by_status (SELECT status, count(), sum(qty) GROUP BY status)")
+      append(cat, block1)
+      cat.append("sales", cat.read("sales")) // self-referencing insert
+      // non-deterministic block: re-execution would produce different qty
+      cat.append("sales", spark.range(7L, 17L).select(col("id"),
+        lit("D").as("status"),
+        (rand(seed = 0) * 100).cast("long").as("qty")))
+      val comp = spark.read.parquet(s"$dir/sales/_proj_by_status")
+        .agg(sum(col("__cnt")), sum(col("__sum_qty"))).head()
+      val base = spark.read.parquet(s"$dir/sales")
+        .agg(count(lit(1)), sum(col("qty"))).head()
+      comp.getLong(0) shouldBe base.getLong(0)
+      comp.getLong(1) shouldBe base.getLong(1)
+    } finally { RollupRewrite.clear(); SortedProjectionRewrite.clear() }
+  }
+
   test("system.projections lists declared projections with storage bytes") {
     val (cat, dir) = mkCat()
     try {
