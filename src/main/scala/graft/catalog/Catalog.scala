@@ -238,7 +238,23 @@ final case class TableDef(
     // never a plain rollup of stored rows; the rules also require a
     // single-root scan). See [[Catalog.materializeProjection]] for the
     // crash-recovery contract.
-    projections: Seq[ProjectionSpec] = Nil)
+    projections: Seq[ProjectionSpec] = Nil,
+    // CH `TTL col + INTERVAL n unit [GROUP BY … SET …]` declared in the
+    // table definition (persisted in `_TABLE`); the sweep itself runs on
+    // demand — [[Catalog.materializeTtl]], CH's `ALTER TABLE …
+    // MATERIALIZE TTL` — never as a hidden read-path rewrite.
+    ttl: Option[TtlSpec] = None)
+
+/** A declared TTL: rows whose `col` (Date/DateTime/epoch-seconds) is
+  * older than `maxAgeSec` at sweep time are DELETED, or — when
+  * `groupKeys` is non-empty — ROLLED UP per key with each `set` column
+  * replaced by its aggregate (SQL text, e.g. `"n" -> "sum(n)"`) and
+  * every other non-key column by max (the [[Catalog.applyTtlRollup]]
+  * contract).
+  */
+final case class TtlSpec(col: String, maxAgeSec: Long,
+                         groupKeys: Seq[String] = Nil,
+                         set: Seq[(String, String)] = Nil)
 
 /** The declared shape of a `vector_similarity` index: IVF-PQ with
   * `nCells` coarse cells, `m` PQ subspaces of `k` sub-centroids each.
@@ -463,6 +479,8 @@ final class Catalog(spark: SparkSession) {
           s"${t.schema(c).dataType.simpleString}; tokenbf-style indexes " +
           "apply to string columns only")
     }
+    // declared TTL: validated at CREATE, same stance as every other axis
+    t.ttl.foreach(validateTtl(t, _))
     // per-column codec axis: each declared kind must exist, apply to a
     // schema column exactly once, and match the column's physical type —
     // checked HERE so a codec/type mismatch fails at CREATE, not as a
@@ -822,6 +840,10 @@ final class Catalog(spark: SparkSession) {
           Seq("agg", n, dims.mkString(","), sums.mkString(","))
         case SortProjection(n, k) => Seq("sort", n, k, "")
       }) ~
+      ("ttl" -> t.ttl.map(sp =>
+        ("col" -> sp.col) ~ ("max_age_sec" -> sp.maxAgeSec) ~
+          ("group_keys" -> sp.groupKeys) ~
+          ("set" -> sp.set.map { case (c, a) => Seq(c, a) }))) ~
       ("semantics" -> sem)
     JsonMethods.compact(JsonMethods.render(obj))
   }
@@ -997,6 +1019,19 @@ final class Catalog(spark: SparkSession) {
               org.json4s.JString(_))) => SortProjection(n, k)
         }
         case _ => Nil // absent in pre-projection sidecars
+      },
+      (j \ "ttl") match {
+        case o: org.json4s.JObject =>
+          val ttlCol = (o \ "col").asInstanceOf[org.json4s.JString].s
+          val age = (o \ "max_age_sec") match {
+            case org.json4s.JInt(n) => n.toLong
+            case org.json4s.JLong(n) => n
+            case other => throw new IllegalArgumentException(
+              s"attach: TTL max_age_sec malformed under $path ($other)")
+          }
+          Some(TtlSpec(ttlCol, age, list(o \ "group_keys"),
+            pairList(o \ "set")))
+        case _ => None // absent in pre-TTL sidecars
       }))
     catch {
       case e: Throwable =>
@@ -4341,19 +4376,118 @@ final class Catalog(spark: SparkSession) {
     mutate(name,
       command = s"TTL $ttlCol GROUP BY ${groupKeys.mkString(", ")} " +
         s"SET ${set.keys.toSeq.sorted.mkString(", ")} (now=$nowEpochSec)",
-      transform = { df =>
-        val expiredPred = coalesce(col(ttlCol) < lit(horizon), lit(false))
-        val types = df.schema.map(f => f.name -> f.dataType).toMap
-        val aggCols = df.columns.filterNot(groupKeys.contains).map { c =>
-          set.get(c).map(_.cast(types(c)).as(c))
-            .getOrElse(max(col(c)).cast(types(c)).as(c))
-        }.toSeq
-        val rolled = df.filter(expiredPred)
-          .groupBy(groupKeys.map(col): _*)
-          .agg(aggCols.head, aggCols.tail: _*)
-          .select(df.columns.map(col).toSeq: _*)
-        df.filter(!expiredPred).unionByName(rolled)
-      })
+      transform = ttlRollupTransform(
+        df => coalesce(col(ttlCol) < lit(horizon), lit(false)),
+        groupKeys, set))
+  }
+
+  /** The TTL GROUP BY rewrite over one table frame (shared by the
+    * epoch-column [[applyTtlRollup]] and the declared-spec
+    * [[materializeTtl]], which normalizes a Date/DateTime clock first).
+    */
+  private def ttlRollupTransform(expired: DataFrame => Column,
+                                 groupKeys: Seq[String],
+                                 set: Map[String, Column])
+                                (df: DataFrame): DataFrame = {
+    val expiredPred = expired(df)
+    val types = df.schema.map(f => f.name -> f.dataType).toMap
+    val aggCols = df.columns.filterNot(groupKeys.contains).map { c =>
+      set.get(c).map(_.cast(types(c)).as(c))
+        .getOrElse(max(col(c)).cast(types(c)).as(c))
+    }.toSeq
+    val rolled = df.filter(expiredPred)
+      .groupBy(groupKeys.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(df.columns.map(col).toSeq: _*)
+    df.filter(!expiredPred).unionByName(rolled)
+  }
+
+  /** Shared CREATE/MODIFY validation of a declared [[TtlSpec]]: the clock
+    * column must exist and be time- or epoch-typed, the rollup columns
+    * must exist, and the SET aggregates must resolve as grouped
+    * aggregates over the schema (analysis only — no job).
+    */
+  private def validateTtl(t: TableDef, spec: TtlSpec): Unit = {
+    import org.apache.spark.sql.types._
+    require(t.schema.fieldNames.contains(spec.col),
+      s"${t.name}: TTL column ${spec.col} is not in the schema")
+    val dt = t.schema(spec.col).dataType
+    require(dt == DateType || dt == TimestampType ||
+        dt.isInstanceOf[NumericType],
+      s"${t.name}: TTL column ${spec.col} is ${dt.simpleString}; " +
+        "Date, DateTime, or an epoch-seconds numeric column required")
+    require(spec.maxAgeSec >= 0,
+      s"${t.name}: TTL interval must be non-negative (got ${spec.maxAgeSec})")
+    require(spec.set.isEmpty || spec.groupKeys.nonEmpty,
+      s"${t.name}: TTL SET needs a GROUP BY")
+    (spec.groupKeys ++ spec.set.map(_._1)).foreach(c =>
+      require(t.schema.fieldNames.contains(c),
+        s"${t.name}: TTL GROUP BY/SET references no such column $c"))
+    require(spec.groupKeys.toSet.intersect(spec.set.map(_._1).toSet).isEmpty,
+      s"${t.name}: TTL SET columns overlap the group keys")
+    if (spec.set.nonEmpty) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], t.schema)
+      spec.set.foreach { case (c, agg) =>
+        try empty.groupBy(spec.groupKeys.map(col): _*)
+          .agg(expr(agg).as(c)).queryExecution.analyzed
+        catch { case scala.util.control.NonFatal(ex) =>
+          throw new IllegalArgumentException(
+            s"${t.name}: TTL SET $c = $agg does not resolve: ${ex.getMessage}") }
+      }
+    }
+  }
+
+  /** `ALTER TABLE … MODIFY TTL` — declare or replace the table's TTL
+    * spec. Metadata only (persisted in `_TABLE`): stored rows are
+    * untouched until a [[materializeTtl]] sweep, the CH contract.
+    */
+  def modifyTtl(name: String, spec: TtlSpec): Unit =
+    writeLock(name).synchronized {
+      val t = get(name)
+      validateTtl(t, spec)
+      tables.put(name, t.copy(ttl = Some(spec)))
+      persistTableDef(tables(name))
+    }
+
+  /** `ALTER TABLE … REMOVE TTL`. */
+  def removeTtl(name: String): Unit =
+    writeLock(name).synchronized {
+      tables.put(name, get(name).copy(ttl = None))
+      persistTableDef(tables(name))
+    }
+
+  /** `ALTER TABLE … MATERIALIZE TTL` — run the DECLARED TTL sweep now
+    * against an explicit clock (deterministic for tests/replays; the DDL
+    * text door passes wall clock, matching CH's merge-time application).
+    * A Date/DateTime clock column is normalized to epoch seconds; the
+    * delete and GROUP BY legs reuse the [[applyTtl]]/[[applyTtlRollup]]
+    * machinery.
+    */
+  def materializeTtl(name: String, nowEpochSec: Long): Unit = {
+    import org.apache.spark.sql.types._
+    val t = get(name)
+    val spec = t.ttl.getOrElse(throw new IllegalArgumentException(
+      s"$name: no TTL declared (ALTER TABLE $name MODIFY TTL … first)"))
+    def clock(df: DataFrame): Column = t.schema(spec.col).dataType match {
+      case TimestampType => unix_timestamp(col(spec.col))
+      case DateType => unix_timestamp(col(spec.col).cast(TimestampType))
+      case _ => col(spec.col).cast(LongType)
+    }
+    val horizon = nowEpochSec - spec.maxAgeSec
+    def expired(df: DataFrame): Column =
+      coalesce(clock(df) < lit(horizon), lit(false))
+    if (spec.groupKeys.isEmpty)
+      mutate(name, df => df.filter(!expired(df)),
+        s"TTL ${spec.col} + INTERVAL ${spec.maxAgeSec} SECOND " +
+          s"(MATERIALIZE, now=$nowEpochSec)")
+    else
+      mutate(name,
+        command = s"TTL ${spec.col} GROUP BY ${spec.groupKeys.mkString(", ")} " +
+          s"SET ${spec.set.map(_._1).mkString(", ")} " +
+          s"(MATERIALIZE, now=$nowEpochSec)",
+        transform = ttlRollupTransform(expired, spec.groupKeys,
+          spec.set.map { case (c, a) => c -> expr(a) }.toMap))
   }
 
   // ---- partition-level DDL (DROP / DETACH / ATTACH PARTITION) ----------

@@ -563,6 +563,78 @@ object CatalogOps extends QueryModule {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // CTAS through the gate: `CREATE TABLE … ENGINE … ORDER BY … AS
+    // SELECT` derives the schema from the SELECT, validates the engine
+    // keys against it, creates, and loads — then a second INSERT SELECT
+    // appends an identical partial block and the SummingMergeTree read
+    // view must merge the two (counts and totals double). The oracle
+    // recomputes the doubled rollup from the ORIGINAL parquet.
+    "cat_ddl_ctas" -> ((s, d) => {
+      val cat = new Catalog(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-ctas")
+      copyDirs.add(tmp)
+      graft.sql.ChDdl.runScript(cat, s,
+        """CREATE TABLE orders_base (
+          |  `o_orderkey` UInt64,
+          |  `o_orderstatus` LowCardinality(String),
+          |  `o_totalprice` Float64,
+          |  `o_year` Int32
+          |) ENGINE = MergeTree
+          |ORDER BY o_orderkey""".stripMargin, tmp.toString)
+      cat.append("orders_base", Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        year(col("o_orderdate")).cast("int").as("o_year")))
+      graft.sql.ChDdl.runScript(cat, s,
+        """CREATE TABLE orders_yearly ENGINE = SummingMergeTree((n, total))
+          |ORDER BY (o_orderstatus, o_year) AS
+          |SELECT o_orderstatus, o_year, count() AS n,
+          |  sum(o_totalprice) AS total
+          |FROM orders_base GROUP BY o_orderstatus, o_year;
+          |INSERT INTO orders_yearly
+          |SELECT o_orderstatus, o_year, count() AS n,
+          |  sum(o_totalprice) AS total
+          |FROM orders_base GROUP BY o_orderstatus, o_year
+          |""".stripMargin, tmp.toString)
+      cat.read("orders_yearly")
+        .select(col("o_orderstatus"), col("o_year"), col("n"),
+          round(col("total"), 2).as("total"))
+        .orderBy(col("o_orderstatus"), col("o_year"))
+    }),
+
+    // TTL from DDL text through the gate: the table DECLARES its TTL in
+    // CREATE TABLE (45 days), a MATERIALIZE sweep applies it against the
+    // data's own max-ts clock (deterministic), then `ALTER TABLE …
+    // MODIFY TTL` tightens it to 30 days as text and a re-sweep applies
+    // the new spec. The oracle recomputes the surviving window from the
+    // ORIGINAL events with the same floor-seconds clock.
+    "cat_ddl_ttl" -> ((s, d) => {
+      val cat = new Catalog(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-ttlddl")
+      copyDirs.add(tmp)
+      graft.sql.ChDdl.runScript(cat, s,
+        """CREATE TABLE ev_ttl (
+          |  `event_id` UInt64,
+          |  `etype` LowCardinality(String),
+          |  `ts` DateTime,
+          |  `value` Float64
+          |) ENGINE = MergeTree
+          |ORDER BY event_id
+          |TTL ts + INTERVAL 45 DAY""".stripMargin, tmp.toString)
+      cat.append("ev_ttl", Tables.events(s, d).select(col("event_id"),
+        col("event_type").as("etype"), col("ts"), col("value")))
+      // one scalar probe: the data-derived clock keeps the query
+      // deterministic and SF-independent
+      val maxTs = cat.read("ev_ttl")
+        .agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+      cat.materializeTtl("ev_ttl", maxTs)
+      graft.sql.ChDdl.runScript(cat, s,
+        "ALTER TABLE ev_ttl MODIFY TTL ts + INTERVAL 30 DAY", tmp.toString)
+      cat.materializeTtl("ev_ttl", maxTs)
+      cat.read("ev_ttl").groupBy(col("etype"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val_sum"))
+        .orderBy(col("etype"))
+    }),
+
     // Exact set(N) skip index through the correctness gate: the IN-probe
     // scan reads only the files whose stored value set intersects the
     // probe (CatalogOpsSpec counts the skipped files); the oracle runs
@@ -1376,6 +1448,26 @@ object CatalogOps extends QueryModule {
         | count(*) AS n, round(sum(o_totalprice * 0.01), 2) AS fee_sum
         |FROM (SELECT o_orderstatus, o_totalprice FROM orders
         |      UNION ALL SELECT 'X', 100.0::DOUBLE)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the CTAS rollup plus its duplicate INSERT SELECT block, merged by
+    // the Summing engine — recomputed as the doubled aggregate over the
+    // ORIGINAL table
+    "cat_ddl_ctas" ->
+      """SELECT o_orderstatus, year(o_orderdate) AS o_year,
+        | (2 * count(*))::BIGINT AS n,
+        | round(2 * sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the tightened (30-day) TTL window restated from the ORIGINAL
+    // events with the same floor-seconds clock the engine sweeps with
+    "cat_ddl_ttl" ->
+      """SELECT event_type AS etype, count(*) AS n,
+        | round(sum(value), 2) AS val_sum
+        |FROM events
+        |WHERE CAST(floor(epoch(ts)) AS BIGINT) >=
+        |  (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 30 * 86400
+        |   FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // on the ORIGINAL table: exact-set pruning must be invisible

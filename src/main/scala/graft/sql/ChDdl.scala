@@ -81,6 +81,17 @@ object ChDdl {
                                 valuesSql: String) extends Statement
   final case class InsertSelect(target: String, source: String,
                                 selectSql: String) extends Statement
+  /** `CREATE TABLE t ENGINE … ORDER BY … AS SELECT …` — CTAS, the
+    * migration/runbook workhorse: CreateTable + InsertSelect composed,
+    * the schema DERIVED from the SELECT (no column list). `clauses` is
+    * the raw ENGINE/ORDER BY/… text between the name and `AS`; execute()
+    * analyzes the select, renders its output schema back to CH column
+    * declarations, and re-enters the normal CREATE TABLE parse — so every
+    * engine/key validation applies to the derived schema unchanged.
+    */
+  final case class CreateTableAs(name: String, path: String, clauses: String,
+                                 source: String, selectSql: String)
+    extends Statement
 
   /** One command of an `ALTER TABLE` statement. ClickHouse joins several
     * with commas; each maps 1:1 onto a [[Catalog]] verb (all already
@@ -104,6 +115,11 @@ object ChDdl {
     extends AlterCmd
   final case class DropProjectionCmd(name: String) extends AlterCmd
   final case class MaterializeProjectionCmd(name: String) extends AlterCmd
+  final case class ModifyTtlCmd(spec: graft.catalog.TtlSpec) extends AlterCmd
+  case object RemoveTtlCmd extends AlterCmd
+  /** `ALTER TABLE … MATERIALIZE TTL` — run the declared sweep now, wall
+    * clock (CH applies TTL on merges; this is the explicit trigger). */
+  case object MaterializeTtlCmd extends AlterCmd
 
   /** `ALTER TABLE name cmd[, cmd…]` — the runbook mutation surface. */
   final case class AlterTable(table: String, cmds: Seq[AlterCmd])
@@ -210,6 +226,15 @@ object ChDdl {
       return InsertSelect(bare(m.group(1)),
         sourceOf(sel, "INSERT INTO … SELECT"), sel)
     }
+    // CTAS: no column list, clauses run from ENGINE to the AS SELECT
+    val ctasRe =
+      ("(?is)^\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([`\\w.]+)\\s+" +
+        "(ENGINE\\s*=.+?)\\s+AS\\s+(SELECT\\b.*)$").r
+    ctasRe.findFirstMatchIn(ddl).foreach { m =>
+      val sel = m.group(3).trim
+      return CreateTableAs(bare(m.group(1)), path, m.group(2).trim,
+        sourceOf(sel, "CREATE TABLE … AS SELECT"), sel)
+    }
     val headRe =
       "(?is)^\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([`\\w.]+)\\s*\\(".r
     val m = headRe.findFirstMatchIn(ddl).getOrElse(
@@ -218,9 +243,21 @@ object ChDdl {
           "SELECT — other statements are not DDL"))
     val name = m.group(1).replace("`", "").split('.').last
     val (body, afterBody) = balancedSection(ddl, m.end - 1)
+    // the explicit-column-list CTAS flavor is refused (the derived-schema
+    // form above is the migration idiom; a declared list + AS SELECT
+    // needs positional reconciliation this parser doesn't do)
+    locally {
+      val tail = ddl.substring(afterBody)
+      val asAt = topLevelKeyword(tail, "AS")
+      require(asAt < 0 ||
+          !tail.substring(asAt + 2).trim.toUpperCase.startsWith("SELECT"),
+        s"${m.group(1)}: CREATE TABLE (cols…) … AS SELECT is not " +
+          "supported — omit the column list (the schema derives from " +
+          "the SELECT)")
+    }
     val clauses = parseClauses(ddl.substring(afterBody))
     val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
-    Seq("SETTINGS", "TTL", "COMMENT").foreach(k =>
+    Seq("SETTINGS", "COMMENT").foreach(k =>
       clauses.get(k).foreach(v => warnings += s"$k $v: parsed and ignored " +
         "(no Spark-side meaning)"))
 
@@ -453,7 +490,46 @@ object ChDdl {
     clauses.get("SAMPLE BY").foreach { sb =>
       t = Catalog.withSampleBy(t, keyList(sb).head)
     }
+    // `TTL col + INTERVAL n unit [GROUP BY … SET …]` → the stored TTL
+    // spec (persisted in `_TABLE`; swept by MATERIALIZE TTL)
+    clauses.get("TTL").foreach(txt => t = t.copy(ttl = Some(parseTtlSpec(txt))))
     CreateTable(t, warnings.toSeq)
+  }
+
+  /** `col + INTERVAL n unit [GROUP BY keys SET col = agg, …]` — the DDL
+    * TTL grammar (CREATE TABLE's TTL clause and ALTER MODIFY TTL). Units
+    * normalize to seconds; calendar units (MONTH/QUARTER/YEAR) have no
+    * fixed second length and are refused — declare those TTLs in DAYs.
+    */
+  private[graft] def parseTtlSpec(text: String): graft.catalog.TtlSpec = {
+    val ttlSpecRe =
+      ("(?is)^([`\\w]+)\\s*\\+\\s*INTERVAL\\s+(\\d+)\\s+(\\w+)" +
+        "(?:\\s+GROUP\\s+BY\\s+(.+?)\\s+SET\\s+(.+))?\\s*$").r
+    text.trim match {
+      case ttlSpecRe(c, n, unit, gb, set) =>
+        val secs = unit.toUpperCase.stripSuffix("S") match {
+          case "SECOND" => 1L
+          case "MINUTE" => 60L
+          case "HOUR" => 3600L
+          case "DAY" => 86400L
+          case "WEEK" => 604800L
+          case other => throw new IllegalArgumentException(
+            s"TTL INTERVAL $other: calendar units have no fixed second " +
+              "length — declare the TTL in DAYs (or smaller)")
+        }
+        val keys = Option(gb).toSeq.flatMap(g =>
+          splitTopLevel(g).map(_.trim.replace("`", "")))
+        val sets = Option(set).toSeq.flatMap(splitTopLevel(_)).map { a =>
+          val eq = a.indexOf('=')
+          require(eq > 0, s"TTL SET expects col = agg, got '$a'")
+          (a.substring(0, eq).trim.replace("`", ""),
+            ChDialect.rewrite(a.substring(eq + 1).trim))
+        }
+        graft.catalog.TtlSpec(c.replace("`", ""), n.toLong * secs, keys, sets)
+      case other => throw new IllegalArgumentException(
+        s"TTL: supported form is `col + INTERVAL n unit " +
+          s"[GROUP BY keys SET col = agg, …]` — got '$other'")
+    }
   }
 
   /** Parse + register in one step; queues are refused here (use WorkQueue). */
@@ -463,6 +539,9 @@ object ChDdl {
       case q: CreateQueue => throw new IllegalArgumentException(
         s"${q.name}: KeeperMap is the queue engine — declare it through " +
           "graft.queue.WorkQueue, not the table catalog")
+      case cta: CreateTableAs => throw new IllegalArgumentException(
+        s"${cta.name}: CREATE TABLE … AS SELECT derives its schema by " +
+          "analyzing the SELECT — run it through ChDdl.execute/runScript")
       case other => throw new IllegalArgumentException(
         s"expected CREATE TABLE, got ${other.getClass.getSimpleName}")
     }
@@ -522,7 +601,9 @@ object ChDdl {
 
   private val cmdHeads = Seq("ADD COLUMN", "DROP COLUMN", "RENAME COLUMN",
     "MODIFY COLUMN", "COMMENT COLUMN", "DELETE", "UPDATE", "DROP PARTITION",
-    "DETACH PARTITION", "ATTACH PARTITION", "FREEZE")
+    "DETACH PARTITION", "ATTACH PARTITION", "FREEZE", "ADD PROJECTION",
+    "DROP PROJECTION", "MATERIALIZE PROJECTION", "MODIFY TTL", "REMOVE TTL",
+    "MATERIALIZE TTL")
 
   /** Split the ALTER tail into commands: a top-level comma separates
     * commands only when a command keyword follows — commas inside an
@@ -657,6 +738,9 @@ object ChDdl {
     "(?is)^DROP\\s+PROJECTION\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s*$".r
   private val matProjRe =
     "(?is)^MATERIALIZE\\s+PROJECTION\\s+(\\w+)\\s*$".r
+  private val modifyTtlRe = "(?is)^MODIFY\\s+TTL\\s+(.+)$".r
+  private val removeTtlRe = "(?is)^REMOVE\\s+TTL\\s*$".r
+  private val matTtlRe = "(?is)^MATERIALIZE\\s+TTL\\s*$".r
 
   private def parseAlterCmd(cmd: String): AlterCmd = cmd.trim match {
     case addColRe(decl) =>
@@ -706,11 +790,14 @@ object ChDdl {
     case addProjRe(pn, sel) => AddProjectionCmd(parseProjection(pn, sel))
     case dropProjRe(pn) => DropProjectionCmd(pn)
     case matProjRe(pn) => MaterializeProjectionCmd(pn)
+    case modifyTtlRe(spec) => ModifyTtlCmd(parseTtlSpec(spec))
+    case removeTtlRe() => RemoveTtlCmd
+    case matTtlRe() => MaterializeTtlCmd
     case other => throw new IllegalArgumentException(
       s"unsupported ALTER command '${other.take(60)}' — supported: " +
         "ADD/DROP/RENAME/MODIFY COLUMN, DELETE WHERE, UPDATE … WHERE, " +
         "DROP/DETACH/ATTACH PARTITION, FREEZE WITH NAME, " +
-        "ADD/DROP/MATERIALIZE PROJECTION")
+        "ADD/DROP/MATERIALIZE PROJECTION, MODIFY/REMOVE/MATERIALIZE TTL")
   }
 
   /** Execute ONE parsed statement against the catalog. `warehouse` roots
@@ -729,6 +816,34 @@ object ChDdl {
           "graft.queue.WorkQueue, not the table catalog")
       case _: CreateMaterializedView => createMaterializedView(cat, s, ddl)
       case _: InsertSelect => insertSelect(cat, s, ddl)
+      case cta: CreateTableAs =>
+        // analyze the SELECT once (over the source's merged read), render
+        // its output schema back to CH column text, and re-enter the
+        // normal CREATE TABLE parse — the derived schema then passes
+        // through every engine/key/codec validation like a declared one;
+        // a type with no CH rendering (map, struct) refuses loudly there
+        val frame = selectOver(s, cta.source, cta.selectSql,
+          cat.read(cta.source), s"ctas_${cta.name}")
+        val colLines = frame.schema.fields.map(f =>
+          s"  `${f.name}` ${ChDdlRender.chTypeText(f)}")
+        val synthesized = parse(
+          s"CREATE TABLE ${cta.name} (\n${colLines.mkString(",\n")}\n) " +
+            cta.clauses, cta.path) match {
+          case CreateTable(td, _) => td
+          case other => throw new IllegalArgumentException(
+            s"${cta.name}: CTAS clauses re-parsed as " +
+              s"${other.getClass.getSimpleName} — ENGINE/ORDER BY " +
+              "clauses only between the name and AS SELECT")
+        }
+        // engine keys must come from the DERIVED schema — validated
+        // before registration, so a bad CTAS leaves no table behind
+        (synthesized.sortKeys ++ synthesized.partitionKeys ++
+          keysOf(synthesized.semantics)).foreach(k =>
+          require(synthesized.schema.fieldNames.contains(k),
+            s"${cta.name}: key $k is not an output column of the SELECT — " +
+              "CTAS keys must come from the derived schema"))
+        cat.createTable(synthesized)
+        cat.append(cta.name, frame)
       case InsertValues(target, cols, valuesSql) =>
         val t = cat.get(target)
         val matSet = t.materializedCols.map(_._1).toSet
@@ -781,6 +896,12 @@ object ChDdl {
         case AddProjectionCmd(spec) => cat.addProjection(table, spec)
         case DropProjectionCmd(pn) => cat.dropProjection(table, pn)
         case MaterializeProjectionCmd(pn) => cat.materializeProjection(table, pn)
+        case ModifyTtlCmd(spec) => cat.modifyTtl(table, spec)
+        case RemoveTtlCmd => cat.removeTtl(table)
+        // wall clock, like CH's merge-time application; the deterministic
+        // entry point is cat.materializeTtl(name, nowEpochSec)
+        case MaterializeTtlCmd =>
+          cat.materializeTtl(table, System.currentTimeMillis() / 1000L)
       }
       case OptimizeTable(table, dedup, by) =>
         if (dedup) cat.optimizeDeduplicate(table, by) else cat.compact(table)
@@ -812,6 +933,19 @@ object ChDdl {
       case other => lit(null).cast(other)
     }
   }
+
+  /** Every column an engine's merge view is keyed by — the CTAS
+    * derived-schema validation set (Aggregating validates its own shape
+    * at createTable).
+    */
+  private def keysOf(sem: graft.catalog.EngineSemantics): Seq[String] =
+    sem match {
+      case ReplacingDedup(keys, ver, isDel) => keys ++ Seq(ver) ++ isDel.toSeq
+      case Summing(keys, cols) => keys ++ cols
+      case Collapsing(keys, sign, version) => keys ++ Seq(sign, version)
+      case JoinAny(keys) => keys
+      case _ => Nil
+    }
 
   private def nameOf(ddl: String): String =
     "(?is)CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([`\\w.]+)".r

@@ -199,11 +199,22 @@ object ChDdlRender {
     }
 
     val body = (colLines ++ conLines ++ idxLines).mkString(",\n")
+    // TTL renders in normalized SECONDs (parse folds every unit to
+    // seconds, so parse∘render∘parse is the identity even if the declared
+    // unit was DAY)
+    val ttlClause = t0.ttl.map { sp =>
+      val rollup =
+        if (sp.groupKeys.isEmpty) ""
+        else s" GROUP BY ${sp.groupKeys.mkString(", ")} SET " +
+          sp.set.map { case (c, a) => s"$c = $a" }.mkString(", ")
+      s"TTL ${sp.col} + INTERVAL ${sp.maxAgeSec} SECOND$rollup"
+    }
     val clauses = Seq(
       Some(s"ENGINE = $engine"),
       Some(s"ORDER BY ${keyClause(t0.sortKeys)}"),
       partitionClause.map(p => s"PARTITION BY $p"),
-      sampleKey.map(k => s"SAMPLE BY $k")).flatten
+      sampleKey.map(k => s"SAMPLE BY $k"),
+      ttlClause).flatten
     s"CREATE TABLE ${t.name} (\n$body\n)\n${clauses.mkString("\n")}"
   }
 

@@ -469,6 +469,12 @@ class ChDdlSpec extends SparkSpecBase {
         if (isMergeTree && rnd.nextBoolean() && partition != Seq("PARTITION BY seg"))
           Seq("SAMPLE BY k_id")
         else Nil
+      // declared TTL (both legs) must survive the round trip
+      val ttlClause =
+        if (isMergeTree && rnd.nextBoolean())
+          Seq(if (rnd.nextBoolean()) "TTL ver_ts + INTERVAL 30 DAY"
+          else "TTL ver_ts + INTERVAL 7 DAY GROUP BY seg SET x_sum = sum(x_sum)")
+        else Nil
       val decorations = Seq(
         "  CONSTRAINT x_pos CHECK x_sum >= 0",
         "  INDEX bf_seg seg TYPE bloom_filter GRANULARITY 1",
@@ -504,7 +510,7 @@ class ChDdlSpec extends SparkSpecBase {
         s"  `x_sum` UInt32$codec") ++ extraCols ++ matCol ++ defCol ++
         decorations).mkString(",\n")
       val ddl = (Seq(s"CREATE TABLE rt_$i (\n$body\n)", s"ENGINE = $engine") ++
-        orderBy ++ partition ++ sample).mkString("\n")
+        orderBy ++ partition ++ sample ++ ttlClause).mkString("\n")
       withClue(s"ddl #$i:\n$ddl\n") {
         val ChDdl.CreateTable(d1, _) = ChDdl.parse(ddl, "/tmp/rt")
         val rendered = ChDdlRender.render(d1)
@@ -574,6 +580,110 @@ class ChDdlSpec extends SparkSpecBase {
       ChDdl.createTable(cat, "CREATE TABLE b3 (`k` UInt64, " +
         "`x` Float64 DEFAULT no_such_col + 1) ENGINE = MergeTree ORDER BY k",
         s"$dir/b3")
+    }
+  }
+
+  test("CTAS: schema derives from the SELECT, engine keys validate, refusals") {
+    import spark.implicits._
+    val cat = new Catalog(spark)
+    val dir = tmpDir("chctas")
+    ChDdl.createTable(cat,
+      """CREATE TABLE src (
+        |  `k` UInt64, `seg` LowCardinality(String), `v` Float64
+        |) ENGINE = MergeTree ORDER BY k""".stripMargin, s"$dir/src")
+    cat.append("src",
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 5.0)).toDF("k", "seg", "v"))
+    // CTAS: derived schema (seg String, n Int64, total Float64), engine
+    // keys validated against it, table created AND loaded in one statement
+    ChDdl.execute(cat, spark,
+      """CREATE TABLE seg_sum ENGINE = SummingMergeTree((n, total))
+        |ORDER BY seg AS
+        |SELECT seg, count() AS n, sum(v) AS total
+        |FROM src GROUP BY seg""".stripMargin, dir)
+    val t = cat.get("seg_sum")
+    t.schema.fieldNames.toSeq shouldBe Seq("seg", "n", "total")
+    t.sortKeys shouldBe Seq("seg")
+    val r1 = cat.read("seg_sum").orderBy(col("seg")).collect()
+    r1.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq shouldBe
+      Seq(("a", 2L, 30.0), ("b", 1L, 5.0))
+    // a second partial block merges through the CTAS-declared engine
+    ChDdl.execute(cat, spark,
+      "INSERT INTO seg_sum SELECT seg, count() AS n, sum(v) AS total " +
+        "FROM src GROUP BY seg", dir)
+    val r2 = cat.read("seg_sum").orderBy(col("seg")).collect()
+    r2.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq shouldBe
+      Seq(("a", 4L, 60.0), ("b", 2L, 10.0))
+    // refusal: an engine key that is not an output column of the SELECT —
+    // and the failed CTAS registers nothing
+    intercept[IllegalArgumentException] {
+      ChDdl.execute(cat, spark,
+        "CREATE TABLE bad1 ENGINE = MergeTree ORDER BY nope AS " +
+          "SELECT seg FROM src", dir)
+    }
+    intercept[NoSuchElementException] { cat.get("bad1") }
+    // refusal: explicit column list + AS SELECT
+    intercept[IllegalArgumentException] {
+      ChDdl.parse("CREATE TABLE bad2 (`a` UInt64) ENGINE = MergeTree " +
+        "ORDER BY a AS SELECT 1 AS a FROM src", "/tmp/bad2")
+    }
+    // refusal: the parse-only entry point cannot run a CTAS
+    intercept[IllegalArgumentException] {
+      ChDdl.createTable(cat, "CREATE TABLE bad3 ENGINE = MergeTree " +
+        "ORDER BY seg AS SELECT seg FROM src", s"$dir/bad3")
+    }
+  }
+
+  test("TTL from DDL: declared, swept, modified, rolled up, round-tripped") {
+    import spark.implicits._
+    val cat = new Catalog(spark)
+    val dir = tmpDir("chttl")
+    val t = ChDdl.createTable(cat,
+      """CREATE TABLE tt (
+        |  `k` String,
+        |  `bkt` Int64,
+        |  `n` Int64
+        |) ENGINE = MergeTree ORDER BY (k, bkt)
+        |TTL bkt + INTERVAL 100 SECOND GROUP BY k SET n = sum(n)""".stripMargin,
+      s"$dir/tt")
+    t.ttl shouldBe Some(graft.catalog.TtlSpec("bkt", 100L, Seq("k"),
+      Seq("n" -> "sum(n)")))
+    cat.append("tt", Seq(("a", 10L, 1L), ("a", 20L, 2L), ("a", 500L, 4L),
+      ("b", 30L, 8L)).toDF("k", "bkt", "n"))
+    // sweep at now=400 → horizon 300: a's two old buckets roll to one row
+    // (n summed, bkt = max of the rolled), the fresh bucket unscathed
+    cat.materializeTtl("tt", 400L)
+    val r = cat.read("tt").orderBy(col("k"), col("bkt")).collect()
+    r.map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq shouldBe
+      Seq(("a", 20L, 3L), ("a", 500L, 4L), ("b", 30L, 8L))
+    // SHOW CREATE round-trips the spec (normalized SECONDs)
+    val rendered = ChDdlRender.render(cat.get("tt"))
+    rendered should include(
+      "TTL bkt + INTERVAL 100 SECOND GROUP BY k SET n = sum(n)")
+    val ChDdl.CreateTable(t2, _) = ChDdl.parse(rendered, s"$dir/tt")
+    t2 shouldBe cat.get("tt")
+    // the _TABLE sidecar carries the spec: a fresh catalog attaches it
+    val cat2 = new Catalog(spark)
+    cat2.attach(s"$dir/tt").ttl shouldBe Some(
+      graft.catalog.TtlSpec("bkt", 100L, Seq("k"), Seq("n" -> "sum(n)")))
+    // MODIFY TTL as text flips to a delete TTL; MATERIALIZE TTL (wall
+    // clock — these epoch-seconds buckets are decades expired) deletes all
+    ChDdl.runScript(cat, spark,
+      """ALTER TABLE tt MODIFY TTL bkt + INTERVAL 1 SECOND;
+        |ALTER TABLE tt MATERIALIZE TTL""".stripMargin, dir)
+    cat.read("tt").count() shouldBe 0L
+    ChDdl.runScript(cat, spark, "ALTER TABLE tt REMOVE TTL", dir)
+    cat.get("tt").ttl shouldBe None
+    intercept[IllegalArgumentException] {
+      cat.materializeTtl("tt", 400L) // no TTL declared anymore
+    }
+    // refusals: calendar units (no fixed second length), unknown clock
+    // column, SET without GROUP BY
+    intercept[IllegalArgumentException] {
+      ChDdl.parseTtlSpec("bkt + INTERVAL 1 MONTH")
+    }
+    intercept[IllegalArgumentException] {
+      ChDdl.createTable(cat, "CREATE TABLE bd (`k` String, `v` Int64) " +
+        "ENGINE = MergeTree ORDER BY k TTL nope + INTERVAL 1 DAY", s"$dir/bd")
     }
   }
 
