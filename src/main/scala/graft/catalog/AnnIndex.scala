@@ -44,6 +44,12 @@ private[graft] object AnnIndex {
     * ~256 samples per learned centroid — the k-means rule of thumb.
     */
   val TrainSample = 4096
+  /** Max query rows per [[search]] call: the probe stage builds one
+    * (m×k)-double LUT per (query, probed cell) ON THE DRIVER, so the
+    * query side must be a batch, never a table (the guard in
+    * `candidates` trips loudly past this).
+    */
+  val MaxQueryBatch = 4096
   private val LloydIters = 5
   private val RerankPerQuery = 64
 
@@ -254,8 +260,21 @@ private[graft] object AnnIndex {
     val codes = codesTable(cc, t)
     val dim = cents.map(_.length).max
     val subDim = (dim + a.m - 1) / a.m
-    val qRows = queries.select(col("q_id").cast("long"), col("q_emb"))
-      .collect()
+    // The query frame materializes on the DRIVER (one (M×K)-double LUT
+    // row per (query, probed cell) is synthesized here) — correct and
+    // bounded for query BATCHES, the CH shape, but a large query TABLE
+    // would silently become a driver bottleneck. The limit+1 fetch bounds
+    // driver memory by construction and trips loudly past the cap; for a
+    // corpus-sized query side, use the brute/IVF operators
+    // (Similarity.queries) whose LUT-free scoring stays distributed.
+    val qRowsRaw = queries.select(col("q_id").cast("long"), col("q_emb"))
+      .limit(MaxQueryBatch + 1).collect()
+    require(qRowsRaw.length <= MaxQueryBatch,
+      s"${t.name}: ANN search got a query frame past $MaxQueryBatch rows " +
+        "— the IVF-PQ probe builds per-query LUTs on the driver; split " +
+        "the batch, or use the distributed brute/IVF operators for a " +
+        "table-sized query side")
+    val qRows = qRowsRaw
       .map(r => r.getLong(0) -> r.getSeq[Any](1).map {
         case fl: Float => fl.toDouble
         case db: Double => db

@@ -540,6 +540,22 @@ object Analytics extends QueryModule {
           |GROUP BY bucket
           |ORDER BY bucket WITH FILL FROM 0 TO 25""".stripMargin)),
 
+    // The next-tier everyday-CH sweep in one statement: CH's
+    // expression-WITH (a scalar-subquery alias + a constant alias),
+    // toStartOfInterval's arbitrary-width bucket, the dateTrunc spelling,
+    // and countDistinct — the idioms a pasted dashboard query hits first.
+    // Time predicates compare on floor-seconds so the nanos-vs-micros
+    // storage difference can't move a boundary row between engines.
+    "sql_dialect2" -> ((s, d) =>
+      graft.sql.GraftSql.chSql(s, d,
+        """WITH (SELECT min(ts) FROM events) AS t0, 21600 AS horizon_s
+          |SELECT date_format(dateTrunc('hour', ts), 'yyyy-MM-dd HH:mm:ss') AS h,
+          |  toUnixTimestamp(toStartOfInterval(ts, INTERVAL 15 MINUTE)) AS b15,
+          |  countDistinct(user_id) AS u, count() AS n
+          |FROM events
+          |WHERE toUnixTimestamp(ts) < toUnixTimestamp(t0) + horizon_s
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // numbers() + intDiv + the LIMIT offset,n comma form + FORMAT tail in
     // one statement — the everyday CH-CLI idioms, gate-checked together
     // (each is spec'd in isolation in ChSqlSpec).
@@ -1121,6 +1137,17 @@ object Analytics extends QueryModule {
         | CAST(sum(number) AS BIGINT) AS sm
         |FROM range(100) t(number) GROUP BY 1 ORDER BY 1
         |LIMIT 5 OFFSET 2""".stripMargin,
+
+    // every dialect form restated natively: epoch-grid 15-minute floor,
+    // hour trunc, distinct count, the scalar-subquery horizon
+    "sql_dialect2" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+        | (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 AS b15,
+        | count(DISTINCT user_id) AS u, count(*) AS n
+        |FROM events
+        |WHERE CAST(floor(epoch(ts)) AS BIGINT) <
+        |  (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) + 21600 FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the oracle recomputes what the cache served
     "sql_query_cache" ->

@@ -65,6 +65,29 @@ object CatalogOps extends QueryModule {
   private[graft] def registerForCleanup(dir: java.nio.file.Path): Unit =
     copyDirs.add(dir)
 
+  /** Fixture scratch: where the catalog-gate queries stage their temp
+    * warehouses. `SPARK_GRAFT_SCRATCH` (env) overrides java.io.tmpdir —
+    * point it at a roomy volume for big-SF bench runs, where fixture
+    * copies of the dataset plus a worst-case SMJ spill have flirted with
+    * ENOSPC on the default /tmp. Every dir is registered for the
+    * shutdown-hook GC (eager enough for one-process Bench/Verify cycles;
+    * long-lived sessions reclaim at exit).
+    */
+  private[graft] def scratchRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_SCRATCH", sys.props("java.io.tmpdir"))
+
+  private[graft] def scratchDir(prefix: String): java.nio.file.Path = {
+    val tmp = sys.env.get("SPARK_GRAFT_SCRATCH") match {
+      case Some(r) =>
+        val root = java.nio.file.Paths.get(r)
+        java.nio.file.Files.createDirectories(root)
+        java.nio.file.Files.createTempDirectory(root, prefix)
+      case None => java.nio.file.Files.createTempDirectory(prefix)
+    }
+    copyDirs.add(tmp)
+    tmp
+  }
+
   private def catalogCopy(s: SparkSession, table: String, src: DataFrame,
                           sortKeys: Seq[String],
                           partitionKeys: Seq[String] = Nil): (DataFrame, String) =
@@ -80,8 +103,7 @@ object CatalogOps extends QueryModule {
                              layout: TableLayout = FlatDir,
                              tokenIndexCols: Seq[String] = Nil): (Catalog, String) = {
     val cat = new Catalog(s)
-    val tmp = java.nio.file.Files.createTempDirectory(s"graft-cat-$table")
-    copyDirs.add(tmp)
+    val tmp = scratchDir(s"graft-cat-$table")
     val path = tmp.resolve(table).toString
     cat.createTable(TableDef(table, path, src.schema,
       sortKeys = sortKeys, semantics = Append, partitionKeys = partitionKeys,
@@ -116,8 +138,7 @@ object CatalogOps extends QueryModule {
     */
   def ddlScanWithStats(s: SparkSession, d: String): (DataFrame, Int, Int) = {
     val cat = new Catalog(s)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-cat-orders_ddl")
-    copyDirs.add(tmp)
+    val tmp = scratchDir("graft-cat-orders_ddl")
     graft.sql.ChDdl.createTable(cat,
       """CREATE TABLE orders_ddl (
         |  `o_orderkey` UInt64,
@@ -152,8 +173,7 @@ object CatalogOps extends QueryModule {
   def setScanWithStats(s: SparkSession, d: String): (DataFrame, Int, Int) = {
     val src = Tables.orders(s, d)
     val cat = new Catalog(s)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-cat-orders_set")
-    copyDirs.add(tmp)
+    val tmp = scratchDir("graft-cat-orders_set")
     cat.createTable(TableDef("orders_set",
       tmp.resolve("orders_set").toString, src.schema,
       sortKeys = Seq("o_orderpriority", "o_orderkey"), semantics = Append,
@@ -187,8 +207,7 @@ object CatalogOps extends QueryModule {
       concat(lit("clerk_"), col("o_custkey") % 1000, lit(" pri_"),
         translate(col("o_orderpriority"), "-", "_")).as("note"))
     val cat = new Catalog(s)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-cat-orders_ft")
-    copyDirs.add(tmp)
+    val tmp = scratchDir("graft-cat-orders_ft")
     cat.createTable(TableDef("orders_ft",
       tmp.resolve("orders_ft").toString, src.schema,
       sortKeys = Seq("o_orderkey"), semantics = Append,
@@ -218,8 +237,7 @@ object CatalogOps extends QueryModule {
   def sampledScanWithStats(s: SparkSession, d: String): (DataFrame, Int, Int) = {
     val src = Tables.orders(s, d)
     val cat = new Catalog(s)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-cat-orders_smp")
-    copyDirs.add(tmp)
+    val tmp = scratchDir("graft-cat-orders_smp")
     cat.createTable(Catalog.withSampleBy(
       TableDef("orders_smp", tmp.resolve("orders_smp").toString, src.schema,
         sortKeys = Seq("o_orderkey"), semantics = Append), "o_custkey"))
@@ -369,7 +387,7 @@ object CatalogOps extends QueryModule {
     "proj_rollup_sum" -> ((s: SparkSession, d: String) => {
       val base = s"$d/lineitem.parquet"
       val rollup = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
+        scratchRoot,
         "graft-proj-" + Integer.toHexString(d.hashCode),
         "lineitem_rollup").toString
       if (!RollupRewrite.isRegistered(base)) {
@@ -404,7 +422,7 @@ object CatalogOps extends QueryModule {
       // sweeps, Verify, Bench warm runs) refresh one rollup instead of
       // accumulating temp copies
       val rollup = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
+        scratchRoot,
         "graft-proj-" + Integer.toHexString(d.hashCode),
         "orders_rollup").toString
       // build-then-register ONCE per session: the rebuild query is itself
@@ -439,7 +457,7 @@ object CatalogOps extends QueryModule {
     "proj_sorted_lookup" -> ((s, d) => {
       val base = s"$d/orders.parquet"
       val proj = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
+        scratchRoot,
         "graft-proj-" + Integer.toHexString(d.hashCode),
         "orders_bycust").toString
       if (!SortedProjectionRewrite.isRegistered(base)) {
@@ -492,8 +510,7 @@ object CatalogOps extends QueryModule {
     // of the whole chain from the ORIGINAL parquet.
     "cat_ddl_alter" -> ((s, d) => {
       val cat = new Catalog(s)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-orders_alter")
-      copyDirs.add(tmp)
+      val tmp = scratchDir("graft-cat-orders_alter")
       graft.sql.ChDdl.runScript(cat, s,
         """CREATE TABLE orders_alter (
           |  `o_orderkey` UInt64,
@@ -540,8 +557,7 @@ object CatalogOps extends QueryModule {
     // from the ORIGINAL parquet.
     "cat_ddl_default" -> ((s, d) => {
       val cat = new Catalog(s)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-orders_def")
-      copyDirs.add(tmp)
+      val tmp = scratchDir("graft-cat-orders_def")
       graft.sql.ChDdl.runScript(cat, s,
         """CREATE TABLE orders_def (
           |  `o_orderkey` UInt64,
@@ -571,8 +587,7 @@ object CatalogOps extends QueryModule {
     // recomputes the doubled rollup from the ORIGINAL parquet.
     "cat_ddl_ctas" -> ((s, d) => {
       val cat = new Catalog(s)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-ctas")
-      copyDirs.add(tmp)
+      val tmp = scratchDir("graft-cat-ctas")
       graft.sql.ChDdl.runScript(cat, s,
         """CREATE TABLE orders_base (
           |  `o_orderkey` UInt64,
@@ -609,8 +624,7 @@ object CatalogOps extends QueryModule {
     // ORIGINAL events with the same floor-seconds clock.
     "cat_ddl_ttl" -> ((s, d) => {
       val cat = new Catalog(s)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-ttlddl")
-      copyDirs.add(tmp)
+      val tmp = scratchDir("graft-cat-ttlddl")
       graft.sql.ChDdl.runScript(cat, s,
         """CREATE TABLE ev_ttl (
           |  `event_id` UInt64,
@@ -658,8 +672,7 @@ object CatalogOps extends QueryModule {
     // parquet variant group → typed path read) loses nothing.
     "fn_json_variant" -> ((s, d) => {
       val cat = new Catalog(s)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-ev_json")
-      copyDirs.add(tmp)
+      val tmp = scratchDir("graft-cat-ev_json")
       graft.sql.ChDdl.createTable(cat,
         """CREATE TABLE ev_json (
           |  `event_id` UInt64,
@@ -689,8 +702,7 @@ object CatalogOps extends QueryModule {
     "cat_ann_index" -> ((s, d) => {
       val src = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val cat = new Catalog(s)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-emb_ann")
-      copyDirs.add(tmp)
+      val tmp = scratchDir("graft-cat-emb_ann")
       cat.createTable(TableDef("emb_ann", tmp.resolve("emb_ann").toString,
         src.schema, sortKeys = Seq("vec_id"), semantics = Append,
         annIndex = Some(graft.catalog.AnnIndexDef("embedding"))))
@@ -721,8 +733,7 @@ object CatalogOps extends QueryModule {
     // re-association is exact.
     "cat_projection_scan" -> ((s, d) => {
       val cat = new Catalog(s)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-liproj")
-      copyDirs.add(tmp)
+      val tmp = scratchDir("graft-cat-liproj")
       graft.sql.ChDdl.createTable(cat,
         """CREATE TABLE li_proj (
           |  `okey` UInt64,
@@ -759,8 +770,7 @@ object CatalogOps extends QueryModule {
     // partials is not bit-stable — the contract IS the semantics).
     "cat_ddl_aggstate" -> ((s, d) => {
       val cat = new Catalog(s)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-aggddl")
-      copyDirs.add(tmp)
+      val tmp = scratchDir("graft-cat-aggddl")
       graft.sql.ChDdl.createTable(cat,
         """CREATE TABLE ev_states (
           |  `etype` LowCardinality(String),
@@ -837,8 +847,7 @@ object CatalogOps extends QueryModule {
     "cat_renamed_scan" -> ((s, d) => {
       val src = Tables.customer(s, d)
       val cat = new Catalog(s)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-customer_ren")
-      registerForCleanup(tmp)
+      val tmp = scratchDir("graft-cat-customer_ren")
       cat.createTable(TableDef("customer_ren",
         tmp.resolve("customer_ren").toString, src.schema,
         sortKeys = Seq("c_custkey"), semantics = Append))
@@ -862,8 +871,7 @@ object CatalogOps extends QueryModule {
       val src = Tables.part(s, d).select(col("p_partkey"), col("p_brand"),
         col("p_size").cast("int").as("p_size"))
       val cat = new Catalog(s)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-part_mod")
-      registerForCleanup(tmp)
+      val tmp = scratchDir("graft-cat-part_mod")
       cat.createTable(TableDef("part_mod", tmp.resolve("part_mod").toString,
         src.schema, sortKeys = Seq("p_partkey"), semantics = Append))
       cat.append("part_mod", src.filter(col("p_partkey") % 2 === 0))
@@ -904,8 +912,7 @@ object CatalogOps extends QueryModule {
       val src = Tables.supplier(s, d).select(
         col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
       val cat = new Catalog(s)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-buf")
-      registerForCleanup(tmp)
+      val tmp = scratchDir("graft-cat-buf")
       cat.createTable(TableDef("sup_buf", tmp.resolve("sup_buf").toString,
         src.schema, sortKeys = Seq("s_suppkey"), semantics = Append))
       val total = src.count()
@@ -931,8 +938,7 @@ object CatalogOps extends QueryModule {
     "cat_join_engine" -> ((s, d) => {
       val nation = Tables.nation(s, d)
       val cat = new Catalog(s)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-join")
-      registerForCleanup(tmp)
+      val tmp = scratchDir("graft-cat-join")
       val load1 = nation.filter(col("n_regionkey") < 4)
         .select(col("n_nationkey").cast("long").as("k"),
           col("n_name").as("label"))
@@ -965,8 +971,7 @@ object CatalogOps extends QueryModule {
       val src = Tables.customer(s, d).select(
         col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
       val cat = new Catalog(s)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-repdel")
-      registerForCleanup(tmp)
+      val tmp = scratchDir("graft-cat-repdel")
       val v1 = src.withColumn("ver", lit(1L)).withColumn("del", lit(0))
       cat.createTable(TableDef("cust_rd", tmp.resolve("cust_rd").toString,
         v1.schema, sortKeys = Seq("c_custkey"),
@@ -999,8 +1004,7 @@ object CatalogOps extends QueryModule {
           expr("(unix_timestamp(ts) div 300) * 300").as("bkt"))
         .agg(count(lit(1)).as("n"))
       val cat = new Catalog(s)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-ttlgb")
-      registerForCleanup(tmp)
+      val tmp = scratchDir("graft-cat-ttlgb")
       cat.createTable(TableDef("ev_metrics", tmp.resolve("ev_metrics").toString,
         b.schema, sortKeys = Seq("event_type", "bkt"), semantics = Append))
       cat.append("ev_metrics", b)
@@ -1023,8 +1027,7 @@ object CatalogOps extends QueryModule {
       val src = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("value"))
       val cat = new Catalog(s)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-nullmv")
-      registerForCleanup(tmp)
+      val tmp = scratchDir("graft-cat-nullmv")
       val rollup = (b: DataFrame) => b.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("val_sum"))
       cat.createTable(TableDef("ev_feed", tmp.resolve("ev_feed").toString,
@@ -1052,8 +1055,7 @@ object CatalogOps extends QueryModule {
     // tables: equality proves the swap serves exactly the view query.
     "cat_refreshable_mv" -> ((s, d) => {
       val cat = new Catalog(s)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-refresh")
-      registerForCleanup(tmp)
+      val tmp = scratchDir("graft-cat-refresh")
       val orders = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       val cust = Tables.customer(s, d)
@@ -1137,8 +1139,7 @@ object CatalogOps extends QueryModule {
       val src = Tables.orders(s, d).select(
         col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       val cat = new Catalog(s)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-collapse")
-      registerForCleanup(tmp)
+      val tmp = scratchDir("graft-cat-collapse")
       val schema = src
         .withColumn("ver", lit(1L)).withColumn("sign", lit(1)).schema
       cat.createTable(TableDef("orders_cl", tmp.resolve("orders_cl").toString,
@@ -1172,8 +1173,7 @@ object CatalogOps extends QueryModule {
         col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
       val cat = new Catalog(s)
       val dc = new graft.catalog.DistributedCatalog(s, cat)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-dist")
-      registerForCleanup(tmp)
+      val tmp = scratchDir("graft-cat-dist")
       dc.create("cust_dist", tmp.resolve("cust_dist").toString, src.schema,
         Seq("c_custkey"), Append, "c_custkey", 4)
       dc.append("cust_dist", src)
@@ -1197,8 +1197,7 @@ object CatalogOps extends QueryModule {
     // oracle's read of the ORIGINAL parquet: every row and every text
     // byte survived the JSON encode/decode, escapes included.
     "src_jsonl" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-src-jsonl")
-      registerForCleanup(tmp)
+      val tmp = scratchDir("graft-src-jsonl")
       val out = tmp.resolve("docs_jsonl").toString
       val docs = Tables.documents(s, d)
       docs.write.mode("overwrite").json(out)
@@ -1216,8 +1215,7 @@ object CatalogOps extends QueryModule {
     // values must survive exactly, proven by aggregating the read-back
     // against the oracle's parquet original.
     "src_orc" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-src-orc")
-      registerForCleanup(tmp)
+      val tmp = scratchDir("graft-src-orc")
       val out = tmp.resolve("li_orc").toString
       Tables.lineitem(s, d).filter(col("l_orderkey") < 5000)
         .write.mode("overwrite").orc(out)
@@ -1234,8 +1232,7 @@ object CatalogOps extends QueryModule {
       val src = Tables.supplier(s, d).select(
         col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
       val cat = new Catalog(s)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-merge")
-      registerForCleanup(tmp)
+      val tmp = scratchDir("graft-cat-merge")
       (0 until 3).foreach { i =>
         cat.createTable(TableDef(s"sup_m$i", tmp.resolve(s"sup_m$i").toString,
           src.schema, sortKeys = Seq("s_suppkey"), semantics = Append))
@@ -1259,8 +1256,7 @@ object CatalogOps extends QueryModule {
       val src = Tables.supplier(s, d).select(
         col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
       val cat = new Catalog(s)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-ck")
-      registerForCleanup(tmp)
+      val tmp = scratchDir("graft-cat-ck")
       cat.createTable(TableDef("sup_ck", tmp.resolve("sup_ck").toString,
         src.schema, sortKeys = Seq("s_suppkey"), semantics = Append,
         constraints = Seq(
@@ -1287,8 +1283,7 @@ object CatalogOps extends QueryModule {
         col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
       val cat = new Catalog(s)
       val dc = new graft.catalog.DistributedCatalog(s, cat)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-dj")
-      registerForCleanup(tmp)
+      val tmp = scratchDir("graft-cat-dj")
       dc.create("cust_dj", tmp.resolve("cust_dj").toString, src.schema,
         Seq("c_custkey"), Append, "c_custkey", 4)
       dc.append("cust_dj", src)
@@ -1311,8 +1306,7 @@ object CatalogOps extends QueryModule {
       val src = Tables.supplier(s, d).select(
         col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
       val cat = new Catalog(s)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-rp")
-      registerForCleanup(tmp)
+      val tmp = scratchDir("graft-cat-rp")
       cat.createTable(TableDef("sup_rp", tmp.resolve("sup_rp").toString,
         src.schema, sortKeys = Seq("s_suppkey"), semantics = Append))
       cat.append("sup_rp", src)
@@ -1335,8 +1329,7 @@ object CatalogOps extends QueryModule {
     "cat_materialized_col" -> ((s, d) => {
       val src = Tables.part(s, d).select(col("p_partkey"), col("p_size"))
       val cat = new Catalog(s)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-matcol")
-      registerForCleanup(tmp)
+      val tmp = scratchDir("graft-cat-matcol")
       val schema = src.schema
         .add("size_band", org.apache.spark.sql.types.IntegerType)
       cat.createTable(TableDef("part_mat", tmp.resolve("part_mat").toString,

@@ -509,7 +509,7 @@ object ChAggs extends QueryModule {
     import org.apache.spark.sql.types._
     val (cat, name) = hllTables.getOrElseUpdate((s, d), {
       val cat = new Catalog(s)
-      val whPath = java.nio.file.Files.createTempDirectory("graft-hll-mv")
+      val whPath = graft.operators.CatalogOps.scratchDir("graft-hll-mv")
       CatalogOps.registerForCleanup(whPath)
       val wh = whPath.toString
       val t = cat.createTable(TableDef(
@@ -551,7 +551,7 @@ object ChAggs extends QueryModule {
     import org.apache.spark.sql.types._
     val (cat, name) = quantileTables.getOrElseUpdate((s, d), {
       val cat = new Catalog(s)
-      val whPath = java.nio.file.Files.createTempDirectory("graft-quantile-mv")
+      val whPath = graft.operators.CatalogOps.scratchDir("graft-quantile-mv")
       CatalogOps.registerForCleanup(whPath)
       val t = cat.createTable(TableDef(
         "price_stats_by_flag",
@@ -598,7 +598,7 @@ object ChAggs extends QueryModule {
     import org.apache.spark.sql.types._
     val (cat, name) = topkTables.getOrElseUpdate((s, d), {
       val cat = new Catalog(s)
-      val whPath = java.nio.file.Files.createTempDirectory("graft-topk-mv")
+      val whPath = graft.operators.CatalogOps.scratchDir("graft-topk-mv")
       CatalogOps.registerForCleanup(whPath)
       val t = cat.createTable(TableDef(
         "event_leaders",

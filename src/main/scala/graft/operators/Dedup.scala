@@ -389,7 +389,7 @@ object Dedup extends QueryModule {
       import graft.catalog.{Append, Catalog, NullEngine, TableDef}
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val cat = new Catalog(s)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-inc")
+      val tmp = graft.operators.CatalogOps.scratchDir("graft-dedup-inc")
       CatalogOps.registerForCleanup(tmp)
       cat.createTable(TableDef("docs_inc_in",
         tmp.resolve("docs_in").toString, docs.schema, Seq.empty, NullEngine))

@@ -341,7 +341,7 @@ object Similarity extends QueryModule {
       val books = trainPqBooks(s, d)
       val cents = trainCentroids(s, d, NCELLS).map(_.map(_.toDouble)).toSeq
       val cat = new Catalog(s)
-      val whPath = java.nio.file.Files.createTempDirectory("graft-pq-index")
+      val whPath = graft.operators.CatalogOps.scratchDir("graft-pq-index")
       CatalogOps.registerForCleanup(whPath)
       val wh = whPath.toString
       val bookSchema = StructType(Seq(

@@ -868,10 +868,21 @@ object ChDdl {
         // exists (left absent here — the append fill applies it), else
         // the TYPE default (0 / '' / false / epoch; containers NULL)
         val altered = cat.insertDefaultColumns(target)
-        val filled = insertable.filterNot(f =>
-            names.contains(f.name) || altered(f.name))
-          .foldLeft(typed)((d, f) =>
-            d.withColumn(f.name, chTypeDefault(f.dataType)))
+        val omitted = insertable.filterNot(f =>
+          names.contains(f.name) || altered(f.name))
+        // the container divergence is SILENT semantic drift without this:
+        // CH fills an omitted Array with [] — this engine has no natural
+        // scalar default for containers and stores NULL (doc on
+        // chTypeDefault), so say so loudly at the door
+        omitted.filter(f => f.dataType.isInstanceOf[
+            org.apache.spark.sql.types.ArrayType] ||
+            f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+          .foreach(f => System.err.println(
+            s"[chddl] INSERT INTO $target: omitted container column " +
+              s"${f.name} fills with NULL (ClickHouse fills []) — supply " +
+              "the column or declare a DEFAULT to avoid the divergence"))
+        val filled = omitted.foldLeft(typed)((d, f) =>
+          d.withColumn(f.name, chTypeDefault(f.dataType)))
         cat.append(target, filled)
       case AlterTable(table, cmds) => cmds.foreach {
         case AddColumnCmd(field, defaultSql) =>

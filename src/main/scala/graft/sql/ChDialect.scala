@@ -10,6 +10,13 @@ package graft.sql
   *   - `count()` → `count(*)`; `countIf(p)` → `count_if(p)`;
   *     `sumIf(x, p)` → `sum(CASE WHEN p THEN x ELSE 0 END)`;
   *     `avgIf(x, p)` → `avg(CASE WHEN p THEN x END)`
+  *   - CH's expression-WITH (`WITH 10 AS k` / `WITH (SELECT …) AS m`) →
+  *     textual alias substitution, CTE items untouched (doc on
+  *     [[rewriteWithAliases]]); `countDistinct(x…)` →
+  *     `count(DISTINCT x…)`; `dateTrunc`/`toStartOfMinute` →
+  *     `date_trunc`; `toStartOfInterval(ts, INTERVAL n unit)` and the
+  *     `toStartOfFiveMinutes` family → epoch-grid floors (calendar
+  *     units refuse loudly — no fixed second width)
   *   - `uniq(x)` → `approx_count_distinct(x)`;
   *     `uniqExact(x…)` → `count(DISTINCT x…)`
   *   - combinator calls `quantile(q)(x)` / `quantileExact(q)(x)` →
@@ -178,6 +185,7 @@ object ChDialect {
     ("(?i)\\banyLast\\(".r, "any_value("),
     ("(?i)\\bany\\(".r, "any_value("),
     // everyday scalar/aggregate renames with identical argument shapes
+    ("(?i)\\bdateTrunc\\(".r, "date_trunc("),
     ("(?i)\\bargMax\\(".r, "max_by("),
     ("(?i)\\bargMin\\(".r, "min_by("),
     ("(?i)\\bgroupArray\\(".r, "collect_list("),
@@ -315,8 +323,110 @@ object ChDialect {
 
   private val truncUnits = Seq(
     "toStartOfDay" -> "DAY", "toStartOfHour" -> "HOUR",
+    "toStartOfMinute" -> "MINUTE",
     "toStartOfWeek" -> "WEEK", "toStartOfMonth" -> "MONTH",
     "toStartOfQuarter" -> "QUARTER", "toStartOfYear" -> "YEAR")
+
+  // the fixed-width bucket family: no date_trunc unit exists for these, so
+  // they floor on the epoch-seconds grid (same math as toStartOfInterval)
+  private val fixedBuckets = Seq(
+    "toStartOfFiveMinutes" -> 300L, "toStartOfTenMinutes" -> 600L,
+    "toStartOfFifteenMinutes" -> 900L)
+
+  private val intervalArgRe = "(?is)^INTERVAL\\s+(\\d+)\\s+(\\w+)$".r
+
+  private def intervalSeconds(arg: String, where: String): Long = {
+    val (n, unit) = arg.trim match {
+      case intervalArgRe(v, u) => (v.toLong, u.toUpperCase.stripSuffix("S"))
+      case other => throw new IllegalArgumentException(
+        s"$where: expected INTERVAL n unit, got '$other'")
+    }
+    val secs = unit match {
+      case "SECOND" => 1L
+      case "MINUTE" => 60L
+      case "HOUR" => 3600L
+      case "DAY" => 86400L
+      case "WEEK" => 604800L
+      case other => throw new IllegalArgumentException(
+        s"$where: INTERVAL $other has no fixed second length — use a " +
+          "fixed-width unit (SECOND…WEEK) or date_trunc for calendar units")
+    }
+    n * secs
+  }
+
+  /** CH's expression-WITH: `WITH expr AS ident[, …] SELECT …` binds
+    * scalar ALIASES — constants (`WITH 10 AS k`) or scalar subqueries
+    * (`WITH (SELECT max(x) FROM t) AS m`) — usable anywhere in the query.
+    * Spark's WITH accepts only CTEs, so alias items substitute textually
+    * (`(expr)` replaces every word-boundary `ident` in the remainder —
+    * CH's own semantics is substitution, shadowing hazards included).
+    * Standard CTE items (`ident AS (SELECT …)`) stay in a WITH clause;
+    * the two forms may mix. Top-level statements only.
+    */
+  private def rewriteWithAliases(s: String): String = {
+    val m = "(?is)^\\s*WITH\\b".r.findFirstMatchIn(s).getOrElse(return s)
+    val tail = s.substring(m.end)
+    // the top-level SELECT ends the WITH list (depth-0 scan: a scalar
+    // subquery's SELECT sits inside parens)
+    var depth = 0
+    var selAt = -1
+    var i = 0
+    val upper = tail.toUpperCase
+    while (i < tail.length && selAt < 0) {
+      tail.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && upper.startsWith("SELECT", i) &&
+              (i == 0 || !isIdentChar(upper.charAt(i - 1))) &&
+              (i + 6 >= tail.length || !isIdentChar(upper.charAt(i + 6))))
+            selAt = i
+      }
+      i += 1
+    }
+    if (selAt < 0) return s
+    val items = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var d = 0
+      var start = 0
+      val list = tail.substring(0, selAt)
+      list.zipWithIndex.foreach { case (c, j) =>
+        if (c == '(') d += 1 else if (c == ')') d -= 1
+        else if (c == ',' && d == 0) { out += list.substring(start, j); start = j + 1 }
+      }
+      out += list.substring(start)
+      out.toList.map(wtrim)
+    }
+    val rest = tail.substring(selAt)
+    val ctes = scala.collection.mutable.ListBuffer.empty[String]
+    val aliases = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    items.foreach { item =>
+      val asAt = ajAsSplit.findAllMatchIn(item).toList.filter { am =>
+        item.substring(0, am.start).foldLeft(0)((a, c) =>
+          if (c == '(') a + 1 else if (c == ')') a - 1 else a) == 0
+      }.lastOption.getOrElse(throw new IllegalArgumentException(
+        s"WITH: expected `expr AS alias` or `name AS (SELECT …)`, got " +
+          s"'${item.take(60)}'"))
+      val lhs = wtrim(item.substring(0, asAt.start))
+      val rhs = wtrim(item.substring(asAt.end))
+      if (rhs.startsWith("(")) ctes += item // standard CTE, untouched
+      else {
+        require(identRe.pattern.matcher(rhs).matches(),
+          s"WITH $lhs AS $rhs: the alias must be a plain identifier")
+        aliases += lhs -> rhs
+      }
+    }
+    if (aliases.isEmpty) return s
+    var out = rest
+    aliases.foreach { case (e, ident) =>
+      out = ("\\b" + java.util.regex.Pattern.quote(ident) + "\\b").r
+        .replaceAllIn(out, scala.util.matching.Regex.quoteReplacement(s"($e)"))
+    }
+    if (ctes.isEmpty) out else s"WITH ${ctes.mkString(", ")} " + out
+  }
+
+  private def isIdentChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_'
 
   private def rewriteSegment(seg0: String,
                              analyze: Option[String => Seq[String]] = None): String = {
@@ -328,6 +438,7 @@ object ChDialect {
     // FORMAT first: it is statement-trailing text the other statement-
     // level rewrites (LIMIT BY, WITH FILL) must not see as their tail
     s = formatTailRe.replaceAllIn(s, "")
+    s = rewriteWithAliases(s)
     s = rewriteLimitBy(s)
     s = rewriteWithFill(s, analyze)
     s = rewriteSample(s)
@@ -374,6 +485,26 @@ object ChDialect {
     })
     s = rewriteCall(s, "uniqExact",
       args => s"count(DISTINCT ${args.mkString(", ")})")
+    s = rewriteCall(s, "countDistinct",
+      args => s"count(DISTINCT ${args.mkString(", ")})")
+    // toStartOfInterval(ts, INTERVAL n unit) → epoch-grid floor (the
+    // arbitrary-width bucket date_trunc can't express); calendar units
+    // refuse loudly in intervalSeconds
+    s = rewriteCall(s, "toStartOfInterval", {
+      case List(x, iv) =>
+        val secs = intervalSeconds(iv, "toStartOfInterval")
+        s"timestamp_seconds((unix_timestamp($x) DIV $secs) * $secs)"
+      case args => throw new IllegalArgumentException(
+        s"toStartOfInterval expects (ts, INTERVAL n unit), got ${args.length}")
+    })
+    fixedBuckets.foreach { case (fn, secs) =>
+      s = rewriteCall(s, fn, {
+        case List(x) =>
+          s"timestamp_seconds((unix_timestamp($x) DIV $secs) * $secs)"
+        case args => throw new IllegalArgumentException(
+          s"$fn expects 1 argument, got ${args.length}")
+      })
+    }
     s = rewriteCall(s, "maxIf", {
       case List(x, p) => s"max(CASE WHEN $p THEN $x END)"
       case args => throw new IllegalArgumentException(

@@ -83,6 +83,25 @@ class AnnIndexSpec extends SparkSpecBase {
     cat.readAnnTopK("emb_incr", q, 3).count() shouldBe 12L
   }
 
+  test("a table-sized query frame trips the driver-LUT guard") {
+    // the IVF-PQ probe synthesizes one (m×k)-double LUT per (query,
+    // probed cell) on the DRIVER — a corpus-sized query side must refuse
+    // loudly instead of silently materializing there
+    val cat = new Catalog(spark)
+    val path = tmpDir("annguard") + "/emb_grd"
+    cat.createTable(TableDef("emb_grd", path, embSrc.schema,
+      sortKeys = Seq("vec_id"), semantics = Append,
+      annIndex = Some(AnnIndexDef("embedding"))))
+    cat.append("emb_grd", embSrc)
+    val one = embSrc.limit(1).select(col("embedding").as("q_emb"))
+    val big = spark.range(graft.catalog.AnnIndex.MaxQueryBatch + 1)
+      .select(col("id").as("q_id")).crossJoin(one)
+    val e = intercept[IllegalArgumentException] {
+      cat.readAnnTopK("emb_grd", big, 5).collect()
+    }
+    e.getMessage should include("query frame")
+  }
+
   test("detach/attach round-trips the declaration and the trained index") {
     val cat = new Catalog(spark)
     val path = tmpDir("annattach") + "/emb_att"

@@ -253,6 +253,40 @@ class ChSqlSpec extends SparkSpecBase {
       "SELECT split('1.2.3', '\\\\.') AS parts")
   }
 
+  test("expression-WITH, toStartOfInterval, dateTrunc, countDistinct agree") {
+    // CH's scalar-alias WITH: a scalar subquery and a constant, both
+    // substituted through the body (Spark's WITH takes only CTEs)
+    chEqualsSpark(
+      """WITH 3 AS lim, (SELECT max(n_regionkey) FROM nation) AS mx
+        |SELECT n_name FROM nation WHERE n_regionkey = mx - lim + 1
+        |ORDER BY n_name""".stripMargin,
+      "SELECT n_name FROM nation WHERE n_regionkey = 2 ORDER BY n_name")
+    // a standard CTE and a scalar alias MIX: the CTE stays a CTE
+    chEqualsSpark(
+      """WITH r AS (SELECT n_regionkey AS k FROM nation), 2 AS probe
+        |SELECT count() AS n FROM r WHERE k = probe""".stripMargin,
+      "SELECT count(*) AS n FROM nation WHERE n_regionkey = 2")
+    chEqualsSpark(
+      "SELECT countDistinct(o_orderstatus) AS u FROM orders",
+      "SELECT count(DISTINCT o_orderstatus) AS u FROM orders")
+    // arbitrary-width epoch-grid floor + the fixed-bucket family
+    chEqualsSpark(
+      "SELECT toUnixTimestamp(toStartOfInterval(" +
+        "fromUnixTimestamp(1234567), INTERVAL 5 MINUTE)) AS b, " +
+        "toUnixTimestamp(toStartOfFiveMinutes(" +
+        "fromUnixTimestamp(1234567))) AS b2",
+      "SELECT 1234500L AS b, 1234500L AS b2")
+    chEqualsSpark(
+      "SELECT dateTrunc('hour', fromUnixTimestamp(1234567)) AS h, " +
+        "toStartOfMinute(fromUnixTimestamp(1234567)) AS m",
+      "SELECT date_trunc('hour', from_unixtime(1234567)) AS h, " +
+        "date_trunc('MINUTE', from_unixtime(1234567)) AS m")
+    // calendar units have no fixed width — refused, not approximated
+    intercept[IllegalArgumentException] {
+      ChDialect.rewrite("SELECT toStartOfInterval(ts, INTERVAL 1 MONTH) FROM t")
+    }
+  }
+
   test("ORDER BY WITH FILL injects missing grid rows and keeps real ones") {
     // explicit bounds: FROM inclusive, TO exclusive, STEP honored —
     // regionkeys are 0..4, so the grid 0..8 step 2 injects 6 and 8 while
