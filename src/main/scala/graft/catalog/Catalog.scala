@@ -1055,6 +1055,59 @@ final class Catalog(spark: SparkSession) {
     defaultSql.remove(name)
   }
 
+  /** `DROP TABLE [IF EXISTS]` — deregister AND delete storage (the
+    * difference from [[detach]], exactly CH's DETACH-vs-DROP split).
+    * Projection rewrite registrations are retired first so the optimizer
+    * rules never point at deleted paths. Returns whether a table was
+    * dropped (false only under `ifExists`).
+    */
+  def dropTable(name: String, ifExists: Boolean = false): Boolean =
+    tables.get(name) match {
+      case None =>
+        if (!ifExists) throw new NoSuchElementException(s"table $name")
+        false
+      case Some(t) =>
+        writeLock(name).synchronized {
+          t.projections.foreach {
+            case _: AggProjection =>
+              graft.plans.RollupRewrite.unregister(dataPath(t))
+            case _: SortProjection =>
+              graft.plans.SortedProjectionRewrite.unregister(dataPath(t))
+          }
+          detach(name)
+          fs(t).delete(new org.apache.hadoop.fs.Path(t.path), true)
+        }
+        true
+    }
+
+  /** `RENAME TABLE from TO to` — re-registration under the new name;
+    * storage stays at its path (the `_TABLE` sidecar records the new
+    * name, so a later ATTACH of that path resolves to it — CH renames the
+    * metadata object the same way). Pending ALTER state follows the name.
+    * Refused while the table participates in an attached MV cascade or a
+    * refreshable view (those registries key on the OLD name — a silent
+    * rename would silently stop maintaining them).
+    */
+  def renameTable(from: String, to: String): Unit =
+    writeLock(from).synchronized {
+      val t = get(from)
+      require(!tables.contains(to),
+        s"renameTable: $to is already registered")
+      val inMv = attachedMvs.contains(from) ||
+        attachedMvs.values.exists(_.exists(_.target == from))
+      require(!inMv, s"renameTable: $from participates in a materialized " +
+        "view cascade — drop the MV first (its registration keys on the name)")
+      require(!refreshableViews.values.exists(_._1.target == from),
+        s"renameTable: $from is a refreshable view target — drop the view first")
+      def move[V](m: scala.collection.concurrent.TrieMap[String, V]): Unit =
+        m.remove(from).foreach(v => m.put(to, v))
+      move(renamePending); move(droppedPending)
+      move(readDefaults); move(insertDefaults); move(defaultSql)
+      tables.remove(from)
+      tables.put(to, t.copy(name = to))
+      persistTableDef(tables(to))
+    }
+
   // ALTER ADD COLUMN defaults, two lifetimes (values pre-cast to the
   // declared type):
   //   - readDefaults: coalesce applied at READ time for parts written

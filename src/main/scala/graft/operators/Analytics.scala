@@ -540,6 +540,20 @@ object Analytics extends QueryModule {
           |GROUP BY bucket
           |ORDER BY bucket WITH FILL FROM 0 TO 25""".stripMargin)),
 
+    // WITH FILL INTERPOLATE through the gate: the fill axis runs past
+    // the data's top bucket and the interpolated measure CARRIES the
+    // last actual row's count into every injected row (CH's bare
+    // INTERPOLATE recurrence collapses to exactly this carry-forward).
+    // The oracle replays the same carry as an IGNORE NULLS window over
+    // the full-outer-joined axis.
+    "sql_with_fill_interp" -> ((s, d) =>
+      graft.sql.GraftSql.chSql(s, d,
+        """SELECT bucket, n FROM (
+          |  SELECT CAST(floor(o_totalprice / 30000) AS INT) AS bucket,
+          |         count() AS n
+          |  FROM orders GROUP BY bucket) t
+          |ORDER BY bucket WITH FILL FROM 0 TO 25 INTERPOLATE (n)""".stripMargin)),
+
     // The next-tier everyday-CH sweep in one statement: CH's
     // expression-WITH (a scalar-subquery alias + a constant alias),
     // toStartOfInterval's arbitrary-width bucket, the dateTrunc spelling,
@@ -1137,6 +1151,19 @@ object Analytics extends QueryModule {
         | CAST(sum(number) AS BIGINT) AS sm
         |FROM range(100) t(number) GROUP BY 1 ORDER BY 1
         |LIMIT 5 OFFSET 2""".stripMargin,
+
+    // the same keep-all + inject join, with the carry restated as an
+    // IGNORE NULLS window over the axis order
+    "sql_with_fill_interp" ->
+      """WITH q AS (SELECT CAST(floor(o_totalprice / 30000) AS INT) AS bucket,
+        |             count(*) AS n FROM orders GROUP BY 1),
+        |j AS (SELECT coalesce(q.bucket, g.range) AS bucket, q.n AS n_raw
+        |      FROM q FULL OUTER JOIN range(0, 25) g ON q.bucket = g.range)
+        |SELECT bucket,
+        |  CASE WHEN n_raw IS NULL THEN last_value(n_raw IGNORE NULLS) OVER
+        |    (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |  ELSE n_raw END AS n
+        |FROM j ORDER BY bucket""".stripMargin,
 
     // every dialect form restated natively: epoch-grid 15-minute floor,
     // hour trunc, distinct count, the scalar-subquery horizon

@@ -129,6 +129,17 @@ object ChDdl {
                                  by: Seq[String]) extends Statement
   /** `TRUNCATE TABLE [IF EXISTS] name`. */
   final case class TruncateTable(table: String) extends Statement
+  /** `DROP TABLE [IF EXISTS] name` — deregister + delete storage. */
+  final case class DropTable(table: String, ifExists: Boolean)
+    extends Statement
+  /** `DETACH TABLE name` — deregister, keep storage ([[Catalog.detach]]). */
+  final case class DetachTable(table: String) extends Statement
+  /** `ATTACH TABLE name` — re-register from the warehouse path's `_TABLE`
+    * sidecar ([[Catalog.attach]]); needs the warehouse arg of execute().
+    */
+  final case class AttachTable(table: String) extends Statement
+  /** `RENAME TABLE a TO b[, c TO d …]`. */
+  final case class RenameTable(pairs: Seq[(String, String)]) extends Statement
   /** `DELETE FROM t WHERE p` — ClickHouse's standalone LIGHTWEIGHT delete
     * (deletion vectors, O(matches)), vs `ALTER TABLE … DELETE WHERE`'s
     * full mutation rewrite. Dispatched to
@@ -177,6 +188,14 @@ object ChDdl {
       "(?:\\s+DEDUPLICATE(?:\\s+BY\\s+(.+?))?)?\\s*$").r
   private val truncateRe =
     "(?is)^\\s*TRUNCATE\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?([`\\w.]+)\\s*$".r
+  private val dropTableRe =
+    "(?is)^\\s*DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?([`\\w.]+)\\s*$".r
+  private val detachTableRe =
+    "(?is)^\\s*DETACH\\s+TABLE\\s+([`\\w.]+)\\s*$".r
+  private val attachTableRe =
+    "(?is)^\\s*ATTACH\\s+TABLE\\s+([`\\w.]+)\\s*$".r
+  private val renameTableRe =
+    "(?is)^\\s*RENAME\\s+TABLE\\s+(.+)$".r
 
   /** Parse `ddl`; a CreateTable is rooted at `path`. */
   def parse(ddl: String, path: String): Statement = {
@@ -191,6 +210,26 @@ object ChDdl {
     }
     truncateRe.findFirstMatchIn(ddl).foreach { m =>
       return TruncateTable(bare(m.group(1)))
+    }
+    dropTableRe.findFirstMatchIn(ddl).foreach { m =>
+      return DropTable(bare(m.group(2)), m.group(1) != null)
+    }
+    detachTableRe.findFirstMatchIn(ddl).foreach { m =>
+      return DetachTable(bare(m.group(1)))
+    }
+    attachTableRe.findFirstMatchIn(ddl).foreach { m =>
+      return AttachTable(bare(m.group(1)))
+    }
+    renameTableRe.findFirstMatchIn(ddl).foreach { m =>
+      val pairs = splitTopLevel(m.group(1)).map(_.trim).map { p =>
+        val toRe = "(?is)^([`\\w.]+)\\s+TO\\s+([`\\w.]+)$".r
+        p match {
+          case toRe(a, b) => bare(a) -> bare(b)
+          case other => throw new IllegalArgumentException(
+            s"RENAME TABLE: expected `a TO b`, got '$other'")
+        }
+      }
+      return RenameTable(pairs)
     }
     delFromRe.findFirstMatchIn(ddl).foreach { m =>
       return LightweightDelete(bare(m.group(1)),
@@ -914,6 +953,15 @@ object ChDdl {
         case MaterializeTtlCmd =>
           cat.materializeTtl(table, System.currentTimeMillis() / 1000L)
       }
+      case DropTable(table, ifExists) => cat.dropTable(table, ifExists)
+      case DetachTable(table) => cat.detach(table)
+      case AttachTable(table) =>
+        require(warehouse.nonEmpty,
+          s"ATTACH TABLE $table: needs the warehouse root (execute/" +
+            "runScript's warehouse argument) to locate the _TABLE sidecar")
+        cat.attach(s"$warehouse/$table")
+      case RenameTable(pairs) =>
+        pairs.foreach { case (a, b) => cat.renameTable(a, b) }
       case OptimizeTable(table, dedup, by) =>
         if (dedup) cat.optimizeDeduplicate(table, by) else cat.compact(table)
       case TruncateTable(table) => cat.truncate(table)

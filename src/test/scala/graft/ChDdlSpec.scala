@@ -687,6 +687,35 @@ class ChDdlSpec extends SparkSpecBase {
     }
   }
 
+  test("table-level DDL text: DROP/DETACH/ATTACH/RENAME TABLE") {
+    import spark.implicits._
+    val cat = new Catalog(spark)
+    val dir = tmpDir("chtbl")
+    ChDdl.runScript(cat, spark,
+      "CREATE TABLE t1 (`k` UInt64, `v` Float64) ENGINE = MergeTree ORDER BY k",
+      dir)
+    cat.append("t1", Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
+    // DETACH keeps storage; ATTACH re-registers from the warehouse sidecar
+    ChDdl.execute(cat, spark, "DETACH TABLE t1", dir)
+    intercept[NoSuchElementException] { cat.get("t1") }
+    ChDdl.execute(cat, spark, "ATTACH TABLE t1", dir)
+    cat.read("t1").count() shouldBe 2L
+    // RENAME re-registers under the new name; storage stays put and the
+    // sidecar records the new name for later ATTACHes of the path
+    ChDdl.execute(cat, spark, "RENAME TABLE t1 TO t2", dir)
+    intercept[NoSuchElementException] { cat.get("t1") }
+    cat.read("t2").count() shouldBe 2L
+    val cat2 = new Catalog(spark)
+    cat2.attach(s"$dir/t1").name shouldBe "t2"
+    // DROP deletes registration AND storage; IF EXISTS absorbs absence
+    ChDdl.execute(cat, spark, "DROP TABLE t2", dir)
+    new java.io.File(s"$dir/t1").exists() shouldBe false
+    intercept[NoSuchElementException] {
+      ChDdl.execute(cat, spark, "DROP TABLE t2", dir)
+    }
+    ChDdl.execute(cat, spark, "DROP TABLE IF EXISTS t2", dir)
+  }
+
   test("JSON column type: variant storage, string ingest, typed extraction") {
     import org.apache.spark.sql.functions._
     val cat = new Catalog(spark)

@@ -44,7 +44,7 @@ class SqlParitySpec extends SparkSpecBase {
     "cat_minmax_scan", "cat_renamed_scan",
     "cat_dedup_optimize", "cat_modified_scan", "cat_collapsing_scan",
     "cat_token_scan", "cat_set_scan", "cat_fulltext_scan", "cat_ddl_create",
-    "cat_ddl_alter", "cat_ddl_aggstate",
+    "cat_ddl_alter", "cat_ddl_aggstate", "cat_ddl_default", "cat_ddl_ctas",
     "cat_constraint", "cat_materialized_col", "cat_row_policy",
     "cat_distributed_join",
     "cat_distributed_scan", "cat_lightweight_delete", "cat_null_mv",
@@ -89,6 +89,38 @@ class SqlParitySpec extends SparkSpecBase {
         |FULL OUTER JOIN (SELECT explode(sequence(0, 24)) AS x) g
         |  ON q.bucket = g.x
         |ORDER BY bucket""".stripMargin,
+
+    // DuckDB epoch() → Spark unix_timestamp (same floor-seconds clock)
+    "cat_ddl_ttl" ->
+      """SELECT event_type AS etype, count(*) AS n,
+        | round(sum(value), 2) AS val_sum
+        |FROM events
+        |WHERE unix_timestamp(ts) >=
+        |  (SELECT max(unix_timestamp(ts)) - 30 * 86400 FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // DuckDB strftime/epoch/`//` → date_format/unix_timestamp/DIV
+    "sql_dialect2" ->
+      """SELECT date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss') AS h,
+        | (unix_timestamp(ts) DIV 900) * 900 AS b15,
+        | count(DISTINCT user_id) AS u, count(*) AS n
+        |FROM events
+        |WHERE unix_timestamp(ts) <
+        |  (SELECT min(unix_timestamp(ts)) + 21600 FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // DuckDB range + last_value IGNORE NULLS → explode(sequence) + last
+    "sql_with_fill_interp" ->
+      """WITH q AS (SELECT CAST(floor(o_totalprice / 30000) AS INT) AS bucket,
+        |             count(*) AS n FROM orders GROUP BY 1),
+        |j AS (SELECT coalesce(q.bucket, g.x) AS bucket, q.n AS n_raw
+        |      FROM q FULL OUTER JOIN (SELECT explode(sequence(0, 24)) AS x) g
+        |        ON q.bucket = g.x)
+        |SELECT bucket,
+        |  CASE WHEN n_raw IS NULL THEN last(n_raw) IGNORE NULLS OVER
+        |    (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |  ELSE n_raw END AS n
+        |FROM j ORDER BY bucket""".stripMargin,
 
     // DuckDB range(100) + // → Spark explode(sequence) + DIV
     "sql_numbers" ->
