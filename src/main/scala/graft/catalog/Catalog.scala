@@ -1093,12 +1093,7 @@ final class Catalog(spark: SparkSession) {
       val t = get(from)
       require(!tables.contains(to),
         s"renameTable: $to is already registered")
-      val inMv = attachedMvs.contains(from) ||
-        attachedMvs.values.exists(_.exists(_.target == from))
-      require(!inMv, s"renameTable: $from participates in a materialized " +
-        "view cascade — drop the MV first (its registration keys on the name)")
-      require(!refreshableViews.values.exists(_._1.target == from),
-        s"renameTable: $from is a refreshable view target — drop the view first")
+      requireNameFree(from, "renameTable")
       def move[V](m: scala.collection.concurrent.TrieMap[String, V]): Unit =
         m.remove(from).foreach(v => m.put(to, v))
       move(renamePending); move(droppedPending)
@@ -1107,6 +1102,45 @@ final class Catalog(spark: SparkSession) {
       tables.put(to, t.copy(name = to))
       persistTableDef(tables(to))
     }
+
+  // a name-keyed registration (MV cascade, refreshable view) would keep
+  // pointing at the OLD name after a rename/exchange — silent
+  // maintenance loss; refuse loudly instead
+  private def requireNameFree(name: String, verb: String): Unit = {
+    val inMv = attachedMvs.contains(name) ||
+      attachedMvs.values.exists(_.exists(_.target == name))
+    require(!inMv, s"$verb: $name participates in a materialized view " +
+      "cascade — drop the MV first (its registration keys on the name)")
+    require(!refreshableViews.values.exists(_._1.target == name),
+      s"$verb: $name is a refreshable view target — drop the view first")
+  }
+
+  /** `EXCHANGE TABLES a AND b` — atomically swap two registrations (CH's
+    * zero-downtime swap idiom: stage a rebuilt table beside the live one,
+    * exchange, drop the old). Locks taken in name order so concurrent
+    * exchanges can never deadlock; pending ALTER state swaps with the
+    * names; both sidecars re-persist so ATTACH resolves the new names.
+    */
+  def exchangeTables(a: String, b: String): Unit = {
+    require(a != b, s"exchangeTables: $a AND $b are the same table")
+    val Seq(l1, l2) = Seq(a, b).sorted.map(writeLock)
+    l1.synchronized { l2.synchronized {
+      val ta = get(a)
+      val tb = get(b)
+      requireNameFree(a, "exchangeTables")
+      requireNameFree(b, "exchangeTables")
+      def swap[V](m: scala.collection.concurrent.TrieMap[String, V]): Unit = {
+        val va = m.remove(a); val vb = m.remove(b)
+        va.foreach(m.put(b, _)); vb.foreach(m.put(a, _))
+      }
+      swap(renamePending); swap(droppedPending)
+      swap(readDefaults); swap(insertDefaults); swap(defaultSql)
+      tables.put(a, tb.copy(name = a))
+      tables.put(b, ta.copy(name = b))
+      persistTableDef(tables(a))
+      persistTableDef(tables(b))
+    }}
+  }
 
   // ALTER ADD COLUMN defaults, two lifetimes (values pre-cast to the
   // declared type):

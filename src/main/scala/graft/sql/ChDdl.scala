@@ -140,6 +140,19 @@ object ChDdl {
   final case class AttachTable(table: String) extends Statement
   /** `RENAME TABLE a TO b[, c TO d …]`. */
   final case class RenameTable(pairs: Seq[(String, String)]) extends Statement
+  /** `EXCHANGE TABLES a AND b` — the zero-downtime swap. */
+  final case class ExchangeTables(a: String, b: String) extends Statement
+  /** `CREATE [OR REPLACE] VIEW v AS SELECT …` — a SESSION temp view over
+    * the rewritten select. Catalog sources referenced by the select are
+    * bound as temp views at CREATE, so the view captures a SNAPSHOT of
+    * their file listing (ClickHouse views are live — documented
+    * divergence; the durable live shapes here are the MV cascade and
+    * refreshable views).
+    */
+  final case class CreateView(name: String, selectSql: String,
+                              orReplace: Boolean) extends Statement
+  /** `DROP VIEW [IF EXISTS] v` (session temp views). */
+  final case class DropView(name: String) extends Statement
   /** `DELETE FROM t WHERE p` — ClickHouse's standalone LIGHTWEIGHT delete
     * (deletion vectors, O(matches)), vs `ALTER TABLE … DELETE WHERE`'s
     * full mutation rewrite. Dispatched to
@@ -196,6 +209,13 @@ object ChDdl {
     "(?is)^\\s*ATTACH\\s+TABLE\\s+([`\\w.]+)\\s*$".r
   private val renameTableRe =
     "(?is)^\\s*RENAME\\s+TABLE\\s+(.+)$".r
+  private val exchangeRe =
+    "(?is)^\\s*EXCHANGE\\s+TABLES\\s+([`\\w.]+)\\s+AND\\s+([`\\w.]+)\\s*$".r
+  private val viewRe =
+    ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\s+" +
+      "(?:IF\\s+NOT\\s+EXISTS\\s+)?([`\\w.]+)\\s+AS\\s+(SELECT\\b.*)$").r
+  private val dropViewRe =
+    "(?is)^\\s*DROP\\s+VIEW\\s+(?:IF\\s+EXISTS\\s+)?([`\\w.]+)\\s*$".r
 
   /** Parse `ddl`; a CreateTable is rooted at `path`. */
   def parse(ddl: String, path: String): Statement = {
@@ -230,6 +250,15 @@ object ChDdl {
         }
       }
       return RenameTable(pairs)
+    }
+    exchangeRe.findFirstMatchIn(ddl).foreach { m =>
+      return ExchangeTables(bare(m.group(1)), bare(m.group(2)))
+    }
+    viewRe.findFirstMatchIn(ddl).foreach { m =>
+      return CreateView(bare(m.group(2)), m.group(3).trim, m.group(1) != null)
+    }
+    dropViewRe.findFirstMatchIn(ddl).foreach { m =>
+      return DropView(bare(m.group(1)))
     }
     delFromRe.findFirstMatchIn(ddl).foreach { m =>
       return LightweightDelete(bare(m.group(1)),
@@ -962,6 +991,20 @@ object ChDdl {
         cat.attach(s"$warehouse/$table")
       case RenameTable(pairs) =>
         pairs.foreach { case (a, b) => cat.renameTable(a, b) }
+      case ExchangeTables(a, b) => cat.exchangeTables(a, b)
+      case CreateView(name, select, orReplace) =>
+        // bind every catalog source the select references as a temp view
+        // first, so a view over Catalog tables resolves (snapshot
+        // semantics — doc on the Statement)
+        "(?is)\\b(?:FROM|JOIN)\\s+([`\\w.]+)".r.findAllMatchIn(select)
+          .map(fm => bare(fm.group(1))).toSet[String].foreach { t =>
+            scala.util.Try(cat.get(t)).toOption
+              .foreach(_ => cat.read(t).createOrReplaceTempView(t))
+          }
+        val or = if (orReplace) "OR REPLACE " else ""
+        s.sql(s"CREATE ${or}TEMPORARY VIEW $name AS " +
+          GraftSql.expandFunctions(ChDialect.rewrite(select)))
+      case DropView(name) => s.catalog.dropTempView(name)
       case OptimizeTable(table, dedup, by) =>
         if (dedup) cat.optimizeDeduplicate(table, by) else cat.compact(table)
       case TruncateTable(table) => cat.truncate(table)

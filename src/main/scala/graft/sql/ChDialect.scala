@@ -122,13 +122,18 @@ object ChDialect {
     */
   def rewrite(query: String,
               analyze: Option[String => Seq[String]]): String = {
-    val (masked, literals) = maskLiterals(query)
+    val (masked, lits0) = maskLiterals(query)
+    // MUTABLE literal store: a rewrite that must transform a literal's
+    // CONTENT (formatDateTime's %-pattern → the Spark datetime pattern)
+    // edits its slot here — the only place literal bytes are ever touched,
+    // and only for that documented call shape
+    val literals = lits0.toArray
     // the analyzer sees RESTORED text: the body fragment handed to it
     // still carries literal-mask sentinels, which no parser accepts
     val unmasked = analyze.map(f =>
-      (b: String) => f(restoreLiterals(b, literals)))
-    val rewritten = rewriteSegment(masked, unmasked)
-    restoreLiterals(rewritten, literals)
+      (b: String) => f(restoreLiterals(b, literals.toVector)))
+    val rewritten = rewriteSegment(masked, unmasked, literals)
+    restoreLiterals(rewritten, literals.toVector)
   }
 
   // literals are MASKED (swapped for <idx> tokens) before any
@@ -428,8 +433,50 @@ object ChDialect {
   private def isIdentChar(c: Char): Boolean =
     c.isLetterOrDigit || c == '_'
 
+  /** CH `formatDateTime` %-specifiers → Spark datetime-pattern text.
+    * Non-specifier runs are single-quoted so a literal pattern letter
+    * ('T', 'Z') can never be misread as a Spark pattern char. `%M` is
+    * REFUSED: ClickHouse flipped its meaning (minute → month name) across
+    * versions — `%i` (minute) is unambiguous. Unknown specifiers refuse
+    * loudly rather than silently formatting something else.
+    */
+  private val chFmtSpec: Map[Char, String] = Map(
+    'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'c' -> "MM", 'd' -> "dd",
+    'e' -> "d", 'H' -> "HH", 'h' -> "hh", 'i' -> "mm", 'S' -> "ss",
+    's' -> "ss", 'p' -> "a", 'j' -> "DDD", 'a' -> "EEE", 'W' -> "EEEE",
+    'F' -> "yyyy-MM-dd", 'D' -> "MM/dd/yy", 'T' -> "HH:mm:ss",
+    'R' -> "HH:mm", 'Q' -> "QQ", 'G' -> "yyyy", 'n' -> "\n", 't' -> "\t")
+
+  private[graft] def chDateTimeFormat(fmt: String): String = {
+    val out = new StringBuilder
+    val lit = new StringBuilder
+    def flushLit(): Unit = if (lit.nonEmpty) {
+      out ++= "'" + lit.toString.replace("'", "''") + "'"
+      lit.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt.charAt(i) == '%' && i + 1 < fmt.length) {
+        val c = fmt.charAt(i + 1)
+        if (c == '%') lit += '%'
+        else if (c == 'M') throw new IllegalArgumentException(
+          "formatDateTime %M: ClickHouse changed its meaning across " +
+            "versions (minute vs month name) — use %i for minutes")
+        else chFmtSpec.get(c) match {
+          case Some(p) => flushLit(); out ++= p
+          case None => throw new IllegalArgumentException(
+            s"formatDateTime %$c: unsupported specifier")
+        }
+        i += 2
+      } else { lit += fmt.charAt(i); i += 1 }
+    }
+    flushLit()
+    out.toString
+  }
+
   private def rewriteSegment(seg0: String,
-                             analyze: Option[String => Seq[String]] = None): String = {
+                             analyze: Option[String => Seq[String]] = None,
+                             literals: Array[String] = Array.empty): String = {
     var s = seg0
     // statement-level LIMIT BY first (it re-nests the whole text), then
     // SAMPLE: its replacement emits a derived table whose text must
@@ -505,6 +552,28 @@ object ChDialect {
           s"$fn expects 1 argument, got ${args.length}")
       })
     }
+    // formatDateTime(ts, '%…') → date_format(ts, <translated pattern>):
+    // the %-pattern literal is TRANSLATED IN ITS MASK SLOT (the only
+    // rewrite that edits literal bytes — doc on chDateTimeFormat); a
+    // computed format refuses loudly, CH dashboards always use a literal
+    s = rewriteCall(s, "formatDateTime", {
+      case List(x, f) =>
+        val tok = wtrim(f)
+        val sentRe = (Sentinel + "(\\d+)" + Sentinel).r
+        val idx = sentRe.findFirstMatchIn(tok) match {
+          case Some(sm) if sm.matched == tok => sm.group(1).toInt
+          case _ => throw new IllegalArgumentException(
+            "formatDateTime: the format argument must be a string literal")
+        }
+        val raw = literals(idx)
+        val content = raw.substring(1, raw.length - 1).replace("''", "'")
+        literals(idx) =
+          "'" + chDateTimeFormat(content).replace("'", "''") + "'"
+        s"date_format($x, $tok)"
+      case args => throw new IllegalArgumentException(
+        s"formatDateTime expects (ts, 'format'), got ${args.length} " +
+          "argument(s) — the timezone form is not supported (session UTC)")
+    })
     s = rewriteCall(s, "maxIf", {
       case List(x, p) => s"max(CASE WHEN $p THEN $x END)"
       case args => throw new IllegalArgumentException(
@@ -540,7 +609,8 @@ object ChDialect {
       "toInt16" -> "SMALLINT", "toInt32" -> "INT", "toInt64" -> "BIGINT",
       "toUInt8" -> "SMALLINT", "toUInt16" -> "INT", "toUInt32" -> "BIGINT",
       "toUInt64" -> "BIGINT", "toFloat32" -> "FLOAT",
-      "toFloat64" -> "DOUBLE").foreach { case (fn, ty) =>
+      "toFloat64" -> "DOUBLE", "toDateTime" -> "TIMESTAMP")
+      .foreach { case (fn, ty) =>
       s = rewriteCall(s, fn, {
         case List(x) => s"CAST($x AS $ty)"
         case args => throw new IllegalArgumentException(
@@ -643,10 +713,11 @@ object ChDialect {
     * list is generated explicitly in the body's own column order —
     * ClickHouse preserves the SELECT's declared order; the schema-blind
     * fallback (`coalesce(…) AS col, __q.* EXCEPT (col)`) moves the fill
-    * key first. The unbounded form binds the body to a `WITH __fill_body`
-    * CTE so the min/max bounds and the join source share ONE body subtree
-    * (Catalyst keeps multi-reference CTEs un-inlined and reuses the
-    * subquery result) instead of recomputing the body per bound.
+    * key first. The unbounded form computes BOTH bounds in one aggregate
+    * subquery over the `__fill_body` CTE, so the body evaluates exactly
+    * twice (bounds + join source) instead of three times — Catalyst
+    * INLINES the CTE (observed: tools/FillPlanProbe), so the
+    * single-aggregate shape, not the CTE, is what bounds the work.
     *
     * INTERPOLATE (analyze hook required): `(c)` carries the last actual
     * (non-filled) row's value forward into filled rows — CH's default
@@ -702,11 +773,14 @@ object ChDialect {
              |   SELECT explode(sequence($a, $b, $step)) AS __v) __sq
              | WHERE $keep)""".stripMargin
         case (None, None) =>
+          // BOTH bounds from one aggregate pass (two scalar subqueries
+          // would re-evaluate the body per bound — Spark inlines the CTE,
+          // so the single-aggregate shape is what actually bounds the
+          // body evaluations: one for the bounds + one as the join source)
           val (lo, hi) = if (desc) ("max", "min") else ("min", "max")
-          s"""(SELECT explode(sequence(
-             |   (SELECT $lo($col) FROM __fill_body),
-             |   (SELECT $hi($col) FROM __fill_body),
-             |   $step)) AS __fill_x)""".stripMargin
+          s"""(SELECT explode(sequence(__fb.__lo, __fb.__hi, $step)) AS __fill_x
+             | FROM (SELECT $lo($col) AS __lo, $hi($col) AS __hi
+             |       FROM __fill_body) __fb)""".stripMargin
         case _ => throw new IllegalArgumentException(
           "WITH FILL: FROM and TO must be given together (or both omitted " +
             "for the body's own min..max)")

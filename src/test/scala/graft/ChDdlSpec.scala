@@ -716,6 +716,35 @@ class ChDdlSpec extends SparkSpecBase {
     ChDdl.execute(cat, spark, "DROP TABLE IF EXISTS t2", dir)
   }
 
+  test("EXCHANGE TABLES swaps registrations; CREATE/DROP VIEW bind session views") {
+    import spark.implicits._
+    val cat = new Catalog(spark)
+    val dir = tmpDir("chxchg")
+    ChDdl.runScript(cat, spark,
+      """CREATE TABLE live (`k` UInt64, `v` Float64) ENGINE = MergeTree ORDER BY k;
+        |CREATE TABLE staged (`k` UInt64, `v` Float64) ENGINE = MergeTree ORDER BY k
+        |""".stripMargin, dir)
+    cat.append("live", Seq((1L, 1.0)).toDF("k", "v"))
+    cat.append("staged", Seq((2L, 2.0), (3L, 3.0)).toDF("k", "v"))
+    // the zero-downtime swap idiom: rebuilt table in, old table out
+    ChDdl.execute(cat, spark, "EXCHANGE TABLES live AND staged", dir)
+    cat.read("live").count() shouldBe 2L
+    cat.read("staged").count() shouldBe 1L
+    // both sidecars re-persisted under the swapped names
+    val cat2 = new Catalog(spark)
+    cat2.attach(s"$dir/staged").name shouldBe "live"
+    // a view over a catalog table: bound at CREATE, queryable in SQL
+    ChDdl.execute(cat, spark,
+      "CREATE VIEW big_rows AS SELECT k, v FROM live PREWHERE v >= 2",
+      dir)
+    spark.sql("SELECT count(*) FROM big_rows").head().getLong(0) shouldBe 2L
+    ChDdl.execute(cat, spark, "DROP VIEW big_rows", dir)
+    intercept[Exception] { spark.sql("SELECT * FROM big_rows").collect() }
+    intercept[IllegalArgumentException] {
+      ChDdl.execute(cat, spark, "EXCHANGE TABLES live AND live", dir)
+    }
+  }
+
   test("JSON column type: variant storage, string ingest, typed extraction") {
     import org.apache.spark.sql.functions._
     val cat = new Catalog(spark)

@@ -287,6 +287,26 @@ class ChSqlSpec extends SparkSpecBase {
     }
   }
 
+  test("formatDateTime translates %-patterns; toDateTime casts") {
+    // specifiers translate, literal runs are quoted so pattern letters
+    // can't leak, %% stays a percent
+    chEqualsSpark(
+      "SELECT formatDateTime(toDateTime(1234567), '%Y-%m-%d %H:%i:%S') AS a, " +
+        "formatDateTime(toDateTime(1234567), '%FT%T') AS b, " +
+        "formatDateTime(toDateTime(1234567), 'day %e at %H%%') AS c",
+      "SELECT date_format(CAST(1234567 AS TIMESTAMP), 'yyyy-MM-dd HH:mm:ss') AS a, " +
+        "date_format(CAST(1234567 AS TIMESTAMP), \"yyyy-MM-dd'T'HH:mm:ss\") AS b, " +
+        "date_format(CAST(1234567 AS TIMESTAMP), \"'day 'd' at 'HH'%'\") AS c")
+    // %M is ambiguous across CH versions (minute vs month name) — refused
+    intercept[IllegalArgumentException] {
+      ChDialect.rewrite("SELECT formatDateTime(ts, '%H:%M') FROM t")
+    }
+    // a computed format has no literal slot to translate — refused
+    intercept[IllegalArgumentException] {
+      ChDialect.rewrite("SELECT formatDateTime(ts, concat(a, b)) FROM t")
+    }
+  }
+
   test("ORDER BY WITH FILL injects missing grid rows and keeps real ones") {
     // explicit bounds: FROM inclusive, TO exclusive, STEP honored —
     // regionkeys are 0..4, so the grid 0..8 step 2 injects 6 and 8 while
