@@ -1503,6 +1503,14 @@ final class Catalog(spark: SparkSession) {
   def insertDefaultColumns(name: String): Set[String] =
     insertDefaults.getOrElse(name, Map.empty).keySet
 
+  /** The declared insert DEFAULT of one column, Column form — the text
+    * insert doors coalesce per-row ABSENT fields with it (CH's
+    * JSONEachRow semantics: a missing field takes the declared default,
+    * else the type default).
+    */
+  def insertDefault(name: String, column: String): Option[Column] =
+    insertDefaults.getOrElse(name, Map.empty).get(column)
+
   private def fillOmittedDefaults(name: String, batch: DataFrame): DataFrame =
     insertDefaults.getOrElse(name, Map.empty).foldLeft(batch) {
       case (d, (c, v)) if !d.columns.contains(c) => d.withColumn(c, v)

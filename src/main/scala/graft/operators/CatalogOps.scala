@@ -649,6 +649,39 @@ object CatalogOps extends QueryModule {
         .orderBy(col("etype"))
     }),
 
+    // The CH-CLI data doors through the gate: inline `INSERT … FORMAT
+    // JSONEachRow` (a sparse row takes the declared DEFAULT / type
+    // default per field) and `INSERT … FORMAT CSV` (partial column list,
+    // quoted separator, empty trailing field), then `SELECT … INTO
+    // OUTFILE … FORMAT JSONEachRow` exports ONE file that is re-read as
+    // the result — the oracle recomputes all four rows from literals, so
+    // insert-parse, fills, export, and re-read must compose losslessly.
+    "cat_insert_format" -> ((s, d) => {
+      val cat = new Catalog(s)
+      val tmp = scratchDir("graft-cat-insfmt")
+      graft.sql.ChDdl.runScript(cat, s,
+        """CREATE TABLE fmt_t (
+          |  `k` UInt64,
+          |  `name` String,
+          |  `v` Float64,
+          |  `tag` String DEFAULT upper('z')
+          |) ENGINE = MergeTree
+          |ORDER BY k""".stripMargin, tmp.toString)
+      graft.sql.ChDdl.execute(cat, s,
+        "INSERT INTO fmt_t FORMAT JSONEachRow\n" +
+          "{\"k\": 1, \"name\": \"a\", \"v\": 1.5, \"tag\": \"m\"}\n" +
+          "{\"k\": 2, \"name\": \"b\"}", tmp.toString)
+      graft.sql.ChDdl.execute(cat, s,
+        "INSERT INTO fmt_t (k, name, v) FORMAT CSV\n3,c,2.5\n4,\"d,d\",",
+        tmp.toString)
+      cat.read("fmt_t").createOrReplaceTempView("fmt_t")
+      val out = tmp.resolve("export.jsonl").toString
+      graft.sql.GraftSql.chSql(s, d,
+        s"SELECT k, name, v, tag FROM fmt_t INTO OUTFILE '$out' " +
+          "FORMAT JSONEachRow")
+      s.read.schema(cat.get("fmt_t").schema).json(out).orderBy(col("k"))
+    }),
+
     // Exact set(N) skip index through the correctness gate: the IN-probe
     // scan reads only the files whose stored value set intersects the
     // probe (CatalogOpsSpec counts the skipped files); the oracle runs
@@ -1462,6 +1495,17 @@ object CatalogOps extends QueryModule {
         |  (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 30 * 86400
         |   FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // every inline row restated as literals, fills included (row 2: v
+    // absent → 0.0 type default, tag absent → declared DEFAULT 'Z';
+    // row 4: quoted comma survives CSV, empty field → 0.0)
+    "cat_insert_format" ->
+      """SELECT * FROM (VALUES
+        |  (1::BIGINT, 'a', 1.5::DOUBLE, 'm'),
+        |  (2, 'b', 0.0, 'Z'),
+        |  (3, 'c', 2.5, 'Z'),
+        |  (4, 'd,d', 0.0, 'Z')) t(k, name, v, tag)
+        |ORDER BY k""".stripMargin,
 
     // on the ORIGINAL table: exact-set pruning must be invisible
     "cat_set_scan" ->

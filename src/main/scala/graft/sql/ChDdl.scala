@@ -79,6 +79,17 @@ object ChDdl {
     */
   final case class InsertValues(target: String, columns: Seq[String],
                                 valuesSql: String) extends Statement
+  /** `INSERT INTO t [(cols…)] FORMAT JSONEachRow|CSV|TSV… <payload>` —
+    * the CH-CLI inline-data insert. Payload lines parse against the
+    * declared sub-schema; per-row ABSENT fields take the column's
+    * declared DEFAULT when one exists, else the CH type default (the
+    * JSONEachRow semantics); omitted columns fill like InsertValues.
+    * Feed FORMAT payloads through execute(), not runScript — the script
+    * splitter would cut a payload containing `;`.
+    */
+  final case class InsertFormat(target: String, columns: Seq[String],
+                                format: String, payload: String)
+    extends Statement
   final case class InsertSelect(target: String, source: String,
                                 selectSql: String) extends Statement
   /** `CREATE TABLE t ENGINE … ORDER BY … AS SELECT …` — CTAS, the
@@ -177,6 +188,9 @@ object ChDdl {
   private val insValRe =
     ("(?is)^\\s*INSERT\\s+INTO\\s+([`\\w.]+)\\s*(?:\\(([^)]*)\\)\\s*)?" +
       "VALUES\\s+(.+)$").r
+  private val insFmtRe =
+    ("(?is)^\\s*INSERT\\s+INTO\\s+([`\\w.]+)\\s*(?:\\(([^)]*)\\)\\s*)?" +
+      "FORMAT\\s+(\\w+)[ \\t]*\\r?\\n(.+)$").r
   private val fromRe = "(?is)\\bFROM\\s+([`\\w.]+)".r
 
   private def bare(n: String): String = n.replace("`", "").split('.').last
@@ -283,6 +297,11 @@ object ChDdl {
       val sel = m.group(3).trim
       return CreateMaterializedView(bare(m.group(1)), bare(m.group(2)),
         sourceOf(sel, "CREATE MATERIALIZED VIEW"), sel)
+    }
+    insFmtRe.findFirstMatchIn(ddl).foreach { m =>
+      val cols = Option(m.group(2)).toSeq.flatMap(c =>
+        splitTopLevel(c).map(_.trim.replace("`", "")).filter(_.nonEmpty))
+      return InsertFormat(bare(m.group(1)), cols, m.group(3), m.group(4))
     }
     insValRe.findFirstMatchIn(ddl).foreach { m =>
       val cols = Option(m.group(2)).toSeq.flatMap(c =>
@@ -951,6 +970,54 @@ object ChDdl {
               "the column or declare a DEFAULT to avoid the divergence"))
         val filled = omitted.foldLeft(typed)((d, f) =>
           d.withColumn(f.name, chTypeDefault(f.dataType)))
+        cat.append(target, filled)
+      case InsertFormat(target, cols, format, payload) =>
+        val t = cat.get(target)
+        val matSet = t.materializedCols.map(_._1).toSet
+        val insertable = t.schema.fields.filterNot(f => matSet(f.name))
+        val names = if (cols.nonEmpty) cols else insertable.map(_.name).toSeq
+        names.foreach { n =>
+          require(!matSet(n),
+            s"INSERT INTO $target: $n is MATERIALIZED — computed at " +
+              "insert, never supplied")
+          require(t.schema.fieldNames.contains(n),
+            s"INSERT INTO $target: unknown column $n")
+        }
+        val lines = payload.linesIterator.filter(_.trim.nonEmpty).toSeq
+        require(lines.nonEmpty,
+          s"INSERT INTO $target FORMAT $format: empty payload")
+        val subSchema = StructType(names.map(n =>
+          t.schema(t.schema.fieldIndex(n)).copy(nullable = true)))
+        import s.implicits._
+        val ds = s.createDataset(lines)
+        def csv(sep: String, header: Boolean) =
+          s.read.schema(subSchema).option("sep", sep)
+            .option("header", header.toString).csv(ds)
+        val parsed = format.toLowerCase match {
+          case "jsoneachrow" | "ndjson" | "jsonlines" =>
+            s.read.schema(subSchema).json(ds)
+          case "csv" => csv(",", header = false)
+          case "csvwithnames" => csv(",", header = true)
+          case "tsv" | "tabseparated" => csv("\t", header = false)
+          case "tsvwithnames" | "tabseparatedwithnames" => csv("\t", header = true)
+          case other => throw new IllegalArgumentException(
+            s"INSERT INTO $target FORMAT $other: supported inline formats " +
+              "are JSONEachRow, CSV[WithNames], TSV/TabSeparated[WithNames]")
+        }
+        // per-row ABSENT fields (null after the schema'd parse): the
+        // declared DEFAULT when one exists, else the CH type default —
+        // exactly the JSONEachRow fill semantics
+        val byName = t.schema.fields.map(f => f.name -> f.dataType).toMap
+        val typed = names.foldLeft(parsed)((d, n) =>
+          d.withColumn(n, org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.col(n).cast(byName(n)),
+            cat.insertDefault(target, n)
+              .getOrElse(chTypeDefault(byName(n))))))
+        val altered = cat.insertDefaultColumns(target)
+        val filled = insertable.filterNot(f =>
+            names.contains(f.name) || altered(f.name))
+          .foldLeft(typed)((d, f) =>
+            d.withColumn(f.name, chTypeDefault(f.dataType)))
         cat.append(target, filled)
       case AlterTable(table, cmds) => cmds.foreach {
         case AddColumnCmd(field, defaultSql) =>

@@ -346,7 +346,61 @@ object GraftSql {
     * Spark SQL, then runs through [[sql]] — so a user can paste the
     * reference's queries as written.
     */
+  private val outfileRe =
+    "(?is)^(.*\\S)\\s+INTO\\s+OUTFILE\\s+'([^']+)'(?:\\s+FORMAT\\s+(\\w+))?\\s*$".r
+
+  /** CH CLI `SELECT … INTO OUTFILE 'path' [FORMAT fmt]`: runs the inner
+    * query and writes ONE file at `path` (the CH shape — a single file,
+    * single-writer; Spark stages a directory and the lone part moves into
+    * place). Default format TabSeparated, like the CLI. Returns a one-row
+    * (path, format, rows) summary frame. Refuses an existing path (CH
+    * errors too — an export must never silently clobber).
+    */
+  private def exportOutfile(s: SparkSession, sfDir: String, inner: String,
+                            path: String, fmt: Option[String]): DataFrame = {
+    val target = java.nio.file.Paths.get(path)
+    require(!java.nio.file.Files.exists(target),
+      s"INTO OUTFILE $path: file exists (ClickHouse refuses to overwrite)")
+    val df = chSql(s, sfDir, inner)
+    val rows = df.count()
+    val format = fmt.map(_.toLowerCase).getOrElse("tabseparated")
+    val stage = java.nio.file.Files.createTempDirectory("graft-outfile")
+    val stageDir = stage.resolve("out").toString
+    val one = df.coalesce(1)
+    format match {
+      case "csv" => one.write.option("header", "false").csv(stageDir)
+      case "csvwithnames" => one.write.option("header", "true").csv(stageDir)
+      case "tsv" | "tabseparated" =>
+        one.write.option("sep", "\t").option("header", "false").csv(stageDir)
+      case "tsvwithnames" | "tabseparatedwithnames" =>
+        one.write.option("sep", "\t").option("header", "true").csv(stageDir)
+      case "jsoneachrow" | "ndjson" | "jsonlines" => one.write.json(stageDir)
+      case "parquet" => one.write.parquet(stageDir)
+      case other => throw new IllegalArgumentException(
+        s"INTO OUTFILE FORMAT $other: supported exports are CSV[WithNames], " +
+          "TSV/TabSeparated[WithNames], JSONEachRow, Parquet")
+    }
+    val found = {
+      import scala.jdk.CollectionConverters._
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(stageDir))
+      try listing.iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(
+          s"INTO OUTFILE $path: no part file written"))
+      finally listing.close()
+    }
+    Option(target.getParent)
+      .foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.move(found, target)
+    import s.implicits._
+    Seq((path, format, rows)).toDF("path", "format", "rows")
+  }
+
   def chSql(s: SparkSession, sfDir: String, query: String): DataFrame = {
+    outfileRe.findFirstMatchIn(query).foreach { m =>
+      return exportOutfile(s, sfDir, m.group(1), m.group(2),
+        Option(m.group(3)))
+    }
     // the analyzer hook gives schema-needing rewrites (WITH FILL column
     // order, INTERPOLATE) the body's output columns — an analysis-only
     // probe (DataFrame creation never executes). Views/functions register

@@ -745,6 +745,43 @@ class ChDdlSpec extends SparkSpecBase {
     }
   }
 
+  test("INSERT FORMAT inline payloads and INTO OUTFILE exports") {
+    val cat = new Catalog(spark)
+    val dir = tmpDir("chfmt")
+    ChDdl.createTable(cat,
+      """CREATE TABLE ft (
+        |  `k` UInt64, `name` String, `v` Float64
+        |) ENGINE = MergeTree ORDER BY k""".stripMargin, s"$dir/ft")
+    // TSVWithNames: header consumed, tab separation, typed parse
+    ChDdl.execute(cat, spark,
+      "INSERT INTO ft FORMAT TSVWithNames\nk\tname\tv\n7\tx y\t1.25", dir)
+    val r = cat.read("ft").head()
+    (r.getLong(0), r.getString(1), r.getDouble(2)) shouldBe ((7L, "x y", 1.25))
+    // refusals: unknown format, empty payload
+    intercept[IllegalArgumentException] {
+      ChDdl.execute(cat, spark, "INSERT INTO ft FORMAT Native\nxx", dir)
+    }
+    intercept[IllegalArgumentException] {
+      ChDdl.execute(cat, spark, "INSERT INTO ft FORMAT CSV\n  ", dir)
+    }
+    // OUTFILE: single file lands at the path; an existing path refuses
+    cat.read("ft").createOrReplaceTempView("ft")
+    val out = s"$dir/ft_export.csv"
+    val summary = GraftSql.chSql(spark, sf0001,
+      s"SELECT k, name, v FROM ft INTO OUTFILE '$out' FORMAT CSVWithNames")
+      .head()
+    summary.getLong(2) shouldBe 1L
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(out))
+    lines.size shouldBe 2
+    lines.get(0) shouldBe "k,name,v"
+    lines.get(1) shouldBe "7,x y,1.25"
+    intercept[IllegalArgumentException] {
+      GraftSql.chSql(spark, sf0001,
+        s"SELECT k FROM ft INTO OUTFILE '$out' FORMAT CSV")
+    }
+  }
+
   test("JSON column type: variant storage, string ingest, typed extraction") {
     import org.apache.spark.sql.functions._
     val cat = new Catalog(spark)
