@@ -95,6 +95,31 @@ object FuncDepth extends QueryModule {
         .orderBy(col("p_partkey"))
     }),
 
+    // The CH higher-order array family THROUGH THE DIALECT: lambda-first
+    // argument order (arrayMap/Filter/Exists/All/Count/First/FirstIndex)
+    // swapped to Spark's array-first builtins plus the rename tier
+    // (arraySort/Distinct/Slice/StringConcat), run as pasted CH text —
+    // all codegen-adjacent builtins, no UDFs. Booleans cast to INT so
+    // the cross-engine render agrees; arrayFirst coalesced to '' (CH's
+    // type default — the documented NULL-vs-default stance).
+    "fn_array_lambda" -> ((s, d) =>
+      graft.sql.GraftSql.chSql(s, d,
+        """SELECT doc_id,
+          |  arrayCount(t -> t != '', toks) AS n_toks,
+          |  arrayStringConcat(
+          |    arrayMap(t -> upper(t),
+          |      arrayFilter(t -> length(t) >= 6, toks)), '|') AS big_up,
+          |  coalesce(arrayFirst(t -> length(t) >= 6, toks), '') AS first_big,
+          |  arrayFirstIndex(t -> length(t) >= 6, toks) AS first_big_at,
+          |  arrayUniq(toks) AS u,
+          |  CAST(arrayExists(t -> t = 'the', toks) AS INT) AS has_the,
+          |  CAST(arrayAll(t -> t != '', toks) AS INT) AS all_full,
+          |  arrayStringConcat(
+          |    arraySlice(arraySort(arrayDistinct(toks)), 2, 3), ',') AS mid3
+          |FROM (SELECT doc_id, splitByChar(' ', text) AS toks
+          |      FROM documents WHERE doc_id < 200) t
+          |ORDER BY doc_id""".stripMargin)),
+
     // Geo family (`greatCircleDistance`/`geoDistance` + the bounding-box
     // prefilter pattern): coordinates synthesized deterministically from
     // event ids (pure integer arithmetic — both engines derive identical
@@ -489,6 +514,30 @@ object FuncDepth extends QueryModule {
         |    [CAST(p_size AS BIGINT), (p_size*3) % 7, length(p_name) % 5] AS n
         |  FROM part WHERE p_name LIKE '%widget%')
         |ORDER BY p_partkey""".stripMargin,
+
+    // DuckDB's list lambdas restate each rewrite natively; list slicing
+    // [2:4] = 1-based inclusive bounds = slice(arr, 2, 3). big_up/mid3
+    // coalesced: DuckDB's array_to_string of an EMPTY list yields NULL
+    // where Spark's array_join yields ''
+    "fn_array_lambda" ->
+      """SELECT doc_id,
+        |  len(list_filter(toks, t -> t != '')) AS n_toks,
+        |  coalesce(array_to_string(list_transform(
+        |    list_filter(toks, t -> len(t) >= 6), t -> upper(t)), '|'), '')
+        |    AS big_up,
+        |  coalesce(list_filter(toks, t -> len(t) >= 6)[1], '') AS first_big,
+        |  coalesce(list_position(
+        |    list_transform(toks, t -> len(t) >= 6), true), 0) AS first_big_at,
+        |  len(list_distinct(toks)) AS u,
+        |  CASE WHEN len(list_filter(toks, t -> t = 'the')) > 0
+        |       THEN 1 ELSE 0 END AS has_the,
+        |  CASE WHEN len(list_filter(toks, t -> t = '')) = 0
+        |       THEN 1 ELSE 0 END AS all_full,
+        |  coalesce(array_to_string(
+        |    list_sort(list_distinct(toks))[2:4], ','), '') AS mid3
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |      FROM documents WHERE doc_id < 200) t
+        |ORDER BY doc_id""".stripMargin,
 
     "fn_geo" ->
       """SELECT CAST(floor(dist_km / 2000) AS BIGINT) AS band,

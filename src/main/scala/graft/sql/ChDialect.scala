@@ -198,6 +198,17 @@ object ChDialect {
     ("(?i)\\bhas\\(".r, "array_contains("),
     ("(?i)\\bindexOf\\(".r, "array_position("),
     ("(?i)\\barrayStringConcat\\(".r, "array_join("),
+    ("(?i)\\barrayReverse\\(".r, "reverse("),
+    ("(?i)\\barraySort\\(".r, "array_sort("),
+    ("(?i)\\barrayFlatten\\(".r, "flatten("),
+    ("(?i)\\barrayConcat\\(".r, "concat("),
+    ("(?i)\\barrayDistinct\\(".r, "array_distinct("),
+    // try_: CH's out-of-bounds arrayElement yields the type default —
+    // NULL here (the documented stance); ANSI element_at would throw
+    ("(?i)\\barrayElement\\(".r, "try_element_at("),
+    ("(?i)\\barrayPushBack\\(".r, "array_append("),
+    ("(?i)\\barrayPushFront\\(".r, "array_prepend("),
+    ("(?i)\\barrayZip\\(".r, "arrays_zip("),
     ("(?i)\\blengthUTF8\\(".r, "char_length("),
     ("(?i)\\buniq\\(".r, "approx_count_distinct("),
     ("(?i)\\bcityHash64\\(".r, "xxhash64("),
@@ -534,6 +545,65 @@ object ChDialect {
       args => s"count(DISTINCT ${args.mkString(", ")})")
     s = rewriteCall(s, "countDistinct",
       args => s"count(DISTINCT ${args.mkString(", ")})")
+    // the CH higher-order array family: lambda-FIRST argument order swaps
+    // to Spark's array-first builtins (identical `x -> expr` lambda
+    // syntax both sides, so the lambda text passes through verbatim).
+    // All codegen-adjacent builtins — no UDFs.
+    s = rewriteCall(s, "arrayMap", {
+      case List(f, a) => s"transform($a, $f)"
+      case List(f, a, b) => s"zip_with($a, $b, $f)" // the 2-array lockstep
+      case args => throw new IllegalArgumentException(
+        s"arrayMap expects (lambda, arr[, arr2]), got ${args.length}")
+    })
+    s = rewriteCall(s, "arrayFilter", {
+      case List(f, a) => s"filter($a, $f)"
+      case args => throw new IllegalArgumentException(
+        s"arrayFilter expects (lambda, arr), got ${args.length}")
+    })
+    s = rewriteCall(s, "arrayExists", {
+      case List(f, a) => s"exists($a, $f)"
+      case args => throw new IllegalArgumentException(
+        s"arrayExists expects (lambda, arr), got ${args.length}")
+    })
+    s = rewriteCall(s, "arrayAll", {
+      case List(f, a) => s"forall($a, $f)"
+      case args => throw new IllegalArgumentException(
+        s"arrayAll expects (lambda, arr), got ${args.length}")
+    })
+    s = rewriteCall(s, "arrayCount", {
+      case List(f, a) => s"size(filter($a, $f))"
+      case args => throw new IllegalArgumentException(
+        s"arrayCount expects (lambda, arr), got ${args.length}")
+    })
+    // first match / its 1-based position; NO match: Spark NULL / 0 where
+    // CH yields the type default / 0 (the NULL-vs-default stance — wrap
+    // in coalesce where the default matters)
+    s = rewriteCall(s, "arrayFirst", {
+      case List(f, a) => s"try_element_at(filter($a, $f), 1)"
+      case args => throw new IllegalArgumentException(
+        s"arrayFirst expects (lambda, arr), got ${args.length}")
+    })
+    s = rewriteCall(s, "arrayFirstIndex", {
+      case List(f, a) => s"array_position(transform($a, $f), true)"
+      case args => throw new IllegalArgumentException(
+        s"arrayFirstIndex expects (lambda, arr), got ${args.length}")
+    })
+    s = rewriteCall(s, "arrayUniq", {
+      case List(a) => s"size(array_distinct($a))"
+      case args => throw new IllegalArgumentException(
+        s"arrayUniq expects 1 array, got ${args.length}")
+    })
+    s = rewriteCall(s, "arraySlice", {
+      case List(a, off) => s"slice($a, $off, size($a))"
+      case List(a, off, len) => s"slice($a, $off, $len)"
+      case args => throw new IllegalArgumentException(
+        s"arraySlice expects (arr, offset[, length]), got ${args.length}")
+    })
+    s = rewriteCall(s, "arrayEnumerate", {
+      case List(a) => s"sequence(1, size($a))"
+      case args => throw new IllegalArgumentException(
+        s"arrayEnumerate expects 1 array, got ${args.length}")
+    })
     // toStartOfInterval(ts, INTERVAL n unit) → epoch-grid floor (the
     // arbitrary-width bucket date_trunc can't express); calendar units
     // refuse loudly in intervalSeconds

@@ -287,6 +287,31 @@ class ChSqlSpec extends SparkSpecBase {
     }
   }
 
+  test("higher-order array family: lambda-first order swaps to Spark builtins") {
+    chEqualsSpark(
+      """SELECT n_name,
+        |  arrayMap(x -> x * 2, arrayFilter(x -> x % 2 = 0,
+        |    arrayEnumerate(splitByChar(' ', n_name)))) AS evens2,
+        |  arrayCount(x -> x != '', splitByChar('A', n_name)) AS chunks,
+        |  arrayMap((x, y) -> x + y, array(1, 2), array(10, 20)) AS zipped
+        |FROM nation WHERE n_regionkey = 0 ORDER BY n_name""".stripMargin,
+      """SELECT n_name,
+        |  transform(filter(sequence(1, size(split(n_name, '\\Q \\E'))),
+        |    x -> x % 2 = 0), x -> x * 2) AS evens2,
+        |  size(filter(split(n_name, '\\QA\\E'), x -> x != '')) AS chunks,
+        |  zip_with(array(1, 2), array(10, 20), (x, y) -> x + y) AS zipped
+        |FROM nation WHERE n_regionkey = 0 ORDER BY n_name""".stripMargin)
+    chEqualsSpark(
+      "SELECT arrayFirst(x -> x > 2, array(1, 5, 3)) AS f, " +
+        "arrayFirstIndex(x -> x > 2, array(1, 5, 3)) AS fi, " +
+        "arrayFirstIndex(x -> x > 9, array(1, 5, 3)) AS none, " +
+        "arrayUniq(array(1, 2, 2, 3)) AS u, " +
+        "arraySlice(array(1, 2, 3, 4), 2) AS tail_s, " +
+        "arrayElement(array(7, 8), -1) AS last_e",
+      "SELECT 5 AS f, 2L AS fi, 0L AS none, 3 AS u, " +
+        "array(2, 3, 4) AS tail_s, 8 AS last_e")
+  }
+
   test("formatDateTime translates %-patterns; toDateTime casts") {
     // specifiers translate, literal runs are quoted so pattern letters
     // can't leak, %% stays a percent

@@ -91,6 +91,25 @@ class SqlParitySpec extends SparkSpecBase {
         |  ON q.bucket = g.x
         |ORDER BY bucket""".stripMargin,
 
+    // DuckDB list lambdas → Spark higher-order builtins (same lambdas)
+    "fn_array_lambda" ->
+      """SELECT doc_id,
+        |  size(filter(toks, t -> t != '')) AS n_toks,
+        |  array_join(transform(filter(toks, t -> length(t) >= 6),
+        |    t -> upper(t)), '|') AS big_up,
+        |  coalesce(try_element_at(filter(toks, t -> length(t) >= 6), 1), '')
+        |    AS first_big,
+        |  array_position(transform(toks, t -> length(t) >= 6), true)
+        |    AS first_big_at,
+        |  size(array_distinct(toks)) AS u,
+        |  CAST(exists(toks, t -> t = 'the') AS INT) AS has_the,
+        |  CAST(forall(toks, t -> t != '') AS INT) AS all_full,
+        |  array_join(slice(array_sort(array_distinct(toks)), 2, 3), ',')
+        |    AS mid3
+        |FROM (SELECT doc_id, split(text, '\\Q \\E') AS toks
+        |      FROM documents WHERE doc_id < 200) t
+        |ORDER BY doc_id""".stripMargin,
+
     // DuckDB epoch() → Spark unix_timestamp (same floor-seconds clock)
     "cat_ddl_ttl" ->
       """SELECT event_type AS etype, count(*) AS n,
