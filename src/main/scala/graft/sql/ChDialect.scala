@@ -40,6 +40,15 @@ package graft.sql
   *     `multiIf(…)` → the CASE chain; function-form casts (`toString`,
   *     the `toIntN`/`toUIntN`/`toFloatN` families) → `CAST(… AS T)`
   *     with the same widen-unsigned mapping as the `::` table
+  *   - the higher-order array family (lambda-FIRST → array-first:
+  *     `arrayMap/Filter/Exists/All/Count/First/FirstIndex` →
+  *     `transform/filter/exists/forall/…`, 2-array map → `zip_with`),
+  *     the array rename tier (`arraySort/Reverse/Flatten/Concat/
+  *     Distinct/Element/PushBack/PushFront/Zip/Uniq/Slice/Enumerate`),
+  *     the string tier (`replaceAll/replaceRegexpAll/match/startsWith/
+  *     endsWith/leftPad/rightPad/trimLeft/trimRight/trimBoth`, the UTF8
+  *     spellings, `concatWithSeparator`), and the map accessors
+  *     (`mapKeys/mapValues/mapContains`)
   *   - `cityHash64`/`sipHash64` → `xxhash64` (same bucketing role;
   *     hash VALUES differ — do not compare digests across engines)
   *   - table modifiers: `FINAL` stripped (catalog reads ARE the merged
@@ -209,6 +218,26 @@ object ChDialect {
     ("(?i)\\barrayPushBack\\(".r, "array_append("),
     ("(?i)\\barrayPushFront\\(".r, "array_prepend("),
     ("(?i)\\barrayZip\\(".r, "arrays_zip("),
+    // everyday string tier: literal replace, regex replace/match, affix
+    // probes, padding, one-sided trims — plain renames (same arg order)
+    ("(?i)\\breplaceAll\\(".r, "replace("),
+    ("(?i)\\breplaceRegexpAll\\(".r, "regexp_replace("),
+    ("(?i)\\bmatch\\(".r, "regexp_like("),
+    ("(?i)\\bstartsWith\\(".r, "startswith("),
+    ("(?i)\\bendsWith\\(".r, "endswith("),
+    ("(?i)\\bleftPad\\(".r, "lpad("),
+    ("(?i)\\brightPad\\(".r, "rpad("),
+    ("(?i)\\btrimLeft\\(".r, "ltrim("),
+    ("(?i)\\btrimRight\\(".r, "rtrim("),
+    ("(?i)\\btrimBoth\\(".r, "trim("),
+    ("(?i)\\bsubstringUTF8\\(".r, "substring("),
+    ("(?i)\\blowerUTF8\\(".r, "lower("),
+    ("(?i)\\bupperUTF8\\(".r, "upper("),
+    ("(?i)\\bconcatWithSeparator\\(".r, "concat_ws("),
+    // map accessors over MAP columns
+    ("(?i)\\bmapKeys\\(".r, "map_keys("),
+    ("(?i)\\bmapValues\\(".r, "map_values("),
+    ("(?i)\\bmapContains\\(".r, "map_contains_key("),
     ("(?i)\\blengthUTF8\\(".r, "char_length("),
     ("(?i)\\buniq\\(".r, "approx_count_distinct("),
     ("(?i)\\bcityHash64\\(".r, "xxhash64("),

