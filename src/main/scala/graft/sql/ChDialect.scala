@@ -485,7 +485,7 @@ object ChDialect {
     'e' -> "d", 'H' -> "HH", 'h' -> "hh", 'i' -> "mm", 'S' -> "ss",
     's' -> "ss", 'p' -> "a", 'j' -> "DDD", 'a' -> "EEE", 'W' -> "EEEE",
     'F' -> "yyyy-MM-dd", 'D' -> "MM/dd/yy", 'T' -> "HH:mm:ss",
-    'R' -> "HH:mm", 'Q' -> "QQ", 'G' -> "yyyy", 'n' -> "\n", 't' -> "\t")
+    'R' -> "HH:mm", 'Q' -> "Q", 'n' -> "\n", 't' -> "\t")
 
   private[graft] def chDateTimeFormat(fmt: String): String = {
     val out = new StringBuilder

@@ -362,7 +362,6 @@ object GraftSql {
     require(!java.nio.file.Files.exists(target),
       s"INTO OUTFILE $path: file exists (ClickHouse refuses to overwrite)")
     val df = chSql(s, sfDir, inner)
-    val rows = df.count()
     val format = fmt.map(_.toLowerCase).getOrElse("tabseparated")
     val stage = java.nio.file.Files.createTempDirectory("graft-outfile")
     val stageDir = stage.resolve("out").toString
@@ -392,6 +391,24 @@ object GraftSql {
     Option(target.getParent)
       .foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.move(found, target)
+    // the row count comes from the WRITTEN file, never a second query
+    // execution (a non-deterministic inner query could otherwise report
+    // a different count than it exported): parquet reads footers only,
+    // JSONEachRow counts lines (JSON escapes newlines, one row per
+    // line), CSV/TSV re-parse multiLine-aware (quoted embedded newlines)
+    val header = (format.endsWith("withnames")).toString
+    val rows = format match {
+      case "parquet" => s.read.parquet(path).count()
+      case f if f.startsWith("csv") =>
+        s.read.option("header", header).option("multiLine", "true")
+          .csv(path).count()
+      case f if f.startsWith("tsv") || f.startsWith("tabseparated") =>
+        s.read.option("header", header).option("multiLine", "true")
+          .option("sep", "\t").csv(path).count()
+      case _ =>
+        val lineStream = java.nio.file.Files.lines(target)
+        try lineStream.count() finally lineStream.close()
+    }
     import s.implicits._
     Seq((path, format, rows)).toDF("path", "format", "rows")
   }
