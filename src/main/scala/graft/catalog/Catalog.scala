@@ -1098,6 +1098,10 @@ final class Catalog(spark: SparkSession) {
         m.remove(from).foreach(v => m.put(to, v))
       move(renamePending); move(droppedPending)
       move(readDefaults); move(insertDefaults); move(defaultSql)
+      // access control FOLLOWS the table: a rename that silently dropped
+      // row policies / column grants would un-filter readAs under the
+      // new name — the one registry class that must never detach quietly
+      move(rowPolicies); move(columnGrants); move(columnMasks)
       tables.remove(from)
       tables.put(to, t.copy(name = to))
       persistTableDef(tables(to))
@@ -1135,6 +1139,8 @@ final class Catalog(spark: SparkSession) {
       }
       swap(renamePending); swap(droppedPending)
       swap(readDefaults); swap(insertDefaults); swap(defaultSql)
+      // access control follows the names (the renameTable doc)
+      swap(rowPolicies); swap(columnGrants); swap(columnMasks)
       tables.put(a, tb.copy(name = a))
       tables.put(b, ta.copy(name = b))
       persistTableDef(tables(a))

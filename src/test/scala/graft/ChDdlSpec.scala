@@ -701,10 +701,14 @@ class ChDdlSpec extends SparkSpecBase {
     ChDdl.execute(cat, spark, "ATTACH TABLE t1", dir)
     cat.read("t1").count() shouldBe 2L
     // RENAME re-registers under the new name; storage stays put and the
-    // sidecar records the new name for later ATTACHes of the path
+    // sidecar records the new name for later ATTACHes of the path —
+    // and ACCESS CONTROL follows the name (a silently-dropped policy
+    // would un-filter readAs under the new name)
+    cat.createRowPolicy("t1", "only_small", Seq("alice"), "k <= 1")
     ChDdl.execute(cat, spark, "RENAME TABLE t1 TO t2", dir)
     intercept[NoSuchElementException] { cat.get("t1") }
     cat.read("t2").count() shouldBe 2L
+    cat.readAs("t2", "alice").count() shouldBe 1L
     val cat2 = new Catalog(spark)
     cat2.attach(s"$dir/t1").name shouldBe "t2"
     // DROP deletes registration AND storage; IF EXISTS absorbs absence
