@@ -164,6 +164,14 @@ object ChDdl {
                               orReplace: Boolean) extends Statement
   /** `DROP VIEW [IF EXISTS] v` (session temp views). */
   final case class DropView(name: String) extends Statement
+  /** `SYSTEM <command>` — the ops-runbook statement class. `DROP QUERY
+    * CACHE` clears the process query cache (real); everything else
+    * acknowledges as a LOUD no-op: merges/TTL run on demand here
+    * (OPTIMIZE / MATERIALIZE TTL), dictionaries evaluate per query, and
+    * caches are process-local — a pasted runbook's SYSTEM lines must
+    * neither crash the script nor silently pretend.
+    */
+  final case class SystemCmd(command: String) extends Statement
   /** `DELETE FROM t WHERE p` — ClickHouse's standalone LIGHTWEIGHT delete
     * (deletion vectors, O(matches)), vs `ALTER TABLE … DELETE WHERE`'s
     * full mutation rewrite. Dispatched to
@@ -230,6 +238,7 @@ object ChDdl {
       "(?:IF\\s+NOT\\s+EXISTS\\s+)?([`\\w.]+)\\s+AS\\s+(SELECT\\b.*)$").r
   private val dropViewRe =
     "(?is)^\\s*DROP\\s+VIEW\\s+(?:IF\\s+EXISTS\\s+)?([`\\w.]+)\\s*$".r
+  private val systemRe = "(?is)^\\s*SYSTEM\\s+(.+?)\\s*$".r
 
   /** Parse `ddl`; a CreateTable is rooted at `path`. */
   def parse(ddl: String, path: String): Statement = {
@@ -273,6 +282,9 @@ object ChDdl {
     }
     dropViewRe.findFirstMatchIn(ddl).foreach { m =>
       return DropView(bare(m.group(1)))
+    }
+    systemRe.findFirstMatchIn(ddl).foreach { m =>
+      return SystemCmd(m.group(1))
     }
     delFromRe.findFirstMatchIn(ddl).foreach { m =>
       return LightweightDelete(bare(m.group(1)),
@@ -617,6 +629,34 @@ object ChDdl {
         s"TTL: supported form is `col + INTERVAL n unit " +
           s"[GROUP BY keys SET col = agg, …]` — got '$other'")
     }
+  }
+
+  private val showCreateRe =
+    "(?is)^\\s*SHOW\\s+CREATE\\s+TABLE\\s+([`\\w.]+)\\s*$".r
+  private val showTablesRe = "(?is)^\\s*SHOW\\s+TABLES\\s*$".r
+  private val descTableRe =
+    "(?is)^\\s*DESC(?:RIBE)?\\s+(?:TABLE\\s+)?([`\\w.]+)\\s*$".r
+
+  /** The introspection statement class — `SHOW TABLES`, `SHOW CREATE
+    * TABLE t`, `DESC[RIBE] [TABLE] t` return RESULT SETS, so they live on
+    * a query entry point beside [[execute]] (which returns no frame).
+    */
+  def query(cat: Catalog, s: org.apache.spark.sql.SparkSession,
+            text: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    showCreateRe.findFirstMatchIn(text).foreach { m =>
+      return Seq(ChDdlRender.render(cat.get(bare(m.group(1)))))
+        .toDF("statement")
+    }
+    showTablesRe.findFirstMatchIn(text).foreach(_ => return cat.systemTables())
+    descTableRe.findFirstMatchIn(text).foreach { m =>
+      return ChDdlRender.describe(cat.get(bare(m.group(1))))
+        .toDF("name", "type", "default_type", "default_expression")
+    }
+    throw new IllegalArgumentException(
+      "expected SHOW TABLES / SHOW CREATE TABLE t / DESCRIBE [TABLE] t — " +
+        "other statements go through execute()/runScript (DDL) or " +
+        "GraftSql.chSql (queries)")
   }
 
   /** Parse + register in one step; queues are refused here (use WorkQueue). */
@@ -1072,6 +1112,12 @@ object ChDdl {
         s.sql(s"CREATE ${or}TEMPORARY VIEW $name AS " +
           GraftSql.expandFunctions(ChDialect.rewrite(select)))
       case DropView(name) => s.catalog.dropTempView(name)
+      case SystemCmd(c) if c.trim.equalsIgnoreCase("DROP QUERY CACHE") =>
+        GraftSql.queryCache.clear()
+      case SystemCmd(c) =>
+        System.err.println(s"[chddl] SYSTEM $c: acknowledged as a no-op " +
+          "(merges/TTL run on demand via OPTIMIZE / MATERIALIZE TTL; " +
+          "dictionaries evaluate per query; caches are process-local)")
       case OptimizeTable(table, dedup, by) =>
         if (dedup) cat.optimizeDeduplicate(table, by) else cat.compact(table)
       case TruncateTable(table) => cat.truncate(table)

@@ -786,6 +786,31 @@ class ChDdlSpec extends SparkSpecBase {
     }
   }
 
+  test("SYSTEM statements and the SHOW/DESCRIBE query entry") {
+    val cat = new Catalog(spark)
+    val dir = tmpDir("chsys")
+    // a pasted ops runbook with SYSTEM lines must run through; DROP
+    // QUERY CACHE is real, the rest acknowledge loudly as no-ops
+    ChDdl.runScript(cat, spark,
+      """CREATE TABLE st (
+        |  `k` UInt64, `v` Float64 DEFAULT 1.5
+        |) ENGINE = MergeTree ORDER BY k;
+        |SYSTEM STOP MERGES;
+        |SYSTEM FLUSH LOGS;
+        |SYSTEM DROP QUERY CACHE
+        |""".stripMargin, dir)
+    ChDdl.query(cat, spark, "SHOW TABLES")
+      .filter(col("table") === "st").count() shouldBe 1L
+    ChDdl.query(cat, spark, "SHOW CREATE TABLE st")
+      .head().getString(0) should include("DEFAULT 1.5")
+    val d = ChDdl.query(cat, spark, "DESCRIBE st").collect()
+    d.map(_.getString(0)).toSeq shouldBe Seq("k", "v")
+    d.find(_.getString(0) == "v").get.getString(2) shouldBe "DEFAULT"
+    intercept[IllegalArgumentException] {
+      ChDdl.query(cat, spark, "SELECT 1")
+    }
+  }
+
   test("JSON column type: variant storage, string ingest, typed extraction") {
     import org.apache.spark.sql.functions._
     val cat = new Catalog(spark)
