@@ -525,6 +525,11 @@ object ChDialect {
     // FORMAT first: it is statement-trailing text the other statement-
     // level rewrites (LIMIT BY, WITH FILL) must not see as their tail
     s = formatTailRe.replaceAllIn(s, "")
+    s = settingsTailRe.replaceAllIn(s, "")
+    // FORMAT may follow SETTINGS was already stripped; a SETTINGS tail
+    // may also have preceded the FORMAT tail — strip again either way
+    s = formatTailRe.replaceAllIn(s, "")
+    s = settingsTailRe.replaceAllIn(s, "")
     s = rewriteWithAliases(s)
     s = rewriteLimitBy(s)
     s = rewriteWithFill(s, analyze)
@@ -790,6 +795,13 @@ object ChDialect {
     ("(?i)\\b(FROM|JOIN)\\s+numbers\\(\\s*(\\d+)\\s*" +
       "(?:,\\s*(\\d+)\\s*)?\\)").r
   private val formatTailRe = "(?is)\\s+FORMAT\\s+\\w+\\s*$".r
+  // a statement-trailing `SETTINGS k = v[, …]` — per-query engine knobs
+  // (max_threads, use_query_cache, …) that select no different result
+  // set; stripped like FORMAT so pasted dashboard queries run (values
+  // may be masked literals — the sentinel is matched by [^,;]+)
+  private val settingsTailRe =
+    ("(?is)\\s+SETTINGS\\s+\\w+\\s*=\\s*[^,;\\s]+" +
+      "(?:\\s*,\\s*\\w+\\s*=\\s*[^,;\\s]+)*\\s*$").r
   private val limitCommaRe = "(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)\\b".r
 
   // `… ORDER BY col [ASC|DESC] WITH FILL [FROM a TO b] [STEP s]

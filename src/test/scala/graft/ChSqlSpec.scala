@@ -492,6 +492,14 @@ class ChSqlSpec extends SparkSpecBase {
       "SELECT r_name FROM region"
     ChDialect.rewrite("SELECT 'x FORMAT CSV' AS s FROM t") shouldBe
       "SELECT 'x FORMAT CSV' AS s FROM t"
+    // ...and so does a trailing SETTINGS tail (per-query engine knobs,
+    // no result-set meaning), in either order around FORMAT
+    ChDialect.rewrite("SELECT r_name FROM region " +
+      "SETTINGS max_threads = 8, use_query_cache = 1") shouldBe
+      "SELECT r_name FROM region"
+    ChDialect.rewrite("SELECT r_name FROM region " +
+      "SETTINGS join_algorithm = 'hash' FORMAT CSV") shouldBe
+      "SELECT r_name FROM region"
   }
 
   test("LIMIT offset,n / intDiv / modulo / unix timestamp family") {
