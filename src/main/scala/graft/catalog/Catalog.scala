@@ -1263,6 +1263,82 @@ final class Catalog(spark: SparkSession) {
       persistTableDef(tables(name))
     }
 
+  /** `ALTER TABLE … MODIFY COLUMN c DEFAULT expr` / `… REMOVE DEFAULT` —
+    * declare, replace, or retire a column's INSERT default in place.
+    * Metadata-only: stored rows are untouched; the new declaration
+    * applies to future inserts (including the text doors' per-row absent
+    * fields). The field's `chDefault` metadata tracks the live
+    * declaration so SHOW CREATE renders it and attach() re-installs it.
+    * REMOVE DEFAULT also retires the column's pending READ default, so
+    * old parts' missing values read back as NULL from that point — the
+    * declaration is gone, nothing should keep filling.
+    */
+  def modifyColumnDefault(name: String, column: String,
+                          defaultExprSql: Option[String]): Unit =
+    writeLock(name).synchronized {
+      val t = get(name)
+      require(t.schema.fieldNames.contains(column),
+        s"modifyColumnDefault($name): no such column $column")
+      require(!t.materializedCols.exists(_._1 == column),
+        s"modifyColumnDefault($name): $column is MATERIALIZED — it has " +
+          "no insert default to modify")
+      defaultExprSql match {
+        case Some(e) =>
+          // validate like CREATE: resolve over the PLAIN columns only
+          // (not self, not other defaulted, not materialized) and cast
+          val excluded = t.schema.fields
+            .filter(f => f.name == column ||
+              f.metadata.contains("chDefault")).map(_.name).toSet ++
+            t.materializedCols.map(_._1) ++
+            insertDefaults.getOrElse(name, Map.empty).keySet
+          val base = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(t.schema.fields.filterNot(f => excluded(f.name))))
+          val dt = try base.select(expr(e)).schema.head.dataType
+            catch { case scala.util.control.NonFatal(ex) =>
+              throw new IllegalArgumentException(
+                s"modifyColumnDefault($name): DEFAULT '$e' does not " +
+                  s"resolve over the plain columns: ${ex.getMessage}") }
+          require(org.apache.spark.sql.catalyst.expressions.Cast
+              .canCast(dt, t.schema(column).dataType),
+            s"modifyColumnDefault($name): DEFAULT '$e' has type " +
+              s"${dt.simpleString}, not castable to declared " +
+              s"${t.schema(column).dataType.simpleString}")
+          val cast = s"CAST(($e) AS ${t.schema(column).dataType.sql})"
+          defaultSql.put(name,
+            defaultSql.getOrElse(name, Map.empty) + (column -> cast))
+          insertDefaults.put(name,
+            insertDefaults.getOrElse(name, Map.empty) + (column -> expr(cast)))
+        case None =>
+          defaultSql.put(name,
+            defaultSql.getOrElse(name, Map.empty) - column)
+          insertDefaults.put(name,
+            insertDefaults.getOrElse(name, Map.empty) - column)
+          readDefaults.put(name,
+            readDefaults.getOrElse(name, Map.empty) - column)
+      }
+      val fields = t.schema.fields.map { f =>
+        if (f.name != column) f
+        else defaultExprSql match {
+          case Some(e) => f.copy(metadata = new org.apache.spark.sql.types
+            .MetadataBuilder().withMetadata(f.metadata)
+            .putString("chDefault", e).build())
+          case None => f.copy(metadata = metadataWithout(f.metadata, "chDefault"))
+        }
+      }
+      tables.put(name, t.copy(schema = StructType(fields)))
+      persistTableDef(tables(name))
+    }
+
+  // MetadataBuilder cannot remove a key — round-trip through its JSON
+  private def metadataWithout(m: org.apache.spark.sql.types.Metadata,
+                              key: String): org.apache.spark.sql.types.Metadata = {
+    import org.json4s.jackson.JsonMethods
+    val j = JsonMethods.parse(m.json).removeField { case (n, _) => n == key }
+    org.apache.spark.sql.types.Metadata.fromJson(
+      JsonMethods.compact(JsonMethods.render(j)))
+  }
+
   /** `ALTER TABLE name RENAME COLUMN from TO to` — metadata-only, like
     * ClickHouse: the declared schema renames in place, old parquet files
     * keep the old physical name, and the read path maps them under the new

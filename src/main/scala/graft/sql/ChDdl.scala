@@ -115,6 +115,9 @@ object ChDdl {
   final case class RenameColumnCmd(from: String, to: String) extends AlterCmd
   final case class ModifyColumnCmd(column: String,
                                    newType: DataType) extends AlterCmd
+  /** `MODIFY COLUMN c DEFAULT expr` (Some) / `… c REMOVE DEFAULT` (None). */
+  final case class ModifyDefaultCmd(column: String,
+                                    defaultSql: Option[String]) extends AlterCmd
   final case class DeleteCmd(whereSql: String) extends AlterCmd
   final case class UpdateCmd(set: Seq[(String, String)],
                              whereSql: String) extends AlterCmd
@@ -853,6 +856,9 @@ object ChDdl {
     "(?is)^RENAME\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?([`\\w]+)\\s+TO\\s+([`\\w]+)\\s*$".r
   private val modifyColRe =
     "(?is)^MODIFY\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?(.+)$".r
+  private val removeDefaultRe =
+    ("(?is)^MODIFY\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?([`\\w]+)\\s+" +
+      "REMOVE\\s+DEFAULT\\s*$").r
   private val deleteRe = "(?is)^DELETE\\s+WHERE\\s+(.+)$".r
   private val updateRe = "(?is)^UPDATE\\s+(.+)$".r
   private val partRe =
@@ -884,14 +890,24 @@ object ChDdl {
     case dropColRe(c) => DropColumnCmd(c.replace("`", ""))
     case renameColRe(from, to) =>
       RenameColumnCmd(from.replace("`", ""), to.replace("`", ""))
+    case removeDefaultRe(c) => ModifyDefaultCmd(c.replace("`", ""), None)
     case modifyColRe(decl) =>
       val (cName, rest) = splitColName(decl.trim)
       val mods = splitModifiers(rest)
-      require(mods.materialized.isEmpty && mods.default.isEmpty,
-        s"MODIFY COLUMN $cName: only type modification is supported " +
-          "(widening; defaults/materialized are CREATE-time declarations)")
-      ModifyColumnCmd(cName, ChType.structType(
-        Seq(Col(cName, parseType(mods.typeText.trim)))).fields.head.dataType)
+      require(mods.materialized.isEmpty,
+        s"MODIFY COLUMN $cName: MATERIALIZED is a CREATE-time declaration")
+      // the type-less `MODIFY COLUMN c DEFAULT expr` form changes ONLY
+      // the default; combining it with a type change is refused (one
+      // mutation per command keeps each verb's crash story simple)
+      if (mods.typeText.trim.isEmpty && mods.default.isDefined)
+        ModifyDefaultCmd(cName, mods.default.map(d =>
+          GraftSql.expandFunctions(ChDialect.rewrite(d))))
+      else {
+        require(mods.default.isEmpty,
+          s"MODIFY COLUMN $cName: change the type OR the default, not both")
+        ModifyColumnCmd(cName, ChType.structType(
+          Seq(Col(cName, parseType(mods.typeText.trim)))).fields.head.dataType)
+      }
     case deleteRe(where) =>
       DeleteCmd(GraftSql.expandFunctions(ChDialect.rewrite(where.trim)))
     case updateRe(body) =>
@@ -1071,6 +1087,7 @@ object ChDdl {
         case DropColumnCmd(c) => cat.dropColumn(table, c)
         case RenameColumnCmd(from, to) => cat.renameColumn(table, from, to)
         case ModifyColumnCmd(c, dt) => cat.modifyColumnType(table, c, dt)
+        case ModifyDefaultCmd(c, d) => cat.modifyColumnDefault(table, c, d)
         case DeleteCmd(where) => cat.delete(table, expr(where))
         case UpdateCmd(set, where) =>
           cat.update(table, expr(where),

@@ -563,6 +563,26 @@ class ChDdlSpec extends SparkSpecBase {
     cat2.append("dt", Seq((9L, 90.0)).toDF("k", "v"))
     cat2.read("dt").filter(col("k") === 9L).head()
       .getAs[Double]("fee") shouldBe 180.0
+    // MODIFY COLUMN … DEFAULT replaces the live declaration in place;
+    // SHOW CREATE tracks it; REMOVE DEFAULT retires it (the next omitted
+    // text insert takes the TYPE default)
+    ChDdl.execute(cat, spark,
+      "ALTER TABLE dt MODIFY COLUMN band DEFAULT 'eco'", dir)
+    ChDdl.execute(cat, spark, "INSERT INTO dt (k, v) VALUES (4, 40.0)", dir)
+    cat.read("dt").filter(col("k") === 4L).head()
+      .getAs[String]("band") shouldBe "eco"
+    ChDdlRender.render(cat.get("dt")) should include("`band` String DEFAULT 'eco'")
+    ChDdl.execute(cat, spark,
+      "ALTER TABLE dt MODIFY COLUMN band REMOVE DEFAULT", dir)
+    ChDdl.execute(cat, spark, "INSERT INTO dt (k, v) VALUES (5, 50.0)", dir)
+    cat.read("dt").filter(col("k") === 5L).head()
+      .getAs[String]("band") shouldBe ""
+    ChDdlRender.render(cat.get("dt")) should not include "band` String DEFAULT"
+    // one mutation per command: type + default together is refused
+    intercept[IllegalArgumentException] {
+      ChDdl.execute(cat, spark,
+        "ALTER TABLE dt MODIFY COLUMN band String DEFAULT 'x'", dir)
+    }
     // refusals: DEFAULT+MATERIALIZED on one column; a default referencing
     // another DEFAULT column (order-dependent fill); non-resolving expr
     intercept[IllegalArgumentException] {
