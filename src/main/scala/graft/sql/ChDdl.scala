@@ -676,21 +676,40 @@ object ChDdl {
         s"expected CREATE TABLE, got ${other.getClass.getSimpleName}")
     }
 
+  /** Bind every catalog table `select` references (FROM/JOIN positions)
+    * as a session temp view under its own name, except `skip` — so a
+    * SELECT that JOINs catalog tables resolves beyond its first source
+    * (the CreateView/CTAS/InsertSelect statement class).
+    */
+  private def bindCatalogRefs(cat: Catalog,
+                              s: org.apache.spark.sql.SparkSession,
+                              select: String, skip: Set[String]): Unit =
+    "(?is)\\b(?:FROM|JOIN)\\s+([`\\w.]+)".r.findAllMatchIn(select)
+      .map(fm => bare(fm.group(1))).toSet[String].diff(skip).foreach { t =>
+        scala.util.Try(cat.get(t)).toOption
+          .foreach(_ => cat.read(t).createOrReplaceTempView(t))
+      }
+
   /** Run `selectSql` (CH dialect) with `frame` standing in for `source`:
-    * the frame registers under a per-statement view name and the FROM
-    * reference rewrites to it. Bare column references only (the
-    * reference's own MV text uses bare columns) — a `source.col`
-    * qualification fails loudly at the parser.
+    * the frame registers under a per-statement view name, the FROM/JOIN
+    * references rewrite to it ALIASED BACK to the source name (so
+    * `source.col` qualifications keep resolving), and OTHER catalog
+    * tables the select joins bind under their own names
+    * ([[bindCatalogRefs]]).
     */
   private def selectOver(s: org.apache.spark.sql.SparkSession, source: String,
                          selectSql: String,
                          frame: org.apache.spark.sql.DataFrame,
-                         viewTag: String): org.apache.spark.sql.DataFrame = {
+                         viewTag: String,
+                         cat: Option[Catalog] = None): org.apache.spark.sql.DataFrame = {
     val view = s"__chddl_${viewTag}_$source"
     frame.createOrReplaceTempView(view)
-    val sub = ("(?is)\\bFROM\\s+[`\\w.]*" +
-      java.util.regex.Pattern.quote(source) + "\\b").r
-      .replaceAllIn(selectSql, s"FROM $view")
+    cat.foreach(bindCatalogRefs(_, s, selectSql, Set(source)))
+    // optional database prefix only (`db.`): a bare `[\w.]*` would let a
+    // table named <x><source> match on its suffix
+    val sub = ("(?is)\\b(FROM|JOIN)\\s+(?:[`\\w]+\\.)?`?" +
+      java.util.regex.Pattern.quote(source) + "`?\\b").r
+      .replaceAllIn(selectSql, m => s"${m.group(1)} $view $source")
     s.sql(GraftSql.expandFunctions(ChDialect.rewrite(sub)))
   }
 
@@ -707,7 +726,8 @@ object ChDdl {
     parse(ddl, "") match {
       case mv: CreateMaterializedView =>
         cat.createMaterializedView(mv.source, mv.name, mv.target,
-          batch => selectOver(s, mv.source, mv.selectSql, batch, mv.name))
+          batch => selectOver(s, mv.source, mv.selectSql, batch, mv.name,
+            Some(cat)))
       case other => throw new IllegalArgumentException(
         s"expected CREATE MATERIALIZED VIEW, got ${other.getClass.getSimpleName}")
     }
@@ -721,7 +741,7 @@ object ChDdl {
     parse(ddl, "") match {
       case i: InsertSelect =>
         cat.append(i.target, selectOver(s, i.source, i.selectSql,
-          cat.read(i.source), s"backfill_${i.target}"))
+          cat.read(i.source), s"backfill_${i.target}", Some(cat)))
         ()
       case other => throw new IllegalArgumentException(
         s"expected INSERT INTO … SELECT, got ${other.getClass.getSimpleName}")
@@ -966,7 +986,7 @@ object ChDdl {
         // through every engine/key/codec validation like a declared one;
         // a type with no CH rendering (map, struct) refuses loudly there
         val frame = selectOver(s, cta.source, cta.selectSql,
-          cat.read(cta.source), s"ctas_${cta.name}")
+          cat.read(cta.source), s"ctas_${cta.name}", Some(cat))
         val colLines = frame.schema.fields.map(f =>
           s"  `${f.name}` ${ChDdlRender.chTypeText(f)}")
         val synthesized = parse(
@@ -1120,11 +1140,7 @@ object ChDdl {
         // bind every catalog source the select references as a temp view
         // first, so a view over Catalog tables resolves (snapshot
         // semantics — doc on the Statement)
-        "(?is)\\b(?:FROM|JOIN)\\s+([`\\w.]+)".r.findAllMatchIn(select)
-          .map(fm => bare(fm.group(1))).toSet[String].foreach { t =>
-            scala.util.Try(cat.get(t)).toOption
-              .foreach(_ => cat.read(t).createOrReplaceTempView(t))
-          }
+        bindCatalogRefs(cat, s, select, Set.empty)
         val or = if (orReplace) "OR REPLACE " else ""
         s.sql(s"CREATE ${or}TEMPORARY VIEW $name AS " +
           GraftSql.expandFunctions(ChDialect.rewrite(select)))

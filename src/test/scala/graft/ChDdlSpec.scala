@@ -633,6 +633,28 @@ class ChDdlSpec extends SparkSpecBase {
     val r2 = cat.read("seg_sum").orderBy(col("seg")).collect()
     r2.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq shouldBe
       Seq(("a", 4L, 60.0), ("b", 2L, 10.0))
+    // a CTAS whose SELECT JOINs a SECOND catalog table: every referenced
+    // table binds, not just the first FROM source
+    ChDdl.createTable(cat,
+      """CREATE TABLE seg_names (
+        |  `seg` String, `label` String
+        |) ENGINE = MergeTree ORDER BY seg""".stripMargin, s"$dir/seg_names")
+    cat.append("seg_names",
+      Seq(("a", "alpha"), ("b", "beta")).toDF("seg", "label"))
+    ChDdl.execute(cat, spark,
+      """CREATE TABLE seg_labeled ENGINE = MergeTree ORDER BY seg AS
+        |SELECT src.seg AS seg, label, count() AS n
+        |FROM src JOIN seg_names ON src.seg = seg_names.seg
+        |GROUP BY src.seg, label""".stripMargin, dir)
+    cat.read("seg_labeled").orderBy(col("seg")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq shouldBe
+      Seq(("a", "alpha", 2L), ("b", "beta", 1L))
+    // ...and the INSERT SELECT door joins the same way
+    ChDdl.insertSelect(cat, spark,
+      "INSERT INTO seg_labeled SELECT src.seg AS seg, label, count() AS n " +
+        "FROM src JOIN seg_names ON src.seg = seg_names.seg " +
+        "GROUP BY src.seg, label")
+    cat.read("seg_labeled").count() shouldBe 4L
     // refusal: an engine key that is not an output column of the SELECT —
     // and the failed CTAS registers nothing
     intercept[IllegalArgumentException] {
