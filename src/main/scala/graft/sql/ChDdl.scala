@@ -705,11 +705,27 @@ object ChDdl {
     val view = s"__chddl_${viewTag}_$source"
     frame.createOrReplaceTempView(view)
     cat.foreach(bindCatalogRefs(_, s, selectSql, Set(source)))
+    // tokens that can follow a table reference WITHOUT being its alias —
+    // if the next word is none of these, the user wrote `FROM src s` and
+    // their alias must stand alone (a second alias would not parse)
+    val boundary = Set("JOIN", "WHERE", "GROUP", "ORDER", "ON", "USING",
+      "LEFT", "RIGHT", "INNER", "FULL", "CROSS", "LIMIT", "HAVING",
+      "SETTINGS", "UNION", "LATERAL", "ARRAY", "SELECT", "PREWHERE",
+      "SAMPLE", "FINAL", "GLOBAL", "ANY", "ASOF", "SEMI", "ANTI",
+      "WINDOW", "FORMAT", "INTO")
+    val aliasProbe = "^\\s+(?:(?i:AS)\\s+)?([A-Za-z_][A-Za-z0-9_]*)".r
     // optional database prefix only (`db.`): a bare `[\w.]*` would let a
     // table named <x><source> match on its suffix
     val sub = ("(?is)\\b(FROM|JOIN)\\s+(?:[`\\w]+\\.)?`?" +
       java.util.regex.Pattern.quote(source) + "`?\\b").r
-      .replaceAllIn(selectSql, m => s"${m.group(1)} $view $source")
+      .replaceAllIn(selectSql, m => {
+        val hasUserAlias = aliasProbe
+          .findFirstMatchIn(selectSql.substring(m.end))
+          .exists(am => !boundary(am.group(1).toUpperCase))
+        scala.util.matching.Regex.quoteReplacement(
+          if (hasUserAlias) s"${m.group(1)} $view"
+          else s"${m.group(1)} $view $source")
+      })
     s.sql(GraftSql.expandFunctions(ChDialect.rewrite(sub)))
   }
 

@@ -649,11 +649,13 @@ class ChDdlSpec extends SparkSpecBase {
     cat.read("seg_labeled").orderBy(col("seg")).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq shouldBe
       Seq(("a", "alpha", 2L), ("b", "beta", 1L))
-    // ...and the INSERT SELECT door joins the same way
+    // ...and the INSERT SELECT door joins the same way — here with an
+    // explicit USER alias on the source (the substitution must not
+    // stack a second alias on it)
     ChDdl.insertSelect(cat, spark,
-      "INSERT INTO seg_labeled SELECT src.seg AS seg, label, count() AS n " +
-        "FROM src JOIN seg_names ON src.seg = seg_names.seg " +
-        "GROUP BY src.seg, label")
+      "INSERT INTO seg_labeled SELECT x.seg AS seg, label, count() AS n " +
+        "FROM src x JOIN seg_names ON x.seg = seg_names.seg " +
+        "GROUP BY x.seg, label")
     cat.read("seg_labeled").count() shouldBe 4L
     // refusal: an engine key that is not an output column of the SELECT —
     // and the failed CTAS registers nothing
