@@ -1058,7 +1058,11 @@ final class Catalog(spark: SparkSession) {
   /** `DROP TABLE [IF EXISTS]` — deregister AND delete storage (the
     * difference from [[detach]], exactly CH's DETACH-vs-DROP split).
     * Projection rewrite registrations are retired first so the optimizer
-    * rules never point at deleted paths. Returns whether a table was
+    * rules never point at deleted paths. Access-control registries (row
+    * policies / column grants / column masks) are removed too — detach
+    * keeps them (re-attach of the SAME table must keep its policies),
+    * but after a drop they would silently govern an unrelated future
+    * table created under the same name. Returns whether a table was
     * dropped (false only under `ifExists`).
     */
   def dropTable(name: String, ifExists: Boolean = false): Boolean =
@@ -1075,6 +1079,9 @@ final class Catalog(spark: SparkSession) {
               graft.plans.SortedProjectionRewrite.unregister(dataPath(t))
           }
           detach(name)
+          rowPolicies.remove(name)
+          columnGrants.remove(name)
+          columnMasks.remove(name)
           fs(t).delete(new org.apache.hadoop.fs.Path(t.path), true)
         }
         true
@@ -2635,6 +2642,193 @@ final class Catalog(spark: SparkSession) {
       createTableUpdate(t.copy(projections = t.projections.filterNot(_.name == proj)))
       fs(t).delete(new org.apache.hadoop.fs.Path(projPath(t, proj)), true)
     }
+  }
+
+  // ---- ALTER TABLE … ADD/DROP/MATERIALIZE/CLEAR INDEX ------------------
+  //
+  // ClickHouse's skip-index runbook verbs over the SAME per-family
+  // declarations CREATE TABLE takes (indexCols / minmaxCols /
+  // setIndexCols / tokenIndexCols / fullTextCols / annIndex). Index
+  // NAMES are canonical — the renderer's bf_/mm_/set_/tok_/ft_/ann_<col>
+  // spellings (SHOW CREATE TABLE emits exactly these), so
+  // parse∘render∘parse round-trips and DROP/MATERIALIZE resolve without
+  // a separate name registry. CH contract preserved: ADD INDEX alone
+  // indexes only FUTURE inserts (reads fail open on unindexed files);
+  // MATERIALIZE INDEX backfills existing files through the same
+  // incremental marker-missing builds appends use.
+
+  private val idxPrefixes = Map(
+    "bf" -> "bloom_filter", "mm" -> "minmax", "set" -> "set",
+    "tok" -> "tokenbf_v1", "ft" -> "full_text", "ann" -> "vector_similarity")
+
+  /** Resolve a canonical index name to (family kind, column); refuses
+    * unknown spellings loudly with the naming contract.
+    */
+  private def resolveIndexName(t: TableDef, idxName: String): (String, String) = {
+    val (p, c) = idxName.split("_", 2) match {
+      case Array(pfx, col) if idxPrefixes.contains(pfx) => (pfx, col)
+      case _ => throw new IllegalArgumentException(
+        s"${t.name}: unknown index $idxName — this engine names skip " +
+          "indexes canonically (bf_/mm_/set_/tok_/ft_/ann_ + column, " +
+          "the SHOW CREATE TABLE spellings)")
+    }
+    val declared = p match {
+      case "bf" => t.indexCols.contains(c)
+      case "mm" => t.minmaxCols.contains(c)
+      case "set" => t.setIndexCols.exists(_._1 == c)
+      case "tok" => t.tokenIndexCols.contains(c)
+      case "ft" => t.fullTextCols.exists(_._1 == c)
+      case "ann" => t.annIndex.exists(_.column == c)
+    }
+    require(declared, s"${t.name}: no index $idxName declared")
+    (idxPrefixes(p), c)
+  }
+
+  /** `ALTER TABLE … ADD INDEX` — declare a skip index on a live table.
+    * Existing files stay unindexed (pruning fails open) until
+    * [[materializeIndex]]; future appends maintain it from this point,
+    * exactly CH's ADD INDEX contract. Validation is createTable's own
+    * (via [[createTableUpdate]]), so a bad column/type refuses loudly
+    * and the prior registration survives.
+    */
+  def addIndex(name: String, kind: String, column: String,
+               args: Seq[Int] = Nil): Unit = {
+    val t = get(name)
+    def dup(b: Boolean) = require(!b,
+      s"$name: index TYPE $kind on $column already declared")
+    val nt = kind.toLowerCase match {
+      case "bloom_filter" =>
+        dup(t.indexCols.contains(column))
+        t.copy(indexCols = t.indexCols :+ column)
+      case "minmax" =>
+        dup(t.minmaxCols.contains(column))
+        t.copy(minmaxCols = t.minmaxCols :+ column)
+      case "set" =>
+        dup(t.setIndexCols.exists(_._1 == column))
+        val n = args.headOption.getOrElse(throw new IllegalArgumentException(
+          s"$name: INDEX TYPE set needs a max-distinct bound set(N)"))
+        t.copy(setIndexCols = t.setIndexCols :+ (column -> n))
+      case "tokenbf_v1" | "ngrambf_v1" =>
+        dup(t.tokenIndexCols.contains(column))
+        t.copy(tokenIndexCols = t.tokenIndexCols :+ column)
+      case "full_text" | "inverted" | "gin" =>
+        dup(t.fullTextCols.exists(_._1 == column))
+        t.copy(fullTextCols =
+          t.fullTextCols :+ (column -> args.headOption.getOrElse(65536)))
+      case "vector_similarity" =>
+        require(t.annIndex.isEmpty,
+          s"$name: at most one vector_similarity index per table")
+        t.copy(annIndex = Some(AnnIndexDef(column,
+          nCells = args.lift(0).getOrElse(16),
+          m = args.lift(1).getOrElse(8),
+          k = args.lift(2).getOrElse(16))))
+      case other => throw new IllegalArgumentException(
+        s"$name: unsupported skip-index type $other")
+    }
+    writeLock(name).synchronized { createTableUpdate(nt) }
+  }
+
+  /** `ALTER TABLE … MATERIALIZE INDEX` — backfill the named index over
+    * existing files. The family builds are incremental (only files
+    * missing a sidecar participate), so re-running is cheap and a
+    * crash mid-build just leaves fewer files indexed (fail-open reads,
+    * re-run to finish).
+    */
+  def materializeIndex(name: String, idxName: String): Unit = {
+    val t = get(name)
+    val (kind, _) = resolveIndexName(t, idxName)
+    writeLock(name).synchronized {
+      recoverInterruptedSwap(t)
+      dataPaths(t).foreach { p =>
+        kind match {
+          case "bloom_filter" => buildSkipIndex(t, p)
+          case "minmax" => buildMinmaxIndex(t, p)
+          case "set" => buildSetIndex(t, p)
+          case "tokenbf_v1" => buildTokenIndex(t, p)
+          case "full_text" => buildFullTextIndex(t, p)
+          case "vector_similarity" => AnnIndex.maintain(spark, t, p)
+        }
+      }
+    }
+  }
+
+  /** `ALTER TABLE … DROP INDEX` — retire the declaration AND its built
+    * sidecars. Returns whether an index was dropped (false only under
+    * `ifExists`).
+    */
+  def dropIndex(name: String, idxName: String,
+                ifExists: Boolean = false): Boolean = {
+    val t = get(name)
+    val resolved =
+      try resolveIndexName(t, idxName)
+      catch {
+        case e: Exception =>
+          if (ifExists) return false
+          throw e
+      }
+    val (kind, c) = resolved
+    writeLock(name).synchronized {
+      val nt = kind match {
+        case "bloom_filter" => t.copy(indexCols = t.indexCols.filterNot(_ == c))
+        case "minmax" => t.copy(minmaxCols = t.minmaxCols.filterNot(_ == c))
+        case "set" => t.copy(setIndexCols = t.setIndexCols.filterNot(_._1 == c))
+        case "tokenbf_v1" =>
+          t.copy(tokenIndexCols = t.tokenIndexCols.filterNot(_ == c))
+        case "full_text" =>
+          t.copy(fullTextCols = t.fullTextCols.filterNot(_._1 == c))
+        case "vector_similarity" => t.copy(annIndex = None)
+      }
+      createTableUpdate(nt)
+      deleteIndexSidecars(t, kind, c)
+    }
+    true
+  }
+
+  /** `ALTER TABLE … CLEAR INDEX` — drop the BUILT sidecars, keep the
+    * declaration (CH's clear-granules verb): the next append or
+    * MATERIALIZE INDEX rebuilds from scratch.
+    */
+  def clearIndex(name: String, idxName: String): Unit = {
+    val t = get(name)
+    val (kind, c) = resolveIndexName(t, idxName)
+    writeLock(name).synchronized { deleteIndexSidecars(t, kind, c) }
+  }
+
+  /** Remove one (family, column)'s sidecar files under every data root.
+    * Sidecars are content-addressed per immutable parquet file, so this
+    * is storage hygiene, not a correctness need — consults only happen
+    * for DECLARED families — but a stale sidecar would silently revive
+    * if the same family were re-ADDed after a MODIFY COLUMN changed the
+    * column's type.
+    */
+  private def deleteIndexSidecars(t: TableDef, kind: String,
+                                  column: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val f = fs(t)
+    val suffix = kind match {
+      case "bloom_filter" => ".bloom"
+      case "minmax" => ".minmax"
+      case "set" => ".set"
+      case "tokenbf_v1" => ".tokenbloom"
+      case "full_text" => ".postings"
+      case "vector_similarity" => ".annenc"
+    }
+    dataPaths(t).foreach { root =>
+      val d = new Path(root)
+      if (f.exists(d)) {
+        val it = f.listFiles(d, true)
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.isFile && s.getPath.toString.contains("/_idx/") &&
+              s.getPath.getName.endsWith(s".$column$suffix"))
+            f.delete(s.getPath, false)
+        }
+      }
+    }
+    // the IVF-PQ codes companion lives beside the markers (the
+    // AnnIndex.companionRoot layout)
+    if (kind == "vector_similarity")
+      f.delete(new Path(s"${t.path}/_idx/ann"), true)
   }
 
   /** Re-validate + swap in an updated definition (projection add/drop):

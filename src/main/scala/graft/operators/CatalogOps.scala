@@ -682,6 +682,41 @@ object CatalogOps extends QueryModule {
       s.read.schema(cat.get("fmt_t").schema).json(out).orderBy(col("k"))
     }),
 
+    // `ALTER TABLE … ADD INDEX` + `MATERIALIZE INDEX` through the gate:
+    // the table is created and LOADED with no index declared, then the
+    // bloom skip index is added and backfilled entirely as DDL text and
+    // the probe aggregate runs over the PRUNED read. The oracle
+    // recomputes from the ORIGINAL parquet, so equality proves the
+    // text-driven add+materialize lifecycle never drops a matching row
+    // (ChDdlSpec separately pins that a miss-probe keeps 0 files).
+    "cat_ddl_index" -> ((s, d) => {
+      val cat = new Catalog(s)
+      val tmp = scratchDir("graft-cat-idxddl")
+      graft.sql.ChDdl.runScript(cat, s,
+        """CREATE TABLE orders_idx (
+          |  `o_orderkey` UInt64,
+          |  `o_orderpriority` String,
+          |  `o_orderstatus` LowCardinality(String),
+          |  `o_totalprice` Float64
+          |) ENGINE = MergeTree
+          |ORDER BY o_orderkey""".stripMargin, tmp.toString)
+      cat.append("orders_idx", Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"),
+        col("o_totalprice")))
+      graft.sql.ChDdl.runScript(cat, s,
+        """ALTER TABLE orders_idx ADD INDEX bf_o_orderpriority
+          | o_orderpriority TYPE bloom_filter GRANULARITY 1;
+          |ALTER TABLE orders_idx MATERIALIZE INDEX bf_o_orderpriority
+          |""".stripMargin, tmp.toString)
+      val (df, _, _) =
+        cat.readPruned("orders_idx", "o_orderpriority", "1-URGENT")
+      df.filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Exact set(N) skip index through the correctness gate: the IN-probe
     // scan reads only the files whose stored value set intersects the
     // probe (CatalogOpsSpec counts the skipped files); the oracle runs
@@ -1484,6 +1519,14 @@ object CatalogOps extends QueryModule {
         | (2 * count(*))::BIGINT AS n,
         | round(2 * sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the bloom-pruned probe aggregate restated from the ORIGINAL
+    // orders — pruning must never change results
+    "cat_ddl_index" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the tightened (30-day) TTL window restated from the ORIGINAL
     // events with the same floor-seconds clock the engine sweeps with

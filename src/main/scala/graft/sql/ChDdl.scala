@@ -134,6 +134,15 @@ object ChDdl {
   /** `ALTER TABLE … MATERIALIZE TTL` — run the declared sweep now, wall
     * clock (CH applies TTL on merges; this is the explicit trigger). */
   case object MaterializeTtlCmd extends AlterCmd
+  /** `ADD INDEX name col TYPE kind(args)` — declared NAME is advisory;
+    * the engine's canonical spelling (bf_/mm_/… + column) is what SHOW
+    * CREATE emits and what DROP/MATERIALIZE resolve. */
+  final case class AddIndexCmd(idxName: String, column: String,
+                               kind: String, args: Seq[Int]) extends AlterCmd
+  final case class DropIndexCmd(idxName: String,
+                                ifExists: Boolean) extends AlterCmd
+  final case class MaterializeIndexCmd(idxName: String) extends AlterCmd
+  final case class ClearIndexCmd(idxName: String) extends AlterCmd
 
   /** `ALTER TABLE name cmd[, cmd…]` — the runbook mutation surface. */
   final case class AlterTable(table: String, cmds: Seq[AlterCmd])
@@ -165,8 +174,11 @@ object ChDdl {
     */
   final case class CreateView(name: String, selectSql: String,
                               orReplace: Boolean) extends Statement
-  /** `DROP VIEW [IF EXISTS] v` (session temp views). */
-  final case class DropView(name: String) extends Statement
+  /** `DROP VIEW [IF EXISTS] v` (session temp views). Without
+    * `IF EXISTS`, dropping a missing view is an ERROR (CH semantics) —
+    * a runbook typo must not pass as a silent no-op. */
+  final case class DropView(name: String, ifExists: Boolean = false)
+    extends Statement
   /** `SYSTEM <command>` — the ops-runbook statement class. `DROP QUERY
     * CACHE` clears the process query cache (real); everything else
     * acknowledges as a LOUD no-op: merges/TTL run on demand here
@@ -240,7 +252,7 @@ object ChDdl {
     ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\s+" +
       "(?:IF\\s+NOT\\s+EXISTS\\s+)?([`\\w.]+)\\s+AS\\s+(SELECT\\b.*)$").r
   private val dropViewRe =
-    "(?is)^\\s*DROP\\s+VIEW\\s+(?:IF\\s+EXISTS\\s+)?([`\\w.]+)\\s*$".r
+    "(?is)^\\s*DROP\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?([`\\w.]+)\\s*$".r
   private val systemRe = "(?is)^\\s*SYSTEM\\s+(.+?)\\s*$".r
 
   /** Parse `ddl`; a CreateTable is rooted at `path`. */
@@ -284,7 +296,7 @@ object ChDdl {
       return CreateView(bare(m.group(2)), m.group(3).trim, m.group(1) != null)
     }
     dropViewRe.findFirstMatchIn(ddl).foreach { m =>
-      return DropView(bare(m.group(1)))
+      return DropView(bare(m.group(2)), ifExists = m.group(1) != null)
     }
     systemRe.findFirstMatchIn(ddl).foreach { m =>
       return SystemCmd(m.group(1))
@@ -769,7 +781,8 @@ object ChDdl {
     "MODIFY COLUMN", "COMMENT COLUMN", "DELETE", "UPDATE", "DROP PARTITION",
     "DETACH PARTITION", "ATTACH PARTITION", "FREEZE", "ADD PROJECTION",
     "DROP PROJECTION", "MATERIALIZE PROJECTION", "MODIFY TTL", "REMOVE TTL",
-    "MATERIALIZE TTL")
+    "MATERIALIZE TTL", "ADD INDEX", "DROP INDEX", "MATERIALIZE INDEX",
+    "CLEAR INDEX")
 
   /** Split the ALTER tail into commands: a top-level comma separates
     * commands only when a command keyword follows — commas inside an
@@ -910,6 +923,17 @@ object ChDdl {
   private val modifyTtlRe = "(?is)^MODIFY\\s+TTL\\s+(.+)$".r
   private val removeTtlRe = "(?is)^REMOVE\\s+TTL\\s*$".r
   private val matTtlRe = "(?is)^MATERIALIZE\\s+TTL\\s*$".r
+  // CH's `ADD INDEX name expr TYPE kind(args) [GRANULARITY g]` — same
+  // spec shape the CREATE-time column block takes (idxRe); single-column
+  // exprs only, like the CREATE path
+  private val addIdxRe =
+    ("(?is)^ADD\\s+INDEX\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\w+)\\s+" +
+      "([`\\w]+)\\s+TYPE\\s+(\\w+)(?:\\((.*?)\\))?" +
+      "(?:\\s+GRANULARITY\\s+\\d+)?\\s*$").r
+  private val dropIdxRe =
+    "(?is)^DROP\\s+INDEX\\s+(IF\\s+EXISTS\\s+)?(\\w+)\\s*$".r
+  private val matIdxRe = "(?is)^MATERIALIZE\\s+INDEX\\s+(\\w+)\\s*$".r
+  private val clearIdxRe = "(?is)^CLEAR\\s+INDEX\\s+(\\w+)\\s*$".r
 
   private def parseAlterCmd(cmd: String): AlterCmd = cmd.trim match {
     case addColRe(decl) =>
@@ -972,11 +996,23 @@ object ChDdl {
     case modifyTtlRe(spec) => ModifyTtlCmd(parseTtlSpec(spec))
     case removeTtlRe() => RemoveTtlCmd
     case matTtlRe() => MaterializeTtlCmd
+    case addIdxRe(idxName, colName, kind, arg) =>
+      // numeric args only (set(N) / full_text(N) / the IVF-PQ triple);
+      // vector_similarity's quoted method/metric args are accepted and
+      // ignored, the CREATE-time contract
+      val nums = Option(arg).toSeq.flatMap(_.split(","))
+        .map(_.trim.replaceAll("^'|'$", ""))
+        .filter(_.matches("\\d+")).map(_.toInt)
+      AddIndexCmd(idxName, colName.replace("`", ""), kind.toLowerCase, nums)
+    case dropIdxRe(ifEx, idxName) => DropIndexCmd(idxName, ifEx != null)
+    case matIdxRe(idxName) => MaterializeIndexCmd(idxName)
+    case clearIdxRe(idxName) => ClearIndexCmd(idxName)
     case other => throw new IllegalArgumentException(
       s"unsupported ALTER command '${other.take(60)}' — supported: " +
         "ADD/DROP/RENAME/MODIFY COLUMN, DELETE WHERE, UPDATE … WHERE, " +
         "DROP/DETACH/ATTACH PARTITION, FREEZE WITH NAME, " +
-        "ADD/DROP/MATERIALIZE PROJECTION, MODIFY/REMOVE/MATERIALIZE TTL")
+        "ADD/DROP/MATERIALIZE PROJECTION, MODIFY/REMOVE/MATERIALIZE TTL, " +
+        "ADD/DROP/MATERIALIZE/CLEAR INDEX")
   }
 
   /** Execute ONE parsed statement against the catalog. `warehouse` roots
@@ -1078,16 +1114,42 @@ object ChDdl {
         val lines = payload.linesIterator.filter(_.trim.nonEmpty).toSeq
         require(lines.nonEmpty,
           s"INSERT INTO $target FORMAT $format: empty payload")
-        val subSchema = StructType(names.map(n =>
+        // *WithNames formats bind by HEADER NAME, not position (CH
+        // semantics): validate the header against the expected columns
+        // and re-order the parse schema to the header's order — Spark's
+        // csv reader with an explicit schema skips the header without
+        // matching it (enforceSchema), which would silently mis-assign
+        // values under a reordered header
+        def headerNames(sep: String): Seq[String] = {
+          val toks = lines.head.split(sep, -1)
+            .map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+          val expected = names.toSet
+          val unknown = toks.filterNot(expected)
+          val missing = names.filterNot(toks.toSet)
+          require(unknown.isEmpty && missing.isEmpty,
+            s"INSERT INTO $target FORMAT $format: header (${toks.mkString(",")}) " +
+              s"does not match expected columns (${names.mkString(",")})" +
+              (if (unknown.nonEmpty) s"; unknown: ${unknown.mkString(",")}" else "") +
+              (if (missing.nonEmpty) s"; missing: ${missing.mkString(",")}" else ""))
+          toks
+        }
+        // a malformed payload line must FAIL the insert, never turn into
+        // an all-null row that the default fill fabricates values for
+        // (CH rejects malformed rows) — hence FAILFAST, not PERMISSIVE
+        def subSchema(ns: Seq[String]) = StructType(ns.map(n =>
           t.schema(t.schema.fieldIndex(n)).copy(nullable = true)))
         import s.implicits._
         val ds = s.createDataset(lines)
-        def csv(sep: String, header: Boolean) =
-          s.read.schema(subSchema).option("sep", sep)
-            .option("header", header.toString).csv(ds)
+        def csv(sep: String, header: Boolean) = {
+          val ns = if (header) headerNames(sep) else names
+          s.read.schema(subSchema(ns)).option("sep", sep)
+            .option("header", header.toString)
+            .option("mode", "FAILFAST").csv(ds)
+        }
         val parsed = format.toLowerCase match {
           case "jsoneachrow" | "ndjson" | "jsonlines" =>
-            s.read.schema(subSchema).json(ds)
+            s.read.schema(subSchema(names))
+              .option("mode", "FAILFAST").json(ds)
           case "csv" => csv(",", header = false)
           case "csvwithnames" => csv(",", header = true)
           case "tsv" | "tabseparated" => csv("\t", header = false)
@@ -1141,6 +1203,29 @@ object ChDdl {
         // entry point is cat.materializeTtl(name, nowEpochSec)
         case MaterializeTtlCmd =>
           cat.materializeTtl(table, System.currentTimeMillis() / 1000L)
+        case AddIndexCmd(idxName, column, kind, args) =>
+          // the user's name is advisory: the engine resolves DROP/
+          // MATERIALIZE by the canonical spelling SHOW CREATE emits —
+          // say so loudly when they differ, then proceed
+          val canonical = kind match {
+            case "bloom_filter" => s"bf_$column"
+            case "minmax" => s"mm_$column"
+            case "set" => s"set_$column"
+            case "tokenbf_v1" | "ngrambf_v1" => s"tok_$column"
+            case "full_text" | "inverted" | "gin" => s"ft_$column"
+            case "vector_similarity" => s"ann_$column"
+            case _ => idxName
+          }
+          if (idxName != canonical) System.err.println(
+            s"[chddl] ADD INDEX $idxName: this engine names indexes " +
+              s"canonically — registered as $canonical (use that name " +
+              "for DROP/MATERIALIZE/CLEAR INDEX)")
+          cat.addIndex(table, kind, column, args)
+        case DropIndexCmd(idxName, ifExists) =>
+          cat.dropIndex(table, idxName, ifExists)
+        case MaterializeIndexCmd(idxName) =>
+          cat.materializeIndex(table, idxName)
+        case ClearIndexCmd(idxName) => cat.clearIndex(table, idxName)
       }
       case DropTable(table, ifExists) => cat.dropTable(table, ifExists)
       case DetachTable(table) => cat.detach(table)
@@ -1160,7 +1245,10 @@ object ChDdl {
         val or = if (orReplace) "OR REPLACE " else ""
         s.sql(s"CREATE ${or}TEMPORARY VIEW $name AS " +
           GraftSql.expandFunctions(ChDialect.rewrite(select)))
-      case DropView(name) => s.catalog.dropTempView(name)
+      case DropView(name, ifExists) =>
+        val dropped = s.catalog.dropTempView(name)
+        require(dropped || ifExists,
+          s"DROP VIEW $name: no such view (use IF EXISTS to tolerate)")
       case SystemCmd(c) if c.trim.equalsIgnoreCase("DROP QUERY CACHE") =>
         GraftSql.queryCache.clear()
       case SystemCmd(c) =>

@@ -518,6 +518,11 @@ object ChDialect {
                              analyze: Option[String => Seq[String]] = None,
                              literals: Array[String] = Array.empty): String = {
     var s = seg0
+    // formatDateTime translates its %-mask literal IN ITS SLOT; when
+    // WITH-alias substitution duplicates an expression, both occurrences
+    // share ONE slot index — translate it exactly once (a second pass
+    // would see no '%' left and literal-quote the whole pattern)
+    val translatedSlots = scala.collection.mutable.Set.empty[Int]
     // statement-level LIMIT BY first (it re-nests the whole text), then
     // SAMPLE: its replacement emits a derived table whose text must
     // not be re-scanned by the token passes below (it contains none of
@@ -669,10 +674,12 @@ object ChDialect {
           case _ => throw new IllegalArgumentException(
             "formatDateTime: the format argument must be a string literal")
         }
-        val raw = literals(idx)
-        val content = raw.substring(1, raw.length - 1).replace("''", "'")
-        literals(idx) =
-          "'" + chDateTimeFormat(content).replace("'", "''") + "'"
+        if (translatedSlots.add(idx)) {
+          val raw = literals(idx)
+          val content = raw.substring(1, raw.length - 1).replace("''", "'")
+          literals(idx) =
+            "'" + chDateTimeFormat(content).replace("'", "''") + "'"
+        }
         s"date_format($x, $tok)"
       case args => throw new IllegalArgumentException(
         s"formatDateTime expects (ts, 'format'), got ${args.length} " +

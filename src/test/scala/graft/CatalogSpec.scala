@@ -1742,6 +1742,17 @@ class CatalogSpec extends SparkSpecBase {
     cat.dropRowPolicy("rp", "high") shouldBe true
     cat.dropRowPolicy("rp", "high") shouldBe false
     cat.readAs("rp", "carol").count() shouldBe 3
+    // DROP TABLE forgets access-control state too: an unrelated NEW
+    // table created under the same name starts open (detach keeps it —
+    // re-attach of the SAME table must keep its policies)
+    cat.createRowPolicy("rp", "low", Seq("alice"), "v <= 1")
+    cat.readAs("rp", "carol").count() shouldBe 0
+    cat.dropTable("rp")
+    cat.createTable(TableDef("rp", tmpDir("cat") + "/rp2", schema,
+      Seq("k"), Append))
+    cat.append("rp", Seq(("z", 9L)).toDF("k", "v"))
+    cat.readAs("rp", "carol").count() shouldBe 1
+    cat.createRowPolicy("rp", "low", Seq("alice"), "v <= 1")
   }
 
   test("column grants/masks: per-user rewrite, restrictive default, pruning intact") {

@@ -788,6 +788,12 @@ class ChDdlSpec extends SparkSpecBase {
     spark.sql("SELECT count(*) FROM big_rows").head().getLong(0) shouldBe 2L
     ChDdl.execute(cat, spark, "DROP VIEW big_rows", dir)
     intercept[Exception] { spark.sql("SELECT * FROM big_rows").collect() }
+    // dropping a missing view is an ERROR without IF EXISTS (CH
+    // semantics — a runbook typo must not pass as a silent no-op)
+    intercept[IllegalArgumentException] {
+      ChDdl.execute(cat, spark, "DROP VIEW big_rows", dir)
+    }.getMessage should include("no such view")
+    ChDdl.execute(cat, spark, "DROP VIEW IF EXISTS big_rows", dir)
     intercept[IllegalArgumentException] {
       ChDdl.execute(cat, spark, "EXCHANGE TABLES live AND live", dir)
     }
@@ -828,6 +834,25 @@ class ChDdlSpec extends SparkSpecBase {
       GraftSql.chSql(spark, sf0001,
         s"SELECT k FROM ft INTO OUTFILE '$out' FORMAT CSV")
     }
+    // *WithNames binds by HEADER NAME: a reordered header still assigns
+    // each value to its named column (CH semantics — not positional)
+    ChDdl.execute(cat, spark,
+      "INSERT INTO ft FORMAT CSVWithNames\nname,v,k\nzz,2.5,8", dir)
+    val r8 = cat.read("ft").filter("k = 8").head()
+    (r8.getLong(0), r8.getString(1), r8.getDouble(2)) shouldBe
+      ((8L, "zz", 2.5))
+    // a header naming a column the table lacks refuses loudly
+    intercept[IllegalArgumentException] {
+      ChDdl.execute(cat, spark,
+        "INSERT INTO ft FORMAT TSVWithNames\nk\tbad\tv\n1\tx\t2", dir)
+    }.getMessage should include("does not match")
+    // a malformed payload row FAILS the insert (FAILFAST) instead of
+    // becoming an all-null row the default fill fabricates values for
+    intercept[Exception] {
+      ChDdl.execute(cat, spark,
+        "INSERT INTO ft FORMAT JSONEachRow\n{\"k\":9,\"name\":", dir)
+    }
+    cat.read("ft").filter("k = 0").count() shouldBe 0L
   }
 
   test("SYSTEM statements and the SHOW/DESCRIBE query entry") {
@@ -921,6 +946,75 @@ class ChDdlSpec extends SparkSpecBase {
         |  INDEX a2 e2 TYPE vector_similarity GRANULARITY 1
         |) ENGINE = MergeTree
         |ORDER BY id""".stripMargin, "/tmp/x")
+  }
+
+  test("ALTER ADD/MATERIALIZE/DROP/CLEAR INDEX drive the skip-index lifecycle as text") {
+    import org.apache.spark.sql.functions.col
+    val cat = new Catalog(spark)
+    val dir = tmpDir("chidx")
+    ChDdl.runScript(cat, spark,
+      """CREATE TABLE idx_t (
+        |  `k` UInt64, `category` String, `msg` String
+        |) ENGINE = MergeTree ORDER BY k""".stripMargin, dir)
+    import spark.implicits._
+    cat.append("idx_t", (1L to 400L)
+      .map(i => (i, s"c${i % 7}", s"req tok$i end"))
+      .toDF("k", "category", "msg"))
+    // ADD INDEX declares only: existing files stay unindexed and the
+    // pruned read fails open (the CH ADD INDEX contract)
+    ChDdl.runScript(cat, spark,
+      "ALTER TABLE idx_t ADD INDEX cati category TYPE bloom_filter " +
+        "GRANULARITY 1", dir)
+    cat.get("idx_t").indexCols shouldBe Seq("category")
+    val (_, kept0, total0) = cat.readPruned("idx_t", "category", "zzz")
+    kept0 shouldBe total0
+    // MATERIALIZE INDEX backfills existing files: an absent probe value
+    // now prunes EVERY file, a present one returns the exact rows
+    ChDdl.runScript(cat, spark,
+      "ALTER TABLE idx_t MATERIALIZE INDEX bf_category", dir)
+    val (_, keptMiss, totalM) = cat.readPruned("idx_t", "category", "zzz")
+    keptMiss shouldBe 0
+    totalM should be > 0
+    val (hit, _, _) = cat.readPruned("idx_t", "category", "c3")
+    hit.filter(col("category") === "c3").count() shouldBe
+      cat.read("idx_t").filter(col("category") === "c3").count()
+    // SHOW CREATE renders the canonical INDEX line, and the declaration
+    // survives the _TABLE sidecar round-trip
+    ChDdlRender.render(cat.get("idx_t")) should include(
+      "INDEX bf_category category TYPE bloom_filter")
+    new Catalog(spark).attach(s"$dir/idx_t").indexCols shouldBe
+      Seq("category")
+    // a second family through the same verbs: tokenbf over msg
+    ChDdl.runScript(cat, spark,
+      "ALTER TABLE idx_t ADD INDEX toki msg TYPE tokenbf_v1 GRANULARITY 2;" +
+        "\nALTER TABLE idx_t MATERIALIZE INDEX tok_msg", dir)
+    val (_, tKept, _) = cat.readTokenPruned("idx_t", "msg", "nosuchtoken")
+    tKept shouldBe 0
+    // CLEAR INDEX drops built sidecars, keeps the declaration (reads
+    // fail open again); MATERIALIZE rebuilds
+    ChDdl.runScript(cat, spark,
+      "ALTER TABLE idx_t CLEAR INDEX bf_category", dir)
+    cat.get("idx_t").indexCols shouldBe Seq("category")
+    val (_, keptC, totalC) = cat.readPruned("idx_t", "category", "zzz")
+    keptC shouldBe totalC
+    // DROP INDEX retires declaration + sidecars; re-DROP refuses bare
+    // and tolerates IF EXISTS
+    ChDdl.runScript(cat, spark,
+      "ALTER TABLE idx_t DROP INDEX tok_msg", dir)
+    cat.get("idx_t").tokenIndexCols shouldBe empty
+    new java.io.File(s"$dir/idx_t/_idx").listFiles()
+      .count(_.getName.endsWith(".msg.tokenbloom")) shouldBe 0
+    intercept[IllegalArgumentException] {
+      ChDdl.runScript(cat, spark,
+        "ALTER TABLE idx_t DROP INDEX tok_msg", dir)
+    }
+    ChDdl.runScript(cat, spark,
+      "ALTER TABLE idx_t DROP INDEX IF EXISTS tok_msg", dir)
+    // unknown-name spelling refuses with the canonical-name contract
+    intercept[IllegalArgumentException] {
+      ChDdl.runScript(cat, spark,
+        "ALTER TABLE idx_t MATERIALIZE INDEX whatever", dir)
+    }.getMessage should include("canonically")
   }
 
   test("DESCRIBE TABLE lists physical columns with materialized expressions") {

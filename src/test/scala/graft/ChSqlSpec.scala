@@ -355,6 +355,15 @@ class ChSqlSpec extends SparkSpecBase {
       "SELECT date_format(CAST(1234567 AS TIMESTAMP), 'yyyy-MM-dd HH:mm:ss') AS a, " +
         "date_format(CAST(1234567 AS TIMESTAMP), \"yyyy-MM-dd'T'HH:mm:ss\") AS b, " +
         "date_format(CAST(1234567 AS TIMESTAMP), \"'day 'd' at 'HH'%'\") AS c")
+    // WITH-alias substitution duplicates the expression TEXT, so both
+    // occurrences share ONE literal slot — the translation must apply
+    // exactly once (a second pass would see no '%' left and quote the
+    // whole translated pattern as a literal)
+    chEqualsSpark(
+      "WITH formatDateTime(toDateTime(1234567), '%Y/%m') AS ym " +
+        "SELECT ym AS a, ym AS b",
+      "SELECT date_format(CAST(1234567 AS TIMESTAMP), 'yyyy/MM') AS a, " +
+        "date_format(CAST(1234567 AS TIMESTAMP), 'yyyy/MM') AS b")
     // %M is ambiguous across CH versions (minute vs month name) — refused
     intercept[IllegalArgumentException] {
       ChDialect.rewrite("SELECT formatDateTime(ts, '%H:%M') FROM t")
