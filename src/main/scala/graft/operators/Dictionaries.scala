@@ -183,6 +183,49 @@ object Dictionaries extends QueryModule {
   }
 
   override def queries: Map[String, Q] = Map(
+    // The SAME enrichment as dict_get, driven entirely as TEXT: two
+    // `CREATE DICTIONARY` DDL statements register the nation/region
+    // dictionaries (X16's engine behind a declaration door), then
+    // `dictGet`/`dictGetOrDefault` in the chSql SELECT lower onto
+    // correlated scalar-subquery probes Catalyst rewrites into the same
+    // broadcast left joins the API path builds. The region probe is
+    // STAGED through a subselect (one correlation level per scope —
+    // Spark has no nested outer references), which is also how CH users
+    // stage chained lookups. Twinned against dict_get's oracle.
+    "sql_dict_get" -> ((s, d) => {
+      val cat = new graft.catalog.Catalog(s)
+      graft.sql.GraftSql.registerViews(s, d)
+      graft.sql.ChDdl.runScript(cat, s,
+        """CREATE DICTIONARY nat_d (
+          |  `n_nationkey` UInt64,
+          |  `n_name` String,
+          |  `n_regionkey` Int64 DEFAULT -1
+          |) PRIMARY KEY n_nationkey
+          |SOURCE(CLICKHOUSE(TABLE 'nation'))
+          |LAYOUT(FLAT())
+          |LIFETIME(MIN 0 MAX 300);
+          |CREATE DICTIONARY reg_d (
+          |  `r_regionkey` UInt64,
+          |  `r_name` String
+          |) PRIMARY KEY r_regionkey
+          |SOURCE(CLICKHOUSE(TABLE 'region'))
+          |LAYOUT(HASHED())
+          |LIFETIME(300)""".stripMargin, "")
+      graft.sql.GraftSql.chSql(s, d,
+        """SELECT s_suppkey, nation_name,
+          |  dictGetOrDefault('reg_d', 'r_name', rk, '??') AS region_name,
+          |  maybe_name
+          |FROM (
+          |  SELECT s_suppkey,
+          |    dictGetOrDefault('nat_d', 'n_name', s_nationkey, '??')
+          |      AS nation_name,
+          |    dictGet('nat_d', 'n_regionkey', s_nationkey) AS rk,
+          |    dictGetOrDefault('nat_d', 'n_name', s_suppkey % 40, 'n/a')
+          |      AS maybe_name
+          |  FROM supplier)
+          |ORDER BY s_suppkey""".stripMargin)
+    }),
+
     // Chained dictGet + a getOrDefault miss: supplier -> nation name via
     // the nation dict, nation -> region name via the region dict, plus a
     // deliberately-missing probe (s_suppkey % 40 overruns the 25 nation
@@ -279,6 +322,18 @@ object Dictionaries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // the text door answers with dict_get's exact join restatement
+    "sql_dict_get" ->
+      """SELECT s_suppkey,
+        |  coalesce(n1.n_name, '??')  AS nation_name,
+        |  coalesce(r.r_name,  '??')  AS region_name,
+        |  coalesce(n2.n_name, 'n/a') AS maybe_name
+        |FROM supplier s
+        |LEFT JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |LEFT JOIN region r  ON n1.n_regionkey = r.r_regionkey
+        |LEFT JOIN nation n2 ON (s.s_suppkey % 40) = n2.n_nationkey
+        |ORDER BY s_suppkey""".stripMargin,
+
     "dict_get" ->
       """SELECT s_suppkey,
         |  coalesce(n1.n_name, '??')  AS nation_name,

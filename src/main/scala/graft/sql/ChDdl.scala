@@ -179,6 +179,19 @@ object ChDdl {
     * a runbook typo must not pass as a silent no-op. */
   final case class DropView(name: String, ifExists: Boolean = false)
     extends Statement
+  /** `CREATE DICTIONARY d (cols) PRIMARY KEY k SOURCE(CLICKHOUSE(TABLE
+    * 't')) LAYOUT(FLAT|HASHED|COMPLEX_KEY_HASHED) [LIFETIME(…)]` — the
+    * declaration layer over the [[graft.operators.Dictionaries]] engine:
+    * execute() binds the probe view and registers the [[DictRegistry]]
+    * entry `dictGet` rewrites resolve against. `attrs` carries every
+    * non-key declared column with its miss-default SQL literal.
+    */
+  final case class CreateDictionary(name: String, source: String,
+                                    keys: Seq[String],
+                                    cols: Seq[(String, DataType, Option[String])],
+                                    layout: String) extends Statement
+  final case class DropDictionary(name: String, ifExists: Boolean)
+    extends Statement
   /** `SYSTEM <command>` — the ops-runbook statement class. `DROP QUERY
     * CACHE` clears the process query cache (real); everything else
     * acknowledges as a LOUD no-op: merges/TTL run on demand here
@@ -253,6 +266,19 @@ object ChDdl {
       "(?:IF\\s+NOT\\s+EXISTS\\s+)?([`\\w.]+)\\s+AS\\s+(SELECT\\b.*)$").r
   private val dropViewRe =
     "(?is)^\\s*DROP\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?([`\\w.]+)\\s*$".r
+  // CH's dictionary DDL: the column block ends at `) PRIMARY KEY` (no
+  // declared type ever emits that token sequence), clauses follow in
+  // CH's own order; LIFETIME is accepted and ignored — the dictionary
+  // serves a SNAPSHOT of the source taken at CREATE (CH's loaded-copy
+  // model), refreshed by re-running CREATE DICTIONARY
+  private val dictRe =
+    ("(?is)^\\s*CREATE\\s+DICTIONARY\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "([`\\w.]+)\\s*\\((.*?)\\)\\s*PRIMARY\\s+KEY\\s+(.+?)\\s*" +
+      "SOURCE\\s*\\(\\s*(\\w+)\\s*\\((.*?)\\)\\s*\\)\\s*" +
+      "LAYOUT\\s*\\(\\s*(\\w+)\\s*(?:\\(\\s*\\))?\\s*\\)" +
+      "(?:\\s*LIFETIME\\s*\\([^)]*\\))?\\s*$").r
+  private val dropDictRe =
+    "(?is)^\\s*DROP\\s+DICTIONARY\\s+(IF\\s+EXISTS\\s+)?([`\\w.]+)\\s*$".r
   private val systemRe = "(?is)^\\s*SYSTEM\\s+(.+?)\\s*$".r
 
   /** Parse `ddl`; a CreateTable is rooted at `path`. */
@@ -297,6 +323,49 @@ object ChDdl {
     }
     dropViewRe.findFirstMatchIn(ddl).foreach { m =>
       return DropView(bare(m.group(2)), ifExists = m.group(1) != null)
+    }
+    dictRe.findFirstMatchIn(ddl).foreach { m =>
+      val name = bare(m.group(1))
+      val sourceKind = m.group(4).toUpperCase
+      require(sourceKind == "CLICKHOUSE",
+        s"CREATE DICTIONARY $name: SOURCE($sourceKind…) is not available " +
+          "here — only SOURCE(CLICKHOUSE(TABLE 't')) over a catalog table " +
+          "or registered view (FILE/HTTP/MYSQL sources need external " +
+          "connectivity this engine does not ship)")
+      val srcTable = "(?i)TABLE\\s+'([^']+)'".r.findFirstMatchIn(m.group(5))
+        .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
+          s"CREATE DICTIONARY $name: SOURCE(CLICKHOUSE(…)) needs " +
+            "TABLE 'name'"))
+      val layout = m.group(6).toUpperCase
+      require(Seq("FLAT", "HASHED", "COMPLEX_KEY_HASHED").contains(layout),
+        s"CREATE DICTIONARY $name: LAYOUT($layout) is not supported — " +
+          "FLAT, HASHED, COMPLEX_KEY_HASHED here (RANGE_HASHED probes " +
+          "need the (key, point) call shape: use " +
+          "graft.operators.Dictionaries.RangeDict)")
+      val keys = splitTopLevel(m.group(3).trim
+        .stripPrefix("(").stripSuffix(")")).map(_.trim.replace("`", ""))
+      require(keys.nonEmpty, s"CREATE DICTIONARY $name: empty PRIMARY KEY")
+      require(layout == "COMPLEX_KEY_HASHED" || keys.length == 1,
+        s"CREATE DICTIONARY $name: LAYOUT($layout) takes exactly one key " +
+          "column — use COMPLEX_KEY_HASHED for composite keys")
+      val cols = splitTopLevel(m.group(2)).map(_.trim).filter(_.nonEmpty)
+        .map { item =>
+          val (cName, rest) = splitColName(item)
+          val mods = splitModifiers(rest)
+          require(mods.materialized.isEmpty,
+            s"CREATE DICTIONARY $name: column $cName — dictionaries " +
+              "take plain attribute columns with optional DEFAULTs")
+          val dt = ChType.structType(
+            Seq(Col(cName, parseType(mods.typeText.trim)))).fields.head.dataType
+          (cName, dt, mods.default.map(d =>
+            GraftSql.expandFunctions(ChDialect.rewrite(d))))
+        }
+      keys.foreach(k => require(cols.exists(_._1 == k),
+        s"CREATE DICTIONARY $name: PRIMARY KEY column $k is not declared"))
+      return CreateDictionary(name, srcTable, keys, cols, layout)
+    }
+    dropDictRe.findFirstMatchIn(ddl).foreach { m =>
+      return DropDictionary(bare(m.group(2)), ifExists = m.group(1) != null)
     }
     systemRe.findFirstMatchIn(ddl).foreach { m =>
       return SystemCmd(m.group(1))
@@ -1249,6 +1318,38 @@ object ChDdl {
         val dropped = s.catalog.dropTempView(name)
         require(dropped || ifExists,
           s"DROP VIEW $name: no such view (use IF EXISTS to tolerate)")
+      case CreateDictionary(name, source, keys, cols, layout) =>
+        // source resolution: a catalog table first (the CH-native path),
+        // else an already-registered view (the testdata surface); any
+        // other source refuses loudly at parse
+        val src =
+          if (cat.exists(source)) cat.read(source)
+          else if (s.catalog.tableExists(source)) s.table(source)
+          else throw new IllegalArgumentException(
+            s"CREATE DICTIONARY $name: SOURCE table '$source' is neither " +
+              "a catalog table nor a registered view")
+        cols.foreach { case (c, _, _) =>
+          require(src.columns.contains(c),
+            s"CREATE DICTIONARY $name: declared column $c is not in " +
+              s"source '$source' (${src.columns.mkString(", ")})")
+        }
+        // the probe view holds the declared columns AT DECLARED TYPES.
+        // SNAPSHOT semantics (the CreateView discipline): the view's
+        // file listing is pinned at CREATE — CH dictionaries likewise
+        // serve a loaded snapshot until a LIFETIME reload; the explicit
+        // reload here is re-running CREATE DICTIONARY (idempotent
+        // overwrite)
+        src.select(cols.map { case (c, dt, _) =>
+          org.apache.spark.sql.functions.col(c).cast(dt).as(c) }: _*)
+          .createOrReplaceTempView(s"__dict_$name")
+        DictRegistry.put(DictRegistry.DictDef(name, s"__dict_$name", keys,
+          cols.filterNot(c => keys.contains(c._1)).map { case (c, dt, d) =>
+            c -> d.getOrElse(chTypeDefaultSql(dt)) }, layout))
+      case DropDictionary(name, ifExists) =>
+        s.catalog.dropTempView(s"__dict_$name")
+        require(DictRegistry.remove(name) || ifExists,
+          s"DROP DICTIONARY $name: no such dictionary (use IF EXISTS " +
+            "to tolerate)")
       case SystemCmd(c) if c.trim.equalsIgnoreCase("DROP QUERY CACHE") =>
         GraftSql.queryCache.clear()
       case SystemCmd(c) =>
@@ -1283,6 +1384,24 @@ object ChDdl {
       case _: NumericType => lit(0).cast(dt)
       case DateType | TimestampType => lit(0L).cast(TimestampType).cast(dt)
       case other => lit(null).cast(other)
+    }
+  }
+
+  /** [[chTypeDefault]] as SQL literal text — the dictGet miss-default
+    * the dialect rewrite splices when no DEFAULT was declared (CH
+    * dictGet returns the type default on a miss, never null).
+    */
+  private[sql] def chTypeDefaultSql(
+      dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => "''"
+      case BooleanType => "false"
+      case _: NumericType => s"CAST(0 AS ${dt.sql})"
+      case DateType => "DATE '1970-01-01'"
+      case TimestampType | TimestampNTZType =>
+        "TIMESTAMP '1970-01-01 00:00:00'"
+      case other => s"CAST(NULL AS ${other.sql})"
     }
   }
 

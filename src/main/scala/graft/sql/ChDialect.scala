@@ -793,7 +793,104 @@ object ChDialect {
     }
     s = rewriteCombinator(s, "quantileExact")
     s = rewriteCombinator(s, "quantile")
+    // LAST: the emitted probes contain SELECT/FROM/WHERE text no earlier
+    // statement-level pass may see, and their key/default args were
+    // already CH-rewritten above (nested dict calls recurse internally)
+    s = rewriteDictCalls(s, literals)
     s
+  }
+
+  /** `dictGet('d','attr',k)` / `dictGetOrDefault('d','attr',k,def)` /
+    * `dictHas('d',k)` → a correlated scalar-subquery probe of the
+    * [[DictRegistry]] view bound by `CREATE DICTIONARY`:
+    *
+    *   coalesce((SELECT any_value(attr) FROM __dict_d WHERE k = …), def)
+    *
+    * Catalyst's RewriteCorrelatedScalarSubquery turns each probe into a
+    * left outer join against the (tiny, aggregated-by-key) dictionary —
+    * broadcast at execution, the same resident-probe plan the
+    * [[graft.operators.Dictionaries]] engine builds by hand, and exactly
+    * CH's miss semantics (type/declared default, never null — dictHas is
+    * a count() > 0 probe). Dictionary and attribute names must be string
+    * LITERALS (the formatDateTime discipline); COMPLEX_KEY_HASHED keys
+    * arrive as `tuple(k1, k2, …)` or a bare single expression.
+    */
+  private def rewriteDictCalls(seg: String,
+                               literals: Array[String]): String = {
+    if ("(?i)\\bdict(Get|GetOrDefault|Has)\\(".r
+        .findFirstIn(seg).isEmpty) return seg
+    val sentRe = (Sentinel + "(\\d+)" + Sentinel).r
+    def litVal(tok: String, fn: String): String = {
+      val t = wtrim(tok)
+      sentRe.findFirstMatchIn(t) match {
+        case Some(sm) if sm.matched == t =>
+          val raw = literals(sm.group(1).toInt)
+          raw.substring(1, raw.length - 1).replace("''", "'")
+        case _ => throw new IllegalArgumentException(
+          s"$fn: dictionary and attribute names must be string literals")
+      }
+    }
+    def dict(dn: String, fn: String): DictRegistry.DictDef =
+      DictRegistry.get(dn).getOrElse(throw new IllegalArgumentException(
+        s"$fn: no dictionary '$dn' registered — CREATE DICTIONARY first " +
+          s"(registered: ${DictRegistry.list.map(_.name).mkString(", ")})"))
+    def keyConds(d: DictRegistry.DictDef, keyArg: String, fn: String,
+                 rec: String => String): String = {
+      val t = wtrim(keyArg)
+      val parts =
+        if (t.toLowerCase.startsWith("tuple(") && t.endsWith(")"))
+          balancedArgs(t, t.indexOf('('))._1
+        else List(t)
+      require(parts.length == d.keys.length,
+        s"$fn('${d.name}', …): ${parts.length} key expression(s) for a " +
+          s"${d.keys.length}-column PRIMARY KEY (${d.keys.mkString(", ")})")
+      d.keys.zip(parts).map { case (k, e) =>
+        s"$k = (${rec(e)})" }.mkString(" AND ")
+    }
+    lazy val rec: String => String = x0 => {
+      var x = x0
+      x = rewriteCall(x, "dictGetOrDefault", {
+        case List(dn0, an0, k, dflt) =>
+          val dn = litVal(dn0, "dictGetOrDefault")
+          val an = litVal(an0, "dictGetOrDefault")
+          val d = dict(dn, "dictGetOrDefault")
+          require(d.defaultOf(an).isDefined,
+            s"dictGetOrDefault('$dn', '$an', …): not a declared attribute " +
+              s"(declared: ${d.attrs.map(_._1).mkString(", ")})")
+          s"coalesce((SELECT any_value($an) FROM ${d.view} WHERE " +
+            s"${keyConds(d, k, "dictGetOrDefault", rec)}), ${rec(dflt)})"
+        case args => throw new IllegalArgumentException(
+          s"dictGetOrDefault expects ('dict', 'attr', key, default), " +
+            s"got ${args.length} argument(s)")
+      })
+      x = rewriteCall(x, "dictGet", {
+        case List(dn0, an0, k) =>
+          val dn = litVal(dn0, "dictGet")
+          val an = litVal(an0, "dictGet")
+          val d = dict(dn, "dictGet")
+          val dflt = d.defaultOf(an).getOrElse(
+            throw new IllegalArgumentException(
+              s"dictGet('$dn', '$an', …): not a declared attribute " +
+                s"(declared: ${d.attrs.map(_._1).mkString(", ")})"))
+          s"coalesce((SELECT any_value($an) FROM ${d.view} WHERE " +
+            s"${keyConds(d, k, "dictGet", rec)}), $dflt)"
+        case args => throw new IllegalArgumentException(
+          s"dictGet expects ('dict', 'attr', key), got ${args.length} " +
+            "argument(s) — dictGetHierarchy has no SQL lowering here " +
+            "(use graft.operators.Dictionaries.hierarchy)")
+      })
+      x = rewriteCall(x, "dictHas", {
+        case List(dn0, k) =>
+          val dn = litVal(dn0, "dictHas")
+          val d = dict(dn, "dictHas")
+          s"((SELECT count(1) FROM ${d.view} WHERE " +
+            s"${keyConds(d, k, "dictHas", rec)}) > 0)"
+        case args => throw new IllegalArgumentException(
+          s"dictHas expects ('dict', key), got ${args.length} argument(s)")
+      })
+      x
+    }
+    rec(seg)
   }
 
   // numbers(N) / numbers(offset, N) after FROM/JOIN only — a scalar call

@@ -1017,6 +1017,91 @@ class ChDdlSpec extends SparkSpecBase {
     }.getMessage should include("canonically")
   }
 
+  test("CREATE DICTIONARY + dictGet/dictGetOrDefault/dictHas as text") {
+    import graft.sql.ChDialect
+    import spark.implicits._
+    val cat = new Catalog(spark)
+    val dir = tmpDir("chdict")
+    ChDdl.runScript(cat, spark,
+      """CREATE TABLE dim_t (
+        |  `id` UInt64, `label` String, `score` Float64
+        |) ENGINE = MergeTree ORDER BY id""".stripMargin, dir)
+    cat.append("dim_t",
+      Seq((1L, "one", 1.5), (2L, "two", 2.5)).toDF("id", "label", "score"))
+    ChDdl.runScript(cat, spark,
+      """CREATE DICTIONARY labels (
+        |  `id` UInt64,
+        |  `label` String DEFAULT 'unknown',
+        |  `score` Float64
+        |) PRIMARY KEY id
+        |SOURCE(CLICKHOUSE(TABLE 'dim_t'))
+        |LAYOUT(HASHED())
+        |LIFETIME(MIN 0 MAX 300)""".stripMargin, dir)
+    // a miss takes the DECLARED default (label), the TYPE default
+    // (score via bare dictGet), or the CALL default (getOrDefault)
+    val out = spark.sql(ChDialect.rewrite(
+      "SELECT k, dictGet('labels', 'label', k) AS lbl, " +
+        "dictGet('labels', 'score', k) AS sc0, " +
+        "dictGetOrDefault('labels', 'score', k, -1.0) AS sc, " +
+        "CAST(dictHas('labels', k) AS INT) AS h " +
+        "FROM (SELECT explode(sequence(1, 3)) AS k) ORDER BY k"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getInt(4)))
+    out shouldBe Array(
+      (1, "one", 1.5, 1.5, 1), (2, "two", 2.5, 2.5, 1),
+      (3, "unknown", 0.0, -1.0, 0))
+    // SNAPSHOT semantics (the CreateView discipline, and CH's own reload
+    // model): a later insert is invisible until the dictionary is
+    // re-CREATEd — the explicit LIFETIME-reload analog
+    cat.append("dim_t", Seq((3L, "three", 3.5)).toDF("id", "label", "score"))
+    spark.sql(ChDialect.rewrite(
+      "SELECT dictGet('labels', 'label', 3) AS l")).head().getString(0) shouldBe
+      "unknown"
+    ChDdl.runScript(cat, spark,
+      """CREATE DICTIONARY labels (
+        |  `id` UInt64,
+        |  `label` String DEFAULT 'unknown',
+        |  `score` Float64
+        |) PRIMARY KEY id
+        |SOURCE(CLICKHOUSE(TABLE 'dim_t'))
+        |LAYOUT(HASHED())
+        |LIFETIME(MIN 0 MAX 300)""".stripMargin, dir)
+    spark.sql(ChDialect.rewrite(
+      "SELECT dictGet('labels', 'label', 3) AS l")).head().getString(0) shouldBe
+      "three"
+    // refusals: unknown dictionary, unknown attribute, computed name,
+    // wrong key arity, non-CH source kinds, unsupported layouts
+    intercept[IllegalArgumentException] {
+      ChDialect.rewrite("SELECT dictGet('nope', 'label', 1)")
+    }.getMessage should include("no dictionary")
+    intercept[IllegalArgumentException] {
+      ChDialect.rewrite("SELECT dictGet('labels', 'zzz', 1)")
+    }.getMessage should include("not a declared attribute")
+    intercept[IllegalArgumentException] {
+      ChDialect.rewrite("SELECT dictGet(d, 'label', 1)")
+    }.getMessage should include("string literals")
+    intercept[IllegalArgumentException] {
+      ChDialect.rewrite("SELECT dictGet('labels', 'label', tuple(1, 2))")
+    }.getMessage should include("PRIMARY KEY")
+    intercept[IllegalArgumentException] {
+      ChDdl.parse("CREATE DICTIONARY f (k UInt64, v String) PRIMARY KEY k " +
+        "SOURCE(FILE(PATH '/x.csv')) LAYOUT(FLAT())", "/tmp/x")
+    }.getMessage should include("SOURCE(FILE")
+    intercept[IllegalArgumentException] {
+      ChDdl.parse("CREATE DICTIONARY f (k UInt64, v String) PRIMARY KEY k " +
+        "SOURCE(CLICKHOUSE(TABLE 'dim_t')) LAYOUT(RANGE_HASHED())", "/tmp/x")
+    }.getMessage should include("RANGE_HASHED")
+    // DROP DICTIONARY: bare refuses on missing, IF EXISTS tolerates
+    ChDdl.runScript(cat, spark, "DROP DICTIONARY labels", dir)
+    intercept[IllegalArgumentException] {
+      ChDdl.runScript(cat, spark, "DROP DICTIONARY labels", dir)
+    }
+    ChDdl.runScript(cat, spark, "DROP DICTIONARY IF EXISTS labels", dir)
+    intercept[IllegalArgumentException] {
+      ChDialect.rewrite("SELECT dictGet('labels', 'label', 1)")
+    }
+  }
+
   test("DESCRIBE TABLE lists physical columns with materialized expressions") {
     import graft.sql.ChDdlRender
     val ChDdl.CreateTable(t, _) = ChDdl.parse(

@@ -58,7 +58,7 @@ class SqlParitySpec extends SparkSpecBase {
     "join_cross", "join_left_outer", "join_null_safe", "join_range",
     "join_shuffle", "join_skew_salted", "o1_topk", "o2_stalest_first",
     "agg_delta_sum", "agg_totals", "agg_totals_having", "dict_get",
-    "dict_hierarchy",
+    "dict_hierarchy", "sql_dict_get",
     "limit_by", "win_first_last",
     "p3_filter_eq", "p5_watermark", "p6_conj_pred", "p7_in_list",
     "p8_count_if", "p9_point_lookup", "proj_rollup_count",
