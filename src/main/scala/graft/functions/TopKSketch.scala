@@ -161,6 +161,25 @@ object TopKSketch {
     udaf(topKAggregator(k, cap)).apply(c)
   }
 
+  /** The same aggregate as a raw Catalyst [[Expression]] — the
+    * FunctionRegistry entry point (GraftSql's `ch_topk`, behind the
+    * dialect's `topK(N)(x)` rewrite): a registry builder must return an
+    * Expression, and the Column route produces a lazy node the registry
+    * path cannot evaluate, so this goes straight to ScalaAggregator.
+    */
+  def topKExpression(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                     k: Int): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val cap = math.max(4 * k, 8)
+    new org.apache.spark.sql.execution.aggregate.ScalaAggregator(
+      Seq(child), topKAggregator(k, cap),
+      ExpressionEncoder(org.apache.spark.sql.catalyst.encoders
+        .AgnosticEncoders.StringEncoder),
+      sketchEnc.asInstanceOf[ExpressionEncoder[Sketch]],
+      nullable = false, isDeterministic = true, 0, 0, Some("ch_topk"))
+      .toAggregateExpression()
+  }
+
   // ---- -State / -Merge pair (the Aggregating engine's `topk` kind) ----
   //
   // ClickHouse `topKState` / `topKMerge`: the SpaceSaving counter table

@@ -570,6 +570,47 @@ object Analytics extends QueryModule {
           |WHERE toUnixTimestamp(ts) < toUnixTimestamp(t0) + horizon_s
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // The parameterized-aggregate batch in one statement: CH's analytics
+    // idioms `windowFunnel(w)(ts, …)` (per-user sorted fold, micros
+    // precision), `sequenceMatch('(?1).*(?2).*(?3)')(…)`, `retention`,
+    // `quantiles(…)(x)` (one percentile-array pass), and `topK(N)(x)`
+    // (the SpaceSaving sketch via ch_topk — exact here, capacity 4N >
+    // the 5 priorities). The funnel level histogram is the row grain;
+    // the scalar families ride single-row CROSS JOINs. Every function is
+    // parity-spec'd in isolation in ChSqlSpec.
+    "sql_param_aggs" -> ((s, d) =>
+      graft.sql.GraftSql.chSql(s, d,
+        """SELECT f.level, f.n_users, q.q25, q.q75, t.top3,
+          |  r.day0, r.day1, sm.n_matched
+          |FROM (
+          |  SELECT level, count() AS n_users FROM (
+          |    SELECT user_id,
+          |      windowFunnel(86400)(ts, event_type = 'click',
+          |        event_type = 'view', event_type = 'purchase') AS level
+          |    FROM events GROUP BY user_id)
+          |  GROUP BY level) f
+          |CROSS JOIN (
+          |  SELECT
+          |    round(element_at(quantiles(0.25, 0.75)(l_extendedprice), 1), 4) AS q25,
+          |    round(element_at(quantiles(0.25, 0.75)(l_extendedprice), 2), 4) AS q75
+          |  FROM lineitem) q
+          |CROSS JOIN (
+          |  SELECT array_join(topK(3)(o_orderpriority), ',') AS top3
+          |  FROM orders) t
+          |CROSS JOIN (
+          |  SELECT CAST(sum(element_at(r, 1)) AS BIGINT) AS day0,
+          |         CAST(sum(element_at(r, 2)) AS BIGINT) AS day1
+          |  FROM (SELECT retention(to_date(ts) = '2024-01-01',
+          |                         to_date(ts) = '2024-01-02') AS r
+          |        FROM events GROUP BY user_id)) r
+          |CROSS JOIN (
+          |  SELECT CAST(sum(m) AS BIGINT) AS n_matched
+          |  FROM (SELECT sequenceMatch('(?1).*(?2).*(?3)')(ts,
+          |          event_type = 'click', event_type = 'view',
+          |          event_type = 'purchase') AS m
+          |        FROM events GROUP BY user_id)) sm
+          |ORDER BY f.level""".stripMargin)),
+
     // numbers() + intDiv + the LIMIT offset,n comma form + FORMAT tail in
     // one statement — the everyday CH-CLI idioms, gate-checked together
     // (each is spec'd in isolation in ChSqlSpec).
@@ -1175,6 +1216,61 @@ object Analytics extends QueryModule {
         |WHERE CAST(floor(epoch(ts)) AS BIGINT) <
         |  (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) + 21600 FROM events)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // every parameterized aggregate recomputed natively: the funnel's
+    // min-chain joins (the agg_funnel oracle shape), quantile_cont,
+    // exact (count desc, value asc) top-3, retention flag products, and
+    // the windowless chain count
+    "sql_param_aggs" ->
+      """WITH ev AS (SELECT user_id, ts, event_type FROM events),
+        |t1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+        |       WHERE event_type = 'click' GROUP BY user_id),
+        |t2 AS (SELECT ev.user_id, min(ev.ts) AS t2, min(t1.t1) AS t1
+        |       FROM ev JOIN t1 ON ev.user_id = t1.user_id
+        |       WHERE ev.event_type = 'view'
+        |         AND ev.ts > t1.t1 AND ev.ts <= t1.t1 + INTERVAL 24 HOURS
+        |       GROUP BY ev.user_id),
+        |t3 AS (SELECT ev.user_id, min(ev.ts) AS t3
+        |       FROM ev JOIN t2 ON ev.user_id = t2.user_id
+        |       WHERE ev.event_type = 'purchase'
+        |         AND ev.ts > t2.t2 AND ev.ts <= t2.t1 + INTERVAL 24 HOURS
+        |       GROUP BY ev.user_id),
+        |lv AS (
+        |  SELECT u.user_id,
+        |    CASE WHEN t3.user_id IS NOT NULL THEN 3
+        |         WHEN t2.user_id IS NOT NULL THEN 2
+        |         WHEN t1.user_id IS NOT NULL THEN 1 ELSE 0 END AS level
+        |  FROM (SELECT DISTINCT user_id FROM ev) u
+        |  LEFT JOIN t1 ON u.user_id = t1.user_id
+        |  LEFT JOIN t2 ON u.user_id = t2.user_id
+        |  LEFT JOIN t3 ON u.user_id = t3.user_id),
+        |f AS (SELECT level, count(*)::BIGINT AS n_users FROM lv
+        |      GROUP BY level),
+        |q AS (SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+        |             round(quantile_cont(l_extendedprice, 0.75), 4) AS q75
+        |      FROM lineitem),
+        |tk AS (SELECT string_agg(v, ',' ORDER BY c DESC, v) AS top3
+        |       FROM (SELECT o_orderpriority AS v, count(*) AS c
+        |             FROM orders GROUP BY 1 ORDER BY c DESC, v LIMIT 3)),
+        |r AS (SELECT sum(d0)::BIGINT AS day0, sum(d0 * d1)::BIGINT AS day1
+        |      FROM (SELECT user_id,
+        |        max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-01'
+        |            THEN 1 ELSE 0 END) AS d0,
+        |        max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-02'
+        |            THEN 1 ELSE 0 END) AS d1
+        |        FROM events GROUP BY user_id)),
+        |s2 AS (SELECT ev.user_id, min(ev.ts) AS t2
+        |       FROM ev JOIN t1 ON ev.user_id = t1.user_id
+        |       WHERE ev.event_type = 'view' AND ev.ts > t1.t1
+        |       GROUP BY ev.user_id),
+        |s3 AS (SELECT ev.user_id FROM ev JOIN s2 ON ev.user_id = s2.user_id
+        |       WHERE ev.event_type = 'purchase' AND ev.ts > s2.t2
+        |       GROUP BY ev.user_id),
+        |sm AS (SELECT count(*)::BIGINT AS n_matched FROM s3)
+        |SELECT f.level, f.n_users, q.q25, q.q75, tk.top3,
+        |  r.day0, r.day1, sm.n_matched
+        |FROM f CROSS JOIN q CROSS JOIN tk CROSS JOIN r CROSS JOIN sm
+        |ORDER BY f.level""".stripMargin,
 
     // the oracle recomputes what the cache served
     "sql_query_cache" ->

@@ -537,6 +537,7 @@ object ChDialect {
     s = settingsTailRe.replaceAllIn(s, "")
     s = rewriteWithAliases(s)
     s = rewriteLimitBy(s)
+    s = rewriteHistogram(s)
     s = rewriteWithFill(s, analyze)
     s = rewriteSample(s)
     // the CH/MySQL comma form — after rewriteLimitBy (which owns the
@@ -793,11 +794,193 @@ object ChDialect {
     }
     s = rewriteCombinator(s, "quantileExact")
     s = rewriteCombinator(s, "quantile")
+    // parameterized-aggregate batch (the CH analytics idioms) — after
+    // the scalar passes so their ts/condition arguments are already
+    // rewritten, before the dict pass (conditions may probe dictGet)
+    Seq("quantilesExact", "quantiles").foreach { fn =>
+      s = rewriteParamAgg(s, fn) { (ps, args) =>
+        require(args.length == 1,
+          s"$fn(q1, q2, …)(x) expects exactly one aggregated expression")
+        require(ps.nonEmpty, s"$fn needs at least one quantile level")
+        s"percentile(${args.head}, array(${ps.mkString(", ")}))"
+      }
+    }
+    // CH topK(N)(x): the SpaceSaving sketch (graft.functions.TopKSketch)
+    // registered as the ch_topk SQL aggregate; CH returns the value
+    // ARRAY, so the "v:c" pairs are projected back to values. Counts are
+    // SpaceSaving overestimates beyond capacity 4N — CH documents the
+    // same bound for its own topK
+    s = rewriteParamAgg(s, "topK") { (ps, args) =>
+      require(ps.length == 1 && ps.head.trim.matches("\\d+"),
+        "topK(N)(x): N must be an integer literal")
+      require(args.length == 1, "topK(N)(x) expects one expression")
+      s"transform(split(ch_topk(CAST(${args.head} AS STRING), " +
+        s"${ps.head.trim}), ','), __s -> split_part(__s, ':', 1))"
+    }
+    // windowFunnel(w)(ts, c1, …, cK): CH buffers the group's events and
+    // scans for the longest chain — this lowering does the same with a
+    // sorted per-group fold (collect_list + aggregate), anchored at the
+    // EARLIEST c1 event with the window measured from it (the engine's
+    // agg_funnel min-chain; CH's DP re-anchors on later c1 events, so a
+    // chain completable only from a later anchor can score higher there
+    // — documented divergence, the min-chain is the DuckDB-provable one)
+    s = rewriteParamAgg(s, "windowFunnel") { (ps, args) =>
+      require(ps.length == 1,
+        "windowFunnel(window_seconds)(ts, cond…): one window parameter")
+      require(args.length >= 2,
+        "windowFunnel(w)(ts, cond1, …) needs a timestamp and 1+ conditions")
+      funnelFold(args.head, args.tail, Some(ps.head))
+    }
+    // sequenceMatch('(?1).*(?2)…')(ts, c1, …, cK): the ordered-existence
+    // pattern class only (each step once, in order, any gaps — the
+    // windowless funnel); time-bound forms like (?t<=3600) refuse loudly
+    s = rewriteParamAgg(s, "sequenceMatch") { (ps, args) =>
+      require(ps.length == 1,
+        "sequenceMatch('pattern')(ts, cond…): one pattern parameter")
+      require(args.length >= 2,
+        "sequenceMatch(p)(ts, cond1, …) needs a timestamp and 1+ conditions")
+      val k = args.length - 1
+      val pat = maskedLiteral(ps.head, literals).getOrElse(
+        throw new IllegalArgumentException(
+          "sequenceMatch: the pattern must be a string literal"))
+      val expected = (1 to k).map(i => s"(?$i)").mkString(".*")
+      require(pat == expected,
+        s"sequenceMatch('$pat'): only the ordered-existence form " +
+          s"'$expected' lowers here (strict-order / time-bound patterns " +
+          "have no exact Spark twin — use graft.operators shapes)")
+      s"IF(${funnelFold(args.head, args.tail, None)} = $k, 1, 0)"
+    }
+    // retention(c1, c2, …): r1 = any c1, r_i = any c1 AND any c_i — the
+    // per-group flag products (the agg_retention shape)
+    s = rewriteCall(s, "retention", { args =>
+      require(args.length >= 2,
+        s"retention(cond1, cond2, …) needs 2+ conditions, got ${args.length}")
+      def mx(c: String) = s"max(CASE WHEN ($c) THEN 1 ELSE 0 END)"
+      val head = mx(args.head)
+      s"array(${(head +: args.tail.map(c => s"$head * ${mx(c)}")).mkString(", ")})"
+    })
     // LAST: the emitted probes contain SELECT/FROM/WHERE text no earlier
     // statement-level pass may see, and their key/default args were
     // already CH-rewritten above (nested dict calls recurse internally)
     s = rewriteDictCalls(s, literals)
     s
+  }
+
+  /** A masked string literal's VALUE, when `tok` is exactly one
+    * [[Sentinel]] slot (the formatDateTime discipline — shared by the
+    * dict-name and sequenceMatch-pattern probes).
+    */
+  private def maskedLiteral(tok: String,
+                            literals: Array[String]): Option[String] = {
+    val t = wtrim(tok)
+    (Sentinel + "(\\d+)" + Sentinel).r.findFirstMatchIn(t) match {
+      case Some(sm) if sm.matched == t =>
+        val raw = literals(sm.group(1).toInt)
+        Some(raw.substring(1, raw.length - 1).replace("''", "'"))
+      case _ => None
+    }
+  }
+
+  /** The shared windowFunnel/sequenceMatch per-group fold: events sorted
+    * by time, K level-anchor slots filled left to right — level 1 takes
+    * the EARLIEST matching event, level i+1 the earliest strictly-later
+    * match (within `windowSecs` of the anchor when bounded). The filled
+    * prefix length IS the level reached. Per-group buffering is exactly
+    * what CH's own windowFunnel does; groups are users, not tables, so
+    * the arrays stay row-group sized at any corpus scale.
+    */
+  private def funnelFold(tsExpr: String, conds: List[String],
+                         windowSecs: Option[String]): String = {
+    val k = conds.length
+    val flags = conds.map(c => s"($c)").mkString(", ")
+    // MICROSECOND comparisons: unix_timestamp would floor to seconds and
+    // silently weaken the strict-order test for sub-second event pairs
+    val winTest = windowSecs.map(w =>
+      s" AND e.t <= element_at(acc, 1) + (($w) * 1000000L)").getOrElse("")
+    s"size(filter(aggregate(" +
+      s"array_sort(collect_list(struct(unix_micros($tsExpr) AS t, " +
+      s"array($flags) AS f))), " +
+      s"transform(sequence(1, $k), __z -> CAST(NULL AS BIGINT)), " +
+      s"(acc, e) -> transform(acc, (x, i) -> CASE " +
+      s"WHEN x IS NOT NULL THEN x " +
+      s"WHEN i = 0 THEN (CASE WHEN element_at(e.f, 1) THEN e.t END) " +
+      s"WHEN element_at(acc, i) IS NOT NULL AND element_at(e.f, i + 1) " +
+      s"AND e.t > element_at(acc, i)$winTest THEN e.t END)), " +
+      s"__v -> __v IS NOT NULL))"
+  }
+
+  /** `fn(params)(args)` — the CH parameterized-aggregate call shape,
+    * handed to `f(params, args)` (the generalized [[rewriteCombinator]]).
+    */
+  private def rewriteParamAgg(s: String, fn: String)(
+      f: (List[String], List[String]) => String): String = {
+    val re = s"(?i)\\b$fn\\(".r
+    re.findFirstMatchIn(s) match {
+      case None => s
+      case Some(m) =>
+        val (params, afterParams) = balancedArgs(s, m.end - 1)
+        val rest = s.substring(afterParams)
+        require(rest.startsWith("("),
+          s"$fn(…)(…): expected the argument list right after the " +
+            "parameter list")
+        val (args, end) = balancedArgs(rest, 0)
+        s.substring(0, m.start) + f(params.map(wtrim), args.map(wtrim)) +
+          rewriteParamAgg(s.substring(afterParams + end), fn)(f)
+    }
+  }
+
+  /** `SELECT histogram(N)(x) [AS alias] FROM tail` → the deterministic
+    * equal-width N-bin histogram as Array(Struct(lo, hi, height)):
+    * one bounds pass (min/max), one binning pass, a ≤N-row collect.
+    * CH's histogram() is ADAPTIVE and explicitly non-deterministic —
+    * this lowering trades its variable bin edges for exact equal-width
+    * ones (documented divergence; the per-bin recipe with caller-chosen
+    * edges is agg_histogram). Restricted to the single-item ungrouped
+    * statement — anything else refuses loudly (a grouped histogram
+    * cannot re-nest textually without per-group bounds joins).
+    */
+  private def rewriteHistogram(s: String): String = {
+    val m = "(?i)\\bhistogram\\(".r.findFirstMatchIn(s).getOrElse(return s)
+    val restricted =
+      "(?is)^\\s*SELECT\\s+histogram\\(".r.findFirstIn(s).isDefined
+    require(restricted,
+      "histogram(N)(x): only the single-item form " +
+        "'SELECT histogram(N)(x) [AS a] FROM …' lowers here (per-group " +
+        "histograms need per-group bounds — use the agg_histogram " +
+        "fixed-bin recipe)")
+    val (params, afterParams) = balancedArgs(s, m.end - 1)
+    require(params.length == 1 && wtrim(params.head).matches("\\d+"),
+      "histogram(N)(x): N must be an integer literal")
+    val n = wtrim(params.head)
+    val rest = s.substring(afterParams)
+    require(rest.startsWith("("),
+      "histogram(N)(x): expected the argument list right after N")
+    val (args, end) = balancedArgs(rest, 0)
+    require(args.length == 1, "histogram(N)(x) expects one expression")
+    val x = wtrim(args.head)
+    val tail = s.substring(afterParams + end)
+    val tm = "(?is)^\\s*(?:AS\\s+(\\w+)\\s*)?FROM\\s+(.+)$".r
+      .findFirstMatchIn(tail).getOrElse(throw new IllegalArgumentException(
+        "histogram(N)(x): only 'SELECT histogram(N)(x) [AS a] FROM …' " +
+          "lowers here"))
+    val alias = Option(tm.group(1)).getOrElse("hist")
+    val from = tm.group(2).trim
+    require("(?i)\\bGROUP\\s+BY\\b".r.findFirstIn(from).isEmpty,
+      "histogram(N)(x): grouped statements are not supported by this " +
+        "lowering (doc above)")
+    val xd = s"CAST(($x) AS DOUBLE)"
+    s"SELECT sort_array(collect_list(struct(" +
+      s"__lo + __bin * __w AS lo, " +
+      s"__lo + (__bin + 1) * __w AS hi, " +
+      s"CAST(__n AS DOUBLE) AS height))) AS $alias FROM (" +
+      s"SELECT __bin, __lo, __w, count(*) AS __n FROM (" +
+      s"SELECT least($n - 1, greatest(0, " +
+      s"CAST(floor((__x - __lo) / __w) AS INT))) AS __bin, __lo, __w " +
+      s"FROM (SELECT $xd AS __x FROM $from) " +
+      s"CROSS JOIN (SELECT min($xd) AS __lo, " +
+      s"greatest((max($xd) - min($xd)) / $n, 1e-12) AS __w FROM $from) " +
+      s"WHERE __x IS NOT NULL) " +
+      s"GROUP BY __bin, __lo, __w)"
   }
 
   /** `dictGet('d','attr',k)` / `dictGetOrDefault('d','attr',k,def)` /

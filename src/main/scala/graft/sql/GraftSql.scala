@@ -47,6 +47,16 @@ object GraftSql {
       case _ => throw new IllegalArgumentException(
         "gram_digests(toks, k): k must be an integer literal")
     }
+    // CH topK(N)(x) via the dialect rewrite: the SpaceSaving sketch
+    // (graft.functions.TopKSketch — the sanctioned typed-Aggregator
+    // exception) as a SQL aggregate; ch_topk(x, k) -> "v1:c1,…" count
+    // desc, which the rewrite projects back to CH's value array
+    reg("ch_topk", 2) {
+      case Seq(e, IntegerLiteral(k)) =>
+        graft.functions.TopKSketch.topKExpression(e, k)
+      case _ => throw new IllegalArgumentException(
+        "ch_topk(x, k): k must be an integer literal")
+    }
   }
 
   /** One-call text query: register views + kernels, expand user-defined

@@ -345,6 +345,67 @@ class ChSqlSpec extends SparkSpecBase {
         "CAST(map_contains_key(map('a', 1), 'a') AS INT) AS c")
   }
 
+  test("parameterized aggregates: quantiles/topK/windowFunnel/sequenceMatch/retention/histogram") {
+    // quantiles(…)(x): ONE percentile-array pass, elements projected
+    chEqualsSpark(
+      """SELECT l_returnflag,
+        |  round(element_at(quantiles(0.25, 0.75)(l_extendedprice), 1), 4) AS q25,
+        |  round(element_at(quantiles(0.25, 0.75)(l_extendedprice), 2), 4) AS q75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      """SELECT l_returnflag,
+        |  round(element_at(percentile(l_extendedprice, array(0.25, 0.75)), 1), 4) AS q25,
+        |  round(element_at(percentile(l_extendedprice, array(0.25, 0.75)), 2), 4) AS q75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    // topK(N)(x) vs the exact (count desc, value asc) top-3 — exact
+    // because capacity 4N exceeds the column's cardinality
+    chEqualsSpark(
+      "SELECT topK(3)(o_orderpriority) AS top3 FROM orders",
+      """SELECT transform(slice(array_sort(collect_list(struct(-c AS nc, v AS v))),
+        |  1, 3), e -> e.v) AS top3
+        |FROM (SELECT o_orderpriority AS v, count(*) AS c FROM orders
+        |      GROUP BY 1)""".stripMargin)
+    // windowFunnel/sequenceMatch/retention on a hand-built event log:
+    // u1 completes a→b→c inside the window, u2's b falls outside it,
+    // u3 reaches a→b (the leading stray b must not anchor), u4 never a
+    val evSrc = "(SELECT u, timestamp_seconds(t) AS ts, e FROM VALUES " +
+      "(1, 10, 'a'), (1, 20, 'b'), (1, 30, 'c'), " +
+      "(2, 10, 'a'), (2, 200, 'b'), " +
+      "(3, 10, 'b'), (3, 20, 'a'), (3, 30, 'b'), " +
+      "(4, 10, 'b') AS v(u, t, e))"
+    val funnel = GraftSql.chSql(spark, sf0001,
+      s"SELECT u, windowFunnel(100)(ts, e = 'a', e = 'b', e = 'c') AS lvl " +
+        s"FROM $evSrc GROUP BY u ORDER BY u")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    funnel shouldBe Array((1, 3), (2, 1), (3, 2), (4, 0))
+    val seqm = GraftSql.chSql(spark, sf0001,
+      s"SELECT u, sequenceMatch('(?1).*(?2)')(ts, e = 'a', e = 'b') AS m " +
+        s"FROM $evSrc GROUP BY u ORDER BY u")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    seqm shouldBe Array((1, 1), (2, 1), (3, 1), (4, 0))
+    val ret = GraftSql.chSql(spark, sf0001,
+      s"SELECT u, retention(e = 'a', e = 'b', e = 'x') AS r " +
+        s"FROM $evSrc GROUP BY u ORDER BY u")
+      .collect().map(r => (r.getInt(0), r.getSeq[Int](1)))
+    ret shouldBe Array((1, Seq(1, 1, 0)), (2, Seq(1, 1, 0)),
+      (3, Seq(1, 1, 0)), (4, Seq(0, 0, 0)))
+    // time-bound / strict-order sequenceMatch patterns refuse loudly
+    intercept[IllegalArgumentException] {
+      ChDialect.rewrite(
+        "SELECT sequenceMatch('(?1)(?t<=3600)(?2)')(ts, a, b) FROM t")
+    }.getMessage should include("ordered-existence")
+    // histogram(N)(x): deterministic equal-width bins (documented
+    // divergence from CH's adaptive edges)
+    chEqualsSpark(
+      "SELECT histogram(2)(x) AS hist FROM " +
+        "(SELECT CAST(v AS DOUBLE) AS x FROM VALUES 0, 1, 2, 4 AS t(v))",
+      "SELECT array(struct(0.0D AS lo, 2.0D AS hi, 2.0D AS height), " +
+        "struct(2.0D AS lo, 4.0D AS hi, 2.0D AS height)) AS hist")
+    intercept[IllegalArgumentException] {
+      ChDialect.rewrite(
+        "SELECT histogram(5)(x) FROM t GROUP BY g")
+    }
+  }
+
   test("formatDateTime translates %-patterns; toDateTime casts") {
     // specifiers translate, literal runs are quoted so pattern letters
     // can't leak, %% stays a percent

@@ -119,6 +119,62 @@ class SqlParitySpec extends SparkSpecBase {
         |  (SELECT max(unix_timestamp(ts)) - 30 * 86400 FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // DuckDB quantile_cont/string_agg/:: casts → Spark percentile array,
+    // sorted-struct collect_list top-3, CAST
+    "sql_param_aggs" ->
+      """WITH ev AS (SELECT user_id, ts, event_type FROM events),
+        |t1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+        |       WHERE event_type = 'click' GROUP BY user_id),
+        |t2 AS (SELECT ev.user_id, min(ev.ts) AS t2, min(t1.t1) AS t1
+        |       FROM ev JOIN t1 ON ev.user_id = t1.user_id
+        |       WHERE ev.event_type = 'view'
+        |         AND ev.ts > t1.t1 AND ev.ts <= t1.t1 + INTERVAL 24 HOURS
+        |       GROUP BY ev.user_id),
+        |t3 AS (SELECT ev.user_id, min(ev.ts) AS t3
+        |       FROM ev JOIN t2 ON ev.user_id = t2.user_id
+        |       WHERE ev.event_type = 'purchase'
+        |         AND ev.ts > t2.t2 AND ev.ts <= t2.t1 + INTERVAL 24 HOURS
+        |       GROUP BY ev.user_id),
+        |lv AS (
+        |  SELECT u.user_id,
+        |    CASE WHEN t3.user_id IS NOT NULL THEN 3
+        |         WHEN t2.user_id IS NOT NULL THEN 2
+        |         WHEN t1.user_id IS NOT NULL THEN 1 ELSE 0 END AS level
+        |  FROM (SELECT DISTINCT user_id FROM ev) u
+        |  LEFT JOIN t1 ON u.user_id = t1.user_id
+        |  LEFT JOIN t2 ON u.user_id = t2.user_id
+        |  LEFT JOIN t3 ON u.user_id = t3.user_id),
+        |f AS (SELECT level, count(*) AS n_users FROM lv GROUP BY level),
+        |q AS (SELECT
+        |    round(element_at(percentile(l_extendedprice, array(0.25, 0.75)), 1), 4) AS q25,
+        |    round(element_at(percentile(l_extendedprice, array(0.25, 0.75)), 2), 4) AS q75
+        |  FROM lineitem),
+        |tk AS (SELECT array_join(transform(slice(array_sort(
+        |         collect_list(struct(-c AS nc, v AS v))), 1, 3),
+        |         e -> e.v), ',') AS top3
+        |       FROM (SELECT o_orderpriority AS v, count(*) AS c
+        |             FROM orders GROUP BY 1)),
+        |r AS (SELECT CAST(sum(d0) AS BIGINT) AS day0,
+        |             CAST(sum(d0 * d1) AS BIGINT) AS day1
+        |      FROM (SELECT user_id,
+        |        max(CASE WHEN to_date(ts) = DATE '2024-01-01'
+        |            THEN 1 ELSE 0 END) AS d0,
+        |        max(CASE WHEN to_date(ts) = DATE '2024-01-02'
+        |            THEN 1 ELSE 0 END) AS d1
+        |        FROM events GROUP BY user_id)),
+        |s2 AS (SELECT ev.user_id, min(ev.ts) AS t2
+        |       FROM ev JOIN t1 ON ev.user_id = t1.user_id
+        |       WHERE ev.event_type = 'view' AND ev.ts > t1.t1
+        |       GROUP BY ev.user_id),
+        |s3 AS (SELECT ev.user_id FROM ev JOIN s2 ON ev.user_id = s2.user_id
+        |       WHERE ev.event_type = 'purchase' AND ev.ts > s2.t2
+        |       GROUP BY ev.user_id),
+        |sm AS (SELECT count(*) AS n_matched FROM s3)
+        |SELECT f.level, f.n_users, q.q25, q.q75, tk.top3,
+        |  r.day0, r.day1, sm.n_matched
+        |FROM f CROSS JOIN q CROSS JOIN tk CROSS JOIN r CROSS JOIN sm
+        |ORDER BY f.level""".stripMargin,
+
     // DuckDB strftime/epoch/`//` → date_format/unix_timestamp/DIV
     "sql_dialect2" ->
       """SELECT date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss') AS h,
