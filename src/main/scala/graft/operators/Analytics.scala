@@ -611,6 +611,37 @@ object Analytics extends QueryModule {
           |        FROM events GROUP BY user_id)) sm
           |ORDER BY f.level""".stripMargin)),
 
+    // The `file()` table function through the gate — the reference's own
+    // ingest statement SHAPE (types.json: positional `cN::Type AS name`
+    // casts over a header-less TSV): a fixture TSV is exported from the
+    // corpus' own top-50 orders (deterministic, driver-side — 50 rows),
+    // the SELECT reads it back VERBATIM through file(), and the oracle
+    // recomputes the aggregate from the ORIGINAL parquet — so the TSV
+    // write, schema-on-read, positional casts, and aggregate must
+    // compose losslessly. (ChSqlSpec runs the reference's actual commits
+    // statement against /root/reference/types.json at test time.)
+    "sql_file_scan" -> ((s, d) => {
+      val tmp = CatalogOps.scratchDir("graft-file-scan")
+      val tsv = tmp.resolve("orders50.tsv").toString
+      val lines = Tables.orders(s, d).orderBy(col("o_orderkey")).limit(50)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+        .collect()
+        .map(r => s"${r.get(0)}\t${r.get(1)}\t${r.get(2)}\t${r.get(3)}")
+        .mkString("\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(tsv),
+        lines.getBytes("UTF-8"))
+      graft.sql.GraftSql.chSql(s, d,
+        s"""SELECT status, count() AS n, round(sum(price), 2) AS total,
+           |  toUnixTimestamp(max(odate)) AS last_day
+           |FROM (
+           |  SELECT c1::UInt64 AS okey, c2::String AS status,
+           |    c3::Float64 AS price, c4::DateTime('UTC') AS odate
+           |  FROM file('$tsv'))
+           |GROUP BY status ORDER BY status""".stripMargin)
+    }),
+
     // numbers() + intDiv + the LIMIT offset,n comma form + FORMAT tail in
     // one statement — the everyday CH-CLI idioms, gate-checked together
     // (each is spec'd in isolation in ChSqlSpec).
@@ -1271,6 +1302,16 @@ object Analytics extends QueryModule {
         |  r.day0, r.day1, sm.n_matched
         |FROM f CROSS JOIN q CROSS JOIN tk CROSS JOIN r CROSS JOIN sm
         |ORDER BY f.level""".stripMargin,
+
+    // the fixture TSV is the corpus' own top-50 orders — the oracle
+    // recomputes the aggregate straight from the parquet
+    "sql_file_scan" ->
+      """WITH top50 AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 50)
+        |SELECT o_orderstatus AS status, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  CAST(floor(epoch(max(CAST(o_orderdate AS TIMESTAMP)))) AS BIGINT)
+        |    AS last_day
+        |FROM top50 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the oracle recomputes what the cache served
     "sql_query_cache" ->

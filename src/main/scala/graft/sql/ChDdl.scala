@@ -835,10 +835,16 @@ object ChDdl {
     */
   def insertSelect(cat: Catalog, s: org.apache.spark.sql.SparkSession,
                    ddl: String): Unit =
-    parse(ddl, "") match {
+    // file('…') FROM sources bind first (the reference's own ingest
+    // statement shape: INSERT INTO t SELECT c1::… FROM file('x.tsv')) —
+    // the bound view then reads through s.table, not the catalog
+    parse(GraftSql.bindFileRefs(s, ddl), "") match {
       case i: InsertSelect =>
+        val frame =
+          if (i.source.startsWith("__file_")) s.table(i.source)
+          else cat.read(i.source)
         cat.append(i.target, selectOver(s, i.source, i.selectSql,
-          cat.read(i.source), s"backfill_${i.target}", Some(cat)))
+          frame, s"backfill_${i.target}", Some(cat)))
         ()
       case other => throw new IllegalArgumentException(
         s"expected INSERT INTO … SELECT, got ${other.getClass.getSimpleName}")

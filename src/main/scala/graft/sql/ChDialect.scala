@@ -268,6 +268,10 @@ object ChDialect {
     ("::\\s*(?i:String)\\b".r, "::STRING"),
     ("::\\s*(?i:DateTime)\\s*\\([^)]*\\)".r, "::TIMESTAMP"),
     ("::\\s*(?i:DateTime)\\b".r, "::TIMESTAMP"),
+    // the ingest-statement Enum8 cast (types.json file_changes): the
+    // value-set VALIDATION lives at the table door (Catalog enum
+    // constraints) — the in-query cast itself is the string identity
+    ("::\\s*(?i:Enum8)\\s*\\([^)]*\\)".r, "::STRING"),
     ("::\\s*(?i:Date)\\b".r, "::DATE"))
 
   /** The `SAMPLE BY` declarations for the TESTDATA tables — the DDL side

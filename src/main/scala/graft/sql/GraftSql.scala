@@ -68,6 +68,61 @@ object GraftSql {
     s.sql(expandFunctions(query))
   }
 
+  // ---- file() table function (the reference's own ingest FROM) ---------
+
+  private val fileRefRe =
+    ("(?i)\\b(FROM|JOIN)\\s+file\\(\\s*'([^']+)'\\s*" +
+      "(?:,\\s*'(\\w+)'\\s*)?\\)").r
+  private val fileViewN = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** CH's `file('path'[, 'format'])` table function — the FROM clause of
+    * the reference's OWN ingest statements (types.json `statement`
+    * strings: `SELECT c1::String as hash, … FROM file('commits.tsv')`).
+    * Each reference is read here (schema-on-read: positional `c1…cN`
+    * STRING columns for the header-less text formats, exactly what
+    * clickhouse-local hands those statements), registered as a temp
+    * view, and the text substituted with the view name — the statement's
+    * own `::Type` casts stay in charge of typing, like CH. Relative
+    * paths resolve against -Dgraft.files.dir / $SPARK_GRAFT_FILES_DIR
+    * (the CH user_files directory analog); absolute and URI paths pass
+    * through. Applied by [[chSql]] and ChDdl's INSERT INTO … SELECT door.
+    */
+  def bindFileRefs(s: SparkSession, query: String): String =
+    fileRefRe.replaceAllIn(query, m => {
+      val raw = m.group(2)
+      val fmt = Option(m.group(3)).map(_.toLowerCase).getOrElse("tsv")
+      val base = sys.props.get("graft.files.dir")
+        .orElse(sys.env.get("SPARK_GRAFT_FILES_DIR"))
+      val path =
+        if (raw.startsWith("/") || raw.contains("://")) raw
+        else base.map(b => s"$b/$raw").getOrElse(
+          throw new IllegalArgumentException(
+            s"file('$raw'): relative paths resolve against " +
+              "-Dgraft.files.dir or $SPARK_GRAFT_FILES_DIR (the CH " +
+              "user_files analog) — neither is set"))
+      def text(sep: String, header: Boolean) = {
+        val df = s.read.option("sep", sep)
+          .option("header", header.toString).csv(path)
+        if (header) df
+        else df.toDF(df.columns.indices.map(i => s"c${i + 1}"): _*)
+      }
+      val df = fmt match {
+        case "tsv" | "tabseparated" => text("\t", header = false)
+        case "tsvwithnames" | "tabseparatedwithnames" =>
+          text("\t", header = true)
+        case "csv" => text(",", header = false)
+        case "csvwithnames" => text(",", header = true)
+        case "parquet" => s.read.parquet(path)
+        case "jsoneachrow" | "ndjson" | "jsonlines" => s.read.json(path)
+        case other => throw new IllegalArgumentException(
+          s"file('$raw', '$other'): supported formats are " +
+            "TSV/CSV[WithNames], Parquet, JSONEachRow")
+      }
+      val view = s"__file_${fileViewN.getAndIncrement()}"
+      df.createOrReplaceTempView(view)
+      scala.util.matching.Regex.quoteReplacement(s"${m.group(1)} $view")
+    })
+
   /** The process-global result cache — the CH server-wide query cache
     * analog ([[QueryCache]] doc carries the semantics). Callers opt in
     * per query (CH `use_query_cache = 1` is per-query too) and supply
@@ -437,9 +492,10 @@ object GraftSql {
     // nested CH body resolves identically
     registerViews(s, sfDir)
     registerFunctions(s)
+    val bound = bindFileRefs(s, query)
     lazy val probe: String => Seq[String] = b =>
       s.sql(expandFunctions(ChDialect.rewrite(b, Some(probe)))).columns.toSeq
-    s.sql(expandFunctions(ChDialect.rewrite(query, Some(probe))))
+    s.sql(expandFunctions(ChDialect.rewrite(bound, Some(probe))))
   }
 
   /** `EXPLAIN [PIPELINE]` analog: the formatted physical plan for a SQL

@@ -345,6 +345,57 @@ class ChSqlSpec extends SparkSpecBase {
         "CAST(map_contains_key(map('a', 1), 'a') AS INT) AS c")
   }
 
+  test("file() runs the reference's own commits ingest statement VERBATIM") {
+    import org.apache.spark.sql.functions.col
+    // the reference's ingest SQL, loaded from its own repo at test time
+    // (the ChDdlSpec typesJson discipline — zero reference bytes stored)
+    val stmt = {
+      import org.json4s.jackson.JsonMethods
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/root/reference/types.json")), "UTF-8")
+      (JsonMethods.parse(txt) \ "types") match {
+        case org.json4s.JArray(xs) => xs.collectFirst {
+          case t if (t \ "name") == org.json4s.JString("commits") =>
+            val org.json4s.JString(s) = t \ "statement"; s
+        }.get
+        case other => fail(s"types.json malformed: $other")
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-fileref")
+    java.nio.file.Files.write(dir.resolve("commits.tsv"),
+      ("h1\talice\t2021-04-02 10:00:00\tfirst commit\t1\t0\t0\t2\t10\t3\t1\t0\t1\n" +
+        "h2\tbob\t2021-04-03 11:30:00\tsecond\t0\t1\t0\t1\t5\t2\t0\t1\t0")
+        .getBytes("UTF-8"))
+    val prev = sys.props.get("graft.files.dir")
+    sys.props("graft.files.dir") = dir.toString
+    try {
+      // the reference formats {repo_name} before running — same here
+      val out = GraftSql.chSql(spark, sf0001,
+        stmt.replace("{repo_name}", "acme/widget")).orderBy(col("time"))
+      out.columns.toSeq shouldBe Seq("hash", "author", "time", "message",
+        "files_added", "files_deleted", "files_renamed", "files_modified",
+        "lines_added", "lines_deleted", "hunks_added", "hunks_removed",
+        "hunks_changed", "repo_name")
+      out.count() shouldBe 2L
+      val r = out.head()
+      r.getString(0) shouldBe "h1"
+      r.getString(1) shouldBe "alice"
+      out.select(org.apache.spark.sql.functions.date_format(col("time"),
+        "yyyy-MM-dd HH:mm:ss")).head().getString(0) shouldBe
+        "2021-04-02 10:00:00"
+      r.getLong(8) shouldBe 10L
+      r.getString(13) shouldBe "acme/widget"
+    } finally prev match {
+      case Some(p) => sys.props("graft.files.dir") = p
+      case None => sys.props.remove("graft.files.dir"); ()
+    }
+    // a relative path with no user_files root refuses loudly
+    if (prev.isEmpty)
+      intercept[IllegalArgumentException] {
+        GraftSql.chSql(spark, sf0001, "SELECT c1 FROM file('nope.tsv')")
+      }.getMessage should include("user_files")
+  }
+
   test("parameterized aggregates: quantiles/topK/windowFunnel/sequenceMatch/retention/histogram") {
     // quantiles(…)(x): ONE percentile-array pass, elements projected
     chEqualsSpark(

@@ -119,6 +119,14 @@ class SqlParitySpec extends SparkSpecBase {
         |  (SELECT max(unix_timestamp(ts)) - 30 * 86400 FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // DuckDB epoch() → Spark unix_timestamp (same floor-seconds clock)
+    "sql_file_scan" ->
+      """WITH top50 AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 50)
+        |SELECT o_orderstatus AS status, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  max(unix_timestamp(CAST(o_orderdate AS TIMESTAMP))) AS last_day
+        |FROM top50 GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // DuckDB quantile_cont/string_agg/:: casts → Spark percentile array,
     // sorted-struct collect_list top-3, CAST
     "sql_param_aggs" ->
