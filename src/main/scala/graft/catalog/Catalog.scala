@@ -254,7 +254,16 @@ final case class TableDef(
   */
 final case class TtlSpec(col: String, maxAgeSec: Long,
                          groupKeys: Seq[String] = Nil,
-                         set: Seq[(String, String)] = Nil)
+                         set: Seq[(String, String)] = Nil,
+                         // calendar TTL (`INTERVAL n MONTH/QUARTER/YEAR`,
+                         // folded to months): variable-length units the
+                         // fixed-second axis can't hold — the sweep adds
+                         // months to the clock column (clamped
+                         // end-of-month arithmetic, both engines') and
+                         // compares against the explicit `now`, so it
+                         // stays deterministic. Exactly one of
+                         // maxAgeSec / calMonths is active.
+                         calMonths: Option[Long] = None)
 
 /** The declared shape of a `vector_similarity` index: IVF-PQ with
   * `nCells` coarse cells, `m` PQ subspaces of `k` sub-centroids each.
@@ -842,6 +851,7 @@ final class Catalog(spark: SparkSession) {
       }) ~
       ("ttl" -> t.ttl.map(sp =>
         ("col" -> sp.col) ~ ("max_age_sec" -> sp.maxAgeSec) ~
+          ("cal_months" -> sp.calMonths) ~
           ("group_keys" -> sp.groupKeys) ~
           ("set" -> sp.set.map { case (c, a) => Seq(c, a) }))) ~
       ("semantics" -> sem)
@@ -1029,8 +1039,13 @@ final class Catalog(spark: SparkSession) {
             case other => throw new IllegalArgumentException(
               s"attach: TTL max_age_sec malformed under $path ($other)")
           }
+          val calMonths = (o \ "cal_months") match {
+            case org.json4s.JInt(n) => Some(n.toLong)
+            case org.json4s.JLong(n) => Some(n)
+            case _ => None // absent: fixed-seconds TTL / older sidecar
+          }
           Some(TtlSpec(ttlCol, age, list(o \ "group_keys"),
-            pairList(o \ "set")))
+            pairList(o \ "set"), calMonths))
         case _ => None // absent in pre-TTL sidecars
       }))
     catch {
@@ -4789,6 +4804,9 @@ final class Catalog(spark: SparkSession) {
         "Date, DateTime, or an epoch-seconds numeric column required")
     require(spec.maxAgeSec >= 0,
       s"${t.name}: TTL interval must be non-negative (got ${spec.maxAgeSec})")
+    require(spec.calMonths.forall(_ > 0),
+      s"${t.name}: calendar TTL needs a positive month count " +
+        s"(got ${spec.calMonths})")
     require(spec.set.isEmpty || spec.groupKeys.nonEmpty,
       s"${t.name}: TTL SET needs a GROUP BY")
     (spec.groupKeys ++ spec.set.map(_._1)).foreach(c =>
@@ -4845,12 +4863,28 @@ final class Catalog(spark: SparkSession) {
       case DateType => unix_timestamp(col(spec.col).cast(TimestampType))
       case _ => col(spec.col).cast(LongType)
     }
-    val horizon = nowEpochSec - spec.maxAgeSec
-    def expired(df: DataFrame): Column =
-      coalesce(clock(df) < lit(horizon), lit(false))
+    // calendar TTL: expiry = clock + n months (clamped month arithmetic
+    // via timestamp_add — sub-day precision preserved, unlike
+    // add_months' DATE result), compared in floor seconds against the
+    // caller's explicit now — deterministic either way
+    def expiryTs(df: DataFrame): Column = t.schema(spec.col).dataType match {
+      case TimestampType => col(spec.col)
+      case DateType => col(spec.col).cast(TimestampType)
+      case _ => timestamp_seconds(col(spec.col).cast(LongType))
+    }
+    def expired(df: DataFrame): Column = spec.calMonths match {
+      case Some(m) => coalesce(unix_timestamp(timestamp_add("MONTH",
+        lit(m), expiryTs(df))) < lit(nowEpochSec), lit(false))
+      case None =>
+        coalesce(clock(df) < lit(nowEpochSec - spec.maxAgeSec), lit(false))
+    }
+    def intervalText = spec.calMonths match {
+      case Some(m) => s"INTERVAL $m MONTH"
+      case None => s"INTERVAL ${spec.maxAgeSec} SECOND"
+    }
     if (spec.groupKeys.isEmpty)
       mutate(name, df => df.filter(!expired(df)),
-        s"TTL ${spec.col} + INTERVAL ${spec.maxAgeSec} SECOND " +
+        s"TTL ${spec.col} + $intervalText " +
           s"(MATERIALIZE, now=$nowEpochSec)")
     else
       mutate(name,

@@ -649,6 +649,34 @@ object CatalogOps extends QueryModule {
         .orderBy(col("etype"))
     }),
 
+    // Calendar-unit TTL through the gate: the commonest CH retention
+    // spelling (`TTL ts + INTERVAL 2 MONTH`) declared in CREATE TABLE as
+    // text, swept against the data's own max-ts clock (deterministic,
+    // SF-independent). Month arithmetic is CLAMPED end-of-month on both
+    // engines (Jan 31 + 1 month = Feb 28/29), so the oracle's
+    // `ts + INTERVAL 2 MONTH` recomputes the identical survival set.
+    "cat_ttl_calendar" -> ((s, d) => {
+      val cat = new Catalog(s)
+      val tmp = scratchDir("graft-cat-ttlcal")
+      graft.sql.ChDdl.runScript(cat, s,
+        """CREATE TABLE ev_ttlcal (
+          |  `event_id` UInt64,
+          |  `etype` LowCardinality(String),
+          |  `ts` DateTime,
+          |  `value` Float64
+          |) ENGINE = MergeTree
+          |ORDER BY event_id
+          |TTL ts + INTERVAL 2 MONTH""".stripMargin, tmp.toString)
+      cat.append("ev_ttlcal", Tables.events(s, d).select(col("event_id"),
+        col("event_type").as("etype"), col("ts"), col("value")))
+      val maxTs = cat.read("ev_ttlcal")
+        .agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+      cat.materializeTtl("ev_ttlcal", maxTs)
+      cat.read("ev_ttlcal").groupBy(col("etype"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val_sum"))
+        .orderBy(col("etype"))
+    }),
+
     // The CH-CLI data doors through the gate: inline `INSERT … FORMAT
     // JSONEachRow` (a sparse row takes the declared DEFAULT / type
     // default per field) and `INSERT … FORMAT CSV` (partial column list,
@@ -1537,6 +1565,16 @@ object CatalogOps extends QueryModule {
         |WHERE CAST(floor(epoch(ts)) AS BIGINT) >=
         |  (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 30 * 86400
         |   FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the 2-calendar-month survival window restated with DuckDB's own
+    // clamped month arithmetic and the same floor-seconds clock
+    "cat_ttl_calendar" ->
+      """SELECT event_type AS etype, count(*) AS n,
+        | round(sum(value), 2) AS val_sum
+        |FROM events
+        |WHERE CAST(floor(epoch(ts + INTERVAL 2 MONTH)) AS BIGINT) >=
+        |  (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // every inline row restated as literals, fills included (row 2: v

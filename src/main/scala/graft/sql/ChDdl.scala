@@ -690,15 +690,21 @@ object ChDdl {
         "(?:\\s+GROUP\\s+BY\\s+(.+?)\\s+SET\\s+(.+))?\\s*$").r
     text.trim match {
       case ttlSpecRe(c, n, unit, gb, set) =>
-        val secs = unit.toUpperCase.stripSuffix("S") match {
-          case "SECOND" => 1L
-          case "MINUTE" => 60L
-          case "HOUR" => 3600L
-          case "DAY" => 86400L
-          case "WEEK" => 604800L
+        // fixed-length units fold to seconds; calendar units fold to
+        // MONTHS (TtlSpec.calMonths — clamped month arithmetic at sweep
+        // time, the only correct reading of `+ INTERVAL 3 MONTH`)
+        val parsed: Either[Long, Long] = unit.toUpperCase.stripSuffix("S") match {
+          case "SECOND" => Left(1L)
+          case "MINUTE" => Left(60L)
+          case "HOUR" => Left(3600L)
+          case "DAY" => Left(86400L)
+          case "WEEK" => Left(604800L)
+          case "MONTH" => Right(1L)
+          case "QUARTER" => Right(3L)
+          case "YEAR" => Right(12L)
           case other => throw new IllegalArgumentException(
-            s"TTL INTERVAL $other: calendar units have no fixed second " +
-              "length — declare the TTL in DAYs (or smaller)")
+            s"TTL INTERVAL $other: unknown unit (SECOND…WEEK, " +
+              "MONTH/QUARTER/YEAR)")
         }
         val keys = Option(gb).toSeq.flatMap(g =>
           splitTopLevel(g).map(_.trim.replace("`", "")))
@@ -708,7 +714,13 @@ object ChDdl {
           (a.substring(0, eq).trim.replace("`", ""),
             ChDialect.rewrite(a.substring(eq + 1).trim))
         }
-        graft.catalog.TtlSpec(c.replace("`", ""), n.toLong * secs, keys, sets)
+        parsed match {
+          case Left(secs) => graft.catalog.TtlSpec(
+            c.replace("`", ""), n.toLong * secs, keys, sets)
+          case Right(mult) => graft.catalog.TtlSpec(
+            c.replace("`", ""), 0L, keys, sets,
+            calMonths = Some(n.toLong * mult))
+        }
       case other => throw new IllegalArgumentException(
         s"TTL: supported form is `col + INTERVAL n unit " +
           s"[GROUP BY keys SET col = agg, …]` — got '$other'")

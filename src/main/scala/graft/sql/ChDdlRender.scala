@@ -199,15 +199,20 @@ object ChDdlRender {
     }
 
     val body = (colLines ++ conLines ++ idxLines).mkString(",\n")
-    // TTL renders in normalized SECONDs (parse folds every unit to
-    // seconds, so parse∘render∘parse is the identity even if the declared
-    // unit was DAY)
+    // fixed TTLs render in normalized SECONDs (parse folds every fixed
+    // unit to seconds, so parse∘render∘parse is the identity even if the
+    // declared unit was DAY); calendar TTLs keep the MONTH spelling —
+    // months never normalize to seconds
     val ttlClause = t0.ttl.map { sp =>
       val rollup =
         if (sp.groupKeys.isEmpty) ""
         else s" GROUP BY ${sp.groupKeys.mkString(", ")} SET " +
           sp.set.map { case (c, a) => s"$c = $a" }.mkString(", ")
-      s"TTL ${sp.col} + INTERVAL ${sp.maxAgeSec} SECOND$rollup"
+      val interval = sp.calMonths match {
+        case Some(m) => s"INTERVAL $m MONTH"
+        case None => s"INTERVAL ${sp.maxAgeSec} SECOND"
+      }
+      s"TTL ${sp.col} + $interval$rollup"
     }
     val clauses = Seq(
       Some(s"ENGINE = $engine"),

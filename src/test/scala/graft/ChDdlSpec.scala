@@ -720,15 +720,57 @@ class ChDdlSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       cat.materializeTtl("tt", 400L) // no TTL declared anymore
     }
-    // refusals: calendar units (no fixed second length), unknown clock
-    // column, SET without GROUP BY
+    // calendar units fold to MONTHS (clamped arithmetic at sweep time —
+    // the dedicated calendar-TTL test); unknown clock columns refuse
+    ChDdl.parseTtlSpec("bkt + INTERVAL 1 MONTH") shouldBe
+      graft.catalog.TtlSpec("bkt", 0L, Nil, Nil, Some(1L))
+    ChDdl.parseTtlSpec("bkt + INTERVAL 2 QUARTER").calMonths shouldBe Some(6L)
+    ChDdl.parseTtlSpec("bkt + INTERVAL 1 YEAR").calMonths shouldBe Some(12L)
     intercept[IllegalArgumentException] {
-      ChDdl.parseTtlSpec("bkt + INTERVAL 1 MONTH")
+      ChDdl.parseTtlSpec("bkt + INTERVAL 1 FORTNIGHT")
     }
     intercept[IllegalArgumentException] {
       ChDdl.createTable(cat, "CREATE TABLE bd (`k` String, `v` Int64) " +
         "ENGINE = MergeTree ORDER BY k TTL nope + INTERVAL 1 DAY", s"$dir/bd")
     }
+  }
+
+  test("calendar TTL: MONTH declaration sweeps with clamped month arithmetic") {
+    import spark.implicits._
+    val cat = new Catalog(spark)
+    val dir = tmpDir("chttlcal")
+    ChDdl.createTable(cat,
+      """CREATE TABLE tc (
+        |  `k` String,
+        |  `ts` DateTime
+        |) ENGINE = MergeTree ORDER BY k
+        |TTL ts + INTERVAL 1 MONTH""".stripMargin, s"$dir/tc")
+    cat.append("tc", Seq(
+      ("jan31", "2024-01-31 12:00:00"),
+      ("feb29", "2024-02-29 11:59:59"),
+      ("mar01", "2024-03-01 00:00:00"))
+      .toDF("k", "s").select(col("k"), col("s").cast("timestamp").as("ts")))
+    // now = 2024-03-29 12:00:00 UTC: jan31 + 1 month clamps to
+    // feb29 12:00 (expired); feb29 + 1 month = mar29 11:59:59 (expired
+    // by one second); mar01 + 1 month = apr01 (fresh)
+    val now = java.time.Instant.parse("2024-03-29T12:00:00Z").getEpochSecond
+    cat.materializeTtl("tc", now)
+    cat.read("tc").collect().map(_.getString(0)) shouldBe Array("mar01")
+    // SHOW CREATE keeps the CALENDAR spelling (never normalized to
+    // seconds) and parse∘render∘parse is the identity; the sidecar
+    // round-trips the month count
+    val rendered = ChDdlRender.render(cat.get("tc"))
+    rendered should include("TTL ts + INTERVAL 1 MONTH")
+    val ChDdl.CreateTable(tc2, _) = ChDdl.parse(rendered, s"$dir/tc")
+    tc2 shouldBe cat.get("tc")
+    new Catalog(spark).attach(s"$dir/tc").ttl.flatMap(_.calMonths) shouldBe
+      Some(1L)
+    // MODIFY TTL to a YEAR spelling as text
+    ChDdl.runScript(cat, spark,
+      "ALTER TABLE tc MODIFY TTL ts + INTERVAL 1 YEAR", dir)
+    cat.get("tc").ttl.flatMap(_.calMonths) shouldBe Some(12L)
+    cat.materializeTtl("tc", now)
+    cat.read("tc").count() shouldBe 1L
   }
 
   test("table-level DDL text: DROP/DETACH/ATTACH/RENAME TABLE") {

@@ -110,6 +110,15 @@ class SqlParitySpec extends SparkSpecBase {
         |      FROM documents WHERE doc_id < 200) t
         |ORDER BY doc_id""".stripMargin,
 
+    // DuckDB epoch() → Spark unix_timestamp; same clamped month add
+    "cat_ttl_calendar" ->
+      """SELECT event_type AS etype, count(*) AS n,
+        | round(sum(value), 2) AS val_sum
+        |FROM events
+        |WHERE unix_timestamp(ts + INTERVAL 2 MONTH) >=
+        |  (SELECT max(unix_timestamp(ts)) FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // DuckDB epoch() → Spark unix_timestamp (same floor-seconds clock)
     "cat_ddl_ttl" ->
       """SELECT event_type AS etype, count(*) AS n,
