@@ -806,7 +806,10 @@ object ChDdl {
       "SETTINGS", "UNION", "LATERAL", "ARRAY", "SELECT", "PREWHERE",
       "SAMPLE", "FINAL", "GLOBAL", "ANY", "ASOF", "SEMI", "ANTI",
       "WINDOW", "FORMAT", "INTO")
-    val aliasProbe = "^\\s+(?:(?i:AS)\\s+)?([A-Za-z_][A-Za-z0-9_]*)".r
+    // bare or BACKTICKED user aliases both count (`FROM src \`s\``) — a
+    // backticked token is always an alias, never a clause keyword
+    val aliasProbe =
+      "^\\s+(?:(?i:AS)\\s+)?(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)".r
     // optional database prefix only (`db.`): a bare `[\w.]*` would let a
     // table named <x><source> match on its suffix
     val sub = ("(?is)\\b(FROM|JOIN)\\s+(?:[`\\w]+\\.)?`?" +
@@ -814,7 +817,8 @@ object ChDdl {
       .replaceAllIn(selectSql, m => {
         val hasUserAlias = aliasProbe
           .findFirstMatchIn(selectSql.substring(m.end))
-          .exists(am => !boundary(am.group(1).toUpperCase))
+          .exists(am => am.group(1).startsWith("`") ||
+            !boundary(am.group(1).toUpperCase))
         scala.util.matching.Regex.quoteReplacement(
           if (hasUserAlias) s"${m.group(1)} $view"
           else s"${m.group(1)} $view $source")

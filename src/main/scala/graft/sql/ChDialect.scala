@@ -221,8 +221,8 @@ object ChDialect {
     // everyday string tier: literal replace, regex replace/match, affix
     // probes, padding, one-sided trims — plain renames (same arg order)
     ("(?i)\\breplaceAll\\(".r, "replace("),
-    ("(?i)\\breplaceRegexpAll\\(".r, "regexp_replace("),
-    ("(?i)\\bmatch\\(".r, "regexp_like("),
+    // (replaceRegexpAll / match rewrite in rewriteSegment — their
+    // PATTERN literals are inspected for Java-vs-RE2 divergence first)
     ("(?i)\\bstartsWith\\(".r, "startswith("),
     ("(?i)\\bendsWith\\(".r, "endswith("),
     ("(?i)\\bleftPad\\(".r, "lpad("),
@@ -796,6 +796,74 @@ object ChDialect {
           s"$fn expects (json, key…), got ${args.length} argument(s)")
       })
     }
+    // regex family: CH evaluates RE2, Spark evaluates Java regex — these
+    // rewrites are valid on the RE2∩Java overlap. A literal pattern
+    // using a construct the engines DISAGREE on (Java-only
+    // backreferences / lookaround / atomic groups: valid here, an RE2
+    // error in CH) refuses loudly instead of silently diverging — the
+    // formatDateTime %M precedent. Computed patterns pass unchecked
+    // (nothing to inspect), same stance as the cityHash64→xxhash64 note.
+    def guardRegex(fn: String, tok: String): Unit =
+      maskedLiteral(tok, literals).foreach { pat =>
+        Seq("\\\\[1-9]" -> "a backreference",
+            "\\(\\?=" -> "lookahead", "\\(\\?!" -> "negative lookahead",
+            "\\(\\?<=" -> "lookbehind", "\\(\\?<!" -> "negative lookbehind",
+            "\\(\\?>" -> "an atomic group")
+          .collectFirst { case (re, what)
+              if re.r.findFirstIn(pat).isDefined => what }
+          .foreach(what => throw new IllegalArgumentException(
+            s"$fn pattern '$pat' uses $what — Java-only regex that " +
+              "ClickHouse's RE2 rejects, so the engines would disagree; " +
+              "rewrite the pattern in the shared RE2/Java subset"))
+      }
+    s = rewriteCall(s, "match", {
+      case List(h, p) =>
+        guardRegex("match", p)
+        s"regexp_like($h, $p)"
+      case args => throw new IllegalArgumentException(
+        s"match expects (haystack, pattern), got ${args.length}")
+    })
+    // CH replacement backrefs spell \1 (source text `\\1` or `\1`);
+    // Java's spell $1 — translate IN THE SLOT (the formatDateTime
+    // discipline, shared once-only set), re-escaping literal `$` so it
+    // survives both Spark's string unescape and Java's replacement
+    // parser. Computed replacements pass through untranslated.
+    def translateReplacement(tok: String): Unit = {
+      val t = wtrim(tok)
+      (Sentinel + "(\\d+)" + Sentinel).r.findFirstMatchIn(t) match {
+        case Some(sm) if sm.matched == t =>
+          val idx = sm.group(1).toInt
+          if (translatedSlots.add(idx)) {
+            val raw = literals(idx)
+            val content = raw.substring(1, raw.length - 1)
+            val sb = new StringBuilder
+            var i = 0
+            while (i < content.length) {
+              val c = content.charAt(i)
+              if (c == '\\' && i + 2 < content.length &&
+                  content.charAt(i + 1) == '\\' &&
+                  content.charAt(i + 2).isDigit) {
+                sb.append('$').append(content.charAt(i + 2)); i += 3
+              } else if (c == '\\' && i + 1 < content.length &&
+                  content.charAt(i + 1).isDigit) {
+                sb.append('$').append(content.charAt(i + 1)); i += 2
+              } else if (c == '$') { sb.append("\\\\$"); i += 1 }
+              else { sb.append(c); i += 1 }
+            }
+            literals(idx) = "'" + sb.toString + "'"
+          }
+        case _ => ()
+      }
+    }
+    s = rewriteCall(s, "replaceRegexpAll", {
+      case List(h, p, r) =>
+        guardRegex("replaceRegexpAll", p)
+        translateReplacement(r)
+        s"regexp_replace($h, $p, $r)"
+      case args => throw new IllegalArgumentException(
+        s"replaceRegexpAll expects (haystack, pattern, replacement), " +
+          s"got ${args.length}")
+    })
     s = rewriteCombinator(s, "quantileExact")
     s = rewriteCombinator(s, "quantile")
     // parameterized-aggregate batch (the CH analytics idioms) — after
@@ -1210,6 +1278,20 @@ object ChDialect {
                 // its carried (last-actual-row) value; longest names
                 // first so a column that prefixes another never clips it
                 var e = item.substring(am.end)
+                // self-reference across a MULTI-ROW gap diverges from CH:
+                // `c AS c + 1` here holds the last-ACTUAL base for every
+                // injected row of the gap, where CH re-evaluates
+                // row-over-row (1, 2, 3, …). Documented divergence — but
+                // it is the one WITH FILL behavior a CH user could
+                // silently mis-trust, so say it out loud at rewrite time
+                if (("\\b" + java.util.regex.Pattern.quote(c) + "\\b").r
+                    .findFirstIn(e).isDefined)
+                  System.err.println(
+                    s"[chsql] INTERPOLATE ($c AS …) references its own " +
+                      "target: across a multi-row gap every injected row " +
+                      "evaluates from the last ACTUAL value (ClickHouse " +
+                      "re-evaluates row-over-row) — results diverge when " +
+                      "gaps span more than one injected row")
                 cols.sortBy(-_.length).foreach { n =>
                   e = ("\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
                     .replaceAllIn(e, scala.util.matching.Regex

@@ -657,6 +657,13 @@ class ChDdlSpec extends SparkSpecBase {
         "FROM src x JOIN seg_names ON x.seg = seg_names.seg " +
         "GROUP BY x.seg, label")
     cat.read("seg_labeled").count() shouldBe 4L
+    // ...and a BACKTICKED user alias is an alias too — the probe must
+    // not re-alias the substituted view to the source name over it
+    ChDdl.insertSelect(cat, spark,
+      "INSERT INTO seg_labeled SELECT `x`.seg AS seg, label, count() AS n " +
+        "FROM src `x` JOIN seg_names ON `x`.seg = seg_names.seg " +
+        "GROUP BY `x`.seg, label")
+    cat.read("seg_labeled").count() shouldBe 6L
     // refusal: an engine key that is not an output column of the SELECT —
     // and the failed CTAS registers nothing
     intercept[IllegalArgumentException] {

@@ -345,6 +345,31 @@ class ChSqlSpec extends SparkSpecBase {
         "CAST(map_contains_key(map('a', 1), 'a') AS INT) AS c")
   }
 
+  test("regex stance: RE2-and-Java overlap runs, Java-only constructs refuse, backrefs translate") {
+    // the shared subset runs; CH's \1 replacement backref spelling
+    // translates to Java's $1 in the literal slot
+    chEqualsSpark(
+      "SELECT n_name, CAST(match(n_name, '^[A-Z]+$') AS INT) AS m, " +
+        "replaceRegexpAll(n_name, '^(.)(.)', '\\\\2\\\\1') AS sw FROM nation",
+      "SELECT n_name, CAST(n_name RLIKE '^[A-Z]+$' AS INT) AS m, " +
+        "regexp_replace(n_name, '^(.)(.)', '$2$1') AS sw FROM nation")
+    // Java-only constructs (RE2 errors in CH) refuse loudly instead of
+    // silently diverging
+    intercept[IllegalArgumentException] {
+      ChDialect.rewrite("SELECT match(x, 'a(?=b)') FROM t")
+    }.getMessage should include("lookahead")
+    intercept[IllegalArgumentException] {
+      ChDialect.rewrite("SELECT match(x, '(a)\\1') FROM t")
+    }.getMessage should include("backreference")
+    intercept[IllegalArgumentException] {
+      ChDialect.rewrite(
+        "SELECT replaceRegexpAll(x, '(?<=a)b', '') FROM t")
+    }.getMessage should include("lookbehind")
+    // computed patterns pass unchecked (nothing to inspect)
+    ChDialect.rewrite("SELECT match(x, concat(a, b)) FROM t") shouldBe
+      "SELECT regexp_like(x, concat(a, b)) FROM t"
+  }
+
   test("file() runs the reference's own commits ingest statement VERBATIM") {
     import org.apache.spark.sql.functions.col
     // the reference's ingest SQL, loaded from its own repo at test time
@@ -554,6 +579,18 @@ class ChSqlSpec extends SparkSpecBase {
       .map(_.get(1).toString.toLong).toSeq shouldBe Seq.fill(5)(5L)
     ex.filter(_.get(0).toString.toInt % 2 == 1)
       .map(_.get(1).toString.toLong).toSeq shouldBe Seq.fill(4)(105L)
+    // the self-referential form warns LOUDLY about the multi-row-gap
+    // divergence (last-actual base here vs CH's row-over-row re-eval)
+    val buf = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    System.setErr(new java.io.PrintStream(buf, true))
+    try GraftSql.chSql(spark, sf0001,
+      """SELECT rk, count() AS n
+        |FROM (SELECT n_regionkey * 2 AS rk FROM nation) t GROUP BY rk
+        |ORDER BY rk WITH FILL INTERPOLATE (n AS n + 100)""".stripMargin)
+      .collect()
+    finally System.setErr(oldErr)
+    buf.toString should include("references its own target")
   }
 
   test("zipped multi-array ARRAY JOIN explodes in lockstep") {
