@@ -649,6 +649,32 @@ object CatalogOps extends QueryModule {
         .orderBy(col("etype"))
     }),
 
+    // The system-relation text door through the gate: two tables are
+    // declared as DDL text, then a plain CH ops query — `SELECT … FROM
+    // system.columns JOIN system.tables …` — reads the catalog's
+    // introspection frames through ChDdl.query. Metadata only, so the
+    // oracle restates the expected rows as literals: every cell is fully
+    // determined by the DDL text (declaration order, engine mapping,
+    // CH→Spark type lowering, sort-key flags).
+    "sql_system_scan" -> ((s, d) => {
+      val cat = new Catalog(s)
+      val tmp = scratchDir("graft-cat-sysscan")
+      graft.sql.ChDdl.runScript(cat, s,
+        """CREATE TABLE sys_a (
+          |  `k` UInt64, `name` String, `v` Float64
+          |) ENGINE = MergeTree ORDER BY k;
+          |CREATE TABLE sys_b (
+          |  `id` UInt64, `ts` DateTime, `flag` UInt8
+          |) ENGINE = ReplacingMergeTree(flag) ORDER BY (id, ts)"""
+          .stripMargin, tmp.toString)
+      graft.sql.ChDdl.query(cat, s,
+        """SELECT t.table AS tbl, t.engine AS engine, c.column AS col,
+          |  c.position AS pos, c.type AS typ,
+          |  CAST(c.is_sort_key AS INT) AS sk
+          |FROM system.columns c JOIN system.tables t ON c.table = t.table
+          |ORDER BY tbl, pos""".stripMargin)
+    }),
+
     // Calendar-unit TTL through the gate: the commonest CH retention
     // spelling (`TTL ts + INTERVAL 2 MONTH`) declared in CREATE TABLE as
     // text, swept against the data's own max-ts clock (deterministic,
@@ -1566,6 +1592,19 @@ object CatalogOps extends QueryModule {
         |  (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 30 * 86400
         |   FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // pure declarations — the oracle IS the expected metadata, row by
+    // row (engine mapping, CH→Spark type lowering, sort flags)
+    "sql_system_scan" ->
+      """SELECT * FROM (VALUES
+        |  ('sys_a', 'Append', 'k', 0, 'bigint', 1),
+        |  ('sys_a', 'Append', 'name', 1, 'string', 0),
+        |  ('sys_a', 'Append', 'v', 2, 'double', 0),
+        |  ('sys_b', 'ReplacingDedup', 'id', 0, 'bigint', 1),
+        |  ('sys_b', 'ReplacingDedup', 'ts', 1, 'timestamp', 1),
+        |  ('sys_b', 'ReplacingDedup', 'flag', 2, 'smallint', 0)
+        |) AS v(tbl, engine, col, pos, typ, sk)
+        |ORDER BY tbl, pos""".stripMargin,
 
     // the 2-calendar-month survival window restated with DuckDB's own
     // clamped month arithmetic and the same floor-seconds clock

@@ -730,6 +730,9 @@ object ChDdl {
   private val showCreateRe =
     "(?is)^\\s*SHOW\\s+CREATE\\s+TABLE\\s+([`\\w.]+)\\s*$".r
   private val showTablesRe = "(?is)^\\s*SHOW\\s+TABLES\\s*$".r
+  private val showDbRe = "(?is)^\\s*SHOW\\s+DATABASES\\s*$".r
+  private val existsTableRe =
+    "(?is)^\\s*EXISTS\\s+(?:TABLE\\s+)?([`\\w.]+)\\s*$".r
   private val descTableRe =
     "(?is)^\\s*DESC(?:RIBE)?\\s+(?:TABLE\\s+)?([`\\w.]+)\\s*$".r
 
@@ -745,12 +748,50 @@ object ChDdl {
         .toDF("statement")
     }
     showTablesRe.findFirstMatchIn(text).foreach(_ => return cat.systemTables())
+    // this engine's namespace is flat (a `db.` prefix strips at parse) —
+    // the CH fixtures `default` + `system` answer the runbook probe
+    showDbRe.findFirstMatchIn(text).foreach(_ =>
+      return Seq("default", "system").toDF("name"))
+    // `EXISTS [TABLE] t` — registered-or-not as CH's 0/1 `result` column
+    existsTableRe.findFirstMatchIn(text).foreach { m =>
+      val ok = scala.util.Try(cat.get(bare(m.group(1)))).isSuccess
+      return Seq(if (ok) 1 else 0).toDF("result")
+    }
     descTableRe.findFirstMatchIn(text).foreach { m =>
       return ChDdlRender.describe(cat.get(bare(m.group(1))))
         .toDF("name", "type", "default_type", "default_expression")
     }
+    // full SELECTs over the catalog-wide system relations: each
+    // `system.<rel>` reference binds its introspection frame as a temp
+    // view and the text substitutes to it — the CH ops idiom
+    // (`SELECT … FROM system.tables WHERE …`) runs as written. Column
+    // names are this engine's documented analogs (systemTables &c.),
+    // not CH's. Per-table relations (parts/mutations/detached_parts/
+    // snapshots) stay API calls — they take a table argument.
+    if ("(?is)^\\s*SELECT\\b".r.findFirstIn(text).isDefined &&
+        "(?i)\\bsystem\\.\\w+".r.findFirstIn(text).isDefined) {
+      val binds: Map[String, () => org.apache.spark.sql.DataFrame] = Map(
+        "tables" -> (() => cat.systemTables()),
+        "columns" -> (() => cat.systemColumns()),
+        "projections" -> (() => cat.systemProjections()),
+        "row_policies" -> (() => cat.systemRowPolicies()),
+        "materialized_views" -> (() => cat.systemMaterializedViews()))
+      "(?i)\\bsystem\\.(\\w+)".r.findAllMatchIn(text)
+        .map(_.group(1).toLowerCase).toSet[String].foreach { rel =>
+          val mk = binds.getOrElse(rel, throw new IllegalArgumentException(
+            s"system.$rel: queryable system relations here are " +
+              binds.keys.toSeq.sorted.map("system." + _).mkString(", ") +
+              " (parts/mutations/detached_parts/snapshots take a table " +
+              "argument — use the Catalog API)"))
+          mk().createOrReplaceTempView(s"__system_$rel")
+        }
+      val sub = "(?i)\\bsystem\\.(\\w+)".r.replaceAllIn(text,
+        m2 => s"__system_${m2.group(1).toLowerCase}")
+      return s.sql(GraftSql.expandFunctions(ChDialect.rewrite(sub)))
+    }
     throw new IllegalArgumentException(
-      "expected SHOW TABLES / SHOW CREATE TABLE t / DESCRIBE [TABLE] t — " +
+      "expected SHOW TABLES / SHOW DATABASES / SHOW CREATE TABLE t / " +
+        "EXISTS TABLE t / DESCRIBE [TABLE] t / SELECT … FROM system.* — " +
         "other statements go through execute()/runScript (DDL) or " +
         "GraftSql.chSql (queries)")
   }

@@ -924,6 +924,22 @@ class ChDdlSpec extends SparkSpecBase {
     val d = ChDdl.query(cat, spark, "DESCRIBE st").collect()
     d.map(_.getString(0)).toSeq shouldBe Seq("k", "v")
     d.find(_.getString(0) == "v").get.getString(2) shouldBe "DEFAULT"
+    // SHOW DATABASES (the flat-namespace fixtures) + EXISTS TABLE 0/1
+    ChDdl.query(cat, spark, "SHOW DATABASES").collect()
+      .map(_.getString(0)).toSeq shouldBe Seq("default", "system")
+    ChDdl.query(cat, spark, "EXISTS TABLE st").head().getInt(0) shouldBe 1
+    ChDdl.query(cat, spark, "EXISTS nope").head().getInt(0) shouldBe 0
+    // full SELECTs over the catalog-wide system relations run as written
+    val sysRows = ChDdl.query(cat, spark,
+      "SELECT c.column, c.type, CAST(c.is_sort_key AS INT) AS sk " +
+        "FROM system.columns c JOIN system.tables t ON c.table = t.table " +
+        "WHERE t.engine = 'Append' ORDER BY c.position").collect()
+    sysRows.map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq shouldBe
+      Seq(("k", "bigint", 1), ("v", "double", 0))
+    // per-table relations stay API calls; unknown relations refuse
+    intercept[IllegalArgumentException] {
+      ChDdl.query(cat, spark, "SELECT * FROM system.parts")
+    }.getMessage should include("table argument")
     intercept[IllegalArgumentException] {
       ChDdl.query(cat, spark, "SELECT 1")
     }
