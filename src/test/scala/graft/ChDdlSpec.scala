@@ -246,9 +246,14 @@ class ChDdlSpec extends SparkSpecBase {
       ChDdl.OptimizeTable("t", dedup = true, Seq("k", "v"))
     ChDdl.parse("TRUNCATE TABLE IF EXISTS t", "") shouldBe
       ChDdl.TruncateTable("t")
+    // the INDEX verbs parse to their commands (X121)
+    ChDdl.parse("ALTER TABLE t ADD INDEX i c TYPE minmax", "") shouldBe
+      ChDdl.AlterTable("t", Seq(ChDdl.AddIndexCmd("i", "c", "minmax", Nil)))
+    ChDdl.parse("ALTER TABLE t DROP INDEX IF EXISTS mm_c", "") shouldBe
+      ChDdl.AlterTable("t", Seq(ChDdl.DropIndexCmd("mm_c", ifExists = true)))
+    ChDdl.parse("ALTER TABLE t MATERIALIZE INDEX mm_c", "") shouldBe
+      ChDdl.AlterTable("t", Seq(ChDdl.MaterializeIndexCmd("mm_c")))
     // unsupported verbs refuse loudly, never silently no-op
-    an[IllegalArgumentException] should be thrownBy
-      ChDdl.parse("ALTER TABLE t ADD INDEX i c TYPE minmax", "")
     an[IllegalArgumentException] should be thrownBy
       ChDdl.parse("ALTER TABLE t COMMENT COLUMN c 'hi'", "")
     an[IllegalArgumentException] should be thrownBy
