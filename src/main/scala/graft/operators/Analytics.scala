@@ -642,6 +642,36 @@ object Analytics extends QueryModule {
            |GROUP BY status ORDER BY status""".stripMargin)
     }),
 
+    // The everyday tier-3 sweep in one statement (round 12): boundary-
+    // crossing dateDiff (CH's contract, NOT timestampdiff), the
+    // arithmetic-array family over range(), the URL family over a
+    // synthesized URL, the IPv4 render/parse round-trip, and the ISO
+    // weekday — each function parity-spec'd in isolation in ChSqlSpec;
+    // the gate proves they compose in one projection and survive the
+    // DuckDB recompute. event_id < 300 keeps the row grain fixed across
+    // scale probes (derived replicas shift event_id past the cut).
+    "sql_dialect3" -> ((s, d) =>
+      graft.sql.GraftSql.chSql(s, d,
+        """WITH (SELECT min(ts) FROM events) AS t0
+          |SELECT event_id,
+          |  CAST(dateDiff('day', t0, ts) AS BIGINT) AS dd,
+          |  CAST(dateDiff('hour', t0, ts) AS BIGINT) AS dh,
+          |  CAST(arraySum(arrayCumSum(range(CAST(user_id % 5 AS INT) + 1))) AS BIGINT) AS acs,
+          |  CAST(arraySum(arrayDifference(range(CAST(event_id % 4 AS INT) + 2))) AS BIGINT) AS adf,
+          |  domain(url) AS host,
+          |  path(url) AS pth,
+          |  extractURLParameter(url, 'k') AS k,
+          |  IPv4NumToString(ipn) AS ip,
+          |  IPv4StringToNum(IPv4NumToString(ipn)) = ipn AS rt,
+          |  CAST(toDayOfWeek(ts) AS BIGINT) AS dow
+          |FROM (SELECT event_id, user_id, ts,
+          |        CAST(user_id * 2654435761 % 4294967296 AS BIGINT) AS ipn,
+          |        concat('https://', event_type, '.example.com/u/',
+          |               CAST(user_id AS STRING), '/p?k=',
+          |               CAST(event_id % 97 AS STRING)) AS url
+          |      FROM events WHERE event_id < 300)
+          |ORDER BY event_id""".stripMargin)),
+
     // numbers() + intDiv + the LIMIT offset,n comma form + FORMAT tail in
     // one statement — the everyday CH-CLI idioms, gate-checked together
     // (each is spec'd in isolation in ChSqlSpec).
@@ -1312,6 +1342,37 @@ object Analytics extends QueryModule {
         |  CAST(floor(epoch(max(CAST(o_orderdate AS TIMESTAMP)))) AS BIGINT)
         |    AS last_day
         |FROM top50 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the tier-3 sweep restated natively: DuckDB's date_diff shares CH's
+    // boundary-crossing contract; the prefix-sum-of-cumsum and the
+    // difference-sum collapse to closed forms ((m-1)m(m+1)/6 and n-1 —
+    // products of consecutive integers, exactly divisible); URL probes
+    // via regex; octet arithmetic; isodow
+    "sql_dialect3" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, ts,
+        |    (user_id * 2654435761) % 4294967296 AS ipn,
+        |    'https://' || event_type || '.example.com/u/' ||
+        |      CAST(user_id AS VARCHAR) || '/p?k=' ||
+        |      CAST(event_id % 97 AS VARCHAR) AS url
+        |  FROM events WHERE event_id < 300),
+        |t0 AS (SELECT min(ts) AS t0 FROM events)
+        |SELECT event_id,
+        |  date_diff('day', t0.t0, base.ts)::BIGINT AS dd,
+        |  date_diff('hour', t0.t0, base.ts)::BIGINT AS dh,
+        |  ((user_id % 5) * (user_id % 5 + 1) * (user_id % 5 + 2) // 6)::BIGINT AS acs,
+        |  (event_id % 4 + 1)::BIGINT AS adf,
+        |  regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+        |  regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS pth,
+        |  regexp_extract(url, '[?&]k=([^&#]*)', 1) AS k,
+        |  CAST(ipn // 16777216 % 256 AS VARCHAR) || '.' ||
+        |    CAST(ipn // 65536 % 256 AS VARCHAR) || '.' ||
+        |    CAST(ipn // 256 % 256 AS VARCHAR) || '.' ||
+        |    CAST(ipn % 256 AS VARCHAR) AS ip,
+        |  TRUE AS rt,
+        |  isodow(ts)::BIGINT AS dow
+        |FROM base, t0
+        |ORDER BY event_id""".stripMargin,
 
     // the oracle recomputes what the cache served
     "sql_query_cache" ->

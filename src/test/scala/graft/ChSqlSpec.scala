@@ -812,4 +812,125 @@ class ChSqlSpec extends SparkSpecBase {
     Seq("udf_one_minus", "udf_disc", "udf_len", "udf_a")
       .foreach(GraftSql.dropFunction)
   }
+
+  test("dateDiff counts boundary crossings; age counts complete units") {
+    // Dec 31 23:59 → Jan 1 00:01: one YEAR/MONTH/DAY boundary crossed
+    // in 2 minutes — the CH contract timestampdiff can't express
+    val r = GraftSql.chSql(spark, sf0001,
+      """SELECT
+        |  dateDiff('year',   toDateTime('2023-12-31 23:59:00'), toDateTime('2024-01-01 00:01:00')) AS dy,
+        |  dateDiff('month',  toDateTime('2023-12-31 23:59:00'), toDateTime('2024-01-01 00:01:00')) AS dm,
+        |  dateDiff('day',    toDateTime('2023-12-31 23:59:00'), toDateTime('2024-01-01 00:01:00')) AS dd,
+        |  dateDiff('hour',   toDateTime('2024-01-01 00:59:00'), toDateTime('2024-01-01 01:01:00')) AS dh,
+        |  dateDiff('minute', toDateTime('2024-01-01 00:00:59'), toDateTime('2024-01-01 00:01:01')) AS dmin,
+        |  dateDiff('second', toDateTime('2024-01-01 00:00:00'), toDateTime('2024-01-01 00:00:05')) AS ds,
+        |  dateDiff('quarter', toDateTime('2024-03-31 12:00:00'), toDateTime('2024-04-01 12:00:00')) AS dq,
+        |  dateDiff('week',   toDateTime('2024-01-07 12:00:00'), toDateTime('2024-01-08 12:00:00')) AS dw,
+        |  age('year',  toDateTime('2023-12-31 23:59:00'), toDateTime('2024-01-01 00:01:00')) AS ay,
+        |  age('day',   toDateTime('2024-01-01 00:00:00'), toDateTime('2024-01-03 23:59:00')) AS ad
+        |""".stripMargin).head()
+    // 2024-01-07 is a Sunday, 01-08 the following Monday — ISO week flips
+    r.toSeq shouldBe Seq(1, 1, 1, 1, 1, 5, 1, 1, 0, 2)
+    // unsupported / computed units refuse loudly
+    intercept[IllegalArgumentException] {
+      ChDialect.rewrite("SELECT dateDiff('fortnight', a, b) FROM t")
+    }.getMessage should include("unsupported unit")
+    intercept[IllegalArgumentException] {
+      ChDialect.rewrite("SELECT dateDiff(u, a, b) FROM t")
+    }.getMessage should include("string literal")
+  }
+
+  test("add/subtract datetime family and toDayOfWeek/median agree with Spark") {
+    chEqualsSpark(
+      """SELECT o_orderkey,
+        |  addDays(o_orderdate, 3) AS d3, subtractMonths(o_orderdate, 2) AS m2,
+        |  addHours(o_orderdate, 5) AS h5, toDayOfWeek(o_orderdate) AS dow
+        |FROM orders WHERE o_orderkey < 20""".stripMargin,
+      """SELECT o_orderkey,
+        |  timestampadd(DAY, 3, o_orderdate) AS d3,
+        |  timestampadd(MONTH, -(2), o_orderdate) AS m2,
+        |  timestampadd(HOUR, 5, o_orderdate) AS h5,
+        |  (((dayofweek(o_orderdate) + 5) % 7) + 1) AS dow
+        |FROM orders WHERE o_orderkey < 20""".stripMargin)
+    chEqualsSpark(
+      "SELECT median(o_totalprice) AS m FROM orders",
+      "SELECT percentile(o_totalprice, 0.5) AS m FROM orders")
+    // parseDateTimeBestEffort: ISO spellings parse; OrNull is null-safe
+    val p = GraftSql.chSql(spark, sf0001,
+      """SELECT parseDateTimeBestEffort('2024-03-05 12:30:00') AS a,
+        |  parseDateTimeBestEffortOrNull('not a date') AS b""".stripMargin).head()
+    String.valueOf(p.get(0)) should startWith("2024-03-05 12:30")
+    p.isNullAt(1) shouldBe true
+  }
+
+  test("arithmetic array family and range lower to aggregate/transform") {
+    val r = GraftSql.chSql(spark, sf0001,
+      """SELECT
+        |  arraySum(range(5)) AS s,
+        |  arraySum(x -> x * 2, range(5)) AS s2,
+        |  arrayAvg(range(5)) AS av,
+        |  arrayMin(range(5)) AS mn, arrayMax(range(5)) AS mx,
+        |  arrayMax(x -> -x, range(5)) AS mxl,
+        |  arrayCumSum(range(5)) AS cs,
+        |  arrayDifference(array(1, 4, 9, 16)) AS df,
+        |  range(0) AS r0, range(2, 6) AS r2, range(0, 10, 3) AS r3,
+        |  arrayAvg(range(0)) AS avEmpty
+        |""".stripMargin).head()
+    r.getDouble(0) shouldBe 10.0
+    r.getDouble(1) shouldBe 20.0
+    r.getDouble(2) shouldBe 2.0
+    r.getLong(3) shouldBe 0L
+    r.getLong(4) shouldBe 4L
+    r.getLong(5) shouldBe 0L
+    r.getSeq[Double](6) shouldBe Seq(0.0, 1.0, 3.0, 6.0, 10.0)
+    r.getSeq[Double](7) shouldBe Seq(0.0, 3.0, 5.0, 7.0)
+    r.getSeq[Long](8) shouldBe Seq.empty
+    r.getSeq[Long](9) shouldBe Seq(2L, 3L, 4L, 5L)
+    r.getSeq[Long](10) shouldBe Seq(0L, 3L, 6L, 9L)
+    r.isNullAt(11) shouldBe true
+  }
+
+  test("URL, IPv4, and geo families lower to parse_url/bit-ops/haversine") {
+    val r = GraftSql.chSql(spark, sf0001,
+      """SELECT
+        |  protocol('https://www.example.com/a/b?k=1&t=x#f') AS proto,
+        |  domain('https://www.example.com/a/b?k=1') AS host,
+        |  domainWithoutWWW('https://www.example.com/a/b') AS host2,
+        |  topLevelDomain('https://www.example.com/a/b') AS tld,
+        |  path('https://www.example.com/a/b?k=1') AS pth,
+        |  queryString('https://www.example.com/a/b?k=1&t=x') AS qs,
+        |  extractURLParameter('https://www.example.com/a/b?k=1&t=x', 't') AS t,
+        |  cutQueryString('https://e.com/a?k=1#frag') AS cut,
+        |  IPv4NumToString(3232235777) AS ip,
+        |  IPv4StringToNum('192.168.1.1') AS ipn,
+        |  CAST(floor(greatCircleDistance(2.3522, 48.8566, 2.3522, 49.8566) / 100) AS BIGINT) AS dm
+        |""".stripMargin).head()
+    r.getString(0) shouldBe "https"
+    r.getString(1) shouldBe "www.example.com"
+    r.getString(2) shouldBe "example.com"
+    r.getString(3) shouldBe "com"
+    r.getString(4) shouldBe "/a/b"
+    r.getString(5) shouldBe "k=1&t=x"
+    r.getString(6) shouldBe "x"
+    r.getString(7) shouldBe "https://e.com/a#frag"
+    r.getString(8) shouldBe "192.168.1.1"
+    r.getLong(9) shouldBe 3232235777L
+    // one degree of latitude ≈ 111.19 km on the mean-radius sphere
+    r.getLong(10) shouldBe 1111L
+  }
+
+  test("* EXCEPT col normalizes; GROUP BY ALL and toMinute family pass") {
+    chEqualsSpark(
+      "SELECT * EXCEPT o_orderstatus FROM orders WHERE o_orderkey < 5",
+      "SELECT * EXCEPT (o_orderstatus) FROM orders WHERE o_orderkey < 5")
+    chEqualsSpark(
+      """SELECT o_orderstatus, toQuarter(o_orderdate) AS q, count() AS n
+        |FROM orders GROUP BY ALL""".stripMargin,
+      """SELECT o_orderstatus, quarter(o_orderdate) AS q, count(*) AS n
+        |FROM orders GROUP BY o_orderstatus, quarter(o_orderdate)""".stripMargin)
+    // set-operation EXCEPT is untouched by the normalizer
+    ChDialect.rewrite(
+      "SELECT a FROM t EXCEPT SELECT a FROM u") shouldBe
+      "SELECT a FROM t EXCEPT SELECT a FROM u"
+  }
 }

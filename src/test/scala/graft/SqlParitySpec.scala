@@ -202,6 +202,36 @@ class SqlParitySpec extends SparkSpecBase {
         |  (SELECT min(unix_timestamp(ts)) + 21600 FROM events)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // DuckDB date_diff/isodow/`//`-closed-forms → datediff/unix DIV/
+    // dayofweek shift; the array identities stay closed-form here too
+    "sql_dialect3" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(user_id * 2654435761 % 4294967296 AS BIGINT) AS ipn,
+        |    concat('https://', event_type, '.example.com/u/',
+        |           CAST(user_id AS STRING), '/p?k=',
+        |           CAST(event_id % 97 AS STRING)) AS url
+        |  FROM events WHERE event_id < 300),
+        |t0 AS (SELECT min(ts) AS t0 FROM events)
+        |SELECT event_id,
+        |  CAST(datediff(to_date(base.ts), to_date(t0.t0)) AS BIGINT) AS dd,
+        |  CAST(unix_timestamp(base.ts) DIV 3600 -
+        |       unix_timestamp(t0.t0) DIV 3600 AS BIGINT) AS dh,
+        |  CAST((user_id % 5) * (user_id % 5 + 1) * (user_id % 5 + 2)
+        |       DIV 6 AS BIGINT) AS acs,
+        |  CAST(event_id % 4 + 1 AS BIGINT) AS adf,
+        |  parse_url(url, 'HOST') AS host,
+        |  parse_url(url, 'PATH') AS pth,
+        |  parse_url(url, 'QUERY', 'k') AS k,
+        |  concat_ws('.', CAST(ipn DIV 16777216 % 256 AS STRING),
+        |    CAST(ipn DIV 65536 % 256 AS STRING),
+        |    CAST(ipn DIV 256 % 256 AS STRING),
+        |    CAST(ipn % 256 AS STRING)) AS ip,
+        |  TRUE AS rt,
+        |  CAST(((dayofweek(base.ts) + 5) % 7) + 1 AS BIGINT) AS dow
+        |FROM base CROSS JOIN t0
+        |ORDER BY event_id""".stripMargin,
+
     // DuckDB range + last_value IGNORE NULLS → explode(sequence) + last
     "sql_with_fill_interp" ->
       """WITH q AS (SELECT CAST(floor(o_totalprice / 30000) AS INT) AS bucket,
