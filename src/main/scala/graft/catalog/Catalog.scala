@@ -4338,6 +4338,61 @@ final class Catalog(spark: SparkSession) {
       "partition_keys", "index_cols", "n_parts", "bytes", "codec")
   }
 
+  /** Registered table names, sorted — the iteration order of the
+    * catalog-wide system frames below.
+    */
+  def tableNames: Seq[String] = tables.keys.toSeq.sorted
+
+  // catalog-wide system.parts/mutations/detached_parts analogs: the
+  // per-table frames unioned under the owning table name — what the
+  // `SELECT … FROM system.parts` ops idiom reads through ChDdl.query.
+  // An empty catalog yields an empty frame of the declared schema (not
+  // an error — CH returns an empty set too).
+  private def unionWide(mk: String => DataFrame,
+                        empty: org.apache.spark.sql.types.StructType)
+      : DataFrame =
+    tableNames.map(mk).reduceOption(_.unionByName(_)).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty))
+
+  /** NOTE on cost: `systemParts` derives per-part rows/min/max from the
+    * storage itself (one scan per table — CH carries these as merge-time
+    * metadata; here the listing IS the truth), so the catalog-wide frame
+    * costs one pass per registered table. Filter by `table` BEFORE
+    * aggregating where that matters; Catalyst prunes the union branches
+    * a literal `table = 't'` predicate excludes.
+    */
+  def systemPartsAll(): DataFrame = {
+    import org.apache.spark.sql.types._
+    unionWide(
+      n => systemParts(n).select(lit(n).as("table"), col("part"),
+        col("rows"), col("bytes"), col("min_key"), col("max_key")),
+      StructType(Seq(StructField("table", StringType),
+        StructField("part", StringType), StructField("rows", LongType),
+        StructField("bytes", LongType), StructField("min_key", StringType),
+        StructField("max_key", StringType))))
+  }
+
+  def systemMutationsAll(): DataFrame = {
+    import org.apache.spark.sql.types._
+    unionWide(n => systemMutations(n),
+      StructType(Seq(StructField("table", StringType),
+        StructField("seq", LongType), StructField("ts_ms", LongType),
+        StructField("command", StringType),
+        StructField("is_done", BooleanType))))
+  }
+
+  def systemDetachedPartsAll(): DataFrame = {
+    import org.apache.spark.sql.types._
+    unionWide(
+      n => systemDetachedParts(n).select(lit(n).as("table"), col("bucket"),
+        col("partition"), col("files"), col("bytes")),
+      StructType(Seq(StructField("table", StringType),
+        StructField("bucket", StringType),
+        StructField("partition", StringType),
+        StructField("files", LongType), StructField("bytes", LongType))))
+  }
+
   /** `system.projections` analog: one row per declared projection of
     * every registered table — kind, spec columns, and the companion's
     * current storage footprint. Registry metadata plus one dir listing.

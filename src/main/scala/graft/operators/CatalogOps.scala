@@ -675,6 +675,35 @@ object CatalogOps extends QueryModule {
           |ORDER BY tbl, pos""".stripMargin)
     }),
 
+    // Catalog-wide system.parts/mutations/detached_parts through the
+    // text door (round 12, X130): a loaded table plus one ALTER DELETE
+    // mutation, then the ops statement reads per-part row counts and key
+    // ranges FROM system.parts as written. parts metadata is
+    // storage-DERIVED (file layout varies with write parallelism), so
+    // the projection aggregates to layout-independent facts — total
+    // rows, global key range, mutation count — and the oracle recomputes
+    // the post-delete survival set from the source rows.
+    "sql_system_parts" -> ((s, d) => {
+      val cat = new Catalog(s)
+      val tmp = scratchDir("graft-cat-sysparts")
+      graft.sql.ChDdl.runScript(cat, s,
+        """CREATE TABLE parts_t (
+          |  `k` UInt64, `v` Float64
+          |) ENGINE = MergeTree ORDER BY k""".stripMargin, tmp.toString)
+      cat.append("parts_t", Tables.orders(s, d)
+        .orderBy(col("o_orderkey")).limit(100)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v")))
+      graft.sql.ChDdl.runScript(cat, s,
+        "ALTER TABLE parts_t DELETE WHERE k % 10 = 0", tmp.toString)
+      graft.sql.ChDdl.query(cat, s,
+        """SELECT p.table AS tbl, CAST(sum(p.rows) AS BIGINT) AS n_rows,
+          |  min(CAST(p.min_key AS BIGINT)) AS lo,
+          |  max(CAST(p.max_key AS BIGINT)) AS hi,
+          |  (SELECT count(*) FROM system.mutations) AS n_mut,
+          |  (SELECT count(*) FROM system.detached_parts) AS n_det
+          |FROM system.parts p GROUP BY p.table ORDER BY tbl""".stripMargin)
+    }),
+
     // Calendar-unit TTL through the gate: the commonest CH retention
     // spelling (`TTL ts + INTERVAL 2 MONTH`) declared in CREATE TABLE as
     // text, swept against the data's own max-ts clock (deterministic,
@@ -1605,6 +1634,18 @@ object CatalogOps extends QueryModule {
         |  ('sys_b', 'ReplacingDedup', 'flag', 2, 'smallint', 0)
         |) AS v(tbl, engine, col, pos, typ, sk)
         |ORDER BY tbl, pos""".stripMargin,
+
+    // layout-independent facts recomputed from the source rows: the
+    // top-100 keys minus the deleted residue class, one recorded
+    // mutation, nothing detached
+    "sql_system_parts" ->
+      """WITH top100 AS (SELECT o_orderkey AS k FROM orders
+        |                ORDER BY o_orderkey LIMIT 100),
+        |kept AS (SELECT k FROM top100 WHERE k % 10 <> 0)
+        |SELECT 'parts_t' AS tbl, count(*)::BIGINT AS n_rows,
+        |  min(k)::BIGINT AS lo, max(k)::BIGINT AS hi,
+        |  1::BIGINT AS n_mut, 0::BIGINT AS n_det
+        |FROM kept""".stripMargin,
 
     // the 2-calendar-month survival window restated with DuckDB's own
     // clamped month arithmetic and the same floor-seconds clock

@@ -766,8 +766,8 @@ object ChDdl {
     // view and the text substitutes to it — the CH ops idiom
     // (`SELECT … FROM system.tables WHERE …`) runs as written. Column
     // names are this engine's documented analogs (systemTables &c.),
-    // not CH's. Per-table relations (parts/mutations/detached_parts/
-    // snapshots) stay API calls — they take a table argument.
+    // not CH's. parts/mutations/detached_parts bind the catalog-wide
+    // unions (round 12); snapshots stays an API call — per-table only.
     if ("(?is)^\\s*SELECT\\b".r.findFirstIn(text).isDefined &&
         "(?i)\\bsystem\\.\\w+".r.findFirstIn(text).isDefined) {
       val binds: Map[String, () => org.apache.spark.sql.DataFrame] = Map(
@@ -775,14 +775,19 @@ object ChDdl {
         "columns" -> (() => cat.systemColumns()),
         "projections" -> (() => cat.systemProjections()),
         "row_policies" -> (() => cat.systemRowPolicies()),
-        "materialized_views" -> (() => cat.systemMaterializedViews()))
+        "materialized_views" -> (() => cat.systemMaterializedViews()),
+        // catalog-wide unions of the per-table frames (round 12);
+        // system.parts derives rows/min-max from storage — one scan per
+        // registered table (doc on Catalog.systemPartsAll)
+        "parts" -> (() => cat.systemPartsAll()),
+        "mutations" -> (() => cat.systemMutationsAll()),
+        "detached_parts" -> (() => cat.systemDetachedPartsAll()))
       "(?i)\\bsystem\\.(\\w+)".r.findAllMatchIn(text)
         .map(_.group(1).toLowerCase).toSet[String].foreach { rel =>
           val mk = binds.getOrElse(rel, throw new IllegalArgumentException(
             s"system.$rel: queryable system relations here are " +
               binds.keys.toSeq.sorted.map("system." + _).mkString(", ") +
-              " (parts/mutations/detached_parts/snapshots take a table " +
-              "argument — use the Catalog API)"))
+              " (snapshots takes a table argument — use the Catalog API)"))
           mk().createOrReplaceTempView(s"__system_$rel")
         }
       val sub = "(?i)\\bsystem\\.(\\w+)".r.replaceAllIn(text,

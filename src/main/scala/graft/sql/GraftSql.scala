@@ -479,6 +479,23 @@ object GraftSql {
   }
 
   def chSql(s: SparkSession, sfDir: String, query: String): DataFrame = {
+    // CH `EXPLAIN SYNTAX <stmt>`: the rewritten statement as a result
+    // frame (CH returns its optimizer's re-spelled query; here the
+    // analog is the dialect's lowering — exactly what this engine will
+    // hand Spark's parser). One row per line, CH's column name.
+    "(?is)^\\s*EXPLAIN\\s+SYNTAX\\b(.*)$".r.findFirstMatchIn(query)
+      .foreach { m =>
+        registerViews(s, sfDir)
+        registerFunctions(s)
+        val bound = bindFileRefs(s, m.group(1).trim)
+        lazy val probe: String => Seq[String] = b =>
+          s.sql(expandFunctions(ChDialect.rewrite(b, Some(probe))))
+            .columns.toSeq
+        val rewritten = expandFunctions(ChDialect.rewrite(bound, Some(probe)))
+        import s.implicits._
+        return rewritten.linesIterator.map(_.stripTrailing()).toSeq
+          .toDF("explain")
+      }
     outfileRe.findFirstMatchIn(query).foreach { m =>
       return exportOutfile(s, sfDir, m.group(1), m.group(2),
         Option(m.group(3)))

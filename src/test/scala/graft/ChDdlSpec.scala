@@ -941,13 +941,50 @@ class ChDdlSpec extends SparkSpecBase {
         "WHERE t.engine = 'Append' ORDER BY c.position").collect()
     sysRows.map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq shouldBe
       Seq(("k", "bigint", 1), ("v", "double", 0))
-    // per-table relations stay API calls; unknown relations refuse
+    // per-table snapshots stays an API call; unknown relations refuse
     intercept[IllegalArgumentException] {
-      ChDdl.query(cat, spark, "SELECT * FROM system.parts")
+      ChDdl.query(cat, spark, "SELECT * FROM system.snapshots")
     }.getMessage should include("table argument")
     intercept[IllegalArgumentException] {
       ChDdl.query(cat, spark, "SELECT 1")
     }
+  }
+
+  test("system.parts/mutations/detached_parts read catalog-wide as text") {
+    val cat = new Catalog(spark)
+    val dir = tmpDir("chsysparts")
+    ChDdl.runScript(cat, spark,
+      """CREATE TABLE spa (
+        |  `k` UInt64, `v` Float64
+        |) ENGINE = MergeTree ORDER BY k;
+        |CREATE TABLE spb (
+        |  `k` UInt64, `v` Float64
+        |) ENGINE = MergeTree ORDER BY k;
+        |INSERT INTO spa VALUES (1, 1.0), (2, 2.0), (10, 3.0);
+        |INSERT INTO spb VALUES (7, 7.0);
+        |ALTER TABLE spa DELETE WHERE k = 10
+        |""".stripMargin, dir)
+    // parts: storage-derived rows + key ranges, one union branch per table
+    val parts = ChDdl.query(cat, spark,
+      """SELECT p.table AS t, CAST(sum(p.rows) AS BIGINT) AS n,
+        |  min(CAST(p.min_key AS BIGINT)) AS lo,
+        |  max(CAST(p.max_key AS BIGINT)) AS hi
+        |FROM system.parts p GROUP BY p.table ORDER BY t""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    parts shouldBe Seq(("spa", 2L, 1L, 2L), ("spb", 1L, 7L, 7L))
+    // mutations: the ALTER DELETE is the only recorded mutation
+    val muts = ChDdl.query(cat, spark,
+      """SELECT m.table AS t, m.command AS c FROM system.mutations m
+        |ORDER BY t, m.seq""".stripMargin).collect()
+    muts.length shouldBe 1
+    muts.head.getString(0) shouldBe "spa"
+    muts.head.getString(1).toUpperCase should include("DELETE")
+    // detached_parts: nothing detached — empty frame, declared schema
+    ChDdl.query(cat, spark,
+      "SELECT count(*) AS n FROM system.detached_parts")
+      .head().getLong(0) shouldBe 0L
+    Seq("spa", "spb").foreach(n => cat.dropTable(n))
   }
 
   test("JSON column type: variant storage, string ingest, typed extraction") {

@@ -933,4 +933,20 @@ class ChSqlSpec extends SparkSpecBase {
       "SELECT a FROM t EXCEPT SELECT a FROM u") shouldBe
       "SELECT a FROM t EXCEPT SELECT a FROM u"
   }
+
+  test("EXPLAIN SYNTAX returns the dialect's lowering as a result frame") {
+    def syntax(ch: String): String =
+      GraftSql.chSql(spark, sf0001, s"EXPLAIN SYNTAX $ch")
+        .collect().map(_.getString(0)).mkString("\n")
+    // the rewrite is returned, never executed — `t` needn't exist
+    syntax("SELECT sumIf(x, y = 'A') FROM t") shouldBe
+      "SELECT sum(CASE WHEN y = 'A' THEN x ELSE 0 END) FROM t"
+    syntax("SELECT count() FROM orders FINAL PREWHERE o_orderkey < 3") shouldBe
+      "SELECT count(*) FROM orders  WHERE o_orderkey < 3"
+    // the Spark-side EXPLAIN forms still run as plans, not as rewrites
+    GraftSql.chSql(spark, sf0001,
+      "EXPLAIN PIPELINE SELECT count() FROM orders")
+      .collect().map(_.getString(0)).mkString("\n") should
+      include("Physical Plan")
+  }
 }
