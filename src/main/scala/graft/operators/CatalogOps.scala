@@ -704,6 +704,42 @@ object CatalogOps extends QueryModule {
           |FROM system.parts p GROUP BY p.table ORDER BY tbl""".stripMargin)
     }),
 
+    // INSERT … FROM INFILE through the gate (round 12, X131 — the CLI
+    // ingest counterpart of INTO OUTFILE): two fixture files derived
+    // from the corpus' own top-30 orders — a headerless CSV and a
+    // gzipped TSV whose format is INFERRED from the extension — load
+    // through the shared FORMAT-payload machinery; the omitted `tag`
+    // column takes its declared DEFAULT. The oracle recomputes straight
+    // from the parquet, so file write, gunzip, schema'd parse, and
+    // default fill must compose losslessly.
+    "cat_insert_infile" -> ((s, d) => {
+      val cat = new Catalog(s)
+      val tmp = scratchDir("graft-cat-infile")
+      val rows = Tables.orders(s, d).orderBy(col("o_orderkey")).limit(30)
+        .select(col("o_orderkey"), col("o_totalprice")).collect()
+      val csv = tmp.resolve("o20.csv")
+      java.nio.file.Files.write(csv, rows.take(20)
+        .map(r => s"${r.get(0)},${r.get(1)}").mkString("\n")
+        .getBytes("UTF-8"))
+      val gz = tmp.resolve("o10.tsv.gz")
+      val out = new java.util.zip.GZIPOutputStream(
+        java.nio.file.Files.newOutputStream(gz))
+      out.write(rows.drop(20).map(r => s"${r.get(0)}\t${r.get(1)}")
+        .mkString("\n").getBytes("UTF-8"))
+      out.close()
+      graft.sql.ChDdl.runScript(cat, s,
+        s"""CREATE TABLE inf_t (
+           |  `k` UInt64,
+           |  `tag` String DEFAULT 'zz',
+           |  `v` Float64
+           |) ENGINE = MergeTree ORDER BY k;
+           |INSERT INTO inf_t (k, v) FROM INFILE '$csv' FORMAT CSV;
+           |INSERT INTO inf_t (k, v) FROM INFILE '$gz' COMPRESSION 'gzip'
+           |""".stripMargin, tmp.toString)
+      cat.read("inf_t").orderBy(col("k"))
+        .select(col("k"), col("tag"), round(col("v"), 2).as("v"))
+    }),
+
     // Calendar-unit TTL through the gate: the commonest CH retention
     // spelling (`TTL ts + INTERVAL 2 MONTH`) declared in CREATE TABLE as
     // text, swept against the data's own max-ts clock (deterministic,
@@ -1646,6 +1682,14 @@ object CatalogOps extends QueryModule {
         |  min(k)::BIGINT AS lo, max(k)::BIGINT AS hi,
         |  1::BIGINT AS n_mut, 0::BIGINT AS n_det
         |FROM kept""".stripMargin,
+
+    // the INFILE loads recomputed straight from the source rows: the
+    // top-30 keys with the declared 'zz' default on the omitted column
+    "cat_insert_infile" ->
+      """WITH top30 AS (SELECT o_orderkey AS k, o_totalprice AS p
+        |               FROM orders ORDER BY o_orderkey LIMIT 30)
+        |SELECT k, 'zz' AS tag, round(p, 2) AS v
+        |FROM top30 ORDER BY k""".stripMargin,
 
     // the 2-calendar-month survival window restated with DuckDB's own
     // clamped month arithmetic and the same floor-seconds clock

@@ -90,6 +90,21 @@ object ChDdl {
   final case class InsertFormat(target: String, columns: Seq[String],
                                 format: String, payload: String)
     extends Statement
+  /** `INSERT INTO t [(cols)] FROM INFILE 'path' [COMPRESSION 'gzip']
+    * [FORMAT fmt]` — the CLI ingest counterpart of INTO OUTFILE (X117):
+    * the file's text IS the FORMAT payload, parsed and default-filled by
+    * the same [[InsertFormat]] machinery (FAILFAST, WithNames header
+    * binding). Format infers from the extension when omitted
+    * (.csv/.tsv/.jsonl/.ndjson, through a .gz wrapper); gzip is the one
+    * supported compression (JDK built-in — the catalog codec stance).
+    * Parquet INFILE refuses toward `INSERT … SELECT … FROM file(p,
+    * 'Parquet')`: a columnar file is a scan, not a text payload.
+    * Relative paths resolve like file(): -Dgraft.files.dir /
+    * $SPARK_GRAFT_FILES_DIR, loud refusal when unset.
+    */
+  final case class InsertInfile(target: String, columns: Seq[String],
+                                path: String, compression: Option[String],
+                                format: Option[String]) extends Statement
   final case class InsertSelect(target: String, source: String,
                                 selectSql: String) extends Statement
   /** `CREATE TABLE t ENGINE … ORDER BY … AS SELECT …` — CTAS, the
@@ -227,6 +242,11 @@ object ChDdl {
   private val insFmtRe =
     ("(?is)^\\s*INSERT\\s+INTO\\s+([`\\w.]+)\\s*(?:\\(([^)]*)\\)\\s*)?" +
       "FORMAT\\s+(\\w+)[ \\t]*\\r?\\n(.+)$").r
+  private val insInfileRe =
+    ("(?is)^\\s*INSERT\\s+INTO\\s+([`\\w.]+)\\s*(?:\\(([^)]*)\\)\\s*)?" +
+      "FROM\\s+INFILE\\s+'([^']+)'" +
+      "(?:\\s+COMPRESSION\\s+'(\\w+)')?" +
+      "(?:\\s+FORMAT\\s+(\\w+))?\\s*$").r
   private val fromRe = "(?is)\\bFROM\\s+([`\\w.]+)".r
 
   private def bare(n: String): String = n.replace("`", "").split('.').last
@@ -393,6 +413,12 @@ object ChDdl {
       val sel = m.group(3).trim
       return CreateMaterializedView(bare(m.group(1)), bare(m.group(2)),
         sourceOf(sel, "CREATE MATERIALIZED VIEW"), sel)
+    }
+    insInfileRe.findFirstMatchIn(ddl).foreach { m =>
+      val cols = Option(m.group(2)).toSeq.flatMap(c =>
+        splitTopLevel(c).map(_.trim.replace("`", "")).filter(_.nonEmpty))
+      return InsertInfile(bare(m.group(1)), cols, m.group(3),
+        Option(m.group(4)), Option(m.group(5)))
     }
     insFmtRe.findFirstMatchIn(ddl).foreach { m =>
       val cols = Option(m.group(2)).toSeq.flatMap(c =>
@@ -1156,11 +1182,63 @@ object ChDdl {
     * a CREATE TABLE's storage at `<warehouse>/<table>`. Returns the
     * statement, so callers can inspect warnings.
     */
+  /** Resolve, read, and (if needed) gunzip an INFILE payload into the
+    * equivalent [[InsertFormat]] — doc on [[InsertInfile]].
+    */
+  private def infilePayload(i: InsertInfile): InsertFormat = {
+    val p =
+      if (i.path.startsWith("/") || i.path.contains("://")) i.path
+      else sys.props.get("graft.files.dir")
+        .orElse(sys.env.get("SPARK_GRAFT_FILES_DIR"))
+        .map(b => s"$b/${i.path}").getOrElse(
+          throw new IllegalArgumentException(
+            s"FROM INFILE '${i.path}': relative paths resolve against " +
+              "-Dgraft.files.dir or $SPARK_GRAFT_FILES_DIR (the CH " +
+              "user_files analog) — neither is set"))
+    i.compression.map(_.toLowerCase).foreach { c =>
+      require(c == "gzip" || c == "gz",
+        s"FROM INFILE COMPRESSION '$c': gzip is the one supported " +
+          "compression (JDK built-in — the catalog codec stance)")
+    }
+    val gz = i.compression.isDefined || p.toLowerCase.endsWith(".gz")
+    val stem =
+      (if (p.toLowerCase.endsWith(".gz")) p.dropRight(3) else p).toLowerCase
+    def parquetRefusal = throw new IllegalArgumentException(
+      s"FROM INFILE '${i.path}': Parquet is a columnar scan, not a text " +
+        "payload — use INSERT INTO … SELECT … FROM file(path, 'Parquet')")
+    val fmt = i.format match {
+      case Some(f) if f.equalsIgnoreCase("parquet") => parquetRefusal
+      case Some(f) => f
+      case None => stem.substring(stem.lastIndexOf('.') + 1) match {
+        case "csv" => "CSV"
+        case "tsv" | "tab" => "TSV"
+        case "jsonl" | "ndjson" | "json" => "JSONEachRow"
+        case "parquet" => parquetRefusal
+        case other => throw new IllegalArgumentException(
+          s"FROM INFILE '${i.path}': cannot infer a format from " +
+            s".$other — say FORMAT CSV/TSV[WithNames]/JSONEachRow")
+      }
+    }
+    val raw = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(p))
+    val in = if (gz) new java.util.zip.GZIPInputStream(raw) else raw
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    InsertFormat(i.target, i.columns, fmt, text)
+  }
+
   def execute(cat: Catalog, s: org.apache.spark.sql.SparkSession,
               ddl: String, warehouse: String = ""): Statement = {
     import org.apache.spark.sql.functions.expr
     val stmt = parse(ddl,
-      if (warehouse.isEmpty) "" else s"$warehouse/${nameOf(ddl)}")
+      if (warehouse.isEmpty) "" else s"$warehouse/${nameOf(ddl)}") match {
+      // FROM INFILE is the inline-FORMAT door with its payload on disk:
+      // resolve + read HERE (parse() does no IO), so the one
+      // InsertFormat path below parses, header-binds, FAILFASTs, and
+      // default-fills both doors identically
+      case i: InsertInfile => infilePayload(i)
+      case other => other
+    }
     stmt match {
       case CreateTable(t, _) => cat.createTable(t)
       case q: CreateQueue => throw new IllegalArgumentException(

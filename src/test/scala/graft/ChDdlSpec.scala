@@ -950,6 +950,60 @@ class ChDdlSpec extends SparkSpecBase {
     }
   }
 
+  test("INSERT FROM INFILE: extension inference, gzip, WithNames, refusals") {
+    val cat = new Catalog(spark)
+    val dir = tmpDir("chinfile")
+    ChDdl.runScript(cat, spark,
+      """CREATE TABLE inff (
+        |  `k` UInt64, `tag` String DEFAULT 'zz', `v` Float64
+        |) ENGINE = MergeTree ORDER BY k""".stripMargin, dir)
+    val base = java.nio.file.Paths.get(dir)
+    // WithNames binds by HEADER NAME even reordered (the X128 contract,
+    // now from a file): v before k in the file, values land correctly
+    val wn = base.resolve("wn.csv")
+    java.nio.file.Files.write(wn, "v,k\n1.5,1\n2.5,2".getBytes("UTF-8"))
+    ChDdl.execute(cat, spark,
+      s"INSERT INTO inff (k, v) FROM INFILE '$wn' FORMAT CSVWithNames")
+    // gzip + extension inference (.tsv.gz → TSV)
+    val gz = base.resolve("more.tsv.gz")
+    val o = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gz))
+    o.write("3\t3.5".getBytes("UTF-8")); o.close()
+    ChDdl.execute(cat, spark,
+      s"INSERT INTO inff (k, v) FROM INFILE '$gz' COMPRESSION 'gzip'")
+    cat.read("inff").orderBy(col("k"))
+      .select(col("k"), col("tag"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq shouldBe Seq((1L, "zz", 1.5), (2L, "zz", 2.5), (3L, "zz", 3.5))
+    // refusals: relative path with no files dir, non-gzip compression,
+    // parquet-as-payload, uninferrable extension
+    intercept[IllegalArgumentException] {
+      ChDdl.execute(cat, spark,
+        "INSERT INTO inff FROM INFILE 'rel.csv' FORMAT CSV")
+    }.getMessage should include("user_files")
+    intercept[IllegalArgumentException] {
+      ChDdl.execute(cat, spark,
+        s"INSERT INTO inff FROM INFILE '$wn' COMPRESSION 'zstd'")
+    }.getMessage should include("gzip")
+    intercept[IllegalArgumentException] {
+      ChDdl.execute(cat, spark,
+        s"INSERT INTO inff FROM INFILE '${base.resolve("x.parquet")}'")
+    }.getMessage should include("file(path, 'Parquet')")
+    intercept[IllegalArgumentException] {
+      ChDdl.execute(cat, spark,
+        s"INSERT INTO inff FROM INFILE '${base.resolve("x.dat")}'")
+    }.getMessage should include("cannot infer")
+    // a malformed line FAILFASTs the whole insert (the X128 stance)
+    val bad = base.resolve("bad.csv")
+    java.nio.file.Files.write(bad, "9,notanumber".getBytes("UTF-8"))
+    intercept[Exception] {
+      ChDdl.execute(cat, spark,
+        s"INSERT INTO inff (k, v) FROM INFILE '$bad' FORMAT CSV")
+    }
+    cat.read("inff").count() shouldBe 3L
+    cat.dropTable("inff")
+  }
+
   test("system.parts/mutations/detached_parts read catalog-wide as text") {
     val cat = new Catalog(spark)
     val dir = tmpDir("chsysparts")
