@@ -672,6 +672,19 @@ object Analytics extends QueryModule {
           |      FROM events WHERE event_id < 300)
           |ORDER BY event_id""".stripMargin)),
 
+    // QUALIFY through the gate (round 12): the CH top-1-per-group idiom
+    // with the window expression DIRECTLY in the predicate (the form
+    // Spark's grammar can't hold — it hoists into a computed column),
+    // plus a trailing ORDER BY/LIMIT tail that must stay outside the
+    // nest. Ties break on o_orderkey so the winner is deterministic.
+    "sql_qualify" -> ((s, d) =>
+      graft.sql.GraftSql.chSql(s, d,
+        """SELECT o_custkey, o_orderkey, o_totalprice
+          |FROM orders
+          |QUALIFY row_number() OVER (PARTITION BY o_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey) = 1
+          |ORDER BY o_custkey LIMIT 500""".stripMargin)),
+
     // numbers() + intDiv + the LIMIT offset,n comma form + FORMAT tail in
     // one statement — the everyday CH-CLI idioms, gate-checked together
     // (each is spec'd in isolation in ChSqlSpec).
@@ -1253,6 +1266,16 @@ object Analytics extends QueryModule {
         | CAST(sum(number) AS BIGINT) AS sm
         |FROM range(100) t(number) GROUP BY 1 ORDER BY 1
         |LIMIT 5 OFFSET 2""".stripMargin,
+
+    // the QUALIFY nest restated portably (row_number subquery) — runs
+    // unchanged in DuckDB and through our own session
+    "sql_qualify" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1 ORDER BY o_custkey LIMIT 500""".stripMargin,
 
     // the same keep-all + inject join, with the carry restated as an
     // IGNORE NULLS window over the axis order

@@ -142,6 +142,13 @@ package graft.sql
   *     divergence on long paths, documented);
   *     `SELECT * EXCEPT col` (CH's paren-less single-column form) →
   *     `* EXCEPT (col)`; `GROUP BY ALL` passes through (both engines)
+  *   - `QUALIFY <pred>` (filter on window results — Spark's grammar
+  *     lacks it): the body nests as a derived table, the predicate moves
+  *     to an outer WHERE, and direct `fn(…) OVER (…)` spans in the
+  *     predicate hoist into computed columns first; named windows
+  *     (`OVER w`) refuse. The -If combinator family rounds out with
+  *     `uniqIf/uniqExactIf/anyIf/groupArrayIf` → null-skipping CASE
+  *     aggregates
   *   - a trailing `FORMAT <name>` is STRIPPED: it selects a wire
   *     serialization in CH, never a different result set (format
   *     round-trips live in the catalog's JSONEachRow/ORC paths)
@@ -370,6 +377,99 @@ object ChDialect {
     "(?is)^(.*\\S)\\s+LIMIT\\s+(\\d+)\\s+BY\\s+(.+?)(?:\\s+LIMIT\\s+(\\d+))?\\s*$".r
   private val orderTailRe = "(?is)^(.*\\S)\\s+ORDER\\s+BY\\s+(.+)$".r
 
+  /** CH `QUALIFY <pred>` — filter on window results (the top-1-per-group
+    * idiom) — which Spark's grammar lacks: the body nests as a derived
+    * table and the predicate moves to an outer WHERE. Direct window
+    * expressions in the predicate (`QUALIFY row_number() OVER (…) = 1`)
+    * are HOISTED into computed `__qual_i` columns first (WHERE cannot
+    * hold a window function); alias references pass through untouched.
+    * Named windows (`OVER w`) refuse loudly — resolving them needs the
+    * body's WINDOW clause, which this shim doesn't parse.
+    */
+  private def rewriteQualify(s: String): String = {
+    def depth0(text: String, i: Int): Boolean = {
+      var d = 0; var j = 0
+      while (j < i) {
+        val c = text.charAt(j)
+        if (c == '(') d += 1 else if (c == ')') d -= 1
+        j += 1
+      }
+      d == 0
+    }
+    "(?i)\\bQUALIFY\\b".r.findAllMatchIn(s)
+      .find(m => depth0(s, m.start)) match {
+      case None => s
+      case Some(m) =>
+        val body = s.substring(0, m.start).trim
+        val rest = s.substring(m.end)
+        def topIdx(re: scala.util.matching.Regex): Int =
+          re.findAllMatchIn(rest).map(_.start)
+            .find(i => depth0(rest, i)).getOrElse(-1)
+        val cut = Seq(topIdx("(?i)\\bORDER\\s+BY\\b".r),
+          topIdx("(?i)\\bLIMIT\\b".r)).filter(_ >= 0)
+          .sorted.headOption.getOrElse(rest.length)
+        val pred0 = rest.substring(0, cut).trim
+        val tail = rest.substring(cut) match {
+          case t if t.isEmpty => ""
+          case t => " " + t.trim
+        }
+        require(pred0.nonEmpty, "QUALIFY: empty predicate")
+        require("(?i)\\bOVER\\s+[A-Za-z_`]".r.findFirstIn(pred0).isEmpty,
+          "QUALIFY: named windows (OVER w) are not supported here — " +
+            "inline the window or alias the expression in the SELECT")
+        // hoist `fn(args) OVER (…)` spans out of the predicate
+        val spans = Vector.newBuilder[(Int, Int)]
+        "(?i)\\bOVER\\s*\\(".r.findAllMatchIn(pred0).foreach { om =>
+          var d = 0; var e = om.end - 1 // the OVER-clause '('
+          while (e < pred0.length && (e == om.end - 1 || d != 0)) {
+            val c = pred0.charAt(e)
+            if (c == '(') d += 1 else if (c == ')') d -= 1
+            e += 1
+          }
+          require(d == 0, "QUALIFY: unbalanced OVER clause")
+          var b = om.start - 1
+          while (b >= 0 && pred0.charAt(b).isWhitespace) b -= 1
+          require(b >= 0 && pred0.charAt(b) == ')',
+            "QUALIFY: named windows (OVER w) are not supported here — " +
+              "inline the window or alias the expression in the SELECT")
+          var d2 = 0
+          while (b >= 0 && { val c = pred0.charAt(b)
+            if (c == ')') d2 += 1 else if (c == '(') d2 -= 1; d2 != 0 })
+            b -= 1
+          b -= 1 // now walk back over the function name
+          while (b >= 0 && (pred0.charAt(b).isLetterOrDigit ||
+            pred0.charAt(b) == '_')) b -= 1
+          spans += ((b + 1, e))
+        }
+        val sp = spans.result()
+        if (sp.isEmpty)
+          s"SELECT * FROM ( $body ) __qual WHERE $pred0$tail"
+        else {
+          val cols = sp.zipWithIndex.map { case ((a, e), i) =>
+            s"${pred0.substring(a, e)} AS __qual_$i" }
+          val newPred = sp.zipWithIndex.reverse.foldLeft(pred0) {
+            case (p, ((a, e), i)) =>
+              p.substring(0, a) + s"__qual_$i" + p.substring(e)
+          }
+          val names = sp.indices.map(i => s"__qual_$i").mkString(", ")
+          // the hoisted windows must see the body's SOURCE columns (CH
+          // evaluates QUALIFY in the select scope, not over the
+          // projected output), so they inject into the body's own
+          // select list — split at the top-level FROM
+          val fromIdx = "(?i)\\bFROM\\b".r.findAllMatchIn(body)
+            .map(_.start).find(i => depth0(body, i)).getOrElse(
+              throw new IllegalArgumentException(
+                "QUALIFY: no top-level FROM in the body to hoist the " +
+                  "window expression into"))
+          val injected = body.substring(0, fromIdx).trim + ", " +
+            cols.mkString(", ") + " " + body.substring(fromIdx)
+          s"""SELECT * EXCEPT ($names) FROM (
+             |  $injected
+             |) WHERE $newPred$tail""".stripMargin
+        }
+    }
+  }
+
   private def rewriteLimitBy(s: String): String = s match {
     case limitByRe(inner, n, byList, outerLimit) =>
       val (body, ord) = inner match {
@@ -581,6 +681,7 @@ object ChDialect {
     s = formatTailRe.replaceAllIn(s, "")
     s = settingsTailRe.replaceAllIn(s, "")
     s = rewriteWithAliases(s)
+    s = rewriteQualify(s)
     s = rewriteLimitBy(s)
     s = rewriteHistogram(s)
     s = rewriteWithFill(s, analyze)
@@ -628,6 +729,29 @@ object ChDialect {
     })
     s = rewriteCall(s, "uniqExact",
       args => s"count(DISTINCT ${args.mkString(", ")})")
+    // the rest of the everyday -If combinator family (sumIf/avgIf/
+    // maxIf/minIf/countIf are above/below): nulls from the CASE are
+    // what each Spark aggregate already skips
+    s = rewriteCall(s, "uniqIf", {
+      case List(x, p) => s"approx_count_distinct(CASE WHEN $p THEN $x END)"
+      case args => throw new IllegalArgumentException(
+        s"uniqIf expects 2 arguments, got ${args.length}")
+    })
+    s = rewriteCall(s, "uniqExactIf", {
+      case List(x, p) => s"count(DISTINCT CASE WHEN $p THEN $x END)"
+      case args => throw new IllegalArgumentException(
+        s"uniqExactIf expects 2 arguments, got ${args.length}")
+    })
+    s = rewriteCall(s, "anyIf", {
+      case List(x, p) => s"any_value(CASE WHEN $p THEN $x END, true)"
+      case args => throw new IllegalArgumentException(
+        s"anyIf expects 2 arguments, got ${args.length}")
+    })
+    s = rewriteCall(s, "groupArrayIf", {
+      case List(x, p) => s"collect_list(CASE WHEN $p THEN $x END)"
+      case args => throw new IllegalArgumentException(
+        s"groupArrayIf expects 2 arguments, got ${args.length}")
+    })
     s = rewriteCall(s, "countDistinct",
       args => s"count(DISTINCT ${args.mkString(", ")})")
     // the CH higher-order array family: lambda-FIRST argument order swaps

@@ -934,6 +934,64 @@ class ChSqlSpec extends SparkSpecBase {
       "SELECT a FROM t EXCEPT SELECT a FROM u"
   }
 
+  test("QUALIFY nests the body and hoists direct window expressions") {
+    // alias form: the predicate references a selected window column
+    chEqualsSpark(
+      """SELECT o_custkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders QUALIFY rn <= 2 ORDER BY o_custkey, rn LIMIT 40""".stripMargin,
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn LIMIT 40""".stripMargin)
+    // direct form: the window expression sits IN the predicate (WHERE
+    // can't hold it — it must hoist) and the OVER's own ORDER BY must
+    // not be mistaken for the statement tail
+    chEqualsSpark(
+      """SELECT o_custkey, o_orderkey FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey) = 1
+        |ORDER BY o_custkey LIMIT 30""".stripMargin,
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1 ORDER BY o_custkey LIMIT 30""".stripMargin)
+    // named windows refuse loudly
+    intercept[IllegalArgumentException] {
+      ChDialect.rewrite(
+        "SELECT a FROM t QUALIFY row_number() OVER w = 1")
+    }.getMessage should include("named windows")
+  }
+
+  test("uniqIf/uniqExactIf/anyIf/groupArrayIf lower to CASE aggregates") {
+    chEqualsSpark(
+      """SELECT o_orderstatus,
+        |  uniqExactIf(o_custkey, o_orderpriority = '1-URGENT') AS ue,
+        |  CAST(uniqIf(o_custkey, o_orderpriority = '1-URGENT') AS BIGINT) AS u,
+        |  size(groupArrayIf(o_orderkey, o_orderkey < 5)) AS ga
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+      """SELECT o_orderstatus,
+        |  count(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN o_custkey END) AS ue,
+        |  CAST(approx_count_distinct(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN o_custkey END) AS BIGINT) AS u,
+        |  size(collect_list(CASE WHEN o_orderkey < 5
+        |    THEN o_orderkey END)) AS ga
+        |FROM orders GROUP BY o_orderstatus""".stripMargin)
+    // anyIf: only the predicate-true value is eligible — a group whose
+    // predicate never fires yields NULL, like CH's default-value stance
+    // modulo the documented NULL-vs-default divergence
+    val r = GraftSql.chSql(spark, sf0001,
+      """SELECT anyIf(o_orderpriority, o_orderkey = 1) AS a,
+        |  anyIf(o_orderpriority, o_orderkey < 0) AS b
+        |FROM orders""".stripMargin).head()
+    r.getString(0) should not be null
+    r.isNullAt(1) shouldBe true
+  }
+
   test("EXPLAIN SYNTAX returns the dialect's lowering as a result frame") {
     def syntax(ch: String): String =
       GraftSql.chSql(spark, sf0001, s"EXPLAIN SYNTAX $ch")

@@ -68,7 +68,7 @@ class SqlParitySpec extends SparkSpecBase {
     "q5_region_revenue",
     "set_except", "set_intersect", "set_union", "set_except_all",
     "set_intersect_all", "limit_ties", "fn_nested_zip", "sql_param_view",
-    "sql_totals", "sql_query_cache", "sql_limit_by",
+    "sql_totals", "sql_query_cache", "sql_limit_by", "sql_qualify",
     "ts_session", "win_dist",
     "win_lag", "win_ntile_dense", "win_rank", "win_running_sum")
 
