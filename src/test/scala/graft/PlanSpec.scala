@@ -101,6 +101,15 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("QUALIFY rank filters plan WindowGroupLimit (per-partition top-k)") {
+    // `QUALIFY row_number() OVER (PARTITION BY …) = 1` must plan the
+    // 3.5+ WindowGroupLimit push: each partition keeps only its top row
+    // BEFORE the full window materializes — at 100 TB the difference
+    // between a per-group limit and buffering every group's rows
+    val p = planOf("sql_qualify")
+    p should include("WindowGroupLimit")
+  }
+
   test("no query plans a CartesianProduct except the explicit cross join") {
     SparkEntry.queries.keys.filterNot(_ == "join_cross").foreach { q =>
       withClue(s"$q: ") { planOf(q) should not include "CartesianProduct" }
