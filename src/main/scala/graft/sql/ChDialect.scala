@@ -149,6 +149,13 @@ package graft.sql
   *     (`OVER w`) refuse. The -If combinator family rounds out with
   *     `uniqIf/uniqExactIf/anyIf/groupArrayIf` → null-skipping CASE
   *     aggregates
+  *   - CH array literals `[1, 2]` → `array(1, 2)` (a `[` after a value
+  *     is a SUBSCRIPT and passes through — `m['k']` works in both
+  *     engines); `toTimeZone(ts, tz)` → `convert_timezone('UTC', tz,
+  *     ts)` (UTC sessions: same wall-clock result, TZ-less kind —
+  *     documented); `toISOWeek`/`toISOYear` → `weekofyear` / the
+  *     Thursday-year; `formatReadableSize/Quantity` → fixed two-decimal
+  *     `format_string` CASE ladders (KiB/MiB/… and thousand/million/…)
   *   - a trailing `FORMAT <name>` is STRIPPED: it selects a wire
   *     serialization in CH, never a different result set (format
   *     round-trips live in the catalog's JSONEachRow/ORC paths)
@@ -470,6 +477,98 @@ object ChDialect {
     }
   }
 
+  /** CH array literals `[1, 2, 3]` → `array(1, 2, 3)`, and CH
+    * SUBSCRIPTS `x[e]` → `try_element_at(x, e)`. A `[` is a subscript
+    * when the previous non-space token ends a value (identifier, `)`,
+    * closing backtick, masked string literal — keywords like SELECT/
+    * WHEN/IN are NOT values); anything else opens an array literal.
+    * try_element_at is the correct lowering for BOTH container kinds:
+    * CH array subscripts are 1-BASED (Spark's native `[i]` is 0-based —
+    * a silent off-by-one), and out-of-range/missing-key yields NULL
+    * where CH yields the type default (the documented NULL-vs-default
+    * stance; Spark's native subscript under ANSI would THROW). The scan
+    * pairs brackets with a stack so nested literals, literals inside
+    * subscripts, and chained subscripts all land correctly.
+    */
+  private def rewriteArrayLiterals(s: String): String = {
+    val out = new StringBuilder
+    val stack = scala.collection.mutable.Stack.empty[Boolean] // literal?
+    var i = 0
+    // a keyword is not a value — `SELECT [1]`, `WHEN [1]`, `IN [..]`
+    // open literals even though the keyword ends in a letter
+    val kw = Set("SELECT", "DISTINCT", "ALL", "WHERE", "AND", "OR",
+      "NOT", "IN", "WHEN", "THEN", "ELSE", "CASE", "BY", "ON", "AS",
+      "LIKE", "ILIKE", "RLIKE", "BETWEEN", "HAVING", "SET", "VALUES",
+      "LIMIT", "OFFSET", "JOIN", "FROM", "UNION", "EXCEPT", "INTERSECT",
+      "IF", "USING", "QUALIFY", "INTERPOLATE", "FILL", "TO", "STEP",
+      "RETURN", "PREWHERE", "TOTALS", "WITH", "IS")
+    def prevValueEnd: Boolean = {
+      var j = out.length - 1
+      while (j >= 0 && (out.charAt(j) == ' ' || out.charAt(j) == '\t' ||
+        out.charAt(j) == '\n' || out.charAt(j) == '\r')) j -= 1
+      j >= 0 && {
+        val c = out.charAt(j)
+        if (c == ')' || c == ']' || c == '`' || c == Sentinel) true
+        else if (c.isLetterOrDigit || c == '_') {
+          var b = j
+          while (b >= 0 && (out.charAt(b).isLetterOrDigit ||
+            out.charAt(b) == '_')) b -= 1
+          !kw.contains(out.substring(b + 1, j + 1).toUpperCase)
+        } else false
+      }
+    }
+    // start index (in `out`) of the value a subscript applies to:
+    // identifier (incl. qualified a.b), backticked name, masked literal,
+    // or a parenthesized/call tail — walked back balanced
+    def valueStart: Int = {
+      var j = out.length - 1
+      while (j >= 0 && out.charAt(j).isWhitespace) j -= 1
+      out.charAt(j) match {
+        case ')' =>
+          var d = 0
+          while (j >= 0 && { val c = out.charAt(j)
+            if (c == ')') d += 1 else if (c == '(') d -= 1; d != 0 }) j -= 1
+          j -= 1 // a preceding function name joins the value
+          while (j >= 0 && (out.charAt(j).isLetterOrDigit ||
+            out.charAt(j) == '_' || out.charAt(j) == '.')) j -= 1
+          j + 1
+        case '`' =>
+          j -= 1
+          while (j >= 0 && out.charAt(j) != '`') j -= 1
+          j
+        case Sentinel =>
+          j -= 1
+          while (j >= 0 && out.charAt(j) != Sentinel) j -= 1
+          j
+        case _ =>
+          while (j >= 0 && (out.charAt(j).isLetterOrDigit ||
+            out.charAt(j) == '_' || out.charAt(j) == '.')) j -= 1
+          j + 1
+      }
+    }
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '[' =>
+          if (prevValueEnd) {
+            val vs = valueStart
+            val v = out.substring(vs)
+            out.setLength(vs)
+            out ++= s"try_element_at($v, "
+            stack.push(false)
+          } else {
+            stack.push(true)
+            out ++= "array("
+          }
+        case ']' if stack.nonEmpty =>
+          stack.pop()
+          out += ')'
+        case c => out += c
+      }
+      i += 1
+    }
+    out.toString
+  }
+
   private def rewriteLimitBy(s: String): String = s match {
     case limitByRe(inner, n, byList, outerLimit) =>
       val (body, ord) = inner match {
@@ -681,6 +780,7 @@ object ChDialect {
     s = formatTailRe.replaceAllIn(s, "")
     s = settingsTailRe.replaceAllIn(s, "")
     s = rewriteWithAliases(s)
+    s = rewriteArrayLiterals(s)
     s = rewriteQualify(s)
     s = rewriteLimitBy(s)
     s = rewriteHistogram(s)
@@ -1028,6 +1128,53 @@ object ChDialect {
       case List(x) => s"percentile($x, 0.5)"
       case args => throw new IllegalArgumentException(
         s"median expects 1 argument, got ${args.length}")
+    })
+    // toTimeZone(ts, tz): sessions here run UTC, so the instant's
+    // wall-clock in tz IS convert_timezone('UTC', tz, ts). The result is
+    // a TZ-less timestamp (CH instead keeps the instant and re-renders —
+    // downstream date functions see the same wall-clock either way,
+    // which is what the call is for; documented divergence in kind)
+    s = rewriteCall(s, "toTimeZone", {
+      case List(x, tz) => s"convert_timezone('UTC', $tz, $x)"
+      case args => throw new IllegalArgumentException(
+        s"toTimeZone expects (ts, 'tz'), got ${args.length}")
+    })
+    s = rewriteCall(s, "toISOWeek", {
+      case List(x) => s"weekofyear($x)"
+      case args => throw new IllegalArgumentException(
+        s"toISOWeek expects 1 argument, got ${args.length}")
+    })
+    // ISO week-numbering year = the year of that week's Thursday
+    s = rewriteCall(s, "toISOYear", {
+      case List(x) => s"year(date_add(date_trunc('week', $x), 3))"
+      case args => throw new IllegalArgumentException(
+        s"toISOYear expects 1 argument, got ${args.length}")
+    })
+    // ops-readability renders: CH's fixed two-decimal spellings via
+    // format_string (argument inlined once per threshold — pass a
+    // column, not an expensive expression)
+    s = rewriteCall(s, "formatReadableSize", {
+      case List(b) =>
+        val d = s"CAST($b AS DOUBLE)"
+        s"(CASE WHEN abs($d) < 1024 THEN format_string('%.2f B', $d) " +
+          s"WHEN abs($d) < 1048576 THEN format_string('%.2f KiB', $d / 1024) " +
+          s"WHEN abs($d) < 1073741824 THEN format_string('%.2f MiB', $d / 1048576) " +
+          s"WHEN abs($d) < 1099511627776 THEN format_string('%.2f GiB', $d / 1073741824) " +
+          s"WHEN abs($d) < 1125899906842624 THEN format_string('%.2f TiB', $d / 1099511627776) " +
+          s"ELSE format_string('%.2f PiB', $d / 1125899906842624) END)"
+      case args => throw new IllegalArgumentException(
+        s"formatReadableSize expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCall(s, "formatReadableQuantity", {
+      case List(n) =>
+        val d = s"CAST($n AS DOUBLE)"
+        s"(CASE WHEN abs($d) < 1000 THEN format_string('%.2f', $d) " +
+          s"WHEN abs($d) < 1000000 THEN format_string('%.2f thousand', $d / 1000) " +
+          s"WHEN abs($d) < 1000000000 THEN format_string('%.2f million', $d / 1000000) " +
+          s"WHEN abs($d) < 1000000000000 THEN format_string('%.2f billion', $d / 1000000000) " +
+          s"ELSE format_string('%.2f trillion', $d / 1000000000000) END)"
+      case args => throw new IllegalArgumentException(
+        s"formatReadableQuantity expects 1 argument, got ${args.length}")
     })
     // arithmetic array family: DOUBLE accumulation (CH widens the
     // ELEMENT type; integer sums past 2^53 lose exactness here —

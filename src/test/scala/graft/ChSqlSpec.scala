@@ -992,6 +992,45 @@ class ChSqlSpec extends SparkSpecBase {
     r.isNullAt(1) shouldBe true
   }
 
+  test("array bracket literals become array(); subscripts stay subscripts") {
+    val r = GraftSql.chSql(spark, sf0001,
+      """SELECT [1, 2, 3] AS a, ['x', 'y'] AS b,
+        |  [[1, 2], [3]] AS nested,
+        |  map('k', [7, 8])['k'] AS sub,
+        |  [1, 2][2] AS litsub,
+        |  has([10, 20, 30], 20) AS h
+        |""".stripMargin).head()
+    r.getSeq[Int](0) shouldBe Seq(1, 2, 3)
+    r.getSeq[String](1) shouldBe Seq("x", "y")
+    r.getSeq[Seq[Int]](2) shouldBe Seq(Seq(1, 2), Seq(3))
+    r.getSeq[Int](3) shouldBe Seq(7, 8)
+    r.getInt(4) shouldBe 2
+    r.getBoolean(5) shouldBe true
+  }
+
+  test("toTimeZone/toISOWeek/toISOYear/formatReadable* lower as documented") {
+    val r = GraftSql.chSql(spark, sf0001,
+      """SELECT
+        |  date_format(toTimeZone(toDateTime('2024-06-15 12:00:00'),
+        |    'Asia/Tokyo'), 'yyyy-MM-dd HH:mm:ss') AS tokyo,
+        |  toISOWeek(toDate('2024-01-01')) AS w1,
+        |  toISOYear(toDate('2024-12-30')) AS y1,
+        |  toISOYear(toDate('2021-01-01')) AS y2,
+        |  formatReadableSize(1300000) AS sz,
+        |  formatReadableSize(512) AS szb,
+        |  formatReadableQuantity(1024) AS q1,
+        |  formatReadableQuantity(1234567890) AS q2
+        |""".stripMargin).head()
+    r.getString(0) shouldBe "2024-06-15 21:00:00" // UTC+9
+    r.getInt(1) shouldBe 1      // 2024-01-01 is a Monday, ISO week 1
+    r.getInt(2) shouldBe 2025   // 2024-12-30 belongs to ISO year 2025
+    r.getInt(3) shouldBe 2020   // 2021-01-01 belongs to ISO year 2020
+    r.getString(4) shouldBe "1.24 MiB"
+    r.getString(5) shouldBe "512.00 B"
+    r.getString(6) shouldBe "1.02 thousand"
+    r.getString(7) shouldBe "1.23 billion"
+  }
+
   test("EXPLAIN SYNTAX returns the dialect's lowering as a result frame") {
     def syntax(ch: String): String =
       GraftSql.chSql(spark, sf0001, s"EXPLAIN SYNTAX $ch")
