@@ -787,6 +787,13 @@ object ChDdl {
       return ChDdlRender.describe(cat.get(bare(m.group(1))))
         .toDF("name", "type", "default_type", "default_expression")
     }
+    // the access-control listings a runbook checks after GRANT / CREATE
+    // ROW POLICY — the registries' own frames
+    if ("(?is)^\\s*SHOW\\s+GRANTS\\s*$".r.findFirstIn(text).isDefined)
+      return cat.systemColumnPolicies()
+    if ("(?is)^\\s*SHOW\\s+(?:ROW\\s+)?POLICIES\\s*$".r
+        .findFirstIn(text).isDefined)
+      return cat.systemRowPolicies()
     // full SELECTs over the catalog-wide system relations: each
     // `system.<rel>` reference binds its introspection frame as a temp
     // view and the text substitutes to it — the CH ops idiom
@@ -801,6 +808,7 @@ object ChDdl {
         "columns" -> (() => cat.systemColumns()),
         "projections" -> (() => cat.systemProjections()),
         "row_policies" -> (() => cat.systemRowPolicies()),
+        "grants" -> (() => cat.systemColumnPolicies()),
         "materialized_views" -> (() => cat.systemMaterializedViews()),
         // catalog-wide unions of the per-table frames (round 12);
         // system.parts derives rows/min-max from storage — one scan per
@@ -822,7 +830,8 @@ object ChDdl {
     }
     throw new IllegalArgumentException(
       "expected SHOW TABLES / SHOW DATABASES / SHOW CREATE TABLE t / " +
-        "EXISTS TABLE t / DESCRIBE [TABLE] t / SELECT … FROM system.* — " +
+        "SHOW GRANTS / SHOW [ROW] POLICIES / EXISTS TABLE t / " +
+        "DESCRIBE [TABLE] t / SELECT … FROM system.* — " +
         "other statements go through execute()/runScript (DDL) or " +
         "GraftSql.chSql (queries)")
   }

@@ -941,6 +941,15 @@ class ChDdlSpec extends SparkSpecBase {
         "WHERE t.engine = 'Append' ORDER BY c.position").collect()
     sysRows.map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq shouldBe
       Seq(("k", "bigint", 1), ("v", "double", 0))
+    // SHOW GRANTS / SHOW POLICIES answer the access-control registries
+    ChDdl.runScript(cat, spark,
+      "GRANT SELECT(k) ON st TO bob", dir)
+    ChDdl.query(cat, spark, "SHOW GRANTS").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSeq shouldBe Seq(("st", "bob", "k"))
+    ChDdl.query(cat, spark, "SHOW ROW POLICIES").count() shouldBe 0L
+    ChDdl.query(cat, spark,
+      "SELECT count(*) AS n FROM system.grants").head().getLong(0) shouldBe 1L
     // per-table snapshots stays an API call; unknown relations refuse
     intercept[IllegalArgumentException] {
       ChDdl.query(cat, spark, "SELECT * FROM system.snapshots")
