@@ -979,6 +979,83 @@ object Analytics extends QueryModule {
           round(sum(col("l_quantity")) * 5, 1).as("est_qty"),
           round(avg(col("l_quantity")), 6).as("avg_qty"))
         .orderBy(col("l_returnflag"))),
+
+    // everyday tier 4, scalar families (round 12, second pass): regex
+    // extract group choice, base64 round-trip, format placeholders,
+    // date-part renders, OrZero/OrNull try-casts, CH type names inside
+    // CAST, bit call forms, ladders, CH 4-arg transform — one projection,
+    // every value recomputed closed-form by the oracle
+    "sql_dialect4" -> ((s, d) =>
+      graft.sql.GraftSql.chSql(s, d,
+        """SELECT o_orderkey,
+          |  extract(o_orderpriority, '([A-Z]+)') AS pri,
+          |  arrayStringConcat(extractAll(o_orderpriority, '[A-Z]+'), '|') AS pall,
+          |  CAST(countSubstrings(o_orderpriority, 'E') AS Int64) AS ecnt,
+          |  base64Decode(base64Encode(o_orderstatus)) AS st,
+          |  format('{}#{}', o_orderstatus, o_orderpriority) AS tag,
+          |  CAST(positionCaseInsensitive(o_orderpriority, 'urgent') AS Int64) AS up,
+          |  CAST(toYYYYMMDD(o_orderdate) AS Int64) AS ymd,
+          |  CAST(toRelativeDayNum(o_orderdate) AS Int64) AS rdn,
+          |  dateName('month', o_orderdate) AS mname,
+          |  toString(toMonday(o_orderdate)) AS mon,
+          |  toInt64OrZero(o_orderstatus) AS oz,
+          |  accurateCast(o_orderkey, 'String') AS ks,
+          |  CAST(o_totalprice AS Float64) / 2 AS half,
+          |  CAST(bitAnd(o_orderkey, 255) AS Int64) AS ba,
+          |  CAST(bitTest(o_orderkey, 0) AS Int64) AS bt,
+          |  CAST(intDivOrZero(o_orderkey, o_custkey % 5) AS Int64) AS idz,
+          |  CAST(roundToExp2(o_orderkey + 1) AS Int64) AS e2,
+          |  bin(o_orderkey % 256) AS bn,
+          |  isFinite(o_totalprice) AS fin,
+          |  transform(CAST(o_orderkey % 3 AS Int32), [0, 1],
+          |            ['zero', 'one'], 'many') AS tr
+          |FROM orders WHERE o_orderkey < 500
+          |ORDER BY o_orderkey""".stripMargin)),
+
+    // everyday tier 4, aggregate families: moment renames, bit
+    // aggregates, avgWeighted, sumCount field access, groupConcat
+    // (order-free length projection), sumMap key-wise merge with CH's
+    // sorted-keys contract projected to strings
+    "sql_agg_dialect" -> ((s, d) =>
+      graft.sql.GraftSql.chSql(s, d,
+        """SELECT o_orderstatus,
+          |  round(stddevPop(o_totalprice), 4) AS sp,
+          |  round(varSamp(o_totalprice), 4) AS vs,
+          |  round(covarPop(o_totalprice, CAST(o_custkey AS Float64)), 4) AS cv,
+          |  round(avgWeighted(o_totalprice, (o_orderkey % 7) + 1), 4) AS aw,
+          |  CAST(groupBitAnd(o_orderkey) AS Int64) AS gba,
+          |  CAST(groupBitOr(o_orderkey) AS Int64) AS gbo,
+          |  CAST(groupBitXor(o_orderkey) AS Int64) AS gbx,
+          |  sumCount(o_totalprice).count AS cnt,
+          |  round(sumCount(o_totalprice).sum, 2) AS tot,
+          |  CAST(length(groupConcat(',')(o_orderpriority)) AS Int64) AS gclen,
+          |  arrayStringConcat(mapKeys(sumMap(map(o_orderpriority, 1.0))), '|') AS mk,
+          |  arrayStringConcat(arrayMap(v -> toString(toInt64(v)),
+          |    mapValues(sumMap(map(o_orderpriority, 1.0)))), '|') AS mv
+          |FROM orders GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin)),
+
+    // DISTINCT ON → LIMIT 1 BY, composed with GLOBAL IN (the keyword
+    // drops — Spark's optimizer owns the broadcast decision)
+    "sql_select_modifiers" -> ((s, d) =>
+      graft.sql.GraftSql.chSql(s, d,
+        """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+          |FROM orders
+          |WHERE o_custkey GLOBAL IN (SELECT c_custkey FROM customer
+          |                           WHERE c_custkey % 3 = 0)
+          |ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+          |LIMIT 150""".stripMargin)),
+
+    // * REPLACE (in-place column substitution through the analyzer
+    // probe) + LIMIT WITH TIES (rank over the REPLACED output column —
+    // the bucketed price creates real tie groups the rank must extend)
+    "sql_star_ties" -> ((s, d) =>
+      graft.sql.GraftSql.chSql(s, d,
+        """SELECT * REPLACE (CAST(round(o_totalprice / 20000) AS Int64)
+          |                  AS o_totalprice)
+          |FROM orders
+          |ORDER BY o_totalprice
+          |LIMIT 100 WITH TIES""".stripMargin)),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -1573,5 +1650,90 @@ object Analytics extends QueryModule {
         |  FROM lineitem)
         |WHERE h % 10 < 2
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "sql_dialect4" ->
+      """SELECT o_orderkey,
+        |  regexp_extract(o_orderpriority, '([A-Z]+)', 1) AS pri,
+        |  array_to_string(regexp_extract_all(o_orderpriority, '[A-Z]+'), '|') AS pall,
+        |  ((length(o_orderpriority) -
+        |    length(replace(o_orderpriority, 'E', ''))) // 1)::BIGINT AS ecnt,
+        |  o_orderstatus AS st,
+        |  o_orderstatus || '#' || o_orderpriority AS tag,
+        |  strpos(lower(o_orderpriority), 'urgent')::BIGINT AS up,
+        |  CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS ymd,
+        |  date_diff('day', DATE '1970-01-01',
+        |            CAST(o_orderdate AS DATE))::BIGINT AS rdn,
+        |  strftime(o_orderdate, '%B') AS mname,
+        |  strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS mon,
+        |  COALESCE(TRY_CAST(o_orderstatus AS BIGINT), 0) AS oz,
+        |  CAST(o_orderkey AS VARCHAR) AS ks,
+        |  o_totalprice / 2 AS half,
+        |  (o_orderkey & 255)::BIGINT AS ba,
+        |  (o_orderkey & 1)::BIGINT AS bt,
+        |  (CASE WHEN o_custkey % 5 = 0 THEN 0
+        |        ELSE o_orderkey // (o_custkey % 5) END)::BIGINT AS idz,
+        |  (CASE WHEN o_orderkey + 1 < 1 THEN 0
+        |        ELSE CAST(pow(2, floor(log2(o_orderkey + 1))) AS BIGINT)
+        |   END)::BIGINT AS e2,
+        |  lpad(bin(o_orderkey % 256),
+        |       CAST(ceil(length(bin(o_orderkey % 256)) / 8.0) * 8 AS INT),
+        |       '0') AS bn,
+        |  TRUE AS fin,
+        |  (CASE WHEN o_orderkey % 3 = 0 THEN 'zero'
+        |        WHEN o_orderkey % 3 = 1 THEN 'one' ELSE 'many' END) AS tr
+        |FROM orders WHERE o_orderkey < 500
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "sql_agg_dialect" ->
+      """WITH pc AS (
+        |  SELECT o_orderstatus AS st, o_orderpriority AS p,
+        |         count(*)::BIGINT AS n
+        |  FROM orders GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT o_orderstatus AS st,
+        |    round(stddev_pop(o_totalprice), 4) AS sp,
+        |    round(var_samp(o_totalprice), 4) AS vs,
+        |    round(covar_pop(o_totalprice, o_custkey::DOUBLE), 4) AS cv,
+        |    round(sum(o_totalprice * ((o_orderkey % 7) + 1)) /
+        |          sum((o_orderkey % 7) + 1), 4) AS aw,
+        |    bit_and(o_orderkey)::BIGINT AS gba,
+        |    bit_or(o_orderkey)::BIGINT AS gbo,
+        |    bit_xor(o_orderkey)::BIGINT AS gbx,
+        |    count(o_totalprice)::BIGINT AS cnt,
+        |    round(sum(o_totalprice), 2) AS tot,
+        |    (sum(length(o_orderpriority)) + count(*) - 1)::BIGINT AS gclen
+        |  FROM orders GROUP BY 1)
+        |SELECT agg.st AS o_orderstatus, sp, vs, cv, aw, gba, gbo, gbx,
+        |  cnt, tot, gclen,
+        |  (SELECT string_agg(p, '|' ORDER BY p)
+        |   FROM pc WHERE pc.st = agg.st) AS mk,
+        |  (SELECT string_agg(n::VARCHAR, '|' ORDER BY p)
+        |   FROM pc WHERE pc.st = agg.st) AS mv
+        |FROM agg ORDER BY o_orderstatus""".stripMargin,
+
+    "sql_select_modifiers" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                      WHERE c_custkey % 3 = 0))
+        |WHERE rn = 1
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+        |LIMIT 150""".stripMargin,
+
+    "sql_star_ties" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(round(o_totalprice / 20000) AS BIGINT) AS o_totalprice,
+        |    o_orderdate, o_orderpriority,
+        |    rank() OVER (ORDER BY CAST(round(o_totalprice / 20000)
+        |                               AS BIGINT)) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 100
+        |ORDER BY o_totalprice""".stripMargin,
   )
 }

@@ -815,7 +815,9 @@ object ChDdl {
         // registered table (doc on Catalog.systemPartsAll)
         "parts" -> (() => cat.systemPartsAll()),
         "mutations" -> (() => cat.systemMutationsAll()),
-        "detached_parts" -> (() => cat.systemDetachedPartsAll()))
+        "detached_parts" -> (() => cat.systemDetachedPartsAll()),
+        // CH's one-row dummy relation (`SELECT 1 FROM system.one`)
+        "one" -> (() => s.sql("SELECT CAST(0 AS TINYINT) AS dummy")))
       "(?i)\\bsystem\\.(\\w+)".r.findAllMatchIn(text)
         .map(_.group(1).toLowerCase).toSet[String].foreach { rel =>
           val mk = binds.getOrElse(rel, throw new IllegalArgumentException(

@@ -156,6 +156,67 @@ package graft.sql
   *     documented); `toISOWeek`/`toISOYear` → `weekofyear` / the
   *     Thursday-year; `formatReadableSize/Quantity` → fixed two-decimal
   *     `format_string` CASE ladders (KiB/MiB/… and thousand/million/…)
+  *   - everyday tier 4 (round 12, second pass): `extract`/`extractAll`
+  *     (whole-match vs first-capture-group chosen from the literal
+  *     pattern, the regex-dialect guard applies), `countSubstrings`,
+  *     `multiSearchAny`, `base64Encode/Decode`, `splitByWhitespace`,
+  *     `format('{}…')` → format_string (in-slot `{}`/`{N}` → `%s`/
+  *     `%N$s`), `positionCaseInsensitive[UTF8]`; the STRING-JSON door
+  *     `simpleJSON* / visitParam*` → strict get_json_object probes with
+  *     CH's type-default-on-miss (the Variant door stays JSONExtract*),
+  *     `JSONHas/JSONLength/JSON_VALUE`; no-op wrappers (`assumeNotNull`,
+  *     `toNullable`, `identity`, `materialize`, `ignore`); moment
+  *     aggregates (`stddevPop/varSamp/covarPop/skewPop` renames,
+  *     `kurtPop` → kurtosis+3 — CH is NON-excess; `kurtSamp/skewSamp`
+  *     refuse), `groupBitAnd/Or/Xor` → bit_and/or/xor, the uniq sketch
+  *     spellings (`uniqCombined[64]/uniqHLL12/uniqTheta`) and the
+  *     approximate quantiles (`quantileTDigest/Timing/BFloat16/
+  *     Deterministic`) onto Spark's sketches (estimates differ across
+  *     engines — the uniq stance), `anyHeavy` → exact mode,
+  *     `avgWeighted`, `sumCount` → named struct, `sumMap/minMap/maxMap`
+  *     → the MapCombine aggregates (key-wise merge, SORTED keys; input
+  *     normalized to MAP<STRING, DOUBLE>), `groupConcat[(sep)]`;
+  *     order-dependent `deltaSum`/`groupArrayMovingSum` and weighted
+  *     `topKWeighted` REFUSE with the deterministic alternative named;
+  *     date tier (`toMonday`, `toRelative*Num`, `toYYYYMMDD[hhmmss]`,
+  *     `now64/toDateTime64` at Spark's microsecond kind, the
+  *     `to/fromUnixTimestamp64*` family, `dateName`, `toTime`,
+  *     `timeSlot`, `makeDate[Time]`, `toLastDayOfMonth`); conversions
+  *     (`toDecimal32/64/128`, `to*OrZero/OrNull` try-casts with CH's
+  *     type defaults, `accurateCast[OrNull]`, CH type names inside
+  *     `CAST(x AS Float64)` / 2-arg `CAST(x, 'T')`, `toUUID` → the
+  *     canonical string); array tier (`hasAll/hasAny/arrayIntersect`,
+  *     `arrayResize` — 2-arg pads NULL where CH pads the type default,
+  *     `arrayReverseSort` plain form, `arrayCompact`, `arrayPop*`,
+  *     `arrayReduce('agg', …)` literal names, `arrayRotate*`,
+  *     `arrayLast[Index]`, `emptyArray*` typed empties,
+  *     `arrayWithConstant`, `arrayShingles`); `tuple` → struct with
+  *     `tupleElement` positional `.colN` / literal-name access,
+  *     `mapFromArrays`, `mapAdd/mapSubtract` → map_zip_with; bit call
+  *     forms (`bitAnd/Or/Xor/Not/Test`, `bitShift*`, `bitCount`); math
+  *     (`roundBankers` → rint, `intDivOrZero/moduloOrZero`,
+  *     `plus/minus/multiply/divide/negate`, `roundToExp2`, the
+  *     `roundDuration/roundAge` ladders); `bin` byte-padded, variadic
+  *     `char`, CH's 3/4-arg `transform` value-mapping,
+  *     `isFinite/isInfinite`, `SHA224…512` → sha2 (HEX spelling — CH
+  *     returns raw bytes, documented), `farmHash64/halfMD5` → xxhash64
+  *     (hash stance), `currentDatabase()` → 'default', `hostName()` →
+  *     'localhost', `randConstant()` → a scalar subquery (constant per
+  *     query, exactly CH's contract)
+  *   - statement forms (round 12, second pass): `GLOBAL [NOT] IN` drops
+  *     the keyword (Spark owns the broadcast decision); `SELECT DISTINCT
+  *     ON (cols)` → `LIMIT 1 BY` (ORDER BY required — the LIMIT BY
+  *     stance); `ORDER BY k LIMIT n WITH TIES` → a rank() nest keeping
+  *     every row tying with the n-th (order keys must be output
+  *     columns); ANSI `OFFSET n ROWS [FETCH FIRST m ROWS ONLY]` →
+  *     LIMIT/OFFSET (`FETCH … WITH TIES` routes to the ties nest; with
+  *     a row offset it refuses); `SELECT * REPLACE (expr AS col)`
+  *     expands through the analyzer probe keeping column POSITIONS;
+  *     `FROM system.one` binds the one-row dummy; `c COLLATE 'loc'` →
+  *     `collate(c, 'UNICODE')` (every locale maps to the root collation
+  *     — documented divergence); ASOF/PASTE/ANY/ALL JOIN and
+  *     `COLUMNS(…) APPLY` refuse loudly with the operator or spelling
+  *     that covers the semantics
   *   - a trailing `FORMAT <name>` is STRIPPED: it selects a wire
   *     serialization in CH, never a different result set (format
   *     round-trips live in the catalog's JSONEachRow/ORC paths)
@@ -308,6 +369,61 @@ object ChDialect {
     ("(?i)\\bgenerateUUIDv4\\(\\s*\\)".r, "uuid()"),
     ("(?i)\\bPREWHERE\\b".r, "WHERE"),
     ("(?i)\\bFINAL\\b".r, ""),
+    // GLOBAL IN — like GLOBAL JOIN, a CH distributed-execution hint
+    // (broadcast the subquery to every shard); Spark's optimizer makes
+    // that call itself, so the keyword simply drops
+    ("(?i)\\bGLOBAL\\s+NOT\\s+IN\\b".r, "NOT IN"),
+    ("(?i)\\bGLOBAL\\s+IN\\b".r, "IN"),
+    // ——— everyday tier 4 (round 12, second pass) ———
+    // moment-aggregate renames (same formulas both engines; kurtPop is
+    // the call-shape exception below — CH is non-excess kurtosis)
+    ("(?i)\\bstddevPop\\(".r, "stddev_pop("),
+    ("(?i)\\bstddevSamp\\(".r, "stddev_samp("),
+    ("(?i)\\bvarPop\\(".r, "var_pop("),
+    ("(?i)\\bvarSamp\\(".r, "var_samp("),
+    ("(?i)\\bcovarPop\\(".r, "covar_pop("),
+    ("(?i)\\bcovarSamp\\(".r, "covar_samp("),
+    ("(?i)\\bskewPop\\(".r, "skewness("),
+    ("(?i)\\bgroupBitAnd\\(".r, "bit_and("),
+    ("(?i)\\bgroupBitOr\\(".r, "bit_or("),
+    ("(?i)\\bgroupBitXor\\(".r, "bit_xor("),
+    // the uniq sketch family all map onto Spark's HLL++ (the uniq →
+    // approx_count_distinct stance: same role, different sketch — do
+    // not compare estimates across engines)
+    ("(?i)\\buniqCombined64\\(".r, "approx_count_distinct("),
+    ("(?i)\\buniqCombined\\(".r, "approx_count_distinct("),
+    ("(?i)\\buniqHLL12\\(".r, "approx_count_distinct("),
+    ("(?i)\\buniqTheta\\(".r, "approx_count_distinct("),
+    // exact mode where CH's is an approximate heavy-hitter — the value
+    // CH "usually" returns is the one this always returns
+    ("(?i)\\banyHeavy\\(".r, "mode("),
+    // scalar renames (same argument shapes)
+    ("(?i)\\bmapFromArrays\\(".r, "map_from_arrays("),
+    ("(?i)\\barrayIntersect\\(".r, "array_intersect("),
+    ("(?i)\\bhasAny\\(".r, "arrays_overlap("),
+    ("(?i)\\bbitShiftLeft\\(".r, "shiftleft("),
+    ("(?i)\\bbitShiftRight\\(".r, "shiftright("),
+    ("(?i)\\bbitCount\\(".r, "bit_count("),
+    ("(?i)\\bmakeDate\\(".r, "make_date("),
+    ("(?i)\\bmakeDateTime\\(".r, "make_timestamp("),
+    ("(?i)\\btoLastDayOfMonth\\(".r, "last_day("),
+    ("(?i)\\btoValidUTF8\\(".r, "make_valid_utf8("),
+    // JSON_VALUE's '$.k' path IS get_json_object's path grammar
+    ("(?i)\\bJSON_VALUE\\(".r, "get_json_object("),
+    // 64-bit hash stance (the cityHash64 note): same bucketing role,
+    // hash VALUES differ — do not compare digests across engines
+    ("(?i)\\bfarmHash64\\(".r, "xxhash64("),
+    ("(?i)\\bfarmFingerprint64\\(".r, "xxhash64("),
+    ("(?i)\\bhalfMD5\\(".r, "xxhash64("),
+    ("(?i)\\bcurrentUser\\(".r, "current_user("),
+    // flat namespace (SHOW DATABASES lists default+system): the session
+    // database is the constant 'default'; hostName is the single-JVM
+    // analog's stand-in (no cluster hostnames to report)
+    ("(?i)\\bcurrentDatabase\\(\\s*\\)".r, "'default'"),
+    ("(?i)\\bhostName\\(\\s*\\)".r, "'localhost'"),
+    // constant-per-query random: exactly a scalar subquery's contract
+    ("(?i)\\brandConstant\\(\\s*\\)".r, "(SELECT rand())"),
+    ("(?i)\\btuple\\(".r, "struct("),
     // :: type names — Spark parses the cast syntax itself; unsigned
     // widths map UP so every legal CH value fits
     ("::\\s*(?i:UInt8)\\b".r, "::SMALLINT"),
@@ -370,6 +486,116 @@ object ChDialect {
       scala.util.matching.Regex.quoteReplacement(
         s"$kw (SELECT * FROM $tbl WHERE $b >= $lo AND $b < $hi) $tbl")
     })
+
+  /** CH join/select forms with NO sound textual lowering — refused
+    * loudly up front (a parse error downstream would bury the reason).
+    */
+  private def refuseUnsupported(s: String): Unit = Seq(
+    ("(?i)\\bASOF\\s+(?:LEFT\\s+)?JOIN\\b",
+      "ASOF JOIN: Spark SQL has no asof surface to lower onto — use " +
+        "graft.operators.TemporalJoins (the operator covers the semantics)"),
+    ("(?i)\\bPASTE\\s+JOIN\\b",
+      "PASTE JOIN (positional zip): join on row_number() OVER () keys " +
+        "instead — positional alignment is not a relational operation"),
+    ("(?i)\\b(?:LEFT|RIGHT|INNER|FULL)\\s+(?:ANY|ALL)\\s+JOIN\\b",
+      "ANY/ALL JOIN: one-match join semantics has no Spark JOIN type — " +
+        "deduplicate the build side on its join keys (LIMIT 1 BY) and " +
+        "use a plain JOIN"),
+    ("(?i)\\b(?:ANY|ALL)\\s+(?:LEFT|RIGHT|INNER|FULL)?\\s*JOIN\\b",
+      "ANY/ALL JOIN: one-match join semantics has no Spark JOIN type — " +
+        "deduplicate the build side on its join keys (LIMIT 1 BY) and " +
+        "use a plain JOIN"),
+    ("(?i)\\bCOLUMNS\\s*\\(",
+      "COLUMNS(…) [APPLY]: the dynamic column selector needs schema " +
+        "expansion — spell the columns, or use * EXCEPT / * REPLACE"))
+    .foreach { case (re, msg) =>
+      require(re.r.findFirstIn(s).isEmpty, msg)
+    }
+
+  /** CH `SELECT DISTINCT ON (cols) …` ≡ `… LIMIT 1 BY cols` — rewritten
+    * to exactly that and handed to [[rewriteLimitBy]] (which is why this
+    * must run first). An ORDER BY is required, the LIMIT BY stance:
+    * without one ClickHouse returns an arbitrary row per group, which a
+    * deterministic engine refuses rather than emulates.
+    */
+  private def rewriteDistinctOn(s: String): String = {
+    val m = "(?is)^(\\s*SELECT\\s+)DISTINCT\\s+ON\\s*\\(".r
+      .findFirstMatchIn(s).getOrElse(return s)
+    val (cols, after) = balancedArgs(s, m.end - 1)
+    val rest = s.substring(after)
+    require("(?i)\\bORDER\\s+BY\\b".r.findFirstIn(rest).isDefined,
+      "DISTINCT ON: an ORDER BY is required (ClickHouse returns an " +
+        "arbitrary row per group without one — the LIMIT BY stance)")
+    val byList = cols.mkString(", ")
+    val tailLimit = "(?is)^(.*\\S)\\s+LIMIT\\s+(\\d+)\\s*$".r
+    rest match {
+      case tailLimit(pre, lim) =>
+        s"${m.group(1)}$pre LIMIT 1 BY $byList LIMIT $lim"
+      case _ => s"${m.group(1)}$rest LIMIT 1 BY $byList"
+    }
+  }
+
+  private val limitTiesRe =
+    "(?is)^(.*\\S)\\s+ORDER\\s+BY\\s+(.+?)\\s+LIMIT\\s+(\\d+)\\s+WITH\\s+TIES\\s*$".r
+
+  /** `… ORDER BY k LIMIT n WITH TIES` (keep every row tying with the
+    * n-th) → the body nests as a derived table and a rank() window over
+    * the same keys filters it — rank, not row_number, IS the ties
+    * contract. Top-level statements; the order keys must be OUTPUT
+    * columns of the select (they rank the body's own result — the LIMIT
+    * BY constraint).
+    */
+  private def rewriteLimitTies(s: String): String = s match {
+    case limitTiesRe(body, keys, n) =>
+      require("(?i)\\bWITH\\s+FILL\\b".r.findFirstIn(keys).isEmpty,
+        "LIMIT WITH TIES does not combine with WITH FILL")
+      s"SELECT * EXCEPT (__ties) FROM (SELECT __tb.*, " +
+        s"rank() OVER (ORDER BY $keys) AS __ties FROM ($body) __tb) " +
+        s"WHERE __ties <= $n ORDER BY $keys"
+    case _ => s
+  }
+
+  /** CH `SELECT * REPLACE (expr AS col, …) FROM …` — absent from Spark's
+    * grammar: `*` expands through the analyzer probe (the WITH FILL
+    * hook) into the explicit column list with each replaced column
+    * swapped IN PLACE (ClickHouse keeps positions — `* EXCEPT` + append
+    * could not). Schema-blind entry points refuse; GraftSql.chSql always
+    * passes the probe.
+    */
+  private def rewriteSelectReplace(s: String,
+      analyze: Option[String => Seq[String]]): String = {
+    val m = "(?is)^(\\s*SELECT\\s+)\\*\\s+REPLACE\\s*\\(".r
+      .findFirstMatchIn(s).getOrElse(return s)
+    val (items, after) = balancedArgs(s, m.end - 1)
+    val rest = s.substring(after)
+    val probe = analyze.getOrElse(throw new IllegalArgumentException(
+      "* REPLACE needs the schema-aware entry point (GraftSql.chSql) — " +
+        "the star expands through the analyzer"))
+    val cols = probe(s"SELECT * $rest")
+    val asRe = "(?is)^(.+)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+    val repl = items.map {
+      case asRe(e, c) => c.toLowerCase -> e
+      case other => throw new IllegalArgumentException(
+        s"* REPLACE: expected 'expr AS col', got '$other'")
+    }.toMap
+    val unknown = repl.keySet -- cols.map(_.toLowerCase).toSet
+    require(unknown.isEmpty,
+      s"* REPLACE: unknown column(s) ${unknown.mkString(", ")}")
+    val list = cols.map(c => repl.get(c.toLowerCase)
+      .map(e => s"$e AS `$c`").getOrElse(s"`$c`")).mkString(", ")
+    m.group(1) + list + rest
+  }
+
+  // ANSI OFFSET/FETCH (CH accepts both row-count spellings) → LIMIT/
+  // OFFSET; FETCH … WITH TIES routes through the LIMIT WITH TIES path
+  private val offsetFetchRe =
+    ("(?i)\\bOFFSET\\s+(\\d+)\\s+ROWS?" +
+      "\\s+FETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+ONLY").r
+  private val bareOffsetRowsRe = "(?i)\\bOFFSET\\s+(\\d+)\\s+ROWS?\\b".r
+  private val fetchOnlyRe =
+    "(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+ONLY".r
+  private val fetchTiesRe =
+    "(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+WITH\\s+TIES".r
 
   // `… ORDER BY ord LIMIT n BY cols [LIMIT m]` (CH's per-group top-n) →
   // a row_number window partitioned by the BY list, ordered by the
@@ -620,7 +846,9 @@ object ChDialect {
   // they floor on the epoch-seconds grid (same math as toStartOfInterval)
   private val fixedBuckets = Seq(
     "toStartOfFiveMinutes" -> 300L, "toStartOfTenMinutes" -> 600L,
-    "toStartOfFifteenMinutes" -> 900L)
+    "toStartOfFifteenMinutes" -> 900L,
+    // timeSlot = CH's fixed half-hour bucket (same grid floor)
+    "timeSlot" -> 1800L)
 
   private val intervalArgRe = "(?is)^INTERVAL\\s+(\\d+)\\s+(\\w+)$".r
 
@@ -781,6 +1009,33 @@ object ChDialect {
     s = settingsTailRe.replaceAllIn(s, "")
     s = rewriteWithAliases(s)
     s = rewriteArrayLiterals(s)
+    refuseUnsupported(s)
+    s = rewriteSelectReplace(s, analyze)
+    // OFFSET/FETCH first: its TIES form becomes LIMIT … WITH TIES, which
+    // rewriteLimitTies then turns into QUALIFY, which rewriteQualify
+    // consumes; DISTINCT ON becomes LIMIT 1 BY for rewriteLimitBy
+    require(
+      ("(?i)\\bOFFSET\\s+\\d+\\s+ROWS?\\s+" +
+        "FETCH\\s+(?:FIRST|NEXT)\\s+\\d+\\s+ROWS?\\s+WITH\\s+TIES").r
+        .findFirstIn(s).isEmpty,
+      "OFFSET … FETCH … WITH TIES: ties combined with a row offset has " +
+        "no deterministic lowering here — use LIMIT n WITH TIES")
+    s = offsetFetchRe.replaceAllIn(s,
+      m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
+    s = fetchTiesRe.replaceAllIn(s, m => s"LIMIT ${m.group(1)} WITH TIES")
+    s = fetchOnlyRe.replaceAllIn(s, m => s"LIMIT ${m.group(1)}")
+    s = bareOffsetRowsRe.replaceAllIn(s, m => s"OFFSET ${m.group(1)}")
+    s = rewriteDistinctOn(s)
+    s = rewriteLimitTies(s)
+    // `FROM system.one` — CH's one-row dummy relation, as a derived table
+    s = "(?i)\\b(FROM|JOIN)\\s+system\\.one\\b".r.replaceAllIn(s,
+      m => s"${m.group(1)} (SELECT CAST(0 AS TINYINT) AS dummy) one")
+    // `c COLLATE 'loc'` → collate(c, 'UNICODE'): every ICU locale maps
+    // to the root UNICODE collation (no per-locale tailoring —
+    // documented divergence; the locale literal's slot drops)
+    s = ("(?i)([A-Za-z_][A-Za-z0-9_.]*)\\s+COLLATE\\s+" +
+      Sentinel + "\\d+" + Sentinel).r.replaceAllIn(s,
+      m => s"collate(${m.group(1)}, 'UNICODE')")
     s = rewriteQualify(s)
     s = rewriteLimitBy(s)
     s = rewriteHistogram(s)
@@ -1426,6 +1681,695 @@ object ChDialect {
         s"replaceRegexpAll expects (haystack, pattern, replacement), " +
           s"got ${args.length}")
     })
+    // ——— everyday tier 4 call shapes (round 12, second pass) ———
+    // extract/extractAll: CH takes the FIRST CAPTURE GROUP when the
+    // pattern declares one, the whole match otherwise — the group
+    // choice needs the literal pattern bytes (computed patterns refuse;
+    // the regex-dialect guard applies, same stance as match)
+    def regexGroupIdx(fn: String, tok: String): Int =
+      maskedLiteral(tok, literals) match {
+        case Some(pat) =>
+          guardRegex(fn, tok)
+          if ("\\((?!\\?)".r.findFirstIn(pat).isDefined) 1 else 0
+        case None => throw new IllegalArgumentException(
+          s"$fn: the pattern must be a string literal (the whole-match-" +
+            "vs-first-group choice inspects it)")
+      }
+    s = rewriteCall(s, "extractAll", {
+      case List(h, p) =>
+        s"regexp_extract_all($h, $p, ${regexGroupIdx("extractAll", p)})"
+      case args => throw new IllegalArgumentException(
+        s"extractAll expects (haystack, 'pattern'), got ${args.length}")
+    })
+    s = rewriteCall(s, "extract", {
+      // the ANSI datetime-field form (extract(YEAR FROM ts)) — native
+      // to both engines, passes through
+      case List(single)
+          if "(?i)\\s+FROM\\s+".r.findFirstIn(single).isDefined =>
+        s"extract($single)"
+      case List(h, p) =>
+        s"regexp_extract($h, $p, ${regexGroupIdx("extract", p)})"
+      case args => throw new IllegalArgumentException(
+        s"extract expects (haystack, 'pattern') or (field FROM ts), " +
+          s"got ${args.length}")
+    })
+    s = rewriteCall(s, "multiSearchAny", {
+      case List(h, arr) => s"exists($arr, __n -> locate(__n, $h) > 0)"
+      case args => throw new IllegalArgumentException(
+        s"multiSearchAny expects (haystack, [needles…]), got ${args.length}")
+    })
+    // occurrence count via remove-and-measure (h inlined twice, n three
+    // times — pass columns, not expensive expressions)
+    s = rewriteCall(s, "countSubstrings", {
+      case List(h, n) =>
+        s"((length($h) - length(replace($h, $n))) DIV length($n))"
+      case args => throw new IllegalArgumentException(
+        s"countSubstrings expects (haystack, needle), got ${args.length}")
+    })
+    s = rewriteCall(s, "base64Encode", {
+      case List(x) => s"base64(CAST($x AS BINARY))"
+      case args => throw new IllegalArgumentException(
+        s"base64Encode expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCall(s, "base64Decode", {
+      case List(x) => s"CAST(unbase64($x) AS STRING)"
+      case args => throw new IllegalArgumentException(
+        s"base64Decode expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCall(s, "splitByWhitespace", {
+      case List(x) => s"filter(split($x, '\\\\s+'), __t -> __t <> '')"
+      case args => throw new IllegalArgumentException(
+        s"splitByWhitespace expects 1 argument, got ${args.length}")
+    })
+    // format('{} and {}', …) → format_string: the {}-mask literal
+    // translates IN ITS SLOT ({} → %s, {N} → %(N+1)$s, % → %% — the
+    // formatDateTime discipline, once per slot)
+    s = rewriteCall(s, "format", {
+      case f :: rest if rest.nonEmpty =>
+        val tok = wtrim(f)
+        val sentRe = (Sentinel + "(\\d+)" + Sentinel).r
+        val idx = sentRe.findFirstMatchIn(tok) match {
+          case Some(sm) if sm.matched == tok => sm.group(1).toInt
+          case _ => throw new IllegalArgumentException(
+            "format: the pattern argument must be a string literal")
+        }
+        if (translatedSlots.add(idx)) {
+          val raw = literals(idx)
+          val content = raw.substring(1, raw.length - 1).replace("''", "'")
+          val sb = new StringBuilder
+          var i = 0
+          while (i < content.length) {
+            val c = content.charAt(i)
+            if (c == '{') {
+              val close = content.indexOf('}', i)
+              require(close > i, s"format: unbalanced '{' in '$content'")
+              val inner = content.substring(i + 1, close)
+              if (inner.isEmpty) sb.append("%s")
+              else {
+                require(inner.forall(_.isDigit),
+                  s"format: unsupported placeholder '{$inner}'")
+                sb.append('%').append(inner.toInt + 1).append("$s")
+              }
+              i = close + 1
+            } else if (c == '%') { sb.append("%%"); i += 1 }
+            else { sb.append(c); i += 1 }
+          }
+          literals(idx) = "'" + sb.toString.replace("'", "''") + "'"
+        }
+        s"format_string($tok, ${rest.mkString(", ")})"
+      case args => throw new IllegalArgumentException(
+        s"format expects ('pattern', arg…), got ${args.length} argument(s)")
+    })
+    Seq("positionCaseInsensitiveUTF8", "positionCaseInsensitive")
+      .foreach { fn =>
+        s = rewriteCall(s, fn, {
+          case List(h, n) => s"locate(lower($n), lower($h))"
+          case args => throw new IllegalArgumentException(
+            s"$fn expects (haystack, needle), got ${args.length}")
+        })
+      }
+    s = rewriteCall(s, "positionUTF8", {
+      case List(h, n) => s"locate($n, $h)"
+      case args => throw new IllegalArgumentException(
+        s"positionUTF8 expects (haystack, needle), got ${args.length}")
+    })
+    // STRING-JSON door (the Variant door is JSONExtract* above):
+    // simpleJSON*/visitParam* are CH's fast non-strict scanners — here
+    // they parse strictly via get_json_object (a document the scanner
+    // would mis-slice parses correctly instead; divergence is one-way).
+    // CH returns the TYPE DEFAULT on a miss — hence the coalesce.
+    Seq(("simpleJSONExtractString", "string", "''"),
+      ("visitParamExtractString", "string", "''"),
+      ("simpleJSONExtractInt", "bigint", "0"),
+      ("visitParamExtractInt", "bigint", "0"),
+      ("simpleJSONExtractUInt", "bigint", "0"),
+      ("visitParamExtractUInt", "bigint", "0"),
+      ("simpleJSONExtractFloat", "double", "0.0"),
+      ("visitParamExtractFloat", "double", "0.0"),
+      ("simpleJSONExtractBool", "boolean", "false"),
+      ("visitParamExtractBool", "boolean", "false")).foreach {
+      case (fn, ty, dflt) =>
+        s = rewriteCall(s, fn, {
+          case List(j, k) =>
+            s"coalesce(CAST(get_json_object($j, concat('$$.', " +
+              s"${k.strip()})) AS $ty), $dflt)"
+          case args => throw new IllegalArgumentException(
+            s"$fn expects (json, key), got ${args.length}")
+        })
+    }
+    s = rewriteCall(s, "JSONHas", {
+      case json :: keys if keys.nonEmpty =>
+        val path = keys.map(_.strip()).mkString(", '.', ")
+        s"(get_json_object($json, concat('$$.', $path)) IS NOT NULL)"
+      case args => throw new IllegalArgumentException(
+        s"JSONHas expects (json, key…), got ${args.length} argument(s)")
+    })
+    s = rewriteCall(s, "JSONLength", {
+      case json :: keys =>
+        val e =
+          if (keys.isEmpty) json
+          else s"get_json_object($json, concat('$$.', " +
+            s"${keys.map(_.strip()).mkString(", '.', ")}))"
+        s"coalesce(json_array_length($e), size(json_object_keys($e)), 0)"
+      case args => throw new IllegalArgumentException(
+        s"JSONLength expects (json[, key…]), got ${args.length} argument(s)")
+    })
+    // no-op wrappers: type-level nullability doesn't exist in Spark SQL
+    // text (assumeNotNull on an actual NULL is undefined in CH too);
+    // identity/materialize are optimizer hints with nothing to hint
+    Seq("assumeNotNull", "toNullable", "identity", "materialize")
+      .foreach { fn =>
+        s = rewriteCall(s, fn, {
+          case List(x) => s"($x)"
+          case args => throw new IllegalArgumentException(
+            s"$fn expects 1 argument, got ${args.length}")
+        })
+      }
+    s = rewriteCall(s, "ignore", _ => "0")
+    // aggregate shapes
+    s = rewriteCall(s, "avgWeighted", {
+      case List(x, w) => s"(sum(($x) * ($w)) / sum($w))"
+      case args => throw new IllegalArgumentException(
+        s"avgWeighted expects (x, weight), got ${args.length}")
+    })
+    s = rewriteCall(s, "sumCount", {
+      case List(x) => s"named_struct('sum', sum($x), 'count', count($x))"
+      case args => throw new IllegalArgumentException(
+        s"sumCount expects 1 argument, got ${args.length}")
+    })
+    // sumMap/minMap/maxMap → the MapCombine aggregates (key-wise merge,
+    // sorted keys — CH's contract). Input normalizes to MAP<STRING,
+    // DOUBLE>; the result is a MAP where CH's two-array form returns a
+    // tuple of arrays — probe with map_keys/map_values for those
+    Seq("sumMap" -> "ch_summap", "minMap" -> "ch_minmap",
+      "maxMap" -> "ch_maxmap").foreach { case (fn, to) =>
+      s = rewriteCall(s, fn, {
+        case List(m) => s"$to(CAST($m AS MAP<STRING, DOUBLE>))"
+        case List(k, v) =>
+          s"$to(CAST(map_from_arrays($k, $v) AS MAP<STRING, DOUBLE>))"
+        case args => throw new IllegalArgumentException(
+          s"$fn expects (map) or (keys, values), got ${args.length}")
+      })
+    }
+    // CH kurtPop is NON-EXCESS kurtosis (m4/m2²); Spark's kurtosis is
+    // excess — shift back. kurtSamp/skewSamp have no Spark twin (the
+    // bias-corrected forms need n-aware algebra) and refuse loudly.
+    s = rewriteCall(s, "kurtPop", {
+      case List(x) => s"(kurtosis($x) + 3.0D)"
+      case args => throw new IllegalArgumentException(
+        s"kurtPop expects 1 argument, got ${args.length}")
+    })
+    Seq("kurtSamp", "skewSamp").foreach { fn =>
+      s = rewriteCall(s, fn, { _ =>
+        throw new IllegalArgumentException(
+          s"$fn: Spark has only the population moments — use " +
+            (if (fn == "kurtSamp") "kurtPop" else "skewPop") +
+            " or compute the bias correction explicitly")
+      })
+    }
+    s = rewriteCall(s, "deltaSum", { _ =>
+      throw new IllegalArgumentException(
+        "deltaSum: block-order dependent in ClickHouse with no " +
+          "deterministic SQL twin — use the agg_delta_sum operator shape " +
+          "(explicit ordering) from graft.operators instead")
+    })
+    // date tier
+    s = rewriteCall(s, "toMonday", {
+      case List(x) => s"CAST(date_trunc('WEEK', $x) AS DATE)"
+      case args => throw new IllegalArgumentException(
+        s"toMonday expects 1 argument, got ${args.length}")
+    })
+    Seq("toRelativeDayNum" -> 86400L, "toRelativeHourNum" -> 3600L,
+      "toRelativeMinuteNum" -> 60L, "toRelativeSecondNum" -> 1L)
+      .foreach { case (fn, secs) =>
+        s = rewriteCall(s, fn, {
+          case List(x) =>
+            if (secs == 1L) s"unix_timestamp($x)"
+            else s"(unix_timestamp($x) DIV $secs)"
+          case args => throw new IllegalArgumentException(
+            s"$fn expects 1 argument, got ${args.length}")
+        })
+      }
+    s = rewriteCall(s, "toYYYYMMDD", {
+      case List(x) => s"CAST(date_format($x, 'yyyyMMdd') AS INT)"
+      case args => throw new IllegalArgumentException(
+        s"toYYYYMMDD expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCall(s, "toYYYYMMDDhhmmss", {
+      case List(x) => s"CAST(date_format($x, 'yyyyMMddHHmmss') AS BIGINT)"
+      case args => throw new IllegalArgumentException(
+        s"toYYYYMMDDhhmmss expects 1 argument, got ${args.length}")
+    })
+    // sub-second family: sessions run MICROSECOND timestamps (Spark's
+    // native precision) — now64's precision argument is accepted and
+    // ignored (micros is what you get), nanos multiply out
+    s = rewriteCall(s, "now64", {
+      case Nil | List(_) => "current_timestamp()"
+      case args => throw new IllegalArgumentException(
+        s"now64 expects 0-1 arguments, got ${args.length} " +
+          "(the timezone form is not supported — session UTC)")
+    })
+    s = rewriteCall(s, "toDateTime64", {
+      case List(x) => s"CAST($x AS TIMESTAMP)"
+      case List(x, _) => s"CAST($x AS TIMESTAMP)"
+      case args => throw new IllegalArgumentException(
+        s"toDateTime64 expects (x[, precision]), got ${args.length} " +
+          "(the timezone form is not supported — session UTC)")
+    })
+    s = rewriteCall(s, "toUnixTimestamp64Milli", {
+      case List(x) => s"(unix_micros(CAST($x AS TIMESTAMP)) DIV 1000)"
+      case args => throw new IllegalArgumentException(
+        s"toUnixTimestamp64Milli expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCall(s, "toUnixTimestamp64Micro", {
+      case List(x) => s"unix_micros(CAST($x AS TIMESTAMP))"
+      case args => throw new IllegalArgumentException(
+        s"toUnixTimestamp64Micro expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCall(s, "toUnixTimestamp64Nano", {
+      case List(x) => s"(unix_micros(CAST($x AS TIMESTAMP)) * 1000)"
+      case args => throw new IllegalArgumentException(
+        s"toUnixTimestamp64Nano expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCall(s, "fromUnixTimestamp64Milli", {
+      case List(x) => s"timestamp_millis($x)"
+      case args => throw new IllegalArgumentException(
+        s"fromUnixTimestamp64Milli expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCall(s, "fromUnixTimestamp64Micro", {
+      case List(x) => s"timestamp_micros($x)"
+      case args => throw new IllegalArgumentException(
+        s"fromUnixTimestamp64Micro expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCall(s, "dateName", {
+      case List(u, x) => litArg(u, "dateName").toLowerCase match {
+        case "year" => s"CAST(year($x) AS STRING)"
+        case "quarter" => s"CAST(quarter($x) AS STRING)"
+        case "month" => s"date_format($x, 'MMMM')"
+        case "week" => s"CAST(weekofyear($x) AS STRING)"
+        case "dayofyear" => s"CAST(dayofyear($x) AS STRING)"
+        case "day" => s"CAST(dayofmonth($x) AS STRING)"
+        case "weekday" => s"date_format($x, 'EEEE')"
+        case "hour" => s"CAST(hour($x) AS STRING)"
+        case "minute" => s"CAST(minute($x) AS STRING)"
+        case "second" => s"CAST(second($x) AS STRING)"
+        case other => throw new IllegalArgumentException(
+          s"dateName: unsupported part '$other'")
+      }
+      case args => throw new IllegalArgumentException(
+        s"dateName expects ('part', ts), got ${args.length}")
+    })
+    // CH toTime: the time-of-day re-based onto 1970-01-02
+    s = rewriteCall(s, "toTime", {
+      case List(x) => s"timestamp_seconds(86400 + (unix_timestamp($x) % 86400))"
+      case args => throw new IllegalArgumentException(
+        s"toTime expects 1 argument, got ${args.length}")
+    })
+    // type-conversion tier: Decimal widths by CH name, OrZero/OrNull
+    // try_cast forms (OrZero's zero is CH's type default)
+    Seq("toDecimal32" -> 9, "toDecimal64" -> 18, "toDecimal128" -> 38)
+      .foreach { case (fn, p) =>
+        s = rewriteCall(s, fn, {
+          case List(x, sc) =>
+            val scale = wtrim(sc)
+            require(scale.matches("\\d+"),
+              s"$fn(x, scale): the scale must be an integer literal")
+            s"CAST($x AS DECIMAL($p, $scale))"
+          case args => throw new IllegalArgumentException(
+            s"$fn expects (x, scale), got ${args.length}")
+        })
+      }
+    // UUIDs live as their canonical STRING spelling here (no UUID type)
+    s = rewriteCall(s, "toUUID", {
+      case List(x) => s"CAST($x AS STRING)"
+      case args => throw new IllegalArgumentException(
+        s"toUUID expects 1 argument, got ${args.length}")
+    })
+    Seq(("toInt8", "TINYINT", "CAST(0 AS TINYINT)"),
+      ("toInt16", "SMALLINT", "CAST(0 AS SMALLINT)"),
+      ("toInt32", "INT", "0"), ("toInt64", "BIGINT", "0L"),
+      ("toUInt8", "SMALLINT", "CAST(0 AS SMALLINT)"),
+      ("toUInt16", "INT", "0"), ("toUInt32", "BIGINT", "0L"),
+      ("toUInt64", "BIGINT", "0L"),
+      ("toFloat32", "FLOAT", "CAST(0 AS FLOAT)"),
+      ("toFloat64", "DOUBLE", "0.0D"),
+      ("toDate", "DATE", "DATE'1970-01-01'"),
+      ("toDateTime", "TIMESTAMP", "TIMESTAMP'1970-01-01 00:00:00'"))
+      .foreach { case (base, ty, zero) =>
+        s = rewriteCall(s, base + "OrNull", {
+          case List(x) => s"try_cast($x AS $ty)"
+          case args => throw new IllegalArgumentException(
+            s"${base}OrNull expects 1 argument, got ${args.length}")
+        })
+        s = rewriteCall(s, base + "OrZero", {
+          case List(x) => s"coalesce(try_cast($x AS $ty), $zero)"
+          case args => throw new IllegalArgumentException(
+            s"${base}OrZero expects 1 argument, got ${args.length}")
+        })
+      }
+    val chTypeMap = Map(
+      "uint8" -> "SMALLINT", "uint16" -> "INT", "uint32" -> "BIGINT",
+      "uint64" -> "BIGINT", "int8" -> "TINYINT", "int16" -> "SMALLINT",
+      "int32" -> "INT", "int64" -> "BIGINT", "float32" -> "FLOAT",
+      "float64" -> "DOUBLE", "string" -> "STRING", "date" -> "DATE",
+      "datetime" -> "TIMESTAMP")
+    def chTypeOf(fn: String, tok: String): String = {
+      val t = maskedLiteral(tok, literals).getOrElse(
+        throw new IllegalArgumentException(
+          s"$fn: the type must be a string literal"))
+      chTypeMap.getOrElse(t.toLowerCase, throw new IllegalArgumentException(
+        s"$fn: unsupported type '$t' (supported: " +
+          chTypeMap.keys.toSeq.sorted.mkString(", ") + ")"))
+    }
+    s = rewriteCall(s, "accurateCastOrNull", {
+      case List(x, t) => s"try_cast($x AS ${chTypeOf("accurateCastOrNull", t)})"
+      case args => throw new IllegalArgumentException(
+        s"accurateCastOrNull expects (x, 'Type'), got ${args.length}")
+    })
+    s = rewriteCall(s, "accurateCast", {
+      case List(x, t) => s"CAST($x AS ${chTypeOf("accurateCast", t)})"
+      case args => throw new IllegalArgumentException(
+        s"accurateCast expects (x, 'Type'), got ${args.length}")
+    })
+    // `CAST(x AS Float64)` / `CAST(x, 'Float64')` — CH type names inside
+    // the CAST grammar itself (the `::` table's call-shaped sibling).
+    // Only the type token after the LAST top-level ` AS ` translates;
+    // Spark type names pass through untouched. Iterated to a fixpoint so
+    // nested CASTs translate too (a pure rename converges immediately).
+    val castAsRe = "(?is)^(.+\\s+AS\\s+)([A-Za-z0-9_]+(?:\\([^()]*\\))?)\\s*$".r
+    def chCastType(tok: String): String = {
+      val base = tok.takeWhile(_ != '(').trim.toLowerCase
+      if (base == "enum8" || base == "enum16") "STRING"
+      else if (base == "datetime" || base == "datetime64") "TIMESTAMP"
+      else chTypeMap.getOrElse(base, tok) // Spark names pass through
+    }
+    def translateCasts(text: String): String = {
+      val re = "(?i)\\bCAST\\s*\\(".r
+      re.findFirstMatchIn(text) match {
+        case None => text
+        case Some(m) =>
+          val (args0, end) = balancedArgs(text,
+            text.indexOf('(', m.start))
+          val args = args0.map(translateCasts) // nested CASTs translate too
+          val repl = args match {
+            case List(single) => single match {
+              case castAsRe(head, ty) => s"CAST($head${chCastType(ty)})"
+              case other => s"CAST($other)"
+            }
+            // CH's 2-argument CAST(x, 'Type') form — a non-literal second
+            // piece is a comma inside an angle-bracket type (MAP<K, V>),
+            // which balancedArgs can't see: reassemble untouched
+            case List(x, t) if maskedLiteral(t, literals).isDefined =>
+              s"CAST($x AS ${chTypeOf("CAST", t)})"
+            case parts => s"CAST(${parts.mkString(", ")})"
+          }
+          text.substring(0, m.start) + repl + translateCasts(text.substring(end))
+      }
+    }
+    s = translateCasts(s)
+    // array tier (the argument is INLINED where noted — pass a column,
+    // not an expensive expression)
+    s = rewriteCall(s, "hasAll", {
+      case List(a, b) => s"forall($b, __x -> array_contains($a, __x))"
+      case args => throw new IllegalArgumentException(
+        s"hasAll expects (set, subset), got ${args.length}")
+    })
+    // 2-arg pads with NULL (the NULL-vs-default stance: CH pads the
+    // type default); the padded NULL is typed via an always-out-of-
+    // bounds try_element_at
+    s = rewriteCall(s, "arrayResize", {
+      case List(a, n) =>
+        s"(CASE WHEN size($a) >= ($n) THEN slice($a, 1, $n) " +
+          s"ELSE concat($a, transform(sequence(1, ($n) - size($a)), " +
+          s"__i -> try_element_at($a, size($a) + 1))) END)"
+      case List(a, n, fill) =>
+        s"(CASE WHEN size($a) >= ($n) THEN slice($a, 1, $n) " +
+          s"ELSE concat($a, array_repeat($fill, CAST(($n) - size($a) AS INT))) END)"
+      case args => throw new IllegalArgumentException(
+        s"arrayResize expects (arr, n[, fill]), got ${args.length}")
+    })
+    s = rewriteCall(s, "arrayReverseSort", {
+      case List(a) => s"reverse(array_sort($a))"
+      case args => throw new IllegalArgumentException(
+        s"arrayReverseSort: only the plain 1-array form lowers here " +
+          s"(got ${args.length} args) — the sort-by-key lambda form has " +
+          "no textual twin; sort by the key column instead")
+    })
+    // consecutive-duplicate removal: keep index 0 and every element
+    // differing from its predecessor (null-safe <=>)
+    s = rewriteCall(s, "arrayCompact", {
+      case List(a) =>
+        s"filter($a, (__x, __i) -> __i = 0 OR " +
+          s"NOT (__x <=> element_at($a, __i)))"
+      case args => throw new IllegalArgumentException(
+        s"arrayCompact expects 1 array, got ${args.length}")
+    })
+    s = rewriteCall(s, "arrayPopBack", {
+      case List(a) => s"slice($a, 1, greatest(size($a) - 1, 0))"
+      case args => throw new IllegalArgumentException(
+        s"arrayPopBack expects 1 array, got ${args.length}")
+    })
+    s = rewriteCall(s, "arrayPopFront", {
+      case List(a) => s"(CASE WHEN size($a) <= 1 THEN slice($a, 1, 0) " +
+        s"ELSE slice($a, 2, size($a) - 1) END)"
+      case args => throw new IllegalArgumentException(
+        s"arrayPopFront expects 1 array, got ${args.length}")
+    })
+    s = rewriteCall(s, "arrayReduce", {
+      case List(aggTok, a) =>
+        maskedLiteral(aggTok, literals).map(_.toLowerCase) match {
+          case Some("sum") => arrAggSum(a)
+          case Some("min") => s"array_min($a)"
+          case Some("max") => s"array_max($a)"
+          case Some("avg") =>
+            s"(CASE WHEN size($a) = 0 THEN CAST(NULL AS DOUBLE) " +
+              s"ELSE ${arrAggSum(a)} / size($a) END)"
+          case Some("count") => s"size($a)"
+          case Some("uniq") | Some("uniqexact") =>
+            s"size(array_distinct($a))"
+          case Some("any") => s"try_element_at($a, 1)"
+          case Some(other) => throw new IllegalArgumentException(
+            s"arrayReduce: unsupported aggregate '$other' (supported: " +
+              "sum, min, max, avg, count, uniq, uniqExact, any)")
+          case None => throw new IllegalArgumentException(
+            "arrayReduce: the aggregate name must be a string literal")
+        }
+      case args => throw new IllegalArgumentException(
+        s"arrayReduce expects ('agg', arr), got ${args.length}")
+    })
+    s = rewriteCall(s, "arrayRotateLeft", {
+      case List(a, n) =>
+        s"(CASE WHEN size($a) = 0 THEN $a ELSE " +
+          s"concat(slice($a, CAST(pmod($n, size($a)) AS INT) + 1, size($a)), " +
+          s"slice($a, 1, CAST(pmod($n, size($a)) AS INT))) END)"
+      case args => throw new IllegalArgumentException(
+        s"arrayRotateLeft expects (arr, n), got ${args.length}")
+    })
+    s = rewriteCall(s, "arrayRotateRight", {
+      case List(a, n) =>
+        s"(CASE WHEN size($a) = 0 THEN $a ELSE " +
+          s"concat(slice($a, CAST(pmod(-($n), size($a)) AS INT) + 1, size($a)), " +
+          s"slice($a, 1, CAST(pmod(-($n), size($a)) AS INT))) END)"
+      case args => throw new IllegalArgumentException(
+        s"arrayRotateRight expects (arr, n), got ${args.length}")
+    })
+    // last match / its 1-based position (NULL / 0 when none — the
+    // NULL-vs-default stance, same as arrayFirst)
+    s = rewriteCall(s, "arrayLastIndex", {
+      case List(f, a) =>
+        s"(CASE WHEN array_position(reverse(transform($a, $f)), true) = 0 " +
+          s"THEN 0 ELSE size($a) + 1 - " +
+          s"array_position(reverse(transform($a, $f)), true) END)"
+      case args => throw new IllegalArgumentException(
+        s"arrayLastIndex expects (lambda, arr), got ${args.length}")
+    })
+    s = rewriteCall(s, "arrayLast", {
+      case List(f, a) => s"try_element_at(filter($a, $f), -1)"
+      case args => throw new IllegalArgumentException(
+        s"arrayLast expects (lambda, arr), got ${args.length}")
+    })
+    Seq("emptyArrayString" -> "STRING", "emptyArrayInt8" -> "TINYINT",
+      "emptyArrayInt16" -> "SMALLINT", "emptyArrayInt32" -> "INT",
+      "emptyArrayInt64" -> "BIGINT", "emptyArrayUInt8" -> "SMALLINT",
+      "emptyArrayUInt16" -> "INT", "emptyArrayUInt32" -> "BIGINT",
+      "emptyArrayUInt64" -> "BIGINT", "emptyArrayFloat32" -> "FLOAT",
+      "emptyArrayFloat64" -> "DOUBLE", "emptyArrayDate" -> "DATE",
+      "emptyArrayDateTime" -> "TIMESTAMP").foreach { case (fn, ty) =>
+      s = s"(?i)\\b$fn\\(\\s*\\)".r.replaceAllIn(s,
+        _ => s"CAST(array() AS ARRAY<$ty>)")
+    }
+    s = rewriteCall(s, "arrayWithConstant", {
+      case List(n, x) => s"array_repeat($x, CAST($n AS INT))"
+      case args => throw new IllegalArgumentException(
+        s"arrayWithConstant expects (n, value), got ${args.length}")
+    })
+    s = rewriteCall(s, "arrayShingles", {
+      case List(a, l) =>
+        s"(CASE WHEN size($a) < ($l) THEN slice(transform($a, __x -> $a), 1, 0) " +
+          s"ELSE transform(sequence(1, size($a) - ($l) + 1), " +
+          s"__i -> slice($a, __i, $l)) END)"
+      case args => throw new IllegalArgumentException(
+        s"arrayShingles expects (arr, length), got ${args.length}")
+    })
+    // tuple/map tier: tuple() → struct() (fields col1…colN — CH's
+    // positional contract); tupleElement resolves positions to those
+    // names, string names to the field
+    s = rewriteCall(s, "tupleElement", {
+      case List(t, i) =>
+        val tok = wtrim(i)
+        if (tok.matches("\\d+")) s"($t).col$tok"
+        else maskedLiteral(tok, literals) match {
+          case Some(nm) => s"($t).$nm"
+          case None => throw new IllegalArgumentException(
+            "tupleElement: the index must be an integer or string literal")
+        }
+      case args => throw new IllegalArgumentException(
+        s"tupleElement expects (tuple, index), got ${args.length}")
+    })
+    // key-union merge — exactly map_zip_with's contract
+    s = rewriteCall(s, "mapAdd", {
+      case List(m1, m2) =>
+        s"map_zip_with($m1, $m2, (__k, __a, __b) -> " +
+          "coalesce(__a, 0) + coalesce(__b, 0))"
+      case args => throw new IllegalArgumentException(
+        s"mapAdd expects exactly 2 maps here, got ${args.length}")
+    })
+    s = rewriteCall(s, "mapSubtract", {
+      case List(m1, m2) =>
+        s"map_zip_with($m1, $m2, (__k, __a, __b) -> " +
+          "coalesce(__a, 0) - coalesce(__b, 0))"
+      case args => throw new IllegalArgumentException(
+        s"mapSubtract expects exactly 2 maps here, got ${args.length}")
+    })
+    // bit-operator call forms
+    s = rewriteCall(s, "bitAnd", {
+      case List(a, b) => s"(($a) & ($b))"
+      case args => throw new IllegalArgumentException(
+        s"bitAnd expects 2 arguments, got ${args.length}")
+    })
+    s = rewriteCall(s, "bitOr", {
+      case List(a, b) => s"(($a) | ($b))"
+      case args => throw new IllegalArgumentException(
+        s"bitOr expects 2 arguments, got ${args.length}")
+    })
+    s = rewriteCall(s, "bitXor", {
+      case List(a, b) => s"(($a) ^ ($b))"
+      case args => throw new IllegalArgumentException(
+        s"bitXor expects 2 arguments, got ${args.length}")
+    })
+    s = rewriteCall(s, "bitNot", {
+      case List(x) => s"(~($x))"
+      case args => throw new IllegalArgumentException(
+        s"bitNot expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCall(s, "bitTest", {
+      case List(x, n) => s"(shiftright($x, CAST($n AS INT)) & 1)"
+      case args => throw new IllegalArgumentException(
+        s"bitTest expects (x, bit), got ${args.length}")
+    })
+    // math tier
+    s = rewriteCall(s, "roundBankers", {
+      case List(x) => s"rint($x)"
+      case List(x, n) => s"(rint(($x) * power(10, $n)) / power(10, $n))"
+      case args => throw new IllegalArgumentException(
+        s"roundBankers expects (x[, places]), got ${args.length}")
+    })
+    s = rewriteCall(s, "intDivOrZero", {
+      case List(a, b) => s"(CASE WHEN ($b) = 0 THEN 0 ELSE ($a) DIV ($b) END)"
+      case args => throw new IllegalArgumentException(
+        s"intDivOrZero expects 2 arguments, got ${args.length}")
+    })
+    s = rewriteCall(s, "moduloOrZero", {
+      case List(a, b) => s"(CASE WHEN ($b) = 0 THEN 0 ELSE ($a) % ($b) END)"
+      case args => throw new IllegalArgumentException(
+        s"moduloOrZero expects 2 arguments, got ${args.length}")
+    })
+    Seq("plus" -> "+", "minus" -> "-", "multiply" -> "*", "divide" -> "/")
+      .foreach { case (fn, op) =>
+        s = rewriteCall(s, fn, {
+          case List(a, b) => s"(($a) $op ($b))"
+          case args => throw new IllegalArgumentException(
+            s"$fn expects 2 arguments, got ${args.length}")
+        })
+      }
+    s = rewriteCall(s, "negate", {
+      case List(x) => s"(-($x))"
+      case args => throw new IllegalArgumentException(
+        s"negate expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCall(s, "roundToExp2", {
+      case List(x) =>
+        s"(CASE WHEN ($x) < 1 THEN 0 " +
+          s"ELSE CAST(pow(2, floor(log2($x))) AS BIGINT) END)"
+      case args => throw new IllegalArgumentException(
+        s"roundToExp2 expects 1 argument, got ${args.length}")
+    })
+    // CH's fixed rounding ladders (ops histogram buckets)
+    s = rewriteCall(s, "roundDuration", {
+      case List(x) =>
+        val steps = Seq(36000L, 18000L, 7200L, 3600L, 1800L, 1200L, 600L,
+          300L, 240L, 180L, 120L, 60L, 30L, 10L, 1L)
+        s"(CASE ${steps.map(t => s"WHEN ($x) >= $t THEN $t").mkString(" ")} ELSE 0 END)"
+      case args => throw new IllegalArgumentException(
+        s"roundDuration expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCall(s, "roundAge", {
+      case List(x) =>
+        s"(CASE WHEN ($x) >= 55 THEN 55 WHEN ($x) >= 45 THEN 45 " +
+          s"WHEN ($x) >= 35 THEN 35 WHEN ($x) >= 25 THEN 25 " +
+          s"WHEN ($x) >= 18 THEN 18 WHEN ($x) >= 1 THEN 17 ELSE 0 END)"
+      case args => throw new IllegalArgumentException(
+        s"roundAge expects 1 argument, got ${args.length}")
+    })
+    // encoding tier: CH bin() pads to whole bytes (Spark's trims);
+    // char() is variadic in CH
+    s = rewriteCall(s, "bin", {
+      case List(x) =>
+        s"lpad(bin($x), CAST(ceil(length(bin($x)) / 8.0) * 8 AS INT), '0')"
+      case args => throw new IllegalArgumentException(
+        s"bin expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCall(s, "char", {
+      case List(x) => s"char($x)"
+      case args if args.length >= 2 =>
+        s"concat(${args.map(a => s"char($a)").mkString(", ")})"
+      case args => throw new IllegalArgumentException(
+        s"char expects 1+ arguments, got ${args.length}")
+    })
+    // CH 3/4-arg transform (value mapping with [default]); the 2-arg
+    // call IS Spark's lambda transform and passes through
+    s = rewriteCall(s, "transform", {
+      case List(a, f) => s"transform($a, $f)"
+      case List(x, from, to) =>
+        s"coalesce(try_element_at(map_from_arrays($from, $to), $x), $x)"
+      case List(x, from, to, d) =>
+        s"coalesce(try_element_at(map_from_arrays($from, $to), $x), $d)"
+      case args => throw new IllegalArgumentException(
+        s"transform expects 2-4 arguments, got ${args.length}")
+    })
+    s = rewriteCall(s, "isFinite", {
+      case List(x) =>
+        s"(NOT isnan(CAST($x AS DOUBLE)) AND " +
+          s"abs(CAST($x AS DOUBLE)) <> CAST('Infinity' AS DOUBLE))"
+      case args => throw new IllegalArgumentException(
+        s"isFinite expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCall(s, "isInfinite", {
+      case List(x) => s"(abs(CAST($x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))"
+      case args => throw new IllegalArgumentException(
+        s"isInfinite expects 1 argument, got ${args.length}")
+    })
+    // SHA2 family: Spark spells the digest as lowercase HEX where CH
+    // returns raw FixedString bytes — compare via hex(…) on the CH side
+    // (documented divergence in spelling, same digest)
+    Seq("SHA224" -> 224, "SHA256" -> 256, "SHA384" -> 384, "SHA512" -> 512)
+      .foreach { case (fn, bits) =>
+        s = rewriteCall(s, fn, {
+          case List(x) => s"sha2($x, $bits)"
+          case args => throw new IllegalArgumentException(
+            s"$fn expects 1 argument, got ${args.length}")
+        })
+      }
     s = rewriteCombinator(s, "quantileExact")
     s = rewriteCombinator(s, "quantile")
     // parameterized-aggregate batch (the CH analytics idioms) — after
@@ -1439,6 +2383,50 @@ object ChDialect {
         s"percentile(${args.head}, array(${ps.mkString(", ")}))"
       }
     }
+    // the approximate-quantile sketch spellings all lower onto Spark's
+    // approx_percentile (different sketch, same role — the uniq stance:
+    // do not compare estimates across engines); quantileDeterministic's
+    // determinator argument has nothing to determine here and drops
+    Seq("quantileTDigestWeighted", "quantileTDigest", "quantileTiming",
+      "quantileBFloat16", "quantileDeterministic").foreach { fn =>
+      s = rewriteParamAgg(s, fn) { (ps, args) =>
+        require(ps.length == 1, s"$fn(q)(x…): one quantile parameter")
+        require(args.nonEmpty, s"$fn(q)(x…): an aggregated expression")
+        s"approx_percentile(${args.head}, ${ps.head})"
+      }
+    }
+    // groupConcat: both CH call shapes (plain / parameterized separator)
+    s = rewriteMaybeParam(s, "groupConcat")(
+      plain = {
+        case List(x) => s"array_join(collect_list(CAST($x AS STRING)), '')"
+        case args => throw new IllegalArgumentException(
+          s"groupConcat expects (x) or (sep)(x), got ${args.length}")
+      },
+      param = { (ps, args) =>
+        require(ps.length == 1 && args.length == 1,
+          "groupConcat('sep')(x): one separator, one expression")
+        s"array_join(collect_list(CAST(${args.head} AS STRING)), ${ps.head})"
+      })
+    // order-dependent / weighted aggregates with no deterministic twin
+    s = rewriteParamAgg(s, "topKWeighted") { (_, _) =>
+      throw new IllegalArgumentException(
+        "topKWeighted: no weighted SpaceSaving here — for exact weighted " +
+          "top-N use GROUP BY + sum(weight) + ORDER BY + LIMIT, or " +
+          "topK(N)(x) for the unweighted sketch")
+    }
+    s = rewriteMaybeParam(s, "groupArrayMovingSum")(
+      plain = { _ =>
+        throw new IllegalArgumentException(
+          "groupArrayMovingSum: block-order dependent in ClickHouse with " +
+            "no deterministic SQL twin — use sum() OVER (ORDER BY …) " +
+            "window frames (explicit ordering) instead")
+      },
+      param = { (_, _) =>
+        throw new IllegalArgumentException(
+          "groupArrayMovingSum: block-order dependent in ClickHouse with " +
+            "no deterministic SQL twin — use sum() OVER (ORDER BY … ROWS " +
+            "n PRECEDING) window frames (explicit ordering) instead")
+      })
     // CH topK(N)(x): the SpaceSaving sketch (graft.functions.TopKSketch)
     // registered as the ch_topk SQL aggregate; CH returns the value
     // ARRAY, so the "v:c" pairs are projected back to values. Counts are
@@ -1563,6 +2551,29 @@ object ChDialect {
     }
   }
 
+  /** An aggregate callable BOTH ways — plain `fn(x)` and parameterized
+    * `fn(p)(x)` (groupConcat's shape): dispatch on whether a second
+    * argument list follows the first.
+    */
+  private def rewriteMaybeParam(s: String, fn: String)(
+      plain: List[String] => String,
+      param: (List[String], List[String]) => String): String = {
+    val re = s"(?i)\\b$fn\\(".r
+    re.findFirstMatchIn(s) match {
+      case None => s
+      case Some(m) =>
+        val (first, after) = balancedArgs(s, m.end - 1)
+        val rest = s.substring(after)
+        if (rest.startsWith("(")) {
+          val (args, end) = balancedArgs(rest, 0)
+          s.substring(0, m.start) + param(first.map(wtrim), args.map(wtrim)) +
+            rewriteMaybeParam(s.substring(after + end), fn)(plain, param)
+        } else
+          s.substring(0, m.start) + plain(first.map(wtrim)) +
+            rewriteMaybeParam(rest, fn)(plain, param)
+    }
+  }
+
   /** `SELECT histogram(N)(x) [AS alias] FROM tail` → the deterministic
     * equal-width N-bin histogram as Array(Struct(lo, hi, height)):
     * one bounds pass (min/max), one binning pass, a ≤N-row collect.
@@ -1654,8 +2665,11 @@ object ChDialect {
     def keyConds(d: DictRegistry.DictDef, keyArg: String, fn: String,
                  rec: String => String): String = {
       val t = wtrim(keyArg)
+      // composite keys arrive as struct(…) — the tier-4 tuple() rename
+      // runs before this pass
       val parts =
-        if (t.toLowerCase.startsWith("tuple(") && t.endsWith(")"))
+        if ((t.toLowerCase.startsWith("tuple(") ||
+             t.toLowerCase.startsWith("struct(")) && t.endsWith(")"))
           balancedArgs(t, t.indexOf('('))._1
         else List(t)
       require(parts.length == d.keys.length,

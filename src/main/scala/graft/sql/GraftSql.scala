@@ -57,6 +57,12 @@ object GraftSql {
       case _ => throw new IllegalArgumentException(
         "ch_topk(x, k): k must be an integer literal")
     }
+    // CH sumMap/minMap/maxMap via the dialect's map-normalizing rewrite
+    // (graft.functions.MapCombine — the same typed-Aggregator exception)
+    Seq("sum", "min", "max").foreach { kind =>
+      reg(s"ch_${kind}map", 1)(a =>
+        graft.functions.MapCombine.combineExpression(a.head, kind))
+    }
   }
 
   /** One-call text query: register views + kernels, expand user-defined

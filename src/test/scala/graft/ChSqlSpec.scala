@@ -1031,6 +1031,383 @@ class ChSqlSpec extends SparkSpecBase {
     r.getString(7) shouldBe "1.23 billion"
   }
 
+  // ——— everyday tier 4 (round 12, second pass) ———
+
+  test("tier-4 string family rewrites and agrees") {
+    chEqualsSpark(
+      """SELECT extract(o_orderpriority, '([A-Z]+)') AS g,
+        |  extract(o_orderpriority, '[A-Z]+') AS w,
+        |  extractAll(o_orderpriority, '[A-Z]+') AS aw,
+        |  countSubstrings(o_orderpriority, 'E') AS cs,
+        |  base64Decode(base64Encode(o_orderstatus)) AS b64,
+        |  splitByWhitespace(concat(' ', o_orderstatus, '  x ')) AS sw,
+        |  format('{}#{}', o_orderstatus, o_orderpriority) AS f1,
+        |  format('{1}~{0}', o_orderstatus, o_orderpriority) AS f2,
+        |  positionCaseInsensitive(o_orderpriority, 'urgent') AS pci,
+        |  multiSearchAny(o_orderpriority, ['URG', 'ZZZ']) AS ms
+        |FROM orders WHERE o_orderkey < 50""".stripMargin,
+      """SELECT regexp_extract(o_orderpriority, '([A-Z]+)', 1) AS g,
+        |  regexp_extract(o_orderpriority, '[A-Z]+', 0) AS w,
+        |  regexp_extract_all(o_orderpriority, '[A-Z]+', 0) AS aw,
+        |  ((length(o_orderpriority) -
+        |    length(replace(o_orderpriority, 'E'))) DIV length('E')) AS cs,
+        |  CAST(unbase64(base64(CAST(o_orderstatus AS BINARY))) AS STRING) AS b64,
+        |  filter(split(concat(' ', o_orderstatus, '  x '), '\\s+'),
+        |         __t -> __t <> '') AS sw,
+        |  format_string('%s#%s', o_orderstatus, o_orderpriority) AS f1,
+        |  format_string('%2$s~%1$s', o_orderstatus, o_orderpriority) AS f2,
+        |  locate(lower('urgent'), lower(o_orderpriority)) AS pci,
+        |  exists(array('URG', 'ZZZ'),
+        |         __n -> locate(__n, o_orderpriority) > 0) AS ms
+        |FROM orders WHERE o_orderkey < 50""".stripMargin)
+  }
+
+  test("tier-4 string-JSON door: simpleJSON/visitParam/JSONHas/JSONLength/JSON_VALUE") {
+    val r = GraftSql.chSql(spark, sf0001,
+      """SELECT simpleJSONExtractString('{"k":"v"}', 'k') AS a,
+        |  simpleJSONExtractString('{}', 'k') AS miss,
+        |  visitParamExtractInt('{"n": 42}', 'n') AS n,
+        |  simpleJSONExtractFloat('{"f": 1.5}', 'f') AS f,
+        |  visitParamExtractBool('{"b": true}', 'b') AS b,
+        |  JSONHas('{"a":1}', 'a') AS h1, JSONHas('{"a":1}', 'z') AS h0,
+        |  JSONLength('[1,2,3]') AS la, JSONLength('{"x":1,"y":2}') AS lo,
+        |  JSON_VALUE('{"p":{"q":"deep"}}', '$.p.q') AS jv
+        |""".stripMargin).head()
+    r.getString(0) shouldBe "v"
+    r.getString(1) shouldBe "" // CH returns the type default on a miss
+    r.getLong(2) shouldBe 42L
+    r.getDouble(3) shouldBe 1.5
+    r.getBoolean(4) shouldBe true
+    r.getBoolean(5) shouldBe true
+    r.getBoolean(6) shouldBe false
+    r.getInt(7) shouldBe 3
+    r.getInt(8) shouldBe 2
+    r.getString(9) shouldBe "deep"
+  }
+
+  test("tier-4 date family rewrites and agrees") {
+    chEqualsSpark(
+      """SELECT toMonday(o_orderdate) AS mon,
+        |  toRelativeDayNum(o_orderdate) AS rd,
+        |  toRelativeHourNum(o_orderdate) AS rh,
+        |  toYYYYMMDD(o_orderdate) AS ymd,
+        |  toYYYYMMDDhhmmss(o_orderdate) AS ymdhms,
+        |  dateName('month', o_orderdate) AS mn,
+        |  dateName('weekday', o_orderdate) AS wd,
+        |  toTime(o_orderdate) AS tt,
+        |  timeSlot(o_orderdate) AS slot,
+        |  toUnixTimestamp64Milli(o_orderdate) AS ms,
+        |  fromUnixTimestamp64Milli(toUnixTimestamp64Milli(o_orderdate)) AS rt,
+        |  toLastDayOfMonth(o_orderdate) AS eom,
+        |  makeDate(2024, 2, 29) AS md
+        |FROM orders WHERE o_orderkey < 20""".stripMargin,
+      """SELECT CAST(date_trunc('WEEK', o_orderdate) AS DATE) AS mon,
+        |  datediff(to_date(o_orderdate), DATE'1970-01-01') AS rd,
+        |  (unix_timestamp(o_orderdate) DIV 3600) AS rh,
+        |  CAST(date_format(o_orderdate, 'yyyyMMdd') AS INT) AS ymd,
+        |  CAST(date_format(o_orderdate, 'yyyyMMddHHmmss') AS BIGINT) AS ymdhms,
+        |  date_format(o_orderdate, 'MMMM') AS mn,
+        |  date_format(o_orderdate, 'EEEE') AS wd,
+        |  timestamp_seconds(86400 + (unix_timestamp(o_orderdate) % 86400)) AS tt,
+        |  timestamp_seconds((unix_timestamp(o_orderdate) DIV 1800) * 1800) AS slot,
+        |  (unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 1000) AS ms,
+        |  timestamp_millis(unix_micros(CAST(o_orderdate AS TIMESTAMP))
+        |                   DIV 1000) AS rt,
+        |  last_day(o_orderdate) AS eom,
+        |  make_date(2024, 2, 29) AS md
+        |FROM orders WHERE o_orderkey < 20""".stripMargin)
+  }
+
+  test("tier-4 type conversions: decimals, OrZero/OrNull, accurateCast, toUUID") {
+    val r = GraftSql.chSql(spark, sf0001,
+      """SELECT toDecimal64(1.239, 2) AS d,
+        |  toInt64OrZero('12x') AS z, toInt64OrZero('12') AS tw,
+        |  toInt64OrNull('nope') AS nn, toFloat64OrNull('1.5') AS f,
+        |  toDateOrNull('2024-01-02') AS dt, toDateOrNull('junk') AS dj,
+        |  accurateCast(65, 'String') AS acs,
+        |  accurateCastOrNull('x', 'Int64') AS acn,
+        |  toUUID('61f0c404-5cb3-11e7-907b-a6006ad3dba0') AS u
+        |""".stripMargin).head()
+    r.getDecimal(0).toPlainString shouldBe "1.24"
+    r.getLong(1) shouldBe 0L
+    r.getLong(2) shouldBe 12L
+    r.isNullAt(3) shouldBe true
+    r.getDouble(4) shouldBe 1.5
+    String.valueOf(r.getDate(5)) shouldBe "2024-01-02"
+    r.isNullAt(6) shouldBe true
+    r.getString(7) shouldBe "65"
+    r.isNullAt(8) shouldBe true
+    r.getString(9) shouldBe "61f0c404-5cb3-11e7-907b-a6006ad3dba0"
+    intercept[IllegalArgumentException] {
+      GraftSql.chSql(spark, sf0001, "SELECT accurateCast(1, 'IPv6') AS x")
+    }.getMessage should include("unsupported type")
+  }
+
+  test("tier-4 array family values match ClickHouse semantics") {
+    val r = GraftSql.chSql(spark, sf0001,
+      """SELECT hasAll([1,2,3], [2,3]) AS ha, hasAll([1,2], [2,5]) AS hn,
+        |  hasAny([1,2], [5,2]) AS ay,
+        |  arrayIntersect([1,2,3], [2,3,4]) AS ai,
+        |  arrayResize([1,2,3], 2) AS shrink, arrayResize([1,2], 4, 9) AS grow,
+        |  arrayReverseSort([3,1,2]) AS rs,
+        |  arrayCompact([1,1,2,2,1,3,3]) AS cp,
+        |  arrayPopBack([1,2,3]) AS pb, arrayPopFront([1,2,3]) AS pf,
+        |  arrayReduce('sum', [1,2,3]) AS red,
+        |  arrayReduce('uniqExact', [1,1,2]) AS ru,
+        |  arrayRotateLeft([1,2,3,4], 1) AS rl,
+        |  arrayRotateRight([1,2,3,4], 1) AS rr,
+        |  arrayLast(x -> x < 3, [1,2,3]) AS al,
+        |  arrayLastIndex(x -> x < 3, [1,2,3]) AS ali,
+        |  arrayLastIndex(x -> x > 9, [1,2]) AS alz,
+        |  emptyArrayInt64() AS ea,
+        |  arrayWithConstant(3, 'x') AS wc,
+        |  arrayShingles([1,2,3,4], 2) AS sh,
+        |  arrayShingles([1], 3) AS she
+        |""".stripMargin).head()
+    r.getBoolean(0) shouldBe true
+    r.getBoolean(1) shouldBe false
+    r.getBoolean(2) shouldBe true
+    r.getSeq[Int](3).sorted shouldBe Seq(2, 3)
+    r.getSeq[Int](4) shouldBe Seq(1, 2)
+    r.getSeq[Int](5) shouldBe Seq(1, 2, 9, 9)
+    r.getSeq[Int](6) shouldBe Seq(3, 2, 1)
+    r.getSeq[Int](7) shouldBe Seq(1, 2, 1, 3)
+    r.getSeq[Int](8) shouldBe Seq(1, 2)
+    r.getSeq[Int](9) shouldBe Seq(2, 3)
+    r.getDouble(10) shouldBe 6.0
+    r.getInt(11) shouldBe 2
+    r.getSeq[Int](12) shouldBe Seq(2, 3, 4, 1)
+    r.getSeq[Int](13) shouldBe Seq(4, 1, 2, 3)
+    r.getInt(14) shouldBe 2
+    r.getLong(15) shouldBe 2L
+    r.getLong(16) shouldBe 0L
+    r.getSeq[Long](17) shouldBe Seq.empty
+    r.getSeq[String](18) shouldBe Seq("x", "x", "x")
+    r.getSeq[Seq[Int]](19) shouldBe Seq(Seq(1, 2), Seq(2, 3), Seq(3, 4))
+    r.getSeq[Seq[Int]](20) shouldBe Seq.empty
+  }
+
+  test("tier-4 tuple/map: tuple/tupleElement/mapFromArrays/mapAdd/mapSubtract") {
+    val r = GraftSql.chSql(spark, sf0001,
+      """SELECT tupleElement(tuple(7, 'a'), 1) AS t1,
+        |  tupleElement(tuple(7, 'a'), 2) AS t2,
+        |  mapFromArrays(['a','b'], [1,2]) AS mf,
+        |  mapAdd(map('a', 1, 'b', 2), map('b', 10, 'c', 3)) AS ma,
+        |  mapSubtract(map('a', 5), map('a', 2, 'z', 1)) AS msu
+        |""".stripMargin).head()
+    r.getInt(0) shouldBe 7
+    r.getString(1) shouldBe "a"
+    r.getMap[String, Int](2) shouldBe Map("a" -> 1, "b" -> 2)
+    r.getMap[String, Int](3) shouldBe Map("a" -> 1, "b" -> 12, "c" -> 3)
+    r.getMap[String, Int](4) shouldBe Map("a" -> 3, "z" -> -1)
+  }
+
+  test("tier-4 bit/math/encoding values match ClickHouse semantics") {
+    val r = GraftSql.chSql(spark, sf0001,
+      """SELECT bitAnd(12, 10) AS ba, bitOr(12, 10) AS bo,
+        |  bitXor(12, 10) AS bx, bitNot(0) AS bn,
+        |  bitShiftLeft(1, 4) AS sl, bitShiftRight(16, 2) AS sr,
+        |  bitCount(255) AS bc, bitTest(5, 0) AS t0, bitTest(5, 1) AS t1,
+        |  roundBankers(2.5) AS rb1, roundBankers(3.5) AS rb2,
+        |  intDivOrZero(10, 0) AS dz, moduloOrZero(10, 0) AS mz,
+        |  plus(1, 2) AS pl, divide(10, 4) AS dv, negate(5) AS ng,
+        |  roundToExp2(100) AS e2, roundDuration(45) AS rd,
+        |  roundAge(32) AS ra, bin(5) AS b5, bin(300) AS b300,
+        |  char(72, 105) AS ch,
+        |  transform(2, [1, 2], ['a', 'b'], '?') AS tr,
+        |  transform(9, [1, 2], ['a', 'b'], '?') AS td,
+        |  isFinite(1.5) AS fin, isInfinite(exp(1000)) AS inf,
+        |  SHA256('abc') AS sha
+        |""".stripMargin).head()
+    def n(i: Int): Long = r.getAs[Number](i).longValue
+    n(0) shouldBe 8L
+    n(1) shouldBe 14L
+    n(2) shouldBe 6L
+    n(3) shouldBe -1L
+    n(4) shouldBe 16L
+    n(5) shouldBe 4L
+    n(6) shouldBe 8L
+    n(7) shouldBe 1L
+    n(8) shouldBe 0L
+    r.getAs[Number](9).doubleValue shouldBe 2.0
+    r.getAs[Number](10).doubleValue shouldBe 4.0
+    n(11) shouldBe 0L
+    n(12) shouldBe 0L
+    n(13) shouldBe 3L
+    r.getAs[Number](14).doubleValue shouldBe 2.5
+    n(15) shouldBe -5L
+    n(16) shouldBe 64L
+    n(17) shouldBe 30L
+    n(18) shouldBe 25L
+    r.getString(19) shouldBe "00000101"
+    r.getString(20) shouldBe "0000000100101100"
+    r.getString(21) shouldBe "Hi"
+    r.getString(22) shouldBe "b"
+    r.getString(23) shouldBe "?"
+    r.getBoolean(24) shouldBe true
+    r.getBoolean(25) shouldBe true
+    r.getString(26) shouldBe
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
+  }
+
+  test("tier-4 aggregate renames and shapes agree") {
+    chEqualsSpark(
+      """SELECT o_orderstatus, stddevPop(o_totalprice) AS sp,
+        |  varSamp(o_totalprice) AS vs,
+        |  covarPop(o_totalprice, CAST(o_custkey AS Float64)) AS cv,
+        |  skewPop(o_totalprice) AS sk,
+        |  groupBitAnd(o_orderkey) AS gba, groupBitOr(o_orderkey) AS gbo,
+        |  groupBitXor(o_orderkey) AS gbx,
+        |  avgWeighted(o_totalprice, (o_orderkey % 7) + 1) AS aw,
+        |  uniqCombined(o_custkey) AS uc,
+        |  quantileTDigest(0.5)(o_totalprice) AS qtd
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+      """SELECT o_orderstatus, stddev_pop(o_totalprice) AS sp,
+        |  var_samp(o_totalprice) AS vs,
+        |  covar_pop(o_totalprice, CAST(o_custkey AS DOUBLE)) AS cv,
+        |  skewness(o_totalprice) AS sk,
+        |  bit_and(o_orderkey) AS gba, bit_or(o_orderkey) AS gbo,
+        |  bit_xor(o_orderkey) AS gbx,
+        |  (sum(o_totalprice * ((o_orderkey % 7) + 1)) /
+        |   sum((o_orderkey % 7) + 1)) AS aw,
+        |  approx_count_distinct(o_custkey) AS uc,
+        |  approx_percentile(o_totalprice, 0.5) AS qtd
+        |FROM orders GROUP BY o_orderstatus""".stripMargin)
+  }
+
+  test("tier-4 kurtPop is non-excess, sumCount nests, groupConcat joins") {
+    val r = GraftSql.chSql(spark, sf0001,
+      """SELECT round(kurtPop(x), 6) AS kp,
+        |  sumCount(x).sum AS s, sumCount(x).count AS c,
+        |  groupConcat(',')(CAST(x AS String)) AS gc,
+        |  groupConcat(CAST(x AS String)) AS gp
+        |FROM (SELECT toFloat64(1.0) AS x UNION ALL SELECT toFloat64(2.0)
+        |      UNION ALL SELECT toFloat64(3.0) UNION ALL SELECT toFloat64(4.0))""".stripMargin).head()
+    // m4/m2^2 over {1,2,3,4}: m2 = 1.25, m4 = 2.5625 -> 1.64 exactly
+    r.getDouble(0) shouldBe 1.64
+    r.getDouble(1) shouldBe 10.0
+    r.getLong(2) shouldBe 4L
+    r.getString(3).split(",").map(_.toDouble).sorted shouldBe
+      Array(1.0, 2.0, 3.0, 4.0)
+    r.getString(4).length shouldBe 12 // '1.0'..'4.0' concatenated, any order
+  }
+
+  test("tier-4 sumMap/minMap/maxMap merge key-wise with sorted keys") {
+    val r = GraftSql.chSql(spark, sf0001,
+      """SELECT sumMap(m) AS sm, minMap(m) AS mn, maxMap(m) AS mx,
+        |  sumMap(ks, vs) AS s2
+        |FROM (SELECT map('b', 2.0, 'a', 1.0) AS m,
+        |             ['x', 'y'] AS ks, [1.0, 2.0] AS vs
+        |      UNION ALL
+        |      SELECT map('b', 3.0, 'c', 4.0) AS m,
+        |             ['y', 'z'] AS ks, [10.0, 20.0] AS vs)""".stripMargin)
+      .head()
+    r.getMap[String, Double](0) shouldBe
+      Map("a" -> 1.0, "b" -> 5.0, "c" -> 4.0)
+    r.getMap[String, Double](1) shouldBe
+      Map("a" -> 1.0, "b" -> 2.0, "c" -> 4.0)
+    r.getMap[String, Double](2) shouldBe
+      Map("a" -> 1.0, "b" -> 3.0, "c" -> 4.0)
+    r.getMap[String, Double](3) shouldBe
+      Map("x" -> 1.0, "y" -> 12.0, "z" -> 20.0)
+    // CH returns keys SORTED — pin the order, not just the content
+    GraftSql.chSql(spark, sf0001,
+      """SELECT arrayStringConcat(mapKeys(sumMap(m)), ',') AS ks
+        |FROM (SELECT map('z', 1.0, 'a', 2.0) AS m)""".stripMargin)
+      .head().getString(0) shouldBe "a,z"
+  }
+
+  test("DISTINCT ON lowers to LIMIT 1 BY; refuses without ORDER BY") {
+    chEqualsSpark(
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+        |FROM orders ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_custkey, o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin)
+    intercept[IllegalArgumentException] {
+      GraftSql.chSql(spark, sf0001,
+        "SELECT DISTINCT ON (o_custkey) o_custkey FROM orders")
+    }.getMessage should include("ORDER BY is required")
+  }
+
+  test("LIMIT n WITH TIES keeps every row tying with the n-th") {
+    // keys <= 20: priorities group as 1:3, 2:3, 3:5, 4:4, 5:6 rows —
+    // LIMIT 4 WITH TIES over the priority prefix must extend to 6 rows
+    // (the 4th row ties into the '2' group)
+    val got = GraftSql.chSql(spark, sf0001,
+      """SELECT substring(o_orderpriority, 1, 1) AS p FROM orders
+        |WHERE o_orderkey <= 20
+        |ORDER BY p
+        |LIMIT 4 WITH TIES""".stripMargin).collect().map(_.getString(0))
+    got.length shouldBe 6
+    got.toSet shouldBe Set("1", "2")
+  }
+
+  test("OFFSET/FETCH forms lower to LIMIT/OFFSET") {
+    val got = GraftSql.chSql(spark, sf0001,
+      """SELECT o_orderkey FROM orders ORDER BY o_orderkey
+        |OFFSET 2 ROWS FETCH FIRST 3 ROWS ONLY""".stripMargin)
+      .collect().map(_.getLong(0))
+    got shouldBe Array(2L, 3L, 4L)
+    val bare = GraftSql.chSql(spark, sf0001,
+      """SELECT o_orderkey FROM orders ORDER BY o_orderkey
+        |FETCH NEXT 2 ROWS ONLY""".stripMargin).collect().map(_.getLong(0))
+    bare shouldBe Array(0L, 1L)
+    intercept[IllegalArgumentException] {
+      GraftSql.chSql(spark, sf0001,
+        """SELECT o_orderkey FROM orders ORDER BY o_orderkey
+          |OFFSET 2 ROWS FETCH FIRST 3 ROWS WITH TIES""".stripMargin)
+    }.getMessage should include("no deterministic lowering")
+  }
+
+  test("* REPLACE expands through the analyzer keeping column positions") {
+    val df = GraftSql.chSql(spark, sf0001,
+      """SELECT * REPLACE (n_nationkey * 100 AS n_nationkey) FROM nation
+        |ORDER BY n_nationkey LIMIT 2""".stripMargin)
+    df.columns.toSeq shouldBe Seq("n_nationkey", "n_name", "n_regionkey")
+    df.collect().map(_.getAs[Number](0).longValue) shouldBe Array(0L, 100L)
+    intercept[IllegalArgumentException] {
+      GraftSql.chSql(spark, sf0001,
+        "SELECT * REPLACE (1 AS nope) FROM nation")
+    }.getMessage should include("unknown column")
+  }
+
+  test("system.one, GLOBAL IN, COLLATE, and the no-twin refusals") {
+    GraftSql.chSql(spark, sf0001, "SELECT 1 AS x FROM system.one")
+      .head().getInt(0) shouldBe 1
+    GraftSql.chSql(spark, sf0001, "SELECT dummy FROM system.one")
+      .head().getByte(0) shouldBe 0.toByte
+    GraftSql.chSql(spark, sf0001,
+      """SELECT count() AS n FROM orders
+        |WHERE o_custkey GLOBAL IN (SELECT c_custkey FROM customer)
+        |  AND o_orderkey GLOBAL NOT IN (SELECT o_orderkey FROM orders
+        |                                WHERE o_orderkey > 10)""".stripMargin)
+      .head().getLong(0) should be > 0L
+    GraftSql.chSql(spark, sf0001,
+      """SELECT o_orderstatus FROM orders
+        |ORDER BY o_orderstatus COLLATE 'en' LIMIT 1""".stripMargin)
+      .head().getString(0) shouldBe "F"
+    Seq(
+      "SELECT 1 FROM events e ASOF JOIN orders o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate" -> "ASOF JOIN",
+      "SELECT 1 FROM (SELECT 1 AS a) t1 PASTE JOIN (SELECT 2 AS b) t2" -> "PASTE JOIN",
+      "SELECT 1 FROM events e ANY LEFT JOIN orders o ON e.user_id = o.o_custkey" -> "ANY/ALL JOIN",
+      "SELECT COLUMNS('o_.*') APPLY (max) FROM orders" -> "COLUMNS",
+      "SELECT deltaSum(value) FROM events" -> "deltaSum",
+      "SELECT topKWeighted(3)(event_type, 2) FROM events" -> "topKWeighted",
+      "SELECT groupArrayMovingSum(value) FROM events" -> "groupArrayMovingSum",
+      "SELECT kurtSamp(value) FROM events" -> "kurtSamp"
+    ).foreach { case (q, needle) =>
+      val msg = intercept[Exception] {
+        GraftSql.chSql(spark, sf0001, q).collect()
+      }.getMessage
+      msg should include(needle)
+    }
+  }
+
   test("EXPLAIN SYNTAX returns the dialect's lowering as a result frame") {
     def syntax(ch: String): String =
       GraftSql.chSql(spark, sf0001, s"EXPLAIN SYNTAX $ch")

@@ -130,8 +130,15 @@ class PlanSpec extends SparkSpecBase {
     // and the clause's own final ORDER BY already demands a total order.
     // The fill axis is the post-aggregation result (grid-sized), never
     // the raw table, so the single task holds the OUTPUT, not the input.
+    //
+    // Documented exemption 2: LIMIT n WITH TIES (sql_star_ties). The ties
+    // contract IS a global rank over the statement's own global ORDER BY
+    // (ClickHouse pays the same final total order), and Spark plans
+    // WindowGroupLimit UNDER the window (asserted below): every upstream
+    // partition forwards at most n rows, so the single-task window sees
+    // <= n x partitions rows — bounded by the LIMIT, never the table.
     SparkEntry.queries
-      .filterNot(_._1 == "sql_with_fill_interp")
+      .filterNot(q => q._1 == "sql_with_fill_interp" || q._1 == "sql_star_ties")
       .foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.optimizedPlan
       val global = plan.collect {
@@ -140,6 +147,10 @@ class PlanSpec extends SparkSpecBase {
       }
       withClue(s"$name plans a global window: ") { global shouldBe empty }
     }
+    // the exemption's own guard: the ties rank must plan the
+    // WindowGroupLimit push that makes the global window input bounded
+    SparkEntry.queries("sql_star_ties")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString should include("WindowGroupLimit")
   }
 
   test("IVF cell assignment is one constant-size kernel, no literals, no join") {

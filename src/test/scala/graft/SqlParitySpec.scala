@@ -69,11 +69,13 @@ class SqlParitySpec extends SparkSpecBase {
     "set_except", "set_intersect", "set_union", "set_except_all",
     "set_intersect_all", "limit_ties", "fn_nested_zip", "sql_param_view",
     "sql_totals", "sql_query_cache", "sql_limit_by", "sql_qualify",
+    "sql_select_modifiers", "sql_star_ties",
     "ts_session", "win_dist",
     "win_lag", "win_ntile_dense", "win_rank", "win_running_sum")
 
   /** DuckDB-blocked queries with a mechanical Spark-SQL twin. */
   private val twins: Map[String, String] = Map(
+    dialect4Twin, aggDialectTwin,
     // DuckDB unnest(string_split) → Spark LATERAL VIEW explode(split)
     "sql_array_join" ->
       """SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS n_docs
@@ -1122,6 +1124,63 @@ class SqlParitySpec extends SparkSpecBase {
         |  AND (shiftright(ip, 16) & 255) = 4 * n16.n_nationkey
         |LEFT JOIN nation n8 ON shiftright(ip, 24) = n8.n_nationkey
         |ORDER BY event_id""".stripMargin)
+
+  // DuckDB strftime/strpos/`//`/date_diff arg order → Spark date_format/
+  // locate/DIV/datediff; same closed-form recomputation otherwise
+  private lazy val dialect4Twin: (String, String) = "sql_dialect4" ->
+    """SELECT o_orderkey,
+      |  regexp_extract(o_orderpriority, '([A-Z]+)', 1) AS pri,
+      |  array_join(regexp_extract_all(o_orderpriority, '[A-Z]+', 0), '|') AS pall,
+      |  CAST((length(o_orderpriority) -
+      |    length(replace(o_orderpriority, 'E', ''))) DIV 1 AS BIGINT) AS ecnt,
+      |  o_orderstatus AS st,
+      |  concat(o_orderstatus, '#', o_orderpriority) AS tag,
+      |  CAST(locate('urgent', lower(o_orderpriority)) AS BIGINT) AS up,
+      |  CAST(date_format(o_orderdate, 'yyyyMMdd') AS BIGINT) AS ymd,
+      |  CAST(datediff(to_date(o_orderdate), DATE'1970-01-01') AS BIGINT) AS rdn,
+      |  date_format(o_orderdate, 'MMMM') AS mname,
+      |  CAST(CAST(date_trunc('WEEK', o_orderdate) AS DATE) AS STRING) AS mon,
+      |  coalesce(try_cast(o_orderstatus AS BIGINT), 0L) AS oz,
+      |  CAST(o_orderkey AS STRING) AS ks,
+      |  CAST(o_totalprice AS DOUBLE) / 2 AS half,
+      |  CAST(o_orderkey & 255 AS BIGINT) AS ba,
+      |  CAST(o_orderkey & 1 AS BIGINT) AS bt,
+      |  CAST(CASE WHEN o_custkey % 5 = 0 THEN 0
+      |            ELSE o_orderkey DIV (o_custkey % 5) END AS BIGINT) AS idz,
+      |  CAST(CASE WHEN o_orderkey + 1 < 1 THEN 0
+      |            ELSE CAST(pow(2, floor(log2(o_orderkey + 1))) AS BIGINT)
+      |       END AS BIGINT) AS e2,
+      |  lpad(bin(o_orderkey % 256),
+      |       CAST(ceil(length(bin(o_orderkey % 256)) / 8.0) * 8 AS INT),
+      |       '0') AS bn,
+      |  true AS fin,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN 'zero'
+      |       WHEN o_orderkey % 3 = 1 THEN 'one' ELSE 'many' END AS tr
+      |FROM orders WHERE o_orderkey < 500
+      |ORDER BY o_orderkey""".stripMargin
+
+  // DuckDB string_agg(… ORDER BY …) correlated subqueries → the engine's
+  // own ch_summap aggregate (registerFunctions) projected to strings
+  private lazy val aggDialectTwin: (String, String) = "sql_agg_dialect" ->
+    """SELECT o_orderstatus,
+      |  round(stddev_pop(o_totalprice), 4) AS sp,
+      |  round(var_samp(o_totalprice), 4) AS vs,
+      |  round(covar_pop(o_totalprice, CAST(o_custkey AS DOUBLE)), 4) AS cv,
+      |  round(sum(o_totalprice * ((o_orderkey % 7) + 1)) /
+      |        sum((o_orderkey % 7) + 1), 4) AS aw,
+      |  CAST(bit_and(o_orderkey) AS BIGINT) AS gba,
+      |  CAST(bit_or(o_orderkey) AS BIGINT) AS gbo,
+      |  CAST(bit_xor(o_orderkey) AS BIGINT) AS gbx,
+      |  count(o_totalprice) AS cnt,
+      |  round(sum(o_totalprice), 2) AS tot,
+      |  CAST(sum(length(o_orderpriority)) + count(*) - 1 AS BIGINT) AS gclen,
+      |  array_join(map_keys(ch_summap(
+      |    CAST(map(o_orderpriority, 1.0) AS MAP<STRING, DOUBLE>))), '|') AS mk,
+      |  array_join(transform(map_values(ch_summap(
+      |    CAST(map(o_orderpriority, 1.0) AS MAP<STRING, DOUBLE>))),
+      |    v -> CAST(CAST(v AS BIGINT) AS STRING)), '|') AS mv
+      |FROM orders GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
 
   /** No single-statement Spark-SQL form — each with the blocking construct.
     * These stay DataFrame-surface operators (still oracled in CORRECTNESS).
