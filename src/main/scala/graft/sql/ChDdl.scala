@@ -215,6 +215,20 @@ object ChDdl {
     * neither crash the script nor silently pretend.
     */
   final case class SystemCmd(command: String) extends Statement
+  /** `USE db` — the namespace here is FLAT (SHOW DATABASES lists
+    * default + system): `USE default` is the no-op it already is;
+    * anything else refuses loudly rather than silently switching to a
+    * namespace that doesn't exist.
+    */
+  final case class UseDb(db: String) extends Statement
+  /** Standalone `SET name = value` — CH session settings. The SystemCmd
+    * stance: execution engines differ too much for a silent mapping, so
+    * the statement acknowledges as a LOUD no-op (per-query `SETTINGS`
+    * tails are already accepted and stripped; engine knobs live in
+    * SparkSession confs). A pasted runbook's SET lines must neither
+    * crash the script nor silently pretend to take effect.
+    */
+  final case class SetSetting(name: String, value: String) extends Statement
   /** `DELETE FROM t WHERE p` — ClickHouse's standalone LIGHTWEIGHT delete
     * (deletion vectors, O(matches)), vs `ALTER TABLE … DELETE WHERE`'s
     * full mutation rewrite. Dispatched to
@@ -300,6 +314,10 @@ object ChDdl {
   private val dropDictRe =
     "(?is)^\\s*DROP\\s+DICTIONARY\\s+(IF\\s+EXISTS\\s+)?([`\\w.]+)\\s*$".r
   private val systemRe = "(?is)^\\s*SYSTEM\\s+(.+?)\\s*$".r
+  private val useRe = "(?is)^\\s*USE\\s+([`\\w]+)\\s*$".r
+  // value = a number, literal, or bare word (CH accepts all three)
+  private val setRe =
+    "(?is)^\\s*SET\\s+(\\w+)\\s*=\\s*('[^']*'|[\\w.]+)\\s*$".r
 
   /** Parse `ddl`; a CreateTable is rooted at `path`. */
   def parse(ddl: String, path: String): Statement = {
@@ -389,6 +407,12 @@ object ChDdl {
     }
     systemRe.findFirstMatchIn(ddl).foreach { m =>
       return SystemCmd(m.group(1))
+    }
+    useRe.findFirstMatchIn(ddl).foreach { m =>
+      return UseDb(bare(m.group(1)))
+    }
+    setRe.findFirstMatchIn(ddl).foreach { m =>
+      return SetSetting(m.group(1), m.group(2).trim)
     }
     delFromRe.findFirstMatchIn(ddl).foreach { m =>
       return LightweightDelete(bare(m.group(1)),
@@ -1513,6 +1537,16 @@ object ChDdl {
         System.err.println(s"[chddl] SYSTEM $c: acknowledged as a no-op " +
           "(merges/TTL run on demand via OPTIMIZE / MATERIALIZE TTL; " +
           "dictionaries evaluate per query; caches are process-local)")
+      case UseDb(db) =>
+        require(db.equalsIgnoreCase("default"),
+          s"USE $db: the namespace here is flat (databases: default, " +
+            "system) — system relations are read as FROM system.<rel>, " +
+            "never entered")
+      case SetSetting(n, v) =>
+        System.err.println(s"[chddl] SET $n = $v: acknowledged as a " +
+          "no-op (session settings have no engine twin here — per-query " +
+          "SETTINGS tails are accepted and stripped; engine knobs are " +
+          "SparkSession confs)")
       case OptimizeTable(table, dedup, by) =>
         if (dedup) cat.optimizeDeduplicate(table, by) else cat.compact(table)
       case TruncateTable(table) => cat.truncate(table)

@@ -1045,6 +1045,23 @@ object ChDialect {
     // `LIMIT n BY cols` shape; a comma can't follow its count)
     s = limitCommaRe.replaceAllIn(s, m =>
       s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
+    // `FROM system.numbers[_mt] … LIMIT n [OFFSET m]` — CH's unbounded
+    // integer stream, bounded here by the statement's own LIMIT (+ the
+    // offset, so the window survives) into the numbers() table function.
+    // WHERE-filtered reads refuse: CH generates until n rows PASS the
+    // filter — a finite prefix would silently return fewer rows.
+    if ("(?i)\\bsystem\\.numbers(_mt)?\\b".r.findFirstIn(s).isDefined) {
+      require("(?i)\\bWHERE\\b".r.findFirstIn(s).isEmpty,
+        "system.numbers with WHERE: ClickHouse generates until LIMIT " +
+          "rows pass the filter — use numbers(N) with an explicit bound")
+      val lim = "(?i)\\bLIMIT\\s+(\\d+)(?:\\s+OFFSET\\s+(\\d+))?".r
+        .findFirstMatchIn(s).getOrElse(throw new IllegalArgumentException(
+          "system.numbers is unbounded — add LIMIT n or use numbers(N)"))
+      val bound = lim.group(1).toLong +
+        Option(lim.group(2)).map(_.toLong).getOrElse(0L)
+      s = "(?i)\\bsystem\\.numbers(_mt)?\\b".r.replaceAllIn(s,
+        s"numbers($bound)")
+    }
     s = numbersRe.replaceAllIn(s, { m =>
       val (a, b) = (m.group(2), Option(m.group(3)))
       val (lo, cnt) = b match {

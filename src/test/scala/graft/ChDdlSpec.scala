@@ -920,8 +920,15 @@ class ChDdlSpec extends SparkSpecBase {
         |) ENGINE = MergeTree ORDER BY k;
         |SYSTEM STOP MERGES;
         |SYSTEM FLUSH LOGS;
-        |SYSTEM DROP QUERY CACHE
+        |SYSTEM DROP QUERY CACHE;
+        |USE default;
+        |SET max_threads = 8;
+        |SET use_query_cache = 1
         |""".stripMargin, dir)
+    // USE of a namespace that doesn't exist refuses (flat namespace)
+    intercept[IllegalArgumentException] {
+      ChDdl.execute(cat, spark, "USE analytics", dir)
+    }.getMessage should include("flat")
     ChDdl.query(cat, spark, "SHOW TABLES")
       .filter(col("table") === "st").count() shouldBe 1L
     ChDdl.query(cat, spark, "SHOW CREATE TABLE st")

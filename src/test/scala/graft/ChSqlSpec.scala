@@ -1408,6 +1408,22 @@ class ChSqlSpec extends SparkSpecBase {
     }
   }
 
+  test("system.numbers bounds to the statement's LIMIT; WHERE refuses") {
+    GraftSql.chSql(spark, sf0001,
+      "SELECT sum(number) AS s FROM (SELECT number FROM system.numbers LIMIT 10)")
+      .head().getAs[Number](0).longValue shouldBe 45L
+    GraftSql.chSql(spark, sf0001,
+      "SELECT number FROM system.numbers LIMIT 3 OFFSET 2")
+      .collect().map(_.getAs[Number](0).longValue) shouldBe Array(2L, 3L, 4L)
+    intercept[IllegalArgumentException] {
+      GraftSql.chSql(spark, sf0001,
+        "SELECT number FROM system.numbers WHERE number % 2 = 0 LIMIT 3")
+    }.getMessage should include("numbers(N)")
+    intercept[IllegalArgumentException] {
+      GraftSql.chSql(spark, sf0001, "SELECT count() FROM system.numbers")
+    }.getMessage should include("unbounded")
+  }
+
   test("EXPLAIN SYNTAX returns the dialect's lowering as a result frame") {
     def syntax(ch: String): String =
       GraftSql.chSql(spark, sf0001, s"EXPLAIN SYNTAX $ch")
