@@ -264,6 +264,18 @@ object ChDialect {
   // literals across Scala versions — a char literal is unambiguous
   private val Sentinel: Char = 1.toChar
 
+  // compiled-pattern memo: rewriteSegment runs ~200 per-function passes
+  // per STATEMENT, and Pattern.compile per pass dominated fixture-heavy
+  // gates once tier 4 landed (round-12 isolation finding) — compile each
+  // call-shape regex once per process instead
+  private val reCache =
+    new java.util.concurrent.ConcurrentHashMap[String, scala.util.matching.Regex]()
+  private def cachedRe(pattern: String): scala.util.matching.Regex = {
+    val hit = reCache.get(pattern)
+    if (hit != null) hit
+    else { val r = pattern.r; reCache.putIfAbsent(pattern, r); r }
+  }
+
   private def maskLiterals(s: String): (String, Vector[String]) = {
     val out = new StringBuilder
     val lits = Vector.newBuilder[String]
@@ -1082,7 +1094,7 @@ object ChDialect {
         .quoteReplacement(to))
     }
     truncUnits.foreach { case (fn, unit) =>
-      s = s"(?i)\\b$fn\\(".r.replaceAllIn(s, _ => s"date_trunc('$unit', ")
+      s = cachedRe(s"(?i)\\b$fn\\(").replaceAllIn(s, _ => s"date_trunc('$unit', ")
     }
     // NOTE: the literal-splitting above means the date_trunc unit quote
     // is inserted INTO a code segment — safe, because segments are
@@ -2212,7 +2224,7 @@ object ChDialect {
       "emptyArrayUInt64" -> "BIGINT", "emptyArrayFloat32" -> "FLOAT",
       "emptyArrayFloat64" -> "DOUBLE", "emptyArrayDate" -> "DATE",
       "emptyArrayDateTime" -> "TIMESTAMP").foreach { case (fn, ty) =>
-      s = s"(?i)\\b$fn\\(\\s*\\)".r.replaceAllIn(s,
+      s = cachedRe(s"(?i)\\b$fn\\(\\s*\\)").replaceAllIn(s,
         _ => s"CAST(array() AS ARRAY<$ty>)")
     }
     s = rewriteCall(s, "arrayWithConstant", {
@@ -2553,7 +2565,7 @@ object ChDialect {
     */
   private def rewriteParamAgg(s: String, fn: String)(
       f: (List[String], List[String]) => String): String = {
-    val re = s"(?i)\\b$fn\\(".r
+    val re = cachedRe(s"(?i)\\b$fn\\(")
     re.findFirstMatchIn(s) match {
       case None => s
       case Some(m) =>
@@ -2575,7 +2587,7 @@ object ChDialect {
   private def rewriteMaybeParam(s: String, fn: String)(
       plain: List[String] => String,
       param: (List[String], List[String]) => String): String = {
-    val re = s"(?i)\\b$fn\\(".r
+    val re = cachedRe(s"(?i)\\b$fn\\(")
     re.findFirstMatchIn(s) match {
       case None => s
       case Some(m) =>
@@ -3018,7 +3030,7 @@ object ChDialect {
     */
   private def rewriteCall(s: String, fn: String,
                           f: List[String] => String): String = {
-    val re = s"(?i)\\b$fn\\(".r
+    val re = cachedRe(s"(?i)\\b$fn\\(")
     re.findFirstMatchIn(s) match {
       case None => s
       case Some(m) =>
@@ -3031,7 +3043,7 @@ object ChDialect {
     * (combinator) call shape.
     */
   private def rewriteCombinator(s: String, fn: String): String = {
-    val re = s"(?i)\\b$fn\\(".r
+    val re = cachedRe(s"(?i)\\b$fn\\(")
     re.findFirstMatchIn(s) match {
       case None => s
       case Some(m) =>
