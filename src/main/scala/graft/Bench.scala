@@ -43,10 +43,17 @@ object Bench {
     // measures the steady state in-suite minima approximate. Caches are
     // still cleared between repeats, so data reads stay cold-cache honest.
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    // queries that THREW (ENOSPC under a big-SF spill, an OOM): their
+    // elapsed time still records (it is real wall time the suite paid),
+    // but the name is listed in "failed" so a composed min can never
+    // silently launder a fail-fast exception into a speedup — the
+    // round-12 sf100 postmortem on the round-10 record
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = selected.map { case (name, fn) =>
       val dt = (1 to math.max(repeat, 1)).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => failed += name; -1L }
         val t = (System.nanoTime() - t0) / 1e9
         // storage hygiene between queries: drop whatever blocks the query
         // left pinned (localCheckpoints from fixpoint loops, caches) so a
@@ -57,6 +64,12 @@ object Bench {
         // manager, not only as RDD blocks) — a survivor cache left by one
         // query must not donate warm blocks to the next one's timing
         spark.catalog.clearCache()
+        // SPARK_GRAFT_REAP=1 (big-SF runs): delete the query's ephemeral
+        // fixture copies NOW instead of at exit — ~50 accumulated sf100
+        // copies filled the box (rounds 10 and 12); memoized fixtures are
+        // pinned and survive. Outside the timed window by construction.
+        if (sys.env.contains("SPARK_GRAFT_REAP"))
+          graft.operators.CatalogOps.reapEphemeral()
         t
       }.min
       name -> dt
@@ -67,7 +80,10 @@ object Bench {
     // "value" deliberately AFTER "queries": the driver head-truncates long
     // lines from the front, so the headline total must sit at the tail to
     // survive capture (round-2 artifact lost it)
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total}""")
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.mkString("\"failed\":[\"", "\",\"", "\"],")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,$failedJson"value":$total}""")
     spark.stop()
   }
 }

@@ -45,15 +45,41 @@ object CatalogOps extends QueryModule {
   // accumulate per call)
   private val copyDirs =
     new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  // dirs that must SURVIVE between queries: process-wide memoized
+  // fixtures (the PQ index, ChAggs' maintained sketch tables) registered
+  // through registerForCleanup — reapEphemeral never touches these
+  private val pinnedDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  private def deleteTree(tmp: java.nio.file.Path): Unit =
+    // per-dir try: one failed walk (a path Spark's own tmp GC already
+    // removed, a transient IO error) must not orphan every LATER dir —
+    // the round-12 sf100 finding: a single early exception left 43 GB
+    // of fixture copies behind a clean exit
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator.asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+
   locally {
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        import scala.jdk.CollectionConverters._
-        copyDirs.iterator.asScala.foreach { tmp =>
-          java.nio.file.Files.walk(tmp).iterator.asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        }
-      } catch { case _: Throwable => () }))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      (copyDirs.iterator.asScala ++ pinnedDirs.iterator.asScala)
+        .foreach(deleteTree)
+    }))
+  }
+
+  /** Delete every NON-pinned scratch dir registered so far. Big-SF bench
+    * runs call this between queries (SPARK_GRAFT_REAP=1): per-invocation
+    * fixture copies are dead once the query's action completes, and at
+    * sf100 letting ~50 of them accumulate to process exit filled the box
+    * twice (round-10 and round-12 ENOSPC findings). Memoized fixtures
+    * survive — they registered through [[registerForCleanup]].
+    */
+  private[graft] def reapEphemeral(): Unit = {
+    var tmp = copyDirs.poll()
+    while (tmp != null) { deleteTree(tmp); tmp = copyDirs.poll() }
   }
 
   /** Catalog copy of `src` under a fresh temp dir with the given layout —
@@ -62,8 +88,13 @@ object CatalogOps extends QueryModule {
   /** Register a temp warehouse dir for the shutdown-hook GC — shared with
     * other modules that stage catalog copies (e.g. ChAggs' sketch MV).
     */
-  private[graft] def registerForCleanup(dir: java.nio.file.Path): Unit =
-    copyDirs.add(dir)
+  private[graft] def registerForCleanup(dir: java.nio.file.Path): Unit = {
+    // promote OUT of the ephemeral queue: callers pair this with
+    // scratchDir() (which already enqueued the dir), and what they stage
+    // is the long-lived kind a between-queries reap must not delete
+    copyDirs.remove(dir)
+    pinnedDirs.add(dir)
+  }
 
   /** Fixture scratch: where the catalog-gate queries stage their temp
     * warehouses. `SPARK_GRAFT_SCRATCH` (env) overrides java.io.tmpdir —
