@@ -685,6 +685,21 @@ object Analytics extends QueryModule {
           |  ORDER BY o_totalprice DESC, o_orderkey) = 1
           |ORDER BY o_custkey LIMIT 500""".stripMargin)),
 
+    // ASOF LEFT JOIN through the gate (round 13): the most common CH
+    // time-series idiom as TEXT, lowered by the dialect onto equality
+    // join + per-left-row row_number()=1 via the QUALIFY hoist — the
+    // same semantics the join_asof operator oracles (TemporalJoins).
+    // The oracle is DuckDB's NATIVE ASOF JOIN, so this is an
+    // independent engine's asof recompute, not a restatement.
+    "sql_asof" -> ((s, d) =>
+      graft.sql.GraftSql.chSql(s, d,
+        """SELECT b.event_id AS event_id, b.user_id AS user_id,
+          |  b.ts AS purchase_ts, c.ts AS last_click_ts
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase') b
+          |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          |  ON b.user_id = c.user_id AND b.ts >= c.ts
+          |ORDER BY event_id""".stripMargin)),
+
     // numbers() + intDiv + the LIMIT offset,n comma form + FORMAT tail in
     // one statement — the everyday CH-CLI idioms, gate-checked together
     // (each is spec'd in isolation in ChSqlSpec).
@@ -1343,6 +1358,16 @@ object Analytics extends QueryModule {
         | CAST(sum(number) AS BIGINT) AS sm
         |FROM range(100) t(number) GROUP BY 1 ORDER BY 1
         |LIMIT 5 OFFSET 2""".stripMargin,
+
+    // DuckDB's NATIVE ASOF JOIN — an independent asof implementation
+    // recomputing the dialect door's result
+    "sql_asof" ->
+      """SELECT b.event_id AS event_id, b.user_id AS user_id,
+        | b.ts AS purchase_ts, c.ts AS last_click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') b
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON b.user_id = c.user_id AND b.ts >= c.ts
+        |ORDER BY b.event_id""".stripMargin,
 
     // the QUALIFY nest restated portably (row_number subquery) — runs
     // unchanged in DuckDB and through our own session

@@ -503,9 +503,6 @@ object ChDialect {
     * loudly up front (a parse error downstream would bury the reason).
     */
   private def refuseUnsupported(s: String): Unit = Seq(
-    ("(?i)\\bASOF\\s+(?:LEFT\\s+)?JOIN\\b",
-      "ASOF JOIN: Spark SQL has no asof surface to lower onto — use " +
-        "graft.operators.TemporalJoins (the operator covers the semantics)"),
     ("(?i)\\bPASTE\\s+JOIN\\b",
       "PASTE JOIN (positional zip): join on row_number() OVER () keys " +
         "instead — positional alignment is not a relational operation"),
@@ -523,6 +520,302 @@ object ChDialect {
     .foreach { case (re, msg) =>
       require(re.r.findFirstIn(s).isEmpty, msg)
     }
+
+  // ---- ASOF [LEFT] JOIN as SQL text (round 13) -----------------------
+
+  private def depthAt(text: String, i: Int): Int = {
+    var d = 0; var j = 0
+    while (j < i) {
+      val c = text.charAt(j)
+      if (c == '(') d += 1 else if (c == ')') d -= 1
+      j += 1
+    }
+    d
+  }
+
+  /** First depth-0 match of `re` in `text` at or after `from`. */
+  private def topMatch(text: String, re: scala.util.matching.Regex,
+                       from: Int = 0): Option[scala.util.matching.Regex.Match] =
+    re.findAllMatchIn(text).filter(_.start >= from)
+      .find(m => depthAt(text, m.start) == 0)
+
+  /** Split a FROM-clause table expression into (inner-expr, alias).
+    * `events` → (events, events); `db.t` → (db.t, t); `events e` /
+    * `events AS e` → (events, e); `(SELECT …) e` → ((SELECT …), e).
+    * An unaliased derived table refuses — the lowering must qualify
+    * columns by a name.
+    */
+  private def splitTableAlias(expr0: String, side: String): (String, String) = {
+    val e = expr0.trim
+    require(e.nonEmpty, s"ASOF JOIN: empty $side table expression")
+    val bare = "^[A-Za-z_][A-Za-z0-9_.]*$".r
+    if (bare.findFirstIn(e).contains(e)) (e, e.split('.').last)
+    else {
+      val m = "(?is)^(.+?)\\s+(?:AS\\s+)?([A-Za-z_][A-Za-z0-9_]*)$".r
+        .findFirstMatchIn(e).getOrElse(throw new IllegalArgumentException(
+          s"ASOF JOIN: cannot parse the $side table expression '$e' — " +
+            "alias derived tables ((SELECT …) t)"))
+      val inner = m.group(1).trim
+      require(!inner.endsWith(","),
+        s"ASOF JOIN: cannot parse the $side table expression '$e'")
+      (inner, m.group(2))
+    }
+  }
+
+  /** Split `cond` on depth-0 AND keywords. */
+  private def splitTopAnd(cond: String): List[String] = {
+    val cuts = "(?i)\\bAND\\b".r.findAllMatchIn(cond)
+      .filter(m => depthAt(cond, m.start) == 0).map(m => (m.start, m.end))
+      .toList
+    val bounds = (0, 0) :: cuts ::: List((cond.length, cond.length))
+    bounds.sliding(2).map { case List((_, a), (b, _)) =>
+      cond.substring(a, b).trim }.toList.filter(_.nonEmpty)
+  }
+
+  private val asofJoinRe =
+    "(?i)\\bASOF\\s+(LEFT\\s+)?(?:INNER\\s+)?JOIN\\b".r
+
+  /** CH `a ASOF [LEFT] JOIN b ON a.k = b.k AND a.t >= b.t` (and the
+    * `USING (k…, t)` spelling) as SQL text — the most common CH
+    * time-series idiom. Lowered onto the same semantics the green
+    * `join_asof` operator oracles (TemporalJoins.scala): the left side
+    * gains a per-row id (`monotonically_increasing_id()` — unique per
+    * row, the only property used), the join runs as a plain equality
+    * (LEFT) join carrying the inequality as a join-side filter, and a
+    * `QUALIFY row_number() OVER (PARTITION BY <left>.__asof_lid ORDER BY
+    * <right time> DESC|ASC) = 1` — consumed by the X132 hoist machinery
+    * downstream — keeps, per left row, the closest matching right row
+    * (DESC for `>=`/`>`: latest at-or-before; ASC for `<=`/`<`). A LEFT
+    * asof keeps unmatched left rows: their single all-NULL candidate is
+    * its own row_number() = 1.
+    *
+    * SCALE NOTE: this text lowering shuffles the join on the equality
+    * keys (the same movement an equi-join makes) and then the window on
+    * the left-row id; candidate fan-out is the per-key match count. The
+    * union-and-carry-forward form (TemporalJoins.join_asof) does it in
+    * ONE shuffle and is the preferred operator at scale — this door is
+    * for dialect fidelity.
+    *
+    * Refused (loudly, with the sound alternative): ASOF inside a
+    * derived table / CTE (the QUALIFY consumer is top-level-only),
+    * more than one ASOF, extra joins in the same block, GROUP BY /
+    * HAVING over the asof result (the filter would see candidates, not
+    * matches — aggregate in an outer query over a plain asof SELECT),
+    * WHERE or select-list windows referencing anything but left-side
+    * columns (same reason), inequality directions other than
+    * `>= > <= <`, and a condition with no equality key (CH itself
+    * requires one).
+    */
+  private def rewriteAsofJoin(s: String): String = {
+    val all = asofJoinRe.findAllMatchIn(s).toList
+    if (all.isEmpty) return s
+    require(all.size == 1,
+      "ASOF JOIN: one ASOF JOIN per statement — nest additional ones " +
+        "as separate statements or use graft.operators.TemporalJoins")
+    val m = all.head
+    require(depthAt(s, m.start) == 0,
+      "ASOF JOIN inside a derived table / CTE is not supported — apply " +
+        "the ASOF at the top level (or use graft.operators.TemporalJoins)")
+    val isLeft = m.group(1) != null
+    Seq("GROUP\\s+BY" -> ("GROUP BY over an ASOF JOIN result: the " +
+        "lowering filters matches with a window, which SQL evaluates " +
+        "before grouping could see it — aggregate in an outer query " +
+        "over a plain ASOF SELECT"),
+      "HAVING" -> "HAVING over an ASOF JOIN: see the GROUP BY refusal",
+      "QUALIFY" -> ("QUALIFY combined with ASOF JOIN: the lowering " +
+        "owns the statement's QUALIFY slot — filter in an outer query"),
+      "LIMIT\\s+\\d+\\s+BY" -> ("LIMIT n BY combined with ASOF JOIN: " +
+        "the lowering owns the statement's window nest — apply the " +
+        "per-group limit in an outer query"),
+      "WITH\\s+TIES" -> ("WITH TIES combined with ASOF JOIN: the " +
+        "lowering owns the statement's window nest — apply ties in an " +
+        "outer query"),
+      "DISTINCT\\s+ON" -> ("DISTINCT ON combined with ASOF JOIN: the " +
+        "lowering owns the statement's window nest — apply it in an " +
+        "outer query"))
+      .foreach { case (kw, msg) =>
+        require(topMatch(s, cachedRe(s"(?i)\\b$kw\\b")).isEmpty, msg) }
+
+    // FROM clause bounds: the top-level FROM before the ASOF keyword
+    val fromM = "(?i)\\bFROM\\b".r.findAllMatchIn(s)
+      .filter(m2 => m2.end <= m.start && depthAt(s, m2.start) == 0)
+      .toList.lastOption.getOrElse(throw new IllegalArgumentException(
+        "ASOF JOIN: no top-level FROM found before the join"))
+    val leftRegion = s.substring(fromM.end, m.start)
+    require(topMatch(leftRegion, "(?i)\\bJOIN\\b".r).isEmpty &&
+      topMatch(leftRegion, ",".r).isEmpty,
+      "ASOF JOIN: additional joins / comma tables before the ASOF are " +
+        "not supported — nest them as an aliased derived table")
+    val (leftInner, la) = splitTableAlias(leftRegion, "left")
+
+    // right side runs to the top-level ON / USING
+    val onM = topMatch(s, "(?i)\\b(ON|USING)\\b".r, m.end)
+      .getOrElse(throw new IllegalArgumentException(
+        "ASOF JOIN: missing ON / USING clause"))
+    val (rightExpr, ra) =
+      splitTableAlias(s.substring(m.end, onM.start), "right")
+
+    // condition region: to the next top-level clause keyword (or end)
+    val clauseRe =
+      "(?i)\\b(WHERE|ORDER\\s+BY|LIMIT|UNION|INTERSECT|EXCEPT|JOIN)\\b".r
+    val condEnd = topMatch(s, clauseRe, onM.end).map(_.start)
+      .getOrElse(s.length)
+    topMatch(s, clauseRe, onM.end).foreach { c =>
+      require(!c.group(1).equalsIgnoreCase("JOIN"),
+        "ASOF JOIN: additional joins in the same query block are not " +
+          "supported — nest the ASOF result as a derived table input " +
+          "to the other join") }
+    val condText = s.substring(onM.end, condEnd).trim
+    val tail = s.substring(condEnd)
+
+    // resolve the asof inequality: exactly one, on the right alias
+    val (joinCond, rightTime, dir) =
+      if (onM.group(1).equalsIgnoreCase("USING")) {
+        val cols =
+          if (condText.startsWith("(")) balancedArgs(s, onM.end +
+            s.substring(onM.end).indexOf('('))._1.map(_.trim)
+          else condText.split(',').map(_.trim).toList
+        require(cols.size >= 2,
+          "ASOF JOIN USING: needs at least one equality column and the " +
+            "trailing asof column")
+        val eqs = cols.init.map(c => s"$la.$c = $ra.$c")
+        val t = cols.last
+        ((eqs :+ s"$la.$t >= $ra.$t").mkString(" AND "),
+          s"$ra.$t", "DESC")
+      } else {
+        val parts = splitTopAnd(condText)
+        val cmpRe = "(>=|<=|<>|!=|>|<|=)".r
+        var ineq: Option[(String, String)] = None // (rightOperand, dir)
+        var nEq = 0
+        parts.foreach { p =>
+          val ops = cmpRe.findAllMatchIn(p)
+            .filter(mm => depthAt(p, mm.start) == 0).toList
+          require(ops.size == 1,
+            s"ASOF JOIN: cannot parse conjunct '$p' — exactly one " +
+              "comparison per AND-conjunct")
+          val op = ops.head
+          val (lhs, rhs) =
+            (p.substring(0, op.start).trim, p.substring(op.end).trim)
+          op.group(1) match {
+            case "=" => nEq += 1
+            case ">" | ">=" | "<" | "<=" =>
+              require(ineq.isEmpty,
+                "ASOF JOIN: exactly one inequality conjunct (the asof " +
+                  "key) is supported")
+              val raDot = s"(?i)^$ra\\.".r
+              val laDot = s"(?i)^$la\\.".r
+              // orient so the LEFT time is on the left of the operator
+              val (rop, effOp) =
+                if (raDot.findFirstIn(rhs).isDefined &&
+                    laDot.findFirstIn(lhs).isDefined) (rhs, op.group(1))
+                else if (raDot.findFirstIn(lhs).isDefined &&
+                    laDot.findFirstIn(rhs).isDefined)
+                  (lhs, op.group(1) match {
+                    case ">" => "<"; case ">=" => "<="
+                    case "<" => ">"; case "<=" => ">=" })
+                else throw new IllegalArgumentException(
+                  s"ASOF JOIN: the inequality '$p' must compare a " +
+                    s"$la.-qualified column with a $ra.-qualified one")
+              // left >= right → latest right at-or-before → DESC
+              ineq = Some((rop,
+                if (effOp == ">" || effOp == ">=") "DESC" else "ASC"))
+            case other => throw new IllegalArgumentException(
+              s"ASOF JOIN: unsupported comparator '$other' in '$p'")
+          }
+        }
+        require(nEq >= 1,
+          "ASOF JOIN: at least one equality conjunct is required " +
+            "(ClickHouse requires one too)")
+        val (rt, d) = ineq.getOrElse(throw new IllegalArgumentException(
+          "ASOF JOIN: no inequality conjunct found — the asof key " +
+            "must appear as a >=/>/<=/< comparison in the ON clause"))
+        (condText, rt, d)
+      }
+
+    // a top-level WHERE / select-list window must not see candidate
+    // rows that the asof match would have removed — allow only when
+    // every dotted qualifier is the left alias and no bare column
+    // references exist (bare refs are unresolvable without a schema)
+    def leftOnly(frag: String, what: String): Unit = {
+      val idRe = "[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)?".r
+      val kw = Set("and", "or", "not", "in", "is", "null", "true",
+        "false", "between", "like", "case", "when", "then", "else",
+        "end", "interval", "where", "as", "asc", "desc", "second",
+        "seconds", "minute", "minutes", "hour", "hours", "day", "days",
+        // type names (CAST targets) are not column references
+        "bigint", "int", "integer", "smallint", "tinyint", "double",
+        "float", "string", "varchar", "date", "timestamp", "boolean",
+        "decimal", "binary")
+      idRe.findAllMatchIn(frag).foreach { im =>
+        val tok = im.matched
+        val isCall = im.end < frag.length &&
+          frag.substring(im.end).dropWhile(_.isWhitespace).startsWith("(")
+        if (!isCall && !kw.contains(tok.toLowerCase) &&
+            !tok.contains(Sentinel)) {
+          if (tok.contains('.')) {
+            require(tok.toLowerCase.startsWith(la.toLowerCase + "."),
+              s"ASOF JOIN: $what references '$tok' — only left-side " +
+                s"($la.) columns are sound there (the asof match is " +
+                "computed after it); filter the right side in its own " +
+                "derived table, or wrap the asof SELECT in an outer query")
+          } else throw new IllegalArgumentException(
+            s"ASOF JOIN: $what references unqualified column '$tok' — " +
+              s"qualify left-side columns as $la.$tok (right-side " +
+              "references there are unsound; see the WHERE stance)")
+        }
+      }
+    }
+    topMatch(tail, "(?i)\\bWHERE\\b".r).foreach { wm =>
+      val wEnd = topMatch(tail,
+        "(?i)\\b(ORDER\\s+BY|LIMIT)\\b".r, wm.end).map(_.start)
+        .getOrElse(tail.length)
+      leftOnly(tail.substring(wm.end, wEnd), "the WHERE clause")
+    }
+    val selSpan = s.substring(
+      topMatch(s, "(?i)\\bSELECT\\b".r).map(_.end).getOrElse(0),
+      fromM.start)
+    require(topMatch(selSpan, "(?i)\\bOVER\\b".r).isEmpty,
+      "ASOF JOIN: window functions in the select list would evaluate " +
+        "over candidate rows, not asof matches — wrap the asof SELECT " +
+        "in an outer query and window there")
+    // a `*` is star-EXPANSION (not multiplication) when its previous
+    // non-space char is a comma, a dot, or the span start
+    val mixedStar = selSpan.trim != "*" &&
+      selSpan.zipWithIndex.exists { case (c, i) =>
+        c == '*' && depthAt(selSpan, i) == 0 && {
+          val prev = selSpan.take(i).reverse.dropWhile(_.isWhitespace)
+            .headOption
+          prev.isEmpty || prev.contains(',') || prev.contains('.')
+        }
+      }
+    require(!mixedStar,
+      "ASOF JOIN: qualified / mixed stars in the select list would " +
+        "leak the lowering's helper column — spell the columns (a " +
+        "bare SELECT * is supported)")
+
+    // `SELECT *` would leak the helper id — exclude it explicitly
+    val s1 =
+      if (selSpan.trim == "*")
+        s.substring(0, fromM.start).replaceFirst("\\*\\s*$",
+          "* EXCEPT (__asof_lid) ") + s.substring(fromM.start)
+      else s
+
+    val fromM1 = topMatch(s1, "(?i)\\bFROM\\b".r).get
+    val joinKw = if (isLeft) "LEFT JOIN" else "JOIN"
+    val newFrom =
+      s" (SELECT *, monotonically_increasing_id() AS __asof_lid " +
+        s"FROM $leftInner) $la $joinKw $rightExpr $ra ON $joinCond"
+    val qualify =
+      s" QUALIFY row_number() OVER (PARTITION BY $la.__asof_lid " +
+        s"ORDER BY $rightTime $dir) = 1"
+    // QUALIFY slots after WHERE, before ORDER BY / LIMIT
+    val shift = s1.length - s.length
+    val tail1 = s1.substring(condEnd + shift)
+    val qAt = topMatch(tail1, "(?i)\\b(ORDER\\s+BY|LIMIT)\\b".r)
+      .map(_.start).getOrElse(tail1.length)
+    s1.substring(0, fromM1.end) + newFrom + " " +
+      tail1.substring(0, qAt) + qualify + " " + tail1.substring(qAt)
+  }
 
   /** CH `SELECT DISTINCT ON (cols) …` ≡ `… LIMIT 1 BY cols` — rewritten
     * to exactly that and handed to [[rewriteLimitBy]] (which is why this
@@ -1021,6 +1314,10 @@ object ChDialect {
     s = settingsTailRe.replaceAllIn(s, "")
     s = rewriteWithAliases(s)
     s = rewriteArrayLiterals(s)
+    // ASOF before the refusal sweep: it consumes every supported ASOF
+    // shape (emitting the QUALIFY rewriteQualify consumes below) and
+    // refuses unsupported ones itself with the precise reason
+    s = rewriteAsofJoin(s)
     refuseUnsupported(s)
     s = rewriteSelectReplace(s, analyze)
     // OFFSET/FETCH first: its TIES form becomes LIMIT … WITH TIES, which

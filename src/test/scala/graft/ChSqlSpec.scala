@@ -1392,7 +1392,6 @@ class ChSqlSpec extends SparkSpecBase {
         |ORDER BY o_orderstatus COLLATE 'en' LIMIT 1""".stripMargin)
       .head().getString(0) shouldBe "F"
     Seq(
-      "SELECT 1 FROM events e ASOF JOIN orders o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate" -> "ASOF JOIN",
       "SELECT 1 FROM (SELECT 1 AS a) t1 PASTE JOIN (SELECT 2 AS b) t2" -> "PASTE JOIN",
       "SELECT 1 FROM events e ANY LEFT JOIN orders o ON e.user_id = o.o_custkey" -> "ANY/ALL JOIN",
       "SELECT COLUMNS('o_.*') APPLY (max) FROM orders" -> "COLUMNS",
@@ -1400,6 +1399,119 @@ class ChSqlSpec extends SparkSpecBase {
       "SELECT topKWeighted(3)(event_type, 2) FROM events" -> "topKWeighted",
       "SELECT groupArrayMovingSum(value) FROM events" -> "groupArrayMovingSum",
       "SELECT kurtSamp(value) FROM events" -> "kurtSamp"
+    ).foreach { case (q, needle) =>
+      val msg = intercept[Exception] {
+        GraftSql.chSql(spark, sf0001, q).collect()
+      }.getMessage
+      msg should include(needle)
+    }
+  }
+
+  test("ASOF [LEFT] JOIN as text lowers onto the row_number nest") {
+    // parity: the dialect door vs the same semantics restated natively
+    // (purchase event_ids are unique, so the restatement can partition
+    // by them directly where the door uses its per-left-row helper id)
+    def restated(dir: String, op: String): Array[org.apache.spark.sql.Row] =
+      GraftSql.sql(spark, sf0001,
+        s"""SELECT e, lc FROM (
+           |  SELECT b.event_id AS e, c.ts AS lc,
+           |    row_number() OVER (PARTITION BY b.event_id
+           |      ORDER BY c.ts $dir) AS rn
+           |  FROM (SELECT * FROM events WHERE event_type = 'purchase') b
+           |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           |    ON b.user_id = c.user_id AND b.ts $op c.ts
+           |) WHERE rn = 1 ORDER BY e""".stripMargin).collect()
+    def door(op: String): Array[org.apache.spark.sql.Row] =
+      GraftSql.chSql(spark, sf0001,
+        s"""SELECT b.event_id AS e, c.ts AS lc
+           |FROM (SELECT * FROM events WHERE event_type = 'purchase') b
+           |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           |  ON b.user_id = c.user_id AND b.ts $op c.ts
+           |ORDER BY e""".stripMargin).collect()
+    door(">=") shouldBe restated("DESC", ">=")   // latest at-or-before
+    door("<=") shouldBe restated("ASC", "<=")    // earliest at-or-after
+    door(">") shouldBe restated("DESC", ">")     // strictly before
+    // inner ASOF drops unmatched left rows
+    val inner = GraftSql.chSql(spark, sf0001,
+      """SELECT b.event_id AS e, c.ts AS lc
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') b
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON b.user_id = c.user_id AND b.ts >= c.ts
+        |ORDER BY e""".stripMargin).collect()
+    inner shouldBe restated("DESC", ">=").filter(!_.isNullAt(1))
+    inner.length should be < restated("DESC", ">=").length
+    // flipped operand orientation resolves to the same DESC pick
+    GraftSql.chSql(spark, sf0001,
+      """SELECT b.event_id AS e, c.ts AS lc
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') b
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.ts <= b.ts AND b.user_id = c.user_id
+        |ORDER BY e""".stripMargin).collect() shouldBe restated("DESC", ">=")
+    // USING spelling: last column is the >=-keyed asof column
+    GraftSql.chSql(spark, sf0001,
+      """SELECT b.event_id AS e, c.ts AS lc
+        |FROM (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'purchase') b
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events
+        |      WHERE event_type = 'click') c USING (user_id, ts)
+        |ORDER BY e""".stripMargin).collect() shouldBe restated("DESC", ">=")
+    // SELECT * excludes the lowering's helper id; WHERE on left-side
+    // columns commutes with the asof match
+    GraftSql.chSql(spark, sf0001,
+      """SELECT * FROM
+        |  (SELECT event_id AS pe, user_id AS pu, ts AS pt FROM events
+        |   WHERE event_type = 'purchase') b
+        |ASOF LEFT JOIN
+        |  (SELECT user_id AS cu, ts AS ct FROM events
+        |   WHERE event_type = 'click') c
+        |  ON b.pu = c.cu AND b.pt >= c.ct
+        |ORDER BY pe""".stripMargin)
+      .columns shouldBe Array("pe", "pu", "pt", "cu", "ct")
+    GraftSql.chSql(spark, sf0001,
+      """SELECT b.event_id AS e, c.ts AS lc
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') b
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON b.user_id = c.user_id AND b.ts >= c.ts
+        |WHERE b.event_id < 200
+        |ORDER BY e""".stripMargin).collect() shouldBe
+      restated("DESC", ">=").filter(_.getLong(0) < 200)
+  }
+
+  test("ASOF JOIN refuses the unsound shapes loudly") {
+    Seq(
+      // nested / multiple
+      """SELECT * FROM (SELECT b.event_id AS e FROM events b
+        |ASOF JOIN events c ON b.user_id = c.user_id AND b.ts >= c.ts) t"""
+        .stripMargin -> "derived table",
+      // aggregation over candidates
+      """SELECT b.user_id AS u, count(*) AS n FROM events b
+        |ASOF JOIN events c ON b.user_id = c.user_id AND b.ts >= c.ts
+        |GROUP BY u""".stripMargin -> "GROUP BY over an ASOF",
+      // right-side WHERE reference
+      """SELECT b.event_id AS e FROM events b
+        |ASOF JOIN events c ON b.user_id = c.user_id AND b.ts >= c.ts
+        |WHERE c.event_id < 100""".stripMargin -> "left-side",
+      // unqualified WHERE reference (ambiguous binding)
+      """SELECT b.event_id AS e FROM events b
+        |ASOF JOIN events c ON b.user_id = c.user_id AND b.ts >= c.ts
+        |WHERE event_id < 100""".stripMargin -> "unqualified",
+      // two inequalities / no equality
+      """SELECT b.event_id AS e FROM events b
+        |ASOF JOIN events c ON b.user_id = c.user_id
+        |  AND b.ts >= c.ts AND b.ts < c.ts""".stripMargin
+        -> "exactly one inequality",
+      """SELECT b.event_id AS e FROM events b
+        |ASOF JOIN events c ON b.ts >= c.ts""".stripMargin
+        -> "equality conjunct",
+      // window over candidate rows
+      """SELECT b.event_id AS e, row_number() OVER (ORDER BY b.ts) AS rn
+        |FROM events b
+        |ASOF JOIN events c ON b.user_id = c.user_id AND b.ts >= c.ts"""
+        .stripMargin -> "window functions in the select list",
+      // mixed star would leak the helper column
+      """SELECT b.*, c.ts AS lc FROM events b
+        |ASOF JOIN events c ON b.user_id = c.user_id AND b.ts >= c.ts"""
+        .stripMargin -> "stars"
     ).foreach { case (q, needle) =>
       val msg = intercept[Exception] {
         GraftSql.chSql(spark, sf0001, q).collect()
