@@ -299,6 +299,12 @@ final class Catalog(spark: SparkSession) {
 
   private val tables = scala.collection.concurrent.TrieMap.empty[String, TableDef]
 
+  /** The Distributed-facade registry bound to THIS catalog — the target
+    * of `CREATE TABLE … ENGINE = Distributed(…)` DDL text (round 13);
+    * API users may equally construct their own [[DistributedCatalog]].
+    */
+  lazy val distributed = new DistributedCatalog(spark, this)
+
   // Per-table write lock: Spark's file commit protocol stages every job of
   // one output path under the same `_temporary/0` dir, so two concurrent
   // appends to one table would clobber each other's staging (the first

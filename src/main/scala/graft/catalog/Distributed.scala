@@ -8,10 +8,17 @@ import graft.functions.PolyHash
 
 /** A registered Distributed facade: `members` are ordinary [[Catalog]]
   * tables (one per shard, index = shard id) and `shardKey` is the column
-  * whose hash routes each row.
+  * whose hash routes each row. `cluster`/`db`/`memberBase` carry the
+  * DDL-text spelling (`ENGINE = Distributed(cluster, db, t, key)`) so
+  * SHOW CREATE renders the declaration back verbatim; API-created
+  * facades keep the defaults.
   */
 final case class DistributedDef(name: String, path: String,
-                                shardKey: String, members: Seq[String])
+                                shardKey: String, members: Seq[String],
+                                cluster: String = "default",
+                                db: String = "default",
+                                memberBase: String = "",
+                                declared: Boolean = false)
 
 /** ≈ the ClickHouse `Distributed` engine: a facade over N per-shard member
   * tables. INSERTs split the batch by `hash(shardKey) % N` and land each
@@ -71,10 +78,55 @@ final class DistributedCatalog(spark: SparkSession, cat: Catalog) {
       cat.createTable(TableDef(m, s"$path/shard$i", schema, sortKeys,
         semantics, layout))
     }
-    val d = DistributedDef(name, path, shardKey, members)
+    val d = DistributedDef(name, path, shardKey, members,
+      memberBase = name)
     persist(d)
     dists.putIfAbsent(name, d)
     dists(name)
+  }
+
+  /** `CREATE TABLE … ENGINE = Distributed(cluster, db, t, key)` as DDL
+    * text, over ALREADY-REGISTERED member tables — ClickHouse's own
+    * model: the local tables exist on the nodes before the facade is
+    * declared. Members resolve as the consecutively-numbered
+    * `<t>_shard<i>` registrations (the [[create]] naming convention); a
+    * single registered `<t>` is a 1-shard cluster. The declared column
+    * list validates against the member schema; the facade itself stores
+    * only the `_DIST` sidecar (when `path` is non-empty), so
+    * [[attachDistributed]] rebuilds it from storage alone.
+    */
+  def declare(name: String, path: String, cluster: String, db: String,
+              memberBase: String, shardKey: String,
+              declared: StructType): DistributedDef = {
+    val shardNames = Iterator.from(0).map(i => s"${memberBase}_shard$i")
+      .takeWhile(n => scala.util.Try(cat.get(n)).isSuccess).toList
+    val members =
+      if (shardNames.nonEmpty) shardNames
+      else if (scala.util.Try(cat.get(memberBase)).isSuccess)
+        List(memberBase)
+      else throw new IllegalArgumentException(
+        s"$name: ENGINE = Distributed($cluster, $db, $memberBase, " +
+          s"$shardKey) — no registered member tables named " +
+          s"${memberBase}_shard0… or $memberBase; create the members " +
+          "first (the ClickHouse model: local tables exist before the " +
+          "Distributed facade is declared)")
+    val memberSchema = cat.get(members.head).schema
+    members.foreach { mn =>
+      require(cat.get(mn).schema.fieldNames.sameElements(
+          memberSchema.fieldNames),
+        s"$name: member $mn's schema differs from ${members.head}'s — " +
+          "all shards of one Distributed table share a schema")
+    }
+    declared.fieldNames.foreach(c =>
+      require(memberSchema.fieldNames.contains(c),
+        s"$name: declared column $c is not in member $memberBase's schema"))
+    require(memberSchema.fieldNames.contains(shardKey),
+      s"$name: sharding key $shardKey is not a member column")
+    val d = DistributedDef(name, path, shardKey, members, cluster, db,
+      memberBase, declared = true)
+    if (path.nonEmpty) persist(d)
+    dists.put(name, d)
+    d
   }
 
   private def persist(d: DistributedDef): Unit = {
@@ -82,7 +134,9 @@ final class DistributedCatalog(spark: SparkSession, cat: Catalog) {
     import org.json4s.jackson.JsonMethods
     val json = JsonMethods.compact(JsonMethods.render(
       ("name" -> d.name) ~ ("shard_key" -> d.shardKey) ~
-        ("members" -> d.members)))
+        ("members" -> d.members) ~ ("cluster" -> d.cluster) ~
+        ("db" -> d.db) ~ ("member_base" -> d.memberBase) ~
+        ("declared" -> d.declared)))
     val f = fs(d.path)
     val out = f.create(sidecar(d.path), true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -101,10 +155,43 @@ final class DistributedCatalog(spark: SparkSession, cat: Catalog) {
       (j \ k).asInstanceOf[org.json4s.JString].s
     val members = (j \ "members").asInstanceOf[org.json4s.JArray]
       .arr.map(_.asInstanceOf[org.json4s.JString].s)
-    members.zipWithIndex.foreach { case (_, i) => cat.attach(s"$path/shard$i") }
-    val d = DistributedDef(str("name"), path, str("shard_key"), members)
+    def opt(k: String, dflt: String) = (j \ k) match {
+      case org.json4s.JString(v) => v
+      case _ => dflt
+    }
+    val isDeclared = (j \ "declared") match {
+      case org.json4s.JBool(b) => b
+      case _ => false
+    }
+    // a create()d facade owns `<path>/shard<i>` member storage — attach
+    // each; a DDL-declared facade's members are registered tables of
+    // their own (attach them by their own paths first)
+    if (isDeclared)
+      members.foreach(mn => require(
+        scala.util.Try(cat.get(mn)).isSuccess,
+        s"${str("name")}: declared-facade member $mn is not registered — " +
+          "attach the member tables before the Distributed sidecar"))
+    else
+      members.zipWithIndex.foreach { case (_, i) =>
+        cat.attach(s"$path/shard$i") }
+    val d = DistributedDef(str("name"), path, str("shard_key"), members,
+      opt("cluster", "default"), opt("db", "default"),
+      opt("member_base", ""), isDeclared)
     dists.putIfAbsent(d.name, d)
     dists(d.name)
+  }
+
+  /** DROP TABLE on the facade: the declaration (and its sidecar) goes;
+    * the member tables keep their data — CH's own Distributed semantics.
+    */
+  def drop(name: String): Unit = {
+    val d = get(name)
+    if (d.path.nonEmpty) {
+      val f = fs(d.path)
+      val sc = sidecar(d.path)
+      if (f.exists(sc)) f.delete(sc, false)
+    }
+    dists.remove(name)
   }
 
   /** The shard a key value routes to — driver-side, no Spark job; the

@@ -1386,6 +1386,34 @@ object CatalogOps extends QueryModule {
     // equality proves routing is total and disjoint (a dropped or
     // double-routed row would shift a count or balance). The shard-prune
     // path is plan-asserted in DistributedSpec.
+    // ENGINE = Distributed as DDL TEXT (round 13): member tables and the
+    // facade both declared as statements — members first (the CH model),
+    // then the facade resolves them by the (db, table) base name and the
+    // routed insert + union read run through the same DistributedCatalog
+    // machinery cat_distributed_scan oracles. Same aggregate, same
+    // oracle shape: the declaration door must be data-invisible.
+    "cat_ddl_distributed" -> ((s, d) => {
+      val src = Tables.customer(s, d).select(
+        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val cat = new Catalog(s)
+      val tmp = scratchDir("graft-ddl-dist")
+      val cols =
+        "(`c_custkey` Int64, `c_mktsegment` String, `c_acctbal` Float64)"
+      graft.sql.ChDdl.runScript(cat, s,
+        (0 until 4).map(i =>
+          s"CREATE TABLE cust_local_shard$i $cols " +
+            "ENGINE = MergeTree ORDER BY c_custkey").mkString(";\n") +
+          s";\nCREATE TABLE cust_all $cols ENGINE = " +
+          "Distributed('main', 'default', 'cust_local', c_custkey)",
+        tmp.toString)
+      cat.distributed.append("cust_all", src)
+      cat.distributed.read("cust_all")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal")), 2).as("bal_sum"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "cat_distributed_scan" -> ((s, d) => {
       val src = Tables.customer(s, d).select(
         col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
@@ -1925,6 +1953,13 @@ object CatalogOps extends QueryModule {
     // the oracle reads the ORIGINAL table: the sharded union must
     // preserve content exactly (routing total + disjoint)
     "cat_distributed_scan" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | round(sum(c_acctbal), 2) AS bal_sum
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // the DDL-declared facade must be data-invisible: the routed insert
+    // + union read hold exactly the source table
+    "cat_ddl_distributed" ->
       """SELECT c_mktsegment, count(*) AS n,
         | round(sum(c_acctbal), 2) AS bal_sum
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,

@@ -119,6 +119,17 @@ object ChDdl {
                                  source: String, selectSql: String)
     extends Statement
 
+  /** `CREATE TABLE d (cols…) ENGINE = Distributed(cluster, db, t, key)`
+    * (round 13) — a facade declaration over already-registered member
+    * tables; execution routes to [[graft.catalog.DistributedCatalog
+    * .declare]] (member resolution, schema validation, `_DIST` sidecar).
+    */
+  final case class CreateDistributed(name: String, path: String,
+                                     cluster: String, db: String,
+                                     memberBase: String, shardKey: String,
+                                     schema: StructType)
+    extends Statement
+
   /** One command of an `ALTER TABLE` statement. ClickHouse joins several
     * with commas; each maps 1:1 onto a [[Catalog]] verb (all already
     * crash-safe), so the text entry point is dispatch, not new machinery.
@@ -319,8 +330,28 @@ object ChDdl {
   private val setRe =
     "(?is)^\\s*SET\\s+(\\w+)\\s*=\\s*('[^']*'|[\\w.]+)\\s*$".r
 
+  /** `ON CLUSTER 'x'` — every prod CH runbook stamps it on DDL; a
+    * single-process engine has no cluster to fan out to. The clause
+    * strips with a loud note (the SYSTEM/SET acknowledgement precedent)
+    * and the statement executes locally. One clause per statement (CH's
+    * own grammar); only the first match strips so SELECT bodies are
+    * never touched.
+    */
+  private val onClusterRe =
+    "(?i)\\s+ON\\s+CLUSTER\\s+('[^']+'|`[^`]+`|[\\w.]+)".r
+  private[graft] def stripOnCluster(ddl: String): String =
+    onClusterRe.findFirstMatchIn(ddl) match {
+      case None => ddl
+      case Some(m) =>
+        System.err.println(s"[chddl] ON CLUSTER ${m.group(1).trim}: " +
+          "single-process engine — no cluster to fan out to; the clause " +
+          "strips and the statement executes locally")
+        ddl.substring(0, m.start) + ddl.substring(m.end)
+    }
+
   /** Parse `ddl`; a CreateTable is rooted at `path`. */
-  def parse(ddl: String, path: String): Statement = {
+  def parse(ddl0: String, path: String): Statement = {
+    val ddl = stripOnCluster(ddl0)
     alterRe.findFirstMatchIn(ddl).foreach { m =>
       return AlterTable(bare(m.group(1)), parseAlterCmds(m.group(2).trim))
     }
@@ -652,6 +683,30 @@ object ChDdl {
       }
     }
 
+    // ENGINE = Distributed(cluster, db, table[, sharding_key]) — a
+    // facade declaration over registered member tables (the X33
+    // DistributedCatalog); member resolution happens at execute()
+    if (engine.equalsIgnoreCase("Distributed")) {
+      def unq(x: String) =
+        x.trim.replace("`", "").stripPrefix("'").stripSuffix("'")
+      require(engineArgs.size == 4,
+        s"$name: ENGINE = Distributed(cluster, db, table, sharding_key) " +
+          "— the 3-arg form routes inserts by rand(), which a " +
+          "deterministic engine refuses; name the sharding column")
+      val key = unq(engineArgs(3))
+      require("^[A-Za-z_][A-Za-z0-9_]*$".r.findFirstIn(key).contains(key),
+        s"$name: sharding key '$key' must be a plain member COLUMN " +
+          "(hash expressions like cityHash64(c) route identically " +
+          "through the facade's own cross-engine hash of the column)")
+      require(sortKeys.isEmpty && partitionKeys.isEmpty,
+        s"$name: a Distributed facade holds no data of its own — " +
+          "ORDER BY / PARTITION BY belong on the member tables")
+      require(schema.fieldNames.contains(key),
+        s"$name: sharding key $key is not in the declared column list")
+      return CreateDistributed(name, path, unq(engineArgs(0)),
+        unq(engineArgs(1)), unq(engineArgs(2)), key, schema)
+    }
+
     val numericNonKey = schema.fields.filter(f =>
       !sortKeys.contains(f.name) && !partitionKeys.contains(f.name) &&
         f.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
@@ -794,8 +849,17 @@ object ChDdl {
             text: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     showCreateRe.findFirstMatchIn(text).foreach { m =>
-      return Seq(ChDdlRender.render(cat.get(bare(m.group(1)))))
-        .toDF("statement")
+      val n = bare(m.group(1))
+      scala.util.Try(cat.get(n)) match {
+        case scala.util.Success(t) =>
+          return Seq(ChDdlRender.render(t)).toDF("statement")
+        case _ =>
+          // a Distributed facade renders its declaration back (columns
+          // from the member schema — the facade declares no storage)
+          val dd = cat.distributed.get(n)
+          return Seq(ChDdlRender.renderDistributed(dd,
+            cat.get(dd.members.head).schema)).toDF("statement")
+      }
     }
     showTablesRe.findFirstMatchIn(text).foreach(_ => return cat.systemTables())
     // this engine's namespace is flat (a `db.` prefix strips at parse) —
@@ -1263,8 +1327,11 @@ object ChDdl {
   }
 
   def execute(cat: Catalog, s: org.apache.spark.sql.SparkSession,
-              ddl: String, warehouse: String = ""): Statement = {
+              ddl0: String, warehouse: String = ""): Statement = {
     import org.apache.spark.sql.functions.expr
+    // strip HERE too: createMaterializedView / insertSelect below
+    // re-parse the raw text, not the parsed statement
+    val ddl = stripOnCluster(ddl0)
     val stmt = parse(ddl,
       if (warehouse.isEmpty) "" else s"$warehouse/${nameOf(ddl)}") match {
       // FROM INFILE is the inline-FORMAT door with its payload on disk:
@@ -1276,6 +1343,9 @@ object ChDdl {
     }
     stmt match {
       case CreateTable(t, _) => cat.createTable(t)
+      case cd: CreateDistributed =>
+        cat.distributed.declare(cd.name, cd.path, cd.cluster, cd.db,
+          cd.memberBase, cd.shardKey, cd.schema)
       case q: CreateQueue => throw new IllegalArgumentException(
         s"${q.name}: KeeperMap is the queue engine — declare it through " +
           "graft.queue.WorkQueue, not the table catalog")
@@ -1477,7 +1547,12 @@ object ChDdl {
           cat.materializeIndex(table, idxName)
         case ClearIndexCmd(idxName) => cat.clearIndex(table, idxName)
       }
-      case DropTable(table, ifExists) => cat.dropTable(table, ifExists)
+      case DropTable(table, ifExists) =>
+        // a Distributed facade drops ITSELF only (CH semantics: the
+        // member tables keep their data)
+        if (scala.util.Try(cat.distributed.get(table)).isSuccess)
+          cat.distributed.drop(table)
+        else cat.dropTable(table, ifExists)
       case DetachTable(table) => cat.detach(table)
       case AttachTable(table) =>
         require(warehouse.nonEmpty,

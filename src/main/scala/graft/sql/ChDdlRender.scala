@@ -223,6 +223,24 @@ object ChDdlRender {
     s"CREATE TABLE ${t.name} (\n$body\n)\n${clauses.mkString("\n")}"
   }
 
+  /** SHOW CREATE TABLE for a Distributed facade (round 13): the
+    * declaration renders back from the member schema — the facade
+    * declares no storage of its own, so the member's PLAIN columns are
+    * the declared list (derived columns — the SAMPLE bucket, the
+    * toYYYYMM month ordinal — belong to the member's own SHOW CREATE,
+    * not the facade's).
+    */
+  def renderDistributed(d: graft.catalog.DistributedDef,
+                        memberSchema: StructType): String = {
+    val colLines = memberSchema.fields.toSeq
+      .filterNot(f => f.name == Catalog.SampleCol ||
+        monthColRe.findFirstIn(f.name).isDefined)
+      .map(f => s"  `${f.name}` ${chTypeText(f)}")
+    s"CREATE TABLE ${d.name} (\n${colLines.mkString(",\n")}\n)\n" +
+      s"ENGINE = Distributed('${d.cluster}', '${d.db}', " +
+      s"'${d.memberBase}', ${d.shardKey})"
+  }
+
   /** `DESCRIBE TABLE` rows: (name, type, default_type, default_expression)
     * — every PHYSICAL column, including derived ones (CH shows stored
     * columns; a materialized column lists its expression).

@@ -1314,4 +1314,32 @@ class ChDdlSpec extends SparkSpecBase {
       .orderBy(col("k")).collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     rows.toSeq shouldBe Seq((1L, "closed", 11L), (2L, "open", 20L))
   }
+
+  test("ON CLUSTER strips as a loud single-process no-op on every DDL form") {
+    // a prod runbook verbatim: every statement stamped ON CLUSTER
+    val cat = new Catalog(spark)
+    val dir = tmpDir("chddl-oncluster")
+    import spark.implicits._
+    ChDdl.runScript(cat, spark,
+      """CREATE TABLE oc ON CLUSTER 'main' (
+        |  `k` UInt64,
+        |  `v` UInt32
+        |) ENGINE = MergeTree ORDER BY k;
+        |ALTER TABLE oc ON CLUSTER 'main' ADD COLUMN `tag` String;
+        |INSERT INTO oc (k, v, tag) VALUES (1, 10, 'a'), (2, 20, 'b');
+        |ALTER TABLE oc ON CLUSTER 'main' DELETE WHERE k = 2;
+        |RENAME TABLE oc TO oc2 ON CLUSTER main""".stripMargin, dir)
+    cat.read("oc2").select("k", "v", "tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq shouldBe Seq((1L, 10L, "a"))
+    ChDdl.execute(cat, spark, "TRUNCATE TABLE oc2 ON CLUSTER `main`")
+    cat.read("oc2").count() shouldBe 0L
+    ChDdl.execute(cat, spark, "DROP TABLE oc2 ON CLUSTER main")
+    an[Exception] should be thrownBy cat.read("oc2")
+    // SELECT bodies are never touched: `ON cluster.id` is a join
+    // predicate, not the clause (no whitespace after `cluster`)
+    ChDdl.stripOnCluster(
+      "CREATE VIEW v AS SELECT * FROM a JOIN b ON cluster.id = a.id"
+    ) should include("ON cluster.id")
+  }
 }

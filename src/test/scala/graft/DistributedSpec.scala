@@ -74,6 +74,70 @@ class DistributedSpec extends SparkSpecBase {
     sparkSide shouldBe PolyHash.fold("12345")
   }
 
+  test("ENGINE = Distributed as DDL text: declare over registered members, " +
+       "SHOW CREATE renders back, sidecar round-trips, DROP keeps members") {
+    import graft.sql.{ChDdl, ChDdlRender}
+    val cat = new Catalog(spark)
+    val root = tmpDir("dist-ddl")
+    val cols = "(`k` Int64, `v` String)"
+    // CH's model: local member tables exist BEFORE the facade
+    ChDdl.runScript(cat, spark,
+      (0 until 3).map(i =>
+        s"CREATE TABLE ev_local_shard$i $cols ENGINE = MergeTree ORDER BY k")
+        .mkString(";\n"), root)
+    // declaring before members exist refuses with the model named
+    val miss = intercept[Exception] {
+      ChDdl.execute(cat, spark,
+        s"CREATE TABLE nope $cols ENGINE = " +
+          "Distributed('main', 'default', 'absent', k)", root)
+    }.getMessage
+    miss should include("create the members first")
+    // 3-arg form (rand() routing) refuses; expression keys refuse
+    intercept[Exception] {
+      ChDdl.execute(cat, spark,
+        s"CREATE TABLE nope $cols ENGINE = " +
+          "Distributed('main', 'default', 'ev_local')", root)
+    }.getMessage should include("sharding")
+    intercept[Exception] {
+      ChDdl.execute(cat, spark,
+        s"CREATE TABLE nope $cols ENGINE = " +
+          "Distributed('main', 'default', 'ev_local', cityHash64(k))", root)
+    }.getMessage should include("plain member COLUMN")
+    ChDdl.execute(cat, spark,
+      s"CREATE TABLE ev_all $cols ENGINE = " +
+        "Distributed('main', 'default', 'ev_local', k)", root)
+    val d = cat.distributed.get("ev_all")
+    d.members shouldBe (0 until 3).map(i => s"ev_local_shard$i")
+    // routed insert + union read through the declared facade
+    val rows = (1L to 60L).map(k => (k, s"r$k")).toDF("k", "v")
+    cat.distributed.append("ev_all", rows) shouldBe 60L
+    cat.distributed.read("ev_all").count() shouldBe 60L
+    (0 until 3).map(i => cat.read(s"ev_local_shard$i").count())
+      .foreach(_ should be > 0L)
+    // SHOW CREATE renders the declaration; re-executing it on a fresh
+    // catalog (members re-attached) rebuilds the same topology
+    val rendered = ChDdl.query(cat, spark, "SHOW CREATE TABLE ev_all")
+      .head().getString(0)
+    rendered should include(
+      "ENGINE = Distributed('main', 'default', 'ev_local', k)")
+    val cat2 = new Catalog(spark)
+    (0 until 3).foreach(i => cat2.attach(s"$root/ev_local_shard$i"))
+    ChDdl.execute(cat2, spark, rendered, root)
+    cat2.distributed.get("ev_all").members shouldBe d.members
+    cat2.distributed.read("ev_all").count() shouldBe 60L
+    // _DIST sidecar round-trip on a third catalog
+    val cat3 = new Catalog(spark)
+    (0 until 3).foreach(i => cat3.attach(s"$root/ev_local_shard$i"))
+    val restored = cat3.distributed.attachDistributed(s"$root/ev_all")
+    restored.shardKey shouldBe "k"
+    restored.declared shouldBe true
+    cat3.distributed.read("ev_all").count() shouldBe 60L
+    // DROP drops the facade only — member data stays (CH semantics)
+    ChDdl.execute(cat, spark, "DROP TABLE ev_all")
+    an[Exception] should be thrownBy cat.distributed.get("ev_all")
+    cat.read("ev_local_shard0").count() should be > 0L
+  }
+
   test("GLOBAL JOIN shape: one broadcast over the member union, no " +
        "fact-side shuffle before the aggregate") {
     val df = graft.operators.CatalogOps.queries("cat_distributed_join")(
