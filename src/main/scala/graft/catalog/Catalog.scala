@@ -305,6 +305,13 @@ final class Catalog(spark: SparkSession) {
     */
   lazy val distributed = new DistributedCatalog(spark, this)
 
+  /** The query governor bound to THIS catalog — the target of the
+    * governance text doors (`SHOW PROCESSLIST`, `KILL QUERY`,
+    * `CREATE QUOTA`, round 13); API users may equally construct their
+    * own [[QueryGovernor]].
+    */
+  lazy val governor = new QueryGovernor(spark)
+
   // Per-table write lock: Spark's file commit protocol stages every job of
   // one output path under the same `_temporary/0` dir, so two concurrent
   // appends to one table would clobber each other's staging (the first

@@ -735,6 +735,75 @@ object CatalogOps extends QueryModule {
           |FROM system.parts p GROUP BY p.table ORDER BY tbl""".stripMargin)
     }),
 
+    // Governance doors (round 13): CREATE QUOTA / SHOW PROCESSLIST /
+    // KILL QUERY / system.quotas entirely as TEXT, routed to the
+    // catalog's QueryGovernor. A real governed scan runs under a
+    // query_id; killing it after completion returns CH's empty set and
+    // the process list is empty again — deterministic facts the oracle
+    // restates. (Live-kill and quota-refusal behavior is IntrospectionSpec
+    // territory — wall-time-dependent, not oracle-able.)
+    "sql_processes" -> ((s, d) => {
+      val cat = new Catalog(s)
+      graft.sql.ChDdl.execute(cat, s,
+        "CREATE QUOTA q_analyst FOR INTERVAL 1 HOUR " +
+          "MAX queries = 100, errors = 5 TO analyst, bob")
+      graft.sql.ChDdl.execute(cat, s,
+        "CREATE QUOTA q_etl FOR INTERVAL 30 MINUTE " +
+          "MAX execution_time = 600, result_rows = 1000000 TO etl")
+      val rows = cat.governor.run("gate-probe") {
+        Tables.orders(s, d).count() }
+      val killedAfter = graft.sql.ChDdl.query(cat, s,
+        "KILL QUERY WHERE query_id = 'gate-probe'").count()
+      val liveNow = graft.sql.ChDdl.query(cat, s,
+        "SHOW PROCESSLIST").count()
+      graft.sql.ChDdl.query(cat, s,
+        """SELECT quota, users, interval_ms, max_queries, max_errors,
+          |  max_result_rows, max_exec_ms
+          |FROM system.quotas ORDER BY quota""".stripMargin)
+        .withColumn("orders_scanned", lit(rows))
+        .withColumn("kill_after_done", lit(killedAfter))
+        .withColumn("live_after", lit(liveNow))
+    }),
+
+    // system.query_log FROM-able (round 13): three storage-touching
+    // actions run, the QueryLog flushes them into its catalog table, and
+    // the ops statement reads them back as TEXT. Wall time and shuffle
+    // bytes are run-dependent, so the projection folds them to
+    // deterministic facts (logged count, measured >= 0, result rows
+    // bounded by the table) the oracle restates as literals.
+    "sql_query_log" -> ((s, d) => {
+      val cat = new Catalog(s)
+      val tmp = scratchDir("graft-sql-qlog")
+      val src = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+      cat.createTable(TableDef("ql_orders",
+        tmp.resolve("ql_orders").toString, src.schema,
+        Seq("o_orderkey"), Append))
+      cat.append("ql_orders", src)
+      val ql = new graft.catalog.QueryLog(s, cat,
+        tmp.resolve("query_log").toString).attach()
+      try {
+        val n1 = cat.read("ql_orders").count()
+        cat.read("ql_orders")
+          .filter(col("o_totalprice") > 150000.0).count()
+        cat.read("ql_orders").groupBy(col("o_orderpriority"))
+          .count().collect()
+        // listener delivery is asynchronous — poll to a deadline
+        val deadline = System.currentTimeMillis() + 30000
+        while (ql.pending < 3 && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        ql.flush()
+        graft.sql.ChDdl.query(cat, s,
+          s"""SELECT status, count(*) AS n_logged,
+             |  min(duration_ms) >= 0 AS timed,
+             |  min(shuffle_read_bytes) >= 0 AS rd_measured,
+             |  max(result_rows) <= $n1 AS rows_bounded
+             |FROM system.query_log
+             |GROUP BY status ORDER BY status""".stripMargin)
+      } finally ql.detach()
+    }),
+
     // INSERT … FROM INFILE through the gate (round 12, X131 — the CLI
     // ingest counterpart of INTO OUTFILE): two fixture files derived
     // from the corpus' own top-30 orders — a headerless CSV and a
@@ -1741,6 +1810,26 @@ object CatalogOps extends QueryModule {
         |  min(k)::BIGINT AS lo, max(k)::BIGINT AS hi,
         |  1::BIGINT AS n_mut, 0::BIGINT AS n_det
         |FROM kept""".stripMargin,
+
+    // the quota declarations restated as literals; counts from the
+    // governed scan and the post-completion kill/process-list reads
+    "sql_processes" ->
+      """SELECT q.quota, q.users, q.interval_ms, q.max_queries,
+        | q.max_errors, q.max_result_rows, q.max_exec_ms,
+        | (SELECT count(*) FROM orders) AS orders_scanned,
+        | 0 AS kill_after_done, 0 AS live_after
+        |FROM (VALUES
+        |  ('q_analyst', 'analyst,bob', 3600000, 100, 5, 0, 0),
+        |  ('q_etl', 'etl', 1800000, 0, 0, 1000000, 600000))
+        | q(quota, users, interval_ms, max_queries, max_errors,
+        |   max_result_rows, max_exec_ms)
+        |ORDER BY q.quota""".stripMargin,
+
+    // three logged QueryFinish actions with sane measurements
+    "sql_query_log" ->
+      """SELECT 'QueryFinish' AS status, 3 AS n_logged,
+        | true AS timed, true AS rd_measured, true AS rows_bounded"""
+        .stripMargin,
 
     // the INFILE loads recomputed straight from the source rows: the
     // top-30 keys with the declared 'zz' default on the omitted column

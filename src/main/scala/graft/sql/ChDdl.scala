@@ -119,6 +119,18 @@ object ChDdl {
                                  source: String, selectSql: String)
     extends Statement
 
+  /** `CREATE QUOTA q FOR INTERVAL n unit MAX dim = v, … TO users`
+    * (round 13) — routed to [[graft.catalog.QueryGovernor.createQuota]].
+    * Limits are per-interval; execution_time is declared in SECONDS
+    * (CH's unit) and carried here in ms.
+    */
+  final case class CreateQuota(name: String, users: Seq[String],
+                               intervalMs: Long, maxQueries: Long,
+                               maxErrors: Long, maxResultRows: Long,
+                               maxExecMs: Long) extends Statement
+  final case class DropQuota(name: String, ifExists: Boolean)
+    extends Statement
+
   /** `CREATE TABLE d (cols…) ENGINE = Distributed(cluster, db, t, key)`
     * (round 13) — a facade declaration over already-registered member
     * tables; execution routes to [[graft.catalog.DistributedCatalog
@@ -324,6 +336,15 @@ object ChDdl {
       "(?:\\s*LIFETIME\\s*\\([^)]*\\))?\\s*$").r
   private val dropDictRe =
     "(?is)^\\s*DROP\\s+DICTIONARY\\s+(IF\\s+EXISTS\\s+)?([`\\w.]+)\\s*$".r
+  // CH quota DDL: `KEYED BY user_name` is the only keying this per-user
+  // governor implements — it parses and strips; other keyings refuse at
+  // the regex (loud parse error names the expected shape)
+  private val createQuotaRe =
+    ("(?is)^\\s*CREATE\\s+QUOTA\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([`\\w]+)\\s+" +
+      "(?:KEYED\\s+BY\\s+user_name\\s+)?FOR\\s+INTERVAL\\s+(\\d+)\\s+(\\w+)\\s+" +
+      "MAX\\s+(.+?)\\s+TO\\s+(.+?)\\s*$").r
+  private val dropQuotaRe =
+    "(?is)^\\s*DROP\\s+QUOTA\\s+(IF\\s+EXISTS\\s+)?([`\\w]+)\\s*$".r
   private val systemRe = "(?is)^\\s*SYSTEM\\s+(.+?)\\s*$".r
   private val useRe = "(?is)^\\s*USE\\s+([`\\w]+)\\s*$".r
   // value = a number, literal, or bare word (CH accepts all three)
@@ -435,6 +456,42 @@ object ChDdl {
     }
     dropDictRe.findFirstMatchIn(ddl).foreach { m =>
       return DropDictionary(bare(m.group(2)), ifExists = m.group(1) != null)
+    }
+    createQuotaRe.findFirstMatchIn(ddl).foreach { m =>
+      val name = bare(m.group(1))
+      val unitMs: Long = m.group(3).toLowerCase.stripSuffix("s") match {
+        case "second" => 1000L
+        case "minute" => 60000L
+        case "hour" => 3600000L
+        case "day" => 86400000L
+        case "week" => 604800000L
+        case other => throw new IllegalArgumentException(
+          s"CREATE QUOTA $name: FOR INTERVAL unit '$other' — " +
+            "SECOND/MINUTE/HOUR/DAY/WEEK")
+      }
+      val dimRe = "(?is)^(\\w+)\\s*=?\\s*(\\d+)$".r
+      var (mq, me, mr, mx) = (0L, 0L, 0L, 0L)
+      splitTopLevel(m.group(4)).map(_.trim).filter(_.nonEmpty).foreach {
+        case dimRe(dim, v) => dim.toLowerCase match {
+          case "queries" => mq = v.toLong
+          case "errors" => me = v.toLong
+          case "result_rows" => mr = v.toLong
+          // CH declares execution_time in seconds
+          case "execution_time" => mx = v.toLong * 1000L
+          case other => throw new IllegalArgumentException(
+            s"CREATE QUOTA $name: MAX dimension '$other' — queries/" +
+              "errors/result_rows/execution_time")
+        }
+        case other => throw new IllegalArgumentException(
+          s"CREATE QUOTA $name: expected 'dim = n', got '$other'")
+      }
+      val users = m.group(5).split(',').map(_.trim.replace("`", ""))
+        .filter(_.nonEmpty).toSeq
+      return CreateQuota(name, users, m.group(2).toLong * unitMs,
+        mq, me, mr, mx)
+    }
+    dropQuotaRe.findFirstMatchIn(ddl).foreach { m =>
+      return DropQuota(bare(m.group(2)), ifExists = m.group(1) != null)
     }
     systemRe.findFirstMatchIn(ddl).foreach { m =>
       return SystemCmd(m.group(1))
@@ -875,6 +932,19 @@ object ChDdl {
       return ChDdlRender.describe(cat.get(bare(m.group(1))))
         .toDF("name", "type", "default_type", "default_expression")
     }
+    // governance doors (round 13): the ops statements a CH operator
+    // types daily, routed to the catalog's QueryGovernor
+    if ("(?is)^\\s*SHOW\\s+PROCESSLIST\\s*$".r.findFirstIn(text).isDefined)
+      return cat.governor.systemProcesses()
+    "(?is)^\\s*KILL\\s+QUERY\\s+WHERE\\s+query_id\\s*=\\s*'([^']+)'\\s*(?:SYNC|ASYNC)?\\s*$".r
+      .findFirstMatchIn(text).foreach { m =>
+        val id = m.group(1)
+        // CH returns the matched queries with their kill_status; a
+        // no-match WHERE returns the empty set (not an error)
+        val rows = if (cat.governor.kill(id)) Seq((id, "waiting"))
+          else Seq.empty[(String, String)]
+        return rows.toDF("query_id", "kill_status")
+      }
     // the access-control listings a runbook checks after GRANT / CREATE
     // ROW POLICY — the registries' own frames
     if ("(?is)^\\s*SHOW\\s+GRANTS\\s*$".r.findFirstIn(text).isDefined)
@@ -904,6 +974,18 @@ object ChDdl {
         "parts" -> (() => cat.systemPartsAll()),
         "mutations" -> (() => cat.systemMutationsAll()),
         "detached_parts" -> (() => cat.systemDetachedPartsAll()),
+        // governance relations (round 13): the governor's live frames
+        "processes" -> (() => cat.governor.systemProcesses()),
+        "quotas" -> (() => cat.governor.systemQuotas()),
+        "quota_usage" -> (() => cat.governor.systemQuotaUsage()),
+        // the most-queried system table in real CH ops: the QueryLog's
+        // own catalog table (register a QueryLog over this catalog and
+        // flush() — the binding reads what landed)
+        "query_log" -> (() => scala.util.Try(cat.read("query_log"))
+          .getOrElse(throw new IllegalArgumentException(
+            "system.query_log: no query_log table in this catalog — " +
+              "attach a graft.catalog.QueryLog(spark, cat, path) and " +
+              "flush() to land events"))),
         // CH's one-row dummy relation (`SELECT 1 FROM system.one`)
         "one" -> (() => s.sql("SELECT CAST(0 AS TINYINT) AS dummy")))
       "(?i)\\bsystem\\.(\\w+)".r.findAllMatchIn(text)
@@ -1553,6 +1635,12 @@ object ChDdl {
         if (scala.util.Try(cat.distributed.get(table)).isSuccess)
           cat.distributed.drop(table)
         else cat.dropTable(table, ifExists)
+      case q: CreateQuota =>
+        cat.governor.createQuota(q.name, q.users, q.intervalMs,
+          q.maxQueries, q.maxErrors, q.maxResultRows, q.maxExecMs)
+      case DropQuota(n, ifExists) =>
+        require(cat.governor.dropQuota(n) || ifExists,
+          s"DROP QUOTA $n: no such quota")
       case DetachTable(table) => cat.detach(table)
       case AttachTable(table) =>
         require(warehouse.nonEmpty,

@@ -459,4 +459,63 @@ class IntrospectionSpec extends SparkSpecBase {
     gov.run("report,daily run") { 2 + 2 } shouldBe 4
     gov.systemProcesses().count() shouldBe 0L
   }
+
+  test("governance text doors: quota'd, governed, killed — entirely as statements") {
+    import graft.sql.ChDdl
+    val cat = new Catalog(spark)
+    // CREATE QUOTA as text → the governor's registry; units and the
+    // seconds→ms execution_time mapping land as declared
+    ChDdl.execute(cat, spark,
+      "CREATE QUOTA ops_q KEYED BY user_name FOR INTERVAL 1 HOUR " +
+        "MAX queries = 2, execution_time = 30 TO carol")
+    val q = ChDdl.query(cat, spark,
+      "SELECT quota, users, interval_ms, max_queries, max_exec_ms " +
+        "FROM system.quotas ORDER BY quota").head()
+    (q.getString(0), q.getString(1), q.getLong(2), q.getLong(3),
+      q.getLong(4)) shouldBe ("ops_q", "carol", 3600000L, 2L, 30000L)
+    // the quota governs: the third query in the window refuses
+    cat.governor.runAs("carol", "c1")(1) shouldBe 1
+    cat.governor.runAs("carol", "c2")(2) shouldBe 2
+    intercept[IllegalStateException] {
+      cat.governor.runAs("carol", "c3")(3)
+    }.getMessage should include("QUOTA_EXCEEDED")
+    // usage is FROM-able as text
+    val u = ChDdl.query(cat, spark,
+      "SELECT quota, user, queries FROM system.quota_usage").head()
+    (u.getString(0), u.getString(1), u.getLong(2)) shouldBe
+      ("ops_q", "carol", 2L)
+    // a live query shows in SHOW PROCESSLIST and dies to KILL QUERY text
+    val errRef = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val worker = new Thread(() =>
+      try cat.governor.run("victim-txt") {
+        spark.range(0L, Long.MaxValue / 1000L).selectExpr("sum(id % 5)")
+          .collect()
+      } catch { case e: Throwable => errRef.set(e) })
+    worker.start()
+    val deadline = System.currentTimeMillis() + 30000L
+    while (ChDdl.query(cat, spark, "SHOW PROCESSLIST").collect()
+        .map(_.getString(0)).isEmpty &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    ChDdl.query(cat, spark, "SHOW PROCESSLIST").collect()
+      .map(_.getString(0)) should contain("victim-txt")
+    val killed = ChDdl.query(cat, spark,
+      "KILL QUERY WHERE query_id = 'victim-txt' ASYNC").collect()
+    killed.map(r => (r.getString(0), r.getString(1))) shouldBe
+      Array(("victim-txt", "waiting"))
+    worker.join(60000L)
+    worker.isAlive shouldBe false
+    errRef.get.getMessage.toLowerCase should include("cancel")
+    // a kill with no matching live query returns CH's empty set
+    ChDdl.query(cat, spark,
+      "KILL QUERY WHERE query_id = 'victim-txt'").count() shouldBe 0L
+    // DROP QUOTA as text; IF EXISTS tolerates absence
+    ChDdl.execute(cat, spark, "DROP QUOTA ops_q")
+    ChDdl.query(cat, spark,
+      "SELECT count(*) AS n FROM system.quotas").head().getLong(0) shouldBe 0L
+    intercept[Exception] {
+      ChDdl.execute(cat, spark, "DROP QUOTA ops_q")
+    }.getMessage should include("no such quota")
+    ChDdl.execute(cat, spark, "DROP QUOTA IF EXISTS ops_q")
+  }
 }
