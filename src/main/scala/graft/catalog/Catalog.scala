@@ -4361,12 +4361,26 @@ final class Catalog(spark: SparkSession) {
   // `SELECT … FROM system.parts` ops idiom reads through ChDdl.query.
   // An empty catalog yields an empty frame of the declared schema (not
   // an error — CH returns an empty set too).
+  /** The branch tables the last system.*All call unioned — observability
+    * for the literal-pin prune below (IntrospectionSpec asserts the
+    * one-table scan set).
+    */
+  @volatile private[graft] var lastSystemAllBranches: Seq[String] = Nil
+
   private def unionWide(mk: String => DataFrame,
-                        empty: org.apache.spark.sql.types.StructType)
-      : DataFrame =
-    tableNames.map(mk).reduceOption(_.unionByName(_)).getOrElse(
+                        empty: org.apache.spark.sql.types.StructType,
+                        only: Option[String] = None)
+      : DataFrame = {
+    // `only` pre-filters the BRANCH LIST, not just the rows: building a
+    // branch costs a storage listing per table, so a statement that pins
+    // `table = 'x'` to a literal must walk one table, not the catalog
+    val branches =
+      only.map(t => tableNames.filter(_ == t)).getOrElse(tableNames)
+    lastSystemAllBranches = branches
+    branches.map(mk).reduceOption(_.unionByName(_)).getOrElse(
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty))
+  }
 
   /** NOTE on cost: `systemParts` derives per-part rows/min/max from the
     * storage itself (one scan per table — CH carries these as merge-time
@@ -4375,7 +4389,7 @@ final class Catalog(spark: SparkSession) {
     * aggregating where that matters; Catalyst prunes the union branches
     * a literal `table = 't'` predicate excludes.
     */
-  def systemPartsAll(): DataFrame = {
+  def systemPartsAll(only: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.types._
     unionWide(
       n => systemParts(n).select(lit(n).as("table"), col("part"),
@@ -4383,19 +4397,19 @@ final class Catalog(spark: SparkSession) {
       StructType(Seq(StructField("table", StringType),
         StructField("part", StringType), StructField("rows", LongType),
         StructField("bytes", LongType), StructField("min_key", StringType),
-        StructField("max_key", StringType))))
+        StructField("max_key", StringType))), only)
   }
 
-  def systemMutationsAll(): DataFrame = {
+  def systemMutationsAll(only: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.types._
     unionWide(n => systemMutations(n),
       StructType(Seq(StructField("table", StringType),
         StructField("seq", LongType), StructField("ts_ms", LongType),
         StructField("command", StringType),
-        StructField("is_done", BooleanType))))
+        StructField("is_done", BooleanType))), only)
   }
 
-  def systemDetachedPartsAll(): DataFrame = {
+  def systemDetachedPartsAll(only: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.types._
     unionWide(
       n => systemDetachedParts(n).select(lit(n).as("table"), col("bucket"),
@@ -4403,7 +4417,7 @@ final class Catalog(spark: SparkSession) {
       StructType(Seq(StructField("table", StringType),
         StructField("bucket", StringType),
         StructField("partition", StringType),
-        StructField("files", LongType), StructField("bytes", LongType))))
+        StructField("files", LongType), StructField("bytes", LongType))), only)
   }
 
   /** `system.projections` analog: one row per declared projection of

@@ -64,8 +64,18 @@ object ChDdl {
     * of the catalog's MV cascade.
     */
   final case class CreateMaterializedView(name: String, target: String,
-                                          source: String, selectSql: String)
+                                          source: String, selectSql: String,
+                                          populate: Boolean = false)
     extends Statement
+
+  /** The TO-less spelling `CREATE MATERIALIZED VIEW mv ENGINE = …
+    * POPULATE AS SELECT …` (round 13) — ClickHouse's implicit-inner-
+    * table form. The inner target lands as `<mv>_inner` (flat namespace
+    * analog of CH's `.inner.<mv>`), created + backfilled through the
+    * CTAS machinery, then the insert trigger registers on top.
+    */
+  final case class CreateMaterializedViewInner(name: String,
+      clauses: String, source: String, selectSql: String) extends Statement
   /** `INSERT INTO target select` — the reference's MV backfill
     * (README.md:263-266): run once over the source table's CURRENT
     * contents, append to the target.
@@ -268,9 +278,16 @@ object ChDdl {
                                    users: Seq[String],
                                    predicateSql: String) extends Statement
 
+  // POPULATE (backfill-at-create) is accepted on BOTH spellings: with
+  // TO (a documented permissive divergence — CH refuses POPULATE+TO,
+  // but every MV here has an explicit target) and the CH-native TO-less
+  // ENGINE form (implicit inner table)
   private val mvRe =
     ("(?is)^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
-      "([`\\w.]+)\\s+TO\\s+([`\\w.]+)\\s+AS\\s+(SELECT\\b.*)$").r
+      "([`\\w.]+)\\s+TO\\s+([`\\w.]+)\\s+(POPULATE\\s+)?AS\\s+(SELECT\\b.*)$").r
+  private val mvEngineRe =
+    ("(?is)^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "([`\\w.]+)\\s+(ENGINE\\s*=.+?)\\s+POPULATE\\s+AS\\s+(SELECT\\b.*)$").r
   private val insRe =
     "(?is)^\\s*INSERT\\s+INTO\\s+([`\\w.]+)\\s+(SELECT\\b.*)$".r
   private val insValRe =
@@ -522,9 +539,15 @@ object ChDdl {
         GraftSql.expandFunctions(ChDialect.rewrite(m.group(3).trim)))
     }
     mvRe.findFirstMatchIn(ddl).foreach { m =>
-      val sel = m.group(3).trim
+      val sel = m.group(4).trim
       return CreateMaterializedView(bare(m.group(1)), bare(m.group(2)),
-        sourceOf(sel, "CREATE MATERIALIZED VIEW"), sel)
+        sourceOf(sel, "CREATE MATERIALIZED VIEW"), sel,
+        populate = m.group(3) != null)
+    }
+    mvEngineRe.findFirstMatchIn(ddl).foreach { m =>
+      val sel = m.group(3).trim
+      return CreateMaterializedViewInner(bare(m.group(1)),
+        m.group(2).trim, sourceOf(sel, "CREATE MATERIALIZED VIEW"), sel)
     }
     insInfileRe.findFirstMatchIn(ddl).foreach { m =>
       val cols = Option(m.group(2)).toSeq.flatMap(c =>
@@ -961,6 +984,18 @@ object ChDdl {
     // unions (round 12); snapshots stays an API call — per-table only.
     if ("(?is)^\\s*SELECT\\b".r.findFirstIn(text).isDefined &&
         "(?i)\\bsystem\\.\\w+".r.findFirstIn(text).isDefined) {
+      // literal-table prune (round 13): building a storage-derived
+      // branch (parts/mutations/detached) costs a listing per table, so
+      // a statement pinning `table = 'x'` to ONE literal pre-filters the
+      // union's branch list at bind. Conservative: any OR in the
+      // statement (the pin might be disjunctive) falls back to the full
+      // walk; Catalyst still prunes literal branches from the plan.
+      val tablePins = "(?i)\\b(?:\\w+\\.)?table\\s*=\\s*'([^']+)'".r
+        .findAllMatchIn(text).map(_.group(1)).toSet
+      val pinned: Option[String] =
+        if (tablePins.size == 1 &&
+            "(?i)\\bOR\\b".r.findFirstIn(text).isEmpty) Some(tablePins.head)
+        else None
       val binds: Map[String, () => org.apache.spark.sql.DataFrame] = Map(
         "tables" -> (() => cat.systemTables()),
         "columns" -> (() => cat.systemColumns()),
@@ -971,9 +1006,9 @@ object ChDdl {
         // catalog-wide unions of the per-table frames (round 12);
         // system.parts derives rows/min-max from storage — one scan per
         // registered table (doc on Catalog.systemPartsAll)
-        "parts" -> (() => cat.systemPartsAll()),
-        "mutations" -> (() => cat.systemMutationsAll()),
-        "detached_parts" -> (() => cat.systemDetachedPartsAll()),
+        "parts" -> (() => cat.systemPartsAll(pinned)),
+        "mutations" -> (() => cat.systemMutationsAll(pinned)),
+        "detached_parts" -> (() => cat.systemDetachedPartsAll(pinned)),
         // governance relations (round 13): the governor's live frames
         "processes" -> (() => cat.governor.systemProcesses()),
         "quotas" -> (() => cat.governor.systemQuotas()),
@@ -1091,6 +1126,14 @@ object ChDdl {
                              ddl: String): Unit =
     parse(ddl, "") match {
       case mv: CreateMaterializedView =>
+        // POPULATE: backfill BEFORE registering the trigger — a source
+        // insert racing the backfill is then at worst LOST from the
+        // view (ClickHouse's own documented POPULATE caveat), never
+        // double-counted; CH's recommendation applies here too: quiesce
+        // source inserts while creating with POPULATE
+        if (mv.populate)
+          cat.append(mv.target, selectOver(s, mv.source, mv.selectSql,
+            cat.read(mv.source), s"populate_${mv.name}", Some(cat)))
         cat.createMaterializedView(mv.source, mv.name, mv.target,
           batch => selectOver(s, mv.source, mv.selectSql, batch, mv.name,
             Some(cat)))
@@ -1432,6 +1475,19 @@ object ChDdl {
         s"${q.name}: KeeperMap is the queue engine — declare it through " +
           "graft.queue.WorkQueue, not the table catalog")
       case _: CreateMaterializedView => createMaterializedView(cat, s, ddl)
+      case mvI: CreateMaterializedViewInner =>
+        // the TO-less POPULATE form: the implicit inner table lands via
+        // the CTAS door (create + backfill in one crash-safe pass), then
+        // the trigger registers on top — inserts landing between those
+        // two steps are NOT in the view (CH's own POPULATE caveat,
+        // documented: quiesce source inserts during creation)
+        val inner = s"${mvI.name}_inner"
+        execute(cat, s,
+          s"CREATE TABLE $inner ${mvI.clauses} AS ${mvI.selectSql}",
+          warehouse)
+        cat.createMaterializedView(mvI.source, mvI.name, inner,
+          batch => selectOver(s, mvI.source, mvI.selectSql, batch,
+            mvI.name, Some(cat)))
       case _: InsertSelect => insertSelect(cat, s, ddl)
       case cta: CreateTableAs =>
         // analyze the SELECT once (over the source's merged read), render

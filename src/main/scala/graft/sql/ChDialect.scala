@@ -2837,6 +2837,17 @@ object ChDialect {
     * what CH's own windowFunnel does; groups are users, not tables, so
     * the arrays stay row-group sized at any corpus scale.
     */
+  /** Per-group event cap for the windowFunnel/sequenceMatch folds. The
+    * lowering buffers each group's events via collect_list — CH's OWN
+    * windowFunnel memory model — but unlike CH, Spark's collect_list
+    * has no spill path inside one group, so one pathological user
+    * (bot traffic) OOMs a task where CH degrades. The fold therefore
+    * REFUSES LOUDLY past this many events in a single group instead of
+    * dying opaquely; override with -Dgraft.funnel.groupCap=N.
+    */
+  private[sql] def funnelGroupCap: Long =
+    java.lang.Long.getLong("graft.funnel.groupCap", 1000000L)
+
   private def funnelFold(tsExpr: String, conds: List[String],
                          windowSecs: Option[String]): String = {
     val k = conds.length
@@ -2845,9 +2856,19 @@ object ChDialect {
     // silently weaken the strict-order test for sub-second event pairs
     val winTest = windowSecs.map(w =>
       s" AND e.t <= element_at(acc, 1) + (($w) * 1000000L)").getOrElse("")
+    // the buffered list appears twice textually; identical aggregate
+    // expressions dedupe in PhysicalAggregation, so collect_list runs
+    // once. The guard message stays free of ( ) , ' so no later dialect
+    // pass can mistake it for a call shape.
+    val lst = s"array_sort(collect_list(struct(unix_micros($tsExpr) AS t, " +
+      s"array($flags) AS f)))"
+    val guarded = s"CASE WHEN assert_true(size($lst) <= $funnelGroupCap, " +
+      s"'funnel fold refused: one group buffered more than " +
+      s"$funnelGroupCap events - the per-group buffer is CH windowFunnel " +
+      s"memory model but has no spill path here; pre-filter the hot key " +
+      s"or raise -Dgraft.funnel.groupCap') IS NULL THEN $lst END"
     s"size(filter(aggregate(" +
-      s"array_sort(collect_list(struct(unix_micros($tsExpr) AS t, " +
-      s"array($flags) AS f))), " +
+      guarded + ", " +
       s"transform(sequence(1, $k), __z -> CAST(NULL AS BIGINT)), " +
       s"(acc, e) -> transform(acc, (x, i) -> CASE " +
       s"WHEN x IS NOT NULL THEN x " +

@@ -1315,6 +1315,48 @@ class ChDdlSpec extends SparkSpecBase {
     rows.toSeq shouldBe Seq((1L, "closed", 11L), (2L, "open", 20L))
   }
 
+  test("CREATE MATERIALIZED VIEW … POPULATE backfills pre-existing rows at create") {
+    val cat = new Catalog(spark)
+    val dir = tmpDir("chddl-mvpop")
+    import spark.implicits._
+    ChDdl.runScript(cat, spark,
+      """CREATE TABLE src_t (`k` UInt64, `v` UInt32)
+        |ENGINE = MergeTree ORDER BY k;
+        |CREATE TABLE tgt_t (`k` UInt64, `sv` UInt64)
+        |ENGINE = SummingMergeTree ORDER BY k""".stripMargin, dir)
+    cat.append("src_t",
+      Seq((1L, 10L), (2L, 20L), (1L, 5L)).toDF("k", "v"))
+    def sums(t: String): Map[Long, Long] =
+      cat.read(t).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // TO + POPULATE: rows inserted BEFORE the view exists appear in the
+    // target at create (the documented permissive divergence: CH
+    // refuses POPULATE with TO; here every MV has an explicit target)
+    ChDdl.execute(cat, spark,
+      "CREATE MATERIALIZED VIEW mv_pop TO tgt_t POPULATE AS " +
+        "SELECT k, sum(v) AS sv FROM src_t GROUP BY k", dir)
+    sums("tgt_t") shouldBe Map(1L -> 15L, 2L -> 20L)
+    // the insert trigger is live on top of the backfill
+    ChDdl.execute(cat, spark, "INSERT INTO src_t (k, v) VALUES (2, 7)")
+    sums("tgt_t") shouldBe Map(1L -> 15L, 2L -> 27L)
+    // the CH-native TO-less ENGINE form: the implicit `<mv>_inner`
+    // table is created + backfilled through the CTAS door, trigger on top
+    ChDdl.execute(cat, spark,
+      "CREATE MATERIALIZED VIEW mv2 ENGINE = SummingMergeTree ORDER BY k " +
+        "POPULATE AS SELECT k, sum(v) AS sv FROM src_t GROUP BY k", dir)
+    sums("mv2_inner") shouldBe Map(1L -> 15L, 2L -> 27L)
+    ChDdl.execute(cat, spark, "INSERT INTO src_t (k, v) VALUES (9, 1)")
+    sums("mv2_inner").get(9L) shouldBe Some(1L)
+    sums("tgt_t").get(9L) shouldBe Some(1L)
+    // a plain (non-POPULATE) create still starts empty
+    ChDdl.runScript(cat, spark,
+      """CREATE TABLE tgt2 (`k` UInt64, `sv` UInt64)
+        |ENGINE = SummingMergeTree ORDER BY k""".stripMargin, dir)
+    ChDdl.execute(cat, spark,
+      "CREATE MATERIALIZED VIEW mv3 TO tgt2 AS " +
+        "SELECT k, sum(v) AS sv FROM src_t GROUP BY k", dir)
+    cat.read("tgt2").count() shouldBe 0L
+  }
+
   test("ON CLUSTER strips as a loud single-process no-op on every DDL form") {
     // a prod runbook verbatim: every statement stamped ON CLUSTER
     val cat = new Catalog(spark)

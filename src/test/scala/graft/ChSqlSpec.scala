@@ -1520,6 +1520,37 @@ class ChSqlSpec extends SparkSpecBase {
     }
   }
 
+  test("windowFunnel refuses loudly when one group buffers past the cap") {
+    val q =
+      """SELECT user_id,
+        |  windowFunnel(86400)(ts, event_type = 'click',
+        |                      event_type = 'purchase') AS steps
+        |FROM events GROUP BY user_id ORDER BY user_id LIMIT 5""".stripMargin
+    // sane cap: the fold runs (the sql_param_aggs surface)
+    GraftSql.chSql(spark, sf0001, q).collect().length shouldBe 5
+    // a synthetic hot user: drop the cap below the busiest user's
+    // event count — the fold must refuse with the documented message,
+    // not OOM or silently truncate
+    System.setProperty("graft.funnel.groupCap", "10")
+    try {
+      val msg = intercept[Exception] {
+        GraftSql.chSql(spark, sf0001, q).collect()
+      }.getMessage
+      msg should include("funnel fold refused")
+    } finally System.clearProperty("graft.funnel.groupCap")
+    // sequenceMatch shares the guarded fold
+    System.setProperty("graft.funnel.groupCap", "10")
+    try {
+      intercept[Exception] {
+        GraftSql.chSql(spark, sf0001,
+          """SELECT user_id,
+            |  sequenceMatch('(?1).*(?2)')(ts, event_type = 'click',
+            |                              event_type = 'purchase') AS m
+            |FROM events GROUP BY user_id""".stripMargin).collect()
+      }.getMessage should include("funnel fold refused")
+    } finally System.clearProperty("graft.funnel.groupCap")
+  }
+
   test("system.numbers bounds to the statement's LIMIT; WHERE refuses") {
     GraftSql.chSql(spark, sf0001,
       "SELECT sum(number) AS s FROM (SELECT number FROM system.numbers LIMIT 10)")

@@ -460,6 +460,41 @@ class IntrospectionSpec extends SparkSpecBase {
     gov.systemProcesses().count() shouldBe 0L
   }
 
+  test("system.parts literal-table pin prunes the union to one branch") {
+    import graft.sql.ChDdl
+    val (cat, dir) = freshCat("sys-pin")
+    Seq("pa", "pb", "pc").foreach { t =>
+      cat.createTable(TableDef(t, s"$dir/$t",
+        Seq((1L, "x")).toDF("k", "v").schema,
+        sortKeys = Seq("k"), semantics = Append))
+      cat.append(t, Seq((1L, t)).toDF("k", "v"))
+    }
+    // a literal pin walks ONE table's storage, not the catalog's
+    ChDdl.query(cat, spark,
+      "SELECT count(*) AS n FROM system.parts WHERE table = 'pb'")
+      .head().getLong(0) should be >= 1L
+    cat.lastSystemAllBranches shouldBe Seq("pb")
+    // qualified spelling pins too
+    ChDdl.query(cat, spark,
+      "SELECT p.table AS t, CAST(sum(p.rows) AS BIGINT) AS r " +
+        "FROM system.parts p WHERE p.table = 'pa' GROUP BY p.table")
+      .head().getString(0) shouldBe "pa"
+    cat.lastSystemAllBranches shouldBe Seq("pa")
+    // no pin → full walk; a disjunctive pin is conservative (full walk)
+    ChDdl.query(cat, spark,
+      "SELECT count(*) AS n FROM system.parts").head()
+    cat.lastSystemAllBranches should contain allOf ("pa", "pb", "pc")
+    ChDdl.query(cat, spark,
+      "SELECT count(*) AS n FROM system.parts " +
+        "WHERE table = 'pa' OR table = 'pb'").head().getLong(0) should be >= 2L
+    cat.lastSystemAllBranches should contain allOf ("pa", "pb", "pc")
+    // a pin on an unknown table is an empty branch list, empty result
+    ChDdl.query(cat, spark,
+      "SELECT count(*) AS n FROM system.parts WHERE table = 'zz'")
+      .head().getLong(0) shouldBe 0L
+    cat.lastSystemAllBranches shouldBe Nil
+  }
+
   test("governance text doors: quota'd, governed, killed — entirely as statements") {
     import graft.sql.ChDdl
     val cat = new Catalog(spark)
