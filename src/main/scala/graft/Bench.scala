@@ -50,10 +50,15 @@ object Bench {
     // round-12 sf100 postmortem on the round-10 record
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = selected.map { case (name, fn) =>
-      val dt = (1 to math.max(repeat, 1)).map { _ =>
+      // per-repeat (elapsed, succeeded): the min composes over
+      // SUCCESSFUL repeats only (round-13 ADVICE fix — a fail-fast
+      // repeat's near-zero wall time must never become the recorded
+      // min), falling back to the failures' min when every repeat failed
+      val runs = (1 to math.max(repeat, 1)).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case _: Throwable => failed += name; -1L }
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => failed += name; false }
         val t = (System.nanoTime() - t0) / 1e9
         // storage hygiene between queries: drop whatever blocks the query
         // left pinned (localCheckpoints from fixpoint loops, caches) so a
@@ -70,9 +75,10 @@ object Bench {
         // pinned and survive. Outside the timed window by construction.
         if (sys.env.contains("SPARK_GRAFT_REAP"))
           graft.operators.CatalogOps.reapEphemeral()
-        t
-      }.min
-      name -> dt
+        (t, ok)
+      }
+      val good = runs.filter(_._2).map(_._1)
+      name -> (if (good.nonEmpty) good.min else runs.map(_._1).min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -389,8 +389,12 @@ object Dedup extends QueryModule {
       import graft.catalog.{Append, Catalog, NullEngine, TableDef}
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val cat = new Catalog(s)
+      // per-invocation scratch stays in the EPHEMERAL queue (round-13
+      // ADVICE fix): pinning it exempted every repeat's dir from the
+      // between-queries reap, re-growing exactly the big-SF scratch
+      // backlog the reap exists to prevent. The query's own action
+      // completes before the reap runs, so nothing here outlives its use.
       val tmp = graft.operators.CatalogOps.scratchDir("graft-dedup-inc")
-      CatalogOps.registerForCleanup(tmp)
       cat.createTable(TableDef("docs_inc_in",
         tmp.resolve("docs_in").toString, docs.schema, Seq.empty, NullEngine))
       val bandsSchema = org.apache.spark.sql.types.StructType(Seq(

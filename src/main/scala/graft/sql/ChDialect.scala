@@ -1355,21 +1355,45 @@ object ChDialect {
     s = limitCommaRe.replaceAllIn(s, m =>
       s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
     // `FROM system.numbers[_mt] … LIMIT n [OFFSET m]` — CH's unbounded
-    // integer stream, bounded here by the statement's own LIMIT (+ the
-    // offset, so the window survives) into the numbers() table function.
-    // WHERE-filtered reads refuse: CH generates until n rows PASS the
-    // filter — a finite prefix would silently return fewer rows.
-    if ("(?i)\\bsystem\\.numbers(_mt)?\\b".r.findFirstIn(s).isDefined) {
-      require("(?i)\\bWHERE\\b".r.findFirstIn(s).isEmpty,
+    // integer stream, bounded into the numbers() table function by the
+    // LIMIT of ITS OWN query block (round-13 ADVICE fix: the first LIMIT
+    // anywhere in the statement could belong to an earlier derived table
+    // and silently under-bound the stream). The block scan runs from the
+    // reference to the paren that closes its subquery, at the same
+    // depth; a WHERE in that span refuses (CH generates until n rows
+    // PASS the filter — a finite prefix would silently return fewer).
+    while ("(?i)\\bsystem\\.numbers(_mt)?\\b".r.findFirstMatchIn(s).isDefined) {
+      val m = "(?i)\\bsystem\\.numbers(_mt)?\\b".r.findFirstMatchIn(s).get
+      // the span from the reference to the end of its query block:
+      // depth-relative scan, stops where the block's paren closes
+      var i = m.end
+      var d = 0
+      var blockEnd = s.length
+      while (i < s.length && blockEnd == s.length) {
+        val c = s.charAt(i)
+        if (c == '(') d += 1
+        else if (c == ')') { d -= 1; if (d < 0) blockEnd = i }
+        i += 1
+      }
+      val block0 = s.substring(m.end, blockEnd)
+      // a set-operation keyword at block depth starts a SIBLING query
+      // block — its LIMIT is not ours
+      val block = "(?i)\\b(UNION|INTERSECT|EXCEPT)\\b".r
+        .findAllMatchIn(block0).find(mm => depthAt(block0, mm.start) == 0)
+        .map(mm => block0.substring(0, mm.start)).getOrElse(block0)
+      def atDepth0(mm: scala.util.matching.Regex.Match): Boolean =
+        depthAt(block, mm.start) == 0
+      require("(?i)\\bWHERE\\b".r.findAllMatchIn(block).forall(!atDepth0(_)),
         "system.numbers with WHERE: ClickHouse generates until LIMIT " +
           "rows pass the filter — use numbers(N) with an explicit bound")
       val lim = "(?i)\\bLIMIT\\s+(\\d+)(?:\\s+OFFSET\\s+(\\d+))?".r
-        .findFirstMatchIn(s).getOrElse(throw new IllegalArgumentException(
-          "system.numbers is unbounded — add LIMIT n or use numbers(N)"))
+        .findAllMatchIn(block).find(atDepth0)
+        .getOrElse(throw new IllegalArgumentException(
+          "system.numbers is unbounded — add LIMIT n in its own query " +
+            "block or use numbers(N)"))
       val bound = lim.group(1).toLong +
         Option(lim.group(2)).map(_.toLong).getOrElse(0L)
-      s = "(?i)\\bsystem\\.numbers(_mt)?\\b".r.replaceAllIn(s,
-        s"numbers($bound)")
+      s = s.substring(0, m.start) + s"numbers($bound)" + s.substring(m.end)
     }
     s = numbersRe.replaceAllIn(s, { m =>
       val (a, b) = (m.group(2), Option(m.group(3)))
@@ -2012,11 +2036,52 @@ object ChDialect {
     // pattern declares one, the whole match otherwise — the group
     // choice needs the literal pattern bytes (computed patterns refuse;
     // the regex-dialect guard applies, same stance as match)
+    // does the literal pattern declare a CAPTURE group? A character-wise
+    // scan, not a regex sniff (round-13 ADVICE fix): backslash-escaped
+    // parens and parens inside character classes are NOT groups — the
+    // old '\\((?!\\?)' sniff counted them and made regexp_extract throw
+    // at runtime on group index 1 of a 0-group pattern
+    def hasCaptureGroup(pat: String): Boolean = {
+      var i = 0
+      var inClass = false
+      while (i < pat.length) {
+        pat.charAt(i) match {
+          case '\\' => i += 1 // skip the escaped char
+          case '[' if !inClass => inClass = true
+          case ']' if inClass => inClass = false
+          case '(' if !inClass =>
+            if (i + 1 >= pat.length || pat.charAt(i + 1) != '?') return true
+          case _ =>
+        }
+        i += 1
+      }
+      false
+    }
+    // the masked literal is SQL-SOURCE text; the regex engine sees the
+    // parser-unescaped VALUE ('a\\(b' source → a\(b value), so the scan
+    // must unescape first — Spark's rule: known controls map, any other
+    // backslash-pair drops the backslash
+    def sqlUnescape(raw: String): String = {
+      val b = new StringBuilder
+      var i = 0
+      while (i < raw.length) {
+        val c = raw.charAt(i)
+        if (c == '\\' && i + 1 < raw.length) {
+          b += (raw.charAt(i + 1) match {
+            case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+            case 'b' => '\b'
+            case other => other
+          })
+          i += 2
+        } else { b += c; i += 1 }
+      }
+      b.toString
+    }
     def regexGroupIdx(fn: String, tok: String): Int =
       maskedLiteral(tok, literals) match {
         case Some(pat) =>
           guardRegex(fn, tok)
-          if ("\\((?!\\?)".r.findFirstIn(pat).isDefined) 1 else 0
+          if (hasCaptureGroup(sqlUnescape(pat))) 1 else 0
         case None => throw new IllegalArgumentException(
           s"$fn: the pattern must be a string literal (the whole-match-" +
             "vs-first-group choice inspects it)")
@@ -2721,17 +2786,26 @@ object ChDialect {
         s"approx_percentile(${args.head}, ${ps.head})"
       }
     }
-    // groupConcat: both CH call shapes (plain / parameterized separator)
+    // groupConcat: both CH call shapes (plain / parameterized separator).
+    // Elements SORT before joining (round-13 ADVICE fix): bare
+    // collect_list order is partition-dependent, so the same query could
+    // render a different string run to run — inconsistent with this
+    // repo's determinism stance. ClickHouse concatenates in block order,
+    // itself nondeterministic across merges — the sorted rendering is
+    // the documented divergence (the uniq stance: deterministic beats
+    // bug-compatible)
     s = rewriteMaybeParam(s, "groupConcat")(
       plain = {
-        case List(x) => s"array_join(collect_list(CAST($x AS STRING)), '')"
+        case List(x) =>
+          s"array_join(sort_array(collect_list(CAST($x AS STRING))), '')"
         case args => throw new IllegalArgumentException(
           s"groupConcat expects (x) or (sep)(x), got ${args.length}")
       },
       param = { (ps, args) =>
         require(ps.length == 1 && args.length == 1,
           "groupConcat('sep')(x): one separator, one expression")
-        s"array_join(collect_list(CAST(${args.head} AS STRING)), ${ps.head})"
+        s"array_join(sort_array(collect_list(CAST(${args.head} AS " +
+          s"STRING))), ${ps.head})"
       })
     // order-dependent / weighted aggregates with no deterministic twin
     s = rewriteParamAgg(s, "topKWeighted") { (_, _) =>

@@ -1565,6 +1565,50 @@ class ChSqlSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       GraftSql.chSql(spark, sf0001, "SELECT count() FROM system.numbers")
     }.getMessage should include("unbounded")
+    // round-13 ADVICE fix: a SMALLER limit in an EARLIER derived table
+    // must not bound the stream — the bound comes from the numbers
+    // block's OWN LIMIT
+    GraftSql.chSql(spark, sf0001,
+      """SELECT o_orderkey, number FROM
+        |  (SELECT o_orderkey FROM orders LIMIT 5) d
+        |CROSS JOIN system.numbers LIMIT 100""".stripMargin)
+      .count() shouldBe 100L
+    // an inner numbers block keeps ITS limit, not the outer one
+    GraftSql.chSql(spark, sf0001,
+      "SELECT sum(number) AS s FROM " +
+        "(SELECT number FROM system.numbers LIMIT 3) t LIMIT 10")
+      .head().getAs[Number](0).longValue shouldBe 3L
+    // numbers in a subquery with no block LIMIT refuses even when an
+    // outer LIMIT exists (the outer limit does not bound generation)
+    intercept[IllegalArgumentException] {
+      GraftSql.chSql(spark, sf0001,
+        "SELECT count(*) AS n FROM (SELECT number FROM system.numbers) t LIMIT 5")
+    }.getMessage should include("unbounded")
+    // a WHERE outside the numbers block no longer refuses
+    GraftSql.chSql(spark, sf0001,
+      """SELECT count(*) AS n
+        |FROM (SELECT number FROM system.numbers LIMIT 10) t
+        |WHERE number < 4""".stripMargin).head().getLong(0) shouldBe 4L
+  }
+
+  test("extract group sniff skips escaped parens and character classes") {
+    def one(q: String): String =
+      GraftSql.chSql(spark, sf0001, q).head().getString(0)
+    // escaped paren: 0 capture groups — whole match, no runtime throw
+    one("SELECT extract('xa(b', 'a\\\\(b') AS e") shouldBe "a(b"
+    // paren inside a character class is not a group either
+    one("SELECT extract('x(1y', '[(]1') AS e") shouldBe "(1"
+    // a real capture group still selects group 1
+    one("SELECT extract('ab12', 'b(\\\\d)') AS e") shouldBe "1"
+    // groupConcat renders sorted (deterministic-order divergence, the
+    // uniq stance) in both call shapes
+    GraftSql.chSql(spark, sf0001,
+      "SELECT groupConcat(',')(o_orderstatus) AS g FROM " +
+        "(SELECT o_orderstatus FROM orders ORDER BY o_orderkey LIMIT 4)")
+      .head().getString(0).split(',').toSeq shouldBe
+      GraftSql.sql(spark, sf0001,
+        "SELECT o_orderstatus FROM orders ORDER BY o_orderkey LIMIT 4")
+        .collect().map(_.getString(0)).sorted.toSeq
   }
 
   test("EXPLAIN SYNTAX returns the dialect's lowering as a result frame") {
