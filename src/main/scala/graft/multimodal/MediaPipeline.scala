@@ -93,6 +93,88 @@ object MediaPipeline {
     */
   def decodeAudio(payload: Array[Byte]): Option[AudioClip] = {
     if (!looksLikeWav(payload)) return None
+    // plain little-endian PCM (the overwhelmingly common WAV layout, and
+    // the fixture corpus' own) decodes straight off the byte span —
+    // AudioSystem pays an SPI provider scan + a stream stack per CALL,
+    // which at sf100 made audio decode 20% of the whole bench suite
+    // (round-12 performance note). Exotic encodings fall back to the
+    // JDK codec chain; both paths share the mix loop, so the downmix is
+    // byte-exact identical either way (MultimodalSpec pins it).
+    decodeRiffPcm(payload).orElse(decodeAudioJdk(payload))
+  }
+
+  /** Direct RIFF/WAVE chunk walk for PCM u8 / s16-LE payloads (any
+    * channel count). None for non-PCM format tags, other widths, or a
+    * malformed chunk list — the caller then tries the JDK path.
+    */
+  private[graft] def decodeRiffPcm(p: Array[Byte]): Option[AudioClip] = {
+    def u16(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    def u32(o: Int) = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+      ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+    var pos = 12
+    var fmtTag = -1; var ch = 0; var sampleRate = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (pos + 8 <= p.length && (fmtTag < 0 || dataOff < 0)) {
+      val id = new String(p, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = u32(pos + 4)
+      if (size < 0 || size > Int.MaxValue - 8) return None
+      val body = pos + 8
+      id match {
+        case "fmt " if size >= 16 && body + 16 <= p.length =>
+          fmtTag = u16(body)
+          ch = u16(body + 2)
+          sampleRate = u32(body + 4).toInt
+          bits = u16(body + 14)
+        case "data" =>
+          dataOff = body
+          dataLen = math.min(size, (p.length - body).toLong).toInt
+        case _ =>
+      }
+      pos = body + size.toInt + (size.toInt & 1) // chunks pad to even
+    }
+    if (fmtTag != 1 || ch < 1 || (bits != 8 && bits != 16) ||
+        dataOff < 0 || sampleRate <= 0) return None
+    // WAV convention: 8-bit PCM is UNSIGNED, 16-bit is SIGNED LE —
+    // exactly what AudioSystem reports for the same payload
+    val mono = mixDown(p, dataOff, dataLen, ch, bits / 8,
+      unsigned = bits == 8, bigEndian = false)
+    val nFrames = mono.length
+    Some(AudioClip(sampleRate, ch, nFrames,
+      nFrames * 1000L / sampleRate, mono))
+  }
+
+  /** The shared channel-averaging 8-bit downmix over a PCM byte span. */
+  private def mixDown(bytes: Array[Byte], off: Int, len: Int, ch: Int,
+                      bps: Int, unsigned: Boolean,
+                      bigEndian: Boolean): Array[Byte] = {
+    val frameSize = ch * bps
+    val nFrames = len / frameSize
+    val mono = new Array[Byte](nFrames)
+    var i = 0
+    while (i < nFrames) {
+      var acc = 0
+      var c = 0
+      while (c < ch) {
+        val o = off + i * frameSize + c * bps
+        // every branch widens to a 16-bit signed sample before the mix
+        val s16 =
+          if (bps == 1) (if (unsigned) (bytes(o) & 0xff) - 128 else bytes(o).toInt) << 8
+          else if (bigEndian) (bytes(o) << 8) | (bytes(o + 1) & 0xff)
+          else (bytes(o + 1) << 8) | (bytes(o) & 0xff)
+        acc += s16
+        c += 1
+      }
+      mono(i) = ((acc / ch) >> 8).toByte
+      i += 1
+    }
+    mono
+  }
+
+  /** The JDK codec-chain path (µ-law, a-law, float, big-endian — the
+    * layouts [[decodeRiffPcm]] declines): convert to 16-bit signed PCM
+    * and share the same mix loop.
+    */
+  private[graft] def decodeAudioJdk(payload: Array[Byte]): Option[AudioClip] = {
     var in: javax.sound.sampled.AudioInputStream = null
     try {
       import javax.sound.sampled.{AudioFormat, AudioSystem}
@@ -116,28 +198,11 @@ object MediaPipeline {
       val bytes = in.readAllBytes()
       val ch = f.getChannels max 1
       val bps = f.getSampleSizeInBits / 8
-      val frameSize = ch * bps
-      if (frameSize <= 0) return None
-      val nFrames = bytes.length / frameSize
-      val unsigned = f.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
-      val mono = new Array[Byte](nFrames)
-      var i = 0
-      while (i < nFrames) {
-        var acc = 0
-        var c = 0
-        while (c < ch) {
-          val off = i * frameSize + c * bps
-          // every branch widens to a 16-bit signed sample before the mix
-          val s16 =
-            if (bps == 1) (if (unsigned) (bytes(off) & 0xff) - 128 else bytes(off).toInt) << 8
-            else if (f.isBigEndian) (bytes(off) << 8) | (bytes(off + 1) & 0xff)
-            else (bytes(off + 1) << 8) | (bytes(off) & 0xff)
-          acc += s16
-          c += 1
-        }
-        mono(i) = ((acc / ch) >> 8).toByte
-        i += 1
-      }
+      if (ch * bps <= 0) return None
+      val mono = mixDown(bytes, 0, bytes.length, ch, bps,
+        unsigned = f.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED,
+        bigEndian = f.isBigEndian)
+      val nFrames = mono.length
       val sr = math.round(f.getSampleRate)
       Some(AudioClip(sr, srcFmt.getChannels, nFrames,
         if (sr > 0) nFrames * 1000L / sr else 0L, mono))

@@ -144,6 +144,31 @@ class MultimodalSpec extends SparkSpecBase {
     bos.toByteArray
   }
 
+  test("RIFF fast path is byte-exact with the JDK codec path (round 13)") {
+    import graft.multimodal.MediaPipeline.{decodeRiffPcm, decodeAudioJdk, synthWavU8}
+    // s16-LE mono and stereo (the JDK writer's own layout), plus the
+    // canonical u8 mono writer: the direct chunk walk and the
+    // AudioSystem chain must agree on EVERY field and EVERY sample
+    val payloads = Seq(
+      wavFixture(8000, 1, 1600, i => (i * 16).toShort),
+      wavFixture(16000, 2, 320, _ => 1024.toShort, 512.toShort),
+      synthWavU8(Array.tabulate(500)(i => (i % 251).toByte), 11025))
+    payloads.foreach { p =>
+      val fast = decodeRiffPcm(p).get
+      val jdk = decodeAudioJdk(p).get
+      fast.sampleRate shouldBe jdk.sampleRate
+      fast.channels shouldBe jdk.channels
+      fast.nSamples shouldBe jdk.nSamples
+      fast.durationMs shouldBe jdk.durationMs
+      fast.samples shouldBe jdk.samples
+    }
+    // a non-PCM format tag declines the fast path (format 3 = IEEE float)
+    val f = payloads.head.clone()
+    // fmt chunk body starts at 20 in the canonical layout; tag is u16 LE
+    f(20) = 3
+    decodeRiffPcm(f) shouldBe None
+  }
+
   test("WAV fixture decodes END TO END: real rate, real samples, real downmix") {
     // 8 kHz mono, 1600 samples = 200 ms; sample i = i*16 (so s16 >> 8 = i/16)
     val wav = wavFixture(8000, 1, 1600, i => (i * 16).toShort)

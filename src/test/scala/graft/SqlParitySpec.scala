@@ -47,6 +47,7 @@ class SqlParitySpec extends SparkSpecBase {
     "cat_ddl_alter", "cat_ddl_aggstate", "cat_ddl_default", "cat_ddl_ctas",
     "cat_insert_format", "cat_ddl_index", "sql_system_scan",
     "sql_system_parts", "cat_insert_infile",
+    "cat_ddl_distributed", "sql_query_log",
     "cat_constraint", "cat_materialized_col", "cat_row_policy",
     "cat_distributed_join",
     "cat_distributed_scan", "cat_lightweight_delete", "cat_null_mv",
@@ -76,6 +77,35 @@ class SqlParitySpec extends SparkSpecBase {
   /** DuckDB-blocked queries with a mechanical Spark-SQL twin. */
   private val twins: Map[String, String] = Map(
     dialect4Twin, aggDialectTwin,
+    // DuckDB's native ASOF JOIN → the row_number nest the dialect door
+    // lowers to (purchase event_ids are unique, so the restatement can
+    // partition by them directly)
+    "sql_asof" ->
+      """SELECT event_id, user_id, purchase_ts, last_click_ts FROM (
+        |  SELECT b.event_id AS event_id, b.user_id AS user_id,
+        |    b.ts AS purchase_ts, c.ts AS last_click_ts,
+        |    row_number() OVER (PARTITION BY b.event_id
+        |      ORDER BY c.ts DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') b
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON b.user_id = c.user_id AND b.ts >= c.ts) t
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // DuckDB (VALUES …) q(cols) → Spark FROM VALUES … AS q(cols)
+    "sql_processes" ->
+      """SELECT q.quota, q.users, CAST(q.i AS BIGINT) AS interval_ms,
+        |  CAST(q.mq AS BIGINT) AS max_queries,
+        |  CAST(q.me AS BIGINT) AS max_errors,
+        |  CAST(q.mr AS BIGINT) AS max_result_rows,
+        |  CAST(q.mx AS BIGINT) AS max_exec_ms,
+        |  (SELECT count(*) FROM orders) AS orders_scanned,
+        |  CAST(0 AS BIGINT) AS kill_after_done,
+        |  CAST(0 AS BIGINT) AS live_after
+        |FROM VALUES
+        |  ('q_analyst', 'analyst,bob', 3600000, 100, 5, 0, 0),
+        |  ('q_etl', 'etl', 1800000, 0, 0, 1000000, 600000)
+        | AS q(quota, users, i, mq, me, mr, mx)
+        |ORDER BY q.quota""".stripMargin,
     // DuckDB unnest(string_split) → Spark LATERAL VIEW explode(split)
     "sql_array_join" ->
       """SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS n_docs
