@@ -685,6 +685,55 @@ object Analytics extends QueryModule {
           |  ORDER BY o_totalprice DESC, o_orderkey) = 1
           |ORDER BY o_custkey LIMIT 500""".stripMargin)),
 
+    // The everyday tier-5 sweep in one statement (round 13 audit): the
+    // raw-text JSON tier (ExtractRaw slices the SOURCE text — the
+    // compact synthesized document makes the expected slice literal),
+    // addDate/subDate, map HOFs (mapFilter arg-swap, mapUpdate
+    // right-bias), array folds (arrayProduct/arrayFold/dotProduct/
+    // L2Norm/cosineDistance), multi-needle search, substringIndex,
+    // exp2, and the uniqUpTo(N) saturation contract as a scalar
+    // subquery. Each spelling parity-spec'd in isolation in ChSqlSpec;
+    // the gate proves composition + DuckDB recompute.
+    "sql_dialect5" -> ((s, d) =>
+      graft.sql.GraftSql.chSql(s, d,
+        """SELECT o_orderkey,
+          |  formatDateTime(addDate(toDate('2024-01-05'),
+          |    INTERVAL 3 DAY), '%Y-%m-%d') AS ad,
+          |  formatDateTime(subDate(toDate('2024-01-05'),
+          |    INTERVAL 2 DAY), '%Y-%m-%d') AS sd,
+          |  JSONExtractRaw(j, 'a') AS jr,
+          |  arrayStringConcat(JSONExtractKeys(j), '|') AS jk,
+          |  arrayStringConcat(JSONExtractArrayRaw(j, 'c'), ',') AS jar,
+          |  arrayStringConcat(arrayMap(v -> toString(v), mapValues(
+          |    mapFilter((k, v) -> v > 1,
+          |      map('a', 1, 'b', 2, 'c', CAST(o_orderkey % 3 AS INT))))),
+          |    '|') AS mf,
+          |  arrayStringConcat(arrayMap(v -> toString(v), mapValues(
+          |    mapUpdate(map('a', 1, 'b', 2),
+          |      map('b', CAST(o_orderkey % 7 AS INT))))), '|') AS mu,
+          |  round(arrayProduct([2.0, CAST(o_orderkey % 3 + 1 AS Float64)]), 2) AS ap,
+          |  CAST(arrayFold((acc, x) -> acc + x,
+          |    range(CAST(o_orderkey % 5 AS INT) + 1),
+          |    CAST(0 AS Int64)) AS Int64) AS af,
+          |  multiMatchAny(o_orderpriority, ['URG', 'zzz']) AS mm,
+          |  multiSearchFirstIndex(o_orderpriority, ['zzz', 'ENT']) AS mi,
+          |  CAST(countMatches(o_orderpriority, '[AEIOU]') AS Int64) AS cm,
+          |  substringIndex(o_orderpriority, '-', 1) AS si,
+          |  round(exp2(CAST(o_orderkey % 5 AS INT)), 2) AS e2,
+          |  (SELECT CAST(uniqUpTo(3)(o_orderstatus) AS Int64)
+          |   FROM orders) AS u3,
+          |  round(dotProduct([1.0, 2.0],
+          |    [3.0, CAST(o_orderkey % 4 AS Float64)]), 2) AS dp,
+          |  round(L2Norm([3.0, 4.0]), 2) AS l2,
+          |  round(cosineDistance([1.0, 2.0],
+          |    [2.0, CAST(o_orderkey % 3 + 1 AS Float64)]), 6) AS cd
+          |FROM (SELECT o_orderkey, o_orderpriority,
+          |        concat('{"a":{"b":', CAST(o_orderkey AS STRING),
+          |               '},"c":[1,2,', CAST(o_orderkey % 9 AS STRING),
+          |               ']}') AS j
+          |      FROM orders WHERE o_orderkey < 300)
+          |ORDER BY o_orderkey""".stripMargin)),
+
     // ASOF LEFT JOIN through the gate (round 13): the most common CH
     // time-series idiom as TEXT, lowered by the dialect onto equality
     // join + per-left-row row_number()=1 via the QUALIFY hoist — the
@@ -1358,6 +1407,33 @@ object Analytics extends QueryModule {
         | CAST(sum(number) AS BIGINT) AS sm
         |FROM range(100) t(number) GROUP BY 1 ORDER BY 1
         |LIMIT 5 OFFSET 2""".stripMargin,
+
+    // every tier-5 form restated portably: the raw-JSON slices as
+    // string concatenation over the same compact source, the folds as
+    // closed forms, the map HOFs as CASE arms over the literal maps
+    "sql_dialect5" ->
+      """SELECT o_orderkey,
+        | '2024-01-08' AS ad, '2024-01-03' AS sd,
+        | '{"b":' || CAST(o_orderkey AS VARCHAR) || '}' AS jr,
+        | 'a|c' AS jk,
+        | '1,2,' || CAST(o_orderkey % 9 AS VARCHAR) AS jar,
+        | CASE WHEN o_orderkey % 3 = 2 THEN '2|2' ELSE '2' END AS mf,
+        | '1|' || CAST(o_orderkey % 7 AS VARCHAR) AS mu,
+        | round(2.0 * (o_orderkey % 3 + 1), 2) AS ap,
+        | CAST((o_orderkey % 5) * ((o_orderkey % 5) + 1) // 2 AS BIGINT) AS af,
+        | (o_orderpriority LIKE '%URG%' OR o_orderpriority LIKE '%zzz%') AS mm,
+        | CASE WHEN position('ENT' IN o_orderpriority) > 0 THEN 2 ELSE 0 END AS mi,
+        | CAST(length(regexp_replace(o_orderpriority, '[^AEIOU]', '', 'g')) AS BIGINT) AS cm,
+        | split_part(o_orderpriority, '-', 1) AS si,
+        | round(pow(2.0, o_orderkey % 5), 2) AS e2,
+        | (SELECT CAST(least(count(DISTINCT o_orderstatus), 4) AS BIGINT)
+        |  FROM orders) AS u3,
+        | round(3.0 + 2.0 * (o_orderkey % 4), 2) AS dp,
+        | round(sqrt(25.0), 2) AS l2,
+        | round(1.0 - (2.0 + 2.0 * (o_orderkey % 3 + 1)) /
+        |   (sqrt(5.0) * sqrt(4.0 + (o_orderkey % 3 + 1) * (o_orderkey % 3 + 1))), 6) AS cd
+        |FROM orders WHERE o_orderkey < 300
+        |ORDER BY o_orderkey""".stripMargin,
 
     // DuckDB's NATIVE ASOF JOIN — an independent asof implementation
     // recomputing the dialect door's result

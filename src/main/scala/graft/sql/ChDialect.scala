@@ -2225,6 +2225,175 @@ object ChDialect {
       case args => throw new IllegalArgumentException(
         s"JSONLength expects (json[, key…]), got ${args.length} argument(s)")
     })
+    // ---- everyday tier 5 (round-13 audit sweep) -------------------------
+    // JSONExtractRaw/Keys/ArrayRaw: raw-TEXT extraction is string-shaped,
+    // so these ride the string door — the CAST(x AS STRING) front makes
+    // them accept BOTH String and JSON/Variant inputs (a variant renders
+    // its canonical JSON text; a string is a no-op cast). The typed
+    // JSONExtract* family stays on the Variant door above.
+    s = rewriteCall(s, "JSONExtractRaw", {
+      case json :: keys if keys.nonEmpty =>
+        val path = keys.map(_.strip()).mkString(", '.', ")
+        s"get_json_object(CAST($json AS STRING), concat('$$.', $path))"
+      case args => throw new IllegalArgumentException(
+        s"JSONExtractRaw expects (json, key…), got ${args.length}")
+    })
+    s = rewriteCall(s, "JSONExtractKeys", {
+      case json :: keys =>
+        val e =
+          if (keys.isEmpty) s"CAST($json AS STRING)"
+          else s"get_json_object(CAST($json AS STRING), concat('$$.', " +
+            s"${keys.map(_.strip()).mkString(", '.', ")}))"
+        s"json_object_keys($e)"
+      case Nil => throw new IllegalArgumentException(
+        "JSONExtractKeys expects (json[, key…])")
+    })
+    s = rewriteCall(s, "JSONExtractArrayRaw", {
+      case json :: keys =>
+        val e =
+          if (keys.isEmpty) s"CAST($json AS STRING)"
+          else s"get_json_object(CAST($json AS STRING), concat('$$.', " +
+            s"${keys.map(_.strip()).mkString(", '.', ")}))"
+        // sequence(0, -1) DESCENDS in Spark — the empty/missing case
+        // must short-circuit to array() before the index walk.
+        // DIVERGENCE: scalar STRING elements render unquoted (s, not
+        // "s") — get_json_object's scalar contract; objects/arrays/
+        // numbers come back as raw text like CH's
+        s"(CASE WHEN coalesce(json_array_length($e), 0) > 0 THEN " +
+          s"transform(sequence(0, json_array_length($e) - 1), " +
+          s"__i -> get_json_object($e, concat('$$[', CAST(__i AS STRING), " +
+          s"']'))) ELSE array() END)"
+      case Nil => throw new IllegalArgumentException(
+        "JSONExtractArrayRaw expects (json[, key…])")
+    })
+    // addDate/subDate: the interval spellings of the add/subtract family
+    s = rewriteCall(s, "addDate", {
+      case List(d0, iv) => s"($d0 + $iv)"
+      case args => throw new IllegalArgumentException(
+        s"addDate expects (date, INTERVAL…), got ${args.length}")
+    })
+    s = rewriteCall(s, "subDate", {
+      case List(d0, iv) => s"($d0 - $iv)"
+      case args => throw new IllegalArgumentException(
+        s"subDate expects (date, INTERVAL…), got ${args.length}")
+    })
+    s = rewriteCall(s, "toMillisecond",
+      args => s"CAST(date_format(${args.mkString(", ")}, 'SSS') AS INT)")
+    // order-dependent scan functions: the deltaSum stance — refuse
+    // loudly, name the window form with its explicit ordering
+    Seq(
+      "runningDifference" -> ("use value - lag(value) OVER (ORDER BY …) " +
+        "— the window form makes the ordering explicit"),
+      "runningAccumulate" -> ("use sum(…) OVER (ORDER BY … ROWS " +
+        "UNBOUNDED PRECEDING) — the window form makes the ordering " +
+        "explicit"),
+      "neighbor" -> "use lag/lead(value, n) OVER (ORDER BY …)")
+      .foreach { case (fn, alt) =>
+        s = rewriteCall(s, fn, _ => throw new IllegalArgumentException(
+          s"$fn: block-order dependent in ClickHouse with no " +
+            s"deterministic SQL twin — $alt"))
+      }
+    // map HOFs: CH is lambda-first, Spark map-first; mapUpdate's
+    // right-bias spells out as drop-overridden-then-concat
+    s = rewriteCall(s, "mapFilter", {
+      case List(lam, m) => s"map_filter($m, $lam)"
+      case args => throw new IllegalArgumentException(
+        s"mapFilter expects ((k, v) -> pred, map), got ${args.length}")
+    })
+    s = rewriteCall(s, "mapUpdate", {
+      case List(m1, m2) =>
+        s"map_concat(map_filter($m1, (__k, __v) -> " +
+          s"NOT array_contains(map_keys($m2), __k)), $m2)"
+      case args => throw new IllegalArgumentException(
+        s"mapUpdate expects (map, map), got ${args.length}")
+    })
+    s = rewriteCall(s, "mapApply", _ => throw new IllegalArgumentException(
+      "mapApply: the tuple-returning lambda has no textual split here — " +
+        "use transform_keys / transform_values (Spark's native map HOFs)"))
+    // array math tier: folds over the Spark HOFs (interpreted — fine for
+    // per-row small arrays; hot vector paths use the posexplode
+    // operators in graft.operators.Similarity)
+    s = rewriteCall(s, "arrayProduct", {
+      case List(a) => s"aggregate($a, CAST(1.0 AS DOUBLE), " +
+        s"(__s, __e) -> __s * CAST(__e AS DOUBLE))"
+      case args => throw new IllegalArgumentException(
+        s"arrayProduct expects 1 array, got ${args.length}")
+    })
+    s = rewriteCall(s, "arrayFold", {
+      case List(lam, arr, init) => s"aggregate($arr, $init, $lam)"
+      case args => throw new IllegalArgumentException(
+        s"arrayFold expects ((acc, x) -> …, array, init), got ${args.length}")
+    })
+    s = rewriteCall(s, "dotProduct", {
+      case List(a, b) =>
+        s"aggregate(zip_with($a, $b, (__x, __y) -> " +
+          s"CAST(__x AS DOUBLE) * CAST(__y AS DOUBLE)), " +
+          s"CAST(0.0 AS DOUBLE), (__s, __e) -> __s + __e)"
+      case args => throw new IllegalArgumentException(
+        s"dotProduct expects 2 arrays, got ${args.length}")
+    })
+    s = rewriteCall(s, "L1Norm", {
+      case List(a) => s"aggregate($a, CAST(0.0 AS DOUBLE), " +
+        s"(__s, __e) -> __s + abs(CAST(__e AS DOUBLE)))"
+      case args => throw new IllegalArgumentException(
+        s"L1Norm expects 1 array, got ${args.length}")
+    })
+    s = rewriteCall(s, "L2Norm", {
+      case List(a) => s"sqrt(aggregate($a, CAST(0.0 AS DOUBLE), " +
+        s"(__s, __e) -> __s + CAST(__e AS DOUBLE) * CAST(__e AS DOUBLE)))"
+      case args => throw new IllegalArgumentException(
+        s"L2Norm expects 1 array, got ${args.length}")
+    })
+    s = rewriteCall(s, "cosineDistance", {
+      case List(a, b) =>
+        def dot(x: String, y: String) =
+          s"aggregate(zip_with($x, $y, (__x, __y) -> " +
+            s"CAST(__x AS DOUBLE) * CAST(__y AS DOUBLE)), " +
+            s"CAST(0.0 AS DOUBLE), (__s, __e) -> __s + __e)"
+        s"(1.0 - ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+      case args => throw new IllegalArgumentException(
+        s"cosineDistance expects 2 arrays, got ${args.length}")
+    })
+    // multi-needle search
+    s = rewriteCall(s, "multiMatchAny", {
+      case List(h, pats) => s"exists($pats, __p -> $h RLIKE __p)"
+      case args => throw new IllegalArgumentException(
+        s"multiMatchAny expects (haystack, [patterns]), got ${args.length}")
+    })
+    s = rewriteCall(s, "multiSearchFirstIndex", {
+      case List(h, needles) =>
+        s"CAST(coalesce(array_position(transform($needles, " +
+          s"__n -> locate(__n, $h) > 0), true), 0) AS INT)"
+      case args => throw new IllegalArgumentException(
+        s"multiSearchFirstIndex expects (haystack, [needles]), got ${args.length}")
+    })
+    s = rewriteCall(s, "countMatches", {
+      case List(h, p) =>
+        guardRegex("countMatches", p)
+        s"size(regexp_extract_all($h, $p, 0))"
+      case args => throw new IllegalArgumentException(
+        s"countMatches expects (haystack, 'pattern'), got ${args.length}")
+    })
+    // renames
+    s = rewriteCall(s, "substringIndex",
+      args => s"substring_index(${args.mkString(", ")})")
+    s = rewriteCall(s, "initcapUTF8",
+      args => s"initcap(${args.mkString(", ")})")
+    s = rewriteCall(s, "lagInFrame",
+      args => s"lag(${args.mkString(", ")})")
+    s = rewriteCall(s, "leadInFrame",
+      args => s"lead(${args.mkString(", ")})")
+    s = rewriteCall(s, "exp2",
+      args => s"power(CAST(2.0 AS DOUBLE), ${args.mkString(", ")})")
+    // uniqUpTo(N)(x): exact distinct count saturating at N+1 — CH's own
+    // return contract (the memory bound is CH-internal; count(DISTINCT)
+    // is this engine's exact path)
+    s = rewriteParamAgg(s, "uniqUpTo") { (ps, args) =>
+      require(ps.length == 1 && ps.head.trim.matches("\\d+"),
+        "uniqUpTo(N)(x): N must be an integer literal")
+      require(args.nonEmpty, "uniqUpTo(N)(x…): needs an expression")
+      s"least(count(DISTINCT ${args.mkString(", ")}), ${ps.head.trim} + 1)"
+    }
     // no-op wrappers: type-level nullability doesn't exist in Spark SQL
     // text (assumeNotNull on an actual NULL is undefined in CH too);
     // identity/materialize are optimizer hints with nothing to hint

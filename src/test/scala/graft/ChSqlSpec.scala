@@ -1520,6 +1520,72 @@ class ChSqlSpec extends SparkSpecBase {
     }
   }
 
+  test("tier-5 spellings: raw-JSON door, map HOFs, array folds, saturating uniq") {
+    def one(q: String) = GraftSql.chSql(spark, sf0001, s"SELECT $q AS v").head()
+    // raw-text JSON extraction slices the SOURCE text (string door); the
+    // CAST front also accepts Variant inputs
+    one("JSONExtractRaw('{\"a\":{\"b\":1},\"c\":2}', 'a')")
+      .getString(0) shouldBe "{\"b\":1}"
+    one("arrayStringConcat(JSONExtractKeys('{\"x\":1,\"y\":2}'), ',')")
+      .getString(0) shouldBe "x,y"
+    // string elements render unquoted (documented divergence —
+    // get_json_object's scalar contract; CH keeps the quotes)
+    one("arrayStringConcat(JSONExtractArrayRaw('{\"a\":[1,\"s\",[2]]}', 'a'), '|')")
+      .getString(0) shouldBe "1|s|[2]"
+    // missing / empty arrays short-circuit to the empty array, never a
+    // descending sequence()
+    one("size(JSONExtractArrayRaw('{\"a\":[]}', 'a'))").getInt(0) shouldBe 0
+    one("size(JSONExtractArrayRaw('{}', 'nope'))").getInt(0) shouldBe 0
+    // map HOFs: CH lambda-first arg order; mapUpdate right-bias
+    one("arrayStringConcat(arrayMap(x -> toString(x), mapValues(" +
+      "mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2)))), ',')")
+      .getString(0) shouldBe "2"
+    one("arrayStringConcat(arrayMap(x -> toString(x), mapValues(" +
+      "mapUpdate(map('a', 1, 'b', 2), map('b', 9)))), ',')")
+      .getString(0) shouldBe "1,9"
+    // array folds
+    one("arrayProduct([2.0, 3.0, 4.0])").getDouble(0) shouldBe 24.0
+    one("CAST(arrayFold((acc, x) -> acc + x, [1, 2, 3], " +
+      "CAST(10 AS Int64)) AS Int64)").getLong(0) shouldBe 16L
+    one("dotProduct([1.0, 2.0], [3.0, 4.0])").getDouble(0) shouldBe 11.0
+    one("L2Norm([3.0, 4.0])").getDouble(0) shouldBe 5.0
+    one("L1Norm([-3.0, 4.0])").getDouble(0) shouldBe 7.0
+    one("round(cosineDistance([1.0, 0.0], [0.0, 1.0]), 6)")
+      .getDouble(0) shouldBe 1.0
+    // multi-needle search
+    one("multiMatchAny('abc', ['z.', 'b.'])").getBoolean(0) shouldBe true
+    one("multiSearchFirstIndex('abcdef', ['zz', 'cd'])")
+      .getInt(0) shouldBe 2
+    one("multiSearchFirstIndex('abcdef', ['zz'])").getInt(0) shouldBe 0
+    one("countMatches('aXbXXc', 'X+')").getInt(0) shouldBe 2
+    // renames + date forms
+    one("substringIndex('a.b.c', '.', 2)").getString(0) shouldBe "a.b"
+    one("formatDateTime(addDate(toDate('2024-01-05'), INTERVAL 3 DAY), " +
+      "'%Y-%m-%d')").getString(0) shouldBe "2024-01-08"
+    one("formatDateTime(subDate(toDate('2024-01-05'), INTERVAL 2 DAY), " +
+      "'%Y-%m-%d')").getString(0) shouldBe "2024-01-03"
+    one("exp2(10)").getDouble(0) shouldBe 1024.0
+    // uniqUpTo saturates at N + 1 (CH's return contract)
+    GraftSql.chSql(spark, sf0001,
+      "SELECT CAST(uniqUpTo(2)(o_orderpriority) AS Int64) AS v FROM orders")
+      .head().getLong(0) shouldBe 3L
+    GraftSql.chSql(spark, sf0001,
+      "SELECT CAST(uniqUpTo(99)(o_orderstatus) AS Int64) AS v FROM orders")
+      .head().getLong(0) shouldBe 3L
+    // order-dependent scan functions refuse with the window alternative
+    Seq("runningDifference(value)" -> "lag",
+      "runningAccumulate(value)" -> "OVER",
+      "neighbor(value, 1)" -> "lag/lead").foreach { case (call, needle) =>
+      intercept[Exception] {
+        GraftSql.chSql(spark, sf0001, s"SELECT $call FROM events").collect()
+      }.getMessage should include(needle)
+    }
+    intercept[Exception] {
+      GraftSql.chSql(spark, sf0001,
+        "SELECT mapApply((k, v) -> (k, v), map('a', 1)) AS v").collect()
+    }.getMessage should include("transform_keys")
+  }
+
   test("windowFunnel refuses loudly when one group buffers past the cap") {
     val q =
       """SELECT user_id,

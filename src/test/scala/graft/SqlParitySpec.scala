@@ -77,6 +77,31 @@ class SqlParitySpec extends SparkSpecBase {
   /** DuckDB-blocked queries with a mechanical Spark-SQL twin. */
   private val twins: Map[String, String] = Map(
     dialect4Twin, aggDialectTwin,
+    // DuckDB `//` → Spark DIV; DuckDB regexp_replace 'g' flag → Spark's
+    // default-global 3-arg form; the rest runs verbatim
+    "sql_dialect5" ->
+      """SELECT o_orderkey,
+        | '2024-01-08' AS ad, '2024-01-03' AS sd,
+        | '{"b":' || CAST(o_orderkey AS STRING) || '}' AS jr,
+        | 'a|c' AS jk,
+        | '1,2,' || CAST(o_orderkey % 9 AS STRING) AS jar,
+        | CASE WHEN o_orderkey % 3 = 2 THEN '2|2' ELSE '2' END AS mf,
+        | '1|' || CAST(o_orderkey % 7 AS STRING) AS mu,
+        | round(CAST(2.0 * (o_orderkey % 3 + 1) AS DOUBLE), 2) AS ap,
+        | CAST((o_orderkey % 5) * ((o_orderkey % 5) + 1) DIV 2 AS BIGINT) AS af,
+        | (o_orderpriority LIKE '%URG%' OR o_orderpriority LIKE '%zzz%') AS mm,
+        | CASE WHEN position('ENT' IN o_orderpriority) > 0 THEN 2 ELSE 0 END AS mi,
+        | CAST(length(regexp_replace(o_orderpriority, '[^AEIOU]', '')) AS BIGINT) AS cm,
+        | split_part(o_orderpriority, '-', 1) AS si,
+        | round(pow(2.0, o_orderkey % 5), 2) AS e2,
+        | (SELECT CAST(least(count(DISTINCT o_orderstatus), 4) AS BIGINT)
+        |  FROM orders) AS u3,
+        | round(CAST(3.0 + 2.0 * (o_orderkey % 4) AS DOUBLE), 2) AS dp,
+        | round(sqrt(25.0), 2) AS l2,
+        | round(1.0 - (2.0 + 2.0 * (o_orderkey % 3 + 1)) /
+        |   (sqrt(5.0) * sqrt(4.0 + (o_orderkey % 3 + 1) * (o_orderkey % 3 + 1))), 6) AS cd
+        |FROM orders WHERE o_orderkey < 300
+        |ORDER BY o_orderkey""".stripMargin,
     // DuckDB's native ASOF JOIN → the row_number nest the dialect door
     // lowers to (purchase event_ids are unique, so the restatement can
     // partition by them directly)
