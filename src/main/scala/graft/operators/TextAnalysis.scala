@@ -68,8 +68,32 @@ object TextAnalysis extends QueryModule {
            (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame)]
 
   private[graft] def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String)
-      : (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame) =
-    bpeState.getOrElseUpdate((s, d), {
+      : (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    // the memo must NOT ride localCheckpoint blocks: Bench's
+    // between-queries storage hygiene (unpersist-all) drops them, and a
+    // truncated lineage cannot recompute (round-13 finding —
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND; the suite's query order had
+    // masked the race since the memo landed). The final word table
+    // therefore lands on scratch PARQUET once per (session, corpus) —
+    // the pinned-fixture pattern (PQ index, ChAggs MVs) — and the memo
+    // holds a plain file-backed frame no cache sweep can invalidate. A
+    // liveness probe still guards against an externally-deleted scratch.
+    bpeState.get((s, d)).filter { case (_, w) =>
+      scala.util.Try { w.head(1); true }.getOrElse(false)
+    }.getOrElse {
+      val (merges, words) = bpeTrainBuild(s, d)
+      val dir = CatalogOps.scratchDir("graft-bpe")
+      CatalogOps.registerForCleanup(dir) // process-memoized: pin
+      val path = dir.resolve("words").toString
+      words.write.mode("overwrite").parquet(path)
+      val built = (merges, s.read.parquet(path))
+      bpeState.put((s, d), built)
+      built
+    }
+  }
+
+  private def bpeTrainBuild(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame) = {
       var words = Tables.documents(s, d)
         .select(explode(TextFns.tokens(col("text"))).as("w"))
         .filter(col("w") =!= "")
@@ -109,7 +133,7 @@ object TextAnalysis extends QueryModule {
         }
       }
       (merges.toSeq, words)
-    })
+  }
 
   /** The unrolled-K-round DuckDB replay (doc above): shared CTE chain for
     * the `text_bpe` and `text_pack_bpe` oracles. MATERIALIZED is
