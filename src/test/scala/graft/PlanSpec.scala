@@ -110,6 +110,19 @@ class PlanSpec extends SparkSpecBase {
     p should include("WindowGroupLimit")
   }
 
+  test("sql_asof plans a map-side partial WindowGroupLimit over the candidates") {
+    // the ASOF text lowering's row_number() = 1 must collapse each left
+    // row's candidate matches BEFORE the window shuffle (Partial
+    // WindowGroupLimit under the Exchange) — at scale the per-key match
+    // fan-out never rides the wire beyond one row per left row
+    val p = planOf("sql_asof")
+    p should include("WindowGroupLimit")
+    p should include("Partial")
+    // the inequality rides the join as a condition, not a post-filter
+    // over a cartesian
+    p should not include "CartesianProduct"
+  }
+
   test("no query plans a CartesianProduct except the explicit cross join") {
     SparkEntry.queries.keys.filterNot(_ == "join_cross").foreach { q =>
       withClue(s"$q: ") { planOf(q) should not include "CartesianProduct" }
