@@ -2030,16 +2030,92 @@ final class Catalog(spark: SparkSession) {
     */
   def readAs(table: String, user: String): DataFrame = {
     val base = read(table)
+    // a policy may address a ROLE: the user's principal set is the user
+    // name plus every role granted to them (round 13 — CREATE ROLE /
+    // GRANT role TO user as text)
+    val prin = principalsOf(user)
     val rowFiltered = rowPolicies.get(table) match {
       case None => base
       case Some(pols) =>
-        val mine = pols.filter(_.users.contains(user))
+        val mine = pols.filter(_.users.exists(prin))
         if (mine.isEmpty) base.filter(lit(false))
         else base.filter(mine.map(p => expr(p.predicate)).reduce(_ || _))
     }
     // rows first (policy predicates see real values), then the
     // column-grant/mask rewrite (doc at applyColumnPolicies)
     applyColumnPolicies(table, user, rowFiltered)
+  }
+
+  // ---- users & roles (round 13) ----------------------------------------
+  //
+  // CH `CREATE USER` / `CREATE ROLE` / `GRANT role TO user`: a
+  // single-process engine has no authentication layer (every caller IS
+  // the server), so a user here is a NAME the policy registries address
+  // and a role is a named user SET — policies and grants naming a role
+  // cover every user granted it, expanded at read time through
+  // [[principalsOf]]. IDENTIFIED clauses parse and are noted as no-ops
+  // (there is no login to authenticate). JVM-local server state, like
+  // the MV/policy registries.
+
+  private val userRegistry =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val roleRegistry =
+    scala.collection.concurrent.TrieMap.empty[String, Set[String]]
+
+  def createUser(name: String, auth: String = "no_password",
+                 ifNotExists: Boolean = false): Unit = {
+    val had = userRegistry.putIfAbsent(name, auth).isDefined
+    require(!had || ifNotExists, s"user $name already exists")
+  }
+
+  def dropUser(name: String, ifExists: Boolean = false): Unit = {
+    val had = userRegistry.remove(name).isDefined
+    roleRegistry.keys.foreach(r =>
+      roleRegistry.updateWith(r)(_.map(_ - name)))
+    require(had || ifExists, s"DROP USER $name: no such user")
+  }
+
+  def createRole(name: String, ifNotExists: Boolean = false): Unit = {
+    val had = roleRegistry.putIfAbsent(name, Set.empty).isDefined
+    require(!had || ifNotExists, s"role $name already exists")
+  }
+
+  def dropRole(name: String, ifExists: Boolean = false): Unit =
+    require(roleRegistry.remove(name).isDefined || ifExists,
+      s"DROP ROLE $name: no such role")
+
+  /** `GRANT role[, role…] TO user[, user…]`. */
+  def grantRoles(rs: Seq[String], us: Seq[String]): Unit = rs.foreach { r =>
+    require(roleRegistry.contains(r),
+      s"GRANT $r: no such role — CREATE ROLE $r first")
+    roleRegistry.updateWith(r)(_.map(_ ++ us))
+  }
+
+  def revokeRoles(rs: Seq[String], us: Seq[String]): Unit = rs.foreach { r =>
+    require(roleRegistry.contains(r),
+      s"REVOKE $r: no such role")
+    roleRegistry.updateWith(r)(_.map(_ -- us))
+  }
+
+  /** The names a policy/grant may address that cover `user`: the user
+    * itself plus every role granted to them.
+    */
+  private def principalsOf(user: String): Set[String] =
+    roleRegistry.collect {
+      case (r, members) if members.contains(user) => r
+    }.toSet + user
+
+  /** `system.users` / `system.roles`: the registries. */
+  def systemUsers(): DataFrame = {
+    import spark.implicits._
+    userRegistry.toSeq.sorted.toDF("name", "auth_type")
+  }
+
+  def systemRoles(): DataFrame = {
+    import spark.implicits._
+    roleRegistry.toSeq.sortBy(_._1)
+      .map { case (r, ms) => (r, ms.toSeq.sorted.mkString(",")) }
+      .toDF("role", "granted_to")
   }
 
   /** `system.row_policies`: (table, policy, users, predicate). */
@@ -2158,10 +2234,19 @@ final class Catalog(spark: SparkSession) {
     val grants = columnGrants.getOrElse(table, Map.empty)
     val masks = columnMasks.getOrElse(table, Map.empty)
     if (grants.isEmpty && masks.isEmpty) return df
+    // grants/masks may address a role the user holds (round 13): a
+    // user's allowance is the UNION over their principal set, and the
+    // first principal-addressed mask wins (user-specific masks sort
+    // first — the user name itself is always in the set)
+    val prin = principalsOf(user)
     val allowed: Option[Set[String]] =
-      if (grants.isEmpty) None else Some(grants.getOrElse(user, Set.empty))
+      if (grants.isEmpty) None
+      else Some(prin.flatMap(p => grants.getOrElse(p, Set.empty)))
+    def maskOf(c: String): Option[String] =
+      masks.get((user, c)).orElse(
+        prin.toSeq.sorted.flatMap(p => masks.get((p, c))).headOption)
     df.select(df.schema.fields.map { f =>
-      masks.get((user, f.name)) match {
+      maskOf(f.name) match {
         case Some(m) => expr(m).cast(f.dataType).as(f.name)
         case None if allowed.exists(a => !a.contains(f.name)) =>
           lit(null).cast(f.dataType).as(f.name)

@@ -735,6 +735,36 @@ object CatalogOps extends QueryModule {
           |FROM system.parts p GROUP BY p.table ORDER BY tbl""".stripMargin)
     }),
 
+    // Users & roles as text (round 13): a ROLE-addressed row policy +
+    // column grant cover every user GRANTed the role — the whole chain
+    // (user, role, grant, policy, masked read) runs as statements, and
+    // the oracle restates the role-expanded read from the source table:
+    // the policy's row filter survives, the ungranted balance column
+    // reads as typed NULLs (bal_visible counts 0).
+    "sql_access_roles" -> ((s, d) => {
+      val cat = new Catalog(s)
+      val tmp = scratchDir("graft-roles")
+      val src = Tables.supplier(s, d).select(
+        col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      cat.createTable(graft.catalog.TableDef("sup_acl",
+        tmp.resolve("sup_acl").toString, src.schema,
+        Seq("s_suppkey"), Append))
+      cat.append("sup_acl", src)
+      graft.sql.ChDdl.runScript(cat, s,
+        """CREATE USER analyst2;
+          |CREATE ROLE eu_readers;
+          |GRANT eu_readers TO analyst2;
+          |CREATE ROW POLICY eu ON sup_acl FOR SELECT
+          |  USING s_nationkey < 10 TO eu_readers;
+          |GRANT SELECT(s_suppkey, s_nationkey) ON sup_acl TO eu_readers"""
+          .stripMargin, tmp.toString)
+      cat.readAs("sup_acl", "analyst2")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          count(col("s_acctbal")).as("bal_visible"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // Governance doors (round 13): CREATE QUOTA / SHOW PROCESSLIST /
     // KILL QUERY / system.quotas entirely as TEXT, routed to the
     // catalog's QueryGovernor. A real governed scan runs under a
@@ -1810,6 +1840,13 @@ object CatalogOps extends QueryModule {
         |  min(k)::BIGINT AS lo, max(k)::BIGINT AS hi,
         |  1::BIGINT AS n_mut, 0::BIGINT AS n_det
         |FROM kept""".stripMargin,
+
+    // the role-expanded read restated: the policy's row filter from the
+    // source table, the ungranted column counting 0 visible values
+    "sql_access_roles" ->
+      """SELECT s_nationkey, count(*) AS n, 0 AS bal_visible
+        |FROM supplier WHERE s_nationkey < 10
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     // the quota declarations restated as literals; counts from the
     // governed scan and the post-completion kill/process-list reads

@@ -141,6 +141,25 @@ object ChDdl {
   final case class DropQuota(name: String, ifExists: Boolean)
     extends Statement
 
+  /** Users & roles as text (round 13): names the policy registries
+    * address — see the Catalog registry doc (no authentication layer in
+    * a single process; IDENTIFIED clauses parse and are noted no-ops).
+    */
+  final case class CreateUser(name: String, auth: String,
+                              ifNotExists: Boolean) extends Statement
+  final case class DropUser(name: String, ifExists: Boolean)
+    extends Statement
+  final case class CreateRole(name: String, ifNotExists: Boolean)
+    extends Statement
+  final case class DropRole(name: String, ifExists: Boolean)
+    extends Statement
+  final case class GrantRoles(roles: Seq[String], users: Seq[String])
+    extends Statement
+  final case class RevokeRoles(roles: Seq[String], users: Seq[String])
+    extends Statement
+  /** `DROP TABLE IF EMPTY t` — drops only when the table holds no rows. */
+  final case class DropTableIfEmpty(table: String) extends Statement
+
   /** `CREATE TABLE d (cols…) ENGINE = Distributed(cluster, db, t, key)`
     * (round 13) — a facade declaration over already-registered member
     * tables; execution routes to [[graft.catalog.DistributedCatalog
@@ -160,6 +179,11 @@ object ChDdl {
   final case class AddColumnCmd(field: StructField,
                                 defaultSql: Option[String]) extends AlterCmd
   final case class DropColumnCmd(column: String) extends AlterCmd
+  /** Parsed-and-ignored ALTER commands (MODIFY/RESET SETTING, MODIFY
+    * COMMENT): storage knobs with no Spark-side meaning — acknowledged
+    * loudly, the statement-level SETTINGS/COMMENT warning precedent.
+    */
+  final case class NoopAlterCmd(text: String, note: String) extends AlterCmd
   final case class RenameColumnCmd(from: String, to: String) extends AlterCmd
   final case class ModifyColumnCmd(column: String,
                                    newType: DataType) extends AlterCmd
@@ -327,8 +351,10 @@ object ChDdl {
     "(?is)^\\s*TRUNCATE\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?([`\\w.]+)\\s*$".r
   private val dropTableRe =
     "(?is)^\\s*DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?([`\\w.]+)\\s*$".r
+  // PERMANENTLY parses and strips: single-process detach IS permanent
+  // (nothing auto-reattaches; ATTACH TABLE is the explicit undo)
   private val detachTableRe =
-    "(?is)^\\s*DETACH\\s+TABLE\\s+([`\\w.]+)\\s*$".r
+    "(?is)^\\s*DETACH\\s+TABLE\\s+([`\\w.]+)(?:\\s+PERMANENTLY)?\\s*$".r
   private val attachTableRe =
     "(?is)^\\s*ATTACH\\s+TABLE\\s+([`\\w.]+)\\s*$".r
   private val renameTableRe =
@@ -362,6 +388,25 @@ object ChDdl {
       "MAX\\s+(.+?)\\s+TO\\s+(.+?)\\s*$").r
   private val dropQuotaRe =
     "(?is)^\\s*DROP\\s+QUOTA\\s+(IF\\s+EXISTS\\s+)?([`\\w]+)\\s*$".r
+  private val createUserRe =
+    ("(?is)^\\s*CREATE\\s+USER\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([`\\w]+)" +
+      "(?:\\s+IDENTIFIED\\s+(?:WITH\\s+(\\w+)|BY\\s+'[^']*'))?\\s*$").r
+  private val dropUserRe =
+    "(?is)^\\s*DROP\\s+USER\\s+(IF\\s+EXISTS\\s+)?([`\\w]+)\\s*$".r
+  private val createRoleRe =
+    "(?is)^\\s*CREATE\\s+ROLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([`\\w]+)\\s*$".r
+  private val dropRoleRe =
+    "(?is)^\\s*DROP\\s+ROLE\\s+(IF\\s+EXISTS\\s+)?([`\\w]+)\\s*$".r
+  // the ROLE grant form has no `ON t` (the column-grant form does) and
+  // no call parens — checked AFTER grantRe so SELECT(cols) ON wins
+  private val grantRoleRe =
+    ("(?is)^\\s*GRANT\\s+([`\\w]+(?:\\s*,\\s*[`\\w]+)*)\\s+TO\\s+" +
+      "([`\\w]+(?:\\s*,\\s*[`\\w]+)*)\\s*$").r
+  private val revokeRoleRe =
+    ("(?is)^\\s*REVOKE\\s+([`\\w]+(?:\\s*,\\s*[`\\w]+)*)\\s+FROM\\s+" +
+      "([`\\w]+(?:\\s*,\\s*[`\\w]+)*)\\s*$").r
+  private val dropIfEmptyRe =
+    "(?is)^\\s*DROP\\s+TABLE\\s+IF\\s+EMPTY\\s+([`\\w.]+)\\s*$".r
   private val systemRe = "(?is)^\\s*SYSTEM\\s+(.+?)\\s*$".r
   private val useRe = "(?is)^\\s*USE\\s+([`\\w]+)\\s*$".r
   // value = a number, literal, or bare word (CH accepts all three)
@@ -510,6 +555,29 @@ object ChDdl {
     dropQuotaRe.findFirstMatchIn(ddl).foreach { m =>
       return DropQuota(bare(m.group(2)), ifExists = m.group(1) != null)
     }
+    createUserRe.findFirstMatchIn(ddl).foreach { m =>
+      val auth = Option(m.group(3)).getOrElse(
+        if ("(?i)IDENTIFIED\\s+BY".r.findFirstIn(ddl).isDefined)
+          "password" else "no_password")
+      if (auth != "no_password")
+        System.err.println(s"[chddl] CREATE USER ${bare(m.group(2))} " +
+          s"IDENTIFIED ($auth): no authentication layer in a " +
+          "single-process engine — the clause is parsed and ignored")
+      return CreateUser(bare(m.group(2)), auth,
+        ifNotExists = m.group(1) != null)
+    }
+    dropUserRe.findFirstMatchIn(ddl).foreach { m =>
+      return DropUser(bare(m.group(2)), ifExists = m.group(1) != null)
+    }
+    createRoleRe.findFirstMatchIn(ddl).foreach { m =>
+      return CreateRole(bare(m.group(2)), ifNotExists = m.group(1) != null)
+    }
+    dropRoleRe.findFirstMatchIn(ddl).foreach { m =>
+      return DropRole(bare(m.group(2)), ifExists = m.group(1) != null)
+    }
+    dropIfEmptyRe.findFirstMatchIn(ddl).foreach { m =>
+      return DropTableIfEmpty(bare(m.group(1)))
+    }
     systemRe.findFirstMatchIn(ddl).foreach { m =>
       return SystemCmd(m.group(1))
     }
@@ -531,6 +599,17 @@ object ChDdl {
       require(cols.nonEmpty && users.nonEmpty,
         "GRANT SELECT(cols) ON t TO users: needs columns and users")
       return Grant(bare(m.group(2)), users, cols)
+    }
+    // role grant/revoke AFTER the column-grant form (that one has ON t)
+    grantRoleRe.findFirstMatchIn(ddl).foreach { m =>
+      def names(g: String) =
+        g.split(',').map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq
+      return GrantRoles(names(m.group(1)), names(m.group(2)))
+    }
+    revokeRoleRe.findFirstMatchIn(ddl).foreach { m =>
+      def names(g: String) =
+        g.split(',').map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq
+      return RevokeRoles(names(m.group(1)), names(m.group(2)))
     }
     rowPolicyRe.findFirstMatchIn(ddl).foreach { m =>
       val users = m.group(4).split(',').map(_.trim.replace("`", ""))
@@ -959,6 +1038,56 @@ object ChDdl {
     // types daily, routed to the catalog's QueryGovernor
     if ("(?is)^\\s*SHOW\\s+PROCESSLIST\\s*$".r.findFirstIn(text).isDefined)
       return cat.governor.systemProcesses()
+    if ("(?is)^\\s*SHOW\\s+QUOTAS\\s*$".r.findFirstIn(text).isDefined)
+      return cat.governor.systemQuotas()
+    // SHOW CREATE QUOTA: the declaration rendered back from the
+    // registry, interval normalized to the largest clean unit
+    "(?is)^\\s*SHOW\\s+CREATE\\s+QUOTA\\s+([`\\w]+)\\s*$".r
+      .findFirstMatchIn(text).foreach { m =>
+        val qn = bare(m.group(1))
+        val row = cat.governor.systemQuotas()
+          .filter(org.apache.spark.sql.functions.col("quota") === qn)
+          .collect().headOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"SHOW CREATE QUOTA $qn: no such quota"))
+        val ms = row.getAs[Long]("interval_ms")
+        val (n, unit) =
+          if (ms % 3600000L == 0) (ms / 3600000L, "HOUR")
+          else if (ms % 60000L == 0) (ms / 60000L, "MINUTE")
+          else (ms / 1000L, "SECOND")
+        val dims = Seq(
+          "queries" -> row.getAs[Long]("max_queries"),
+          "errors" -> row.getAs[Long]("max_errors"),
+          "result_rows" -> row.getAs[Long]("max_result_rows"),
+          "execution_time" -> row.getAs[Long]("max_exec_ms") / 1000L)
+          .filter(_._2 > 0).map { case (d, v) => s"$d = $v" }
+        return Seq(s"CREATE QUOTA $qn FOR INTERVAL $n $unit " +
+          s"MAX ${dims.mkString(", ")} TO ${row.getAs[String]("users")}")
+          .toDF("statement")
+      }
+    if ("(?is)^\\s*SHOW\\s+USERS\\s*$".r.findFirstIn(text).isDefined)
+      return cat.systemUsers()
+    if ("(?is)^\\s*SHOW\\s+ROLES\\s*$".r.findFirstIn(text).isDefined)
+      return cat.systemRoles()
+    // mutations apply SYNCHRONOUSLY here (ALTER DELETE/UPDATE rewrite
+    // and commit before the statement returns), so there is never a
+    // live mutation to kill — CH's no-match contract: the empty set
+    "(?is)^\\s*KILL\\s+MUTATION\\s+WHERE\\b.*$".r
+      .findFirstMatchIn(text).foreach { _ =>
+        System.err.println("[chddl] KILL MUTATION: mutations apply " +
+          "synchronously in this engine — nothing is ever mid-flight " +
+          "to kill; returning the empty set (CH's no-match contract)")
+        return Seq.empty[(String, String, String)]
+          .toDF("table", "mutation_id", "kill_status")
+      }
+    // CHECK TABLE t: verify the storage is readable end-to-end (a full
+    // scan count — the strongest single-process integrity probe; a
+    // corrupt part THROWS, it never reports 0 silently)
+    "(?is)^\\s*CHECK\\s+TABLE\\s+([`\\w.]+)\\s*$".r
+      .findFirstMatchIn(text).foreach { m =>
+        cat.read(bare(m.group(1))).count()
+        return Seq(1).toDF("result")
+      }
     "(?is)^\\s*KILL\\s+QUERY\\s+WHERE\\s+query_id\\s*=\\s*'([^']+)'\\s*(?:SYNC|ASYNC)?\\s*$".r
       .findFirstMatchIn(text).foreach { m =>
         val id = m.group(1)
@@ -1013,6 +1142,20 @@ object ChDdl {
         "processes" -> (() => cat.governor.systemProcesses()),
         "quotas" -> (() => cat.governor.systemQuotas()),
         "quota_usage" -> (() => cat.governor.systemQuotaUsage()),
+        "users" -> (() => cat.systemUsers()),
+        "roles" -> (() => cat.systemRoles()),
+        // the flat namespace's two fixture databases (SHOW DATABASES)
+        "databases" -> (() => Seq("default", "system").toDF("name")),
+        // the engine's settings ARE the Spark session confs
+        "settings" -> (() => s.conf.getAll.toSeq.sorted
+          .toDF("name", "value")),
+        // every function the session resolves (built-ins + the
+        // engine's registered kernels)
+        "functions" -> (() => s.catalog.listFunctions()
+          .select(org.apache.spark.sql.functions.col("name"))),
+        "dictionaries" -> (() => DictRegistry.list
+          .map(dd => (dd.name, dd.view, dd.keys.mkString(",")))
+          .toDF("name", "source", "key")),
         // the most-queried system table in real CH ops: the QueryLog's
         // own catalog table (register a QueryLog over this catalog and
         // flush() — the binding reads what landed)
@@ -1169,7 +1312,7 @@ object ChDdl {
     "DETACH PARTITION", "ATTACH PARTITION", "FREEZE", "ADD PROJECTION",
     "DROP PROJECTION", "MATERIALIZE PROJECTION", "MODIFY TTL", "REMOVE TTL",
     "MATERIALIZE TTL", "ADD INDEX", "DROP INDEX", "MATERIALIZE INDEX",
-    "CLEAR INDEX")
+    "CLEAR INDEX", "MODIFY SETTING", "RESET SETTING", "MODIFY COMMENT")
 
   /** Split the ALTER tail into commands: a top-level comma separates
     * commands only when a command keyword follows — commas inside an
@@ -1394,6 +1537,12 @@ object ChDdl {
     case dropIdxRe(ifEx, idxName) => DropIndexCmd(idxName, ifEx != null)
     case matIdxRe(idxName) => MaterializeIndexCmd(idxName)
     case clearIdxRe(idxName) => ClearIndexCmd(idxName)
+    case t if "(?is)^(MODIFY|RESET)\\s+SETTING\\b.*".r.matches(t.trim) =>
+      NoopAlterCmd(t.trim, "table settings are ClickHouse storage " +
+        "knobs with no Spark-side meaning — parsed and ignored")
+    case t if "(?is)^MODIFY\\s+COMMENT\\b.*".r.matches(t.trim) =>
+      NoopAlterCmd(t.trim, "table comments carry no engine meaning " +
+        "here — parsed and ignored (the CREATE-time COMMENT precedent)")
     case other => throw new IllegalArgumentException(
       s"unsupported ALTER command '${other.take(60)}' — supported: " +
         "ADD/DROP/RENAME/MODIFY COLUMN, DELETE WHERE, UPDATE … WHERE, " +
@@ -1684,6 +1833,8 @@ object ChDdl {
         case MaterializeIndexCmd(idxName) =>
           cat.materializeIndex(table, idxName)
         case ClearIndexCmd(idxName) => cat.clearIndex(table, idxName)
+        case NoopAlterCmd(text, note) =>
+          System.err.println(s"[chddl] ALTER TABLE $table $text: $note")
       }
       case DropTable(table, ifExists) =>
         // a Distributed facade drops ITSELF only (CH semantics: the
@@ -1697,6 +1848,17 @@ object ChDdl {
       case DropQuota(n, ifExists) =>
         require(cat.governor.dropQuota(n) || ifExists,
           s"DROP QUOTA $n: no such quota")
+      case u: CreateUser => cat.createUser(u.name, u.auth, u.ifNotExists)
+      case DropUser(n, ifExists) => cat.dropUser(n, ifExists)
+      case r: CreateRole => cat.createRole(r.name, r.ifNotExists)
+      case DropRole(n, ifExists) => cat.dropRole(n, ifExists)
+      case GrantRoles(rs, us) => cat.grantRoles(rs, us)
+      case RevokeRoles(rs, us) => cat.revokeRoles(rs, us)
+      case DropTableIfEmpty(t) =>
+        val n = cat.read(t).count()
+        require(n == 0L,
+          s"DROP TABLE IF EMPTY $t: table holds $n row(s)")
+        cat.dropTable(t, ifExists = false)
       case DetachTable(table) => cat.detach(table)
       case AttachTable(table) =>
         require(warehouse.nonEmpty,

@@ -495,6 +495,105 @@ class IntrospectionSpec extends SparkSpecBase {
     cat.lastSystemAllBranches shouldBe Nil
   }
 
+  test("users & roles as text: role-addressed policies expand to granted users") {
+    import graft.sql.ChDdl
+    val (cat, dir) = freshCat("sys-roles")
+    cat.createTable(TableDef("rt", s"$dir/rt",
+      Seq((1L, 5L)).toDF("k", "v").schema,
+      sortKeys = Seq("k"), semantics = Append))
+    cat.append("rt", Seq((1L, 5L), (2L, 6L), (3L, 7L)).toDF("k", "v"))
+    ChDdl.runScript(cat, spark,
+      """CREATE USER alice IDENTIFIED WITH no_password;
+        |CREATE USER IF NOT EXISTS alice;
+        |CREATE USER bob;
+        |CREATE ROLE readers;
+        |GRANT readers TO alice""".stripMargin, dir)
+    ChDdl.query(cat, spark, "SHOW USERS").collect()
+      .map(_.getString(0)).sorted shouldBe Array("alice", "bob")
+    ChDdl.query(cat, spark, "SHOW ROLES").head().getString(1) shouldBe "alice"
+    // a row policy addressed to the ROLE covers alice, not bob
+    ChDdl.execute(cat, spark,
+      "CREATE ROW POLICY p1 ON rt FOR SELECT USING k < 3 TO readers", dir)
+    cat.readAs("rt", "alice").count() shouldBe 2L
+    cat.readAs("rt", "bob").count() shouldBe 0L
+    // column grants addressed to the role expand too
+    ChDdl.execute(cat, spark, "GRANT SELECT(k) ON rt TO readers", dir)
+    val aliceRow = cat.readAs("rt", "alice").orderBy(col("k")).head()
+    aliceRow.getLong(0) shouldBe 1L
+    aliceRow.isNullAt(1) shouldBe true // v ungranted -> typed NULL
+    // REVOKE closes the role door
+    ChDdl.execute(cat, spark, "REVOKE readers FROM alice", dir)
+    cat.readAs("rt", "alice").count() shouldBe 0L
+    // registry hygiene
+    intercept[Exception] {
+      ChDdl.execute(cat, spark, "GRANT absent_role TO bob", dir)
+    }.getMessage should include("CREATE ROLE")
+    ChDdl.execute(cat, spark, "DROP USER bob", dir)
+    intercept[Exception] {
+      ChDdl.execute(cat, spark, "DROP USER bob", dir)
+    }.getMessage should include("no such user")
+    ChDdl.execute(cat, spark, "DROP USER IF EXISTS bob", dir)
+  }
+
+  test("ops doors: SHOW CREATE QUOTA round-trips; KILL MUTATION, CHECK TABLE, " +
+       "DROP IF EMPTY, setting/comment no-ops, system.* additions") {
+    import graft.sql.ChDdl
+    val (cat, dir) = freshCat("sys-ops13")
+    cat.createTable(TableDef("ot", s"$dir/ot",
+      Seq((1L, "a")).toDF("k", "v").schema,
+      sortKeys = Seq("k"), semantics = Append))
+    cat.append("ot", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    // SHOW CREATE QUOTA renders the declaration; re-executing it on a
+    // fresh governor rebuilds the same quota (parse∘render identity)
+    ChDdl.execute(cat, spark,
+      "CREATE QUOTA ops13 FOR INTERVAL 2 HOUR " +
+        "MAX queries = 50, execution_time = 90 TO carol, dan", dir)
+    val rendered = ChDdl.query(cat, spark, "SHOW CREATE QUOTA ops13")
+      .head().getString(0)
+    rendered shouldBe ("CREATE QUOTA ops13 FOR INTERVAL 2 HOUR " +
+      "MAX queries = 50, execution_time = 90 TO carol,dan")
+    val cat2 = new Catalog(spark)
+    ChDdl.execute(cat2, spark, rendered, dir)
+    ChDdl.query(cat2, spark,
+      "SELECT max_queries, max_exec_ms FROM system.quotas").head()
+      .toSeq shouldBe Seq(50L, 90000L)
+    // KILL MUTATION: mutations are synchronous — the empty set, loudly
+    ChDdl.query(cat, spark,
+      "KILL MUTATION WHERE table = 'ot'").count() shouldBe 0L
+    // CHECK TABLE scans storage end-to-end
+    ChDdl.query(cat, spark, "CHECK TABLE ot").head().getInt(0) shouldBe 1
+    // DROP TABLE IF EMPTY refuses on rows, drops after truncate
+    intercept[Exception] {
+      ChDdl.execute(cat, spark, "DROP TABLE IF EMPTY ot", dir)
+    }.getMessage should include("2 row(s)")
+    ChDdl.execute(cat, spark, "TRUNCATE TABLE ot", dir)
+    ChDdl.execute(cat, spark, "DROP TABLE IF EMPTY ot", dir)
+    an[Exception] should be thrownBy cat.read("ot")
+    // setting/comment ALTERs acknowledge as no-ops; DETACH PERMANENTLY
+    cat.createTable(TableDef("ot2", s"$dir/ot2",
+      Seq((1L, "a")).toDF("k", "v").schema,
+      sortKeys = Seq("k"), semantics = Append))
+    ChDdl.runScript(cat, spark,
+      """ALTER TABLE ot2 MODIFY SETTING index_granularity = 8192;
+        |ALTER TABLE ot2 RESET SETTING index_granularity;
+        |ALTER TABLE ot2 MODIFY COMMENT 'hello';
+        |DETACH TABLE ot2 PERMANENTLY""".stripMargin, dir)
+    an[Exception] should be thrownBy cat.read("ot2")
+    // the new system.* relations are FROM-able
+    ChDdl.query(cat, spark,
+      "SELECT count(*) AS n FROM system.databases").head()
+      .getLong(0) shouldBe 2L
+    ChDdl.query(cat, spark,
+      "SELECT count(*) AS n FROM system.functions").head()
+      .getLong(0) should be > 100L
+    ChDdl.query(cat, spark,
+      "SELECT count(*) AS n FROM system.settings").head()
+      .getLong(0) should be > 0L
+    ChDdl.query(cat, spark,
+      "SELECT count(*) AS n FROM system.dictionaries").head()
+      .getLong(0) should be >= 0L
+  }
+
   test("governance text doors: quota'd, governed, killed — entirely as statements") {
     import graft.sql.ChDdl
     val cat = new Catalog(spark)
