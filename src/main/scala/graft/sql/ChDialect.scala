@@ -1486,8 +1486,10 @@ object ChDialect {
     })
     s = rewriteCall(s, "arrayCount", {
       case List(f, a) => s"size(filter($a, $f))"
+      // the lambdaless form counts non-zero elements (CH's contract)
+      case List(a) => s"size(filter($a, __x -> __x != 0))"
       case args => throw new IllegalArgumentException(
-        s"arrayCount expects (lambda, arr), got ${args.length}")
+        s"arrayCount expects (lambda, arr) or (arr), got ${args.length}")
     })
     // first match / its 1-based position; NO match: Spark NULL / 0 where
     // CH yields the type default / 0 (the NULL-vs-default stance — wrap
@@ -1576,10 +1578,11 @@ object ChDialect {
     // it passes through unchanged
     s = rewriteCall(s, "position", {
       case List(h, n) => s"locate($n, $h)"
+      case List(h, n, start) => s"locate($n, $h, $start)"
       case List(single) if "(?i)\\s+IN\\s+".r.findFirstIn(single).isDefined =>
         s"position($single)"
       case args => throw new IllegalArgumentException(
-        s"position expects 2 arguments, got ${args.length}")
+        s"position expects 2-3 arguments, got ${args.length}")
     })
     // multiIf(c1, v1, c2, v2, …, else) → the CASE chain it abbreviates
     s = rewriteCall(s, "multiIf", { args =>
@@ -1591,6 +1594,15 @@ object ChDialect {
     })
     // function-form casts (the :: mapping's call-shaped siblings; unsigned
     // widths map UP so every legal CH value fits, same as the :: table)
+    // toString(ts, 'tz') — CH's render-in-timezone form (the 1-arg cast
+    // stays in the family loop below, which then finds nothing left)
+    s = rewriteCall(s, "toString", {
+      case List(x, tz) => s"date_format(convert_timezone('UTC', $tz, " +
+        s"$x), 'yyyy-MM-dd HH:mm:ss')"
+      case List(x) => s"CAST($x AS STRING)"
+      case args => throw new IllegalArgumentException(
+        s"toString expects 1-2 arguments, got ${args.length}")
+    })
     Seq("toString" -> "STRING", "toInt8" -> "TINYINT",
       "toInt16" -> "SMALLINT", "toInt32" -> "INT", "toInt64" -> "BIGINT",
       "toUInt8" -> "SMALLINT", "toUInt16" -> "INT", "toUInt32" -> "BIGINT",
@@ -2393,6 +2405,79 @@ object ChDialect {
         "uniqUpTo(N)(x): N must be an integer literal")
       require(args.nonEmpty, "uniqUpTo(N)(x…): needs an expression")
       s"least(count(DISTINCT ${args.mkString(", ")}), ${ps.head.trim} + 1)"
+    }
+    // ---- everyday tier 6 (round-13 second audit) ------------------------
+    // session introspection scalars: UTC sessions, no login identity
+    s = cachedRe("(?i)\\btimeZone\\(\\s*\\)").replaceAllIn(s, _ => "'UTC'")
+    s = cachedRe("(?i)\\brandCanonical\\(\\s*\\)")
+      .replaceAllIn(s, _ => "rand()")
+    // toTypeName renders SPARK type names (int/bigint/string…), not CH
+    // names — documented divergence (the value is runtime-computed, so
+    // no textual reverse map can apply)
+    s = rewriteCall(s, "toTypeName",
+      args => s"typeof(${args.mkString(", ")})")
+    s = rewriteCall(s, "isZeroOrNull", {
+      case List(x) => s"(($x) = 0 OR ($x) IS NULL)"
+      case args => throw new IllegalArgumentException(
+        s"isZeroOrNull expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCall(s, "concatAssumeInjective",
+      args => s"concat(${args.mkString(", ")})")
+    // now('tz'): the same instant rendered in tz (UTC sessions — the
+    // toTimeZone wall-clock stance)
+    s = rewriteCall(s, "now", {
+      case Nil | List("") => "current_timestamp()"
+      case List(tz) =>
+        s"convert_timezone('UTC', $tz, current_timestamp())"
+      case args => throw new IllegalArgumentException(
+        s"now expects 0-1 arguments, got ${args.length}")
+    })
+    // bitmaskToList(n): the ascending powers of two in n, CH's
+    // comma-joined string
+    s = rewriteCall(s, "bitmaskToList", {
+      case List(n) =>
+        s"array_join(filter(transform(sequence(0, 62), __i -> " +
+          s"CASE WHEN (($n) & shiftleft(CAST(1 AS BIGINT), __i)) != 0 " +
+          s"THEN CAST(shiftleft(CAST(1 AS BIGINT), __i) AS STRING) END), " +
+          s"__x -> __x IS NOT NULL), ',')"
+      case args => throw new IllegalArgumentException(
+        s"bitmaskToList expects 1 argument, got ${args.length}")
+    })
+    // toWeek/toYearWeek: ISO mode (3) only — the default mode 0
+    // (Sunday-first, week 0..53) has no Spark twin and silently
+    // diverging week numbers are worse than a refusal
+    s = rewriteCall(s, "toWeek", {
+      case List(d0, mode) if mode.trim == "3" => s"weekofyear($d0)"
+      case _ => throw new IllegalArgumentException(
+        "toWeek: only the ISO mode lowers (toWeek(d, 3) or " +
+          "toISOWeek(d)) — mode 0's Sunday-first week 0..53 numbering " +
+          "has no Spark twin")
+    })
+    s = rewriteCall(s, "toYearWeek", {
+      case List(d0, mode) if mode.trim == "3" =>
+        s"(year(date_add(date_trunc('week', $d0), 3)) * 100 + " +
+          s"weekofyear($d0))"
+      case _ => throw new IllegalArgumentException(
+        "toYearWeek: only the ISO mode lowers (toYearWeek(d, 3)) — " +
+          "mode 0 has no Spark twin")
+    })
+    // arrayEnumerateUniq: 1-based occurrence ordinal of each element
+    // among its equals so far (O(n²) per row — per-row small arrays)
+    s = rewriteCall(s, "arrayEnumerateUniq", {
+      case List(a) =>
+        s"transform(sequence(1, size($a)), __i -> " +
+          s"size(filter(slice($a, 1, __i), " +
+          s"__x -> __x = element_at($a, __i))))"
+      case args => throw new IllegalArgumentException(
+        s"arrayEnumerateUniq expects 1 array, got ${args.length}")
+    })
+    // groupArraySorted(N)(x): the N smallest values in order —
+    // deterministic by construction (sorted), unlike groupArray
+    s = rewriteParamAgg(s, "groupArraySorted") { (ps, args) =>
+      require(ps.length == 1 && ps.head.trim.matches("\\d+"),
+        "groupArraySorted(N)(x): N must be an integer literal")
+      require(args.length == 1, "groupArraySorted(N)(x): one expression")
+      s"slice(sort_array(collect_list(${args.head})), 1, ${ps.head.trim})"
     }
     // no-op wrappers: type-level nullability doesn't exist in Spark SQL
     // text (assumeNotNull on an actual NULL is undefined in CH too);

@@ -1586,6 +1586,44 @@ class ChSqlSpec extends SparkSpecBase {
     }.getMessage should include("transform_keys")
   }
 
+  test("tier-6 spellings: session scalars, bitmask, ISO week modes, sorted groupArray") {
+    def one(q: String) = GraftSql.chSql(spark, sf0001, s"SELECT $q AS v").head()
+    one("timeZone()").getString(0) shouldBe "UTC"
+    one("toTypeName(CAST(1 AS Int64))").getString(0) shouldBe "bigint"
+    one("bitmaskToList(50)").getString(0) shouldBe "2,16,32"
+    one("bitmaskToList(0)").getString(0) shouldBe ""
+    one("position('hello world hello', 'hello', 2)").getInt(0) shouldBe 13
+    one("CAST(toWeek(toDate('2024-01-04'), 3) AS INT)").getInt(0) shouldBe 1
+    one("CAST(toYearWeek(toDate('2024-01-04'), 3) AS INT)")
+      .getInt(0) shouldBe 202401
+    // ISO year attribution at the boundary: 2024-12-30 is ISO week 1
+    // of 2025
+    one("CAST(toYearWeek(toDate('2024-12-30'), 3) AS INT)")
+      .getInt(0) shouldBe 202501
+    one("arrayStringConcat(arrayMap(x -> toString(x), " +
+      "arrayEnumerateUniq([10, 20, 10, 10])), ',')")
+      .getString(0) shouldBe "1,1,2,3"
+    one("arrayCount([1, 0, 2, 0])").getInt(0) shouldBe 2
+    one("isZeroOrNull(0)").getBoolean(0) shouldBe true
+    one("isZeroOrNull(5)").getBoolean(0) shouldBe false
+    one("concatAssumeInjective('a', 'b')").getString(0) shouldBe "ab"
+    // rendered-in-timezone forms share the toTimeZone wall-clock stance
+    GraftSql.chSql(spark, sf0001,
+      "SELECT toString(toDateTime('2024-01-01 12:00:00'), " +
+        "'Asia/Tokyo') AS v").head().getString(0) shouldBe
+      "2024-01-01 21:00:00"
+    // groupArraySorted: the N smallest, in order — deterministic
+    GraftSql.chSql(spark, sf0001,
+      "SELECT arrayStringConcat(arrayMap(x -> toString(x), " +
+        "groupArraySorted(3)(o_orderkey)), ',') AS v FROM orders")
+      .head().getString(0) shouldBe "0,1,2"
+    // the non-ISO week modes refuse with the ISO pointer
+    intercept[Exception] {
+      GraftSql.chSql(spark, sf0001,
+        "SELECT toWeek(toDate('2024-01-04')) AS v").collect()
+    }.getMessage should include("ISO")
+  }
+
   test("windowFunnel refuses loudly when one group buffers past the cap") {
     val q =
       """SELECT user_id,
