@@ -1395,6 +1395,37 @@ object ChDialect {
         Option(lim.group(2)).map(_.toLong).getOrElse(0L)
       s = s.substring(0, m.start) + s"numbers($bound)" + s.substring(m.end)
     }
+    // remote()/cluster() table functions (round 13): in a
+    // single-process engine the cluster IS this process, so the
+    // reference lowers to the LOCAL table with a loud note — the ON
+    // CLUSTER stance applied to the read side. The egress family (url/
+    // s3/hdfs/…) refuses toward file(): zero external connectivity.
+    Seq("remoteSecure", "remote", "clusterAllReplicas", "cluster")
+      .foreach { fn =>
+        s = rewriteCall(s, fn, { args =>
+          require(args.length >= 2,
+            s"$fn(addresses|cluster, db[, table]): needs a target table")
+          def nameOf(tok: String): String =
+            maskedLiteral(tok, literals)
+              .getOrElse(tok.trim.replace("`", "")).split('.').last
+          // 2-arg form carries db.table in the second slot
+          val tbl = nameOf(if (args.length >= 3) args(2) else args(1))
+          System.err.println(s"[chsql] $fn(…): single-process engine — " +
+            s"the cluster is this process; reading local table $tbl " +
+            "(the ON CLUSTER stance)")
+          tbl
+        })
+      }
+    Seq("url", "s3", "s3Cluster", "hdfs", "azureBlobStorage", "gcs",
+      "mysql", "postgresql", "mongodb", "redis").foreach { fn =>
+      s = rewriteCall(s, fn, _ => throw new IllegalArgumentException(
+        s"$fn(…): no external connectivity in this environment — stage " +
+          "the data locally and read it with file(path[, format])"))
+    }
+    s = rewriteCall(s, "generateRandom",
+      _ => throw new IllegalArgumentException(
+        "generateRandom(…): nondeterministic generation — synthesize " +
+          "deterministic rows from numbers(N) + hash functions instead"))
     s = numbersRe.replaceAllIn(s, { m =>
       val (a, b) = (m.group(2), Option(m.group(3)))
       val (lo, cnt) = b match {

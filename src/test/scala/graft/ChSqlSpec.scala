@@ -1586,6 +1586,28 @@ class ChSqlSpec extends SparkSpecBase {
     }.getMessage should include("transform_keys")
   }
 
+  test("remote()/cluster() lower to the local table; egress functions refuse") {
+    // the cluster IS this process — every spelling reads the local table
+    Seq(
+      "SELECT count(*) AS n FROM remote('127.0.0.1:9000', default, orders)",
+      "SELECT count(*) AS n FROM remote('h1,h2', 'default.orders')",
+      "SELECT count(*) AS n FROM cluster('main', default, orders)",
+      "SELECT count(*) AS n FROM clusterAllReplicas('main', default.orders)"
+    ).foreach { q =>
+      GraftSql.chSql(spark, sf0001, q).head().getLong(0) should be > 0L
+    }
+    Seq(
+      "SELECT * FROM url('http://x/y.csv', 'CSV', 'a String')" -> "file(",
+      "SELECT * FROM s3('s3://b/k', 'CSV')" -> "file(",
+      "SELECT * FROM mysql('h:3306', 'db', 't', 'u', 'p')" -> "file(",
+      "SELECT * FROM generateRandom('a UInt64')" -> "numbers(")
+      .foreach { case (q, needle) =>
+        intercept[Exception] {
+          GraftSql.chSql(spark, sf0001, q).collect()
+        }.getMessage should include(needle)
+      }
+  }
+
   test("tier-6 spellings: session scalars, bitmask, ISO week modes, sorted groupArray") {
     def one(q: String) = GraftSql.chSql(spark, sf0001, s"SELECT $q AS v").head()
     one("timeZone()").getString(0) shouldBe "UTC"
