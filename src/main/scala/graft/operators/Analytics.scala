@@ -734,6 +734,36 @@ object Analytics extends QueryModule {
           |      FROM orders WHERE o_orderkey < 300)
           |ORDER BY o_orderkey""".stripMargin)),
 
+    // The State/Merge combinators as TEXT (round 13) — ClickHouse's MV
+    // partial-aggregate idiom: per-day states built in one scope, merged
+    // per event_type in another. sum/min/max states are their values,
+    // count merges by SUM, avg's state is the (sum, count) struct, and
+    // uniq's state is the HLL sketch binary (the agg_hll_merge
+    // machinery) — its estimate folds to a tolerance boolean the oracle
+    // restates as TRUE beside the exact distinct count.
+    "sql_agg_state" -> ((s, d) =>
+      graft.sql.GraftSql.chSql(s, d,
+        """WITH st AS (
+          |  SELECT event_type, toDate(ts) AS d,
+          |    sumState(value) AS sv, countState(value) AS c,
+          |    avgState(value) AS av, minState(value) AS mn,
+          |    maxState(value) AS mx, uniqState(user_id) AS u
+          |  FROM events GROUP BY event_type, toDate(ts)),
+          |ex AS (
+          |  SELECT event_type, uniqExact(user_id) AS xu
+          |  FROM events GROUP BY event_type)
+          |SELECT st.event_type AS event_type,
+          |  round(sumMerge(sv), 2) AS sv,
+          |  CAST(countMerge(c) AS BIGINT) AS n,
+          |  round(avgMerge(av), 4) AS av,
+          |  round(minMerge(mn), 4) AS mn,
+          |  round(maxMerge(mx), 4) AS mx,
+          |  CAST(any(xu) AS BIGINT) AS n_users,
+          |  (abs(CAST(uniqMerge(u) AS DOUBLE) / any(xu) - 1.0) < 0.05)
+          |    AS hll_ok
+          |FROM st JOIN ex ON st.event_type = ex.event_type
+          |GROUP BY st.event_type ORDER BY event_type""".stripMargin)),
+
     // ASOF LEFT JOIN through the gate (round 13): the most common CH
     // time-series idiom as TEXT, lowered by the dialect onto equality
     // join + per-left-row row_number()=1 via the QUALIFY hoist — the
@@ -1434,6 +1464,15 @@ object Analytics extends QueryModule {
         |   (sqrt(5.0) * sqrt(4.0 + (o_orderkey % 3 + 1) * (o_orderkey % 3 + 1))), 6) AS cd
         |FROM orders WHERE o_orderkey < 300
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the two-level State/Merge pipeline restated as ONE exact pass —
+    // merging partials must be indistinguishable from direct aggregation
+    "sql_agg_state" ->
+      """SELECT event_type, round(sum(value), 2) AS sv,
+        | count(value) AS n, round(avg(value), 4) AS av,
+        | round(min(value), 4) AS mn, round(max(value), 4) AS mx,
+        | count(DISTINCT user_id) AS n_users, TRUE AS hll_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // DuckDB's NATIVE ASOF JOIN — an independent asof implementation
     // recomputing the dialect door's result

@@ -2268,6 +2268,109 @@ object ChDialect {
       case args => throw new IllegalArgumentException(
         s"JSONLength expects (json[, key…]), got ${args.length} argument(s)")
     })
+    // ---- aggregate-combinator tier (round 13) ---------------------------
+    // State/Merge as TEXT — the ClickHouse MV idiom (partial states in a
+    // SELECT, merges over stored states), mapped to this engine's own
+    // partial forms: uniq's state is the HLL sketch binary (the
+    // agg_hll_merge machinery); sum/min/max states ARE their values
+    // (merging = re-aggregating); count's merge is a SUM of partials;
+    // avg's state is the (sum, count) pair.
+    s = rewriteCall(s, "uniqState",
+      args => s"hll_sketch_agg(${args.mkString(", ")})")
+    s = rewriteCall(s, "uniqMerge", {
+      case List(st) => s"hll_sketch_estimate(hll_union_agg($st))"
+      case args => throw new IllegalArgumentException(
+        s"uniqMerge expects 1 state column, got ${args.length}")
+    })
+    Seq("sumState" -> "sum", "sumMerge" -> "sum",
+      "minState" -> "min", "minMerge" -> "min",
+      "maxState" -> "max", "maxMerge" -> "max",
+      "countState" -> "count", "countMerge" -> "sum").foreach {
+      case (fn, base) =>
+        s = rewriteCall(s, fn, args => s"$base(${args.mkString(", ")})")
+    }
+    s = rewriteCall(s, "avgState", {
+      case List(x) => s"named_struct('s', sum($x), 'c', count($x))"
+      case args => throw new IllegalArgumentException(
+        s"avgState expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCall(s, "avgMerge", {
+      case List(st) => s"(sum(($st).s) / sum(($st).c))"
+      case args => throw new IllegalArgumentException(
+        s"avgMerge expects 1 state column, got ${args.length}")
+    })
+    // the remaining everyday -If spellings (the CASE-filter family)
+    s = rewriteCall(s, "countDistinctIf", {
+      case args if args.length >= 2 =>
+        val cond = args.last
+        s"count(DISTINCT ${args.init.map(a =>
+          s"CASE WHEN $cond THEN $a END").mkString(", ")})"
+      case args => throw new IllegalArgumentException(
+        s"countDistinctIf expects (x…, cond), got ${args.length}")
+    })
+    Seq("argMinIf" -> "min_by", "argMaxIf" -> "max_by").foreach {
+      case (fn, base) =>
+        s = rewriteCall(s, fn, {
+          case List(x, y, cond) =>
+            // null ordering values are skipped by min_by/max_by, so the
+            // CASE filter composes exactly like the scalar -If family
+            s"$base(CASE WHEN $cond THEN $x END, " +
+              s"CASE WHEN $cond THEN $y END)"
+          case args => throw new IllegalArgumentException(
+            s"$fn expects (x, ord, cond), got ${args.length}")
+        })
+    }
+    s = rewriteCall(s, "medianIf", {
+      case List(x, cond) => s"percentile(CASE WHEN $cond THEN $x END, 0.5)"
+      case args => throw new IllegalArgumentException(
+        s"medianIf expects (x, cond), got ${args.length}")
+    })
+    s = rewriteParamAgg(s, "quantileIf") { (ps, args) =>
+      require(ps.length == 1 && args.length == 2,
+        "quantileIf(q)(x, cond)")
+      s"percentile(CASE WHEN ${args(1)} THEN ${args.head} END, ${ps.head})"
+    }
+    // -Distinct / -OrNull: DISTINCT is native inside Spark aggregates;
+    // Spark's sum/min/max/avg/any_value already return NULL on the
+    // empty set, which IS the -OrNull contract
+    s = rewriteCall(s, "sumDistinct",
+      args => s"sum(DISTINCT ${args.mkString(", ")})")
+    s = rewriteCall(s, "avgDistinct",
+      args => s"avg(DISTINCT ${args.mkString(", ")})")
+    Seq("sumOrNull" -> "sum", "minOrNull" -> "min", "maxOrNull" -> "max",
+      "avgOrNull" -> "avg", "anyOrNull" -> "any_value",
+      "anyLastOrNull" -> "any_value").foreach { case (fn, base) =>
+      s = rewriteCall(s, fn, args => s"$base(${args.mkString(", ")})")
+    }
+    s = rewriteCall(s, "medianOrNull",
+      args => s"percentile(${args.mkString(", ")}, 0.5)")
+    // -Array: the aggregate over every ELEMENT of the rows' arrays
+    s = rewriteCall(s, "sumArray", {
+      case List(a) => s"sum(${arrAggSum(a)})"
+      case args => throw new IllegalArgumentException(
+        s"sumArray expects 1 array column, got ${args.length}")
+    })
+    s = rewriteCall(s, "minArray", {
+      case List(a) => s"min(array_min($a))"
+      case args => throw new IllegalArgumentException(
+        s"minArray expects 1 array column, got ${args.length}")
+    })
+    s = rewriteCall(s, "maxArray", {
+      case List(a) => s"max(array_max($a))"
+      case args => throw new IllegalArgumentException(
+        s"maxArray expects 1 array column, got ${args.length}")
+    })
+    s = rewriteCall(s, "countArray", {
+      case List(a) => s"sum(size($a))"
+      case args => throw new IllegalArgumentException(
+        s"countArray expects 1 array column, got ${args.length}")
+    })
+    s = rewriteCall(s, "avgArray", {
+      case List(a) => s"(sum(${arrAggSum(a)}) / sum(size($a)))"
+      case args => throw new IllegalArgumentException(
+        s"avgArray expects 1 array column, got ${args.length}")
+    })
+
     // ---- everyday tier 5 (round-13 audit sweep) -------------------------
     // JSONExtractRaw/Keys/ArrayRaw: raw-TEXT extraction is string-shaped,
     // so these ride the string door — the CAST(x AS STRING) front makes

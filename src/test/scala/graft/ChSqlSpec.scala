@@ -1586,6 +1586,34 @@ class ChSqlSpec extends SparkSpecBase {
     }.getMessage should include("transform_keys")
   }
 
+  test("aggregate combinators: If/Distinct/OrNull/Array families compose") {
+    def one(q: String) = GraftSql.chSql(spark, sf0001, q).head()
+    one("SELECT CAST(countDistinctIf(o_orderpriority, o_orderkey < 10) " +
+      "AS Int64) AS v FROM orders").getLong(0) should be > 0L
+    // argMinIf/argMaxIf: the CASE filter composes through min_by/max_by
+    one("SELECT argMinIf(o_orderpriority, o_totalprice, " +
+      "o_orderkey < 100) AS v FROM orders").getString(0) should not be null
+    // medianIf/quantileIf agree
+    val m1 = one("SELECT medianIf(o_totalprice, o_orderkey < 500) AS v " +
+      "FROM orders").getDouble(0)
+    one("SELECT quantileIf(0.5)(o_totalprice, o_orderkey < 500) AS v " +
+      "FROM orders").getDouble(0) shouldBe m1
+    // sumDistinct vs manual distinct sum
+    one("SELECT CAST(sumDistinct(CAST(o_orderkey % 5 AS Int64)) AS Int64) " +
+      "AS v FROM orders").getLong(0) shouldBe 10L
+    // -OrNull returns NULL on the empty set (Spark's own contract)
+    one("SELECT sumOrNull(o_totalprice) AS v FROM orders WHERE 1 = 0")
+      .isNullAt(0) shouldBe true
+    // -Array aggregates over every element
+    one("SELECT CAST(sumArray(a) AS Int64) AS v FROM " +
+      "(SELECT [1, 2] AS a UNION ALL SELECT [3, 4] AS a)")
+      .getLong(0) shouldBe 10L
+    one("SELECT CAST(countArray(a) AS Int64) AS c, " +
+      "CAST(maxArray(a) AS Int64) AS mx, CAST(minArray(a) AS Int64) AS mn " +
+      "FROM (SELECT [1, 2] AS a UNION ALL SELECT [3, 4] AS a)")
+      .toSeq shouldBe Seq(4L, 4L, 1L)
+  }
+
   test("remote()/cluster() lower to the local table; egress functions refuse") {
     // the cluster IS this process — every spelling reads the local table
     Seq(

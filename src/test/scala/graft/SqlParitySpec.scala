@@ -48,6 +48,7 @@ class SqlParitySpec extends SparkSpecBase {
     "cat_insert_format", "cat_ddl_index", "sql_system_scan",
     "sql_system_parts", "cat_insert_infile",
     "cat_ddl_distributed", "sql_query_log", "sql_access_roles",
+    "sql_agg_state",
     "cat_constraint", "cat_materialized_col", "cat_row_policy",
     "cat_distributed_join",
     "cat_distributed_scan", "cat_lightweight_delete", "cat_null_mv",
