@@ -1298,7 +1298,7 @@ object ChDdl {
         val frame =
           if (i.source.startsWith("__file_")) s.table(i.source)
           else cat.read(i.source)
-        cat.append(i.target, selectOver(s, i.source, i.selectSql,
+        appendRouted(cat, i.target, selectOver(s, i.source, i.selectSql,
           frame, s"backfill_${i.target}", Some(cat)))
         ()
       case other => throw new IllegalArgumentException(
@@ -1600,6 +1600,21 @@ object ChDdl {
     InsertFormat(i.target, i.columns, fmt, text)
   }
 
+  /** INSERTs addressed to a Distributed facade route through its hashed
+    * append (round 13 — the X139 write side); plain tables go straight
+    * to the catalog. Typed fills resolve against the facade's first
+    * member def (all shards share a schema, validated at declare).
+    */
+  private def appendRouted(cat: Catalog, target: String,
+                           frame: org.apache.spark.sql.DataFrame): Long =
+    if (scala.util.Try(cat.distributed.get(target)).isSuccess)
+      cat.distributed.append(target, frame)
+    else cat.append(target, frame)
+
+  private def defOf(cat: Catalog, target: String): TableDef =
+    scala.util.Try(cat.get(target)).getOrElse(
+      cat.get(cat.distributed.get(target).members.head))
+
   def execute(cat: Catalog, s: org.apache.spark.sql.SparkSession,
               ddl0: String, warehouse: String = ""): Statement = {
     import org.apache.spark.sql.functions.expr
@@ -1667,7 +1682,7 @@ object ChDdl {
         cat.createTable(synthesized)
         cat.append(cta.name, frame)
       case InsertValues(target, cols, valuesSql) =>
-        val t = cat.get(target)
+        val t = defOf(cat, target)
         val matSet = t.materializedCols.map(_._1).toSet
         val insertable = t.schema.fields.filterNot(f => matSet(f.name))
         val names = if (cols.nonEmpty) cols else insertable.map(_.name).toSeq
@@ -1705,9 +1720,9 @@ object ChDdl {
               "the column or declare a DEFAULT to avoid the divergence"))
         val filled = omitted.foldLeft(typed)((d, f) =>
           d.withColumn(f.name, chTypeDefault(f.dataType)))
-        cat.append(target, filled)
+        appendRouted(cat, target, filled)
       case InsertFormat(target, cols, format, payload) =>
-        val t = cat.get(target)
+        val t = defOf(cat, target)
         val matSet = t.materializedCols.map(_._1).toSet
         val insertable = t.schema.fields.filterNot(f => matSet(f.name))
         val names = if (cols.nonEmpty) cols else insertable.map(_.name).toSeq
@@ -1779,7 +1794,7 @@ object ChDdl {
             names.contains(f.name) || altered(f.name))
           .foldLeft(typed)((d, f) =>
             d.withColumn(f.name, chTypeDefault(f.dataType)))
-        cat.append(target, filled)
+        appendRouted(cat, target, filled)
       case AlterTable(table, cmds) => cmds.foreach {
         case AddColumnCmd(field, defaultSql) =>
           // the DEFAULT is a constant expression: evaluate it ONCE on the

@@ -132,6 +132,20 @@ class DistributedSpec extends SparkSpecBase {
     restored.shardKey shouldBe "k"
     restored.declared shouldBe true
     cat3.distributed.read("ev_all").count() shouldBe 60L
+    // text INSERT doors route through the facade's hashed append: the
+    // VALUES tuples and the INSERT SELECT both land sharded
+    ChDdl.execute(cat, spark,
+      "INSERT INTO ev_all (k, v) VALUES (1001, 'x'), (1002, 'y')", root)
+    ChDdl.execute(cat, spark,
+      "INSERT INTO ev_all SELECT k + 2000 AS k, v FROM ev_local_shard0",
+      root)
+    val total = cat.distributed.read("ev_all").count()
+    total should be > 62L
+    (0 until 3).map(i => cat.read(s"ev_local_shard$i").count())
+      .sum shouldBe total
+    // the routed rows sit on the shard their key hashes to
+    cat.read(s"ev_local_shard${cat.distributed.shardOf("ev_all", 1001L)}")
+      .filter(col("k") === 1001L).count() shouldBe 1L
     // DROP drops the facade only — member data stays (CH semantics)
     ChDdl.execute(cat, spark, "DROP TABLE ev_all")
     an[Exception] should be thrownBy cat.distributed.get("ev_all")
