@@ -2294,6 +2294,36 @@ object ChDialect {
       case args => throw new IllegalArgumentException(
         s"avgState expects 1 argument, got ${args.length}")
     })
+    // -StateIf: the combinators compose — state over the CASE filter
+    Seq("sumStateIf" -> "sum", "minStateIf" -> "min",
+      "maxStateIf" -> "max", "countStateIf" -> "count").foreach {
+      case (fn, base) =>
+        s = rewriteCall(s, fn, {
+          case List(x, cond) => s"$base(CASE WHEN $cond THEN $x END)"
+          case args => throw new IllegalArgumentException(
+            s"$fn expects (x, cond), got ${args.length}")
+        })
+    }
+    s = rewriteCall(s, "uniqStateIf", {
+      case List(x, cond) => s"hll_sketch_agg(CASE WHEN $cond THEN $x END)"
+      case args => throw new IllegalArgumentException(
+        s"uniqStateIf expects (x, cond), got ${args.length}")
+    })
+    s = rewriteCall(s, "avgStateIf", {
+      case List(x, cond) =>
+        s"named_struct('s', sum(CASE WHEN $cond THEN $x END), " +
+          s"'c', count(CASE WHEN $cond THEN $x END))"
+      case args => throw new IllegalArgumentException(
+        s"avgStateIf expects (x, cond), got ${args.length}")
+    })
+    // MySQL-spelling alias CH accepts: same sorted-join lowering as
+    // groupConcat (the determinism stance)
+    s = rewriteCall(s, "GROUP_CONCAT", {
+      case List(x) =>
+        s"array_join(sort_array(collect_list(CAST($x AS STRING))), '')"
+      case args => throw new IllegalArgumentException(
+        s"GROUP_CONCAT expects 1 argument, got ${args.length}")
+    })
     s = rewriteCall(s, "avgMerge", {
       case List(st) => s"(sum(($st).s) / sum(($st).c))"
       case args => throw new IllegalArgumentException(
@@ -2835,12 +2865,31 @@ object ChDialect {
     // Only the type token after the LAST top-level ` AS ` translates;
     // Spark type names pass through untouched. Iterated to a fixpoint so
     // nested CASTs translate too (a pure rename converges immediately).
-    val castAsRe = "(?is)^(.+\\s+AS\\s+)([A-Za-z0-9_]+(?:\\([^()]*\\))?)\\s*$".r
+    // the type's parens may NEST (Nullable(LowCardinality(Int32))) —
+    // two levels suffice for the wrapper algebra this dialect accepts
+    val castAsRe = ("(?is)^(.+\\s+AS\\s+)([A-Za-z0-9_]+" +
+      "(?:\\((?:[^()]|\\([^()]*\\))*\\))?)\\s*$").r
     def chCastType(tok: String): String = {
-      val base = tok.takeWhile(_ != '(').trim.toLowerCase
-      if (base == "enum8" || base == "enum16") "STRING"
-      else if (base == "datetime" || base == "datetime64") "TIMESTAMP"
-      else chTypeMap.getOrElse(base, tok) // Spark names pass through
+      val t = tok.trim
+      val base = t.takeWhile(_ != '(').trim.toLowerCase
+      def inner = {
+        val o = t.indexOf('(')
+        t.substring(o + 1, t.lastIndexOf(')')).trim
+      }
+      base match {
+        case "enum8" | "enum16" => "STRING"
+        case "datetime" | "datetime64" => "TIMESTAMP"
+        // the parameterized wrappers (round 13): Nullable collapses —
+        // every Spark type is nullable; LowCardinality is a storage
+        // encoding, not a type; Array recurses; FixedString's width is
+        // a storage property (the padded compare belongs to columns
+        // DECLARED FixedString, not casts)
+        case "nullable" | "lowcardinality" if t.contains('(') =>
+          chCastType(inner)
+        case "array" if t.contains('(') => s"ARRAY<${chCastType(inner)}>"
+        case "fixedstring" => "STRING"
+        case _ => chTypeMap.getOrElse(base, tok) // Spark names pass through
+      }
     }
     def translateCasts(text: String): String = {
       val re = "(?i)\\bCAST\\s*\\(".r

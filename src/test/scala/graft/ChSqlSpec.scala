@@ -1586,6 +1586,38 @@ class ChSqlSpec extends SparkSpecBase {
     }.getMessage should include("transform_keys")
   }
 
+  test("parameterized type wrappers inside CAST; StateIf; GROUP_CONCAT alias") {
+    def one(q: String) = GraftSql.chSql(spark, sf0001, s"SELECT $q AS v").head()
+    // Nullable collapses (every Spark type is nullable), LowCardinality
+    // is storage-only, Array recurses, FixedString widths are declared-
+    // column properties
+    one("CAST(5 AS Nullable(Int64))").getLong(0) shouldBe 5L
+    one("CAST('x' AS LowCardinality(String))").getString(0) shouldBe "x"
+    one("arrayStringConcat(CAST([1, 2] AS Array(String)), ',')")
+      .getString(0) shouldBe "1,2"
+    one("CAST('ab' AS FixedString(4))").getString(0) shouldBe "ab"
+    one("CAST(5 AS Nullable(LowCardinality(Int32)))").getInt(0) shouldBe 5
+    // -StateIf composes the filter into the partial state
+    GraftSql.chSql(spark, sf0001,
+      """SELECT round(sumMerge(sv), 2) AS sv,
+        | CAST(countMerge(c) AS Int64) AS n,
+        | round(avgMerge(av), 4) AS av
+        |FROM (SELECT sumStateIf(value, value > 0.5) AS sv,
+        |             countStateIf(value, value > 0.5) AS c,
+        |             avgStateIf(value, value > 0.5) AS av
+        |      FROM events GROUP BY event_type)""".stripMargin)
+      .head().toSeq shouldBe GraftSql.sql(spark, sf0001,
+        """SELECT round(sum(CASE WHEN value > 0.5 THEN value END), 2) AS sv,
+          | count(CASE WHEN value > 0.5 THEN value END) AS n,
+          | round(avg(CASE WHEN value > 0.5 THEN value END), 4) AS av
+          |FROM events""".stripMargin).head().toSeq
+    // GROUP_CONCAT is the MySQL spelling of groupConcat
+    GraftSql.chSql(spark, sf0001,
+      "SELECT GROUP_CONCAT(o_orderstatus) AS v FROM " +
+        "(SELECT o_orderstatus FROM orders ORDER BY o_orderkey LIMIT 3)")
+      .head().getString(0).length shouldBe 3
+  }
+
   test("aggregate combinators: If/Distinct/OrNull/Array families compose") {
     def one(q: String) = GraftSql.chSql(spark, sf0001, q).head()
     one("SELECT CAST(countDistinctIf(o_orderpriority, o_orderkey < 10) " +
