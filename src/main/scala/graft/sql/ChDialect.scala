@@ -328,7 +328,6 @@ object ChDialect {
     ("(?i)\\bgroupUniqArray\\(".r, "collect_set("),
     ("(?i)\\bhas\\(".r, "array_contains("),
     ("(?i)\\bindexOf\\(".r, "array_position("),
-    ("(?i)\\barrayStringConcat\\(".r, "array_join("),
     ("(?i)\\barrayReverse\\(".r, "reverse("),
     ("(?i)\\barraySort\\(".r, "array_sort("),
     ("(?i)\\barrayFlatten\\(".r, "flatten("),
@@ -1439,6 +1438,21 @@ object ChDialect {
       scala.util.matching.Regex.quoteReplacement(
         s"${m.group(1)} $table numbers")
     })
+    // PREWHERE p ... WHERE w in ONE block: merge into a single WHERE
+    // (the blind PREWHERE->WHERE replacement below would emit two) —
+    // Catalyst pushes the conjunction into the scan, which is what
+    // PREWHERE asks for
+    locally {
+      val pw = topMatch(s, "(?i)\\bPREWHERE\\b".r)
+      val w = pw.flatMap(m => topMatch(s, "(?i)\\bWHERE\\b".r, m.end))
+      (pw, w) match {
+        case (Some(m), Some(wm)) =>
+          val pred = s.substring(m.end, wm.start).trim
+          s = s.substring(0, m.start) + s"WHERE ($pred) AND " +
+            s.substring(wm.end)
+        case _ =>
+      }
+    }
     s = rewriteGroupMods(s)
     s = rewriteArrayJoin(s, 0)
     simpleReplacements.foreach { case (re, to) =>
@@ -2570,6 +2584,63 @@ object ChDialect {
       require(args.nonEmpty, "uniqUpTo(N)(x…): needs an expression")
       s"least(count(DISTINCT ${args.mkString(", ")}), ${ps.head.trim} + 1)"
     }
+    // ---- everyday tier 6b (round-13 third audit) ------------------------
+    // arrayStringConcat: the 1-arg form joins with the empty separator
+    s = rewriteCall(s, "arrayStringConcat", {
+      case List(a) => s"array_join($a, '')"
+      case List(a, sep) => s"array_join($a, $sep)"
+      case args => throw new IllegalArgumentException(
+        s"arrayStringConcat expects (arr[, sep]), got ${args.length}")
+    })
+    // indexHint evaluates its predicate here (CH skips granules and
+    // returns a SUPERSET; an exact filter is the deterministic choice —
+    // documented divergence: never MORE rows than CH, never fewer than
+    // the predicate names)
+    s = rewriteCall(s, "indexHint",
+      args => s"(${args.mkString(", ")})")
+    // Monday of ISO week 1 = the week containing Jan 4 of the ISO year
+    s = rewriteCall(s, "toStartOfISOYear", {
+      case List(x) =>
+        s"CAST(date_trunc('week', make_date(year(date_add(" +
+          s"date_trunc('week', $x), 3)), 1, 4)) AS DATE)"
+      case args => throw new IllegalArgumentException(
+        s"toStartOfISOYear expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCall(s, "startsWithUTF8",
+      args => s"startswith(${args.mkString(", ")})")
+    s = rewriteCall(s, "endsWithUTF8",
+      args => s"endswith(${args.mkString(", ")})")
+    // the unit form of date_sub (the 2-arg day form is native Spark and
+    // passes through; a Date input widens to TIMESTAMP — the X129 stance)
+    s = rewriteCall(s, "date_sub", {
+      case List(u, n, d0)
+          if "(?i)^(YEAR|QUARTER|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND)$".r
+            .findFirstIn(u.trim).isDefined =>
+        s"timestampadd(${u.trim}, -($n), $d0)"
+      case args => s"date_sub(${args.mkString(", ")})"
+    })
+    // NULL-vs-default stance: CH's single element is the TYPE DEFAULT;
+    // a lineage-typed NULL is this engine's documented analog
+    s = rewriteCall(s, "emptyArrayToSingle", {
+      case List(a) =>
+        s"(CASE WHEN size($a) = 0 THEN array(try_element_at($a, 1)) " +
+          s"ELSE $a END)"
+      case args => throw new IllegalArgumentException(
+        s"emptyArrayToSingle expects 1 array, got ${args.length}")
+    })
+    s = rewriteCall(s, "positiveModulo",
+      args => s"pmod(${args.mkString(", ")})")
+    s = rewriteCall(s, "intExp2", {
+      case List(n) => s"shiftleft(CAST(1 AS BIGINT), $n)"
+      case args => throw new IllegalArgumentException(
+        s"intExp2 expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCall(s, "intExp10", {
+      case List(n) => s"CAST(round(power(10.0, $n)) AS BIGINT)"
+      case args => throw new IllegalArgumentException(
+        s"intExp10 expects 1 argument, got ${args.length}")
+    })
+
     // ---- everyday tier 6 (round-13 second audit) ------------------------
     // session introspection scalars: UTC sessions, no login identity
     s = cachedRe("(?i)\\btimeZone\\(\\s*\\)").replaceAllIn(s, _ => "'UTC'")

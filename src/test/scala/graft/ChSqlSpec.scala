@@ -1586,6 +1586,32 @@ class ChSqlSpec extends SparkSpecBase {
     }.getMessage should include("transform_keys")
   }
 
+  test("PREWHERE composes with WHERE; tier-6b spellings") {
+    def one(q: String) = GraftSql.chSql(spark, sf0001, q).head()
+    // PREWHERE p WHERE w merges into one conjunction (the blind
+    // replacement would emit two WHERE clauses)
+    one("SELECT count(*) AS n FROM orders PREWHERE o_orderkey < 100 " +
+      "WHERE o_orderstatus = 'O'").getLong(0) shouldBe
+      one("SELECT count(*) AS n FROM orders " +
+        "WHERE o_orderkey < 100 AND o_orderstatus = 'O'").getLong(0)
+    one("SELECT arrayStringConcat(['a', 'b']) AS v").getString(0) shouldBe "ab"
+    one("SELECT count(*) AS n FROM orders WHERE indexHint(o_orderkey < 5)")
+      .getLong(0) shouldBe 5L
+    one("SELECT toStartOfISOYear(toDate('2024-06-01')) AS v")
+      .getDate(0).toString shouldBe "2024-01-01"
+    // 2021 ISO year starts 2021-01-04; 2021-01-02 belongs to ISO 2020
+    one("SELECT toStartOfISOYear(toDate('2021-01-02')) AS v")
+      .getDate(0).toString shouldBe "2019-12-30"
+    one("SELECT CAST(date_sub(DAY, 3, toDate('2024-01-10')) AS Date) AS v")
+      .getDate(0).toString shouldBe "2024-01-07"
+    one("SELECT CAST(positiveModulo(-3, 5) AS INT) AS v").getInt(0) shouldBe 2
+    one("SELECT CAST(intExp2(4) AS Int64) AS a").getLong(0) shouldBe 16L
+    one("SELECT CAST(intExp10(3) AS Int64) AS a").getLong(0) shouldBe 1000L
+    one("SELECT size(emptyArrayToSingle(emptyArrayInt64())) AS v")
+      .getInt(0) shouldBe 1
+    one("SELECT startsWithUTF8('héllo', 'hé') AS v").getBoolean(0) shouldBe true
+  }
+
   test("parameterized type wrappers inside CAST; StateIf; GROUP_CONCAT alias") {
     def one(q: String) = GraftSql.chSql(spark, sf0001, s"SELECT $q AS v").head()
     // Nullable collapses (every Spark type is nullable), LowCardinality
