@@ -111,14 +111,18 @@ object MediaPipeline {
     def u16(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
     def u32(o: Int) = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
       ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
-    var pos = 12
+    // pos tracks as Long: a corrupt chunk size near UInt32.Max would
+    // overflow an Int advance into a negative index that passes the
+    // loop guard and crashes the String ctor (the JDK fallback path
+    // catches and returns None — this walk must degrade the same way)
+    var pos = 12L
     var fmtTag = -1; var ch = 0; var sampleRate = 0; var bits = 0
     var dataOff = -1; var dataLen = 0
     while (pos + 8 <= p.length && (fmtTag < 0 || dataOff < 0)) {
-      val id = new String(p, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val size = u32(pos + 4)
-      if (size < 0 || size > Int.MaxValue - 8) return None
-      val body = pos + 8
+      val ip = pos.toInt
+      val id = new String(p, ip, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = u32(ip + 4) // 0 .. 4 GiB as a Long — never negative
+      val body = ip + 8
       id match {
         case "fmt " if size >= 16 && body + 16 <= p.length =>
           fmtTag = u16(body)
@@ -130,7 +134,7 @@ object MediaPipeline {
           dataLen = math.min(size, (p.length - body).toLong).toInt
         case _ =>
       }
-      pos = body + size.toInt + (size.toInt & 1) // chunks pad to even
+      pos = body.toLong + size + (size & 1L) // chunks pad to even
     }
     if (fmtTag != 1 || ch < 1 || (bits != 8 && bits != 16) ||
         dataOff < 0 || sampleRate <= 0) return None

@@ -779,6 +779,26 @@ object Analytics extends QueryModule {
           |  ON b.user_id = c.user_id AND b.ts >= c.ts
           |ORDER BY event_id""".stripMargin)),
 
+    // LEFT ANY JOIN through the gate (round 14): CH's everyday
+    // first-match enrichment idiom as TEXT, riding the X138 nest minus
+    // the inequality. CH's ANY keeps an ARBITRARY match; this engine
+    // keeps the JSON-least serialized right row (documented divergence
+    // — the groupConcat stance), which the oracle restates as the
+    // row_number()=1 dedup-build-side join ordered by the same column:
+    // the right side's tag is fixed-width digits, so its plain string
+    // order IS the serialized-struct order the tiebreaker computes.
+    "sql_any_join" -> ((s, d) =>
+      graft.sql.GraftSql.chSql(s, d,
+        """SELECT b.event_id AS event_id, b.user_id AS user_id,
+          |  c.tag AS first_tag
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase') b
+          |LEFT ANY JOIN (SELECT user_id,
+          |    lpad(CAST(CAST(floor(value) AS Int64) % 97 AS String),
+          |         2, '0') AS tag
+          |  FROM events WHERE event_type = 'click') c
+          |  ON b.user_id = c.user_id
+          |ORDER BY event_id""".stripMargin)),
+
     // numbers() + intDiv + the LIMIT offset,n comma form + FORMAT tail in
     // one statement — the everyday CH-CLI idioms, gate-checked together
     // (each is spec'd in isolation in ChSqlSpec).
@@ -1482,6 +1502,26 @@ object Analytics extends QueryModule {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') b
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON b.user_id = c.user_id AND b.ts >= c.ts
+        |ORDER BY b.event_id""".stripMargin,
+
+    // the ANY pick restated as the dedup-build-side join: one row per
+    // key, elected by the SAME order the engine's serialized-row
+    // tiebreaker computes (fixed-width digit tag → plain string order)
+    "sql_any_join" ->
+      """SELECT b.event_id AS event_id, b.user_id AS user_id,
+        | c.tag AS first_tag
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') b
+        |LEFT JOIN (
+        |  SELECT user_id, tag FROM (
+        |    SELECT user_id,
+        |      lpad(CAST(CAST(floor(value) AS BIGINT) % 97 AS VARCHAR),
+        |           2, '0') AS tag,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY
+        |        lpad(CAST(CAST(floor(value) AS BIGINT) % 97 AS VARCHAR),
+        |             2, '0')) AS rn
+        |    FROM events WHERE event_type = 'click') t
+        |  WHERE rn = 1) c
+        |ON b.user_id = c.user_id
         |ORDER BY b.event_id""".stripMargin,
 
     // the QUALIFY nest restated portably (row_number subquery) — runs

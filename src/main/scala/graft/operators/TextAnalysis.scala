@@ -60,8 +60,9 @@ object TextAnalysis extends QueryModule {
   private[graft] val BpeMerges = 24
 
   /** Memoized per (session, corpus): (merge table, final word table
-    * (w, freq, s)). The word table is localCheckpoint-ed so both queries
-    * reuse it without replaying the loop.
+    * (w, freq, s)). The word table lands on pinned scratch parquet and
+    * the memoized read-back is persisted, so repeat queries reuse it
+    * without replaying the loop or re-reading the files.
     */
   private val bpeState = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String),
@@ -86,7 +87,13 @@ object TextAnalysis extends QueryModule {
       CatalogOps.registerForCleanup(dir) // process-memoized: pin
       val path = dir.resolve("words").toString
       words.write.mode("overwrite").parquet(path)
-      val built = (merges, s.read.parquet(path))
+      // persist (NOT checkpoint) the read-back: cached blocks recompute
+      // from the pinned parquet lineage, so the unpersist sweep can only
+      // cost a re-read, never orphan the frame — and the per-invocation
+      // parquet read (round-13 cost: text_chunk_bpe 0.16 → 1.23 s)
+      // returns to memory speed
+      val built = (merges, s.read.parquet(path)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       bpeState.put((s, d), built)
       built
     }

@@ -416,21 +416,58 @@ object ChDdl {
   /** `ON CLUSTER 'x'` — every prod CH runbook stamps it on DDL; a
     * single-process engine has no cluster to fan out to. The clause
     * strips with a loud note (the SYSTEM/SET acknowledgement precedent)
-    * and the statement executes locally. One clause per statement (CH's
-    * own grammar); only the first match strips so SELECT bodies are
-    * never touched.
+    * and the statement executes locally. Matches inside quoted string /
+    * backtick literals are NEVER touched (an inserted value reading
+    * "retry ON CLUSTER main" is data, not a clause), and every
+    * grammatical occurrence strips — a doubled clause or a pasted
+    * multi-statement line gets the same treatment per occurrence
+    * instead of leaving the second to fail a downstream parse.
     */
   private val onClusterRe =
     "(?i)\\s+ON\\s+CLUSTER\\s+('[^']+'|`[^`]+`|[\\w.]+)".r
-  private[graft] def stripOnCluster(ddl: String): String =
-    onClusterRe.findFirstMatchIn(ddl) match {
-      case None => ddl
-      case Some(m) =>
-        System.err.println(s"[chddl] ON CLUSTER ${m.group(1).trim}: " +
-          "single-process engine — no cluster to fan out to; the clause " +
-          "strips and the statement executes locally")
-        ddl.substring(0, m.start) + ddl.substring(m.end)
+  private[graft] def stripOnCluster(ddl: String): String = {
+    // quoted spans: '…' with '' escaping, and `…` identifiers — a match
+    // whose keyword starts inside one is literal text
+    def quotedSpans(t: String): Seq[(Int, Int)] = {
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var i = 0
+      while (i < t.length) {
+        val c = t.charAt(i)
+        if (c == '\'' || c == '`') {
+          val start = i; i += 1
+          var closed = false
+          while (i < t.length && !closed) {
+            if (t.charAt(i) == c) {
+              if (c == '\'' && i + 1 < t.length && t.charAt(i + 1) == '\'')
+                i += 2 // doubled-quote escape
+              else { closed = true; i += 1 }
+            } else i += 1
+          }
+          spans += ((start, i))
+        } else i += 1
+      }
+      spans.toSeq
     }
+    var out = ddl
+    var found = true
+    while (found) {
+      val spans = quotedSpans(out)
+      def inLiteral(pos: Int) = spans.exists(sp => pos >= sp._1 && pos < sp._2)
+      // test the KEYWORD position (m.start), not the operand: a real
+      // clause's operand may itself be a quoted literal (`ON CLUSTER
+      // 'main'`) and must still strip
+      onClusterRe.findAllMatchIn(out)
+        .find(m => !inLiteral(m.start)) match {
+        case None => found = false
+        case Some(m) =>
+          System.err.println(s"[chddl] ON CLUSTER ${m.group(1).trim}: " +
+            "single-process engine — no cluster to fan out to; the clause " +
+            "strips and the statement executes locally")
+          out = out.substring(0, m.start) + out.substring(m.end)
+      }
+    }
+    out
+  }
 
   /** Parse `ddl`; a CreateTable is rooted at `path`. */
   def parse(ddl0: String, path: String): Statement = {
@@ -1121,9 +1158,14 @@ object ChDdl {
       // walk; Catalyst still prunes literal branches from the plan.
       val tablePins = "(?i)\\b(?:\\w+\\.)?table\\s*=\\s*'([^']+)'".r
         .findAllMatchIn(text).map(_.group(1)).toSet
+      // any OR / NOT / JOIN in the statement falls back to the full
+      // walk — the textual pin can't see negation (`NOT table = 'x'`),
+      // disjunction scope, or which relation a joined predicate binds
+      // to, and a wrong prune is silently-wrong rows
       val pinned: Option[String] =
         if (tablePins.size == 1 &&
-            "(?i)\\bOR\\b".r.findFirstIn(text).isEmpty) Some(tablePins.head)
+            "(?i)\\b(?:OR|NOT|JOIN)\\b".r.findFirstIn(text).isEmpty)
+          Some(tablePins.head)
         else None
       val binds: Map[String, () => org.apache.spark.sql.DataFrame] = Map(
         "tables" -> (() => cat.systemTables()),

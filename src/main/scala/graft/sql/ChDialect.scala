@@ -505,14 +505,15 @@ object ChDialect {
     ("(?i)\\bPASTE\\s+JOIN\\b",
       "PASTE JOIN (positional zip): join on row_number() OVER () keys " +
         "instead — positional alignment is not a relational operation"),
-    ("(?i)\\b(?:LEFT|RIGHT|INNER|FULL)\\s+(?:ANY|ALL)\\s+JOIN\\b",
-      "ANY/ALL JOIN: one-match join semantics has no Spark JOIN type — " +
-        "deduplicate the build side on its join keys (LIMIT 1 BY) and " +
-        "use a plain JOIN"),
-    ("(?i)\\b(?:ANY|ALL)\\s+(?:LEFT|RIGHT|INNER|FULL)?\\s*JOIN\\b",
-      "ANY/ALL JOIN: one-match join semantics has no Spark JOIN type — " +
-        "deduplicate the build side on its join keys (LIMIT 1 BY) and " +
-        "use a plain JOIN"),
+    // [LEFT|INNER] ANY JOIN lowers onto the X138 nest (rewriteAnyJoin,
+    // which runs BEFORE this check and consumes the keyword); the forms
+    // with no sound lowering still refuse here
+    ("(?i)\\b(?:LEFT|RIGHT|INNER|FULL)\\s+ALL\\s+JOIN\\b",
+      "ALL JOIN: CH's ALL is the default multiplicity — drop the " +
+        "keyword and use a plain JOIN"),
+    ("(?i)\\bALL\\s+(?:LEFT|RIGHT|INNER|FULL)?\\s*JOIN\\b",
+      "ALL JOIN: CH's ALL is the default multiplicity — drop the " +
+        "keyword and use a plain JOIN"),
     ("(?i)\\bCOLUMNS\\s*\\(",
       "COLUMNS(…) [APPLY]: the dynamic column selector needs schema " +
         "expansion — spell the columns, or use * EXCEPT / * REPLACE"))
@@ -546,17 +547,17 @@ object ChDialect {
     */
   private def splitTableAlias(expr0: String, side: String): (String, String) = {
     val e = expr0.trim
-    require(e.nonEmpty, s"ASOF JOIN: empty $side table expression")
+    require(e.nonEmpty, s"ASOF/ANY JOIN: empty $side table expression")
     val bare = "^[A-Za-z_][A-Za-z0-9_.]*$".r
     if (bare.findFirstIn(e).contains(e)) (e, e.split('.').last)
     else {
       val m = "(?is)^(.+?)\\s+(?:AS\\s+)?([A-Za-z_][A-Za-z0-9_]*)$".r
         .findFirstMatchIn(e).getOrElse(throw new IllegalArgumentException(
-          s"ASOF JOIN: cannot parse the $side table expression '$e' — " +
+          s"ASOF/ANY JOIN: cannot parse the $side table expression '$e' — " +
             "alias derived tables ((SELECT …) t)"))
       val inner = m.group(1).trim
       require(!inner.endsWith(","),
-        s"ASOF JOIN: cannot parse the $side table expression '$e'")
+        s"ASOF/ANY JOIN: cannot parse the $side table expression '$e'")
       (inner, m.group(2))
     }
   }
@@ -573,6 +574,11 @@ object ChDialect {
 
   private val asofJoinRe =
     "(?i)\\bASOF\\s+(LEFT\\s+)?(?:INNER\\s+)?JOIN\\b".r
+  // [LEFT|INNER] ANY JOIN in either keyword order; RIGHT/FULL ANY match
+  // here too and refuse inside the rewrite with the pointed alternative
+  private val anyJoinRe =
+    ("(?i)\\b(?:(LEFT|INNER|RIGHT|FULL)\\s+)?ANY\\s+" +
+      "(?:(LEFT|INNER|RIGHT|FULL)\\s+)?JOIN\\b").r
 
   /** CH `a ASOF [LEFT] JOIN b ON a.k = b.k AND a.t >= b.t` (and the
     * `USING (k…, t)` spelling) as SQL text — the most common CH
@@ -587,6 +593,15 @@ object ChDialect {
     * (DESC for `>=`/`>`: latest at-or-before; ASC for `<=`/`<`). A LEFT
     * asof keeps unmatched left rows: their single all-NULL candidate is
     * its own row_number() = 1.
+    *
+    * `[LEFT|INNER] ANY JOIN b ON k` (either keyword order) rides the
+    * SAME nest minus the inequality — CH's everyday first-match /
+    * dedup-build-side idiom. CH's ANY keeps an ARBITRARY matching right
+    * row; this lowering keeps the JSON-least serialized right row — a
+    * DOCUMENTED deterministic divergence (the groupConcat stance:
+    * deterministic beats bug-compatible). RIGHT/FULL ANY and every ALL
+    * form still refuse with the sound alternative. Equal (key, time)
+    * ASOF candidates resolve by the same serialized-row tiebreaker.
     *
     * SCALE NOTE: this text lowering shuffles the join on the equality
     * keys (the same movement an equi-join makes) and then the window on
@@ -606,30 +621,46 @@ object ChDialect {
     * requires one).
     */
   private def rewriteAsofJoin(s: String): String = {
-    val all = asofJoinRe.findAllMatchIn(s).toList
-    if (all.isEmpty) return s
-    require(all.size == 1,
-      "ASOF JOIN: one ASOF JOIN per statement — nest additional ones " +
-        "as separate statements or use graft.operators.TemporalJoins")
-    val m = all.head
+    val asofs = asofJoinRe.findAllMatchIn(s).toList
+    val anys = anyJoinRe.findAllMatchIn(s).toList
+    if (asofs.isEmpty && anys.isEmpty) return s
+    require(asofs.size + anys.size == 1,
+      "ASOF/ANY JOIN: one per statement — nest additional ones as " +
+        "separate statements or use graft.operators.TemporalJoins")
+    val isAsof = asofs.nonEmpty
+    val m = (asofs ++ anys).head
+    val kwName = if (isAsof) "ASOF JOIN" else "ANY JOIN"
     require(depthAt(s, m.start) == 0,
-      "ASOF JOIN inside a derived table / CTE is not supported — apply " +
-        "the ASOF at the top level (or use graft.operators.TemporalJoins)")
-    val isLeft = m.group(1) != null
-    Seq("GROUP\\s+BY" -> ("GROUP BY over an ASOF JOIN result: the " +
+      s"$kwName inside a derived table / CTE is not supported — apply " +
+        "it at the top level (or use graft.operators.TemporalJoins)")
+    val isLeft =
+      if (isAsof) m.group(1) != null
+      else {
+        val kind = Option(m.group(1)).orElse(Option(m.group(2)))
+          .map(_.toUpperCase).getOrElse("INNER")
+        require(kind != "RIGHT",
+          "RIGHT ANY JOIN: flip the sides and use LEFT ANY JOIN (the " +
+            "lowering keeps one match per PROBE row)")
+        require(kind != "FULL",
+          "FULL ANY JOIN: no sound lowering — CH's own FULL ANY is " +
+            "asymmetric; run a LEFT ANY JOIN and union the unmatched " +
+            "right rows")
+        kind == "LEFT"
+      }
+    Seq("GROUP\\s+BY" -> (s"GROUP BY over an $kwName result: the " +
         "lowering filters matches with a window, which SQL evaluates " +
         "before grouping could see it — aggregate in an outer query " +
-        "over a plain ASOF SELECT"),
-      "HAVING" -> "HAVING over an ASOF JOIN: see the GROUP BY refusal",
-      "QUALIFY" -> ("QUALIFY combined with ASOF JOIN: the lowering " +
+        "over a plain matched SELECT"),
+      "HAVING" -> s"HAVING over an $kwName: see the GROUP BY refusal",
+      "QUALIFY" -> (s"QUALIFY combined with $kwName: the lowering " +
         "owns the statement's QUALIFY slot — filter in an outer query"),
-      "LIMIT\\s+\\d+\\s+BY" -> ("LIMIT n BY combined with ASOF JOIN: " +
+      "LIMIT\\s+\\d+\\s+BY" -> (s"LIMIT n BY combined with $kwName: " +
         "the lowering owns the statement's window nest — apply the " +
         "per-group limit in an outer query"),
-      "WITH\\s+TIES" -> ("WITH TIES combined with ASOF JOIN: the " +
+      "WITH\\s+TIES" -> (s"WITH TIES combined with $kwName: the " +
         "lowering owns the statement's window nest — apply ties in an " +
         "outer query"),
-      "DISTINCT\\s+ON" -> ("DISTINCT ON combined with ASOF JOIN: the " +
+      "DISTINCT\\s+ON" -> (s"DISTINCT ON combined with $kwName: the " +
         "lowering owns the statement's window nest — apply it in an " +
         "outer query"))
       .foreach { case (kw, msg) =>
@@ -639,18 +670,18 @@ object ChDialect {
     val fromM = "(?i)\\bFROM\\b".r.findAllMatchIn(s)
       .filter(m2 => m2.end <= m.start && depthAt(s, m2.start) == 0)
       .toList.lastOption.getOrElse(throw new IllegalArgumentException(
-        "ASOF JOIN: no top-level FROM found before the join"))
+        s"$kwName: no top-level FROM found before the join"))
     val leftRegion = s.substring(fromM.end, m.start)
     require(topMatch(leftRegion, "(?i)\\bJOIN\\b".r).isEmpty &&
       topMatch(leftRegion, ",".r).isEmpty,
-      "ASOF JOIN: additional joins / comma tables before the ASOF are " +
+      s"$kwName: additional joins / comma tables before it are " +
         "not supported — nest them as an aliased derived table")
     val (leftInner, la) = splitTableAlias(leftRegion, "left")
 
     // right side runs to the top-level ON / USING
     val onM = topMatch(s, "(?i)\\b(ON|USING)\\b".r, m.end)
       .getOrElse(throw new IllegalArgumentException(
-        "ASOF JOIN: missing ON / USING clause"))
+        s"$kwName: missing ON / USING clause"))
     val (rightExpr, ra) =
       splitTableAlias(s.substring(m.end, onM.start), "right")
 
@@ -661,26 +692,44 @@ object ChDialect {
       .getOrElse(s.length)
     topMatch(s, clauseRe, onM.end).foreach { c =>
       require(!c.group(1).equalsIgnoreCase("JOIN"),
-        "ASOF JOIN: additional joins in the same query block are not " +
-          "supported — nest the ASOF result as a derived table input " +
-          "to the other join") }
+        s"$kwName: additional joins in the same query block are not " +
+          "supported — nest the matched result as a derived table " +
+          "input to the other join") }
     val condText = s.substring(onM.end, condEnd).trim
     val tail = s.substring(condEnd)
 
-    // resolve the asof inequality: exactly one, on the right alias
-    val (joinCond, rightTime, dir) =
+    // resolve the asof inequality: exactly one, on the right alias.
+    // timeOrder is the asof pick's window ordering — None for ANY,
+    // whose pick is the deterministic tiebreaker alone
+    val (joinCond, timeOrder: Option[String]) =
       if (onM.group(1).equalsIgnoreCase("USING")) {
         val cols =
           if (condText.startsWith("(")) balancedArgs(s, onM.end +
             s.substring(onM.end).indexOf('('))._1.map(_.trim)
           else condText.split(',').map(_.trim).toList
+        if (!isAsof) {
+          // ANY JOIN USING: every column is an equality key
+          require(cols.nonEmpty,
+            "ANY JOIN USING: needs at least one column")
+          (cols.map(c => s"$la.$c = $ra.$c").mkString(" AND "), None)
+        } else {
         require(cols.size >= 2,
           "ASOF JOIN USING: needs at least one equality column and the " +
             "trailing asof column")
         val eqs = cols.init.map(c => s"$la.$c = $ra.$c")
         val t = cols.last
         ((eqs :+ s"$la.$t >= $ra.$t").mkString(" AND "),
-          s"$ra.$t", "DESC")
+          Some(s"$ra.$t DESC"))
+        }
+      } else if (!isAsof) {
+        // ANY JOIN ON: the whole condition rides as the join predicate
+        // (extra non-equality conjuncts are join filters, as in CH);
+        // at least one bare equality keeps the join hash-joinable
+        require("(?<![<>!=])=(?!=)".r.findAllMatchIn(condText)
+          .exists(em => depthAt(condText, em.start) == 0),
+          "ANY JOIN: at least one equality conjunct is required in the " +
+            "ON clause (ClickHouse requires one too)")
+        (condText, None)
       } else {
         val parts = splitTopAnd(condText)
         val cmpRe = "(>=|<=|<>|!=|>|<|=)".r
@@ -728,7 +777,7 @@ object ChDialect {
         val (rt, d) = ineq.getOrElse(throw new IllegalArgumentException(
           "ASOF JOIN: no inequality conjunct found — the asof key " +
             "must appear as a >=/>/<=/< comparison in the ON clause"))
-        (condText, rt, d)
+        (condText, Some(s"$rt $d"))
       }
 
     // a top-level WHERE / select-list window must not see candidate
@@ -753,12 +802,12 @@ object ChDialect {
             !tok.contains(Sentinel)) {
           if (tok.contains('.')) {
             require(tok.toLowerCase.startsWith(la.toLowerCase + "."),
-              s"ASOF JOIN: $what references '$tok' — only left-side " +
+              s"$kwName: $what references '$tok' — only left-side " +
                 s"($la.) columns are sound there (the asof match is " +
                 "computed after it); filter the right side in its own " +
                 "derived table, or wrap the asof SELECT in an outer query")
           } else throw new IllegalArgumentException(
-            s"ASOF JOIN: $what references unqualified column '$tok' — " +
+            s"$kwName: $what references unqualified column '$tok' — " +
               s"qualify left-side columns as $la.$tok (right-side " +
               "references there are unsound; see the WHERE stance)")
         }
@@ -774,7 +823,7 @@ object ChDialect {
       topMatch(s, "(?i)\\bSELECT\\b".r).map(_.end).getOrElse(0),
       fromM.start)
     require(topMatch(selSpan, "(?i)\\bOVER\\b".r).isEmpty,
-      "ASOF JOIN: window functions in the select list would evaluate " +
+      s"$kwName: window functions in the select list would evaluate " +
         "over candidate rows, not asof matches — wrap the asof SELECT " +
         "in an outer query and window there")
     // a `*` is star-EXPANSION (not multiplication) when its previous
@@ -788,7 +837,7 @@ object ChDialect {
         }
       }
     require(!mixedStar,
-      "ASOF JOIN: qualified / mixed stars in the select list would " +
+      s"$kwName: qualified / mixed stars in the select list would " +
         "leak the lowering's helper column — spell the columns (a " +
         "bare SELECT * is supported)")
 
@@ -804,9 +853,18 @@ object ChDialect {
     val newFrom =
       s" (SELECT *, monotonically_increasing_id() AS __asof_lid " +
         s"FROM $leftInner) $la $joinKw $rightExpr $ra ON $joinCond"
+    // deterministic tiebreaker: two right rows with equal (key, time)
+    // would otherwise leave the surviving match partition-order-
+    // dependent — the serialized right row breaks the tie identically
+    // run-to-run (identical rows still tie, indistinguishably). The
+    // repo's groupConcat stance: deterministic beats bug-compatible
+    // (CH's ASOF and ANY both pick an arbitrary one). For ANY JOIN the
+    // tiebreaker IS the whole pick order: the JSON-least matching right
+    // row wins, documented and stable.
     val qualify =
       s" QUALIFY row_number() OVER (PARTITION BY $la.__asof_lid " +
-        s"ORDER BY $rightTime $dir) = 1"
+        s"ORDER BY ${timeOrder.map(_ + ", ").getOrElse("")}" +
+        s"to_json(struct($ra.*))) = 1"
     // QUALIFY slots after WHERE, before ORDER BY / LIMIT
     val shift = s1.length - s.length
     val tail1 = s1.substring(condEnd + shift)
@@ -1313,7 +1371,13 @@ object ChDialect {
     s = settingsTailRe.replaceAllIn(s, "")
     s = rewriteWithAliases(s)
     s = rewriteArrayLiterals(s)
-    // ASOF before the refusal sweep: it consumes every supported ASOF
+    // `GLOBAL <kind> JOIN` — CH's ship-the-build-side distributed hint;
+    // single-process execution IS global (the GLOBAL IN stance at
+    // simpleReplacements). Dropped BEFORE the join rewrites so the
+    // keyword never parses as a table alias.
+    s = ("(?i)\\bGLOBAL\\s+(?=(?:(?:LEFT|RIGHT|INNER|FULL|CROSS|ANY|" +
+      "ALL|ASOF|SEMI|ANTI)\\s+)*JOIN\\b)").r.replaceAllIn(s, "")
+    // ASOF/ANY before the refusal sweep: it consumes every supported
     // shape (emitting the QUALIFY rewriteQualify consumes below) and
     // refuses unsupported ones itself with the precise reason
     s = rewriteAsofJoin(s)
@@ -1447,9 +1511,24 @@ object ChDialect {
       val w = pw.flatMap(m => topMatch(s, "(?i)\\bWHERE\\b".r, m.end))
       (pw, w) match {
         case (Some(m), Some(wm)) =>
-          val pred = s.substring(m.end, wm.start).trim
-          s = s.substring(0, m.start) + s"WHERE ($pred) AND " +
-            s.substring(wm.end)
+          // NOT String.trim here: the literal-mask sentinel is \x01,
+          // which trim (≤ 0x20) would strip off a predicate ending in a
+          // masked literal — strip real whitespace only
+          def ws(t: String) =
+            t.dropWhile(c => c == ' ' || c == '\t' || c == '\n' || c == '\r')
+              .reverse
+              .dropWhile(c => c == ' ' || c == '\t' || c == '\n' || c == '\r')
+              .reverse
+          val pred = ws(s.substring(m.end, wm.start))
+          // the WHERE predicate must be parenthesized too: an OR at its
+          // top level would otherwise rebind the conjunction
+          // (`p AND a OR b` ≠ CH's `p AND (a OR b)`)
+          val wEnd = topMatch(s, ("(?i)\\b(GROUP\\s+BY|HAVING|QUALIFY|" +
+            "WINDOW|ORDER\\s+BY|LIMIT|SETTINGS|UNION|INTERSECT|" +
+            "EXCEPT)\\b").r, wm.end).map(_.start).getOrElse(s.length)
+          val wPred = ws(s.substring(wm.end, wEnd))
+          s = s.substring(0, m.start) + s"WHERE ($pred) AND ($wPred) " +
+            s.substring(wEnd)
         case _ =>
       }
     }
@@ -2552,8 +2631,13 @@ object ChDialect {
     })
     s = rewriteCall(s, "multiSearchFirstIndex", {
       case List(h, needles) =>
-        s"CAST(coalesce(array_position(transform($needles, " +
-          s"__n -> locate(__n, $h) > 0), true), 0) AS INT)"
+        // CH returns the index of the needle whose occurrence is
+        // LEFTMOST in the haystack (not the first needle that matches
+        // anywhere); ties on position resolve to the lower index —
+        // array_position finds the first element equal to the min
+        def positions = s"transform($needles, __n -> locate(__n, $h))"
+        s"CAST(coalesce(array_position($positions, " +
+          s"array_min(filter($positions, __p -> __p > 0))), 0) AS INT)"
       case args => throw new IllegalArgumentException(
         s"multiSearchFirstIndex expects (haystack, [needles]), got ${args.length}")
     })

@@ -1383,5 +1383,24 @@ class ChDdlSpec extends SparkSpecBase {
     ChDdl.stripOnCluster(
       "CREATE VIEW v AS SELECT * FROM a JOIN b ON cluster.id = a.id"
     ) should include("ON cluster.id")
+    // string literals are data, not clauses: an inserted value that
+    // happens to read "… ON CLUSTER …" must survive verbatim
+    ChDdl.stripOnCluster(
+      "INSERT INTO t (msg) VALUES ('retry ON CLUSTER main later')"
+    ) shouldBe "INSERT INTO t (msg) VALUES ('retry ON CLUSTER main later')"
+    // …including doubled '' escapes before the phrase
+    ChDdl.stripOnCluster(
+      "INSERT INTO t VALUES ('it''s ON CLUSTER x')"
+    ) shouldBe "INSERT INTO t VALUES ('it''s ON CLUSTER x')"
+    // every grammatical occurrence strips (a pasted multi-statement
+    // line), while the literal occurrence in the same text survives
+    ChDdl.stripOnCluster(
+      "DROP TABLE a ON CLUSTER main; DROP TABLE b ON CLUSTER main; " +
+        "INSERT INTO log VALUES ('ran ON CLUSTER main')"
+    ) shouldBe ("DROP TABLE a; DROP TABLE b; " +
+      "INSERT INTO log VALUES ('ran ON CLUSTER main')")
+    // a quoted operand is still a real clause
+    ChDdl.stripOnCluster("DROP TABLE t ON CLUSTER 'main'") shouldBe
+      "DROP TABLE t"
   }
 }

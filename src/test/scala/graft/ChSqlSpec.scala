@@ -1393,7 +1393,7 @@ class ChSqlSpec extends SparkSpecBase {
       .head().getString(0) shouldBe "F"
     Seq(
       "SELECT 1 FROM (SELECT 1 AS a) t1 PASTE JOIN (SELECT 2 AS b) t2" -> "PASTE JOIN",
-      "SELECT 1 FROM events e ANY LEFT JOIN orders o ON e.user_id = o.o_custkey" -> "ANY/ALL JOIN",
+      "SELECT 1 FROM events e ALL LEFT JOIN orders o ON e.user_id = o.o_custkey" -> "ALL JOIN",
       "SELECT COLUMNS('o_.*') APPLY (max) FROM orders" -> "COLUMNS",
       "SELECT deltaSum(value) FROM events" -> "deltaSum",
       "SELECT topKWeighted(3)(event_type, 2) FROM events" -> "topKWeighted",
@@ -1477,6 +1477,77 @@ class ChSqlSpec extends SparkSpecBase {
       restated("DESC", ">=").filter(_.getLong(0) < 200)
   }
 
+  test("ASOF JOIN resolves equal (key, time) candidates deterministically") {
+    // two right rows tie exactly on the asof pick; the nest's serialized-
+    // row tiebreaker must elect the same winner every run regardless of
+    // partition order (CH's own ASOF is arbitrary here — the repo's
+    // groupConcat stance: deterministic beats bug-compatible)
+    import spark.implicits._
+    Seq((1, 10L)).toDF("k", "ts").createOrReplaceTempView("asof_tie_l")
+    Seq((1, 5L, "zz"), (1, 5L, "aa"), (1, 3L, "mm"))
+      .toDF("k", "ts", "v").repartition(7)
+      .createOrReplaceTempView("asof_tie_r")
+    val q = """SELECT l.k AS k, r.v AS v FROM asof_tie_l l
+              |ASOF JOIN asof_tie_r r ON l.k = r.k AND l.ts >= r.ts"""
+      .stripMargin
+    val winners = (1 to 4)
+      .map(_ => GraftSql.chSql(spark, sf0001, q).head().getString(1))
+      .toSet
+    // ties order by to_json(struct(r.*)): {"k":1,"ts":5,"v":"aa"} < "zz"
+    winners shouldBe Set("aa")
+  }
+
+  test("ANY JOIN as text: first-match semantics on the shared nest") {
+    import spark.implicits._
+    Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "lv")
+      .createOrReplaceTempView("any_l")
+    Seq((1, "bb"), (1, "aa"), (2, "cc")).toDF("k", "rv").repartition(5)
+      .createOrReplaceTempView("any_r")
+    def run(q: String): Seq[(Int, String)] =
+      GraftSql.chSql(spark, sf0001, q).collect().toSeq
+        .map(r => (r.getInt(0), Option(r.getString(1)).orNull))
+    // LEFT ANY keeps every left row, one deterministic match (JSON-least)
+    run("SELECT l.k AS k, r.rv AS rv FROM any_l l " +
+      "LEFT ANY JOIN any_r r ON l.k = r.k ORDER BY k") shouldBe
+      Seq((1, "aa"), (2, "cc"), (3, null))
+    // INNER ANY (bare / keyword-order / GLOBAL spellings) drops
+    // unmatched left rows
+    Seq("ANY JOIN", "INNER ANY JOIN", "ANY INNER JOIN",
+      "GLOBAL ANY JOIN").foreach { j =>
+      run(s"SELECT l.k AS k, r.rv AS rv FROM any_l l " +
+        s"$j any_r r ON l.k = r.k ORDER BY k") shouldBe
+        Seq((1, "aa"), (2, "cc"))
+    }
+    // old-style keyword order for LEFT
+    run("SELECT l.k AS k, r.rv AS rv FROM any_l l " +
+      "ANY LEFT JOIN any_r r ON l.k = r.k ORDER BY k") shouldBe
+      Seq((1, "aa"), (2, "cc"), (3, null))
+    // USING spelling: every column is an equality key
+    run("SELECT l.k AS k, r.rv AS rv FROM any_l l " +
+      "LEFT ANY JOIN any_r r USING (k) ORDER BY k") shouldBe
+      Seq((1, "aa"), (2, "cc"), (3, null))
+    // the pick is stable across repeated runs (partition-order-free)
+    (1 to 3).map(_ => run("SELECT l.k AS k, r.rv AS rv FROM any_l l " +
+      "ANY JOIN any_r r ON l.k = r.k WHERE l.k = 1")).toSet.size shouldBe 1
+    // refusals: RIGHT/FULL ANY, every ALL form, no-equality ON
+    intercept[Exception] {
+      GraftSql.chSql(spark, sf0001, "SELECT 1 FROM any_l l " +
+        "RIGHT ANY JOIN any_r r ON l.k = r.k").collect()
+    }.getMessage should include("LEFT ANY JOIN")
+    intercept[Exception] {
+      GraftSql.chSql(spark, sf0001, "SELECT 1 FROM any_l l " +
+        "FULL ANY JOIN any_r r ON l.k = r.k").collect()
+    }.getMessage should include("union")
+    intercept[Exception] {
+      GraftSql.chSql(spark, sf0001, "SELECT 1 FROM any_l l " +
+        "LEFT ALL JOIN any_r r ON l.k = r.k").collect()
+    }.getMessage should include("plain JOIN")
+    intercept[Exception] {
+      GraftSql.chSql(spark, sf0001, "SELECT 1 FROM any_l l " +
+        "ANY JOIN any_r r ON l.k > r.k").collect()
+    }.getMessage should include("equality")
+  }
+
   test("ASOF JOIN refuses the unsound shapes loudly") {
     Seq(
       // nested / multiple
@@ -1557,6 +1628,16 @@ class ChSqlSpec extends SparkSpecBase {
     one("multiSearchFirstIndex('abcdef', ['zz', 'cd'])")
       .getInt(0) shouldBe 2
     one("multiSearchFirstIndex('abcdef', ['zz'])").getInt(0) shouldBe 0
+    // CH returns the needle whose occurrence is LEFTMOST in the
+    // haystack, not the first needle matching anywhere: 'ab' sits at
+    // position 1, ahead of 'ef' at 5, so its index (2) wins
+    one("multiSearchFirstIndex('abcdef', ['ef', 'ab'])")
+      .getInt(0) shouldBe 2
+    one("multiSearchFirstIndex('abcdef', ['cd', 'cdef', 'ab'])")
+      .getInt(0) shouldBe 3
+    // position ties resolve to the lower needle index
+    one("multiSearchFirstIndex('abcdef', ['cd', 'cdef'])")
+      .getInt(0) shouldBe 1
     one("countMatches('aXbXXc', 'X+')").getInt(0) shouldBe 2
     // renames + date forms
     one("substringIndex('a.b.c', '.', 2)").getString(0) shouldBe "a.b"
@@ -1594,6 +1675,19 @@ class ChSqlSpec extends SparkSpecBase {
       "WHERE o_orderstatus = 'O'").getLong(0) shouldBe
       one("SELECT count(*) AS n FROM orders " +
         "WHERE o_orderkey < 100 AND o_orderstatus = 'O'").getLong(0)
+    // a top-level OR in the WHERE must stay inside the conjunction
+    // (`p AND (a OR b)`, never `(p AND a) OR b`) — and the merged
+    // predicate must survive a trailing clause and a trailing literal
+    one("SELECT count(*) AS n FROM orders PREWHERE o_orderkey < 100 " +
+      "WHERE o_orderstatus = 'F' OR o_orderstatus = 'O' ORDER BY n")
+      .getLong(0) shouldBe
+      one("SELECT count(*) AS n FROM orders WHERE o_orderkey < 100 " +
+        "AND (o_orderstatus = 'F' OR o_orderstatus = 'O')").getLong(0)
+    one("SELECT count(*) AS n FROM orders " +
+      "PREWHERE o_orderstatus = 'O' WHERE o_orderpriority = '2-HIGH'")
+      .getLong(0) shouldBe
+      one("SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'O' " +
+        "AND o_orderpriority = '2-HIGH'").getLong(0)
     one("SELECT arrayStringConcat(['a', 'b']) AS v").getString(0) shouldBe "ab"
     one("SELECT count(*) AS n FROM orders WHERE indexHint(o_orderkey < 5)")
       .getLong(0) shouldBe 5L

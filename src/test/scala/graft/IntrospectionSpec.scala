@@ -493,6 +493,12 @@ class IntrospectionSpec extends SparkSpecBase {
       "SELECT count(*) AS n FROM system.parts WHERE table = 'zz'")
       .head().getLong(0) shouldBe 0L
     cat.lastSystemAllBranches shouldBe Nil
+    // a NEGATED pin must NOT prune — `NOT table = 'pa'` needs the other
+    // branches to answer (the textual pin can't see negation scope)
+    ChDdl.query(cat, spark,
+      "SELECT count(*) AS n FROM system.parts WHERE NOT table = 'pa'")
+      .head().getLong(0) should be >= 2L
+    cat.lastSystemAllBranches should contain allOf ("pa", "pb", "pc")
   }
 
   test("users & roles as text: role-addressed policies expand to granted users") {

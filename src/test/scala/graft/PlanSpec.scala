@@ -123,6 +123,15 @@ class PlanSpec extends SparkSpecBase {
     p should not include "CartesianProduct"
   }
 
+  test("sql_any_join plans the same partial WindowGroupLimit pin as sql_asof") {
+    // the ANY lowering shares the ASOF nest: each key's candidate
+    // matches collapse to one row BEFORE the window shuffle
+    val p = planOf("sql_any_join")
+    p should include("WindowGroupLimit")
+    p should include("Partial")
+    p should not include "CartesianProduct"
+  }
+
   test("no query plans a CartesianProduct except the explicit cross join") {
     SparkEntry.queries.keys.filterNot(_ == "join_cross").foreach { q =>
       withClue(s"$q: ") { planOf(q) should not include "CartesianProduct" }
