@@ -312,6 +312,15 @@ final class Catalog(spark: SparkSession) {
     */
   lazy val governor = new QueryGovernor(spark)
 
+  /** Session query parameters (round 14): `SET param_<name> = v` binds
+    * here; `{name:Type}` placeholders in statements through ChDdl
+    * substitute from it (ClickHouse's query-parameter contract — the
+    * Grafana/CLI/dashboard staple). Keyed by the bare name, value held
+    * as its raw text; the substitution site applies the declared type.
+    */
+  val sessionParams =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   // Per-table write lock: Spark's file commit protocol stages every job of
   // one output path under the same `_temporary/0` dir, so two concurrent
   // appends to one table would clobber each other's staging (the first

@@ -765,6 +765,35 @@ object CatalogOps extends QueryModule {
         .orderBy(col("s_nationkey"))
     }),
 
+    // Query parameters (round 14): the dashboard staple — `SET
+    // param_<name> = …` binds on the catalog session, `{name:Type}`
+    // placeholders substitute typed through the CAST-wrapper machinery,
+    // and the whole flow runs as statements. The oracle restates the
+    // query with the literals inlined.
+    "sql_query_params" -> ((s, d) => {
+      val cat = new Catalog(s)
+      val tmp = scratchDir("graft-params")
+      val src = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        col("o_totalprice"), col("o_orderdate"))
+      cat.createTable(graft.catalog.TableDef("ord_prm",
+        tmp.resolve("ord_prm").toString, src.schema,
+        Seq("o_orderkey"), Append))
+      cat.append("ord_prm", src)
+      graft.sql.ChDdl.runScript(cat, s,
+        """SET param_status = 'O';
+          |SET param_cutoff = 3000;
+          |SET param_since = '1995-06-01'""".stripMargin, tmp.toString)
+      graft.sql.ChDdl.query(cat, s,
+        """SELECT o_orderpriority AS pri, count() AS n,
+          |  round(sum(o_totalprice), 2) AS total
+          |FROM ord_prm
+          |WHERE o_orderstatus = {status:String}
+          |  AND o_orderkey < {cutoff:UInt64}
+          |  AND o_orderdate >= {since:Date}
+          |GROUP BY pri ORDER BY pri""".stripMargin)
+    }),
+
     // Governance doors (round 13): CREATE QUOTA / SHOW PROCESSLIST /
     // KILL QUERY / system.quotas entirely as TEXT, routed to the
     // catalog's QueryGovernor. A real governed scan runs under a
@@ -1847,6 +1876,15 @@ object CatalogOps extends QueryModule {
       """SELECT s_nationkey, count(*) AS n, 0 AS bal_visible
         |FROM supplier WHERE s_nationkey < 10
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    // the parameterized dashboard query with its literals inlined
+    "sql_query_params" ->
+      """SELECT o_orderpriority AS pri, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderstatus = 'O' AND o_orderkey < 3000
+        |  AND o_orderdate >= DATE '1995-06-01'
+        |GROUP BY pri ORDER BY pri""".stripMargin,
 
     // the quota declarations restated as literals; counts from the
     // governed scan and the post-completion kill/process-list reads

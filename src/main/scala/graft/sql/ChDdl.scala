@@ -409,9 +409,10 @@ object ChDdl {
     "(?is)^\\s*DROP\\s+TABLE\\s+IF\\s+EMPTY\\s+([`\\w.]+)\\s*$".r
   private val systemRe = "(?is)^\\s*SYSTEM\\s+(.+?)\\s*$".r
   private val useRe = "(?is)^\\s*USE\\s+([`\\w]+)\\s*$".r
-  // value = a number, literal, or bare word (CH accepts all three)
+  // value = a number, literal (with '' escapes), or bare word (CH
+  // accepts all three)
   private val setRe =
-    "(?is)^\\s*SET\\s+(\\w+)\\s*=\\s*('[^']*'|[\\w.]+)\\s*$".r
+    "(?is)^\\s*SET\\s+(\\w+)\\s*=\\s*('(?:[^']|'')*'|[\\w.]+)\\s*$".r
 
   /** `ON CLUSTER 'x'` — every prod CH runbook stamps it on DDL; a
     * single-process engine has no cluster to fan out to. The clause
@@ -425,29 +426,32 @@ object ChDdl {
     */
   private val onClusterRe =
     "(?i)\\s+ON\\s+CLUSTER\\s+('[^']+'|`[^`]+`|[\\w.]+)".r
-  private[graft] def stripOnCluster(ddl: String): String = {
-    // quoted spans: '…' with '' escaping, and `…` identifiers — a match
-    // whose keyword starts inside one is literal text
-    def quotedSpans(t: String): Seq[(Int, Int)] = {
-      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-      var i = 0
-      while (i < t.length) {
-        val c = t.charAt(i)
-        if (c == '\'' || c == '`') {
-          val start = i; i += 1
-          var closed = false
-          while (i < t.length && !closed) {
-            if (t.charAt(i) == c) {
-              if (c == '\'' && i + 1 < t.length && t.charAt(i + 1) == '\'')
-                i += 2 // doubled-quote escape
-              else { closed = true; i += 1 }
-            } else i += 1
-          }
-          spans += ((start, i))
-        } else i += 1
-      }
-      spans.toSeq
+  /** Quoted spans of `t`: '…' with '' escaping, and `…` identifiers —
+    * a rewrite whose match starts inside one is touching literal text,
+    * not grammar (stripOnCluster, query-parameter substitution).
+    */
+  private def quotedSpans(t: String): Seq[(Int, Int)] = {
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c == '\'' || c == '`') {
+        val start = i; i += 1
+        var closed = false
+        while (i < t.length && !closed) {
+          if (t.charAt(i) == c) {
+            if (c == '\'' && i + 1 < t.length && t.charAt(i + 1) == '\'')
+              i += 2 // doubled-quote escape
+            else { closed = true; i += 1 }
+          } else i += 1
+        }
+        spans += ((start, i))
+      } else i += 1
     }
+    spans.toSeq
+  }
+
+  private[graft] def stripOnCluster(ddl: String): String = {
     var out = ddl
     var found = true
     while (found) {
@@ -467,6 +471,74 @@ object ChDdl {
       }
     }
     out
+  }
+
+  // ---- query parameters (round 14) ---------------------------------------
+
+  private val paramRe = "\\{\\s*([A-Za-z_]\\w*)\\s*:\\s*([^{}']+?)\\s*\\}".r
+
+  /** CH parameter type → Spark SQL cast target — the X147 CAST-wrapper
+    * algebra (Nullable/LowCardinality collapse; FixedString is STRING)
+    * without the dialect's literal-mask plumbing. Array parameters
+    * refuse: a string cast cannot build an array — inline the list.
+    */
+  private def paramSparkType(t0: String): String = {
+    val t = t0.trim
+    val base = t.takeWhile(_ != '(').trim.toLowerCase
+    def inner = t.substring(t.indexOf('(') + 1, t.lastIndexOf(')')).trim
+    base match {
+      case "nullable" | "lowcardinality" if t.contains('(') =>
+        paramSparkType(inner)
+      case "array" | "map" | "tuple" => throw new IllegalArgumentException(
+        s"{…:$t0}: composite parameter types have no string-cast " +
+          "lowering — inline the literal list in the query")
+      case "uint8" | "uint16" | "int32" => "INT"
+      case "int8" => "TINYINT"
+      case "int16" => "SMALLINT"
+      case "uint32" | "uint64" | "int64" => "BIGINT"
+      case "float32" => "FLOAT"
+      case "float64" => "DOUBLE"
+      case "string" | "fixedstring" | "uuid" => "STRING"
+      case "date" | "date32" => "DATE"
+      case "datetime" | "datetime64" => "TIMESTAMP"
+      case "bool" | "boolean" => "BOOLEAN"
+      case "decimal" if t.contains('(') => s"DECIMAL($inner)"
+      case other => throw new IllegalArgumentException(
+        s"{…:$t0}: unsupported parameter type '$other'")
+    }
+  }
+
+  /** `{name:Type}` query-parameter substitution (the Grafana/CLI
+    * staple): each placeholder outside a quoted literal substitutes the
+    * value bound by `SET param_<name> = …` on this catalog, typed
+    * through a CAST with the declared CH type; `Identifier` substitutes
+    * raw (validated). An unbound parameter refuses loudly naming the
+    * SET form.
+    */
+  private[graft] def substituteParams(cat: Catalog, text: String): String = {
+    if (text.indexOf('{') < 0) return text
+    val spans = quotedSpans(text)
+    def inLiteral(pos: Int) = spans.exists(sp => pos >= sp._1 && pos < sp._2)
+    val sb = new StringBuilder
+    var last = 0
+    paramRe.findAllMatchIn(text).foreach { m =>
+      if (!inLiteral(m.start)) {
+        val (name, ty) = (m.group(1), m.group(2).trim)
+        val v = cat.sessionParams.getOrElse(name,
+          throw new IllegalArgumentException(
+            s"query parameter {$name:$ty}: not bound — run " +
+              s"`SET param_$name = <value>` first"))
+        val repl =
+          if (ty.equalsIgnoreCase("Identifier")) {
+            require(v.matches("[A-Za-z_][A-Za-z0-9_.]*"),
+              s"{$name:Identifier}: bound value '$v' is not an identifier")
+            v
+          } else s"CAST('${v.replace("'", "''")}' AS ${paramSparkType(ty)})"
+        sb.append(text.substring(last, m.start)).append(repl)
+        last = m.end
+      }
+    }
+    if (last == 0) text else { sb.append(text.substring(last)); sb.toString }
   }
 
   /** Parse `ddl`; a CreateTable is rooted at `path`. */
@@ -1042,8 +1114,9 @@ object ChDdl {
     * a query entry point beside [[execute]] (which returns no frame).
     */
   def query(cat: Catalog, s: org.apache.spark.sql.SparkSession,
-            text: String): org.apache.spark.sql.DataFrame = {
+            text0: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    val text = substituteParams(cat, text0)
     showCreateRe.findFirstMatchIn(text).foreach { m =>
       val n = bare(m.group(1))
       scala.util.Try(cat.get(n)) match {
@@ -1220,12 +1293,20 @@ object ChDdl {
         m2 => s"__system_${m2.group(1).toLowerCase}")
       return s.sql(GraftSql.expandFunctions(ChDialect.rewrite(sub)))
     }
+    // plain SELECT over catalog tables (round 14): every referenced
+    // catalog table binds as a temp view and the dialect lowering runs
+    // — the query-parameter door's read path, and the general "SELECT
+    // over what I just CREATEd" statement shape
+    if ("(?is)^\\s*(?:SELECT|WITH)\\b".r.findFirstIn(text).isDefined) {
+      bindCatalogRefs(cat, s, text, Set.empty)
+      return s.sql(GraftSql.expandFunctions(ChDialect.rewrite(text)))
+    }
     throw new IllegalArgumentException(
       "expected SHOW TABLES / SHOW DATABASES / SHOW CREATE TABLE t / " +
         "SHOW GRANTS / SHOW [ROW] POLICIES / EXISTS TABLE t / " +
-        "DESCRIBE [TABLE] t / SELECT … FROM system.* — " +
-        "other statements go through execute()/runScript (DDL) or " +
-        "GraftSql.chSql (queries)")
+        "DESCRIBE [TABLE] t / SELECT … [FROM system.*] — " +
+        "DDL/INSERT statements go through execute()/runScript; " +
+        "sf-dir-relative queries through GraftSql.chSql")
   }
 
   /** Parse + register in one step; queues are refused here (use WorkQueue). */
@@ -1662,7 +1743,7 @@ object ChDdl {
     import org.apache.spark.sql.functions.expr
     // strip HERE too: createMaterializedView / insertSelect below
     // re-parse the raw text, not the parsed statement
-    val ddl = stripOnCluster(ddl0)
+    val ddl = stripOnCluster(substituteParams(cat, ddl0))
     val stmt = parse(ddl,
       if (warehouse.isEmpty) "" else s"$warehouse/${nameOf(ddl)}") match {
       // FROM INFILE is the inline-FORMAT door with its payload on disk:
@@ -1981,6 +2062,17 @@ object ChDdl {
             "system) — system relations are read as FROM system.<rel>, " +
             "never entered")
       case SetSetting(n, v) =>
+        if (n.toLowerCase.startsWith("param_") && n.length > 6) {
+          // `SET param_<name> = v` binds a query parameter for this
+          // catalog session — the {name:Type} substitution's source
+          val raw =
+            if (v.length >= 2 && v.startsWith("'") && v.endsWith("'"))
+              v.substring(1, v.length - 1).replace("''", "'")
+            else v
+          cat.sessionParams.put(n.substring(6), raw)
+          System.err.println(s"[chddl] SET $n: query parameter " +
+            s"{${n.substring(6)}:…} bound for this catalog session")
+        } else
         System.err.println(s"[chddl] SET $n = $v: acknowledged as a " +
           "no-op (session settings have no engine twin here — per-query " +
           "SETTINGS tails are accepted and stripped; engine knobs are " +

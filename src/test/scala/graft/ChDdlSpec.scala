@@ -1403,4 +1403,52 @@ class ChDdlSpec extends SparkSpecBase {
     ChDdl.stripOnCluster("DROP TABLE t ON CLUSTER 'main'") shouldBe
       "DROP TABLE t"
   }
+
+  test("query parameters: SET param_* binds, {name:Type} substitutes typed") {
+    val cat = new Catalog(spark)
+    val dir = tmpDir("chddl-params")
+    import spark.implicits._
+    ChDdl.runScript(cat, spark,
+      """CREATE TABLE prm (`k` UInt64, `s` String) ENGINE = MergeTree
+        |  ORDER BY k;
+        |INSERT INTO prm (k, s) VALUES (1, 'a'), (2, 'b'), (3, 'a');
+        |SET param_lim = 2;
+        |SET param_tag = 'a';
+        |SET param_tbl = prm""".stripMargin, dir)
+    // typed scalar parameters in a read
+    ChDdl.query(cat, spark,
+      "SELECT CAST(count() AS Int64) AS n FROM prm " +
+        "WHERE k <= {lim:UInt64} AND s = {tag:String}")
+      .head().getLong(0) shouldBe 1L
+    // Identifier substitutes raw (the FROM slot)
+    ChDdl.query(cat, spark,
+      "SELECT CAST(count() AS Int64) AS n FROM {tbl:Identifier}")
+      .head().getLong(0) shouldBe 3L
+    // a parameter-shaped brace INSIDE a string literal is data
+    ChDdl.query(cat, spark,
+      "SELECT '{lim:UInt64}' AS raw FROM prm WHERE k = 1")
+      .head().getString(0) shouldBe "{lim:UInt64}"
+    // parameters reach DDL/INSERT statements through execute() too
+    ChDdl.execute(cat, spark,
+      "INSERT INTO prm SELECT CAST(9 AS UInt64) AS k, {tag:String} AS s " +
+        "FROM prm LIMIT 1")
+    ChDdl.query(cat, spark,
+      "SELECT CAST(count() AS Int64) AS n FROM prm WHERE s = 'a'")
+      .head().getLong(0) shouldBe 3L
+    // unbound parameter refuses naming the SET form
+    intercept[IllegalArgumentException] {
+      ChDdl.query(cat, spark, "SELECT 1 AS x FROM prm WHERE s = {nope:String}")
+    }.getMessage should include("SET param_nope")
+    // quoted SET values unquote; '' escapes collapse
+    ChDdl.execute(cat, spark, "SET param_q = 'it''s'")
+    ChDdl.query(cat, spark,
+      "SELECT {q:String} AS v FROM prm WHERE k = 1")
+      .head().getString(0) shouldBe "it's"
+    // composite parameter types refuse with the inline alternative
+    ChDdl.execute(cat, spark, "SET param_ids = '1,2'")
+    intercept[IllegalArgumentException] {
+      ChDdl.query(cat, spark,
+        "SELECT 1 AS x FROM prm WHERE k IN {ids:Array(UInt64)}")
+    }.getMessage should include("inline")
+  }
 }
