@@ -2309,7 +2309,7 @@ final class Catalog(spark: SparkSession) {
     // batch is cached around the count so attached transforms don't
     // recompute an arbitrary upstream lineage once per view.
     if (t.semantics == NullEngine) {
-      val aligned = filled.select(t.schema.fieldNames.map(col).toSeq: _*)
+      val aligned = filled.select(t.schema.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
       aligned.cache()
       try {
         val n = aligned.count()
@@ -4059,7 +4059,8 @@ final class Catalog(spark: SparkSession) {
         // per-root partition discovery appends partition cols last —
         // restore declared order so the branches union positionally
         .select((schema.fieldNames.toSeq ++
-          (if (withId) Seq("__dv_file", "__dv_pos") else Nil)).map(col): _*))
+          (if (withId) Seq("__dv_file", "__dv_pos") else Nil))
+          .map(n => col(s"`$n`")): _*))
       .reduce(_.union(_))
   }
 
@@ -4103,7 +4104,7 @@ final class Catalog(spark: SparkSession) {
       (if (keepId) Seq("__dv_file", "__dv_pos") else Nil)
     if (renames.isEmpty)
       mask(scanRoots(t, t.schema, live, withId))
-        .select(outCols.map(col): _*)
+        .select(outCols.map(n => col(s"`$n`")): _*)
     else {
       val widened = StructType(t.schema.fields ++ renames.map {
         case (to, phys) => StructField(phys, t.schema(to).dataType)
@@ -4111,7 +4112,7 @@ final class Catalog(spark: SparkSession) {
       val raw = mask(scanRoots(t, widened, live, withId))
       renames.foldLeft(raw) { case (d, (to, phys)) =>
         d.withColumn(to, coalesce(col(to), col(phys)))
-      }.select(outCols.map(col): _*)
+      }.select(outCols.map(n => col(s"`$n`")): _*)
     }
   }
 
@@ -4182,7 +4183,7 @@ final class Catalog(spark: SparkSession) {
     df.groupBy(keys.map(col): _*)
       .agg(min(struct(vals.map(col): _*)).as("__any"))
       .select(keys.map(col) ++ vals.map(v => col(s"__any.$v").as(v)): _*)
-      .select(t.schema.fieldNames.map(col).toSeq: _*)
+      .select(t.schema.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
   }
 
   /** ClickHouse `joinGet('name', valueCol, keys…)` — probe a [[JoinAny]]
@@ -4256,7 +4257,7 @@ final class Catalog(spark: SparkSession) {
       .select(others.map(col) :+
         explode(array_repeat(signum(col("__net")).cast(signTyp),
           abs(col("__net")).cast("int"))).as(sign): _*)
-      .select(t.schema.fieldNames.map(col).toSeq: _*)
+      .select(t.schema.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
   }
 
   /** Raw storage view — duplicates/partials visible (what a ClickHouse

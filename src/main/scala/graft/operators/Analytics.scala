@@ -799,6 +799,17 @@ object Analytics extends QueryModule {
           |  ON b.user_id = c.user_id
           |ORDER BY event_id""".stripMargin)),
 
+    // COLUMNS('regex') APPLY through the gate (round 14): the dynamic
+    // wide-table selector expands via the analyzer probe into the
+    // spelled-out column list with CH's fn(col) result naming — the
+    // oracle IS that spelled-out restatement, so the expansion's
+    // column choice, order, and naming all gate.
+    "sql_columns_apply" -> ((s, d) =>
+      graft.sql.GraftSql.chSql(s, d,
+        """SELECT l_returnflag AS rf,
+          |  COLUMNS('^l_(quantity|extendedprice|discount)$') APPLY max
+          |FROM lineitem GROUP BY rf ORDER BY rf""".stripMargin)),
+
     // numbers() + intDiv + the LIMIT offset,n comma form + FORMAT tail in
     // one statement — the everyday CH-CLI idioms, gate-checked together
     // (each is spec'd in isolation in ChSqlSpec).
@@ -1523,6 +1534,15 @@ object Analytics extends QueryModule {
         |  WHERE rn = 1) c
         |ON b.user_id = c.user_id
         |ORDER BY b.event_id""".stripMargin,
+
+    // the selector expansion spelled out by hand, aliases matching
+    // CH's fn(col) naming
+    "sql_columns_apply" ->
+      """SELECT l_returnflag AS rf,
+        | max(l_quantity) AS "max(l_quantity)",
+        | max(l_extendedprice) AS "max(l_extendedprice)",
+        | max(l_discount) AS "max(l_discount)"
+        |FROM lineitem GROUP BY rf ORDER BY rf""".stripMargin,
 
     // the QUALIFY nest restated portably (row_number subquery) — runs
     // unchanged in DuckDB and through our own session

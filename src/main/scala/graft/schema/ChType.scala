@@ -62,6 +62,10 @@ object ChType {
   }
   final case class ChArray(inner: ChType) extends ChType {
     def sparkType: DataType = ArrayType(inner.sparkType)
+    // the element's lossy-mapping record (unsigned/enum/…) rides the
+    // FIELD metadata, same as scalars — the renderer reads it back for
+    // `Array(UInt32)` / Nested sub-field spellings
+    override def metadata: Metadata = inner.metadata
   }
 
   // ---- the remainder of the scalar family (round-9 DDL parser, ChDdl):

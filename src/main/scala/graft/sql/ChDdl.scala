@@ -825,6 +825,7 @@ object ChDdl {
     val constraints = Seq.newBuilder[(String, String)]
     val materialized = Seq.newBuilder[(String, String)]
     val defaulted = Seq.newBuilder[(String, String)]
+    val nestedGroups = Seq.newBuilder[(String, String)]
     var indexCols = Seq.empty[String]
     var minmaxCols = Seq.empty[String]
     var tokenCols = Seq.empty[String]
@@ -876,6 +877,32 @@ object ChDdl {
           case other => throw new IllegalArgumentException(
             s"$name: unsupported skip-index type $other")
         }
+      case item if "(?is)^[`\\w]+\\s+Nested\\s*\\(".r
+          .findFirstIn(item).isDefined =>
+        // `n Nested(a T, b U)` — CH's arrays-of-structs idiom. Stored as
+        // CH itself stores it (flatten_nested = 1, the default): one
+        // parallel-array column per sub-field, named `n.a Array(T)`, so
+        // the reference's own access convention (`n.a`, arrayJoin over
+        // it) works verbatim (backtick the dotted name in Spark SQL).
+        // The length-equality contract — all arrays of one Nested group
+        // agree per row — is the WRITER's obligation, as in CH (which
+        // checks at insert; a mismatched insert here surfaces at the
+        // first arrays_zip-style read). SHOW CREATE renders the Nested
+        // spelling back (parse∘render∘parse identity, the TTL
+        // precedent) via the group tag each field carries in metadata.
+        val (cName, rest) = splitColName(item)
+        val mods = splitModifiers(rest)
+        val tt = mods.typeText.trim
+        require(mods.default.isEmpty && mods.materialized.isEmpty,
+          s"$name: Nested column $cName takes no DEFAULT/MATERIALIZED")
+        val (inner, after) = balancedSection(tt, tt.indexOf('('))
+        require(tt.substring(after).trim.isEmpty,
+          s"$name: trailing text after Nested(…): '$tt'")
+        splitTopLevel(inner).foreach { sub =>
+          val (sn, st) = splitColName(sub.trim)
+          cols += Col(s"$cName.$sn", ChArray(parseType(st.trim)))
+          nestedGroups += s"$cName.$sn" -> cName
+        }
       case item =>
         val (cName, rest) = splitColName(item)
         val mods = splitModifiers(rest)
@@ -918,6 +945,15 @@ object ChDdl {
     }
 
     var schema = ChType.structType(cols.result())
+    // Nested group tags ride in field metadata so SHOW CREATE can fold
+    // the parallel-array fields back into the Nested(…) spelling
+    val nestedMap = nestedGroups.result().toMap
+    if (nestedMap.nonEmpty)
+      schema = StructType(schema.fields.map(f => nestedMap.get(f.name) match {
+        case Some(g) => f.copy(metadata = new MetadataBuilder()
+          .withMetadata(f.metadata).putString("chNested", g).build())
+        case None => f
+      }))
     val defaultedMap = defaulted.result().toMap
     if (defaultedMap.nonEmpty)
       schema = StructType(schema.fields.map(f => defaultedMap.get(f.name) match {
@@ -1293,6 +1329,46 @@ object ChDdl {
         m2 => s"__system_${m2.group(1).toLowerCase}")
       return s.sql(GraftSql.expandFunctions(ChDialect.rewrite(sub)))
     }
+    // `EXPLAIN ESTIMATE SELECT … FROM t [WHERE …]` (round 14): how much
+    // the scan would read, from METADATA only — the Catalog's estimate
+    // analog (files ≈ parts, rows from parquet footers, bytes from the
+    // listing), completing the EXPLAIN family (PLAN/PIPELINE/SYNTAX map
+    // in the dialect). A simple one-column range conjunction on a
+    // declared minmax column prices the pruned scan exactly as the read
+    // path would run it; other predicates estimate the full scan (CH's
+    // ESTIMATE likewise only consults the index). Strict bounds price
+    // as inclusive — an estimate is an upper bound.
+    "(?is)^\\s*EXPLAIN\\s+ESTIMATE\\s+(.+)$".r.findFirstMatchIn(text)
+      .foreach { m =>
+        val body = m.group(1).trim
+        val tm = "(?is)\\bFROM\\s+([`\\w.]+)".r.findFirstMatchIn(body)
+          .getOrElse(throw new IllegalArgumentException(
+            "EXPLAIN ESTIMATE: no FROM table in the statement"))
+        val t = cat.get(bare(tm.group(1)))
+        var lo: Option[Any] = None
+        var hi: Option[Any] = None
+        var rangeCol: Option[String] = None
+        val cmpRe =
+          "(?i)([`\\w.]+)\\s*(>=|<=|=|<|>)\\s*('[^']*'|[-\\d.]+)".r
+        def lit(s0: String): Any =
+          if (s0.startsWith("'")) s0.substring(1, s0.length - 1)
+          else if (s0.contains('.')) s0.toDouble else s0.toLong
+        cmpRe.findAllMatchIn(body).foreach { c =>
+          val cn = bare(c.group(1))
+          if (t.minmaxCols.contains(cn) &&
+              (rangeCol.isEmpty || rangeCol.contains(cn))) {
+            rangeCol = Some(cn)
+            val v = lit(c.group(3))
+            c.group(2) match {
+              case ">=" | ">" => lo = Some(v)
+              case "<=" | "<" => hi = Some(v)
+              case "=" => lo = Some(v); hi = Some(v)
+            }
+          }
+        }
+        return cat.explainEstimate(t.name,
+          rangeCol.map(c => (c, lo.orNull, hi.orNull)))
+      }
     // plain SELECT over catalog tables (round 14): every referenced
     // catalog table binds as a temp view and the dialect lowering runs
     // — the query-parameter door's read path, and the general "SELECT

@@ -66,7 +66,9 @@ object ChDdlRender {
       case TimestampType => "DateTime"
       case d: DecimalType => s"Decimal(${d.precision}, ${d.scale})"
       case VariantType => "JSON"
-      case ArrayType(inner, _) => s"Array(${typeText(inner, Metadata.empty)})"
+      // the element's lossy-mapping flags (unsigned/…) ride the FIELD
+      // metadata (ChArray.metadata delegates to its inner type)
+      case ArrayType(inner, _) => s"Array(${typeText(inner, m)})"
       case other => throw new IllegalArgumentException(
         s"no ClickHouse rendering for Spark type ${other.simpleString}")
     }
@@ -133,19 +135,47 @@ object ChDdlRender {
       case (c, "delta") => c
     }.toSet
 
-    val colLines = t0.schema.fields.toSeq
-      .filterNot(f => hiddenPartCol.contains(f.name)).map { f =>
-        val mat = materialized.get(f.name).map(e => s" MATERIALIZED $e")
-          .getOrElse("")
-        // CREATE-time DEFAULT rides in field metadata (ChDdl.parse); the
-        // emitted expression is the REWRITTEN (Spark-safe) text, on which
-        // a re-parse's ChDialect pass is a no-op — the round-trip contract
-        val dflt = if (f.metadata.contains("chDefault"))
-          s" DEFAULT ${f.metadata.getString("chDefault")}" else ""
-        val codec =
-          if (deltaCodecs.contains(f.name)) " CODEC(Delta)" else ""
-        s"  `${f.name}` ${chTypeText(f)}$dflt$mat$codec"
+    def lineOf(f: StructField): String = {
+      val mat = materialized.get(f.name).map(e => s" MATERIALIZED $e")
+        .getOrElse("")
+      // CREATE-time DEFAULT rides in field metadata (ChDdl.parse); the
+      // emitted expression is the REWRITTEN (Spark-safe) text, on which
+      // a re-parse's ChDialect pass is a no-op — the round-trip contract
+      val dflt = if (f.metadata.contains("chDefault"))
+        s" DEFAULT ${f.metadata.getString("chDefault")}" else ""
+      val codec =
+        if (deltaCodecs.contains(f.name)) " CODEC(Delta)" else ""
+      s"  `${f.name}` ${chTypeText(f)}$dflt$mat$codec"
+    }
+    // consecutive fields tagged with one Nested group fold back into
+    // the `g Nested(a T, b U)` spelling (parse∘render∘parse identity);
+    // each field's type is Array(T) — the inner spelling strips the
+    // wrapper the Nested expansion added
+    val colLines = {
+      val fs = t0.schema.fields.toSeq
+        .filterNot(f => hiddenPartCol.contains(f.name))
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < fs.length) {
+        val f = fs(i)
+        if (f.metadata.contains("chNested")) {
+          val g = f.metadata.getString("chNested")
+          val run = fs.drop(i).takeWhile(x =>
+            x.metadata.contains("chNested") &&
+              x.metadata.getString("chNested") == g)
+          val subs = run.map { x =>
+            val arr = chTypeText(x)
+            require(arr.startsWith("Array(") && arr.endsWith(")"),
+              s"${t.name}: Nested field ${x.name} is not an Array")
+            val elem = arr.substring("Array(".length, arr.length - 1)
+            s"`${x.name.stripPrefix(g + ".")}` $elem"
+          }
+          out += s"  `$g` Nested(${subs.mkString(", ")})"
+          i += run.length
+        } else { out += lineOf(f); i += 1 }
       }
+      out.result()
+    }
 
     // constraints minus the Enum auto-checks (regenerated at parse)
     val autoCons = t0.schema.fields.flatMap(enumConstraint).toSet

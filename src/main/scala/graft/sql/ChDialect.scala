@@ -514,12 +514,81 @@ object ChDialect {
     ("(?i)\\bALL\\s+(?:LEFT|RIGHT|INNER|FULL)?\\s*JOIN\\b",
       "ALL JOIN: CH's ALL is the default multiplicity — drop the " +
         "keyword and use a plain JOIN"),
+    // COLUMNS(…) is consumed by rewriteColumnsSelector upstream when the
+    // schema probe is available; reaching here means the schema-blind
+    // entry point was used
     ("(?i)\\bCOLUMNS\\s*\\(",
       "COLUMNS(…) [APPLY]: the dynamic column selector needs schema " +
-        "expansion — spell the columns, or use * EXCEPT / * REPLACE"))
+        "expansion — use the schema-aware entry point (GraftSql.chSql / " +
+        "ChDdl.query), or spell the columns"))
     .foreach { case (re, msg) =>
       require(re.r.findFirstIn(s).isEmpty, msg)
     }
+
+  /** CH `COLUMNS('regex') [APPLY fn]…` in the select list — the dynamic
+    * wide-table selector. Expands through the analyzer probe (the
+    * * REPLACE precedent): the FROM part (cut before GROUP BY/ORDER
+    * BY/…) probes as `SELECT * FROM …`, the pattern filters the column
+    * names (RE2-style partial match, source order kept), and each APPLY
+    * wraps every matched column in call order with ClickHouse's own
+    * result naming (`fn(col)`, backquoted). Refused: COLUMNS outside
+    * the select list, a pattern matching nothing (CH errors too), and
+    * schema-blind entry points.
+    */
+  private def rewriteColumnsSelector(s: String,
+      analyze: Option[String => Seq[String]],
+      literals: Array[String]): String = {
+    val m = cachedRe("(?i)\\bCOLUMNS\\s*\\(").findFirstMatchIn(s)
+      .getOrElse(return s)
+    val probe = analyze.getOrElse(return s) // schema-blind: refusal downstream
+    val selM = topMatch(s, "(?i)\\bSELECT\\b".r).getOrElse(return s)
+    val fromM = topMatch(s, "(?i)\\bFROM\\b".r, selM.end)
+      .getOrElse(throw new IllegalArgumentException(
+        "COLUMNS(…): no top-level FROM to expand against"))
+    require(m.start > selM.start && m.end <= fromM.start &&
+      depthAt(s, m.start) == 0,
+      "COLUMNS(…): supported at the top level of the select list only — " +
+        "spell the columns elsewhere")
+    val (args, afterParen) = balancedArgs(s, s.indexOf('(', m.start))
+    require(args.size == 1, "COLUMNS('regex'): exactly one pattern")
+    // no String.trim: the literal-mask sentinel is \x01, which trim
+    // strips — maskedLiteral wtrims whitespace itself
+    val pat = maskedLiteral(args.head, literals).getOrElse(
+      throw new IllegalArgumentException(
+        "COLUMNS(…): the pattern must be a string literal"))
+    // trailing APPLY chain: APPLY fn | APPLY (fn), innermost first
+    var cursor = afterParen
+    val fns = List.newBuilder[String]
+    val applyRe =
+      "(?is)^\\s*APPLY\\s*(?:\\(\\s*([A-Za-z_]\\w*)\\s*\\)|([A-Za-z_]\\w*))".r
+    var keep = true
+    while (keep) applyRe.findFirstMatchIn(s.substring(cursor)) match {
+      case Some(am) =>
+        fns += Option(am.group(1)).getOrElse(am.group(2))
+        cursor += am.end
+      case None => keep = false
+    }
+    // source columns: probe the FROM part with tail clauses cut (a
+    // GROUP BY's keys need the select list the probe replaces)
+    val tailCut = topMatch(s, ("(?i)\\b(GROUP\\s+BY|HAVING|QUALIFY|" +
+      "WINDOW|ORDER\\s+BY|LIMIT|UNION|INTERSECT|EXCEPT)\\b").r,
+      fromM.end).map(_.start).getOrElse(s.length)
+    val cols = probe("SELECT * " + s.substring(fromM.start, tailCut))
+    val re = pat.r
+    val matched = cols.filter(c => re.findFirstIn(c).isDefined)
+    require(matched.nonEmpty,
+      s"COLUMNS('$pat'): no columns match (source columns: " +
+        s"${cols.mkString(", ")})")
+    val chain = fns.result()
+    val expansion = matched.map { c =>
+      val e = chain.foldLeft(c)((acc, f) => s"$f($acc)")
+      if (chain.isEmpty) e else s"$e AS `$e`"
+    }.mkString(", ")
+    // recurse: a second COLUMNS in the same list expands next
+    rewriteColumnsSelector(
+      s.substring(0, m.start) + expansion + s.substring(cursor),
+      analyze, literals)
+  }
 
   // ---- ASOF [LEFT] JOIN as SQL text (round 13) -----------------------
 
@@ -1381,6 +1450,7 @@ object ChDialect {
     // shape (emitting the QUALIFY rewriteQualify consumes below) and
     // refuses unsupported ones itself with the precise reason
     s = rewriteAsofJoin(s)
+    s = rewriteColumnsSelector(s, analyze, literals)
     refuseUnsupported(s)
     s = rewriteSelectReplace(s, analyze)
     // OFFSET/FETCH first: its TIES form becomes LIMIT … WITH TIES, which

@@ -1404,6 +1404,72 @@ class ChDdlSpec extends SparkSpecBase {
       "DROP TABLE t"
   }
 
+  test("Nested(a T, b U) expands to parallel arrays; SHOW CREATE folds back") {
+    val cat = new Catalog(spark)
+    val dir = tmpDir("chddl-nested")
+    import spark.implicits._
+    // the GH-events payload shape the reference corpus uses
+    ChDdl.runScript(cat, spark,
+      """CREATE TABLE gh_ev (
+        |  `id` UInt64,
+        |  `payload` Nested(`action` String, `n` UInt32),
+        |  `ts` Date
+        |) ENGINE = MergeTree ORDER BY id""".stripMargin, dir)
+    val t = cat.get("gh_ev")
+    // flattened as CH itself stores it (flatten_nested = 1): one
+    // parallel-array column per sub-field, named with the group prefix
+    t.schema.fieldNames.toSeq shouldBe
+      Seq("id", "payload.action", "payload.n", "ts")
+    // ingest parallel arrays, read through the `n.a` access convention
+    cat.append("gh_ev", Seq(
+      (1L, Seq("opened", "closed"), Seq(5L, 7L),
+        java.sql.Date.valueOf("2024-01-01")),
+      (2L, Seq("merged"), Seq(9L), java.sql.Date.valueOf("2024-01-02")))
+      .toDF("id", "payload.action", "payload.n", "ts"))
+    ChDdl.query(cat, spark,
+      "SELECT arrayJoin(`payload.action`) AS act FROM gh_ev ORDER BY act")
+      .collect().map(_.getString(0)).toSeq shouldBe
+      Seq("closed", "merged", "opened")
+    // parse ∘ render ∘ parse identity: the rendered DDL spells Nested
+    val rendered = graft.sql.ChDdlRender.render(t)
+    rendered should include("Nested(`action` String, `n` UInt32)")
+    graft.sql.ChDdl.parse(rendered, t.path) match {
+      case graft.sql.ChDdl.CreateTable(t2, _) =>
+        t2.schema.fieldNames.toSeq shouldBe t.schema.fieldNames.toSeq
+        t2.schema.fields.map(_.dataType).toSeq shouldBe
+          t.schema.fields.map(_.dataType).toSeq
+      case other => fail(s"re-parse gave $other")
+    }
+  }
+
+  test("EXPLAIN ESTIMATE prices the pruned scan from metadata") {
+    val cat = new Catalog(spark)
+    val dir = tmpDir("chddl-estimate")
+    import spark.implicits._
+    ChDdl.runScript(cat, spark,
+      """CREATE TABLE est_t (
+        |  `k` UInt64, `v` Float64,
+        |  INDEX mm_k k TYPE minmax GRANULARITY 1
+        |) ENGINE = MergeTree ORDER BY k""".stripMargin, dir)
+    // two appends with disjoint key ranges → two prunable segments
+    cat.append("est_t", (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v"))
+    cat.append("est_t",
+      (1000L to 1100L).map(i => (i, i * 1.0)).toDF("k", "v"))
+    val full = ChDdl.query(cat, spark,
+      "EXPLAIN ESTIMATE SELECT * FROM est_t").head()
+    full.schema.fieldNames.toSeq shouldBe
+      Seq("table", "files_total", "files_selected", "rows", "bytes")
+    full.getAs[Long]("rows") shouldBe 201L
+    full.getAs[Long]("files_selected") shouldBe full.getAs[Long]("files_total")
+    // a range on the declared minmax column prunes the estimate to the
+    // segments the read path would actually touch
+    val pruned = ChDdl.query(cat, spark,
+      "EXPLAIN ESTIMATE SELECT v FROM est_t WHERE k <= 100").head()
+    pruned.getAs[Long]("files_selected") should
+      be < pruned.getAs[Long]("files_total")
+    pruned.getAs[Long]("rows") shouldBe 100L
+  }
+
   test("query parameters: SET param_* binds, {name:Type} substitutes typed") {
     val cat = new Catalog(spark)
     val dir = tmpDir("chddl-params")

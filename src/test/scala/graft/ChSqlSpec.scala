@@ -1394,7 +1394,7 @@ class ChSqlSpec extends SparkSpecBase {
     Seq(
       "SELECT 1 FROM (SELECT 1 AS a) t1 PASTE JOIN (SELECT 2 AS b) t2" -> "PASTE JOIN",
       "SELECT 1 FROM events e ALL LEFT JOIN orders o ON e.user_id = o.o_custkey" -> "ALL JOIN",
-      "SELECT COLUMNS('o_.*') APPLY (max) FROM orders" -> "COLUMNS",
+      "SELECT 1 FROM orders WHERE COLUMNS('o_.*') > 0" -> "select list",
       "SELECT deltaSum(value) FROM events" -> "deltaSum",
       "SELECT topKWeighted(3)(event_type, 2) FROM events" -> "topKWeighted",
       "SELECT groupArrayMovingSum(value) FROM events" -> "groupArrayMovingSum",
@@ -1495,6 +1495,32 @@ class ChSqlSpec extends SparkSpecBase {
       .toSet
     // ties order by to_json(struct(r.*)): {"k":1,"ts":5,"v":"aa"} < "zz"
     winners shouldBe Set("aa")
+  }
+
+  test("COLUMNS('regex') [APPLY fn] expands through the analyzer") {
+    def rows(q: String) = GraftSql.chSql(spark, sf0001, q)
+    // bare selector: matched columns in source order
+    rows("SELECT COLUMNS('^o_order(key|status)$') FROM orders " +
+      "ORDER BY o_orderkey LIMIT 2").columns shouldBe
+      Array("o_orderkey", "o_orderstatus")
+    // APPLY wraps every matched column, CH's fn(col) naming
+    val agg = rows("SELECT COLUMNS('^o_(orderkey|custkey)$') APPLY max " +
+      "FROM orders")
+    agg.columns shouldBe Array("max(o_orderkey)", "max(o_custkey)")
+    agg.head().getLong(0) should be > 0L
+    // APPLY chains nest in call order; parenthesized spelling accepted
+    rows("SELECT COLUMNS('^o_totalprice$') APPLY (sum) APPLY round " +
+      "FROM orders").columns shouldBe Array("round(sum(o_totalprice))")
+    // grouped APPLY: the selector coexists with explicit columns
+    val g = rows("SELECT o_orderstatus AS st, " +
+      "COLUMNS('^o_orderpriority$') APPLY count FROM orders " +
+      "GROUP BY st ORDER BY st")
+    g.columns shouldBe Array("st", "count(o_orderpriority)")
+    g.count() shouldBe 3L
+    // a pattern matching nothing refuses loudly (CH errors too)
+    intercept[Exception] {
+      rows("SELECT COLUMNS('^nope$') FROM orders").collect()
+    }.getMessage should include("no columns match")
   }
 
   test("ANY JOIN as text: first-match semantics on the shared nest") {
