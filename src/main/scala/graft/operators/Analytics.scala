@@ -801,14 +801,17 @@ object Analytics extends QueryModule {
 
     // COLUMNS('regex') APPLY through the gate (round 14): the dynamic
     // wide-table selector expands via the analyzer probe into the
-    // spelled-out column list with CH's fn(col) result naming — the
-    // oracle IS that spelled-out restatement, so the expansion's
-    // column choice, order, and naming all gate.
+    // spelled-out column list — the oracle IS that spelled-out
+    // restatement, so the expansion's column choice and order gate.
+    // CH's own `fn(col)` result naming (pinned in ChSqlSpec) renames to
+    // paren-free aliases here: the driver's hash compare sorts columns
+    // BY NAME, and the repo contract keeps '(' out of gate schemas.
     "sql_columns_apply" -> ((s, d) =>
       graft.sql.GraftSql.chSql(s, d,
         """SELECT l_returnflag AS rf,
           |  COLUMNS('^l_(quantity|extendedprice|discount)$') APPLY max
-          |FROM lineitem GROUP BY rf ORDER BY rf""".stripMargin)),
+          |FROM lineitem GROUP BY rf ORDER BY rf""".stripMargin)
+        .toDF("rf", "max_qty", "max_ep", "max_disc")),
 
     // numbers() + intDiv + the LIMIT offset,n comma form + FORMAT tail in
     // one statement — the everyday CH-CLI idioms, gate-checked together
@@ -1535,13 +1538,13 @@ object Analytics extends QueryModule {
         |ON b.user_id = c.user_id
         |ORDER BY b.event_id""".stripMargin,
 
-    // the selector expansion spelled out by hand, aliases matching
-    // CH's fn(col) naming
+    // the selector expansion spelled out by hand (the gate renames CH's
+    // fn(col) naming to these paren-free aliases — see the queries note)
     "sql_columns_apply" ->
       """SELECT l_returnflag AS rf,
-        | max(l_quantity) AS "max(l_quantity)",
-        | max(l_extendedprice) AS "max(l_extendedprice)",
-        | max(l_discount) AS "max(l_discount)"
+        | max(l_quantity) AS max_qty,
+        | max(l_extendedprice) AS max_ep,
+        | max(l_discount) AS max_disc
         |FROM lineitem GROUP BY rf ORDER BY rf""".stripMargin,
 
     // the QUALIFY nest restated portably (row_number subquery) — runs

@@ -203,6 +203,22 @@ package graft.sql
   *     (hash stance), `currentDatabase()` → 'default', `hostName()` →
   *     'localhost', `randConstant()` → a scalar subquery (constant per
   *     query, exactly CH's contract)
+  *   - everyday tier 7 (round 14, fourth audit — doc on
+  *     [[rewriteTier7]]): sub-second `toStartOfSecond/Milli/Microsecond`,
+  *     `nthValue`, `formatDateTime` %b/%k/%l/%z slots,
+  *     `formatDateTimeInJodaSyntax`, `timeSlots`, the
+  *     `dateAdd/dateSub/timestampAdd/timestampSub` call shapes,
+  *     `toIntervalX`, Modified-Julian days, snowflake ids, the
+  *     calendar `toRelative*Num` half, `rand()/rand64()` INTEGER
+  *     contracts (Spark's rand() is randCanonical), `levenshtein`,
+  *     `tokens/ngrams/splitByRegexp`, URL-family completion
+  *     (`fragment/netloc/port/encodeURLComponent`), vector distances
+  *     (`L1/L2/Linf Distance` — per-row folds, the X144 note),
+  *     `mapExists/mapAll/mapSort`, `quantileExactWeighted`,
+  *     `formatReadableTimeDelta`, `bar()` (nearest-eighth blocks),
+  *     `isIPAddressInRange` (literal IPv4 CIDR), and ~35 pointed
+  *     refusals naming alternatives (entropy, geohash, NLP dictionary
+  *     functions, nondeterministic array ops, …)
   *   - statement forms (round 12, second pass): `GLOBAL [NOT] IN` drops
   *     the keyword (Spark owns the broadcast decision); `SELECT DISTINCT
   *     ON (cols)` → `LIMIT 1 BY` (ORDER BY required — the LIMIT BY
@@ -427,6 +443,31 @@ object ChDialect {
     ("(?i)\\bfarmFingerprint64\\(".r, "xxhash64("),
     ("(?i)\\bhalfMD5\\(".r, "xxhash64("),
     ("(?i)\\bcurrentUser\\(".r, "current_user("),
+    // ——— everyday tier 7 renames (round 14) ———
+    // window-function dialect spelling; Spark's nth_value is the same
+    ("(?i)\\bnthValue\\(".r, "nth_value("),
+    // Levenshtein: identical metric both engines (editDistance is CH's
+    // alias; the UTF8 spellings coincide — Spark strings are UTF-8)
+    ("(?i)\\blevenshteinDistance\\(".r, "levenshtein("),
+    ("(?i)\\beditDistanceUTF8\\(".r, "levenshtein("),
+    ("(?i)\\beditDistance\\(".r, "levenshtein("),
+    ("(?i)\\bwidthBucket\\(".r, "width_bucket("),
+    ("(?i)\\bleftUTF8\\(".r, "left("),
+    ("(?i)\\brightUTF8\\(".r, "right("),
+    // RFC variants share the lowering with their plain spellings (both
+    // ride parse_url probes downstream; RFC-3986 edge inputs may parse
+    // host-less here — the scheme-less stance of the URL family)
+    ("(?i)\\bdomainRFC\\(".r, "domain("),
+    ("(?i)\\bdomainWithoutWWWRFC\\(".r, "domainWithoutWWW("),
+    ("(?i)\\btopLevelDomainRFC\\(".r, "topLevelDomain("),
+    // the Form spellings ARE application/x-www-form-urlencoded — exactly
+    // Spark's url_encode/url_decode contract
+    ("(?i)\\bencodeURLFormComponent\\(".r, "url_encode("),
+    ("(?i)\\bdecodeURLFormComponent\\(".r, "url_decode("),
+    ("(?i)\\bUTCTimestamp\\(\\s*\\)".r, "current_timestamp()"),
+    // no block granularity in a declarative plan: per-query now() IS
+    // the per-block now() (documented collapse)
+    ("(?i)\\bnowInBlock\\(\\s*\\)".r, "current_timestamp()"),
     // flat namespace (SHOW DATABASES lists default+system): the session
     // database is the constant 'default'; hostName is the single-JVM
     // analog's stand-in (no cluster hostnames to report)
@@ -1270,6 +1311,12 @@ object ChDialect {
   private val truncUnits = Seq(
     "toStartOfDay" -> "DAY", "toStartOfHour" -> "HOUR",
     "toStartOfMinute" -> "MINUTE",
+    // sub-second family: sessions run MICROSECOND timestamps, so
+    // toStartOfMicrosecond is the identity-precision floor (Spark's
+    // date_trunc supports all three sub-second units natively)
+    "toStartOfSecond" -> "SECOND",
+    "toStartOfMillisecond" -> "MILLISECOND",
+    "toStartOfMicrosecond" -> "MICROSECOND",
     "toStartOfWeek" -> "WEEK", "toStartOfMonth" -> "MONTH",
     "toStartOfQuarter" -> "QUARTER", "toStartOfYear" -> "YEAR")
 
@@ -1388,7 +1435,12 @@ object ChDialect {
     'e' -> "d", 'H' -> "HH", 'h' -> "hh", 'i' -> "mm", 'S' -> "ss",
     's' -> "ss", 'p' -> "a", 'j' -> "DDD", 'a' -> "EEE", 'W' -> "EEEE",
     'F' -> "yyyy-MM-dd", 'D' -> "MM/dd/yy", 'T' -> "HH:mm:ss",
-    'R' -> "HH:mm", 'Q' -> "Q", 'n' -> "\n", 't' -> "\t")
+    'R' -> "HH:mm", 'Q' -> "Q", 'n' -> "\n", 't' -> "\t",
+    // round-14 slots: %b abbreviated month; %k/%l are CH's SPACE-padded
+    // 24h/12h hours — Spark has no space-pad flag, so they render
+    // unpadded (documented divergence: "9" where CH prints " 9");
+    // %z is the +0000 numeric offset (always +0000 — session UTC)
+    'b' -> "MMM", 'k' -> "H", 'l' -> "h", 'z' -> "Z")
 
   private[graft] def chDateTimeFormat(fmt: String): String = {
     val out = new StringBuilder
@@ -2798,6 +2850,24 @@ object ChDialect {
     // ---- everyday tier 6 (round-13 second audit) ------------------------
     // session introspection scalars: UTC sessions, no login identity
     s = cachedRe("(?i)\\btimeZone\\(\\s*\\)").replaceAllIn(s, _ => "'UTC'")
+    // bare rand()/rand64(): CH's contracts are uniform UInt32 / UInt64
+    // INTEGERS — Spark's rand() is the [0,1) double (that is CH's
+    // randCanonical, mapped below). Passing rand() through unchanged
+    // would silently swap a 0..2^32 integer for a 0..1 double, so the
+    // integer contracts lower explicitly. rand64 carries the 53 bits of
+    // one double draw spread over the signed-64 range (CH's value is
+    // fully random in 64 bits — documented entropy divergence; the
+    // BUCKETING role, `ORDER BY rand()` sampling, is unaffected).
+    // MUST run before the randCanonical lowering below emits `rand()`.
+    s = cachedRe("(?i)\\brand\\(\\s*\\)").replaceAllIn(s,
+      _ => "CAST(floor(rand() * 4294967296.0D) AS BIGINT)")
+    s = cachedRe("(?i)\\brand64\\(\\s*\\)").replaceAllIn(s,
+      _ => "CAST(floor((rand() - 0.5D) * 1.8446744073709552E19) AS BIGINT)")
+    s = rewriteCall(s, "randUniform", {
+      case List(lo, hi) => s"(($lo) + rand() * (($hi) - ($lo)))"
+      case args => throw new IllegalArgumentException(
+        s"randUniform expects (min, max), got ${args.length}")
+    })
     s = cachedRe("(?i)\\brandCanonical\\(\\s*\\)")
       .replaceAllIn(s, _ => "rand()")
     // toTypeName renders SPARK type names (int/bigint/string…), not CH
@@ -3543,10 +3613,545 @@ object ChDialect {
       val head = mx(args.head)
       s"array(${(head +: args.tail.map(c => s"$head * ${mx(c)}")).mkString(", ")})"
     })
+    s = rewriteTier7(s, literals)
     // LAST: the emitted probes contain SELECT/FROM/WHERE text no earlier
     // statement-level pass may see, and their key/default args were
     // already CH-rewritten above (nested dict calls recurse internally)
     s = rewriteDictCalls(s, literals)
+    s
+  }
+
+  /** Everyday tier 7 (round 14): the fourth audit sweep. Same method as
+    * tiers 3–6 — ~110 candidate spellings probed through [[rewrite]],
+    * every PASSTHRU triaged into a lowering (when a sound Spark twin
+    * exists) or a loud refusal naming the alternative. Notable stances:
+    * the Joda formatter ≈ Spark's own pattern dialect, distances are
+    * per-row HOF folds (hot vector paths stay on the posexplode
+    * operators — the X144 note), and `bar()` renders to the nearest
+    * eighth-block like CH's own CLI bars.
+    */
+  private def rewriteTier7(s0: String, literals: Array[String]): String = {
+    var s = s0
+    // ---- date/time -----------------------------------------------------
+    // Joda-syntax formatter: Joda patterns are the ancestor of Spark's
+    // own datetime pattern dialect — yyyy/MM/dd/HH/mm/ss/EEE/MMM all
+    // coincide, so the literal passes straight through (divergent
+    // exotic slots fail loudly in Spark's formatter, not silently)
+    s = rewriteCall(s, "formatDateTimeInJodaSyntax", {
+      case List(x, f) => s"date_format($x, $f)"
+      case args => throw new IllegalArgumentException(
+        s"formatDateTimeInJodaSyntax expects (ts, 'format'), got " +
+          s"${args.length} (the timezone form is not supported — session UTC)")
+    })
+    // timeSlots(start, duration[, size]): the size-second grid stamps
+    // covering [start, start+duration] — CH's session-window helper.
+    // start is inlined twice: pass a column, not an expensive expression
+    // (the arrayCumSum stance)
+    s = rewriteCall(s, "timeSlots", { args =>
+      require(args.length == 2 || args.length == 3,
+        s"timeSlots expects (start, duration[, size]), got ${args.length}")
+      val st = args(0); val dur = args(1)
+      val sz = if (args.length == 3) s"(${args(2)})" else "1800"
+      s"transform(sequence((unix_timestamp($st) DIV $sz) * $sz, " +
+        s"((unix_timestamp($st) + ($dur)) DIV $sz) * $sz, $sz), " +
+        "__t -> timestamp_seconds(__t))"
+    })
+    // dateAdd/dateSub/timestampAdd/timestampSub: both CH call shapes —
+    // (unit, n, ts) with the unit bare or quoted, and (ts, INTERVAL n u)
+    def unitOf(tok: String, where: String): String = {
+      val t = wtrim(tok)
+      val raw = maskedLiteral(t, literals).getOrElse(t)
+      val u = raw.trim.toUpperCase.stripSuffix("S")
+      require(Set("SECOND", "MINUTE", "HOUR", "DAY", "WEEK", "MONTH",
+        "QUARTER", "YEAR")(u), s"$where: unsupported unit '${raw.trim}'")
+      u
+    }
+    val unitish = "(?i)^(second|minute|hour|day|week|month|quarter|year)s?$"
+    Seq(("dateAdd", false), ("timestampAdd", false),
+      ("dateSub", true), ("timestampSub", true)).foreach { case (fn, neg) =>
+      s = rewriteCall(s, fn, {
+        case List(u, n, d0) if maskedLiteral(wtrim(u), literals)
+          .getOrElse(wtrim(u)).trim.matches(unitish) =>
+          val nn = if (neg) s"-($n)" else n
+          s"timestampadd(${unitOf(u, fn)}, $nn, $d0)"
+        case List(d0, iv) if wtrim(iv).toUpperCase.startsWith("INTERVAL") =>
+          s"($d0 ${if (neg) "-" else "+"} $iv)"
+        case args => throw new IllegalArgumentException(
+          s"$fn expects (unit, n, ts) or (ts, INTERVAL n unit), " +
+            s"got ${args.length} argument(s)")
+      })
+    }
+    // toIntervalX(n) → Spark's interval constructors (day-time vs
+    // year-month split follows Spark's own two interval kinds)
+    Seq("toIntervalSecond" -> "0, 0, 0, %s", "toIntervalMinute" -> "0, 0, %s, 0",
+      "toIntervalHour" -> "0, %s, 0, 0", "toIntervalDay" -> "%s, 0, 0, 0",
+      "toIntervalWeek" -> "(%s) * 7, 0, 0, 0").foreach { case (fn, slot) =>
+      s = rewriteCall(s, fn, {
+        case List(n) => s"make_dt_interval(${slot.format(n)})"
+        case args => throw new IllegalArgumentException(
+          s"$fn expects 1 argument, got ${args.length}")
+      })
+    }
+    Seq("toIntervalMonth" -> "0, %s", "toIntervalQuarter" -> "0, (%s) * 3",
+      "toIntervalYear" -> "%s").foreach { case (fn, slot) =>
+      s = rewriteCall(s, fn, {
+        case List(n) => s"make_interval(${slot.format(n)})"
+        case args => throw new IllegalArgumentException(
+          s"$fn expects 1 argument, got ${args.length}")
+      })
+    }
+    s = rewriteCall(s, "monthName", {
+      case List(x) => s"date_format($x, 'MMMM')"
+      case args => throw new IllegalArgumentException(
+        s"monthName expects 1 argument, got ${args.length}")
+    })
+    // timeDiff(older, newer) = whole seconds between them
+    s = rewriteCall(s, "timeDiff", {
+      case List(a, b) => s"(unix_timestamp($b) - unix_timestamp($a))"
+      case args => throw new IllegalArgumentException(
+        s"timeDiff expects 2 arguments, got ${args.length}")
+    })
+    // the calendar half of the toRelative*Num family (fixed-width units
+    // live in tier 4): month/quarter/year count calendar boundaries,
+    // week counts Monday-aligned weeks from the epoch's first Monday
+    s = rewriteCall(s, "toRelativeMonthNum", {
+      case List(x) => s"(year($x) * 12 + month($x))"
+      case args => throw new IllegalArgumentException(
+        s"toRelativeMonthNum expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCall(s, "toRelativeQuarterNum", {
+      case List(x) => s"(year($x) * 4 + quarter($x))"
+      case args => throw new IllegalArgumentException(
+        s"toRelativeQuarterNum expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCall(s, "toRelativeYearNum", {
+      case List(x) => s"year($x)"
+      case args => throw new IllegalArgumentException(
+        s"toRelativeYearNum expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCall(s, "toRelativeWeekNum", {
+      case List(x) =>
+        s"((datediff(CAST($x AS DATE), DATE'1970-01-05') + 7) DIV 7)"
+      case args => throw new IllegalArgumentException(
+        s"toRelativeWeekNum expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCall(s, "fromUnixTimestamp64Nano", {
+      case List(x) => s"timestamp_micros(CAST(($x) DIV 1000 AS BIGINT))"
+      case args => throw new IllegalArgumentException(
+        s"fromUnixTimestamp64Nano expects 1 argument, got ${args.length}")
+    })
+    // Twitter-epoch snowflake ids (CH's own constant 1288834974657)
+    Seq("snowflakeToDateTime", "snowflakeIDToDateTime").foreach { fn =>
+      s = rewriteCall(s, fn, {
+        case List(id) =>
+          s"timestamp_millis((CAST($id AS BIGINT) >> 22) + 1288834974657)"
+        case args => throw new IllegalArgumentException(
+          s"$fn expects 1 argument, got ${args.length}")
+      })
+    }
+    s = rewriteCall(s, "toModifiedJulianDay", {
+      case List(x) => s"datediff(CAST($x AS DATE), DATE'1858-11-17')"
+      case args => throw new IllegalArgumentException(
+        s"toModifiedJulianDay expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCall(s, "fromModifiedJulianDay", {
+      case List(n) => s"date_add(DATE'1858-11-17', CAST($n AS INT))"
+      case args => throw new IllegalArgumentException(
+        s"fromModifiedJulianDay expects 1 argument, got ${args.length}")
+    })
+    // ---- conversions ----------------------------------------------------
+    s = rewriteCall(s, "toDate32", {
+      case List(x) => s"to_date($x)"
+      case args => throw new IllegalArgumentException(
+        s"toDate32 expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCall(s, "toDateTime32", {
+      case List(x) => s"CAST($x AS TIMESTAMP)"
+      case args => throw new IllegalArgumentException(
+        s"toDateTime32 expects 1 argument, got ${args.length} " +
+          "(the timezone form is not supported — session UTC)")
+    })
+    s = rewriteCall(s, "toBool", {
+      case List(x) => s"CAST($x AS BOOLEAN)"
+      case args => throw new IllegalArgumentException(
+        s"toBool expects 1 argument, got ${args.length}")
+    })
+    // 128-bit integers land on DECIMAL(38,0): 38 decimal digits covers
+    // ±1.7e38 of the ±1.7e38 UInt128/Int128 range EXCEPT the top sliver
+    // (documented cap — values past 10^38 overflow loudly, not wrap)
+    Seq("toUInt128", "toInt128").foreach { fn =>
+      s = rewriteCall(s, fn, {
+        case List(x) => s"CAST($x AS DECIMAL(38, 0))"
+        case args => throw new IllegalArgumentException(
+          s"$fn expects 1 argument, got ${args.length}")
+      })
+    }
+    // ---- math -----------------------------------------------------------
+    s = rewriteCall(s, "exp10", {
+      case List(x) => s"power(10.0D, $x)"
+      case args => throw new IllegalArgumentException(
+        s"exp10 expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCall(s, "max2",
+      args => { require(args.length == 2, "max2 expects 2 arguments")
+        s"greatest(${args.mkString(", ")})" })
+    s = rewriteCall(s, "min2",
+      args => { require(args.length == 2, "min2 expects 2 arguments")
+        s"least(${args.mkString(", ")})" })
+    s = rewriteCall(s, "clamp", {
+      case List(x, lo, hi) => s"least(greatest($x, $lo), $hi)"
+      case args => throw new IllegalArgumentException(
+        s"clamp expects (x, min, max), got ${args.length}")
+    })
+    // ---- strings ----------------------------------------------------
+    s = rewriteCall(s, "appendTrailingCharIfAbsent", {
+      case List(x, c) =>
+        s"(CASE WHEN ($x) = '' OR endswith($x, $c) THEN $x " +
+          s"ELSE concat($x, $c) END)"
+      case args => throw new IllegalArgumentException(
+        s"appendTrailingCharIfAbsent expects (s, char), got ${args.length}")
+    })
+    // tokens(): CH splits on non-alphanumeric ASCII; this splits on
+    // non-alphanumeric, period — non-ASCII letters also separate here
+    // (documented divergence on non-ASCII corpora; the text operators
+    // in graft.operators.TextAnalysis are the serious tokenizers)
+    s = rewriteCall(s, "tokens", {
+      case List(x) =>
+        s"filter(split($x, '[^a-zA-Z0-9]+'), __t -> __t != '')"
+      case args => throw new IllegalArgumentException(
+        s"tokens expects 1 argument, got ${args.length}")
+    })
+    // character n-grams (CH counts bytes; Spark strings index by
+    // codepoint — identical on ASCII, documented divergence past it)
+    s = rewriteCall(s, "ngrams", {
+      case List(x, n) =>
+        s"(CASE WHEN length($x) < ($n) THEN array() " +
+          s"ELSE transform(sequence(1, length($x) - ($n) + 1), " +
+          s"__i -> substring($x, __i, $n)) END)"
+      case args => throw new IllegalArgumentException(
+        s"ngrams expects (s, n), got ${args.length}")
+    })
+    // splitByRegexp keeps the separator a REGEX (splitByChar \Q-quotes)
+    s = rewriteCall(s, "splitByRegexp", {
+      case List(re, x) => s"split($x, $re)"
+      case args => throw new IllegalArgumentException(
+        s"splitByRegexp expects (pattern, s), got ${args.length}")
+    })
+    // ---- arrays -----------------------------------------------------
+    s = rewriteCall(s, "countEqual", {
+      case List(a, v) => s"size(filter($a, __x -> __x <=> ($v)))"
+      case args => throw new IllegalArgumentException(
+        s"countEqual expects (arr, value), got ${args.length}")
+    })
+    s = rewriteCall(s, "hasSubstr", {
+      case List(a, b) =>
+        s"(CASE WHEN size($b) = 0 THEN true " +
+          s"WHEN size($b) > size($a) THEN false " +
+          s"ELSE exists(sequence(1, size($a) - size($b) + 1), " +
+          s"__i -> slice($a, __i, size($b)) = $b) END)"
+      case args => throw new IllegalArgumentException(
+        s"hasSubstr expects (haystack, needle) arrays, got ${args.length}")
+    })
+    s = rewriteCall(s, "arrayJaccardIndex", {
+      case List(a, b) =>
+        s"(CAST(size(array_intersect($a, $b)) AS DOUBLE) / " +
+          s"CAST(size(array_union($a, $b)) AS DOUBLE))"
+      case args => throw new IllegalArgumentException(
+        s"arrayJaccardIndex expects 2 arrays, got ${args.length}")
+    })
+    // CH only promises the first n positions sorted and leaves the rest
+    // unspecified — the fully-sorted array is a legal (and the only
+    // deterministic) refinement
+    s = rewriteCall(s, "arrayPartialSort", {
+      case List(_, a) => s"array_sort($a)"
+      case args => throw new IllegalArgumentException(
+        s"arrayPartialSort expects (limit, arr), got ${args.length}")
+    })
+    s = rewriteCall(s, "arrayPartialReverseSort", {
+      case List(_, a) => s"reverse(array_sort($a))"
+      case args => throw new IllegalArgumentException(
+        s"arrayPartialReverseSort expects (limit, arr), got ${args.length}")
+    })
+    // ---- vector norms/distances (per-row HOF folds — the X144 note:
+    // hot vector paths use the posexplode operators in Similarity) ----
+    def fold2(a: String, b: String, term: String) =
+      s"aggregate(zip_with($a, $b, (__x, __y) -> $term), " +
+        s"CAST(0.0 AS DOUBLE), (__s, __e) -> __s + __e)"
+    val diffSq = "(CAST(__x AS DOUBLE) - CAST(__y AS DOUBLE)) * " +
+      "(CAST(__x AS DOUBLE) - CAST(__y AS DOUBLE))"
+    s = rewriteCall(s, "L1Distance", {
+      case List(a, b) =>
+        fold2(a, b, "abs(CAST(__x AS DOUBLE) - CAST(__y AS DOUBLE))")
+      case args => throw new IllegalArgumentException(
+        s"L1Distance expects 2 arrays, got ${args.length}")
+    })
+    s = rewriteCall(s, "L2SquaredDistance", {
+      case List(a, b) => fold2(a, b, diffSq)
+      case args => throw new IllegalArgumentException(
+        s"L2SquaredDistance expects 2 arrays, got ${args.length}")
+    })
+    s = rewriteCall(s, "L2Distance", {
+      case List(a, b) => s"sqrt(${fold2(a, b, diffSq)})"
+      case args => throw new IllegalArgumentException(
+        s"L2Distance expects 2 arrays, got ${args.length}")
+    })
+    s = rewriteCall(s, "LinfDistance", {
+      case List(a, b) => s"array_max(zip_with($a, $b, (__x, __y) -> " +
+        s"abs(CAST(__x AS DOUBLE) - CAST(__y AS DOUBLE))))"
+      case args => throw new IllegalArgumentException(
+        s"LinfDistance expects 2 arrays, got ${args.length}")
+    })
+    s = rewriteCall(s, "LinfNorm", {
+      case List(a) =>
+        s"array_max(transform($a, __x -> abs(CAST(__x AS DOUBLE))))"
+      case args => throw new IllegalArgumentException(
+        s"LinfNorm expects 1 array, got ${args.length}")
+    })
+    s = rewriteCall(s, "L2SquaredNorm", {
+      case List(a) => s"aggregate($a, CAST(0.0 AS DOUBLE), " +
+        s"(__s, __e) -> __s + CAST(__e AS DOUBLE) * CAST(__e AS DOUBLE))"
+      case args => throw new IllegalArgumentException(
+        s"L2SquaredNorm expects 1 array, got ${args.length}")
+    })
+    // ---- multi-needle search (completes the X144 family) -------------
+    s = rewriteCall(s, "multiSearchAllPositions", {
+      case List(h, ns) => s"transform($ns, __n -> locate(__n, $h))"
+      case args => throw new IllegalArgumentException(
+        s"multiSearchAllPositions expects (haystack, [needles]), " +
+          s"got ${args.length}")
+    })
+    // leftmost occurrence position of ANY needle, 0 when none — the
+    // multiSearchFirstIndex contract transposed to positions
+    s = rewriteCall(s, "multiSearchFirstPosition", {
+      case List(h, ns) =>
+        s"coalesce(array_min(filter(transform($ns, __n -> " +
+          s"locate(__n, $h)), __p -> __p > 0)), 0)"
+      case args => throw new IllegalArgumentException(
+        s"multiSearchFirstPosition expects (haystack, [needles]), " +
+          s"got ${args.length}")
+    })
+    // ---- maps (lambda-first → map-first, the mapFilter stance) -------
+    s = rewriteCall(s, "mapExists", {
+      case List(lam, m) => s"(cardinality(map_filter($m, $lam)) > 0)"
+      case args => throw new IllegalArgumentException(
+        s"mapExists expects ((k, v) -> pred, map), got ${args.length}")
+    })
+    s = rewriteCall(s, "mapAll", {
+      case List(lam, m) =>
+        s"(cardinality(map_filter($m, $lam)) = cardinality($m))"
+      case args => throw new IllegalArgumentException(
+        s"mapAll expects ((k, v) -> pred, map), got ${args.length}")
+    })
+    s = rewriteCall(s, "mapSort", {
+      case List(m) => s"map_from_entries(array_sort(map_entries($m)))"
+      case args => throw new IllegalArgumentException(
+        s"mapSort expects 1 map (the lambda form has no textual twin " +
+          s"— sort map_entries(…) directly), got ${args.length}")
+    })
+    s = rewriteCall(s, "mapReverseSort", {
+      case List(m) =>
+        s"map_from_entries(reverse(array_sort(map_entries($m))))"
+      case args => throw new IllegalArgumentException(
+        s"mapReverseSort expects 1 map, got ${args.length}")
+    })
+    // ---- URL family completion ---------------------------------------
+    s = rewriteCall(s, "fragment", {
+      case List(u) => s"coalesce(parse_url($u, 'REF'), '')"
+      case args => throw new IllegalArgumentException(
+        s"fragment expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCall(s, "cutFragment", {
+      case List(u) => s"split_part($u, '#', 1)"
+      case args => throw new IllegalArgumentException(
+        s"cutFragment expects 1 argument, got ${args.length}")
+    })
+    // query-onwards text: '?' to end (fragment included — CH's shape);
+    // a fragment-only URL returns '' here where CH keeps '#f' (edge
+    // divergence, documented)
+    s = rewriteCall(s, "queryStringAndFragment", {
+      case List(u) => s"regexp_extract($u, '\\\\?(.*)', 1)"
+      case args => throw new IllegalArgumentException(
+        s"queryStringAndFragment expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCall(s, "netloc", {
+      case List(u) => s"coalesce(parse_url($u, 'AUTHORITY'), '')"
+      case args => throw new IllegalArgumentException(
+        s"netloc expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCall(s, "port", {
+      case List(u) =>
+        s"CAST(coalesce(nullif(regexp_extract(parse_url($u, " +
+          s"'AUTHORITY'), ':(\\\\d+)$$', 1), ''), '0') AS INT)"
+      case args => throw new IllegalArgumentException(
+        s"port expects 1 argument here (the default_port form: wrap " +
+          s"in CASE WHEN port(u) = 0), got ${args.length}")
+    })
+    // percent-encoding (the non-Form spellings): CH encodes space as
+    // %20 and decodes '+' literally — adjust around Spark's
+    // form-encoding url_encode/url_decode
+    s = rewriteCall(s, "encodeURLComponent", {
+      case List(u) => s"replace(url_encode($u), '+', '%20')"
+      case args => throw new IllegalArgumentException(
+        s"encodeURLComponent expects 1 argument, got ${args.length}")
+    })
+    s = rewriteCall(s, "decodeURLComponent", {
+      case List(u) => s"url_decode(replace($u, '+', '%2B'))"
+      case args => throw new IllegalArgumentException(
+        s"decodeURLComponent expects 1 argument, got ${args.length}")
+    })
+    // ---- aggregates ---------------------------------------------------
+    // exact weighted quantile: Spark's percentile takes an integral
+    // frequency column — exactly quantileExactWeighted's weight
+    s = rewriteParamAgg(s, "quantileExactWeighted") { (ps, args) =>
+      require(ps.length == 1, "quantileExactWeighted(q)(x, w): one level")
+      require(args.length == 2,
+        "quantileExactWeighted(q)(x, w) expects (value, weight)")
+      s"percentile(${args.head}, ${ps.head}, " +
+        s"CAST(${args(1)} AS BIGINT))"
+    }
+    // uniqCombined(precision)(x) et al arrive here with the name already
+    // renamed by simpleReplacements — drop the precision parameter list
+    // (Spark's HLL++ has its own accuracy knob; the uniq stance)
+    s = rewriteMaybeParam(s, "approx_count_distinct")(
+      plain => s"approx_count_distinct(${plain.mkString(", ")})",
+      (_, args) => s"approx_count_distinct(${args.mkString(", ")})")
+    // ---- console formatters -------------------------------------------
+    // formatReadableTimeDelta: days…seconds, zero components skipped,
+    // singular/plural like CH. CH's default largest unit is YEARS
+    // (365.25-day years) — this renders days as the cap (documented
+    // divergence; day counts stay exact where fractional years round).
+    // The input is inlined per component: pass a column.
+    s = rewriteCall(s, "formatReadableTimeDelta", {
+      case List(x) =>
+        def comp(n: String, u: String) =
+          s"CASE WHEN $n > 0 THEN concat($n, ' $u', " +
+            s"CASE WHEN $n = 1 THEN '' ELSE 's' END) END"
+        val t = s"CAST($x AS BIGINT)"
+        s"coalesce(nullif(concat_ws(', ', " +
+          comp(s"($t DIV 86400)", "day") + ", " +
+          comp(s"(($t % 86400) DIV 3600)", "hour") + ", " +
+          comp(s"(($t % 3600) DIV 60)", "minute") + ", " +
+          comp(s"($t % 60)", "second") + "), ''), '0 seconds')"
+      case args => throw new IllegalArgumentException(
+        s"formatReadableTimeDelta expects 1 argument (the maximum_unit " +
+          s"form is not supported), got ${args.length}")
+    })
+    // bar(x, min, max[, width]): CH's CLI bar — full blocks plus a
+    // nearest-eighth partial block, clamped to [0, width]. The scaled
+    // value is inlined per piece: pass a column.
+    s = rewriteCall(s, "bar", { args =>
+      require(args.length == 3 || args.length == 4,
+        s"bar expects (x, min, max[, width]), got ${args.length}")
+      val List(x, mn, mx) = args.take(3)
+      val w = if (args.length == 4) args(3) else "80"
+      val units = s"greatest(CAST(0.0 AS DOUBLE), least(CAST($w AS " +
+        s"DOUBLE), (CAST($x AS DOUBLE) - CAST($mn AS DOUBLE)) * " +
+        s"CAST($w AS DOUBLE) / (CAST($mx AS DOUBLE) - CAST($mn AS DOUBLE))))"
+      val e8 = s"CAST(round($units * 8.0D) AS BIGINT)"
+      s"concat(repeat('█', CAST($e8 DIV 8 AS INT)), " +
+        s"CASE WHEN ($e8 % 8) = 0 THEN '' " +
+        s"ELSE substring('▏▎▍▌▋▊▉', CAST($e8 % 8 AS INT), 1) END)"
+    })
+    // ---- network --------------------------------------------------------
+    // isIPAddressInRange with a LITERAL IPv4 CIDR: the prefix mask folds
+    // to a constant and the address side reuses the IPv4StringToNum
+    // octet arithmetic (IPv6 has no 128-bit integer here — refuses)
+    s = rewriteCall(s, "isIPAddressInRange", {
+      case List(ip, cidr) =>
+        val lit = maskedLiteral(wtrim(cidr), literals).getOrElse(
+          throw new IllegalArgumentException(
+            "isIPAddressInRange: the CIDR must be a string literal"))
+        val m = "^(\\d+)\\.(\\d+)\\.(\\d+)\\.(\\d+)/(\\d+)$".r
+          .findFirstMatchIn(lit.trim).getOrElse(
+            throw new IllegalArgumentException(
+              s"isIPAddressInRange: '$lit' is not an IPv4 CIDR " +
+                "(IPv6 ranges are not supported here)"))
+        val Seq(o1, o2, o3, o4, bits) = (1 to 5).map(i => m.group(i).toLong)
+        require(bits <= 32 && Seq(o1, o2, o3, o4).forall(_ <= 255),
+          s"isIPAddressInRange: malformed CIDR '$lit'")
+        val net = (o1 << 24) | (o2 << 16) | (o3 << 8) | o4
+        val shift = 32 - bits.toInt
+        val masked = if (shift >= 32) 0L else (net >> shift) << shift
+        val ipNum = s"(CAST(element_at(split($ip, '\\\\.'), 1) AS BIGINT) " +
+          s"* 16777216 + CAST(element_at(split($ip, '\\\\.'), 2) AS " +
+          s"BIGINT) * 65536 + CAST(element_at(split($ip, '\\\\.'), 3) " +
+          s"AS BIGINT) * 256 + CAST(element_at(split($ip, '\\\\.'), 4) " +
+          s"AS BIGINT))"
+        if (shift >= 32) "true"
+        else s"((($ipNum >> $shift) << $shift) = ${masked}L)"
+      case args => throw new IllegalArgumentException(
+        s"isIPAddressInRange expects (addr, 'cidr'), got ${args.length}")
+    })
+    // ---- JSON -----------------------------------------------------------
+    s = rewriteCall(s, "JSON_EXISTS", {
+      case List(j, p) => s"(get_json_object($j, $p) IS NOT NULL)"
+      case args => throw new IllegalArgumentException(
+        s"JSON_EXISTS expects (json, path), got ${args.length}")
+    })
+    // ---- pointed refusals (the deltaSum stance: name the alternative) --
+    Seq(
+      "entropy" -> ("Shannon entropy needs a two-level aggregation — " +
+        "GROUP BY the value first, then -sum(p * log2(p)) over the " +
+        "per-value counts"),
+      "JSON_QUERY" -> ("CH wraps matches in a JSON array — use " +
+        "JSONExtractRaw (raw extraction) or JSON_VALUE (scalar) " +
+        "whose contracts are exact here"),
+      "gcd" -> "no Spark twin (iterative) — precompute or use pmod chains",
+      "lcm" -> "no Spark twin (iterative) — precompute or use pmod chains",
+      "arrayShuffle" -> ("nondeterministic by contract — use " +
+        "array_sort for a canonical order or shuffle outside the query"),
+      "arrayRandomSample" -> ("nondeterministic by contract — slice " +
+        "after array_sort, or sample rows with TABLESAMPLE"),
+      "sparkbar" -> ("per-group inline histogram — use bar(x, min, " +
+        "max, width) per bucket row instead"),
+      "groupArrayLast" -> ("block-order dependent — groupArraySorted(N)" +
+        "(x) is the deterministic top-N, or collect_list over an " +
+        "explicit window ORDER BY"),
+      "stem" -> ("dictionary-backed NLP is out of scope — the text " +
+        "operators in graft.operators.TextAnalysis cover tokenization " +
+        "and quality scoring"),
+      "lemmatize" -> "dictionary-backed NLP is out of scope (see stem)",
+      "synonyms" -> "dictionary-backed NLP is out of scope (see stem)",
+      "detectLanguage" -> ("use the engine's n-gram language-id " +
+        "operator (text_langid in graft.operators.TextAnalysis)"),
+      "detectCharset" -> "charset sniffing is out of scope (UTF-8 corpus)",
+      "sleep" -> ("no effect in a declarative plan — removed in CH too " +
+        "under optimization; drop it"),
+      "sleepEachRow" -> "no effect in a declarative plan — drop it",
+      "blockNumber" -> ("blocks do not exist here — row_number() OVER " +
+        "(ORDER BY …) for a stable numbering"),
+      "blockSize" -> "blocks do not exist here — count() per group",
+      "rowNumberInAllBlocks" -> ("row_number() OVER (ORDER BY …) — an " +
+        "explicit order is the only deterministic numbering"),
+      "queryID" -> ("query ids live in system.query_log here (X140) — " +
+        "FROM system.query_log"),
+      "initialQueryID" -> "see queryID — FROM system.query_log",
+      "uptime" -> "no server process to introspect — not supported",
+      "serverUUID" -> "no server process to introspect — not supported",
+      "firstSignificantSubdomain" -> ("needs the public-suffix list — " +
+        "domainWithoutWWW covers the common case"),
+      "cutToFirstSignificantSubdomain" -> ("needs the public-suffix " +
+        "list — domainWithoutWWW covers the common case"),
+      "geohashEncode" -> ("geo indexing is out of scope — " +
+        "greatCircleDistance covers metric queries"),
+      "geohashDecode" -> "geo indexing is out of scope (see geohashEncode)",
+      "pointInPolygon" -> ("polygon geometry is out of scope — bounding-" +
+        "box predicates compose from plain comparisons"),
+      "normalizeQuery" -> ("CH's literal folding is engine-specific — " +
+        "regexp_replace the literal classes explicitly"),
+      "mapPopulateSeries" -> ("build the dense axis with sequence() and " +
+        "map_from_arrays, then map_zip_with the sparse map onto it"),
+      "toInt256" -> "no 256-bit arithmetic — DECIMAL(38, 0) is the widest",
+      "toUInt256" -> "no 256-bit arithmetic — DECIMAL(38, 0) is the widest",
+      "arrayFill" -> ("order-dependent fill — express as an explicit " +
+        "aggregate() fold over the array"),
+      "arrayReverseFill" -> "see arrayFill",
+      "arraySplit" -> ("use aggregate() to fold split points, or explode " +
+        "and re-group"))
+      .foreach { case (fn, alt) =>
+        s = rewriteCall(s, fn, _ => throw new IllegalArgumentException(
+          s"$fn: $alt"))
+      }
     s
   }
 

@@ -1958,4 +1958,213 @@ class ChSqlSpec extends SparkSpecBase {
       .collect().map(_.getString(0)).mkString("\n") should
       include("Physical Plan")
   }
+
+  // ——— everyday tier 7 (round 14) ———
+
+  test("tier-7 date/time spellings rewrite and agree") {
+    def one(q: String) = GraftSql.chSql(spark, sf0001, s"SELECT $q AS v").head()
+    // sub-second truncation family (sessions run microsecond timestamps)
+    one("toString(toStartOfSecond(toDateTime64('2024-03-05 10:11:12.789', 3)))")
+      .getString(0) shouldBe "2024-03-05 10:11:12"
+    one("date_format(toStartOfMillisecond(toDateTime64(" +
+      "'2024-03-05 10:11:12.789654', 6)), 'HH:mm:ss.SSSSSS')")
+      .getString(0) shouldBe "10:11:12.789000"
+    // formatDateTime round-14 slots: %b abbreviated month, %k/%l hours
+    // (unpadded — documented), %z numeric offset (session UTC)
+    one("formatDateTime(toDateTime('2024-03-05 09:05:00'), '%b %k %l %z')")
+      .getString(0) shouldBe "Mar 9 9 +0000"
+    // Joda-syntax formatter = Spark's own pattern dialect
+    one("formatDateTimeInJodaSyntax(toDateTime('2024-03-05 09:05:00'), " +
+      "'yyyy-MM-dd HH:mm')").getString(0) shouldBe "2024-03-05 09:05"
+    // timeSlots: the half-hour grid covering [start, start+duration]
+    one("arrayStringConcat(arrayMap(x -> date_format(x, 'HH:mm'), " +
+      "timeSlots(toDateTime('2024-01-01 10:10:00'), 1800)), ',')")
+      .getString(0) shouldBe "10:00,10:30"
+    one("size(timeSlots(toDateTime('2024-01-01 10:00:00'), 3600, 900))")
+      .getInt(0) shouldBe 5
+    // dateAdd/dateSub/timestampAdd/timestampSub — both CH call shapes
+    one("toString(dateAdd(day, 3, toDateTime('2024-01-05 00:00:00')))")
+      .getString(0) shouldBe "2024-01-08 00:00:00"
+    one("toString(dateSub(WEEK, 1, toDateTime('2024-01-15 00:00:00')))")
+      .getString(0) shouldBe "2024-01-08 00:00:00"
+    one("toString(timestampAdd(toDateTime('2024-01-05 00:00:00'), " +
+      "INTERVAL 2 HOUR))").getString(0) shouldBe "2024-01-05 02:00:00"
+    one("toString(timestampSub(minute, 5, toDateTime('2024-01-05 00:10:00')))")
+      .getString(0) shouldBe "2024-01-05 00:05:00"
+    one("toString(dateAdd('month', 2, toDate('2024-01-31')))")
+      .getString(0) shouldBe "2024-03-31 00:00:00"
+    // toIntervalX constructors compose with +
+    one("toString(toDateTime('2024-01-05 00:00:00') + toIntervalDay(3))")
+      .getString(0) shouldBe "2024-01-08 00:00:00"
+    one("toString(toDate('2024-01-31') + toIntervalMonth(1))")
+      .getString(0) shouldBe "2024-02-29"
+    one("toString(toDateTime('2024-01-05 00:00:00') + toIntervalWeek(2))")
+      .getString(0) shouldBe "2024-01-19 00:00:00"
+    // misc date scalars
+    one("monthName(toDate('2024-03-05'))").getString(0) shouldBe "March"
+    one("timeDiff(toDateTime('2024-01-01 00:00:00'), " +
+      "toDateTime('2024-01-01 00:02:05'))").getLong(0) shouldBe 125L
+    one("toRelativeMonthNum(toDate('2024-03-05')) - " +
+      "toRelativeMonthNum(toDate('2023-12-31'))").getInt(0) shouldBe 3
+    one("toRelativeQuarterNum(toDate('2024-04-01')) - " +
+      "toRelativeQuarterNum(toDate('2023-12-31'))").getInt(0) shouldBe 2
+    one("toRelativeYearNum(toDate('2024-03-05'))").getInt(0) shouldBe 2024
+    // week numbers are Monday-aligned: Sun Jan 7 2024 and Mon Jan 8
+    // 2024 land in different weeks
+    one("toRelativeWeekNum(toDate('2024-01-08')) - " +
+      "toRelativeWeekNum(toDate('2024-01-07'))").getLong(0) shouldBe 1L
+    one("toString(fromUnixTimestamp64Nano(1704067200000000000))")
+      .getString(0) shouldBe "2024-01-01 00:00:00"
+    // snowflake ids carry ms since the Twitter epoch in their top bits
+    one("toString(snowflakeToDateTime(CAST(1756377600000 - 1288834974657 " +
+      "AS Int64) * 4194304))").getString(0) shouldBe "2025-08-28 10:40:00"
+    one("toModifiedJulianDay(toDate('1858-11-18'))").getInt(0) shouldBe 1
+    one("toString(fromModifiedJulianDay(60000))")
+      .getString(0) shouldBe "2023-02-25"
+  }
+
+  test("tier-7 scalar spellings rewrite and agree") {
+    def one(q: String) = GraftSql.chSql(spark, sf0001, s"SELECT $q AS v").head()
+    // conversions
+    one("toString(toDate32('2024-03-05'))").getString(0) should
+      startWith("2024-03-05")
+    one("toBool(1)").getBoolean(0) shouldBe true
+    one("CAST(toInt128(42) AS STRING)").getString(0) shouldBe "42"
+    // math
+    one("exp10(3)").getDouble(0) shouldBe 1000.0
+    one("max2(3, 7)").getInt(0) shouldBe 7
+    one("min2(3, 7)").getInt(0) shouldBe 3
+    one("clamp(15, 0, 10)").getInt(0) shouldBe 10
+    one("clamp(-2, 0, 10)").getInt(0) shouldBe 0
+    one("widthBucket(5.5, 0, 10, 10)").getLong(0) shouldBe 6L
+    // strings
+    one("levenshteinDistance('kitten', 'sitting')").getInt(0) shouldBe 3
+    one("editDistance('flaw', 'lawn')").getInt(0) shouldBe 2
+    one("appendTrailingCharIfAbsent('dir', '/')").getString(0) shouldBe "dir/"
+    one("appendTrailingCharIfAbsent('dir/', '/')").getString(0) shouldBe "dir/"
+    one("appendTrailingCharIfAbsent('', '/')").getString(0) shouldBe ""
+    one("arrayStringConcat(tokens('a-b c,,d'), '|')")
+      .getString(0) shouldBe "a|b|c|d"
+    one("arrayStringConcat(ngrams('abcd', 3), ',')")
+      .getString(0) shouldBe "abc,bcd"
+    one("size(ngrams('ab', 3))").getInt(0) shouldBe 0
+    one("arrayStringConcat(splitByRegexp('[0-9]+', 'a12b3c'), '|')")
+      .getString(0) shouldBe "a|b|c"
+    one("leftUTF8('grafted', 5)").getString(0) shouldBe "graft"
+    one("rightUTF8('engine', 3)").getString(0) shouldBe "ine"
+    // rand contracts: UInt32-range integer (rand), full-range int64
+    // (rand64), [min, max) uniform (randUniform)
+    val r = one("rand()").getLong(0)
+    r should be >= 0L
+    r should be < 4294967296L
+    val ru = one("randUniform(5, 6)").getDouble(0)
+    ru should be >= 5.0
+    ru should be < 6.0
+    // URL completion
+    one("fragment('https://h/p?q=1#sec')").getString(0) shouldBe "sec"
+    one("cutFragment('https://h/p?q=1#sec')")
+      .getString(0) shouldBe "https://h/p?q=1"
+    one("queryStringAndFragment('https://h/p?q=1#sec')")
+      .getString(0) shouldBe "q=1#sec"
+    one("netloc('https://u@h:8080/p')").getString(0) shouldBe "u@h:8080"
+    one("port('https://h:8123/p')").getInt(0) shouldBe 8123
+    one("port('https://h/p')").getInt(0) shouldBe 0
+    one("encodeURLComponent('a b&c')").getString(0) shouldBe "a%20b%26c"
+    one("decodeURLComponent('a%20b+c')").getString(0) shouldBe "a b+c"
+    // network
+    one("isIPAddressInRange('10.3.4.5', '10.0.0.0/8')")
+      .getBoolean(0) shouldBe true
+    one("isIPAddressInRange('11.3.4.5', '10.0.0.0/8')")
+      .getBoolean(0) shouldBe false
+    one("isIPAddressInRange('192.168.1.7', '192.168.1.0/30')")
+      .getBoolean(0) shouldBe false
+    one("isIPAddressInRange('192.168.1.2', '192.168.1.0/30')")
+      .getBoolean(0) shouldBe true
+    // JSON
+    one("JSON_EXISTS('{\"a\":1}', '$.a')").getBoolean(0) shouldBe true
+    one("JSON_EXISTS('{\"a\":1}', '$.b')").getBoolean(0) shouldBe false
+  }
+
+  test("tier-7 array/map/vector spellings rewrite and agree") {
+    def one(q: String) = GraftSql.chSql(spark, sf0001, s"SELECT $q AS v").head()
+    one("countEqual([1, 2, 2, 3, 2], 2)").getInt(0) shouldBe 3
+    one("hasSubstr([1, 2, 3, 4], [2, 3])").getBoolean(0) shouldBe true
+    one("hasSubstr([1, 2, 3, 4], [2, 4])").getBoolean(0) shouldBe false
+    one("hasSubstr([1, 2], [])").getBoolean(0) shouldBe true
+    one("round(arrayJaccardIndex([1, 2, 3], [2, 3, 4]), 6)")
+      .getDouble(0) shouldBe 0.5
+    one("arrayStringConcat(arrayMap(x -> toString(x), " +
+      "arrayPartialSort(2, [5, 1, 4])), ',')").getString(0) shouldBe "1,4,5"
+    // vectors
+    one("L1Distance([1.0, 2.0], [4.0, 0.0])").getDouble(0) shouldBe 5.0
+    one("L2Distance([0.0, 0.0], [3.0, 4.0])").getDouble(0) shouldBe 5.0
+    one("L2SquaredDistance([0.0, 0.0], [3.0, 4.0])").getDouble(0) shouldBe 25.0
+    one("LinfDistance([1.0, 9.0], [4.0, 7.0])").getDouble(0) shouldBe 3.0
+    one("LinfNorm([-7.0, 4.0])").getDouble(0) shouldBe 7.0
+    one("L2SquaredNorm([3.0, 4.0])").getDouble(0) shouldBe 25.0
+    // multi-needle positions
+    one("arrayStringConcat(arrayMap(x -> toString(x), " +
+      "multiSearchAllPositions('abcdef', ['cd', 'zz', 'a'])), ',')")
+      .getString(0) shouldBe "3,0,1"
+    one("multiSearchFirstPosition('abcdef', ['ef', 'cd'])")
+      .getInt(0) shouldBe 3
+    one("multiSearchFirstPosition('abcdef', ['zz'])").getInt(0) shouldBe 0
+    // maps: lambda-first forms
+    one("mapExists((k, v) -> v > 1, map('a', 1, 'b', 2))")
+      .getBoolean(0) shouldBe true
+    one("mapAll((k, v) -> v > 0, map('a', 1, 'b', 2))")
+      .getBoolean(0) shouldBe true
+    one("mapAll((k, v) -> v > 1, map('a', 1, 'b', 2))")
+      .getBoolean(0) shouldBe false
+    one("arrayStringConcat(mapKeys(mapSort(map('b', 2, 'a', 1))), ',')")
+      .getString(0) shouldBe "a,b"
+    one("arrayStringConcat(mapKeys(mapReverseSort(map('a', 1, 'b', 2))), ',')")
+      .getString(0) shouldBe "b,a"
+  }
+
+  test("tier-7 aggregates, console formatters, refusals") {
+    def one(q: String) = GraftSql.chSql(spark, sf0001, s"SELECT $q AS v").head()
+    // exact weighted quantile: weight 3 on value 1 pulls the median down
+    GraftSql.chSql(spark, sf0001,
+      "SELECT quantileExactWeighted(0.5)(v, w) AS q FROM " +
+        "(SELECT 1 AS v, 3 AS w UNION ALL SELECT 10 AS v, 1 AS w)")
+      .head().getDouble(0) shouldBe 1.0
+    // parameterized uniq sketches drop the precision argument
+    GraftSql.chSql(spark, sf0001,
+      "SELECT CAST(uniqCombined(12)(o_orderstatus) AS Int64) AS v " +
+        "FROM orders").head().getLong(0) shouldBe 3L
+    GraftSql.chSql(spark, sf0001,
+      "SELECT CAST(uniqHLL12(o_orderstatus) AS Int64) AS v FROM orders")
+      .head().getLong(0) shouldBe 3L
+    // console formatters
+    one("formatReadableTimeDelta(90125)")
+      .getString(0) shouldBe "1 day, 1 hour, 2 minutes, 5 seconds"
+    one("formatReadableTimeDelta(61)").getString(0) shouldBe "1 minute, 1 second"
+    one("formatReadableTimeDelta(0)").getString(0) shouldBe "0 seconds"
+    one("bar(5, 0, 10, 4)").getString(0) shouldBe "██"
+    one("bar(10, 0, 10, 4)").getString(0) shouldBe "████"
+    one("bar(0, 0, 10, 4)").getString(0) shouldBe ""
+    // the eighth-block partial: 2.25 cells = two full blocks + 2/8
+    one("bar(4.5, 0, 8, 4)").getString(0) shouldBe "██▎"
+    // pointed refusals name the alternative
+    Seq(
+      "entropy(o_orderstatus)" -> "two-level",
+      "JSON_QUERY('{}', '$.a')" -> "JSONExtractRaw",
+      "arrayShuffle([1, 2])" -> "array_sort",
+      "groupArrayLast(3)(o_orderkey)" -> "groupArraySorted",
+      "detectLanguage('hello')" -> "text_langid",
+      "sleepEachRow(0.1)" -> "declarative",
+      "rowNumberInAllBlocks()" -> "row_number",
+      "queryID()" -> "query_log",
+      "firstSignificantSubdomain('https://a.b.co.uk/')" -> "domainWithoutWWW",
+      "geohashEncode(1.0, 2.0, 8)" -> "greatCircleDistance",
+      "toInt256(1)" -> "DECIMAL",
+      "isIPAddressInRange(ip, '::1/128')" -> "IPv4")
+      .foreach { case (call, needle) =>
+        intercept[Exception] {
+          GraftSql.chSql(spark, sf0001,
+            s"SELECT $call FROM orders LIMIT 1").collect()
+        }.getMessage should include(needle)
+      }
+  }
 }

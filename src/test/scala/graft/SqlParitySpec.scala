@@ -72,6 +72,7 @@ class SqlParitySpec extends SparkSpecBase {
     "set_intersect_all", "limit_ties", "fn_nested_zip", "sql_param_view",
     "sql_totals", "sql_query_cache", "sql_limit_by", "sql_qualify",
     "sql_select_modifiers", "sql_star_ties",
+    "sql_query_params", "sql_columns_apply",
     "ts_session", "win_dist",
     "win_lag", "win_ntile_dense", "win_rank", "win_running_sum")
 
@@ -116,6 +117,25 @@ class SqlParitySpec extends SparkSpecBase {
         |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |    ON b.user_id = c.user_id AND b.ts >= c.ts) t
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // DuckDB CAST(… AS VARCHAR) → Spark STRING; otherwise the oracle's
+    // row_number()=1 dedup-build-side restatement runs unchanged
+    "sql_any_join" ->
+      """SELECT b.event_id AS event_id, b.user_id AS user_id,
+        | c.tag AS first_tag
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') b
+        |LEFT JOIN (
+        |  SELECT user_id, tag FROM (
+        |    SELECT user_id,
+        |      lpad(CAST(CAST(floor(value) AS BIGINT) % 97 AS STRING),
+        |           2, '0') AS tag,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY
+        |        lpad(CAST(CAST(floor(value) AS BIGINT) % 97 AS STRING),
+        |             2, '0')) AS rn
+        |    FROM events WHERE event_type = 'click') t
+        |  WHERE rn = 1) c
+        |ON b.user_id = c.user_id
+        |ORDER BY b.event_id""".stripMargin,
 
     // DuckDB (VALUES …) q(cols) → Spark FROM VALUES … AS q(cols)
     "sql_processes" ->
