@@ -799,6 +799,28 @@ object Analytics extends QueryModule {
           |  ON b.user_id = c.user_id
           |ORDER BY event_id""".stripMargin)),
 
+    // WITH RECURSIVE through the gate (round 14): CH 24.3+'s recursive
+    // CTE rides Spark 4.1's NATIVE recursive-CTE execution (UnionLoop)
+    // untranslated — the dialect's rewrites (count(), toMonth) still
+    // apply inside both the anchor and the recursive term, and the
+    // recursive reference survives literal masking untouched. Depth is
+    // bounded loudly on both engines (Spark cteRecursionLevelLimit =
+    // 100 + cteRecursionRowLimit = 1e6 vs CH
+    // max_recursive_cte_evaluation_depth = 1000) — a runaway recursion
+    // errors, never silently truncates. At scale each iteration is one
+    // distributed job over the PRIOR iteration's rows only (the month
+    // spine here is 12 one-row steps; the orders side joins once,
+    // after the spine converges).
+    "sql_recursive_cte" -> ((s, d) =>
+      graft.sql.GraftSql.chSql(s, d,
+        """WITH RECURSIVE mons AS (
+          |  SELECT 1 AS mon
+          |  UNION ALL SELECT mon + 1 FROM mons WHERE mon < 12)
+          |SELECT mon, count(o.o_orderkey) AS n_orders,
+          |  round(max(o.o_totalprice), 2) AS top_price
+          |FROM mons LEFT JOIN orders o ON toMonth(o.o_orderdate) = mon
+          |GROUP BY mon ORDER BY mon""".stripMargin)),
+
     // COLUMNS('regex') APPLY through the gate (round 14): the dynamic
     // wide-table selector expands via the analyzer probe into the
     // spelled-out column list — the oracle IS that spelled-out
@@ -1537,6 +1559,18 @@ object Analytics extends QueryModule {
         |  WHERE rn = 1) c
         |ON b.user_id = c.user_id
         |ORDER BY b.event_id""".stripMargin,
+
+    // DuckDB's own recursive-CTE engine recomputes the month spine —
+    // an independent recursion implementation, not a restatement
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE mons AS (
+        |  SELECT 1 AS mon
+        |  UNION ALL SELECT mon + 1 FROM mons WHERE mon < 12)
+        |SELECT mon, count(o.o_orderkey) AS n_orders,
+        |  round(max(o.o_totalprice), 2) AS top_price
+        |FROM mons LEFT JOIN orders o
+        |  ON EXTRACT(month FROM o.o_orderdate) = mon
+        |GROUP BY mon ORDER BY mon""".stripMargin,
 
     // the selector expansion spelled out by hand (the gate renames CH's
     // fn(col) naming to these paren-free aliases — see the queries note)

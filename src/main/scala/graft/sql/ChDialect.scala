@@ -66,6 +66,14 @@ package graft.sql
   *     totals row surfacing as the all-NULL-keys row of the same result
   *     set (CH ships it as a separate block; a single relation has no
   *     side channel, and the NULL-keys row is the standard SQL shape)
+  *   - `WITH RECURSIVE name AS (anchor UNION ALL step)` passes through
+  *     UNTRANSLATED to Spark 4.1's native recursive-CTE execution; the
+  *     per-segment rewrites (count(), toMonth, …) still apply inside
+  *     both the anchor and the recursive term. Depth bounds loudly on
+  *     both engines (Spark cteRecursionLevelLimit = 100 +
+  *     cteRecursionRowLimit = 1e6; CH
+  *     max_recursive_cte_evaluation_depth = 1000) — never a silent
+  *     truncation (ChSqlSpec pins the gate shapes + the loud limit)
   *   - `ORDER BY … LIMIT n BY cols [LIMIT m]` → a row_number window
   *     partitioned by the BY list over the query's own ORDER BY
   *     (top-level statements only; an ORDER BY is required — see
@@ -561,7 +569,21 @@ object ChDialect {
     ("(?i)\\bCOLUMNS\\s*\\(",
       "COLUMNS(…) [APPLY]: the dynamic column selector needs schema " +
         "expansion — use the schema-aware entry point (GraftSql.chSql / " +
-        "ChDdl.query), or spell the columns"))
+        "ChDdl.query), or spell the columns"),
+    // `* APPLY` is consumed by rewriteStarApply upstream (same probe);
+    // a leftover APPLY keyword is a shape that rewrite doesn't cover
+    // (schema-blind entry, qualified star `t.*`, or `* REPLACE … APPLY`).
+    // The negative lookahead keeps a column ALIASED `apply` (followed by
+    // a separator or clause keyword) out of the match.
+    ("(?i)\\bAPPLY\\b\\s*(?:\\(\\s*)?" +
+      "(?!FROM\\b|WHERE\\b|GROUP\\b|HAVING\\b|QUALIFY\\b|ORDER\\b|" +
+      "LIMIT\\b|UNION\\b|INTERSECT\\b|EXCEPT\\b|SETTINGS\\b|INTO\\b|" +
+      "FORMAT\\b|AS\\b|AND\\b|OR\\b)[A-Za-z_]",
+      "* [EXCEPT …] APPLY fn / COLUMNS(…) APPLY: the dynamic selector " +
+        "needs schema expansion — use the schema-aware entry point " +
+        "(GraftSql.chSql / ChDdl.query) with a bare `*` (qualified " +
+        "stars and `* REPLACE … APPLY` are not expanded), or spell " +
+        "the columns"))
     .foreach { case (re, msg) =>
       require(re.r.findFirstIn(s).isEmpty, msg)
     }
@@ -598,17 +620,7 @@ object ChDialect {
       throw new IllegalArgumentException(
         "COLUMNS(…): the pattern must be a string literal"))
     // trailing APPLY chain: APPLY fn | APPLY (fn), innermost first
-    var cursor = afterParen
-    val fns = List.newBuilder[String]
-    val applyRe =
-      "(?is)^\\s*APPLY\\s*(?:\\(\\s*([A-Za-z_]\\w*)\\s*\\)|([A-Za-z_]\\w*))".r
-    var keep = true
-    while (keep) applyRe.findFirstMatchIn(s.substring(cursor)) match {
-      case Some(am) =>
-        fns += Option(am.group(1)).getOrElse(am.group(2))
-        cursor += am.end
-      case None => keep = false
-    }
+    val (chain0, cursor) = parseApplyChain(s, afterParen)
     // source columns: probe the FROM part with tail clauses cut (a
     // GROUP BY's keys need the select list the probe replaces)
     val tailCut = topMatch(s, ("(?i)\\b(GROUP\\s+BY|HAVING|QUALIFY|" +
@@ -620,14 +632,80 @@ object ChDialect {
     require(matched.nonEmpty,
       s"COLUMNS('$pat'): no columns match (source columns: " +
         s"${cols.mkString(", ")})")
-    val chain = fns.result()
-    val expansion = matched.map { c =>
-      val e = chain.foldLeft(c)((acc, f) => s"$f($acc)")
-      if (chain.isEmpty) e else s"$e AS `$e`"
-    }.mkString(", ")
+    val expansion = applyExpansion(matched, chain0)
     // recurse: a second COLUMNS in the same list expands next
     rewriteColumnsSelector(
       s.substring(0, m.start) + expansion + s.substring(cursor),
+      analyze, literals)
+  }
+
+  /** Parse a trailing `APPLY fn | APPLY (fn)` chain at `from`; returns
+    * (fns innermost-first, cursor past the chain). */
+  private def parseApplyChain(s: String, from: Int): (List[String], Int) = {
+    var cursor = from
+    val fns = List.newBuilder[String]
+    val applyRe =
+      "(?is)^\\s*APPLY\\s*(?:\\(\\s*([A-Za-z_]\\w*)\\s*\\)|([A-Za-z_]\\w*))".r
+    var keep = true
+    while (keep) applyRe.findFirstMatchIn(s.substring(cursor)) match {
+      case Some(am) =>
+        fns += Option(am.group(1)).getOrElse(am.group(2))
+        cursor += am.end
+      case None => keep = false
+    }
+    (fns.result(), cursor)
+  }
+
+  /** Wrap each selected column in the APPLY chain with CH's own
+    * `fn(col)` result naming (backquoted — the name contains parens). */
+  private def applyExpansion(cols: Seq[String], chain: List[String]): String =
+    cols.map { c =>
+      val e = chain.foldLeft(c)((acc, f) => s"$f($acc)")
+      if (chain.isEmpty) e else s"$e AS `$e`"
+    }.mkString(", ")
+
+  /** CH `* [EXCEPT (a, b) | EXCEPT a] APPLY fn [APPLY g]…` — the star
+    * form of the X150 dynamic selector (COLUMNS covers the regex form;
+    * a bare `* EXCEPT (…)` with no APPLY is Spark-native and passes
+    * through untouched). The star expands through the same analyzer
+    * probe, EXCEPT names drop (both CH spellings: parenthesized list or
+    * one bare name; every name must exist — CH errors on unknown names
+    * too), and the APPLY chain wraps with CH's `fn(col)` result naming.
+    * Qualified stars (`t.* APPLY`) and `* REPLACE … APPLY` are not
+    * expanded — they fall to the pointed APPLY refusal.
+    */
+  private def rewriteStarApply(s: String,
+      analyze: Option[String => Seq[String]],
+      literals: Array[String]): String = {
+    val m = cachedRe("(?is)(?<![.\\w])\\*\\s*" +
+      "(?:EXCEPT\\s*(?:\\(([^)]*)\\)|([A-Za-z_]\\w*))\\s*)?" +
+      "(?=APPLY\\b)").findFirstMatchIn(s).getOrElse(return s)
+    val probe = analyze.getOrElse(return s) // schema-blind: refusal downstream
+    val selM = topMatch(s, "(?i)\\bSELECT\\b".r).getOrElse(return s)
+    val fromM = topMatch(s, "(?i)\\bFROM\\b".r, selM.end)
+      .getOrElse(throw new IllegalArgumentException(
+        "* APPLY: no top-level FROM to expand against"))
+    require(m.start > selM.start && m.end <= fromM.start &&
+      depthAt(s, m.start) == 0,
+      "* APPLY: supported at the top level of the select list only — " +
+        "spell the columns elsewhere")
+    val (chain, cursor) = parseApplyChain(s, m.end)
+    val tailCut = topMatch(s, ("(?i)\\b(GROUP\\s+BY|HAVING|QUALIFY|" +
+      "WINDOW|ORDER\\s+BY|LIMIT|UNION|INTERSECT|EXCEPT)\\b").r,
+      fromM.end).map(_.start).getOrElse(s.length)
+    val cols = probe("SELECT * " + s.substring(fromM.start, tailCut))
+    val except = (Option(m.group(1)).map(_.split(',').toSeq)
+      .getOrElse(Option(m.group(2)).toSeq))
+      .map(_.replace("`", "").trim).filter(_.nonEmpty)
+    val unknown = except.filterNot(cols.contains)
+    require(unknown.isEmpty,
+      s"* EXCEPT: no such column(s) ${unknown.mkString(", ")} (source " +
+        s"columns: ${cols.mkString(", ")})")
+    val kept = cols.filterNot(except.contains)
+    require(kept.nonEmpty, "* EXCEPT … APPLY: every column was excepted")
+    rewriteStarApply(
+      s.substring(0, m.start) + applyExpansion(kept, chain) +
+        s.substring(cursor),
       analyze, literals)
   }
 
@@ -1503,6 +1581,7 @@ object ChDialect {
     // refuses unsupported ones itself with the precise reason
     s = rewriteAsofJoin(s)
     s = rewriteColumnsSelector(s, analyze, literals)
+    s = rewriteStarApply(s, analyze, literals)
     refuseUnsupported(s)
     s = rewriteSelectReplace(s, analyze)
     // OFFSET/FETCH first: its TIES form becomes LIMIT … WITH TIES, which

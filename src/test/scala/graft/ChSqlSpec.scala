@@ -1523,6 +1523,35 @@ class ChSqlSpec extends SparkSpecBase {
     }.getMessage should include("no columns match")
   }
 
+  test("* [EXCEPT …] APPLY expands like the COLUMNS selector") {
+    def rows(q: String) = GraftSql.chSql(spark, sf0001, q)
+    // bare star: every source column wrapped, CH's fn(col) naming
+    val all = rows("SELECT * APPLY max FROM " +
+      "(SELECT o_orderkey, o_custkey FROM orders)")
+    all.columns shouldBe Array("max(o_orderkey)", "max(o_custkey)")
+    all.head().getLong(0) should be > 0L
+    // EXCEPT list drops named columns before the wrap
+    rows("SELECT * EXCEPT (o_orderstatus, o_orderdate, o_orderpriority) " +
+      "APPLY max FROM orders").columns shouldBe
+      Array("max(o_orderkey)", "max(o_custkey)", "max(o_totalprice)")
+    // single bare-name EXCEPT spelling + an APPLY chain
+    rows("SELECT * EXCEPT o_orderkey APPLY (count) FROM " +
+      "(SELECT o_orderkey, o_custkey FROM orders)")
+      .columns shouldBe Array("count(o_custkey)")
+    // an unknown EXCEPT name refuses loudly (CH errors too)
+    intercept[Exception] {
+      rows("SELECT * EXCEPT (nope) APPLY max FROM orders").collect()
+    }.getMessage should include("no such column")
+    // the schema-blind entry point refuses with the pointed door;
+    // qualified stars are not expanded and fall to the same refusal
+    intercept[Exception] {
+      ChDialect.rewrite("SELECT * APPLY max FROM t")
+    }.getMessage should include("schema expansion")
+    intercept[Exception] {
+      rows("SELECT o.* APPLY max FROM orders o").collect()
+    }.getMessage should include("spell the columns")
+  }
+
   test("ANY JOIN as text: first-match semantics on the shared nest") {
     import spark.implicits._
     Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "lv")
@@ -1572,6 +1601,58 @@ class ChSqlSpec extends SparkSpecBase {
       GraftSql.chSql(spark, sf0001, "SELECT 1 FROM any_l l " +
         "ANY JOIN any_r r ON l.k > r.k").collect()
     }.getMessage should include("equality")
+  }
+
+  test("WITH RECURSIVE rides Spark's native recursive-CTE execution") {
+    // sequence recursion with a dialect rewrite (count()) inside the
+    // outer select — the recursive reference survives masking untouched
+    val seqr = GraftSql.chSql(spark, sf0001,
+      "WITH RECURSIVE r AS (SELECT 1 AS n UNION ALL SELECT n + 1 FROM r " +
+        "WHERE n < 5) SELECT count() AS c, CAST(sum(n) AS Int64) AS s " +
+        "FROM r").head()
+    seqr.getLong(0) shouldBe 5L
+    seqr.getLong(1) shouldBe 15L
+    // graph reachability — the everyday transitive-closure walk (a/b/c/d/e
+    // chain with a branch; 5 reachable nodes, longest path 3 hops)
+    val walk = GraftSql.chSql(spark, sf0001,
+      """WITH RECURSIVE reach AS (
+        |  SELECT 'a' AS node, 0 AS depth
+        |  UNION ALL
+        |  SELECT e.dst AS node, r.depth + 1 AS depth
+        |  FROM reach r JOIN (
+        |    SELECT 'a' AS src, 'b' AS dst UNION ALL SELECT 'b', 'c'
+        |    UNION ALL SELECT 'c', 'd' UNION ALL SELECT 'b', 'e') e
+        |  ON e.src = r.node)
+        |SELECT count() AS n, max(depth) AS d FROM reach""".stripMargin).head()
+    walk.getLong(0) shouldBe 5L
+    walk.getInt(1) shouldBe 3
+    // recursion joined to a catalog table through a dialect scalar
+    // (toMonth) — the sql_recursive_cte gate shape: exactly the 12-month
+    // spine regardless of the data
+    val g = GraftSql.chSql(spark, sf0001,
+      """WITH RECURSIVE mons AS (
+        |  SELECT 1 AS mon
+        |  UNION ALL SELECT mon + 1 FROM mons WHERE mon < 12)
+        |SELECT mon, count(o.o_orderkey) AS n_orders
+        |FROM mons LEFT JOIN orders o ON toMonth(o.o_orderdate) = mon
+        |GROUP BY mon ORDER BY mon""".stripMargin).collect()
+    g.map(_.getInt(0)).toSeq shouldBe (1 to 12)
+    g.map(_.getLong(1)).sum shouldBe GraftSql.sql(spark, sf0001,
+      "SELECT count(*) FROM orders").head().getLong(0)
+    // a runaway recursion fails LOUDLY at the level limit (Spark's
+    // cteRecursionLevelLimit, default 100 — CH bounds at 1000 via
+    // max_recursive_cte_evaluation_depth; both error, neither truncates)
+    val limitKey = "spark.sql.cteRecursionLevelLimit"
+    val old = spark.conf.get(limitKey)
+    spark.conf.set(limitKey, "8")
+    try {
+      val e = intercept[Exception] {
+        GraftSql.chSql(spark, sf0001,
+          "WITH RECURSIVE r AS (SELECT 1 AS n UNION ALL SELECT n + 1 " +
+            "FROM r WHERE n < 50) SELECT max(n) AS m FROM r").collect()
+      }
+      e.getMessage.toLowerCase should include("recursion")
+    } finally spark.conf.set(limitKey, old)
   }
 
   test("ASOF JOIN refuses the unsound shapes loudly") {

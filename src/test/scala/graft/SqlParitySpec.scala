@@ -71,6 +71,7 @@ class SqlParitySpec extends SparkSpecBase {
     "set_except", "set_intersect", "set_union", "set_except_all",
     "set_intersect_all", "limit_ties", "fn_nested_zip", "sql_param_view",
     "sql_totals", "sql_query_cache", "sql_limit_by", "sql_qualify",
+    "sql_recursive_cte",
     "sql_select_modifiers", "sql_star_ties",
     "sql_query_params", "sql_columns_apply",
     "ts_session", "win_dist",
