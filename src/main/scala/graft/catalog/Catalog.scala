@@ -2328,13 +2328,13 @@ final class Catalog(spark: SparkSession) {
       // soundness condition — see compactVersioned)
       if (t.layout == Versioned && !fs(t).exists(manifestPath(t)))
         writeManifest(t, currentVersion(t))
-      sorted.cache()
-      try {
-        val cnt = sorted.count()
+      // one execution of the clustered block (the write itself); the
+      // returned count comes from the written files' footers — the old
+      // cache+count pre-pass paid a second materialization per append
+      val written =
         if (t.layout == Versioned) commitSegment(t, sorted)
         else writeData(t, sorted, dataPath(t), mode = "append")
-        cnt
-      } finally sorted.unpersist()
+      footerRowCount(written)
     }
     // MV fan-out AFTER the base commit and OUTSIDE its lock (a target's
     // append takes its own lock; holding the source's across both invites
@@ -2457,39 +2457,35 @@ final class Catalog(spark: SparkSession) {
         if (f.exists(segPath)) f.delete(segPath, true)
         val filled = materializeAndCheck(t, fillOmittedDefaults(name, batch))
         val sorted = clusteredFor(t, preMergedBlock(t, filled))
-        sorted.cache()
-        try {
-          val cnt = sorted.count()
-          writeData(t, sorted, segPath.toString)
-          f.mkdirs(segMarkerDir(t))
-          val won =
-            try {
-              val out = f.create(marker, false) // atomic commit + dedup CAS
-              try out.write(processTag.getBytes(
-                java.nio.charset.StandardCharsets.UTF_8))
-              finally out.close()
-              true
-            } catch {
-              // ONLY an already-exists outcome is "lost the race": a
-              // transient IOException must propagate so the caller
-              // retries — swallowing it as a loss deletes the staged
-              // segment and returns None, and a caller like DirTail then
-              // advances committed offsets past bytes never ingested
-              case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-              case _: java.nio.file.FileAlreadyExistsException => false
-              case e: java.io.IOException =>
-                if (f.exists(marker)) false else throw e
-            }
-          if (won) {
-            f.delete(new Path(segMarkerDir(t), seg + ".orphan"), false)
-            Some((cnt, filled))
-          } else {
-            // a cross-process racer committed the token first: this copy
-            // of the block is surplus
-            f.delete(segPath, true)
-            None
+        val cnt = footerRowCount(writeData(t, sorted, segPath.toString))
+        f.mkdirs(segMarkerDir(t))
+        val won =
+          try {
+            val out = f.create(marker, false) // atomic commit + dedup CAS
+            try out.write(processTag.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+            true
+          } catch {
+            // ONLY an already-exists outcome is "lost the race": a
+            // transient IOException must propagate so the caller
+            // retries — swallowing it as a loss deletes the staged
+            // segment and returns None, and a caller like DirTail then
+            // advances committed offsets past bytes never ingested
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+            case _: java.nio.file.FileAlreadyExistsException => false
+            case e: java.io.IOException =>
+              if (f.exists(marker)) false else throw e
           }
-        } finally sorted.unpersist()
+        if (won) {
+          f.delete(new Path(segMarkerDir(t), seg + ".orphan"), false)
+          Some((cnt, filled))
+        } else {
+          // a cross-process racer committed the token first: this copy
+          // of the block is surplus
+          f.delete(segPath, true)
+          None
+        }
       }
     }
     // MV fan-out exactly once — only the committing call triggers, after
@@ -2497,11 +2493,11 @@ final class Catalog(spark: SparkSession) {
     committed.map { case (cnt, filled) => fanOutMvs(name, filled); cnt }
   }
 
-  private def commitSegment(t: TableDef, batch: DataFrame): Unit = {
+  private def commitSegment(t: TableDef, batch: DataFrame): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val f = fs(t)
     val seg = s"seg-$processTag-${java.util.UUID.randomUUID().toString.take(8)}"
-    writeData(t, batch, new Path(t.path, seg).toString)
+    val written = writeData(t, batch, new Path(t.path, seg).toString)
     f.mkdirs(segMarkerDir(t))
     val out = f.create(new Path(segMarkerDir(t), seg), false) // atomic commit
     try out.write(processTag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -2510,6 +2506,7 @@ final class Catalog(spark: SparkSession) {
     // this (long) data write looked abandoned — the marker above already
     // makes the segment live, so the tombstone must not outlive it
     f.delete(new Path(segMarkerDir(t), seg + ".orphan"), false)
+    written
   }
 
   /** Finish a compact swap a crash interrupted (doc on [[compact]]): table
@@ -2530,14 +2527,23 @@ final class Catalog(spark: SparkSession) {
     *   - `sortKeys` alone (ORDER BY): global range layout via
     *     `repartitionByRange` + per-file sort, the O3 clustering.
     */
-  private def clusteredFor(t: TableDef, df: DataFrame): DataFrame =
+  private def clusteredFor(t: TableDef, df: DataFrame): DataFrame = {
+    // EXPLICIT partition count: the append path no longer materializes
+    // the block through a cache before writing (round-14), so this
+    // exchange feeds the write directly — and an implicit count would
+    // let AQE coalesce the whole block into one file on small inputs,
+    // destroying the multi-file range layout the skip-index sidecars
+    // prune by. The session's shuffle parallelism is exactly what the
+    // implicit form resolved to before, at every scale.
+    val n = spark.sessionState.conf.numShufflePartitions
     if (t.partitionKeys.nonEmpty)
-      df.repartition(t.partitionKeys.map(col): _*)
+      df.repartition(n, t.partitionKeys.map(col): _*)
         .sortWithinPartitions((t.partitionKeys ++ t.sortKeys).map(col): _*)
     else if (t.sortKeys.nonEmpty)
-      df.repartitionByRange(t.sortKeys.map(col): _*)
+      df.repartitionByRange(n, t.sortKeys.map(col): _*)
         .sortWithinPartitions(t.sortKeys.map(col): _*)
     else df
+  }
 
   /** Per-column codec kinds → parquet writer options for one write.
     * The mechanism (all public parquet-mr 1.16 hadoop config, reached
@@ -2612,14 +2618,20 @@ final class Catalog(spark: SparkSession) {
     * read with `basePath` so partition-dir columns are recovered.
     */
   private def writeData(t: TableDef, df: DataFrame, path: String,
-                        mode: String = "overwrite"): Unit = {
+                        mode: String = "overwrite"): Seq[String] = {
+    // the before-listing also feeds the RETURNED written-file set (the
+    // append paths count the committed block from parquet footers —
+    // round-14: one write execution instead of cache + count + write)
     val before: Set[String] =
-      if (t.projections.nonEmpty && mode == "append") listDataFiles(path)
+      if (mode == "append") listDataFiles(path)
       else Set.empty
     val w = df.write.mode(mode).option("compression", t.codec)
       .options(codecWriteOptions(t))
     (if (t.partitionKeys.nonEmpty) w.partitionBy(t.partitionKeys: _*) else w)
       .parquet(path)
+    val written: Seq[String] =
+      if (mode == "append") (listDataFiles(path) -- before).toSeq.sorted
+      else listDataFiles(path).toSeq.sorted
     // re-project the read-back block to the input's declared schema:
     // partition-dir columns come back LAST and type-INFERRED from the dir
     // strings (a string key "01" would read as int 1) — the cast pins both
@@ -2629,10 +2641,9 @@ final class Catalog(spark: SparkSession) {
     val block: Option[DataFrame] =
       if (t.projections.isEmpty) None
       else if (mode == "append") {
-        val added = (listDataFiles(path) -- before).toSeq.sorted
-        if (added.isEmpty) None
+        if (written.isEmpty) None
         else Some(asWritten(
-          spark.read.option("basePath", path).parquet(added: _*)))
+          spark.read.option("basePath", path).parquet(written: _*)))
       } else Some(asWritten(spark.read.parquet(path)))
     if (t.indexCols.nonEmpty) buildSkipIndex(t, path)
     if (t.minmaxCols.nonEmpty) buildMinmaxIndex(t, path)
@@ -2641,6 +2652,23 @@ final class Catalog(spark: SparkSession) {
     if (t.fullTextCols.nonEmpty) buildFullTextIndex(t, path)
     if (t.annIndex.nonEmpty) AnnIndex.maintain(spark, t, path)
     block.foreach(b => maintainProjections(t, b, path, mode))
+    written
+  }
+
+  /** Exact row count of a written block from its parquet FOOTERS — a
+    * driver-side metadata read (one footer per file), replacing the
+    * pre-write `cache(); count()` pass the append paths used to pay:
+    * the clustered block is now executed exactly once (the write), and
+    * the count can never diverge from what storage actually holds.
+    */
+  private def footerRowCount(files: Seq[String]): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    files.iterator.map { uri =>
+      val p = new org.apache.hadoop.fs.Path(uri)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
   }
 
   /** Maintain the declared projections for one [[writeData]] call: on an
@@ -3431,14 +3459,16 @@ final class Catalog(spark: SparkSession) {
     new org.apache.hadoop.fs.Path(dir, s"_idx/$fileName.$column.postings")
 
   /** Posting-index every parquet file under `dir` lacking a sidecar.
-    * Bounded like [[buildSetIndex]]:
-    *   1. distinct-token count per (file, column) — an over-bound file is
-    *      marked overflowed WITHOUT materializing its vocabulary;
-    *   2. per-token row counts for under-bound files only — a token in
-    *      more rows than [[Catalog.FullTextRowCap]] stores a dense marker
-    *      instead of its list;
-    *   3. row-ordinal collection for the sparse tokens of under-bound
-    *      files only — no executor group ever holds more than rowCap ids.
+    * Bounded like [[buildSetIndex]], in ONE pass (round-14 shape):
+    *   - per-token ordinal lists are truncated at rowCap+1 by a
+    *     WindowGroupLimit BEFORE any collection — a token in more rows
+    *     than [[Catalog.FullTextRowCap]] stores a dense marker instead
+    *     of its list, and no executor group ever holds more than
+    *     rowCap+1 ids;
+    *   - an over-bound file is marked overflowed from the one-row-per-
+    *     (file, column) vocabulary counts, and its token rows are
+    *     dropped before the sidecar fold — the overflow verdict costs a
+    *     broadcast, not a driver collect.
     * Row ordinals are the parquet reader's `_metadata.row_index` — stable
     * per file, the granule-position analog.
     */
@@ -3468,15 +3498,12 @@ final class Catalog(spark: SparkSession) {
       t.schema.fieldNames.contains(c)
     }
     if (cols.isEmpty) return
-    val bounds = cols.toMap
     val rowCap = Catalog.FullTextRowCap
     val base = spark.read
       .schema(StructType(cols.map { case (c, _) => t.schema(c) }))
       .parquet(missing.map(_.toString).toSeq: _*)
     // one narrow frame of distinct (file, column, token, row) quads —
-    // persisted: both actions below (the overflow collect and the
-    // sidecar write) start here, and the tokenize+distinct upstream is
-    // the expensive part of the build
+    // the tokenize+distinct pass is the expensive upstream of the build
     val quads = cols.map { case (c, _) =>
       base.select(input_file_name().as("__file"), lit(c).as("__col"),
         explode(split(coalesce(col(c), lit("")),
@@ -3484,55 +3511,66 @@ final class Catalog(spark: SparkSession) {
         col("_metadata.row_index").as("__row"))
         .filter(col("__tok") =!= "")
     }.reduce(_.union(_)).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-    // job 1: distinct-token counts per (file, column) — overflow verdicts
-    // (the ONLY per-token driver state in this build is these counts;
-    // posting lists never leave the executors)
-    val vocabDf = quads.select(col("__file"), col("__col"), col("__tok"))
-      .distinct()
-      .groupBy(col("__file"), col("__col"))
-      .agg(count(lit(1)).as("__vocab"))
-    val vocab = vocabDf
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
-      .toMap
+    // Single-pass assembly (round-14 optimization; guide §2.3-§2.4): the
+    // former build ran TWO actions (a vocab collect, then the sidecar
+    // write) over a persisted quad frame, re-joining it against its own
+    // aggregates three times — ~8 exchanges. This shape derives the same
+    // verdicts in ONE action and 4 exchanges, with the same memory
+    // bounds:
+    //   - per-token row lists are capped BEFORE any collection by a
+    //     row_number() <= rowCap+1 filter — Spark's WindowGroupLimit
+    //     truncates each group map-side under the window exchange, so no
+    //     buffer anywhere holds more than rowCap+1 ordinals (the old
+    //     "count before collect" bound, one shuffle cheaper);
+    //   - a token surviving with __n <= rowCap kept ALL its ordinals
+    //     (nothing was truncated), so its list is exact; __n = rowCap+1
+    //     means "more rows than the cap" — the dense marker, its
+    //     (discarded) list never exceeding cap+1 entries;
+    //   - the overflow verdict joins back as a broadcast of one tiny row
+    //     per (file, column), so an over-bound file's vocabulary is
+    //     dropped BEFORE the per-(file,column) fold — no executor group
+    //     ever assembles an over-bound vocabulary (the old job-1
+    //     guarantee, without the driver round-trip).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__file"), col("__col"), col("__tok"))
+      .orderBy(col("__row"))
+    val perTok = quads
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= lit(rowCap + 1))
+      .groupBy(col("__file"), col("__col"), col("__tok"))
+      .agg(count(lit(1)).as("__n"),
+        sort_array(collect_list(col("__row"))).as("__rows"))
     val boundExpr = cols.map { case (c, n) =>
       when(col("__col") === lit(c), lit(n))
     }.reduce((a, b) => a.otherwise(b))
-    val admitted = quads
-      .join(vocabDf, Seq("__file", "__col"))
-      .filter(col("__vocab") <= boundExpr)
-    // job 2: per-token row counts for admitted groups — the dense/sparse
-    // verdict. Counting BEFORE any list collection means no aggregation
-    // buffer anywhere holds more than rowCap row ids.
-    val tokCounts = admitted
-      .groupBy(col("__file"), col("__col"), col("__tok"))
-      .agg(count(lit(1)).as("__nrows"))
-    // job 3: the postings sidecar is ASSEMBLED IN SPARK — row lists for
-    // sparse tokens, name-only markers for dense ones, folded to ONE
-    // JSON document per (file, column) — and written from the EXECUTORS.
-    // The driver never holds a posting list; each sidecar is bounded by
-    // O(vocab bound × rowCap) by construction.
-    val sparseLists = admitted
-      .join(tokCounts.filter(col("__nrows") <= rowCap)
-        .select(col("__file"), col("__col"), col("__tok")),
-        Seq("__file", "__col", "__tok"))
-      .groupBy(col("__file"), col("__col"), col("__tok"))
-      .agg(sort_array(collect_list(col("__row"))).as("rows"))
-      .groupBy(col("__file"), col("__col"))
-      .agg(map_from_entries(collect_list(struct(col("__tok"), col("rows"))))
-        .as("toks"))
-    val denseLists = tokCounts.filter(col("__nrows") > rowCap)
-      .groupBy(col("__file"), col("__col"))
-      .agg(sort_array(collect_list(col("__tok"))).as("dense"))
+    // one row per (file, column): distinct-token count vs the declared
+    // vocabulary bound
+    val vocabDf = perTok.groupBy(col("__file"), col("__col"))
+      .agg(count(lit(1)).as("__vocab"))
+      .withColumn("__overflow", col("__vocab") > boundExpr)
+    val admittedKeys = broadcast(
+      vocabDf.filter(!col("__overflow")).select(col("__file"), col("__col")))
     // to_json omits null struct fields: a group with no dense (or no
     // sparse) tokens simply lacks that key, which the probe reads as
-    // empty — same semantics, no typed-empty coalesce needed
-    val sidecarRows = sparseLists
-      .join(denseLists, Seq("__file", "__col"), "full_outer")
+    // empty — same semantics (and the same document shape) as before
+    def nullIfEmpty(c: Column): Column = when(size(c) > 0, c)
+    val folded = perTok.join(admittedKeys, Seq("__file", "__col"))
+      .groupBy(col("__file"), col("__col"))
+      .agg(
+        nullIfEmpty(sort_array(collect_list(
+          when(col("__n") > rowCap, col("__tok"))))).as("dense"),
+        nullIfEmpty(map_from_entries(collect_list(
+          when(col("__n") <= rowCap,
+            struct(col("__tok"), col("__rows")))))).as("toks"))
       .select(col("__file"), col("__col"),
         to_json(struct(lit("postings").as("kind"), col("dense"),
           col("toks"))).as("__json"))
+    // over-bound groups become their overflow markers in the SAME write
+    // (formerly a driver-side stamp loop fed by the collect)
+    val sidecarRows = folded.unionByName(
+      vocabDf.filter(col("__overflow"))
+        .select(col("__file"), col("__col"),
+          to_json(struct(lit("overflow").as("kind"))).as("__json")))
     sidecarRows.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       // executor-side write: a fresh Configuration resolves the data
       // files' own scheme (file:// here; hdfs:///s3a:// on a cluster
@@ -3555,16 +3593,6 @@ final class Catalog(spark: SparkSession) {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
-    // over-bound groups never reach the executor write (admitted filters
-    // them out) — the driver stamps their overflow markers, a
-    // metadata-sized loop
-    vocab.foreach { case ((fileUri, c), nTokens) =>
-      if (nTokens > bounds(c)) {
-        val p = new Path(new java.net.URI(fileUri))
-        writeSidecar(fullTextSidecar(p.getParent, p.getName, c),
-          ("kind" -> "overflow"): org.json4s.JObject)
-      }
-    }
     // all-null / empty files contribute no vocab row: write the empty
     // posting map (prunes every probe, correctly) so the file never
     // re-enters the missing list
@@ -3577,7 +3605,6 @@ final class Catalog(spark: SparkSession) {
             ("toks" -> org.json4s.JObject(Nil)))
       }
     }
-    } finally quads.unpersist()
   }
 
   /** Multi-token AND probe through the inverted index: scan only the
