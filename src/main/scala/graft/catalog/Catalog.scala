@@ -2527,6 +2527,32 @@ final class Catalog(spark: SparkSession) {
     *   - `sortKeys` alone (ORDER BY): global range layout via
     *     `repartitionByRange` + per-file sort, the O3 clustering.
     */
+  /** True when `df` is built ENTIRELY from driver-local rows (VALUES
+    * inserts, centroid saves, metadata frames) and is small — known at
+    * PLAN time from the LocalRelation leaves, no job. Such a block gains
+    * nothing from a cross-file range layout (it lands as roughly one
+    * file either way at its size) but would still pay the
+    * RangePartitioner's sampling pass plus a full-width shuffle; the
+    * append path writes it as a single sorted file instead (round-14,
+    * guide §2.4 — remove shuffles outright). Scale-safe by construction:
+    * corpus-sized blocks come from file sources, never LocalRelation.
+    * The row bound is deliberately tight (a micro-block: VALUES lists,
+    * quantizer batches) — moderate local frames keep the fan-out, which
+    * the skip-index granularity specs build their fixtures on.
+    */
+  private def isSmallLocalBlock(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical
+    var rows = 0L
+    var localOnly = true
+    df.queryExecution.analyzed.foreach {
+      case l: logical.LocalRelation => rows += l.data.length
+      case _: logical.OneRowRelation => rows += 1
+      case _: logical.LeafNode => localOnly = false
+      case _ => ()
+    }
+    localOnly && rows <= 1024
+  }
+
   private def clusteredFor(t: TableDef, df: DataFrame): DataFrame = {
     // EXPLICIT partition count: the append path no longer materializes
     // the block through a cache before writing (round-14), so this
@@ -2539,10 +2565,13 @@ final class Catalog(spark: SparkSession) {
     if (t.partitionKeys.nonEmpty)
       df.repartition(n, t.partitionKeys.map(col): _*)
         .sortWithinPartitions((t.partitionKeys ++ t.sortKeys).map(col): _*)
-    else if (t.sortKeys.nonEmpty)
-      df.repartitionByRange(n, t.sortKeys.map(col): _*)
-        .sortWithinPartitions(t.sortKeys.map(col): _*)
-    else df
+    else if (t.sortKeys.nonEmpty) {
+      if (isSmallLocalBlock(df))
+        df.coalesce(1).sortWithinPartitions(t.sortKeys.map(col): _*)
+      else
+        df.repartitionByRange(n, t.sortKeys.map(col): _*)
+          .sortWithinPartitions(t.sortKeys.map(col): _*)
+    } else df
   }
 
   /** Per-column codec kinds → parquet writer options for one write.
@@ -4437,6 +4466,39 @@ final class Catalog(spark: SparkSession) {
       }
       out.toSeq
     }
+  }
+
+  /** Cheap driver-side probe: does `name` hold ANY committed data file?
+    * A metadata listing, never a Spark job — read-before-write paths use
+    * it to skip planning a scan of a table that is registered but still
+    * empty (the fresh-fixture fast path, round-14). The sidecar
+    * exclusion is RELATIVE to the table root: a companion table may
+    * itself live under another table's `_idx/` (the ANN quantizer
+    * store), and the absolute-path filter would blind this probe to its
+    * own files.
+    */
+  private[catalog] def hasDataFiles(name: String): Boolean = {
+    val t = get(name)
+    recoverInterruptedSwap(t)
+    val f = fs(t)
+    dataPaths(t).map(new org.apache.hadoop.fs.Path(_)).filter(f.exists)
+      .exists { root =>
+        // qualify: listFiles returns scheme-qualified paths (file:/…),
+        // so an unqualified prefix would never strip and the root's own
+        // ancestors (…/_idx/ann/…) would re-enter the exclusion
+        val prefix = f.makeQualified(root).toString
+        val it = f.listFiles(root, true)
+        var found = false
+        while (!found && it.hasNext) {
+          val s = it.next()
+          val n = s.getPath.getName
+          val rel = s.getPath.toString.stripPrefix(prefix)
+          if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+              !rel.contains("/_idx/"))
+            found = true
+        }
+        found
+      }
   }
 
   /** `system.tables` analog: one row per registered table — layout,

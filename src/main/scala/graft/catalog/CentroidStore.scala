@@ -63,7 +63,10 @@ final class CentroidStore(spark: SparkSession, catalog: Catalog,
   def save(version: String, variant: String,
            cents: Seq[Array[Double]]): Unit = catalog.withWriteLock(tableName) {
     val prevMax =
-      if (!catalog.exists(tableName)) 0L
+      // fileless-table fast path (the fresh-fixture common case): the
+      // previous-batch probe is answered by a directory listing, not a
+      // planned scan of an empty relation (round-14)
+      if (!catalog.exists(tableName) || !catalog.hasDataFiles(tableName)) 0L
       else catalog.read(tableName)
         .filter(col("corpus_version") === version && col("variant") === variant)
         .agg(org.apache.spark.sql.functions.max(col("trained_at")))
@@ -75,8 +78,11 @@ final class CentroidStore(spark: SparkSession, catalog: Catalog,
     val rows = cents.zipWithIndex.map { case (c, i) =>
       Row(version, variant, i, c.toSeq, now)
     }
+    // LocalRelation (not parallelize): the append path recognizes a small
+    // driver-local block and writes it as one sorted file without the
+    // RangePartitioner sample + full-width shuffle
     catalog.append(tableName, spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), schema))
+      java.util.Arrays.asList(rows: _*), schema))
     if (prevMax > 0)
       catalog.delete(tableName,
         col("corpus_version") === version && col("variant") === variant &&
@@ -92,7 +98,8 @@ final class CentroidStore(spark: SparkSession, catalog: Catalog,
     * and silently skew every IVF assignment.
     */
   def load(version: String, variant: String): Option[Seq[Array[Double]]] = {
-    if (!catalog.exists(tableName)) return None
+    if (!catalog.exists(tableName) || !catalog.hasDataFiles(tableName))
+      return None
     val rows = catalog.read(tableName)
       .filter(col("corpus_version") === version && col("variant") === variant)
       .select(col("cell"), col("centroid"), col("trained_at"))

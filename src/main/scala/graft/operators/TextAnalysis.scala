@@ -101,6 +101,16 @@ object TextAnalysis extends QueryModule {
 
   private def bpeTrainBuild(s: org.apache.spark.sql.SparkSession, d: String)
       : (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+      // ONE materialization (the vocab-sized word table); each merge round
+      // then stacks a replace-projection on top of it. The rounds'
+      // projections collapse into one codegen'd expression over the cached
+      // base, so round k's top-1 job re-applies k string replaces to a
+      // vocabulary-bounded table — trivial compute — instead of paying a
+      // localCheckpoint materialization job per round (round-14: the loop
+      // was 2 jobs/round = ~50 driver-sequential jobs; now 1/round, and
+      // the final chain materializes once more into bpeTrain's pinned
+      // scratch parquet). The chain never escapes this invocation, so
+      // Bench's between-queries unpersist sweep cannot orphan it.
       var words = Tables.documents(s, d)
         .select(explode(TextFns.tokens(col("text"))).as("w"))
         .filter(col("w") =!= "")
@@ -135,7 +145,6 @@ object TextAnalysis extends QueryModule {
           words = words.withColumn("s",
             trim(replace(replace(
               concat(lit(" "), col("s"), lit(" ")), pat, rep), pat, rep)))
-            .localCheckpoint()
           k += 1
         }
       }
