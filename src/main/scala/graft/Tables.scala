@@ -16,8 +16,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Memoized parquet SCHEMAS per (session, path) — metadata only, never
+    * rows. A bare `spark.read.parquet` runs a footer schema-inference job
+    * on EVERY call, and dialect-heavy queries resolve the same immutable
+    * testdata table 10-20 times: at sf0.1 those inference jobs were a
+    * measurable slice of the whole bench (round-14 job-count probe:
+    * `Tables.scala:20` was the single most frequent job site). The
+    * testdata under an sfDir never changes within a process lifetime;
+    * keying by session keeps conf-dependent inference (events'
+    * nanosAsLong) correct.
+    */
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.sql.types.StructType]
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val sch = schemaCache.getOrElseUpdate((spark, path),
+      spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")

@@ -868,16 +868,22 @@ object Dedup extends QueryModule {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()
     }
+    // LAZY checkpoints (round-14): each round's edge set is materialized
+    // by the sig() probe that immediately follows it, so a round costs
+    // ONE job (was two: an eager checkpoint materialization, then the
+    // sig collect over the fresh blocks). Lineage is still truncated at
+    // every round — sig() runs before the next round builds on e.
     var e = edges0.select(col("a"), col("b"))
-      .filter(col("a") =!= col("b")).localCheckpoint()
+      .filter(col("a") =!= col("b")).localCheckpoint(false)
     var prev = (-1L, -1L, -1L)
     var cur = sig(e)
     var rounds = 0
     while ((cur != prev || !isStarSet(e)) && rounds < CcMaxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint() // eager: materialized here
-      release(e)
-      e = next
-      prev = cur; cur = sig(e); rounds += 1
+      val superseded = e
+      e = smallStar(largeStar(e)).localCheckpoint(false)
+      prev = cur; cur = sig(e) // materializes this round's checkpoint…
+      release(superseded) // …and only then are the prior blocks dead
+      rounds += 1
     }
     // the final round's checkpoint stays live: the returned labels frame
     // reads it lazily
