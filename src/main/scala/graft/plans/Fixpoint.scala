@@ -17,10 +17,11 @@ import org.apache.spark.sql.DataFrame
   * termination on cyclic inputs — a cycle's rows enter the accumulation
   * once and the frontier goes empty.
   *
-  * Every round is localCheckpoint-ed (the Dictionaries.hierarchy /
+  * Every round's DELTA is localCheckpoint-ed (the Dictionaries.hierarchy /
   * connected-components pattern): lineage would otherwise grow by two
-  * joins per round and re-run the whole history at each action. Superseded
-  * checkpoints are released as soon as their successor is materialized.
+  * joins per round and re-run the whole history at each action. The
+  * accumulation itself is a flat union over those materialized deltas —
+  * it is never re-copied (see the in-loop note).
   */
 object Fixpoint {
 
@@ -32,23 +33,28 @@ object Fixpoint {
     */
   def recursive(seed: DataFrame, step: DataFrame => DataFrame,
                 maxIters: Int = 100): DataFrame = {
-    def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(false)
-      case _ => ()
-    }
     var acc = seed.distinct().localCheckpoint()
     var frontier = acc
     var rounds = 0
     while (rounds < maxIters && !frontier.isEmpty) {
-      val fresh = step(frontier).distinct().except(acc).localCheckpoint()
+      // lazy checkpoint: the loop-guard isEmpty above is the first action
+      // over `fresh` and materializes its blocks (Spark's local-checkpoint
+      // completion hook finishes any partitions the guard's scan skipped),
+      // so a round costs one driver action, not checkpoint + guard
+      val fresh = step(frontier).distinct().except(acc).localCheckpoint(false)
       // acc and fresh are each distinct and mutually disjoint (fresh is
       // the except), so the union is already distinct — re-distincting
-      // would shuffle the whole accumulation every round
-      val nextAcc = acc.unionByName(fresh).localCheckpoint()
-      if (frontier ne acc) release(frontier)
-      release(acc)
-      acc = nextAcc
+      // would shuffle the whole accumulation every round.
+      //
+      // The accumulation is a PLAN-LEVEL union of the checkpointed
+      // deltas (round-14): every leaf is already materialized blocks, so
+      // acc needs no checkpoint of its own — the old per-round
+      // `acc.union(fresh).localCheckpoint()` recopied the ENTIRE closure
+      // every round (O(closure²) block traffic over a deep recursion)
+      // and cost one more job per round. Union plans flatten, so k
+      // rounds leave a k-leaf union, not a k-deep tree; the deltas stay
+      // live exactly as long as the result needs them.
+      acc = acc.unionByName(fresh)
       frontier = fresh
       rounds += 1
     }
