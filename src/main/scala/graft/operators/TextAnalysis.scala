@@ -101,16 +101,15 @@ object TextAnalysis extends QueryModule {
 
   private def bpeTrainBuild(s: org.apache.spark.sql.SparkSession, d: String)
       : (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame) = {
-      // ONE materialization (the vocab-sized word table); each merge round
-      // then stacks a replace-projection on top of it. The rounds'
-      // projections collapse into one codegen'd expression over the cached
-      // base, so round k's top-1 job re-applies k string replaces to a
-      // vocabulary-bounded table — trivial compute — instead of paying a
-      // localCheckpoint materialization job per round (round-14: the loop
-      // was 2 jobs/round = ~50 driver-sequential jobs; now 1/round, and
-      // the final chain materializes once more into bpeTrain's pinned
-      // scratch parquet). The chain never escapes this invocation, so
-      // Bench's between-queries unpersist sweep cannot orphan it.
+      // One job per merge round (round-14): each round's word table is a
+      // LAZY localCheckpoint, materialized by the NEXT round's top-pair
+      // collect — the loop was 2 driver-sequential jobs per round (an
+      // eager checkpoint materialization, then the collect). Lazy
+      // checkpointing keeps every round's plan one projection deep (a
+      // fully unchecked replace-chain was measured SLOWER: catalyst +
+      // codegen re-compile a k-deep expression every round). The chain
+      // never escapes this invocation, so Bench's unpersist sweep cannot
+      // orphan it; the final table lands on pinned scratch parquet.
       var words = Tables.documents(s, d)
         .select(explode(TextFns.tokens(col("text"))).as("w"))
         .filter(col("w") =!= "")
@@ -145,6 +144,7 @@ object TextAnalysis extends QueryModule {
           words = words.withColumn("s",
             trim(replace(replace(
               concat(lit(" "), col("s"), lit(" ")), pat, rep), pat, rep)))
+            .localCheckpoint(false)
           k += 1
         }
       }
