@@ -90,6 +90,15 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.mkString("\"failed\":[\"", "\",\"", "\"],")
     println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,$failedJson"value":$total}""")
+    // COMPACT record, printed LAST (round-15): the driver keeps only a
+    // ~2000-char tail of stdout, and the full per-query line (~7 kB at 239
+    // queries) overflows it from the front — BENCH_r12/r13/r14 all came
+    // back `parsed: null`. A short self-contained total line at the very
+    // end guarantees the tail always holds one complete parseable record;
+    // the full per-query line above stays for repo tooling
+    // (tools/bench_min.py / bench_compare.py read the line with "queries").
+    val failedArr = failed.mkString("[\"", "\",\"", "\"]")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":${results.size},"failed":${if (failed.isEmpty) "[]" else failedArr},"value":$total}""")
     spark.stop()
   }
 }

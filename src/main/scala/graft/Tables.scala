@@ -26,12 +26,33 @@ object Tables {
     * keying by session keeps conf-dependent inference (events'
     * nanosAsLong) correct.
     */
-  private val schemaCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), org.apache.spark.sql.types.StructType]
+  // WEAK session keys (round-14 advice): a strong SparkSession key would
+  // pin every session ever used for the process lifetime (the 36-suite
+  // test run creates dozens) — the weak map lets a stopped session's
+  // entries collect with it, while identity keying keeps conf-dependent
+  // inference (events' nanosAsLong) correct per session
+  private val schemaCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.types.StructType]]()
+
+  /** Drop every memoized schema — the hook for fixture regeneration: a
+    * process that rewrites testdata at the same path must call this or the
+    * first-inferred schema would be read back stale.
+    */
+  def invalidateSchemaCache(): Unit =
+    schemaCache.synchronized(schemaCache.clear())
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
-    val sch = schemaCache.getOrElseUpdate((spark, path),
+    val perSession = schemaCache.synchronized {
+      var m = schemaCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap
+          .empty[String, org.apache.spark.sql.types.StructType]
+        schemaCache.put(spark, m)
+      }
+      m
+    }
+    val sch = perSession.getOrElseUpdate(path,
       spark.read.parquet(path).schema)
     spark.read.schema(sch).parquet(path)
   }

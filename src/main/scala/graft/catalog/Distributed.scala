@@ -206,8 +206,21 @@ final class DistributedCatalog(spark: SparkSession, cat: Catalog) {
   /** INSERT through the facade: one routed materialization, N slice
     * appends (each slice goes through its member's full append path —
     * engine pre-fold, clustering sort, skip-index build).
+    *
+    * The N member appends are INDEPENDENT jobs on disjoint tables, so they
+    * are submitted CONCURRENTLY (guide §2.6 — overlap independent jobs):
+    * serialized, each append's fixed per-exchange/driver-action overhead
+    * added up N-fold and dominated shard-sized blocks (round-14 scaling
+    * probe: cat_ddl_distributed ran FASTER on 8 cores than 32 — pure
+    * orchestration cost); concurrent, one append's scheduling tail
+    * back-fills with the next one's tasks. Each member takes its own
+    * write lock; no two slices touch the same table, and on a real fleet
+    * the slices land on different shards' storage anyway.
     */
   def append(name: String, batch: DataFrame): Long = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val d = get(name)
     val n = d.members.size
     val routed = batch.withColumn("__shard",
@@ -215,9 +228,12 @@ final class DistributedCatalog(spark: SparkSession, cat: Catalog) {
       .cache()
     try {
       routed.count() // materialize once; the N filters below hit the cache
-      d.members.zipWithIndex.map { case (m, i) =>
-        cat.append(m, routed.filter(col("__shard") === i).drop("__shard"))
-      }.sum
+      val slices = d.members.zipWithIndex.map { case (m, i) =>
+        Future {
+          cat.append(m, routed.filter(col("__shard") === i).drop("__shard"))
+        }
+      }
+      slices.map(Await.result(_, Duration.Inf)).sum
     } finally routed.unpersist()
   }
 

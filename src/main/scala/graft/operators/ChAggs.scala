@@ -522,11 +522,23 @@ object ChAggs extends QueryModule {
         semantics = Aggregating(Seq("event_type", "day"), Seq("state"))))
       val ev = Tables.events(s, d)
         .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
-      Seq(0, 1).foreach { parity => // two insert blocks → two stored partials
-        cat.append(t.name, ev.filter(pmod(col("user_id"), lit(2)) === parity)
-          .groupBy(col("event_type"), col("day"))
-          .agg(hll_sketch_agg(col("user_id")).as("state")))
-      }
+      // ONE source scan: states aggregate per (key, parity) in a single
+      // pass, and the two parity appends slice the CACHED state frame
+      // (kilobytes — one sketch per key) instead of each re-scanning and
+      // re-shuffling the raw table (round-15, guide §2.3 — aggregate
+      // before you shuffle). Block contents are identical: groupBy(key)
+      // over the parity filter ≡ the parity slice of groupBy(key, parity).
+      val states = ev
+        .groupBy(col("event_type"), col("day"),
+          pmod(col("user_id"), lit(2)).as("__par"))
+        .agg(hll_sketch_agg(col("user_id")).as("state"))
+        .cache()
+      try {
+        Seq(0, 1).foreach { parity => // two insert blocks → two stored partials
+          cat.append(t.name, states.filter(col("__par") === parity)
+            .drop("__par"))
+        }
+      } finally states.unpersist()
       (cat, t.name)
     })
     cat.read(name)
@@ -569,14 +581,21 @@ object ChAggs extends QueryModule {
       val li = Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_orderkey"),
           col("l_extendedprice").cast("double").as("price"))
-      Seq(0, 1).foreach { parity => // two insert blocks → two stored partials
-        cat.append(t.name, li
-          .filter(pmod(col("l_orderkey"), lit(2)) === parity)
-          .groupBy(col("l_returnflag"))
-          .agg(QuantileSketch.quantile_state(col("price")).as("qstate"),
-            struct(sum(col("price")).as("sum"),
-              count(lit(1)).as("cnt")).as("astate")))
-      }
+      // ONE source scan (doc at hllSketchTable): per-(key, parity) states
+      // in a single pass; the two appends slice the cached state frame
+      val states = li
+        .groupBy(col("l_returnflag"),
+          pmod(col("l_orderkey"), lit(2)).as("__par"))
+        .agg(QuantileSketch.quantile_state(col("price")).as("qstate"),
+          struct(sum(col("price")).as("sum"),
+            count(lit(1)).as("cnt")).as("astate"))
+        .cache()
+      try {
+        Seq(0, 1).foreach { parity => // two insert blocks → two stored partials
+          cat.append(t.name, states.filter(col("__par") === parity)
+            .drop("__par"))
+        }
+      } finally states.unpersist()
       cat.compact(t.name) // materialize the merge: one state row per key
       (cat, t.name)
     })
@@ -620,15 +639,21 @@ object ChAggs extends QueryModule {
         col("event_id").cast("long").as("event_id"),
         col("user_id").cast("string").as("uid"),
         col("value").cast("double").as("value"))
-      Seq(0, 1).foreach { parity => // two insert blocks → two stored partials
-        cat.append(t.name, ev
-          .filter(pmod(col("event_id"), lit(2)) === parity)
-          .groupBy(col("event_type"))
-          .agg(TopKSketch.topk_state(col("uid"), 1024).as("tk"),
-            max(struct(col("value"), col("event_id"))).as("am"),
-            sum(col("value")).as("sv"),
-            min(col("value")).as("mn")))
-      }
+      // ONE source scan (doc at hllSketchTable): per-(key, parity) states
+      // in a single pass; the two appends slice the cached state frame
+      val states = ev
+        .groupBy(col("event_type"), pmod(col("event_id"), lit(2)).as("__par"))
+        .agg(TopKSketch.topk_state(col("uid"), 1024).as("tk"),
+          max(struct(col("value"), col("event_id"))).as("am"),
+          sum(col("value")).as("sv"),
+          min(col("value")).as("mn"))
+        .cache()
+      try {
+        Seq(0, 1).foreach { parity => // two insert blocks → two stored partials
+          cat.append(t.name, states.filter(col("__par") === parity)
+            .drop("__par"))
+        }
+      } finally states.unpersist()
       cat.compact(t.name) // materialize the merge: one state row per key
       (cat, t.name)
     })

@@ -20,5 +20,8 @@ env SPARK_GRAFT_SF_DIR="$SF_DIR" "$@" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   graft.Bench > "$OUT.raw" 2>"$OUT.log"
-grep -o '{"metric".*}' "$OUT.raw" > "$OUT"
+# Bench prints TWO records since round 15 (full per-query line, then a
+# compact total line for the driver's 2 kB tail) — repo tooling wants the
+# per-query one
+grep -o '{"metric".*"queries".*}' "$OUT.raw" | head -1 > "$OUT"
 echo "wrote $OUT"
