@@ -528,10 +528,18 @@ object ChAggs extends QueryModule {
       // re-shuffling the raw table (round-15, guide §2.3 — aggregate
       // before you shuffle). Block contents are identical: groupBy(key)
       // over the parity filter ≡ the parity slice of groupBy(key, parity).
+      // coalesce(1) BEFORE the cache: a cached plan keeps its shuffle's
+      // partition count (AQE may not re-coalesce cached output), so the
+      // kilobyte state frame would pin 32 near-empty partitions and every
+      // downstream slice would pay 32-task stages. One partition is the
+      // honest shape at any scale — the frame is key-cardinality-bounded
+      // (one sketch row per (key, parity)), and map-side partials remain
+      // fully parallel below the shuffle.
       val states = ev
         .groupBy(col("event_type"), col("day"),
           pmod(col("user_id"), lit(2)).as("__par"))
         .agg(hll_sketch_agg(col("user_id")).as("state"))
+        .coalesce(1)
         .cache()
       try {
         Seq(0, 1).foreach { parity => // two insert blocks → two stored partials
@@ -589,6 +597,7 @@ object ChAggs extends QueryModule {
         .agg(QuantileSketch.quantile_state(col("price")).as("qstate"),
           struct(sum(col("price")).as("sum"),
             count(lit(1)).as("cnt")).as("astate"))
+        .coalesce(1) // key-bounded state frame (doc at hllSketchTable)
         .cache()
       try {
         Seq(0, 1).foreach { parity => // two insert blocks → two stored partials
@@ -647,6 +656,7 @@ object ChAggs extends QueryModule {
           max(struct(col("value"), col("event_id"))).as("am"),
           sum(col("value")).as("sv"),
           min(col("value")).as("mn"))
+        .coalesce(1) // key-bounded state frame (doc at hllSketchTable)
         .cache()
       try {
         Seq(0, 1).foreach { parity => // two insert blocks → two stored partials

@@ -833,18 +833,37 @@ object Dedup extends QueryModule {
     * of `edges` — and the number of rounds taken.
     */
   private val CcMaxRounds = 50
+
+  /** Below this many edges (~16 MB of (long, long) rows) a contraction
+    * round runs SINGLE-partition and exchange-free (round-15, guide
+    * §2.2 scale-adaptive partitioning): the union is coalesced to one
+    * partition — SinglePartition satisfies every downstream groupBy/join
+    * distribution — and the min-table joins are hinted to sort-merge so
+    * no broadcast-exchange jobs materialize either. A round drops from
+    * ~8 driver-sequential AQE stage jobs to 3 (measured, identical
+    * output). The decision input is the PREVIOUS round's sig() count —
+    * already paid for — so a billion-edge graph keeps today's parallel
+    * shape for its heavy early rounds and narrows only once contraction
+    * has shrunk it under the cap.
+    */
+  private val CcNarrowEdgeCap = 1L << 20
+
   def connectedComponents(edges0: DataFrame): (DataFrame, Int) = {
-    def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
-      val m = sym.groupBy("a").agg(min(col("b")).as("mn"))
+    def largeStar(e: DataFrame, narrow: Boolean): DataFrame = {
+      val sym0 = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      val sym = if (narrow) sym0.coalesce(1) else sym0
+      val m0 = sym.groupBy("a").agg(min(col("b")).as("mn"))
         .select(col("a"), least(col("a"), col("mn")).as("m"))
+      val m = if (narrow) m0.hint("SHUFFLE_MERGE") else m0
       sym.join(m, "a").filter(col("b") > col("a"))
         .select(col("b").as("a"), col("m").as("b")).distinct()
     }
-    def smallStar(e: DataFrame): DataFrame = {
-      val or = e.select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+    def smallStar(e: DataFrame, narrow: Boolean): DataFrame = {
+      val or0 = e.select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
         .filter(col("a") =!= col("b"))
-      val m = or.groupBy("a").agg(min(col("b")).as("m"))
+      val or = if (narrow) or0.coalesce(1) else or0
+      val m0 = or.groupBy("a").agg(min(col("b")).as("m"))
+      val m = if (narrow) m0.hint("SHUFFLE_MERGE") else m0
       or.join(m, "a").select(col("b").as("a"), col("m").as("b"))
         .unionByName(m.select(col("a"), col("m").as("b")))
         .filter(col("a") =!= col("b")).distinct()
@@ -880,7 +899,8 @@ object Dedup extends QueryModule {
     var rounds = 0
     while ((cur != prev || !isStarSet(e)) && rounds < CcMaxRounds) {
       val superseded = e
-      e = smallStar(largeStar(e)).localCheckpoint(false)
+      val narrow = cur._1 <= CcNarrowEdgeCap // last measured edge count
+      e = smallStar(largeStar(e, narrow), narrow).localCheckpoint(false)
       prev = cur; cur = sig(e) // materializes this round's checkpoint…
       release(superseded) // …and only then are the prior blocks dead
       rounds += 1

@@ -116,6 +116,26 @@ object TextAnalysis extends QueryModule {
         .groupBy(col("w")).agg(count(lit(1)).as("freq"))
         .withColumn("s", array_join(split(col("w"), ""), " "))
         .localCheckpoint()
+      // Scale-adaptive narrowing (round-15, guide §2.2): the 24 merge
+      // rounds run over a VOCABULARY-sized table (the corpus-sized work
+      // ended at the groupBy above). At single-partition width every
+      // round plan is EXCHANGE-FREE — SinglePartition satisfies the
+      // pair-count groupBy's ClusteredDistribution, and localCheckpoint
+      // preserves the physical partitioning into the next round's
+      // LogicalRDD — so each round costs ONE job with no AQE stage
+      // materializations (measured 0.17 s/round → the shuffle + second
+      // AQE job was the whole cost; the data is a few kB). The width
+      // derives from the measured vocab size, never a constant: a
+      // genuinely huge vocabulary keeps its parallelism and its
+      // exchanges — correctly.
+      val vocabRows = words.count()
+      val parts = math.max(1L, vocabRows / 1000000L).toInt
+      // parts == 1 re-checkpoints even when the width already is 1: the
+      // AQE-coalesced checkpoint records UnknownPartitioning(1), which
+      // does NOT satisfy the groupBy's distribution — CoalesceExec(1)
+      // records SinglePartition, which does
+      if (parts == 1 || parts < words.rdd.getNumPartitions)
+        words = words.coalesce(parts).localCheckpoint()
       val merges = scala.collection.mutable.ArrayBuffer
         .empty[(Long, String, String, Long)]
       var k = 1
