@@ -2567,8 +2567,15 @@ final class Catalog(spark: SparkSession) {
     // so this exchange feeds the write directly — and an implicit count
     // would let AQE coalesce the whole block into one file on small
     // inputs, destroying the multi-file range layout the skip-index
-    // sidecars prune by. The session's shuffle parallelism is exactly
-    // what the implicit form resolved to before, at every scale.
+    // sidecars prune by. The count is the session parallelism scaled UP
+    // by the block's source size (see blockParts): a fixed 32 made every
+    // range-sorted write of an N-row block pay N/32-row PER-TASK sorts —
+    // at 150M rows that is 32 concurrent multi-GB external sorts feeding
+    // 32 open parquet writers, which saturates the execution pool with
+    // 64 MB sorter pages and OOMed the sf100 suite run (the pre-round-14
+    // shape survived only because its cache materialized the sort in a
+    // separate job from the write). Small blocks resolve to exactly the
+    // old count, so the small-SF layout is byte-identical.
     // COMPACT/merge callers pass forCompact = true and keep the implicit
     // form: there AQE's size-based coalescing is the point — compacting
     // a small table should produce FEW large files, not parallelism-many
@@ -2585,9 +2592,34 @@ final class Catalog(spark: SparkSession) {
         df.repartitionByRange(t.sortKeys.map(col): _*)
           .sortWithinPartitions(t.sortKeys.map(col): _*)
       else
-        df.repartitionByRange(n, t.sortKeys.map(col): _*)
+        df.repartitionByRange(blockParts(df, n), t.sortKeys.map(col): _*)
           .sortWithinPartitions(t.sortKeys.map(col): _*)
     } else df
+  }
+
+  /** Range-partition count for an append block: the session parallelism
+    * as a floor (a block the floor already covers keeps today's layout
+    * and file count exactly), scaled up so no single task range-sorts
+    * more than `graft.append.partBytes` of SOURCE bytes (leaf-scan sum —
+    * file sources report real file sizes; join/aggregate SELECTIVITY is
+    * deliberately ignored because a root estimate can explode to the
+    * cross-product upper bound and a too-HIGH count is slivers while a
+    * too-LOW one is an OOM). 16 MB of compressed source ≈ 100 MB of
+    * unsafe-row sort footprint per task, so a full 32-task wave sorts
+    * ~3 GB — far under the execution pool at any heap, where the fixed
+    * count put the entire block in flight at once. `graft.append.maxParts`
+    * caps the fan-out (object stores dislike million-file batches; a
+    * capped write still sorts correctly, each task just spills honestly).
+    */
+  private def blockParts(df: DataFrame, floor: Int): Int = {
+    val partBytes = spark.conf.get("graft.append.partBytes",
+      (16L * 1024 * 1024).toString).toLong
+    val maxParts = spark.conf.get("graft.append.maxParts", "10000").toInt
+    val leafBytes = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes)
+      .filter(_.isValidLong).map(_.toLong).sum
+    val scaled = leafBytes / math.max(partBytes, 1L) + 1
+    math.max(floor, math.min(maxParts.toLong, scaled).toInt)
   }
 
   /** Per-column codec kinds → parquet writer options for one write.
