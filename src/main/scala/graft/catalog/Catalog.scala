@@ -2302,7 +2302,24 @@ final class Catalog(spark: SparkSession) {
     }
   }
 
-  def append(name: String, batch: DataFrame): Long = {
+  def append(name: String, batch: DataFrame): Long =
+    append(name, batch, blockBytes = -1L)
+
+  /** Append with a caller-MEASURED block size (bytes). A caller that has
+    * already materialized the batch (the Distributed facade's routed
+    * insert caches + counts the whole batch before slicing) knows the
+    * block's true footprint for free, so the clustering exchange can be
+    * sized to the BLOCK instead of the session-parallelism floor
+    * (guide §2.2 — derive partitioning from input size, never a constant
+    * tuned for one deployment). A shard-sized slice of a small insert
+    * collapses to a single narrow coalesce+sort (no exchange, no
+    * RangePartitioner sample job); a 100 TB slice resolves to the same
+    * partBytes-bounded fan-out blockParts would pick. Callers that have
+    * NOT measured their block pass -1 and keep the floor (the multi-file
+    * range layout the skip-index granularity fixtures build on is only
+    * ever relaxed on measured evidence).
+    */
+  def append(name: String, batch: DataFrame, blockBytes: Long): Long = {
     val t = get(name)
     val filled = materializeAndCheck(t, fillOmittedDefaults(name, batch))
     // ENGINE = Null: type-check + count, discard, fan out to MVs. The
@@ -2317,7 +2334,8 @@ final class Catalog(spark: SparkSession) {
         return n
       } finally aligned.unpersist()
     }
-    val sorted = clusteredFor(t, preMergedBlock(t, filled))
+    val sorted = clusteredFor(t, preMergedBlock(t, filled),
+      blockBytes = blockBytes)
     val n = writeLock(name).synchronized {
       // an append into a mid-swap table would recreate it with just this
       // batch, and the next compact's "stale leftovers" delete would then
@@ -2561,7 +2579,8 @@ final class Catalog(spark: SparkSession) {
   }
 
   private def clusteredFor(t: TableDef, df: DataFrame,
-                           forCompact: Boolean = false): DataFrame = {
+                           forCompact: Boolean = false,
+                           blockBytes: Long = -1L): DataFrame = {
     // EXPLICIT partition count on the APPEND path: the append no longer
     // materializes the block through a cache before writing (round-14),
     // so this exchange feeds the write directly — and an implicit count
@@ -2580,19 +2599,41 @@ final class Catalog(spark: SparkSession) {
     // form: there AQE's size-based coalescing is the point — compacting
     // a small table should produce FEW large files, not parallelism-many
     // slivers (round-14 advice; guide §6 output file sizing).
+    // Caller-measured block (see append(name, batch, blockBytes)): size
+    // the exchange to the block itself — partBytes-bounded like
+    // blockParts, but with NO session-parallelism floor, because the
+    // caller measured the real footprint (the floor exists to protect
+    // callers whose only signal is a leaf-stat guess). A one-partition
+    // resolution drops the exchange entirely: coalesce(1)+sort is narrow
+    // and produces the identical single sorted file a 1-partition range
+    // shuffle would.
+    val measured: Option[Int] =
+      if (forCompact || blockBytes < 0) None
+      else {
+        val partBytes = spark.conf.get("graft.append.partBytes",
+          (16L * 1024 * 1024).toString).toLong
+        val maxParts = spark.conf.get("graft.append.maxParts", "10000").toInt
+        Some(math.min(maxParts.toLong,
+          blockBytes / math.max(partBytes, 1L) + 1).toInt)
+      }
     val n = spark.sessionState.conf.numShufflePartitions
     if (t.partitionKeys.nonEmpty) {
       val rep = if (forCompact) df.repartition(t.partitionKeys.map(col): _*)
-                else df.repartition(n, t.partitionKeys.map(col): _*)
+                else measured match {
+                  case Some(1) => df.coalesce(1)
+                  case Some(p) => df.repartition(p, t.partitionKeys.map(col): _*)
+                  case None => df.repartition(n, t.partitionKeys.map(col): _*)
+                }
       rep.sortWithinPartitions((t.partitionKeys ++ t.sortKeys).map(col): _*)
     } else if (t.sortKeys.nonEmpty) {
-      if (!forCompact && isSmallLocalBlock(df))
+      if (!forCompact && (isSmallLocalBlock(df) || measured.contains(1)))
         df.coalesce(1).sortWithinPartitions(t.sortKeys.map(col): _*)
       else if (forCompact)
         df.repartitionByRange(t.sortKeys.map(col): _*)
           .sortWithinPartitions(t.sortKeys.map(col): _*)
       else
-        df.repartitionByRange(blockParts(df, n), t.sortKeys.map(col): _*)
+        df.repartitionByRange(measured.getOrElse(blockParts(df, n)),
+            t.sortKeys.map(col): _*)
           .sortWithinPartitions(t.sortKeys.map(col): _*)
     } else df
   }

@@ -228,9 +228,23 @@ final class DistributedCatalog(spark: SparkSession, cat: Catalog) {
       .cache()
     try {
       routed.count() // materialize once; the N filters below hit the cache
+      // The materialized cache knows the batch's TRUE byte footprint —
+      // read it AFTER the count so the InMemoryRelation's stats come from
+      // the materialized buffers, and size each member append's clustering
+      // exchange to its ~1/N slice (guide §2.2): a shard-sized slice of a
+      // small insert appends exchange-free, a 100 TB batch keeps the same
+      // partBytes-bounded fan-out as an unmeasured append. Hash routing is
+      // balanced in expectation; skew only shifts the part count by its
+      // own factor (layout stays partBytes-bounded, never a constant).
+      val batchBytes = {
+        val s = routed.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (s.isValidLong) s.toLong else -1L
+      }
+      val sliceBytes = if (batchBytes < 0) -1L else batchBytes / n + 1
       val slices = d.members.zipWithIndex.map { case (m, i) =>
         Future {
-          cat.append(m, routed.filter(col("__shard") === i).drop("__shard"))
+          cat.append(m, routed.filter(col("__shard") === i).drop("__shard"),
+            blockBytes = sliceBytes)
         }
       }
       slices.map(Await.result(_, Duration.Inf)).sum
